@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-provided parquet tables (TESTDATA.md) and registers
+  * them as temp views so both the DataFrame API and `spark.sql` paths see
+  * the same catalog names the DuckDB oracle uses.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** Register every table under `sfDir` as a temp view (idempotent). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { t =>
+      load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  /** A SparkSession tuned for this engine (local mode, AQE on,
+    * shuffle partitions sized for the local core count, UTC).
+    */
+  def session(cores: String = "*", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-aqe")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational surface coverage (SURVEY.md §2.A): scan, project, filter,
+  * aggregate, group-by, having, order-by/limit, joins (broadcast + shuffle,
+  * semi/anti), window, set ops, scalar functions.
+  *
+  * Every query here is EXACT and deterministic, with a DuckDB oracle.
+  * Floating-point discipline: sums go through decimal(18,4) so the result
+  * is order-independent and identical across engines; averages are
+  * expressed as exact-decimal-sum / count in double.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a ~2dp double column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+  private def davg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(c)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A5/A7/A9: full scan + hash aggregate (TPC-H Q1 shape; flagship).
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("2000-06-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A5/A6/A10: filter + projection + top-k sort (pushdown-friendly).
+    "q02_filter_topk" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.filter(col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(100)
+    }),
+
+    // A12: broadcast join (small dim) + aggregate. customer is tiny at every
+    // SF relative to orders -> explicit broadcast keeps it shuffle-free.
+    "q03_join_broadcast" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // A12: 3-way join lineitem⋈orders⋈customer⋈nation (revenue per nation).
+    // lineitem⋈orders shuffles on orderkey; dims broadcast.
+    "q04_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+
+    // A11: HAVING (post-aggregation filter).
+    "q05_having" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("n") > 10)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A8: exact COUNT(DISTINCT) (the approximate variant lives in Aqp).
+    "q06_count_distinct" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(concat_ws("|", col("l_returnflag"), col("l_linestatus")))
+          .as("nd_flag_status"))
+    }),
+
+    // A7: MIN/MAX stay exact (reference never approximates them).
+    "q07_minmax_exact" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.agg(
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_shipdate")).cast("date").as("min_ship"),
+        max(col("l_shipdate")).cast("date").as("max_ship"))
+    }),
+
+    // A13: window functions — top-3 orders per priority by price (rank),
+    // plus a running sum. (Beyond reference parity; free in Spark.)
+    "q08_window_topn" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    // A14: set op — customers that appear in orders vs not (semi/anti),
+    // assembled with UNION ALL.
+    "q09_semi_anti_union" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      val active = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("active").as("status"))
+      val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("inactive").as("status"))
+      active.unionAll(inactive)
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
+    // A15: scalar string/date/math functions.
+    "q10_scalar_functions" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_uc"),
+        length(col("o_orderpriority")).as("prio_len"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_digit"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        (col("o_totalprice") / 1000.0).as("price_k"),
+        abs(col("o_totalprice") - 1000.0).cast("decimal(18,4)").cast("double")
+          .as("dist_1k"))
+        .orderBy(col("o_orderkey")).limit(500)
+    }),
+
+    // A6 + correlated-shape: orders above the global average price
+    // (scalar subquery made join-explicit: cross join with 1-row agg).
+    "q11_above_avg" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val avgP = o.agg(davg(col("o_totalprice")).as("avg_price"))
+      o.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("avg_price") * 1.5)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_big"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // A9: multi-column grouping with grouping sets via rollup.
+    "q12_rollup" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_discount
+         FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 10
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""",
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q04_revenue_by_nation" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q05_having" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderpriority HAVING count(*) > 10
+         ORDER BY o_orderpriority""",
+    "q06_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS nd_part,
+         count(DISTINCT l_suppkey) AS nd_supp,
+         count(DISTINCT concat_ws('|', l_returnflag, l_linestatus)) AS nd_flag_status
+         FROM lineitem""",
+    "q07_minmax_exact" ->
+      """SELECT min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+         CAST(min(l_shipdate) AS DATE) AS min_ship, CAST(max(l_shipdate) AS DATE) AS max_ship
+         FROM lineitem""",
+    "q08_window_topn" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) t
+         WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+    "q09_semi_anti_union" ->
+      """SELECT status, count(*) AS n FROM (
+           SELECT c_custkey, 'active' AS status FROM customer
+             WHERE c_custkey IN (SELECT o_custkey FROM orders)
+           UNION ALL
+           SELECT c_custkey, 'inactive' AS status FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) t
+         GROUP BY status ORDER BY status""",
+    "q10_scalar_functions" ->
+      """SELECT o_orderkey, upper(o_orderstatus) AS status_uc,
+         CAST(length(o_orderpriority) AS INT) AS prio_len,
+         substring(o_orderpriority, 1, 1) AS prio_digit,
+         CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+         o_totalprice / 1000.0 AS price_k,
+         CAST(CAST(abs(o_totalprice - 1000.0) AS DECIMAL(18,4)) AS DOUBLE) AS dist_1k
+         FROM orders ORDER BY o_orderkey LIMIT 500""",
+    "q11_above_avg" ->
+      """SELECT o_orderstatus, count(*) AS n_big
+         FROM orders,
+           (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice) AS avg_price FROM orders) a
+         WHERE o_totalprice > a.avg_price * 1.5
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+  )
+}
