@@ -1,0 +1,112 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** Engine metadata catalog — the Spark-side analogue of the reference's
+  * four SQLite metadata tables (`aqe_table_stats`, `aqe_samples`,
+  * `aqe_sketches`, `aqe_strata_info`; /root/reference/storage.py:37-85).
+  *
+  * Kept in driver memory (it is tiny: one row per table/sample/sketch)
+  * with the sample DATA itself materialized as parquet under `workDir` —
+  * at cluster scale the catalog stays driver-side while samples live on
+  * distributed storage, exactly like the reference keeps metadata rows
+  * next to materialized sample tables.
+  */
+final class MetaCatalog(val workDir: String) {
+
+  case class TableStats(tableName: String, rowCount: Long, updatedAt: Long)
+  case class SampleInfo(tableName: String, sampleTable: String,
+      fraction: Double, strataColumn: Option[String], path: String,
+      createdAt: Long)
+  case class SketchInfo(tableName: String, columnName: String,
+      sketchType: String, data: Array[Byte], parameters: String,
+      createdAt: Long)
+  case class StratumInfo(sampleTable: String, strataValue: String,
+      popSize: Long, sampleSize: Long, fraction: Double, weight: Double,
+      variance: Double)
+
+  private val tableStats = TrieMap.empty[String, TableStats]
+  private val samples = TrieMap.empty[String, SampleInfo] // key = sampleTable
+  private val sketches = TrieMap.empty[(String, String, String), SketchInfo]
+  private val strata = TrieMap.empty[String, Seq[StratumInfo]]
+
+  Files.createDirectories(Paths.get(workDir))
+
+  def samplesDir: String = s"$workDir/samples"
+
+  // --- table stats (aqe_table_stats) ---
+  def upsertTableStats(table: String, rowCount: Long): Unit =
+    tableStats.put(table,
+      TableStats(table, rowCount, System.currentTimeMillis()))
+  def statsFor(table: String): Option[TableStats] = tableStats.get(table)
+
+  // --- samples (aqe_samples) ---
+  def addSample(info: SampleInfo): Unit = samples.put(info.sampleTable, info)
+  def sampleByName(sampleTable: String): Option[SampleInfo] =
+    samples.get(sampleTable)
+  def samplesFor(table: String): Seq[SampleInfo] =
+    samples.values.filter(_.tableName == table).toSeq
+  /** Reference semantics: the "best" registered sample is the SMALLEST
+    * fraction (/root/reference/planner.py:173-183 ORDER BY ASC LIMIT 1).
+    */
+  def bestUniformSample(table: String): Option[SampleInfo] =
+    samplesFor(table).filter(_.strataColumn.isEmpty)
+      .sortBy(_.fraction).headOption
+  def stratifiedSampleFor(table: String, col: String): Option[SampleInfo] =
+    samplesFor(table).filter(_.strataColumn.contains(col))
+      .sortBy(_.fraction).headOption
+
+  // --- sketches (aqe_sketches; unique on table+column+type) ---
+  def upsertSketch(info: SketchInfo): Unit =
+    sketches.put((info.tableName, info.columnName, info.sketchType), info)
+  def getSketch(table: String, column: String, sketchType: String): Option[SketchInfo] =
+    sketches.get((table, column, sketchType))
+  def listSketches(table: Option[String] = None): Seq[SketchInfo] =
+    table.fold(sketches.values.toSeq)(t =>
+      sketches.values.filter(_.tableName == t).toSeq)
+
+  // --- strata info (aqe_strata_info) ---
+  def putStrata(sampleTable: String, info: Seq[StratumInfo]): Unit =
+    strata.put(sampleTable, info)
+  def strataFor(sampleTable: String): Seq[StratumInfo] =
+    strata.getOrElse(sampleTable, Nil)
+}
+
+/** Sample-table naming convention shared with the reference
+  * (`{table}__sample_{frac}`, `{table}__strat_sample_{col}_{frac}` with
+  * 0.01 -> "0_01"; /root/reference/sampler.py:99-117, parsed back at
+  * planner.py:114-140).
+  */
+object SampleNaming {
+  /** 0.01 -> "0_01", 0.1 -> "0_1", 0.005 -> "0_005", 0.3 -> "0_3". */
+  def encodeFraction(f: Double): String = {
+    if (f <= 0) return "0_000"
+    var s = f"$f%.3f".replace(".", "_").reverse.dropWhile(_ == '0').reverse
+    if (s.endsWith("_")) s += "0"
+    if (!s.startsWith("0_")) s = "0_" + s
+    s
+  }
+
+  def decodeFraction(enc: String): Option[Double] =
+    scala.util.Try(enc.replace("_", ".").toDouble).toOption
+      .filter(f => f > 0 && f <= 1)
+
+  def uniformName(table: String, f: Double): String =
+    s"${table}__sample_${encodeFraction(f)}"
+  def stratifiedName(table: String, col: String, f: Double): String =
+    s"${table}__strat_sample_${col}_${encodeFraction(f)}"
+
+  /** Parse a sample-table name back to (baseTable, fraction) — used when a
+    * user queries a sample table directly (planner.py:114-140).
+    */
+  def parse(name: String): Option[(String, Double)] = {
+    val uni = "(.+)__sample_([0-9_]+)".r
+    val strat = "(.+)__strat_sample_.+_([0-9_]+)".r
+    name match {
+      case strat(t, enc) => decodeFraction(enc).map(f => (t, f))
+      case uni(t, enc)   => decodeFraction(enc).map(f => (t, f))
+      case _             => None
+    }
+  }
+}

@@ -1,0 +1,134 @@
+package graft.sample
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{MetaCatalog, SampleNaming}
+
+/** Sample creation — the reference's /samples/create and
+  * /samples/stratified endpoints (/root/reference/sampler.py).
+  *
+  * Spark-first design notes (scale):
+  *  - Uniform sampling is Bernoulli per partition (`df.sample`) — no
+  *    shuffle, no sort, embarrassingly parallel; the reference's
+  *    `abs(random()) < f` scan is the same algorithm single-threaded.
+  *  - Stratified stats are ONE `groupBy(strata).agg(count, avg, var_samp)`
+  *    pass (a single shuffle of pre-aggregated partials), replacing the
+  *    reference's O(strata) correlated subqueries
+  *    (/root/reference/sampler.py:152-164).
+  *  - `sampleBy` applies per-stratum Bernoulli fractions map-side — again
+  *    no shuffle beyond the stats pass.
+  *  - Samples are materialized as parquet and registered as temp views so
+  *    the planner can substitute them by relation name.
+  *  - Everything is seeded (default 42): the reference's unseeded
+  *    `random()` makes its results nondeterministic; ours reproduce.
+  */
+object Samplers {
+
+  case class StratumAllocation(value: String, popSize: Long,
+      sampleSize: Long, fraction: Double, weight: Double, variance: Double)
+
+  /** Bernoulli uniform sample, materialized + registered.
+    * Mirrors create_uniform_sample (/root/reference/sampler.py:9-47).
+    */
+  def createUniform(spark: SparkSession, catalog: MetaCatalog,
+      table: String, fraction: Double, seed: Long = 42L): (String, Long) = {
+    require(fraction > 0 && fraction < 1, "sample_fraction must be in (0,1)")
+    val name = SampleNaming.uniformName(table, fraction)
+    val path = s"${catalog.samplesDir}/$name"
+    val df = spark.table(table)
+    df.sample(withReplacement = false, fraction, seed)
+      .write.mode("overwrite").parquet(path)
+    val sampleDf = spark.read.parquet(path)
+    sampleDf.createOrReplaceTempView(name)
+    val rows = sampleDf.count()
+    val base = df.count()
+    catalog.upsertTableStats(table, base)
+    catalog.addSample(catalog.SampleInfo(table, name, fraction, None, path,
+      System.currentTimeMillis()))
+    (name, rows)
+  }
+
+  /** Stratified sample with proportional or Neyman allocation.
+    * Mirrors create_stratified_sample (/root/reference/sampler.py:50-96);
+    * allocation formulas ported from sampler.py:194-225.
+    */
+  def createStratified(spark: SparkSession, catalog: MetaCatalog,
+      table: String, strataCol: String, totalFraction: Double,
+      varianceCol: Option[String] = None, seed: Long = 42L)
+      : (String, Seq[StratumAllocation]) = {
+    require(totalFraction > 0 && totalFraction < 1,
+      "total_fraction must be in (0,1)")
+    val df = spark.table(table)
+
+    // One distributed stats pass: N_h, and sigma^2_h when a variance
+    // column drives Neyman allocation.
+    val statsAggs = varianceCol match {
+      case Some(v) => Seq(count(lit(1)).as("pop_size"),
+        coalesce(var_samp(col(v)), lit(0.0)).as("variance"))
+      case None => Seq(count(lit(1)).as("pop_size"), lit(0.0).as("variance"))
+    }
+    val stats = df.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(statsAggs.head, statsAggs.tail: _*)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+
+    val allocations = varianceCol match {
+      case Some(_) => allocateNeyman(stats, totalFraction)
+      case None    => allocateProportional(stats, totalFraction)
+    }
+
+    val fractions = allocations.map(a => a.value -> a.fraction).toMap
+    val name = SampleNaming.stratifiedName(table, strataCol, totalFraction)
+    val path = s"${catalog.samplesDir}/$name"
+    df.stat.sampleBy(col(strataCol).cast("string"), fractions, seed)
+      .write.mode("overwrite").parquet(path)
+    val sampleDf = spark.read.parquet(path)
+    sampleDf.createOrReplaceTempView(name)
+
+    // Read back ACHIEVED per-stratum sizes (sampler.py:249-266) — Bernoulli
+    // sampling hits the target only in expectation.
+    val achieved = sampleDf.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val withAchieved = allocations.map(a =>
+      a.copy(sampleSize = achieved.getOrElse(a.value, 0L)))
+
+    catalog.upsertTableStats(table, stats.map(_._2).sum)
+    catalog.addSample(catalog.SampleInfo(table, name, totalFraction,
+      Some(strataCol), path, System.currentTimeMillis()))
+    catalog.putStrata(name, withAchieved.map(a =>
+      catalog.StratumInfo(name, a.value, a.popSize, a.sampleSize,
+        a.fraction, a.weight, a.variance)))
+    (name, withAchieved)
+  }
+
+  /** Neyman allocation: n_h = n_total * N_h*sigma_h / sum(N_h*sigma_h),
+    * fraction capped at 1.0 (/root/reference/sampler.py:194-217).
+    */
+  def allocateNeyman(strata: Seq[(String, Long, Double)],
+      totalFraction: Double): Seq[StratumAllocation] = {
+    val totalPop = strata.map(_._2).sum
+    val weights = strata.map { case (_, n, variance) =>
+      n * math.sqrt(variance)
+    }
+    val totalWeight = weights.sum
+    val totalSampleSize = totalPop * totalFraction
+    strata.zip(weights).map { case ((value, popSize, variance), w) =>
+      var (size, frac) =
+        if (totalWeight > 0) {
+          val sz = (totalSampleSize * w / totalWeight).toLong
+          (sz, sz.toDouble / popSize)
+        } else ((popSize * totalFraction).toLong, totalFraction)
+      if (frac > 1.0) { frac = 1.0; size = popSize }
+      StratumAllocation(value, popSize, size, frac, w, variance)
+    }
+  }
+
+  /** Proportional allocation (/root/reference/sampler.py:220-225). */
+  def allocateProportional(strata: Seq[(String, Long, Double)],
+      totalFraction: Double): Seq[StratumAllocation] =
+    strata.map { case (value, popSize, variance) =>
+      StratumAllocation(value, popSize, (popSize * totalFraction).toLong,
+        totalFraction, popSize.toDouble, variance)
+    }
+}
