@@ -13,8 +13,19 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read nanos as long and convert to a microsecond timestamp (same
+    // truncation DuckDB applies when it casts ns -> its us timestamps).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path(sfDir, name))
+      import org.apache.spark.sql.functions._
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    } else spark.read.parquet(path(sfDir, name))
+  }
 
   /** Register every table under `sfDir` as a temp view (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
@@ -31,6 +42,7 @@ object Tables {
       .appName("graft-aqe")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plan.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -101,8 +101,10 @@ object SampleNaming {
     * user queries a sample table directly (planner.py:114-140).
     */
   def parse(name: String): Option[(String, Double)] = {
-    val uni = "(.+)__sample_([0-9_]+)".r
-    val strat = "(.+)__strat_sample_.+_([0-9_]+)".r
+    // The fraction suffix always looks like 0_01 / 0_3 (encodeFraction),
+    // so anchor on `0_[0-9]+$` to stop greedy backtracking from eating it.
+    val uni = "(.+)__sample_(0_[0-9]+)".r
+    val strat = "(.+)__strat_sample_.+_(0_[0-9]+)".r
     name match {
       case strat(t, enc) => decodeFraction(enc).map(f => (t, f))
       case uni(t, enc)   => decodeFraction(enc).map(f => (t, f))

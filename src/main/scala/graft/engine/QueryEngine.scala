@@ -1,0 +1,221 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.{MetaCatalog, SampleNaming}
+import graft.learn.QueryHistory
+import graft.plan._
+
+/** The engine facade — the Spark-native equivalent of the reference's
+  * `POST /query` pipeline (/root/reference/app.py:62-163):
+  *
+  *   parse -> features -> strategy choice (rules + history) -> plan
+  *   (exact | sample | sketch | stratified) -> plan-level rewrite
+  *   (SampleRewriteRule via SparkSessionExtensions) -> Spark execution
+  *   -> optional dual-run speedup measurement -> history append.
+  *
+  * Differences from the reference, all deliberate (SURVEY §4.4, §2.C):
+  *  - ONE typed sampling decision flows through (no double rewrite/scale).
+  *  - "sketch" really answers COUNT(DISTINCT) with HyperLogLog++ instead
+  *    of 30% systematic sampling.
+  *  - "stratified" really routes to a registered stratified sample (with
+  *    per-stratum Horvitz-Thompson weights) instead of being a no-op.
+  *  - the learning loop is closed: measured speedup/error are recorded
+  *    and the history adjustment sees real data.
+  */
+final class QueryEngine(
+    val spark: SparkSession,
+    val catalog: MetaCatalog,
+    val history: QueryHistory = new QueryHistory,
+    val seed: Long = 42L) {
+
+  case class Options(
+      maxRelError: Double = 0.05,
+      preferExact: Boolean = false,
+      useMl: Boolean = true,
+      ciColumns: Boolean = true,
+      measureExact: Boolean = false)
+
+  case class AqeResult(
+      df: DataFrame,
+      planType: String,            // "exact" | "sample" | "sketch" | "stratified"
+      strategy: String,
+      reason: String,
+      confidence: Double,
+      estimatedSpeedup: Double,
+      estimatedError: Double,
+      sampleFraction: Option[Double],
+      sampleTable: Option[String],
+      transformations: Seq[String],
+      executionTimeMs: Option[Long] = None,
+      actualSpeedup: Option[Double] = None)
+
+  def query(sql: String, opts: Options = Options()): AqeResult = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val features = QueryFeatures.extract(parsed, sql)
+
+    def exact(reason: String, confidence: Double = 0.95): AqeResult =
+      AqeResult(spark.sql(sql), "exact", "exact", reason, confidence,
+        1.0, 0.0, None, None, Nil)
+
+    if (opts.preferExact)
+      return finish(exact("exact execution (user preference)"), sql, features, opts)
+    if (!features.isSingleTable || features.tableName.isEmpty)
+      return finish(exact("multi-table query: approximation not applied (reference parity)"), sql, features, opts)
+
+    val table = features.tableName.get
+    // Direct query on a sample table: run as-is; the user opted into the
+    // sample (planner.py:45-60). Fraction recoverable from the name.
+    SampleNaming.parse(table) match {
+      case Some((_, f)) =>
+        val r = exact("direct query on a sample table")
+        return finish(r.copy(sampleFraction = Some(f)), sql, features, opts)
+      case None =>
+    }
+    if (!features.hasApproximableAgg && !features.hasDistinct)
+      return finish(exact("no approximable aggregate (COUNT/SUM/AVG): exact execution"), sql, features, opts)
+
+    val tableSize = catalog.statsFor(table).map(_.rowCount).getOrElse {
+      val n = spark.table(table).count() // live COUNT(*) like ml_optimizer.py:88-93
+      catalog.upsertTableStats(table, n)
+      n
+    }
+
+    val choice =
+      if (opts.useMl)
+        StrategyChooser.choose(features, tableSize, opts.maxRelError,
+          history.forPattern(QueryHistory.pattern(features)))
+      else plannerOnlyChoice(features, tableSize, opts.maxRelError)
+
+    val result = choice.strategy match {
+      case StrategyChooser.Exact =>
+        exact(choice.reasoning, choice.confidence)
+
+      case StrategyChooser.Sketch if features.hasDistinct =>
+        val d = SampleRewrite.Directive(table, Planner.ReadExact,
+          weight = None, rewriteDistinctToHll = true,
+          hllRsd = Some(math.max(0.005, math.min(opts.maxRelError, 0.1))),
+          addCiColumns = false)
+        val df = SampleRewrite.withDirective(d)(spark.sql(sql))
+        val (spd, err) = StrategyChooser.predict(StrategyChooser.Sketch, tableSize, None)
+        AqeResult(df, "sketch", "sketch", choice.reasoning, choice.confidence,
+          spd, err, None, None,
+          Seq("COUNT(DISTINCT) answered by HyperLogLog++ (approx_count_distinct)"))
+
+      case strat @ (StrategyChooser.Sample | StrategyChooser.Sketch |
+                    StrategyChooser.Stratified) =>
+        val stratSample = choice.strategy match {
+          case StrategyChooser.Stratified =>
+            features.groupByColumns.headOption
+              .map(c => c.split("\\.").last.stripSuffix("`").stripPrefix("`"))
+              .flatMap(c => catalog.stratifiedSampleFor(table, c))
+          case _ => None
+        }
+        stratSample match {
+          case Some(s) =>
+            val d = SampleRewrite.Directive(table,
+              Planner.ReadSampleTable(s.sampleTable, s.fraction),
+              weight = Some(SampleRewrite.WeightColumn("graft_weight")),
+              rewriteDistinctToHll = false, hllRsd = None,
+              addCiColumns = opts.ciColumns)
+            val df = SampleRewrite.withDirective(d)(spark.sql(sql))
+            val (spd, err) = StrategyChooser.predict(StrategyChooser.Stratified, tableSize, Some(s.fraction))
+            AqeResult(df, "stratified", "stratified", choice.reasoning,
+              choice.confidence, spd, err, Some(s.fraction), Some(s.sampleTable),
+              Seq(s"stratified sample ${s.sampleTable} with per-stratum HT weights"))
+          case None =>
+            // Sample path (also the fallback for sketch/stratified when no
+            // better input exists): prefer a materialized sample table if
+            // the cost model accepts one, else inline Bernoulli sampling.
+            val frac = StrategyChooser.sampleFraction(
+              StrategyChooser.Sample, tableSize, opts.maxRelError).get
+            val plan = Planner.plan(features, catalog, tableSize,
+              opts.maxRelError, preferExact = false)
+            val decision = plan.decision match {
+              case s: Planner.ReadSampleTable => s
+              case _ => Planner.ReadInlineSample(frac, seed)
+            }
+            val f = decision.fraction.get
+            val estErr = math.sqrt(1.0 / math.max(1.0, f * tableSize))
+            if (estErr > opts.maxRelError)
+              exact(f"estimated sampling error $estErr%.3f exceeds tolerance ${opts.maxRelError}%.3f: exact execution")
+            else {
+              val d = SampleRewrite.Directive(table, decision,
+                weight = Some(SampleRewrite.ConstWeight(f)),
+                rewriteDistinctToHll = false, hllRsd = None,
+                addCiColumns = opts.ciColumns)
+              val df = SampleRewrite.withDirective(d)(spark.sql(sql))
+              val (spd, err) = StrategyChooser.predict(StrategyChooser.Sample, tableSize, Some(f))
+              val (tbl, desc) = decision match {
+                case Planner.ReadSampleTable(n, _) => (Some(n), s"pre-created sample table $n")
+                case _ => (None, f"inline Bernoulli sample fraction=$f%.4f seed=$seed")
+              }
+              AqeResult(df, "sample",
+                (strat: StrategyChooser.Strategy).name, choice.reasoning,
+                choice.confidence, spd, err, Some(f), tbl,
+                Seq(desc, "aggregates rewritten to Horvitz-Thompson weighted form"))
+            }
+        }
+    }
+    finish(result, sql, features, opts)
+  }
+
+  /** Non-ML mode: the reference's cost-model-only planner path
+    * (use_ml_optimization=false): exact vs pre-created sample by cost.
+    */
+  private def plannerOnlyChoice(f: QueryFeatures, tableSize: Long,
+      maxRelError: Double): StrategyChooser.Choice = {
+    val p = Planner.plan(f, catalog, tableSize, maxRelError, preferExact = false)
+    p.decision match {
+      case _: Planner.ReadSampleTable =>
+        StrategyChooser.Choice(StrategyChooser.Sample, 0.85, p.reason)
+      case _ =>
+        StrategyChooser.Choice(StrategyChooser.Exact, 0.95, p.reason)
+    }
+  }
+
+  /** Optional dual-run measurement + history append
+    * (/root/reference/app.py:119-138 + the loop the reference never
+    * closes, SURVEY §2.B11).
+    */
+  private def finish(r: AqeResult, sql: String, features: QueryFeatures,
+      opts: Options): AqeResult = {
+    if (!opts.measureExact) return r
+    val t0 = System.nanoTime()
+    val approxRows = r.df.collect()
+    val tApprox = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val exactRows = spark.sql(sql).collect()
+    val tExact = (System.nanoTime() - t1) / 1e6
+    val speedup = if (tApprox > 0) tExact / tApprox else 1.0
+
+    // Mean |rel error| across numeric cells of single-row results (the
+    // only shape the reference measures errors for).
+    val err: Double =
+      if (approxRows.length == 1 && exactRows.length == 1) {
+        val pairs = exactRows.head.toSeq.zipWithIndex.collect {
+          case (v: Number, i) if v.doubleValue() != 0 &&
+              i < approxRows.head.length && approxRows.head.get(i) != null =>
+            approxRows.head.get(i) match {
+              case a: Number =>
+                math.abs(a.doubleValue() - v.doubleValue()) / math.abs(v.doubleValue())
+            }
+        }
+        if (pairs.nonEmpty) pairs.sum / pairs.size else 0.0
+      } else 0.0
+
+    history.append(QueryHistory.Record(
+      queryPattern = QueryHistory.pattern(features),
+      tableSize = features.tableName.flatMap(t => catalog.statsFor(t).map(_.rowCount)).getOrElse(0L),
+      strategy = r.strategy,
+      actualSpeedup = speedup,
+      actualError = err,
+      predictedSpeedup = r.estimatedSpeedup,
+      predictedError = r.estimatedError,
+      executionTimeMs = tApprox.toLong,
+      errorTolerance = opts.maxRelError,
+      timestampMs = System.currentTimeMillis()))
+
+    r.copy(executionTimeMs = Some(tApprox.toLong), actualSpeedup = Some(speedup))
+  }
+}

@@ -41,9 +41,20 @@ object QueryFeatures {
       case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
     }.distinct
 
+    // NOTE: at parse time an aggregate WITHOUT group-by is still a
+    // Project (the analyzer's GlobalAggregates rule converts it later),
+    // so aggregate calls must be collected from both Project and
+    // Aggregate select lists.
     val aggNodes = plan.collect { case a: Aggregate => a }
-    val aggFns = aggNodes.flatMap(_.aggregateExpressions).flatMap(_.collect {
-      case f: UnresolvedFunction => f
+    val selectLists = plan.collect {
+      case a: Aggregate => a.aggregateExpressions
+      case p: Project   => p.projectList
+    }.flatten
+    val knownAggs = Set("count", "sum", "avg", "mean", "min", "max",
+      "stddev", "stddev_samp", "var_samp", "variance")
+    val aggFns = selectLists.flatMap(_.collect {
+      case f: UnresolvedFunction
+          if knownAggs.contains(f.nameParts.last.toLowerCase) => f
     })
     val names = aggFns.map(_.nameParts.last.toLowerCase)
     val distinct = aggFns.exists(_.isDistinct) ||

@@ -1,0 +1,265 @@
+package graft.plan
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Plan-level approximate-query rewriting, registered through
+  * `SparkSessionExtensions` as an analyzer resolution rule.
+  *
+  * This is the Spark-native form of the reference's two SQL-string
+  * rewrites — pre-created-sample table substitution
+  * (/root/reference/planner.py:242) and inline `ROWID % k = 0` sampling
+  * (/root/reference/ml_optimizer.py:236-240) — plus its post-hoc result
+  * scaling (/root/reference/executor.py:65-84) folded INTO the query as a
+  * Horvitz-Thompson weighted aggregate:
+  *
+  *   COUNT(x)  ->  SUM(w)            (w = 1/fraction; per-stratum for
+  *   SUM(x)    ->  SUM(x * w)         stratified samples via the
+  *   AVG(x)    ->  SUM(x*w)/SUM(w)    materialized graft_weight column)
+  *
+  * Rewriting structurally at the expression level fixes, by construction,
+  * the reference's substring-replace corruption (SURVEY §2.C2), its
+  * name-keyword scaling false-positives (§2.C4 — a raw column named
+  * `total` would be scaled), and its double-sampling/double-scaling hazard
+  * (§2.C1 — exactly one Directive flows through, and the weight is applied
+  * exactly where the aggregate is computed).
+  *
+  * The "sketch" strategy rewrite makes the reference's DECLARED capability
+  * real (SURVEY §4.4): COUNT(DISTINCT x) -> approx_count_distinct(x)
+  * (HyperLogLog++), instead of the reference's actual behavior of 30%
+  * systematic sampling.
+  *
+  * Confidence intervals (the reference's `{col}_ci_low/_ci_high/_rel_error`
+  * contract, /root/reference/executor.py:87-114) are computed from proper
+  * per-element variance companions in the SAME aggregation pass:
+  *   Var[HT count] = Σ_s w(w-1);  Var[HT sum] = Σ_s x²·w(w-1);
+  *   se[avg] = stddev_samp(x)/√n_s — not from the returned result rows.
+  *
+  * Scale note: everything here is a logical-plan transform; execution
+  * stays whole-stage-codegen'd Spark aggregates. Inline Bernoulli `Sample`
+  * evaluates per-partition with no shuffle; materialized sample tables
+  * skip the scan entirely (the 100 TB path: sampling cost is paid once at
+  * sample-creation time, not per query).
+  */
+object SampleRewrite {
+
+  /** How the sampled relation's weight is obtained. */
+  sealed trait WeightSpec
+  /** Constant 1/f (uniform sample — inline or materialized). */
+  case class ConstWeight(f: Double) extends WeightSpec
+  /** Per-row weight column materialized with the sample (stratified). */
+  case class WeightColumn(name: String) extends WeightSpec
+
+  /** One rewrite instruction; `applied` guards the analyzer fixpoint (the
+    * rule must fire exactly once per query).
+    */
+  final case class Directive(
+      table: String,
+      decision: Planner.SamplingDecision,
+      weight: Option[WeightSpec],
+      rewriteDistinctToHll: Boolean,
+      hllRsd: Option[Double],
+      addCiColumns: Boolean,
+      ciZ: Double = 1.96) {
+    private[plan] val applied = new AtomicBoolean(false)
+  }
+
+  private val current = new ThreadLocal[Option[Directive]] {
+    override def initialValue(): Option[Directive] = None
+  }
+
+  /** Run `body` (which must trigger analysis on this thread, e.g.
+    * `spark.sql(...)`) with the rewrite directive in scope.
+    */
+  def withDirective[T](d: Directive)(body: => T): T = {
+    current.set(Some(d))
+    try body finally current.set(None)
+  }
+
+  private[plan] def activeDirective: Option[Directive] =
+    current.get().filter(!_.applied.get())
+
+  // ---- expression builders (all unresolved; the analyzer resolves) ----
+
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
+
+  private def weightExpr(w: WeightSpec): Expression = w match {
+    case ConstWeight(f)    => Literal(1.0 / f)
+    case WeightColumn(col) => UnresolvedAttribute(col)
+  }
+
+  /** w if x is not null else 0 — COUNT semantics under weighting. */
+  private def weightIfNotNull(arg: Expression, w: Expression): Expression =
+    arg match {
+      case _: Literal => w // COUNT(*) / COUNT(1)
+      case x          => If(IsNull(x), Literal(0.0), w)
+    }
+
+  private def isAgg(e: Expression, names: String*): Boolean = e match {
+    case f: UnresolvedFunction =>
+      names.contains(f.nameParts.last.toLowerCase) && !f.isDistinct &&
+        f.filter.isEmpty
+    case _ => false
+  }
+
+  /** Rewrite COUNT/SUM/AVG calls under `e` into HT-weighted forms. */
+  private def weightAggs(e: Expression, w: Expression): Expression =
+    e.transformUp {
+      case f: UnresolvedFunction if isAgg(f, "count") =>
+        fn("sum", weightIfNotNull(f.arguments.head, w))
+      case f: UnresolvedFunction if isAgg(f, "sum") =>
+        fn("sum", Multiply(Cast(f.arguments.head, DoubleType), w))
+      case f: UnresolvedFunction if isAgg(f, "avg", "mean") =>
+        val x = f.arguments.head
+        Divide(fn("sum", Multiply(Cast(x, DoubleType), w)),
+          fn("sum", weightIfNotNull(x, w)))
+    }
+
+  /** COUNT(DISTINCT x) -> approx_count_distinct(x[, rsd]). */
+  private def sketchAggs(e: Expression, rsd: Option[Double]): Expression =
+    e.transformUp {
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("count") && f.isDistinct =>
+        val args = f.arguments ++ rsd.map(r => Literal(r)).toSeq
+        UnresolvedFunction(Seq("approx_count_distinct"), args,
+          isDistinct = false)
+    }
+
+  /** Standard-error expression for a top-level aggregate call, or None if
+    * the output is not a plain COUNT/SUM/AVG call.
+    */
+  private def seExpr(e: Expression, w: Expression): Option[Expression] = e match {
+    case f: UnresolvedFunction if isAgg(f, "count") =>
+      // Var = Σ_s w(w-1) over counted rows
+      val contrib = weightIfNotNull(f.arguments.head,
+        Multiply(w, Subtract(w, Literal(1.0))))
+      Some(fn("sqrt", fn("sum", contrib)))
+    case f: UnresolvedFunction if isAgg(f, "sum") =>
+      val x = Cast(f.arguments.head, DoubleType)
+      Some(fn("sqrt", fn("sum",
+        Multiply(Multiply(x, x), Multiply(w, Subtract(w, Literal(1.0)))))))
+    case f: UnresolvedFunction if isAgg(f, "avg", "mean") =>
+      val x = f.arguments.head
+      Some(Divide(fn("stddev_samp", x), fn("sqrt", fn("count", x))))
+    case _ => None
+  }
+
+  private def named(e: Expression, name: String): NamedExpression =
+    Alias(e, name)()
+
+  /** Rewrite one SELECT list: weight the aggregates, preserve output
+    * names, and append `{col}_ci_low/_ci_high/_rel_error` companions.
+    */
+  private[plan] def rewriteSelectList(
+      exprs: Seq[NamedExpression], d: Directive): Seq[NamedExpression] = {
+    val w = d.weight.map(weightExpr)
+
+    val rewritten = exprs.map { ne =>
+      val (inner, name) = ne match {
+        case Alias(child, n) => (child, n)
+        case other           => (other: Expression, prettyName(other))
+      }
+      var out = inner
+      if (d.rewriteDistinctToHll) out = sketchAggs(out, d.hllRsd)
+      w.foreach { wx => out = weightAggs(out, wx) }
+      if (out eq inner) ne else named(out, name)
+    }
+
+    val companions: Seq[NamedExpression] =
+      if (!d.addCiColumns || w.isEmpty) Nil
+      else exprs.flatMap { ne =>
+        val (inner, name) = ne match {
+          case Alias(child, n) => (child, n)
+          case other           => (other: Expression, prettyName(other))
+        }
+        seExpr(inner, w.get).toSeq.flatMap { se =>
+          val est = weightAggs(inner, w.get)
+          val z = Literal(d.ciZ)
+          Seq(
+            named(Subtract(est, Multiply(z, se)), s"${name}_ci_low"),
+            named(Add(est, Multiply(z, se)), s"${name}_ci_high"),
+            named(Divide(Multiply(z, se), fn("abs", est)),
+              s"${name}_rel_error"))
+        }
+      }
+
+    rewritten ++ companions
+  }
+
+  private def prettyName(e: Expression): String =
+    org.apache.spark.sql.catalyst.util.toPrettySQL(e)
+
+  /** Substitute the target relation per the sampling decision. */
+  private[plan] def rewriteRelation(
+      plan: LogicalPlan, d: Directive): LogicalPlan =
+    plan.transformUp {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.last.equalsIgnoreCase(d.table) =>
+        d.decision match {
+          case Planner.ReadSampleTable(sample, _) =>
+            UnresolvedRelation(Seq(sample))
+          case Planner.ReadInlineSample(f, seed) =>
+            Sample(0.0, f, withReplacement = false, seed, r)
+          case Planner.ReadExact => r
+        }
+    }
+}
+
+/** The analyzer rule. Fires once per query, only when a thread-local
+  * [[SampleRewrite.Directive]] is set by the engine — ordinary queries on
+  * the same session are untouched.
+  */
+class SampleRewriteRule extends Rule[LogicalPlan] {
+  import SampleRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    activeDirective match {
+      case None => plan
+      case Some(d) =>
+        // Only rewrite complete, still-unresolved query trees whose scan
+        // is the directive's table; fixpoint re-entry is stopped by the
+        // `applied` flag.
+        val hasTarget = plan.collectFirst {
+          case r: UnresolvedRelation
+              if r.multipartIdentifier.last.equalsIgnoreCase(d.table) => r
+        }.isDefined
+        if (!hasTarget) plan
+        else {
+          if (!d.applied.compareAndSet(false, true)) plan
+          else {
+            val withInput = rewriteRelation(plan, d)
+            // The SELECT list lives in the top Project (pre-analysis; the
+            // analyzer turns it into Aggregate later) or in an Aggregate
+            // when GROUP BY is present.
+            withInput match {
+              case p @ Project(exprs, _) =>
+                p.copy(projectList = rewriteSelectList(exprs, d))
+              case a @ Aggregate(_, exprs, _, _) =>
+                a.copy(aggregateExpressions = rewriteSelectList(exprs, d))
+              case s @ Sort(_, _, child: Project, _) =>
+                s.copy(child =
+                  child.copy(projectList = rewriteSelectList(child.projectList, d)))
+              case s @ Sort(_, _, child: Aggregate, _) =>
+                s.copy(child =
+                  child.copy(aggregateExpressions = rewriteSelectList(child.aggregateExpressions, d)))
+              case other => other
+            }
+          }
+        }
+    }
+}
+
+/** Session extension entry point:
+  * `.config("spark.sql.extensions", "graft.plan.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => new SampleRewriteRule)
+}

@@ -80,7 +80,15 @@ object Samplers {
     val fractions = allocations.map(a => a.value -> a.fraction).toMap
     val name = SampleNaming.stratifiedName(table, strataCol, totalFraction)
     val path = s"${catalog.samplesDir}/$name"
+    // Materialize the per-stratum Horvitz-Thompson weight (1/fraction_h)
+    // with the sample so weighted aggregation needs no join at query time.
+    val weightExpr = allocations
+      .foldLeft(lit(null).cast("double")) { (acc, a) =>
+        when(col(strataCol).cast("string") === a.value,
+          lit(if (a.fraction > 0) 1.0 / a.fraction else 0.0)).otherwise(acc)
+      }
     df.stat.sampleBy(col(strataCol).cast("string"), fractions, seed)
+      .withColumn("graft_weight", weightExpr)
       .write.mode("overwrite").parquet(path)
     val sampleDf = spark.read.parquet(path)
     sampleDf.createOrReplaceTempView(name)

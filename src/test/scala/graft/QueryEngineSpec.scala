@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.MetaCatalog
+import graft.engine.QueryEngine
+import graft.sample.Samplers
+
+/** End-to-end engine behavior on the sf0.001 tables (~6k lineitem rows):
+  * strategy routing, HT-weighted scaling, CI columns, sketch rewrite,
+  * stratified routing, history loop.
+  */
+class QueryEngineSpec extends SparkSpec {
+
+  lazy val catalog = new MetaCatalog(
+    Files.createTempDirectory("graft-test").toString)
+  lazy val engine = new QueryEngine(spark, catalog)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.registerAll(spark, sfDir)
+  }
+
+  test("exact path returns exact results (preferExact)") {
+    val r = engine.query("SELECT count(*) AS n FROM lineitem",
+      engine.Options(preferExact = true))
+    assert(r.planType == "exact")
+    val n = r.df.collect().head.getLong(0)
+    val truth = spark.table("lineitem").count()
+    assert(n == truth)
+  }
+
+  test("small tables always run exact (rule 1)") {
+    val r = engine.query("SELECT count(*) AS n FROM nation")
+    assert(r.planType == "exact")
+    assert(r.reason.contains("small table"))
+  }
+
+  test("COUNT(*) routes to sampling and estimates within bounds, with CI columns") {
+    val r = engine.query("SELECT count(*) AS n FROM lineitem")
+    assert(r.planType == "sample", r.reason)
+    assert(r.sampleFraction.isDefined)
+    val row = r.df.collect().head
+    val schema = r.df.schema.fieldNames.toSeq
+    assert(schema.contains("n"))
+    assert(schema.contains("n_ci_low") && schema.contains("n_ci_high")
+      && schema.contains("n_rel_error"))
+    val truth = spark.table("lineitem").count().toDouble
+    val est = row.getAs[Any]("n").asInstanceOf[Number].doubleValue()
+    // Bernoulli sample, f from the chooser tier; 5-sigma-ish slack.
+    val f = r.sampleFraction.get
+    val se = math.sqrt(truth * (1 - f) / f)
+    assert(math.abs(est - truth) < 6 * se + 1,
+      s"est=$est truth=$truth f=$f se=$se")
+    val lo = row.getAs[Any]("n_ci_low").asInstanceOf[Number].doubleValue()
+    val hi = row.getAs[Any]("n_ci_high").asInstanceOf[Number].doubleValue()
+    assert(lo < est && est < hi)
+  }
+
+  test("SUM and AVG are HT-consistent: avg ~ sum/count") {
+    val r = engine.query(
+      "SELECT sum(l_quantity) AS s, count(*) AS n, avg(l_quantity) AS a FROM lineitem")
+    assert(r.planType == "sample")
+    val row = r.df.collect().head
+    val s = row.getAs[Any]("s").asInstanceOf[Number].doubleValue()
+    val n = row.getAs[Any]("n").asInstanceOf[Number].doubleValue()
+    val a = row.getAs[Any]("a").asInstanceOf[Number].doubleValue()
+    assert(math.abs(s / n - a) < 1e-6 * math.max(1.0, a))
+    val truthAvg = spark.sql("SELECT avg(l_quantity) FROM lineitem")
+      .collect().head.getDouble(0)
+    assert(math.abs(a - truthAvg) / truthAvg < 0.25, s"a=$a truth=$truthAvg")
+  }
+
+  test("GROUP BY estimates per-group counts within tolerance") {
+    val r = engine.query(
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag")
+    assert(r.planType == "sample" || r.planType == "exact")
+    val approx = r.df.collect().map(x =>
+      x.getString(0) -> x.getAs[Any]("n").asInstanceOf[Number].doubleValue()).toMap
+    val truth = spark.sql(
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag")
+      .collect().map(x => x.getString(0) -> x.getLong(1).toDouble).toMap
+    truth.foreach { case (k, v) =>
+      val est = approx.getOrElse(k, 0.0)
+      assert(math.abs(est - v) / v < 0.5, s"group $k est=$est truth=$v")
+    }
+  }
+
+  test("COUNT DISTINCT routes to HLL sketch (approx_count_distinct)") {
+    val r = engine.query(
+      "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem")
+    assert(r.planType == "sketch", s"${r.planType}: ${r.reason}")
+    val est = r.df.collect().head.getLong(0).toDouble
+    val truth = spark.sql("SELECT count(DISTINCT l_partkey) FROM lineitem")
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(est - truth) / truth < 0.15, s"est=$est truth=$truth")
+  }
+
+  test("materialized uniform sample is preferred over inline sampling") {
+    Samplers.createUniform(spark, catalog, "lineitem", 0.25)
+    val r = engine.query("SELECT count(*) AS n FROM lineitem")
+    assert(r.planType == "sample")
+    assert(r.sampleTable.contains("lineitem__sample_0_25"), r.sampleTable)
+    val est = r.df.collect().head.getAs[Any]("n")
+      .asInstanceOf[Number].doubleValue()
+    val truth = spark.table("lineitem").count().toDouble
+    assert(math.abs(est - truth) / truth < 0.2, s"est=$est truth=$truth")
+  }
+
+  test("stratified strategy routes to a registered stratified sample with per-stratum weights") {
+    Samplers.createStratified(spark, catalog, "orders", "o_orderpriority",
+      0.3, varianceCol = Some("o_totalprice"))
+    // multi-column GROUP BY on a table > 10k rows triggers 'stratified'
+    // at sf0.001 orders ~1.5k rows -> force size via catalog stats
+    val n = spark.table("orders").count()
+    catalog.upsertTableStats("orders", math.max(n, 20000L))
+    val r = engine.query(
+      "SELECT o_orderpriority, o_orderstatus, sum(o_totalprice) AS s FROM orders GROUP BY o_orderpriority, o_orderstatus")
+    catalog.upsertTableStats("orders", n) // restore
+    assert(r.planType == "stratified", s"${r.planType}: ${r.reason}")
+    val est = r.df.collect()
+      .map(x => x.getAs[Any]("s").asInstanceOf[Number].doubleValue()).sum
+    val truth = spark.sql("SELECT sum(o_totalprice) FROM orders")
+      .collect().head.getDouble(0)
+    assert(math.abs(est - truth) / truth < 0.25, s"est=$est truth=$truth")
+  }
+
+  test("measureExact closes the learning loop") {
+    val before = engine.history.all.size
+    val r = engine.query("SELECT count(*) AS n FROM lineitem",
+      engine.Options(measureExact = true))
+    assert(r.executionTimeMs.isDefined && r.actualSpeedup.isDefined)
+    assert(engine.history.all.size == before + 1)
+    val rec = engine.history.all.last
+    assert(rec.strategy == r.strategy)
+    assert(rec.actualError < 0.3)
+  }
+
+  test("multi-table queries run exact (reference parity)") {
+    val r = engine.query(
+      "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
+    assert(r.planType == "exact")
+    val n = r.df.collect().head.getLong(0)
+    assert(n > 0)
+  }
+
+  test("ordinary spark.sql on the same session is untouched by the rule") {
+    val n = spark.sql("SELECT count(*) AS n FROM lineitem")
+      .collect().head.getLong(0)
+    assert(n == spark.table("lineitem").count())
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.{MetaCatalog, SampleNaming}
+import graft.sample.Samplers
+
+class SamplersSpec extends SparkSpec {
+
+  lazy val catalog = new MetaCatalog(
+    Files.createTempDirectory("graft-samplers").toString)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.registerAll(spark, sfDir)
+  }
+
+  test("uniform sample materializes ~f*N rows and registers metadata") {
+    val (name, rows) = Samplers.createUniform(spark, catalog, "orders", 0.2)
+    assert(name == "orders__sample_0_2")
+    val n = spark.table("orders").count()
+    assert(math.abs(rows - 0.2 * n) < 6 * math.sqrt(0.2 * n) + 1)
+    assert(catalog.bestUniformSample("orders").map(_.sampleTable).contains(name))
+    assert(spark.table(name).count() == rows)
+  }
+
+  test("stratified sample (proportional) hits per-stratum fractions and carries weights") {
+    val (name, strata) = Samplers.createStratified(
+      spark, catalog, "orders", "o_orderpriority", 0.3)
+    assert(strata.nonEmpty)
+    strata.foreach { a =>
+      assert(math.abs(a.fraction - 0.3) < 1e-9)
+      assert(math.abs(a.sampleSize - 0.3 * a.popSize) <
+        6 * math.sqrt(0.3 * a.popSize) + 1, s"stratum ${a.value}")
+    }
+    val wdist = spark.table(name).select("graft_weight").distinct().collect()
+    assert(wdist.forall(r => math.abs(r.getDouble(0) - 1.0 / 0.3) < 1e-9))
+  }
+
+  test("Neyman allocation weights high-variance strata more") {
+    val strata = Seq(("lo", 1000L, 1.0), ("hi", 1000L, 100.0))
+    val alloc = Samplers.allocateNeyman(strata, 0.1)
+    val lo = alloc.find(_.value == "lo").get
+    val hi = alloc.find(_.value == "hi").get
+    // sigma ratio is 10x -> sample sizes 10x apart
+    assert(hi.sampleSize > 5 * lo.sampleSize)
+    assert(math.abs((lo.sampleSize + hi.sampleSize) - 200L) <= 2)
+  }
+
+  test("Neyman fraction caps at 1.0") {
+    val strata = Seq(("a", 10L, 10000.0), ("b", 100000L, 0.0001))
+    val alloc = Samplers.allocateNeyman(strata, 0.5)
+    alloc.foreach(a => assert(a.fraction <= 1.0))
+    assert(alloc.find(_.value == "a").get.fraction == 1.0)
+  }
+
+  test("proportional allocation applies the flat fraction") {
+    val alloc = Samplers.allocateProportional(
+      Seq(("x", 100L, 0.0), ("y", 300L, 0.0)), 0.25)
+    assert(alloc.map(_.sampleSize) == Seq(25L, 75L))
+    assert(alloc.forall(_.fraction == 0.25))
+  }
+
+  test("sample naming round-trips fractions like the reference encoding") {
+    for (f <- Seq(0.01, 0.02, 0.05, 0.1, 0.25, 0.3, 0.005)) {
+      val name = SampleNaming.uniformName("t", f)
+      val parsed = SampleNaming.parse(name)
+      assert(parsed.exists { case (t, pf) => t == "t" && math.abs(pf - f) < 1e-9 },
+        s"$f -> $name -> $parsed")
+    }
+    assert(SampleNaming.parse("lineitem").isEmpty)
+    assert(SampleNaming.parse("orders__strat_sample_o_orderpriority_0_3")
+      .exists(_._2 == 0.3))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.learn.QueryHistory
+import graft.plan.{QueryFeatures, StrategyChooser => SC}
+
+/** Truth table for the rule-based chooser — every branch of the
+  * reference's rule set (/root/reference/ml_optimizer.py:153-179).
+  */
+class StrategyChooserSpec extends AnyFunSuite {
+
+  private def f(count: Boolean = false, sum: Boolean = false,
+      avg: Boolean = false, distinct: Boolean = false,
+      groupBy: Int = 0): QueryFeatures =
+    QueryFeatures(
+      tables = Seq("t"), aggFunctions = Nil,
+      hasCount = count, hasSum = sum, hasAvg = avg, hasMinMax = false,
+      hasDistinct = distinct, hasGroupBy = groupBy > 0,
+      groupByArity = groupBy, groupByColumns = (1 to groupBy).map("c" + _),
+      whereComplexity = 0, hasOrderBy = false, hasLimit = false,
+      hasJoin = false, queryLength = 30)
+
+  val tol = 0.05
+
+  test("size <= 1000 -> exact at 0.95") {
+    val c = SC.chooseBase(f(count = true), 500, tol)
+    assert(c.strategy == SC.Exact && c.confidence == 0.95)
+  }
+  test("DISTINCT + COUNT -> sketch at 0.90") {
+    val c = SC.chooseBase(f(count = true, distinct = true), 50000, tol)
+    assert(c.strategy == SC.Sketch && c.confidence == 0.90)
+  }
+  test("multi-col GROUP BY on >10k rows -> stratified at 0.85") {
+    val c = SC.chooseBase(f(sum = true, groupBy = 2), 20000, tol)
+    assert(c.strategy == SC.Stratified && c.confidence == 0.85)
+  }
+  test("single-col GROUP BY -> sketch at 0.80") {
+    val c = SC.chooseBase(f(sum = true, groupBy = 1), 20000, tol)
+    assert(c.strategy == SC.Sketch && c.confidence == 0.80)
+  }
+  test(">5000 rows with COUNT/SUM/AVG -> sample at 0.85") {
+    val c = SC.chooseBase(f(avg = true), 20000, tol)
+    assert(c.strategy == SC.Sample && c.confidence == 0.85)
+  }
+  test("1000< size <=5000 with COUNT/SUM -> sample at 0.75") {
+    val c = SC.chooseBase(f(sum = true), 3000, tol)
+    assert(c.strategy == SC.Sample && c.confidence == 0.75)
+  }
+  test("zero tolerance -> exact fallback") {
+    val c = SC.chooseBase(f(count = true), 50000, 0.0)
+    assert(c.strategy == SC.Exact && c.confidence == 0.60)
+  }
+
+  test("sample fraction tiers by size, halved above 10% tolerance") {
+    assert(SC.sampleFraction(SC.Sample, 200000, 0.05).contains(0.01))
+    assert(SC.sampleFraction(SC.Sample, 60000, 0.05).contains(0.02))
+    assert(SC.sampleFraction(SC.Sample, 10000, 0.05).contains(0.05))
+    assert(SC.sampleFraction(SC.Sample, 200000, 0.2).contains(0.005))
+    assert(SC.sampleFraction(SC.Sketch, 200000, 0.05).contains(0.3))
+    assert(SC.sampleFraction(SC.Exact, 200000, 0.05).isEmpty)
+  }
+
+  test("history adjustment prefers a measured-better strategy within error budget") {
+    def rec(strategy: String, speedup: Double, err: Double) =
+      QueryHistory.Record("p", 50000, strategy, speedup, err,
+        speedup, err, 10, tol, System.currentTimeMillis())
+    val hist = Seq.fill(10)(rec("sample", 8.0, 0.01))
+    val c = SC.choose(f(count = true, distinct = true), 50000, tol, hist)
+    // base would be sketch; history says sample is measurably great
+    assert(c.strategy == SC.Sample)
+    assert(math.abs(c.confidence - 0.9) < 1e-9) // 0.6 + 0.3*(10/10)
+  }
+
+  test("history with excessive error is rejected") {
+    def rec(err: Double) =
+      QueryHistory.Record("p", 50000, "sample", 9.0, err, 9.0, err,
+        10, tol, System.currentTimeMillis())
+    val c = SC.choose(f(count = true, distinct = true), 50000, tol,
+      Seq.fill(5)(rec(0.2))) // 0.2 > 1.2 * 0.05
+    assert(c.strategy == SC.Sketch) // base rule wins
+  }
+}
