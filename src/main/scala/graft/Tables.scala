@@ -42,7 +42,6 @@ object Tables {
       .appName("graft-aqe")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.extensions", "graft.plan.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,7 +11,7 @@ import graft.plan._
   *
   *   parse -> features -> strategy choice (rules + history) -> plan
   *   (exact | sample | sketch | stratified) -> plan-level rewrite
-  *   (SampleRewriteRule via SparkSessionExtensions) -> Spark execution
+  *   (explicit pre-analysis plan transform) -> Spark execution
   *   -> optional dual-run speedup measurement -> history append.
   *
   * Differences from the reference, all deliberate (SURVEY §4.4, §2.C):
@@ -96,7 +96,7 @@ final class QueryEngine(
           weight = None, rewriteDistinctToHll = true,
           hllRsd = Some(math.max(0.005, math.min(opts.maxRelError, 0.1))),
           addCiColumns = false)
-        val df = SampleRewrite.withDirective(d)(spark.sql(sql))
+        val df = SampleRewrite.rewrite(spark, parsed, d)
         val (spd, err) = StrategyChooser.predict(StrategyChooser.Sketch, tableSize, None)
         AqeResult(df, "sketch", "sketch", choice.reasoning, choice.confidence,
           spd, err, None, None,
@@ -118,7 +118,7 @@ final class QueryEngine(
               weight = Some(SampleRewrite.WeightColumn("graft_weight")),
               rewriteDistinctToHll = false, hllRsd = None,
               addCiColumns = opts.ciColumns)
-            val df = SampleRewrite.withDirective(d)(spark.sql(sql))
+            val df = SampleRewrite.rewrite(spark, parsed, d)
             val (spd, err) = StrategyChooser.predict(StrategyChooser.Stratified, tableSize, Some(s.fraction))
             AqeResult(df, "stratified", "stratified", choice.reasoning,
               choice.confidence, spd, err, Some(s.fraction), Some(s.sampleTable),
@@ -127,8 +127,15 @@ final class QueryEngine(
             // Sample path (also the fallback for sketch/stratified when no
             // better input exists): prefer a materialized sample table if
             // the cost model accepts one, else inline Bernoulli sampling.
-            val frac = StrategyChooser.sampleFraction(
+            // The inline fraction is the reference's size tier, grown when
+            // needed so the sqrt(1/(f*N)) error model meets the requested
+            // tolerance (the reference only ever shrinks it and then bails
+            // to exact; self-consistent growth keeps sampling applicable).
+            val tierF = StrategyChooser.sampleFraction(
               StrategyChooser.Sample, tableSize, opts.maxRelError).get
+            val fNeeded = 1.0 /
+              (opts.maxRelError * opts.maxRelError * math.max(1L, tableSize))
+            val frac = math.min(0.5, math.max(tierF, fNeeded))
             val plan = Planner.plan(features, catalog, tableSize,
               opts.maxRelError, preferExact = false)
             val decision = plan.decision match {
@@ -137,14 +144,14 @@ final class QueryEngine(
             }
             val f = decision.fraction.get
             val estErr = math.sqrt(1.0 / math.max(1.0, f * tableSize))
-            if (estErr > opts.maxRelError)
+            if (estErr > opts.maxRelError * (1 + 1e-9))
               exact(f"estimated sampling error $estErr%.3f exceeds tolerance ${opts.maxRelError}%.3f: exact execution")
             else {
               val d = SampleRewrite.Directive(table, decision,
                 weight = Some(SampleRewrite.ConstWeight(f)),
                 rewriteDistinctToHll = false, hllRsd = None,
                 addCiColumns = opts.ciColumns)
-              val df = SampleRewrite.withDirective(d)(spark.sql(sql))
+              val df = SampleRewrite.rewrite(spark, parsed, d)
               val (spd, err) = StrategyChooser.predict(StrategyChooser.Sample, tableSize, Some(f))
               val (tbl, desc) = decision match {
                 case Planner.ReadSampleTable(n, _) => (Some(n), s"pre-created sample table $n")

@@ -1,16 +1,13 @@
 package graft.plan
 
-import java.util.concurrent.atomic.AtomicBoolean
-
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{DataFrame, GraftPlanExec, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-/** Plan-level approximate-query rewriting, registered through
-  * `SparkSessionExtensions` as an analyzer resolution rule.
+/** Plan-level approximate-query rewriting, applied to the PARSED
+  * (still-unresolved) logical plan before it is handed to the analyzer.
   *
   * This is the Spark-native form of the reference's two SQL-string
   * rewrites — pre-created-sample table substitution
@@ -56,8 +53,8 @@ object SampleRewrite {
   /** Per-row weight column materialized with the sample (stratified). */
   case class WeightColumn(name: String) extends WeightSpec
 
-  /** One rewrite instruction; `applied` guards the analyzer fixpoint (the
-    * rule must fire exactly once per query).
+  /** One rewrite instruction — the single sampling decision that flows
+    * through the whole pipeline.
     */
   final case class Directive(
       table: String,
@@ -66,24 +63,17 @@ object SampleRewrite {
       rewriteDistinctToHll: Boolean,
       hllRsd: Option[Double],
       addCiColumns: Boolean,
-      ciZ: Double = 1.96) {
-    private[plan] val applied = new AtomicBoolean(false)
-  }
+      ciZ: Double = 1.96)
 
-  private val current = new ThreadLocal[Option[Directive]] {
-    override def initialValue(): Option[Directive] = None
-  }
-
-  /** Run `body` (which must trigger analysis on this thread, e.g.
-    * `spark.sql(...)`) with the rewrite directive in scope.
+  /** Rewrite the parsed plan per the directive and hand it to Spark for
+    * analysis + execution.
     */
-  def withDirective[T](d: Directive)(body: => T): T = {
-    current.set(Some(d))
-    try body finally current.set(None)
-  }
+  def rewrite(spark: SparkSession, parsed: LogicalPlan, d: Directive): DataFrame =
+    GraftPlanExec.ofRows(spark, apply(parsed, d))
 
-  private[plan] def activeDirective: Option[Directive] =
-    current.get().filter(!_.applied.get())
+  /** Pure plan-to-plan form (exposed for tests). */
+  def apply(plan: LogicalPlan, d: Directive): LogicalPlan =
+    rewriteSelectLists(rewriteRelation(plan, d), d)
 
   // ---- expression builders (all unresolved; the analyzer resolves) ----
 
@@ -210,56 +200,20 @@ object SampleRewrite {
           case Planner.ReadExact => r
         }
     }
-}
 
-/** The analyzer rule. Fires once per query, only when a thread-local
-  * [[SampleRewrite.Directive]] is set by the engine — ordinary queries on
-  * the same session are untouched.
-  */
-class SampleRewriteRule extends Rule[LogicalPlan] {
-  import SampleRewrite._
-
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    activeDirective match {
-      case None => plan
-      case Some(d) =>
-        // Only rewrite complete, still-unresolved query trees whose scan
-        // is the directive's table; fixpoint re-entry is stopped by the
-        // `applied` flag.
-        val hasTarget = plan.collectFirst {
-          case r: UnresolvedRelation
-              if r.multipartIdentifier.last.equalsIgnoreCase(d.table) => r
-        }.isDefined
-        if (!hasTarget) plan
-        else {
-          if (!d.applied.compareAndSet(false, true)) plan
-          else {
-            val withInput = rewriteRelation(plan, d)
-            // The SELECT list lives in the top Project (pre-analysis; the
-            // analyzer turns it into Aggregate later) or in an Aggregate
-            // when GROUP BY is present.
-            withInput match {
-              case p @ Project(exprs, _) =>
-                p.copy(projectList = rewriteSelectList(exprs, d))
-              case a @ Aggregate(_, exprs, _, _) =>
-                a.copy(aggregateExpressions = rewriteSelectList(exprs, d))
-              case s @ Sort(_, _, child: Project, _) =>
-                s.copy(child =
-                  child.copy(projectList = rewriteSelectList(child.projectList, d)))
-              case s @ Sort(_, _, child: Aggregate, _) =>
-                s.copy(child =
-                  child.copy(aggregateExpressions = rewriteSelectList(child.aggregateExpressions, d)))
-              case other => other
-            }
-          }
-        }
+  /** Rewrite the topmost SELECT list (the query's output). At parse time
+    * an aggregate without GROUP BY is still a `Project` (the analyzer's
+    * GlobalAggregates rule converts it later); ORDER BY / LIMIT / HAVING /
+    * DISTINCT wrap it in unary nodes we descend through.
+    */
+  private def rewriteSelectLists(plan: LogicalPlan, d: Directive): LogicalPlan =
+    plan match {
+      case p: Project =>
+        p.copy(projectList = rewriteSelectList(p.projectList, d))
+      case a: Aggregate =>
+        a.copy(aggregateExpressions = rewriteSelectList(a.aggregateExpressions, d))
+      case u: UnaryNode =>
+        u.withNewChildren(Seq(rewriteSelectLists(u.child, d)))
+      case other => other
     }
-}
-
-/** Session extension entry point:
-  * `.config("spark.sql.extensions", "graft.plan.GraftExtensions")`.
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectResolutionRule(_ => new SampleRewriteRule)
 }

@@ -21,7 +21,6 @@ object SparkSpec {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plan.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
