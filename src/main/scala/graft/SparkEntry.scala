@@ -15,7 +15,9 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (graft.queries.Relational.queries, graft.queries.Relational.oracle)
+      (graft.queries.Relational.queries, graft.queries.Relational.oracle),
+      (graft.queries.TextAnalysis.queries, graft.queries.TextAnalysis.oracle),
+      (graft.queries.Dedup.queries, graft.queries.Dedup.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

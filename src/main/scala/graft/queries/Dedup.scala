@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline: exact dedup (content-hash groupBy), MinHash +
+  * LSH banding near-dup candidates, exact n-gram Jaccard via an
+  * inverted-index join, and SimHash signatures.
+  *
+  * Determinism/oracle design: all hashing is md5 (identical in Spark and
+  * DuckDB), min-hash ordering is lexicographic over hex strings, and
+  * similarity filters compare integers (match counts) where possible, so
+  * every query hash-matches its DuckDB oracle.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is one hash-aggregate — map-side partial aggregation,
+  *    one shuffle on the fingerprint.
+  *  - MinHash signatures are per-row expressions (no shuffle); the LSH
+  *    self-join shuffles only (band, bandHash) keys whose buckets are
+  *    tiny by construction, instead of the O(n²) pair space.
+  *  - the exact-Jaccard join is an inverted index on shingles: cost is
+  *    bounded by shingle posting-list sizes, with the candidate pair
+  *    count, not n², driving the shuffle. Hot shingles (stop-shingles)
+  *    are the skew hazard at scale — mitigated by dropping top-frequency
+  *    shingles exactly like stop-words (documented, not needed at test SF).
+  *  - SimHash is explode + two hash-aggregates, all linear in corpus size.
+  */
+object Dedup {
+
+  /** doc_id + distinct 3-token shingles. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        expr("""case when size(t) >= 3
+                then array_distinct(transform(sequence(1, size(t) - 2),
+                  i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))
+                else cast(array() as array<string>) end""").as("sh"))
+
+  private val duckShingled =
+    """SELECT doc_id,
+       CASE WHEN len(t) >= 3
+            THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in generate_series(1, len(t) - 2)])
+            ELSE [] END AS sh
+       FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by order/multiplicity-insensitive content hash,
+    // keep the smallest doc_id as the representative.
+    "q17_dedup_exact" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("md5(array_join(array_sort(array_distinct(split(lower(text), ' '))), ' '))")
+            .as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("fp"))
+    }),
+
+    // MinHash (12 perms as md5(j # shingle) hex-min) + LSH banding
+    // (6 bands x 2 rows): candidate pairs sharing >= 1 band, scored by
+    // signature agreement; kept when >= 5/12 hashes agree.
+    "q18_minhash_lsh" -> ((s, dir) => {
+      val sig = shingled(s, dir).select(col("doc_id"),
+        expr("""transform(sequence(0, 11),
+                j -> array_min(transform(sh, x -> md5(concat(cast(j as string), '#', x)))))""")
+          .as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(expr("""transform(sequence(0, 5),
+          b -> struct(b as band, md5(concat(element_at(sig, 2*b+1), element_at(sig, 2*b+2))) as bh))"""))
+          .as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("band"), col("bh"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band"), col("bh"))
+      a.join(b, Seq("band", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))")
+            .as("n_match"))
+        .distinct()
+        .filter(col("n_match") >= 5)
+        .withColumn("est_jaccard", expr("cast(n_match as double) / 12"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join on
+    // shingles (no LSH approximation; integer-count arithmetic).
+    "q19_ngram_jaccard" -> ((s, dir) => {
+      val ex = shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val cnt = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = ex.as("a")
+        .join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", expr("cast(i as double) / (na + nb - i)"))
+        .filter(col("jaccard") > 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash: 64-bit signature; bit b is the sign of the count-weighted
+    // sum of (2*bit_b(md5(token)) - 1) over the doc's tokens.
+    "q20_simhash" -> ((s, dir) => {
+      val tc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", expr("md5(tok)"))
+      val bits = tc.select(col("doc_id"), col("cnt"), col("h"),
+        explode(expr("sequence(0, 63)")).as("b"))
+        .withColumn("nib",
+          expr("cast(conv(substring(h, cast(b div 4 as int) + 1, 1), 16, 10) as int)"))
+        .withColumn("contrib",
+          expr("cnt * (2 * (shiftright(nib, 3 - cast(b % 4 as int)) & 1) - 1)"))
+      bits.groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("contrib")).as("sgn"))
+        .withColumn("c", expr("case when sgn > 0 then '1' else '0' end"))
+        .groupBy(col("doc_id"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(b, c))), x -> x.c), '')")
+          .as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q17_dedup_exact" ->
+      """SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+               FROM documents)
+         GROUP BY fp ORDER BY fp""",
+    "q18_minhash_lsh" ->
+      s"""WITH sh AS ($duckShingled),
+          sig AS (SELECT doc_id,
+            [list_min([md5(j::VARCHAR || '#' || x) for x in sh]) for j in generate_series(0, 11)] AS sig
+            FROM sh),
+          bands AS (SELECT doc_id, sig, unnest(generate_series(0, 5)) AS band FROM sig),
+          bh AS (SELECT doc_id, sig, band, md5(sig[2*band+1] || sig[2*band+2]) AS bh FROM bands),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len([i for i in generate_series(1, 12) if a.sig[i] = b.sig[i]]) AS n_match
+            FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST(n_match AS INT) AS n_match, CAST(n_match AS DOUBLE) / 12 AS est_jaccard
+          FROM pairs WHERE n_match >= 5 ORDER BY doc_a, doc_b""",
+    "q19_ngram_jaccard" ->
+      s"""WITH sh AS ($duckShingled),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+          cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+          FROM inter
+          JOIN cnt ca ON inter.doc_a = ca.doc_id
+          JOIN cnt cb ON inter.doc_b = cb.doc_id
+          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) > 0.5
+          ORDER BY doc_a, doc_b""",
+    "q20_simhash" ->
+      """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+            GROUP BY doc_id, tok),
+          bits AS (SELECT doc_id, cnt, md5(tok) AS h, unnest(generate_series(0, 63)) AS b FROM tc),
+          contrib AS (SELECT doc_id, b,
+              sum(cnt * (2 * (((strpos('0123456789abcdef', h[(b // 4) + 1]) - 1) >> (3 - (b % 4))) & 1) - 1)) AS sgn
+            FROM bits GROUP BY doc_id, b)
+          SELECT doc_id,
+            string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+          FROM contrib GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

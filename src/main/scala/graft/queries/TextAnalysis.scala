@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token statistics, marker-based language ID,
+  * quality scoring, and content fingerprinting.
+  *
+  * None of these exist in the reference (its only text handling is SQL
+  * strings); they extend the engine toward LLM-corpus preparation, the
+  * declared north-star workload.
+  *
+  * Scale design: every query is a narrow projection (doc_id + text) with
+  * per-row array expressions that stay inside whole-stage codegen — no
+  * shuffle except the final ORDER BY (which at cluster scale would be a
+  * range-partitioned sort). Nothing collects to the driver; determinism
+  * comes from md5 + integer/decimal arithmetic, so results are
+  * DuckDB-oracle-checkable bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Tokenized view: doc_id, t = lower-cased whitespace tokens. */
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(lower(col("text")), " ").as("t"))
+
+  /** Per-language marker ("stopword") lists for language ID. Tiny by
+    * design — a real deployment swaps in per-language lexicons; the
+    * operator shape (score per language, deterministic arg-max) is what
+    * matters.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "un", "est"),
+    "zh" -> Seq("的", "是", "在"))
+
+  private def markerArraySql(lang: String): String =
+    markers.toMap.apply(lang).map(m => s"'$m'").mkString("array(", ", ", ")")
+
+  private def markerListDuck(lang: String): String =
+    markers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokenization + distinct-type stats.
+    "q13_token_stats" -> ((s, dir) => {
+      toks(s, dir).select(
+        col("doc_id"),
+        expr("size(t)").as("n_tokens"),
+        expr("size(array_distinct(t))").as("n_types"),
+        expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as double) / size(t)")
+          .as("avg_tok_len"),
+        expr("cast(size(array_distinct(t)) as double) / size(t)").as("ttr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: per-language marker-hit ratio, deterministic arg-max
+    // with fixed precedence (en > de > es > fr > zh) on ties.
+    "q14_lang_id" -> ((s, dir) => {
+      val scored = toks(s, dir).select(
+        (Seq(col("doc_id"), col("lang")) ++ markers.map { case (l, _) =>
+          expr(s"cast(size(filter(t, x -> array_contains(${markerArraySql(l)}, x))) as double) / size(t)")
+            .as(s"s_$l")
+        }): _*)
+      val pred = markers.map(_._1).foldRight(lit("und")) { case (l, acc) =>
+        when(markers.map(_._1).filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l))
+          .otherwise(acc)
+      }
+      scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length, token shape, marker ratio, digit ratio ->
+    // composite score + bucket (the filter stage of a corpus pipeline).
+    "q15_quality_score" -> ((s, dir) => {
+      toks(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        expr("size(t)").as("n_tokens"),
+        expr(s"cast(size(filter(t, x -> array_contains(${markerArraySql("en")}, x))) as double) / size(t)")
+          .as("stop_ratio"),
+        expr("cast(length(text) - length(regexp_replace(text, '[0-9]', '')) as double) / length(text)")
+          .as("digit_ratio"))
+        .withColumn("score",
+          expr("least(cast(1 as double), cast(n_tokens as double) / 100) * cast(0.6 as double) + least(stop_ratio * 10, cast(1 as double)) * cast(0.4 as double)"))
+        .withColumn("bucket",
+          expr("case when score >= 0.7 then 'high' when score >= 0.4 then 'mid' else 'low' end"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: md5 over the sorted distinct token set —
+    // an order/multiplicity-insensitive content key for exact dedup.
+    "q16_fingerprint" -> ((s, dir) => {
+      toks(s, dir).select(
+        col("doc_id"),
+        expr("md5(array_join(array_sort(array_distinct(t)), ' '))").as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val duckToks =
+    "SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t FROM documents"
+
+  val oracle: Map[String, String] = Map(
+    "q13_token_stats" ->
+      s"""SELECT doc_id,
+          CAST(len(t) AS INT) AS n_tokens,
+          CAST(len(list_distinct(t)) AS INT) AS n_types,
+          CAST(list_sum([length(x) for x in t]) AS DOUBLE) / len(t) AS avg_tok_len,
+          CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+          FROM ($duckToks) ORDER BY doc_id""",
+    "q14_lang_id" -> {
+      val scoreCols = markers.map { case (l, _) =>
+        s"CAST(len([x for x in t if list_contains(${markerListDuck(l)}, x)]) AS DOUBLE) / len(t) AS s_$l"
+      }.mkString(",\n          ")
+      val langs = markers.map(_._1)
+      val predCase = langs.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+          CASE $predCase ELSE 'und' END AS pred_lang
+          FROM (SELECT doc_id, lang,
+          $scoreCols
+          FROM ($duckToks)) ORDER BY doc_id"""
+    },
+    "q15_quality_score" ->
+      s"""SELECT doc_id, n_chars, n_tokens, stop_ratio, digit_ratio,
+          least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE) + least(stop_ratio * 10, CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) AS score,
+          CASE WHEN least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE) + least(stop_ratio * 10, CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) >= 0.7 THEN 'high'
+               WHEN least(CAST(1 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE) + least(stop_ratio * 10, CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) >= 0.4 THEN 'mid'
+               ELSE 'low' END AS bucket
+          FROM (SELECT doc_id,
+            CAST(length(text) AS INT) AS n_chars,
+            CAST(len(t) AS INT) AS n_tokens,
+            CAST(len([x for x in t if list_contains(${markerListDuck("en")}, x)]) AS DOUBLE) / len(t) AS stop_ratio,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio
+            FROM ($duckToks)) ORDER BY doc_id""",
+    "q16_fingerprint" ->
+      s"""SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+          FROM ($duckToks) ORDER BY doc_id"""
+  )
+}
