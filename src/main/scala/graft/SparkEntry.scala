@@ -17,7 +17,10 @@ object SparkEntry {
     Seq(
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
       (graft.queries.TextAnalysis.queries, graft.queries.TextAnalysis.oracle),
-      (graft.queries.Dedup.queries, graft.queries.Dedup.oracle)
+      (graft.queries.Dedup.queries, graft.queries.Dedup.oracle),
+      (graft.queries.Similarity.queries, graft.queries.Similarity.oracle),
+      (graft.queries.Events.queries, graft.queries.Events.oracle),
+      (graft.queries.Aqp.queries, graft.queries.Aqp.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,83 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.catalog.MetaCatalog
+import graft.engine.QueryEngine
+import graft.sample.Samplers
+
+/** Driver-visible multimodal metadata query (oracle-checked) and AQP
+  * engine showcase queries (rows-only: results are approximate by
+  * design; their statistical correctness is asserted in
+  * QueryEngineSpec/SketchSpec error-bound tests).
+  */
+object Aqp {
+
+  private def engineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.registerAll(s, dir)
+    new QueryEngine(s,
+      new MetaCatalog(Files.createTempDirectory("graft-aqp").toString))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Multimodal metadata over binary payloads, expressed as columnar
+    // expressions (same arithmetic as Multimodal.decodeStub; the typed
+    // mapPartitions path is spec-covered).
+    "q27_binary_meta" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("case when doc_id % 3 = 0 then 'image' when doc_id % 3 = 1 then 'audio' else 'video' end")
+            .as("kind"),
+          length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          md5(col("text")).as("content_md5"))
+        .withColumn("width", expr("cast(16 + n_bytes % 64 as int)"))
+        .withColumn("height", expr("cast(16 + (n_bytes * 7) % 64 as int)"))
+        .withColumn("duration_ms",
+          expr("case when kind in ('audio', 'video') then cast(n_bytes as bigint) * 40 else cast(0 as bigint) end"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // AQP: uniform-sampled COUNT/SUM/AVG with Horvitz-Thompson scaling
+    // and CI columns (inline Bernoulli, seed 42).
+    "q28_aqp_sampled_agg" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      e.query(
+        "SELECT count(*) AS n, sum(l_quantity) AS qty, avg(l_extendedprice) AS avg_price FROM lineitem",
+        e.Options(maxRelError = 0.1)).df
+    }),
+
+    // AQP: COUNT(DISTINCT) answered by HyperLogLog++ (sketch strategy).
+    "q29_aqp_hll_distinct" -> ((s, dir) => {
+      engineFor(s, dir).query(
+        "SELECT count(DISTINCT l_partkey) AS nd_part FROM lineitem").df
+    }),
+
+    // AQP: stratified sample with per-stratum HT weights answering a
+    // GROUP BY (the strategy the reference declares but no-ops).
+    "q30_aqp_stratified" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      Samplers.createStratified(s, e.catalog, "orders", "o_orderpriority",
+        0.2, varianceCol = Some("o_totalprice"))
+      val n = s.table("orders").count()
+      e.catalog.upsertTableStats("orders", math.max(n, 20000L))
+      e.query(
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS n, sum(o_totalprice) AS total FROM orders GROUP BY o_orderpriority, o_orderstatus").df
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q27_binary_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
+           CASE WHEN doc_id % 3 <> 0 THEN CAST(octet_length(encode(text)) AS BIGINT) * 40 ELSE CAST(0 AS BIGINT) END AS duration_ms
+         FROM documents ORDER BY doc_id"""
+  )
+}

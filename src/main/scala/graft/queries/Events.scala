@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream analytics over the `events` table, expressed in batch
+  * form with DuckDB oracles. The same transformations run unchanged on a
+  * streaming DataFrame (see graft.streaming.EventStreams + its spec):
+  * tumbling-window aggregation maps to watermark + window in Structured
+  * Streaming; sessionization maps to flatMapGroupsWithState.
+  *
+  * Scale: windowed aggregation is one shuffle on (window, event_type) —
+  * partial aggregation map-side; sessionization is one shuffle on
+  * user_id then a per-user sort (Spark's window functions sort within
+  * partitions), both linear.
+  */
+object Events {
+
+  /** Exact, order-independent sum of a 2dp double column. */
+  private val dsumVal = "cast(sum(cast(value as decimal(18,4))) as double)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows by event type (epoch-aligned, like
+    // streaming `window(ts, '1 hour')`).
+    "q24_event_window" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), expr(dsumVal).as("sum_value"))
+        .select(expr("unix_micros(w.start)").as("ws_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws_us"), col("event_type"))
+    }),
+
+    // Gap-based sessionization (30-minute inactivity closes a session):
+    // lag -> new-session flag -> running sum = session id -> per-user
+    // session stats. Integer microsecond arithmetic end-to-end.
+    "q25_sessionize" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = e
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000L
+            || lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("span_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("span_us")).as("total_span_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Per-type value distribution stats (the shape a stream-quality
+    // monitor computes per window; here over the whole table).
+    "q26_event_type_stats" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          expr(dsumVal).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q24_event_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY ws_us, event_type ORDER BY ws_us, event_type""",
+    "q25_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+          flagged AS (SELECT user_id, event_id, us,
+              CASE WHEN us - lag(us) OVER w > 1800000000
+                   OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+          sess AS (SELECT user_id, us,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged),
+          per_session AS (SELECT user_id, sid, count(*) AS n_events,
+              max(us) - min(us) AS span_us
+            FROM sess GROUP BY user_id, sid)
+          SELECT user_id, count(*) AS n_sessions,
+            CAST(sum(n_events) AS BIGINT) AS n_events,
+            max(n_events) AS max_session_events,
+            CAST(sum(span_us) AS BIGINT) AS total_span_us
+          FROM per_session GROUP BY user_id ORDER BY user_id""",
+    "q26_event_type_stats" ->
+      """SELECT event_type, count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

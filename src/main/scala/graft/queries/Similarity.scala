@@ -1,0 +1,205 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, random-hyperplane
+  * LSH as the approximate scale path, and per-label centroid stats.
+  *
+  * Determinism/oracle design: per-element double products are quantized
+  * with floor(x*y*1e6) to BIGINT before summing. Integer addition is
+  * associative (any partitioning order gives the identical sum), BIGINT
+  * -> DOUBLE conversion is exact in both Spark and DuckDB (values <<
+  * 2^53), and floor has no rounding-mode ties — so cosines are
+  * bit-identical across engines. (Decimal accumulators are NOT portable
+  * here: DuckDB's DECIMAL->DOUBLE conversion double-rounds via int128 *
+  * 10^-s, diverging from the JVM's correctly-rounded BigDecimal path in
+  * the last ulp.) The 1e-6 product quantization bounds the cosine error
+  * at ~1e-4 — irrelevant for ranking, and ranking ties break on vec_id.
+  * The LSH plane matrix is md5-derived on the driver and inlined as
+  * +/- sign strings into BOTH the Spark plan and the oracle SQL.
+  *
+  * Scale design: brute force is quadratic and kept only as the baseline
+  * over a bounded query set (top-k for Q query vectors is a broadcast of
+  * Q rows against the corpus — linear). The LSH variant is the 100 TB
+  * path: per-row signatures (no shuffle), a bucket join on (band, 4-bit
+  * chunk) producing the candidate set (quadratic only within buckets),
+  * exact re-scoring on candidates, per-query top-k.
+  */
+object Similarity {
+
+  /** 16 hyperplanes as 64-char '+'/'-' sign strings, deterministically
+    * derived from md5("p{h}_{i}") (first byte >= 0x80 -> '+').
+    */
+  val planes: Seq[String] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until 16).map { h =>
+      (1 to 64).map { i =>
+        md.reset()
+        val hex = md.digest(s"p${h}_$i".getBytes(StandardCharsets.UTF_8))
+        if ((hex(0) & 0xff) >= 0x80) '+' else '-'
+      }.mkString
+    }
+  }
+
+  private val planesSparkArr = planes.map(p => s"'$p'").mkString("array(", ", ", ")")
+  private val planesDuckArr = planes.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** Spark SQL: integer-quantized dot product of two float arrays. */
+  private def dotSpark(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+        (x, y) -> cast(floor(cast(x as double) * cast(y as double) * 1000000) as bigint)),
+        cast(0 as bigint), (acc, v) -> acc + v)"""
+
+  /** DuckDB: the same quantized accumulation. */
+  private def dotDuck(a: String, b: String): String =
+    s"""CAST(list_sum([CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1000000) AS BIGINT)
+        for i in generate_series(1, 64)]) AS BIGINT)"""
+
+  private val nQueries = 8
+  private val topK = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k: Q query vectors against the full corpus.
+    // Q rows broadcast; corpus side streams — one pass, no shuffle before
+    // the per-query top-k.
+    "q21_cosine_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("nq", expr(dotSpark("qe", "qe")))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .withColumn("nn", expr(dotSpark("ne", "ne")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      broadcast(q).crossJoin(c)
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cos", expr(
+          s"cast(${dotSpark("qe", "ne")} as double) / sqrt(cast(nq as double) * cast(nn as double))"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH ANN: 16-bit random-hyperplane signature, 4 bands x 4 bits;
+    // candidates share >= 1 band with the query; exact cosine re-scoring
+    // on candidates only; per-query top-k.
+    "q22_ann_lsh" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val signed = e.select(col("vec_id"), col("embedding"),
+        expr(s"""array_join(transform(sequence(0, 15), h ->
+            case when aggregate(sequence(1, 64), cast(0 as bigint),
+              (acc, i) -> acc + cast(floor(cast(element_at(embedding, i) as double) *
+                (case when substring(element_at($planesSparkArr, h + 1), i, 1) = '+'
+                      then cast(1 as double) else cast(-1 as double) end)
+                * 1000000) as bigint)) > 0 then '1' else '0' end), '')""").as("sig"))
+      val bands = signed.select(col("vec_id"), col("embedding"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b as band, substring(sig, 4*b+1, 4) as chunk))"))
+          .as("bc"))
+        .select(col("vec_id"), col("embedding"), col("bc.band"), col("bc.chunk"))
+      val qb = bands.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("band"), col("chunk"))
+      val cb = bands.select(col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("band"), col("chunk"))
+      val cand = qb.join(cb, Seq("band", "chunk"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("qe"), col("nid"), col("ne"))
+        .distinct()
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      cand
+        .withColumn("cos", expr(
+          s"""cast(${dotSpark("qe", "ne")} as double) /
+              sqrt(cast(${dotSpark("qe", "qe")} as double) * cast(${dotSpark("ne", "ne")} as double))"""))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Per-label centroid statistics (the building block of IVF coarse
+    // quantization): quantized component sums -> mean -> L2 norm.
+    "q23_label_centroids" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val comp = e.select(col("label"), col("embedding"),
+        explode(expr("sequence(1, 64)")).as("dim"))
+        .select(col("label"), col("dim"),
+          expr("cast(floor(cast(element_at(embedding, dim) as double) * 1000000) as bigint)")
+            .as("vq"))
+      val avgs = comp.groupBy(col("label"), col("dim"))
+        .agg(sum(col("vq")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("av", expr("cast(sv as double) / 1000000 / n"))
+      avgs.groupBy(col("label"))
+        .agg(
+          max(col("n")).as("n_vecs"),
+          expr("sqrt(cast(sum(cast(floor(av * av * 1000000000000) as bigint)) as double)) / 1000000")
+            .as("centroid_norm"))
+        .orderBy(col("label"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q21_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+            ${dotDuck("embedding", "embedding")} AS nq
+            FROM embeddings WHERE vec_id < $nQueries),
+          c AS (SELECT vec_id AS nid, embedding AS ne,
+            ${dotDuck("embedding", "embedding")} AS nn
+            FROM embeddings),
+          scored AS (SELECT qid, nid,
+            CAST(${dotDuck("qe", "ne")} AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
+            FROM q CROSS JOIN c WHERE qid <> nid),
+          ranked AS (SELECT qid, nid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+            FROM scored)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, cos
+          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
+    "q22_ann_lsh" ->
+      s"""WITH sig AS (SELECT vec_id, embedding,
+            array_to_string([CASE WHEN CAST(list_sum([
+                CAST(floor(CAST(embedding[i] AS DOUBLE) *
+                  (CASE WHEN ($planesDuckArr)[h + 1][i] = '+'
+                        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+                  * 1000000) AS BIGINT)
+                for i in generate_series(1, 64)]) AS BIGINT) > 0 THEN '1' ELSE '0' END
+              for h in generate_series(0, 15)], '') AS sig
+            FROM embeddings),
+          bands AS (SELECT vec_id, embedding, unnest(generate_series(0, 3)) AS band, sig FROM sig),
+          chunks AS (SELECT vec_id, embedding, band, sig[4*band+1 : 4*band+4] AS chunk FROM bands),
+          cand AS (SELECT DISTINCT q.vec_id AS qid, q.embedding AS qe,
+              c.vec_id AS nid, c.embedding AS ne
+            FROM chunks q JOIN chunks c ON q.band = c.band AND q.chunk = c.chunk
+            WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+          scored AS (SELECT qid, nid,
+            CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
+              sqrt(CAST(${dotDuck("qe", "qe")} AS DOUBLE) * CAST(${dotDuck("ne", "ne")} AS DOUBLE)) AS cos
+            FROM cand),
+          ranked AS (SELECT qid, nid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+            FROM scored)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, cos
+          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
+    "q23_label_centroids" ->
+      """WITH comp AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          vals AS (SELECT label, dim,
+              CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+            FROM comp),
+          avgs AS (SELECT label, dim,
+              CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av,
+              count(*) AS n
+            FROM vals GROUP BY label, dim)
+          SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+            sqrt(CAST(CAST(sum(CAST(floor(av * av * 1000000000000) AS BIGINT)) AS BIGINT) AS DOUBLE)) / 1000000 AS centroid_norm
+          FROM avgs GROUP BY label ORDER BY label"""
+  )
+}

@@ -1,0 +1,63 @@
+package graft.sketch
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.catalog.MetaCatalog
+
+/** Sketch build-and-store operations — the Spark-native form of the
+  * reference's `POST /sketches/create` + `GET /sketches`
+  * (/root/reference/app.py:222-306, storage.py:112-162).
+  *
+  * Differences (upgrades documented in SURVEY §4.4):
+  *  - the reference computes an exact DISTINCT / GROUP BY first and
+  *    feeds the sketch on the driver, capped at 1M values; here the
+  *    sketch IS the aggregate — one distributed pass, no cap;
+  *  - stored sketches are actually readable (the reference's
+  *    `get_sketch` has zero callers).
+  */
+object SketchOps {
+
+  /** Build an HLL over `table.column`, persist in the catalog, return
+    * (serialized size, estimate). b=12 matches the endpoint default
+    * (/root/reference/app.py:247).
+    */
+  def createHll(spark: SparkSession, catalog: MetaCatalog, table: String,
+      column: String, b: Int = 12): (Int, Long) = {
+    val bytes = spark.table(table)
+      .select(Hll.sketchAgg(col(column).cast("string"), b).as("s"))
+      .collect().head.getAs[Array[Byte]]("s")
+    catalog.upsertSketch(catalog.SketchInfo(table, column, "hyperloglog",
+      bytes, s"""{"b":$b}""", System.currentTimeMillis()))
+    (bytes.length, Hll.deserialize(bytes).count)
+  }
+
+  /** Build a CMS over `table.column` (one increment per row — the
+    * GROUP BY pre-aggregation the reference does is folded into the
+    * aggregator), persist, return serialized size.
+    */
+  def createCms(spark: SparkSession, catalog: MetaCatalog, table: String,
+      column: String, epsilon: Double = 0.01, delta: Double = 0.01): Int = {
+    val bytes = spark.table(table)
+      .select(Cms.sketchAgg(col(column).cast("string"), epsilon, delta).as("s"))
+      .collect().head.getAs[Array[Byte]]("s")
+    catalog.upsertSketch(catalog.SketchInfo(table, column, "countmin",
+      bytes, s"""{"epsilon":$epsilon,"delta":$delta}""",
+      System.currentTimeMillis()))
+    bytes.length
+  }
+
+  /** Answer COUNT(DISTINCT column) from a STORED sketch if one exists —
+    * making the reference's declared-but-dead capability real.
+    */
+  def distinctFromSketch(catalog: MetaCatalog, table: String,
+      column: String): Option[Long] =
+    catalog.getSketch(table, column, "hyperloglog")
+      .map(s => Hll.deserialize(s.data).count)
+
+  /** Frequency estimate for a key from a stored CMS. */
+  def frequencyFromSketch(catalog: MetaCatalog, table: String,
+      column: String, key: String): Option[Long] =
+    catalog.getSketch(table, column, "countmin")
+      .map(s => Cms.deserialize(s.data).estimateString(key))
+}

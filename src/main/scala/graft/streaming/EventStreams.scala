@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — the streaming capability the reference
+  * only aspires to (/root/reference/README.md:303-305 "Streaming
+  * Summaries", never implemented). Each transformation is written
+  * against a plain DataFrame so the SAME code runs in batch (where the
+  * Events queries' DuckDB oracles check it) and on a streaming source
+  * (readStream / MemoryStream; checked in EventStreamsSpec).
+  *
+  * Scale: windowed counts are partial-aggregated before the shuffle and
+  * keyed state is per (window, event_type); watermarking bounds state so
+  * a 100 TB/day stream holds only the open windows in memory.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums by event type. On a streaming input,
+    * the 1-hour watermark lets Spark drop window state once event time
+    * passes window end + 1h (append-mode emission).
+    */
+  def windowedAgg(events: DataFrame, withWatermark: Boolean = true): DataFrame = {
+    val in = if (withWatermark && events.isStreaming)
+      events.withWatermark("ts", "1 hour") else events
+    in.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(value as decimal(18,4))) as double)").as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** Streaming approximate distinct users per event type — the AQP
+    * engine's sketch strategy applied to a stream: HyperLogLog++ partial
+    * aggregation, mergeable across micro-batches in complete mode.
+    */
+  def approxUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, nEvents: Long)
+  case class Session(user_id: Long, startUs: Long, endUs: Long,
+      n_events: Long)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState: emits
+    * a Session row whenever 30 minutes of event time pass without
+    * activity for a user. Pass ProcessingTimeTimeout to also flush idle
+    * state on wall-clock (production streams); the default NoTimeout
+    * closes sessions only via the event-time gap rule (deterministic, no
+    * background triggers). The batch-mode equivalent (same gap rule) is
+    * queries.Events q25_sessionize, which the DuckDB oracle checks.
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutEnabled = timeout != GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.last, s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.last > gapUs =>
+                  closed += Session(user, s.start, s.last, s.nEvents)
+                  cur = Some(SessionState(us, us, 1))
+                case Some(s) =>
+                  cur = Some(s.copy(last = us, nEvents = s.nEvents + 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeoutEnabled) state.setTimeoutDuration("30 minutes")
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Run a streaming query over `df` into an in-memory sink and return
+    * the sink table name (test/demo harness).
+    */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming behavior: the streaming windowed aggregation
+  * must equal the batch run of the same transformation, sketches must
+  * merge across micro-batches, and stateful sessionization must apply
+  * the same gap rule as the batch oracle query.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  import EventStreams.Event
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(61), 1, "view", 3.0),
+    Event(4, ts(5), 2, "click", 4.0),
+    Event(5, ts(120), 2, "view", 5.0),
+    Event(6, ts(125), 1, "click", 6.0))
+
+  test("streaming windowed agg over micro-batches equals batch result") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val out = EventStreams.windowedAgg(stream.toDF())
+    val q = out.writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Complete()).start()
+    // two micro-batches to exercise incremental state merge
+    stream.addData(sample.take(3))
+    q.processAllAvailable()
+    stream.addData(sample.drop(3))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_agg")
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = EventStreams.windowedAgg(sample.toDF())
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming approx distinct users merges across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val out = EventStreams.approxUsers(stream.toDF())
+    val q = out.writeStream.format("memory").queryName("approx_users")
+      .outputMode(OutputMode.Complete()).start()
+    sample.grouped(2).foreach { batch =>
+      stream.addData(batch)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2 distinct users in both types; rsd 2% is exact at this cardinality
+    assert(rows("click") == 2 && rows("view") == 2)
+  }
+
+  test("stateful sessionization applies the 30-minute gap rule") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(stream.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(sample)
+    q.processAllAvailable()
+    // second batch arrives after a > 30 min event-time gap for user 1:
+    // the first sessions for users 1 and 2 must close
+    stream.addData(Seq(Event(7, ts(200), 1, "click", 1.0),
+      Event(8, ts(200), 2, "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    // user 1: events at 0,10 close when the 61-min event arrives (gap 51');
+    // then 61' closes at 125' (gap 64'); then {125} closes at 200'.
+    // user 2: {5} closes at 120' (gap 115'); {120} closes at 200' (gap 80').
+    assert(closed.contains((1L, 2L)), s"got $closed") // session {0,10}
+    assert(closed.contains((2L, 1L)), s"got $closed")
+    assert(closed.count(_._1 == 1L) >= 2)
+  }
+
+  test("batch windowedAgg matches the q24 oracle-backed query shape") {
+    val df = graft.queries.Events.queries("q24_event_window")(spark, sfDir)
+    val viaModule = EventStreams.windowedAgg(Tables.load(spark, sfDir, "events"))
+      .select(expr("unix_micros(ws)").as("ws_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("ws_us"), col("event_type"))
+    assert(df.collect().toSeq == viaModule.collect().toSeq)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+/** Typed multimodal pipeline: binary payload plumbing, batch-shaped
+  * decode, frame sampling.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  lazy val media = Multimodal.mediaFromDocuments(spark, sfDir).cache()
+
+  test("media dataset carries binary payloads with assigned kinds") {
+    val rows = media.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      assert(Set("image", "audio", "video").contains(m.kind))
+      assert(m.bytes.nonEmpty)
+      assert(m.kind == Seq("image", "audio", "video")((m.id % 3).toInt))
+    }
+  }
+
+  test("batched metadata extraction is deterministic and total") {
+    val meta = Multimodal.extractMeta(media, batchSize = 16).collect()
+    assert(meta.length == media.count())
+    val byId = meta.map(m => m.id -> m).toMap
+    media.collect().foreach { m =>
+      val mm = byId(m.id)
+      val (w, h, d) = Multimodal.decodeStub(m.kind, m.bytes)
+      assert(mm.nBytes == m.bytes.length)
+      assert((mm.width, mm.height, mm.durationMs) == ((w, h, d)))
+      assert(mm.durationMs == 0 || m.kind != "image")
+    }
+    // batch size must not affect results (only memory shape)
+    val meta1 = Multimodal.extractMeta(media, batchSize = 1).collect()
+      .sortBy(_.id).toSeq
+    assert(meta1 == meta.sortBy(_.id).toSeq)
+  }
+
+  test("frame sampling strides through video payloads only") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .collect()
+    assert(frames.nonEmpty)
+    val vids = media.filter(_.kind == "video").collect().map(m => m.id -> m).toMap
+    frames.foreach { f =>
+      assert(vids.contains(f.id))
+      assert(f.frameIdx % 2 == 0)
+      val m = vids(f.id)
+      assert(f.offset + f.length <= m.bytes.length)
+      assert(f.length > 0)
+    }
+    // every video contributes ceil(nFrames/stride) sampled frames
+    val perVid = frames.groupBy(_.id).view.mapValues(_.length).toMap
+    vids.foreach { case (id, m) =>
+      val nF = math.max(1, m.bytes.length / 64)
+      assert(perVid(id) == (nF + 1) / 2, s"video $id")
+    }
+  }
+}
