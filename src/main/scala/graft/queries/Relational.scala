@@ -170,6 +170,17 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
+    }),
+
+    // A14: INTERSECT / EXCEPT set semantics (q09 covers UNION ALL).
+    "q31_intersect_except" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").as("nk"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_nationkey").as("nk"))
+      val both = c.intersect(sup).agg(count(lit(1)).as("n_intersect"))
+      val only = c.except(sup).agg(count(lit(1)).as("n_except"))
+      both.crossJoin(only)
     })
   )
 
@@ -250,6 +261,12 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q31_intersect_except" ->
+      """SELECT
+           (SELECT count(*) FROM (SELECT c_nationkey AS nk FROM customer
+              INTERSECT SELECT s_nationkey AS nk FROM supplier) t1) AS n_intersect,
+           (SELECT count(*) FROM (SELECT c_nationkey AS nk FROM customer
+              EXCEPT SELECT s_nationkey AS nk FROM supplier) t2) AS n_except"""
   )
 }
