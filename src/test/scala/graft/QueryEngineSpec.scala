@@ -125,6 +125,19 @@ class QueryEngineSpec extends SparkSpec {
     assert(math.abs(est - truth) / truth < 0.25, s"est=$est truth=$truth")
   }
 
+  test("stored HLL sketch answers COUNT(DISTINCT) with no scan") {
+    graft.sketch.SketchOps.createHll(spark, catalog, "lineitem", "l_suppkey")
+    val r = engine.query("SELECT count(DISTINCT l_suppkey) AS nd FROM lineitem")
+    assert(r.planType == "sketch")
+    assert(r.transformations.exists(_.contains("stored HyperLogLog")), r.transformations)
+    val est = r.df.collect().head.getLong(0)
+    assert(est == graft.sketch.SketchOps
+      .distinctFromSketch(catalog, "lineitem", "l_suppkey").get)
+    val truth = spark.sql("SELECT count(DISTINCT l_suppkey) FROM lineitem")
+      .collect().head.getLong(0)
+    assert(math.abs(est - truth.toDouble) / truth < 3 * (1.04 / math.sqrt(4096)))
+  }
+
   test("measureExact closes the learning loop") {
     val before = engine.history.all.size
     val r = engine.query("SELECT count(*) AS n FROM lineitem",
