@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for representative queries
+  * and assert the plan properties the engine is designed around
+  * (filter/column pushdown to the parquet scan, broadcast joins for
+  * small dims, map-side partial aggregation, whole-stage codegen).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def planOf(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    }
+
+    def check(name: String, props: (String, String)*): Unit = {
+      val p = planOf(name)
+      println(s"==== $name ====")
+      props.foreach { case (label, needle) =>
+        val ok = p.contains(needle)
+        println(f"  [${if (ok) "OK" else "MISS"}] $label ($needle)")
+      }
+      if (args.contains("--full")) println(p)
+    }
+
+    check("q02_filter_topk",
+      "filter pushed to parquet scan" -> "PushedFilters: [IsNotNull(l_discount)",
+      "column pruning (5-col ReadSchema)" -> "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double",
+      "top-k as TakeOrderedAndProject" -> "TakeOrderedAndProject")
+    check("q01_pricing_summary",
+      "partial aggregation before exchange" -> "HashAggregate",
+      "map-side partial aggregation" -> "partial_sum",
+      "shipdate filter pushed" -> "PushedFilters: [IsNotNull(l_shipdate)")
+    check("q03_join_broadcast",
+      "customer broadcast" -> "BroadcastHashJoin",
+      "no sort-merge join" -> "BroadcastExchange")
+    check("q04_revenue_by_nation",
+      "dims broadcast" -> "BroadcastHashJoin",
+      "partial agg" -> "HashAggregate")
+    check("q18_minhash_lsh",
+      "signatures read from materialized checkpoint" -> "Scan ExistingRDD")
+    spark.stop()
+  }
+}

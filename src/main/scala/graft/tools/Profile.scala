@@ -2,7 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev profiling harness: times labeled sub-stages of the hot queries.
+/** Dev profiling harness: two timed passes over every SparkEntry query
+  * (pass 1 = cold JVM/codegen, pass 2 = steady state) plus an AQP
+  * latency breakdown (planning vs approx execution vs exact execution).
   * Not part of the driver contract.
   */
 object Profile {
@@ -23,13 +25,36 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import org.apache.spark.sql.functions._
 
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
     (1 to 2).foreach { pass =>
       qs.foreach { case (name, fn) =>
-        time(s"pass$pass $name")(try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L })
+        time(s"pass$pass $name")(
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L })
       }
+    }
+
+    // AQP latency decomposition on a scan-bearing aggregate
+    import graft.catalog.MetaCatalog
+    import graft.engine.QueryEngine
+    graft.Tables.registerAll(spark, sfDir)
+    val catalog = new MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-prof").toString)
+    val engine = new QueryEngine(spark, catalog)
+    graft.sample.Samplers.createUniform(spark, catalog, "lineitem", 0.01)
+    val sql = "SELECT sum(l_extendedprice * (1 - l_discount)) AS s FROM lineitem WHERE l_quantity < 30"
+    engine.query(sql).df.collect(); spark.sql(sql).collect() // warm
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val r = engine.query(sql)
+      val t1 = System.nanoTime()
+      r.df.collect()
+      val t2 = System.nanoTime()
+      spark.sql(sql).collect()
+      val t3 = System.nanoTime()
+      println(f"[profile] aqp iter $i: plan=${(t1 - t0) / 1e6}%.1f ms " +
+        f"approx=${(t2 - t1) / 1e6}%.1f ms exact=${(t3 - t2) / 1e6}%.1f ms " +
+        s"(type=${r.planType})")
     }
     spark.stop()
   }
