@@ -47,6 +47,48 @@ object Response {
       })
     }.mkString("[", ", ", "]")
 
+  /** GET /ml/stats shape (/root/reference/app.py:309-324): per-strategy
+    * query_count / avg_speedup / avg_error + total over the window.
+    */
+  def renderLearningStats(stats: Map[String, (Long, Double, Double)]): String = {
+    val per = stats.toSeq.sortBy(_._1).map { case (strategy, (n, spd, err)) =>
+      strategy -> obj(Seq(
+        "query_count" -> n.toString,
+        "avg_speedup" -> spd.toString,
+        "avg_error" -> err.toString))
+    }
+    obj(Seq(
+      "status" -> jval("success"),
+      "strategies" -> obj(per),
+      "total_queries" -> stats.values.map(_._1).sum.toString))
+  }
+
+  /** GET /samples shape (aqe_samples listing). */
+  def renderSamples(samples: Seq[graft.catalog.MetaCatalog#SampleInfo]): String =
+    obj(Seq(
+      "status" -> jval("success"),
+      "samples" -> samples.sortBy(_.sampleTable).map { s =>
+        obj(Seq(
+          "table_name" -> jval(s.tableName),
+          "sample_table" -> jval(s.sampleTable),
+          "sample_fraction" -> jval(s.fraction),
+          "strata_column" -> s.strataColumn.map(jval).getOrElse("null"),
+          "created_at" -> s.createdAt.toString))
+      }.mkString("[", ", ", "]")))
+
+  /** GET /sketches shape (aqe_sketches listing; bytes as size only). */
+  def renderSketches(sketches: Seq[graft.catalog.MetaCatalog#SketchInfo]): String =
+    obj(Seq(
+      "status" -> jval("success"),
+      "sketches" -> sketches.sortBy(s => (s.tableName, s.columnName)).map { s =>
+        obj(Seq(
+          "table_name" -> jval(s.tableName),
+          "column_name" -> jval(s.columnName),
+          "sketch_type" -> jval(s.sketchType),
+          "parameters" -> s.parameters,
+          "size_bytes" -> s.data.length.toString))
+      }.mkString("[", ", ", "]")))
+
   /** Render an engine result in the reference response shape. */
   def render(r: QueryEngine#AqeResult, maxRows: Int = 1000): String = {
     val rows = r.df.limit(maxRows).collect().toSeq

@@ -54,7 +54,12 @@ object TextAnalysis {
         expr("size(array_distinct(t))").as("n_types"),
         expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as double) / size(t)")
           .as("avg_tok_len"),
-        expr("cast(size(array_distinct(t)) as double) / size(t)").as("ttr"))
+        expr("cast(size(array_distinct(t)) as double) / size(t)").as("ttr"),
+        // BPE-ish subtokenization: letter runs and digit runs as units
+        // (regex kept to a class-only pattern with identical semantics
+        // in Java regex and RE2)
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
+          .as("n_subtok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -111,7 +116,8 @@ object TextAnalysis {
           CAST(len(t) AS INT) AS n_tokens,
           CAST(len(list_distinct(t)) AS INT) AS n_types,
           CAST(list_sum([length(x) for x in t]) AS DOUBLE) / len(t) AS avg_tok_len,
-          CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+          CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS INT) AS n_subtok
           FROM ($duckToks) ORDER BY doc_id""",
     "q14_lang_id" -> {
       val scoreCols = markers.map { case (l, _) =>

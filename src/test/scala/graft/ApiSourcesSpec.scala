@@ -50,4 +50,24 @@ class ApiSourcesSpec extends SparkSpec {
     }
     assert(json.contains("\"n\": 25"))
   }
+
+  test("samples/sketches/ml-stats listings render the reference shapes") {
+    val catalog = new MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-api2").toString)
+    val engine = new QueryEngine(spark, catalog)
+    Tables.registerAll(spark, sfDir)
+    graft.sample.Samplers.createUniform(spark, catalog, "nation", 0.5)
+    graft.sketch.SketchOps.createHll(spark, catalog, "nation", "n_name")
+    engine.query("SELECT count(*) AS n FROM nation",
+      engine.Options(measureExact = true))
+
+    val sj = Response.renderSamples(catalog.samplesFor("nation"))
+    assert(sj.contains("\"sample_table\": \"nation__sample_0_5\""), sj)
+    val kj = Response.renderSketches(catalog.listSketches(Some("nation")))
+    assert(kj.contains("\"sketch_type\": \"hyperloglog\"") &&
+      kj.contains("\"size_bytes\": 4101"), kj)
+    val mj = Response.renderLearningStats(engine.history.learningStats())
+    assert(mj.contains("\"query_count\": 1") &&
+      mj.contains("\"total_queries\": 1"), mj)
+  }
 }
