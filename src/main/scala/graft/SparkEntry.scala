@@ -20,7 +20,8 @@ object SparkEntry {
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracle),
       (graft.queries.Similarity.queries, graft.queries.Similarity.oracle),
       (graft.queries.Events.queries, graft.queries.Events.oracle),
-      (graft.queries.Aqp.queries, graft.queries.Aqp.oracle)
+      (graft.queries.Aqp.queries, graft.queries.Aqp.oracle),
+      (graft.queries.Analytics.queries, graft.queries.Analytics.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

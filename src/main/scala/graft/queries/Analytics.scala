@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distribution analytics: exact interpolated percentiles, fixed-bound
+  * histograms, and table profiling (the data-quality pass of a corpus
+  * pipeline).
+  *
+  * Portability notes: both engines implement type-7 (linear
+  * interpolation) percentiles; outputs are rounded through
+  * DECIMAL(18,6) because the interpolation formula's floating-point
+  * association may differ in the last ulp across engines. Histogram
+  * buckets use fixed bounds + integer arithmetic (no data-dependent
+  * min/max pass, no float boundaries).
+  */
+object Analytics {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact interpolated percentiles of order value, grouped by status.
+    "q32_percentiles" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def pct(p: Double, name: String) =
+        expr(s"cast(cast(percentile(o_totalprice, $p) as decimal(18,6)) as double)")
+          .as(name)
+      o.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.9, "p90"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Fixed-bound histogram of order value: 20 buckets of 30k.
+    "q33_histogram" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.select(expr("least(19, cast(floor(o_totalprice / 30000) as int))").as("bucket"),
+        col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,4))) as double)").as("total"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Table profile: per-column null counts + distinct cardinalities +
+    // numeric ranges in one pass (single row).
+    "q34_profile" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
+        countDistinct(col("o_custkey")).as("ndv_custkey"),
+        countDistinct(col("o_orderstatus")).as("ndv_status"),
+        countDistinct(col("o_orderpriority")).as("ndv_priority"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        expr("cast(min(o_orderdate) as date)").as("min_date"),
+        expr("cast(max(o_orderdate) as date)").as("max_date"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q32_percentiles" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+           CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+           CAST(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS p75,
+           CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q33_histogram" ->
+      """SELECT least(19, CAST(floor(o_totalprice / 30000) AS INT)) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q34_profile" ->
+      """SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+           count(DISTINCT o_custkey) AS ndv_custkey,
+           count(DISTINCT o_orderstatus) AS ndv_status,
+           count(DISTINCT o_orderpriority) AS ndv_priority,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+           CAST(min(o_orderdate) AS DATE) AS min_date,
+           CAST(max(o_orderdate) AS DATE) AS max_date
+         FROM orders"""
+  )
+}

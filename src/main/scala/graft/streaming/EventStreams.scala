@@ -94,6 +94,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication on event_id: the stream analogue of
+    * the corpus dedup operators — watermark bounds the dedup state so
+    * only ids within the lateness horizon are retained (the unbounded
+    * alternative OOMs on an infinite stream).
+    */
+  def dedupEvents(events: DataFrame): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour")
+             else events
+    in.dropDuplicates("event_id")
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */

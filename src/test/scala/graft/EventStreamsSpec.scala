@@ -93,6 +93,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(closed.count(_._1 == 1L) >= 2)
   }
 
+  test("streaming dedup drops repeated event ids across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val out = EventStreams.dedupEvents(stream.toDF())
+    val q = out.writeStream.format("memory").queryName("dedup_events")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(sample)
+    q.processAllAvailable()
+    stream.addData(sample.take(3)) // exact duplicates, second batch
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_events").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == sample.map(_.event_id).sorted.toSeq)
+  }
+
   test("batch windowedAgg matches the q24 oracle-backed query shape") {
     val df = graft.queries.Events.queries("q24_event_window")(spark, sfDir)
     val viaModule = EventStreams.windowedAgg(Tables.load(spark, sfDir, "events"))
