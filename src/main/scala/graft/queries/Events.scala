@@ -69,6 +69,61 @@ object Events {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // Skew mitigation pattern: salted two-stage aggregation. Stage 1
+    // groups on (key, salt) so a hot key's rows spread over `salts`
+    // reducers; stage 2 merges the partials. The result is EXACTLY the
+    // plain GROUP BY (the oracle is the unsalted query).
+    "q35_salted_agg" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val salted = e
+        .withColumn("salt", expr("cast(user_id % 8 as int)"))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(expr("cast(value as decimal(18,4))")).as("psum"))
+      salted.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          expr("cast(sum(psum) as double)").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // As-of join composed from a tagged union + carry-forward window
+    // (one shuffle on user_id, no per-row subquery): for each click,
+    // the most recent purchase by the same user at or before its time.
+    "q36_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .withColumn("us", expr("unix_micros(ts)"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id"),
+          lit(null).cast("long").as("anchor_us"), lit(0).as("is_anchor"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"),
+          col("us").as("anchor_us"), lit(1).as("is_anchor"))
+      import org.apache.spark.sql.expressions.Window
+      // anchors sort before clicks at equal timestamps (inclusive as-of)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("is_anchor").desc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("last_purchase_us",
+          last(col("anchor_us"), ignoreNulls = true).over(w))
+        .filter(col("is_anchor") === 0)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("click_us"), col("last_purchase_us"),
+          (col("us") - col("last_purchase_us")).as("gap_us"))
+        .orderBy(col("click_id"))
+    }),
+
+    // JSON property extraction from the semi-structured props column.
+    "q37_json_extract" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.select(col("event_id"), col("event_type"),
+        expr("cast(get_json_object(props, '$.k') as int)").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -101,6 +156,35 @@ object Events {
            count(DISTINCT user_id) AS n_users,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the salted two-stage plan must equal the plain aggregation
+    "q35_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q36_asof_join" ->
+      """WITH e AS (SELECT event_id, event_type, user_id, epoch_us(ts) AS us FROM events),
+          tagged AS (
+            SELECT user_id, us, event_id, CAST(NULL AS BIGINT) AS anchor_us, 0 AS is_anchor
+            FROM e WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, us, event_id, us AS anchor_us, 1 AS is_anchor
+            FROM e WHERE event_type = 'purchase'),
+          carried AS (
+            SELECT user_id, us, event_id, is_anchor,
+              last_value(anchor_us IGNORE NULLS) OVER (
+                PARTITION BY user_id
+                ORDER BY us ASC, is_anchor DESC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+            FROM tagged)
+          SELECT event_id AS click_id, user_id, us AS click_us,
+            last_purchase_us, us - last_purchase_us AS gap_us
+          FROM carried WHERE is_anchor = 0 ORDER BY click_id""",
+    "q37_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
