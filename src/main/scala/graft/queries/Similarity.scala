@@ -127,6 +127,29 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Native-expression variant of cosine top-k: the codegen'd
+    // CosineSimilarity expression computes plain-double cosines (fused
+    // dot/norm loop inside the generated stage). Rows-only gate: the
+    // plain-double sum is order-sensitive, so no cross-engine oracle —
+    // FunctionsSpec pins correctness against a reference implementation.
+    "q38_cosine_native" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      broadcast(q).crossJoin(c)
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cos",
+          graft.functions.GraftFunctions.cosineSimilarity(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Per-label centroid statistics (the building block of IVF coarse
     // quantization): quantized component sums -> mean -> L2 norm.
     "q23_label_centroids" -> ((s, dir) => {
