@@ -149,6 +149,18 @@ class QueryEngineSpec extends SparkSpec {
     assert(rec.actualError < 0.3)
   }
 
+  test("planner-only mode (useMl=false) follows the cost model") {
+    // with the 0.25 sample registered earlier, the cost model picks it
+    val r = engine.query("SELECT count(*) AS n FROM lineitem",
+      engine.Options(useMl = false))
+    assert(r.planType == "sample", s"${r.planType}: ${r.reason}")
+    assert(r.sampleTable.exists(_.startsWith("lineitem__sample")))
+    // a table with no registered sample runs exact under the cost model
+    val r2 = engine.query("SELECT count(*) AS n FROM part",
+      engine.Options(useMl = false))
+    assert(r2.planType == "exact", s"${r2.planType}: ${r2.reason}")
+  }
+
   test("multi-table queries run exact (reference parity)") {
     val r = engine.query(
       "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey")
