@@ -9,11 +9,20 @@ import org.apache.spark.sql.SparkSession
   * steady-state latency, robust to transient container contention (the
   * reference's published numbers are warm-SQLite timings; a long-lived
   * Spark service amortizes the same way).
+  *
+  * Failures are NEVER silently swallowed: a throwing query is excluded
+  * from `queries`/total and reported under `errors` with its exception —
+  * breakage must look like breakage, not like a speedup.
+  *
+  * Dev iteration: SPARK_GRAFT_ONLY=q18_minhash_lsh,q19_ngram_jaccard
+  * restricts the run to a comma-separated subset.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,27 +30,53 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Force the COMPLETE declared plan: Dataset.count() re-optimizes with
+    // a count agg on top, letting Catalyst prune expensive projections —
+    // a projection-heavy query would report a fake-fast time. toRdd runs
+    // every operator exactly as a sink (parquet write, collect) would.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      fn(spark, sfDir).queryExecution.toRdd.count(); ()
     }
-    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    // warm pass; remember failures so the timed passes skip them
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    queries.foreach { case (name, fn) =>
+      try run(fn)
+      catch { case t: Throwable =>
+        errors(name) = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}" }
+    }
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(fn)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = queries.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = queries.collect { case (name, fn) if !errors.contains(name) =>
+      try name -> math.min(timed(fn), timed(fn))
+      catch { case t: Throwable =>
+        errors(name) = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+        name -> -1.0 }
+    }.filter(_._2 >= 0)
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // AQP speedups in the reference's BASELINE configuration: a 1%
     // materialized uniform sample answers COUNT/SUM/AVG/GROUP BY; a
     // stored HLL sketch answers COUNT DISTINCT. actual_speedup =
-    // t_exact / t_approx from the engine's dual-run measurement.
-    val aqp = try {
+    // t_exact / t_approx from the engine's dual-run measurement, and
+    // aqp_detail decomposes each case into planning / approx-execution /
+    // exact-execution wall-time so fixed Spark job latency is visible
+    // next to the engine's own work.
+    var aqp = "{}"
+    var aqpDetail = "{}"
+    try if (only.isEmpty) {
       import graft.catalog.MetaCatalog
       import graft.engine.QueryEngine
       Tables.registerAll(spark, sfDir)
@@ -58,15 +93,30 @@ object Bench {
         "sum" -> "SELECT sum(l_extendedprice * (1 - l_discount)) AS s FROM lineitem WHERE l_quantity < 30",
         "group_by" -> "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice * (1 - l_discount)) AS s, avg(l_quantity) AS aq FROM lineitem GROUP BY l_returnflag",
         "count_distinct" -> "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem")
-      cases.map { case (k, sql) =>
-        // warm both paths, then measure
-        engine.query(sql, engine.Options(measureExact = true))
-        val r = engine.query(sql, engine.Options(measureExact = true))
-        s"\"$k\":${r.actualSpeedup.getOrElse(0.0)}"
+      val measured = cases.map { case (k, sql) =>
+        engine.query(sql, engine.Options(measureExact = true)) // warm both paths
+        val t0 = System.nanoTime()
+        val r = engine.query(sql)
+        val tPlan = (System.nanoTime() - t0) / 1e6
+        val t1 = System.nanoTime()
+        r.df.collect()
+        val tApprox = (System.nanoTime() - t1) / 1e6
+        val t2 = System.nanoTime()
+        spark.sql(sql).collect()
+        val tExact = (System.nanoTime() - t2) / 1e6
+        (k, r.planType, tPlan, tApprox, tExact)
+      }
+      aqp = measured.map { case (k, _, _, ta, te) =>
+        s"${jstr(k)}:${if (ta > 0) te / ta else 0.0}"
       }.mkString("{", ",", "}")
-    } catch { case _: Throwable => "{}" }
+      aqpDetail = measured.map { case (k, pt, tp, ta, te) =>
+        s"""${jstr(k)}:{"plan_ms":${f"$tp%.1f"},"approx_ms":${f"$ta%.1f"},"exact_ms":${f"$te%.1f"},"plan_type":${jstr(pt)}}"""
+      }.mkString("{", ",", "}")
+    } catch { case t: Throwable =>
+      errors("aqp_speedups") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+    }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"aqp_speedups":$aqp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

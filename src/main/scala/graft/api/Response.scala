@@ -89,31 +89,59 @@ object Response {
           "size_bytes" -> s.data.length.toString))
       }.mkString("[", ", ", "]")))
 
+  private def planJson(r: QueryEngine#AqeResult): String = obj(Seq(
+    "type" -> jval(r.planType),
+    "reason" -> jval(r.reason),
+    "sample_table" -> r.sampleTable.map(jval).getOrElse("null"),
+    "sample_fraction" -> r.sampleFraction.map(jval).getOrElse("null")))
+
+  private def mlJson(r: QueryEngine#AqeResult): String = obj(Seq(
+    "strategy" -> jval(r.strategy),
+    "confidence" -> jval(r.confidence),
+    "estimated_speedup" -> jval(r.estimatedSpeedup),
+    "estimated_error" -> jval(r.estimatedError),
+    "reasoning" -> jval(r.reason),
+    "transformations" -> r.transformations.map(jval).mkString("[", ", ", "]")))
+
   /** Render an engine result in the reference response shape. */
   def render(r: QueryEngine#AqeResult, maxRows: Int = 1000): String = {
     val rows = r.df.limit(maxRows).collect().toSeq
-    val plan = obj(Seq(
-      "type" -> jval(r.planType),
-      "reason" -> jval(r.reason),
-      "sample_table" -> r.sampleTable.map(jval).getOrElse("null"),
-      "sample_fraction" -> r.sampleFraction.map(jval).getOrElse("null")))
     val meta = obj(Seq(
       "rows" -> rows.size.toString,
       "plan_type" -> jval(r.planType),
       "execution_time_ms" -> r.executionTimeMs.map(_.toString).getOrElse("null"),
       "actual_speedup" -> r.actualSpeedup.map(jval).getOrElse("null")))
-    val ml = obj(Seq(
-      "strategy" -> jval(r.strategy),
-      "confidence" -> jval(r.confidence),
-      "estimated_speedup" -> jval(r.estimatedSpeedup),
-      "estimated_error" -> jval(r.estimatedError),
-      "reasoning" -> jval(r.reason),
-      "transformations" -> r.transformations.map(jval).mkString("[", ", ", "]")))
     obj(Seq(
       "status" -> jval("success"),
-      "plan" -> plan,
+      "plan" -> planJson(r),
       "result" -> rowsJson(rows),
       "meta" -> meta,
-      "ml_optimization" -> ml))
+      "ml_optimization" -> mlJson(r)))
   }
+
+  /** POST /query with explain=true: plan + ml decision, no execution
+    * (/root/reference/app.py:107-112).
+    */
+  def renderExplain(r: QueryEngine#AqeResult): String = obj(Seq(
+    "status" -> jval("success"),
+    "plan" -> planJson(r),
+    "ml_optimization" -> mlJson(r)))
+
+  /** POST /samples/stratified response (/root/reference/app.py:205-210):
+    * sample table + per-stratum allocation + allocation type.
+    */
+  def renderStratified(name: String,
+      strata: Seq[graft.sample.Samplers.StratumAllocation],
+      allocationType: String): String = obj(Seq(
+    "status" -> jval("success"),
+    "sample_table" -> jval(name),
+    "strata" -> strata.sortBy(_.value).map { s =>
+      obj(Seq(
+        "value" -> jval(s.value),
+        "pop_size" -> s.popSize.toString,
+        "sample_size" -> s.sampleSize.toString,
+        "fraction" -> jval(s.fraction),
+        "weight" -> jval(s.weight)))
+    }.mkString("[", ", ", "]"),
+    "allocation_type" -> jval(allocationType)))
 }

@@ -1,0 +1,216 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.QueryEngine
+import graft.learn.QueryHistory
+import graft.sample.Samplers
+import graft.sketch.SketchOps
+
+/** The reference's HTTP serving surface (/root/reference/app.py:33-324)
+  * over JDK com.sun.net.httpserver — no new dependencies. Routes and
+  * response shapes:
+  *
+  *   GET  /health             {"status": "ok"}
+  *   GET  /tables             {"tables": [...]}            (app.py:44-58)
+  *   POST /query              engine pipeline              (app.py:61-163)
+  *   POST /samples/create     uniform sample               (app.py:165-186)
+  *   POST /samples/stratified stratified sample            (app.py:190-217)
+  *   GET  /samples            registered-sample listing
+  *   POST /sketches/create    HLL / CMS build              (app.py:221-290)
+  *   GET  /sketches?table=t   sketch listing               (app.py:293-305)
+  *   GET  /ml/stats           learning stats               (app.py:308-324)
+  *
+  * Errors follow the reference: 400 {"error": msg} for bad arguments,
+  * 500 {"error": msg} on execution failure, 404 {"error": "Not found"}.
+  *
+  * Serving is driver-side by design — the server hands each request to
+  * the engine, which executes distributed Spark jobs; only the final
+  * (limited) result rows are collected, exactly like the reference
+  * materializes rows for Flask.
+  */
+final class Server(val engine: QueryEngine, port: Int = 0) {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(null) // dispatcher thread; Spark does the parallel work
+
+  def boundPort: Int = server.getAddress.getPort
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  private def spark: SparkSession = engine.spark
+
+  private def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def err(msg: String): String =
+    s"""{"error": ${"\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}"""
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def queryParam(ex: HttpExchange, key: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&").toSeq)
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if k == key => v }
+
+  private def handle(path: String, method: String)(
+      body: HttpExchange => (Int, String)): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      try {
+        // exact-path match: createContext is prefix-based, the reference
+        // routes are exact
+        if (ex.getRequestURI.getPath != path)
+          reply(ex, 404, err("Not found"))
+        else if (ex.getRequestMethod != method)
+          reply(ex, 405, err("method not allowed"))
+        else {
+          val (code, out) = body(ex)
+          reply(ex, code, out)
+        }
+      } catch {
+        case t: Throwable => reply(ex, 500, err(String.valueOf(t.getMessage)))
+      } finally ex.close()
+    })
+
+  handle("/health", "GET") { _ => (200, """{"status": "ok"}""") }
+
+  handle("/tables", "GET") { _ =>
+    val names = spark.catalog.listTables().collect().map(_.name).sorted
+    (200, names.map(n => "\"" + n + "\"").mkString("""{"tables": [""", ", ", "]}"))
+  }
+
+  handle("/query", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val sql = req("sql").flatMap(_.str).getOrElse("").trim
+        if (sql.isEmpty) (400, err("sql required"))
+        else {
+          val opts = engine.Options(
+            maxRelError = req("max_rel_error").flatMap(_.num).getOrElse(0.05),
+            preferExact = req("prefer_exact").flatMap(_.bool).getOrElse(false),
+            useMl = req("use_ml_optimization").flatMap(_.bool).getOrElse(false),
+            measureExact = req("use_ml_optimization").flatMap(_.bool).getOrElse(false))
+          val r = engine.query(sql, opts)
+          if (req("explain").flatMap(_.bool).getOrElse(false))
+            (200, Response.renderExplain(r))
+          else (200, Response.render(r))
+        }
+    }
+  }
+
+  handle("/samples/create", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val f = req("sample_fraction").flatMap(_.num).getOrElse(0.0)
+        if (table.isEmpty || f <= 0 || f >= 1)
+          (400, err("table and 0<sample_fraction<1 required"))
+        else {
+          val (name, rows) = Samplers.createUniform(spark, engine.catalog, table, f)
+          (200, s"""{"status": "ok", "sample_table": "$name", "rows": $rows}""")
+        }
+    }
+  }
+
+  handle("/samples/stratified", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val strataCol = req("strata_column").flatMap(_.str).getOrElse("")
+        val f = req("total_fraction").flatMap(_.num).getOrElse(0.0)
+        val varCol = req("variance_column").flatMap(_.str)
+        if (table.isEmpty || strataCol.isEmpty || f <= 0 || f >= 1)
+          (400, err("table, strata_column and 0<total_fraction<1 required"))
+        else {
+          val (name, strata) =
+            Samplers.createStratified(spark, engine.catalog, table, strataCol, f, varCol)
+          (200, Response.renderStratified(name, strata,
+            if (varCol.isDefined) "neyman" else "proportional"))
+        }
+    }
+  }
+
+  handle("/sketches/create", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val column = req("column").flatMap(_.str)
+        val sketchType = req("sketch_type").flatMap(_.str).getOrElse("")
+        val params = req("parameters").getOrElse(Json.O(Map.empty))
+        if (table.isEmpty || sketchType.isEmpty)
+          (400, err("table and sketch_type required"))
+        else sketchType match {
+          case "hyperloglog" =>
+            column match {
+              case None => (400, err("column required for HyperLogLog"))
+              case Some(c) =>
+                val (size, _) = SketchOps.createHll(spark, engine.catalog, table, c)
+                (200, s"""{"status": "ok", "sketch_type": "hyperloglog", "size_bytes": $size}""")
+            }
+          case "countmin" =>
+            val eps = params("epsilon").flatMap(_.num).getOrElse(0.01)
+            val delta = params("delta").flatMap(_.num).getOrElse(0.01)
+            val size = SketchOps.createCmsOpt(spark, engine.catalog, table, column, eps, delta)
+            (200, s"""{"status": "ok", "sketch_type": "countmin", "size_bytes": $size}""")
+          case _ => (400, err("unsupported sketch type"))
+        }
+    }
+  }
+
+  handle("/sketches", "GET") { ex =>
+    queryParam(ex, "table") match {
+      case None => (400, err("table parameter required"))
+      case Some(t) => (200, Response.renderSketches(engine.catalog.listSketches(Some(t))))
+    }
+  }
+
+  handle("/samples", "GET") { ex =>
+    val t = queryParam(ex, "table")
+    val all = t.fold(graft.Tables.all.flatMap(engine.catalog.samplesFor))(
+      x => engine.catalog.samplesFor(x))
+    (200, Response.renderSamples(all))
+  }
+
+  handle("/ml/stats", "GET") { _ =>
+    (200, Response.renderLearningStats(engine.history.learningStats()))
+  }
+
+  // catch-all 404 like the reference's errorhandler (app.py:322-324)
+  server.createContext("/", (ex: HttpExchange) => {
+    try reply(ex, 404, err("Not found")) finally ex.close()
+  })
+}
+
+/** Standalone entry point: `runMain graft.api.Serve [sfDir] [port]` boots
+  * a local session over the driver testdata and serves the REST contract.
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val port = args.lift(1).map(_.toInt).getOrElse(8765)
+    val spark = graft.Tables.session()
+    graft.Tables.registerAll(spark, sfDir)
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-serve").toString)
+    val server = new Server(new QueryEngine(spark, catalog, new QueryHistory), port)
+    server.start()
+    println(s"graft engine serving on http://127.0.0.1:${server.boundPort}")
+    Thread.currentThread().join()
+  }
+}

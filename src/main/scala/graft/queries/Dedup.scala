@@ -9,25 +9,71 @@ import graft.Tables
   * LSH banding near-dup candidates, exact n-gram Jaccard via an
   * inverted-index join, and SimHash signatures.
   *
-  * Determinism/oracle design: all hashing is md5 (identical in Spark and
-  * DuckDB), min-hash ordering is lexicographic over hex strings, and
-  * similarity filters compare integers (match counts) where possible, so
-  * every query hash-matches its DuckDB oracle.
+  * Determinism/oracle design: shingles are hashed ONCE to a 60-bit
+  * integer (first 15 hex chars of md5 — identical in Spark and DuckDB),
+  * and all MinHash/Jaccard arithmetic is integer arithmetic on that
+  * value, so every query hash-matches its DuckDB oracle bit-for-bit.
   *
   * Scale design (the 100 TB story):
   *  - exact dedup is one hash-aggregate — map-side partial aggregation,
   *    one shuffle on the fingerprint.
-  *  - MinHash signatures are per-row expressions (no shuffle); the LSH
-  *    self-join shuffles only (band, bandHash) keys whose buckets are
-  *    tiny by construction, instead of the O(n²) pair space.
-  *  - the exact-Jaccard join is an inverted index on shingles: cost is
-  *    bounded by shingle posting-list sizes, with the candidate pair
-  *    count, not n², driving the shuffle. Hot shingles (stop-shingles)
-  *    are the skew hazard at scale — mitigated by dropping top-frequency
-  *    shingles exactly like stop-words (documented, not needed at test SF).
+  *  - MinHash signatures are the standard universal-hashing construction
+  *    (Broder): hash each shingle once, derive the k permutation values
+  *    as (a_j·h + b_j) mod p with p = 2^31-1. This is explode + ONE
+  *    codegen'd hash-aggregate computing k mins (map-side partial agg),
+  *    not k digest passes per shingle. The LSH band join carries only
+  *    (doc_id, band, bandHash) — signatures rejoin AFTER candidate-pair
+  *    dedup, so the shuffle payload is 3 longs/row regardless of k.
+  *  - the exact-Jaccard join is an inverted index on hashed shingles
+  *    with an explicit stop-shingle guard: shingles whose document
+  *    frequency exceeds `maxShingleDf` are dropped before the self-join
+  *    (a hot shingle's posting list is quadratic in df — the same guard
+  *    every production near-dup pipeline applies to stop-words). Join
+  *    keys are 8-byte hashes, not shingle strings.
   *  - SimHash is explode + two hash-aggregates, all linear in corpus size.
   */
 object Dedup {
+
+  /** Mersenne prime 2^31-1: the MinHash permutation modulus. Products
+    * a_j·h with a_j, h < p stay under 2^62 — no 64-bit overflow in
+    * either engine (Spark ANSI mode and DuckDB both throw on overflow).
+    */
+  val P: Long = 2147483647L
+
+  /** Drop shingles appearing in more than this many documents before the
+    * exact-Jaccard self-join (stop-shingle skew guard).
+    */
+  val maxShingleDf: Int = 64
+
+  /** 60-bit integer hash of a string expression: value of the first 15
+    * hex chars of md5. Portable: md5 hex is identical in Spark and
+    * DuckDB, and 60 bits fit a signed BIGINT in both.
+    */
+  def h60Spark(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+
+  private val duckHexPows: String =
+    (1 to 15).map(i => BigInt(16).pow(15 - i).toString).mkString("[", ", ", "]")
+
+  /** DuckDB equivalent of [[h60Spark]] (DuckDB has no conv(); parse the
+    * 15 hex chars against literal BIGINT powers — the list literal is
+    * BIGINT-typed, so no INT32 overflow).
+    */
+  def h60Duck(e: String): String =
+    s"""CAST(list_sum([(strpos('0123456789abcdef', md5($e)[i]) - 1) * ($duckHexPows)[i]
+        for i in generate_series(1, 15)]) AS BIGINT)"""
+
+  /** 12 (a_j, b_j) permutation coefficients, md5-derived on the driver
+    * and inlined as literals into BOTH the Spark plan and the oracle SQL.
+    */
+  val perms: Seq[(Long, Long)] = {
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0 until 12).map(j => (h(s"minhash_a_$j") % (P - 1) + 1, h(s"minhash_b_$j") % P))
+  }
 
   /** Bind an expensive array-valued sub-expression to a lambda variable:
     * `element_at(transform(array(arr), v -> body), 1)` evaluates `arr`
@@ -66,11 +112,24 @@ object Dedup {
             ELSE [] END AS sh
        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)"""
 
+  /** (doc_id, h): one 60-bit hash per exploded shingle. */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(h60Spark("s")).as("h"))
+
+  private def duckShingleHashes: String =
+    s"""SELECT doc_id, ${h60Duck("s")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM ($duckShingled))"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by order/multiplicity-insensitive content hash,
-    // keep the smallest doc_id as the representative.
+    // keep the smallest doc_id as the representative. Repartition first:
+    // the md5-of-sorted-tokens projection is the expensive part and must
+    // not run on the single input split.
     "q17_dedup_exact" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           expr("md5(array_join(array_sort(array_distinct(split(lower(text), ' '))), ' '))")
             .as("fp"))
@@ -79,51 +138,64 @@ object Dedup {
         .orderBy(col("fp"))
     }),
 
-    // MinHash (12 perms as md5(j # shingle) hex-min) + LSH banding
-    // (6 bands x 2 rows): candidate pairs sharing >= 1 band, scored by
-    // signature agreement; kept when >= 5/12 hashes agree.
+    // MinHash (12 permutations (a_j*h+b_j) mod p over 60-bit shingle
+    // hashes) + LSH banding (6 bands x 2 rows). The signature is ONE
+    // whole-stage-codegen hash-aggregate; the band self-join carries
+    // (doc_id, band, bh) only; signatures rejoin after pair-dedup.
     "q18_minhash_lsh" -> ((s, dir) => {
-      val sig = shingled(s, dir).select(col("doc_id"),
-        expr(bound("sh", "shv",
-          """transform(sequence(0, 11),
-             j -> array_min(transform(shv, x -> md5(concat(cast(j as string), '#', x)))))"""))
-          .as("sig"))
-        // signatures are tiny (one row per doc) and read by both join
-        // sides + the band explode: materialize once (at cluster scale
-        // the standard LSH pipeline persists the signature dataset).
+      val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
+        expr(s"min((${a}L * h + ${b}L) % ${P}L)").as(s"m$j")
+      }
+      // signatures are tiny (one row per doc) and read by the band
+      // explode + both rejoin sides: materialize once (at cluster scale
+      // the standard LSH pipeline persists the signature dataset).
+      val sig = shingleHashes(s, dir)
+        .withColumn("h", col("h") % P)
+        .groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
         .localCheckpoint()
-      val bands = sig.select(col("doc_id"), col("sig"),
-        explode(expr("""transform(sequence(0, 5),
-          b -> struct(b as band, md5(concat(element_at(sig, 2*b+1), element_at(sig, 2*b+2))) as bh))"""))
-          .as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("band"), col("bh"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        col("band"), col("bh"))
-      a.join(b, Seq("band", "bh"))
+      val bandStructs = (0 until 6)
+        .map(b => s"struct($b as band, m${2 * b} * ${P}L + m${2 * b + 1} as bh)")
+        .mkString("array(", ", ", ")")
+      val bands = sig.select(col("doc_id"), explode(expr(bandStructs)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+          Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("size(filter(sequence(1, 12), i -> element_at(sig_a, i) = element_at(sig_b, i)))")
-            .as("n_match"))
+        .select(col("doc_a"), col("doc_b"))
         .distinct()
+      def sigAs(prefix: String, id: String): DataFrame =
+        sig.select(col("doc_id").as(id) +:
+          (0 until 12).map(j => col(s"m$j").as(s"$prefix$j")): _*)
+      val nMatch = (0 until 12)
+        .map(j => s"(case when am$j = bm$j then 1 else 0 end)").mkString(" + ")
+      pairs
+        .join(sigAs("am", "doc_a"), "doc_a")
+        .join(sigAs("bm", "doc_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), expr(nMatch).as("n_match"))
         .filter(col("n_match") >= 5)
         .withColumn("est_jaccard", expr("cast(n_match as double) / 12"))
+        .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Exact n-gram Jaccard near-dup pairs via inverted-index join on
-    // shingles (no LSH approximation; integer-count arithmetic).
+    // 60-bit shingle hashes, with the stop-shingle document-frequency
+    // guard applied before the self-join (no LSH approximation;
+    // integer-count arithmetic).
     "q19_ngram_jaccard" -> ((s, dir) => {
-      val ex = shingled(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        // the posting list is read 3x (both join sides + doc lengths):
-        // materialize once instead of recomputing the shingle scan.
+      // the posting list feeds the df aggregate + the kept-join;
+      // materialize once instead of recomputing the shingle scan.
+      val ex = shingleHashes(s, dir).localCheckpoint()
+      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val kept = ex
+        .join(dfreq.filter(col("df") <= maxShingleDf).select(col("h")), "h")
         .localCheckpoint()
-      val cnt = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = ex.as("a")
-        .join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = kept.as("a")
+        .join(kept.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("i"))
       inter
@@ -166,24 +238,35 @@ object Dedup {
                  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
                FROM documents)
          GROUP BY fp ORDER BY fp""",
-    "q18_minhash_lsh" ->
-      s"""WITH sh AS ($duckShingled),
-          sig AS (SELECT doc_id,
-            [list_min([md5(j::VARCHAR || '#' || x) for x in sh]) for j in generate_series(0, 11)] AS sig
-            FROM sh),
-          bands AS (SELECT doc_id, sig, unnest(generate_series(0, 5)) AS band FROM sig),
-          bh AS (SELECT doc_id, sig, band, md5(sig[2*band+1] || sig[2*band+2]) AS bh FROM bands),
-          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              len([i for i in generate_series(1, 12) if a.sig[i] = b.sig[i]]) AS n_match
-            FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b, CAST(n_match AS INT) AS n_match, CAST(n_match AS DOUBLE) / 12 AS est_jaccard
-          FROM pairs WHERE n_match >= 5 ORDER BY doc_a, doc_b""",
+    "q18_minhash_lsh" -> {
+      val minCols = perms.zipWithIndex
+        .map { case ((a, b), j) => s"min(($a * h + $b) % $P) AS m$j" }
+        .mkString(", ")
+      val bhList = (0 until 6)
+        .map(b => s"m${2 * b} * $P + m${2 * b + 1}").mkString("[", ", ", "]")
+      val nMatch = (0 until 12)
+        .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH hm AS (SELECT doc_id, h % $P AS h FROM ($duckShingleHashes)),
+          sig AS (SELECT doc_id, $minCols FROM hm GROUP BY doc_id),
+          bands AS (SELECT doc_id, unnest(generate_series(0, 5)) AS band, $bhList AS bhs FROM sig),
+          bh AS (SELECT doc_id, band, bhs[band + 1] AS bh FROM bands),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          scored AS (SELECT doc_a, doc_b, $nMatch AS n_match
+            FROM pairs JOIN sig sa ON pairs.doc_a = sa.doc_id
+                       JOIN sig sb ON pairs.doc_b = sb.doc_id)
+          SELECT doc_a, doc_b, CAST(n_match AS INT) AS n_match,
+                 CAST(n_match AS DOUBLE) / 12 AS est_jaccard
+          FROM scored WHERE n_match >= 5 ORDER BY doc_a, doc_b"""
+    },
     "q19_ngram_jaccard" ->
-      s"""WITH sh AS ($duckShingled),
-          ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-          cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      s"""WITH ex AS ($duckShingleHashes),
+          dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+          kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
+                   WHERE dfreq.df <= $maxShingleDf),
+          cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
           inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
           SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
           FROM inter

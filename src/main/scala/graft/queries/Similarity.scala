@@ -27,18 +27,23 @@ import graft.Tables
   * Scale design: brute force is quadratic and kept only as the baseline
   * over a bounded query set (top-k for Q query vectors is a broadcast of
   * Q rows against the corpus — linear). The LSH variant is the 100 TB
-  * path: per-row signatures (no shuffle), a bucket join on (band, 4-bit
-  * chunk) producing the candidate set (quadratic only within buckets),
-  * exact re-scoring on candidates, per-query top-k.
+  * path: signatures from one codegen hash-aggregate, a bucket join on
+  * (band, 8-bit chunk) carrying ids only (256 buckets/band keeps the
+  * within-bucket quadratic term near-linear overall), embedding rejoin
+  * after candidate dedup, exact re-scoring on candidates, per-query
+  * top-k.
   */
 object Similarity {
 
-  /** 16 hyperplanes as 64-char '+'/'-' sign strings, deterministically
-    * derived from md5("p{h}_{i}") (first byte >= 0x80 -> '+').
+  /** 32 hyperplanes as 64-char '+'/'-' sign strings, deterministically
+    * derived from md5("p{h}_{i}") (first byte >= 0x80 -> '+'). 32 planes
+    * = 4 LSH bands x 8 bits: 256 buckets per band, so expected bucket
+    * occupancy is n/256 — the candidate set stays near-linear in corpus
+    * size (4-bit chunks gave n/16, quasi-quadratic at scale).
     */
   val planes: Seq[String] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until 16).map { h =>
+    (0 until 32).map { h =>
       (1 to 64).map { i =>
         md.reset()
         val hex = md.digest(s"p${h}_$i".getBytes(StandardCharsets.UTF_8))
@@ -47,8 +52,11 @@ object Similarity {
     }
   }
 
-  private val planesSparkArr = planes.map(p => s"'$p'").mkString("array(", ", ", ")")
-  private val planesDuckArr = planes.map(p => s"'$p'").mkString("[", ", ", "]")
+  /** Plane h as a literal ±1 array indexed by dim (1-based). */
+  private def signsSpark(h: Int): String =
+    planes(h).map(c => if (c == '+') "1" else "-1").mkString("array(", ", ", ")")
+  private def signsDuck(h: Int): String =
+    planes(h).map(c => if (c == '+') "1" else "-1").mkString("[", ", ", "]")
 
   /** Spark SQL: integer-quantized dot product of two float arrays. */
   private def dotSpark(a: String, b: String): String =
@@ -88,36 +96,50 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // LSH ANN: 16-bit random-hyperplane signature, 4 bands x 4 bits;
-    // candidates share >= 1 band with the query; exact cosine re-scoring
-    // on candidates only; per-query top-k.
+    // LSH ANN: 32-bit random-hyperplane signature, 4 bands x 8 bits.
+    // The signature is ONE whole-stage-codegen hash-aggregate (explode
+    // dims -> 32 sign-weighted quantized sums), not an interpreted
+    // higher-order lambda; the band self-join carries only
+    // (vec_id, band, chunk); embeddings rejoin AFTER candidate-pair
+    // dedup for exact re-scoring; per-query top-k.
     "q22_ann_lsh" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      val signed = e.select(col("vec_id"), col("embedding"),
-        expr(s"""array_join(transform(sequence(0, 15), h ->
-            case when aggregate(sequence(1, 64), cast(0 as bigint),
-              (acc, i) -> acc + cast(floor(cast(element_at(embedding, i) as double) *
-                (case when substring(element_at($planesSparkArr, h + 1), i, 1) = '+'
-                      then cast(1 as double) else cast(-1 as double) end)
-                * 1000000) as bigint)) > 0 then '1' else '0' end), '')""").as("sig"))
-      val bands = signed.select(col("vec_id"), col("embedding"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> struct(b as band, substring(sig, 4*b+1, 4) as chunk))"))
-          .as("bc"))
-        .select(col("vec_id"), col("embedding"), col("bc.band"), col("bc.chunk"))
-      val qb = bands.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("band"), col("chunk"))
-      val cb = bands.select(col("vec_id").as("nid"),
-        col("embedding").as("ne"), col("band"), col("chunk"))
-      val cand = qb.join(cb, Seq("band", "chunk"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val vals = e
+        .select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(1, 64)")).as("dim"))
+        .select(col("vec_id"), col("dim"),
+          expr("cast(element_at(embedding, dim) as double)").as("x"))
+      val planeSums = (0 until 32).map(h =>
+        expr(s"sum(cast(floor(x * element_at(${signsSpark(h)}, dim) * cast(1000000 as double)) as bigint))")
+          .as(s"p$h"))
+      val chunks = (0 until 4).map { b =>
+        (0 until 8).map(k =>
+          s"(case when p${8 * b + k} > 0 then ${1 << (7 - k)} else 0 end)")
+          .mkString(" + ")
+      }
+      val sig = vals.groupBy(col("vec_id"))
+        .agg(planeSums.head, planeSums.tail: _*)
+      val bandStructs = (0 until 4)
+        .map(b => s"struct($b as band, ${chunks(b)} as chunk)")
+        .mkString("array(", ", ", ")")
+      val bands = sig.select(col("vec_id"), explode(expr(bandStructs)).as("bc"))
+        .select(col("vec_id"), col("bc.band"), col("bc.chunk"))
+        .localCheckpoint()
+      val cand = bands.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("band"), col("chunk"))
+        .join(bands.select(col("vec_id").as("nid"), col("band"), col("chunk")),
+          Seq("band", "chunk"))
         .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("qe"), col("nid"), col("ne"))
+        .select(col("qid"), col("nid"))
         .distinct()
+      val emb = Tables.load(s, dir, "embeddings")
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid").asc)
       cand
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
         .withColumn("cos", expr(
           s"""cast(${dotSpark("qe", "ne")} as double) /
               sqrt(cast(${dotSpark("qe", "qe")} as double) * cast(${dotSpark("ne", "ne")} as double))"""))
@@ -187,31 +209,36 @@ object Similarity {
             FROM scored)
           SELECT qid, nid, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
-    "q22_ann_lsh" ->
-      s"""WITH sig AS (SELECT vec_id, embedding,
-            array_to_string([CASE WHEN CAST(list_sum([
-                CAST(floor(CAST(embedding[i] AS DOUBLE) *
-                  (CASE WHEN ($planesDuckArr)[h + 1][i] = '+'
-                        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
-                  * 1000000) AS BIGINT)
-                for i in generate_series(1, 64)]) AS BIGINT) > 0 THEN '1' ELSE '0' END
-              for h in generate_series(0, 15)], '') AS sig
-            FROM embeddings),
-          bands AS (SELECT vec_id, embedding, unnest(generate_series(0, 3)) AS band, sig FROM sig),
-          chunks AS (SELECT vec_id, embedding, band, sig[4*band+1 : 4*band+4] AS chunk FROM bands),
-          cand AS (SELECT DISTINCT q.vec_id AS qid, q.embedding AS qe,
-              c.vec_id AS nid, c.embedding AS ne
-            FROM chunks q JOIN chunks c ON q.band = c.band AND q.chunk = c.chunk
+    "q22_ann_lsh" -> {
+      val planeSums = (0 until 32).map(h =>
+        s"sum(CAST(floor(x * (${signsDuck(h)})[dim] * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS p$h")
+        .mkString(", ")
+      val chunkList = (0 until 4).map { b =>
+        (0 until 8).map(k =>
+          s"(CASE WHEN p${8 * b + k} > 0 THEN ${1 << (7 - k)} ELSE 0 END)")
+          .mkString(" + ")
+      }.mkString("[", ", ", "]")
+      s"""WITH vals AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          x AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM vals),
+          sig AS (SELECT vec_id, $planeSums FROM x GROUP BY vec_id),
+          bands AS (SELECT vec_id, unnest(generate_series(0, 3)) AS band, $chunkList AS chs FROM sig),
+          ch AS (SELECT vec_id, band, chs[band + 1] AS chunk FROM bands),
+          cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+            FROM ch q JOIN ch c ON q.band = c.band AND q.chunk = c.chunk
             WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+          we AS (SELECT qid, nid, eq.embedding AS qe, en.embedding AS ne
+            FROM cand JOIN embeddings eq ON cand.qid = eq.vec_id
+                      JOIN embeddings en ON cand.nid = en.vec_id),
           scored AS (SELECT qid, nid,
             CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
               sqrt(CAST(${dotDuck("qe", "qe")} AS DOUBLE) * CAST(${dotDuck("ne", "ne")} AS DOUBLE)) AS cos
-            FROM cand),
+            FROM we),
           ranked AS (SELECT qid, nid, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
             FROM scored)
           SELECT qid, nid, CAST(rank AS INT) AS rank, cos
-          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
+          FROM ranked WHERE rank <= $topK ORDER BY qid, rank"""
+    },
     "q23_label_centroids" ->
       """WITH comp AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
           vals AS (SELECT label, dim,

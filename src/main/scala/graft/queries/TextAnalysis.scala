@@ -21,11 +21,20 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Tokenized view: doc_id, t = lower-cased whitespace tokens. */
+  /** Tokenized view: doc_id, t = lower-cased whitespace tokens.
+    *
+    * The repartition (EXPLICIT count, so AQE cannot coalesce it) sits
+    * BETWEEN the split() projection and the expensive consumers: it
+    * spreads the single-file corpus across all cores AND, as an exchange
+    * boundary, stops Catalyst's project-collapsing from inlining split()
+    * into every downstream reference to `t` (see Dedup.bound — the same
+    * trap, measured 6s -> sub-second on q15/q16 at sf0.1).
+    */
   private def toks(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
         split(lower(col("text")), " ").as("t"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Per-language marker ("stopword") lists for language ID. Tiny by
     * design — a real deployment swaps in per-language lexicons; the

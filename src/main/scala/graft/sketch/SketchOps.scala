@@ -1,7 +1,7 @@
 package graft.sketch
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.catalog.MetaCatalog
 
@@ -34,14 +34,21 @@ object SketchOps {
 
   /** Build a CMS over `table.column` (one increment per row — the
     * GROUP BY pre-aggregation the reference does is folded into the
-    * aggregator), persist, return serialized size.
+    * aggregator), persist, return serialized size. With no column, the
+    * reference counts every row under the single key 'total'
+    * (/root/reference/app.py:262-265) — same here.
     */
   def createCms(spark: SparkSession, catalog: MetaCatalog, table: String,
-      column: String, epsilon: Double = 0.01, delta: Double = 0.01): Int = {
+      column: String, epsilon: Double = 0.01, delta: Double = 0.01): Int =
+    createCmsOpt(spark, catalog, table, Some(column), epsilon, delta)
+
+  def createCmsOpt(spark: SparkSession, catalog: MetaCatalog, table: String,
+      column: Option[String], epsilon: Double = 0.01, delta: Double = 0.01): Int = {
+    val key = column.fold(lit("total"))(c => col(c).cast("string"))
     val bytes = spark.table(table)
-      .select(Cms.sketchAgg(col(column).cast("string"), epsilon, delta).as("s"))
+      .select(Cms.sketchAgg(key, epsilon, delta).as("s"))
       .collect().head.getAs[Array[Byte]]("s")
-    catalog.upsertSketch(catalog.SketchInfo(table, column, "countmin",
+    catalog.upsertSketch(catalog.SketchInfo(table, column.getOrElse(""), "countmin",
       bytes, s"""{"epsilon":$epsilon,"delta":$delta}""",
       System.currentTimeMillis()))
     bytes.length

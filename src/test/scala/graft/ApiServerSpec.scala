@@ -1,0 +1,177 @@
+package graft
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.api.{Json, Server}
+import graft.catalog.MetaCatalog
+import graft.engine.QueryEngine
+
+/** Boots the REST server on an ephemeral loopback port and asserts each
+  * route's JSON contract against the reference's response shapes
+  * (/root/reference/app.py:33-324).
+  */
+class ApiServerSpec extends SparkSpec {
+
+  private lazy val server: Server = {
+    Tables.registerAll(spark, sfDir)
+    val engine = new QueryEngine(spark,
+      new MetaCatalog(Files.createTempDirectory("graft-http").toString))
+    val s = new Server(engine)
+    s.start()
+    s
+  }
+
+  override def afterAll(): Unit = {
+    server.stop()
+    super.afterAll()
+  }
+
+  private def http(method: String, path: String, body: Option[String] = None)
+      : (Int, String) = {
+    val url = URI.create(s"http://127.0.0.1:${server.boundPort}$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    }
+    val code = conn.getResponseCode
+    val is = try {
+      if (code >= 400) conn.getErrorStream else conn.getInputStream
+    } catch { case _: IOException => conn.getErrorStream }
+    val out = new String(is.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, out)
+  }
+
+  private def parsed(body: String): Json.V =
+    Json.parse(body).fold(m => fail(s"unparseable response $m: $body"), identity)
+
+  test("GET /health returns status ok") {
+    val (code, body) = http("GET", "/health")
+    assert(code == 200)
+    assert(parsed(body)("status").flatMap(_.str).contains("ok"))
+  }
+
+  test("GET /tables lists registered tables") {
+    val (code, body) = http("GET", "/tables")
+    assert(code == 200)
+    val tables = parsed(body)("tables") match {
+      case Some(Json.A(items)) => items.flatMap(_.str)
+      case other               => fail(s"no tables array: $other")
+    }
+    Tables.all.foreach(t => assert(tables.contains(t), s"missing $t"))
+  }
+
+  test("POST /query runs the engine pipeline and carries the contract") {
+    val (code, body) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n FROM nation", "use_ml_optimization": true}"""))
+    assert(code == 200)
+    val v = parsed(body)
+    assert(v("status").flatMap(_.str).contains("success"))
+    assert(v("plan").flatMap(_("type")).flatMap(_.str).nonEmpty)
+    assert(v("ml_optimization").flatMap(_("strategy")).flatMap(_.str).nonEmpty)
+    v("result") match {
+      case Some(Json.A(row :: Nil)) =>
+        assert(row("n").flatMap(_.num).contains(25.0))
+      case other => fail(s"expected one result row: $other")
+    }
+  }
+
+  test("POST /query explain returns the plan without executing") {
+    val (code, body) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n FROM nation", "explain": true}"""))
+    assert(code == 200)
+    val v = parsed(body)
+    assert(v("plan").nonEmpty && v("ml_optimization").nonEmpty)
+    assert(v("result").isEmpty)
+  }
+
+  test("POST /query without sql is a 400") {
+    val (code, body) = http("POST", "/query", Some("""{"max_rel_error": 0.1}"""))
+    assert(code == 400)
+    assert(parsed(body)("error").nonEmpty)
+  }
+
+  test("POST /samples/create materializes and registers a uniform sample") {
+    val (code, body) = http("POST", "/samples/create", Some(
+      """{"table": "orders", "sample_fraction": 0.1}"""))
+    assert(code == 200)
+    val v = parsed(body)
+    assert(v("status").flatMap(_.str).contains("ok"))
+    val name = v("sample_table").flatMap(_.str).getOrElse(fail("no sample_table"))
+    assert(name == "orders__sample_0_1")
+    assert(spark.table(name).count() == v("rows").flatMap(_.num).get.toLong)
+    // the sample now shows up in /samples and /tables
+    val (_, samples) = http("GET", "/samples?table=orders")
+    assert(samples.contains(name))
+    val (_, tables) = http("GET", "/tables")
+    assert(tables.contains(name))
+  }
+
+  test("POST /samples/stratified returns per-stratum allocations") {
+    val (code, body) = http("POST", "/samples/stratified", Some(
+      """{"table": "orders", "strata_column": "o_orderpriority", "total_fraction": 0.2}"""))
+    assert(code == 200)
+    val v = parsed(body)
+    assert(v("allocation_type").flatMap(_.str).contains("proportional"))
+    v("strata") match {
+      case Some(Json.A(items)) =>
+        assert(items.nonEmpty)
+        assert(items.forall(s => s("weight").flatMap(_.num).exists(_ > 0)))
+      case other => fail(s"no strata array: $other")
+    }
+  }
+
+  test("POST /sketches/create + GET /sketches roundtrip") {
+    val (code, body) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_custkey", "sketch_type": "hyperloglog"}"""))
+    assert(code == 200)
+    assert(parsed(body)("size_bytes").flatMap(_.num).exists(_ > 0))
+    val (code2, body2) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_orderpriority", "sketch_type": "countmin",
+         "parameters": {"epsilon": 0.01, "delta": 0.01}}"""))
+    assert(code2 == 200)
+    assert(parsed(body2)("sketch_type").flatMap(_.str).contains("countmin"))
+    val (code3, body3) = http("GET", "/sketches?table=orders")
+    assert(code3 == 200)
+    assert(body3.contains("hyperloglog") && body3.contains("countmin"))
+    // missing table param is a 400, like the reference
+    assert(http("GET", "/sketches")._1 == 400)
+  }
+
+  test("GET /ml/stats reflects measured queries") {
+    // measureExact=true (via use_ml_optimization) appends to history
+    http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n FROM orders", "use_ml_optimization": true}"""))
+    val (code, body) = http("GET", "/ml/stats")
+    assert(code == 200)
+    val v = parsed(body)
+    assert(v("strategies").nonEmpty)
+    assert(v("total_queries").flatMap(_.num).exists(_ >= 0))
+  }
+
+  test("unknown route is a JSON 404; wrong method a 405") {
+    val (code, body) = http("GET", "/nope")
+    assert(code == 404)
+    assert(parsed(body)("error").flatMap(_.str).contains("Not found"))
+    assert(http("GET", "/query")._1 == 405)
+  }
+
+  test("Json parser handles strings, escapes, nesting and rejects garbage") {
+    val v = parsed("""{"a": [1, 2.5, -3], "s": "q\"\\\nA", "b": true, "n": null, "o": {"k": "v"}}""")
+    assert(v("s").flatMap(_.str).contains("q\"\\\nA"))
+    assert(v("a") == Some(Json.A(List(Json.N(1), Json.N(2.5), Json.N(-3)))))
+    assert(v("b").flatMap(_.bool).contains(true))
+    assert(v("n").contains(Json.Null))
+    assert(v("o").flatMap(_("k")).flatMap(_.str).contains("v"))
+    assert(Json.parse("{bad}").isLeft)
+    assert(Json.parse("""{"a": 1} trailing""").isLeft)
+    assert(Json.parse("""{"a": }""").isLeft)
+  }
+}
