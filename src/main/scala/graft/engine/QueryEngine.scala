@@ -50,9 +50,20 @@ final class QueryEngine(
       executionTimeMs: Option[Long] = None,
       actualSpeedup: Option[Double] = None)
 
+  /** Parse + feature extraction cached per SQL text: a serving workload
+    * repeats query shapes, and the unresolved plan is immutable (every
+    * rewrite builds a new tree), so re-parsing per call is pure
+    * overhead. Bounded to keep the driver footprint flat.
+    */
+  private val parseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, QueryFeatures)]()
+
   def query(sql: String, opts: Options = Options()): AqeResult = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    val features = QueryFeatures.extract(parsed, sql)
+    if (parseCache.size > 1024) parseCache.clear()
+    val (parsed, features) = parseCache.computeIfAbsent(sql, { s =>
+      val p = spark.sessionState.sqlParser.parsePlan(s)
+      (p, QueryFeatures.extract(p, s))
+    })
 
     def exact(reason: String, confidence: Double = 0.95): AqeResult =
       AqeResult(spark.sql(sql), "exact", "exact", reason, confidence,

@@ -56,6 +56,27 @@ object Aqp {
         "SELECT count(DISTINCT l_partkey) AS nd_part FROM lineitem").df
     }),
 
+    // Oracle gate for the Horvitz-Thompson rewrite itself: run the FULL
+    // rewrite machinery (count->sum(w), sum->sum(x*w), CI companions)
+    // with the fraction forced to 1.0 — weights are exactly 1, so the
+    // rewritten plan must hash-match the plain exact aggregate, CI
+    // bounds collapse onto the estimate, and rel_error is exactly 0.
+    // Deterministic because l_quantity is integral (double sums of exact
+    // integers < 2^53 are order-independent); avg is excluded since its
+    // CI companion uses stddev_samp, whose merge order differs across
+    // engines in the last ulp.
+    "q39_aqp_ht_identity" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val parsed = s.sessionState.sqlParser.parsePlan(
+        """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      val d = graft.plan.SampleRewrite.Directive("lineitem",
+        graft.plan.Planner.ReadExact,
+        weight = Some(graft.plan.SampleRewrite.ConstWeight(1.0)),
+        rewriteDistinctToHll = false, hllRsd = None, addCiColumns = true)
+      graft.plan.SampleRewrite.rewrite(s, parsed, d)
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -78,6 +99,17 @@ object Aqp {
            CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
            CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
            CASE WHEN doc_id % 3 <> 0 THEN CAST(octet_length(encode(text)) AS BIGINT) * 40 ELSE CAST(0 AS BIGINT) END AS duration_ms
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q39_aqp_ht_identity" ->
+      """SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(l_quantity) AS DOUBLE) AS qty,
+           CAST(count(*) AS DOUBLE) AS n_ci_low,
+           CAST(count(*) AS DOUBLE) AS n_ci_high,
+           CAST(0 AS DOUBLE) AS n_rel_error,
+           CAST(sum(l_quantity) AS DOUBLE) AS qty_ci_low,
+           CAST(sum(l_quantity) AS DOUBLE) AS qty_ci_high,
+           CAST(0 AS DOUBLE) AS qty_rel_error
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
