@@ -30,18 +30,29 @@ object Samplers {
   /** Bernoulli uniform sample, materialized + registered.
     * Mirrors create_uniform_sample (/root/reference/sampler.py:9-47).
     */
+  /** Target rows per materialized sample file: small samples collapse to
+    * ONE file (a sample query's latency is then one scan task instead of
+    * one per source split), while a 100 TB-scale sample still fans out
+    * across files/executors.
+    */
+  private val sampleFileRows = 2L * 1000 * 1000
+
+  private def sampleFiles(expectedRows: Double): Int =
+    math.max(1, math.min(256, math.ceil(expectedRows / sampleFileRows).toInt))
+
   def createUniform(spark: SparkSession, catalog: MetaCatalog,
       table: String, fraction: Double, seed: Long = 42L): (String, Long) = {
     require(fraction > 0 && fraction < 1, "sample_fraction must be in (0,1)")
     val name = SampleNaming.uniformName(table, fraction)
     val path = s"${catalog.samplesDir}/$name"
     val df = spark.table(table)
+    val base = df.count()
     df.sample(withReplacement = false, fraction, seed)
+      .coalesce(sampleFiles(base * fraction))
       .write.mode("overwrite").parquet(path)
     val sampleDf = spark.read.parquet(path)
     sampleDf.createOrReplaceTempView(name)
     val rows = sampleDf.count()
-    val base = df.count()
     catalog.upsertTableStats(table, base)
     catalog.addSample(catalog.SampleInfo(table, name, fraction, None, path,
       System.currentTimeMillis()))
@@ -89,6 +100,7 @@ object Samplers {
       }
     df.stat.sampleBy(col(strataCol).cast("string"), fractions, seed)
       .withColumn("graft_weight", weightExpr)
+      .coalesce(sampleFiles(stats.map(_._2).sum * totalFraction))
       .write.mode("overwrite").parquet(path)
     val sampleDf = spark.read.parquet(path)
     sampleDf.createOrReplaceTempView(name)
