@@ -51,6 +51,32 @@ object Plans {
       "partial agg" -> "HashAggregate")
     check("q18_minhash_lsh",
       "signatures read from materialized checkpoint" -> "Scan ExistingRDD")
+
+    // LSH band exchanges must carry ONLY (id, band, bandHash) — the
+    // signature array / embedding vector rejoins AFTER candidate-pair
+    // dedup. Parse the formatted plan's Exchange blocks and fail if a
+    // band-keyed exchange ships a payload column.
+    def checkSlimBandExchange(name: String, payload: Seq[String]): Unit = {
+      // the band self-join plans as a shuffle (hashpartitioning(band..))
+      // at scale or a BroadcastExchange at test SF — either way the
+      // exchange must move only (id, band, bandHash), never the
+      // signature/embedding payload
+      val blocks = planOf(name).split("\n\n")
+      val bandExchanges = blocks.filter(b =>
+        (b.contains("Exchange hashpartitioning(band") ||
+          (b.contains("BroadcastExchange") && b.contains("band"))))
+      println(s"==== $name (band-exchange payload) ====")
+      if (bandExchanges.isEmpty) println("  [MISS] no band-keyed exchange found")
+      bandExchanges.foreach { b =>
+        val leaked = payload.filter(b.contains)
+        val slim = b.contains("Input [3]") && leaked.isEmpty
+        println(s"  [${if (slim) "OK" else "MISS"}] exchange carries 3 cols, " +
+          s"no ${payload.mkString("/")}" +
+          (if (leaked.nonEmpty) s" (leaked: ${leaked.mkString(",")})" else ""))
+      }
+    }
+    checkSlimBandExchange("q18_minhash_lsh", Seq("sig", "m0", "text"))
+    checkSlimBandExchange("q22_ann_lsh", Seq("embedding", "qe", "ne", "p0"))
     spark.stop()
   }
 }
