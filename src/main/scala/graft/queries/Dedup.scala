@@ -208,25 +208,28 @@ object Dedup {
     }),
 
     // SimHash: 64-bit signature; bit b is the sign of the count-weighted
-    // sum of (2*bit_b(md5(token)) - 1) over the doc's tokens.
+    // sum of (2*bit_b(md5(token)) - 1) over the doc's tokens. Computed as
+    // ONE hash-aggregate with 64 constant-folded bit-sum columns
+    // (sgn_b = 2*Σ cnt·bit_b - Σ cnt) instead of exploding 64 bit-rows
+    // per token — no 64x row blowup, no second shuffle, no collect_list.
     "q20_simhash" -> ((s, dir) => {
       val tc = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
         .withColumn("h", expr("md5(tok)"))
-      val bits = tc.select(col("doc_id"), col("cnt"), col("h"),
-        explode(expr("sequence(0, 63)")).as("b"))
-        .withColumn("nib",
-          expr("cast(conv(substring(h, cast(b div 4 as int) + 1, 1), 16, 10) as int)"))
-        .withColumn("contrib",
-          expr("cnt * (2 * (shiftright(nib, 3 - cast(b % 4 as int)) & 1) - 1)"))
-      bits.groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("contrib")).as("sgn"))
-        .withColumn("c", expr("case when sgn > 0 then '1' else '0' end"))
-        .groupBy(col("doc_id"))
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(b, c))), x -> x.c), '')")
-          .as("simhash"))
+      val bitSums = (0 until 64).map { b =>
+        val nib = s"cast(conv(substring(h, ${b / 4 + 1}, 1), 16, 10) as int)"
+        expr(s"sum(cnt * (shiftright($nib, ${3 - b % 4}) & 1))").as(s"s$b")
+      }
+      val simhash = (0 until 64)
+        .map(b => s"(case when 2 * s$b - tot > 0 then '1' else '0' end)")
+        .mkString("concat(", ", ", ")")
+      val aggs = bitSums :+ sum(col("cnt")).as("tot")
+      tc.groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), expr(simhash).as("simhash"))
         .orderBy(col("doc_id"))
     })
   )
