@@ -93,13 +93,17 @@ object Samplers {
     val path = s"${catalog.samplesDir}/$name"
     // Materialize the per-stratum Horvitz-Thompson weight (1/fraction_h)
     // with the sample so weighted aggregation needs no join at query time.
-    val weightExpr = allocations
-      .foldLeft(lit(null).cast("double")) { (acc, a) =>
-        when(col(strataCol).cast("string") === a.value,
-          lit(if (a.fraction > 0) 1.0 / a.fraction else 0.0)).otherwise(acc)
-      }
+    // The weight attaches via a broadcast join against the (tiny) strata
+    // table — a chained when() per stratum would build an O(strata)
+    // expression tree, which breaks down at high stratum cardinality.
+    import spark.implicits._
+    val weights = allocations
+      .map(a => (a.value, if (a.fraction > 0) 1.0 / a.fraction else 0.0))
+      .toDF("graft_stratum", "graft_weight")
     df.stat.sampleBy(col(strataCol).cast("string"), fractions, seed)
-      .withColumn("graft_weight", weightExpr)
+      .join(broadcast(weights),
+        col(strataCol).cast("string") === col("graft_stratum"), "left")
+      .drop("graft_stratum")
       .coalesce(sampleFiles(stats.map(_._2).sum * totalFraction))
       .write.mode("overwrite").parquet(path)
     val sampleDf = spark.read.parquet(path)

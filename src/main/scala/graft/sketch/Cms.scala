@@ -117,7 +117,7 @@ object Cms {
     }
     def merge(a: Cms, other: Cms): Cms = a.merge(other)
     def finish(acc: Cms): Array[Byte] = acc.serialize
-    def bufferEncoder: Encoder[Cms] = Encoders.javaSerialization[Cms]
+    def bufferEncoder: Encoder[Cms] = Encoders.kryo[Cms]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 

@@ -131,7 +131,7 @@ object Hll {
     }
     def merge(a: Hll, other: Hll): Hll = a.merge(other)
     def finish(acc: Hll): Array[Byte] = acc.serialize
-    def bufferEncoder: Encoder[Hll] = Encoders.javaSerialization[Hll]
+    def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
