@@ -29,6 +29,10 @@ final class QueryEngine(
     val history: QueryHistory = new QueryHistory,
     val seed: Long = 42L) {
 
+  // the engine's native SQL functions (cosine_similarity) are available
+  // to every query this engine serves, including via POST /query
+  graft.functions.GraftFunctions.register(spark)
+
   case class Options(
       maxRelError: Double = 0.05,
       preferExact: Boolean = false,

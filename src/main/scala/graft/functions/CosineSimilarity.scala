@@ -93,4 +93,37 @@ object GraftFunctions {
       CosineSimilarity(
         org.apache.spark.sql.GraftPlanExec.toExpression(a),
         org.apache.spark.sql.GraftPlanExec.toExpression(b)))
+
+  /** Function-registry descriptor shared by [[GraftExtensions]] (the
+    * spark.sql.extensions path for new sessions) and [[register]] (an
+    * already-running session, e.g. the engine behind POST /query).
+    */
+  val cosineSimilarityDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[CosineSimilarity].getName, "cosine_similarity"),
+    { children =>
+      require(children.length == 2,
+        s"cosine_similarity expects 2 arguments, got ${children.length}")
+      CosineSimilarity(children(0), children(1))
+    })
+
+  /** Make `cosine_similarity` callable from SQL on an existing session
+    * (idempotent — re-registration replaces).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = cosineSimilarityDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** SparkSessionExtensions entry point: enable the engine's native SQL
+  * functions on any session via
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
 }

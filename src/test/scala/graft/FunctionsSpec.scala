@@ -33,6 +33,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("cosine_similarity is callable from SQL once registered") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(
+           array(cast(3.0 as float), cast(4.0 as float)),
+           array(cast(3.0 as float), cast(4.0 as float))) AS cos""")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    // engine construction registers it too (the POST /query surface)
+    Tables.registerAll(spark, sfDir)
+    val engine = new graft.engine.QueryEngine(spark,
+      new graft.catalog.MetaCatalog(
+        java.nio.file.Files.createTempDirectory("graft-fn").toString))
+    val viaEngine = engine.query(
+      """SELECT max(cosine_similarity(e1.embedding, e2.embedding)) AS m
+         FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id""")
+    assert(viaEngine.df.collect().head.getDouble(0) <= 1.0 + 1e-9)
+    // the extensions entry point constructs and injects without error
+    new graft.functions.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("cosine_similarity null and mismatch semantics") {
     import spark.implicits._
     val df = Seq(
