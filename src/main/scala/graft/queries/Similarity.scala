@@ -9,7 +9,9 @@ import graft.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
   * brute-force cosine top-k as the exactness baseline, random-hyperplane
-  * LSH as the approximate scale path, and per-label centroid stats.
+  * LSH as the approximate scale path (query-vs-corpus ANN in q22,
+  * corpus-level embedding-cosine near-dup pairs in q40), and per-label
+  * centroid stats.
   *
   * Determinism/oracle design: per-element double products are quantized
   * with floor(x*y*1e6) to BIGINT before summing. Integer addition is
@@ -72,6 +74,52 @@ object Similarity {
   private val nQueries = 8
   private val topK = 3
 
+  /** Exact-cosine threshold for embedding near-duplicate pairs (q40). */
+  val nearDupCos = 0.40
+
+  /** (vec_id, embedding, nrm) with the quantized self-dot-product
+    * computed ONCE per vector — rescoring joins read this instead of
+    * recomputing self-norms per candidate pair (the interpreted
+    * higher-order dot is the costly part; one per pair, not three).
+    */
+  private def normedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr(dotSpark("embedding", "embedding")).as("nrm"))
+      .localCheckpoint()
+
+  /** (vec_id, band, chunk) LSH bucket assignments for the whole corpus:
+    * ONE codegen hash-aggregate builds the 32-plane signature, then a
+    * 4-way band explode. Shared by q22 (query-vs-corpus ANN) and q40
+    * (corpus-level near-dup pairs); materialized once because both
+    * consumers read it on two join sides.
+    */
+  private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val vals = e
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(1, 64)")).as("dim"))
+      .select(col("vec_id"), col("dim"),
+        expr("cast(element_at(embedding, dim) as double)").as("x"))
+    val planeSums = (0 until 32).map(h =>
+      expr(s"sum(cast(floor(x * element_at(${signsSpark(h)}, dim) * cast(1000000 as double)) as bigint))")
+        .as(s"p$h"))
+    val chunks = (0 until 4).map { b =>
+      (0 until 8).map(k =>
+        s"(case when p${8 * b + k} > 0 then ${1 << (7 - k)} else 0 end)")
+        .mkString(" + ")
+    }
+    val sig = vals.groupBy(col("vec_id"))
+      .agg(planeSums.head, planeSums.tail: _*)
+    val bandStructs = (0 until 4)
+      .map(b => s"struct($b as band, ${chunks(b)} as chunk)")
+      .mkString("array(", ", ", ")")
+    sig.select(col("vec_id"), explode(expr(bandStructs)).as("bc"))
+      .select(col("vec_id"), col("bc.band"), col("bc.chunk"))
+      .localCheckpoint()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: Q query vectors against the full corpus.
     // Q rows broadcast; corpus side streams — one pass, no shuffle before
@@ -103,29 +151,7 @@ object Similarity {
     // (vec_id, band, chunk); embeddings rejoin AFTER candidate-pair
     // dedup for exact re-scoring; per-query top-k.
     "q22_ann_lsh" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      val vals = e
-        .select(col("vec_id"), col("embedding"),
-          explode(expr("sequence(1, 64)")).as("dim"))
-        .select(col("vec_id"), col("dim"),
-          expr("cast(element_at(embedding, dim) as double)").as("x"))
-      val planeSums = (0 until 32).map(h =>
-        expr(s"sum(cast(floor(x * element_at(${signsSpark(h)}, dim) * cast(1000000 as double)) as bigint))")
-          .as(s"p$h"))
-      val chunks = (0 until 4).map { b =>
-        (0 until 8).map(k =>
-          s"(case when p${8 * b + k} > 0 then ${1 << (7 - k)} else 0 end)")
-          .mkString(" + ")
-      }
-      val sig = vals.groupBy(col("vec_id"))
-        .agg(planeSums.head, planeSums.tail: _*)
-      val bandStructs = (0 until 4)
-        .map(b => s"struct($b as band, ${chunks(b)} as chunk)")
-        .mkString("array(", ", ", ")")
-      val bands = sig.select(col("vec_id"), explode(expr(bandStructs)).as("bc"))
-        .select(col("vec_id"), col("bc.band"), col("bc.chunk"))
-        .localCheckpoint()
+      val bands = lshBands(s, dir)
       val cand = bands.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("band"), col("chunk"))
         .join(bands.select(col("vec_id").as("nid"), col("band"), col("chunk")),
@@ -133,16 +159,21 @@ object Similarity {
         .filter(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"))
         .distinct()
-      val emb = Tables.load(s, dir, "embeddings")
+      // Norms once per VECTOR (not per pair): the interpreted quantized
+      // dot is the expensive part of rescoring, so the pair stage pays
+      // exactly one (the q·n product); self-norms ride the rejoin.
+      val emb = normedEmbeddings(s, dir)
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid").asc)
       cand
-        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
-        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne")), "nid")
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nrm").as("nn")), "nid")
         .withColumn("cos", expr(
           s"""cast(${dotSpark("qe", "ne")} as double) /
-              sqrt(cast(${dotSpark("qe", "qe")} as double) * cast(${dotSpark("ne", "ne")} as double))"""))
+              sqrt(cast(qn as double) * cast(nn as double))"""))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= topK)
         .select(col("qid"), col("nid"), col("rank"), col("cos"))
@@ -172,6 +203,35 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Embedding-cosine near-duplicate pairs over the WHOLE corpus — the
+    // fifth dedup modality (exact / MinHash-LSH / Jaccard / SimHash /
+    // embedding-cosine). Candidates come from the same 4x8-bit
+    // random-hyperplane banding as q22 (id-only self-join, so the band
+    // exchange carries 3 ints/row and within-bucket work is n/256 per
+    // band — near-linear overall); embeddings rejoin after candidate
+    // dedup for exact quantized-cosine re-scoring against the threshold.
+    "q40_embed_neardup" -> ((s, dir) => {
+      val bands = lshBands(s, dir)
+      val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("chunk"))
+        .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("chunk")),
+          Seq("band", "chunk"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+        .distinct()
+      val emb = normedEmbeddings(s, dir)
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ae"),
+          col("nrm").as("na")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("be"),
+          col("nrm").as("nb")), "vec_b")
+        .withColumn("cos", expr(
+          s"""cast(${dotSpark("ae", "be")} as double) /
+              sqrt(cast(na as double) * cast(nb as double))"""))
+        .filter(col("cos") >= nearDupCos)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // Per-label centroid statistics (the building block of IVF coarse
     // quantization): quantized component sums -> mean -> L2 norm.
     "q23_label_centroids" -> ((s, dir) => {
@@ -193,6 +253,26 @@ object Similarity {
     })
   )
 
+  /** DuckDB CTE chain computing the (vec_id, band, chunk) LSH buckets —
+    * the oracle-side mirror of [[lshBands]], shared by q22 and q40.
+    */
+  private def duckBandCtes: String = {
+    val planeSums = (0 until 32).map(h =>
+      s"sum(CAST(floor(x * (${signsDuck(h)})[dim] * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS p$h")
+      .mkString(", ")
+    val chunkList = (0 until 4).map { b =>
+      (0 until 8).map(k =>
+        s"(CASE WHEN p${8 * b + k} > 0 THEN ${1 << (7 - k)} ELSE 0 END)")
+        .mkString(" + ")
+    }.mkString("[", ", ", "]")
+    s"""vals AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+        x AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM vals),
+        sig AS (SELECT vec_id, $planeSums FROM x GROUP BY vec_id),
+        bands AS (SELECT vec_id, unnest(generate_series(0, 3)) AS band, $chunkList AS chs FROM sig),
+        ch AS (SELECT vec_id, band, chs[band + 1] AS chunk FROM bands),
+        nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q21_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
@@ -209,36 +289,39 @@ object Similarity {
             FROM scored)
           SELECT qid, nid, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
-    "q22_ann_lsh" -> {
-      val planeSums = (0 until 32).map(h =>
-        s"sum(CAST(floor(x * (${signsDuck(h)})[dim] * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS p$h")
-        .mkString(", ")
-      val chunkList = (0 until 4).map { b =>
-        (0 until 8).map(k =>
-          s"(CASE WHEN p${8 * b + k} > 0 THEN ${1 << (7 - k)} ELSE 0 END)")
-          .mkString(" + ")
-      }.mkString("[", ", ", "]")
-      s"""WITH vals AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
-          x AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM vals),
-          sig AS (SELECT vec_id, $planeSums FROM x GROUP BY vec_id),
-          bands AS (SELECT vec_id, unnest(generate_series(0, 3)) AS band, $chunkList AS chs FROM sig),
-          ch AS (SELECT vec_id, band, chs[band + 1] AS chunk FROM bands),
+    "q22_ann_lsh" ->
+      s"""WITH $duckBandCtes,
           cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
             FROM ch q JOIN ch c ON q.band = c.band AND q.chunk = c.chunk
             WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
-          we AS (SELECT qid, nid, eq.embedding AS qe, en.embedding AS ne
-            FROM cand JOIN embeddings eq ON cand.qid = eq.vec_id
-                      JOIN embeddings en ON cand.nid = en.vec_id),
+          we AS (SELECT qid, nid, eq.embedding AS qe, en.embedding AS ne,
+              eq.nrm AS qn, en.nrm AS nn
+            FROM cand JOIN nemb eq ON cand.qid = eq.vec_id
+                      JOIN nemb en ON cand.nid = en.vec_id),
           scored AS (SELECT qid, nid,
             CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
-              sqrt(CAST(${dotDuck("qe", "qe")} AS DOUBLE) * CAST(${dotDuck("ne", "ne")} AS DOUBLE)) AS cos
+              sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
             FROM we),
           ranked AS (SELECT qid, nid, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
             FROM scored)
           SELECT qid, nid, CAST(rank AS INT) AS rank, cos
-          FROM ranked WHERE rank <= $topK ORDER BY qid, rank"""
-    },
+          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
+    "q40_embed_neardup" ->
+      s"""WITH $duckBandCtes,
+          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM ch a JOIN ch b ON a.band = b.band AND a.chunk = b.chunk
+            WHERE a.vec_id < b.vec_id),
+          we AS (SELECT vec_a, vec_b, ea.embedding AS ae, eb.embedding AS be,
+              ea.nrm AS na, eb.nrm AS nb
+            FROM cand JOIN nemb ea ON cand.vec_a = ea.vec_id
+                      JOIN nemb eb ON cand.vec_b = eb.vec_id),
+          scored AS (SELECT vec_a, vec_b,
+            CAST(${dotDuck("ae", "be")} AS DOUBLE) /
+              sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS cos
+            FROM we)
+          SELECT vec_a, vec_b, cos FROM scored
+          WHERE cos >= $nearDupCos ORDER BY vec_a, vec_b""",
     "q23_label_centroids" ->
       """WITH comp AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
           vals AS (SELECT label, dim,

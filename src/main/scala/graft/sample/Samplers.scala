@@ -17,8 +17,10 @@ import graft.catalog.{MetaCatalog, SampleNaming}
   *    (/root/reference/sampler.py:152-164).
   *  - `sampleBy` applies per-stratum Bernoulli fractions map-side — again
   *    no shuffle beyond the stats pass.
-  *  - Samples are materialized as parquet and registered as temp views so
-  *    the planner can substitute them by relation name.
+  *  - Samples are materialized as parquet, registered as temp views so
+  *    the planner can substitute them by relation name, and pinned in the
+  *    in-memory cache — repeated cheap scans are the entire point of a
+  *    sample, and 1% of a 100 TB table fits the cluster cache tier.
   *  - Everything is seeded (default 42): the reference's unseeded
   *    `random()` makes its results nondeterministic; ours reproduce.
   */
@@ -50,7 +52,11 @@ object Samplers {
     df.sample(withReplacement = false, fraction, seed)
       .coalesce(sampleFiles(base * fraction))
       .write.mode("overwrite").parquet(path)
-    val sampleDf = spark.read.parquet(path)
+    // A sample's whole purpose is cheap repeated scans: pin it in memory.
+    // At 1% a sample fits where its base table does not (100 TB -> 1 TB
+    // across the cluster's cache tier); parquet stays as the spill/restart
+    // source of truth. The count() below materializes the cache eagerly.
+    val sampleDf = spark.read.parquet(path).cache()
     sampleDf.createOrReplaceTempView(name)
     val rows = sampleDf.count()
     catalog.upsertTableStats(table, base)
@@ -106,7 +112,9 @@ object Samplers {
       .drop("graft_stratum")
       .coalesce(sampleFiles(stats.map(_._2).sum * totalFraction))
       .write.mode("overwrite").parquet(path)
-    val sampleDf = spark.read.parquet(path)
+    // Pinned in memory like the uniform sample (see createUniform); the
+    // achieved-size aggregate below doubles as eager materialization.
+    val sampleDf = spark.read.parquet(path).cache()
     sampleDf.createOrReplaceTempView(name)
 
     // Read back ACHIEVED per-stratum sizes (sampler.py:249-266) — Bernoulli

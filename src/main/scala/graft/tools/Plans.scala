@@ -77,6 +77,7 @@ object Plans {
     }
     checkSlimBandExchange("q18_minhash_lsh", Seq("sig", "m0", "text"))
     checkSlimBandExchange("q22_ann_lsh", Seq("embedding", "qe", "ne", "p0"))
+    checkSlimBandExchange("q40_embed_neardup", Seq("embedding", "ae", "be", "p0"))
     spark.stop()
   }
 }
