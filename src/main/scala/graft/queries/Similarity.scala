@@ -232,6 +232,66 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // IVF top-k search — the inverted-file ANN scale path: per-label
+    // centroids form the coarse quantizer (the q23 building block made
+    // whole), EVERY vector is assigned to its nearest centroid by
+    // quantized score (one n×k×d pass, the standard offline IVF
+    // assignment), and a query probes ONLY its own cell (nprobe=1) —
+    // candidate volume is n/k instead of n, then exact quantized-cosine
+    // rescoring + top-k. Centroids are k×d and broadcast; the only wide
+    // shuffles are keyed by vec_id/cell.
+    "q41_ivf_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val xs = e.select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(1, 64)")).as("dim"))
+        .select(col("vec_id"), col("dim"),
+          expr("cast(element_at(embedding, dim) as double)").as("x"))
+      // per-label centroid components, exactly the q23 construction:
+      // integer-quantized sums -> exact-in-double mean
+      val cent = e.select(col("label"), col("embedding"),
+        explode(expr("sequence(1, 64)")).as("dim"))
+        .select(col("label"), col("dim"),
+          expr("cast(floor(cast(element_at(embedding, dim) as double) * 1000000) as bigint)")
+            .as("vq"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("vq")).as("sv"), count(lit(1)).as("n"))
+        .select(col("label").as("cell"), col("dim"),
+          expr("cast(sv as double) / 1000000 / n").as("av"))
+      val w1 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("cell").asc)
+      val assign = xs.join(broadcast(cent), "dim")
+        .select(col("vec_id"), col("cell"),
+          expr("cast(floor(x * av * 1000000) as bigint)").as("t"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum(col("t")).as("score"))
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"))
+        .localCheckpoint()
+      val cand = assign.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("cell"))
+        .join(assign.select(col("vec_id").as("nid"), col("cell")), "cell")
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"))
+      val emb = normedEmbeddings(s, dir)
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      cand
+        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nrm").as("nn")), "nid")
+        .withColumn("cos", expr(
+          s"""cast(${dotSpark("qe", "ne")} as double) /
+              sqrt(cast(qn as double) * cast(nn as double))"""))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Per-label centroid statistics (the building block of IVF coarse
     // quantization): quantized component sums -> mean -> L2 norm.
     "q23_label_centroids" -> ((s, dir) => {
@@ -322,6 +382,40 @@ object Similarity {
             FROM we)
           SELECT vec_a, vec_b, cos FROM scored
           WHERE cos >= $nearDupCos ORDER BY vec_a, vec_b""",
+    "q41_ivf_topk" ->
+      s"""WITH xsrc AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          xs AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM xsrc),
+          csrc AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          cv AS (SELECT label, dim,
+              CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+            FROM csrc),
+          cent AS (SELECT label AS cell, dim,
+              CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
+            FROM cv GROUP BY label, dim),
+          scores AS (SELECT xs.vec_id, cent.cell,
+              CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS score
+            FROM xs JOIN cent ON xs.dim = cent.dim GROUP BY 1, 2),
+          assign AS (SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+              FROM scores) WHERE rn = 1),
+          cand AS (SELECT q.vec_id AS qid, n.vec_id AS nid
+            FROM assign q JOIN assign n ON q.cell = n.cell
+            WHERE q.vec_id < $nQueries AND q.vec_id <> n.vec_id),
+          nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+          we AS (SELECT qid, nid, eq.embedding AS qe, en.embedding AS ne,
+              eq.nrm AS qn, en.nrm AS nn
+            FROM cand JOIN nemb eq ON cand.qid = eq.vec_id
+                      JOIN nemb en ON cand.nid = en.vec_id),
+          scored AS (SELECT qid, nid,
+            CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
+              sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
+            FROM we),
+          ranked AS (SELECT qid, nid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+            FROM scored)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, cos
+          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
     "q23_label_centroids" ->
       """WITH comp AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
           vals AS (SELECT label, dim,
