@@ -106,18 +106,26 @@ object Bench {
         "sum" -> "SELECT sum(l_extendedprice * (1 - l_discount)) AS s FROM lineitem WHERE l_quantity < 30",
         "group_by" -> "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice * (1 - l_discount)) AS s, avg(l_quantity) AS aq FROM lineitem GROUP BY l_returnflag",
         "count_distinct" -> "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem")
+      // min of three passes per component, like the query bench: a single
+      // contended pass otherwise misreports the speedup in either
+      // direction (count_distinct measured 6.3x and 1.8x across r03/r04
+      // runs of identical code purely from host noise)
       val measured = cases.map { case (k, sql) =>
         engine.query(sql, engine.Options(measureExact = true)) // warm both paths
-        val t0 = System.nanoTime()
-        val r = engine.query(sql)
-        val tPlan = (System.nanoTime() - t0) / 1e6
-        val t1 = System.nanoTime()
-        r.df.collect()
-        val tApprox = (System.nanoTime() - t1) / 1e6
-        val t2 = System.nanoTime()
-        spark.sql(sql).collect()
-        val tExact = (System.nanoTime() - t2) / 1e6
-        (k, r.planType, tPlan, tApprox, tExact)
+        val passes = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val r = engine.query(sql)
+          val tPlan = (System.nanoTime() - t0) / 1e6
+          val t1 = System.nanoTime()
+          r.df.collect()
+          val tApprox = (System.nanoTime() - t1) / 1e6
+          val t2 = System.nanoTime()
+          spark.sql(sql).collect()
+          val tExact = (System.nanoTime() - t2) / 1e6
+          (r.planType, tPlan, tApprox, tExact)
+        }
+        (k, passes.head._1, passes.map(_._2).min, passes.map(_._3).min,
+          passes.map(_._4).min)
       }
       aqp = measured.map { case (k, _, _, ta, te) =>
         s"${jstr(k)}:${if (ta > 0) te / ta else 0.0}"
