@@ -191,10 +191,67 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     (200, Response.renderLearningStats(engine.history.learningStats()))
   }
 
-  // catch-all 404 like the reference's errorhandler (app.py:322-324)
+  // GET / serves the minimal web console (the reference ships a Flask
+  // UI at the same route, templates/index.html: an SQL box + error
+  // tolerance posting to /query and panels for tables/samples/sketches/
+  // learning stats — this page is an original re-expression of that
+  // contract, not a copy). Anything else is the reference's catch-all
+  // 404 (app.py:322-324).
   server.createContext("/", (ex: HttpExchange) => {
-    try reply(ex, 404, err("Not found")) finally ex.close()
+    try {
+      if (ex.getRequestURI.getPath == "/" && ex.getRequestMethod == "GET") {
+        val bytes = Server.indexHtml.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      } else reply(ex, 404, err("Not found"))
+    } finally ex.close()
   })
+}
+
+object Server {
+  /** The web console markup: one page, no assets, vanilla JS fetch()
+    * against the JSON routes.
+    */
+  val indexHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft — approximate query engine</title>
+      |<style>
+      |body{font-family:system-ui,sans-serif;margin:2rem auto;max-width:60rem;padding:0 1rem}
+      |textarea{width:100%;height:6rem;font-family:monospace}
+      |pre{background:#f6f6f6;padding:1rem;overflow:auto;border-radius:4px}
+      |button{margin:.25rem .5rem .25rem 0;padding:.4rem .8rem}
+      |label{margin-right:1rem}
+      |</style></head><body>
+      |<h1>graft</h1>
+      |<p>Spark-native approximate query engine — SQL goes to <code>POST /query</code>;
+      |the planner picks exact / sample / sketch / stratified execution.</p>
+      |<textarea id="sql">SELECT count(*) AS n FROM lineitem WHERE l_quantity &lt; 30</textarea>
+      |<div>
+      |<label>max_rel_error
+      |<select id="err"><option>0.01</option><option selected>0.05</option><option>0.10</option></select>
+      |</label>
+      |<label><input type="checkbox" id="exact"> prefer exact</label>
+      |</div>
+      |<button onclick="runQuery()">Run query</button>
+      |<button onclick="show('/tables')">Tables</button>
+      |<button onclick="show('/samples')">Samples</button>
+      |<button onclick="show('/sketches')">Sketches</button>
+      |<button onclick="show('/ml/stats')">Learning stats</button>
+      |<pre id="out">—</pre>
+      |<script>
+      |const out = document.getElementById('out');
+      |function render(p){p.then(r=>r.json()).then(j=>{out.textContent=JSON.stringify(j,null,2)})
+      |  .catch(e=>{out.textContent=String(e)})}
+      |function runQuery(){render(fetch('/query',{method:'POST',
+      |  headers:{'Content-Type':'application/json'},
+      |  body:JSON.stringify({sql:document.getElementById('sql').value,
+      |    max_rel_error:parseFloat(document.getElementById('err').value),
+      |    prefer_exact:document.getElementById('exact').checked})}))}
+      |function show(path){render(fetch(path))}
+      |</script></body></html>
+      |""".stripMargin
 }
 
 /** Standalone entry point: `runMain graft.api.Serve [sfDir] [port]` boots

@@ -58,6 +58,15 @@ class ApiServerSpec extends SparkSpec {
     assert(parsed(body)("status").flatMap(_.str).contains("ok"))
   }
 
+  test("GET / serves the web console; other paths 404") {
+    val (code, body) = http("GET", "/")
+    assert(code == 200)
+    assert(body.contains("<html") && body.contains("/query"))
+    val (nf, nfBody) = http("GET", "/nope")
+    assert(nf == 404)
+    assert(parsed(nfBody)("error").flatMap(_.str).contains("Not found"))
+  }
+
   test("GET /tables lists registered tables") {
     val (code, body) = http("GET", "/tables")
     assert(code == 200)
