@@ -110,13 +110,33 @@ object GraftFunctions {
       CosineSimilarity(children(0), children(1))
     })
 
-  /** Make `cosine_similarity` callable from SQL on an existing session
-    * (idempotent — re-registration replaces).
+  /** Column API for the quantized-dot expression (see [[QuantizedDot]]). */
+  def quantizedDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftPlanExec.toColumn(
+      QuantizedDot(
+        org.apache.spark.sql.GraftPlanExec.toExpression(a),
+        org.apache.spark.sql.GraftPlanExec.toExpression(b)))
+
+  val quantizedDotDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("quantized_dot"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[QuantizedDot].getName, "quantized_dot"),
+    { children =>
+      require(children.length == 2,
+        s"quantized_dot expects 2 arguments, got ${children.length}")
+      QuantizedDot(children(0), children(1))
+    })
+
+  /** Make the engine's native functions callable from SQL on an existing
+    * session (idempotent — re-registration replaces).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimilarityDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineSimilarityDescriptor, quantizedDotDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** SparkSessionExtensions entry point: enable the engine's native SQL
@@ -124,6 +144,8 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
+    ext.injectFunction(GraftFunctions.quantizedDotDescriptor)
+  }
 }

@@ -60,11 +60,17 @@ object Similarity {
   private def signsDuck(h: Int): String =
     planes(h).map(c => if (c == '+') "1" else "-1").mkString("[", ", ", "]")
 
-  /** Spark SQL: integer-quantized dot product of two float arrays. */
+  /** Spark side: integer-quantized dot product of two float arrays via
+    * the native codegen expression (functions.QuantizedDot — bit-for-bit
+    * the same `Σ floor(a_i·b_i·1e6)` as [[dotDuck]], but a fused
+    * primitive loop instead of an interpreted `aggregate(zip_with(...))`
+    * lambda). Callers must [[registerFns]] on the session first.
+    */
   private def dotSpark(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b,
-        (x, y) -> cast(floor(cast(x as double) * cast(y as double) * 1000000) as bigint)),
-        cast(0 as bigint), (acc, v) -> acc + v)"""
+    s"quantized_dot($a, $b)"
+
+  private def registerFns(s: SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
 
   /** DuckDB: the same quantized accumulation. */
   private def dotDuck(a: String, b: String): String =
@@ -82,11 +88,13 @@ object Similarity {
     * recomputing self-norms per candidate pair (the interpreted
     * higher-order dot is the costly part; one per pair, not three).
     */
-  private def normedEmbeddings(s: SparkSession, dir: String): DataFrame =
+  private def normedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    registerFns(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         expr(dotSpark("embedding", "embedding")).as("nrm"))
       .localCheckpoint()
+  }
 
   /** (vec_id, band, chunk) LSH bucket assignments for the whole corpus:
     * ONE codegen hash-aggregate builds the 32-plane signature, then a
@@ -125,6 +133,7 @@ object Similarity {
     // Q rows broadcast; corpus side streams — one pass, no shuffle before
     // the per-query top-k.
     "q21_cosine_topk" -> ((s, dir) => {
+      registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))

@@ -55,6 +55,38 @@ class FunctionsSpec extends SparkSpec {
       new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("quantized_dot equals the interpreted SQL fragment bit-for-bit") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .select(
+        expr("quantized_dot(a, b)").as("native"),
+        expr("""aggregate(zip_with(a, b,
+            (x, y) -> cast(floor(cast(x as double) * cast(y as double) * 1000000) as bigint)),
+            cast(0 as bigint), (acc, v) -> acc + v)""").as("interpreted"))
+    val rows = pairs.collect()
+    assert(rows.length == 32 * 32)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} interpreted=${r.getLong(1)}"))
+  }
+
+  test("quantized_dot null and mismatch semantics") {
+    import spark.implicits._
+    val vals = Seq(
+      (Some(Seq(1.5f, -2.0f)), Some(Seq(2.0f, 1.0f))),
+      (None, Some(Seq(1.0f))),
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f))))
+      .toDF("a", "b")
+      .select(GraftFunctions.quantizedDot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(vals(0).contains(3000000L - 2000000L)) // floor(3e6) + floor(-2e6)
+    assert(vals(1).isEmpty)
+    assert(vals(2).isEmpty)
+  }
+
   test("cosine_similarity null and mismatch semantics") {
     import spark.implicits._
     val df = Seq(
