@@ -61,7 +61,11 @@ object TextAnalysis {
         col("doc_id"),
         expr("size(t)").as("n_tokens"),
         expr("size(array_distinct(t))").as("n_types"),
-        expr("cast(aggregate(t, 0, (acc, x) -> acc + length(x)) as double) / size(t)")
+        // Σ length(token) == length(text) - #separators == len - (size-1)
+        // for a single-char split (empties retained) — the identity
+        // replaces an interpreted aggregate() lambda (CodegenFallback)
+        // with codegen integer arithmetic; values are unchanged.
+        expr("cast(length(text) - (size(t) - 1) as double) / size(t)")
           .as("avg_tok_len"),
         expr("cast(size(array_distinct(t)) as double) / size(t)").as("ttr"),
         // BPE-ish subtokenization: letter runs and digit runs as units
