@@ -89,7 +89,9 @@ object Bench {
     // next to the engine's own work.
     var aqp = "{}"
     var aqpDetail = "{}"
-    try if (only.isEmpty) {
+    // SPARK_GRAFT_AQP=1 forces the AQP section even under a query filter
+    // (fast iteration on just this section)
+    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_AQP")) {
       import graft.catalog.MetaCatalog
       import graft.engine.QueryEngine
       Tables.registerAll(spark, sfDir)
@@ -127,12 +129,28 @@ object Bench {
         (k, passes.head._1, passes.map(_._2).min, passes.map(_._3).min,
           passes.map(_._4).min)
       }
+      // Fixed per-job floor: a minimal 32-task aggregate over no real
+      // data, min-of-3. At bench scale this floor dominates BOTH sides
+      // of the speedup ratio (exact over 600K rows is itself ~1 floor);
+      // net_speedup = (exact-floor)/(approx-floor) is the ratio of the
+      // actual engine work, i.e. what the same plans yield once data
+      // size dwarfs scheduling latency. Both numbers are reported.
+      val fixedMs = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        spark.range(0, 32, 1, 32).agg(org.apache.spark.sql.functions.count("*")).collect()
+        (System.nanoTime() - t) / 1e6
+      }.min
+      def net(ta: Double, te: Double): Double = {
+        val a = math.max(ta - fixedMs, 1.0)
+        val e = math.max(te - fixedMs, 1.0)
+        e / a
+      }
       aqp = measured.map { case (k, _, _, ta, te) =>
         s"${jstr(k)}:${if (ta > 0) te / ta else 0.0}"
       }.mkString("{", ",", "}")
-      aqpDetail = measured.map { case (k, pt, tp, ta, te) =>
-        s"""${jstr(k)}:{"plan_ms":${f"$tp%.1f"},"approx_ms":${f"$ta%.1f"},"exact_ms":${f"$te%.1f"},"plan_type":${jstr(pt)}}"""
-      }.mkString("{", ",", "}")
+      aqpDetail = (measured.map { case (k, pt, tp, ta, te) =>
+        s"""${jstr(k)}:{"plan_ms":${f"$tp%.1f"},"approx_ms":${f"$ta%.1f"},"exact_ms":${f"$te%.1f"},"net_speedup":${f"${net(ta, te)}%.2f"},"plan_type":${jstr(pt)}}"""
+      } :+ s""""fixed_job_ms":${f"$fixedMs%.1f"}""").mkString("{", ",", "}")
     } catch { case t: Throwable =>
       errors("aqp_speedups") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
     }
