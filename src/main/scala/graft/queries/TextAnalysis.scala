@@ -117,6 +117,21 @@ object TextAnalysis {
         col("doc_id"),
         expr("md5(array_join(array_sort(array_distinct(t)), ' '))").as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus heavy hitters: top-20 tokens by total count with document
+    // frequency — the vocabulary/stop-word discovery pass of a corpus
+    // pipeline (and the ground truth a Count-Min sketch estimates).
+    // One explode + one hash-aggregate (map-side partial) + top-k;
+    // deterministic tie-break on the token itself.
+    "q42_heavy_hitters" -> ((s, dir) => {
+      toks(s, dir)
+        .select(col("doc_id"), explode(col("t")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20)
     })
   )
 
@@ -162,6 +177,11 @@ object TextAnalysis {
     "q16_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
-          FROM ($duckToks) ORDER BY doc_id"""
+          FROM ($duckToks) ORDER BY doc_id""",
+    "q42_heavy_hitters" ->
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM (SELECT doc_id, unnest(t) AS tok FROM ($duckToks))
+          GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"""
   )
 }
