@@ -108,11 +108,29 @@ object Bench {
         "sum" -> "SELECT sum(l_extendedprice * (1 - l_discount)) AS s FROM lineitem WHERE l_quantity < 30",
         "group_by" -> "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice * (1 - l_discount)) AS s, avg(l_quantity) AS aq FROM lineitem GROUP BY l_returnflag",
         "count_distinct" -> "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem")
+      // Fixed per-job floor: a minimal 32-task aggregate over no real
+      // data. At bench scale this floor dominates BOTH sides of the
+      // speedup ratio (exact over 600K rows is itself ~1 floor);
+      // net_speedup = (exact-floor)/(approx-floor) is the ratio of the
+      // actual engine work, i.e. what the same plans yield once data
+      // size dwarfs scheduling latency. Both numbers are reported.
+      // Floor samples are SPREAD across the AQP section (one before each
+      // case, two after) and min-taken — a probe bunched at one instant
+      // inherits whatever contention window happens to cover it (a
+      // bunched probe once read 354 ms on a host whose quiet floor is
+      // ~50 ms, clamping every net ratio).
+      def floorSample(): Double = {
+        val t = System.nanoTime()
+        spark.range(0, 32, 1, 32).agg(org.apache.spark.sql.functions.count("*")).collect()
+        (System.nanoTime() - t) / 1e6
+      }
+      val floorSamples = scala.collection.mutable.ArrayBuffer[Double]()
       // min of three passes per component, like the query bench: a single
       // contended pass otherwise misreports the speedup in either
       // direction (count_distinct measured 6.3x and 1.8x across r03/r04
       // runs of identical code purely from host noise)
       val measured = cases.map { case (k, sql) =>
+        floorSamples += floorSample()
         engine.query(sql, engine.Options(measureExact = true)) // warm both paths
         val passes = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -129,17 +147,9 @@ object Bench {
         (k, passes.head._1, passes.map(_._2).min, passes.map(_._3).min,
           passes.map(_._4).min)
       }
-      // Fixed per-job floor: a minimal 32-task aggregate over no real
-      // data, min-of-3. At bench scale this floor dominates BOTH sides
-      // of the speedup ratio (exact over 600K rows is itself ~1 floor);
-      // net_speedup = (exact-floor)/(approx-floor) is the ratio of the
-      // actual engine work, i.e. what the same plans yield once data
-      // size dwarfs scheduling latency. Both numbers are reported.
-      val fixedMs = (1 to 3).map { _ =>
-        val t = System.nanoTime()
-        spark.range(0, 32, 1, 32).agg(org.apache.spark.sql.functions.count("*")).collect()
-        (System.nanoTime() - t) / 1e6
-      }.min
+      floorSamples += floorSample()
+      floorSamples += floorSample()
+      val fixedMs = floorSamples.min
       def net(ta: Double, te: Double): Double = {
         val a = math.max(ta - fixedMs, 1.0)
         val e = math.max(te - fixedMs, 1.0)
