@@ -188,10 +188,14 @@ object Dedup {
       // the posting list feeds the df aggregate + the kept-join;
       // materialize once instead of recomputing the shingle scan.
       val ex = shingleHashes(s, dir).localCheckpoint()
+      // `kept` is deliberately NOT checkpointed: its plan ends h-hash-
+      // partitioned (the df-filter join), so the self-join below reuses
+      // that exchange on both sides (ReusedExchange) instead of
+      // re-shuffling a checkpoint whose partitioning Catalyst can no
+      // longer see.
       val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val kept = ex
         .join(dfreq.filter(col("df") <= maxShingleDf).select(col("h")), "h")
-        .localCheckpoint()
       val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = kept.as("a")
         .join(kept.as("b"),
