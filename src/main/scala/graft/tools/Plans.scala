@@ -51,6 +51,18 @@ object Plans {
       "partial agg" -> "HashAggregate")
     check("q18_minhash_lsh",
       "signatures read from materialized checkpoint" -> "Scan ExistingRDD")
+    // Exchange reuse is applied by AQE at RUNTIME (the static formatted
+    // plan only shows the initial AdaptiveSparkPlan), so this check
+    // executes the query and inspects the final executed plan.
+    locally {
+      val df = graft.SparkEntry.queries("q19_ngram_jaccard")(spark, sfDir)
+      df.queryExecution.toRdd.count()
+      val executed = df.queryExecution.executedPlan.toString
+      val ok = executed.contains("ReusedExchange") ||
+        executed.contains("StageReuse") || executed.contains("ReusedQueryStage")
+      println("==== q19_ngram_jaccard (executed plan) ====")
+      println(s"  [${if (ok) "OK" else "MISS"}] self-join reuses the h-partitioned exchange")
+    }
 
     // LSH band exchanges must carry ONLY (id, band, bandHash) — the
     // signature array / embedding vector rejoins AFTER candidate-pair
