@@ -150,16 +150,19 @@ object Bench {
       floorSamples += floorSample()
       floorSamples += floorSample()
       val fixedMs = floorSamples.min
-      def net(ta: Double, te: Double): Double = {
-        val a = math.max(ta - fixedMs, 1.0)
-        val e = math.max(te - fixedMs, 1.0)
-        e / a
+      // Undefined (null) when either side is within noise of the floor:
+      // a near-zero residual makes the ratio meaningless in both
+      // directions (a clamped 1 ms denominator once printed 75x).
+      def net(ta: Double, te: Double): String = {
+        val a = ta - fixedMs
+        val e = te - fixedMs
+        if (a > 20.0 && e > 20.0) f"${e / a}%.2f" else "null"
       }
       aqp = measured.map { case (k, _, _, ta, te) =>
         s"${jstr(k)}:${if (ta > 0) te / ta else 0.0}"
       }.mkString("{", ",", "}")
       aqpDetail = (measured.map { case (k, pt, tp, ta, te) =>
-        s"""${jstr(k)}:{"plan_ms":${f"$tp%.1f"},"approx_ms":${f"$ta%.1f"},"exact_ms":${f"$te%.1f"},"net_speedup":${f"${net(ta, te)}%.2f"},"plan_type":${jstr(pt)}}"""
+        s"""${jstr(k)}:{"plan_ms":${f"$tp%.1f"},"approx_ms":${f"$ta%.1f"},"exact_ms":${f"$te%.1f"},"net_speedup":${net(ta, te)},"plan_type":${jstr(pt)}}"""
       } :+ s""""fixed_job_ms":${f"$fixedMs%.1f"}""").mkString("{", ",", "}")
     } catch { case t: Throwable =>
       errors("aqp_speedups") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
