@@ -88,6 +88,28 @@ object Aqp {
       graft.plan.SampleRewrite.rewrite(s, parsed, d)
     }),
 
+    // Oracle gate for the STRATIFIED weight path (the WeightColumn twin
+    // of q39's ConstWeight gate): a registered "stratified sample" that
+    // is the full table with per-stratum HT weight exactly 1.0 must make
+    // the weighted rewrite (count -> sum(w), sum -> sum(x*w)) hash-match
+    // the plain exact aggregate. sum(o_custkey * 1.0) stays an exact
+    // integer in double (< 2^53), so the double sum is order-independent
+    // and cross-engine deterministic.
+    "q43_stratified_identity" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.table("orders")
+        .withColumn("graft_weight", lit(1.0))
+        .createOrReplaceTempView("orders__strat_identity")
+      val parsed = s.sessionState.sqlParser.parsePlan(
+        """SELECT o_orderpriority, count(*) AS n, sum(o_custkey) AS sk
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      val d = graft.plan.SampleRewrite.Directive("orders",
+        graft.plan.Planner.ReadSampleTable("orders__strat_identity", 1.0),
+        weight = Some(graft.plan.SampleRewrite.WeightColumn("graft_weight")),
+        rewriteDistinctToHll = false, hllRsd = None, addCiColumns = false)
+      graft.plan.SampleRewrite.rewrite(s, parsed, d)
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -113,6 +135,11 @@ object Aqp {
            CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
            CASE WHEN doc_id % 3 <> 0 THEN CAST(octet_length(encode(text)) AS BIGINT) * 40 ELSE CAST(0 AS BIGINT) END AS duration_ms
          FROM documents ORDER BY doc_id""",
+    "q43_stratified_identity" ->
+      """SELECT o_orderpriority,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(o_custkey) AS DOUBLE) AS sk
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q39_aqp_ht_identity" ->
       """SELECT l_returnflag,
            CAST(count(*) AS DOUBLE) AS n,
