@@ -41,6 +41,37 @@ object Analytics {
         .orderBy(col("bucket"))
     }),
 
+    // KMV (bottom-k) distinct-count estimator: keep the k smallest
+    // 60-bit hashes of the key; estimate NDV as (k-1) * 2^60 / h_(k).
+    // Unlike HLL this sketch is fully deterministic given the hash, so
+    // the DuckDB oracle reproduces the ESTIMATE bit-for-bit — an
+    // approximate operator with an exact cross-engine gate. Scale shape:
+    // per-partition top-k (map-side) merges k values per partition —
+    // the k-th smallest of n hashes never materializes more than k rows
+    // past the scan; the exact NDV companion column is one
+    // count(DISTINCT) for the rel_error report.
+    "q45_kmv_distinct" -> ((s, dir) => {
+      val k = 64
+      val pow60 = "1152921504606846976" // 2^60, exactly representable
+      val e = Tables.load(s, dir, "events")
+      val kth = e
+        .select(expr(Dedup.h60Spark("cast(user_id as string)")).as("h"))
+        .distinct()
+        .orderBy(col("h")).limit(k)
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      val exact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+      kth.crossJoin(exact)
+        // a sketch holding fewer than k hashes saw EVERY distinct value:
+        // report it exactly (the standard KMV small-cardinality case)
+        .withColumn("est_distinct", expr(
+          s"""case when k_used < $k then cast(k_used as double)
+              else cast(${k - 1} as double) * cast($pow60 as double) / cast(kth_hash as double) end"""))
+        .withColumn("rel_error", expr(
+          "(est_distinct - cast(n_exact as double)) / cast(n_exact as double)"))
+        .select(col("k_used"), col("kth_hash"), col("est_distinct"),
+          col("n_exact"), col("rel_error"))
+    }),
+
     // Table profile: per-column null counts + distinct cardinalities +
     // numeric ranges in one pass (single row).
     "q34_profile" -> ((s, dir) => {
@@ -72,6 +103,20 @@ object Analytics {
            count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q45_kmv_distinct" ->
+      s"""WITH hs AS (SELECT DISTINCT ${graft.queries.Dedup.h60Duck("CAST(user_id AS VARCHAR)")} AS h
+              FROM events),
+          bot AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+          kth AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM bot),
+          ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+          SELECT k_used, kth_hash, est_distinct, n_exact,
+            (est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+          FROM (SELECT CAST(k_used AS BIGINT) AS k_used, kth_hash,
+              CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                   ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(kth_hash AS DOUBLE) END AS est_distinct,
+              n_exact
+            FROM kth, ex)""",
     "q34_profile" ->
       """SELECT count(*) AS n_rows,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,

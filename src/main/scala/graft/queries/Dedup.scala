@@ -122,6 +122,47 @@ object Dedup {
     s"""SELECT doc_id, ${h60Duck("s")} AS h
         FROM (SELECT doc_id, unnest(sh) AS s FROM ($duckShingled))"""
 
+  /** Near-duplicate edges (doc_a < doc_b, n_match, est_jaccard) from the
+    * MinHash + LSH pipeline — the q18 result before its final sort,
+    * shared with the cluster-assignment operator (q44).
+    */
+  def minhashEdges(s: SparkSession, dir: String): DataFrame = {
+    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
+      expr(s"min((${a}L * h + ${b}L) % ${P}L)").as(s"m$j")
+    }
+    // signatures are tiny (one row per doc) and read by the band
+    // explode + both rejoin sides: materialize once (at cluster scale
+    // the standard LSH pipeline persists the signature dataset).
+    val sig = shingleHashes(s, dir)
+      .withColumn("h", col("h") % P)
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .localCheckpoint()
+    val bandStructs = (0 until 6)
+      .map(b => s"struct($b as band, m${2 * b} * ${P}L + m${2 * b + 1} as bh)")
+      .mkString("array(", ", ", ")")
+    val bands = sig.select(col("doc_id"), explode(expr(bandStructs)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    def sigAs(prefix: String, id: String): DataFrame =
+      sig.select(col("doc_id").as(id) +:
+        (0 until 12).map(j => col(s"m$j").as(s"$prefix$j")): _*)
+    val nMatch = (0 until 12)
+      .map(j => s"(case when am$j = bm$j then 1 else 0 end)").mkString(" + ")
+    pairs
+      .join(sigAs("am", "doc_a"), "doc_a")
+      .join(sigAs("bm", "doc_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), expr(nMatch).as("n_match"))
+      .filter(col("n_match") >= 5)
+      .withColumn("est_jaccard", expr("cast(n_match as double) / 12"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by order/multiplicity-insensitive content hash,
     // keep the smallest doc_id as the representative. Repartition first:
@@ -142,42 +183,45 @@ object Dedup {
     // hashes) + LSH banding (6 bands x 2 rows). The signature is ONE
     // whole-stage-codegen hash-aggregate; the band self-join carries
     // (doc_id, band, bh) only; signatures rejoin after pair-dedup.
-    "q18_minhash_lsh" -> ((s, dir) => {
-      val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
-        expr(s"min((${a}L * h + ${b}L) % ${P}L)").as(s"m$j")
-      }
-      // signatures are tiny (one row per doc) and read by the band
-      // explode + both rejoin sides: materialize once (at cluster scale
-      // the standard LSH pipeline persists the signature dataset).
-      val sig = shingleHashes(s, dir)
-        .withColumn("h", col("h") % P)
-        .groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
+    "q18_minhash_lsh" -> ((s, dir) =>
+      minhashEdges(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Near-dup CLUSTER assignment: connected components over the
+    // MinHash-LSH edge set via min-label propagation — the step that
+    // turns pairwise candidates into dedup groups (pick one
+    // representative per cluster). Each iteration is one keyed shuffle
+    // (edges join labels + min-aggregate); convergence takes
+    // O(component diameter) iterations — near-dup components are tiny
+    // chains in practice. Labels are checkpointed per iteration to
+    // truncate lineage (the standard Spark iterative-algorithm
+    // pattern); data never collects to the driver — the loop condition
+    // is a scalar changed-count.
+    "q44_dedup_clusters" -> ((s, dir) => {
+      val edges = minhashEdges(s, dir)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val und = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint()
-      val bandStructs = (0 until 6)
-        .map(b => s"struct($b as band, m${2 * b} * ${P}L + m${2 * b + 1} as bh)")
-        .mkString("array(", ", ", ")")
-      val bands = sig.select(col("doc_id"), explode(expr(bandStructs)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-      val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-        .distinct()
-      def sigAs(prefix: String, id: String): DataFrame =
-        sig.select(col("doc_id").as(id) +:
-          (0 until 12).map(j => col(s"m$j").as(s"$prefix$j")): _*)
-      val nMatch = (0 until 12)
-        .map(j => s"(case when am$j = bm$j then 1 else 0 end)").mkString(" + ")
-      pairs
-        .join(sigAs("am", "doc_a"), "doc_a")
-        .join(sigAs("bm", "doc_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"), expr(nMatch).as("n_match"))
-        .filter(col("n_match") >= 5)
-        .withColumn("est_jaccard", expr("cast(n_match as double) / 12"))
-        .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      var lbl = und.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val prop = und.join(lbl, und("src") === lbl("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        val next = lbl.unionAll(prop)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        val changed = next.withColumnRenamed("lbl", "new_lbl")
+          .join(lbl, "id")
+          .filter(col("new_lbl") =!= col("lbl")).count()
+        lbl = next
+        converged = changed == 0
+        iter += 1
+      }
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // Exact n-gram Jaccard near-dup pairs via inverted-index join on
@@ -238,6 +282,29 @@ object Dedup {
     })
   )
 
+  /** DuckDB CTE chain ending in `edges` (doc_a, doc_b, n_match) — the
+    * oracle-side mirror of [[minhashEdges]], shared by q18 and q44.
+    */
+  private def duckEdgeCtes: String = {
+    val minCols = perms.zipWithIndex
+      .map { case ((a, b), j) => s"min(($a * h + $b) % $P) AS m$j" }
+      .mkString(", ")
+    val bhList = (0 until 6)
+      .map(b => s"m${2 * b} * $P + m${2 * b + 1}").mkString("[", ", ", "]")
+    val nMatch = (0 until 12)
+      .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""hm AS (SELECT doc_id, h % $P AS h FROM ($duckShingleHashes)),
+        sig AS (SELECT doc_id, $minCols FROM hm GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest(generate_series(0, 5)) AS band, $bhList AS bhs FROM sig),
+        bh AS (SELECT doc_id, band, bhs[band + 1] AS bh FROM bands),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        scored AS (SELECT doc_a, doc_b, $nMatch AS n_match
+          FROM pairs JOIN sig sa ON pairs.doc_a = sa.doc_id
+                     JOIN sig sb ON pairs.doc_b = sb.doc_id),
+        edges AS (SELECT doc_a, doc_b, n_match FROM scored WHERE n_match >= 5)"""
+  }
+
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
       """SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -245,27 +312,24 @@ object Dedup {
                  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
                FROM documents)
          GROUP BY fp ORDER BY fp""",
-    "q18_minhash_lsh" -> {
-      val minCols = perms.zipWithIndex
-        .map { case ((a, b), j) => s"min(($a * h + $b) % $P) AS m$j" }
-        .mkString(", ")
-      val bhList = (0 until 6)
-        .map(b => s"m${2 * b} * $P + m${2 * b + 1}").mkString("[", ", ", "]")
-      val nMatch = (0 until 12)
-        .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH hm AS (SELECT doc_id, h % $P AS h FROM ($duckShingleHashes)),
-          sig AS (SELECT doc_id, $minCols FROM hm GROUP BY doc_id),
-          bands AS (SELECT doc_id, unnest(generate_series(0, 5)) AS band, $bhList AS bhs FROM sig),
-          bh AS (SELECT doc_id, band, bhs[band + 1] AS bh FROM bands),
-          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-          scored AS (SELECT doc_a, doc_b, $nMatch AS n_match
-            FROM pairs JOIN sig sa ON pairs.doc_a = sa.doc_id
-                       JOIN sig sb ON pairs.doc_b = sb.doc_id)
+    "q18_minhash_lsh" ->
+      s"""WITH $duckEdgeCtes
           SELECT doc_a, doc_b, CAST(n_match AS INT) AS n_match,
                  CAST(n_match AS DOUBLE) / 12 AS est_jaccard
-          FROM scored WHERE n_match >= 5 ORDER BY doc_a, doc_b"""
-    },
+          FROM edges ORDER BY doc_a, doc_b""",
+    // transitive closure of the undirected edge set; cluster id = min
+    // reachable doc_id (identical to min-label propagation's fixpoint)
+    "q44_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckEdgeCtes,
+          und AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+                  UNION ALL
+                  SELECT doc_b AS src, doc_a AS dst FROM edges),
+          reach(id, lbl) AS (
+            SELECT DISTINCT src AS id, src AS lbl FROM und
+            UNION
+            SELECT u.dst AS id, r.lbl FROM reach r JOIN und u ON u.src = r.id)
+          SELECT id AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY id ORDER BY doc_id""",
     "q19_ngram_jaccard" ->
       s"""WITH ex AS ($duckShingleHashes),
           dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),

@@ -115,6 +115,37 @@ object Events {
         .orderBy(col("click_id"))
     }),
 
+    // Interval self-join via bucketed banding: pairs of events by the
+    // same user within one hour, aggregated per (type_a, type_b). The
+    // scale shape: a naive range self-join is a per-user cross product;
+    // bucketing timestamps into window-sized bands turns it into an
+    // EQUI-join on (user_id, bucket) — the left side explodes to its
+    // own and the next bucket (any pair within one window spans at most
+    // one boundary, so each qualifying pair matches exactly once), the
+    // exact range predicate filters after the hash join. Shuffle volume
+    // is 2x the input, never quadratic.
+    "q46_interval_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+      val left = e
+        .withColumn("bkt",
+          explode(expr(s"array(us div ${hourUs}L, us div ${hourUs}L + 1)")))
+        .select(col("user_id"), col("bkt"), col("event_type").as("type_a"),
+          col("us").as("us_a"))
+      val right = e
+        .withColumn("bkt", expr(s"us div ${hourUs}L"))
+        .select(col("user_id"), col("bkt"), col("event_type").as("type_b"),
+          col("us").as("us_b"))
+      left.join(right, Seq("user_id", "bkt"))
+        .filter(col("us_b") > col("us_a") && col("us_b") <= col("us_a") + hourUs)
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("us_b") - col("us_a")).as("sum_gap_us"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // JSON property extraction from the semi-structured props column.
     "q37_json_extract" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -180,6 +211,15 @@ object Events {
           SELECT event_id AS click_id, user_id, us AS click_us,
             last_purchase_us, us - last_purchase_us AS gap_us
           FROM carried WHERE is_anchor = 0 ORDER BY click_id""",
+    // the oracle is the naive range self-join the banding replaces
+    "q46_interval_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_pairs,
+           CAST(sum(b.us - a.us) AS BIGINT) AS sum_gap_us
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + 3600000000
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q37_json_extract" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

@@ -243,20 +243,21 @@ object Similarity {
 
     // IVF top-k search — the inverted-file ANN scale path: per-label
     // centroids form the coarse quantizer (the q23 building block made
-    // whole), EVERY vector is assigned to its nearest centroid by
-    // quantized score (one n×k×d pass, the standard offline IVF
-    // assignment), and a query probes ONLY its own cell (nprobe=1) —
-    // candidate volume is n/k instead of n, then exact quantized-cosine
-    // rescoring + top-k. Centroids are k×d and broadcast; the only wide
-    // shuffles are keyed by vec_id/cell.
+    // whole), EVERY vector is assigned to its nearest centroid, and a
+    // query probes ONLY its own cell (nprobe=1) — candidate volume is
+    // n/k instead of n, then exact quantized-cosine rescoring + top-k.
+    // The assignment scores each (vector, cell) pair with ONE fused
+    // quantized_dot against the float-rounded centroid array (n×k rows
+    // through the window, the centroid table is k rows and broadcast) —
+    // not an explode to n×d×k quantized component rows; at corpus scale
+    // that 64x agg-input reduction is the difference between an
+    // assignment pass bounded by the scan and one bounded by the
+    // shuffle.
     "q41_ivf_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      val xs = e.select(col("vec_id"), col("embedding"),
-        explode(expr("sequence(1, 64)")).as("dim"))
-        .select(col("vec_id"), col("dim"),
-          expr("cast(element_at(embedding, dim) as double)").as("x"))
       // per-label centroid components, exactly the q23 construction:
       // integer-quantized sums -> exact-in-double mean
       val cent = e.select(col("label"), col("embedding"),
@@ -268,13 +269,19 @@ object Similarity {
         .agg(sum(col("vq")).as("sv"), count(lit(1)).as("n"))
         .select(col("label").as("cell"), col("dim"),
           expr("cast(sv as double) / 1000000 / n").as("av"))
+      // k rows: the centroid as a float vector (dim-ordered); the float
+      // rounding is mirrored in the oracle (IEEE round-to-nearest in
+      // both engines), which keeps quantized_dot scores bit-identical.
+      val centArr = cent.groupBy(col("cell"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, av))), p -> cast(p.av as float))")
+          .as("cav"))
       val w1 = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("cell").asc)
-      val assign = xs.join(broadcast(cent), "dim")
+      val assign = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centArr))
         .select(col("vec_id"), col("cell"),
-          expr("cast(floor(x * av * 1000000) as bigint)").as("t"))
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(sum(col("t")).as("score"))
+          expr("quantized_dot(embedding, cav)").as("score"))
         .withColumn("rn", row_number().over(w1))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cell"))
@@ -401,9 +408,10 @@ object Similarity {
           cent AS (SELECT label AS cell, dim,
               CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
             FROM cv GROUP BY label, dim),
-          scores AS (SELECT xs.vec_id, cent.cell,
+          centf AS (SELECT cell, dim, CAST(CAST(av AS FLOAT) AS DOUBLE) AS av FROM cent),
+          scores AS (SELECT xs.vec_id, centf.cell,
               CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS score
-            FROM xs JOIN cent ON xs.dim = cent.dim GROUP BY 1, 2),
+            FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2),
           assign AS (SELECT vec_id, cell FROM (
               SELECT vec_id, cell,
                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn

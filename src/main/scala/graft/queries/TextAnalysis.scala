@@ -132,6 +132,54 @@ object TextAnalysis {
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n").desc, col("tok").asc)
         .limit(20)
+    }),
+
+    // Deterministic train/val/test split (90/5/5) by content-independent
+    // hash bucket of the doc key — the reproducible-split primitive of a
+    // training pipeline (stable across runs, machines, and re-shards
+    // because it derives from doc_id alone, not partitioning or RNG
+    // state). One projection + one hash-aggregate.
+    "q47_corpus_split" -> ((s, dir) => {
+      toks(s, dir)
+        .select(col("doc_id"), col("t"),
+          expr(s"${Dedup.h60Spark("concat('split:', cast(doc_id as string))")} % 100")
+            .as("b"))
+        .withColumn("split",
+          expr("case when b < 90 then 'train' when b < 95 then 'val' else 'test' end"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(t)")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    }),
+
+    // Collocation mining: top-20 adjacent-token bigrams by lift
+    // nxy·N / (nx·ny) with a min-count guard — the PMI-style phrase
+    // discovery pass. The score is a ratio of exact int64 products
+    // (all < 2^53, so exact in double and bit-identical cross-engine —
+    // a log-free PMI surrogate with the same ordering). Bigram and
+    // unigram counts are two hash-aggregates over the exploded corpus;
+    // the unigram table is vocabulary-sized and broadcast.
+    "q48_collocations" -> ((s, dir) => {
+      val tk = toks(s, dir)
+      val bi = tk.filter(expr("size(t) >= 2"))
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) as x, element_at(t, i + 1) as y))"))
+          .as("p"))
+        .select(col("p.x"), col("p.y"))
+      val nxy = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      val uni = tk.select(explode(col("t")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = bi.agg(count(lit(1)).as("nn"))
+      nxy
+        .join(broadcast(uni.select(col("tok").as("x"), col("cnt").as("nx"))), "x")
+        .join(broadcast(uni.select(col("tok").as("y"), col("cnt").as("ny"))), "y")
+        .crossJoin(broadcast(tot))
+        .filter(col("nxy") >= 5)
+        .withColumn("lift", expr("cast(nxy * nn as double) / cast(nx * ny as double)"))
+        .orderBy(col("lift").desc, col("x").asc, col("y").asc)
+        .limit(20)
+        .select(col("x"), col("y"), col("nxy"), col("lift"))
     })
   )
 
@@ -182,6 +230,30 @@ object TextAnalysis {
       s"""SELECT tok, CAST(count(*) AS BIGINT) AS n,
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           FROM (SELECT doc_id, unnest(t) AS tok FROM ($duckToks))
-          GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"""
+          GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""",
+    "q47_corpus_split" ->
+      s"""WITH b AS (SELECT doc_id, len(t) AS nt,
+              ${Dedup.h60Duck("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+            FROM ($duckToks))
+          SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+            count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+            min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM b GROUP BY 1 ORDER BY 1""",
+    "q48_collocations" ->
+      s"""WITH tk AS ($duckToks),
+          bi AS (SELECT t[i] AS x, t[i + 1] AS y
+            FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM tk WHERE len(t) >= 2)),
+          nxy AS (SELECT x, y, count(*) AS nxy FROM bi GROUP BY x, y),
+          uni AS (SELECT tok, count(*) AS cnt
+            FROM (SELECT unnest(t) AS tok FROM tk) GROUP BY tok),
+          tot AS (SELECT count(*) AS nn FROM bi)
+          SELECT x, y, CAST(nxy AS BIGINT) AS nxy,
+            CAST(nxy * nn AS DOUBLE) / CAST(nx * ny AS DOUBLE) AS lift
+          FROM (SELECT nxy.x, nxy.y, nxy.nxy, ux.cnt AS nx, uy.cnt AS ny, tot.nn
+                FROM nxy JOIN uni ux ON nxy.x = ux.tok
+                         JOIN uni uy ON nxy.y = uy.tok, tot)
+          WHERE nxy >= 5
+          ORDER BY lift DESC, x ASC, y ASC LIMIT 20"""
   )
 }
