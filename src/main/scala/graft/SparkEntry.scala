@@ -18,6 +18,7 @@ object SparkEntry {
       (graft.queries.Relational.queries, graft.queries.Relational.oracle),
       (graft.queries.TextAnalysis.queries, graft.queries.TextAnalysis.oracle),
       (graft.queries.Dedup.queries, graft.queries.Dedup.oracle),
+      (graft.queries.Corpus.queries, graft.queries.Corpus.oracle),
       (graft.queries.Similarity.queries, graft.queries.Similarity.oracle),
       (graft.queries.Events.queries, graft.queries.Events.oracle),
       (graft.queries.Aqp.queries, graft.queries.Aqp.oracle),

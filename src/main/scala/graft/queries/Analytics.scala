@@ -72,6 +72,31 @@ object Analytics {
           col("n_exact"), col("rel_error"))
     }),
 
+    // Deterministic per-group fixed-size sample ("reservoir" semantics
+    // without RNG state): within each group keep the k rows with the
+    // smallest keyed hash of the row identity. Every row competes
+    // independently, so the result is a uniform-without-replacement
+    // k-sample per group, yet fully reproducible across runs, machines,
+    // and partitionings — unlike rand()-based sampling. One shuffle on
+    // the group key; at scale the per-partition top-k (window + filter)
+    // keeps only k rows per partition past the sort.
+    "q53_reservoir" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("h", expr(graft.queries.Dedup.h60Spark(
+          "concat('rsv:', cast(l_orderkey as string), '-', cast(l_linenumber as string))")))
+      // (l_orderkey, l_linenumber) is NOT unique in the test data, so the
+      // hash ties for duplicate keys — l_quantity completes the ordering
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+          col("l_quantity").asc)
+      li.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("l_returnflag"), col("rank"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("h").as("sample_hash"))
+        .orderBy(col("l_returnflag"), col("rank"))
+    }),
+
     // Table profile: per-column null counts + distinct cardinalities +
     // numeric ranges in one pass (single row).
     "q34_profile" -> ((s, dir) => {
@@ -117,6 +142,17 @@ object Analytics {
                      / CAST(kth_hash AS DOUBLE) END AS est_distinct,
               n_exact
             FROM kth, ex)""",
+    "q53_reservoir" ->
+      s"""WITH h AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+              ${graft.queries.Dedup.h60Duck("'rsv:' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")} AS h
+            FROM lineitem),
+          ranked AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, h,
+              row_number() OVER (PARTITION BY l_returnflag
+                ORDER BY h ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC) AS rank
+            FROM h)
+          SELECT l_returnflag, CAST(rank AS INT) AS rank, l_orderkey,
+            l_linenumber, l_quantity, h AS sample_hash
+          FROM ranked WHERE rank <= 5 ORDER BY l_returnflag, rank""",
     "q34_profile" ->
       """SELECT count(*) AS n_rows,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-construction operators — the steps between "filtered documents"
+  * and "training batches" in an LLM data pipeline: sequence packing into
+  * fixed token budgets, train/test contamination checking, intra-document
+  * repetition scoring, and TF-IDF keyterm extraction.
+  *
+  * None exist in the reference (whose only data model is SQL rows); they
+  * extend the engine toward the declared north-star workload. All four
+  * are exact and deterministic, so each carries a bit-for-bit DuckDB
+  * oracle.
+  *
+  * Scale design:
+  *  - q49 packing is the distributed two-phase prefix-scan: per-bucket
+  *    subtotals (one small aggregate), a driver-scale cumulative offset
+  *    over the bucket table, then per-bucket local prefix sums under
+  *    `Window.partitionBy(bucket)` — no global single-partition window
+  *    ever sees the full corpus.
+  *  - q50 contamination joins hashed-shingle sets (8-byte keys, the q19
+  *    inverted-index machinery) restricted to the test split on one side
+  *    — at 100 TB the test side is tiny, so the join is a broadcast of
+  *    test shingles against the train posting list.
+  *  - q52 repetition is per-row array arithmetic plus one (doc, token)
+  *    hash-aggregate — linear, no self-joins.
+  *  - q54 TF-IDF is two hash-aggregates plus a vocabulary-sized
+  *    broadcast join; scores are exact integer ratios (tf·N/df), a
+  *    log-free monotone transform of add-nothing TF-IDF, so ordering
+  *    matches and values are bit-portable across engines.
+  */
+object Corpus {
+
+  /** Token budget per packed training chunk (q49). */
+  val packBudget: Long = 512L
+
+  /** doc_ids per coarse prefix-scan bucket (q49). At cluster scale this
+    * is sized so the bucket table (one row per bucket) stays driver- or
+    * broadcast-scale while each bucket's local window fits one task.
+    */
+  val packBucket: Long = 64L
+
+  /** Suppression threshold for the k-anonymity report (shared with the
+    * Events module's q51).
+    */
+  val kAnon: Long = 3L
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+
+  private val duckTok =
+    "SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents"
+
+  /** (doc_id, tok, cnt) token counts — one hash-aggregate, shared by the
+    * repetition and TF-IDF operators.
+    */
+  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val duckTokenCounts =
+    s"""SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS tok FROM ($duckTok))
+        GROUP BY doc_id, tok"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sequence packing: assign each document (in deterministic doc_id
+    // order) to the fixed-token-budget training chunk where its global
+    // token offset starts — the "concat corpus, cut every B tokens"
+    // step of batch construction. The global running offset is computed
+    // as a distributed two-phase prefix scan (bucket subtotals ->
+    // bucket offsets -> per-bucket local prefix), never a
+    // whole-corpus single-partition window.
+    "q49_seq_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = tokenized(s, dir)
+        .select(col("doc_id"), expr("size(t)").as("nt"),
+          expr(s"doc_id div ${packBucket}L").as("bucket"))
+      val bucketTotals = docs.groupBy(col("bucket"))
+        .agg(sum(col("nt")).as("btot"))
+      // the bucket table is corpus_size/packBucket rows — small enough
+      // that one ordered window over it is fine (and at extreme scale
+      // the same two-phase trick applies recursively)
+      val wOff = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketTotals
+        .withColumn("boff", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      val wLocal = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.join(broadcast(offsets), "bucket")
+        .withColumn("lp", coalesce(sum(col("nt")).over(wLocal), lit(0L)))
+        .withColumn("chunk", expr(s"(boff + lp) div ${packBudget}L"))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("chunk"))
+    }),
+
+    // Train/test contamination check: for every test-split document,
+    // how many of its (df-guarded) 3-gram shingle hashes also appear in
+    // any train-split document, and how many train documents share one.
+    // The split is q47's content-independent hash bucket; the shingle
+    // machinery (60-bit hashes + stop-shingle guard) is q19's.
+    "q50_contamination" -> ((s, dir) => {
+      val ex = Dedup.shingleHashes(s, dir).localCheckpoint()
+      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val kept = ex.join(
+        dfreq.filter(col("df") <= Dedup.maxShingleDf).select(col("h")), "h")
+      val split = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(s"${Dedup.h60Spark("concat('split:', cast(doc_id as string))")} % 100")
+            .as("b"))
+      val testIds = split.filter(col("b") >= 95).select(col("doc_id"))
+      val trainIds = split.filter(col("b") < 90).select(col("doc_id"))
+      val testSh = kept.join(broadcast(testIds), "doc_id")
+        .select(col("doc_id").as("t_doc"), col("h"))
+      val trainSh = kept.join(trainIds, "doc_id")
+        .select(col("doc_id").as("r_doc"), col("h"))
+      val overlap = testSh.join(trainSh, "h")
+        .groupBy(col("t_doc"))
+        .agg(countDistinct(col("h")).as("ns"),
+          countDistinct(col("r_doc")).as("ntd"))
+      testIds.join(overlap, testIds("doc_id") === overlap("t_doc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ns"), lit(0L)).as("n_shared_shingles"),
+          coalesce(col("ntd"), lit(0L)).as("n_train_docs"),
+          expr("case when ns is not null and ns > 0 then 1 else 0 end")
+            .as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Intra-document repetition scoring (the Gopher-style "repetitive
+    // content" quality signals): top-token concentration and duplicate
+    // 2-gram fraction, with an integer-arithmetic repetition flag.
+    "q52_repetition" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnts = tokenCounts(s, dir)
+      val wTop = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+      val top = cnts.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_tok"), col("cnt").as("top_cnt"))
+      val stats = cnts.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
+      val g2 = tokenized(s, dir).select(col("doc_id"),
+        expr("case when size(t) >= 2 then size(t) - 1 else 0 end").as("n2"),
+        expr("""case when size(t) >= 2
+                then size(array_distinct(transform(sequence(1, size(t) - 1),
+                  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
+                else 0 end""").as("d2"))
+      stats.join(top, "doc_id").join(g2, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("top_tok"), col("top_cnt"),
+          expr("cast(top_cnt as double) / n_tokens").as("top_ratio"),
+          expr("case when n2 > 0 then cast(n2 - d2 as double) / n2 else cast(0 as double) end")
+            .as("dup2_ratio"),
+          // integer comparisons, no float threshold ambiguity:
+          // top token >10% of tokens, or >10% duplicate bigrams
+          expr("case when top_cnt * 10 > n_tokens or (n2 - d2) * 10 > n2 then 1 else 0 end")
+            .as("rep_flag"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF keyterm extraction: top-3 terms per document scored by
+    // tf·N/df — the exact-integer reciprocal-df weighting (same ranking
+    // as tf·log(N/df) for fixed tf since log is monotone; ratio form
+    // keeps the score bit-portable). df comes from one vocabulary-sized
+    // aggregate and broadcasts back.
+    "q54_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnts = tokenCounts(s, dir).localCheckpoint()
+      val dfreq = cnts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n_corpus"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok").asc)
+      cnts
+        .join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", expr("cast(cnt * n_corpus as double) / cast(df as double)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"),
+          col("cnt").as("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q49_seq_packing" ->
+      s"""WITH nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM ($duckTok)),
+          cum AS (SELECT doc_id, nt,
+              CAST(COALESCE(sum(nt) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+            FROM nt)
+          SELECT strt // $packBudget AS chunk, count(*) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS n_tokens,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM cum GROUP BY 1 ORDER BY 1""",
+    "q50_contamination" ->
+      s"""WITH ex AS (${Dedup.duckShingleHashes}),
+          dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+          kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
+                   WHERE dfreq.df <= ${Dedup.maxShingleDf}),
+          spl AS (SELECT doc_id,
+              ${Dedup.h60Duck("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+            FROM documents),
+          tst AS (SELECT doc_id FROM spl WHERE b >= 95),
+          trn AS (SELECT doc_id FROM spl WHERE b < 90),
+          tsh AS (SELECT t.doc_id AS t_doc, k.h FROM tst t JOIN kept k ON k.doc_id = t.doc_id),
+          rsh AS (SELECT r.doc_id AS r_doc, k.h FROM trn r JOIN kept k ON k.doc_id = r.doc_id),
+          ov AS (SELECT t_doc, count(DISTINCT tsh.h) AS ns, count(DISTINCT r_doc) AS ntd
+                 FROM tsh JOIN rsh ON tsh.h = rsh.h GROUP BY t_doc)
+          SELECT tst.doc_id,
+            CAST(COALESCE(ns, 0) AS BIGINT) AS n_shared_shingles,
+            CAST(COALESCE(ntd, 0) AS BIGINT) AS n_train_docs,
+            CASE WHEN ns IS NOT NULL AND ns > 0 THEN 1 ELSE 0 END AS contaminated
+          FROM tst LEFT JOIN ov ON tst.doc_id = ov.t_doc ORDER BY tst.doc_id""",
+    "q52_repetition" ->
+      s"""WITH tk AS ($duckTok),
+          cnts AS ($duckTokenCounts),
+          top AS (SELECT doc_id, tok AS top_tok, cnt AS top_cnt
+            FROM (SELECT doc_id, tok, cnt,
+                row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rn
+              FROM cnts) WHERE rn = 1),
+          st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              count(*) AS n_types FROM cnts GROUP BY doc_id),
+          g2 AS (SELECT doc_id,
+              CASE WHEN len(t) >= 2 THEN CAST(len(t) - 1 AS BIGINT) ELSE 0 END AS n2,
+              CASE WHEN len(t) >= 2
+                THEN CAST(len(list_distinct([t[i] || ' ' || t[i+1]
+                  for i in generate_series(1, len(t) - 1)])) AS BIGINT)
+                ELSE 0 END AS d2
+            FROM tk)
+          SELECT st.doc_id, n_tokens, n_types, top_tok, top_cnt,
+            CAST(top_cnt AS DOUBLE) / n_tokens AS top_ratio,
+            CASE WHEN n2 > 0 THEN CAST(n2 - d2 AS DOUBLE) / n2 ELSE CAST(0 AS DOUBLE) END AS dup2_ratio,
+            CASE WHEN top_cnt * 10 > n_tokens OR (n2 - d2) * 10 > n2 THEN 1 ELSE 0 END AS rep_flag
+          FROM st JOIN top ON st.doc_id = top.doc_id
+                  JOIN g2 ON st.doc_id = g2.doc_id
+          ORDER BY st.doc_id""",
+    "q54_tfidf" ->
+      s"""WITH cnts AS ($duckTokenCounts),
+          dfreq AS (SELECT tok, count(*) AS df FROM cnts GROUP BY tok),
+          nd AS (SELECT count(*) AS n_corpus FROM documents),
+          scored AS (SELECT doc_id, tok, cnt, df,
+              CAST(cnt * n_corpus AS DOUBLE) / CAST(df AS DOUBLE) AS score
+            FROM cnts JOIN dfreq USING (tok), nd),
+          ranked AS (SELECT doc_id, tok, cnt, df, score,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+            FROM scored)
+          SELECT doc_id, CAST(rank AS INT) AS rank, tok, cnt AS tf, df, score
+          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+  )
+}

@@ -112,13 +112,16 @@ object Dedup {
             ELSE [] END AS sh
        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)"""
 
-  /** (doc_id, h): one 60-bit hash per exploded shingle. */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, h): one 60-bit hash per exploded shingle. Shared with the
+    * contamination-check operator (Corpus.q50), which joins train-side
+    * and test-side shingle sets on these hashes.
+    */
+  private[queries] def shingleHashes(s: SparkSession, dir: String): DataFrame =
     shingled(s, dir)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), expr(h60Spark("s")).as("h"))
 
-  private def duckShingleHashes: String =
+  private[queries] def duckShingleHashes: String =
     s"""SELECT doc_id, ${h60Duck("s")} AS h
         FROM (SELECT doc_id, unnest(sh) AS s FROM ($duckShingled))"""
 

@@ -146,6 +146,30 @@ object Events {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Privacy pass: pseudonymize the user identifier with a keyed hash
+    // (stable across runs/shards — joinable, but no raw ids leave the
+    // pipeline), then a k-anonymity report over the (event_type, day,
+    // hour) quasi-identifier: groups with fewer than k distinct
+    // pseudonyms are flagged for suppression and their counts withheld.
+    // One projection + one hash-aggregate; the distinct-count is the
+    // same partial-agg shape as any COUNT(DISTINCT).
+    "q51_kanonymity" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(ts as date)").as("day"),
+          hour(col("ts")).as("hr"),
+          expr(Dedup.h60Spark("concat('pii:', cast(user_id as string))"))
+            .as("pseudo"))
+      e.groupBy(col("event_type"), col("day"), col("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("pseudo")).as("n_users"))
+        .withColumn("suppressed",
+          expr(s"case when n_users < ${graft.queries.Corpus.kAnon}L then 1 else 0 end"))
+        .withColumn("released_n",
+          expr("case when suppressed = 1 then cast(null as bigint) else n_events end"))
+        .orderBy(col("event_type"), col("day"), col("hr"))
+    }),
+
     // JSON property extraction from the semi-structured props column.
     "q37_json_extract" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -220,6 +244,19 @@ object Events {
          FROM e a JOIN e b
            ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + 3600000000
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q51_kanonymity" ->
+      s"""WITH p AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              CAST(extract(hour FROM ts) AS INT) AS hr,
+              ${Dedup.h60Duck("'pii:' || CAST(user_id AS VARCHAR)")} AS pseudo
+            FROM events),
+          g AS (SELECT event_type, day, hr, count(*) AS n_events,
+              count(DISTINCT pseudo) AS n_users
+            FROM p GROUP BY event_type, day, hr)
+          SELECT event_type, day, hr, n_events, n_users,
+            CASE WHEN n_users < ${graft.queries.Corpus.kAnon} THEN 1 ELSE 0 END AS suppressed,
+            CASE WHEN n_users < ${graft.queries.Corpus.kAnon} THEN CAST(NULL AS BIGINT)
+                 ELSE n_events END AS released_n
+          FROM g ORDER BY event_type, day, hr""",
     "q37_json_extract" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

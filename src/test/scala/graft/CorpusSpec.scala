@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Analytics, Corpus, Events}
+
+/** Invariant checks for the round-5 corpus-construction operators on
+  * sf0.001: sequence packing (q49), contamination check (q50),
+  * k-anonymity (q51), repetition scoring (q52), deterministic reservoir
+  * (q53), and TF-IDF (q54). Value-level correctness is enforced by the
+  * DuckDB oracle gate at sf0.01; these pin the semantic properties.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private def docCount: Long =
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+
+  test("seq packing: chunks partition the corpus and offsets are consistent") {
+    val rows = Corpus.queries("q49_seq_packing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docCount)
+    val totalTokens = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(size(split(lower(col("text")), " ")).as("nt"))
+      .agg(sum("nt")).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    // chunks are ordered and doc ranges never overlap (doc_id order is
+    // the packing order)
+    val sorted = rows.sortBy(_.getAs[Long]("chunk"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("chunk") < b.getAs[Long]("chunk"))
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+    // a chunk never holds more than budget + one straddling doc's tokens
+    // fewer than budget tokens only for the final chunk
+    sorted.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("n_tokens") >= 1)
+    }
+  }
+
+  test("contamination: reports exactly the test split, counts consistent") {
+    val rows = Corpus.queries("q50_contamination")(spark, sfDir).collect()
+    val split = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        expr(s"${graft.queries.Dedup.h60Spark("concat('split:', cast(doc_id as string))")} % 100")
+          .as("b"))
+    val testIds = split.filter(col("b") >= 95).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == testIds)
+    rows.foreach { r =>
+      val ns = r.getAs[Long]("n_shared_shingles")
+      val ntd = r.getAs[Long]("n_train_docs")
+      val flag = r.getAs[Int]("contaminated")
+      assert(ns >= 0 && ntd >= 0)
+      assert((ns > 0) == (flag == 1))
+      assert((ns > 0) == (ntd > 0))
+    }
+  }
+
+  test("k-anonymity: suppression flag matches the k rule, totals preserved") {
+    val rows = Events.queries("q51_kanonymity")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == totalEvents)
+    rows.foreach { r =>
+      val nUsers = r.getAs[Long]("n_users")
+      val suppressed = r.getAs[Int]("suppressed")
+      assert((nUsers < Corpus.kAnon) == (suppressed == 1))
+      if (suppressed == 1) assert(r.isNullAt(r.fieldIndex("released_n")))
+      else assert(r.getAs[Long]("released_n") == r.getAs[Long]("n_events"))
+      assert(nUsers <= r.getAs[Long]("n_events"))
+    }
+    // the pseudonymized report never carries a raw user id column
+    val cols = Events.queries("q51_kanonymity")(spark, sfDir).columns.toSet
+    assert(!cols.contains("user_id") && !cols.contains("pseudo"))
+  }
+
+  test("repetition: ratios bounded, flag matches the integer rule") {
+    val rows = Corpus.queries("q52_repetition")(spark, sfDir).collect()
+    assert(rows.length == docCount)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nTyp = r.getAs[Long]("n_types")
+      val topCnt = r.getAs[Long]("top_cnt")
+      assert(nTyp >= 1 && nTyp <= nTok)
+      assert(topCnt >= 1 && topCnt <= nTok)
+      assert(r.getAs[Double]("top_ratio") == topCnt.toDouble / nTok)
+      val d2 = r.getAs[Double]("dup2_ratio")
+      assert(d2 >= 0.0 && d2 <= 1.0)
+    }
+  }
+
+  test("reservoir: k per group, hash-ordered, reproducible") {
+    val run1 = Analytics.queries("q53_reservoir")(spark, sfDir).collect()
+    val run2 = Analytics.queries("q53_reservoir")(spark, sfDir).collect()
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq)
+    val byFlag = run1.groupBy(_.getAs[String]("l_returnflag"))
+    byFlag.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      // ranks follow ascending sample hash
+      val hashes = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("sample_hash"))
+      assert(hashes.toSeq == hashes.sorted.toSeq)
+    }
+  }
+
+  test("tfidf: top-3 per doc, scores recomputable and ordered") {
+    val rows = Corpus.queries("q54_tfidf")(spark, sfDir).collect()
+    val n = docCount
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      ordered.foreach { r =>
+        val expect = (r.getAs[Long]("tf") * n).toDouble / r.getAs[Long]("df")
+        assert(r.getAs[Double]("score") == expect)
+      }
+      // rank order is non-increasing score
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+        case _ =>
+      }
+    }
+  }
+}
