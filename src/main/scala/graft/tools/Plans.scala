@@ -90,6 +90,30 @@ object Plans {
     checkSlimBandExchange("q18_minhash_lsh", Seq("sig", "m0", "text"))
     checkSlimBandExchange("q22_ann_lsh", Seq("embedding", "qe", "ne", "p0"))
     checkSlimBandExchange("q40_embed_neardup", Seq("embedding", "ae", "be", "p0"))
+
+    // q49's only unpartitioned window must be over the TINY bucket table
+    // (one row per packBucket docs); the per-doc running sum must run
+    // under a partitioned window. Count Window blocks: exactly one
+    // without partition keys, and the per-doc one keyed by bucket.
+    locally {
+      val full = planOf("q49_seq_packing")
+      // partitioned per-doc window: windowspecdefinition(bucket#N, doc_id#M ASC ...)
+      val perDocPartitioned =
+        "windowspecdefinition\\(bucket#\\d+L?, doc_id".r.findFirstIn(full).isDefined
+      // an UNPARTITIONED whole-corpus window would order directly by doc_id:
+      // windowspecdefinition(doc_id#M ASC ...
+      val corpusGlobalWindow =
+        "windowspecdefinition\\(doc_id#\\d+L? ASC".r.findFirstIn(full).isDefined
+      println("==== q49_seq_packing (prefix-scan windows) ====")
+      println(s"  [${if (perDocPartitioned) "OK" else "MISS"}] per-doc running sum partitioned by bucket")
+      println(s"  [${if (!corpusGlobalWindow) "OK" else "MISS"}] no whole-corpus single-partition window")
+      println(s"  [${if (full.contains("BroadcastExchange")) "OK" else "MISS"}] bucket offsets broadcast back")
+    }
+    check("q54_tfidf",
+      "vocabulary df broadcast" -> "BroadcastHashJoin",
+      "token-count partial agg" -> "partial_count")
+    check("q50_contamination",
+      "test-id join broadcast" -> "BroadcastHashJoin")
     spark.stop()
   }
 }

@@ -23,26 +23,14 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dp = spark.sparkContext.defaultParallelism
 
-    def docs = graft.Tables.load(spark, sfDir, "documents")
-
+    // q50 stage decomposition
     (1 to 2).foreach { pass =>
-      t(s"p$pass load.count")(docs.count())
-      t(s"p$pass repart.count")(
-        docs.repartition(dp, col("doc_id")).queryExecution.toRdd.count())
-      val fp = docs.repartition(dp, col("doc_id"))
-        .select(col("doc_id"),
-          expr("md5(array_join(array_sort(array_distinct(split(lower(text), ' '))), ' '))").as("fp"))
-      t(s"p$pass fp-project")(fp.queryExecution.toRdd.count())
-      t(s"p$pass fp-agg")(
-        fp.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      t(s"p$pass q19-full")(
+        graft.queries.Dedup.queries("q19_ngram_jaccard")(spark, sfDir)
           .queryExecution.toRdd.count())
-      t(s"p$pass q17-full")(
-        graft.queries.Dedup.queries("q17_dedup_exact")(spark, sfDir)
-          .queryExecution.toRdd.count())
-      t(s"p$pass q18-full")(
-        graft.queries.Dedup.queries("q18_minhash_lsh")(spark, sfDir)
+      t(s"p$pass q50-full")(
+        graft.queries.Corpus.queries("q50_contamination")(spark, sfDir)
           .queryExecution.toRdd.count())
     }
     spark.stop()
