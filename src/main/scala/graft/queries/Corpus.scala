@@ -168,6 +168,33 @@ object Corpus {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus mixing weights: per-source sampling plan for a token budget
+    // of half the corpus under temperature-2 multinomial weighting
+    // (weight ~ sqrt(source tokens) — the standard upweight-the-tail
+    // mixing rule for multilingual/multi-domain training sets). sqrt is
+    // IEEE-correctly-rounded in both engines and is quantized to an
+    // integer weight, so every downstream ratio is exact integer
+    // arithmetic and the plan is bit-portable. One hash-aggregate over
+    // the corpus + a broadcast of the (tiny) per-source totals.
+    "q55_mix_weights" -> ((s, dir) => {
+      val perSource = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("source"), expr("size(split(lower(text), ' '))").as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("w",
+          expr("cast(floor(sqrt(cast(n_tokens as double)) * 1000000) as bigint)"))
+      val totals = perSource.agg(sum(col("w")).as("tw"),
+        expr("sum(n_tokens) div 2").as("budget"))
+      perSource.crossJoin(broadcast(totals))
+        .withColumn("target_tokens", expr("(budget * w) div tw"))
+        .withColumn("sample_frac", expr(
+          "least(cast(1 as double), cast(target_tokens as double) / cast(n_tokens as double))"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+          col("target_tokens"), col("sample_frac"))
+        .orderBy(col("source"))
+    }),
+
     // TF-IDF keyterm extraction: top-3 terms per document scored by
     // tf·N/df — the exact-integer reciprocal-df weighting (same ranking
     // as tf·log(N/df) for fixed tf since log is monotone; ratio form
@@ -246,6 +273,20 @@ object Corpus {
           FROM st JOIN top ON st.doc_id = top.doc_id
                   JOIN g2 ON st.doc_id = g2.doc_id
           ORDER BY st.doc_id""",
+    "q55_mix_weights" ->
+      """WITH ps AS (SELECT source, count(*) AS n_docs,
+              CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+          pw AS (SELECT source, n_docs, n_tokens,
+              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w
+            FROM ps),
+          tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+              CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM pw)
+          SELECT source, n_docs, n_tokens, w,
+            (budget * w) // tw AS target_tokens,
+            least(CAST(1 AS DOUBLE),
+              CAST((budget * w) // tw AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS sample_frac
+          FROM pw, tot ORDER BY source""",
     "q54_tfidf" ->
       s"""WITH cnts AS ($duckTokenCounts),
           dfreq AS (SELECT tok, count(*) AS df FROM cnts GROUP BY tok),

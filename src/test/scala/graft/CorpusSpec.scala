@@ -104,6 +104,27 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mix weights: fractions in (0,1], targets within budget, sqrt weighting") {
+    val rows = Corpus.queries("q55_mix_weights")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = totalTokens / 2
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum <= budget)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("sample_frac")
+      assert(f > 0.0 && f <= 1.0)
+      val w = r.getAs[Long]("w")
+      assert(w == math.floor(math.sqrt(r.getAs[Long]("n_tokens").toDouble) * 1e6).toLong)
+      assert(r.getAs[Long]("target_tokens") <= budget)
+    }
+    // temperature weighting is monotone: more tokens -> weight no smaller
+    val sorted = rows.sortBy(_.getAs[Long]("n_tokens"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("w") <= b.getAs[Long]("w"))
+      case _ =>
+    }
+  }
+
   test("tfidf: top-3 per doc, scores recomputable and ordered") {
     val rows = Corpus.queries("q54_tfidf")(spark, sfDir).collect()
     val n = docCount
