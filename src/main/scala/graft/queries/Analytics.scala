@@ -97,6 +97,57 @@ object Analytics {
         .orderBy(col("l_returnflag"), col("rank"))
     }),
 
+    // Bloom-filter semi-join pruning: build a Bloom filter over the dim
+    // side's keys (customers in one segment) as a 128-word bitmap table
+    // (one tiny aggregate), broadcast it, and filter the fact scan with
+    // K=3 scan-local bit tests — the shuffle-free pruning pattern that
+    // replaces a fact-side shuffle semi-join at 100 TB (false positives
+    // only ever ADD rows; a final exact join removes them when needed).
+    // Because the hash functions are the engine's deterministic h60,
+    // even the false positives reproduce bit-for-bit in DuckDB: the
+    // oracle gate covers the sketch itself, not just the exact
+    // companion counts.
+    "q56_bloom_semijoin" -> ((s, dir) => {
+      val m = 8192L // bits
+      val k = 3 // hash functions
+      def pos(kk: Int, key: String): String =
+        s"${graft.queries.Dedup.h60Spark(s"concat('bf$kk:', cast($key as string))")} % ${m}L"
+      val dimKeys = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val words = dimKeys
+        .select(explode(expr(
+          (1 to k).map(kk => pos(kk, "c_custkey")).mkString("array(", ", ", ")")))
+          .as("p"))
+        // 63-bit words (bit index 0-62): shifting into bit 63 of a
+        // signed BIGINT overflows in DuckDB (checked) and wraps in the
+        // JVM -- divergent, so the sign bit is never used
+        .select(expr("cast(p div 63 as int)").as("word"),
+          expr("shiftleft(1L, cast(p % 63 as int))").as("bit"))
+        .groupBy(col("word")).agg(expr("bit_or(bit)").as("w"))
+      val o = Tables.load(s, dir, "orders")
+      val probed = (1 to k).foldLeft(
+        o.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))) {
+        case (df, kk) =>
+          df.withColumn(s"p$kk", expr(pos(kk, "o_custkey")))
+            .withColumn(s"word$kk", expr(s"cast(p$kk div 63 as int)"))
+            .join(broadcast(words.select(col("word").as(s"word$kk"),
+              col("w").as(s"w$kk"))), Seq(s"word$kk"), "left")
+      }
+      val passed = probed.filter((1 to k).map(kk =>
+        expr(s"w$kk is not null and (shiftright(w$kk, cast(p$kk % 63 as int)) & 1L) = 1L"))
+        .reduce(_ && _))
+      val exact = o.join(dimKeys.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_exact"))
+      passed.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_bloom"))
+        .join(exact, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"), col("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("n_bloom") - coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Table profile: per-column null counts + distinct cardinalities +
     // numeric ranges in one pass (single row).
     "q34_profile" -> ((s, dir) => {
@@ -153,6 +204,33 @@ object Analytics {
           SELECT l_returnflag, CAST(rank AS INT) AS rank, l_orderkey,
             l_linenumber, l_quantity, h AS sample_hash
           FROM ranked WHERE rank <= 5 ORDER BY l_returnflag, rank""",
+    "q56_bloom_semijoin" -> {
+      def pos(kk: Int, key: String): String =
+        s"${graft.queries.Dedup.h60Duck(s"'bf$kk:' || CAST($key AS VARCHAR)")} % 8192"
+      s"""WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+          ps AS (SELECT unnest([${(1 to 3).map(kk => pos(kk, "c_custkey")).mkString(", ")}]) AS p FROM dim),
+          words AS (SELECT CAST(p // 63 AS INT) AS word,
+              bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS w
+            FROM ps GROUP BY 1),
+          probe AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+              ${(1 to 3).map(kk => s"${pos(kk, "o_custkey")} AS p$kk").mkString(", ")}
+            FROM orders),
+          passed AS (SELECT probe.* FROM probe
+            LEFT JOIN words w1 ON w1.word = CAST(p1 // 63 AS INT)
+            LEFT JOIN words w2 ON w2.word = CAST(p2 // 63 AS INT)
+            LEFT JOIN words w3 ON w3.word = CAST(p3 // 63 AS INT)
+            WHERE w1.w IS NOT NULL AND ((w1.w >> CAST(p1 % 63 AS INT)) & 1) = 1
+              AND w2.w IS NOT NULL AND ((w2.w >> CAST(p2 % 63 AS INT)) & 1) = 1
+              AND w3.w IS NOT NULL AND ((w3.w >> CAST(p3 % 63 AS INT)) & 1) = 1),
+          nb AS (SELECT o_orderstatus, count(*) AS n_bloom FROM passed GROUP BY 1),
+          ne AS (SELECT o_orderstatus, count(*) AS n_exact FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM dim) GROUP BY 1)
+          SELECT nb.o_orderstatus, n_bloom,
+            COALESCE(n_exact, 0) AS n_exact,
+            n_bloom - COALESCE(n_exact, 0) AS n_false_pos
+          FROM nb LEFT JOIN ne ON nb.o_orderstatus = ne.o_orderstatus
+          ORDER BY nb.o_orderstatus"""
+    },
     "q34_profile" ->
       """SELECT count(*) AS n_rows,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,

@@ -125,6 +125,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("bloom semi-join: no false negatives, counts reconcile") {
+    val rows = Analytics.queries("q56_bloom_semijoin")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val exactByStatus = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_custkey").isin(dim.toSeq: _*))
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_bloom")
+      val ne = r.getAs[Long]("n_exact")
+      // a Bloom filter admits false positives but NEVER false negatives
+      assert(nb >= ne)
+      assert(r.getAs[Long]("n_false_pos") == nb - ne)
+      assert(ne == exactByStatus.getOrElse(r.getAs[String]("o_orderstatus"), 0L))
+    }
+  }
+
   test("tfidf: top-3 per doc, scores recomputable and ordered") {
     val rows = Corpus.queries("q54_tfidf")(spark, sfDir).collect()
     val n = docCount
