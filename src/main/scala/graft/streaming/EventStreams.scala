@@ -94,6 +94,30 @@ object EventStreams {
       }
   }
 
+  /** Streaming k-anonymity report — the privacy pass (batch twin: q51)
+    * applied to a live stream: keyed-hash pseudonyms, per (window,
+    * event_type) distinct-pseudonym counts, suppression below k. The
+    * distinct count is HLL++ (mergeable across micro-batches; EXACT at
+    * quasi-identifier-group cardinalities, which sit far below the
+    * sketch's dense-mode threshold, so suppression flags are stable);
+    * the watermark bounds state to open windows.
+    */
+  def kanonWindowed(events: DataFrame, k: Long = 3L): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour")
+             else events
+    in.select(col("ts"), col("event_type"),
+        expr(graft.queries.Dedup.h60Spark("concat('pii:', cast(user_id as string))"))
+          .as("pseudo"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("pseudo"), 0.01).as("n_users"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n_events"),
+        col("n_users"),
+        expr(s"case when n_users < ${k}L then 1 else 0 end").as("suppressed"),
+        expr(s"case when n_users < ${k}L then cast(null as bigint) else n_events end")
+          .as("released_n"))
+  }
+
   /** Streaming exact deduplication on event_id: the stream analogue of
     * the corpus dedup operators — watermark bounds the dedup state so
     * only ids within the lateness horizon are retained (the unbounded

@@ -93,6 +93,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(closed.count(_._1 == 1L) >= 2)
   }
 
+  test("streaming k-anonymity equals batch and applies the k rule") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val out = EventStreams.kanonWindowed(stream.toDF(), k = 2L)
+    val q = out.writeStream.format("memory").queryName("kanon")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(sample.take(3))
+    q.processAllAvailable()
+    stream.addData(sample.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kanon")
+      .orderBy("ws", "event_type").collect().toSeq
+    val batch = EventStreams.kanonWindowed(sample.toDF(), k = 2L)
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    streamed.foreach { r =>
+      val nUsers = r.getAs[Long]("n_users")
+      val suppressed = r.getAs[Int]("suppressed")
+      assert((nUsers < 2L) == (suppressed == 1))
+      if (suppressed == 1) assert(r.isNullAt(r.fieldIndex("released_n")))
+      else assert(r.getAs[Long]("released_n") == r.getAs[Long]("n_events"))
+    }
+    // no raw identifier leaves the report
+    assert(!streamed.head.schema.fieldNames.contains("user_id"))
+  }
+
   test("streaming dedup drops repeated event ids across micro-batches") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
