@@ -170,6 +170,34 @@ object Events {
         .orderBy(col("event_type"), col("day"), col("hr"))
     }),
 
+    // Rate-anomaly detection: per-type hourly event counts flagged when
+    // an hour exceeds 2x the average of its trailing 7 OBSERVED hours
+    // (rows, not wall-clock hours — hours with zero events produce no
+    // row; identical semantics in both engines). The comparison is
+    // cross-multiplied to stay in exact integer arithmetic
+    // (n * n_hours > 2 * trailing_sum == n > 2 * trailing_avg), so no
+    // float threshold can diverge. One shuffle on event_type; the
+    // trailing window sorts within partitions — the stream-monitoring
+    // shape (per-key ordered state) at batch parity.
+    "q57_rate_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hb"))
+        .groupBy(col("event_type"), col("hb"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+        .rowsBetween(-7, -1)
+      hourly
+        .withColumn("trailing_n", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("trailing_hours", count(col("n")).over(w))
+        .withColumn("anomaly", expr(
+          "case when trailing_hours >= 3 and n * trailing_hours > 2 * trailing_n then 1 else 0 end"))
+        .select(col("event_type"), col("hb"), col("n"),
+          col("trailing_n"), col("trailing_hours"), col("anomaly"))
+        .orderBy(col("event_type"), col("hb"))
+    }),
+
     // JSON property extraction from the semi-structured props column.
     "q37_json_extract" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -257,6 +285,20 @@ object Events {
             CASE WHEN n_users < ${graft.queries.Corpus.kAnon} THEN CAST(NULL AS BIGINT)
                  ELSE n_events END AS released_n
           FROM g ORDER BY event_type, day, hr""",
+    "q57_rate_anomaly" ->
+      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+              count(*) AS n
+            FROM events GROUP BY event_type, hb),
+          win AS (SELECT event_type, hb, n,
+              CAST(COALESCE(sum(n) OVER w, 0) AS BIGINT) AS trailing_n,
+              count(n) OVER w AS trailing_hours
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hb
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          SELECT event_type, hb, n, trailing_n, trailing_hours,
+            CASE WHEN trailing_hours >= 3 AND n * trailing_hours > 2 * trailing_n
+                 THEN 1 ELSE 0 END AS anomaly
+          FROM win ORDER BY event_type, hb""",
     "q37_json_extract" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,

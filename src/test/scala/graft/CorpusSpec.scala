@@ -145,6 +145,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("rate anomaly: flag matches the integer rule, windows bounded") {
+    val rows = Events.queries("q57_rate_anomaly")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val tn = r.getAs[Long]("trailing_n")
+      val th = r.getAs[Long]("trailing_hours")
+      assert(n >= 1 && th >= 0 && th <= 7 && tn >= 0)
+      val expected = if (th >= 3 && n * th > 2 * tn) 1 else 0
+      assert(r.getAs[Int]("anomaly") == expected)
+    }
+    // trailing counts are per type: first row of each type has no history
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val first = rs.minBy(_.getAs[Long]("hb"))
+      assert(first.getAs[Long]("trailing_hours") == 0L)
+    }
+  }
+
   test("tfidf: top-3 per doc, scores recomputable and ordered") {
     val rows = Corpus.queries("q54_tfidf")(spark, sfDir).collect()
     val n = docCount
