@@ -148,6 +148,54 @@ object Analytics {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Histogram-sketch quantile estimation: approximate p50/p90/p99 by
+    // linear interpolation inside fixed-bound integer buckets — the
+    // single-pass quantile sketch an AQP engine answers percentile
+    // queries from WITHOUT the per-group sort q32's exact path needs.
+    // Scale shape: one hash-aggregate builds the (bounded, ~20-row)
+    // bucket table; the cumulative window and target join run on that
+    // tiny table, never the fact data. Determinism: target ranks are
+    // exact ceil-division integers (num/den fractions, no p*N float),
+    // and the interpolation is a single identically-associated double
+    // expression — so this APPROXIMATE operator carries a bit-for-bit
+    // DuckDB oracle, alongside the exact companion value and the
+    // realized error.
+    "q61_hist_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val width = 30000L
+      val o = Tables.load(s, dir, "orders")
+      val hist = o
+        .select(expr(s"cast(floor(o_totalprice / $width) as bigint)").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("nb"))
+      val wCum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("nb")).over(wCum))
+        .withColumn("cumb", col("cum") - col("nb"))
+      val tot = o.agg(count(lit(1)).as("n_total"))
+      def exact(p: Double, name: String) =
+        expr(s"cast(cast(percentile(o_totalprice, $p) as decimal(18,6)) as double)").as(name)
+      val exacts = o.agg(exact(0.5, "x50"), exact(0.9, "x90"), exact(0.99, "x99"))
+      val targets = tot.select(explode(expr(
+        """array(named_struct('p_label', 'p50', 'num', 1L, 'den', 2L),
+                 named_struct('p_label', 'p90', 'num', 9L, 'den', 10L),
+                 named_struct('p_label', 'p99', 'num', 99L, 'den', 100L))""")).as("t"),
+        col("n_total"))
+        .select(col("t.p_label"), col("n_total"),
+          expr("(n_total * t.num + t.den - 1) div t.den").as("target"))
+      targets
+        .join(cum, col("cumb") < col("target") && col("target") <= col("cum"))
+        .crossJoin(exacts)
+        .select(col("p_label"), col("n_total"), col("target"), col("bucket"),
+          col("nb").as("n_in_bucket"),
+          expr(s"""cast(bucket * $width as double)
+              + cast($width as double) * (cast(target - cumb as double) / cast(nb as double))""")
+            .as("est"),
+          expr("""case when p_label = 'p50' then x50
+                  when p_label = 'p90' then x90 else x99 end""").as("exact_val"))
+        .withColumn("abs_err", expr("est - exact_val"))
+        .orderBy(col("p_label"))
+    }),
+
     // Table profile: per-column null counts + distinct cardinalities +
     // numeric ranges in one pass (single row).
     "q34_profile" -> ((s, dir) => {
@@ -231,6 +279,40 @@ object Analytics {
           FROM nb LEFT JOIN ne ON nb.o_orderstatus = ne.o_orderstatus
           ORDER BY nb.o_orderstatus"""
     },
+    "q61_hist_quantiles" ->
+      """WITH hist AS (SELECT CAST(floor(o_totalprice / 30000) AS BIGINT) AS bucket,
+              count(*) AS nb
+            FROM orders GROUP BY 1),
+          cum AS (SELECT bucket, nb,
+              CAST(sum(nb) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM hist),
+          cum2 AS (SELECT bucket, nb, cum, cum - nb AS cumb FROM cum),
+          tot AS (SELECT count(*) AS n_total FROM orders),
+          ex AS (SELECT
+              CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS x50,
+              CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS x90,
+              CAST(CAST(quantile_cont(o_totalprice, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS x99
+            FROM orders),
+          tg AS (SELECT p_label, num, den, n_total,
+              (n_total * num + den - 1) // den AS target
+            FROM (SELECT unnest([
+                {'p_label': 'p50', 'num': 1, 'den': 2},
+                {'p_label': 'p90', 'num': 9, 'den': 10},
+                {'p_label': 'p99', 'num': 99, 'den': 100}],
+                recursive := true) ), tot)
+          SELECT p_label, n_total, CAST(target AS BIGINT) AS target, bucket,
+            nb AS n_in_bucket,
+            CAST(bucket * 30000 AS DOUBLE)
+              + CAST(30000 AS DOUBLE) * (CAST(target - cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS est,
+            CASE WHEN p_label = 'p50' THEN x50
+                 WHEN p_label = 'p90' THEN x90 ELSE x99 END AS exact_val,
+            CAST(bucket * 30000 AS DOUBLE)
+              + CAST(30000 AS DOUBLE) * (CAST(target - cumb AS DOUBLE) / CAST(nb AS DOUBLE))
+              - (CASE WHEN p_label = 'p50' THEN x50
+                      WHEN p_label = 'p90' THEN x90 ELSE x99 END) AS abs_err
+          FROM tg JOIN cum2 ON cumb < target AND target <= cum, ex
+          ORDER BY p_label""",
     "q34_profile" ->
       """SELECT count(*) AS n_rows,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,

@@ -195,6 +195,77 @@ object Corpus {
         .orderBy(col("source"))
     }),
 
+    // Corpus-construction funnel: the composed selection pass of a
+    // training-data pipeline — each stage applies one of the engine's
+    // own filter rules CUMULATIVELY and reports surviving docs/tokens:
+    //   0 all -> 1 declared-language filter -> 2 quality score (q15
+    //   formula) -> 3 repetition guard (q52's duplicate-2-gram integer
+    //   rule) -> 4 exact-dedup representative (q17's min-doc_id rule).
+    // Shape: one narrow per-row pass computes every flag except dedup
+    // (one md5 hash-aggregate + a representative join), then a single
+    // aggregate row unpivots to the 5-stage report — no per-stage
+    // rescans of the corpus.
+    "q58_corpus_funnel" -> ((s, dir) => {
+      val enMarkers = "array('the', 'a', 'of', 'and', 'is')"
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("t"),
+          md5(col("text")).as("ck"))
+      val rep = docs.groupBy(col("ck")).agg(min(col("doc_id")).as("rep_id"))
+      val flags = docs
+        .withColumn("nt", expr("size(t)"))
+        .withColumn("score", expr(
+          s"""least(cast(1 as double), cast(size(t) as double) / 100) * cast(0.6 as double)
+              + least(cast(size(filter(t, x -> array_contains($enMarkers, x))) as double) / size(t) * 10,
+                  cast(1 as double)) * cast(0.4 as double)"""))
+        .withColumn("n2", expr("case when size(t) >= 2 then size(t) - 1 else 0 end"))
+        .withColumn("d2", expr(
+          """case when size(t) >= 2
+              then size(array_distinct(transform(sequence(1, size(t) - 1),
+                i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
+              else 0 end"""))
+        .join(rep, "ck")
+        .withColumn("c1", expr("case when lang = 'en' then 1 else 0 end"))
+        .withColumn("c2", expr("case when c1 = 1 and score >= 0.4 then 1 else 0 end"))
+        .withColumn("c3", expr("case when c2 = 1 and not ((n2 - d2) * 10 > n2) then 1 else 0 end"))
+        .withColumn("c4", expr("case when c3 = 1 and doc_id = rep_id then 1 else 0 end"))
+      flags.agg(
+        count(lit(1)).as("n0"), sum(col("nt")).as("t0"),
+        sum(col("c1")).as("n1"), sum(expr("c1 * nt")).as("t1"),
+        sum(col("c2")).as("n2s"), sum(expr("c2 * nt")).as("t2"),
+        sum(col("c3")).as("n3"), sum(expr("c3 * nt")).as("t3"),
+        sum(col("c4")).as("n4"), sum(expr("c4 * nt")).as("t4"))
+        .select(expr(
+          """stack(5,
+               0, 'all', n0, t0,
+               1, 'lang_en', n1, t1,
+               2, 'quality', n2s, t2,
+               3, 'repetition', n3, t3,
+               4, 'dedup', n4, t4) AS (stage, stage_name, n_docs, n_tokens)"""))
+        .orderBy(col("stage"))
+    }),
+
+    // Sliding-window document chunking: cut each document into
+    // fixed-size token chunks (size 128, stride 96 — 32-token overlap),
+    // the context-window preparation step that, unlike q49's packing,
+    // splits WITHIN documents and never crosses them. Pure per-row
+    // array arithmetic (sequence + slice under one explode): linear,
+    // shuffle-free until the final ORDER BY.
+    "q59_doc_chunks" -> ((s, dir) => {
+      tokenized(s, dir)
+        .select(col("doc_id"), expr("size(t)").as("nt"), col("t"),
+          explode(expr(
+            "transform(sequence(1, size(t), 96), st -> struct(st as st, slice(t, st, 128) as c))"))
+            .as("ch"))
+        .select(col("doc_id"), col("nt"),
+          expr("cast((ch.st - 1) div 96 as int)").as("chunk_id"),
+          expr("cast(ch.st as int)").as("start_tok"),
+          expr("cast(size(ch.c) as int)").as("n_chunk_tokens"),
+          expr("md5(array_join(ch.c, ' '))").as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // TF-IDF keyterm extraction: top-3 terms per document scored by
     // tf·N/df — the exact-integer reciprocal-df weighting (same ranking
     // as tf·log(N/df) for fixed tf since log is monotone; ratio form
@@ -287,6 +358,48 @@ object Corpus {
             least(CAST(1 AS DOUBLE),
               CAST((budget * w) // tw AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS sample_frac
           FROM pw, tot ORDER BY source""",
+    "q58_corpus_funnel" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t,
+              md5(text) AS ck FROM documents),
+          rep AS (SELECT ck, min(doc_id) AS rep_id FROM d GROUP BY ck),
+          f AS (SELECT d.doc_id, CAST(len(t) AS BIGINT) AS nt,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c1,
+              least(CAST(1 AS DOUBLE), CAST(len(t) AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE)
+                + least(CAST(len([x for x in t if list_contains(['the', 'a', 'of', 'and', 'is'], x)]) AS DOUBLE) / len(t) * 10,
+                    CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) AS score,
+              CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS n2,
+              CASE WHEN len(t) >= 2
+                THEN len(list_distinct([t[i] || ' ' || t[i+1]
+                  for i in generate_series(1, len(t) - 1)]))
+                ELSE 0 END AS d2,
+              CASE WHEN d.doc_id = rep.rep_id THEN 1 ELSE 0 END AS is_rep
+            FROM d JOIN rep ON d.ck = rep.ck),
+          c AS (SELECT nt, c1,
+              CASE WHEN c1 = 1 AND score >= 0.4 THEN 1 ELSE 0 END AS c2,
+              CASE WHEN c1 = 1 AND score >= 0.4 AND NOT ((n2 - d2) * 10 > n2) THEN 1 ELSE 0 END AS c3,
+              CASE WHEN c1 = 1 AND score >= 0.4 AND NOT ((n2 - d2) * 10 > n2) AND is_rep = 1 THEN 1 ELSE 0 END AS c4
+            FROM f),
+          a AS (SELECT count(*) AS n0, CAST(sum(nt) AS BIGINT) AS t0,
+              CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c1 * nt) AS BIGINT) AS t1,
+              CAST(sum(c2) AS BIGINT) AS n2s, CAST(sum(c2 * nt) AS BIGINT) AS t2,
+              CAST(sum(c3) AS BIGINT) AS n3, CAST(sum(c3 * nt) AS BIGINT) AS t3,
+              CAST(sum(c4) AS BIGINT) AS n4, CAST(sum(c4 * nt) AS BIGINT) AS t4
+            FROM c)
+          SELECT 0 AS stage, 'all' AS stage_name, n0 AS n_docs, t0 AS n_tokens FROM a
+          UNION ALL SELECT 1, 'lang_en', n1, t1 FROM a
+          UNION ALL SELECT 2, 'quality', n2s, t2 FROM a
+          UNION ALL SELECT 3, 'repetition', n3, t3 FROM a
+          UNION ALL SELECT 4, 'dedup', n4, t4 FROM a
+          ORDER BY stage""",
+    "q59_doc_chunks" ->
+      s"""SELECT doc_id, CAST(len(t) AS INT) AS nt,
+            CAST((st - 1) // 96 AS INT) AS chunk_id,
+            CAST(st AS INT) AS start_tok,
+            CAST(len(t[st:st+127]) AS INT) AS n_chunk_tokens,
+            md5(array_to_string(t[st:st+127], ' ')) AS chunk_md5
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 96)) AS st
+                FROM ($duckTok))
+          ORDER BY doc_id, chunk_id""",
     "q54_tfidf" ->
       s"""WITH cnts AS ($duckTokenCounts),
           dfreq AS (SELECT tok, count(*) AS df FROM cnts GROUP BY tok),

@@ -172,6 +172,20 @@ object Relational {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // A9 extension: CUBE grouping sets — all four (flag, status) margin
+    // combinations in one pass (Spark expands grouping sets inside a
+    // single hash aggregate; no per-set rescan). gid disambiguates the
+    // NULL-as-total rows from any genuine NULL group, portably computed
+    // as grouping(a)*2 + grouping(b) on both engines.
+    "q60_cube" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          expr("cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as int)").as("gid"))
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // A14: INTERSECT / EXCEPT set semantics (q09 covers UNION ALL).
     "q31_intersect_except" -> ((s, dir) => {
       val c = Tables.load(s, dir, "customer")
@@ -262,6 +276,12 @@ object Relational {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q60_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+         CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q31_intersect_except" ->
       """SELECT
            (SELECT count(*) FROM (SELECT c_nationkey AS nk FROM customer

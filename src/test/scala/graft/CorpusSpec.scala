@@ -163,6 +163,58 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpus funnel: stages cumulative, stage 0 is the whole corpus") {
+    val rows = Corpus.queries("q58_corpus_funnel")(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("stage"))
+    assert(rows.length == 5)
+    assert(rows.head.getAs[Long]("n_docs") == docCount)
+    // each stage only removes documents (and tokens), never adds
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"))
+        assert(b.getAs[Long]("n_tokens") <= a.getAs[Long]("n_tokens"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 0)
+      // no surviving docs means no surviving tokens
+      if (r.getAs[Long]("n_docs") == 0) assert(r.getAs[Long]("n_tokens") == 0)
+    }
+  }
+
+  test("doc chunks: cover every token once per stride, sizes bounded") {
+    val rows = Corpus.queries("q59_doc_chunks")(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size.toLong == docCount)
+    byDoc.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("chunk_id"))
+      val nt = ordered.head.getAs[Int]("nt")
+      // chunk count = number of stride starts <= nt
+      assert(ordered.length == 1 + (nt - 1) / 96)
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("chunk_id") == i)
+        assert(r.getAs[Int]("start_tok") == 1 + i * 96)
+        val expectLen = math.min(128, nt - i * 96)
+        assert(r.getAs[Int]("n_chunk_tokens") == expectLen)
+      }
+    }
+  }
+
+  test("hist quantiles: estimates bracket the exact values within a bucket") {
+    val rows = Analytics.queries("q61_hist_quantiles")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val n = rows.head.getAs[Long]("n_total")
+    rows.foreach { r =>
+      val target = r.getAs[Long]("target")
+      assert(target >= 1 && target <= n)
+      val lo = r.getAs[Long]("bucket") * 30000.0
+      val est = r.getAs[Double]("est")
+      assert(est > lo && est <= lo + 30000.0)
+      // the histogram estimate lands within one bucket width of exact
+      assert(math.abs(r.getAs[Double]("abs_err")) <= 30000.0)
+    }
+  }
+
   test("tfidf: top-3 per doc, scores recomputable and ordered") {
     val rows = Corpus.queries("q54_tfidf")(spark, sfDir).collect()
     val n = docCount
