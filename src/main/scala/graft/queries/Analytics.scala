@@ -98,45 +98,57 @@ object Analytics {
     }),
 
     // Bloom-filter semi-join pruning: build a Bloom filter over the dim
-    // side's keys (customers in one segment) as a 128-word bitmap table
-    // (one tiny aggregate), broadcast it, and filter the fact scan with
-    // K=3 scan-local bit tests — the shuffle-free pruning pattern that
-    // replaces a fact-side shuffle semi-join at 100 TB (false positives
-    // only ever ADD rows; a final exact join removes them when needed).
-    // Because the hash functions are the engine's deterministic h60,
-    // even the false positives reproduce bit-for-bit in DuckDB: the
-    // oracle gate covers the sketch itself, not just the exact
-    // companion counts.
+    // side's keys (customers in one segment) as a ~131-word/63-bit
+    // bitmap (one tiny aggregate), ship the finished bitmap to every
+    // task as a plan literal (the same move Spark's own runtime bloom
+    // pushdown and q41's broadcast centroids make — the sketch is a few
+    // hundred bytes regardless of dim size), and filter the fact scan
+    // with K=3 scan-local bit tests: NO join, no shuffle, the pruning
+    // runs inside the scan's codegen stage. False positives only ever
+    // ADD rows; a final exact join removes them when needed. Because
+    // the hash functions are the engine's deterministic h60 with
+    // double-hashed positions (one digest per key, pos_j = h1 + j*h2
+    // mod m), even the false positives reproduce bit-for-bit in
+    // DuckDB: the oracle gate covers the sketch itself, not just the
+    // exact companion counts.
     "q56_bloom_semijoin" -> ((s, dir) => {
       val m = 8192L // bits
       val k = 3 // hash functions
-      def pos(kk: Int, key: String): String =
-        s"${graft.queries.Dedup.h60Spark(s"concat('bf$kk:', cast($key as string))")} % ${m}L"
+      val nWords = ((m + 62) / 63).toInt // 63-bit words: bit 63 of a
+      // signed BIGINT is a checked overflow in DuckDB but wraps on the
+      // JVM — divergent, so the sign bit is never used
+      def posFromH(j: Int): String =
+        s"(h % ${m}L + $j * (1L + (h div ${m}L) % ${m - 1}L)) % ${m}L"
       val dimKeys = Tables.load(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
-      val words = dimKeys
+      // build job: tiny aggregate -> nWords longs on the driver
+      val wordMap = dimKeys
+        .withColumn("h", expr(
+          graft.queries.Dedup.h60Spark("concat('bf:', cast(c_custkey as string))")))
         .select(explode(expr(
-          (1 to k).map(kk => pos(kk, "c_custkey")).mkString("array(", ", ", ")")))
+          (0 until k).map(posFromH).mkString("array(", ", ", ")")))
           .as("p"))
-        // 63-bit words (bit index 0-62): shifting into bit 63 of a
-        // signed BIGINT overflows in DuckDB (checked) and wraps in the
-        // JVM -- divergent, so the sign bit is never used
         .select(expr("cast(p div 63 as int)").as("word"),
           expr("shiftleft(1L, cast(p % 63 as int))").as("bit"))
         .groupBy(col("word")).agg(expr("bit_or(bit)").as("w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bloomLit = (0 until nWords).map(wordMap.getOrElse(_, 0L))
+        .mkString("array(", "L, ", "L)")
+      val tests = (0 until k).map { j =>
+        val p = posFromH(j)
+        s"(shiftright(element_at($bloomLit, cast(($p) div 63 as int) + 1), cast(($p) % 63 as int)) & 1L) = 1L"
+      }.mkString(" and ")
+      // bind the digest to a lambda var: the probe predicate references
+      // h six times, and predicate-pushdown substitution would
+      // otherwise clone the md5 into every reference
+      val passExpr = expr(graft.queries.Dedup.bound(
+        graft.queries.Dedup.h60Spark("concat('bf:', cast(o_custkey as string))"),
+        "h", s"($tests)"))
       val o = Tables.load(s, dir, "orders")
-      val probed = (1 to k).foldLeft(
-        o.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))) {
-        case (df, kk) =>
-          df.withColumn(s"p$kk", expr(pos(kk, "o_custkey")))
-            .withColumn(s"word$kk", expr(s"cast(p$kk div 63 as int)"))
-            .join(broadcast(words.select(col("word").as(s"word$kk"),
-              col("w").as(s"w$kk"))), Seq(s"word$kk"), "left")
-      }
-      val passed = probed.filter((1 to k).map(kk =>
-        expr(s"w$kk is not null and (shiftright(w$kk, cast(p$kk % 63 as int)) & 1L) = 1L"))
-        .reduce(_ && _))
+      val passed = o
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .filter(passExpr)
       val exact = o.join(dimKeys.withColumnRenamed("c_custkey", "o_custkey"),
         Seq("o_custkey"), "left_semi")
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_exact"))
@@ -253,16 +265,19 @@ object Analytics {
             l_linenumber, l_quantity, h AS sample_hash
           FROM ranked WHERE rank <= 5 ORDER BY l_returnflag, rank""",
     "q56_bloom_semijoin" -> {
-      def pos(kk: Int, key: String): String =
-        s"${graft.queries.Dedup.h60Duck(s"'bf$kk:' || CAST($key AS VARCHAR)")} % 8192"
+      def posFromH(j: Int): String =
+        s"(h % 8192 + $j * (1 + (h // 8192) % 8191)) % 8192"
       s"""WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-          ps AS (SELECT unnest([${(1 to 3).map(kk => pos(kk, "c_custkey")).mkString(", ")}]) AS p FROM dim),
+          dimh AS (SELECT ${graft.queries.Dedup.h60Duck("'bf:' || CAST(c_custkey AS VARCHAR)")} AS h FROM dim),
+          ps AS (SELECT unnest([${(0 until 3).map(posFromH).mkString(", ")}]) AS p FROM dimh),
           words AS (SELECT CAST(p // 63 AS INT) AS word,
               bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS w
             FROM ps GROUP BY 1),
           probe AS (SELECT o_orderkey, o_custkey, o_orderstatus,
-              ${(1 to 3).map(kk => s"${pos(kk, "o_custkey")} AS p$kk").mkString(", ")}
-            FROM orders),
+              ${(1 to 3).map(kk => s"${posFromH(kk - 1)} AS p$kk").mkString(", ")}
+            FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+                ${graft.queries.Dedup.h60Duck("'bf:' || CAST(o_custkey AS VARCHAR)")} AS h
+              FROM orders)),
           passed AS (SELECT probe.* FROM probe
             LEFT JOIN words w1 ON w1.word = CAST(p1 // 63 AS INT)
             LEFT JOIN words w2 ON w2.word = CAST(p2 // 63 AS INT)

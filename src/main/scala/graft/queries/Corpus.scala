@@ -109,7 +109,7 @@ object Corpus {
     // The split is q47's content-independent hash bucket; the shingle
     // machinery (60-bit hashes + stop-shingle guard) is q19's.
     "q50_contamination" -> ((s, dir) => {
-      val ex = Dedup.shingleHashes(s, dir).localCheckpoint()
+      val ex = Dedup.shingleHashes(s, dir) // session-memoized checkpoint
       val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val kept = ex.join(
         dfreq.filter(col("df") <= Dedup.maxShingleDf).select(col("h")), "h")

@@ -114,6 +114,36 @@ object Plans {
       "token-count partial agg" -> "partial_count")
     check("q50_contamination",
       "test-id join broadcast" -> "BroadcastHashJoin")
+    // q56's probe side must be a scan-local literal-bitmap filter — the
+    // only join in the plan is the exact-count companion's semi-join.
+    locally {
+      val p = planOf("q56_bloom_semijoin")
+      val filterHasBitmap = p.contains("Filter") && p.contains("shiftright")
+      val joinCount = "Join".r.findAllIn(p).length
+      println("==== q56_bloom_semijoin (scan-local bloom probe) ====")
+      println(s"  [${if (filterHasBitmap) "OK" else "MISS"}] literal-bitmap bit-test filter on the fact scan")
+      println(s"  [${if (joinCount <= 2) "OK" else "MISS"}] no probe-side join (only the exact companion joins; Join nodes=$joinCount)")
+    }
+    check("q58_corpus_funnel",
+      "dedup-representative partial agg" -> "partial_min",
+      "single-row unpivot via Expand/Generate" -> "HashAggregate")
+    check("q60_cube",
+      "grouping sets in one Expand + aggregate" -> "Expand",
+      "map-side partial agg over expanded rows" -> "partial_count")
+    check("q61_hist_quantiles",
+      "bucket histogram partial agg" -> "partial_count",
+      "tiny-table targets broadcast" -> "BroadcastNestedLoopJoin")
+    // q59 must stay shuffle-free until the final sort: per-row
+    // sequence+slice+explode, no aggregation, no join.
+    locally {
+      val p = planOf("q59_doc_chunks")
+      val joins = p.contains("Join")
+      val aggs = p.contains("HashAggregate")
+      println("==== q59_doc_chunks (shuffle-free chunking) ====")
+      println(s"  [${if (!joins) "OK" else "MISS"}] no join in the chunking path")
+      println(s"  [${if (!aggs) "OK" else "MISS"}] no aggregate in the chunking path")
+      println(s"  [${if (p.contains("Generate") && p.contains("explode")) "OK" else "MISS"}] chunk explode present")
+    }
     spark.stop()
   }
 }

@@ -1,10 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Throwaway dev harness for stage-by-stage timing of the documents
-  * pipeline. Not part of the driver contract.
+/** Throwaway dev harness: isolated timing or plan dump for any
+  * SparkEntry query, away from bench-subset contention effects.
+  * Not part of the driver contract.
+  *
+  *   runMain graft.tools.Scratch q19_ngram_jaccard q50_contamination
+  *   runMain graft.tools.Scratch --plan q59_doc_chunks
   */
 object Scratch {
   def t[T](label: String)(body: => T): T = {
@@ -24,14 +27,18 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // q50 stage decomposition
-    (1 to 2).foreach { pass =>
-      t(s"p$pass q19-full")(
-        graft.queries.Dedup.queries("q19_ngram_jaccard")(spark, sfDir)
-          .queryExecution.toRdd.count())
-      t(s"p$pass q50-full")(
-        graft.queries.Corpus.queries("q50_contamination")(spark, sfDir)
-          .queryExecution.toRdd.count())
+    val plan = args.contains("--plan")
+    val names =
+      if (args.exists(!_.startsWith("--"))) args.filter(!_.startsWith("--")).toSeq
+      else Seq("q19_ngram_jaccard", "q50_contamination")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      if (plan)
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      else (1 to 2).foreach { pass =>
+        t(s"p$pass $name")(fn(spark, sfDir).queryExecution.toRdd.count())
+      }
     }
     spark.stop()
   }
