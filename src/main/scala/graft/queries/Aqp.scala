@@ -110,6 +110,88 @@ object Aqp {
       graft.plan.SampleRewrite.rewrite(s, parsed, d)
     }),
 
+    // AQP: join-size estimation from AGMS (AMS/tug-of-war) sketches —
+    // the cardinality-estimation primitive a cost-based AQP planner
+    // uses to pick join strategies WITHOUT running the join. Each side
+    // compresses to B signed bucket counters (one linear scan, counter
+    // = sum of deterministic ±1 signs); est = <sketch_a, sketch_b>, an
+    // unbiased estimator of the true join size. Because signs/buckets
+    // derive from the engine's h60 hash, the ESTIMATE is deterministic
+    // integer arithmetic and hash-matches DuckDB bit-for-bit — an
+    // approximate operator with an exact cross-engine gate (like q45's
+    // KMV). Scale shape: two map-side-combined aggregates to B rows
+    // each, one B-row join; the exact companion pays the real join.
+    "q62_join_size_agms" -> ((s, dir) => {
+      val B = 1024L
+      def sketch(df: DataFrame, key: String): DataFrame =
+        df.select(expr(graft.queries.Dedup.h60Spark(
+          s"concat('js:', cast($key as string))")).as("h"))
+          .select(expr(s"cast(h % ${B}L as int)").as("bucket"),
+            expr(s"case when (h div ${B}L) % 2 = 0 then 1L else -1L end").as("sgn"))
+          .groupBy(col("bucket")).agg(sum(col("sgn")).as("c"))
+      val so = sketch(Tables.load(s, dir, "orders"), "o_orderkey")
+      val sl = sketch(Tables.load(s, dir, "lineitem"), "l_orderkey")
+      val est = so.select(col("bucket"), col("c").as("ca"))
+        .join(sl.select(col("bucket"), col("c").as("cb")), "bucket")
+        .agg(sum(expr("ca * cb")).as("est_join_size"))
+      val exact = Tables.load(s, dir, "orders").select(col("o_orderkey").as("k"))
+        .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("k")), "k")
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(exact)
+        .select(col("est_join_size"), col("exact_join_size"),
+          expr("cast(est_join_size - exact_join_size as double) / cast(exact_join_size as double)")
+            .as("rel_error"),
+          lit(1024).as("n_buckets"))
+    }),
+
+    // AQP: deterministic weighted (importance) sampling + stratified
+    // Horvitz-Thompson estimation over the documents corpus — keep
+    // high-quality docs at rate 1, mid at 0.3, low at 0.05 (the corpus
+    // downsampling move), then recover UNBIASED full-corpus doc/token
+    // totals by inverse-probability weighting. Membership is a keyed-
+    // hash threshold (reproducible across runs/partitionings, unlike
+    // rand()); strata are q15's quality buckets. The HT terms are one
+    // exact-integer division each, summed in fixed written order, so
+    // the approximate estimates hash-match DuckDB bit-for-bit.
+    "q63_weighted_sample" -> ((s, dir) => {
+      val enMarkers = "array('the', 'a', 'of', 'and', 'is')"
+      val flags = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .select(col("doc_id"), expr("size(t)").as("nt"),
+          expr(
+            s"""least(cast(1 as double), cast(size(t) as double) / 100) * cast(0.6 as double)
+                + least(cast(size(filter(t, x -> array_contains($enMarkers, x))) as double) / size(t) * 10,
+                    cast(1 as double)) * cast(0.4 as double)""").as("score"),
+          expr(s"${graft.queries.Dedup.h60Spark("concat('ws:', cast(doc_id as string))")} % 10000")
+            .as("hh"))
+        .withColumn("w", expr(
+          "case when score >= 0.7 then 10000 when score >= 0.4 then 3000 else 500 end"))
+        .withColumn("kept", expr("case when hh < w then 1 else 0 end"))
+      flags.agg(
+        sum(expr("case when w = 10000 then kept else 0 end")).as("n_high"),
+        sum(expr("case when w = 3000 then kept else 0 end")).as("n_mid"),
+        sum(expr("case when w = 500 then kept else 0 end")).as("n_low"),
+        sum(expr("case when w = 10000 then kept * nt else 0 end")).as("t_high"),
+        sum(expr("case when w = 3000 then kept * nt else 0 end")).as("t_mid"),
+        sum(expr("case when w = 500 then kept * nt else 0 end")).as("t_low"),
+        count(lit(1)).as("exact_docs"),
+        sum(col("nt")).as("exact_tokens"))
+        .select(col("n_high"), col("n_mid"), col("n_low"),
+          expr("""((cast(n_high as double)
+              + cast(n_mid * 10000 as double) / cast(3000 as double))
+              + cast(n_low * 10000 as double) / cast(500 as double))""").as("est_docs"),
+          col("exact_docs"),
+          expr("""((cast(t_high as double)
+              + cast(t_mid * 10000 as double) / cast(3000 as double))
+              + cast(t_low * 10000 as double) / cast(500 as double))""").as("est_tokens"),
+          col("exact_tokens"))
+        .withColumn("err_docs", expr(
+          "(est_docs - cast(exact_docs as double)) / cast(exact_docs as double)"))
+        .withColumn("err_tokens", expr(
+          "(est_tokens - cast(exact_tokens as double)) / cast(exact_tokens as double)"))
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -126,6 +208,65 @@ object Aqp {
   )
 
   val oracle: Map[String, String] = Map(
+    "q62_join_size_agms" -> {
+      def sk(table: String, key: String, alias: String): String =
+        s"""$alias AS (SELECT bucket, CAST(sum(sgn) AS BIGINT) AS c FROM (
+              SELECT CAST(h % 1024 AS INT) AS bucket,
+                CASE WHEN (h // 1024) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+              FROM (SELECT ${graft.queries.Dedup.h60Duck(s"'js:' || CAST($key AS VARCHAR)")} AS h
+                    FROM $table)) GROUP BY bucket)"""
+      s"""WITH ${sk("orders", "o_orderkey", "sa")},
+          ${sk("lineitem", "l_orderkey", "sb")},
+          est AS (SELECT CAST(sum(sa.c * sb.c) AS BIGINT) AS est_join_size
+                  FROM sa JOIN sb USING (bucket)),
+          ex AS (SELECT count(*) AS exact_join_size
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+          SELECT est_join_size, exact_join_size,
+            CAST(est_join_size - exact_join_size AS DOUBLE)
+              / CAST(exact_join_size AS DOUBLE) AS rel_error,
+            1024 AS n_buckets
+          FROM est, ex"""
+    },
+    "q63_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+          f AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+              least(CAST(1 AS DOUBLE), CAST(len(t) AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE)
+                + least(CAST(len([x for x in t if list_contains(['the', 'a', 'of', 'and', 'is'], x)]) AS DOUBLE) / len(t) * 10,
+                    CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) AS score,
+              ${graft.queries.Dedup.h60Duck("'ws:' || CAST(doc_id AS VARCHAR)")} % 10000 AS hh
+            FROM d),
+          g AS (SELECT nt, hh,
+              CASE WHEN score >= 0.7 THEN 10000 WHEN score >= 0.4 THEN 3000 ELSE 500 END AS w
+            FROM f),
+          k AS (SELECT nt, w, CASE WHEN hh < w THEN 1 ELSE 0 END AS kept FROM g),
+          a AS (SELECT
+              CAST(sum(CASE WHEN w = 10000 THEN kept ELSE 0 END) AS BIGINT) AS n_high,
+              CAST(sum(CASE WHEN w = 3000 THEN kept ELSE 0 END) AS BIGINT) AS n_mid,
+              CAST(sum(CASE WHEN w = 500 THEN kept ELSE 0 END) AS BIGINT) AS n_low,
+              CAST(sum(CASE WHEN w = 10000 THEN kept * nt ELSE 0 END) AS BIGINT) AS t_high,
+              CAST(sum(CASE WHEN w = 3000 THEN kept * nt ELSE 0 END) AS BIGINT) AS t_mid,
+              CAST(sum(CASE WHEN w = 500 THEN kept * nt ELSE 0 END) AS BIGINT) AS t_low,
+              count(*) AS exact_docs,
+              CAST(sum(nt) AS BIGINT) AS exact_tokens
+            FROM k)
+          SELECT n_high, n_mid, n_low,
+            ((CAST(n_high AS DOUBLE)
+              + CAST(n_mid * 10000 AS DOUBLE) / CAST(3000 AS DOUBLE))
+              + CAST(n_low * 10000 AS DOUBLE) / CAST(500 AS DOUBLE)) AS est_docs,
+            exact_docs,
+            ((CAST(t_high AS DOUBLE)
+              + CAST(t_mid * 10000 AS DOUBLE) / CAST(3000 AS DOUBLE))
+              + CAST(t_low * 10000 AS DOUBLE) / CAST(500 AS DOUBLE)) AS est_tokens,
+            exact_tokens,
+            (((CAST(n_high AS DOUBLE)
+              + CAST(n_mid * 10000 AS DOUBLE) / CAST(3000 AS DOUBLE))
+              + CAST(n_low * 10000 AS DOUBLE) / CAST(500 AS DOUBLE))
+              - CAST(exact_docs AS DOUBLE)) / CAST(exact_docs AS DOUBLE) AS err_docs,
+            (((CAST(t_high AS DOUBLE)
+              + CAST(t_mid * 10000 AS DOUBLE) / CAST(3000 AS DOUBLE))
+              + CAST(t_low * 10000 AS DOUBLE) / CAST(500 AS DOUBLE))
+              - CAST(exact_tokens AS DOUBLE)) / CAST(exact_tokens AS DOUBLE) AS err_tokens
+          FROM a""",
     "q27_binary_meta" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -78,6 +78,35 @@ class PipelineSpec extends SparkSpec {
     assert(bySplit("train") > bySplit.getOrElse("test", 0L))
   }
 
+  test("agms join-size: estimate within sketch error of the true size") {
+    val r = graft.queries.Aqp.queries("q62_join_size_agms")(spark, sfDir)
+      .collect().head
+    val est = r.getAs[Long]("est_join_size")
+    val exact = r.getAs[Long]("exact_join_size")
+    assert(r.getAs[Int]("n_buckets") == 1024)
+    assert(exact > 0)
+    // AGMS rel std dev ~ sqrt(2/B) ~ 4.4%; allow a generous 10-sigma
+    assert(math.abs(est - exact).toDouble / exact < 0.5,
+      s"est=$est exact=$exact")
+    assert(r.getAs[Double]("rel_error") == (est - exact).toDouble / exact)
+  }
+
+  test("weighted sample: strata consistent, HT terms recomputable") {
+    val r = graft.queries.Aqp.queries("q63_weighted_sample")(spark, sfDir)
+      .collect().head
+    val (nh, nm, nl) = (r.getAs[Long]("n_high"), r.getAs[Long]("n_mid"),
+      r.getAs[Long]("n_low"))
+    val exactDocs = r.getAs[Long]("exact_docs")
+    assert(nh >= 0 && nm >= 0 && nl >= 0)
+    assert(nh + nm + nl <= exactDocs) // a sample, never more than the corpus
+    // HT estimate recomputable from the kept counts in the same form
+    val expect = (nh.toDouble + (nm * 10000).toDouble / 3000.0) +
+      (nl * 10000).toDouble / 500.0
+    assert(r.getAs[Double]("est_docs") == expect)
+    assert(r.getAs[Double]("err_docs") ==
+      (expect - exactDocs.toDouble) / exactDocs.toDouble)
+  }
+
   test("collocations: counts honored and lift recomputable from the corpus") {
     val rows = TextAnalysis.queries("q48_collocations")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
