@@ -81,7 +81,7 @@ object Bench {
     // mid-JSON (BENCH_r04). The printed line therefore rounds to 3
     // decimals and moves aqp_detail + per-pass times to BENCH_DETAIL.json
     // (same directory the driver snapshots), keeping the line < ~1800.
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
@@ -184,7 +184,10 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: line below still has the summary
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"errors":$errJson,"aqp_speedups":$aqp,"detail":"BENCH_DETAIL.json","sf":${jstr(sfDir)}}""")
+    // queries first, summary fields LAST: the driver keeps the END of
+    // stdout, so if this line ever outgrows the window again it loses
+    // leading per-query entries, not the totals/speedups.
+    println(s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f"$total%.2f"},"unit":"sec","aqp_speedups":$aqp,"detail":"BENCH_DETAIL.json","sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
