@@ -118,6 +118,28 @@ object EventStreams {
           .as("released_n"))
   }
 
+  /** Streaming heavy-hitter frequency sketch: a Count-Min sketch of
+    * user activity per tumbling window (batch twin: q42's exact heavy
+    * hitters — the ground truth this sketch estimates). The aggregation
+    * state IS the mergeable counter matrix: partial sketches add
+    * element-wise across tasks and micro-batches, so the stream stores
+    * O(eps^-1 ln delta^-1) counters per window, never per-key counts —
+    * the only way frequency tracking survives an unbounded key domain.
+    * Probe the returned bytes with Cms.deserialize(...).estimateString.
+    */
+  def windowedHeavyHitters(events: DataFrame,
+      epsilon: Double = 0.005, delta: Double = 0.01): DataFrame = {
+    val cmsAgg = org.apache.spark.sql.functions.udaf(
+      new graft.sketch.Cms.CmsAggregator(epsilon, delta),
+      org.apache.spark.sql.Encoders.STRING)
+    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour")
+             else events
+    in.select(col("ts"), expr("cast(user_id as string)").as("uk"))
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(cmsAgg(col("uk")).as("cms"), count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("cms"), col("n_events"))
+  }
+
   /** Streaming exact deduplication on event_id: the stream analogue of
     * the corpus dedup operators — watermark bounds the dedup state so
     * only ids within the lateness horizon are retained (the unbounded

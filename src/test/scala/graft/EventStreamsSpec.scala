@@ -121,6 +121,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(!streamed.head.schema.fieldNames.contains("user_id"))
   }
 
+  test("streaming CMS heavy hitters: sketch merges across micro-batches, never undercounts") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val out = EventStreams.windowedHeavyHitters(stream.toDF())
+    val q = out.writeStream.format("memory").queryName("hh_cms")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(sample.take(3))
+    q.processAllAvailable()
+    stream.addData(sample.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_cms").collect()
+    assert(rows.nonEmpty)
+    // true per-window user counts from the batch side
+    val truth = sample.groupBy(e =>
+      (e.ts.getTime / (6L * 3600 * 1000)) -> e.user_id)
+      .map { case (k, es) => k -> es.size.toLong }
+    rows.foreach { r =>
+      val sketch = graft.sketch.Cms.deserialize(r.getAs[Array[Byte]]("cms"))
+      val ws = r.getAs[Timestamp]("ws").getTime / (6L * 3600 * 1000)
+      val users = sample.filter(e => e.ts.getTime / (6L * 3600 * 1000) == ws)
+        .map(_.user_id).distinct
+      users.foreach { u =>
+        val est = sketch.estimateString(u.toString)
+        val exact = truth((ws, u))
+        assert(est >= exact, s"CMS undercounted user $u: $est < $exact")
+        // eps*N slack at these tiny counts means the estimate is exact
+        assert(est <= exact + 1, s"CMS overcount too large for $u")
+      }
+      // n_events carries the exact per-window total alongside the sketch
+      assert(r.getAs[Long]("n_events") ==
+        sample.count(e => e.ts.getTime / (6L * 3600 * 1000) == ws))
+    }
+  }
+
   test("streaming dedup drops repeated event ids across micro-batches") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
