@@ -127,6 +127,12 @@ object Dedup {
       body: => DataFrame): DataFrame =
     memoCache.getOrElseUpdate((s, dir, name), body.localCheckpoint())
 
+  /** Drop the shared materializations (plan-inspection tooling only:
+    * tools/Plans asserts properties of the FRESH computation, which a
+    * memoized checkpoint scan would hide).
+    */
+  private[graft] def resetSharedMaterializations(): Unit = memoCache.clear()
+
   /** (doc_id, h): one 60-bit hash per exploded shingle, materialized
     * once per session+dir. Shared with the contamination-check operator
     * (Corpus.q50), which joins train-side and test-side shingle sets on
@@ -147,7 +153,16 @@ object Dedup {
     * MinHash + LSH pipeline — the q18 result before its final sort,
     * shared with the cluster-assignment operator (q44).
     */
-  def minhashEdges(s: SparkSession, dir: String): DataFrame = {
+  def minhashEdges(s: SparkSession, dir: String): DataFrame =
+    // the edge set is shared (q18 sorts it, q44 runs label propagation
+    // over it) and near-dup-pair-sized — materialize once per session.
+    memo(s, dir, "minhashEdges")(minhashEdgesFresh(s, dir))
+
+  /** The LSH pipeline from materialized signatures WITHOUT the final
+    * edge materialization — what the first build executes and what
+    * tools/Plans inspects for the slim (id, band, bh) band exchange.
+    */
+  private[graft] def minhashEdgesFresh(s: SparkSession, dir: String): DataFrame = {
     val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
       expr(s"min((${a}L * h + ${b}L) % ${P}L)").as(s"m$j")
     }
@@ -176,17 +191,13 @@ object Dedup {
         (0 until 12).map(j => col(s"m$j").as(s"$prefix$j")): _*)
     val nMatch = (0 until 12)
       .map(j => s"(case when am$j = bm$j then 1 else 0 end)").mkString(" + ")
-    // the edge set itself is shared (q18 sorts it, q44 runs label
-    // propagation over it) and near-dup-pair-sized — materialize once.
-    memo(s, dir, "minhashEdges") {
-      pairs
-        .join(sigAs("am", "doc_a"), "doc_a")
-        .join(sigAs("bm", "doc_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"), expr(nMatch).as("n_match"))
-        .filter(col("n_match") >= 5)
-        .withColumn("est_jaccard", expr("cast(n_match as double) / 12"))
-        .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_jaccard"))
-    }
+    pairs
+      .join(sigAs("am", "doc_a"), "doc_a")
+      .join(sigAs("bm", "doc_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), expr(nMatch).as("n_match"))
+      .filter(col("n_match") >= 5)
+      .withColumn("est_jaccard", expr("cast(n_match as double) / 12"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_jaccard"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

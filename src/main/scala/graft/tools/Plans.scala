@@ -68,12 +68,12 @@ object Plans {
     // signature array / embedding vector rejoins AFTER candidate-pair
     // dedup. Parse the formatted plan's Exchange blocks and fail if a
     // band-keyed exchange ships a payload column.
-    def checkSlimBandExchange(name: String, payload: Seq[String]): Unit = {
+    def checkSlimBandExchangeOf(name: String, plan: String, payload: Seq[String]): Unit = {
       // the band self-join plans as a shuffle (hashpartitioning(band..))
       // at scale or a BroadcastExchange at test SF — either way the
       // exchange must move only (id, band, bandHash), never the
       // signature/embedding payload
-      val blocks = planOf(name).split("\n\n")
+      val blocks = plan.split("\n\n")
       val bandExchanges = blocks.filter(b =>
         (b.contains("Exchange hashpartitioning(band") ||
           (b.contains("BroadcastExchange") && b.contains("band"))))
@@ -87,7 +87,15 @@ object Plans {
           (if (leaked.nonEmpty) s" (leaked: ${leaked.mkString(",")})" else ""))
       }
     }
-    checkSlimBandExchange("q18_minhash_lsh", Seq("sig", "m0", "text"))
+    def checkSlimBandExchange(name: String, payload: Seq[String]): Unit =
+      checkSlimBandExchangeOf(name, planOf(name), payload)
+    // q18/q44 serve edges from the shared materialization (a checkpoint
+    // scan with no visible exchange) — inspect the FRESH pipeline the
+    // first build executes instead.
+    checkSlimBandExchangeOf("q18_minhash_lsh (fresh edge pipeline)",
+      graft.queries.Dedup.minhashEdgesFresh(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode),
+      Seq("sig", "m0", "text"))
     checkSlimBandExchange("q22_ann_lsh", Seq("embedding", "qe", "ne", "p0"))
     checkSlimBandExchange("q40_embed_neardup", Seq("embedding", "ae", "be", "p0"))
 
@@ -119,7 +127,10 @@ object Plans {
     locally {
       val p = planOf("q56_bloom_semijoin")
       val filterHasBitmap = p.contains("Filter") && p.contains("shiftright")
-      val joinCount = "Join".r.findAllIn(p).length
+      // count join NODES (the formatted details section lists each once
+      // as "(N) <Kind>Join"): expected = the exact companion's semi
+      // join + the final report join, nothing on the probe side
+      val joinCount = """\(\d+\) \w*Join""".r.findAllIn(p).length
       println("==== q56_bloom_semijoin (scan-local bloom probe) ====")
       println(s"  [${if (filterHasBitmap) "OK" else "MISS"}] literal-bitmap bit-test filter on the fact scan")
       println(s"  [${if (joinCount <= 2) "OK" else "MISS"}] no probe-side join (only the exact companion joins; Join nodes=$joinCount)")
