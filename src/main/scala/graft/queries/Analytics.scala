@@ -208,6 +208,26 @@ object Analytics {
         .orderBy(col("p_label"))
     }),
 
+    // Join-key skew profile: the distribution statistics a planner
+    // reads before choosing salting / skew-join handling (q35 is the
+    // mitigation; this is the detector). One hash-aggregate to per-key
+    // counts, then a tiny summary: total rows, NDV, the heaviest key
+    // (deterministic min-key tie-break) and integer skew ratios —
+    // top-key share in ppm and max/avg x1000, both exact ceil-free
+    // integer divisions.
+    "q65_key_skew_profile" -> ((s, dir) => {
+      val cnts = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val top = cnts.orderBy(col("c").desc, col("l_partkey").asc).limit(1)
+        .select(col("l_partkey").as("top_key"), col("c").as("max_key_rows"))
+      cnts.agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"))
+        .crossJoin(top)
+        .select(col("n_rows"), col("n_keys"), col("top_key"),
+          col("max_key_rows"),
+          expr("(max_key_rows * 1000000) div n_rows").as("top_share_ppm"),
+          expr("(max_key_rows * n_keys * 1000) div n_rows").as("skew_x1000"))
+    }),
+
     // Table profile: per-column null counts + distinct cardinalities +
     // numeric ranges in one pass (single row).
     "q34_profile" -> ((s, dir) => {
@@ -328,6 +348,15 @@ object Analytics {
                       WHEN p_label = 'p90' THEN x90 ELSE x99 END) AS abs_err
           FROM tg JOIN cum2 ON cumb < target AND target <= cum, ex
           ORDER BY p_label""",
+    "q65_key_skew_profile" ->
+      """WITH cnts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey),
+          top AS (SELECT l_partkey AS top_key, CAST(c AS BIGINT) AS max_key_rows
+                  FROM cnts ORDER BY c DESC, l_partkey ASC LIMIT 1),
+          a AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys FROM cnts)
+          SELECT n_rows, n_keys, top_key, max_key_rows,
+            (max_key_rows * 1000000) // n_rows AS top_share_ppm,
+            (max_key_rows * n_keys * 1000) // n_rows AS skew_x1000
+          FROM a, top""",
     "q34_profile" ->
       """SELECT count(*) AS n_rows,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,

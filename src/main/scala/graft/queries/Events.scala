@@ -198,6 +198,34 @@ object Events {
         .orderBy(col("event_type"), col("hb"))
     }),
 
+    // Ordered conversion funnel: per user, first 'view', first 'click'
+    // strictly after it, first 'purchase' strictly after that — the
+    // event-sequence analysis a product pipeline runs on the same
+    // stream the engine windows/sessionizes. Three min-aggregates
+    // keyed on user_id (each stage joins the previous stage's tiny
+    // per-user table back to the keyed events — same-key shuffles,
+    // reusable partitioning); rates are single exact-integer divisions.
+    "q64_conversion_funnel" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("vts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("cts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+      v.agg(count(lit(1)).as("n_viewers")).crossJoin(
+        c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+        .select(col("n_viewers"), col("n_clicked"), col("n_purchased"),
+          expr("cast(n_clicked as double) / cast(n_viewers as double)")
+            .as("click_through"),
+          expr("cast(n_purchased as double) / cast(n_clicked as double)")
+            .as("purchase_through"))
+    }),
+
     // JSON property extraction from the semi-structured props column.
     "q37_json_extract" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -211,6 +239,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q64_conversion_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vts FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(e.ts) AS cts FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(e.ts) AS pts FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+          SELECT (SELECT count(*) FROM v) AS n_viewers,
+            (SELECT count(*) FROM c) AS n_clicked,
+            (SELECT count(*) FROM p) AS n_purchased,
+            CAST((SELECT count(*) FROM c) AS DOUBLE)
+              / CAST((SELECT count(*) FROM v) AS DOUBLE) AS click_through,
+            CAST((SELECT count(*) FROM p) AS DOUBLE)
+              / CAST((SELECT count(*) FROM c) AS DOUBLE) AS purchase_through""",
     "q24_event_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, event_type,
            count(*) AS n,

@@ -215,6 +215,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("conversion funnel: stages monotone, rates consistent") {
+    val r = Events.queries("q64_conversion_funnel")(spark, sfDir).collect().head
+    val (v, c, p) = (r.getAs[Long]("n_viewers"), r.getAs[Long]("n_clicked"),
+      r.getAs[Long]("n_purchased"))
+    assert(v >= c && c >= p) // each stage filters the previous stage's users
+    assert(v > 0)
+    assert(r.getAs[Double]("click_through") == c.toDouble / v.toDouble)
+    if (c > 0)
+      assert(r.getAs[Double]("purchase_through") == p.toDouble / c.toDouble)
+  }
+
+  test("key skew profile: ratios bounded and recomputable") {
+    val r = Analytics.queries("q65_key_skew_profile")(spark, sfDir).collect().head
+    val (n, k, mx) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+      r.getAs[Long]("max_key_rows"))
+    assert(n > 0 && k > 0 && mx >= 1)
+    assert(mx * k >= n) // max >= avg
+    assert(r.getAs[Long]("top_share_ppm") == mx * 1000000 / n)
+    assert(r.getAs[Long]("skew_x1000") == mx * k * 1000 / n)
+    assert(r.getAs[Long]("skew_x1000") >= 1000)
+  }
+
   test("tfidf: top-3 per doc, scores recomputable and ordered") {
     val rows = Corpus.queries("q54_tfidf")(spark, sfDir).collect()
     val n = docCount
