@@ -14,6 +14,10 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every query path starts here: make the engine's native SQL
+    // functions (graft_h60, cosine_similarity, quantized_dot) resolvable
+    // in the expr() fragments the queries build (idempotent map puts)
+    graft.functions.GraftFunctions.register(spark)
     // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
     // read nanos as long and convert to a microsecond timestamp (same
     // truncation DuckDB applies when it casts ns -> its us timestamps).

@@ -129,14 +129,31 @@ object GraftFunctions {
       QuantizedDot(children(0), children(1))
     })
 
+  /** Column API for the 60-bit portable hash (see [[H60]]). */
+  def h60(e: Column): Column =
+    org.apache.spark.sql.GraftPlanExec.toColumn(
+      H60(org.apache.spark.sql.GraftPlanExec.toExpression(e)))
+
+  val h60Descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_h60"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[H60].getName, "graft_h60"),
+    { children =>
+      require(children.length == 1,
+        s"graft_h60 expects 1 argument, got ${children.length}")
+      H60(children.head)
+    })
+
   /** Make the engine's native functions callable from SQL on an existing
     * session (idempotent — re-registration replaces).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimilarityDescriptor, quantizedDotDescriptor).foreach {
-      case (id, info, builder) =>
+    Seq(cosineSimilarityDescriptor, quantizedDotDescriptor, h60Descriptor)
+      .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+      }
 }
 
 /** SparkSessionExtensions entry point: enable the engine's native SQL
@@ -147,5 +164,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
     ext.injectFunction(GraftFunctions.quantizedDotDescriptor)
+    ext.injectFunction(GraftFunctions.h60Descriptor)
   }
 }

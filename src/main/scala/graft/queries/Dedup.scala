@@ -47,10 +47,13 @@ object Dedup {
 
   /** 60-bit integer hash of a string expression: value of the first 15
     * hex chars of md5. Portable: md5 hex is identical in Spark and
-    * DuckDB, and 60 bits fit a signed BIGINT in both.
+    * DuckDB, and 60 bits fit a signed BIGINT in both. The Spark side
+    * is the native codegen expression functions.H60 (digest -> long
+    * directly, bit-identical to `conv(substring(md5(e),1,15),16,10)`
+    * — parity pinned in FunctionsSpec); the DuckDB mirror stays the
+    * textual hex parse.
     */
-  def h60Spark(e: String): String =
-    s"cast(conv(substring(md5($e), 1, 15), 16, 10) as bigint)"
+  def h60Spark(e: String): String = s"graft_h60($e)"
 
   private val duckHexPows: String =
     (1 to 15).map(i => BigInt(16).pow(15 - i).toString).mkString("[", ", ", "]")

@@ -103,6 +103,9 @@ object EventStreams {
     * the watermark bounds state to open windows.
     */
   def kanonWindowed(events: DataFrame, k: Long = 3L): DataFrame = {
+    // streaming inputs don't pass through Tables.load — make graft_h60
+    // resolvable on this session before building the pseudonym expr
+    graft.functions.GraftFunctions.register(events.sparkSession)
     val in = if (events.isStreaming) events.withWatermark("ts", "1 hour")
              else events
     in.select(col("ts"), col("event_type"),

@@ -73,6 +73,31 @@ class FunctionsSpec extends SparkSpec {
       s"native=${r.getLong(0)} interpreted=${r.getLong(1)}"))
   }
 
+  test("graft_h60 equals the conv(substring(md5)) fragment bit-for-bit") {
+    GraftFunctions.register(spark)
+    // real corpus text (includes non-ASCII zh tokens) + adversarial
+    // literals: empty string, unicode, long strings, digit runs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text").as("s"))
+    import spark.implicits._
+    val edge = Seq("", "a", "的是在", "x" * 5000, "1234567890",
+      "prefix:42-17", "ws:99").toDF("s")
+    val rows = docs.unionAll(edge)
+      .select(
+        expr("graft_h60(s)").as("native"),
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
+          .as("sql"))
+      .collect()
+    assert(rows.length > 500)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} sql=${r.getLong(1)}"))
+    // null propagates
+    val n = spark.sql("SELECT graft_h60(cast(null as string))").collect().head
+    assert(n.isNullAt(0))
+    // range: 60 bits, never negative
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
+  }
+
   test("quantized_dot null and mismatch semantics") {
     import spark.implicits._
     val vals = Seq(
