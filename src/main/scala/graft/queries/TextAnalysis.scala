@@ -153,6 +153,32 @@ object TextAnalysis {
         .orderBy(col("split"))
     }),
 
+    // Rare-token scoring: per document, the fraction of token
+    // OCCURRENCES whose corpus-wide count falls below a threshold, plus
+    // the mean corpus frequency of its tokens — the vocabulary-grounded
+    // quality signal (OOV/typo-heavy docs score high, template/boiler-
+    // plate docs score low) that complements q15's shape heuristics.
+    // One unigram hash-aggregate (vocabulary-sized, broadcast back, the
+    // q54 pattern) + one per-doc aggregate; ratios are single
+    // exact-integer divisions.
+    "q66_rare_tokens" -> ((s, dir) => {
+      val tk = toks(s, dir)
+      val uni = tk.select(explode(col("t")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+      tk.select(col("doc_id"), explode(col("t")).as("tok"))
+        .join(broadcast(uni), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("case when cf < 5 then 1 else 0 end")).as("n_rare"),
+          sum(col("cf")).as("sum_cf"))
+        .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+          expr("cast(n_rare as double) / cast(n_tokens as double)")
+            .as("rare_ratio"),
+          expr("cast(sum_cf as double) / cast(n_tokens as double)")
+            .as("mean_corpus_freq"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Collocation mining: top-20 adjacent-token bigrams by lift
     // nxy·N / (nx·ny) with a min-count guard — the PMI-style phrase
     // discovery pass. The score is a ratio of exact int64 products
@@ -239,6 +265,17 @@ object TextAnalysis {
             count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
             min(doc_id) AS min_doc, max(doc_id) AS max_doc
           FROM b GROUP BY 1 ORDER BY 1""",
+    "q66_rare_tokens" ->
+      s"""WITH tk AS ($duckToks),
+          inst AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+          uni AS (SELECT tok, count(*) AS cf FROM inst GROUP BY tok)
+          SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(CASE WHEN cf < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+            CAST(sum(CASE WHEN cf < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS rare_ratio,
+            CAST(sum(cf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_corpus_freq
+          FROM inst JOIN uni USING (tok)
+          GROUP BY doc_id ORDER BY doc_id""",
     "q48_collocations" ->
       s"""WITH tk AS ($duckToks),
           bi AS (SELECT t[i] AS x, t[i + 1] AS y

@@ -11,6 +11,19 @@ class TextDedupSpec extends SparkSpec {
   private def run(m: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
       name: String) = m(name)(spark, sfDir)
 
+  test("rare tokens: ratio bounded, mean frequency >= 1") {
+    val rows = run(TextAnalysis.queries, "q66_rare_tokens").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val rare = r.getAs[Long]("n_rare")
+      assert(rare >= 0 && rare <= n)
+      val ratio = r.getAs[Double]("rare_ratio")
+      assert(ratio == rare.toDouble / n.toDouble)
+      // every token occurs at least once in the corpus (itself)
+      assert(r.getAs[Double]("mean_corpus_freq") >= 1.0)
+    }
+  }
+
   test("token stats: types <= tokens, ttr in (0,1]") {
     val rows = run(TextAnalysis.queries, "q13_token_stats").collect()
     assert(rows.nonEmpty)
