@@ -208,6 +208,30 @@ object Analytics {
         .orderBy(col("p_label"))
     }),
 
+    // Equi-depth histogram: quartile boundaries (type-7 percentiles,
+    // decimal-rounded for cross-engine bit-parity like q32) + the row
+    // count landing in each [b_i, b_{i+1}) bin — the histogram flavor
+    // optimizers actually store (equal-count bins adapt to the value
+    // distribution; q33 is the equal-width complement). One aggregate
+    // computes the three boundaries, broadcasts them, and one more
+    // aggregate bins the scan — no sort, no per-row join.
+    "q67_equidepth_hist" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def pct(p: Double, name: String) =
+        expr(s"cast(cast(percentile(o_totalprice, $p) as decimal(18,6)) as double)")
+          .as(name)
+      val bounds = o.agg(pct(0.25, "b1"), pct(0.5, "b2"), pct(0.75, "b3"))
+      o.crossJoin(broadcast(bounds))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("case when o_totalprice < b1 then 1 else 0 end")).as("n_q1"),
+          sum(expr("case when o_totalprice >= b1 and o_totalprice < b2 then 1 else 0 end")).as("n_q2"),
+          sum(expr("case when o_totalprice >= b2 and o_totalprice < b3 then 1 else 0 end")).as("n_q3"),
+          sum(expr("case when o_totalprice >= b3 then 1 else 0 end")).as("n_q4"),
+          min(col("b1")).as("b1"), min(col("b2")).as("b2"), min(col("b3")).as("b3"))
+        .select(col("n_rows"), col("b1"), col("b2"), col("b3"),
+          col("n_q1"), col("n_q2"), col("n_q3"), col("n_q4"))
+    }),
+
     // Join-key skew profile: the distribution statistics a planner
     // reads before choosing salting / skew-join handling (q35 is the
     // mitigation; this is the detector). One hash-aggregate to per-key
@@ -348,6 +372,18 @@ object Analytics {
                       WHEN p_label = 'p90' THEN x90 ELSE x99 END) AS abs_err
           FROM tg JOIN cum2 ON cumb < target AND target <= cum, ex
           ORDER BY p_label""",
+    "q67_equidepth_hist" ->
+      """WITH b AS (SELECT
+            CAST(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS b1,
+            CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS b2,
+            CAST(CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS b3
+          FROM orders)
+          SELECT count(*) AS n_rows, b1, b2, b3,
+            CAST(sum(CASE WHEN o_totalprice < b1 THEN 1 ELSE 0 END) AS BIGINT) AS n_q1,
+            CAST(sum(CASE WHEN o_totalprice >= b1 AND o_totalprice < b2 THEN 1 ELSE 0 END) AS BIGINT) AS n_q2,
+            CAST(sum(CASE WHEN o_totalprice >= b2 AND o_totalprice < b3 THEN 1 ELSE 0 END) AS BIGINT) AS n_q3,
+            CAST(sum(CASE WHEN o_totalprice >= b3 THEN 1 ELSE 0 END) AS BIGINT) AS n_q4
+          FROM orders, b GROUP BY b1, b2, b3""",
     "q65_key_skew_profile" ->
       """WITH cnts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey),
           top AS (SELECT l_partkey AS top_key, CAST(c AS BIGINT) AS max_key_rows

@@ -226,6 +226,17 @@ class CorpusSpec extends SparkSpec {
       assert(r.getAs[Double]("purchase_through") == p.toDouble / c.toDouble)
   }
 
+  test("equi-depth histogram: bins partition the table, roughly equal") {
+    val r = Analytics.queries("q67_equidepth_hist")(spark, sfDir).collect().head
+    val n = r.getAs[Long]("n_rows")
+    val bins = Seq("n_q1", "n_q2", "n_q3", "n_q4").map(r.getAs[Long])
+    assert(bins.sum == n) // the four bins cover every row exactly once
+    assert(r.getAs[Double]("b1") <= r.getAs[Double]("b2"))
+    assert(r.getAs[Double]("b2") <= r.getAs[Double]("b3"))
+    // equi-depth: each quartile bin holds ~n/4 (loose bound for ties)
+    bins.foreach(b => assert(b >= n / 8 && b <= 3 * n / 8, s"bin $b of $n"))
+  }
+
   test("key skew profile: ratios bounded and recomputable") {
     val r = Analytics.queries("q65_key_skew_profile")(spark, sfDir).collect().head
     val (n, k, mx) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
