@@ -143,6 +143,30 @@ object EventStreams {
       .select(col("w.start").as("ws"), col("cms"), col("n_events"))
   }
 
+  /** Watermarked stream-stream interval join: clicks matched to the
+    * views they followed within one hour for the same user — the
+    * streaming twin of the batch interval join (q46) and the
+    * real-time attribution input to the q64 conversion funnel. Both
+    * sides carry event-time watermarks and the join condition bounds
+    * cts relative to vts, so Spark derives a state-retention horizon
+    * for each side (without the time bound, stream-stream join state
+    * grows forever). Works identically on batch inputs.
+    */
+  def clicksAfterViews(views: DataFrame, clicks: DataFrame): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (df.isStreaming) df.withWatermark("ts", "1 hour") else df
+    val v = side(views).select(col("user_id").as("v_user"),
+      col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val c = side(clicks).select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"), col("event_id").as("click_id"))
+    c.join(v, expr(
+      """c_user = v_user
+         and click_ts > view_ts
+         and click_ts <= view_ts + interval 1 hour"""))
+      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming exact deduplication on event_id: the stream analogue of
     * the corpus dedup operators — watermark bounds the dedup state so
     * only ids within the lateness horizon are retained (the unbounded

@@ -157,6 +157,42 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join equals batch, bounded by the hour rule") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val vSample = sample.filter(_.event_type == "view")
+    // sample's only view->click gaps are negative or 64' (> 1h): add a
+    // click 39' after user 1's view@61' so exactly one pair joins
+    val cSample = sample.filter(_.event_type == "click") :+
+      Event(9, ts(100), 1, "click", 9.0)
+    val out = EventStreams.clicksAfterViews(views.toDF(), clicks.toDF())
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(vSample)
+    clicks.addData(cSample.take(2))
+    q.processAllAvailable()
+    clicks.addData(cSample.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj")
+      .orderBy("click_id", "view_id").collect().toSeq
+    val batch = EventStreams.clicksAfterViews(vSample.toDF(), cSample.toDF())
+      .orderBy("click_id", "view_id").collect().toSeq
+    assert(streamed == batch)
+    // every joined pair respects the (0, 1h] event-time bound per user
+    streamed.foreach { r =>
+      val gap = r.getAs[Timestamp]("click_ts").getTime -
+        r.getAs[Timestamp]("view_ts").getTime
+      assert(gap > 0 && gap <= 3600 * 1000L)
+    }
+    // exactly the (view@61', click@100') pair for user 1 joins; the
+    // 64'-later click@125' and all clicks preceding their views do not
+    assert(streamed.map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+      == Seq((3L, 9L)))
+  }
+
   test("streaming dedup drops repeated event ids across micro-batches") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
