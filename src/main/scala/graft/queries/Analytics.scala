@@ -215,6 +215,11 @@ object Analytics {
     // distribution; q33 is the equal-width complement). One aggregate
     // computes the three boundaries, broadcasts them, and one more
     // aggregate bins the scan — no sort, no per-row join.
+    // 100 TB note: Spark's exact `percentile` buffers the group's
+    // values in the aggregation buffer, which caps the input size the
+    // boundary pass can handle; at scale the boundaries come from the
+    // q61 histogram sketch (or percentile_approx) instead — the
+    // binning pass is unchanged either way.
     "q67_equidepth_hist" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       def pct(p: Double, name: String) =

@@ -160,7 +160,10 @@ object TextAnalysis {
     // plate docs score low) that complements q15's shape heuristics.
     // One unigram hash-aggregate (vocabulary-sized, broadcast back, the
     // q54 pattern) + one per-doc aggregate; ratios are single
-    // exact-integer divisions.
+    // exact-integer divisions. 100 TB note: a web-scale vocabulary can
+    // outgrow the broadcast threshold — the same plan with the
+    // broadcast hint dropped becomes a shuffle join on tok and stays
+    // correct; AQE picks the strategy from the measured unigram size.
     "q66_rare_tokens" -> ((s, dir) => {
       val tk = toks(s, dir)
       val uni = tk.select(explode(col("t")).as("tok"))
