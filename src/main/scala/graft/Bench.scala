@@ -187,7 +187,7 @@ object Bench {
     // queries first, summary fields LAST: the driver keeps the END of
     // stdout, so if this line ever outgrows the window again it loses
     // leading per-query entries, not the totals/speedups.
-    println(s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f"$total%.2f"},"unit":"sec","aqp_speedups":$aqp,"detail":"BENCH_DETAIL.json","sf":${jstr(sfDir)}}""")
+    println(s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f"$total%.2f"},"unit":"sec","aqp_speedups":$aqp,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
