@@ -192,6 +192,39 @@ object Aqp {
           "(est_tokens - cast(exact_tokens as double)) / cast(exact_tokens as double)"))
     }),
 
+    // AQP over a JOIN — beyond the reference's single-table planner:
+    // sample the fact side with a deterministic keyed-hash Bernoulli
+    // (p = 1/10), join the dims at full fidelity, and Horvitz-Thompson
+    // scale the aggregates (x10). The join runs on 10% of the fact
+    // rows — the shuffle/CPU saving AQP exists for — while the exact
+    // companion pays the full join for the realized-error report.
+    // Hash sampling keeps the ESTIMATE deterministic, so unlike
+    // rand()-sampled AQP this one is oracle-gated bit-for-bit.
+    "q68_sampled_join_agg" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      val keyExpr = graft.queries.Dedup.h60Spark(
+        """concat('sj:', cast(l_orderkey as string), '-',
+           cast(l_linenumber as string), '-', cast(l_quantity as string))""")
+      val sampled = li.filter(expr(s"$keyExpr % 10 = 0"))
+      def agg(df: DataFrame, n: String, r: String) =
+        df.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as(n),
+            expr("cast(sum(cast(l_extendedprice as decimal(18,4))) as double)").as(r))
+      agg(sampled, "n_sampled", "rev_sampled")
+        .join(agg(li, "exact_rows", "exact_revenue"), "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_sampled"),
+          expr("n_sampled * 10").as("est_rows"), col("exact_rows"),
+          expr("rev_sampled * 10").as("est_revenue"), col("exact_revenue"),
+          expr("(rev_sampled * 10 - exact_revenue) / exact_revenue")
+            .as("rel_error"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -267,6 +300,24 @@ object Aqp {
               + CAST(t_low * 10000 AS DOUBLE) / CAST(500 AS DOUBLE))
               - CAST(exact_tokens AS DOUBLE)) / CAST(exact_tokens AS DOUBLE) AS err_tokens
           FROM a""",
+    "q68_sampled_join_agg" ->
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+              ${graft.queries.Dedup.h60Duck("'sj:' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_quantity AS VARCHAR)")} AS h
+            FROM lineitem),
+          sa AS (SELECT o_orderpriority, count(*) AS n_sampled,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_sampled
+            FROM li JOIN orders ON l_orderkey = o_orderkey
+            WHERE h % 10 = 0 GROUP BY o_orderpriority),
+          ex AS (SELECT o_orderpriority, count(*) AS exact_rows,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS exact_revenue
+            FROM li JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority)
+          SELECT sa.o_orderpriority, n_sampled,
+            n_sampled * 10 AS est_rows, exact_rows,
+            rev_sampled * 10 AS est_revenue, exact_revenue,
+            (rev_sampled * 10 - exact_revenue) / exact_revenue AS rel_error
+          FROM sa JOIN ex ON sa.o_orderpriority = ex.o_orderpriority
+          ORDER BY sa.o_orderpriority""",
     "q27_binary_meta" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

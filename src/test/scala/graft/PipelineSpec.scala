@@ -91,6 +91,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Double]("rel_error") == (est - exact).toDouble / exact)
   }
 
+  test("sampled join agg: HT scaling recomputable, estimates near exact") {
+    val rows = graft.queries.Aqp.queries("q68_sampled_join_agg")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_rows") == r.getAs[Long]("n_sampled") * 10)
+      val est = r.getAs[Double]("est_revenue")
+      val exact = r.getAs[Double]("exact_revenue")
+      assert(exact > 0)
+      // p=0.1 keyed-hash Bernoulli at spec scale: generous 50% bound
+      assert(math.abs(est - exact) / exact < 0.5, s"est=$est exact=$exact")
+      assert(r.getAs[Double]("rel_error") == (est - exact) / exact)
+    }
+  }
+
   test("weighted sample: strata consistent, HT terms recomputable") {
     val r = graft.queries.Aqp.queries("q63_weighted_sample")(spark, sfDir)
       .collect().head
