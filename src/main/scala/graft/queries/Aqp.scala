@@ -52,6 +52,28 @@ object Aqp {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal frame sampling as columnar arithmetic: every 4th
+    // 256-byte window of each video payload becomes a frame reference
+    // (offset + length) — the EXACT rule the typed Dataset path
+    // (Multimodal.sampleFrames) applies via flatMap, re-expressed as
+    // sequence+explode so the driver's DuckDB oracle can gate it;
+    // MultimodalSpec asserts the two paths emit identical frames.
+    "q69_frame_sample" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(expr("doc_id % 3 = 2"))
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).as("nb"))
+        .select(col("doc_id"), col("nb"),
+          explode(expr(
+            "sequence(0, greatest(cast(nb div 256 as int), 1) - 1, 4)"))
+            .as("f"))
+        .select(col("doc_id"), col("nb"),
+          expr("cast(f as int)").as("frame_idx"),
+          expr("cast(f * 256 as int)").as("offset"),
+          expr("cast(least(256, nb - f * 256) as int)").as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // AQP: uniform-sampled COUNT/SUM/AVG with Horvitz-Thompson scaling
     // and CI columns (inline Bernoulli, seed 42).
     "q28_aqp_sampled_agg" -> ((s, dir) => {
@@ -300,6 +322,14 @@ object Aqp {
               + CAST(t_low * 10000 AS DOUBLE) / CAST(500 AS DOUBLE))
               - CAST(exact_tokens AS DOUBLE)) / CAST(exact_tokens AS DOUBLE) AS err_tokens
           FROM a""",
+    "q69_frame_sample" ->
+      """SELECT doc_id, CAST(nb AS INT) AS nb, CAST(f AS INT) AS frame_idx,
+            CAST(f * 256 AS INT) AS "offset",
+            CAST(least(256, nb - f * 256) AS INT) AS frame_len
+          FROM (SELECT doc_id, octet_length(encode(text)) AS nb,
+                  unnest(generate_series(0, greatest(nb // 256, 1) - 1, 4)) AS f
+                FROM documents WHERE doc_id % 3 = 2)
+          ORDER BY doc_id, frame_idx""",
     "q68_sampled_join_agg" ->
       s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
               ${graft.queries.Dedup.h60Duck("'sj:' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '-' || CAST(l_quantity AS VARCHAR)")} AS h

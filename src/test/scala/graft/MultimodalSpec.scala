@@ -19,6 +19,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("columnar frame sampling (q69) equals the typed flatMap path") {
+    val typed = Multimodal.sampleFrames(media).collect()
+      .map(f => (f.id, f.frameIdx, f.offset, f.length)).toSet
+    val columnar = graft.queries.Aqp.queries("q69_frame_sample")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Int]("offset"), r.getAs[Int]("frame_len"))).toSet
+    assert(typed.nonEmpty)
+    assert(columnar == typed)
+  }
+
   test("batched metadata extraction is deterministic and total") {
     val meta = Multimodal.extractMeta(media, batchSize = 16).collect()
     assert(meta.length == media.count())
