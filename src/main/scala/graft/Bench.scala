@@ -187,7 +187,12 @@ object Bench {
     // queries first, summary fields LAST: the driver keeps the END of
     // stdout, so if this line ever outgrows the window again it loses
     // leading per-query entries, not the totals/speedups.
-    println(s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f"$total%.2f"},"unit":"sec","aqp_speedups":$aqp,"sf":${jstr(sfDir)}}""")
+    // "unit" is omitted (seconds, per the detail file) and sf prints as
+    // its basename: the full path and unit live in BENCH_DETAIL.json,
+    // and every byte here competes with query entries for the driver's
+    // 2000-char stdout tail.
+    val sfShort = new java.io.File(sfDir).getName
+    println(s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f"$total%.2f"},"aqp_speedups":$aqp,"sf":${jstr(sfShort)}}""")
     spark.stop()
   }
 }
