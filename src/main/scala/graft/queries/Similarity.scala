@@ -129,6 +129,45 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label embedding diversity in O(n): mean pairwise cosine via
+    // the sum-vector identity (|Σq|² − Σ|q|²) / (n(n−1)) over unit-
+    // normalized, integer-quantized vectors — the corpus-diversity
+    // measurement a naive implementation pays O(n²) pairs for, here
+    // two hash-aggregates over one 64-way dim explode. Quantization at
+    // 1e4 keeps every per-dim sum-square ≤ ~2.5e13·64 exactly in int64
+    // (headroom to ~100× the per-label count; past that, re-quantize
+    // or subgroup). Fully integer until one fixed-form division, so
+    // the APPROXIMATE (quantized) diversity score is oracle-gated
+    // bit-for-bit.
+    "q70_label_diversity" -> ((s, dir) => {
+      registerFns(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(dotSpark("embedding", "embedding")).as("nrm"))
+      val ex = e
+        .select(col("label"), col("vec_id"), col("embedding"), col("nrm"),
+          explode(expr("sequence(1, 64)")).as("dim"))
+        .select(col("label"), col("vec_id"), col("dim"),
+          expr("""cast(floor((cast(element_at(embedding, dim) as double)
+              / sqrt(cast(nrm as double) / cast(1000000 as double)))
+              * cast(10000 as double)) as bigint)""").as("q"))
+      val perDim = ex.groupBy(col("label"), col("dim"))
+        .agg(sum(col("q")).as("sd"))
+      val s2 = perDim.groupBy(col("label"))
+        .agg(sum(expr("sd * sd")).as("sum_sd2"))
+      val perLabel = ex.groupBy(col("label"))
+        .agg(countDistinct(col("vec_id")).as("n"),
+          sum(expr("q * q")).as("sum_q2"))
+      s2.join(perLabel, "label")
+        .select(col("label"), col("n"), col("sum_sd2"), col("sum_q2"),
+          expr("""case when n > 1
+              then cast(sum_sd2 - sum_q2 as double)
+                / (cast(n * (n - 1) as double) * cast(100000000 as double))
+              else cast(null as double) end""").as("mean_pairwise_cos"))
+        .orderBy(col("label"))
+    }),
+
     // Brute-force cosine top-k: Q query vectors against the full corpus.
     // Q rows broadcast; corpus side streams — one pass, no shuffle before
     // the per-query top-k.
@@ -350,6 +389,28 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q70_label_diversity" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+              ${dotDuck("embedding", "embedding")} AS nrm
+            FROM embeddings),
+          ex AS (SELECT label, vec_id, dim,
+              CAST(floor((CAST(embedding[dim] AS DOUBLE)
+                / sqrt(CAST(nrm AS DOUBLE) / CAST(1000000 AS DOUBLE)))
+                * CAST(10000 AS DOUBLE)) AS BIGINT) AS q
+            FROM e, (SELECT unnest(generate_series(1, 64)) AS dim)),
+          pd AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sd
+                 FROM ex GROUP BY label, dim),
+          s2 AS (SELECT label, CAST(sum(sd * sd) AS BIGINT) AS sum_sd2
+                 FROM pd GROUP BY label),
+          pl AS (SELECT label, count(DISTINCT vec_id) AS n,
+                   CAST(sum(q * q) AS BIGINT) AS sum_q2
+                 FROM ex GROUP BY label)
+          SELECT s2.label, n, sum_sd2, sum_q2,
+            CASE WHEN n > 1
+              THEN CAST(sum_sd2 - sum_q2 AS DOUBLE)
+                / (CAST(n * (n - 1) AS DOUBLE) * CAST(100000000 AS DOUBLE))
+              ELSE CAST(NULL AS DOUBLE) END AS mean_pairwise_cos
+          FROM s2 JOIN pl ON s2.label = pl.label ORDER BY s2.label""",
     "q21_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
             ${dotDuck("embedding", "embedding")} AS nq

@@ -11,6 +11,34 @@ class SimilaritySpec extends SparkSpec {
 
   private def run(name: String) = Similarity.queries(name)(spark, sfDir)
 
+  test("label diversity: O(n) sum-vector identity equals brute-force pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.queries("q70_label_diversity")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // brute-force check on one label: mean pairwise cosine of the
+    // quantized unit vectors, computed over all n(n-1)/2 pairs
+    val label = rows.head.getAs[Int]("label")
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("label") === label)
+      .collect().map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray
+        val nrm = v.map(x => math.floor(x * x * 1e6).toLong).sum
+        v.map(x => math.floor(x / math.sqrt(nrm / 1e6) * 1e4).toLong)
+      }
+    val n = vecs.length
+    var acc = 0.0
+    for (i <- vecs.indices; j <- vecs.indices if i < j)
+      acc += vecs(i).zip(vecs(j)).map { case (a, b) => (a * b).toDouble }.sum
+    val brute = 2.0 * acc / (n.toDouble * (n - 1).toDouble * 1e8)
+    val got = rows.find(_.getAs[Int]("label") == label).get
+      .getAs[Double]("mean_pairwise_cos")
+    assert(math.abs(got - brute) < 1e-9, s"identity=$got brute=$brute")
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_pairwise_cos")
+      assert(m >= -1.0 - 1e-6 && m <= 1.0 + 1e-6)
+    }
+  }
+
   test("embed near-dup pairs are ordered, deduplicated, above threshold") {
     val rows = run("q40_embed_neardup").collect()
     assert(rows.nonEmpty)
