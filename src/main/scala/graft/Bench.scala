@@ -77,12 +77,17 @@ object Bench {
     }
     val results = passTimes.toSeq.map { case (name, ts) => name -> ts.min }
     // The round driver keeps only the LAST 2000 chars of stdout; with 57
-    // queries a full-precision line overflows that window and gets cut
-    // mid-JSON (BENCH_r04). The printed line therefore rounds to 3
-    // decimals and moves aqp_detail + per-pass times to BENCH_DETAIL.json
-    // (same directory the driver snapshots), keeping the line < ~1800.
-    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
+    // queries a full-precision line overflowed that window and got cut
+    // mid-JSON (BENCH_r04). The printed line therefore keys each query
+    // by its stable qNN prefix at 2 decimals (~900 chars for 70
+    // queries) and moves full names, per-pass times, and aqp_detail to
+    // BENCH_DETAIL.json (same directory the driver snapshots).
+    def short(k: String): String = k.indexOf('_') match {
+      case -1 => k
+      case i  => k.substring(0, i)
+    }
+    val qs = results.map { case (k, v) => jstr(short(k)) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(short(k)) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // AQP speedups in the reference's BASELINE configuration: a 1%
