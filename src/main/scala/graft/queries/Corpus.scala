@@ -266,6 +266,33 @@ object Corpus {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // Corpus data card: the summary report a dataset release ships —
+    // doc/token counts and quality composition for every (lang),
+    // (source), (lang, source) margin plus the grand total, in ONE
+    // pass via CUBE grouping sets (Spark expands the sets inside a
+    // single hash aggregate; no per-margin rescans). The quality
+    // column is q15's score rule, so the card's "high-quality share"
+    // is consistent with the funnel's stage-2 filter.
+    "q71_corpus_report" -> ((s, dir) => {
+      val enMarkers = "array('the', 'a', 'of', 'and', 'is')"
+      Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("lang"), col("source"),
+          split(lower(col("text")), " ").as("t"))
+        .select(col("lang"), col("source"), expr("size(t)").as("nt"),
+          expr(
+            s"""case when least(cast(1 as double), cast(size(t) as double) / 100) * cast(0.6 as double)
+                + least(cast(size(filter(t, x -> array_contains($enMarkers, x))) as double) / size(t) * 10,
+                    cast(1 as double)) * cast(0.4 as double) >= 0.7 then 1 else 0 end""")
+            .as("hi"))
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("hi")).as("n_high_quality"),
+          expr("cast(grouping(lang) * 2 + grouping(source) as int)").as("gid"))
+        .orderBy(col("gid").asc, col("lang").asc_nulls_first,
+          col("source").asc_nulls_first)
+    }),
+
     // TF-IDF keyterm extraction: top-3 terms per document scored by
     // tf·N/df — the exact-integer reciprocal-df weighting (same ranking
     // as tf·log(N/df) for fixed tf since log is monotone; ratio form
@@ -358,6 +385,20 @@ object Corpus {
             least(CAST(1 AS DOUBLE),
               CAST((budget * w) // tw AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS sample_frac
           FROM pw, tot ORDER BY source""",
+    "q71_corpus_report" ->
+      """WITH d AS (SELECT lang, source, string_split(lower(text), ' ') AS t
+            FROM documents),
+          f AS (SELECT lang, source, CAST(len(t) AS INT) AS nt,
+              CASE WHEN least(CAST(1 AS DOUBLE), CAST(len(t) AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE)
+                + least(CAST(len([x for x in t if list_contains(['the', 'a', 'of', 'and', 'is'], x)]) AS DOUBLE) / len(t) * 10,
+                    CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) >= 0.7 THEN 1 ELSE 0 END AS hi
+            FROM d)
+          SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS n_tokens,
+            CAST(sum(hi) AS BIGINT) AS n_high_quality,
+            CAST(grouping(lang) * 2 + grouping(source) AS INT) AS gid
+          FROM f GROUP BY CUBE(lang, source)
+          ORDER BY gid ASC, lang ASC NULLS FIRST, source ASC NULLS FIRST""",
     "q58_corpus_funnel" ->
       s"""WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t,
               md5(text) AS ck FROM documents),

@@ -178,6 +178,30 @@ object EventStreams {
     in.dropDuplicates("event_id")
   }
 
+  /** Streaming corpus ingest: the document-side quality + dedup pass
+    * (batch twins: q15's score rule, q17's fingerprint dedup) applied
+    * as documents ARRIVE — the ingestion front of a training-data
+    * pipeline. Quality-filter first (stateless, prunes before state),
+    * then exact-dedup on the order/multiplicity-insensitive content
+    * fingerprint; the watermark on arrival time bounds dedup state to
+    * the lateness horizon. Works identically on batch inputs.
+    */
+  def corpusIngest(docs: DataFrame, minScore: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val enMarkers = "array('the', 'a', 'of', 'and', 'is')"
+    val in = if (docs.isStreaming) docs.withWatermark("ts", "1 hour") else docs
+    in.select(col("doc_id"), col("ts"),
+        split(lower(col("text")), " ").as("t"))
+      .select(col("doc_id"), col("ts"), expr("size(t)").as("n_tokens"),
+        expr("md5(array_join(array_sort(array_distinct(t)), ' '))").as("fp"),
+        expr(
+          s"""least(cast(1 as double), cast(size(t) as double) / 100) * cast(0.6 as double)
+              + least(cast(size(filter(t, x -> array_contains($enMarkers, x))) as double) / size(t) * 10,
+                  cast(1 as double)) * cast(0.4 as double)""").as("score"))
+      .filter(col("score") >= minScore)
+      .dropDuplicates("fp")
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */

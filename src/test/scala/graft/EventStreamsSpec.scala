@@ -193,6 +193,36 @@ class EventStreamsSpec extends SparkSpec {
       == Seq((3L, 9L)))
   }
 
+  test("streaming corpus ingest: quality filter + fingerprint dedup across batches") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val good = "the data of the table and the index is a scan " * 5 // high score
+    val dup = "a b " + good // same token SET as below -> same fingerprint
+    val dup2 = "b a " + good + " a b" // reordered/multiplied: same fp
+    val low = "zz yy" // 2 tokens, no markers -> score < 0.4
+    val docs = Seq((1L, ts(0), good), (2L, ts(1), dup),
+      (3L, ts(2), dup2), (4L, ts(3), low))
+    val cols = Seq("doc_id", "ts", "text")
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = EventStreams.corpusIngest(stream.toDF().toDF(cols: _*))
+    val q = out.writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(docs.take(2))
+    q.processAllAvailable()
+    stream.addData(docs.drop(2)) // dup2 arrives in a LATER micro-batch
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("ingest").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // doc 1 and doc 2 have different token sets (doc 2 adds a/b)?
+    // no: 'a' appears in good; 'b' is new -> doc2/doc3 share a fp,
+    // doc3 is dropped as a cross-batch duplicate; doc4 fails quality
+    assert(kept == Seq(1L, 2L), s"got $kept")
+    val batch = EventStreams.corpusIngest(docs.toDF(cols: _*))
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(batch == kept)
+  }
+
   test("streaming dedup drops repeated event ids across micro-batches") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
