@@ -206,7 +206,6 @@ object Corpus {
     // aggregate row unpivots to the 5-stage report — no per-stage
     // rescans of the corpus.
     "q58_corpus_funnel" -> ((s, dir) => {
-      val enMarkers = "array('the', 'a', 'of', 'and', 'is')"
       val docs = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("lang"),
@@ -215,10 +214,7 @@ object Corpus {
       val rep = docs.groupBy(col("ck")).agg(min(col("doc_id")).as("rep_id"))
       val flags = docs
         .withColumn("nt", expr("size(t)"))
-        .withColumn("score", expr(
-          s"""least(cast(1 as double), cast(size(t) as double) / 100) * cast(0.6 as double)
-              + least(cast(size(filter(t, x -> array_contains($enMarkers, x))) as double) / size(t) * 10,
-                  cast(1 as double)) * cast(0.4 as double)"""))
+        .withColumn("score", expr(TextAnalysis.scoreSpark("t")))
         .withColumn("n2", expr("case when size(t) >= 2 then size(t) - 1 else 0 end"))
         .withColumn("d2", expr(
           """case when size(t) >= 2
@@ -274,16 +270,12 @@ object Corpus {
     // column is q15's score rule, so the card's "high-quality share"
     // is consistent with the funnel's stage-2 filter.
     "q71_corpus_report" -> ((s, dir) => {
-      val enMarkers = "array('the', 'a', 'of', 'and', 'is')"
       Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("lang"), col("source"),
           split(lower(col("text")), " ").as("t"))
         .select(col("lang"), col("source"), expr("size(t)").as("nt"),
-          expr(
-            s"""case when least(cast(1 as double), cast(size(t) as double) / 100) * cast(0.6 as double)
-                + least(cast(size(filter(t, x -> array_contains($enMarkers, x))) as double) / size(t) * 10,
-                    cast(1 as double)) * cast(0.4 as double) >= 0.7 then 1 else 0 end""")
+          expr(s"case when ${TextAnalysis.scoreSpark("t")} >= 0.7 then 1 else 0 end")
             .as("hi"))
         .cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
@@ -389,9 +381,7 @@ object Corpus {
       """WITH d AS (SELECT lang, source, string_split(lower(text), ' ') AS t
             FROM documents),
           f AS (SELECT lang, source, CAST(len(t) AS INT) AS nt,
-              CASE WHEN least(CAST(1 AS DOUBLE), CAST(len(t) AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE)
-                + least(CAST(len([x for x in t if list_contains(['the', 'a', 'of', 'and', 'is'], x)]) AS DOUBLE) / len(t) * 10,
-                    CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) >= 0.7 THEN 1 ELSE 0 END AS hi
+              CASE WHEN ${TextAnalysis.scoreDuck("t")} >= 0.7 THEN 1 ELSE 0 END AS hi
             FROM d)
           SELECT lang, source, count(*) AS n_docs,
             CAST(sum(nt) AS BIGINT) AS n_tokens,
@@ -405,9 +395,7 @@ object Corpus {
           rep AS (SELECT ck, min(doc_id) AS rep_id FROM d GROUP BY ck),
           f AS (SELECT d.doc_id, CAST(len(t) AS BIGINT) AS nt,
               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c1,
-              least(CAST(1 AS DOUBLE), CAST(len(t) AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE)
-                + least(CAST(len([x for x in t if list_contains(['the', 'a', 'of', 'and', 'is'], x)]) AS DOUBLE) / len(t) * 10,
-                    CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) AS score,
+              ${TextAnalysis.scoreDuck("t")} AS score,
               CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS n2,
               CASE WHEN len(t) >= 2
                 THEN len(list_distinct([t[i] || ' ' || t[i+1]

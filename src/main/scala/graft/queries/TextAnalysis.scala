@@ -54,6 +54,23 @@ object TextAnalysis {
   private def markerListDuck(lang: String): String =
     markers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ", ", "]")
 
+  /** q15's composite quality score over a token-array column — THE
+    * score rule. Shared by the funnel (q58), the data card (q71), the
+    * weighted sampler (q63), and the streaming ingest, so a rule tweak
+    * changes every consumer in lockstep; [[scoreDuck]] is the oracle
+    * mirror. `t` is the SQL name of an array<string> column.
+    */
+  def scoreSpark(t: String): String =
+    s"""least(cast(1 as double), cast(size($t) as double) / 100) * cast(0.6 as double)
+        + least(cast(size(filter($t, x -> array_contains(${markerArraySql("en")}, x))) as double) / size($t) * 10,
+            cast(1 as double)) * cast(0.4 as double)"""
+
+  /** DuckDB mirror of [[scoreSpark]]. */
+  def scoreDuck(t: String): String =
+    s"""least(CAST(1 AS DOUBLE), CAST(len($t) AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE)
+        + least(CAST(len([x for x in $t if list_contains(${markerListDuck("en")}, x)]) AS DOUBLE) / len($t) * 10,
+            CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokenization + distinct-type stats.
     "q13_token_stats" -> ((s, dir) => {

@@ -168,15 +168,20 @@ object EventStreams {
   }
 
   /** Streaming exact deduplication on event_id: the stream analogue of
-    * the corpus dedup operators — watermark bounds the dedup state so
-    * only ids within the lateness horizon are retained (the unbounded
-    * alternative OOMs on an infinite stream).
+    * the corpus dedup operators. The streaming path MUST use
+    * dropDuplicatesWithinWatermark: plain dropDuplicates never evicts
+    * state unless the event-time column is part of the key, so its
+    * fingerprint set grows unboundedly on an infinite stream — with
+    * the within-watermark variant, state is evicted once the watermark
+    * passes a key's last occurrence (duplicates are only guaranteed
+    * dropped when they arrive inside the lateness horizon, which is
+    * the standard streaming-dedup contract).
     */
-  def dedupEvents(events: DataFrame): DataFrame = {
-    val in = if (events.isStreaming) events.withWatermark("ts", "1 hour")
-             else events
-    in.dropDuplicates("event_id")
-  }
+  def dedupEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Streaming corpus ingest: the document-side quality + dedup pass
     * (batch twins: q15's score rule, q17's fingerprint dedup) applied
@@ -188,18 +193,19 @@ object EventStreams {
     */
   def corpusIngest(docs: DataFrame, minScore: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val enMarkers = "array('the', 'a', 'of', 'and', 'is')"
     val in = if (docs.isStreaming) docs.withWatermark("ts", "1 hour") else docs
-    in.select(col("doc_id"), col("ts"),
+    val scored = in.select(col("doc_id"), col("ts"),
         split(lower(col("text")), " ").as("t"))
       .select(col("doc_id"), col("ts"), expr("size(t)").as("n_tokens"),
         expr("md5(array_join(array_sort(array_distinct(t)), ' '))").as("fp"),
-        expr(
-          s"""least(cast(1 as double), cast(size(t) as double) / 100) * cast(0.6 as double)
-              + least(cast(size(filter(t, x -> array_contains($enMarkers, x))) as double) / size(t) * 10,
-                  cast(1 as double)) * cast(0.4 as double)""").as("score"))
+        expr(graft.queries.TextAnalysis.scoreSpark("t")).as("score"))
       .filter(col("score") >= minScore)
-      .dropDuplicates("fp")
+    // within-watermark dedup: plain dropDuplicates would retain every
+    // fingerprint forever (state is only evicted when the event-time
+    // column is part of the key); this variant bounds state to the
+    // lateness horizon — the dedup guarantee a stream can actually keep
+    if (scored.isStreaming) scored.dropDuplicatesWithinWatermark("fp")
+    else scored.dropDuplicates("fp")
   }
 
   /** Run a streaming query over `df` into an in-memory sink and return
