@@ -26,6 +26,12 @@ import org.apache.spark.sql.SparkSession
   * restricts the run to a comma-separated subset.
   */
 object Bench {
+  // Locale-pinned decimal formatting: the f"" interpolator uses the JVM
+  // default locale, which on comma-decimal locales would emit "1,23"
+  // and corrupt the JSON line.
+  private def f1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+  private def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -86,7 +92,7 @@ object Bench {
       case -1 => k
       case i  => k.substring(0, i)
     }
-    val qs = results.map { case (k, v) => jstr(short(k)) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => jstr(short(k)) + ":" + f2(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(short(k)) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
@@ -166,14 +172,14 @@ object Bench {
       def net(ta: Double, te: Double): String = {
         val a = ta - fixedMs
         val e = te - fixedMs
-        if (a > 20.0 && e > 20.0) f"${e / a}%.2f" else "null"
+        if (a > 20.0 && e > 20.0) f2(e / a) else "null"
       }
       aqp = measured.map { case (k, _, _, ta, te) =>
-        s"${jstr(k)}:${if (ta > 0) f"${te / ta}%.2f" else "0.0"}"
+        s"${jstr(k)}:${if (ta > 0) f2(te / ta) else "0.0"}"
       }.mkString("{", ",", "}")
       aqpDetail = (measured.map { case (k, pt, tp, ta, te) =>
-        s"""${jstr(k)}:{"plan_ms":${f"$tp%.1f"},"approx_ms":${f"$ta%.1f"},"exact_ms":${f"$te%.1f"},"net_speedup":${net(ta, te)},"plan_type":${jstr(pt)}}"""
-      } :+ s""""fixed_job_ms":${f"$fixedMs%.1f"}""").mkString("{", ",", "}")
+        s"""${jstr(k)}:{"plan_ms":${f1(tp)},"approx_ms":${f1(ta)},"exact_ms":${f1(te)},"net_speedup":${net(ta, te)},"plan_type":${jstr(pt)}}"""
+      } :+ s""""fixed_job_ms":${f1(fixedMs)}""").mkString("{", ",", "}")
     } catch { case t: Throwable =>
       errors("aqp_speedups") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
     }
@@ -197,7 +203,7 @@ object Bench {
     // and every byte here competes with query entries for the driver's
     // 2000-char stdout tail.
     val sfShort = new java.io.File(sfDir).getName
-    println(s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f"$total%.2f"},"aqp_speedups":$aqp,"sf":${jstr(sfShort)}}""")
+    println(s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f2(total)},"aqp_speedups":$aqp,"sf":${jstr(sfShort)}}""")
     spark.stop()
   }
 }

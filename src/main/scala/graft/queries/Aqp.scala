@@ -176,15 +176,11 @@ object Aqp {
     // exact-integer division each, summed in fixed written order, so
     // the approximate estimates hash-match DuckDB bit-for-bit.
     "q63_weighted_sample" -> ((s, dir) => {
-      val enMarkers = "array('the', 'a', 'of', 'and', 'is')"
       val flags = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
         .select(col("doc_id"), expr("size(t)").as("nt"),
-          expr(
-            s"""least(cast(1 as double), cast(size(t) as double) / 100) * cast(0.6 as double)
-                + least(cast(size(filter(t, x -> array_contains($enMarkers, x))) as double) / size(t) * 10,
-                    cast(1 as double)) * cast(0.4 as double)""").as("score"),
+          expr(TextAnalysis.scoreSpark("t")).as("score"),
           expr(s"${graft.queries.Dedup.h60Spark("concat('ws:', cast(doc_id as string))")} % 10000")
             .as("hh"))
         .withColumn("w", expr(
@@ -285,9 +281,7 @@ object Aqp {
     "q63_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
           f AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
-              least(CAST(1 AS DOUBLE), CAST(len(t) AS DOUBLE) / 100) * CAST(0.6 AS DOUBLE)
-                + least(CAST(len([x for x in t if list_contains(['the', 'a', 'of', 'and', 'is'], x)]) AS DOUBLE) / len(t) * 10,
-                    CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE) AS score,
+              ${TextAnalysis.scoreDuck("t")} AS score,
               ${graft.queries.Dedup.h60Duck("'ws:' || CAST(doc_id AS VARCHAR)")} % 10000 AS hh
             FROM d),
           g AS (SELECT nt, hh,

@@ -378,7 +378,7 @@ object Corpus {
               CAST((budget * w) // tw AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS sample_frac
           FROM pw, tot ORDER BY source""",
     "q71_corpus_report" ->
-      """WITH d AS (SELECT lang, source, string_split(lower(text), ' ') AS t
+      s"""WITH d AS (SELECT lang, source, string_split(lower(text), ' ') AS t
             FROM documents),
           f AS (SELECT lang, source, CAST(len(t) AS INT) AS nt,
               CASE WHEN ${TextAnalysis.scoreDuck("t")} >= 0.7 THEN 1 ELSE 0 END AS hi

@@ -127,8 +127,16 @@ object Dedup {
   private val memoCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def memo(s: SparkSession, dir: String, name: String)(
-      body: => DataFrame): DataFrame =
+      body: => DataFrame): DataFrame = {
+    // Evict entries pinned to stopped sessions so their checkpointed
+    // blocks can be GC'd; a dataset directory is assumed immutable for
+    // the lifetime of the session that first read it (true for the
+    // driver's testdata; a service regenerating inputs must restart the
+    // session or call resetSharedMaterializations()).
+    memoCache.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(memoCache.remove)
     memoCache.getOrElseUpdate((s, dir, name), body.localCheckpoint())
+  }
 
   /** Drop the shared materializations (plan-inspection tooling only:
     * tools/Plans asserts properties of the FRESH computation, which a
