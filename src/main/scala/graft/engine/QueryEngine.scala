@@ -38,7 +38,11 @@ final class QueryEngine(
       preferExact: Boolean = false,
       useMl: Boolean = true,
       ciColumns: Boolean = true,
-      measureExact: Boolean = false)
+      measureExact: Boolean = false,
+      // When set, inline sampling is SYSTEMATIC on this key (keyed-hash
+      // lottery, reference ml_optimizer.py:236-240 parity) instead of
+      // seeded Bernoulli — reproducible across runs and engines.
+      systematicKey: Option[String] = None)
 
   case class AqeResult(
       df: DataFrame,
@@ -166,7 +170,9 @@ final class QueryEngine(
               opts.maxRelError, preferExact = false)
             val decision = plan.decision match {
               case s: Planner.ReadSampleTable => s
-              case _ => Planner.ReadInlineSample(frac, seed)
+              case _ => opts.systematicKey
+                .map(k => Planner.ReadInlineSystematic(frac, k))
+                .getOrElse(Planner.ReadInlineSample(frac, seed))
             }
             val f = decision.fraction.get
             val estErr = math.sqrt(1.0 / math.max(1.0, f * tableSize))
@@ -181,6 +187,8 @@ final class QueryEngine(
               val (spd, err) = StrategyChooser.predict(StrategyChooser.Sample, tableSize, Some(f))
               val (tbl, desc) = decision match {
                 case Planner.ReadSampleTable(n, _) => (Some(n), s"pre-created sample table $n")
+                case Planner.ReadInlineSystematic(_, k) =>
+                  (None, f"inline systematic (keyed-hash on $k) sample fraction=$f%.4f")
                 case _ => (None, f"inline Bernoulli sample fraction=$f%.4f seed=$seed")
               }
               AqeResult(df, "sample",

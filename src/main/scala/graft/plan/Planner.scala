@@ -35,6 +35,16 @@ object Planner {
     */
   case class ReadInlineSample(f: Double, seed: Long)
       extends SamplingDecision { def fraction = Some(f) }
+  /** Systematic (keyed-hash) inline sampling — the faithful form of the
+    * reference's deterministic `ROWID % k = 0` rewrite
+    * (/root/reference/ml_optimizer.py:236-240): membership is a pure
+    * function of `key`, so the sample is reproducible across runs,
+    * partitionings, and engines (and therefore oracle-checkable), and
+    * co-keyed rows (e.g. the lines of one order) share fate — cluster
+    * sampling, which keeps HT estimates unbiased per row.
+    */
+  case class ReadInlineSystematic(f: Double, key: String)
+      extends SamplingDecision { def fraction = Some(f) }
 
   case class Plan(
       planType: String,            // "exact" | "sample"

@@ -136,8 +136,20 @@ object SampleRewrite {
       Some(fn("sqrt", fn("sum",
         Multiply(Multiply(x, x), Multiply(w, Subtract(w, Literal(1.0)))))))
     case f: UnresolvedFunction if isAgg(f, "avg", "mean") =>
-      val x = f.arguments.head
-      Some(Divide(fn("stddev_samp", x), fn("sqrt", fn("count", x))))
+      // se[avg] = stddev_samp(x)/√n, written as explicit moment sums
+      // with FIXED association: sqrt(((Σx² − (Σx·Σx)/n) / (n−1)) / n).
+      // Equal to the stddev form, but every intermediate is a single
+      // correctly-rounded IEEE op over exact sums when x is
+      // integer-valued — so a DuckDB oracle writing the same tree
+      // reproduces it bit-for-bit, which stddev_samp (merge-order-
+      // dependent) cannot guarantee.
+      val x = Cast(f.arguments.head, DoubleType)
+      val n = Cast(fn("count", f.arguments.head), DoubleType)
+      val sx = fn("sum", x)
+      val sxx = fn("sum", Multiply(x, x))
+      val varS = Divide(Subtract(sxx, Divide(Multiply(sx, sx), n)),
+        Subtract(n, Literal(1.0)))
+      Some(fn("sqrt", Divide(varS, n)))
     case _ => None
   }
 
@@ -197,6 +209,17 @@ object SampleRewrite {
             UnresolvedRelation(Seq(sample))
           case Planner.ReadInlineSample(f, seed) =>
             Sample(0.0, f, withReplacement = false, seed, r)
+          case Planner.ReadInlineSystematic(f, key) =>
+            // graft_h60 of the salted key is uniform on [0, 2^60); taking
+            // it mod 10000 gives a per-key inclusion lottery with exactly
+            // round(f*10000)/10000 win probability — evaluates scan-local
+            // (no shuffle), and deterministically (unlike Sample's
+            // per-partition seeded stream, which changes with the split).
+            val threshold = math.round(f * 10000).toInt
+            Filter(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(
+                s"graft_h60(concat('sys:', cast($key as string))) % 10000 < $threshold"),
+              r)
           case Planner.ReadExact => r
         }
     }

@@ -74,13 +74,19 @@ object Aqp {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // AQP: uniform-sampled COUNT/SUM/AVG with Horvitz-Thompson scaling
-    // and CI columns (inline Bernoulli, seed 42).
+    // AQP: sampled COUNT/SUM/AVG with Horvitz-Thompson scaling and CI
+    // columns, through the FULL engine path (features -> chooser ->
+    // planner -> rewrite), sampling systematically on l_orderkey —
+    // deterministic membership means the approximate estimates AND all
+    // nine CI companions are oracle-gated bit-for-bit against DuckDB
+    // (every intermediate is a correctly-rounded IEEE op over exact
+    // integer sums; l_quantity is integral). The seeded-Bernoulli
+    // engine default stays spec-covered in QueryEngineSpec.
     "q28_aqp_sampled_agg" -> ((s, dir) => {
       val e = engineFor(s, dir)
       e.query(
-        "SELECT count(*) AS n, sum(l_quantity) AS qty, avg(l_extendedprice) AS avg_price FROM lineitem",
-        e.Options(maxRelError = 0.1)).df
+        "SELECT count(*) AS n, sum(l_quantity) AS qty, avg(l_quantity) AS avg_qty FROM lineitem",
+        e.Options(maxRelError = 0.1, systematicKey = Some("l_orderkey"))).df
     }),
 
     // AQP: COUNT(DISTINCT) answered by HyperLogLog++ (sketch strategy).
@@ -259,6 +265,34 @@ object Aqp {
   )
 
   val oracle: Map[String, String] = Map(
+    // q28: the engine picks the 0.02 size-tier fraction for the 60K-row
+    // sf0.01 lineitem (StrategyChooser.sampleFraction), so threshold =
+    // 200/10000 and HT weight = 1/0.02 = 50.0 (both exact doubles). The
+    // oracle recomputes every estimate and CI companion from exact
+    // integer sums with the SAME association as the rewritten plan —
+    // if the engine's tier table or CI formulas drift, this gate trips.
+    "q28_aqp_sampled_agg" ->
+      s"""WITH k AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem
+            WHERE ${graft.queries.Dedup.h60Duck("'sys:' || CAST(l_orderkey AS VARCHAR)")} % 10000 < 200),
+          a AS (SELECT CAST(count(*) AS DOUBLE) AS kn,
+              CAST(sum(x) AS DOUBLE) AS sx,
+              CAST(sum(x * x) AS DOUBLE) AS sxx FROM k)
+          SELECT kn * 50.0 AS n,
+            sx * 50.0 AS qty,
+            (sx * 50.0) / (kn * 50.0) AS avg_qty,
+            kn * 50.0 - 1.96 * sqrt(kn * 2450.0) AS n_ci_low,
+            kn * 50.0 + 1.96 * sqrt(kn * 2450.0) AS n_ci_high,
+            (1.96 * sqrt(kn * 2450.0)) / abs(kn * 50.0) AS n_rel_error,
+            sx * 50.0 - 1.96 * sqrt(sxx * 2450.0) AS qty_ci_low,
+            sx * 50.0 + 1.96 * sqrt(sxx * 2450.0) AS qty_ci_high,
+            (1.96 * sqrt(sxx * 2450.0)) / abs(sx * 50.0) AS qty_rel_error,
+            (sx * 50.0) / (kn * 50.0)
+              - 1.96 * sqrt(((sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_qty_ci_low,
+            (sx * 50.0) / (kn * 50.0)
+              + 1.96 * sqrt(((sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_qty_ci_high,
+            (1.96 * sqrt(((sxx - (sx * sx) / kn) / (kn - 1.0)) / kn))
+              / abs((sx * 50.0) / (kn * 50.0)) AS avg_qty_rel_error
+          FROM a""",
     "q62_join_size_agms" -> {
       def sk(table: String, key: String, alias: String): String =
         s"""$alias AS (SELECT bucket, CAST(sum(sgn) AS BIGINT) AS c FROM (
