@@ -26,10 +26,18 @@ final class MetaCatalog(val workDir: String) {
       popSize: Long, sampleSize: Long, fraction: Double, weight: Double,
       variance: Double)
 
+  /** Key-distribution statistics the q65 detector produces and the
+    * salted-aggregate chooser consumes (SaltRewrite) — the catalog row
+    * that closes the detect → persist → re-plan skew loop.
+    */
+  case class KeySkew(tableName: String, columnName: String, nRows: Long,
+      nKeys: Long, maxKeyRows: Long, topSharePpm: Long, updatedAt: Long)
+
   private val tableStats = TrieMap.empty[String, TableStats]
   private val samples = TrieMap.empty[String, SampleInfo] // key = sampleTable
   private val sketches = TrieMap.empty[(String, String, String), SketchInfo]
   private val strata = TrieMap.empty[String, Seq[StratumInfo]]
+  private val keySkew = TrieMap.empty[(String, String), KeySkew]
 
   Files.createDirectories(Paths.get(workDir))
 
@@ -65,6 +73,17 @@ final class MetaCatalog(val workDir: String) {
   def listSketches(table: Option[String] = None): Seq[SketchInfo] =
     table.fold(sketches.values.toSeq)(t =>
       sketches.values.filter(_.tableName == t).toSeq)
+
+  // --- key-skew stats (q65 detector -> salted-plan chooser) ---
+  def upsertKeySkew(table: String, column: String, nRows: Long,
+      nKeys: Long, maxKeyRows: Long): Unit = {
+    val ppm = if (nRows > 0) maxKeyRows * 1000000L / nRows else 0L
+    keySkew.put((table, column),
+      KeySkew(table, column, nRows, nKeys, maxKeyRows, ppm,
+        System.currentTimeMillis()))
+  }
+  def keySkewFor(table: String, column: String): Option[KeySkew] =
+    keySkew.get((table, column))
 
   // --- strata info (aqe_strata_info) ---
   def putStrata(sampleTable: String, info: Seq[StratumInfo]): Unit =

@@ -74,8 +74,16 @@ final class QueryEngine(
     })
 
     def exact(reason: String, confidence: Double = 0.95): AqeResult =
-      AqeResult(spark.sql(sql), "exact", "exact", reason, confidence,
-        1.0, 0.0, None, None, Nil)
+      saltedExact(parsed, features) match {
+        case Some(df) =>
+          AqeResult(df, "exact", "exact",
+            s"$reason; salted two-stage aggregate (catalog key-skew stats)",
+            confidence, 1.0, 0.0, None, None,
+            Seq("GROUP BY salted into a two-stage aggregate (hot-key spread)"))
+        case None =>
+          AqeResult(spark.sql(sql), "exact", "exact", reason, confidence,
+            1.0, 0.0, None, None, Nil)
+      }
 
     if (opts.preferExact)
       return finish(exact("exact execution (user preference)"), sql, features, opts)
@@ -200,6 +208,42 @@ final class QueryEngine(
     }
     finish(result, sql, features, opts)
   }
+
+  /** q65's skew detector, persisted into the catalog — one hash-
+    * aggregate to per-key counts, one scalar summary row driver-side.
+    * Subsequent exact GROUP BYs on `column` re-plan as the salted
+    * two-stage aggregate when the hottest key holds ≥
+    * SaltRewrite.SkewPpmThreshold ppm of the rows (the q35 mitigation,
+    * chosen automatically). This is the detect → persist → re-plan
+    * loop a serving engine runs once per table profile refresh.
+    */
+  def profileKeySkew(table: String, column: String): catalog.KeySkew = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    val row = spark.table(table)
+      .groupBy(col(column)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), count(lit(1)), max(col("c")))
+      .collect()(0)
+    catalog.upsertKeySkew(table, column, row.getLong(0), row.getLong(1),
+      row.getLong(2))
+    catalog.keySkewFor(table, column).get
+  }
+
+  /** The salted-plan gate: a single-table GROUP BY whose grouping
+    * column has catalog skew stats above the threshold re-plans via
+    * SaltRewrite (exact semantics; see its scaladoc for the supported
+    * shape — None falls back to the plain plan).
+    */
+  private def saltedExact(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      features: QueryFeatures): Option[DataFrame] =
+    for {
+      table <- features.tableName.filter(_ => features.isSingleTable)
+      if features.groupByColumns
+        .map(_.split("\\.").last.stripPrefix("`").stripSuffix("`"))
+        .exists(c => catalog.keySkewFor(table, c)
+          .exists(_.topSharePpm >= SaltRewrite.SkewPpmThreshold))
+      plan <- SaltRewrite(parsed)
+    } yield org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan)
 
   /** If the query is a bare global aggregate over `table` whose every
     * output is COUNT(DISTINCT attr) with a stored HyperLogLog sketch in

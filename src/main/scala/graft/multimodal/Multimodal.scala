@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * the engine as opaque `binary` columns with typed metadata, processed
   * by batch-shaped per-partition functions.
   *
-  * The actual media decode is STUBBED (this environment ships no
-  * image/audio codecs): [[decodeStub]] derives deterministic fake
-  * metadata from the payload bytes. Everything around it — the binary
-  * schema, the Dataset[Media] typed surface, partition-batched
-  * processing (the JVM analogue of `mapInPandas` batch semantics),
-  * frame sampling, and feature projection — is real Spark plumbing and
-  * is what a production decode would plug into.
+  * IMAGE decode is REAL: [[decodeImage]] runs the JDK's `javax.imageio`
+  * PNG codec on the payload bytes inside `mapPartitions` (encode on one
+  * executor, full PNG compression in between, decode on another — see
+  * [[pngFor]]/[[extractImageMeta]] and the q72 oracle gate). Audio and
+  * video decode remain STUBBED ([[decodeStub]] derives deterministic
+  * fake metadata) because the JDK ships no audio/video codecs and this
+  * environment allows no added dependencies; the binary schema, the
+  * Dataset[Media] typed surface, partition-batched processing (the JVM
+  * analogue of `mapInPandas` batch semantics), frame sampling, and
+  * feature projection are identical for all three kinds.
   *
   * Scale: decode is per-row work inside mapPartitions — embarrassingly
   * parallel, no shuffle; batches bound peak memory per task the way
@@ -43,6 +46,71 @@ object Multimodal {
       case _                 => 0L
     }
     (width, height, durationMs)
+  }
+
+  case class ImageMeta(id: Long, width: Int, height: Int, red: Int,
+      green: Int, blue: Int, nBytes: Int)
+
+  /** Deterministic tiny RGB PNG for id `id` — REAL image bytes through
+    * the JDK's PNG encoder. Dimensions and the constant fill color are
+    * pure functions of the id, so a decoder's output is predictable
+    * without re-reading the bytes (what the q72 oracle gates).
+    */
+  def pngFor(id: Long): Array[Byte] = {
+    val w = 1 + (id % 16).toInt
+    val h = 1 + ((id * 3) % 16).toInt
+    val rgb = (((id % 256).toInt) << 16) |
+      ((((id * 7) % 256).toInt) << 8) | (((id * 13) % 256).toInt)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode (JDK `javax.imageio`): parse the compressed
+    * payload, return dimensions plus the top-left pixel's channels —
+    * proof the pixel data (not just the header) round-tripped.
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"payload of id=$id is not a decodable image")
+    val rgb = img.getRGB(0, 0)
+    ImageMeta(id, img.getWidth, img.getHeight,
+      (rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff, bytes.length)
+  }
+
+  /** Image corpus: one real PNG payload per document id — the loader a
+    * production pipeline replaces with `spark.read.format("binaryFile")`
+    * over an image bucket. Encoding happens ON THE EXECUTORS (per-row in
+    * a typed map), so payload bytes never originate on the driver.
+    */
+  def imageMedia(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .map(id => Media(id, "image", pngFor(id)))
+  }
+
+  /** Partition-batched REAL decode over an image corpus: the same batch
+    * shape as [[extractMeta]] with the codec swapped from stub to
+    * `javax.imageio`.
+    */
+  def extractImageMeta(media: Dataset[Media], batchSize: Int = 64)
+      : Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(m => decodeImage(m.id, m.bytes)))
+    }
   }
 
   /** Cheap payload checksum (sum of unsigned bytes) — stands in for a

@@ -74,6 +74,22 @@ object Aqp {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Multimodal REAL image decode, end-to-end: a PNG payload is
+    // encoded per doc_id on the executors (javax.imageio), rides the
+    // engine as an opaque binary column, and is decoded back in
+    // partition-batched mapPartitions. Dimensions and the fill color
+    // are pure functions of the id, so the DECODED values are
+    // oracle-checkable without DuckDB ever seeing the bytes — the gate
+    // proves real compressed pixel data survived the round trip.
+    "q72_image_decode" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .extractImageMeta(graft.multimodal.Multimodal.imageMedia(s, dir))
+        .toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("red"), col("green"), col("blue"))
+        .orderBy(col("doc_id"))
+    }),
+
     // AQP: sampled COUNT/SUM/AVG with Horvitz-Thompson scaling and CI
     // columns, through the FULL engine path (features -> chooser ->
     // planner -> rewrite), sampling systematically on l_orderkey —
@@ -265,6 +281,17 @@ object Aqp {
   )
 
   val oracle: Map[String, String] = Map(
+    // q72: the oracle predicts what the ImageIO decoder must recover
+    // from each generated PNG (Multimodal.pngFor's id arithmetic) —
+    // a mismatch means the real codec round-trip corrupted something.
+    "q72_image_decode" ->
+      """SELECT doc_id,
+            CAST(1 + doc_id % 16 AS INT) AS width,
+            CAST(1 + (doc_id * 3) % 16 AS INT) AS height,
+            CAST(doc_id % 256 AS INT) AS red,
+            CAST((doc_id * 7) % 256 AS INT) AS green,
+            CAST((doc_id * 13) % 256 AS INT) AS blue
+          FROM documents ORDER BY doc_id""",
     // q28: the engine picks the 0.02 size-tier fraction for the 60K-row
     // sf0.01 lineitem (StrategyChooser.sampleFraction), so threshold =
     // 200/10000 and HT weight = 1/0.02 = 50.0 (both exact doubles). The

@@ -47,6 +47,34 @@ class MultimodalSpec extends SparkSpec {
     assert(meta1 == meta.sortBy(_.id).toSeq)
   }
 
+  test("real PNG decode recovers known dimensions and pixels (javax.imageio)") {
+    // driver-side roundtrip: real encoder -> real decoder
+    for (id <- Seq(0L, 1L, 17L, 255L, 4096L)) {
+      val bytes = Multimodal.pngFor(id)
+      // a real PNG, not arithmetic: signature bytes \x89PNG
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G')
+      val m = Multimodal.decodeImage(id, bytes)
+      assert(m.width == 1 + (id % 16).toInt)
+      assert(m.height == 1 + ((id * 3) % 16).toInt)
+      assert(m.red == (id % 256).toInt)
+      assert(m.green == ((id * 7) % 256).toInt)
+      assert(m.blue == ((id * 13) % 256).toInt)
+    }
+    // distributed: encode on executors, decode batched on executors
+    val metas = Multimodal.extractImageMeta(
+      Multimodal.imageMedia(spark, sfDir), batchSize = 16).collect()
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      assert(m.width == 1 + (m.id % 16).toInt, s"id=${m.id}")
+      assert(m.height == 1 + ((m.id * 3) % 16).toInt, s"id=${m.id}")
+      assert((m.red, m.green, m.blue) ==
+        (((m.id % 256).toInt, ((m.id * 7) % 256).toInt,
+          ((m.id * 13) % 256).toInt)), s"id=${m.id}")
+      assert(m.nBytes > 8) // compressed payload, not a header stub
+    }
+  }
+
   test("frame sampling strides through video payloads only") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
       .collect()

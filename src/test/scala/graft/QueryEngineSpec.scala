@@ -169,6 +169,42 @@ class QueryEngineSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("skew loop: profiled hot key makes an exact GROUP BY plan salted, result unchanged") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // 90% of rows share one key -> topSharePpm ~ 900000 >> threshold
+    spark.range(0, 20000)
+      .select(expr("case when id % 10 < 9 then 'hot' else concat('k', id % 97) end").as("k"),
+        (col("id") % 1000).as("v"))
+      .createOrReplaceTempView("skewed_t")
+    val skew = engine.profileKeySkew("skewed_t", "k")
+    assert(skew.topSharePpm >= graft.plan.SaltRewrite.SkewPpmThreshold,
+      s"profile: $skew")
+
+    val sql = "SELECT k, count(*) AS n, sum(v) AS s, avg(v) AS a, " +
+      "min(v) AS mn, max(v) AS mx FROM skewed_t GROUP BY k ORDER BY k"
+    val r = engine.query(sql, engine.Options(preferExact = true))
+    assert(r.planType == "exact")
+    assert(r.reason.contains("salted"), r.reason)
+    // plan assert: two chained hash aggregates on (k, salt) then (k)
+    val aggs = r.df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.length == 2, r.df.queryExecution.optimizedPlan.toString)
+    assert(aggs.last.groupingExpressions.length == 2) // (k, salt)
+    assert(aggs.head.groupingExpressions.length == 1) // (k)
+
+    // result identity vs the plain plan (v is integral: exact merge)
+    val salted = r.df.collect().map(_.toSeq).toSeq
+    val plain = spark.sql(sql).collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+
+    // an unprofiled column on the same table stays unsalted
+    val r2 = engine.query(
+      "SELECT v, count(*) AS n FROM skewed_t GROUP BY v",
+      engine.Options(preferExact = true))
+    assert(!r2.reason.contains("salted"))
+  }
+
   test("ordinary spark.sql on the same session is untouched by the rule") {
     val n = spark.sql("SELECT count(*) AS n FROM lineitem")
       .collect().head.getLong(0)
