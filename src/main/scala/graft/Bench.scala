@@ -44,6 +44,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The bucket-table global windows (q33/q49/q61/q67) are bounded by
+    // construction — tools/Plans mechanically asserts that every
+    // unpartitioned Window sits above an Aggregate — so WindowExec's
+    // per-run warning is pure noise here and would drown the one JSON
+    // line the driver snapshots from the stdout tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""

@@ -144,6 +144,41 @@ object Plans {
     check("q61_hist_quantiles",
       "bucket histogram partial agg" -> "partial_count",
       "tiny-table targets broadcast" -> "BroadcastNestedLoopJoin")
+    // Bounded-window invariant, checked across EVERY SparkEntry query:
+    // an unpartitioned Window moves all its input to one task, which is
+    // only acceptable above an Aggregate (bucket/constant-cardinality
+    // tables — q33/q49/q61/q67's histogram summaries), never directly
+    // over data. Bench suppresses WindowExec's per-run warnings on the
+    // strength of this mechanical check — if a future query introduces
+    // a data-sized global window, this prints MISS even though the log
+    // stays quiet.
+    locally {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+      println("==== bounded-window invariant (all queries) ====")
+      var bad = 0
+      var unpartitioned = 0
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          fn(spark, sfDir).queryExecution.optimizedPlan.foreach {
+            case w: LWindow if w.partitionSpec.isEmpty =>
+              unpartitioned += 1
+              val aggBelow = w.child.collectFirst { case a: Aggregate => a }
+              if (aggBelow.isEmpty) {
+                bad += 1
+                println(s"  [MISS] $name: unpartitioned Window with no Aggregate below it")
+              }
+            case _ =>
+          }
+        } catch {
+          case t: Throwable =>
+            bad += 1
+            println(s"  [MISS] $name: plan failed (${t.getClass.getSimpleName})")
+        }
+      }
+      println(s"  [${if (bad == 0) "OK" else "MISS"}] every unpartitioned Window " +
+        s"($unpartitioned across all queries) sits above an aggregate")
+    }
+
     // q59 must stay shuffle-free until the final sort: per-row
     // sequence+slice+explode, no aggregation, no join.
     locally {
