@@ -37,6 +37,33 @@ import graft.Tables
   */
 object Similarity {
 
+  /** The IVF coarse quantizer: k (= one per label) centroid rows
+    * (cell, cav: array<float>), the q23 construction — integer-quantized
+    * per-dim sums → exact-in-double means, dim-ordered, float-rounded
+    * (IEEE round-to-nearest in both engines, so quantized_dot scores
+    * stay bit-identical to the oracle). Shared by q41's batch
+    * assignment and the streaming twin
+    * (EventStreams.assignToCells); k rows, always broadcastable.
+    */
+  def cellCentroids(s: SparkSession, dir: String): DataFrame = {
+    registerFns(s)
+    Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("label"), col("embedding"),
+        explode(expr("sequence(1, 64)")).as("dim"))
+      .select(col("label"), col("dim"),
+        expr("cast(floor(cast(element_at(embedding, dim) as double) * 1000000) as bigint)")
+          .as("vq"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("vq")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label").as("cell"), col("dim"),
+        expr("cast(sv as double) / 1000000 / n").as("av"))
+      .groupBy(col("cell"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, av))), p -> cast(p.av as float))")
+        .as("cav"))
+  }
+
   /** 32 hyperplanes as 64-char '+'/'-' sign strings, deterministically
     * derived from md5("p{h}_{i}") (first byte >= 0x80 -> '+'). 32 planes
     * = 4 LSH bands x 8 bits: 256 buckets per band, so expected bucket
@@ -297,24 +324,7 @@ object Similarity {
       registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      // per-label centroid components, exactly the q23 construction:
-      // integer-quantized sums -> exact-in-double mean
-      val cent = e.select(col("label"), col("embedding"),
-        explode(expr("sequence(1, 64)")).as("dim"))
-        .select(col("label"), col("dim"),
-          expr("cast(floor(cast(element_at(embedding, dim) as double) * 1000000) as bigint)")
-            .as("vq"))
-        .groupBy(col("label"), col("dim"))
-        .agg(sum(col("vq")).as("sv"), count(lit(1)).as("n"))
-        .select(col("label").as("cell"), col("dim"),
-          expr("cast(sv as double) / 1000000 / n").as("av"))
-      // k rows: the centroid as a float vector (dim-ordered); the float
-      // rounding is mirrored in the oracle (IEEE round-to-nearest in
-      // both engines), which keeps quantized_dot scores bit-identical.
-      val centArr = cent.groupBy(col("cell"))
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(dim, av))), p -> cast(p.av as float))")
-          .as("cav"))
+      val centArr = cellCentroids(s, dir)
       val w1 = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("cell").asc)
       val assign = e.select(col("vec_id"), col("embedding"))

@@ -208,6 +208,27 @@ object EventStreams {
     else scored.dropDuplicates("fp")
   }
 
+  /** Streaming ANN ingest: assign each incoming embedding to its
+    * nearest IVF cell — the streaming twin of q41's coarse-quantizer
+    * assignment stage (EventStreamsSpec asserts stream == the batch
+    * assignment on the same vectors). `centroids` is the STATIC
+    * (cell, cav float-array) table the batch pipeline produces
+    * (Similarity.cellCentroids): k rows, broadcast, so the stream side
+    * is a stateless stream-static join scoring k fused quantized_dots
+    * per vector, then one per-vector argmax (min_by over (−score, cell)
+    * = q41's score-desc/cell-asc tie-break exactly). State is one row
+    * per vec_id in the test harness's complete-mode sink; a production
+    * ingest emits per arrival window instead.
+    */
+  def assignToCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        expr("quantized_dot(embedding, cav)").as("score"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(expr("-score"), col("cell"))).as("cell"))
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */

@@ -68,6 +68,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows("click") == 2 && rows("view") == 2)
   }
 
+  test("streaming IVF cell assignment equals the batch coarse quantizer") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // static side: the k-row centroid table the batch pipeline (q41)
+    // builds; stream side: embeddings arriving over micro-batches
+    val cents = graft.queries.Similarity.cellCentroids(spark, sfDir)
+      .localCheckpoint()
+    val embCols = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val batch = EventStreams.assignToCells(embCols, cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val out = EventStreams.assignToCells(
+      stream.toDF().toDF("vec_id", "embedding"), cents)
+    val q = out.writeStream.format("memory").queryName("ivf_cells")
+      .outputMode(OutputMode.Complete()).start()
+    val vecs = embCols.as[(Long, Array[Float])].collect().toSeq
+    vecs.grouped(200).foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("ivf_cells").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed.size == vecs.size)
+    assert(streamed == batch)
+    // every assignment is a real label cell
+    val cells = cents.collect().map(_.getInt(0)).toSet
+    assert(streamed.values.toSet.subsetOf(cells))
+  }
+
   test("stateful sessionization applies the 30-minute gap rule") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
