@@ -188,6 +188,54 @@ object Aqp {
           lit(1024).as("n_buckets"))
     }),
 
+    // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
+    // the q45/q62 treatment applied to HLL itself (the engine's B7
+    // sketch is byte-format/spec-gated; Spark's approx_count_distinct
+    // is rows-only — this variant closes that gap). m=1024 registers
+    // over the 60-bit portable hash: bucket = h mod m, rho = leading-
+    // zero rank of the remaining 50 bits via length(bin(rest)) (both
+    // engines print minimal binary), registers capped at 30 so the
+    // indicator sum Σ 2^(30−M[j]) stays an exact BIGINT (≤2^40) that
+    // converts to double losslessly; the estimate is then a fixed
+    // association of exactly-representable factors — one multiply
+    // chain and one division, correctly rounded identically in both
+    // engines. l_orderkey (~15K distinct at sf0.01) keeps the raw
+    // estimate above the 2.5m small-range threshold, so no
+    // ln-based correction branch (ln is libm-dependent, not
+    // hash-portable) is exercised; v_empty is reported so the oracle
+    // would catch the regime changing.
+    "q73_hll_estimate" -> ((s, dir) => {
+      // numerator alpha_m * m^2 * 2^30 computed ONCE driver-side and
+      // shipped as a string literal: string->double parse is correctly
+      // rounded in both engines, whereas a bare decimal literal is
+      // DECIMAL-typed (and DuckDB's DECIMAL->DOUBLE double-rounds).
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      val regs = Tables.load(s, dir, "lineitem")
+        .select(expr(graft.queries.Dedup.h60Spark(
+          "concat('hll:', cast(l_orderkey as string))")).as("h"))
+        .select(expr("cast(h % 1024 as int)").as("b"),
+          expr("h div 1024").as("rest"))
+        .groupBy(col("b"))
+        .agg(max(expr(
+          "case when rest = 0 then 51 else 51 - length(bin(rest)) end"))
+          .as("rho"))
+      val est = regs.agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(cast(1 as bigint), 30 - least(rho, 30))"))
+            .as("sp"))
+        .select(lit(1024).as("m"),
+          expr("cast(1024 - nb as int)").as("v_empty"),
+          expr("cast(sp + (1024 - nb) * 1073741824 as bigint)")
+            .as("s_scaled"))
+        .withColumn("est_raw", expr(
+          s"cast('$num' as double) / cast(s_scaled as double)"))
+      val exact = Tables.load(s, dir, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      est.crossJoin(exact)
+        .withColumn("rel_error", expr(
+          "(est_raw - cast(n_exact as double)) / cast(n_exact as double)"))
+    }),
+
     // AQP: deterministic weighted (importance) sampling + stratified
     // Horvitz-Thompson estimation over the documents corpus — keep
     // high-quality docs at rate 1, mid at 0.3, low at 0.05 (the corpus
@@ -320,6 +368,30 @@ object Aqp {
             (1.96 * sqrt(((sxx - (sx * sx) / kn) / (kn - 1.0)) / kn))
               / abs((sx * 50.0) / (kn * 50.0)) AS avg_qty_rel_error
           FROM a""",
+    "q73_hll_estimate" -> {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      s"""WITH h AS (SELECT ${graft.queries.Dedup.h60Duck("'hll:' || CAST(l_orderkey AS VARCHAR)")} AS h
+              FROM lineitem),
+          b AS (SELECT CAST(h % 1024 AS INT) AS b, h // 1024 AS rest FROM h),
+          r AS (SELECT b,
+              max(CASE WHEN rest = 0 THEN 51 ELSE 51 - length(bin(rest)) END) AS rho
+            FROM b GROUP BY b),
+          s AS (SELECT count(*) AS nb,
+              sum(CAST(1 AS BIGINT) << CAST(30 - least(rho, 30) AS INT)) AS sp
+            FROM r),
+          ex AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+          SELECT 1024 AS m,
+            CAST(1024 - nb AS INT) AS v_empty,
+            CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS s_scaled,
+            CAST('$num' AS DOUBLE)
+              / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE) AS est_raw,
+            n_exact,
+            (CAST('$num' AS DOUBLE)
+                / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE)
+              - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+          FROM s, ex"""
+    },
     "q62_join_size_agms" -> {
       def sk(table: String, key: String, alias: String): String =
         s"""$alias AS (SELECT bucket, CAST(sum(sgn) AS BIGINT) AS c FROM (
