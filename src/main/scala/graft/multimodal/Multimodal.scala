@@ -51,12 +51,22 @@ object Multimodal {
   case class ImageMeta(id: Long, width: Int, height: Int, red: Int,
       green: Int, blue: Int, nBytes: Int)
 
+  /** ImageIO's default stream cache writes a temp FILE per encode and
+    * decode — pure disk overhead when the payload is an in-memory byte
+    * array (q72 measured 3.5-8.9 s/pass at sf0.1 with it, sub-second
+    * without). Touched from every codec call so each executor JVM
+    * disables it exactly once.
+    */
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic tiny RGB PNG for id `id` — REAL image bytes through
     * the JDK's PNG encoder. Dimensions and the constant fill color are
     * pure functions of the id, so a decoder's output is predictable
     * without re-reading the bytes (what the q72 oracle gates).
     */
   def pngFor(id: Long): Array[Byte] = {
+    imageIoNoCache
     val w = 1 + (id % 16).toInt
     val h = 1 + ((id * 3) % 16).toInt
     val rgb = (((id % 256).toInt) << 16) |
@@ -79,6 +89,7 @@ object Multimodal {
     * proof the pixel data (not just the header) round-tripped.
     */
   def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
+    imageIoNoCache
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"payload of id=$id is not a decodable image")
