@@ -29,13 +29,15 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * (floating-point SUM/AVG may differ in the last ulp, the same
   * reassociation any repartitioning already implies).
   *
-  * Supported shape: single Aggregate over attribute-only grouping keys
-  * whose outputs are grouping passthroughs or unfiltered, non-distinct
-  * COUNT/SUM/MIN/MAX/AVG calls — anything else returns None and the
-  * caller runs the plain plan. Caveat: SUM over a DECIMAL column
-  * re-sums the partials, widening the result type by 10 digits; the
-  * engine's registered tables carry doubles/longs, where re-summing is
-  * type-preserving.
+  * Supported shapes: single Aggregate over attribute-only grouping
+  * keys whose outputs are grouping passthroughs plus either (a)
+  * unfiltered, non-distinct COUNT/SUM/MIN/MAX/AVG calls (salted
+  * two-stage merge), or (b) COUNT(DISTINCT x) over one attribute
+  * (dedup-then-count two-stage, [[distinctTwoStage]]) — anything else
+  * returns None and the caller runs the plain plan. Caveat: SUM over a
+  * DECIMAL column re-sums the partials, widening the result type by 10
+  * digits; the engine's registered tables carry doubles/longs, where
+  * re-summing is type-preserving.
   */
 object SaltRewrite {
 
@@ -64,13 +66,69 @@ object SaltRewrite {
     */
   def apply(plan: LogicalPlan, salts: Int = DefaultSalts): Option[LogicalPlan] =
     plan match {
-      case a: Aggregate => saltAggregate(a, salts)
+      case a: Aggregate =>
+        saltAggregate(a, salts).orElse(distinctTwoStage(a))
       case u @ (_: Sort | _: GlobalLimit | _: LocalLimit | _: Filter |
                 _: Distinct | _: Offset) =>
         val un = u.asInstanceOf[UnaryNode]
         apply(un.child, salts).map(c => un.withNewChildren(Seq(c)))
       case _ => None
     }
+
+  /** COUNT(DISTINCT x) under a hot grouping key — the skew shape
+    * map-side combine does NOT fix (the per-key distinct state grows
+    * with the key's row count, all on one reduce task). Rewritten as
+    * dedup-then-count:
+    *
+    *   stage 1: GROUP BY (keys…, x)   — distinct pairs, spread by
+    *                                    hash(keys…, x) over ALL tasks
+    *   stage 2: GROUP BY (keys…) COUNT(x)
+    *
+    * Exact by construction (COUNT over deduped non-null x = COUNT
+    * DISTINCT x). Applies when every aggregate output is
+    * COUNT(DISTINCT x) over the same single attribute.
+    */
+  private def distinctTwoStage(a: Aggregate): Option[LogicalPlan] = {
+    val groupAttrs: Seq[UnresolvedAttribute] = a.groupingExpressions.map {
+      case u: UnresolvedAttribute => u
+      case _                      => return None
+    }
+    if (groupAttrs.isEmpty) return None
+    def isGroupRef(u: UnresolvedAttribute): Boolean =
+      groupAttrs.exists(_.nameParts == u.nameParts)
+
+    var arg: Option[UnresolvedAttribute] = None
+    val outs: Seq[NamedExpression] = a.aggregateExpressions.map { ne =>
+      val (inner, name) = ne match {
+        case Alias(child, n)        => (child, n)
+        case u: UnresolvedAttribute => (u: Expression, u.nameParts.last)
+        case other                  => (other: Expression, other.sql)
+      }
+      inner match {
+        case u: UnresolvedAttribute if isGroupRef(u) => ne
+        case f: UnresolvedFunction
+            if f.nameParts.last.equalsIgnoreCase("count") && f.isDistinct &&
+              f.filter.isEmpty && f.arguments.sizeIs == 1 =>
+          f.arguments.head match {
+            case x: UnresolvedAttribute
+                if arg.forall(_.nameParts == x.nameParts) =>
+              arg = Some(x)
+              Alias(fn("count", UnresolvedAttribute(x.nameParts)), name)()
+            case _ => return None
+          }
+        case _ => return None
+      }
+    }
+    arg.map { x =>
+      val inner = Aggregate(
+        (groupAttrs: Seq[Expression]) :+ x,
+        (groupAttrs: Seq[NamedExpression]) :+ x,
+        a.child)
+      Aggregate(
+        groupAttrs.map(g => UnresolvedAttribute(g.nameParts): Expression),
+        outs, inner)
+    }
+  }
 
   private def saltAggregate(a: Aggregate, salts: Int): Option[LogicalPlan] = {
     val groupAttrs: Seq[UnresolvedAttribute] = a.groupingExpressions.map {

@@ -208,6 +208,39 @@ object EventStreams {
     else scored.dropDuplicates("fp")
   }
 
+  /** Streaming AQP: the engine's sampled-aggregate strategy applied to
+    * a live stream — the "Streaming Summaries" capability the reference
+    * lists as future work (/root/reference/README.md:303-305), made
+    * real. Events pass a SYSTEMATIC keyed-hash lottery on event_id
+    * (scan-local, stateless, deterministic — the streaming form of
+    * ReadInlineSystematic), then the tumbling-window aggregate runs on
+    * the ~f fraction that survives, with counts and sums scaled back by
+    * the Horvitz-Thompson weight 1/f. Per-window state and shuffle
+    * volume shrink by 1/f — at a 100 TB/day firehose the sampled
+    * monitor holds 1% of the window state for a ~1/sqrt(f·n) relative
+    * error, the same trade the batch engine's sample strategy makes.
+    * Deterministic membership means stream == batch EXACTLY (the
+    * EventStreamsSpec law), not just in expectation.
+    */
+  def sampledWindowedAgg(events: DataFrame, fraction: Double = 0.1)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val threshold = math.round(fraction * 10000).toInt
+    val w = 10000.0 / threshold // exact HT weight for the realized rate
+    val in = if (events.isStreaming)
+      events.withWatermark("ts", "1 hour") else events
+    in.filter(expr(
+        s"graft_h60(concat('sw:', cast(event_id as string))) % 10000 < $threshold"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("cast(sum(cast(value as decimal(18,4))) as double)")
+          .as("sum_sampled"))
+      .select(col("w.start").as("ws"), col("event_type"),
+        col("n_sampled"),
+        expr(s"cast(n_sampled as double) * cast($w as double)").as("est_n"),
+        expr(s"sum_sampled * cast($w as double)").as("est_sum_value"))
+  }
+
   /** Streaming ANN ingest: assign each incoming embedding to its
     * nearest IVF cell — the streaming twin of q41's coarse-quantizer
     * assignment stage (EventStreamsSpec asserts stream == the batch

@@ -68,6 +68,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows("click") == 2 && rows("view") == 2)
   }
 
+  test("streaming sampled windowed agg (AQP on a stream) equals batch; estimates track exact") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val eventsDf = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val batch = EventStreams.sampledWindowedAgg(eventsDf, 0.3)
+      .orderBy("ws", "event_type").collect().toSeq
+
+    val stream = MemoryStream[Event]
+    val out = EventStreams.sampledWindowedAgg(stream.toDF(), 0.3)
+    val q = out.writeStream.format("memory").queryName("sampled_win")
+      .outputMode(OutputMode.Complete()).start()
+    val rows = eventsDf.as[Event].collect().toSeq
+    rows.grouped(400).foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sampled_win")
+      .orderBy("ws", "event_type").collect().toSeq
+    // deterministic systematic membership -> stream == batch EXACTLY
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // HT-scaled count estimate tracks the exact windowed aggregate
+    val exactN = EventStreams.windowedAgg(eventsDf).collect()
+      .map(r => r.getAs[Long]("n")).sum.toDouble
+    val estN = streamed.map(_.getAs[Double]("est_n")).sum
+    assert(math.abs(estN - exactN) / exactN < 0.25,
+      s"est=$estN exact=$exactN")
+    // and the sampled state really is ~the fraction of the full state
+    val sampledRows = streamed.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    assert(sampledRows < 0.6 * exactN)
+  }
+
   test("streaming IVF cell assignment equals the batch coarse quantizer") {
     implicit val sc = spark.sqlContext
     import spark.implicits._

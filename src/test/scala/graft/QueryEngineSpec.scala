@@ -203,6 +203,23 @@ class QueryEngineSpec extends SparkSpec {
       "SELECT v, count(*) AS n FROM skewed_t GROUP BY v",
       engine.Options(preferExact = true))
     assert(!r2.reason.contains("salted"))
+
+    // COUNT(DISTINCT) under the hot key re-plans as dedup-then-count
+    // (the skew shape map-side combine cannot fix)
+    val rd = engine.query(
+      "SELECT k, count(DISTINCT v) AS nd FROM skewed_t GROUP BY k ORDER BY k",
+      engine.Options(preferExact = true))
+    assert(rd.reason.contains("salted"), rd.reason)
+    val dAggs = rd.df.queryExecution.optimizedPlan.collect {
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ag
+    }
+    assert(dAggs.length == 2, rd.df.queryExecution.optimizedPlan.toString)
+    assert(dAggs.last.groupingExpressions.length == 2) // (k, v) dedup
+    val dSalted = rd.df.collect().map(_.toSeq).toSeq
+    val dPlain = spark.sql(
+      "SELECT k, count(DISTINCT v) AS nd FROM skewed_t GROUP BY k ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    assert(dSalted == dPlain)
   }
 
   test("ordinary spark.sql on the same session is untouched by the rule") {
