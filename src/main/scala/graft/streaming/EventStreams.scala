@@ -262,6 +262,38 @@ object EventStreams {
       .agg(min_by(col("cell"), struct(expr("-score"), col("cell"))).as("cell"))
   }
 
+  /** Streaming sketch maintenance: fold each micro-batch into a
+    * catalog-registered HyperLogLog — the streaming twin of
+    * `SketchOps.createHll`, closing the loop stream → sketch catalog →
+    * engine (`QueryEngine.storedSketchAnswer` then serves
+    * COUNT(DISTINCT) over the live table with NO scan, answering from
+    * state a stream maintained). Per micro-batch: one distributed HLL
+    * aggregate (mergeable partial registers), then one driver-side
+    * merge of the 2^b-byte batch sketch into the stored sketch —
+    * bounded state regardless of stream volume, and HLL's merge
+    * idempotence means re-processed values never overcount.
+    */
+  def maintainHllSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, column: String,
+      b: Int = 12): org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bytes = batch
+          .select(graft.sketch.Hll.sketchAgg(col(column).cast("string"), b)
+            .as("s"))
+          .collect().head.getAs[Array[Byte]]("s")
+        val merged = catalog.getSketch(table, column, "hyperloglog") match {
+          case Some(prev) => graft.sketch.Hll.deserialize(prev.data)
+            .merge(graft.sketch.Hll.deserialize(bytes)).serialize
+          case None => bytes
+        }
+        catalog.upsertSketch(catalog.SketchInfo(table, column,
+          "hyperloglog", merged, s"""{"b":$b}""",
+          System.currentTimeMillis()))
+        ()
+      }
+      .start()
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */

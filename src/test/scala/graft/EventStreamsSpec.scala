@@ -68,6 +68,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows("click") == 2 && rows("view") == 2)
   }
 
+  test("stream-maintained HLL sketch answers the engine's COUNT DISTINCT with no scan") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-sketch").toString)
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainHllSketch(
+      stream.toDF().toDF("user_id"), catalog, "events_live", "user_id")
+    (1L to 400L).grouped(100).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    // overlap: re-send the first chunk — HLL merge must not overcount
+    stream.addData((1L to 100L).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val sk = catalog.getSketch("events_live", "user_id", "hyperloglog")
+    assert(sk.isDefined)
+    val est = graft.sketch.Hll.deserialize(sk.get.data).count
+    assert(math.abs(est - 400.0) / 400.0 < 0.1, s"est=$est")
+
+    // the engine serves the stream-built sketch without touching the
+    // table: the backing view is EMPTY, so any scan would answer 0
+    spark.range(0).select(col("id").as("user_id"))
+      .createOrReplaceTempView("events_live")
+    catalog.upsertTableStats("events_live", 400000L)
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT count(DISTINCT user_id) AS nd FROM events_live")
+    assert(r.planType == "sketch", r.reason)
+    assert(r.df.collect().head.getLong(0) == est)
+  }
+
   test("streaming sampled windowed agg (AQP on a stream) equals batch; estimates track exact") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
