@@ -99,6 +99,20 @@ final class QueryEngine(
         return finish(r.copy(sampleFraction = Some(f)), sql, features, opts)
       case None =>
     }
+    // Histogram strategy: a pure percentile/median query over a table
+    // whose columns carry stored equi-width histograms answers from the
+    // catalog with NO scan (accuracy = one bucket width) — a strategy
+    // the reference's {exact, sample, sketch} set lacks entirely.
+    storedHistogramAnswer(parsed, table) match {
+      case Some((df, err)) =>
+        return finish(AqeResult(df, "sketch", "sketch",
+          "percentile answered from the stored histogram sketch (no scan)",
+          0.9, Double.PositiveInfinity, err, None, None,
+          Seq("PERCENTILE/MEDIAN answered from the stored equi-width " +
+            "histogram (no scan; accurate to one bucket width)")),
+          sql, features, opts)
+      case None =>
+    }
     if (!features.hasApproximableAgg && !features.hasDistinct)
       return finish(exact("no approximable aggregate (COUNT/SUM/AVG): exact execution"), sql, features, opts)
 
@@ -244,6 +258,56 @@ final class QueryEngine(
           .exists(_.topSharePpm >= SaltRewrite.SkewPpmThreshold))
       plan <- SaltRewrite(parsed)
     } yield org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan)
+
+  /** If the query is a bare global aggregate over `table` whose every
+    * output is PERCENTILE(attr, p) / MEDIAN(attr) with a stored
+    * histogram sketch for attr, answer all of them by interpolation
+    * from the catalog — zero table scan. Returns the answer plus the
+    * reported error (one bucket width as a fraction of the grid).
+    */
+  private def storedHistogramAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.functions.lit
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    parsed match {
+      case Project(outs, r: UnresolvedRelation)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
+        val answered = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            val colP: Option[(String, Double)] =
+              (f.nameParts.last.toLowerCase, f.arguments) match {
+                case ("percentile" | "percentile_approx" | "approx_percentile",
+                    Seq(a: UnresolvedAttribute, l: Literal)) =>
+                  litDouble(l).map(p => (a.nameParts.last, p))
+                case ("median", Seq(a: UnresolvedAttribute)) =>
+                  Some((a.nameParts.last, 0.5))
+                case _ => None
+              }
+            colP.flatMap { case (c, p) =>
+              catalog.getSketch(table, c, "histogram").map { s =>
+                val h = graft.sketch.Histogram.deserialize(s.data)
+                (name, h.percentile(p), 1.0 / h.buckets)
+              }
+            }
+          case _ => None
+        }
+        if (answered.nonEmpty && answered.forall(_.isDefined)) {
+          val vals = answered.flatten
+          val cols = vals.map { case (n, v, _) => lit(v).as(n) }
+          Some((spark.range(1).select(cols: _*), vals.map(_._3).max))
+        } else None
+      case _ => None
+    }
+  }
 
   /** If the query is a bare global aggregate over `table` whose every
     * output is COUNT(DISTINCT attr) with a stored HyperLogLog sketch in

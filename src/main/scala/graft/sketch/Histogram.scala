@@ -1,0 +1,67 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Equi-width histogram sketch: the optimizer-statistics structure that
+  * answers percentile/median queries WITHOUT a scan (the q61 estimator
+  * lifted into catalog state). Fixed [lo, lo+width·B) bucket grid with
+  * per-bucket counts — mergeable (same grid: add counts), O(B) bytes,
+  * built in one distributed aggregate over the column.
+  *
+  * The estimate interpolates inside the bucket that brackets the target
+  * rank, so it is within one bucket width of the true order statistic by
+  * construction — the error bound the engine reports.
+  */
+final case class Histogram(lo: Double, width: Double, counts: Array[Long]) {
+
+  def buckets: Int = counts.length
+  def n: Long = { var s = 0L; var i = 0; while (i < counts.length) { s += counts(i); i += 1 }; s }
+
+  /** Interpolated percentile estimate (type-7-style rank p·(n−1) over
+    * the grouped counts). The true value lies in the bracketing bucket,
+    * and so does the estimate: |est − exact| ≤ width (± one boundary).
+    */
+  def percentile(p: Double): Double = {
+    val total = n
+    if (total == 0) return lo
+    val target = p * (total - 1).toDouble
+    var cum = 0L
+    var b = 0
+    while (b < counts.length && cum + counts(b) <= target) {
+      cum += counts(b); b += 1
+    }
+    if (b >= counts.length) return lo + width * counts.length
+    val within =
+      if (counts(b) <= 1L) 0.0 else (target - cum) / counts(b).toDouble
+    lo + width * (b.toDouble + within)
+  }
+
+  def merge(other: Histogram): Histogram = {
+    require(other.lo == lo && other.width == width &&
+      other.counts.length == counts.length,
+      "histogram grids differ; rebuild instead of merging")
+    val out = new Array[Long](counts.length)
+    var i = 0
+    while (i < counts.length) { out(i) = counts(i) + other.counts(i); i += 1 }
+    Histogram(lo, width, out)
+  }
+
+  def serialize: Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 8 + 8 + 8 * counts.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(counts.length).putDouble(lo).putDouble(width)
+    counts.foreach(buf.putLong)
+    buf.array()
+  }
+}
+
+object Histogram {
+  def deserialize(data: Array[Byte]): Histogram = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val b = buf.getInt
+    val lo = buf.getDouble
+    val width = buf.getDouble
+    val counts = Array.fill(b)(buf.getLong)
+    Histogram(lo, width, counts)
+  }
+}

@@ -32,6 +32,35 @@ object SketchOps {
     (bytes.length, Hll.deserialize(bytes).count)
   }
 
+  /** Build an equi-width histogram sketch over a numeric column (one
+    * min/max pass + one bucket-count aggregate), persist in the
+    * catalog. The engine's histogram strategy answers percentile
+    * queries from it with NO scan (Histogram.percentile), accurate to
+    * one bucket width.
+    */
+  def createHistogram(spark: SparkSession, catalog: MetaCatalog,
+      table: String, column: String, buckets: Int = 64): Histogram = {
+    import org.apache.spark.sql.functions.{expr, max, min}
+    val mm = spark.table(table)
+      .agg(min(col(column)).cast("double"), max(col(column)).cast("double"))
+      .collect()(0)
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    val width = if (hi > lo) (hi - lo) / buckets else 1.0
+    val counts = new Array[Long](buckets)
+    spark.table(table)
+      .select(expr(
+        s"least(${buckets - 1}, cast(floor((cast($column as double) - $lo) / $width) as int))")
+        .as("b"))
+      .groupBy(col("b")).count()
+      .collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val h = Histogram(lo, width, counts)
+    catalog.upsertSketch(catalog.SketchInfo(table, column, "histogram",
+      h.serialize, s"""{"buckets":$buckets}""", System.currentTimeMillis()))
+    h
+  }
+
   /** Build a CMS over `table.column` (one increment per row — the
     * GROUP BY pre-aggregation the reference does is folded into the
     * aggregator), persist, return serialized size. With no column, the

@@ -169,6 +169,31 @@ class QueryEngineSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("stored histogram sketch answers percentile queries with no scan") {
+    val h = graft.sketch.SketchOps.createHistogram(
+      spark, catalog, "orders", "o_totalprice", 64)
+    val r = engine.query(
+      "SELECT percentile(o_totalprice, 0.5) AS p50, " +
+        "percentile(o_totalprice, 0.9) AS p90, " +
+        "median(o_totalprice) AS med FROM orders")
+    assert(r.planType == "sketch", r.reason)
+    assert(r.reason.contains("histogram"), r.reason)
+    val row = r.df.collect().head
+    val ex = spark.sql(
+      "SELECT percentile(o_totalprice, 0.5), percentile(o_totalprice, 0.9) FROM orders")
+      .collect().head
+    // interpolation brackets the true order statistic: within one
+    // bucket width (+ one for boundary interpolation slack)
+    assert(math.abs(row.getDouble(0) - ex.getDouble(0)) <= 2 * h.width,
+      s"p50 est=${row.getDouble(0)} exact=${ex.getDouble(0)} width=${h.width}")
+    assert(math.abs(row.getDouble(1) - ex.getDouble(1)) <= 2 * h.width)
+    assert(row.getDouble(2) == row.getDouble(0)) // median == p50
+    // a column without a stored histogram falls through to exact
+    val r2 = engine.query(
+      "SELECT percentile(o_custkey, 0.5) AS p FROM orders")
+    assert(r2.planType == "exact")
+  }
+
   test("skew loop: profiled hot key makes an exact GROUP BY plan salted, result unchanged") {
     import org.apache.spark.sql.functions.{col, expr}
     // 90% of rows share one key -> topSharePpm ~ 900000 >> threshold
