@@ -30,6 +30,11 @@ object Response {
     case null                => "null"
     case s: String           => "\"" + esc(s) + "\""
     case b: Boolean          => b.toString
+    // JSON has no Infinity/NaN tokens — a stored-sketch answer carries
+    // estimated_speedup = +Inf (no scan at all) and must serialize as
+    // null, not corrupt the whole /query response
+    case d: java.lang.Double if d.isInfinite || d.isNaN => "null"
+    case f: java.lang.Float if f.isInfinite || f.isNaN  => "null"
     case n: java.lang.Number => n.toString
     case t: java.sql.Timestamp => "\"" + t.toString + "\""
     case d: java.sql.Date    => "\"" + d.toString + "\""

@@ -168,6 +168,18 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
             val delta = params("delta").flatMap(_.num).getOrElse(0.01)
             val size = SketchOps.createCmsOpt(spark, engine.catalog, table, column, eps, delta)
             (200, s"""{"status": "ok", "sketch_type": "countmin", "size_bytes": $size}""")
+          // beyond the reference: the engine's histogram strategy input
+          // (percentile/median answered with no scan once this exists)
+          case "histogram" =>
+            column match {
+              case None => (400, err("column required for histogram"))
+              case Some(c) =>
+                val buckets = params("buckets").flatMap(_.num)
+                  .map(_.toInt).getOrElse(64)
+                val h = SketchOps.createHistogram(spark, engine.catalog,
+                  table, c, buckets)
+                (200, s"""{"status": "ok", "sketch_type": "histogram", "size_bytes": ${h.serialize.length}, "buckets": ${h.buckets}}""")
+            }
           case _ => (400, err("unsupported sketch type"))
         }
     }

@@ -147,9 +147,22 @@ class ApiServerSpec extends SparkSpec {
          "parameters": {"epsilon": 0.01, "delta": 0.01}}"""))
     assert(code2 == 200)
     assert(parsed(body2)("sketch_type").flatMap(_.str).contains("countmin"))
+    // beyond the reference: histogram sketch build over the same route;
+    // percentile queries then answer from it with no scan
+    val (code4, body4) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_totalprice", "sketch_type": "histogram",
+         "parameters": {"buckets": 32}}"""))
+    assert(code4 == 200, body4)
+    assert(parsed(body4)("buckets").flatMap(_.num).contains(32.0))
+    val (codeQ, bodyQ) = http("POST", "/query", Some(
+      """{"sql": "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders"}"""))
+    assert(codeQ == 200, bodyQ)
+    assert(parsed(bodyQ)("plan").flatMap(_("type")).flatMap(_.str)
+      .contains("sketch"), bodyQ)
     val (code3, body3) = http("GET", "/sketches?table=orders")
     assert(code3 == 200)
-    assert(body3.contains("hyperloglog") && body3.contains("countmin"))
+    assert(body3.contains("hyperloglog") && body3.contains("countmin")
+      && body3.contains("histogram"))
     // missing table param is a 400, like the reference
     assert(http("GET", "/sketches")._1 == 400)
   }
