@@ -188,6 +188,24 @@ object Aqp {
           lit(1024).as("n_buckets"))
     }),
 
+    // Histogram strategy, END-TO-END oracle-gated: build the 64-bucket
+    // equi-width histogram over orders.o_totalprice, then let the FULL
+    // engine path (features -> storedHistogramAnswer) serve three
+    // percentiles from it with no scan. Every step of the estimator —
+    // grid (hi-lo)/64, bucket bracket, within-bucket interpolation — is
+    // a single correctly-rounded IEEE op over exact counts, so DuckDB
+    // recomputing the same chain from the same parquet hash-matches the
+    // engine's answer bit-for-bit.
+    "q74_hist_percentile" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      graft.sketch.SketchOps.createHistogram(s, e.catalog, "orders",
+        "o_totalprice", 64)
+      e.query(
+        "SELECT percentile(o_totalprice, 0.25) AS p25, " +
+          "percentile(o_totalprice, 0.5) AS p50, " +
+          "percentile(o_totalprice, 0.9) AS p90 FROM orders").df
+    }),
+
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
     // the q45/q62 treatment applied to HLL itself (the engine's B7
     // sketch is byte-format/spec-gated; Spark's approx_count_distinct
@@ -368,6 +386,34 @@ object Aqp {
             (1.96 * sqrt(((sxx - (sx * sx) / kn) / (kn - 1.0)) / kn))
               / abs((sx * 50.0) / (kn * 50.0)) AS avg_qty_rel_error
           FROM a""",
+    // q74: DuckDB re-derives the engine's histogram-strategy answer
+    // from the same parquet — same grid, same bucket bracket (first b
+    // whose inclusive cumulative count exceeds the target rank), same
+    // fixed-association interpolation as Histogram.percentile. p
+    // literals go through CAST('…' AS DOUBLE) (bare decimals are
+    // DECIMAL-typed).
+    "q74_hist_percentile" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi,
+              count(*) AS n FROM orders),
+          g AS (SELECT lo, (hi - lo) / 64 AS w, n FROM mm),
+          bk AS (SELECT least(63, CAST(floor((CAST(o_totalprice AS DOUBLE) - g.lo) / g.w) AS INT)) AS b
+            FROM orders, g),
+          c AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+          cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) - c AS cum_before FROM c),
+          tg AS (SELECT pr, CAST(pr AS DOUBLE) * CAST(g.n - 1 AS DOUBLE) AS target
+            FROM (SELECT unnest([CAST('0.25' AS DOUBLE), CAST('0.5' AS DOUBLE), CAST('0.9' AS DOUBLE)]) AS pr), g),
+          pick AS (SELECT tg.pr, tg.target, min(cum.b) AS b FROM cum, tg
+            WHERE cum.cum_before + cum.c > tg.target GROUP BY tg.pr, tg.target),
+          est AS (SELECT pick.pr,
+              g.lo + g.w * (CAST(pick.b AS DOUBLE)
+                + CASE WHEN cum.c <= 1 THEN CAST(0 AS DOUBLE)
+                       ELSE (pick.target - CAST(cum.cum_before AS DOUBLE)) / CAST(cum.c AS DOUBLE) END) AS v
+            FROM pick JOIN cum ON pick.b = cum.b, g)
+          SELECT max(CASE WHEN pr = CAST('0.25' AS DOUBLE) THEN v END) AS p25,
+            max(CASE WHEN pr = CAST('0.5' AS DOUBLE) THEN v END) AS p50,
+            max(CASE WHEN pr = CAST('0.9' AS DOUBLE) THEN v END) AS p90
+          FROM est""",
     "q73_hll_estimate" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString
