@@ -26,6 +26,8 @@ object Aqp {
     scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
   private val stratified =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
+  private val histograms =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
 
   private def engineFor(s: SparkSession, dir: String): QueryEngine =
     engines.getOrElseUpdate((s, dir), {
@@ -198,8 +200,14 @@ object Aqp {
     // engine's answer bit-for-bit.
     "q74_hist_percentile" -> ((s, dir) => {
       val e = engineFor(s, dir)
-      graft.sketch.SketchOps.createHistogram(s, e.catalog, "orders",
-        "o_totalprice", 64)
+      // built once per (session, dir), like the engine's samples: a
+      // serving engine pays the two stats passes at profile time, not
+      // per percentile query
+      histograms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createHistogram(s, e.catalog, "orders",
+          "o_totalprice", 64)
+        ()
+      })
       e.query(
         "SELECT percentile(o_totalprice, 0.25) AS p25, " +
           "percentile(o_totalprice, 0.5) AS p50, " +
