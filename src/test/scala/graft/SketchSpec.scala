@@ -73,6 +73,43 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("Histogram: serde roundtrip, mergeability, percentile bracketing") {
+    import graft.sketch.Histogram
+    val rnd = new scala.util.Random(42)
+    val data = Array.fill(5000)(rnd.nextDouble() * 1000.0).sorted
+    val lo = data.head
+    val width = (data.last - lo) / 64
+    val counts = new Array[Long](64)
+    data.foreach { x =>
+      counts(math.min(63, math.floor((x - lo) / width).toInt)) += 1
+    }
+    val h = Histogram(lo, width, counts)
+    // serde roundtrip is exact
+    val rt = Histogram.deserialize(h.serialize)
+    assert(rt.lo == h.lo && rt.width == h.width)
+    assert(rt.counts.toSeq == h.counts.toSeq)
+    // estimates bracket the true order statistic within one bucket
+    // width, and are monotone in p
+    var prev = Double.NegativeInfinity
+    for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = h.percentile(p)
+      val exact = data(math.round(p * (data.length - 1)).toInt)
+      assert(math.abs(est - exact) <= 2 * width, s"p=$p est=$est exact=$exact")
+      assert(est >= prev, s"non-monotone at p=$p")
+      prev = est
+    }
+    // same-grid merge == histogram of the concatenation
+    val h2 = Histogram(lo, width, counts.map(_ * 2))
+    val merged = h.merge(h2)
+    assert(merged.n == h.n * 3)
+    assert(merged.percentile(0.5) == Histogram(lo, width,
+      counts.map(_ * 3)).percentile(0.5))
+    // different grids refuse to merge
+    intercept[IllegalArgumentException] {
+      h.merge(Histogram(lo + 1.0, width, counts))
+    }
+  }
+
   test("distributed sketch build over a table matches single-threaded") {
     Tables.registerAll(spark, sfDir)
     val catalog = new MetaCatalog(
