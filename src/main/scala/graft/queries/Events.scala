@@ -32,6 +32,21 @@ object Events {
         .orderBy(col("ws_us"), col("event_type"))
     }),
 
+    // Streaming AQP's batch twin, oracle-gated: the EXACT
+    // sampledWindowedAgg transformation (systematic keyed-hash sample →
+    // windowed aggregate → Horvitz-Thompson scaling) that
+    // EventStreamsSpec proves equal across micro-batches, run here on
+    // the batch input so the driver's DuckDB gate checks the scaled
+    // ESTIMATES bit-for-bit (f=0.1 ⇒ HT weight exactly 10.0; decimal
+    // sums; single multiplies).
+    "q75_sampled_window" -> ((s, dir) => {
+      graft.streaming.EventStreams
+        .sampledWindowedAgg(Tables.load(s, dir, "events"), 0.1)
+        .select(expr("unix_micros(ws)").as("ws_us"), col("event_type"),
+          col("n_sampled"), col("est_n"), col("est_sum_value"))
+        .orderBy(col("ws_us"), col("event_type"))
+    }),
+
     // Gap-based sessionization (30-minute inactivity closes a session):
     // lag -> new-session flag -> running sum = session id -> per-user
     // session stats. Integer microsecond arithmetic end-to-end.
@@ -260,6 +275,14 @@ object Events {
            count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY ws_us, event_type ORDER BY ws_us, event_type""",
+    "q75_sampled_window" ->
+      s"""WITH k AS (SELECT ts, event_type, value FROM events
+            WHERE ${graft.queries.Dedup.h60Duck("'sw:' || CAST(event_id AS VARCHAR)")} % 10000 < 1000)
+          SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, event_type,
+            count(*) AS n_sampled,
+            CAST(count(*) AS DOUBLE) * 10.0 AS est_n,
+            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 10.0 AS est_sum_value
+          FROM k GROUP BY ws_us, event_type ORDER BY ws_us, event_type""",
     "q25_sessionize" ->
       """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
           flagged AS (SELECT user_id, event_id, us,
