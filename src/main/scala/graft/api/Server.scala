@@ -176,9 +176,13 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
               case Some(c) =>
                 val buckets = params("buckets").flatMap(_.num)
                   .map(_.toInt).getOrElse(64)
-                val h = SketchOps.createHistogram(spark, engine.catalog,
-                  table, c, buckets)
-                (200, s"""{"status": "ok", "sketch_type": "histogram", "size_bytes": ${h.serialize.length}, "buckets": ${h.buckets}}""")
+                if (buckets < 1 || buckets > 1000000)
+                  (400, err(s"buckets must be in [1, 1000000], got $buckets"))
+                else {
+                  val h = SketchOps.createHistogram(spark, engine.catalog,
+                    table, c, buckets)
+                  (200, s"""{"status": "ok", "sketch_type": "histogram", "size_bytes": ${h.serialize.length}, "buckets": ${h.buckets}}""")
+                }
             }
           case _ => (400, err("unsupported sketch type"))
         }

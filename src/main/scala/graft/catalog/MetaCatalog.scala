@@ -68,6 +68,27 @@ final class MetaCatalog(val workDir: String) {
   // --- sketches (aqe_sketches; unique on table+column+type) ---
   def upsertSketch(info: SketchInfo): Unit =
     sketches.put((info.tableName, info.columnName, info.sketchType), info)
+  /** Atomic read-merge-write: fold `info.data` into any existing sketch
+    * under the map's CAS so two concurrent maintainers of the same
+    * (table, column) never lose a batch (a bare getSketch-then-
+    * upsertSketch interleaves). `merge(prev, next)` must be commutative
+    * over the sketch's byte format (HLL register-max / histogram
+    * count-add are).
+    */
+  @annotation.tailrec
+  def upsertSketchMerging(info: SketchInfo)(
+      merge: (Array[Byte], Array[Byte]) => Array[Byte]): SketchInfo = {
+    val key = (info.tableName, info.columnName, info.sketchType)
+    sketches.putIfAbsent(key, info) match {
+      case None => info
+      case Some(prev) =>
+        val next = info.copy(data = merge(prev.data, info.data))
+        // prev is the exact instance read from the map, so the
+        // reference-equality replace is a true CAS.
+        if (sketches.replace(key, prev, next)) next
+        else upsertSketchMerging(info)(merge)
+    }
+  }
   def getSketch(table: String, column: String, sketchType: String): Option[SketchInfo] =
     sketches.get((table, column, sketchType))
   def listSketches(table: Option[String] = None): Seq[SketchInfo] =

@@ -103,15 +103,18 @@ final class QueryEngine(
     // whose columns carry stored equi-width histograms answers from the
     // catalog with NO scan (accuracy = one bucket width) — a strategy
     // the reference's {exact, sample, sketch} set lacks entirely.
+    // Honor the caller's error budget like the sample path does: the
+    // histogram's bound is one bucket width (1/buckets of the grid), so
+    // a tighter requested tolerance falls through to the scan path.
     storedHistogramAnswer(parsed, table) match {
-      case Some((df, err)) =>
+      case Some((df, err)) if err <= opts.maxRelError =>
         return finish(AqeResult(df, "sketch", "sketch",
           "percentile answered from the stored histogram sketch (no scan)",
           0.9, Double.PositiveInfinity, err, None, None,
           Seq("PERCENTILE/MEDIAN answered from the stored equi-width " +
             "histogram (no scan; accurate to one bucket width)")),
           sql, features, opts)
-      case None =>
+      case _ =>
     }
     if (!features.hasApproximableAgg && !features.hasDistinct)
       return finish(exact("no approximable aggregate (COUNT/SUM/AVG): exact execution"), sql, features, opts)
@@ -259,6 +262,23 @@ final class QueryEngine(
       plan <- SaltRewrite(parsed)
     } yield org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan)
 
+  /** Staleness guard for catalog-served answers: a sketch that recorded
+    * the base-table rowcount at build time ("rows" in its params JSON)
+    * is served only while the catalog's table stats agree — an appended
+    * or rewritten table falls through to the scan path instead of being
+    * answered from stale state. With no recorded rowcount or no table
+    * stats there is no evidence of staleness and the sketch serves
+    * (the reference's ignore-staleness policy, SURVEY §7.4 — kept as
+    * the default, tightened where the evidence exists).
+    */
+  private val sketchRowsRe = """"rows"\s*:\s*(\d+)""".r
+  private def sketchIsFresh(table: String, s: catalog.SketchInfo): Boolean =
+    (sketchRowsRe.findFirstMatchIn(s.parameters).map(_.group(1).toLong),
+      catalog.statsFor(table)) match {
+      case (Some(recorded), Some(ts)) => recorded == ts.rowCount
+      case _                          => true
+    }
+
   /** If the query is a bare global aggregate over `table` whose every
     * output is PERCENTILE(attr, p) / MEDIAN(attr) with a stored
     * histogram sketch for attr, answer all of them by interpolation
@@ -293,7 +313,8 @@ final class QueryEngine(
                 case _ => None
               }
             colP.flatMap { case (c, p) =>
-              catalog.getSketch(table, c, "histogram").map { s =>
+              catalog.getSketch(table, c, "histogram")
+                .filter(sketchIsFresh(table, _)).map { s =>
                 val h = graft.sketch.Histogram.deserialize(s.data)
                 (name, h.percentile(p), 1.0 / h.buckets)
               }
@@ -329,6 +350,7 @@ final class QueryEngine(
             f.arguments.head match {
               case a: UnresolvedAttribute =>
                 catalog.getSketch(table, a.nameParts.last, "hyperloglog")
+                  .filter(sketchIsFresh(table, _))
                   .map(s => name -> graft.sketch.Hll.deserialize(s.data).count)
               case _ => None
             }

@@ -147,9 +147,17 @@ object SampleRewrite {
       val n = Cast(fn("count", f.arguments.head), DoubleType)
       val sx = fn("sum", x)
       val sxx = fn("sum", Multiply(x, x))
-      val varS = Divide(Subtract(sxx, Divide(Multiply(sx, sx), n)),
-        Subtract(n, Literal(1.0)))
-      Some(fn("sqrt", Divide(varS, n)))
+      // greatest(0, ·) guards catastrophic cancellation (large-mean /
+      // low-variance columns can push the one-pass moment form a hair
+      // negative → NaN CIs); the n>1 gate guards the 0/0 at a single
+      // sampled row. Both are identity ops on well-conditioned inputs,
+      // so oracle SQL mirroring the same tree still bit-matches.
+      val varS = fn("greatest", Literal(0.0),
+        Divide(Subtract(sxx, Divide(Multiply(sx, sx), n)),
+          Subtract(n, Literal(1.0))))
+      Some(If(GreaterThan(n, Literal(1.0)),
+        fn("sqrt", Divide(varS, n)),
+        Literal(null, DoubleType)))
     case _ => None
   }
 

@@ -29,12 +29,19 @@ object Aqp {
   private val histograms =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
 
-  private def engineFor(s: SparkSession, dir: String): QueryEngine =
+  private def engineFor(s: SparkSession, dir: String): QueryEngine = {
+    // evict entries for stopped sessions (same policy as Dedup.memo) so
+    // long-lived multi-session processes don't retain dead engines,
+    // their catalogs, or the one-shot sample/histogram build markers
+    Seq(engines, stratified, histograms).foreach { m =>
+      m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
+    }
     engines.getOrElseUpdate((s, dir), {
       Tables.registerAll(s, dir)
       new QueryEngine(s,
         new MetaCatalog(Files.createTempDirectory("graft-aqp").toString))
     })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multimodal metadata over binary payloads, expressed as columnar
@@ -388,10 +395,10 @@ object Aqp {
             sx * 50.0 + 1.96 * sqrt(sxx * 2450.0) AS qty_ci_high,
             (1.96 * sqrt(sxx * 2450.0)) / abs(sx * 50.0) AS qty_rel_error,
             (sx * 50.0) / (kn * 50.0)
-              - 1.96 * sqrt(((sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_qty_ci_low,
+              - 1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_qty_ci_low,
             (sx * 50.0) / (kn * 50.0)
-              + 1.96 * sqrt(((sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_qty_ci_high,
-            (1.96 * sqrt(((sxx - (sx * sx) / kn) / (kn - 1.0)) / kn))
+              + 1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_qty_ci_high,
+            (1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn))
               / abs((sx * 50.0) / (kn * 50.0)) AS avg_qty_rel_error
           FROM a""",
     // q74: DuckDB re-derives the engine's histogram-strategy answer

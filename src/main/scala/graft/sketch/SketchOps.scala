@@ -24,11 +24,18 @@ object SketchOps {
     */
   def createHll(spark: SparkSession, catalog: MetaCatalog, table: String,
       column: String, b: Int = 12): (Int, Long) = {
-    val bytes = spark.table(table)
-      .select(Hll.sketchAgg(col(column).cast("string"), b).as("s"))
-      .collect().head.getAs[Array[Byte]]("s")
+    // count(*) rides the same single pass; recorded as "rows" so the
+    // engine's freshness guard can detect a grown/shrunk base table
+    // (QueryEngine.sketchIsFresh) instead of serving stale answers
+    import org.apache.spark.sql.functions.{count, lit}
+    val row = spark.table(table)
+      .agg(Hll.sketchAgg(col(column).cast("string"), b).as("s"),
+        count(lit(1)).as("n"))
+      .collect().head
+    val bytes = row.getAs[Array[Byte]]("s")
     catalog.upsertSketch(catalog.SketchInfo(table, column, "hyperloglog",
-      bytes, s"""{"b":$b}""", System.currentTimeMillis()))
+      bytes, s"""{"b":$b,"rows":${row.getAs[Long]("n")}}""",
+      System.currentTimeMillis()))
     (bytes.length, Hll.deserialize(bytes).count)
   }
 
@@ -41,23 +48,36 @@ object SketchOps {
   def createHistogram(spark: SparkSession, catalog: MetaCatalog,
       table: String, column: String, buckets: Int = 64): Histogram = {
     import org.apache.spark.sql.functions.{expr, max, min}
+    import org.apache.spark.sql.functions.{count, lit}
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // min/max skip NULLs natively, so the stats pass runs unfiltered
+    // (its count(*) is the full-table rowcount the freshness guard
+    // compares against); the bucket pass drops NULLs — they have no
+    // bucket, and SQL percentile ignores them too. An empty/all-NULL
+    // column is refused rather than emitting a NaN-grid sketch.
     val mm = spark.table(table)
-      .agg(min(col(column)).cast("double"), max(col(column)).cast("double"))
+      .agg(min(col(column)).cast("double"), max(col(column)).cast("double"),
+        count(lit(1)))
       .collect()(0)
+    if (mm.isNullAt(0) || mm.isNullAt(1))
+      throw new IllegalArgumentException(
+        s"histogram over $table.$column: no non-NULL values")
     val lo = mm.getDouble(0)
     val hi = mm.getDouble(1)
+    val tableRows = mm.getLong(2)
     val width = if (hi > lo) (hi - lo) / buckets else 1.0
     val counts = new Array[Long](buckets)
-    spark.table(table)
+    spark.table(table).filter(col(column).isNotNull)
       .select(expr(
         s"least(${buckets - 1}, cast(floor((cast($column as double) - $lo) / $width) as int))")
         .as("b"))
       .groupBy(col("b")).count()
       .collect()
-      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+      .foreach(r => counts(math.max(0, r.getInt(0))) = r.getLong(1))
     val h = Histogram(lo, width, counts)
     catalog.upsertSketch(catalog.SketchInfo(table, column, "histogram",
-      h.serialize, s"""{"buckets":$buckets}""", System.currentTimeMillis()))
+      h.serialize, s"""{"buckets":$buckets,"rows":$tableRows}""",
+      System.currentTimeMillis()))
     h
   }
 

@@ -282,14 +282,14 @@ object EventStreams {
           .select(graft.sketch.Hll.sketchAgg(col(column).cast("string"), b)
             .as("s"))
           .collect().head.getAs[Array[Byte]]("s")
-        val merged = catalog.getSketch(table, column, "hyperloglog") match {
-          case Some(prev) => graft.sketch.Hll.deserialize(prev.data)
-            .merge(graft.sketch.Hll.deserialize(bytes)).serialize
-          case None => bytes
+        // atomic merge under the catalog's CAS: two streams maintaining
+        // the same (table, column) sketch can interleave safely
+        catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+          "hyperloglog", bytes, s"""{"b":$b}""",
+          System.currentTimeMillis())) { (prev, next) =>
+          graft.sketch.Hll.deserialize(prev)
+            .merge(graft.sketch.Hll.deserialize(next)).serialize
         }
-        catalog.upsertSketch(catalog.SketchInfo(table, column,
-          "hyperloglog", merged, s"""{"b":$b}""",
-          System.currentTimeMillis()))
         ()
       }
       .start()

@@ -194,6 +194,64 @@ class QueryEngineSpec extends SparkSpec {
     assert(r2.planType == "exact")
   }
 
+  test("stale sketches are not served after the base table changes size") {
+    graft.sketch.SketchOps.createHistogram(
+      spark, catalog, "orders", "o_totalprice", 64)
+    graft.sketch.SketchOps.createHll(spark, catalog, "lineitem", "l_suppkey")
+    val nOrders = spark.table("orders").count()
+    val nLineitem = spark.table("lineitem").count()
+    // simulate an appended table: the profile refresh records a new
+    // rowcount that no longer matches the sketches' creation rowcount
+    catalog.upsertTableStats("orders", nOrders + 1000)
+    catalog.upsertTableStats("lineitem", nLineitem + 1000)
+    val r = engine.query(
+      "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders")
+    assert(r.planType == "exact", s"${r.planType}: ${r.reason}")
+    val r2 = engine.query(
+      "SELECT count(DISTINCT l_suppkey) AS nd FROM lineitem")
+    assert(!r2.transformations.exists(_.contains("stored HyperLogLog")),
+      r2.transformations)
+    // restored stats serve from the catalog again
+    catalog.upsertTableStats("orders", nOrders)
+    catalog.upsertTableStats("lineitem", nLineitem)
+    val r3 = engine.query(
+      "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders")
+    assert(r3.planType == "sketch", s"${r3.planType}: ${r3.reason}")
+  }
+
+  test("stored histogram honors the caller's error budget") {
+    graft.sketch.SketchOps.createHistogram(
+      spark, catalog, "orders", "o_totalprice", 64)
+    // one bucket width = 1/64 ~ 0.0156 > 0.01 -> scan path, like the
+    // sample strategy refusing a fraction that misses the tolerance
+    val r = engine.query(
+      "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders",
+      engine.Options(maxRelError = 0.01))
+    assert(r.planType == "exact", s"${r.planType}: ${r.reason}")
+  }
+
+  test("createHistogram tolerates NULLs and refuses empty/bad input") {
+    import org.apache.spark.sql.functions.expr
+    spark.range(0, 100)
+      .select(expr(
+        "case when id % 10 = 0 then cast(null as double) else cast(id as double) end")
+        .as("x"))
+      .createOrReplaceTempView("hist_nulls_t")
+    val h = graft.sketch.SketchOps.createHistogram(
+      spark, catalog, "hist_nulls_t", "x", 8)
+    assert(h.counts.sum == 90, h.counts.toSeq) // NULLs dropped, no NPE
+    spark.range(0, 10).select(expr("cast(null as double)").as("x"))
+      .createOrReplaceTempView("hist_empty_t")
+    intercept[IllegalArgumentException] {
+      graft.sketch.SketchOps.createHistogram(
+        spark, catalog, "hist_empty_t", "x", 8)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sketch.SketchOps.createHistogram(
+        spark, catalog, "hist_nulls_t", "x", 0)
+    }
+  }
+
   test("skew loop: profiled hot key makes an exact GROUP BY plan salted, result unchanged") {
     import org.apache.spark.sql.functions.{col, expr}
     // 90% of rows share one key -> topSharePpm ~ 900000 >> threshold
