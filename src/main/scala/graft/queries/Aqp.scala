@@ -28,12 +28,17 @@ object Aqp {
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   private val histograms =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
+  // q76's engine is separate: its catalog must hold ONLY the
+  // deterministic stratified sample, so the strategy lookup cannot race
+  // q30's seeded 0.2 sample on the shared engine.
+  private val detEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
 
   private def engineFor(s: SparkSession, dir: String): QueryEngine = {
     // evict entries for stopped sessions (same policy as Dedup.memo) so
     // long-lived multi-session processes don't retain dead engines,
     // their catalogs, or the one-shot sample/histogram build markers
-    Seq(engines, stratified, histograms).foreach { m =>
+    Seq(engines, stratified, histograms, detEngines).foreach { m =>
       m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
     }
     engines.getOrElseUpdate((s, dir), {
@@ -42,6 +47,20 @@ object Aqp {
         new MetaCatalog(Files.createTempDirectory("graft-aqp").toString))
     })
   }
+
+  private def detEngineFor(s: SparkSession, dir: String): QueryEngine =
+    detEngines.getOrElseUpdate((s, dir), {
+      Tables.registerAll(s, dir)
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-det").toString))
+      Samplers.createStratifiedDeterministic(s, e.catalog, "orders",
+        "o_orderstatus", "o_orderkey", targetPerStratum = 512L)
+      // force the chooser's stratified rule (size>10000 ∧ groupBy
+      // arity>1) at small test SFs, exactly like q30
+      val n = s.table("orders").count()
+      e.catalog.upsertTableStats("orders", math.max(n, 20000L))
+      e
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multimodal metadata over binary payloads, expressed as columnar
@@ -346,6 +365,33 @@ object Aqp {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // AQP: the REAL-fraction stratified estimate, oracle-gated — q28's
+    // deterministic-membership treatment applied to the stratified
+    // strategy (q43 only gates the weight=1 identity; q30's Bernoulli
+    // showcase is rows-only). A deterministic stratified sample
+    // (per-stratum keyed-hash lottery, integer power-of-two HT weights
+    // — Samplers.createStratifiedDeterministic) is registered in the
+    // engine's catalog; the FULL engine path (features -> chooser's
+    // stratified rule -> sample-table substitution -> WeightColumn HT
+    // rewrite) answers a two-column GROUP BY from it at fraction ~0.16.
+    // Integer weights times integer measures keep every weighted sum an
+    // exact (order-independent) double, and DuckDB re-derives the
+    // allocation (integer divide + binary length + shift), membership,
+    // and per-group estimates bit-for-bit.
+    "q76_stratified_estimate" -> ((s, dir) => {
+      val e = detEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n_est, " +
+          "sum(o_custkey) AS sk_est FROM orders " +
+          "GROUP BY o_orderstatus, o_orderpriority " +
+          "ORDER BY o_orderstatus, o_orderpriority",
+        e.Options(ciColumns = false))
+      assert(r.planType == "stratified" && r.sampleFraction.exists(_ < 1.0),
+        s"q76 must run the real-fraction stratified strategy: " +
+          s"${r.planType} f=${r.sampleFraction} (${r.reason})")
+      r.df
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -362,6 +408,26 @@ object Aqp {
   )
 
   val oracle: Map[String, String] = Map(
+    // q76: DuckDB re-derives the deterministic stratified sample and
+    // its per-group HT estimates. Allocation is integer-only (m = N_h
+    // div 512; w_h = 2^least(13, floor(log2 m)) via length(bin());
+    // membership h60 % 8192 < 8192/w_h), so both engines compute the
+    // SAME sample and the SAME exact-integer weighted sums.
+    "q76_stratified_estimate" ->
+      s"""WITH ns AS (SELECT CAST(o_orderstatus AS VARCHAR) AS st,
+              count(*) AS nh FROM orders GROUP BY 1),
+          w AS (SELECT st,
+              CASE WHEN nh // 512 < 1 THEN CAST(1 AS BIGINT)
+                   ELSE CAST(1 AS BIGINT)
+                     << CAST(least(13, length(bin(nh // 512)) - 1) AS INT)
+              END AS wh FROM ns),
+          k AS (SELECT o.o_orderstatus, o.o_orderpriority, o.o_custkey, w.wh
+              FROM orders o JOIN w ON CAST(o.o_orderstatus AS VARCHAR) = w.st
+              WHERE ${graft.queries.Dedup.h60Duck("'q76:' || CAST(o_orderkey AS VARCHAR)")} % 8192 < 8192 // wh)
+          SELECT o_orderstatus, o_orderpriority,
+            CAST(sum(wh) AS DOUBLE) AS n_est,
+            CAST(sum(o_custkey * wh) AS DOUBLE) AS sk_est
+          FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
     // q72: the oracle predicts what the ImageIO decoder must recover
     // from each generated PNG (Multimodal.pngFor's id arithmetic) —
     // a mismatch means the real codec round-trip corrupted something.

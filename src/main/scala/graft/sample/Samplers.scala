@@ -134,6 +134,85 @@ object Samplers {
     (name, withAchieved)
   }
 
+  /** Deterministic stratified sample (equal-allocation flavor):
+    * per-stratum inclusion is a keyed-hash lottery (the streaming/q28
+    * systematic trick applied per stratum), so membership — and
+    * therefore every Horvitz-Thompson estimate computed from the
+    * sample — is reproducible across runs, partitionings, and engines.
+    *
+    * Allocation is integer-only by design: each stratum's HT weight is
+    * the power of two 2^floor(log2(N_h / targetPerStratum)) (≥1,
+    * ≤8192), and a row is kept iff
+    * `graft_h60('q76:' || key) % 8192 < 8192 / w_h`. Integer weights
+    * keep weighted sums of integer measures EXACT (order-independent
+    * doubles), and the whole allocation chain (integer divide, binary
+    * length, shift) is re-derivable bit-for-bit in DuckDB — this is
+    * what lets the real-fraction stratified estimate be oracle-gated,
+    * which seeded Bernoulli `sampleBy` (rand depends on the partition
+    * split) cannot be. The trade: rates come from a power-of-two grid
+    * (inverse stratum size ≈ equal allocation) instead of Neyman's
+    * variance-optimal real-valued fractions — use createStratified
+    * when reproducibility is not required.
+    *
+    * Scale shape: one count-by-stratum stats pass, then a map-side
+    * broadcast-join + filter (no shuffle) writing the sample once.
+    */
+  def createStratifiedDeterministic(spark: SparkSession,
+      catalog: MetaCatalog, table: String, strataCol: String,
+      keyCol: String, targetPerStratum: Long = 512L)
+      : (String, Seq[StratumAllocation]) = {
+    require(targetPerStratum >= 1, "targetPerStratum must be >= 1")
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.table(table)
+    val stats = df.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("pop_size"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    val allocations = stats.toSeq.map { case (value, popSize) =>
+      val m = popSize / targetPerStratum
+      val w = if (m < 1L) 1L
+        else math.min(8192L, java.lang.Long.highestOneBit(m))
+      val threshold = 8192L / w
+      StratumAllocation(value, popSize, popSize / w,
+        threshold.toDouble / 8192.0, w.toDouble, 0.0)
+    }
+
+    val name = s"${table}__strat_det_${strataCol}"
+    val path = s"${catalog.samplesDir}/$name"
+    import spark.implicits._
+    val weights = allocations
+      .map(a => (a.value, a.weight, (8192L / a.weight.toLong)))
+      .toDF("graft_stratum", "graft_weight", "graft_threshold")
+    df.join(broadcast(weights),
+        col(strataCol).cast("string") === col("graft_stratum"))
+      .filter(expr(
+        s"graft_h60(concat('q76:', cast($keyCol as string))) % 8192 < graft_threshold"))
+      .drop("graft_stratum", "graft_threshold")
+      .coalesce(sampleFiles(
+        allocations.map(a => a.popSize / a.weight).sum))
+      .write.mode("overwrite").parquet(path)
+    val sampleDf = spark.read.parquet(path).cache()
+    sampleDf.createOrReplaceTempView(name)
+
+    val achieved = sampleDf.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val withAchieved = allocations.map(a =>
+      a.copy(sampleSize = achieved.getOrElse(a.value, 0L)))
+    val totalPop = stats.map(_._2).sum
+    val achievedFraction = math.min(0.9999,
+      withAchieved.map(_.sampleSize).sum.toDouble / math.max(1L, totalPop))
+
+    catalog.upsertTableStats(table, totalPop)
+    catalog.addSample(catalog.SampleInfo(table, name, achievedFraction,
+      Some(strataCol), path, System.currentTimeMillis()))
+    catalog.putStrata(name, withAchieved.map(a =>
+      catalog.StratumInfo(name, a.value, a.popSize, a.sampleSize,
+        a.fraction, a.weight, a.variance)))
+    (name, withAchieved)
+  }
+
   /** Neyman allocation: n_h = n_total * N_h*sigma_h / sum(N_h*sigma_h),
     * fraction capped at 1.0 (/root/reference/sampler.py:194-217).
     */

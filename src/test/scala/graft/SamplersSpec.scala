@@ -37,6 +37,38 @@ class SamplersSpec extends SparkSpec {
     assert(wdist.forall(r => math.abs(r.getDouble(0) - 1.0 / 0.3) < 1e-9))
   }
 
+  test("deterministic stratified sample: power-of-two weights, reproducible membership, unbiased-ish HT totals") {
+    val (name, strata) = Samplers.createStratifiedDeterministic(
+      spark, catalog, "orders", "o_orderstatus", "o_orderkey", 128L)
+    assert(name == "orders__strat_det_o_orderstatus")
+    // every weight is a power of two in [1, 8192]; small strata keep all
+    assert(strata.exists(_.weight > 1.0), strata) // real sampling happened
+    strata.foreach { a =>
+      val w = a.weight.toLong
+      assert(w >= 1 && w <= 8192 && java.lang.Long.bitCount(w) == 1,
+        s"stratum ${a.value}: weight $w")
+      if (a.popSize < 128) assert(w == 1L, s"stratum ${a.value}")
+    }
+    // membership is a pure hash function: rebuilding yields the SAME rows
+    val first = spark.table(name).select("o_orderkey").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    Samplers.createStratifiedDeterministic(
+      spark, catalog, "orders", "o_orderstatus", "o_orderkey", 128L)
+    val second = spark.table(name).select("o_orderkey").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(first == second)
+    // HT-weighted rowcount recovers the population within sampling error
+    val est = spark.table(name)
+      .agg(org.apache.spark.sql.functions.sum("graft_weight"))
+      .collect().head.getDouble(0)
+    val n = spark.table("orders").count().toDouble
+    assert(math.abs(est - n) / n < 0.15, s"est=$est n=$n")
+    // catalog rows: real fraction < 1, strata registered
+    val info = catalog.stratifiedSampleFor("orders", "o_orderstatus")
+    assert(info.exists(i => i.fraction > 0 && i.fraction < 1))
+    assert(catalog.strataFor(name).nonEmpty)
+  }
+
   test("Neyman allocation weights high-variance strata more") {
     val strata = Seq(("lo", 1000L, 1.0), ("hi", 1000L, 100.0))
     val alloc = Samplers.allocateNeyman(strata, 0.1)
