@@ -235,15 +235,24 @@ final class QueryEngine(
     * loop a serving engine runs once per table profile refresh.
     */
   def profileKeySkew(table: String, column: String): catalog.KeySkew = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum}
+    // `column` may be a plain column OR a grouping expression
+    // ("date_trunc('DAY', ts)"); the catalog key is the
+    // parser-normalized SQL so saltedExact can match it textually
+    // against the parsed query's grouping expression.
+    val key = normalizeKey(column)
     val row = spark.table(table)
-      .groupBy(col(column)).agg(count(lit(1)).as("c"))
+      .groupBy(expr(column)).agg(count(lit(1)).as("c"))
       .agg(sum(col("c")), count(lit(1)), max(col("c")))
       .collect()(0)
-    catalog.upsertKeySkew(table, column, row.getLong(0), row.getLong(1),
+    catalog.upsertKeySkew(table, key, row.getLong(0), row.getLong(1),
       row.getLong(2))
-    catalog.keySkewFor(table, column).get
+    catalog.keySkewFor(table, key).get
   }
+
+  private def normalizeKey(column: String): String =
+    try spark.sessionState.sqlParser.parseExpression(column).sql
+    catch { case scala.util.control.NonFatal(_) => column }
 
   /** The salted-plan gate: a single-table GROUP BY whose grouping
     * column has catalog skew stats above the threshold re-plans via
@@ -255,8 +264,12 @@ final class QueryEngine(
       features: QueryFeatures): Option[DataFrame] =
     for {
       table <- features.tableName.filter(_ => features.isSingleTable)
+      // a grouping entry matches skew stats either as a bare column
+      // (strip any table qualifier/backticks) or as the full normalized
+      // expression SQL (profileKeySkew stores expression keys that way)
       if features.groupByColumns
-        .map(_.split("\\.").last.stripPrefix("`").stripSuffix("`"))
+        .flatMap(g => Seq(g,
+          g.split("\\.").last.stripPrefix("`").stripSuffix("`")).distinct)
         .exists(c => catalog.keySkewFor(table, c)
           .exists(_.topSharePpm >= SaltRewrite.SkewPpmThreshold))
       plan <- SaltRewrite(parsed)

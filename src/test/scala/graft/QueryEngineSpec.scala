@@ -305,6 +305,46 @@ class QueryEngineSpec extends SparkSpec {
     assert(dSalted == dPlain)
   }
 
+  test("skew loop: expression grouping keys and mixed distinct+plain aggregates re-plan") {
+    import org.apache.spark.sql.functions.{col, expr}
+    spark.range(0, 20000)
+      .select(expr("case when id % 10 < 9 then 'hot' else concat('k', id % 97) end").as("k"),
+        (col("id") % 1000).as("v"), (col("id") % 50).as("u"))
+      .createOrReplaceTempView("skewed_e_t")
+    // profile the EXPRESSION itself (e.g. a date_trunc bucket in
+    // practice); the catalog key is the normalized SQL
+    val skew = engine.profileKeySkew("skewed_e_t", "upper(k)")
+    assert(skew.topSharePpm >= graft.plan.SaltRewrite.SkewPpmThreshold, skew)
+
+    val sql = "SELECT upper(k) AS uk, count(*) AS n, sum(v) AS s, " +
+      "min(v) AS mn FROM skewed_e_t GROUP BY upper(k) ORDER BY uk"
+    val r = engine.query(sql, engine.Options(preferExact = true))
+    assert(r.reason.contains("salted"), r.reason)
+    val aggs = r.df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.length == 2, r.df.queryExecution.optimizedPlan.toString)
+    assert(aggs.last.groupingExpressions.length == 2) // (upper(k), salt)
+    assert(aggs.head.groupingExpressions.length == 1) // (alias of upper(k))
+    assert(r.df.collect().map(_.toSeq).toSeq ==
+      spark.sql(sql).collect().map(_.toSeq).toSeq)
+
+    // mixed COUNT(DISTINCT u) + plain aggregates under a hot plain key:
+    // keyed dedup two-stage with partials computed before the dedup
+    engine.profileKeySkew("skewed_e_t", "k")
+    val sqlMixed = "SELECT k, count(DISTINCT u) AS nd, count(*) AS n, " +
+      "sum(v) AS s, avg(v) AS a FROM skewed_e_t GROUP BY k ORDER BY k"
+    val rm = engine.query(sqlMixed, engine.Options(preferExact = true))
+    assert(rm.reason.contains("salted"), rm.reason)
+    val mAggs = rm.df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(mAggs.length == 2, rm.df.queryExecution.optimizedPlan.toString)
+    assert(mAggs.last.groupingExpressions.length == 2) // (k, u) dedup
+    assert(rm.df.collect().map(_.toSeq).toSeq ==
+      spark.sql(sqlMixed).collect().map(_.toSeq).toSeq)
+  }
+
   test("ordinary spark.sql on the same session is untouched by the rule") {
     val n = spark.sql("SELECT count(*) AS n FROM lineitem")
       .collect().head.getLong(0)
