@@ -234,10 +234,26 @@ object Aqp {
           "o_totalprice", 64)
         ()
       })
-      e.query(
+      val est = e.query(
         "SELECT percentile(o_totalprice, 0.25) AS p25, " +
           "percentile(o_totalprice, 0.5) AS p50, " +
           "percentile(o_totalprice, 0.9) AS p90 FROM orders").df
+      // Exact companion + realized error, so the one-bucket-width
+      // bound is MEASURED (q61's treatment): decimal-rounded type-7
+      // percentiles are cross-engine bit-portable, and est - exact is
+      // then a single deterministic subtraction. bucket_width is the
+      // engine's published error bound for the same sketch grid.
+      def pct(p: String, name: String) =
+        expr(s"cast(cast(percentile(o_totalprice, $p) as decimal(18,6)) as double)")
+          .as(name)
+      val exact = Tables.load(s, dir, "orders").agg(
+        pct("0.25", "x25"), pct("0.5", "x50"), pct("0.9", "x90"),
+        expr("(cast(max(o_totalprice) as double) - cast(min(o_totalprice) as double)) / 64")
+          .as("bucket_width"))
+      est.crossJoin(exact)
+        .withColumn("err_p25", expr("p25 - x25"))
+        .withColumn("err_p50", expr("p50 - x50"))
+        .withColumn("err_p90", expr("p90 - x90"))
     }),
 
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
@@ -490,11 +506,20 @@ object Aqp {
               g.lo + g.w * (CAST(pick.b AS DOUBLE)
                 + CASE WHEN cum.c <= 1 THEN CAST(0 AS DOUBLE)
                        ELSE (pick.target - CAST(cum.cum_before AS DOUBLE)) / CAST(cum.c AS DOUBLE) END) AS v
-            FROM pick JOIN cum ON pick.b = cum.b, g)
-          SELECT max(CASE WHEN pr = CAST('0.25' AS DOUBLE) THEN v END) AS p25,
+            FROM pick JOIN cum ON pick.b = cum.b, g),
+          fin AS (SELECT max(CASE WHEN pr = CAST('0.25' AS DOUBLE) THEN v END) AS p25,
             max(CASE WHEN pr = CAST('0.5' AS DOUBLE) THEN v END) AS p50,
             max(CASE WHEN pr = CAST('0.9' AS DOUBLE) THEN v END) AS p90
-          FROM est""",
+          FROM est),
+          exq AS (SELECT
+              CAST(CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS x25,
+              CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS x50,
+              CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS x90,
+              (CAST(max(o_totalprice) AS DOUBLE) - CAST(min(o_totalprice) AS DOUBLE)) / 64 AS bucket_width
+            FROM orders)
+          SELECT p25, p50, p90, x25, x50, x90, bucket_width,
+            p25 - x25 AS err_p25, p50 - x50 AS err_p50, p90 - x90 AS err_p90
+          FROM fin, exq""",
     "q73_hll_estimate" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString
