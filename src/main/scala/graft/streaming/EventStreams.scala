@@ -294,6 +294,56 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming histogram maintenance — the q74 strategy made LIVE: a
+    * stream folds per-micro-batch bucket counts into the catalog's
+    * equi-width histogram, and the engine's no-scan percentile answers
+    * track the stream. The grid (lo/width/buckets) is FIXED up front
+    * (from catalog stats or a profile pass) because per-batch grids
+    * cannot merge; values outside the grid clamp into the edge buckets
+    * (the usual streaming-histogram trade — re-profile and rebuild when
+    * the domain drifts). Per micro-batch: one distributed bucket-count
+    * aggregate (≤`buckets` rows collected), one CAS-merged catalog
+    * upsert — O(buckets) state regardless of stream volume. Histogram
+    * merge is ADDITIVE (unlike HLL's idempotent register-max), so a
+    * replayed batch would double-count; the stored `last_batch` id
+    * skips re-delivered batch ids (exact under single-writer-per-
+    * (table, column), the same discipline maintainHllSketch documents).
+    */
+  def maintainHistogramSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, column: String,
+      lo: Double, width: Double, buckets: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(buckets >= 1 && width > 0, "need buckets >= 1 and width > 0")
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val alreadyMerged = catalog.getSketch(table, column, "histogram")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged) {
+          val counts = new Array[Long](buckets)
+          batch.filter(col(column).isNotNull)
+            .select(expr(
+              s"least(${buckets - 1}, greatest(0, cast(floor((cast($column as double) - $lo) / $width) as int)))")
+              .as("b"))
+            .groupBy(col("b")).count()
+            .collect()
+            .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+          val h = graft.sketch.Histogram(lo, width, counts)
+          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+            "histogram", h.serialize,
+            s"""{"buckets":$buckets,"last_batch":$batchId}""",
+            System.currentTimeMillis())) { (prev, next) =>
+            graft.sketch.Histogram.deserialize(prev)
+              .merge(graft.sketch.Histogram.deserialize(next)).serialize
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */

@@ -102,6 +102,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.df.collect().head.getLong(0) == est)
   }
 
+  test("stream-maintained histogram equals the batch build; engine percentiles go live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-hist").toString)
+    // fixed 64-bucket grid over [0, 1024): values are (i*37) % 997
+    val (lo, width, buckets) = (0.0, 16.0, 64)
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainHistogramSketch(
+      stream.toDF().toDF("price"), catalog, "prices_live", "price",
+      lo, width, buckets)
+    val data = (0L until 1000L).map(i => (i * 37) % 997)
+    data.grouped(250).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // law: the stream-maintained sketch is BYTE-equal to a batch build
+    // over the same data on the same grid (merge = count addition)
+    val counts = new Array[Long](buckets)
+    data.foreach { v =>
+      val b = math.min(buckets - 1, math.max(0, ((v - lo) / width).toInt))
+      counts(b) += 1
+    }
+    val expected = graft.sketch.Histogram(lo, width, counts)
+    val sk = catalog.getSketch("prices_live", "price", "histogram")
+    assert(sk.isDefined)
+    assert(sk.get.data.sameElements(expected.serialize),
+      graft.sketch.Histogram.deserialize(sk.get.data).counts.toSeq)
+    assert(sk.get.parameters.contains("\"last_batch\""))
+
+    // the engine answers percentile queries from the LIVE sketch with
+    // no scan: the backing view is empty, a scan would return null
+    spark.range(0).select(col("id").cast("double").as("price"))
+      .createOrReplaceTempView("prices_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT percentile(price, 0.5) AS p50 FROM prices_live")
+    assert(r.planType == "sketch", r.reason)
+    assert(r.df.collect().head.getDouble(0) == expected.percentile(0.5))
+  }
+
   test("streaming sampled windowed agg (AQP on a stream) equals batch; estimates track exact") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
