@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe for the bench's AQP group_by case: decompose where the
+  * sampled side's wall-time goes (AQE scheduling vs shuffle width vs
+  * aggregate work) on the same widened configuration Bench measures.
+  * Not part of the driver contract.
+  */
+object AqpProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.registerAll(spark, sfDir)
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-probe").toString)
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val wide = Seq.fill(10)(spark.table("lineitem")).reduce(_ unionAll _)
+    wide.createOrReplaceTempView("lineitem_x10")
+    graft.sample.Samplers.createUniform(spark, catalog, "lineitem_x10", 0.01)
+
+    val sql = "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice * (1 - l_discount)) AS s, avg(l_quantity) AS aq FROM lineitem_x10 GROUP BY l_returnflag"
+
+    def minMs(label: String)(body: => Unit): Unit = {
+      body // warm
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[probe] $label: min=${ts.min}%.1f ms all=${ts.map(t => f"$t%.0f").mkString(",")}")
+    }
+
+    val r = engine.query(sql)
+    println(s"[probe] plan_type=${r.planType} sample=${r.sampleTable}")
+    minMs("approx collect (AQE on)")(r.df.collect())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val r2 = engine.query(sql)
+    minMs("approx collect (AQE off)")(r2.df.collect())
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val r3 = engine.query(sql)
+    minMs("approx collect (AQE off, shuffle=8)")(r3.df.collect())
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val r4 = engine.query(sql)
+    minMs("approx collect (AQE off, shuffle=1)")(r4.df.collect())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    // exact side for reference
+    minMs("exact collect (AQE on)")(spark.sql(sql).collect())
+    // no-CI variant: how much do the companion aggregates cost?
+    val r5 = engine.query(sql, engine.Options(ciColumns = false))
+    minMs("approx collect no-CI (AQE on)")(r5.df.collect())
+    spark.stop()
+  }
+}
