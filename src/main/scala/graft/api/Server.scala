@@ -53,8 +53,11 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     try os.write(bytes) finally os.close()
   }
 
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   private def err(msg: String): String =
-    s"""{"error": ${"\"" + msg.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}"""
+    s"""{"error": ${jstr(msg)}}"""
 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -134,13 +137,53 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
         val strataCol = req("strata_column").flatMap(_.str).getOrElse("")
         val f = req("total_fraction").flatMap(_.num).getOrElse(0.0)
         val varCol = req("variance_column").flatMap(_.str)
-        if (table.isEmpty || strataCol.isEmpty || f <= 0 || f >= 1)
-          (400, err("table, strata_column and 0<total_fraction<1 required"))
+        // deterministic mode (beyond the reference): per-stratum
+        // keyed-hash lottery with integer power-of-two HT weights —
+        // reproducible membership, so estimates from the sample are
+        // cross-run/cross-engine stable (the q76 capability)
+        val det = req("deterministic").flatMap(_.bool).getOrElse(false)
+        val keyCol = req("key_column").flatMap(_.str)
+        if (table.isEmpty || strataCol.isEmpty)
+          (400, err("table and strata_column required"))
+        else if (det) keyCol match {
+          case None => (400, err("key_column required for deterministic mode"))
+          case Some(k) =>
+            val target = req("target_per_stratum").flatMap(_.num)
+              .map(_.toLong).getOrElse(512L)
+            if (target < 1) (400, err("target_per_stratum must be >= 1"))
+            else {
+              val (name, strata) = Samplers.createStratifiedDeterministic(
+                spark, engine.catalog, table, strataCol, k, target)
+              (200, Response.renderStratified(name, strata, "deterministic"))
+            }
+        }
+        else if (f <= 0 || f >= 1)
+          (400, err("0<total_fraction<1 required"))
         else {
           val (name, strata) =
             Samplers.createStratified(spark, engine.catalog, table, strataCol, f, varCol)
           (200, Response.renderStratified(name, strata,
             if (varCol.isDefined) "neyman" else "proportional"))
+        }
+    }
+  }
+
+  // Beyond the reference: the q65 skew-profile loop over the API —
+  // profile a (table, column/expression), persist the stats in the
+  // catalog, and report whether exact GROUP BYs on it will now re-plan
+  // as the salted two-stage aggregate (SaltRewrite's threshold).
+  handle("/profile/skew", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val column = req("column").flatMap(_.str).getOrElse("")
+        if (table.isEmpty || column.isEmpty)
+          (400, err("table and column required"))
+        else {
+          val s = engine.profileKeySkew(table, column)
+          val salted = s.topSharePpm >= graft.plan.SaltRewrite.SkewPpmThreshold
+          (200, s"""{"status": "ok", "table": ${jstr(s.tableName)}, "column": ${jstr(s.columnName)}, "n_rows": ${s.nRows}, "n_keys": ${s.nKeys}, "max_key_rows": ${s.maxKeyRows}, "top_share_ppm": ${s.topSharePpm}, "salted_replan": $salted}""")
         }
     }
   }

@@ -137,6 +137,35 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("POST /samples/stratified deterministic mode and POST /profile/skew") {
+    val (code, body) = http("POST", "/samples/stratified", Some(
+      """{"table": "orders", "strata_column": "o_orderstatus",
+         "deterministic": true, "key_column": "o_orderkey",
+         "target_per_stratum": 128}"""))
+    assert(code == 200, body)
+    val v = parsed(body)
+    assert(v("allocation_type").flatMap(_.str).contains("deterministic"))
+    v("strata") match {
+      case Some(Json.A(items)) =>
+        assert(items.nonEmpty)
+        // integer power-of-two HT weights are the mode's contract
+        assert(items.forall(s => s("weight").flatMap(_.num)
+          .exists(w => w >= 1 && java.lang.Long.bitCount(w.toLong) == 1)))
+      case other => fail(s"no strata array: $other")
+    }
+    val (code2, _) = http("POST", "/samples/stratified", Some(
+      """{"table": "orders", "strata_column": "o_orderstatus", "deterministic": true}"""))
+    assert(code2 == 400) // key_column required in deterministic mode
+
+    val (code3, body3) = http("POST", "/profile/skew", Some(
+      """{"table": "orders", "column": "o_orderstatus"}"""))
+    assert(code3 == 200, body3)
+    val p = parsed(body3)
+    assert(p("n_rows").flatMap(_.num).exists(_ > 0))
+    assert(p("n_keys").flatMap(_.num).exists(_ > 0))
+    assert(p("salted_replan").isDefined)
+  }
+
   test("POST /sketches/create + GET /sketches roundtrip") {
     val (code, body) = http("POST", "/sketches/create", Some(
       """{"table": "orders", "column": "o_custkey", "sketch_type": "hyperloglog"}"""))
