@@ -42,7 +42,13 @@ final class QueryEngine(
       // When set, inline sampling is SYSTEMATIC on this key (keyed-hash
       // lottery, reference ml_optimizer.py:236-240 parity) instead of
       // seeded Bernoulli — reproducible across runs and engines.
-      systematicKey: Option[String] = None)
+      systematicKey: Option[String] = None,
+      // Opt-in AQP over joins (beyond the reference, which always runs
+      // multi-table queries exact): sample the FACT side (largest table
+      // by rowcount) and Horvitz-Thompson scale the aggregates — the
+      // q68 semantics routed through the engine. Refused for distinct
+      // aggregates (sampling cannot HT-correct a distinct count).
+      approximateJoins: Boolean = false)
 
   case class AqeResult(
       df: DataFrame,
@@ -87,8 +93,15 @@ final class QueryEngine(
 
     if (opts.preferExact)
       return finish(exact("exact execution (user preference)"), sql, features, opts)
-    if (!features.isSingleTable || features.tableName.isEmpty)
+    if (!features.isSingleTable || features.tableName.isEmpty) {
+      if (opts.approximateJoins && features.tables.sizeIs > 1 &&
+          features.hasApproximableAgg && !features.hasDistinct)
+        sampledJoin(parsed, features, opts) match {
+          case Some(r) => return finish(r, sql, features, opts)
+          case None    =>
+        }
       return finish(exact("multi-table query: approximation not applied (reference parity)"), sql, features, opts)
+    }
 
     val table = features.tableName.get
     // Direct query on a sample table: run as-is; the user opted into the
@@ -253,6 +266,55 @@ final class QueryEngine(
   private def normalizeKey(column: String): String =
     try spark.sessionState.sqlParser.parseExpression(column).sql
     catch { case scala.util.control.NonFatal(_) => column }
+
+  /** Opt-in AQP over a join (beyond the reference's single-table
+    * planner): pick the largest table by rowcount as the fact side,
+    * sample it inline (systematic keyed-hash when a key is given, else
+    * seeded Bernoulli), and HT-weight the aggregates. Dims join at
+    * full fidelity, so the join runs on ~f of the fact rows — the
+    * shuffle/CPU saving join AQP exists for (q68's semantics through
+    * the full engine path). Returns None when the error model says the
+    * achievable fraction cannot meet the tolerance.
+    */
+  private def sampledJoin(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      features: QueryFeatures, opts: Options): Option[AqeResult] = {
+    val sizes = features.tables.map { t =>
+      t -> catalog.statsFor(t).map(_.rowCount).getOrElse {
+        val n = spark.table(t).count()
+        catalog.upsertTableStats(t, n)
+        n
+      }
+    }
+    val (fact, factSize) = sizes.maxBy(_._2)
+    val tierF = StrategyChooser.sampleFraction(
+      StrategyChooser.Sample, factSize, opts.maxRelError).getOrElse(return None)
+    val fNeeded = 1.0 /
+      (opts.maxRelError * opts.maxRelError * math.max(1L, factSize))
+    val frac = math.min(0.5, math.max(tierF, fNeeded))
+    val estErr = math.sqrt(1.0 / math.max(1.0, frac * factSize))
+    if (estErr > opts.maxRelError * (1 + 1e-9)) return None
+    val decision = opts.systematicKey
+      .map(k => Planner.ReadInlineSystematic(frac, k))
+      .getOrElse(Planner.ReadInlineSample(frac, seed))
+    val d = SampleRewrite.Directive(fact, decision,
+      weight = Some(SampleRewrite.ConstWeight(frac)),
+      rewriteDistinctToHll = false, hllRsd = None,
+      addCiColumns = opts.ciColumns)
+    val df = SampleRewrite.rewrite(spark, parsed, d)
+    val (spd, err) = StrategyChooser.predict(
+      StrategyChooser.Sample, factSize, Some(frac))
+    val desc = decision match {
+      case Planner.ReadInlineSystematic(_, k) =>
+        f"fact side $fact sampled systematically (keyed-hash on $k) at fraction=$frac%.4f"
+      case _ =>
+        f"fact side $fact sampled (Bernoulli, seed=$seed) at fraction=$frac%.4f"
+    }
+    Some(AqeResult(df, "sample", "sample_join",
+      s"join AQP (beyond reference): largest table $fact sampled, dims at full fidelity",
+      0.8, spd, err, Some(frac), None,
+      Seq(desc, "aggregates rewritten to Horvitz-Thompson weighted form")))
+  }
 
   /** The salted-plan gate: a single-table GROUP BY whose grouping
     * column has catalog skew stats above the threshold re-plans via

@@ -408,6 +408,31 @@ object Aqp {
       r.df
     }),
 
+    // AQP over a JOIN through the FULL engine path (beyond the
+    // reference, whose planner refuses multi-table queries): the
+    // engine picks lineitem as the fact side (largest by rowcount),
+    // samples it with the deterministic keyed-hash lottery, joins
+    // orders at full fidelity, and HT-scales the aggregates. Same
+    // determinism argument as q28 (the engine picks the 0.02 size
+    // tier at sf0.01 -> threshold 200, weight exactly 50.0; l_quantity
+    // integral), so the ESTIMATES hash-match DuckDB re-deriving the
+    // same membership and sums. q68 gates the standalone pattern;
+    // this gates the ENGINE wiring (chooser refusal lifted by the
+    // approximateJoins opt-in, fact-side selection, directive flow).
+    "q77_join_aqp_engine" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, count(*) AS n_est, " +
+          "sum(l_quantity) AS qty_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          systematicKey = Some("l_orderkey"), ciColumns = false))
+      assert(r.strategy == "sample_join" && r.sampleFraction.exists(_ < 1),
+        s"q77 must run the join-AQP strategy: ${r.strategy} (${r.reason})")
+      r.df
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -424,6 +449,19 @@ object Aqp {
   )
 
   val oracle: Map[String, String] = Map(
+    // q77: DuckDB re-derives the engine's join-AQP answer — the q28
+    // constants (sf0.01 lineitem -> 0.02 tier -> threshold 200, HT
+    // weight exactly 50.0) through the join. Per-row x*50 and the
+    // weight-sum per group are exact integers in double, so the
+    // estimates hash-match despite the real fraction.
+    "q77_join_aqp_engine" ->
+      s"""WITH k AS (SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS x
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'sys:' || CAST(l_orderkey AS VARCHAR)")} % 10000 < 200)
+          SELECT o_orderpriority,
+            CAST(count(*) AS DOUBLE) * 50.0 AS n_est,
+            CAST(sum(x) AS DOUBLE) * 50.0 AS qty_est
+          FROM k GROUP BY 1 ORDER BY 1""",
     // q76: DuckDB re-derives the deterministic stratified sample and
     // its per-group HT estimates. Allocation is integer-only (m = N_h
     // div 512; w_h = 2^least(13, floor(log2 m)) via length(bin());

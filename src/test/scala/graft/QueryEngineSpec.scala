@@ -169,6 +169,26 @@ class QueryEngineSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("opt-in join AQP samples the fact side and HT-scales (beyond reference)") {
+    val sql = "SELECT count(*) AS n FROM orders o " +
+      "JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    val r = engine.query(sql,
+      engine.Options(approximateJoins = true, maxRelError = 0.1))
+    assert(r.strategy == "sample_join", s"${r.strategy}: ${r.reason}")
+    assert(r.sampleFraction.exists(f => f > 0 && f < 1), r.sampleFraction)
+    val est = r.df.collect().head.getAs[Any]("n")
+      .asInstanceOf[Number].doubleValue()
+    val truth = spark.sql(sql.replace(" AS n", ""))
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(est - truth) / truth < 0.3, s"est=$est truth=$truth")
+    // distinct aggregates refuse join sampling (HT cannot correct them)
+    val r2 = engine.query(
+      "SELECT count(DISTINCT l_partkey) AS nd FROM orders o " +
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+      engine.Options(approximateJoins = true))
+    assert(r2.planType == "exact", s"${r2.planType}: ${r2.reason}")
+  }
+
   test("stored histogram sketch answers percentile queries with no scan") {
     val h = graft.sketch.SketchOps.createHistogram(
       spark, catalog, "orders", "o_totalprice", 64)
