@@ -143,7 +143,14 @@ object Bench {
         "count" -> "SELECT count(*) AS n FROM lineitem_x10 WHERE l_quantity < 30",
         "sum" -> "SELECT sum(l_extendedprice * (1 - l_discount)) AS s FROM lineitem_x10 WHERE l_quantity < 30",
         "group_by" -> "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice * (1 - l_discount)) AS s, avg(l_quantity) AS aq FROM lineitem_x10 GROUP BY l_returnflag",
-        "count_distinct" -> "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem_x10")
+        "count_distinct" -> "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem_x10",
+        // Join AQP (beyond the reference, round 7): the fact side
+        // answers from the materialized 1% sample (no 6M-row scan),
+        // the dim joins at full fidelity, HT scaling recovers totals —
+        // the exact side pays the full fact scan + join.
+        "join" -> ("SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS s " +
+          "FROM lineitem_x10 JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderpriority"))
       // Fixed per-job floor: a minimal 32-task aggregate over no real
       // data. Even at the widened scale the sampled side sits within
       // ~1 floor of it (a 1% sample of 6M rows is 60K cached rows);
@@ -172,11 +179,11 @@ object Bench {
       // Our engine computes proper CI companions IN the aggregation
       // pass (oracle-gated via q28); charging that extra work to the
       // speedup ratio would compare against a baseline that does less.
-      val mOpts = engine.Options(ciColumns = false)
+      val mOpts = engine.Options(ciColumns = false, approximateJoins = true)
       val measured = cases.map { case (k, sql) =>
         floorSamples += floorSample()
         engine.query(sql, engine.Options(measureExact = true,
-          ciColumns = false)) // warm both paths
+          ciColumns = false, approximateJoins = true)) // warm both paths
         val passes = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           val r = engine.query(sql, mOpts)

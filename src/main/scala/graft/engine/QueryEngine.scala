@@ -291,12 +291,22 @@ final class QueryEngine(
       StrategyChooser.Sample, factSize, opts.maxRelError).getOrElse(return None)
     val fNeeded = 1.0 /
       (opts.maxRelError * opts.maxRelError * math.max(1L, factSize))
-    val frac = math.min(0.5, math.max(tierF, fNeeded))
+    val inlineFrac = math.min(0.5, math.max(tierF, fNeeded))
+    // Prefer a materialized sample of the fact (no fact scan at all —
+    // the 100 TB path) when one meets the tolerance; an explicit
+    // systematicKey requests deterministic inline membership instead.
+    val decision: Planner.SamplingDecision = catalog
+      .bestUniformSample(fact)
+      .filter(_ => opts.systematicKey.isEmpty)
+      .filter(s => math.sqrt(1.0 / math.max(1.0, s.fraction * factSize))
+        <= opts.maxRelError * (1 + 1e-9))
+      .map(s => Planner.ReadSampleTable(s.sampleTable, s.fraction))
+      .getOrElse(opts.systematicKey
+        .map(k => Planner.ReadInlineSystematic(inlineFrac, k))
+        .getOrElse(Planner.ReadInlineSample(inlineFrac, seed)))
+    val frac = decision.fraction.get
     val estErr = math.sqrt(1.0 / math.max(1.0, frac * factSize))
     if (estErr > opts.maxRelError * (1 + 1e-9)) return None
-    val decision = opts.systematicKey
-      .map(k => Planner.ReadInlineSystematic(frac, k))
-      .getOrElse(Planner.ReadInlineSample(frac, seed))
     val d = SampleRewrite.Directive(fact, decision,
       weight = Some(SampleRewrite.ConstWeight(frac)),
       rewriteDistinctToHll = false, hllRsd = None,
@@ -304,15 +314,17 @@ final class QueryEngine(
     val df = SampleRewrite.rewrite(spark, parsed, d)
     val (spd, err) = StrategyChooser.predict(
       StrategyChooser.Sample, factSize, Some(frac))
-    val desc = decision match {
+    val (tbl, desc) = decision match {
+      case Planner.ReadSampleTable(n, _) =>
+        (Some(n), s"fact side $fact answered from materialized sample $n")
       case Planner.ReadInlineSystematic(_, k) =>
-        f"fact side $fact sampled systematically (keyed-hash on $k) at fraction=$frac%.4f"
+        (None, f"fact side $fact sampled systematically (keyed-hash on $k) at fraction=$frac%.4f")
       case _ =>
-        f"fact side $fact sampled (Bernoulli, seed=$seed) at fraction=$frac%.4f"
+        (None, f"fact side $fact sampled (Bernoulli, seed=$seed) at fraction=$frac%.4f")
     }
     Some(AqeResult(df, "sample", "sample_join",
       s"join AQP (beyond reference): largest table $fact sampled, dims at full fidelity",
-      0.8, spd, err, Some(frac), None,
+      0.8, spd, err, Some(frac), tbl,
       Seq(desc, "aggregates rewritten to Horvitz-Thompson weighted form")))
   }
 
