@@ -223,9 +223,13 @@ object Bench {
         val tSalted = (1 to 3).map { _ =>
           val t = System.nanoTime(); rs.df.collect(); (System.nanoTime() - t) / 1e6
         }.min
-        spark.sql(saltSql).collect() // plain single-stage plan, warm
+        // plan the plain side ONCE, like the salted side reuses rs.df —
+        // parsing inside the loop would bias the comparison toward the
+        // already-planned salted plan
+        val plainDf = spark.sql(saltSql)
+        plainDf.collect() // plain single-stage plan, warm
         val tPlain = (1 to 3).map { _ =>
-          val t = System.nanoTime(); spark.sql(saltSql).collect(); (System.nanoTime() - t) / 1e6
+          val t = System.nanoTime(); plainDf.collect(); (System.nanoTime() - t) / 1e6
         }.min
         s""""salted_group_by":{"applied":$applied,"salted_ms":${f1(tSalted)},"plain_ms":${f1(tPlain)}}"""
       } catch { case t: Throwable =>

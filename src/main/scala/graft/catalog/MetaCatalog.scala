@@ -19,9 +19,15 @@ final class MetaCatalog(val workDir: String) {
   case class SampleInfo(tableName: String, sampleTable: String,
       fraction: Double, strataColumn: Option[String], path: String,
       createdAt: Long)
+  /** `version` increases monotonically on every catalog write of the
+    * same (table, column, type) key; upsertSketchMerging's CAS compares
+    * on it, so the compare-and-swap invariant is carried by an explicit
+    * structural field rather than by Array[Byte]'s accidental
+    * reference-equality semantics.
+    */
   case class SketchInfo(tableName: String, columnName: String,
       sketchType: String, data: Array[Byte], parameters: String,
-      createdAt: Long)
+      createdAt: Long, version: Long = 0L)
   case class StratumInfo(sampleTable: String, strataValue: String,
       popSize: Long, sampleSize: Long, fraction: Double, weight: Double,
       variance: Double)
@@ -66,14 +72,47 @@ final class MetaCatalog(val workDir: String) {
       .sortBy(_.fraction).headOption
 
   // --- sketches (aqe_sketches; unique on table+column+type) ---
-  def upsertSketch(info: SketchInfo): Unit =
-    sketches.put((info.tableName, info.columnName, info.sketchType), info)
+
+  /** Flat-JSON parameter merge: `next`'s fields win, but fields present
+    * only in `prev` are carried forward. A writer that owns a subset of
+    * the parameters (the streaming maintainer owns `last_batch`, the
+    * batch builder owns `rows`) must not silently drop the other
+    * writer's fields — losing `rows` would disable the engine's
+    * freshness guard; losing `last_batch` would let a replayed stream
+    * batch double-count after a batch rebuild. Parameters are always
+    * the catalog's own flat {"k":v,...} objects, so a field regex is a
+    * complete parser here. Removing a field requires a new key.
+    */
+  private val paramFieldRe = """"([^"]+)"\s*:\s*("[^"]*"|[^,}\s]+)""".r
+  private[graft] def mergeParams(prev: String, next: String): String = {
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    paramFieldRe.findAllMatchIn(prev).foreach(m => fields(m.group(1)) = m.group(2))
+    paramFieldRe.findAllMatchIn(next).foreach(m => fields(m.group(1)) = m.group(2))
+    fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+  }
+
+  @annotation.tailrec
+  def upsertSketch(info: SketchInfo): Unit = {
+    val key = (info.tableName, info.columnName, info.sketchType)
+    sketches.putIfAbsent(key, info) match {
+      case None => ()
+      case Some(prev) =>
+        val next = info.copy(
+          parameters = mergeParams(prev.parameters, info.parameters),
+          version = prev.version + 1)
+        if (!sketches.replace(key, prev, next)) upsertSketch(info)
+    }
+  }
+
   /** Atomic read-merge-write: fold `info.data` into any existing sketch
     * under the map's CAS so two concurrent maintainers of the same
     * (table, column) never lose a batch (a bare getSketch-then-
     * upsertSketch interleaves). `merge(prev, next)` must be commutative
     * over the sketch's byte format (HLL register-max / histogram
-    * count-add are).
+    * count-add are). Parameters merge field-wise (see mergeParams) and
+    * `version` increments, which is also what makes the replace a true
+    * CAS: `next` always differs structurally from any concurrently
+    * swapped-in value of the same key.
     */
   @annotation.tailrec
   def upsertSketchMerging(info: SketchInfo)(
@@ -82,9 +121,9 @@ final class MetaCatalog(val workDir: String) {
     sketches.putIfAbsent(key, info) match {
       case None => info
       case Some(prev) =>
-        val next = info.copy(data = merge(prev.data, info.data))
-        // prev is the exact instance read from the map, so the
-        // reference-equality replace is a true CAS.
+        val next = info.copy(data = merge(prev.data, info.data),
+          parameters = mergeParams(prev.parameters, info.parameters),
+          version = prev.version + 1)
         if (sketches.replace(key, prev, next)) next
         else upsertSketchMerging(info)(merge)
     }

@@ -274,12 +274,31 @@ final class QueryEngine(
     * full fidelity, so the join runs on ~f of the fact rows — the
     * shuffle/CPU saving join AQP exists for (q68's semantics through
     * the full engine path). Returns None when the error model says the
-    * achievable fraction cannot meet the tolerance.
+    * achievable fraction cannot meet the tolerance — or when the plan
+    * shape is one fact-side sampling cannot treat soundly: CTEs (the
+    * WITH name parses as a relation, and the fact table may also occur
+    * inside the CTE body where a second substitution would
+    * double-sample), names that do not resolve in the session catalog,
+    * and self-joins of the fact table (both occurrences would be
+    * substituted at fraction f under a single 1/f weight). Any of
+    * those — and any unexpected analysis failure — falls back to the
+    * exact path instead of throwing out of engine.query.
     */
   private def sampledJoin(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      features: QueryFeatures, opts: Options): Option[AqeResult] = {
-    val sizes = features.tables.map { t =>
+      features: QueryFeatures, opts: Options): Option[AqeResult] = try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    import scala.util.control.NonFatal
+    if (parsed.collectFirst { case w: UnresolvedWith => w }.isDefined)
+      return None
+    // resolve-before-count: an unresolvable name must not cost an
+    // AnalysisException (or a scan) at plan time
+    val resolvable = features.tables.filter { t =>
+      try spark.catalog.tableExists(t) catch { case NonFatal(_) => false }
+    }
+    if (resolvable.sizeIs < 2) return None
+    val sizes = resolvable.map { t =>
       t -> catalog.statsFor(t).map(_.rowCount).getOrElse {
         val n = spark.table(t).count()
         catalog.upsertTableStats(t, n)
@@ -287,6 +306,14 @@ final class QueryEngine(
       }
     }
     val (fact, factSize) = sizes.maxBy(_._2)
+    // The relation substitution matches on the LAST name part
+    // (SampleRewrite.rewriteRelation); require a plain unqualified fact
+    // name with exactly one occurrence so exactly one scan is sampled.
+    if (fact.contains(".")) return None
+    if (parsed.collect {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.last.equalsIgnoreCase(fact) => r
+    }.sizeIs != 1) return None
     val tierF = StrategyChooser.sampleFraction(
       StrategyChooser.Sample, factSize, opts.maxRelError).getOrElse(return None)
     val fNeeded = 1.0 /
@@ -326,7 +353,7 @@ final class QueryEngine(
       s"join AQP (beyond reference): largest table $fact sampled, dims at full fidelity",
       0.8, spd, err, Some(frac), tbl,
       Seq(desc, "aggregates rewritten to Horvitz-Thompson weighted form")))
-  }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The salted-plan gate: a single-table GROUP BY whose grouping
     * column has catalog skew stats above the threshold re-plans via

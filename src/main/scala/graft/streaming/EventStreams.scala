@@ -308,6 +308,10 @@ object EventStreams {
     * replayed batch would double-count; the stored `last_batch` id
     * skips re-delivered batch ids (exact under single-writer-per-
     * (table, column), the same discipline maintainHllSketch documents).
+    * Catalog upserts merge parameters field-wise (MetaCatalog
+    * .mergeParams), so a batch-built sketch's `rows` freshness field
+    * survives stream maintenance and `last_batch` survives a batch
+    * rebuild — neither writer can disable the other's guard.
     */
   def maintainHistogramSketch(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, column: String,

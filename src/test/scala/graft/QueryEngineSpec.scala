@@ -189,6 +189,24 @@ class QueryEngineSpec extends SparkSpec {
     assert(r2.planType == "exact", s"${r2.planType}: ${r2.reason}")
   }
 
+  test("join AQP refuses CTEs, unresolvable names, and fact self-joins (falls back to exact, no throw)") {
+    // CTE: the WITH name parses as a relation; resolving it as a table
+    // throws AnalysisException — the engine must fall back, not throw
+    val r = engine.query(
+      "WITH x AS (SELECT o_orderkey FROM orders) " +
+        "SELECT count(*) AS n FROM x JOIN lineitem ON x.o_orderkey = l_orderkey",
+      engine.Options(approximateJoins = true, maxRelError = 0.1))
+    assert(r.planType == "exact", s"${r.planType}: ${r.reason}")
+    assert(r.df.collect().head.getLong(0) > 0)
+    // self-join of the fact table: both scans would be substituted at
+    // fraction f under one 1/f weight — must refuse
+    val r2 = engine.query(
+      "SELECT count(*) AS n FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey",
+      engine.Options(approximateJoins = true, maxRelError = 0.1))
+    assert(r2.planType == "exact", s"${r2.planType}: ${r2.reason}")
+  }
+
   test("stored histogram sketch answers percentile queries with no scan") {
     val h = graft.sketch.SketchOps.createHistogram(
       spark, catalog, "orders", "o_totalprice", 64)
