@@ -16,9 +16,16 @@ import scala.collection.concurrent.TrieMap
 final class MetaCatalog(val workDir: String) {
 
   case class TableStats(tableName: String, rowCount: Long, updatedAt: Long)
+  /** `baseRows` is the base table's rowcount AT SAMPLE-CREATION time —
+    * the serving lookups compare it against the current table stats and
+    * skip samples whose base has since grown or shrunk (the same
+    * freshness policy as the engine's sketch guard: with no recorded
+    * count or no table stats there is no evidence of staleness and the
+    * sample serves).
+    */
   case class SampleInfo(tableName: String, sampleTable: String,
       fraction: Double, strataColumn: Option[String], path: String,
-      createdAt: Long)
+      createdAt: Long, baseRows: Option[Long] = None)
   /** `version` increases monotonically on every catalog write of the
     * same (table, column, type) key; upsertSketchMerging's CAS compares
     * on it, so the compare-and-swap invariant is carried by an explicit
@@ -61,14 +68,40 @@ final class MetaCatalog(val workDir: String) {
     samples.get(sampleTable)
   def samplesFor(table: String): Seq[SampleInfo] =
     samples.values.filter(_.tableName == table).toSeq
+  /** Staleness guard for materialized samples (the twin of the engine's
+    * sketchIsFresh): a sample that recorded its base rowcount serves
+    * only while the catalog's table stats agree — after an append the
+    * serving lookups fall through to inline sampling/exact instead of
+    * answering from a sample of the OLD table.
+    */
+  def sampleIsFresh(s: SampleInfo): Boolean =
+    (s.baseRows, statsFor(s.tableName)) match {
+      case (Some(recorded), Some(ts)) => recorded == ts.rowCount
+      case _                          => true
+    }
+
+  /** Re-stamp every sample of `table` as fresh w.r.t. the CURRENT table
+    * stats — for callers that deliberately overwrite the stats (test
+    * harnesses forcing a size-tier rule) while asserting the samples
+    * still represent the table.
+    */
+  def refreshSampleBase(table: String): Unit = {
+    val rows = statsFor(table).map(_.rowCount)
+    samplesFor(table).foreach(s => samples.put(s.sampleTable,
+      s.copy(baseRows = rows)))
+  }
+
   /** Reference semantics: the "best" registered sample is the SMALLEST
-    * fraction (/root/reference/planner.py:173-183 ORDER BY ASC LIMIT 1).
+    * fraction (/root/reference/planner.py:173-183 ORDER BY ASC LIMIT 1);
+    * stale samples (base table changed size) never serve.
     */
   def bestUniformSample(table: String): Option[SampleInfo] =
     samplesFor(table).filter(_.strataColumn.isEmpty)
+      .filter(sampleIsFresh)
       .sortBy(_.fraction).headOption
   def stratifiedSampleFor(table: String, col: String): Option[SampleInfo] =
     samplesFor(table).filter(_.strataColumn.contains(col))
+      .filter(sampleIsFresh)
       .sortBy(_.fraction).headOption
 
   // --- sketches (aqe_sketches; unique on table+column+type) ---

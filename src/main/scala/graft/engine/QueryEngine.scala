@@ -27,7 +27,8 @@ final class QueryEngine(
     val spark: SparkSession,
     val catalog: MetaCatalog,
     val history: QueryHistory = new QueryHistory,
-    val seed: Long = 42L) {
+    val seed: Long = 42L,
+    parseCacheCap: Int = 1024) {
 
   // the engine's native SQL functions (cosine_similarity) are available
   // to every query this engine serves, including via POST /query
@@ -67,17 +68,30 @@ final class QueryEngine(
   /** Parse + feature extraction cached per SQL text: a serving workload
     * repeats query shapes, and the unresolved plan is immutable (every
     * rewrite builds a new tree), so re-parsing per call is pure
-    * overhead. Bounded to keep the driver footprint flat.
+    * overhead. Access-ordered LRU under a lock (the critical section is
+    * a map probe; parsing runs outside it): a serving engine's hot
+    * query shapes stay cached when the 1025th distinct shape arrives,
+    * instead of a wholesale flush re-parsing the entire working set.
     */
-  private val parseCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, QueryFeatures)]()
+  private[engine] val parseCacheCapacity = parseCacheCap
+  private val parseCache = new java.util.LinkedHashMap[
+      String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, QueryFeatures)](
+      64, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, QueryFeatures)])
+        : Boolean = size() > parseCacheCapacity
+  }
+  private[engine] def parsedCached(sql: String)
+      : Option[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, QueryFeatures)] =
+    parseCache.synchronized(Option(parseCache.get(sql)))
 
   def query(sql: String, opts: Options = Options()): AqeResult = {
-    if (parseCache.size > 1024) parseCache.clear()
-    val (parsed, features) = parseCache.computeIfAbsent(sql, { s =>
-      val p = spark.sessionState.sqlParser.parsePlan(s)
-      (p, QueryFeatures.extract(p, s))
-    })
+    val (parsed, features) = parsedCached(sql).getOrElse {
+      val p = spark.sessionState.sqlParser.parsePlan(sql)
+      val v = (p, QueryFeatures.extract(p, sql))
+      parseCache.synchronized(parseCache.put(sql, v))
+      v
+    }
 
     def exact(reason: String, confidence: Double = 0.95): AqeResult =
       saltedExact(parsed, features) match {
@@ -126,6 +140,24 @@ final class QueryEngine(
           0.9, Double.PositiveInfinity, err, None, None,
           Seq("PERCENTILE/MEDIAN answered from the stored equi-width " +
             "histogram (no scan; accurate to one bucket width)")),
+          sql, features, opts)
+      case _ =>
+    }
+    // Count-Min strategy: a bare COUNT(*) point-frequency query
+    // (`WHERE col = 'v'`) over a column with a fresh stored CMS answers
+    // from the catalog with NO scan — overestimate-only semantics
+    // (estimate >= truth always; within eps*N additive with prob
+    // 1-delta). eps is an additive bound relative to the TABLE size,
+    // so it is served under the same budget comparison the histogram
+    // path uses. Closes the reference's write-only-sketch gap for its
+    // third sketch type (its get_sketch has zero callers, SURVEY §4.4).
+    storedCmsAnswer(parsed, table) match {
+      case Some((df, eps)) if eps <= opts.maxRelError =>
+        return finish(AqeResult(df, "sketch", "sketch",
+          "point-frequency answered from the stored Count-Min sketch (no scan)",
+          0.9, Double.PositiveInfinity, eps, None, None,
+          Seq("COUNT(*) with a column=value filter answered from the stored " +
+            "Count-Min sketch (no scan; overestimate-only, eps*N additive bound)")),
           sql, features, opts)
       case _ =>
     }
@@ -440,6 +472,71 @@ final class QueryEngine(
           val cols = vals.map { case (n, v, _) => lit(v).as(n) }
           Some((spark.range(1).select(cols: _*), vals.map(_._3).max))
         } else None
+      case _ => None
+    }
+  }
+
+  /** If the query is `SELECT count(*) ... FROM table WHERE col = lit`
+    * (any number of count(*) outputs, one single-column equality
+    * filter) and the catalog holds a fresh Count-Min sketch for `col`,
+    * answer the point frequency from the sketch — zero table scan.
+    * Returns the answer plus the sketch's eps (additive error bound as
+    * a fraction of the table size). The literal is rendered exactly as
+    * the sketch builder keyed it (`cast(col as string)`), so only
+    * string and integral literals are answerable — anything else falls
+    * through to the scan path.
+    */
+  private val cmsEpsRe = """"epsilon"\s*:\s*([0-9.eE+-]+)""".r
+  private def storedCmsAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.functions.lit
+    def litKey(l: Literal): Option[String] = l.value match {
+      case null                                              => None
+      case u: org.apache.spark.unsafe.types.UTF8String       => Some(u.toString)
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+                _: java.lang.Short | _: java.lang.Byte)      => Some(n.toString)
+      case _                                                 => None
+    }
+    def isCountStar(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+      case f: UnresolvedFunction =>
+        f.nameParts.last.equalsIgnoreCase("count") && !f.isDistinct &&
+          f.filter.isEmpty && (f.arguments match {
+            case Seq(l: Literal) => l.value != null // count(*) parses as count(1)
+            case _               => false
+          })
+      case _ => false
+    }
+    parsed match {
+      case Project(outs, Filter(cond, r: UnresolvedRelation))
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
+            outs.nonEmpty && outs.forall {
+              case Alias(f, _) => isCountStar(f)
+              case _           => false
+            } =>
+        val colKey = cond match {
+          case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+            litKey(l).map((a.nameParts.last, _))
+          case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+            litKey(l).map((a.nameParts.last, _))
+          case _ => None
+        }
+        colKey.flatMap { case (c, v) =>
+          catalog.getSketch(table, c, "countmin")
+            .filter(sketchIsFresh(table, _))
+            .flatMap { s =>
+              cmsEpsRe.findFirstMatchIn(s.parameters)
+                .map(_.group(1).toDouble)
+                .map { eps =>
+                  val est = graft.sketch.Cms.deserialize(s.data).estimateString(v)
+                  val cols = outs.map(o => lit(est).as(o.name))
+                  (spark.range(1).select(cols: _*), eps)
+                }
+            }
+        }
       case _ => None
     }
   }

@@ -56,9 +56,13 @@ object Aqp {
       Samplers.createStratifiedDeterministic(s, e.catalog, "orders",
         "o_orderstatus", "o_orderkey", targetPerStratum = 512L)
       // force the chooser's stratified rule (size>10000 ∧ groupBy
-      // arity>1) at small test SFs, exactly like q30
+      // arity>1) at small test SFs, exactly like q30; re-stamp the
+      // sample as fresh w.r.t. the forced stats so the staleness guard
+      // (which compares creation-time baseRows against current stats)
+      // keeps serving it
       val n = s.table("orders").count()
       e.catalog.upsertTableStats("orders", math.max(n, 20000L))
+      e.catalog.refreshSampleBase("orders")
       e
     })
 
@@ -442,6 +446,7 @@ object Aqp {
           0.2, varianceCol = Some("o_totalprice"))
         val n = s.table("orders").count()
         e.catalog.upsertTableStats("orders", math.max(n, 20000L))
+        e.catalog.refreshSampleBase("orders")
       })
       e.query(
         "SELECT o_orderpriority, o_orderstatus, count(*) AS n, sum(o_totalprice) AS total FROM orders GROUP BY o_orderpriority, o_orderstatus").df

@@ -61,7 +61,7 @@ object Samplers {
     val rows = sampleDf.count()
     catalog.upsertTableStats(table, base)
     catalog.addSample(catalog.SampleInfo(table, name, fraction, None, path,
-      System.currentTimeMillis()))
+      System.currentTimeMillis(), baseRows = Some(base)))
     (name, rows)
   }
 
@@ -127,7 +127,8 @@ object Samplers {
 
     catalog.upsertTableStats(table, stats.map(_._2).sum)
     catalog.addSample(catalog.SampleInfo(table, name, totalFraction,
-      Some(strataCol), path, System.currentTimeMillis()))
+      Some(strataCol), path, System.currentTimeMillis(),
+      baseRows = Some(stats.map(_._2).sum)))
     catalog.putStrata(name, withAchieved.map(a =>
       catalog.StratumInfo(name, a.value, a.popSize, a.sampleSize,
         a.fraction, a.weight, a.variance)))
@@ -206,7 +207,8 @@ object Samplers {
 
     catalog.upsertTableStats(table, totalPop)
     catalog.addSample(catalog.SampleInfo(table, name, achievedFraction,
-      Some(strataCol), path, System.currentTimeMillis()))
+      Some(strataCol), path, System.currentTimeMillis(),
+      baseRows = Some(totalPop)))
     catalog.putStrata(name, withAchieved.map(a =>
       catalog.StratumInfo(name, a.value, a.popSize, a.sampleSize,
         a.fraction, a.weight, a.variance)))

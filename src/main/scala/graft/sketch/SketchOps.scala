@@ -93,12 +93,17 @@ object SketchOps {
 
   def createCmsOpt(spark: SparkSession, catalog: MetaCatalog, table: String,
       column: Option[String], epsilon: Double = 0.01, delta: Double = 0.01): Int = {
+    import org.apache.spark.sql.functions.{count => fcount}
     val key = column.fold(lit("total"))(c => col(c).cast("string"))
-    val bytes = spark.table(table)
-      .select(Cms.sketchAgg(key, epsilon, delta).as("s"))
-      .collect().head.getAs[Array[Byte]]("s")
+    // count(*) rides the same pass; recorded as "rows" so the engine's
+    // freshness guard (QueryEngine.sketchIsFresh) stops serving
+    // point-frequency answers from a CMS of a grown/shrunk table
+    val row = spark.table(table)
+      .agg(Cms.sketchAgg(key, epsilon, delta).as("s"), fcount(lit(1)).as("n"))
+      .collect().head
+    val bytes = row.getAs[Array[Byte]]("s")
     catalog.upsertSketch(catalog.SketchInfo(table, column.getOrElse(""), "countmin",
-      bytes, s"""{"epsilon":$epsilon,"delta":$delta}""",
+      bytes, s"""{"epsilon":$epsilon,"delta":$delta,"rows":${row.getAs[Long]("n")}}""",
       System.currentTimeMillis()))
     bytes.length
   }

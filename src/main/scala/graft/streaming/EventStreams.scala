@@ -348,6 +348,50 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming Count-Min maintenance — the engine's point-frequency
+    * strategy made LIVE: each micro-batch's values fold into the
+    * catalog's CMS (one distributed sketch aggregate per batch — the
+    * counter matrix is the mergeable state — then one CAS-merged
+    * catalog upsert), and `QueryEngine.storedCmsAnswer` serves
+    * `COUNT(*) WHERE col = 'v'` over the live table with NO scan.
+    * CMS merge is ADDITIVE (element-wise counter addition, like the
+    * histogram and unlike HLL's idempotent register-max), so a replayed
+    * batch would double-count; the stored `last_batch` id skips
+    * re-delivered batch ids (exact under single-writer-per-(table,
+    * column), the discipline maintainHistogramSketch documents).
+    * O(eps^-1 ln delta^-1) counters of state regardless of stream
+    * volume — the only way per-key frequency tracking survives an
+    * unbounded key domain.
+    */
+  def maintainCmsSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, column: String,
+      epsilon: Double = 0.01, delta: Double = 0.01)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val alreadyMerged = catalog.getSketch(table, column, "countmin")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged) {
+          val bytes = batch
+            .select(graft.sketch.Cms
+              .sketchAgg(col(column).cast("string"), epsilon, delta).as("s"))
+            .collect().head.getAs[Array[Byte]]("s")
+          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+            "countmin", bytes,
+            s"""{"epsilon":$epsilon,"delta":$delta,"last_batch":$batchId}""",
+            System.currentTimeMillis())) { (prev, next) =>
+            graft.sketch.Cms.deserialize(prev)
+              .merge(graft.sketch.Cms.deserialize(next)).serialize
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */

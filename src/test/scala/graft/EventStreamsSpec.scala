@@ -145,6 +145,60 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.df.collect().head.getDouble(0) == expected.percentile(0.5))
   }
 
+  test("stream-maintained CMS equals the batch build; engine point-frequency goes live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-cms").toString)
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainCmsSketch(
+      stream.toDF().select(expr("concat('k', value % 13)").as("k")),
+      catalog, "clicks_live", "k")
+    val data = (0L until 2000L)
+    data.grouped(500).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // law: the stream-maintained sketch is BYTE-equal to a batch build
+    // over the same data (counter addition is associative/commutative)
+    val expected = new graft.sketch.Cms(0.01, 0.01)
+    data.foreach(v => expected.addString(s"k${v % 13}"))
+    val sk = catalog.getSketch("clicks_live", "k", "countmin")
+    assert(sk.isDefined)
+    assert(sk.get.data.sameElements(expected.serialize))
+    assert(sk.get.parameters.contains("\"last_batch\""))
+
+    // replay guard: a restarted stream re-delivering already-merged
+    // batch ids (fresh MemoryStream restarts numbering at 0, which is
+    // <= the stored last_batch of 3) must not double-count — the
+    // sketch stays byte-identical after the replay
+    val replay = MemoryStream[Long]
+    val q2 = EventStreams.maintainCmsSketch(
+      replay.toDF().select(expr("concat('k', value % 13)").as("k")),
+      catalog, "clicks_live", "k")
+    replay.addData((0L until 500L).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val skAfter = catalog.getSketch("clicks_live", "k", "countmin").get
+    assert(skAfter.data.sameElements(expected.serialize),
+      "replayed batch id must be skipped, not re-merged")
+
+    // the engine answers the point-frequency from the LIVE sketch with
+    // no scan: the backing view is empty, a scan would answer 0
+    spark.range(0).select(expr("cast(null as string)").as("k"))
+      .createOrReplaceTempView("clicks_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT count(*) AS n FROM clicks_live WHERE k = 'k5'")
+    assert(r.planType == "sketch" && r.reason.contains("Count-Min"), r.reason)
+    val est = r.df.collect().head.getLong(0)
+    val truth = data.count(_ % 13 == 5)
+    assert(est >= truth, s"est=$est truth=$truth") // overestimate-only
+    assert(est <= truth + (0.01 * 2000).toLong + 1, s"est=$est truth=$truth")
+  }
+
   test("streaming sampled windowed agg (AQP on a stream) equals batch; estimates track exact") {
     implicit val sc = spark.sqlContext
     import spark.implicits._

@@ -114,9 +114,11 @@ class QueryEngineSpec extends SparkSpec {
     // at sf0.001 orders ~1.5k rows -> force size via catalog stats
     val n = spark.table("orders").count()
     catalog.upsertTableStats("orders", math.max(n, 20000L))
+    catalog.refreshSampleBase("orders") // forced stats: keep sample fresh
     val r = engine.query(
       "SELECT o_orderpriority, o_orderstatus, sum(o_totalprice) AS s FROM orders GROUP BY o_orderpriority, o_orderstatus")
     catalog.upsertTableStats("orders", n) // restore
+    catalog.refreshSampleBase("orders")
     assert(r.planType == "stratified", s"${r.planType}: ${r.reason}")
     val est = r.df.collect()
       .map(x => x.getAs[Any]("s").asInstanceOf[Number].doubleValue()).sum
@@ -255,6 +257,68 @@ class QueryEngineSpec extends SparkSpec {
     val r3 = engine.query(
       "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders")
     assert(r3.planType == "sketch", s"${r3.planType}: ${r3.reason}")
+  }
+
+  test("stale materialized samples are not served after the base table changes size") {
+    // 0.5 on ~1.5k-row orders: sqrt(1/(0.5*N)) fits the default budget,
+    // so the cost model picks the materialized sample when it is fresh
+    Samplers.createUniform(spark, catalog, "orders", 0.5)
+    val r = engine.query("SELECT count(*) AS n FROM orders")
+    assert(r.sampleTable.contains("orders__sample_0_5"),
+      s"${r.planType}/${r.sampleTable}: ${r.reason}")
+    // simulate an appended table: the profile refresh records a new
+    // rowcount; the sample was built from the OLD table and must stop
+    // serving (fall through to inline sampling / exact)
+    val n = spark.table("orders").count()
+    catalog.upsertTableStats("orders", n + 500)
+    val r2 = engine.query("SELECT count(*) AS n FROM orders")
+    assert(!r2.sampleTable.exists(_.startsWith("orders__sample")),
+      s"${r2.planType}/${r2.sampleTable}: ${r2.reason}")
+    // restored stats match the creation-time base again -> serves
+    catalog.upsertTableStats("orders", n)
+    val r3 = engine.query("SELECT count(*) AS n FROM orders")
+    assert(r3.sampleTable.contains("orders__sample_0_5"),
+      s"${r3.planType}/${r3.sampleTable}: ${r3.reason}")
+  }
+
+  test("stored Count-Min sketch answers point-frequency queries with no scan") {
+    import org.apache.spark.sql.functions.expr
+    spark.range(0, 5000).select(expr("concat('k', id % 7)").as("k"))
+      .createOrReplaceTempView("cms_t")
+    val truth = spark.sql("SELECT count(*) FROM cms_t WHERE k = 'k3'")
+      .collect().head.getLong(0)
+    graft.sketch.SketchOps.createCms(spark, catalog, "cms_t", "k")
+    catalog.upsertTableStats("cms_t", 5000L)
+    // replace the backing view with an EMPTY one: a correct answer can
+    // only have come from the catalog (proves the no-scan path)
+    spark.range(0).select(expr("cast(null as string)").as("k"))
+      .createOrReplaceTempView("cms_t")
+    val r = engine.query("SELECT count(*) AS n FROM cms_t WHERE k = 'k3'")
+    assert(r.planType == "sketch" && r.reason.contains("Count-Min"),
+      s"${r.planType}: ${r.reason}")
+    val est = r.df.collect().head.getLong(0)
+    // CMS law: overestimate-only, within eps*N additive
+    assert(est >= truth, s"est=$est truth=$truth")
+    assert(est <= truth + (0.01 * 5000).toLong + 1, s"est=$est truth=$truth")
+
+    // a tighter error budget than eps falls through to the scan path
+    val rb = engine.query("SELECT count(*) AS n FROM cms_t WHERE k = 'k3'",
+      engine.Options(maxRelError = 0.005))
+    assert(!rb.reason.contains("Count-Min"), rb.reason)
+
+    // stale CMS (table stats no longer match creation rowcount) falls
+    // through via the freshness guard
+    catalog.upsertTableStats("cms_t", 6000L)
+    val r2 = engine.query("SELECT count(*) AS n FROM cms_t WHERE k = 'k3'")
+    assert(!r2.reason.contains("Count-Min"), s"${r2.planType}: ${r2.reason}")
+    catalog.upsertTableStats("cms_t", 5000L)
+
+    // a filter on a column with no stored CMS falls through
+    spark.range(0, 100)
+      .select(expr("concat('k', id % 7)").as("k"), expr("id % 3").as("v"))
+      .createOrReplaceTempView("cms_u")
+    val r3 = engine.query("SELECT count(*) AS n FROM cms_u WHERE v = 1")
+    assert(!r3.reason.contains("Count-Min"), r3.reason)
   }
 
   test("stored histogram honors the caller's error budget") {
