@@ -108,9 +108,15 @@ final class QueryEngine(
     if (opts.preferExact)
       return finish(exact("exact execution (user preference)"), sql, features, opts)
     if (!features.isSingleTable || features.tableName.isEmpty) {
-      if (opts.approximateJoins && features.tables.sizeIs > 1 &&
+      // Join AQP is attempted when the user opted in (approximateJoins,
+      // q77's path — unconditional error model on the fact size), OR
+      // automatically when stored AGMS sketches cover the join-key pair
+      // and their cardinality estimate says sampling meets the
+      // tolerance (the costed decision; without sketches the default
+      // stays reference-parity exact).
+      if (features.tables.sizeIs > 1 &&
           features.hasApproximableAgg && !features.hasDistinct)
-        sampledJoin(parsed, features, opts) match {
+        sampledJoin(parsed, features, opts, auto = !opts.approximateJoins) match {
           case Some(r) => return finish(r, sql, features, opts)
           case None    =>
         }
@@ -318,10 +324,19 @@ final class QueryEngine(
     */
   private def sampledJoin(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      features: QueryFeatures, opts: Options): Option[AqeResult] = try {
+      features: QueryFeatures, opts: Options,
+      auto: Boolean = false): Option[AqeResult] = try {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
     import scala.util.control.NonFatal
+    // Automatic mode pre-gate, BEFORE anything that could cost a scan:
+    // without a stored AGMS sketch on at least two of the query's
+    // tables there is no cardinality evidence, and a plain multi-table
+    // query must not pay plan-time count() scans for a decision that
+    // cannot be made anyway.
+    if (auto && features.tables.count(t =>
+        catalog.listSketches(Some(t)).exists(_.sketchType == "agms")) < 2)
+      return None
     if (parsed.collectFirst { case w: UnresolvedWith => w }.isDefined)
       return None
     // resolve-before-count: an unresolvable name must not cost an
@@ -338,6 +353,18 @@ final class QueryEngine(
       }
     }
     val (fact, factSize) = sizes.maxBy(_._2)
+    // Automatic mode: consult the stored AGMS pair for the join-key
+    // columns. The decision is costed on the ESTIMATED JOIN OUTPUT J,
+    // not the fact size: fact-side sampling at fraction f yields ~f*J
+    // join rows, so the HT error model is sqrt(1/(f*J)) — accept only
+    // when J is large enough that approximation pays (>= MinAutoJoinRows)
+    // and the achievable fraction meets the tolerance; refuse otherwise.
+    val agmsJoinRows: Option[Long] =
+      if (!auto) None
+      else agmsJoinEstimate(parsed, sizes.map(_._1), fact) match {
+        case some @ Some(j) if j >= MinAutoJoinRows => some
+        case _                                      => return None
+      }
     // The relation substitution matches on the LAST name part
     // (SampleRewrite.rewriteRelation); require a plain unqualified fact
     // name with exactly one occurrence so exactly one scan is sampled.
@@ -346,10 +373,13 @@ final class QueryEngine(
       case r: UnresolvedRelation
           if r.multipartIdentifier.last.equalsIgnoreCase(fact) => r
     }.sizeIs != 1) return None
+    // Error-model base: the estimated join output when AGMS evidence
+    // exists (auto), else the fact size (opt-in — the q77 contract).
+    val nEff = agmsJoinRows.getOrElse(factSize)
     val tierF = StrategyChooser.sampleFraction(
       StrategyChooser.Sample, factSize, opts.maxRelError).getOrElse(return None)
     val fNeeded = 1.0 /
-      (opts.maxRelError * opts.maxRelError * math.max(1L, factSize))
+      (opts.maxRelError * opts.maxRelError * math.max(1L, nEff))
     val inlineFrac = math.min(0.5, math.max(tierF, fNeeded))
     // Prefer a materialized sample of the fact (no fact scan at all —
     // the 100 TB path) when one meets the tolerance; an explicit
@@ -357,14 +387,14 @@ final class QueryEngine(
     val decision: Planner.SamplingDecision = catalog
       .bestUniformSample(fact)
       .filter(_ => opts.systematicKey.isEmpty)
-      .filter(s => math.sqrt(1.0 / math.max(1.0, s.fraction * factSize))
+      .filter(s => math.sqrt(1.0 / math.max(1.0, s.fraction * nEff))
         <= opts.maxRelError * (1 + 1e-9))
       .map(s => Planner.ReadSampleTable(s.sampleTable, s.fraction))
       .getOrElse(opts.systematicKey
         .map(k => Planner.ReadInlineSystematic(inlineFrac, k))
         .getOrElse(Planner.ReadInlineSample(inlineFrac, seed)))
     val frac = decision.fraction.get
-    val estErr = math.sqrt(1.0 / math.max(1.0, frac * factSize))
+    val estErr = math.sqrt(1.0 / math.max(1.0, frac * nEff))
     if (estErr > opts.maxRelError * (1 + 1e-9)) return None
     val d = SampleRewrite.Directive(fact, decision,
       weight = Some(SampleRewrite.ConstWeight(frac)),
@@ -381,11 +411,64 @@ final class QueryEngine(
       case _ =>
         (None, f"fact side $fact sampled (Bernoulli, seed=$seed) at fraction=$frac%.4f")
     }
-    Some(AqeResult(df, "sample", "sample_join",
-      s"join AQP (beyond reference): largest table $fact sampled, dims at full fidelity",
+    val reason = agmsJoinRows match {
+      case Some(j) =>
+        f"join AQP (automatic, costed): stored AGMS sketches estimate " +
+          f"join size $j%d >= $MinAutoJoinRows%d and error $estErr%.3f fits " +
+          f"tolerance ${opts.maxRelError}%.3f; largest table $fact sampled, dims at full fidelity"
+      case None =>
+        s"join AQP (beyond reference): largest table $fact sampled, dims at full fidelity"
+    }
+    Some(AqeResult(df, "sample", "sample_join", reason,
       0.8, spd, err, Some(frac), tbl,
       Seq(desc, "aggregates rewritten to Horvitz-Thompson weighted form")))
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Smallest AGMS-estimated join output worth approximating — below
+    * this, exact is already trivially cheap (the same spirit as the
+    * chooser's tableSize<=1000 exact rule).
+    */
+  private val MinAutoJoinRows = 1000L
+
+  /** Estimate |R ⋈ S| from stored AGMS sketches of the parsed query's
+    * join-key pair, with NO scan. Succeeds only on the plan shape the
+    * decision is sound for: exactly one join, a single equi-key
+    * condition between two attributes, exactly two resolvable tables,
+    * a fresh AGMS sketch on EACH side's key column with matching bucket
+    * counts. Column-to-table attribution goes through the session
+    * catalog's column lists (metadata only, no scan).
+    */
+  private def agmsJoinEstimate(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tables: Seq[String], fact: String): Option[Long] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = parsed.collect { case j: Join => j }
+    if (joins.sizeIs != 1) return None
+    val dims = tables.filterNot(_ == fact)
+    if (dims.sizeIs != 1) return None
+    val dim = dims.head
+    val keys = joins.head.condition.flatMap {
+      case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
+        Some((x.nameParts.last, y.nameParts.last))
+      case _ => None
+    }.flatMap { case (a, b) =>
+      def cols(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
+      val (fc, dc) = (cols(fact), cols(dim))
+      if (fc.contains(a.toLowerCase) && dc.contains(b.toLowerCase)) Some((a, b))
+      else if (fc.contains(b.toLowerCase) && dc.contains(a.toLowerCase)) Some((b, a))
+      else None
+    }
+    for {
+      (factKey, dimKey) <- keys
+      sf <- catalog.getSketch(fact, factKey, "agms")
+      if sketchIsFresh(fact, sf)
+      sd <- catalog.getSketch(dim, dimKey, "agms")
+      if sketchIsFresh(dim, sd)
+      est <- graft.sketch.Agms.dotEstimate(sf.data, sd.data)
+    } yield est
+  }
 
   /** The salted-plan gate: a single-table GROUP BY whose grouping
     * column has catalog skew stats above the threshold re-plans via
@@ -589,6 +672,74 @@ final class QueryEngine(
     }
   }
 
+  /** Realized error for multi-row (grouped) results: identify the
+    * grouping-key output columns from the parsed select list (outputs
+    * whose expression contains no aggregate call), join approx rows to
+    * exact rows on those keys, and average |rel error| over the numeric
+    * measure cells. CI companion columns (absent on the exact side) are
+    * excluded by intersecting schemas; an exact group the sample missed
+    * entirely counts as a full miss (rel error 1.0 per measure) so
+    * sampled-out small groups are not silently flattering. Returns 0.0
+    * when no key columns can be identified (no evidence — matches the
+    * reference's measure-nothing behavior rather than inventing a
+    * pairing).
+    */
+  private val aggCallNames = Set("count", "sum", "avg", "mean", "min",
+    "max", "stddev", "stddev_samp", "var_samp", "variance", "percentile",
+    "percentile_approx", "approx_percentile", "median",
+    "approx_count_distinct")
+  private def groupedError(sql: String,
+      approxNames: Array[String], approxRows: Array[org.apache.spark.sql.Row],
+      exactNames: Array[String], exactRows: Array[org.apache.spark.sql.Row]): Double = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, UnaryNode}
+    def selectList(p: LogicalPlan): Seq[NamedExpression] = p match {
+      case a: Aggregate => a.aggregateExpressions
+      case pr: Project  => pr.projectList
+      case u: UnaryNode => selectList(u.child)
+      case _            => Nil
+    }
+    def hasAggCall(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.collectFirst {
+        case f: UnresolvedFunction
+            if aggCallNames.contains(f.nameParts.last.toLowerCase) => f
+      }.isDefined
+    val outs = parsedCached(sql).map(p => selectList(p._1)).getOrElse(Nil)
+    val keyNames = outs.collect {
+      case a @ Alias(child, _) if !hasAggCall(child) => a.name
+      case ne if !hasAggCall(ne)                     => ne.name
+    }
+    val exactIdx = exactNames.zipWithIndex.toMap
+    val approxIdx = approxNames.zipWithIndex.toMap
+    if (keyNames.isEmpty ||
+        !keyNames.forall(k => exactIdx.contains(k) && approxIdx.contains(k)))
+      return 0.0
+    val measureNames = exactNames.filter(n =>
+      !keyNames.contains(n) && approxIdx.contains(n))
+    if (measureNames.isEmpty) return 0.0
+
+    def key(row: org.apache.spark.sql.Row, idx: Map[String, Int]): Seq[String] =
+      keyNames.map(k => String.valueOf(row.get(idx(k)))).toSeq
+    val approxByKey = approxRows.map(r => key(r, approxIdx) -> r).toMap
+    val pairs = exactRows.iterator.flatMap { e =>
+      val a = approxByKey.get(key(e, exactIdx))
+      measureNames.iterator.flatMap { m =>
+        e.get(exactIdx(m)) match {
+          case v: Number if v.doubleValue() != 0 =>
+            a.flatMap(ar => Option(ar.get(approxIdx(m)))) match {
+              case Some(x: Number) => Some(
+                math.abs(x.doubleValue() - v.doubleValue()) / math.abs(v.doubleValue()))
+              case Some(_) => None
+              case None    => Some(1.0) // group absent from the sample
+            }
+          case _ => None
+        }
+      }
+    }.toSeq
+    if (pairs.nonEmpty) pairs.sum / pairs.size else 0.0
+  }
+
   /** Optional dual-run measurement + history append
     * (/root/reference/app.py:119-138 + the loop the reference never
     * closes, SURVEY §2.B11).
@@ -600,12 +751,17 @@ final class QueryEngine(
     val approxRows = r.df.collect()
     val tApprox = (System.nanoTime() - t0) / 1e6
     val t1 = System.nanoTime()
-    val exactRows = spark.sql(sql).collect()
+    val exactDf = spark.sql(sql)
+    val exactRows = exactDf.collect()
     val tExact = (System.nanoTime() - t1) / 1e6
     val speedup = if (tApprox > 0) tExact / tApprox else 1.0
 
-    // Mean |rel error| across numeric cells of single-row results (the
-    // only shape the reference measures errors for).
+    // Realized mean |rel error| across numeric cells. Single-row results
+    // compare positionally (the only shape the reference measures);
+    // multi-row results join approx/exact on the grouping-key output
+    // columns — without this, every sampled GROUP BY would record 0.0
+    // and the history adjustment (score = 0.6*speedup - 0.4*error)
+    // would systematically flatter sampling on grouped workloads.
     val err: Double =
       if (approxRows.length == 1 && exactRows.length == 1) {
         val pairs = exactRows.head.toSeq.zipWithIndex.collect {
@@ -617,7 +773,8 @@ final class QueryEngine(
             }
         }
         if (pairs.nonEmpty) pairs.sum / pairs.size else 0.0
-      } else 0.0
+      } else groupedError(sql, r.df.schema.fieldNames, approxRows,
+        exactDf.schema.fieldNames, exactRows)
 
     history.append(QueryHistory.Record(
       queryPattern = QueryHistory.pattern(features),

@@ -108,6 +108,36 @@ object SketchOps {
     bytes.length
   }
 
+  /** Build an AGMS join-size sketch over `table.key` (one scan → B
+    * signed bucket counters; q62's derivation, persisted): bucket =
+    * h60('js:'||key) % B, sign = ±1 from the next hash bit, counter =
+    * sum of signs. Two stored sketches with the same B over a join-key
+    * pair let the engine estimate |R ⋈ S| with no scan and decide join
+    * AQP automatically. Returns (serialized size, rows seen).
+    */
+  def createAgms(spark: SparkSession, catalog: MetaCatalog, table: String,
+      key: String, buckets: Int = 1024): (Int, Long) = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{count, expr, sum}
+    val rows = spark.table(table)
+      .select(expr(s"graft_h60(concat('js:', cast($key as string)))").as("h"))
+      .select(expr(s"cast(h % ${buckets}L as int)").as("bucket"),
+        expr(s"case when (h div ${buckets}L) % 2 = 0 then 1L else -1L end").as("sgn"))
+      .groupBy(col("bucket")).agg(sum(col("sgn")).as("c"), count(lit(1)).as("n"))
+      .collect()
+    val counters = new Array[Long](buckets)
+    var total = 0L // includes NULL-key rows (null bucket) -> true rowcount
+    rows.foreach { r =>
+      if (!r.isNullAt(0)) counters(r.getInt(0)) = r.getLong(1)
+      total += r.getLong(2)
+    }
+    val bytes = Agms.serialize(counters)
+    catalog.upsertSketch(catalog.SketchInfo(table, key, "agms", bytes,
+      s"""{"buckets":$buckets,"rows":$total}""", System.currentTimeMillis()))
+    (bytes.length, total)
+  }
+
   /** Answer COUNT(DISTINCT column) from a STORED sketch if one exists —
     * making the reference's declared-but-dead capability real.
     */

@@ -151,6 +151,35 @@ class QueryEngineSpec extends SparkSpec {
     assert(rec.actualError < 0.3)
   }
 
+  test("measureExact records realized per-group error for sampled GROUP BY results") {
+    val sql = "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s " +
+      "FROM lineitem GROUP BY l_returnflag"
+    val before = engine.history.all.size
+    val r = engine.query(sql, engine.Options(measureExact = true))
+    assert(r.planType == "sample", s"${r.planType}: ${r.reason}")
+    assert(engine.history.all.size == before + 1)
+    val rec = engine.history.all.last
+    // the old behavior recorded 0.0 for every multi-row result,
+    // systematically flattering sampling on grouped workloads
+    assert(rec.actualError > 0.0,
+      s"sampled GROUP BY must record a measured non-zero error, got ${rec.actualError}")
+    assert(rec.actualError < 0.5, rec.actualError.toString)
+
+    // the history adjustment consumes the measured error: a strategy
+    // whose records show tolerance-violating error is vetoed even at a
+    // flattering speedup (with the old 0.0-error records it would win)
+    import graft.plan.StrategyChooser
+    val feats = graft.plan.QueryFeatures.extract(
+      spark.sessionState.sqlParser.parsePlan(sql), sql)
+    val hist =
+      Seq.fill(5)(rec.copy(strategy = "sketch", actualError = 0.5,
+        actualSpeedup = 10.0)) ++
+      Seq.fill(5)(rec.copy(strategy = "exact", actualError = 0.0,
+        actualSpeedup = 1.0))
+    val c = StrategyChooser.choose(feats, 60000L, 0.05, hist)
+    assert(c.strategy == StrategyChooser.Exact, c.toString)
+  }
+
   test("planner-only mode (useMl=false) follows the cost model") {
     // with the 0.25 sample registered earlier, the cost model picks it
     val r = engine.query("SELECT count(*) AS n FROM lineitem",
@@ -207,6 +236,54 @@ class QueryEngineSpec extends SparkSpec {
         "JOIN lineitem b ON a.l_orderkey = b.l_orderkey",
       engine.Options(approximateJoins = true, maxRelError = 0.1))
     assert(r2.planType == "exact", s"${r2.planType}: ${r2.reason}")
+  }
+
+  test("AGMS join-size sketches make join AQP an automatic costed decision") {
+    val sql = "SELECT count(*) AS n " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    // no sketches: default multi-table behavior stays reference-parity
+    // exact (no opt-in flag set)
+    val r0 = engine.query(sql, engine.Options(maxRelError = 0.1))
+    assert(r0.planType == "exact", s"${r0.planType}: ${r0.reason}")
+
+    graft.sketch.SketchOps.createAgms(spark, catalog, "orders", "o_orderkey")
+    graft.sketch.SketchOps.createAgms(spark, catalog, "lineitem", "l_orderkey")
+
+    // accept: estimated join size is large and the achievable fraction
+    // meets the tolerance -> join AQP chosen with NO flag
+    val r = engine.query(sql, engine.Options(maxRelError = 0.1))
+    assert(r.strategy == "sample_join", s"${r.strategy}: ${r.reason}")
+    assert(r.reason.contains("AGMS"), r.reason)
+    val est = r.df.collect().head.getAs[Any]("n")
+      .asInstanceOf[Number].doubleValue()
+    val truth = spark.sql(sql.replace(" AS n", "")).collect().head.getLong(0).toDouble
+    assert(math.abs(est - truth) / truth < 0.3, s"est=$est truth=$truth")
+
+    // refuse: a tolerance the achievable fraction cannot meet
+    val r2 = engine.query(sql, engine.Options(maxRelError = 0.01))
+    assert(r2.planType == "exact", s"${r2.planType}: ${r2.reason}")
+
+    // refuse: estimated join output too small to be worth approximating
+    graft.sketch.SketchOps.createAgms(spark, catalog, "nation", "n_regionkey")
+    graft.sketch.SketchOps.createAgms(spark, catalog, "region", "r_regionkey")
+    val r3 = engine.query(
+      "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey",
+      engine.Options(maxRelError = 0.1))
+    assert(r3.planType == "exact", s"${r3.planType}: ${r3.reason}")
+
+    // refuse: stale sketch (base table changed size since the build)
+    val n = spark.table("lineitem").count()
+    catalog.upsertTableStats("lineitem", n + 1000)
+    val r4 = engine.query(sql, engine.Options(maxRelError = 0.1))
+    assert(r4.planType == "exact", s"${r4.planType}: ${r4.reason}")
+    catalog.upsertTableStats("lineitem", n)
+
+    // the explicit opt-in path (q77 contract) is unchanged by the
+    // auto gate: it needs no sketches and models error on the fact size
+    val r5 = engine.query(sql,
+      engine.Options(approximateJoins = true, maxRelError = 0.1))
+    assert(r5.strategy == "sample_join" && !r5.reason.contains("AGMS"),
+      s"${r5.strategy}: ${r5.reason}")
   }
 
   test("stored histogram sketch answers percentile queries with no scan") {
