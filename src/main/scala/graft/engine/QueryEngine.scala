@@ -381,6 +381,41 @@ final class QueryEngine(
     val fNeeded = 1.0 /
       (opts.maxRelError * opts.maxRelError * math.max(1L, nEff))
     val inlineFrac = math.min(0.5, math.max(tierF, fNeeded))
+    // Universe (both-side) sampling — the two-big-tables case fact-side
+    // sampling cannot help (the dim side would still scan in full):
+    // when BOTH tables exceed UniverseMinRows and the single equi-join
+    // key pair is identifiable, put the SAME keyed-hash lottery on both
+    // sides' join keys. Equal keys hash identically, so a join row
+    // survives iff its key does — the join output is a p-sample of
+    // itself under ONE 1/p HT scale, and both scans shrink to ~p.
+    // Deterministic membership keeps it oracle-checkable (q79).
+    if (sizes.sizeIs == 2 && sizes.forall(_._2 >= UniverseMinRows)) {
+      joinKeyPair(parsed, sizes.map(_._1), fact) match {
+        case Some((factKey, dimKey, dim))
+            if !dim.contains(".") && parsed.collect {
+              case r: UnresolvedRelation
+                  if r.multipartIdentifier.last.equalsIgnoreCase(dim) => r
+            }.sizeIs == 1 =>
+          val threshold = math.max(1, math.round(inlineFrac * 10000).toInt)
+          val p = threshold / 10000.0
+          val estErrU = math.sqrt(1.0 / math.max(1.0, p * nEff))
+          if (estErrU <= opts.maxRelError * (1 + 1e-9)) {
+            val plan2 = SampleRewrite.rewriteUniverse(parsed,
+              Map(fact -> factKey, dim -> dimKey), p, opts.ciColumns)
+            val df = org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan2)
+            val (spd, _) = StrategyChooser.predict(
+              StrategyChooser.Sample, factSize, Some(p))
+            return Some(AqeResult(df, "sample", "sample_universe",
+              f"universe join sampling: both tables exceed $UniverseMinRows%d rows, " +
+                f"shared join-key lottery p=$p%.4f on both sides (single 1/p HT scale)",
+              0.8, spd, estErrU, Some(p), None,
+              Seq(s"both relations filtered by the shared key lottery " +
+                s"graft_h60('uv:'||key) % 10000 < $threshold",
+                "aggregates rewritten to Horvitz-Thompson weighted form (single 1/p scale)")))
+          }
+        case _ =>
+      }
+    }
     // Prefer a materialized sample of the fact (no fact scan at all —
     // the 100 TB path) when one meets the tolerance; an explicit
     // systematicKey requests deterministic inline membership instead.
@@ -430,6 +465,12 @@ final class QueryEngine(
     */
   private val MinAutoJoinRows = 1000L
 
+  /** Both-sides-big threshold for universe sampling: below this a dim
+    * side scans/broadcasts cheaply and fact-side sampling is the better
+    * plan (it keeps the dim exact).
+    */
+  private val UniverseMinRows = 1000000L
+
   /** Estimate |R ⋈ S| from stored AGMS sketches of the parsed query's
     * join-key pair, with NO scan. Succeeds only on the plan shape the
     * decision is sound for: exactly one join, a single equi-key
@@ -438,9 +479,16 @@ final class QueryEngine(
     * counts. Column-to-table attribution goes through the session
     * catalog's column lists (metadata only, no scan).
     */
-  private def agmsJoinEstimate(
+  /** The parsed query's single equi-join key pair, attributed to the
+    * fact and (sole) dim table via the session catalog's column lists
+    * (metadata only, no scan): Some((factKey, dimKey, dim)). None on
+    * any shape the join-sampling decisions are not sound for: more
+    * than one join, more than two tables, a non-equi or multi-key
+    * condition, or a key column resolvable on neither/both sides.
+    */
+  private def joinKeyPair(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      tables: Seq[String], fact: String): Option[Long] = {
+      tables: Seq[String], fact: String): Option[(String, String, String)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.EqualTo
     import org.apache.spark.sql.catalyst.plans.logical.Join
@@ -449,26 +497,32 @@ final class QueryEngine(
     val dims = tables.filterNot(_ == fact)
     if (dims.sizeIs != 1) return None
     val dim = dims.head
-    val keys = joins.head.condition.flatMap {
+    joins.head.condition.flatMap {
       case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
         Some((x.nameParts.last, y.nameParts.last))
       case _ => None
     }.flatMap { case (a, b) =>
       def cols(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
       val (fc, dc) = (cols(fact), cols(dim))
-      if (fc.contains(a.toLowerCase) && dc.contains(b.toLowerCase)) Some((a, b))
-      else if (fc.contains(b.toLowerCase) && dc.contains(a.toLowerCase)) Some((b, a))
+      if (fc.contains(a.toLowerCase) && dc.contains(b.toLowerCase))
+        Some((a, b, dim))
+      else if (fc.contains(b.toLowerCase) && dc.contains(a.toLowerCase))
+        Some((b, a, dim))
       else None
     }
+  }
+
+  private def agmsJoinEstimate(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tables: Seq[String], fact: String): Option[Long] =
     for {
-      (factKey, dimKey) <- keys
+      (factKey, dimKey, dim) <- joinKeyPair(parsed, tables, fact)
       sf <- catalog.getSketch(fact, factKey, "agms")
       if sketchIsFresh(fact, sf)
       sd <- catalog.getSketch(dim, dimKey, "agms")
       if sketchIsFresh(dim, sd)
       est <- graft.sketch.Agms.dotEstimate(sf.data, sd.data)
     } yield est
-  }
 
   /** The salted-plan gate: a single-table GROUP BY whose grouping
     * column has catalog skew stats above the threshold re-plans via

@@ -232,6 +232,43 @@ object SampleRewrite {
         }
     }
 
+  /** Universe (both-side) join sampling: apply the SAME keyed-hash
+    * lottery (`graft_h60('uv:' || key) % 10000 < t`) to EVERY listed
+    * relation on its own join-key column, then Horvitz-Thompson weight
+    * the aggregates ONCE at 1/p (p = t/10000, the exact realized
+    * rate). Because equal join keys hash identically, a join row
+    * survives iff its KEY survives — both sides of each surviving key
+    * arrive in full, so the join output is an unbiased p-sample of
+    * itself under a single 1/p scale. This is the two-big-tables case
+    * fact-side sampling cannot help: there, the dim side still scans
+    * in full; here BOTH scans shrink to ~p (Vengerov et al., VLDB'15
+    * "Join Size Estimation Subject to Filter Conditions" call this
+    * universe sampling). Deterministic membership keeps the estimates
+    * oracle-checkable like q28/q77.
+    *
+    * `keys`: relation name (matched on the LAST name part, like
+    * rewriteRelation) -> its join-key column.
+    */
+  def rewriteUniverse(plan: LogicalPlan, keys: Map[String, String],
+      fraction: Double, addCiColumns: Boolean,
+      ciZ: Double = 1.96): LogicalPlan = {
+    val threshold = math.max(1, math.round(fraction * 10000).toInt)
+    val p = threshold / 10000.0
+    val filtered = plan.transformUp {
+      case r: UnresolvedRelation if keys.keys.exists(
+          _.equalsIgnoreCase(r.multipartIdentifier.last)) =>
+        val key = keys.find(_._1.equalsIgnoreCase(r.multipartIdentifier.last)).get._2
+        Filter(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(
+            s"graft_h60(concat('uv:', cast($key as string))) % 10000 < $threshold"),
+          r)
+    }
+    val d = Directive("", Planner.ReadExact,
+      weight = Some(ConstWeight(p)), rewriteDistinctToHll = false,
+      hllRsd = None, addCiColumns = addCiColumns, ciZ = ciZ)
+    rewriteSelectLists(filtered, d)
+  }
+
   /** Rewrite the topmost SELECT list (the query's output). At parse time
     * an aggregate without GROUP BY is still a `Project` (the analyzer's
     * GlobalAggregates rule converts it later); ORDER BY / LIMIT / HAVING /

@@ -33,12 +33,18 @@ object Aqp {
   // q30's seeded 0.2 sample on the shared engine.
   private val detEngines =
     scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  // q79's engine is separate too: its catalog carries FORCED table
+  // stats (both join sides pushed over the engine's universe-sampling
+  // threshold) that must not leak into the shared engine's size-tier
+  // decisions for q28/q77.
+  private val uniEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
 
   private def engineFor(s: SparkSession, dir: String): QueryEngine = {
     // evict entries for stopped sessions (same policy as Dedup.memo) so
     // long-lived multi-session processes don't retain dead engines,
     // their catalogs, or the one-shot sample/histogram build markers
-    Seq(engines, stratified, histograms, detEngines).foreach { m =>
+    Seq(engines, stratified, histograms, detEngines, uniEngines).foreach { m =>
       m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
     }
     engines.getOrElseUpdate((s, dir), {
@@ -47,6 +53,23 @@ object Aqp {
         new MetaCatalog(Files.createTempDirectory("graft-aqp").toString))
     })
   }
+
+  private def uniEngineFor(s: SparkSession, dir: String): QueryEngine =
+    uniEngines.getOrElseUpdate((s, dir), {
+      Tables.registerAll(s, dir)
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-uni").toString))
+      // Force BOTH join sides over UniverseMinRows so the engine picks
+      // universe sampling at small test SFs (the decision it would make
+      // at the real two-big-tables scale). Membership is a pure hash of
+      // the key, so the estimates stay oracle-checkable regardless of
+      // the forced stats — only the FRACTION depends on them: fact
+      // 6M -> 0.01 tier -> threshold 100 of 10000 -> HT weight exactly
+      // 100.0, the constants the q79 oracle hardcodes.
+      e.catalog.upsertTableStats("lineitem", 6000000L)
+      e.catalog.upsertTableStats("orders", 1500000L)
+      e
+    })
 
   private def detEngineFor(s: SparkSession, dir: String): QueryEngine =
     detEngines.getOrElseUpdate((s, dir), {
@@ -437,6 +460,60 @@ object Aqp {
       r.df
     }),
 
+    // AQP over a JOIN with the FULL CI-companion contract, oracle-gated
+    // — q77 (join estimates) plus q28 (CI chain) composed: the engine
+    // runs the join-AQP path with ciColumns=true, so every aggregate
+    // carries `_ci_low/_ci_high/_rel_error` computed in the SAME
+    // aggregation pass from the proper per-element variance companions
+    // (Var[HT count] = Σ w(w-1), Var[HT sum] = Σ x²w(w-1), se[avg] =
+    // moment-form stddev/√n — SampleRewrite.seExpr), per GROUP. The
+    // deterministic keyed-hash membership (tier 0.02 -> threshold 200,
+    // weight exactly 50.0) and integral l_quantity make every estimate
+    // AND all nine companions exact fixed-association arithmetic that
+    // DuckDB re-derives bit-for-bit. The reference computes CIs post-hoc
+    // on the driver and only for single-table queries
+    // (/root/reference/executor.py:87-114); this gates them in-query
+    // over a join.
+    "q78_join_aqp_ci" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, count(*) AS n_est, " +
+          "sum(l_quantity) AS qty_est, avg(l_quantity) AS avg_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          systematicKey = Some("l_orderkey"), ciColumns = true))
+      assert(r.strategy == "sample_join" && r.sampleFraction.exists(_ < 1),
+        s"q78 must run the join-AQP strategy: ${r.strategy} (${r.reason})")
+      r.df
+    }),
+
+    // AQP: UNIVERSE (both-side) join sampling through the full engine
+    // path — the two-big-tables case fact-side sampling (q77) cannot
+    // help, since the dim side would still scan in full. The engine
+    // sees both tables over its UniverseMinRows threshold and puts the
+    // SAME keyed-hash lottery (h60('uv:'||key) % 10000 < 100) on BOTH
+    // sides' join keys: equal keys hash identically, so a join row
+    // survives iff its key does, and ONE 1/p = 100.0 HT scale recovers
+    // unbiased totals while both scans shrink to ~1%. Deterministic
+    // membership -> DuckDB re-derives the same surviving key set and
+    // the same exact-integer weighted sums, bit-for-bit.
+    "q79_universe_join" -> ((s, dir) => {
+      val e = uniEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, count(*) AS n_est, " +
+          "sum(l_quantity) AS qty_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          ciColumns = false))
+      assert(r.strategy == "sample_universe" &&
+          r.sampleFraction.contains(0.01),
+        s"q79 must run universe join sampling at p=0.01: " +
+          s"${r.strategy} f=${r.sampleFraction} (${r.reason})")
+      r.df
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -466,6 +543,50 @@ object Aqp {
           SELECT o_orderpriority,
             CAST(count(*) AS DOUBLE) * 50.0 AS n_est,
             CAST(sum(x) AS DOUBLE) * 50.0 AS qty_est
+          FROM k GROUP BY 1 ORDER BY 1""",
+    // q78: q77's join membership (tier 0.02 -> threshold 200, weight
+    // 50.0) with q28's full CI re-derivation, PER GROUP: DuckDB
+    // recomputes every estimate and all nine CI companions from exact
+    // integer moment sums with the SAME association as the rewritten
+    // plan. Var[HT count] per sampled row = w(w-1) = 2450; Var[HT sum]
+    // = x²·2450; se[avg] = moment-form sample stddev / sqrt(kn).
+    "q78_join_aqp_ci" ->
+      s"""WITH k AS (SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS x
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'sys:' || CAST(l_orderkey AS VARCHAR)")} % 10000 < 200),
+          a AS (SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS kn,
+              CAST(sum(x) AS DOUBLE) AS sx,
+              CAST(sum(x * x) AS DOUBLE) AS sxx
+            FROM k GROUP BY 1)
+          SELECT o_orderpriority,
+            kn * 50.0 AS n_est,
+            sx * 50.0 AS qty_est,
+            (sx * 50.0) / (kn * 50.0) AS avg_est,
+            kn * 50.0 - 1.96 * sqrt(kn * 2450.0) AS n_est_ci_low,
+            kn * 50.0 + 1.96 * sqrt(kn * 2450.0) AS n_est_ci_high,
+            (1.96 * sqrt(kn * 2450.0)) / abs(kn * 50.0) AS n_est_rel_error,
+            sx * 50.0 - 1.96 * sqrt(sxx * 2450.0) AS qty_est_ci_low,
+            sx * 50.0 + 1.96 * sqrt(sxx * 2450.0) AS qty_est_ci_high,
+            (1.96 * sqrt(sxx * 2450.0)) / abs(sx * 50.0) AS qty_est_rel_error,
+            (sx * 50.0) / (kn * 50.0)
+              - 1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_est_ci_low,
+            (sx * 50.0) / (kn * 50.0)
+              + 1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_est_ci_high,
+            (1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn))
+              / abs((sx * 50.0) / (kn * 50.0)) AS avg_est_rel_error
+          FROM a ORDER BY o_orderpriority""",
+    // q79: DuckDB re-derives the universe sample — the surviving
+    // join-key set is the pure hash predicate on the (equal) join key,
+    // so one membership test on the joined rows reproduces the
+    // both-sides filter exactly; weight 100.0 and integral l_quantity
+    // keep every weighted sum an exact double.
+    "q79_universe_join" ->
+      s"""WITH k AS (SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS x
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100)
+          SELECT o_orderpriority,
+            CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
+            CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est
           FROM k GROUP BY 1 ORDER BY 1""",
     // q76: DuckDB re-derives the deterministic stratified sample and
     // its per-group HT estimates. Allocation is integer-only (m = N_h

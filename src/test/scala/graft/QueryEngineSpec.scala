@@ -286,6 +286,49 @@ class QueryEngineSpec extends SparkSpec {
       s"${r5.strategy}: ${r5.reason}")
   }
 
+  test("universe (both-side) join sampling is chosen when both tables are big") {
+    val sql = "SELECT count(*) AS n " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    val nO = spark.table("orders").count()
+    val nL = spark.table("lineitem").count()
+    // both sides over the engine's UniverseMinRows threshold -> the
+    // fact-side plan would still scan a 2M-row dim; universe sampling
+    // shrinks BOTH scans
+    catalog.upsertTableStats("orders", 2000000L)
+    catalog.upsertTableStats("lineitem", 8000000L)
+    try {
+      val r = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r.strategy == "sample_universe", s"${r.strategy}: ${r.reason}")
+      assert(r.sampleFraction.contains(0.01), r.sampleFraction.toString)
+      // plan shape: BOTH relations carry the keyed-hash lottery filter
+      val lotteries = r.df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.sql.contains("graft_h60") => f
+      }
+      assert(lotteries.size == 2, r.df.queryExecution.optimizedPlan.toString)
+      // deterministic membership, single 1/p scale: estimate is a
+      // multiple of 100 and lands in the right ballpark of the truth
+      val est = r.df.collect().head.getAs[Any]("n")
+        .asInstanceOf[Number].doubleValue()
+      val truth = spark.sql(sql.replace(" AS n", ""))
+        .collect().head.getLong(0).toDouble
+      assert(est % 100.0 == 0.0, est.toString)
+      assert(est > 0.2 * truth && est < 5 * truth, s"est=$est truth=$truth")
+
+      // one big + one small table -> fact-side sampling, not universe
+      catalog.upsertTableStats("orders", nO)
+      val r2 = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r2.strategy == "sample_join", s"${r2.strategy}: ${r2.reason}")
+    } finally {
+      catalog.upsertTableStats("orders", nO)
+      catalog.upsertTableStats("lineitem", nL)
+      catalog.refreshSampleBase("orders")
+      catalog.refreshSampleBase("lineitem")
+    }
+  }
+
   test("stored histogram sketch answers percentile queries with no scan") {
     val h = graft.sketch.SketchOps.createHistogram(
       spark, catalog, "orders", "o_totalprice", 64)
