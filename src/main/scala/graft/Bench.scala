@@ -199,6 +199,51 @@ object Bench {
         (k, passes.head._1, passes.map(_._2).min, passes.map(_._3).min,
           passes.map(_._4).min)
       }
+      // Universe (both-side) join sampling (round 8): a separate engine
+      // whose catalog puts BOTH join sides over UniverseMinRows (orders
+      // stats forced — the two-big-tables regime this strategy exists
+      // for; lineitem_x10's 6M rows are real). The shared key lottery
+      // shrinks BOTH scans to ~1%, where the "join" case above still
+      // scans the dim in full.
+      val uniMeasured: Option[(String, String, Double, Double, Double)] = try {
+        val ucat = new MetaCatalog(
+          java.nio.file.Files.createTempDirectory("graft-bench-uni").toString)
+        val ueng = new QueryEngine(spark, ucat)
+        // Materialize the 1% universe-sample pair ONCE (the md5 lottery
+        // over both full scans is itself a scan-scale cost; the serving
+        // engine pays it at creation, never per query) and re-force the
+        // orders stats the creation pass overwrote.
+        graft.sample.Samplers.createUniverse(spark, ucat, "lineitem_x10", "l_orderkey", 0.01)
+        graft.sample.Samplers.createUniverse(spark, ucat, "orders", "o_orderkey", 0.01)
+        ucat.upsertTableStats("lineitem_x10", spark.table("lineitem_x10").count())
+        ucat.upsertTableStats("orders", 1500000L)
+        ucat.refreshSampleBase("lineitem_x10")
+        ucat.refreshSampleBase("orders")
+        val usql = "SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS s " +
+          "FROM lineitem_x10 JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY o_orderpriority"
+        floorSamples += floorSample()
+        ueng.query(usql, ueng.Options(measureExact = true,
+          ciColumns = false, approximateJoins = true)) // warm both paths
+        val passes = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val r = ueng.query(usql, ueng.Options(ciColumns = false,
+            approximateJoins = true))
+          val tPlan = (System.nanoTime() - t0) / 1e6
+          val t1 = System.nanoTime()
+          r.df.collect()
+          val tApprox = (System.nanoTime() - t1) / 1e6
+          val t2 = System.nanoTime()
+          spark.sql(usql).collect()
+          val tExact = (System.nanoTime() - t2) / 1e6
+          (r.strategy, tPlan, tApprox, tExact)
+        }
+        Some(("join_universe", passes.head._1, passes.map(_._2).min,
+          passes.map(_._3).min, passes.map(_._4).min))
+      } catch { case t: Throwable =>
+        errors("join_universe") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+        None
+      }
       floorSamples += floorSample()
       floorSamples += floorSample()
       val fixedMs = floorSamples.min
@@ -243,10 +288,11 @@ object Bench {
         val e = te - fixedMs
         if (a > 20.0 && e > 20.0) f2(e / a) else "null"
       }
-      aqp = measured.map { case (k, _, _, ta, te) =>
+      val allMeasured = measured ++ uniMeasured.toSeq
+      aqp = allMeasured.map { case (k, _, _, ta, te) =>
         s"${jstr(k)}:${if (ta > 0) f2(te / ta) else "0.0"}"
       }.mkString("{", ",", "}")
-      aqpDetail = (measured.map { case (k, pt, tp, ta, te) =>
+      aqpDetail = (allMeasured.map { case (k, pt, tp, ta, te) =>
         s"""${jstr(k)}:{"plan_ms":${f1(tp)},"approx_ms":${f1(ta)},"exact_ms":${f1(te)},"net_speedup":${net(ta, te)},"plan_type":${jstr(pt)}}"""
       } :+ saltedJson :+ s""""fixed_job_ms":${f1(fixedMs)}""").mkString("{", ",", "}")
     } catch { case t: Throwable =>

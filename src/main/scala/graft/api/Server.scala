@@ -21,7 +21,7 @@ import graft.sketch.SketchOps
   *   POST /samples/create     uniform sample               (app.py:165-186)
   *   POST /samples/stratified stratified sample            (app.py:190-217)
   *   GET  /samples            registered-sample listing
-  *   POST /sketches/create    HLL / CMS build              (app.py:221-290)
+  *   POST /sketches/create    HLL/CMS/histogram/AGMS build (app.py:221-290)
   *   GET  /sketches?table=t   sketch listing               (app.py:293-305)
   *   GET  /ml/stats           learning stats               (app.py:308-324)
   *
@@ -225,6 +225,23 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                   val h = SketchOps.createHistogram(spark, engine.catalog,
                     table, c, buckets)
                   (200, s"""{"status": "ok", "sketch_type": "histogram", "size_bytes": ${h.serialize.length}, "buckets": ${h.buckets}}""")
+                }
+            }
+          // beyond the reference: the join-cardinality primitive — a
+          // stored AGMS pair over a join-key pair turns join AQP into
+          // an automatic costed decision (QueryEngine.agmsJoinEstimate)
+          case "agms" =>
+            column match {
+              case None => (400, err("column (join key) required for AGMS"))
+              case Some(c) =>
+                val buckets = params("buckets").flatMap(_.num)
+                  .map(_.toInt).getOrElse(1024)
+                if (buckets < 1 || buckets > 1000000)
+                  (400, err(s"buckets must be in [1, 1000000], got $buckets"))
+                else {
+                  val (size, rows) = SketchOps.createAgms(spark,
+                    engine.catalog, table, c, buckets)
+                  (200, s"""{"status": "ok", "sketch_type": "agms", "size_bytes": $size, "rows": $rows}""")
                 }
             }
           case _ => (400, err("unsupported sketch type"))

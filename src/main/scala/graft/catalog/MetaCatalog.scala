@@ -103,6 +103,15 @@ final class MetaCatalog(val workDir: String) {
     samplesFor(table).filter(_.strataColumn.contains(col))
       .filter(sampleIsFresh)
       .sortBy(_.fraction).headOption
+  /** Materialized universe (join-key-lottery) sample for (table, key) —
+    * Samplers.createUniverse's `__universe__<key>` marker keeps these
+    * out of the uniform/stratified lookups. Fresh-guarded like every
+    * serving lookup; smallest fraction first (reference tie-break).
+    */
+  def universeSampleFor(table: String, key: String): Option[SampleInfo] =
+    samplesFor(table).filter(_.strataColumn.contains(s"__universe__$key"))
+      .filter(sampleIsFresh)
+      .sortBy(_.fraction).headOption
 
   // --- sketches (aqe_sketches; unique on table+column+type) ---
 

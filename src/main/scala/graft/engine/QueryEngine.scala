@@ -396,6 +396,36 @@ final class QueryEngine(
               case r: UnresolvedRelation
                   if r.multipartIdentifier.last.equalsIgnoreCase(dim) => r
             }.sizeIs == 1 =>
+          // Prefer MATERIALIZED universe samples on both sides (same
+          // fraction -> join-compatible membership): the lottery hash
+          // is a full-scan cost paid once at sample creation, not per
+          // query — the serving shape at 100 TB. Falls back to the
+          // inline both-sides filter when no matching pair exists.
+          val matPair = for {
+            a <- catalog.universeSampleFor(fact, factKey)
+            b <- catalog.universeSampleFor(dim, dimKey)
+            if a.fraction == b.fraction
+            if math.sqrt(1.0 / math.max(1.0, a.fraction * nEff)) <=
+              opts.maxRelError * (1 + 1e-9)
+          } yield (a, b)
+          matPair match {
+            case Some((a, b)) =>
+              val p = a.fraction
+              val plan2 = SampleRewrite.rewriteUniverseMaterialized(parsed,
+                Map(fact -> a.sampleTable, dim -> b.sampleTable), p,
+                opts.ciColumns)
+              val df = org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan2)
+              val (spd, _) = StrategyChooser.predict(
+                StrategyChooser.Sample, factSize, Some(p))
+              return Some(AqeResult(df, "sample", "sample_universe",
+                f"universe join sampling: both tables exceed $UniverseMinRows%d rows, " +
+                  f"answered from materialized universe samples ${a.sampleTable} ⋈ ${b.sampleTable} (p=$p%.4f, single 1/p HT scale)",
+                0.8, spd, math.sqrt(1.0 / math.max(1.0, p * nEff)), Some(p),
+                Some(a.sampleTable),
+                Seq(s"both relations substituted by materialized universe samples (no scan of either base table)",
+                  "aggregates rewritten to Horvitz-Thompson weighted form (single 1/p scale)")))
+            case None =>
+          }
           val threshold = math.max(1, math.round(inlineFrac * 10000).toInt)
           val p = threshold / 10000.0
           val estErrU = math.sqrt(1.0 / math.max(1.0, p * nEff))

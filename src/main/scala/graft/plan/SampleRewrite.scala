@@ -269,6 +269,30 @@ object SampleRewrite {
     rewriteSelectLists(filtered, d)
   }
 
+  /** Materialized form of [[rewriteUniverse]]: substitute each listed
+    * relation by its pre-materialized universe sample
+    * (Samplers.createUniverse — the lottery was paid ONCE at creation)
+    * and apply the single 1/p HT scale. Both samples must have been
+    * built at the SAME fraction with the same salt, which is what makes
+    * them join-compatible; membership is identical to the inline form,
+    * so results (and oracles) are unchanged — only the per-query scan +
+    * hash cost disappears.
+    */
+  def rewriteUniverseMaterialized(plan: LogicalPlan,
+      samples: Map[String, String], fraction: Double,
+      addCiColumns: Boolean, ciZ: Double = 1.96): LogicalPlan = {
+    val substituted = plan.transformUp {
+      case r: UnresolvedRelation if samples.keys.exists(
+          _.equalsIgnoreCase(r.multipartIdentifier.last)) =>
+        UnresolvedRelation(Seq(
+          samples.find(_._1.equalsIgnoreCase(r.multipartIdentifier.last)).get._2))
+    }
+    val d = Directive("", Planner.ReadExact,
+      weight = Some(ConstWeight(fraction)), rewriteDistinctToHll = false,
+      hllRsd = None, addCiColumns = addCiColumns, ciZ = ciZ)
+    rewriteSelectLists(substituted, d)
+  }
+
   /** Rewrite the topmost SELECT list (the query's output). At parse time
     * an aggregate without GROUP BY is still a `Project` (the analyzer's
     * GlobalAggregates rule converts it later); ORDER BY / LIMIT / HAVING /

@@ -39,14 +39,17 @@ object Aqp {
   // decisions for q28/q77.
   private val uniEngines =
     scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private val uniSamples =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
 
   private def engineFor(s: SparkSession, dir: String): QueryEngine = {
     // evict entries for stopped sessions (same policy as Dedup.memo) so
     // long-lived multi-session processes don't retain dead engines,
     // their catalogs, or the one-shot sample/histogram build markers
-    Seq(engines, stratified, histograms, detEngines, uniEngines).foreach { m =>
-      m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
-    }
+    Seq(engines, stratified, histograms, detEngines, uniEngines, uniSamples)
+      .foreach { m =>
+        m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
+      }
     engines.getOrElseUpdate((s, dir), {
       Tables.registerAll(s, dir)
       new QueryEngine(s,
@@ -514,6 +517,41 @@ object Aqp {
       r.df
     }),
 
+    // AQP: the MATERIALIZED universe-sample route — q79's membership
+    // with the per-query lottery cost removed: both sides' universe
+    // samples (Samplers.createUniverse, p=0.01) are built once, and the
+    // engine substitutes them for the base relations (no scan of
+    // either base table at query time — the serving shape at 100 TB,
+    // where the md5 lottery over every row is itself a full-scan
+    // cost). Membership is IDENTICAL to the inline form, so this
+    // query shares q79's oracle verbatim.
+    "q80_universe_materialized" -> ((s, dir) => {
+      val e = uniEngineFor(s, dir)
+      uniSamples.getOrElseUpdate((s, dir), {
+        Samplers.createUniverse(s, e.catalog, "lineitem", "l_orderkey", 0.01)
+        Samplers.createUniverse(s, e.catalog, "orders", "o_orderkey", 0.01)
+        // creation recorded REAL counts; re-force the two-big-tables
+        // regime and re-stamp the samples fresh against it
+        e.catalog.upsertTableStats("lineitem", 6000000L)
+        e.catalog.upsertTableStats("orders", 1500000L)
+        e.catalog.refreshSampleBase("lineitem")
+        e.catalog.refreshSampleBase("orders")
+      })
+      val r = e.query(
+        "SELECT o_orderpriority, count(*) AS n_est, " +
+          "sum(l_quantity) AS qty_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          ciColumns = false))
+      assert(r.strategy == "sample_universe" &&
+          r.reason.contains("materialized universe") &&
+          r.sampleTable.exists(_.contains("__uni_")),
+        s"q80 must serve from materialized universe samples: " +
+          s"${r.strategy} ${r.sampleTable} (${r.reason})")
+      r.df
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -581,6 +619,16 @@ object Aqp {
     // both-sides filter exactly; weight 100.0 and integral l_quantity
     // keep every weighted sum an exact double.
     "q79_universe_join" ->
+      s"""WITH k AS (SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS x
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100)
+          SELECT o_orderpriority,
+            CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
+            CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est
+          FROM k GROUP BY 1 ORDER BY 1""",
+    // q80: identical membership to q79 (the materialized samples hold
+    // exactly the lottery's winners), so the oracle is q79's verbatim.
+    "q80_universe_materialized" ->
       s"""WITH k AS (SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS x
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100)

@@ -215,6 +215,44 @@ object Samplers {
     (name, withAchieved)
   }
 
+  /** Universe sample: the rows whose JOIN KEY wins the shared keyed-hash
+    * lottery `graft_h60('uv:'||key) % 10000 < round(f*10000)` —
+    * materialized once so repeated universe-sampled joins
+    * (QueryEngine's both-sides-big path) read two small cached tables
+    * instead of re-hashing both full scans per query (the same
+    * pay-once-at-creation economics as createUniform; at 100 TB the
+    * md5-based lottery over every row is itself a full-scan cost).
+    * Two universe samples with the SAME fraction are join-compatible:
+    * equal keys hash identically, so the sampled join is the
+    * key-universe p-sample of the full join under one 1/p HT scale.
+    * Registered with a `__universe__<key>` strata marker so the
+    * uniform-sample lookup can never serve it as a row-level sample
+    * (it is key-clustered, not row-uniform).
+    */
+  def createUniverse(spark: SparkSession, catalog: MetaCatalog,
+      table: String, key: String, fraction: Double): (String, Long) = {
+    require(fraction > 0 && fraction < 1, "fraction must be in (0,1)")
+    graft.functions.GraftFunctions.register(spark)
+    val threshold = math.max(1, math.round(fraction * 10000).toInt)
+    val p = threshold / 10000.0
+    val name = s"${table}__uni_${key}_${SampleNaming.encodeFraction(p)}"
+    val path = s"${catalog.samplesDir}/$name"
+    val df = spark.table(table)
+    val base = df.count()
+    df.filter(expr(
+        s"graft_h60(concat('uv:', cast($key as string))) % 10000 < $threshold"))
+      .coalesce(sampleFiles(base * p))
+      .write.mode("overwrite").parquet(path)
+    val sampleDf = spark.read.parquet(path).cache()
+    sampleDf.createOrReplaceTempView(name)
+    val rows = sampleDf.count()
+    catalog.upsertTableStats(table, base)
+    catalog.addSample(catalog.SampleInfo(table, name, p,
+      Some(s"__universe__$key"), path, System.currentTimeMillis(),
+      baseRows = Some(base)))
+    (name, rows)
+  }
+
   /** Neyman allocation: n_h = n_total * N_h*sigma_h / sum(N_h*sigma_h),
     * fraction capped at 1.0 (/root/reference/sampler.py:194-217).
     */

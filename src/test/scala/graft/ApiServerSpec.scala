@@ -188,10 +188,26 @@ class ApiServerSpec extends SparkSpec {
     assert(codeQ == 200, bodyQ)
     assert(parsed(bodyQ)("plan").flatMap(_("type")).flatMap(_.str)
       .contains("sketch"), bodyQ)
+    // beyond the reference: an AGMS pair over the join keys turns join
+    // AQP into an automatic costed decision — no opt-in flag on /query
+    val (codeA, bodyA) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_orderkey", "sketch_type": "agms"}"""))
+    assert(codeA == 200, bodyA)
+    assert(parsed(bodyA)("rows").flatMap(_.num).exists(_ > 0), bodyA)
+    val (codeA2, bodyA2) = http("POST", "/sketches/create", Some(
+      """{"table": "lineitem", "column": "l_orderkey", "sketch_type": "agms"}"""))
+    assert(codeA2 == 200, bodyA2)
+    val (codeJ, bodyJ) = http("POST", "/query", Some(
+      """{"sql": "SELECT o_orderpriority, count(*) AS n FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority"}"""))
+    assert(codeJ == 200, bodyJ)
+    assert(parsed(bodyJ)("plan").flatMap(_("type")).flatMap(_.str)
+      .contains("sample"), bodyJ.take(400))
+    assert(parsed(bodyJ)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("AGMS")), bodyJ.take(400))
     val (code3, body3) = http("GET", "/sketches?table=orders")
     assert(code3 == 200)
     assert(body3.contains("hyperloglog") && body3.contains("countmin")
-      && body3.contains("histogram"))
+      && body3.contains("histogram") && body3.contains("agms"))
     // missing table param is a 400, like the reference
     assert(http("GET", "/sketches")._1 == 400)
   }

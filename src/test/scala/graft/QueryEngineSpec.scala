@@ -316,6 +316,25 @@ class QueryEngineSpec extends SparkSpec {
       assert(est % 100.0 == 0.0, est.toString)
       assert(est > 0.2 * truth && est < 5 * truth, s"est=$est truth=$truth")
 
+      // a materialized universe-sample pair (same fraction) is preferred
+      // over the inline lottery — the per-query hash over both scans
+      // disappears; membership is identical so the estimate is EXACTLY
+      // the inline plan's
+      Samplers.createUniverse(spark, catalog, "orders", "o_orderkey", 0.01)
+      Samplers.createUniverse(spark, catalog, "lineitem", "l_orderkey", 0.01)
+      catalog.upsertTableStats("orders", 2000000L)
+      catalog.upsertTableStats("lineitem", 8000000L)
+      catalog.refreshSampleBase("orders")
+      catalog.refreshSampleBase("lineitem")
+      val rm = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(rm.strategy == "sample_universe" &&
+        rm.reason.contains("materialized universe"), rm.reason)
+      assert(rm.sampleTable.exists(_.contains("__uni_")), rm.sampleTable.toString)
+      val estM = rm.df.collect().head.getAs[Any]("n")
+        .asInstanceOf[Number].doubleValue()
+      assert(estM == est, s"materialized=$estM inline=$est")
+
       // one big + one small table -> fact-side sampling, not universe
       catalog.upsertTableStats("orders", nO)
       val r2 = engine.query(sql,
