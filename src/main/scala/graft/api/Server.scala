@@ -168,6 +168,28 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     }
   }
 
+  // Beyond the reference: materialized UNIVERSE (join-key-lottery)
+  // samples over the API — build one per join side at the SAME
+  // fraction and subsequent big-big joins through POST /query answer
+  // from the pair (QueryEngine's universe route), the lottery hash
+  // paid once here instead of per query.
+  handle("/samples/universe", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val key = req("key_column").flatMap(_.str).getOrElse("")
+        val f = req("sample_fraction").flatMap(_.num).getOrElse(0.0)
+        if (table.isEmpty || key.isEmpty || f <= 0 || f >= 1)
+          (400, err("table, key_column and 0<sample_fraction<1 required"))
+        else {
+          val (name, rows) = Samplers.createUniverse(
+            spark, engine.catalog, table, key, f)
+          (200, s"""{"status": "ok", "sample_table": "$name", "rows": $rows, "key_column": ${jstr(key)}}""")
+        }
+    }
+  }
+
   // Beyond the reference: the q65 skew-profile loop over the API —
   // profile a (table, column/expression), persist the stats in the
   // catalog, and report whether exact GROUP BYs on it will now re-plan

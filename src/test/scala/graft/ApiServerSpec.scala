@@ -123,6 +123,26 @@ class ApiServerSpec extends SparkSpec {
     assert(tables.contains(name))
   }
 
+  test("POST /samples/universe materializes a join-key-lottery sample pair") {
+    val (c1, b1) = http("POST", "/samples/universe", Some(
+      """{"table": "orders", "key_column": "o_orderkey", "sample_fraction": 0.05}"""))
+    assert(c1 == 200, b1)
+    val name = parsed(b1)("sample_table").flatMap(_.str)
+      .getOrElse(fail("no sample_table"))
+    assert(name.contains("__uni_o_orderkey"), name)
+    assert(parsed(b1)("rows").flatMap(_.num).exists(_ > 0), b1)
+    val (c2, b2) = http("POST", "/samples/universe", Some(
+      """{"table": "lineitem", "key_column": "l_orderkey", "sample_fraction": 0.05}"""))
+    assert(c2 == 200, b2)
+    // registered (visible in the listing and queryable as a view)
+    val (c3, b3) = http("GET", "/samples?table=orders")
+    assert(c3 == 200 && b3.contains(name), b3)
+    assert(spark.table(name).count() > 0)
+    // missing key / bad fraction is a 400
+    assert(http("POST", "/samples/universe",
+      Some("""{"table": "orders"}"""))._1 == 400)
+  }
+
   test("POST /samples/stratified returns per-stratum allocations") {
     val (code, body) = http("POST", "/samples/stratified", Some(
       """{"table": "orders", "strata_column": "o_orderpriority", "total_fraction": 0.2}"""))
