@@ -32,10 +32,28 @@ object Tables {
   }
 
   /** Register every table under `sfDir` as a temp view (idempotent). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
     all.foreach { t =>
       load(spark, sfDir, t).createOrReplaceTempView(t)
     }
+    registered(spark) = sfDir
+  }
+
+  /** Which dir this session's views currently point at. A multi-dir
+    * session (graft.tools.Scaling interleaves sf0.01/sf0.1) flips the
+    * GLOBAL view names when it switches dir; an engine memoized per
+    * (session, dir) must re-register before querying or it silently
+    * reads (and records stats for) the OTHER dir's data — the
+    * cross-dir poisoning that made q77/q78's fact-side selection flip
+    * in the scaling probe. Single-dir runs pay one map probe.
+    */
+  private val registered =
+    scala.collection.concurrent.TrieMap[SparkSession, String]()
+  def ensureRegistered(spark: SparkSession, sfDir: String): Unit = {
+    registered.keysIterator.filter(_.sparkContext.isStopped)
+      .foreach(registered.remove)
+    if (!registered.get(spark).contains(sfDir)) registerAll(spark, sfDir)
+  }
 
   /** A SparkSession tuned for this engine (local mode, AQE on,
     * shuffle partitions sized for the local core count, UTC).

@@ -50,16 +50,19 @@ object Aqp {
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
+    // a multi-dir session flips the global view names between calls —
+    // re-point them at THIS dir before the engine touches anything, or
+    // stats/asserts silently read the other dir (Tables.ensureRegistered)
+    Tables.ensureRegistered(s, dir)
     engines.getOrElseUpdate((s, dir), {
-      Tables.registerAll(s, dir)
       new QueryEngine(s,
         new MetaCatalog(Files.createTempDirectory("graft-aqp").toString))
     })
   }
 
-  private def uniEngineFor(s: SparkSession, dir: String): QueryEngine =
+  private def uniEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
     uniEngines.getOrElseUpdate((s, dir), {
-      Tables.registerAll(s, dir)
       val e = new QueryEngine(s,
         new MetaCatalog(Files.createTempDirectory("graft-uni").toString))
       // Force BOTH join sides over UniverseMinRows so the engine picks
@@ -73,10 +76,11 @@ object Aqp {
       e.catalog.upsertTableStats("orders", 1500000L)
       e
     })
+  }
 
-  private def detEngineFor(s: SparkSession, dir: String): QueryEngine =
+  private def detEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
     detEngines.getOrElseUpdate((s, dir), {
-      Tables.registerAll(s, dir)
       val e = new QueryEngine(s,
         new MetaCatalog(Files.createTempDirectory("graft-det").toString))
       Samplers.createStratifiedDeterministic(s, e.catalog, "orders",
@@ -91,6 +95,7 @@ object Aqp {
       e.catalog.refreshSampleBase("orders")
       e
     })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multimodal metadata over binary payloads, expressed as columnar
@@ -179,7 +184,7 @@ object Aqp {
     // CI companion uses stddev_samp, whose merge order differs across
     // engines in the last ulp.
     "q39_aqp_ht_identity" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.ensureRegistered(s, dir)
       val parsed = s.sessionState.sqlParser.parsePlan(
         """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
@@ -198,7 +203,7 @@ object Aqp {
     // integer in double (< 2^53), so the double sum is order-independent
     // and cross-engine deterministic.
     "q43_stratified_identity" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.ensureRegistered(s, dir)
       s.table("orders")
         .withColumn("graft_weight", lit(1.0))
         .createOrReplaceTempView("orders__strat_identity")
