@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[decodeImage]] runs the JDK's `javax.imageio`
   * PNG codec on the payload bytes inside `mapPartitions` (encode on one
   * executor, full PNG compression in between, decode on another — see
-  * [[pngFor]]/[[extractImageMeta]] and the q72 oracle gate). Audio and
-  * video decode remain STUBBED ([[decodeStub]] derives deterministic
-  * fake metadata) because the JDK ships no audio/video codecs and this
-  * environment allows no added dependencies; the binary schema, the
-  * Dataset[Media] typed surface, partition-batched processing (the JVM
-  * analogue of `mapInPandas` batch semantics), frame sampling, and
-  * feature projection are identical for all three kinds.
+  * [[pngFor]]/[[extractImageMeta]] and the q72 oracle gate). AUDIO
+  * decode is REAL too: [[decodeAudio]] runs the JDK's WAV/PCM codec
+  * (`javax.sound.sampled` — container I/O only, headless-safe) over
+  * payloads encoded by [[wavFor]], gated by the q81 oracle. Only VIDEO
+  * decode remains STUBBED ([[decodeStub]] derives deterministic fake
+  * metadata) because the JDK ships no video codec and this environment
+  * allows no added dependencies; the binary schema, the Dataset[Media]
+  * typed surface, partition-batched processing (the JVM analogue of
+  * `mapInPandas` batch semantics), frame sampling, and feature
+  * projection are identical for all three kinds.
   *
   * Scale: decode is per-row work inside mapPartitions — embarrassingly
   * parallel, no shuffle; batches bound peak memory per task the way
@@ -121,6 +124,86 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map(m => decodeImage(m.id, m.bytes)))
+    }
+  }
+
+  case class AudioMeta(id: Long, sampleRate: Int, channels: Int,
+      nSamples: Int, firstSample: Int, midSample: Int, lastSample: Int)
+
+  /** Deterministic 16-bit PCM mono WAV for id `id` — REAL audio bytes
+    * through the JDK's WAV writer (`javax.sound.sampled`; container
+    * serialization only, no audio device, so it runs headless on
+    * executors). Sample rate, frame count, and every PCM sample value
+    * are pure functions of the id, so a decoder's output is predictable
+    * without re-reading the bytes (what the q81 oracle gates).
+    */
+  def wavFor(id: Long): Array[Byte] = {
+    val rate = 8000 + 1000 * (id % 5).toInt
+    val n = 100 + (id % 400).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+      data(2 * i) = (v & 0xff).toByte // little-endian PCM
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false) // signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled` WAV/PCM codec): parse
+    * the RIFF container, return format metadata plus the decoded sample
+    * values at three offsets — proof the PCM frames (not just the
+    * header) round-tripped.
+    */
+  def decodeAudio(id: Long, bytes: Array[Byte]): AudioMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getChannels == 1,
+      s"payload of id=$id is not 16-bit little-endian mono PCM")
+    val n = ais.getFrameLength.toInt
+    val data = ais.readAllBytes()
+    require(data.length == n * 2,
+      s"payload of id=$id decoded ${data.length} bytes for $n frames")
+    def sample(i: Int): Int = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+    AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels, n,
+      sample(0), sample(n / 2), sample(n - 1))
+  }
+
+  /** Audio corpus: one real WAV payload per document id — the loader a
+    * production pipeline replaces with `spark.read.format("binaryFile")`
+    * over an audio bucket. Encoding happens ON THE EXECUTORS (per-row in
+    * a typed map), so payload bytes never originate on the driver.
+    */
+  def audioMedia(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .map(id => Media(id, "audio", wavFor(id)))
+  }
+
+  /** Partition-batched REAL decode over an audio corpus: the same batch
+    * shape as [[extractMeta]] with the codec swapped from stub to
+    * `javax.sound.sampled`.
+    */
+  def extractAudioMeta(media: Dataset[Media], batchSize: Int = 64)
+      : Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(m => decodeAudio(m.id, m.bytes)))
     }
   }
 

@@ -153,6 +153,29 @@ object Aqp {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal REAL audio decode, end-to-end (q72's audio twin): a
+    // 16-bit PCM WAV payload is encoded per doc_id on the executors
+    // (javax.sound.sampled — the JDK's WAV codec), rides the engine as
+    // an opaque binary column, and is decoded back in partition-batched
+    // mapPartitions. Sample rate, frame count, and the PCM sample
+    // values at three offsets are pure functions of the id, so the
+    // DECODED values are oracle-checkable without DuckDB ever seeing
+    // the bytes — the gate proves real PCM frames survived the RIFF
+    // container round trip. Video decode remains the documented stub
+    // (the JDK ships no video codec).
+    "q81_audio_decode" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .extractAudioMeta(graft.multimodal.Multimodal.audioMedia(s, dir))
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nSamples").as("n_samples"),
+          col("firstSample").as("first_sample"),
+          col("midSample").as("mid_sample"),
+          col("lastSample").as("last_sample"))
+        .orderBy(col("doc_id"))
+    }),
+
     // AQP: sampled COUNT/SUM/AVG with Horvitz-Thompson scaling and CI
     // columns, through the FULL engine path (features -> chooser ->
     // planner -> rewrite), sampling systematically on l_orderkey —
@@ -671,6 +694,20 @@ object Aqp {
             CAST(doc_id % 256 AS INT) AS red,
             CAST((doc_id * 7) % 256 AS INT) AS green,
             CAST((doc_id * 13) % 256 AS INT) AS blue
+          FROM documents ORDER BY doc_id""",
+    // q81: the oracle predicts what the WAV decoder must recover from
+    // each generated payload (Multimodal.wavFor's id arithmetic) — a
+    // mismatch means PCM data or container metadata corrupted in the
+    // codec round trip. All-integer arithmetic on both sides (doc_id
+    // >= 0, so % is the same nonnegative remainder in both engines).
+    "q81_audio_decode" ->
+      """SELECT doc_id,
+            CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+            CAST(1 AS INT) AS channels,
+            CAST(100 + doc_id % 400 AS INT) AS n_samples,
+            CAST((doc_id * 31) % 65536 - 32768 AS INT) AS first_sample,
+            CAST((doc_id * 31 + ((100 + doc_id % 400) // 2) * 17) % 65536 - 32768 AS INT) AS mid_sample,
+            CAST((doc_id * 31 + (99 + doc_id % 400) * 17) % 65536 - 32768 AS INT) AS last_sample
           FROM documents ORDER BY doc_id""",
     // q28: the engine picks the 0.02 size-tier fraction for the 60K-row
     // sf0.01 lineitem (StrategyChooser.sampleFraction), so threshold =

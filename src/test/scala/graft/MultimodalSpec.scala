@@ -75,6 +75,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV decode recovers rate, frames, and PCM samples (javax.sound)") {
+    // driver-side roundtrip: real encoder -> real decoder
+    for (id <- Seq(0L, 1L, 17L, 255L, 4096L)) {
+      val bytes = Multimodal.wavFor(id)
+      // a real RIFF/WAVE container, not arithmetic
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A')
+      val n = 100 + (id % 400).toInt
+      def expected(i: Int): Int =
+        (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+      val m = Multimodal.decodeAudio(id, bytes)
+      assert(m.sampleRate == 8000 + 1000 * (id % 5).toInt)
+      assert(m.channels == 1)
+      assert(m.nSamples == n)
+      assert(m.firstSample == expected(0))
+      assert(m.midSample == expected(n / 2))
+      assert(m.lastSample == expected(n - 1))
+    }
+    // distributed: encode on executors, decode batched on executors
+    val metas = Multimodal.extractAudioMeta(
+      Multimodal.audioMedia(spark, sfDir), batchSize = 16).collect()
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      val n = 100 + (m.id % 400).toInt
+      assert(m.nSamples == n, s"id=${m.id}")
+      assert(m.sampleRate == 8000 + 1000 * (m.id % 5).toInt, s"id=${m.id}")
+      assert(m.lastSample ==
+        (((m.id * 31 + (n - 1).toLong * 17) % 65536) - 32768).toInt,
+        s"id=${m.id}")
+    }
+  }
+
   test("frame sampling strides through video payloads only") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
       .collect()
