@@ -545,6 +545,33 @@ object Aqp {
       r.df
     }),
 
+    // AQP: universe join sampling with the FULL CI-companion contract
+    // (q79 + q78 composed): ciColumns=true through the universe path.
+    // Every aggregate carries `_ci_low/_ci_high/_rel_error` computed in
+    // the SAME aggregation pass over the lottery's winners, per GROUP:
+    // Var[HT count] per surviving row = w(w-1) = 9900, Var[HT sum] =
+    // x²·9900, se[avg] = moment-form stddev/√kn (SampleRewrite.seExpr
+    // with the single 1/p = 100.0 weight). Exact fixed-association
+    // arithmetic over integer sums — DuckDB re-derives all nine
+    // companions bit-for-bit. Runs after q80 alphabetically, so the
+    // engine may serve it from the materialized universe samples;
+    // membership is identical either way.
+    "q82_universe_ci" -> ((s, dir) => {
+      val e = uniEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, count(*) AS n_est, " +
+          "sum(l_quantity) AS qty_est, avg(l_quantity) AS avg_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          ciColumns = true))
+      assert(r.strategy == "sample_universe" &&
+          r.sampleFraction.contains(0.01),
+        s"q82 must run universe join sampling at p=0.01: " +
+          s"${r.strategy} f=${r.sampleFraction} (${r.reason})")
+      r.df
+    }),
+
     // AQP: the MATERIALIZED universe-sample route — q79's membership
     // with the per-query lottery cost removed: both sides' universe
     // samples (Samplers.createUniverse, p=0.01) are built once, and the
@@ -654,6 +681,35 @@ object Aqp {
             CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
             CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est
           FROM k GROUP BY 1 ORDER BY 1""",
+    // q82: q79's universe membership ('uv:' lottery, threshold 100,
+    // weight exactly 100.0) with q78's full CI re-derivation, PER
+    // GROUP: Var[HT count] per surviving row = w(w-1) = 9900; Var[HT
+    // sum] = x²·9900; se[avg] = moment-form sample stddev / sqrt(kn).
+    "q82_universe_ci" ->
+      s"""WITH k AS (SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS x
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100),
+          a AS (SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS kn,
+              CAST(sum(x) AS DOUBLE) AS sx,
+              CAST(sum(x * x) AS DOUBLE) AS sxx
+            FROM k GROUP BY 1)
+          SELECT o_orderpriority,
+            kn * 100.0 AS n_est,
+            sx * 100.0 AS qty_est,
+            (sx * 100.0) / (kn * 100.0) AS avg_est,
+            kn * 100.0 - 1.96 * sqrt(kn * 9900.0) AS n_est_ci_low,
+            kn * 100.0 + 1.96 * sqrt(kn * 9900.0) AS n_est_ci_high,
+            (1.96 * sqrt(kn * 9900.0)) / abs(kn * 100.0) AS n_est_rel_error,
+            sx * 100.0 - 1.96 * sqrt(sxx * 9900.0) AS qty_est_ci_low,
+            sx * 100.0 + 1.96 * sqrt(sxx * 9900.0) AS qty_est_ci_high,
+            (1.96 * sqrt(sxx * 9900.0)) / abs(sx * 100.0) AS qty_est_rel_error,
+            (sx * 100.0) / (kn * 100.0)
+              - 1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_est_ci_low,
+            (sx * 100.0) / (kn * 100.0)
+              + 1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn) AS avg_est_ci_high,
+            (1.96 * sqrt(greatest(CAST(0 AS DOUBLE), (sxx - (sx * sx) / kn) / (kn - 1.0)) / kn))
+              / abs((sx * 100.0) / (kn * 100.0)) AS avg_est_rel_error
+          FROM a ORDER BY o_orderpriority""",
     // q80: identical membership to q79 (the materialized samples hold
     // exactly the lottery's winners), so the oracle is q79's verbatim.
     "q80_universe_materialized" ->
