@@ -225,8 +225,19 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
             column match {
               case None => (400, err("column required for HyperLogLog"))
               case Some(c) =>
-                val (size, _) = SketchOps.createHll(spark, engine.catalog, table, c)
-                (200, s"""{"status": "ok", "sketch_type": "hyperloglog", "size_bytes": $size}""")
+                // optional group_by: one HLL PER GROUP in a single pass,
+                // the input to the engine's no-scan grouped
+                // COUNT(DISTINCT) answer (beyond the reference's
+                // global-only sketch store)
+                params("group_by").flatMap(_.str) match {
+                  case Some(g) =>
+                    val (size, groups) = SketchOps.createGroupedHll(
+                      spark, engine.catalog, table, g, c)
+                    (200, s"""{"status": "ok", "sketch_type": "hll_grouped", "size_bytes": $size, "groups": $groups}""")
+                  case None =>
+                    val (size, _) = SketchOps.createHll(spark, engine.catalog, table, c)
+                    (200, s"""{"status": "ok", "sketch_type": "hyperloglog", "size_bytes": $size}""")
+                }
             }
           case "countmin" =>
             val eps = params("epsilon").flatMap(_.num).getOrElse(0.01)

@@ -190,13 +190,17 @@ final class QueryEngine(
         // Fast path: a pre-built catalog sketch answers the whole query
         // with NO scan at all (the capability the reference declares but
         // never wires — its get_sketch has zero callers, SURVEY §4.4).
-        storedSketchAnswer(parsed, table) match {
-          case Some(df) =>
-            AqeResult(df, "sketch", "sketch", choice.reasoning,
-              choice.confidence, Double.PositiveInfinity,
-              1.04 / math.sqrt(4096.0), None, None,
-              Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"))
-          case None =>
+        storedSketchAnswer(parsed, table).map { df =>
+          AqeResult(df, "sketch", "sketch", choice.reasoning,
+            choice.confidence, Double.PositiveInfinity,
+            1.04 / math.sqrt(4096.0), None, None,
+            Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"))
+        }.orElse(storedGroupedSketchAnswer(parsed, table).map { df =>
+          AqeResult(df, "sketch", "sketch", choice.reasoning,
+            choice.confidence, Double.PositiveInfinity,
+            1.04 / math.sqrt(4096.0), None, None,
+            Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"))
+        }).getOrElse {
             val d = SampleRewrite.Directive(table, Planner.ReadExact,
               weight = None, rewriteDistinctToHll = true,
               hllRsd = Some(math.max(0.005, math.min(opts.maxRelError, 0.1))),
@@ -738,6 +742,87 @@ final class QueryEngine(
           val cols = answered.flatten.map { case (n, v) => lit(v).as(n) }
           Some(spark.range(1).select(cols: _*))
         } else None
+      case _ => None
+    }
+  }
+
+  /** If the query is `SELECT g, count(DISTINCT attr)... FROM table
+    * GROUP BY g` with a fresh stored GROUPED HyperLogLog (built by
+    * SketchOps.createGroupedHll with group_by == g) covering every
+    * distinct-counted column, answer all groups from the catalog —
+    * zero table scan. Group keys are served as the string rendering
+    * recorded at build time (the Count-Min string-key contract), and
+    * every consulted sketch must carry the same group-key set (they
+    * were built from the same table state or not at all).
+    */
+  private val groupByParamRe = """"group_by"\s*:\s*"([^"]*)"""".r
+  private def storedGroupedSketchAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    parsed match {
+      case Aggregate(Seq(g: Expression), outs, r: UnresolvedRelation, _)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
+        val gName = attrName(g).getOrElse(return None)
+        def countDistinctCol(e: Expression): Option[String] = e match {
+          case f: UnresolvedFunction
+              if f.nameParts.last.equalsIgnoreCase("count") && f.isDistinct &&
+                f.filter.isEmpty && f.arguments.sizeIs == 1 =>
+            attrName(f.arguments.head)
+          case _ => None
+        }
+        // classify outputs: Left(outName) = the group key, Right((outName,
+        // per-group estimates)) = an answered count-distinct
+        val classified = outs.map {
+          case a: UnresolvedAttribute
+              if a.nameParts.last.equalsIgnoreCase(gName) =>
+            Some(Left(a.nameParts.last))
+          case Alias(e, name) if attrName(e).exists(_.equalsIgnoreCase(gName)) =>
+            Some(Left(name))
+          case Alias(e, name) =>
+            countDistinctCol(e).flatMap { c =>
+              catalog.getSketch(table, c, "hll_grouped")
+                .filter(sketchIsFresh(table, _))
+                .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
+                  .exists(_.group(1).equalsIgnoreCase(gName)))
+                .map { s =>
+                  val est = graft.sketch.GroupedHll.deserialize(s.data)
+                    .map { case (k, h) => k -> h.count }
+                  Right((name, est))
+                }
+            }
+          case _ => None
+        }
+        if (classified.exists(_.isEmpty)) return None
+        val parts = classified.flatten
+        val keyCols = parts.collect { case Left(n) => n }
+        val estCols = parts.collect { case Right(v) => v }
+        if (keyCols.sizeIs != 1 || estCols.isEmpty) return None
+        // all sketches must agree on the group-key set
+        val keys = estCols.head._2.map(_._1)
+        if (!estCols.forall(_._2.map(_._1).toSet == keys.toSet)) return None
+        val byName = estCols.map { case (n, est) => n -> est.toMap }.toMap
+        // rows in the parsed output order (key and counts interleave as
+        // the select list wrote them)
+        val rows = keys.map { k =>
+          org.apache.spark.sql.Row.fromSeq(parts.map {
+            case Left(_)       => k.orNull
+            case Right((n, _)) => byName(n)(k)
+          })
+        }
+        val schema = StructType(parts.map {
+          case Left(n)       => StructField(n, StringType, nullable = true)
+          case Right((n, _)) => StructField(n, LongType, nullable = false)
+        })
+        import scala.jdk.CollectionConverters._
+        Some(spark.createDataFrame(rows.asJava, schema))
       case _ => None
     }
   }

@@ -362,6 +362,51 @@ object Aqp {
           "(est_raw - cast(n_exact as double)) / cast(n_exact as double)"))
     }),
 
+    // Per-group deterministic HLL — q73's portable estimate chain with
+    // a GROUP BY: one m=1024 register set PER l_returnflag group
+    // (groupBy(g, bucket) -> max rho, then groupBy(g) for the indicator
+    // sum). The same rho<=30 scaling keeps every per-group sum an exact
+    // BIGINT (<= 2^40), and each estimate is one string-parsed-constant
+    // division — so all three groups hash-match DuckDB bit-for-bit.
+    // This is the oracle-gated twin of the engine's grouped-sketch
+    // serve (QueryEngine.storedGroupedSketchAnswer, spec-gated: the
+    // catalog path's Hll.count uses libm log, which is not
+    // hash-portable). Per-group distinct counts (~11K at sf0.01, ~110K
+    // at sf0.1) sit between 2.5m=2560 and 2^32/30, so no correction
+    // branch fires at either SF; v_empty is reported per group so the
+    // oracle would catch the regime changing.
+    "q83_grouped_hll" -> ((s, dir) => {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      val regs = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          expr(graft.queries.Dedup.h60Spark(
+            "concat('ghll:', cast(l_orderkey as string))")).as("h"))
+        .select(col("g"), expr("cast(h % 1024 as int)").as("b"),
+          expr("h div 1024").as("rest"))
+        .groupBy(col("g"), col("b"))
+        .agg(max(expr(
+          "case when rest = 0 then 51 else 51 - length(bin(rest)) end"))
+          .as("rho"))
+      val est = regs.groupBy(col("g"))
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(cast(1 as bigint), 30 - least(rho, 30))"))
+            .as("sp"))
+        .select(col("g"),
+          expr("cast(1024 - nb as int)").as("v_empty"),
+          expr("cast(sp + (1024 - nb) * 1073741824 as bigint)")
+            .as("s_scaled"))
+        .withColumn("est_raw", expr(
+          s"cast('$num' as double) / cast(s_scaled as double)"))
+      val exact = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("g2"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      est.join(exact, col("g") === col("g2")).drop("g2")
+        .withColumn("rel_error", expr(
+          "(est_raw - cast(n_exact as double)) / cast(n_exact as double)"))
+        .orderBy(col("g"))
+    }),
+
     // AQP: deterministic weighted (importance) sampling + stratified
     // Horvitz-Thompson estimation over the documents corpus — keep
     // high-quality docs at rate 1, mid at 0.3, low at 0.05 (the corpus
@@ -853,6 +898,32 @@ object Aqp {
                 / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE)
               - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
           FROM s, ex"""
+    },
+    "q83_grouped_hll" -> {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      s"""WITH h AS (SELECT l_returnflag AS g,
+              ${graft.queries.Dedup.h60Duck("'ghll:' || CAST(l_orderkey AS VARCHAR)")} AS h
+            FROM lineitem),
+          b AS (SELECT g, CAST(h % 1024 AS INT) AS b, h // 1024 AS rest FROM h),
+          r AS (SELECT g, b,
+              max(CASE WHEN rest = 0 THEN 51 ELSE 51 - length(bin(rest)) END) AS rho
+            FROM b GROUP BY g, b),
+          s AS (SELECT g, count(*) AS nb,
+              sum(CAST(1 AS BIGINT) << CAST(30 - least(rho, 30) AS INT)) AS sp
+            FROM r GROUP BY g),
+          ex AS (SELECT l_returnflag AS g, count(DISTINCT l_orderkey) AS n_exact
+            FROM lineitem GROUP BY l_returnflag)
+          SELECT s.g,
+            CAST(1024 - nb AS INT) AS v_empty,
+            CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS s_scaled,
+            CAST('$num' AS DOUBLE)
+              / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE) AS est_raw,
+            n_exact,
+            (CAST('$num' AS DOUBLE)
+                / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE)
+              - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+          FROM s JOIN ex ON s.g = ex.g ORDER BY s.g"""
     },
     "q62_join_size_agms" -> {
       def sk(table: String, key: String, alias: String): String =

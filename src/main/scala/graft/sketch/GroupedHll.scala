@@ -1,0 +1,64 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Serialization for a GROUPED HyperLogLog sketch: one HLL per group
+  * value, packed into a single catalog blob so the per-group
+  * COUNT(DISTINCT) shape (`SELECT g, count(distinct x) FROM t GROUP
+  * BY g`) can be answered from the catalog with no scan — the grouped
+  * extension of the reference's single-value sketch store
+  * (/root/reference/sketches.py:10-151, app.py:222-258; the reference
+  * has no grouped variant at all).
+  *
+  * Layout (little-endian): `[u32 n]` then per group
+  * `[i32 keyLen][key UTF-8 bytes][u32 sketchLen][sketch bytes]`,
+  * keyLen == -1 encodes a NULL group key. Group keys are stored as the
+  * string rendering of the grouping value (`cast(g as string)`), the
+  * same string-keyed contract the Count-Min store uses.
+  *
+  * The blob is driver-resident metadata, not data: the builder refuses
+  * more than `SketchOps.MaxHllGroups` groups, so at 100 TB the blob
+  * stays a few MB while the build itself remains one distributed pass.
+  */
+object GroupedHll {
+
+  def serialize(groups: Seq[(Option[String], Array[Byte])]): Array[Byte] = {
+    val keys = groups.map { case (k, _) =>
+      k.map(_.getBytes(StandardCharsets.UTF_8))
+    }
+    val size = 4 + groups.zip(keys).map { case ((_, s), kb) =>
+      8 + kb.map(_.length).getOrElse(0) + s.length
+    }.sum
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(groups.size)
+    groups.zip(keys).foreach { case ((_, sketch), kb) =>
+      kb match {
+        case Some(b) => buf.putInt(b.length); buf.put(b)
+        case None    => buf.putInt(-1)
+      }
+      buf.putInt(sketch.length)
+      buf.put(sketch)
+    }
+    buf.array()
+  }
+
+  def deserialize(data: Array[Byte]): Seq[(Option[String], Hll)] = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val n = buf.getInt
+    (0 until n).map { _ =>
+      val keyLen = buf.getInt
+      val key =
+        if (keyLen < 0) None
+        else {
+          val kb = new Array[Byte](keyLen)
+          buf.get(kb)
+          Some(new String(kb, StandardCharsets.UTF_8))
+        }
+      val sLen = buf.getInt
+      val sb = new Array[Byte](sLen)
+      buf.get(sb)
+      key -> Hll.deserialize(sb)
+    }
+  }
+}

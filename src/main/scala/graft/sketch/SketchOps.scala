@@ -39,6 +39,51 @@ object SketchOps {
     (bytes.length, Hll.deserialize(bytes).count)
   }
 
+  /** Upper bound on the group cardinality a grouped HLL will hold: the
+    * blob is driver-resident catalog metadata (a few KB per group at
+    * b=12), so a grouping column with more distinct values than this is
+    * a data column, not a dimension — refuse rather than build a
+    * multi-GB "sketch".
+    */
+  val MaxHllGroups = 10000
+
+  /** Build one HLL PER GROUP over `table.valueCol` grouped by
+    * `groupCol`, packed into a single catalog blob — the input to the
+    * engine's no-scan answer for `SELECT g, count(distinct x) FROM t
+    * GROUP BY g` (the reference's sketch store is global-only). One
+    * distributed pass: the HLL aggregator partial-merges per task, so
+    * only the finished per-group registers reach the driver. Returns
+    * (serialized size, group count).
+    */
+  def createGroupedHll(spark: SparkSession, catalog: MetaCatalog,
+      table: String, groupCol: String, valueCol: String,
+      b: Int = 12): (Int, Int) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    // count(*) rides the same pass; the SUM over groups is the full
+    // rowcount for the freshness guard (every row lands in exactly one
+    // group, NULL keys included). limit(MaxHllGroups+1) bounds driver
+    // memory while still detecting overflow.
+    val rows = spark.table(table)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(Hll.sketchAgg(col(valueCol).cast("string"), b).as("s"),
+        count(lit(1)).as("n"))
+      .limit(MaxHllGroups + 1)
+      .collect()
+    if (rows.length > MaxHllGroups)
+      throw new IllegalArgumentException(
+        s"grouped HLL over $table.$groupCol: more than $MaxHllGroups groups")
+    val groups = rows.toSeq.map { r =>
+      (Option(r.getAs[String]("g")), r.getAs[Array[Byte]]("s"))
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val bytes = GroupedHll.serialize(groups)
+    catalog.upsertSketch(catalog.SketchInfo(table, valueCol, "hll_grouped",
+      bytes,
+      s"""{"b":$b,"group_by":"$groupCol","groups":${groups.size},"rows":$total}""",
+      System.currentTimeMillis()))
+    (bytes.length, groups.size)
+  }
+
   /** Build an equi-width histogram sketch over a numeric column (one
     * min/max pass + one bucket-count aggregate), persist in the
     * catalog. The engine's histogram strategy answers percentile

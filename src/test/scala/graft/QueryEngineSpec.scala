@@ -140,6 +140,39 @@ class QueryEngineSpec extends SparkSpec {
     assert(math.abs(est - truth.toDouble) / truth < 3 * (1.04 / math.sqrt(4096)))
   }
 
+  test("stored grouped HLL answers per-group COUNT(DISTINCT) with no scan; stale falls through") {
+    graft.sketch.SketchOps.createGroupedHll(
+      spark, catalog, "orders", "o_orderstatus", "o_custkey")
+    val sql = "SELECT o_orderstatus, count(DISTINCT o_custkey) AS nd " +
+      "FROM orders GROUP BY o_orderstatus"
+    val r = engine.query(sql)
+    assert(r.planType == "sketch", s"${r.planType}: ${r.reason}")
+    assert(r.transformations.exists(_.contains("grouped HyperLogLog")),
+      r.transformations)
+    val est = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val truth = spark.sql(sql).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(est.keySet == truth.keySet, s"est=$est truth=$truth")
+    truth.foreach { case (k, t) =>
+      assert(math.abs(est(k) - t.toDouble) / t < 3 * (1.04 / math.sqrt(4096)),
+        s"group $k: est=${est(k)} truth=$t")
+    }
+    // appended base table (stats no longer match the creation rowcount):
+    // the no-scan serve stops; exact per-group counts come back instead
+    val n = spark.table("orders").count()
+    catalog.upsertTableStats("orders", n + 1000)
+    val r2 = engine.query(sql)
+    assert(!r2.transformations.exists(_.contains("grouped HyperLogLog")),
+      r2.transformations)
+    catalog.upsertTableStats("orders", n)
+    // a different grouping column than the sketch's falls through too
+    val r3 = engine.query(
+      "SELECT o_orderpriority, count(DISTINCT o_custkey) AS nd " +
+        "FROM orders GROUP BY o_orderpriority")
+    assert(!r3.transformations.exists(_.contains("grouped HyperLogLog")),
+      r3.transformations)
+  }
+
   test("measureExact closes the learning loop") {
     val before = engine.history.all.size
     val r = engine.query("SELECT count(*) AS n FROM lineitem",
