@@ -23,7 +23,13 @@ import java.nio.charset.StandardCharsets
   */
 object GroupedHll {
 
-  def serialize(groups: Seq[(Option[String], Array[Byte])]): Array[Byte] = {
+  /** Canonical group order (NULL key first, then string order): two
+    * blobs over the same groups serialize byte-identically regardless
+    * of aggregation order — what lets the stream-maintenance law
+    * assert stream-built == batch-built at the byte level.
+    */
+  def serialize(unordered: Seq[(Option[String], Array[Byte])]): Array[Byte] = {
+    val groups = unordered.sortBy { case (k, _) => (k.isDefined, k.getOrElse("")) }
     val keys = groups.map { case (k, _) =>
       k.map(_.getBytes(StandardCharsets.UTF_8))
     }
@@ -60,5 +66,20 @@ object GroupedHll {
       buf.get(sb)
       key -> Hll.deserialize(sb)
     }
+  }
+
+  /** Register-max merge of two grouped blobs: union of group keys, HLL
+    * merge where both hold a group. Idempotent like the underlying HLL
+    * (no last_batch replay guard needed), and canonical-order serialize
+    * keeps the result byte-deterministic.
+    */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val merged = (deserialize(a) ++ deserialize(b))
+      .groupBy(_._1)
+      .map { case (k, hs) =>
+        k -> hs.map(_._2).reduce((x, y) => x.merge(y)).serialize
+      }
+      .toSeq
+    serialize(merged)
   }
 }

@@ -348,6 +348,55 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming GROUPED-HLL maintenance — the per-group COUNT(DISTINCT)
+    * strategy made LIVE: each micro-batch folds one HLL per group into
+    * the catalog's grouped blob (one distributed per-group sketch
+    * aggregate, then one driver-side register-max union under the CAS
+    * merge), and `QueryEngine.storedGroupedSketchAnswer` serves
+    * `SELECT g, count(distinct x) ... GROUP BY g` over the live table
+    * with NO scan. Register-max merge is IDEMPOTENT (like
+    * maintainHllSketch, unlike the additive histogram/CMS folds), so
+    * replayed batches never overcount and no last_batch guard is
+    * needed. State is bounded by `SketchOps.MaxHllGroups` sketches —
+    * a grouping column wider than that is data, not a dimension, and
+    * the maintenance refuses it rather than growing an unbounded blob.
+    */
+  def maintainGroupedHllSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
+      valueCol: String, b: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .groupBy(col(groupCol).cast("string").as("g"))
+          .agg(graft.sketch.Hll.sketchAgg(col(valueCol).cast("string"), b)
+            .as("s"))
+          .limit(graft.sketch.SketchOps.MaxHllGroups + 1)
+          .collect()
+        if (rows.length > graft.sketch.SketchOps.MaxHllGroups)
+          throw new IllegalArgumentException(
+            s"grouped HLL over $table.$groupCol: more than " +
+              s"${graft.sketch.SketchOps.MaxHllGroups} groups in one batch")
+        if (rows.nonEmpty) {
+          val bytes = graft.sketch.GroupedHll.serialize(rows.toSeq.map { r =>
+            (Option(r.getAs[String]("g")), r.getAs[Array[Byte]]("s"))
+          })
+          catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
+            "hll_grouped", bytes, s"""{"b":$b,"group_by":"$groupCol"}""",
+            System.currentTimeMillis())) { (prev, next) =>
+            val merged = graft.sketch.GroupedHll.mergeBytes(prev, next)
+            if (graft.sketch.GroupedHll.deserialize(merged)
+                .sizeIs > graft.sketch.SketchOps.MaxHllGroups)
+              throw new IllegalArgumentException(
+                s"grouped HLL over $table.$groupCol: merged group count " +
+                  s"exceeds ${graft.sketch.SketchOps.MaxHllGroups}")
+            merged
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Streaming Count-Min maintenance — the engine's point-frequency
     * strategy made LIVE: each micro-batch's values fold into the
     * catalog's CMS (one distributed sketch aggregate per batch — the

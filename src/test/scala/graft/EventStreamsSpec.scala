@@ -145,6 +145,56 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.df.collect().head.getDouble(0) == expected.percentile(0.5))
   }
 
+  test("stream-maintained grouped HLL equals the batch build; per-group COUNT DISTINCT goes live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-ghll").toString)
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.maintainGroupedHllSketch(
+      stream.toDF().toDF("lang", "user_id"), catalog, "docs_live",
+      "lang", "user_id")
+    val data = (1L to 600L).map(i => (s"l${i % 3}", i))
+    data.grouped(200).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    // replay: register-max merge must be idempotent (no overcount)
+    stream.addData(data.take(200).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // law: BYTE-equal to a one-pass batch build over the same data
+    // (canonical group order + mergeable registers)
+    data.toDF("lang", "user_id").createOrReplaceTempView("docs_live")
+    val catalog2 = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-batch-ghll").toString)
+    graft.sketch.SketchOps.createGroupedHll(
+      spark, catalog2, "docs_live", "lang", "user_id")
+    val streamed = catalog.getSketch("docs_live", "user_id", "hll_grouped")
+    val batch = catalog2.getSketch("docs_live", "user_id", "hll_grouped")
+    assert(streamed.isDefined && batch.isDefined)
+    assert(streamed.get.data.sameElements(batch.get.data))
+
+    // the engine serves the stream-built grouped sketch with no scan:
+    // the backing view is EMPTY, so a scan would answer zero groups
+    spark.range(0)
+      .select(lit("x").as("lang"), col("id").as("user_id"))
+      .createOrReplaceTempView("docs_live")
+    catalog.upsertTableStats("docs_live", 400000L)
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT lang, count(DISTINCT user_id) AS nd FROM docs_live GROUP BY lang")
+    assert(r.planType == "sketch", r.reason)
+    assert(r.transformations.exists(_.contains("grouped HyperLogLog")),
+      r.transformations)
+    val m = r.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(m.keySet == Set("l0", "l1", "l2"), m)
+    m.foreach { case (k, v) =>
+      assert(math.abs(v - 200.0) / 200.0 < 0.15, s"group $k: est=$v")
+    }
+  }
+
   test("stream-maintained CMS equals the batch build; engine point-frequency goes live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
