@@ -136,6 +136,8 @@ object Bench {
       wide.createOrReplaceTempView("lineitem_x10")
       graft.sample.Samplers.createUniform(spark, catalog, "lineitem_x10", 0.01)
       graft.sketch.SketchOps.createHll(spark, catalog, "lineitem_x10", "l_partkey")
+      graft.sketch.SketchOps.createGroupedHll(spark, catalog, "lineitem_x10",
+        "l_returnflag", "l_partkey")
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -144,6 +146,11 @@ object Bench {
         "sum" -> "SELECT sum(l_extendedprice * (1 - l_discount)) AS s FROM lineitem_x10 WHERE l_quantity < 30",
         "group_by" -> "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice * (1 - l_discount)) AS s, avg(l_quantity) AS aq FROM lineitem_x10 GROUP BY l_returnflag",
         "count_distinct" -> "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem_x10",
+        // Grouped COUNT(DISTINCT) (round 8): answered per group from
+        // the stored grouped HLL (one blob, no scan) — the exact side
+        // pays a 6M-row distinct-per-group aggregate.
+        "count_distinct_group" -> ("SELECT l_returnflag, count(DISTINCT l_partkey) AS nd " +
+          "FROM lineitem_x10 GROUP BY l_returnflag"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —
