@@ -254,10 +254,18 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                   .map(_.toInt).getOrElse(64)
                 if (buckets < 1 || buckets > 1000000)
                   (400, err(s"buckets must be in [1, 1000000], got $buckets"))
-                else {
-                  val h = SketchOps.createHistogram(spark, engine.catalog,
-                    table, c, buckets)
-                  (200, s"""{"status": "ok", "sketch_type": "histogram", "size_bytes": ${h.serialize.length}, "buckets": ${h.buckets}}""")
+                else params("group_by").flatMap(_.str) match {
+                  // optional group_by: one histogram PER GROUP (its own
+                  // [min,max] grid) — the engine then answers grouped
+                  // percentile queries with no scan
+                  case Some(g) =>
+                    val (size, groups) = SketchOps.createGroupedHistogram(
+                      spark, engine.catalog, table, g, c, buckets)
+                    (200, s"""{"status": "ok", "sketch_type": "histogram_grouped", "size_bytes": $size, "groups": $groups, "buckets": $buckets}""")
+                  case None =>
+                    val h = SketchOps.createHistogram(spark, engine.catalog,
+                      table, c, buckets)
+                    (200, s"""{"status": "ok", "sketch_type": "histogram", "size_bytes": ${h.serialize.length}, "buckets": ${h.buckets}}""")
                 }
             }
           // beyond the reference: the join-cardinality primitive — a

@@ -149,6 +149,19 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Grouped variant: SELECT g, percentile(x, p) ... GROUP BY g over a
+    // stored per-group histogram blob — each group answered on its own
+    // [min, max] grid, still with no scan.
+    storedGroupedHistogramAnswer(parsed, table) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(AqeResult(df, "sketch", "sketch",
+          "per-group percentile answered from the stored grouped histogram (no scan)",
+          0.9, Double.PositiveInfinity, err, None, None,
+          Seq("PERCENTILE/MEDIAN answered per group from the stored grouped " +
+            "histogram (no scan; accurate to one bucket width per group)")),
+          sql, features, opts)
+      case _ =>
+    }
     // Count-Min strategy: a bare COUNT(*) point-frequency query
     // (`WHERE col = 'v'`) over a column with a fresh stored CMS answers
     // from the catalog with NO scan — overestimate-only semantics
@@ -643,6 +656,94 @@ final class QueryEngine(
           val cols = vals.map { case (n, v, _) => lit(v).as(n) }
           Some((spark.range(1).select(cols: _*), vals.map(_._3).max))
         } else None
+      case _ => None
+    }
+  }
+
+  /** If the query is `SELECT g, PERCENTILE(attr, p)... FROM table
+    * GROUP BY g` with a fresh stored GROUPED histogram (built by
+    * SketchOps.createGroupedHistogram with group_by == g) covering
+    * every percentile output, answer all groups by interpolation from
+    * the catalog — zero scan. Per-group grids, so the reported error
+    * is still one bucket width (1/buckets of each group's own grid).
+    * Group keys are served as the string rendering recorded at build
+    * time; groups whose value column was all NULL are absent from the
+    * blob and from the answer.
+    */
+  private def storedGroupedHistogramAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    parsed match {
+      case Aggregate(Seq(g: Expression), outs, r: UnresolvedRelation, _)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
+        val gName = attrName(g).getOrElse(return None)
+        val classified = outs.map {
+          case a: UnresolvedAttribute
+              if a.nameParts.last.equalsIgnoreCase(gName) =>
+            Some(Left(a.nameParts.last))
+          case Alias(e, name) if attrName(e).exists(_.equalsIgnoreCase(gName)) =>
+            Some(Left(name))
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            val colP: Option[(String, Double)] =
+              (f.nameParts.last.toLowerCase, f.arguments) match {
+                case ("percentile" | "percentile_approx" | "approx_percentile",
+                    Seq(a: UnresolvedAttribute, l: Literal)) =>
+                  litDouble(l).map(p => (a.nameParts.last, p))
+                case ("median", Seq(a: UnresolvedAttribute)) =>
+                  Some((a.nameParts.last, 0.5))
+                case _ => None
+              }
+            colP.flatMap { case (c, p) =>
+              catalog.getSketch(table, c, "histogram_grouped")
+                .filter(sketchIsFresh(table, _))
+                .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
+                  .exists(_.group(1).equalsIgnoreCase(gName)))
+                .map { s =>
+                  val hs = graft.sketch.GroupedHll.unpack(s.data).map {
+                    case (k, b) => k -> graft.sketch.Histogram.deserialize(b)
+                  }
+                  Right((name,
+                    hs.map { case (k, h) => k -> h.percentile(p) },
+                    hs.map { case (_, h) => 1.0 / h.buckets }.max))
+                }
+            }
+          case _ => None
+        }
+        if (classified.exists(_.isEmpty)) return None
+        val parts = classified.flatten
+        val keyCols = parts.collect { case Left(n) => n }
+        val estCols = parts.collect { case Right(v) => v }
+        if (keyCols.sizeIs != 1 || estCols.isEmpty) return None
+        val keys = estCols.head._2.map(_._1)
+        if (!estCols.forall(_._2.map(_._1).toSet == keys.toSet)) return None
+        val byName = estCols.map { case (n, est, _) => n -> est.toMap }.toMap
+        val rows = keys.map { k =>
+          org.apache.spark.sql.Row.fromSeq(parts.map {
+            case Left(_)          => k.orNull
+            case Right((n, _, _)) => byName(n)(k)
+          })
+        }
+        val schema = StructType(parts.map {
+          case Left(n)          => StructField(n, StringType, nullable = true)
+          case Right((n, _, _)) => StructField(n, DoubleType, nullable = false)
+        })
+        import scala.jdk.CollectionConverters._
+        Some((spark.createDataFrame(rows.asJava, schema),
+          estCols.map(_._3).max))
       case _ => None
     }
   }

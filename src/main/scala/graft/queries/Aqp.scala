@@ -28,6 +28,8 @@ object Aqp {
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   private val histograms =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
+  private val groupedHistograms =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   // q76's engine is separate: its catalog must hold ONLY the
   // deterministic stratified sample, so the strategy lookup cannot race
   // q30's seeded 0.2 sample on the shared engine.
@@ -312,6 +314,41 @@ object Aqp {
         .withColumn("err_p25", expr("p25 - x25"))
         .withColumn("err_p50", expr("p50 - x50"))
         .withColumn("err_p90", expr("p90 - x90"))
+    }),
+
+    // q74's histogram strategy PER GROUP: the engine answers
+    // `SELECT g, percentile(x, p) ... GROUP BY g` from a stored
+    // grouped histogram (one [min,max] grid per o_orderstatus group,
+    // built once, no scan at query time) and the oracle re-derives
+    // every per-group grid, bucket assignment, and fixed-association
+    // interpolation in SQL — all served values hash-match DuckDB
+    // bit-for-bit, and the exact decimal-rounded type-7 percentile
+    // companions make the one-bucket-width-per-group bound MEASURED
+    // (err_p50/err_p90 columns).
+    "q84_grouped_hist" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      groupedHistograms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+          "orders", "o_orderstatus", "o_totalprice", 64)
+        ()
+      })
+      val est = e.query(
+        "SELECT o_orderstatus, percentile(o_totalprice, 0.5) AS p50, " +
+          "percentile(o_totalprice, 0.9) AS p90 " +
+          "FROM orders GROUP BY o_orderstatus").df
+      val exact = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("g2"))
+        .agg(
+          expr("cast(cast(percentile(o_totalprice, 0.5) as decimal(18,6)) as double)")
+            .as("x50"),
+          expr("cast(cast(percentile(o_totalprice, 0.9) as decimal(18,6)) as double)")
+            .as("x90"),
+          expr("(cast(max(o_totalprice) as double) - cast(min(o_totalprice) as double)) / 64")
+            .as("bucket_width"))
+      est.join(exact, col("o_orderstatus") === col("g2")).drop("g2")
+        .withColumn("err_p50", expr("p50 - x50"))
+        .withColumn("err_p90", expr("p90 - x90"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
@@ -875,6 +912,51 @@ object Aqp {
           SELECT p25, p50, p90, x25, x50, x90, bucket_width,
             p25 - x25 AS err_p25, p50 - x50 AS err_p50, p90 - x90 AS err_p90
           FROM fin, exq""",
+    // q84: the q74 derivation PER GROUP. Each o_orderstatus group has
+    // its own [min, max] grid (the builder's CASE hi > lo mirrored);
+    // ranks use the group's non-NULL count; the interpolation keeps
+    // q74's exact association. Exact companions are the per-group
+    // decimal-rounded type-7 percentiles.
+    "q84_grouped_hist" ->
+      """WITH mm AS (SELECT o_orderstatus AS g,
+              min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi,
+              count(o_totalprice) AS n
+            FROM orders GROUP BY o_orderstatus),
+          grd AS (SELECT g, lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w, n
+            FROM mm),
+          bk AS (SELECT o.o_orderstatus AS g,
+              least(63, CAST(floor((CAST(o.o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders o JOIN grd ON o.o_orderstatus = grd.g
+            WHERE o.o_totalprice IS NOT NULL),
+          c AS (SELECT g, b, count(*) AS c FROM bk GROUP BY g, b),
+          cum AS (SELECT g, b, c,
+              sum(c) OVER (PARTITION BY g ORDER BY b) - c AS cum_before FROM c),
+          tg AS (SELECT grd.g, pr, CAST(pr AS DOUBLE) * CAST(grd.n - 1 AS DOUBLE) AS target
+            FROM (SELECT unnest([CAST('0.5' AS DOUBLE), CAST('0.9' AS DOUBLE)]) AS pr), grd),
+          pick AS (SELECT tg.g, tg.pr, tg.target, min(cum.b) AS b
+            FROM cum JOIN tg ON cum.g = tg.g
+            WHERE cum.cum_before + cum.c > tg.target
+            GROUP BY tg.g, tg.pr, tg.target),
+          est AS (SELECT pick.g, pick.pr,
+              grd.lo + grd.w * (CAST(pick.b AS DOUBLE)
+                + CASE WHEN cum.c <= 1 THEN CAST(0 AS DOUBLE)
+                       ELSE (pick.target - CAST(cum.cum_before AS DOUBLE)) / CAST(cum.c AS DOUBLE) END) AS v
+            FROM pick JOIN cum ON pick.g = cum.g AND pick.b = cum.b
+            JOIN grd ON pick.g = grd.g),
+          fin AS (SELECT g,
+              max(CASE WHEN pr = CAST('0.5' AS DOUBLE) THEN v END) AS p50,
+              max(CASE WHEN pr = CAST('0.9' AS DOUBLE) THEN v END) AS p90
+            FROM est GROUP BY g),
+          exq AS (SELECT o_orderstatus AS g,
+              CAST(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS x50,
+              CAST(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS x90,
+              (CAST(max(o_totalprice) AS DOUBLE) - CAST(min(o_totalprice) AS DOUBLE)) / 64 AS bucket_width
+            FROM orders GROUP BY o_orderstatus)
+          SELECT fin.g AS o_orderstatus, p50, p90, x50, x90, bucket_width,
+            p50 - x50 AS err_p50, p90 - x90 AS err_p90
+          FROM fin JOIN exq ON fin.g = exq.g ORDER BY fin.g""",
     "q73_hll_estimate" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString

@@ -26,9 +26,11 @@ object GroupedHll {
   /** Canonical group order (NULL key first, then string order): two
     * blobs over the same groups serialize byte-identically regardless
     * of aggregation order — what lets the stream-maintenance law
-    * assert stream-built == batch-built at the byte level.
+    * assert stream-built == batch-built at the byte level. The payload
+    * is opaque bytes, so the same packing carries any per-group sketch
+    * (GroupedHistogram reuses it with Histogram payloads).
     */
-  def serialize(unordered: Seq[(Option[String], Array[Byte])]): Array[Byte] = {
+  def pack(unordered: Seq[(Option[String], Array[Byte])]): Array[Byte] = {
     val groups = unordered.sortBy { case (k, _) => (k.isDefined, k.getOrElse("")) }
     val keys = groups.map { case (k, _) =>
       k.map(_.getBytes(StandardCharsets.UTF_8))
@@ -49,7 +51,7 @@ object GroupedHll {
     buf.array()
   }
 
-  def deserialize(data: Array[Byte]): Seq[(Option[String], Hll)] = {
+  def unpack(data: Array[Byte]): Seq[(Option[String], Array[Byte])] = {
     val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val n = buf.getInt
     (0 until n).map { _ =>
@@ -64,9 +66,15 @@ object GroupedHll {
       val sLen = buf.getInt
       val sb = new Array[Byte](sLen)
       buf.get(sb)
-      key -> Hll.deserialize(sb)
+      key -> sb
     }
   }
+
+  def serialize(groups: Seq[(Option[String], Array[Byte])]): Array[Byte] =
+    pack(groups)
+
+  def deserialize(data: Array[Byte]): Seq[(Option[String], Hll)] =
+    unpack(data).map { case (k, b) => k -> Hll.deserialize(b) }
 
   /** Register-max merge of two grouped blobs: union of group keys, HLL
     * merge where both hold a group. Idempotent like the underlying HLL

@@ -126,6 +126,72 @@ object SketchOps {
     h
   }
 
+  /** Build one equi-width histogram PER GROUP over `table.valueCol`
+    * (per-group [min, max] grid — each group gets the resolution its
+    * own range needs), packed into one catalog blob: the input to the
+    * engine's no-scan answer for `SELECT g, percentile(x, p) FROM t
+    * GROUP BY g`. Two distributed passes (per-group stats, then
+    * per-(group, bucket) counts — both driver-bounded: ≤MaxHllGroups
+    * groups × buckets count rows). Groups whose value column is all
+    * NULL have no percentile and are omitted from the blob; their rows
+    * still count toward the freshness rowcount. Returns (serialized
+    * size, group count). MaxHllGroups bounds ALL grouped sketches, not
+    * just HLLs — a wider grouping column is data, not a dimension.
+    */
+  def createGroupedHistogram(spark: SparkSession, catalog: MetaCatalog,
+      table: String, groupCol: String, valueCol: String,
+      buckets: Int = 64): (Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, count, expr, lit, max, min}
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val stats = spark.table(table)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(min(col(valueCol)).cast("double").as("lo"),
+        max(col(valueCol)).cast("double").as("hi"),
+        count(lit(1)).as("n"))
+      .limit(MaxHllGroups + 1)
+      .collect()
+    if (stats.length > MaxHllGroups)
+      throw new IllegalArgumentException(
+        s"grouped histogram over $table.$groupCol: more than $MaxHllGroups groups")
+    val totalRows = stats.map(_.getAs[Long]("n")).sum
+    val grid = stats.filter(!_.isNullAt(1)).map { r =>
+      val lo = r.getDouble(1)
+      val hi = r.getDouble(2)
+      (Option(r.getAs[String]("g")), lo,
+        if (hi > lo) (hi - lo) / buckets else 1.0)
+    }
+    if (grid.isEmpty)
+      throw new IllegalArgumentException(
+        s"grouped histogram over $table.$valueCol: no non-NULL values")
+    import spark.implicits._
+    val gridDf = grid.toSeq.map { case (k, lo, w) => (k.orNull, lo, w) }
+      .toDF("gg", "glo", "gw")
+    val base = spark.table(table).filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+    // null-safe join key: a NULL group is still a group
+    val counts = base.join(broadcast(gridDf), base("g") <=> gridDf("gg"))
+      .select(col("g"),
+        expr(s"least(${buckets - 1}, cast(floor((v - glo) / gw) as int))")
+          .as("b"))
+      .groupBy(col("g"), col("b")).count()
+      .collect()
+    val byGroup = counts.groupBy(r => Option(r.getAs[String]("g")))
+    val groups = grid.toSeq.map { case (k, lo, w) =>
+      val arr = new Array[Long](buckets)
+      byGroup.getOrElse(k, Array.empty).foreach { r =>
+        arr(math.max(0, r.getAs[Int]("b"))) = r.getAs[Long]("count")
+      }
+      k -> Histogram(lo, w, arr).serialize
+    }
+    val bytes = GroupedHll.pack(groups)
+    catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+      "histogram_grouped", bytes,
+      s"""{"buckets":$buckets,"group_by":"$groupCol","groups":${groups.size},"rows":$totalRows}""",
+      System.currentTimeMillis()))
+    (bytes.length, groups.size)
+  }
+
   /** Build a CMS over `table.column` (one increment per row — the
     * GROUP BY pre-aggregation the reference does is folded into the
     * aggregator), persist, return serialized size. With no column, the

@@ -173,6 +173,43 @@ class QueryEngineSpec extends SparkSpec {
       r3.transformations)
   }
 
+  test("stored grouped histogram answers per-group percentiles with no scan; stale falls through") {
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    val sql = "SELECT o_orderstatus, percentile(o_totalprice, 0.5) AS p50, " +
+      "percentile(o_totalprice, 0.9) AS p90 FROM orders GROUP BY o_orderstatus"
+    val r = engine.query(sql)
+    assert(r.planType == "sketch", s"${r.planType}: ${r.reason}")
+    assert(r.transformations.exists(_.contains("grouped histogram")),
+      r.transformations)
+    val est = r.df.collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val truth = spark.sql(sql).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(est.keySet == truth.keySet, s"est=$est truth=$truth")
+    // per-group error bound: one bucket width of that group's own grid
+    // (+1 width slack for the exact side's type-7 interpolation landing
+    // across a bucket boundary; the tight per-value gate is q84's
+    // oracle-measured err_* columns)
+    val widths = spark.sql(
+      "SELECT o_orderstatus, (cast(max(o_totalprice) as double) - " +
+        "cast(min(o_totalprice) as double)) / 64 AS w " +
+        "FROM orders GROUP BY o_orderstatus").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    truth.foreach { case (k, (t50, t90)) =>
+      val w = 2 * widths(k) + 1e-9
+      assert(math.abs(est(k)._1 - t50) <= w, s"$k p50: ${est(k)._1} vs $t50 (w=$w)")
+      assert(math.abs(est(k)._2 - t90) <= w, s"$k p90: ${est(k)._2} vs $t90 (w=$w)")
+    }
+    // appended base table: the grouped no-scan serve stops
+    val n = spark.table("orders").count()
+    catalog.upsertTableStats("orders", n + 1000)
+    val r2 = engine.query(sql)
+    assert(!r2.transformations.exists(_.contains("grouped histogram")),
+      r2.transformations)
+    catalog.upsertTableStats("orders", n)
+  }
+
   test("measureExact closes the learning loop") {
     val before = engine.history.all.size
     val r = engine.query("SELECT count(*) AS n FROM lineitem",
