@@ -76,18 +76,31 @@ object GroupedHll {
   def deserialize(data: Array[Byte]): Seq[(Option[String], Hll)] =
     unpack(data).map { case (k, b) => k -> Hll.deserialize(b) }
 
+  /** Union merge of two packed blobs with a caller-supplied payload
+    * merge where both hold a group — the grouped-sketch merge shape
+    * shared by HLL (register max) and histogram (count addition)
+    * payloads. Canonical-order pack keeps the result byte-deterministic.
+    */
+  def mergePacked(a: Array[Byte], b: Array[Byte])(
+      mergePayload: (Array[Byte], Array[Byte]) => Array[Byte]): Array[Byte] = {
+    val left = unpack(a).toMap
+    val right = unpack(b).toMap
+    pack((left.keySet ++ right.keySet).toSeq.map { k =>
+      k -> ((left.get(k), right.get(k)) match {
+        case (Some(x), Some(y)) => mergePayload(x, y)
+        case (Some(x), None)    => x
+        case (None, y)          => y.get
+      })
+    })
+  }
+
   /** Register-max merge of two grouped blobs: union of group keys, HLL
     * merge where both hold a group. Idempotent like the underlying HLL
     * (no last_batch replay guard needed), and canonical-order serialize
     * keeps the result byte-deterministic.
     */
-  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val merged = (deserialize(a) ++ deserialize(b))
-      .groupBy(_._1)
-      .map { case (k, hs) =>
-        k -> hs.map(_._2).reduce((x, y) => x.merge(y)).serialize
-      }
-      .toSeq
-    serialize(merged)
-  }
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    mergePacked(a, b) { (x, y) =>
+      Hll.deserialize(x).merge(Hll.deserialize(y)).serialize
+    }
 }

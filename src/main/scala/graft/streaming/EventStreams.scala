@@ -397,6 +397,84 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming GROUPED-histogram maintenance — the q84 strategy made
+    * LIVE: each micro-batch folds per-(group, bucket) counts into the
+    * catalog's grouped histogram blob, and
+    * `QueryEngine.storedGroupedHistogramAnswer` serves
+    * `SELECT g, percentile(x, p) ... GROUP BY g` over the live table
+    * with NO scan. Like the ungrouped maintainHistogramSketch, the
+    * per-group grids are FIXED up front (per-batch grids cannot merge);
+    * values outside a group's grid clamp into its edge buckets, and a
+    * batch containing a group with NO declared grid is REFUSED — new
+    * groups are domain drift: re-profile and rebuild, don't guess a
+    * grid. Histogram merge is ADDITIVE, so the stored `last_batch` id
+    * skips re-delivered batch ids (exact under single-writer-per-
+    * (table, column)). Per micro-batch: one distributed count aggregate
+    * (≤ groups × buckets rows collected), one CAS-merged upsert —
+    * O(groups × buckets) state regardless of stream volume.
+    */
+  def maintainGroupedHistogramSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
+      valueCol: String, grids: Seq[(Option[String], Double, Double)],
+      buckets: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(buckets >= 1 && grids.nonEmpty && grids.forall(_._3 > 0),
+      "need buckets >= 1 and non-empty per-group grids with width > 0")
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    val spark = values.sparkSession
+    import spark.implicits._
+    val gridDf = broadcast(grids.map { case (k, lo, w) => (k.orNull, lo, w) }
+      .toDF("gg", "glo", "gw"))
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val alreadyMerged = catalog
+          .getSketch(table, valueCol, "histogram_grouped")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged) {
+          val in = batch.filter(col(valueCol).isNotNull)
+            .select(col(groupCol).cast("string").as("g"),
+              col(valueCol).cast("double").as("v"))
+          // null-safe left join: a NULL group is still a group, and a
+          // group with no grid surfaces as a null glo below
+          val joined = in.join(gridDf, in("g") <=> gridDf("gg"), "left")
+          val counts = joined.select(col("g"), col("glo"),
+              expr(s"case when glo is null then cast(null as int) else " +
+                s"least(${buckets - 1}, greatest(0, " +
+                "cast(floor((v - glo) / gw) as int))) end").as("b"))
+            .groupBy(col("g"), col("b"), col("glo")).count()
+            .collect()
+          counts.find(_.isNullAt(2)).foreach { r =>
+            throw new IllegalArgumentException(
+              s"grouped histogram over $table.$groupCol: batch $batchId " +
+                s"contains group '${r.getString(0)}' with no declared grid " +
+                "— domain drift; rebuild the sketch with the new groups")
+          }
+          if (counts.nonEmpty) {
+            val byGroup = counts.groupBy(r => Option(r.getAs[String]("g")))
+            val gridByKey = grids.map { case (k, lo, w) => k -> (lo, w) }.toMap
+            val packed = byGroup.toSeq.map { case (k, rs) =>
+              val (lo, w) = gridByKey(k)
+              val arr = new Array[Long](buckets)
+              rs.foreach(r => arr(r.getAs[Int]("b")) = r.getAs[Long]("count"))
+              k -> graft.sketch.Histogram(lo, w, arr).serialize
+            }
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
+              "histogram_grouped", graft.sketch.GroupedHll.pack(packed),
+              s"""{"buckets":$buckets,"group_by":"$groupCol","last_batch":$batchId}""",
+              System.currentTimeMillis())) { (prev, next) =>
+              graft.sketch.GroupedHll.mergePacked(prev, next) { (x, y) =>
+                graft.sketch.Histogram.deserialize(x)
+                  .merge(graft.sketch.Histogram.deserialize(y)).serialize
+              }
+            }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming Count-Min maintenance — the engine's point-frequency
     * strategy made LIVE: each micro-batch's values fold into the
     * catalog's CMS (one distributed sketch aggregate per batch — the

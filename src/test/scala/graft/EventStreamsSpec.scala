@@ -195,6 +195,100 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-maintained grouped histogram equals the hand build; per-group percentiles go live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-ghist").toString)
+    // fixed per-group grids: g0 over [0, 640), g1 over [0, 1280)
+    val buckets = 64
+    val grids = Seq(
+      (Option("g0"), 0.0, 10.0),
+      (Option("g1"), 0.0, 20.0))
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.maintainGroupedHistogramSketch(
+      stream.toDF().toDF("grp", "price"), catalog, "prices_live", "grp",
+      "price", grids, buckets)
+    val data = (0L until 1000L).map { i =>
+      if (i % 2 == 0) ("g0", (i * 37) % 631) else ("g1", (i * 53) % 1259)
+    }
+    data.grouped(250).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // law: the stream-maintained blob is BYTE-equal to a hand build
+    // over the same data on the same grids (additive merge + canonical
+    // group order)
+    val gridByKey = grids.map { case (k, lo, w) => (k.get, (lo, w)) }.toMap
+    val expected = graft.sketch.GroupedHll.pack(
+      data.groupBy(_._1).toSeq.map { case (g, rows) =>
+        val (lo, w) = gridByKey(g)
+        val counts = new Array[Long](buckets)
+        rows.foreach { case (_, v) =>
+          val b = math.min(buckets - 1, math.max(0, ((v - lo) / w).toInt))
+          counts(b) += 1
+        }
+        Option(g) -> graft.sketch.Histogram(lo, w, counts).serialize
+      })
+    val sk = catalog.getSketch("prices_live", "price", "histogram_grouped")
+    assert(sk.isDefined)
+    assert(sk.get.data.sameElements(expected))
+    assert(sk.get.parameters.contains("\"last_batch\""))
+    assert(sk.get.parameters.contains("\"group_by\":\"grp\""))
+
+    // replay guard: a restarted stream re-delivering batch id 0 (<=
+    // stored last_batch 3) must not double-count — blob unchanged
+    val replay = MemoryStream[(String, Long)]
+    val q2 = EventStreams.maintainGroupedHistogramSketch(
+      replay.toDF().toDF("grp", "price"), catalog, "prices_live", "grp",
+      "price", grids, buckets)
+    replay.addData(data.take(250).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(catalog.getSketch("prices_live", "price", "histogram_grouped")
+      .get.data.sameElements(expected),
+      "replayed batch id must be skipped, not re-merged")
+
+    // the engine serves per-group percentiles from the LIVE blob with
+    // no scan: the backing view is EMPTY, so a scan would answer zero
+    // groups
+    spark.range(0)
+      .select(lit("x").as("grp"), col("id").cast("double").as("price"))
+      .createOrReplaceTempView("prices_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT grp, percentile(price, 0.5) AS p50 FROM prices_live GROUP BY grp")
+    assert(r.planType == "sketch", r.reason)
+    assert(r.transformations.exists(_.contains("grouped histogram")),
+      r.transformations)
+    val served = r.df.collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val hs = graft.sketch.GroupedHll.unpack(expected).map {
+      case (k, b) => k.get -> graft.sketch.Histogram.deserialize(b)
+    }.toMap
+    assert(served.keySet == Set("g0", "g1"), served)
+    served.foreach { case (k, v) =>
+      assert(v == hs(k).percentile(0.5), s"group $k: $v")
+    }
+
+    // a batch containing a group with no declared grid is refused —
+    // the sketch must not silently invent a grid for domain drift
+    val drift = MemoryStream[(String, Long)]
+    val q3 = EventStreams.maintainGroupedHistogramSketch(
+      drift.toDF().toDF("grp", "price"), catalog, "prices_live2", "grp",
+      "price", grids, buckets)
+    drift.addData(Seq(("g9", 5L)))
+    val failed =
+      try { q3.processAllAvailable(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException |
+                   _: IllegalArgumentException => true }
+    q3.stop()
+    assert(failed, "unknown group must refuse, not clamp into a guessed grid")
+    assert(catalog.getSketch("prices_live2", "price", "histogram_grouped").isEmpty)
+  }
+
   test("stream-maintained CMS equals the batch build; engine point-frequency goes live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
