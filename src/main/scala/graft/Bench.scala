@@ -138,6 +138,12 @@ object Bench {
       graft.sketch.SketchOps.createHll(spark, catalog, "lineitem_x10", "l_partkey")
       graft.sketch.SketchOps.createGroupedHll(spark, catalog, "lineitem_x10",
         "l_returnflag", "l_partkey")
+      // histogram build also records exact column stats (min/max/nnull/
+      // sum4) — inputs to the percentile_group and stats_serve cases
+      graft.sketch.SketchOps.createHistogram(spark, catalog, "lineitem_x10",
+        "l_extendedprice")
+      graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
+        "lineitem_x10", "l_returnflag", "l_extendedprice")
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -151,6 +157,17 @@ object Bench {
         // pays a 6M-row distinct-per-group aggregate.
         "count_distinct_group" -> ("SELECT l_returnflag, count(DISTINCT l_partkey) AS nd " +
           "FROM lineitem_x10 GROUP BY l_returnflag"),
+        // Grouped percentiles (round 8): answered per group from the
+        // stored grouped histogram blob (no scan) — the exact side
+        // pays a 6M-row sort-based percentile aggregate per group.
+        "percentile_group" -> ("SELECT l_returnflag, percentile(l_extendedprice, 0.5) AS p50, " +
+          "percentile(l_extendedprice, 0.9) AS p90 FROM lineitem_x10 GROUP BY l_returnflag"),
+        // Statistics serve (round 8): bare MIN/MAX/COUNT/SUM/AVG
+        // answered EXACTLY from the histogram's recorded build stats
+        // (no scan, no error) — the exact side scans 6M rows.
+        "stats_serve" -> ("SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, " +
+          "sum(l_extendedprice) AS sm, avg(l_extendedprice) AS av, " +
+          "count(l_extendedprice) AS nv FROM lineitem_x10"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —

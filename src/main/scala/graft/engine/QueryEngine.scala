@@ -132,6 +132,24 @@ final class QueryEngine(
         return finish(r.copy(sampleFraction = Some(f)), sql, features, opts)
       case None =>
     }
+    // Statistics strategy: a bare MIN/MAX/COUNT/SUM/AVG query over
+    // columns whose stored histograms recorded exact build statistics
+    // answers from the catalog with NO scan and NO error — the
+    // metadata-only-query optimization as an engine strategy. Exact, so
+    // it preempts every approximate path; the freshness guard retires
+    // stats once the base table changes size. A lone COUNT(*) does NOT
+    // serve (it must ride a column-anchored stat): bare table counts
+    // keep their sampling semantics.
+    storedStatsAnswer(parsed, table) match {
+      case Some(df) =>
+        return finish(AqeResult(df, "sketch", "sketch",
+          "aggregate answered from stored histogram build statistics (no scan, exact)",
+          0.95, Double.PositiveInfinity, 0.0, None, None,
+          Seq("MIN/MAX/COUNT/SUM/AVG answered from stored histogram build " +
+            "statistics (no scan; exact as of sketch build)")),
+          sql, features, opts)
+      case None =>
+    }
     // Histogram strategy: a pure percentile/median query over a table
     // whose columns carry stored equi-width histograms answers from the
     // catalog with NO scan (accuracy = one bucket width) — a strategy
@@ -656,6 +674,106 @@ final class QueryEngine(
           val cols = vals.map { case (n, v, _) => lit(v).as(n) }
           Some((spark.range(1).select(cols: _*), vals.map(_._3).max))
         } else None
+      case _ => None
+    }
+  }
+
+  /** If the query is a bare global aggregate over `table` whose every
+    * output is MIN/MAX/COUNT/SUM/AVG of a column carrying a fresh
+    * stored histogram with recorded build statistics (min/max/nnull/
+    * sum4 in params — SketchOps.createHistogram since round 8), answer
+    * ALL of them from the catalog — zero scan, zero error (exact as of
+    * sketch build; the freshness guard retires stale stats). COUNT(*)
+    * is answered from the recorded table rowcount but only RIDES ALONG
+    * with at least one column-anchored statistic: a lone `SELECT
+    * count(*)` keeps its sampling semantics (and its bench window).
+    * AVG is served as sum4/nnull — one double division of two recorded
+    * exacts, the same bit-portable form the oracle derives.
+    */
+  private def storedStatsAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.functions.lit
+    val minRe = """"min"\s*:\s*([^,}]+)""".r
+    val maxRe = """"max"\s*:\s*([^,}]+)""".r
+    val nnullRe = """"nnull"\s*:\s*(\d+)""".r
+    val sum4Re = """"sum4"\s*:\s*([^,}]+)""".r
+    case class Stats(min: Double, max: Double, nnull: Long, sum4: Double,
+        rows: Long)
+    def statsFor(c: String): Option[Stats] =
+      catalog.getSketch(table, c, "histogram")
+        .filter(sketchIsFresh(table, _))
+        .flatMap { s =>
+          for {
+            mn <- minRe.findFirstMatchIn(s.parameters)
+            mx <- maxRe.findFirstMatchIn(s.parameters)
+            nn <- nnullRe.findFirstMatchIn(s.parameters)
+            sm <- sum4Re.findFirstMatchIn(s.parameters)
+            rw <- sketchRowsRe.findFirstMatchIn(s.parameters)
+          } yield Stats(
+            java.lang.Double.parseDouble(mn.group(1)),
+            java.lang.Double.parseDouble(mx.group(1)),
+            nn.group(1).toLong,
+            java.lang.Double.parseDouble(sm.group(1)),
+            rw.group(1).toLong)
+        }
+    def isCountStar(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      args match {
+        case Seq(_: UnresolvedStar) => true
+        case Seq(Literal(v: Number, _)) => v.intValue == 1
+        case _ => false
+      }
+    parsed match {
+      case Project(outs, r: UnresolvedRelation)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
+        // Left(name -> column answer), rides = count(*) outputs
+        var anchored = 0
+        var countStars = List.empty[String]
+        val answered = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", args) if isCountStar(args) =>
+                countStars ::= name
+                Some(None) // resolved later from any anchored sketch
+              case (fn, Seq(a: UnresolvedAttribute))
+                  if Set("min", "max", "count", "sum", "avg", "mean")(fn) =>
+                statsFor(a.nameParts.last).map { st =>
+                  anchored += 1
+                  Some(name -> (fn match {
+                    case "min"          => lit(st.min)
+                    case "max"          => lit(st.max)
+                    case "count"        => lit(st.nnull)
+                    case "sum"          => lit(st.sum4)
+                    case "avg" | "mean" => lit(st.sum4 / st.nnull.toDouble)
+                  }))
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+        if (answered.exists(_.isEmpty) || anchored == 0) return None
+        // count(*) rides from the rows recorded by any consulted fresh
+        // sketch (freshness pins them all to the same base rowcount)
+        val rows = outs.collectFirst {
+          case Alias(f: UnresolvedFunction, _)
+              if !f.isDistinct && f.filter.isEmpty &&
+                !isCountStar(f.arguments) =>
+            f.arguments.collectFirst { case a: UnresolvedAttribute =>
+              statsFor(a.nameParts.last).map(_.rows)
+            }.flatten
+        }.flatten
+        if (countStars.nonEmpty && rows.isEmpty) return None
+        val cols = outs.zip(answered).map {
+          case (_, Some(Some((n, c)))) => c.as(n)
+          case (o, Some(None)) =>
+            lit(rows.get).as(o.asInstanceOf[Alias].name)
+          case _ => return None
+        }
+        Some(spark.range(1).select(cols: _*))
       case _ => None
     }
   }

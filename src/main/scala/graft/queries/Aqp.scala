@@ -351,6 +351,26 @@ object Aqp {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Statistics strategy end-to-end: the histogram build records exact
+    // column stats (min/max/nnull/decimal-portable sum) and the engine
+    // answers a bare MIN/MAX/COUNT/SUM/AVG query entirely from the
+    // catalog — no scan, no error. The served plan_type rides along as
+    // a column, so a silent fallback to the (equally exact) scan path
+    // goes RED instead of passing by accident.
+    "q85_stats_serve" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      histograms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createHistogram(s, e.catalog, "orders",
+          "o_totalprice", 64)
+        ()
+      })
+      val r = e.query(
+        "SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+          "sum(o_totalprice) AS sm, avg(o_totalprice) AS av, " +
+          "count(o_totalprice) AS nv, count(*) AS nr FROM orders")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
     // the q45/q62 treatment applied to HLL itself (the engine's B7
     // sketch is byte-format/spec-gated; Spark's approx_count_distinct
@@ -957,6 +977,21 @@ object Aqp {
           SELECT fin.g AS o_orderstatus, p50, p90, x50, x90, bucket_width,
             p50 - x50 AS err_p50, p90 - x90 AS err_p90
           FROM fin JOIN exq ON fin.g = exq.g ORDER BY fin.g""",
+    // q85: DuckDB re-derives the recorded build statistics directly —
+    // min/max are comparisons (bit-exact), the sum is the repo's
+    // decimal(18,4) portable recipe, avg is that sum over count in ONE
+    // double division. plan_type must read 'sketch': an (equally
+    // exact) scan-path fallback would hash-mismatch on this column.
+    "q85_stats_serve" ->
+      """SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(o_totalprice) AS DOUBLE) AS av,
+           count(o_totalprice) AS nv,
+           count(*) AS nr,
+           'sketch' AS plan_type
+         FROM orders""",
     "q73_hll_estimate" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString

@@ -100,9 +100,15 @@ object SketchOps {
     // compares against); the bucket pass drops NULLs — they have no
     // bucket, and SQL percentile ignores them too. An empty/all-NULL
     // column is refused rather than emitting a NaN-grid sketch.
+    // exact column statistics ride the same stats pass: count(col) and
+    // the decimal-portable sum (the repo's cross-engine sum recipe) are
+    // recorded in params so the engine's stats-serve path can answer
+    // MIN/MAX/COUNT/SUM/AVG queries from the catalog with no scan,
+    // EXACTLY (as of build time; the freshness guard retires them)
     val mm = spark.table(table)
       .agg(min(col(column)).cast("double"), max(col(column)).cast("double"),
-        count(lit(1)))
+        count(lit(1)), count(col(column)),
+        expr(s"cast(sum(cast($column as decimal(18,4))) as double)"))
       .collect()(0)
     if (mm.isNullAt(0) || mm.isNullAt(1))
       throw new IllegalArgumentException(
@@ -110,6 +116,8 @@ object SketchOps {
     val lo = mm.getDouble(0)
     val hi = mm.getDouble(1)
     val tableRows = mm.getLong(2)
+    val nnull = mm.getLong(3)
+    val sum4 = mm.getDouble(4)
     val width = if (hi > lo) (hi - lo) / buckets else 1.0
     val counts = new Array[Long](buckets)
     spark.table(table).filter(col(column).isNotNull)
@@ -120,8 +128,12 @@ object SketchOps {
       .collect()
       .foreach(r => counts(math.max(0, r.getInt(0))) = r.getLong(1))
     val h = Histogram(lo, width, counts)
+    // Double.toString round-trips exactly through parseDouble and is
+    // locale-independent, so min/max/sum4 survive the JSON verbatim
     catalog.upsertSketch(catalog.SketchInfo(table, column, "histogram",
-      h.serialize, s"""{"buckets":$buckets,"rows":$tableRows}""",
+      h.serialize,
+      s"""{"buckets":$buckets,"rows":$tableRows,"min":$lo,"max":$hi,""" +
+        s""""nnull":$nnull,"sum4":$sum4}""",
       System.currentTimeMillis()))
     h
   }

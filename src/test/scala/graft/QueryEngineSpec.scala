@@ -541,6 +541,52 @@ class QueryEngineSpec extends SparkSpec {
     assert(r.planType == "exact", s"${r.planType}: ${r.reason}")
   }
 
+  test("stored histogram build statistics answer MIN/MAX/COUNT/SUM/AVG with no scan") {
+    graft.sketch.SketchOps.createHistogram(
+      spark, catalog, "orders", "o_totalprice", 64)
+    // exact values computed BEFORE serving, with the same portable
+    // decimal-sum recipe the builder records
+    val ex = spark.sql(
+      "SELECT cast(min(o_totalprice) as double), cast(max(o_totalprice) as double), " +
+        "count(o_totalprice), count(*), " +
+        "cast(sum(cast(o_totalprice as decimal(18,4))) as double) FROM orders")
+      .collect().head
+    val sql = "SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+      "count(o_totalprice) AS nv, count(*) AS nr, sum(o_totalprice) AS sm, " +
+      "avg(o_totalprice) AS av FROM orders"
+    val r = engine.query(sql)
+    assert(r.planType == "sketch", s"${r.planType}: ${r.reason}")
+    assert(r.transformations.exists(_.contains("build statistics")),
+      r.transformations)
+    assert(r.estimatedError == 0.0)
+    val row = r.df.collect().head
+    assert(row.getDouble(0) == ex.getDouble(0)) // min exact
+    assert(row.getDouble(1) == ex.getDouble(1)) // max exact
+    assert(row.getLong(2) == ex.getLong(2))     // count(col) exact
+    assert(row.getLong(3) == ex.getLong(3))     // count(*) exact
+    assert(row.getDouble(4) == ex.getDouble(4)) // decimal-portable sum
+    assert(row.getDouble(5) == ex.getDouble(4) / ex.getLong(2).toDouble)
+
+    // a lone COUNT(*) does NOT serve from stats: bare table counts keep
+    // their sampling semantics (and the bench window)
+    val rc = engine.query("SELECT count(*) AS n FROM orders")
+    assert(!rc.transformations.exists(_.contains("build statistics")),
+      rc.transformations)
+
+    // a column without a stats-bearing histogram falls through
+    val r2 = engine.query(
+      "SELECT min(o_custkey) AS m FROM orders")
+    assert(r2.planType == "exact", s"${r2.planType}: ${r2.reason}")
+
+    // stale stats are not served after the base table changes size
+    val n = spark.table("orders").count()
+    catalog.upsertTableStats("orders", n + 1000)
+    val r3 = engine.query(sql)
+    assert(!r3.transformations.exists(_.contains("build statistics")),
+      r3.transformations)
+    catalog.upsertTableStats("orders", n)
+  }
+
   test("createHistogram tolerates NULLs and refuses empty/bad input") {
     import org.apache.spark.sql.functions.expr
     spark.range(0, 100)
