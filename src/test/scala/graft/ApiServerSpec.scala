@@ -208,6 +208,20 @@ class ApiServerSpec extends SparkSpec {
     assert(codeQ == 200, bodyQ)
     assert(parsed(bodyQ)("plan").flatMap(_("type")).flatMap(_.str)
       .contains("sketch"), bodyQ)
+    // grouped variant: parameters.group_by builds one histogram per
+    // group; grouped percentile queries then answer with no scan
+    val (codeG, bodyG) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_totalprice", "sketch_type": "histogram",
+         "parameters": {"buckets": 32, "group_by": "o_orderstatus"}}"""))
+    assert(codeG == 200, bodyG)
+    assert(parsed(bodyG)("sketch_type").flatMap(_.str)
+      .contains("histogram_grouped"), bodyG)
+    assert(parsed(bodyG)("groups").flatMap(_.num).exists(_ > 0), bodyG)
+    val (codeGQ, bodyGQ) = http("POST", "/query", Some(
+      """{"sql": "SELECT o_orderstatus, percentile(o_totalprice, 0.5) AS p50 FROM orders GROUP BY o_orderstatus"}"""))
+    assert(codeGQ == 200, bodyGQ)
+    assert(parsed(bodyGQ)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("grouped histogram")), bodyGQ.take(400))
     // beyond the reference: an AGMS pair over the join keys turns join
     // AQP into an automatic costed decision — no opt-in flag on /query
     val (codeA, bodyA) = http("POST", "/sketches/create", Some(
