@@ -180,6 +180,20 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Grouped statistics strategy: SELECT g, MIN/MAX/COUNT/SUM/AVG(x)
+    // ... GROUP BY g over the per-group stats blob the grouped
+    // histogram build records — exact, zero scan, the grouped twin of
+    // the statistics strategy above (same lone-COUNT(*) refusal).
+    storedGroupedStatsAnswer(parsed, table) match {
+      case Some(df) =>
+        return finish(AqeResult(df, "sketch", "sketch",
+          "per-group aggregate answered from stored grouped build statistics (no scan, exact)",
+          0.95, Double.PositiveInfinity, 0.0, None, None,
+          Seq("per-group MIN/MAX/COUNT/SUM/AVG answered from stored grouped " +
+            "build statistics (no scan; exact as of sketch build)")),
+          sql, features, opts)
+      case None =>
+    }
     // Count-Min strategy: a bare COUNT(*) point-frequency query
     // (`WHERE col = 'v'`) over a column with a fresh stored CMS answers
     // from the catalog with NO scan — overestimate-only semantics
@@ -862,6 +876,105 @@ final class QueryEngine(
         import scala.jdk.CollectionConverters._
         Some((spark.createDataFrame(rows.asJava, schema),
           estCols.map(_._3).max))
+      case _ => None
+    }
+  }
+
+  /** If the query is `SELECT g, MIN/MAX/COUNT/SUM/AVG(attr)... FROM
+    * table GROUP BY g` with a fresh stored `stats_grouped` blob (the
+    * per-group exact statistics `SketchOps.createGroupedHistogram`
+    * records in its stats pass, group_by == g) covering every
+    * aggregate output, answer all groups from the catalog — zero scan,
+    * ZERO error. COUNT(*) per group serves from the recorded group
+    * rowcounts but only rides along with ≥1 column-anchored statistic
+    * (the same lone-count refusal as the global stats strategy, so
+    * bare grouped counts keep their sampling semantics). All-NULL
+    * groups serve NULL min/max/sum/avg and exact counts. AVG is
+    * sum4/nnull — one double division of two recorded exacts.
+    */
+  private def storedGroupedStatsAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    def isCountStar(args: Seq[Expression]): Boolean = args match {
+      case Seq(_: UnresolvedStar)     => true
+      case Seq(Literal(v: Number, _)) => v.intValue == 1
+      case _                          => false
+    }
+    def statsBlobFor(c: String, gName: String)
+        : Option[Seq[(Option[String], graft.sketch.GroupedStats.Stat)]] =
+      catalog.getSketch(table, c, "stats_grouped")
+        .filter(sketchIsFresh(table, _))
+        .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
+          .exists(_.group(1).equalsIgnoreCase(gName)))
+        .map(s => graft.sketch.GroupedHll.unpack(s.data).map {
+          case (k, b) => k -> graft.sketch.GroupedStats.decode(b)
+        })
+    parsed match {
+      case Aggregate(Seq(g: Expression), outs, r: UnresolvedRelation, _)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
+        val gName = attrName(g).getOrElse(return None)
+        // Left(key output name) | Right((name, fn, per-group stats))
+        val classified = outs.map {
+          case a: UnresolvedAttribute
+              if a.nameParts.last.equalsIgnoreCase(gName) =>
+            Some(Left(a.nameParts.last))
+          case Alias(e, name) if attrName(e).exists(_.equalsIgnoreCase(gName)) =>
+            Some(Left(name))
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", args) if isCountStar(args) =>
+                Some(Right((name, "count_star", None)))
+              case (fn, Seq(a: UnresolvedAttribute))
+                  if Set("min", "max", "count", "sum", "avg", "mean")(fn) =>
+                statsBlobFor(a.nameParts.last, gName)
+                  .map(stats => Right((name, fn, Some(stats))))
+              case _ => None
+            }
+          case _ => None
+        }
+        if (classified.exists(_.isEmpty)) return None
+        val parts = classified.flatten
+        val keyCols = parts.collect { case Left(n) => n }
+        val aggCols = parts.collect { case Right(v) => v }
+        val anchored = aggCols.collect { case (_, _, Some(s)) => s }
+        if (keyCols.sizeIs != 1 || anchored.isEmpty) return None
+        val keys = anchored.head.map(_._1)
+        if (!anchored.forall(_.map(_._1).toSet == keys.toSet)) return None
+        val rideRows = anchored.head.toMap.map { case (k, s) => k -> s.nrows }
+        val rows = keys.map { k =>
+          org.apache.spark.sql.Row.fromSeq(parts.map {
+            case Left(_) => k.orNull
+            case Right((_, "count_star", _)) => rideRows(k)
+            case Right((_, fn, Some(stats))) =>
+              val st = stats.toMap.apply(k)
+              fn match {
+                case "min"          => st.min.map(Double.box).orNull
+                case "max"          => st.max.map(Double.box).orNull
+                case "count"        => st.nnull
+                case "sum"          => st.sumDouble.map(Double.box).orNull
+                case "avg" | "mean" => st.avgDouble.map(Double.box).orNull
+              }
+            case Right((_, _, None)) => return None // unreachable
+          })
+        }
+        val schema = StructType(parts.map {
+          case Left(n) => StructField(n, StringType, nullable = true)
+          case Right((n, fn, _)) =>
+            if (fn == "count" || fn == "count_star")
+              StructField(n, LongType, nullable = false)
+            else StructField(n, DoubleType, nullable = true)
+        })
+        import scala.jdk.CollectionConverters._
+        Some(spark.createDataFrame(rows.asJava, schema))
       case _ => None
     }
   }

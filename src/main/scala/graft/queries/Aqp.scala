@@ -371,6 +371,28 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // q85's statistics strategy PER GROUP: the grouped-histogram build
+    // also records exact per-group stats (min/max, counts, the
+    // decimal-portable sum as an unscaled integer) and the engine
+    // answers `SELECT g, MIN/MAX/COUNT/SUM/AVG ... GROUP BY g` from
+    // that blob — no scan, no error. plan_type rides as a column so an
+    // exact-path fallback goes red.
+    "q86_grouped_stats" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      groupedHistograms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+          "orders", "o_orderstatus", "o_totalprice", 64)
+        ()
+      })
+      val r = e.query(
+        "SELECT o_orderstatus, min(o_totalprice) AS mn, " +
+          "max(o_totalprice) AS mx, sum(o_totalprice) AS sm, " +
+          "avg(o_totalprice) AS av, count(o_totalprice) AS nv, " +
+          "count(*) AS nr FROM orders GROUP BY o_orderstatus")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
     // the q45/q62 treatment applied to HLL itself (the engine's B7
     // sketch is byte-format/spec-gated; Spark's approx_count_distinct
@@ -992,6 +1014,21 @@ object Aqp {
            count(*) AS nr,
            'sketch' AS plan_type
          FROM orders""",
+    // q86: q85's derivation PER GROUP — DuckDB recomputes each group's
+    // min/max/counts and the decimal(18,4) portable sum; avg is that
+    // sum over the group's non-NULL count in ONE double division.
+    // plan_type must read 'sketch' (grouped-stats serve, not a scan).
+    "q86_grouped_stats" ->
+      """SELECT o_orderstatus,
+           CAST(min(o_totalprice) AS DOUBLE) AS mn,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(o_totalprice) AS DOUBLE) AS av,
+           count(o_totalprice) AS nv,
+           count(*) AS nr,
+           'sketch' AS plan_type
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q73_hll_estimate" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString

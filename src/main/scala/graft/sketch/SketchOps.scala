@@ -159,13 +159,33 @@ object SketchOps {
       .groupBy(col(groupCol).cast("string").as("g"))
       .agg(min(col(valueCol)).cast("double").as("lo"),
         max(col(valueCol)).cast("double").as("hi"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        count(col(valueCol)).as("nnull"),
+        expr(s"sum(cast($valueCol as decimal(18,4)))").as("sum4"))
       .limit(MaxHllGroups + 1)
       .collect()
     if (stats.length > MaxHllGroups)
       throw new IllegalArgumentException(
         s"grouped histogram over $table.$groupCol: more than $MaxHllGroups groups")
     val totalRows = stats.map(_.getAs[Long]("n")).sum
+    // per-group EXACT stats ride the same pass into a second blob: the
+    // engine's grouped statistics serve (SELECT g, MIN/MAX/COUNT/SUM/
+    // AVG ... GROUP BY g with no scan, no error). All-NULL groups keep
+    // their counts; min/max/sum serve as SQL NULL for them.
+    val statBlob = GroupedHll.pack(stats.toSeq.map { r =>
+      val absent = r.isNullAt(1)
+      val sum = Option(r.getDecimal(5))
+        .map(d => BigInt(d.setScale(4).unscaledValue()))
+        .getOrElse(BigInt(0))
+      Option(r.getAs[String]("g")) -> GroupedStats.encode(GroupedStats.Stat(
+        if (absent) None else Some(r.getDouble(1)),
+        if (absent) None else Some(r.getDouble(2)),
+        r.getAs[Long]("nnull"), r.getAs[Long]("n"), sum))
+    })
+    catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+      "stats_grouped", statBlob,
+      s"""{"group_by":"$groupCol","groups":${stats.length},"rows":$totalRows}""",
+      System.currentTimeMillis()))
     val grid = stats.filter(!_.isNullAt(1)).map { r =>
       val lo = r.getDouble(1)
       val hi = r.getDouble(2)

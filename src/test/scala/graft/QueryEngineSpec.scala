@@ -210,6 +210,49 @@ class QueryEngineSpec extends SparkSpec {
     catalog.upsertTableStats("orders", n)
   }
 
+  test("stored grouped build statistics answer per-group MIN/MAX/COUNT/SUM/AVG with no scan") {
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    val sql = "SELECT o_orderstatus, min(o_totalprice) AS mn, " +
+      "max(o_totalprice) AS mx, sum(o_totalprice) AS sm, " +
+      "avg(o_totalprice) AS av, count(o_totalprice) AS nv, count(*) AS nr " +
+      "FROM orders GROUP BY o_orderstatus"
+    val r = engine.query(sql)
+    assert(r.planType == "sketch", s"${r.planType}: ${r.reason}")
+    assert(r.transformations.exists(_.contains("grouped build statistics")),
+      r.transformations)
+    assert(r.estimatedError == 0.0)
+    val served = r.df.collect().map(x => x.getString(0) -> x).toMap
+    val ex = spark.sql(
+      "SELECT o_orderstatus, cast(min(o_totalprice) as double), " +
+        "cast(max(o_totalprice) as double), " +
+        "cast(sum(cast(o_totalprice as decimal(18,4))) as double), " +
+        "count(o_totalprice), count(*) FROM orders GROUP BY o_orderstatus")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(served.keySet == ex.keySet)
+    served.foreach { case (k, row) =>
+      val e = ex(k)
+      assert(row.getDouble(1) == e.getDouble(1), s"$k min")
+      assert(row.getDouble(2) == e.getDouble(2), s"$k max")
+      assert(row.getDouble(3) == e.getDouble(3), s"$k sum")
+      assert(row.getDouble(4) == e.getDouble(3) / e.getLong(4).toDouble, s"$k avg")
+      assert(row.getLong(5) == e.getLong(4), s"$k count(col)")
+      assert(row.getLong(6) == e.getLong(5), s"$k count(*)")
+    }
+    // a lone grouped COUNT(*) does NOT serve from stats
+    val rc = engine.query(
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus")
+    assert(!rc.transformations.exists(_.contains("grouped build statistics")),
+      rc.transformations)
+    // stale stats fall through
+    val n = spark.table("orders").count()
+    catalog.upsertTableStats("orders", n + 1000)
+    val r2 = engine.query(sql)
+    assert(!r2.transformations.exists(_.contains("grouped build statistics")),
+      r2.transformations)
+    catalog.upsertTableStats("orders", n)
+  }
+
   test("measureExact closes the learning loop") {
     val before = engine.history.all.size
     val r = engine.query("SELECT count(*) AS n FROM lineitem",
