@@ -475,6 +475,84 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming GROUPED-statistics maintenance — the q86 strategy made
+    * LIVE, and the one maintenance loop that is EXACT end-to-end: each
+    * micro-batch's per-group min/max/counts and decimal(18,4) sum fold
+    * into the catalog's stats_grouped blob, and
+    * `QueryEngine.storedGroupedStatsAnswer` serves per-group
+    * MIN/MAX/COUNT/SUM/AVG over the live table with no scan and NO
+    * error. Every merge is exact: min/max are monotone, counts add,
+    * and the sum is carried as the UNSCALED integer of the decimal sum
+    * (BigInt addition — no float drift), so the stream-maintained blob
+    * is BYTE-equal to a one-pass batch build over the same rows. New
+    * groups union in freely (stats need no pre-declared grid, unlike
+    * the grouped histogram), bounded by `SketchOps.MaxHllGroups`.
+    * Count/sum merges are additive, so the stored `last_batch` id
+    * skips re-delivered batch ids (single-writer discipline, like the
+    * histogram and CMS folds).
+    */
+  def maintainGroupedStatsSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
+      valueCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val alreadyMerged = catalog
+          .getSketch(table, valueCol, "stats_grouped")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged) {
+          import org.apache.spark.sql.functions.{count, expr, lit, max, min}
+          val rows = batch
+            .groupBy(col(groupCol).cast("string").as("g"))
+            .agg(min(col(valueCol)).cast("double").as("lo"),
+              max(col(valueCol)).cast("double").as("hi"),
+              count(lit(1)).as("n"),
+              count(col(valueCol)).as("nnull"),
+              expr(s"sum(cast($valueCol as decimal(18,4)))").as("sum4"))
+            .limit(graft.sketch.SketchOps.MaxHllGroups + 1)
+            .collect()
+          if (rows.length > graft.sketch.SketchOps.MaxHllGroups)
+            throw new IllegalArgumentException(
+              s"grouped stats over $table.$groupCol: more than " +
+                s"${graft.sketch.SketchOps.MaxHllGroups} groups in one batch")
+          if (rows.nonEmpty) {
+            val packed = graft.sketch.GroupedHll.pack(rows.toSeq.map { r =>
+              val absent = r.isNullAt(1)
+              val sum = Option(r.getDecimal(5))
+                .map(d => BigInt(d.setScale(4).unscaledValue()))
+                .getOrElse(BigInt(0))
+              Option(r.getAs[String]("g")) ->
+                graft.sketch.GroupedStats.encode(graft.sketch.GroupedStats.Stat(
+                  if (absent) None else Some(r.getDouble(1)),
+                  if (absent) None else Some(r.getDouble(2)),
+                  r.getAs[Long]("nnull"), r.getAs[Long]("n"), sum))
+            })
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
+              "stats_grouped",
+              packed, s"""{"group_by":"$groupCol","last_batch":$batchId}""",
+              System.currentTimeMillis())) { (prev, next) =>
+              val merged = graft.sketch.GroupedHll.mergePacked(prev, next) {
+                (x, y) => graft.sketch.GroupedStats.encode(
+                  graft.sketch.GroupedStats.merge(
+                    graft.sketch.GroupedStats.decode(x),
+                    graft.sketch.GroupedStats.decode(y)))
+              }
+              if (graft.sketch.GroupedHll.unpack(merged)
+                  .sizeIs > graft.sketch.SketchOps.MaxHllGroups)
+                throw new IllegalArgumentException(
+                  s"grouped stats over $table.$groupCol: merged group count " +
+                    s"exceeds ${graft.sketch.SketchOps.MaxHllGroups}")
+              merged
+            }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming Count-Min maintenance — the engine's point-frequency
     * strategy made LIVE: each micro-batch's values fold into the
     * catalog's CMS (one distributed sketch aggregate per batch — the

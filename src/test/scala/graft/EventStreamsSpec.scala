@@ -289,6 +289,75 @@ class EventStreamsSpec extends SparkSpec {
     assert(catalog.getSketch("prices_live2", "price", "histogram_grouped").isEmpty)
   }
 
+  test("stream-maintained grouped stats BYTE-equal the batch build; per-group exact aggregates go live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-gstats").toString)
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.maintainGroupedStatsSketch(
+      stream.toDF().toDF("grp", "amount"), catalog, "sales_live", "grp",
+      "amount")
+    val data = (1L to 900L).map(i => (s"g${i % 3}", i * 7 % 1000))
+    data.grouped(300).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // law: BYTE-equal to a one-pass batch build over the same data —
+    // every stat merge is exact (monotone min/max, integer counts,
+    // BigInt decimal sums), so unlike HLL this loop has NO error at all
+    data.toDF("grp", "amount").createOrReplaceTempView("sales_live")
+    val catalog2 = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-batch-gstats").toString)
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog2, "sales_live", "grp", "amount", 64)
+    val streamed = catalog.getSketch("sales_live", "amount", "stats_grouped")
+    val batch = catalog2.getSketch("sales_live", "amount", "stats_grouped")
+    assert(streamed.isDefined && batch.isDefined)
+    assert(streamed.get.data.sameElements(batch.get.data))
+    assert(streamed.get.parameters.contains("\"last_batch\""))
+
+    // replay guard: re-delivered batch id 0 must not double-count
+    val replay = MemoryStream[(String, Long)]
+    val q2 = EventStreams.maintainGroupedStatsSketch(
+      replay.toDF().toDF("grp", "amount"), catalog, "sales_live", "grp",
+      "amount")
+    replay.addData(data.take(300).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(catalog.getSketch("sales_live", "amount", "stats_grouped")
+      .get.data.sameElements(batch.get.data),
+      "replayed batch id must be skipped, not re-merged")
+
+    // the engine serves EXACT per-group aggregates from the LIVE blob
+    // with no scan: the backing view is EMPTY
+    val exact = spark.sql(
+      "SELECT grp, cast(min(amount) as double) mn, cast(max(amount) as double) mx, " +
+        "cast(sum(cast(amount as decimal(18,4))) as double) sm, count(*) nr " +
+        "FROM sales_live GROUP BY grp").collect()
+      .map(r => r.getString(0) -> r).toMap
+    spark.range(0)
+      .select(lit("x").as("grp"), col("id").cast("double").as("amount"))
+      .createOrReplaceTempView("sales_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT grp, min(amount) AS mn, max(amount) AS mx, sum(amount) AS sm, " +
+        "count(*) AS nr FROM sales_live GROUP BY grp")
+    assert(r.planType == "sketch", r.reason)
+    assert(r.transformations.exists(_.contains("grouped build statistics")),
+      r.transformations)
+    val served = r.df.collect().map(x => x.getString(0) -> x).toMap
+    assert(served.keySet == exact.keySet)
+    served.foreach { case (k, row) =>
+      assert(row.getDouble(1) == exact(k).getDouble(1), s"$k min")
+      assert(row.getDouble(2) == exact(k).getDouble(2), s"$k max")
+      assert(row.getDouble(3) == exact(k).getDouble(3), s"$k sum")
+      assert(row.getLong(4) == exact(k).getLong(4), s"$k count(*)")
+    }
+  }
+
   test("stream-maintained CMS equals the batch build; engine point-frequency goes live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
