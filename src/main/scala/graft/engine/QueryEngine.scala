@@ -150,6 +150,22 @@ final class QueryEngine(
           sql, features, opts)
       case None =>
     }
+    // Filtered-group strategy: `SELECT <aggs> FROM t WHERE g = lit`
+    // dispatches the equality predicate to the GROUP it names inside
+    // the stored grouped sketches — partition pruning at the catalog
+    // level. Statistics serve exactly; percentiles within one bucket
+    // width of the named group's own grid. Zero scan either way.
+    storedFilteredGroupAnswer(parsed, table) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(AqeResult(df, "sketch", "sketch",
+          "filtered aggregate answered from grouped sketches (group-pruned, no scan)",
+          0.93, Double.PositiveInfinity, err, None, None,
+          Seq("WHERE col = value dispatched to that group's stored sketch " +
+            "record (group-pruned: no scan; stats exact, percentiles to one " +
+            "bucket width)")),
+          sql, features, opts)
+      case _ =>
+    }
     // Histogram strategy: a pure percentile/median query over a table
     // whose columns carry stored equi-width histograms answers from the
     // catalog with NO scan (accuracy = one bucket width) — a strategy
@@ -975,6 +991,152 @@ final class QueryEngine(
         })
         import scala.jdk.CollectionConverters._
         Some(spark.createDataFrame(rows.asJava, schema))
+      case _ => None
+    }
+  }
+
+  /** If the query is `SELECT <aggs> FROM table WHERE g = lit` with a
+    * single equality predicate whose column is the group_by of fresh
+    * stored GROUPED sketches, dispatch to the ONE group the literal
+    * names — catalog-level partition pruning. Statistics
+    * (MIN/MAX/COUNT/SUM/AVG from the stats_grouped blob) serve
+    * EXACTLY; PERCENTILE/MEDIAN (from the histogram_grouped blob)
+    * serve within one bucket width of that group's own grid; COUNT(*)
+    * rides from the group's recorded rowcount (≥1 column-anchored
+    * aggregate required — a lone filtered COUNT(*) keeps its Count-Min
+    * / sampling semantics). A literal naming NO recorded group serves
+    * the exact empty-group aggregate (counts 0, everything else NULL).
+    * Returns the answer plus the worst percentile error (0.0 when all
+    * outputs are statistics).
+    */
+  private def storedFilteredGroupAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    def litKey(l: Literal): Option[String] = l.value match {
+      case null                                         => None
+      case u: org.apache.spark.unsafe.types.UTF8String  => Some(u.toString)
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+                _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
+      case _                                            => None
+    }
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    sealed trait Part
+    case class PctPart(name: String, value: Option[Double], err: Double) extends Part
+    case class StatPart(name: String, fn: String,
+        stat: Option[graft.sketch.GroupedStats.Stat]) extends Part
+    case class CountStarPart(name: String) extends Part
+    parsed match {
+      case Project(outs, Filter(cond, r: UnresolvedRelation))
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) && outs.nonEmpty =>
+        val colKey = cond match {
+          case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+            litKey(l).map((a.nameParts.last, _))
+          case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+            litKey(l).map((a.nameParts.last, _))
+          case _ => None
+        }
+        val (gName, v) = colKey.getOrElse(return None)
+        def grouped(c: String, tpe: String)
+            : Option[Seq[(Option[String], Array[Byte])]] =
+          catalog.getSketch(table, c, tpe)
+            .filter(sketchIsFresh(table, _))
+            .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
+              .exists(_.group(1).equalsIgnoreCase(gName)))
+            .map(s => graft.sketch.GroupedHll.unpack(s.data))
+        def statFor(c: String): Option[Option[graft.sketch.GroupedStats.Stat]] =
+          grouped(c, "stats_grouped").map(_.collectFirst {
+            case (Some(k), b) if k == v => graft.sketch.GroupedStats.decode(b)
+          })
+        var statsRows: Option[Option[Long]] = None // rows of the named group
+        val classified: Seq[Option[Part]] = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", Seq(l: Literal)) if l.value != null =>
+                Some(CountStarPart(name)) // count(*) parses as count(1)
+              case (fn, Seq(a: UnresolvedAttribute))
+                  if Set("min", "max", "count", "sum", "avg", "mean")(fn) =>
+                statFor(a.nameParts.last).map { st =>
+                  if (statsRows.isEmpty) statsRows = Some(st.map(_.nrows))
+                  StatPart(name, fn, st)
+                }
+              case ("percentile" | "percentile_approx" | "approx_percentile",
+                  Seq(a: UnresolvedAttribute, l: Literal)) =>
+                for {
+                  p <- litDouble(l)
+                  hs <- grouped(a.nameParts.last, "histogram_grouped")
+                } yield {
+                  val h = hs.collectFirst {
+                    case (Some(k), b) if k == v =>
+                      graft.sketch.Histogram.deserialize(b)
+                  }
+                  PctPart(name, h.map(_.percentile(p)),
+                    h.map(x => 1.0 / x.buckets).getOrElse(0.0))
+                }
+              case ("median", Seq(a: UnresolvedAttribute)) =>
+                grouped(a.nameParts.last, "histogram_grouped").map { hs =>
+                  val h = hs.collectFirst {
+                    case (Some(k), b) if k == v =>
+                      graft.sketch.Histogram.deserialize(b)
+                  }
+                  PctPart(name, h.map(_.percentile(0.5)),
+                    h.map(x => 1.0 / x.buckets).getOrElse(0.0))
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+        if (classified.exists(_.isEmpty)) return None
+        val parts = classified.flatten
+        val anchored = parts.count(!_.isInstanceOf[CountStarPart])
+        if (anchored == 0) return None
+        // count(*) needs the group's recorded rowcount: from a stats
+        // blob consulted above, else from the percentile column's own
+        // stats blob (createGroupedHistogram writes both together)
+        val rideRows: Option[Long] =
+          if (!parts.exists(_.isInstanceOf[CountStarPart])) Some(0L)
+          else statsRows match {
+            case Some(st) => Some(st.getOrElse(0L))
+            case None =>
+              val pctCol = outs.collectFirst {
+                case Alias(f: UnresolvedFunction, _)
+                    if f.arguments.headOption.exists(_.isInstanceOf[UnresolvedAttribute]) =>
+                  f.arguments.head.asInstanceOf[UnresolvedAttribute].nameParts.last
+              }
+              pctCol.flatMap(statFor).map(_.map(_.nrows).getOrElse(0L))
+          }
+        if (parts.exists(_.isInstanceOf[CountStarPart]) && rideRows.isEmpty)
+          return None
+        val row = org.apache.spark.sql.Row.fromSeq(parts.map {
+          case CountStarPart(_)     => rideRows.get
+          case PctPart(_, value, _) => value.map(Double.box).orNull
+          case StatPart(_, fn, st)  => fn match {
+            case "min"          => st.flatMap(_.min).map(Double.box).orNull
+            case "max"          => st.flatMap(_.max).map(Double.box).orNull
+            case "count"        => st.map(_.nnull).getOrElse(0L)
+            case "sum"          => st.flatMap(_.sumDouble).map(Double.box).orNull
+            case "avg" | "mean" => st.flatMap(_.avgDouble).map(Double.box).orNull
+          }
+        })
+        val schema = StructType(parts.map {
+          case CountStarPart(n)  => StructField(n, LongType, nullable = false)
+          case PctPart(n, _, _)  => StructField(n, DoubleType, nullable = true)
+          case StatPart(n, fn, _) =>
+            if (fn == "count") StructField(n, LongType, nullable = false)
+            else StructField(n, DoubleType, nullable = true)
+        })
+        import scala.jdk.CollectionConverters._
+        Some((spark.createDataFrame(java.util.List.of(row), schema),
+          parts.collect { case PctPart(_, _, e) => e }
+            .foldLeft(0.0)(math.max)))
       case _ => None
     }
   }

@@ -393,6 +393,29 @@ object Aqp {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Filtered-group dispatch end-to-end: `WHERE o_orderstatus = 'F'`
+    // names ONE group, and the engine answers stats (exact) AND a
+    // percentile (one bucket width of group F's own grid) from the
+    // grouped blobs with no scan — catalog-level partition pruning.
+    // The oracle re-derives group F's grid chain (q84's derivation
+    // restricted to the named group) plus the exact stats; plan_type
+    // rides as a column so a scan fallback goes red.
+    "q87_filtered_group" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      groupedHistograms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+          "orders", "o_orderstatus", "o_totalprice", 64)
+        ()
+      })
+      val r = e.query(
+        "SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+          "sum(o_totalprice) AS sm, avg(o_totalprice) AS av, " +
+          "count(o_totalprice) AS nv, count(*) AS nr, " +
+          "percentile(o_totalprice, 0.5) AS p50 " +
+          "FROM orders WHERE o_orderstatus = 'F'")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
     // the q45/q62 treatment applied to HLL itself (the engine's B7
     // sketch is byte-format/spec-gated; Spark's approx_count_distinct
@@ -1029,6 +1052,41 @@ object Aqp {
            count(*) AS nr,
            'sketch' AS plan_type
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // q87: q84's per-group histogram derivation RESTRICTED to the
+    // named group (its own [min,max]/64 grid, group-local ranks, the
+    // same fixed-association interpolation) + q85's exact stats over
+    // the same WHERE — both served from the engine's grouped blobs.
+    "q87_filtered_group" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi,
+              count(o_totalprice) AS n
+            FROM orders WHERE o_orderstatus = 'F'),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w, n
+            FROM mm),
+          bk AS (SELECT least(63, CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders, grd
+            WHERE o_totalprice IS NOT NULL AND o_orderstatus = 'F'),
+          c AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+          cum AS (SELECT b, c,
+              sum(c) OVER (ORDER BY b) - c AS cum_before FROM c),
+          tg AS (SELECT CAST('0.5' AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS target FROM grd),
+          pick AS (SELECT tg.target, min(cum.b) AS b
+            FROM cum, tg WHERE cum.cum_before + cum.c > tg.target
+            GROUP BY tg.target),
+          est AS (SELECT grd.lo + grd.w * (CAST(pick.b AS DOUBLE)
+                + CASE WHEN cum.c <= 1 THEN CAST(0 AS DOUBLE)
+                       ELSE (pick.target - CAST(cum.cum_before AS DOUBLE)) / CAST(cum.c AS DOUBLE) END) AS p50
+            FROM pick JOIN cum ON pick.b = cum.b, grd),
+          st AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+              CAST(max(o_totalprice) AS DOUBLE) AS mx,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                / CAST(count(o_totalprice) AS DOUBLE) AS av,
+              count(o_totalprice) AS nv, count(*) AS nr
+            FROM orders WHERE o_orderstatus = 'F')
+          SELECT mn, mx, sm, av, nv, nr, p50, 'sketch' AS plan_type
+          FROM st, est""",
     "q73_hll_estimate" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString

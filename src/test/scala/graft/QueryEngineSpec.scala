@@ -253,6 +253,57 @@ class QueryEngineSpec extends SparkSpec {
     catalog.upsertTableStats("orders", n)
   }
 
+  test("WHERE g = lit dispatches to the named group's stored sketches (group-pruned, no scan)") {
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    val sql = "SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+      "sum(o_totalprice) AS sm, count(o_totalprice) AS nv, count(*) AS nr, " +
+      "percentile(o_totalprice, 0.5) AS p50 " +
+      "FROM orders WHERE o_orderstatus = 'F'"
+    val r = engine.query(sql)
+    assert(r.planType == "sketch", s"${r.planType}: ${r.reason}")
+    assert(r.transformations.exists(_.contains("group-pruned")),
+      r.transformations)
+    val row = r.df.collect().head
+    val ex = spark.sql(
+      "SELECT cast(min(o_totalprice) as double), cast(max(o_totalprice) as double), " +
+        "cast(sum(cast(o_totalprice as decimal(18,4))) as double), " +
+        "count(o_totalprice), count(*), " +
+        "cast(percentile(o_totalprice, 0.5) as double), " +
+        "(cast(max(o_totalprice) as double) - cast(min(o_totalprice) as double)) / 64 " +
+        "FROM orders WHERE o_orderstatus = 'F'").collect().head
+    assert(row.getDouble(0) == ex.getDouble(0)) // min exact
+    assert(row.getDouble(1) == ex.getDouble(1)) // max exact
+    assert(row.getDouble(2) == ex.getDouble(2)) // decimal-portable sum
+    assert(row.getLong(3) == ex.getLong(3))     // count(col) exact
+    assert(row.getLong(4) == ex.getLong(4))     // count(*) exact
+    assert(math.abs(row.getDouble(5) - ex.getDouble(5)) <= 2 * ex.getDouble(6),
+      s"p50 ${row.getDouble(5)} vs ${ex.getDouble(5)}")
+
+    // a literal naming NO recorded group is the exact empty aggregate
+    val r2 = engine.query(
+      "SELECT min(o_totalprice) AS mn, count(o_totalprice) AS nv, " +
+        "count(*) AS nr FROM orders WHERE o_orderstatus = 'ZZ'")
+    assert(r2.transformations.exists(_.contains("group-pruned")),
+      r2.transformations)
+    val row2 = r2.df.collect().head
+    assert(row2.isNullAt(0) && row2.getLong(1) == 0L && row2.getLong(2) == 0L)
+
+    // a LONE filtered COUNT(*) keeps its Count-Min/sampling semantics
+    val rc = engine.query(
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'")
+    assert(!rc.transformations.exists(_.contains("group-pruned")),
+      rc.transformations)
+
+    // stale stats fall through
+    val n = spark.table("orders").count()
+    catalog.upsertTableStats("orders", n + 1000)
+    val r3 = engine.query(sql)
+    assert(!r3.transformations.exists(_.contains("group-pruned")),
+      r3.transformations)
+    catalog.upsertTableStats("orders", n)
+  }
+
   test("measureExact closes the learning loop") {
     val before = engine.history.all.size
     val r = engine.query("SELECT count(*) AS n FROM lineitem",
