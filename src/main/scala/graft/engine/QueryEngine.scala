@@ -995,25 +995,29 @@ final class QueryEngine(
     }
   }
 
-  /** If the query is `SELECT <aggs> FROM table WHERE g = lit` with a
-    * single equality predicate whose column is the group_by of fresh
-    * stored GROUPED sketches, dispatch to the ONE group the literal
-    * names — catalog-level partition pruning. Statistics
-    * (MIN/MAX/COUNT/SUM/AVG from the stats_grouped blob) serve
-    * EXACTLY; PERCENTILE/MEDIAN (from the histogram_grouped blob)
-    * serve within one bucket width of that group's own grid; COUNT(*)
-    * rides from the group's recorded rowcount (≥1 column-anchored
-    * aggregate required — a lone filtered COUNT(*) keeps its Count-Min
-    * / sampling semantics). A literal naming NO recorded group serves
-    * the exact empty-group aggregate (counts 0, everything else NULL).
-    * Returns the answer plus the worst percentile error (0.0 when all
-    * outputs are statistics).
+  /** If the query is `SELECT <aggs> FROM table WHERE g = lit` (or
+    * `g IN (lits)`) with a single predicate whose column is the
+    * group_by of fresh stored GROUPED sketches, dispatch to the
+    * group(s) the literals name — catalog-level partition pruning.
+    * Statistics (MIN/MAX/COUNT/SUM/AVG from the stats_grouped blob)
+    * serve EXACTLY, and IN-lists merge the named groups' records
+    * exactly (min/max monotone, counts and the unscaled decimal sum
+    * additive); COUNT(DISTINCT c) serves from the hll_grouped blob,
+    * IN-lists by register-max HLL union; PERCENTILE/MEDIAN (from the
+    * histogram_grouped blob) serve within one bucket width of the
+    * named group's own grid — single-group only, since per-group grids
+    * don't merge; COUNT(*) rides from the groups' recorded rowcounts
+    * (≥1 column-anchored aggregate required — a lone filtered COUNT(*)
+    * keeps its Count-Min / sampling semantics). Literals naming NO
+    * recorded group serve the exact empty-group aggregate (counts 0,
+    * everything else NULL). Returns the answer plus the worst
+    * estimate error (0.0 when all outputs are statistics).
     */
   private def storedFilteredGroupAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       table: String): Option[(DataFrame, Double)] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, In, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     def litKey(l: Literal): Option[String] = l.value match {
@@ -1031,19 +1035,25 @@ final class QueryEngine(
     sealed trait Part
     case class PctPart(name: String, value: Option[Double], err: Double) extends Part
     case class StatPart(name: String, fn: String,
-        stat: Option[graft.sketch.GroupedStats.Stat]) extends Part
+        stat: graft.sketch.GroupedStats.Stat) extends Part
+    case class DistinctPart(name: String, est: Long, err: Double) extends Part
     case class CountStarPart(name: String) extends Part
     parsed match {
       case Project(outs, Filter(cond, r: UnresolvedRelation))
           if r.multipartIdentifier.last.equalsIgnoreCase(table) && outs.nonEmpty =>
-        val colKey = cond match {
+        val colKeys = cond match {
           case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-            litKey(l).map((a.nameParts.last, _))
+            litKey(l).map(k => (a.nameParts.last, Seq(k)))
           case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-            litKey(l).map((a.nameParts.last, _))
+            litKey(l).map(k => (a.nameParts.last, Seq(k)))
+          case In(a: UnresolvedAttribute, lits)
+              if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+            val ks = lits.map(l => litKey(l.asInstanceOf[Literal]))
+            if (ks.exists(_.isEmpty)) None
+            else Some((a.nameParts.last, ks.flatten.distinct))
           case _ => None
         }
-        val (gName, v) = colKey.getOrElse(return None)
+        val (gName, keys) = colKeys.getOrElse(return None)
         def grouped(c: String, tpe: String)
             : Option[Seq[(Option[String], Array[Byte])]] =
           catalog.getSketch(table, c, tpe)
@@ -1051,12 +1061,37 @@ final class QueryEngine(
             .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
               .exists(_.group(1).equalsIgnoreCase(gName)))
             .map(s => graft.sketch.GroupedHll.unpack(s.data))
-        def statFor(c: String): Option[Option[graft.sketch.GroupedStats.Stat]] =
-          grouped(c, "stats_grouped").map(_.collectFirst {
-            case (Some(k), b) if k == v => graft.sketch.GroupedStats.decode(b)
-          })
-        var statsRows: Option[Option[Long]] = None // rows of the named group
+        val emptyStat =
+          graft.sketch.GroupedStats.Stat(None, None, 0L, 0L, BigInt(0))
+        // exact merge of the named groups' stat records (missing
+        // groups contribute the empty record); None = no usable sketch
+        def statFor(c: String): Option[graft.sketch.GroupedStats.Stat] =
+          grouped(c, "stats_grouped").map { gs =>
+            gs.collect {
+              case (Some(k), b) if keys.contains(k) =>
+                graft.sketch.GroupedStats.decode(b)
+            }.foldLeft(emptyStat)(graft.sketch.GroupedStats.merge)
+          }
+        var statsRows: Option[Long] = None // rows of the named group(s)
         val classified: Seq[Option[Part]] = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if f.isDistinct && f.filter.isEmpty &&
+                f.nameParts.last.equalsIgnoreCase("count") &&
+                f.arguments.sizeIs == 1 &&
+                f.arguments.head.isInstanceOf[UnresolvedAttribute] =>
+            val c = f.arguments.head
+              .asInstanceOf[UnresolvedAttribute].nameParts.last
+            grouped(c, "hll_grouped").map { hs =>
+              val matched = hs.collect {
+                case (Some(k), b) if keys.contains(k) =>
+                  graft.sketch.Hll.deserialize(b)
+              }
+              if (matched.isEmpty) DistinctPart(name, 0L, 0.0)
+              else {
+                val merged = matched.reduce(_ merge _)
+                DistinctPart(name, merged.count, merged.standardError)
+              }
+            }
           case Alias(f: UnresolvedFunction, name)
               if !f.isDistinct && f.filter.isEmpty =>
             (f.nameParts.last.toLowerCase, f.arguments) match {
@@ -1065,26 +1100,28 @@ final class QueryEngine(
               case (fn, Seq(a: UnresolvedAttribute))
                   if Set("min", "max", "count", "sum", "avg", "mean")(fn) =>
                 statFor(a.nameParts.last).map { st =>
-                  if (statsRows.isEmpty) statsRows = Some(st.map(_.nrows))
+                  if (statsRows.isEmpty) statsRows = Some(st.nrows)
                   StatPart(name, fn, st)
                 }
               case ("percentile" | "percentile_approx" | "approx_percentile",
-                  Seq(a: UnresolvedAttribute, l: Literal)) =>
+                  Seq(a: UnresolvedAttribute, l: Literal))
+                  if keys.sizeIs == 1 =>
                 for {
                   p <- litDouble(l)
                   hs <- grouped(a.nameParts.last, "histogram_grouped")
                 } yield {
                   val h = hs.collectFirst {
-                    case (Some(k), b) if k == v =>
+                    case (Some(k), b) if k == keys.head =>
                       graft.sketch.Histogram.deserialize(b)
                   }
                   PctPart(name, h.map(_.percentile(p)),
                     h.map(x => 1.0 / x.buckets).getOrElse(0.0))
                 }
-              case ("median", Seq(a: UnresolvedAttribute)) =>
+              case ("median", Seq(a: UnresolvedAttribute))
+                  if keys.sizeIs == 1 =>
                 grouped(a.nameParts.last, "histogram_grouped").map { hs =>
                   val h = hs.collectFirst {
-                    case (Some(k), b) if k == v =>
+                    case (Some(k), b) if k == keys.head =>
                       graft.sketch.Histogram.deserialize(b)
                   }
                   PctPart(name, h.map(_.percentile(0.5)),
@@ -1098,45 +1135,49 @@ final class QueryEngine(
         val parts = classified.flatten
         val anchored = parts.count(!_.isInstanceOf[CountStarPart])
         if (anchored == 0) return None
-        // count(*) needs the group's recorded rowcount: from a stats
+        // count(*) needs the groups' recorded rowcounts: from a stats
         // blob consulted above, else from the percentile column's own
         // stats blob (createGroupedHistogram writes both together)
         val rideRows: Option[Long] =
           if (!parts.exists(_.isInstanceOf[CountStarPart])) Some(0L)
           else statsRows match {
-            case Some(st) => Some(st.getOrElse(0L))
+            case Some(n) => Some(n)
             case None =>
               val pctCol = outs.collectFirst {
                 case Alias(f: UnresolvedFunction, _)
                     if f.arguments.headOption.exists(_.isInstanceOf[UnresolvedAttribute]) =>
                   f.arguments.head.asInstanceOf[UnresolvedAttribute].nameParts.last
               }
-              pctCol.flatMap(statFor).map(_.map(_.nrows).getOrElse(0L))
+              pctCol.flatMap(statFor).map(_.nrows)
           }
         if (parts.exists(_.isInstanceOf[CountStarPart]) && rideRows.isEmpty)
           return None
         val row = org.apache.spark.sql.Row.fromSeq(parts.map {
-          case CountStarPart(_)     => rideRows.get
-          case PctPart(_, value, _) => value.map(Double.box).orNull
-          case StatPart(_, fn, st)  => fn match {
-            case "min"          => st.flatMap(_.min).map(Double.box).orNull
-            case "max"          => st.flatMap(_.max).map(Double.box).orNull
-            case "count"        => st.map(_.nnull).getOrElse(0L)
-            case "sum"          => st.flatMap(_.sumDouble).map(Double.box).orNull
-            case "avg" | "mean" => st.flatMap(_.avgDouble).map(Double.box).orNull
+          case CountStarPart(_)       => rideRows.get
+          case PctPart(_, value, _)   => value.map(Double.box).orNull
+          case DistinctPart(_, e, _)  => e
+          case StatPart(_, fn, st)    => fn match {
+            case "min"          => st.min.map(Double.box).orNull
+            case "max"          => st.max.map(Double.box).orNull
+            case "count"        => st.nnull
+            case "sum"          => st.sumDouble.map(Double.box).orNull
+            case "avg" | "mean" => st.avgDouble.map(Double.box).orNull
           }
         })
         val schema = StructType(parts.map {
-          case CountStarPart(n)  => StructField(n, LongType, nullable = false)
-          case PctPart(n, _, _)  => StructField(n, DoubleType, nullable = true)
+          case CountStarPart(n)      => StructField(n, LongType, nullable = false)
+          case PctPart(n, _, _)      => StructField(n, DoubleType, nullable = true)
+          case DistinctPart(n, _, _) => StructField(n, LongType, nullable = false)
           case StatPart(n, fn, _) =>
             if (fn == "count") StructField(n, LongType, nullable = false)
             else StructField(n, DoubleType, nullable = true)
         })
         import scala.jdk.CollectionConverters._
         Some((spark.createDataFrame(java.util.List.of(row), schema),
-          parts.collect { case PctPart(_, _, e) => e }
-            .foldLeft(0.0)(math.max)))
+          parts.collect {
+            case PctPart(_, _, e)      => e
+            case DistinctPart(_, _, e) => e
+          }.foldLeft(0.0)(math.max)))
       case _ => None
     }
   }

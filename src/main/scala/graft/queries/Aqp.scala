@@ -416,6 +416,71 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // IN-list group merging end-to-end: `WHERE o_orderstatus IN
+    // ('F','P')` names TWO groups and the engine merges their stored
+    // stat records EXACTLY (min/max monotone, counts and the unscaled
+    // decimal sum additive — GroupedStats.merge) before answering:
+    // zero scan, zero error, catalog-level partition pruning over a
+    // multi-group predicate. The oracle computes the same aggregates
+    // over the union directly (decimal addition is exact, so merging
+    // per-group sums equals summing the union); plan_type rides as a
+    // column so a scan fallback goes red.
+    "q88_filtered_in_stats" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      groupedHistograms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+          "orders", "o_orderstatus", "o_totalprice", 64)
+        ()
+      })
+      val r = e.query(
+        "SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+          "sum(o_totalprice) AS sm, avg(o_totalprice) AS av, " +
+          "count(o_totalprice) AS nv, count(*) AS nr " +
+          "FROM orders WHERE o_orderstatus IN ('F', 'P')")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Deterministic twin of the engine's IN-list COUNT(DISTINCT) serve
+    // (the q73/q83 treatment): per-group HLL registers over the named
+    // groups are REGISTER-MAX MERGED — exactly what the engine does to
+    // its stored hll_grouped blobs for `WHERE g IN (...)` — and only
+    // then estimated. Integer-scaled register sums keep the estimate a
+    // single exact division, so the union-estimate arithmetic is
+    // oracle-gated bit-for-bit (the engine's own SHA-256 sketch is
+    // spec-gated byte-level; this gates the merge+estimate math).
+    "q89_merged_hll" -> ((s, dir) => {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      val regs = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          expr(graft.queries.Dedup.h60Spark(
+            "concat('fhll:', cast(l_orderkey as string))")).as("h"))
+        .select(col("g"), expr("cast(h % 1024 as int)").as("b"),
+          expr("h div 1024").as("rest"))
+        .groupBy(col("g"), col("b"))
+        .agg(max(expr(
+          "case when rest = 0 then 51 else 51 - length(bin(rest)) end"))
+          .as("rho"))
+      // register-max union of the two groups' registers = the engine's
+      // Hll.merge over the named groups
+      val merged = regs.groupBy(col("b")).agg(max(col("rho")).as("rho"))
+      val est = merged.agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(cast(1 as bigint), 30 - least(rho, 30))"))
+            .as("sp"))
+        .select(expr("cast(1024 - nb as int)").as("v_empty"),
+          expr("cast(sp + (1024 - nb) * 1073741824 as bigint)")
+            .as("s_scaled"))
+        .withColumn("est_raw", expr(
+          s"cast('$num' as double) / cast(s_scaled as double)"))
+      val exact = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      est.crossJoin(exact)
+        .withColumn("rel_error", expr(
+          "(est_raw - cast(n_exact as double)) / cast(n_exact as double)"))
+    }),
+
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
     // the q45/q62 treatment applied to HLL itself (the engine's B7
     // sketch is byte-format/spec-gated; Spark's approx_count_distinct
@@ -1087,6 +1152,44 @@ object Aqp {
             FROM orders WHERE o_orderstatus = 'F')
           SELECT mn, mx, sm, av, nv, nr, p50, 'sketch' AS plan_type
           FROM st, est""",
+    // q88: exact stats over the IN-list union — decimal addition is
+    // exact, so the engine's merge of per-group records equals the
+    // direct aggregate over the union (q85's recipe, filtered).
+    "q88_filtered_in_stats" ->
+      """SELECT CAST(min(o_totalprice) AS DOUBLE) AS mn,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(o_totalprice) AS DOUBLE) AS av,
+           count(o_totalprice) AS nv, count(*) AS nr,
+           'sketch' AS plan_type
+         FROM orders WHERE o_orderstatus IN ('F', 'P')""",
+    "q89_merged_hll" -> {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      s"""WITH h AS (SELECT l_returnflag AS g,
+              ${graft.queries.Dedup.h60Duck("'fhll:' || CAST(l_orderkey AS VARCHAR)")} AS h
+            FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+          b AS (SELECT g, CAST(h % 1024 AS INT) AS b, h // 1024 AS rest FROM h),
+          r AS (SELECT g, b,
+              max(CASE WHEN rest = 0 THEN 51 ELSE 51 - length(bin(rest)) END) AS rho
+            FROM b GROUP BY g, b),
+          mrg AS (SELECT b, max(rho) AS rho FROM r GROUP BY b),
+          s AS (SELECT count(*) AS nb,
+              sum(CAST(1 AS BIGINT) << CAST(30 - least(rho, 30) AS INT)) AS sp
+            FROM mrg),
+          ex AS (SELECT count(DISTINCT l_orderkey) AS n_exact
+            FROM lineitem WHERE l_returnflag IN ('A', 'R'))
+          SELECT CAST(1024 - nb AS INT) AS v_empty,
+            CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS s_scaled,
+            CAST('$num' AS DOUBLE)
+              / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE) AS est_raw,
+            n_exact,
+            (CAST('$num' AS DOUBLE)
+                / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE)
+              - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+          FROM s, ex"""
+    },
     "q73_hll_estimate" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString

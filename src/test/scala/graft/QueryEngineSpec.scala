@@ -304,6 +304,50 @@ class QueryEngineSpec extends SparkSpec {
     catalog.upsertTableStats("orders", n)
   }
 
+  test("WHERE g IN (...) merges the named groups' stats and HLL registers (no scan)") {
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    graft.sketch.SketchOps.createGroupedHll(
+      spark, catalog, "orders", "o_orderstatus", "o_custkey")
+    val r = engine.query(
+      "SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+        "sum(o_totalprice) AS sm, count(o_totalprice) AS nv, " +
+        "count(*) AS nr, count(DISTINCT o_custkey) AS nd " +
+        "FROM orders WHERE o_orderstatus IN ('F', 'P')")
+    assert(r.planType == "sketch", s"${r.planType}: ${r.reason}")
+    assert(r.transformations.exists(_.contains("group-pruned")),
+      r.transformations)
+    val row = r.df.collect().head
+    val ex = spark.sql(
+      "SELECT cast(min(o_totalprice) as double), cast(max(o_totalprice) as double), " +
+        "cast(sum(cast(o_totalprice as decimal(18,4))) as double), " +
+        "count(o_totalprice), count(*), count(DISTINCT o_custkey) " +
+        "FROM orders WHERE o_orderstatus IN ('F', 'P')").collect().head
+    assert(row.getDouble(0) == ex.getDouble(0)) // merged min exact
+    assert(row.getDouble(1) == ex.getDouble(1)) // merged max exact
+    assert(row.getDouble(2) == ex.getDouble(2)) // merged decimal sum exact
+    assert(row.getLong(3) == ex.getLong(3))     // merged count(col) exact
+    assert(row.getLong(4) == ex.getLong(4))     // merged count(*) exact
+    val nd = ex.getLong(5).toDouble             // HLL union estimate
+    assert(math.abs(row.getLong(5) - nd) / nd <= 0.10,
+      s"distinct estimate ${row.getLong(5)} vs exact $nd")
+
+    // single-group count(DISTINCT) serves too
+    val r1 = engine.query(
+      "SELECT count(DISTINCT o_custkey) AS nd FROM orders " +
+        "WHERE o_orderstatus = 'F'")
+    assert(r1.transformations.exists(_.contains("group-pruned")),
+      r1.transformations)
+
+    // percentile over an IN-list falls through: per-group grids with
+    // different [min,max] ranges don't merge
+    val rp = engine.query(
+      "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders " +
+        "WHERE o_orderstatus IN ('F', 'P')")
+    assert(!rp.transformations.exists(_.contains("group-pruned")),
+      rp.transformations)
+  }
+
   test("measureExact closes the learning loop") {
     val before = engine.history.all.size
     val r = engine.query("SELECT count(*) AS n FROM lineitem",
