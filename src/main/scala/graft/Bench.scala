@@ -168,6 +168,16 @@ object Bench {
         "stats_serve" -> ("SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, " +
           "sum(l_extendedprice) AS sm, avg(l_extendedprice) AS av, " +
           "count(l_extendedprice) AS nv FROM lineitem_x10"),
+        // Filtered-group dispatch (round 8): WHERE g = lit answered
+        // from the named group's stored stat/histogram records (no
+        // scan; stats exact, percentile to one bucket width) — the
+        // exact side pays a filtered 6M-row scan plus a sort-based
+        // percentile.
+        "filtered_group" -> ("SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, " +
+          "sum(l_extendedprice) AS sm, avg(l_extendedprice) AS av, " +
+          "count(l_extendedprice) AS nv, count(*) AS nr, " +
+          "percentile(l_extendedprice, 0.5) AS p50 " +
+          "FROM lineitem_x10 WHERE l_returnflag = 'R'"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —

@@ -356,6 +356,29 @@ class EventStreamsSpec extends SparkSpec {
       assert(row.getDouble(3) == exact(k).getDouble(3), s"$k sum")
       assert(row.getLong(4) == exact(k).getLong(4), s"$k count(*)")
     }
+
+    // filtered-group dispatch rides the SAME live blob: WHERE grp = lit
+    // and IN-lists answer from the stream-maintained records over the
+    // empty backing view (stats exact; IN merges the records exactly)
+    val rf = engine.query(
+      "SELECT min(amount) AS mn, max(amount) AS mx, sum(amount) AS sm, " +
+        "count(*) AS nr FROM sales_live WHERE grp = 'g1'")
+    assert(rf.transformations.exists(_.contains("group-pruned")),
+      rf.transformations)
+    val f = rf.df.collect().head
+    assert(f.getDouble(0) == exact("g1").getDouble(1))
+    assert(f.getDouble(1) == exact("g1").getDouble(2))
+    assert(f.getDouble(2) == exact("g1").getDouble(3))
+    assert(f.getLong(3) == exact("g1").getLong(4))
+    val rin = engine.query(
+      "SELECT sum(amount) AS sm, count(*) AS nr FROM sales_live " +
+        "WHERE grp IN ('g0', 'g2')")
+    assert(rin.transformations.exists(_.contains("group-pruned")),
+      rin.transformations)
+    val in = rin.df.collect().head
+    assert(in.getDouble(0) ==
+      exact("g0").getDouble(3) + exact("g2").getDouble(3))
+    assert(in.getLong(1) == exact("g0").getLong(4) + exact("g2").getLong(4))
   }
 
   test("stream-maintained CMS equals the batch build; engine point-frequency goes live") {
