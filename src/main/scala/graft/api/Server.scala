@@ -297,6 +297,22 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     }
   }
 
+  // Sketch advisor (beyond the reference): sketchable query shapes that
+  // repeatedly paid a scan, with the build call that would flip each to
+  // the no-scan catalog serve. ?min_misses= tunes the threshold.
+  handle("/sketches/advise", "GET") { ex =>
+    val min = queryParam(ex, "min_misses")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(3)
+    val items = engine.adviseSketches(min).map { a =>
+      s"""{"table":${jstr(a.candidate.table)},""" +
+        s""""column":${jstr(a.candidate.column)},""" +
+        s""""sketch_type":${jstr(a.candidate.sketchType)},""" +
+        s""""group_by":${a.candidate.groupBy.map(jstr).getOrElse("null")},""" +
+        s""""misses":${a.misses},"build":${jstr(a.build)}}"""
+    }
+    (200, s"""{"advice":[${items.mkString(",")}]}""")
+  }
+
   handle("/samples", "GET") { ex =>
     val t = queryParam(ex, "table")
     val all = t.fold(graft.Tables.all.flatMap(engine.catalog.samplesFor))(

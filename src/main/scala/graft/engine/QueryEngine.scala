@@ -34,6 +34,11 @@ final class QueryEngine(
   // to every query this engine serves, including via POST /query
   graft.functions.GraftFunctions.register(spark)
 
+  /** Miss counter behind [[adviseSketches]]: every sketchable query
+    * shape that did NOT serve from a stored sketch is recorded here.
+    */
+  val sketchAdvisor = new graft.learn.SketchAdvisor()
+
   case class Options(
       maxRelError: Double = 0.05,
       preferExact: Boolean = false,
@@ -1444,12 +1449,121 @@ final class QueryEngine(
     if (pairs.nonEmpty) pairs.sum / pairs.size else 0.0
   }
 
+  /** Sketchable shapes in a parsed single-table query: which stored
+    * sketch WOULD have answered each output had it existed. Mirrors the
+    * serve paths' classifications (HLL count-distinct, histogram
+    * percentiles + build stats, grouped twins, filtered-group dispatch,
+    * CMS point frequency) WITHOUT consulting the catalog — the advisor
+    * counts misses; freshness/coverage filtering happens at advise
+    * time.
+    */
+  private def sketchCandidates(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      features: QueryFeatures): Seq[graft.learn.SketchAdvisor.Candidate] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, In, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+    import graft.learn.SketchAdvisor.Candidate
+    if (!features.isSingleTable) return Nil
+    val table = features.tableName.getOrElse(return Nil)
+    def rel(r: UnresolvedRelation): Boolean =
+      r.multipartIdentifier.last.equalsIgnoreCase(table)
+    val statsFns = Set("min", "max", "count", "sum", "avg", "mean")
+    val pctFns = Set("percentile", "percentile_approx", "approx_percentile",
+      "median")
+    def classify(e: NamedExpression, g: Option[String]): Seq[Candidate] =
+      e match {
+        case Alias(f: UnresolvedFunction, _) if f.filter.isEmpty =>
+          val fn = f.nameParts.last.toLowerCase
+          (f.isDistinct, f.arguments) match {
+            case (true, Seq(a: UnresolvedAttribute)) if fn == "count" =>
+              Seq(Candidate(table, a.nameParts.last,
+                if (g.isDefined) "hll_grouped" else "hll", g))
+            case (false, Seq(a: UnresolvedAttribute))
+                if statsFns(fn) || pctFns(fn) =>
+              Seq(Candidate(table, a.nameParts.last,
+                if (g.isDefined) "histogram_grouped" else "histogram", g))
+            case (false, Seq(a: UnresolvedAttribute, _: Literal))
+                if pctFns(fn) =>
+              Seq(Candidate(table, a.nameParts.last,
+                if (g.isDefined) "histogram_grouped" else "histogram", g))
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    def countStarOnly(outs: Seq[NamedExpression]): Boolean =
+      outs.nonEmpty && outs.forall {
+        case Alias(f: UnresolvedFunction, _) =>
+          f.nameParts.last.equalsIgnoreCase("count") && !f.isDistinct &&
+            f.arguments.forall(_.isInstanceOf[Literal])
+        case _ => false
+      }
+    parsed match {
+      case Aggregate(Seq(g: UnresolvedAttribute), outs,
+          r: UnresolvedRelation, _) if rel(r) =>
+        outs.flatMap(classify(_, Some(g.nameParts.last))).distinct
+      case Project(outs, r: UnresolvedRelation) if rel(r) =>
+        outs.flatMap(classify(_, None)).distinct
+      case Project(outs, Filter(cond, r: UnresolvedRelation)) if rel(r) =>
+        val gcol = cond match {
+          case EqualTo(a: UnresolvedAttribute, _: Literal) =>
+            Some(a.nameParts.last)
+          case EqualTo(_: Literal, a: UnresolvedAttribute) =>
+            Some(a.nameParts.last)
+          case In(a: UnresolvedAttribute, ls)
+              if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+            Some(a.nameParts.last)
+          case _ => None
+        }
+        gcol match {
+          // a lone filtered COUNT(*) is the CMS point-frequency shape
+          case Some(g) if countStarOnly(outs) =>
+            Seq(Candidate(table, g, "cms", None))
+          // anchored aggregates under the filter = the filtered-group
+          // dispatch shape (grouped blobs keyed by the filter column)
+          case Some(g) => outs.flatMap(classify(_, Some(g))).distinct
+          case None    => Nil
+        }
+      case _ => Nil
+    }
+  }
+
+  /** Build recommendations from accumulated misses: sketchable shapes
+    * that did not serve from a sketch at least `minMisses` times and
+    * are not already covered by a FRESH stored sketch of the right
+    * type (and group-by). Most-missed first. Running the recommended
+    * build flips those query shapes to the no-scan catalog path.
+    */
+  def adviseSketches(minMisses: Int = 3): Seq[graft.learn.SketchAdvisor.Advice] = {
+    import graft.learn.SketchAdvisor
+    sketchAdvisor.snapshot.toSeq
+      .filter(_._2 >= minMisses)
+      .filterNot { case (c, _) =>
+        catalog.getSketch(c.table, c.column, c.sketchType)
+          .filter(sketchIsFresh(c.table, _))
+          .exists(s => c.groupBy.forall(g =>
+            groupByParamRe.findFirstMatchIn(s.parameters)
+              .exists(_.group(1).equalsIgnoreCase(g))))
+      }
+      .map { case (c, n) =>
+        SketchAdvisor.Advice(c, n, SketchAdvisor.buildRecipe(c))
+      }
+      .sortBy(a => (-a.misses, a.candidate.toString))
+  }
+
   /** Optional dual-run measurement + history append
     * (/root/reference/app.py:119-138 + the loop the reference never
     * closes, SURVEY §2.B11).
     */
   private def finish(r: AqeResult, sql: String, features: QueryFeatures,
       opts: Options): AqeResult = {
+    // advisor: every sketchable shape that did NOT serve from a stored
+    // sketch is a miss (the query paid a scan/sample the catalog could
+    // have absorbed); serves are not misses
+    if (r.planType != "sketch")
+      parsedCached(sql).foreach { case (p, _) =>
+        sketchAdvisor.observe(sketchCandidates(p, features))
+      }
     if (!opts.measureExact) return r
     val t0 = System.nanoTime()
     val approxRows = r.df.collect()

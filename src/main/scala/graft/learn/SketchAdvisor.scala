@@ -1,0 +1,68 @@
+package graft.learn
+
+/** History-driven sketch advisor — beyond the reference: its ML layer
+  * records per-strategy stats (/root/reference/ml_optimizer.py:406-438)
+  * but nothing ever tells the operator WHICH sketches would convert
+  * scan-path queries into catalog serves. Here the engine reports every
+  * sketchable query shape that did NOT serve from a stored sketch;
+  * `QueryEngine.adviseSketches` aggregates the misses into concrete
+  * build recommendations, skipping keys the catalog already covers
+  * with a fresh sketch. The loop closes operationally: run the
+  * recommended build and the same queries flip to the no-scan path.
+  */
+object SketchAdvisor {
+
+  /** One sketchable (table, column, sketch type, optional group-by)
+    * shape observed on a non-sketch plan.
+    */
+  final case class Candidate(table: String, column: String,
+      sketchType: String, groupBy: Option[String])
+
+  /** A recommendation: how often the shape paid a scan, and the build
+    * call that would serve it from the catalog instead.
+    */
+  final case class Advice(candidate: Candidate, misses: Long, build: String)
+
+  /** Human-actionable build recipe per sketch type (the SketchOps /
+    * POST /sketches/create call that serves the missed shape).
+    */
+  def buildRecipe(c: Candidate): String = (c.sketchType, c.groupBy) match {
+    case ("hll", _) =>
+      s"SketchOps.createHll(spark, catalog, ${c.table}, ${c.column})"
+    case ("histogram", _) =>
+      s"SketchOps.createHistogram(spark, catalog, ${c.table}, ${c.column})"
+    case ("cms", _) =>
+      s"SketchOps.createCms(spark, catalog, ${c.table}, ${c.column})"
+    case ("hll_grouped", Some(g)) =>
+      s"SketchOps.createGroupedHll(spark, catalog, ${c.table}, $g, ${c.column})"
+    case ("histogram_grouped", Some(g)) =>
+      s"SketchOps.createGroupedHistogram(spark, catalog, ${c.table}, $g, ${c.column})"
+    case _ => s"unknown sketch type ${c.sketchType}"
+  }
+}
+
+/** Bounded access-ordered miss counter (the parse-cache LRU policy:
+  * hot shapes survive, the coldest key falls out past `maxKeys`).
+  */
+final class SketchAdvisor(maxKeys: Int = 4096) {
+  import SketchAdvisor._
+
+  private val misses =
+    new java.util.LinkedHashMap[Candidate, java.lang.Long](
+        64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Candidate, java.lang.Long]): Boolean =
+        size() > maxKeys
+    }
+
+  def observe(cs: Seq[Candidate]): Unit = misses.synchronized {
+    cs.foreach { c =>
+      misses.put(c, Long.box(Option(misses.get(c)).fold(1L)(_ + 1L)))
+    }
+  }
+
+  def snapshot: Map[Candidate, Long] = misses.synchronized {
+    import scala.jdk.CollectionConverters._
+    misses.asScala.map { case (k, v) => k -> v.longValue() }.toMap
+  }
+}

@@ -348,6 +348,42 @@ class QueryEngineSpec extends SparkSpec {
       rp.transformations)
   }
 
+  test("sketch advisor: repeated scan-path shapes become build recommendations; builds retire them") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-advise").toString)
+    val eng = new QueryEngine(spark, cat)
+    val pctSql = "SELECT percentile(o_totalprice, 0.5) AS p50 " +
+      "FROM orders WHERE o_orderstatus = 'F'"
+    val hllSql = "SELECT count(DISTINCT o_custkey) AS nd FROM orders"
+    val cmsSql = "SELECT count(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'"
+    (1 to 3).foreach { _ =>
+      eng.query(pctSql); eng.query(hllSql); eng.query(cmsSql)
+    }
+    val advice = eng.adviseSketches(minMisses = 3)
+    def has(tpe: String, col: String, g: Option[String]): Boolean =
+      advice.exists(a => a.candidate.sketchType == tpe &&
+        a.candidate.column == col && a.candidate.groupBy == g)
+    assert(has("histogram_grouped", "o_totalprice", Some("o_orderstatus")),
+      advice)
+    assert(has("hll", "o_custkey", None), advice)
+    assert(has("cms", "o_orderpriority", None), advice)
+    assert(advice.forall(_.misses == 3), advice)
+    assert(eng.adviseSketches(minMisses = 4).isEmpty)
+
+    // running the recommended builds retires the advice AND flips the
+    // shapes to the no-scan serve
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, cat, "orders", "o_orderstatus", "o_totalprice", 64)
+    graft.sketch.SketchOps.createHll(spark, cat, "orders", "o_custkey")
+    val after = eng.adviseSketches(minMisses = 3)
+    assert(!after.exists(a => a.candidate.sketchType == "histogram_grouped"),
+      after)
+    assert(!after.exists(a => a.candidate.sketchType == "hll"), after)
+    assert(after.exists(_.candidate.sketchType == "cms"), after) // not built
+    assert(eng.query(pctSql).planType == "sketch")
+    assert(eng.query(hllSql).planType == "sketch")
+  }
+
   test("measureExact closes the learning loop") {
     val before = engine.history.all.size
     val r = engine.query("SELECT count(*) AS n FROM lineitem",
