@@ -68,7 +68,13 @@ final class QueryEngine(
       sampleTable: Option[String],
       transformations: Seq[String],
       executionTimeMs: Option[Long] = None,
-      actualSpeedup: Option[Double] = None)
+      actualSpeedup: Option[Double] = None,
+      // True ONLY when the answer came from the stored-answer family
+      // (catalog blobs, zero scan). The HLL++ rewrite also reports
+      // planType "sketch" but SCANS the table — the advisor must treat
+      // that as a miss, so miss observation gates on this flag, never
+      // on the planType label.
+      servedFromCatalog: Boolean = false)
 
   /** Parse + feature extraction cached per SQL text: a serving workload
     * repeats query shapes, and the unresolved plan is immutable (every
@@ -151,7 +157,8 @@ final class QueryEngine(
           "aggregate answered from stored histogram build statistics (no scan, exact)",
           0.95, Double.PositiveInfinity, 0.0, None, None,
           Seq("MIN/MAX/COUNT/SUM/AVG answered from stored histogram build " +
-            "statistics (no scan; exact as of sketch build)")),
+            "statistics (no scan; exact as of sketch build)"),
+          servedFromCatalog = true),
           sql, features, opts)
       case None =>
     }
@@ -167,7 +174,8 @@ final class QueryEngine(
           0.93, Double.PositiveInfinity, err, None, None,
           Seq("WHERE col = value dispatched to that group's stored sketch " +
             "record (group-pruned: no scan; stats exact, percentiles to one " +
-            "bucket width)")),
+            "bucket width)"),
+          servedFromCatalog = true),
           sql, features, opts)
       case _ =>
     }
@@ -184,7 +192,8 @@ final class QueryEngine(
           "percentile answered from the stored histogram sketch (no scan)",
           0.9, Double.PositiveInfinity, err, None, None,
           Seq("PERCENTILE/MEDIAN answered from the stored equi-width " +
-            "histogram (no scan; accurate to one bucket width)")),
+            "histogram (no scan; accurate to one bucket width)"),
+          servedFromCatalog = true),
           sql, features, opts)
       case _ =>
     }
@@ -197,7 +206,8 @@ final class QueryEngine(
           "per-group percentile answered from the stored grouped histogram (no scan)",
           0.9, Double.PositiveInfinity, err, None, None,
           Seq("PERCENTILE/MEDIAN answered per group from the stored grouped " +
-            "histogram (no scan; accurate to one bucket width per group)")),
+            "histogram (no scan; accurate to one bucket width per group)"),
+          servedFromCatalog = true),
           sql, features, opts)
       case _ =>
     }
@@ -211,7 +221,8 @@ final class QueryEngine(
           "per-group aggregate answered from stored grouped build statistics (no scan, exact)",
           0.95, Double.PositiveInfinity, 0.0, None, None,
           Seq("per-group MIN/MAX/COUNT/SUM/AVG answered from stored grouped " +
-            "build statistics (no scan; exact as of sketch build)")),
+            "build statistics (no scan; exact as of sketch build)"),
+          servedFromCatalog = true),
           sql, features, opts)
       case None =>
     }
@@ -229,7 +240,8 @@ final class QueryEngine(
           "point-frequency answered from the stored Count-Min sketch (no scan)",
           0.9, Double.PositiveInfinity, eps, None, None,
           Seq("COUNT(*) with a column=value filter answered from the stored " +
-            "Count-Min sketch (no scan; overestimate-only, eps*N additive bound)")),
+            "Count-Min sketch (no scan; overestimate-only, eps*N additive bound)"),
+          servedFromCatalog = true),
           sql, features, opts)
       case _ =>
     }
@@ -260,12 +272,14 @@ final class QueryEngine(
           AqeResult(df, "sketch", "sketch", choice.reasoning,
             choice.confidence, Double.PositiveInfinity,
             1.04 / math.sqrt(4096.0), None, None,
-            Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"))
+            Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"),
+            servedFromCatalog = true)
         }.orElse(storedGroupedSketchAnswer(parsed, table).map { df =>
           AqeResult(df, "sketch", "sketch", choice.reasoning,
             choice.confidence, Double.PositiveInfinity,
             1.04 / math.sqrt(4096.0), None, None,
-            Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"))
+            Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"),
+            servedFromCatalog = true)
         }).getOrElse {
             val d = SampleRewrite.Directive(table, Planner.ReadExact,
               weight = None, rewriteDistinctToHll = true,
@@ -1539,7 +1553,15 @@ final class QueryEngine(
     sketchAdvisor.snapshot.toSeq
       .filter(_._2 >= minMisses)
       .filterNot { case (c, _) =>
-        catalog.getSketch(c.table, c.column, c.sketchType)
+        // candidate types use the advisor's vocabulary; the catalog
+        // stores the builders' names ("hll" -> "hyperloglog",
+        // "cms" -> "countmin"; the grouped types match verbatim)
+        val catalogType = c.sketchType match {
+          case "hll" => "hyperloglog"
+          case "cms" => "countmin"
+          case other => other
+        }
+        catalog.getSketch(c.table, c.column, catalogType)
           .filter(sketchIsFresh(c.table, _))
           .exists(s => c.groupBy.forall(g =>
             groupByParamRe.findFirstMatchIn(s.parameters)
@@ -1559,8 +1581,10 @@ final class QueryEngine(
       opts: Options): AqeResult = {
     // advisor: every sketchable shape that did NOT serve from a stored
     // sketch is a miss (the query paid a scan/sample the catalog could
-    // have absorbed); serves are not misses
-    if (r.planType != "sketch")
+    // have absorbed); only genuine catalog serves are not misses. The
+    // gate is servedFromCatalog, NOT planType: the HLL++ fallback also
+    // labels itself "sketch" but scans the table.
+    if (!r.servedFromCatalog)
       parsedCached(sql).foreach { case (p, _) =>
         sketchAdvisor.observe(sketchCandidates(p, features))
       }

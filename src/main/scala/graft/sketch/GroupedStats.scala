@@ -59,8 +59,11 @@ object GroupedStats {
   }
 
   /** Additive merge of two per-group stat records: min/max monotone,
-    * counts and the unscaled decimal sum add exactly — the merge a
-    * stream-maintenance path needs (not yet wired; batch builds only).
+    * counts and the unscaled decimal sum add exactly — the merge
+    * `EventStreams.maintainGroupedStatsSketch` folds per micro-batch
+    * (exact end-to-end: BigInt addition, no float drift) and
+    * `QueryEngine.storedFilteredGroupAnswer` applies across IN-list
+    * groups.
     */
   def merge(a: Stat, b: Stat): Stat = Stat(
     (a.min, b.min) match {

@@ -246,6 +246,44 @@ class ApiServerSpec extends SparkSpec {
     assert(http("GET", "/sketches")._1 == 400)
   }
 
+  test("GET /sketches/advise closes the miss -> build -> serve loop") {
+    // lineitem.l_suppkey is count-DISTINCTed by no other test in this
+    // suite, so the advisor's miss counter for it is fully under our
+    // control. use_ml_optimization engages the rule chooser (the
+    // planner-only default never picks the sketch strategy), and
+    // lineitem (~6k rows at sf0.001) clears the chooser's <=1000-row
+    // small-table exact rule.
+    val sql = """{"sql": "SELECT count(DISTINCT l_suppkey) AS nd FROM lineitem", "use_ml_optimization": true}"""
+    (1 to 3).foreach { _ => assert(http("POST", "/query", Some(sql))._1 == 200) }
+    val (code, body) = http("GET", "/sketches/advise")
+    assert(code == 200, body)
+    val advice = parsed(body)("advice") match {
+      case Some(Json.A(items)) => items
+      case other               => fail(s"no advice array: $other")
+    }
+    val hit = advice.find(a =>
+      a("table").flatMap(_.str).contains("lineitem") &&
+        a("column").flatMap(_.str).contains("l_suppkey") &&
+        a("sketch_type").flatMap(_.str).contains("hll"))
+      .getOrElse(fail(s"no hll advice for lineitem.l_suppkey: $body"))
+    assert(hit("misses").flatMap(_.num).exists(_ >= 3), body)
+    assert(hit("build").flatMap(_.str).exists(_.contains("createHll")), body)
+    // min_misses above the observed count empties the recommendation
+    val (_, none) = http("GET", "/sketches/advise?min_misses=99")
+    assert(!none.contains("l_suppkey"), none)
+    // running the recommended build retires the advice...
+    val (bc, bb) = http("POST", "/sketches/create", Some(
+      """{"table": "lineitem", "column": "l_suppkey", "sketch_type": "hyperloglog"}"""))
+    assert(bc == 200, bb)
+    val (_, after) = http("GET", "/sketches/advise")
+    assert(!after.contains("\"column\":\"l_suppkey\",\"sketch_type\":\"hll\""), after)
+    // ...and the same query now serves from the catalog with no scan
+    val (qc, qb) = http("POST", "/query", Some(sql))
+    assert(qc == 200, qb)
+    assert(parsed(qb)("ml_optimization").flatMap(_("transformations"))
+      .exists(_.toString.contains("stored HyperLogLog")), qb.take(400))
+  }
+
   test("GET /ml/stats reflects measured queries") {
     // measureExact=true (via use_ml_optimization) appends to history
     http("POST", "/query", Some(
