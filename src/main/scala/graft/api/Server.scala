@@ -105,7 +105,9 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
             maxRelError = req("max_rel_error").flatMap(_.num).getOrElse(0.05),
             preferExact = req("prefer_exact").flatMap(_.bool).getOrElse(false),
             useMl = req("use_ml_optimization").flatMap(_.bool).getOrElse(false),
-            measureExact = req("use_ml_optimization").flatMap(_.bool).getOrElse(false))
+            measureExact = req("use_ml_optimization").flatMap(_.bool).getOrElse(false),
+            approximateJoins = req("approximate_joins").flatMap(_.bool).getOrElse(false),
+            autoCostedJoins = req("auto_costed_joins").flatMap(_.bool).getOrElse(true))
           val r = engine.query(sql, opts)
           if (req("explain").flatMap(_.bool).getOrElse(false))
             (200, Response.renderExplain(r))

@@ -54,7 +54,15 @@ final class QueryEngine(
       // by rowcount) and Horvitz-Thompson scale the aggregates — the
       // q68 semantics routed through the engine. Refused for distinct
       // aggregates (sampling cannot HT-correct a distinct count).
-      approximateJoins: Boolean = false)
+      approximateJoins: Boolean = false,
+      // The AUTOMATIC costed variant: when stored AGMS sketches cover a
+      // query's join-key pair and their cardinality estimate says
+      // sampling meets the tolerance, multi-table aggregates flip from
+      // the reference-parity exact default to sampled answers. Default
+      // ON (the sketches are built deliberately), but an explicit
+      // switch so operators can build AGMS sketches purely for
+      // cardinality estimation without changing query semantics.
+      autoCostedJoins: Boolean = true)
 
   case class AqeResult(
       df: DataFrame,
@@ -126,7 +134,8 @@ final class QueryEngine(
       // tolerance (the costed decision; without sketches the default
       // stays reference-parity exact).
       if (features.tables.sizeIs > 1 &&
-          features.hasApproximableAgg && !features.hasDistinct)
+          features.hasApproximableAgg && !features.hasDistinct &&
+          (opts.approximateJoins || opts.autoCostedJoins))
         sampledJoin(parsed, features, opts, auto = !opts.approximateJoins) match {
           case Some(r) => return finish(r, sql, features, opts)
           case None    =>
@@ -676,6 +685,54 @@ final class QueryEngine(
       case _                          => true
     }
 
+  /** Whether serving SUM/AVG of `column` from the given per-group stat
+    * records keeps the "exact, 0.0 error" label honest. Float/double
+    * columns always qualify: the stored sum is the repo's canonical
+    * decimal-portable sum (the only deterministic cross-engine
+    * rendering of a float sum), which is what exact execution through
+    * this engine's oracle protocol returns too. For integral/decimal
+    * columns the user's exact answer is an integer/decimal, so every
+    * served record's unscaled sum must round-trip through its double
+    * rendering (GroupedStats.Stat.sumExactDouble) — a group sum beyond
+    * 2^53 refuses and falls through to the scan path.
+    */
+  private def sumServesExactly(table: String, column: String,
+      stats: Seq[graft.sketch.GroupedStats.Stat]): Boolean = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val isFloatCol = scala.util.Try(spark.table(table).schema
+        .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
+      .exists(t => t == FloatType || t == DoubleType)
+    isFloatCol || stats.forall(_.sumExactDouble)
+  }
+
+  /** Literal → sketch-key rendering, gated on the filter column's
+    * ACTUAL data type. Sketch keys are built as `cast(col as string)`,
+    * and a literal's toString equals that rendering only for string
+    * literals on string columns and integral literals on integral
+    * columns: `WHERE g = 5` on a double column renders "5" while the
+    * blob keys "5.0" (the serve would silently return the exact-empty-
+    * group answer), and an integral literal against a string column
+    * holding "05" misses the same way. Any other (column, literal)
+    * pairing returns None so the query falls through to the scan path.
+    * Schema resolution is a catalog lookup (no scan); an unresolvable
+    * table refuses.
+    */
+  private def typedLitKey(table: String, column: String,
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[String] = {
+    import org.apache.spark.sql.types._
+    val dt = scala.util.Try(spark.table(table).schema
+      .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
+    (dt, l.value) match {
+      case (Some(StringType), u: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(u.toString)
+      case (Some(ByteType | ShortType | IntegerType | LongType),
+            n @ (_: java.lang.Integer | _: java.lang.Long |
+                 _: java.lang.Short | _: java.lang.Byte)) =>
+        Some(n.toString)
+      case _ => None
+    }
+  }
+
   /** If the query is a bare global aggregate over `table` whose every
     * output is PERCENTILE(attr, p) / MEDIAN(attr) with a stored
     * histogram sketch for attr, answer all of them by interpolation
@@ -750,11 +807,17 @@ final class QueryEngine(
     val maxRe = """"max"\s*:\s*([^,}]+)""".r
     val nnullRe = """"nnull"\s*:\s*(\d+)""".r
     val sum4Re = """"sum4"\s*:\s*([^,}]+)""".r
+    // sx: build-time proof the recorded doubles round-trip the column's
+    // exact values (SketchOps.createHistogram) — without it the "no
+    // scan, exact" label would be a lie for bigints beyond 2^53 or wide
+    // decimals, so those serve from the scan path instead
+    val sxRe = """"sx"\s*:\s*true""".r
     case class Stats(min: Double, max: Double, nnull: Long, sum4: Double,
         rows: Long)
     def statsFor(c: String): Option[Stats] =
       catalog.getSketch(table, c, "histogram")
         .filter(sketchIsFresh(table, _))
+        .filter(s => sxRe.findFirstMatchIn(s.parameters).isDefined)
         .flatMap { s =>
           for {
             mn <- minRe.findFirstMatchIn(s.parameters)
@@ -834,8 +897,9 @@ final class QueryEngine(
     * the catalog — zero scan. Per-group grids, so the reported error
     * is still one bucket width (1/buckets of each group's own grid).
     * Group keys are served as the string rendering recorded at build
-    * time; groups whose value column was all NULL are absent from the
-    * blob and from the answer.
+    * time; groups whose value column was all NULL are recorded with an
+    * empty payload and served with a NULL percentile — the exact GROUP
+    * BY row set, nothing dropped.
     */
   private def storedGroupedHistogramAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -880,12 +944,17 @@ final class QueryEngine(
                 .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
                   .exists(_.group(1).equalsIgnoreCase(gName)))
                 .map { s =>
+                  // empty payload = all-NULL group (no grid): served as
+                  // a NULL percentile, matching exact GROUP BY output
                   val hs = graft.sketch.GroupedHll.unpack(s.data).map {
-                    case (k, b) => k -> graft.sketch.Histogram.deserialize(b)
+                    case (k, b) =>
+                      k -> (if (b.isEmpty) None
+                            else Some(graft.sketch.Histogram.deserialize(b)))
                   }
                   Right((name,
-                    hs.map { case (k, h) => k -> h.percentile(p) },
-                    hs.map { case (_, h) => 1.0 / h.buckets }.max))
+                    hs.map { case (k, h) => k -> h.map(_.percentile(p)) },
+                    hs.flatMap { case (_, h) => h.map(x => 1.0 / x.buckets) }
+                      .foldLeft(0.0)(math.max)))
                 }
             }
           case _ => None
@@ -901,12 +970,12 @@ final class QueryEngine(
         val rows = keys.map { k =>
           org.apache.spark.sql.Row.fromSeq(parts.map {
             case Left(_)          => k.orNull
-            case Right((n, _, _)) => byName(n)(k)
+            case Right((n, _, _)) => byName(n)(k).map(Double.box).orNull
           })
         }
         val schema = StructType(parts.map {
           case Left(n)          => StructField(n, StringType, nullable = true)
-          case Right((n, _, _)) => StructField(n, DoubleType, nullable = false)
+          case Right((n, _, _)) => StructField(n, DoubleType, nullable = true)
         })
         import scala.jdk.CollectionConverters._
         Some((spark.createDataFrame(rows.asJava, schema),
@@ -970,7 +1039,12 @@ final class QueryEngine(
                 Some(Right((name, "count_star", None)))
               case (fn, Seq(a: UnresolvedAttribute))
                   if Set("min", "max", "count", "sum", "avg", "mean")(fn) =>
+                // "zero error" must be true: a group sum whose double
+                // rendering loses precision (type-aware check) refuses
+                // rather than labeling a rounded SUM/AVG exact
                 statsBlobFor(a.nameParts.last, gName)
+                  .filter(stats => !Set("sum", "avg", "mean")(fn) ||
+                    sumServesExactly(table, a.nameParts.last, stats.map(_._2)))
                   .map(stats => Right((name, fn, Some(stats))))
               case _ => None
             }
@@ -1039,13 +1113,11 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, In, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    def litKey(l: Literal): Option[String] = l.value match {
-      case null                                         => None
-      case u: org.apache.spark.unsafe.types.UTF8String  => Some(u.toString)
-      case n @ (_: java.lang.Integer | _: java.lang.Long |
-                _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
-      case _                                            => None
-    }
+    // column-type-aware literal rendering (typedLitKey): a numeric-but-
+    // not-integral group column or a type-mismatched literal refuses
+    // rather than serving the wrong (usually empty) group
+    def litKey(c: String, l: Literal): Option[String] =
+      typedLitKey(table, c, l)
     def litDouble(l: Literal): Option[Double] = l.value match {
       case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
       case n: Number                             => Some(n.doubleValue())
@@ -1062,12 +1134,12 @@ final class QueryEngine(
           if r.multipartIdentifier.last.equalsIgnoreCase(table) && outs.nonEmpty =>
         val colKeys = cond match {
           case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-            litKey(l).map(k => (a.nameParts.last, Seq(k)))
+            litKey(a.nameParts.last, l).map(k => (a.nameParts.last, Seq(k)))
           case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-            litKey(l).map(k => (a.nameParts.last, Seq(k)))
+            litKey(a.nameParts.last, l).map(k => (a.nameParts.last, Seq(k)))
           case In(a: UnresolvedAttribute, lits)
               if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
-            val ks = lits.map(l => litKey(l.asInstanceOf[Literal]))
+            val ks = lits.map(l => litKey(a.nameParts.last, l.asInstanceOf[Literal]))
             if (ks.exists(_.isEmpty)) None
             else Some((a.nameParts.last, ks.flatten.distinct))
           case _ => None
@@ -1118,10 +1190,16 @@ final class QueryEngine(
                 Some(CountStarPart(name)) // count(*) parses as count(1)
               case (fn, Seq(a: UnresolvedAttribute))
                   if Set("min", "max", "count", "sum", "avg", "mean")(fn) =>
-                statFor(a.nameParts.last).map { st =>
-                  if (statsRows.isEmpty) statsRows = Some(st.nrows)
-                  StatPart(name, fn, st)
-                }
+                // the merged IN-list sum must still serve exactly
+                // (type-aware: sumServesExactly) before it can carry
+                // the exact label
+                statFor(a.nameParts.last)
+                  .filter(st => !Set("sum", "avg", "mean")(fn) ||
+                    sumServesExactly(table, a.nameParts.last, Seq(st)))
+                  .map { st =>
+                    if (statsRows.isEmpty) statsRows = Some(st.nrows)
+                    StatPart(name, fn, st)
+                  }
               case ("percentile" | "percentile_approx" | "approx_percentile",
                   Seq(a: UnresolvedAttribute, l: Literal))
                   if keys.sizeIs == 1 =>
@@ -1130,7 +1208,8 @@ final class QueryEngine(
                   hs <- grouped(a.nameParts.last, "histogram_grouped")
                 } yield {
                   val h = hs.collectFirst {
-                    case (Some(k), b) if k == keys.head =>
+                    // empty payload = all-NULL group: NULL percentile
+                    case (Some(k), b) if k == keys.head && b.nonEmpty =>
                       graft.sketch.Histogram.deserialize(b)
                   }
                   PctPart(name, h.map(_.percentile(p)),
@@ -1140,7 +1219,8 @@ final class QueryEngine(
                   if keys.sizeIs == 1 =>
                 grouped(a.nameParts.last, "histogram_grouped").map { hs =>
                   val h = hs.collectFirst {
-                    case (Some(k), b) if k == keys.head =>
+                    // empty payload = all-NULL group: NULL percentile
+                    case (Some(k), b) if k == keys.head && b.nonEmpty =>
                       graft.sketch.Histogram.deserialize(b)
                   }
                   PctPart(name, h.map(_.percentile(0.5)),
@@ -1208,8 +1288,9 @@ final class QueryEngine(
     * Returns the answer plus the sketch's eps (additive error bound as
     * a fraction of the table size). The literal is rendered exactly as
     * the sketch builder keyed it (`cast(col as string)`), so only
-    * string and integral literals are answerable — anything else falls
-    * through to the scan path.
+    * string-on-string and integral-on-integral (column, literal) pairs
+    * are answerable (typedLitKey) — anything else falls through to the
+    * scan path.
     */
   private val cmsEpsRe = """"epsilon"\s*:\s*([0-9.eE+-]+)""".r
   private def storedCmsAnswer(
@@ -1219,13 +1300,6 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import org.apache.spark.sql.functions.lit
-    def litKey(l: Literal): Option[String] = l.value match {
-      case null                                              => None
-      case u: org.apache.spark.unsafe.types.UTF8String       => Some(u.toString)
-      case n @ (_: java.lang.Integer | _: java.lang.Long |
-                _: java.lang.Short | _: java.lang.Byte)      => Some(n.toString)
-      case _                                                 => None
-    }
     def isCountStar(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
       case f: UnresolvedFunction =>
         f.nameParts.last.equalsIgnoreCase("count") && !f.isDistinct &&
@@ -1242,11 +1316,14 @@ final class QueryEngine(
               case Alias(f, _) => isCountStar(f)
               case _           => false
             } =>
+        // typedLitKey: only (string column, string literal) and
+        // (integral column, integral literal) render the same string
+        // the CMS builder keyed; other pairings fall through to a scan
         val colKey = cond match {
           case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-            litKey(l).map((a.nameParts.last, _))
+            typedLitKey(table, a.nameParts.last, l).map((a.nameParts.last, _))
           case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-            litKey(l).map((a.nameParts.last, _))
+            typedLitKey(table, a.nameParts.last, l).map((a.nameParts.last, _))
           case _ => None
         }
         colKey.flatMap { case (c, v) =>

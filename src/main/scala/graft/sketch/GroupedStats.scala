@@ -29,6 +29,18 @@ object GroupedStats {
       if (nnull == 0L) None
       else Some(new java.math.BigDecimal(sumUnscaled.bigInteger, 4).doubleValue())
     def avgDouble: Option[Double] = sumDouble.map(_ / nnull.toDouble)
+    /** Whether `sumDouble` represents the stored decimal sum EXACTLY
+      * (the unscaled integer fits the double mantissa). The engine's
+      * grouped/filtered stats serves check this before labeling a
+      * served SUM/AVG "exact, 0.0 error" — a sum beyond 2^53 refuses
+      * and falls through to the scan path instead of serving a rounded
+      * double as exact.
+      */
+    def sumExactDouble: Boolean = sumDouble.forall { d =>
+      !d.isInfinite &&
+        new java.math.BigDecimal(d)
+          .compareTo(new java.math.BigDecimal(sumUnscaled.bigInteger, 4)) == 0
+    }
   }
 
   def encode(s: Stat): Array[Byte] = {

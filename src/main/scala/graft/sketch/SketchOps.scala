@@ -105,10 +105,15 @@ object SketchOps {
     // recorded in params so the engine's stats-serve path can answer
     // MIN/MAX/COUNT/SUM/AVG queries from the catalog with no scan,
     // EXACTLY (as of build time; the freshness guard retires them)
+    // the sum aggregates at decimal(38,4) under try_sum so a huge table
+    // cannot throw (ANSI) or silently wrap; the recorded double is
+    // value-identical to the repo's decimal(18,4) recipe whenever the
+    // sum fits 18 digits (the oracle-pinned case)
     val mm = spark.table(table)
       .agg(min(col(column)).cast("double"), max(col(column)).cast("double"),
         count(lit(1)), count(col(column)),
-        expr(s"cast(sum(cast($column as decimal(18,4))) as double)"))
+        expr(s"try_sum(cast($column as decimal(38,4)))"),
+        min(col(column)), max(col(column)))
       .collect()(0)
     if (mm.isNullAt(0) || mm.isNullAt(1))
       throw new IllegalArgumentException(
@@ -117,7 +122,40 @@ object SketchOps {
     val hi = mm.getDouble(1)
     val tableRows = mm.getLong(2)
     val nnull = mm.getLong(3)
-    val sum4 = mm.getDouble(4)
+    val sumDec = Option(mm.getDecimal(4)) // None: overflow (values exist here)
+    val sum4 = sumDec.map(_.doubleValue())
+    // Build-time proof that the doubles the stats serve would return
+    // are EXACTLY the column's values. For float/double columns the
+    // claim is recipe-relative by convention: the recorded sum IS the
+    // repo's canonical decimal-portable sum (the only deterministic
+    // cross-engine rendering of a float sum), so it always qualifies.
+    // For integral/decimal columns the user's exact answer is an
+    // integer/decimal, so raw min/max and the decimal sum must strictly
+    // round-trip through their double renderings — a bigint beyond
+    // 2^53 or a wide decimal records sx=false and the engine's stats
+    // serve falls through to the scan path (the histogram itself,
+    // approximate by contract, still serves).
+    def rtExact(raw: Any, d: Double): Boolean = raw match {
+      case null => true
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Float | _: java.lang.Double => true
+      case n: java.lang.Long => d.toLong == n.longValue && d == n.longValue.toDouble
+      case b: java.math.BigDecimal =>
+        !d.isInfinite && new java.math.BigDecimal(d).compareTo(b) == 0
+      case _ => false
+    }
+    val isFloatCol = {
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      spark.table(table).schema.find(_.name.equalsIgnoreCase(column))
+        .map(_.dataType).exists(t => t == FloatType || t == DoubleType)
+    }
+    val sx = rtExact(mm.get(5), lo) && rtExact(mm.get(6), hi) &&
+      (sumDec match {
+        case Some(s) =>
+          isFloatCol || (!s.doubleValue().isInfinite &&
+            new java.math.BigDecimal(s.doubleValue()).compareTo(s) == 0)
+        case None => false // overflowed try_sum: no exact sum to record
+      })
     val width = if (hi > lo) (hi - lo) / buckets else 1.0
     val counts = new Array[Long](buckets)
     spark.table(table).filter(col(column).isNotNull)
@@ -133,7 +171,9 @@ object SketchOps {
     catalog.upsertSketch(catalog.SketchInfo(table, column, "histogram",
       h.serialize,
       s"""{"buckets":$buckets,"rows":$tableRows,"min":$lo,"max":$hi,""" +
-        s""""nnull":$nnull,"sum4":$sum4}""",
+        s""""nnull":$nnull""" +
+        sum4.map(s => s""","sum4":$s""").getOrElse("") +
+        s""","sx":$sx}""",
       System.currentTimeMillis()))
     h
   }
@@ -161,7 +201,10 @@ object SketchOps {
         max(col(valueCol)).cast("double").as("hi"),
         count(lit(1)).as("n"),
         count(col(valueCol)).as("nnull"),
-        expr(s"sum(cast($valueCol as decimal(18,4)))").as("sum4"))
+        // decimal(38,4) + try_sum: a huge group can neither throw
+        // (ANSI) nor wrap; value-identical to the repo's decimal(18,4)
+        // recipe whenever the sum fits 18 digits (the oracle case)
+        expr(s"try_sum(cast($valueCol as decimal(38,4)))").as("sum4"))
       .limit(MaxHllGroups + 1)
       .collect()
     if (stats.length > MaxHllGroups)
@@ -174,6 +217,11 @@ object SketchOps {
     // their counts; min/max/sum serve as SQL NULL for them.
     val statBlob = GroupedHll.pack(stats.toSeq.map { r =>
       val absent = r.isNullAt(1)
+      // a NULL sum with non-NULL values means try_sum overflowed even
+      // decimal(38,4) — refuse rather than encode a silent zero
+      if (r.isNullAt(5) && r.getAs[Long]("nnull") > 0L)
+        throw new IllegalArgumentException(
+          s"grouped stats over $table.$valueCol: group sum overflows decimal(38,4)")
       val sum = Option(r.getDecimal(5))
         .map(d => BigInt(d.setScale(4).unscaledValue()))
         .getOrElse(BigInt(0))
@@ -216,12 +264,18 @@ object SketchOps {
       }
       k -> Histogram(lo, w, arr).serialize
     }
-    val bytes = GroupedHll.pack(groups)
+    // all-NULL groups have no grid but ARE groups: record them with an
+    // empty payload so the engine's grouped serve returns them with a
+    // NULL percentile — the same row set exact GROUP BY execution
+    // returns — instead of silently dropping rows
+    val allNull = stats.filter(_.isNullAt(1)).toSeq
+      .map(r => Option(r.getAs[String]("g")) -> Array.empty[Byte])
+    val bytes = GroupedHll.pack(groups ++ allNull)
     catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
       "histogram_grouped", bytes,
-      s"""{"buckets":$buckets,"group_by":"$groupCol","groups":${groups.size},"rows":$totalRows}""",
+      s"""{"buckets":$buckets,"group_by":"$groupCol","groups":${groups.size + allNull.size},"rows":$totalRows}""",
       System.currentTimeMillis()))
-    (bytes.length, groups.size)
+    (bytes.length, groups.size + allNull.size)
   }
 
   /** Build a CMS over `table.column` (one increment per row — the

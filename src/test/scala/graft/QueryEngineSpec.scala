@@ -348,6 +348,99 @@ class QueryEngineSpec extends SparkSpec {
       rp.transformations)
   }
 
+  test("type-mismatched filter literals refuse catalog serves (typedLitKey)") {
+    // double group column: WHERE l_quantity = 5 renders "5" but the
+    // blob keys "5.0" — serving would return the exact-empty-group
+    // answer for a group that has rows; the dispatch must refuse
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "lineitem", "l_quantity", "l_extendedprice", 64)
+    val r = engine.query(
+      "SELECT min(l_extendedprice) AS mn, count(*) AS nr " +
+        "FROM lineitem WHERE l_quantity = 5")
+    assert(!r.transformations.exists(_.contains("group-pruned")),
+      r.transformations)
+    // integral literal against a string group column refuses too
+    // ("05"-style keys would miss); the sketches exist from earlier
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    val r2 = engine.query(
+      "SELECT min(o_totalprice) AS mn, count(*) AS nr " +
+        "FROM orders WHERE o_orderstatus = 5")
+    assert(!r2.transformations.exists(_.contains("group-pruned")),
+      r2.transformations)
+    // Count-Min point frequency refuses a double-typed filter column
+    graft.sketch.SketchOps.createCms(spark, catalog, "events", "value")
+    val r3 = engine.query("SELECT count(*) AS n FROM events WHERE value = 5")
+    assert(!r3.transformations.exists(_.contains("Count-Min")),
+      r3.transformations)
+  }
+
+  test("stats serve refuses when doubles cannot represent the column exactly (sx gate)") {
+    import spark.implicits._
+    // (1<<60)+1 does not round-trip through a double: the build records
+    // sx=false and the 'no scan, exact' stats serve falls through
+    Seq(1L << 60, (1L << 60) + 1, 5L).toDF("big")
+      .createOrReplaceTempView("bigvals")
+    graft.sketch.SketchOps.createHistogram(spark, catalog, "bigvals", "big", 64)
+    val s = catalog.getSketch("bigvals", "big", "histogram").get
+    assert(s.parameters.contains(""""sx":false"""), s.parameters)
+    val r = engine.query(
+      "SELECT min(big) AS mn, max(big) AS mx, sum(big) AS sm FROM bigvals")
+    assert(!r.transformations.exists(_.contains("build statistics")),
+      r.transformations)
+    // the histogram itself (approximate by contract) still serves
+    val rp = engine.query("SELECT percentile(big, 0.5) AS p50 FROM bigvals")
+    assert(rp.transformations.exists(_.contains("histogram")),
+      rp.transformations)
+  }
+
+  test("grouped serves refuse sums whose double rendering loses precision") {
+    import spark.implicits._
+    // group a's sum = 2^54+2: its decimal(·,4) unscaled integer exceeds
+    // the double mantissa, so SUM/AVG refuse (scan path) while COUNT
+    // still serves exactly
+    Seq(("a", 1L << 54), ("a", 1L), ("b", 2L)).toDF("g", "v")
+      .createOrReplaceTempView("bigsums")
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "bigsums", "g", "v", 16)
+    val rs = engine.query("SELECT g, sum(v) AS s FROM bigsums GROUP BY g")
+    assert(!rs.transformations.exists(_.contains("build statistics")),
+      rs.transformations)
+    val rc = engine.query("SELECT g, count(v) AS c FROM bigsums GROUP BY g")
+    assert(rc.transformations.exists(_.contains("build statistics")),
+      rc.transformations)
+    // the filtered dispatch applies the same check per named group
+    val rf = engine.query("SELECT sum(v) AS s FROM bigsums WHERE g = 'a'")
+    assert(!rf.transformations.exists(_.contains("group-pruned")),
+      rf.transformations)
+    val rf2 = engine.query("SELECT sum(v) AS s FROM bigsums WHERE g = 'b'")
+    assert(rf2.transformations.exists(_.contains("group-pruned")),
+      rf2.transformations)
+    assert(rf2.df.collect().head.getDouble(0) == 2.0)
+  }
+
+  test("all-NULL groups serve with NULL percentile from the grouped histogram") {
+    import spark.implicits._
+    Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", Option.empty[Double]))
+      .toDF("g", "v").createOrReplaceTempView("gnull")
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "gnull", "g", "v", 64)
+    // the served GROUP BY row set matches exact execution: group b is
+    // present with a NULL percentile, not silently dropped
+    val r = engine.query("SELECT g, percentile(v, 0.5) AS p50 FROM gnull GROUP BY g")
+    assert(r.transformations.exists(_.contains("grouped")), r.transformations)
+    val rows = r.df.collect().map(x => x.getString(0) -> Option(x.get(1))).toMap
+    assert(rows.keySet == Set("a", "b"), rows.toString)
+    assert(rows("a").isDefined && rows("b").isEmpty, rows.toString)
+    // the filtered single-group dispatch serves the all-NULL group too
+    val rf = engine.query(
+      "SELECT percentile(v, 0.5) AS p50, count(v) AS c FROM gnull WHERE g = 'b'")
+    assert(rf.transformations.exists(_.contains("group-pruned")),
+      rf.transformations)
+    val row = rf.df.collect().head
+    assert(row.isNullAt(0) && row.getLong(1) == 0L, row.toString)
+  }
+
   test("sketch advisor: repeated scan-path shapes become build recommendations; builds retire them") {
     val cat = new MetaCatalog(
       Files.createTempDirectory("graft-advise").toString)
@@ -506,6 +599,13 @@ class QueryEngineSpec extends SparkSpec {
     // refuse: a tolerance the achievable fraction cannot meet
     val r2 = engine.query(sql, engine.Options(maxRelError = 0.01))
     assert(r2.planType == "exact", s"${r2.planType}: ${r2.reason}")
+
+    // switching the auto decision off keeps reference-parity exact even
+    // with fresh AGMS evidence — sketches built purely for cardinality
+    // estimation don't change query semantics
+    val rOff = engine.query(sql,
+      engine.Options(maxRelError = 0.1, autoCostedJoins = false))
+    assert(rOff.planType == "exact", s"${rOff.planType}: ${rOff.reason}")
 
     // refuse: estimated join output too small to be worth approximating
     graft.sketch.SketchOps.createAgms(spark, catalog, "nation", "n_regionkey")
