@@ -890,16 +890,62 @@ final class QueryEngine(
     }
   }
 
+  /** For a `GROUP BY g` over `table`, optionally under `WHERE g = lit`
+    * / `g IN (lits)`: Some(None) = no filter (serve every recorded
+    * group), Some(Some(keys)) = serve only the named groups (each
+    * literal rendered type-safely via typedLitKey — per-group grids
+    * don't merge, but a GROUP BY keeps the groups separate, so an
+    * IN-list is just a union of single-group serves). None = any other
+    * child shape (filters on non-group columns, non-literal
+    * predicates, type-mismatched literals): refuse, fall through to
+    * the scan path. Groups the filter names but the blob doesn't
+    * record serve as no row — exactly what exact GROUP BY returns for
+    * a key with no rows.
+    */
+  private def groupKeyFilter(
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String, gName: String): Option[Option[Seq[String]]] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    def isTable(r: UnresolvedRelation): Boolean =
+      r.multipartIdentifier.last.equalsIgnoreCase(table)
+    child match {
+      case r: UnresolvedRelation if isTable(r) => Some(None)
+      case Filter(cond, r: UnresolvedRelation) if isTable(r) =>
+        val keys = cond match {
+          case EqualTo(a: UnresolvedAttribute, l: Literal)
+              if a.nameParts.last.equalsIgnoreCase(gName) =>
+            typedLitKey(table, gName, l).map(Seq(_))
+          case EqualTo(l: Literal, a: UnresolvedAttribute)
+              if a.nameParts.last.equalsIgnoreCase(gName) =>
+            typedLitKey(table, gName, l).map(Seq(_))
+          case In(a: UnresolvedAttribute, lits)
+              if a.nameParts.last.equalsIgnoreCase(gName) &&
+                lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+            val ks = lits.map(l =>
+              typedLitKey(table, gName, l.asInstanceOf[Literal]))
+            if (ks.exists(_.isEmpty)) None else Some(ks.flatten.distinct)
+          case _ => None
+        }
+        keys.map(k => Some(k))
+      case _ => None
+    }
+  }
+
   /** If the query is `SELECT g, PERCENTILE(attr, p)... FROM table
-    * GROUP BY g` with a fresh stored GROUPED histogram (built by
+    * GROUP BY g` — optionally under `WHERE g = lit` / `g IN (lits)`
+    * (groupKeyFilter: a GROUP BY keeps per-group grids separate, so a
+    * multi-literal filter is a union of single-group serves, one row
+    * each) — with a fresh stored GROUPED histogram (built by
     * SketchOps.createGroupedHistogram with group_by == g) covering
-    * every percentile output, answer all groups by interpolation from
-    * the catalog — zero scan. Per-group grids, so the reported error
-    * is still one bucket width (1/buckets of each group's own grid).
-    * Group keys are served as the string rendering recorded at build
-    * time; groups whose value column was all NULL are recorded with an
-    * empty payload and served with a NULL percentile — the exact GROUP
-    * BY row set, nothing dropped.
+    * every percentile output, answer all (named) groups by
+    * interpolation from the catalog — zero scan. Per-group grids, so
+    * the reported error is still one bucket width (1/buckets of each
+    * group's own grid). Group keys are served as the string rendering
+    * recorded at build time; groups whose value column was all NULL
+    * are recorded with an empty payload and served with a NULL
+    * percentile — the exact GROUP BY row set, nothing dropped.
     */
   private def storedGroupedHistogramAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -918,9 +964,10 @@ final class QueryEngine(
       case _                      => None
     }
     parsed match {
-      case Aggregate(Seq(g: Expression), outs, r: UnresolvedRelation, _)
-          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
+      case Aggregate(Seq(g: Expression), outs, child, _) =>
         val gName = attrName(g).getOrElse(return None)
+        val keyFilter = groupKeyFilter(child, table, gName)
+          .getOrElse(return None)
         val classified = outs.map {
           case a: UnresolvedAttribute
               if a.nameParts.last.equalsIgnoreCase(gName) =>
@@ -945,12 +992,17 @@ final class QueryEngine(
                   .exists(_.group(1).equalsIgnoreCase(gName)))
                 .map { s =>
                   // empty payload = all-NULL group (no grid): served as
-                  // a NULL percentile, matching exact GROUP BY output
-                  val hs = graft.sketch.GroupedHll.unpack(s.data).map {
-                    case (k, b) =>
-                      k -> (if (b.isEmpty) None
-                            else Some(graft.sketch.Histogram.deserialize(b)))
-                  }
+                  // a NULL percentile, matching exact GROUP BY output.
+                  // A key filter prunes to the named groups (NULL keys
+                  // never match a literal — SQL IN semantics).
+                  val hs = graft.sketch.GroupedHll.unpack(s.data)
+                    .filter { case (k, _) =>
+                      keyFilter.forall(f => k.exists(f.contains)) }
+                    .map {
+                      case (k, b) =>
+                        k -> (if (b.isEmpty) None
+                              else Some(graft.sketch.Histogram.deserialize(b)))
+                    }
                   Right((name,
                     hs.map { case (k, h) => k -> h.map(_.percentile(p)) },
                     hs.flatMap { case (_, h) => h.map(x => 1.0 / x.buckets) }
@@ -985,7 +1037,9 @@ final class QueryEngine(
   }
 
   /** If the query is `SELECT g, MIN/MAX/COUNT/SUM/AVG(attr)... FROM
-    * table GROUP BY g` with a fresh stored `stats_grouped` blob (the
+    * table GROUP BY g` — optionally under `WHERE g = lit` / `g IN
+    * (lits)` (groupKeyFilter prunes to the named groups) — with a
+    * fresh stored `stats_grouped` blob (the
     * per-group exact statistics `SketchOps.createGroupedHistogram`
     * records in its stats pass, group_by == g) covering every
     * aggregate output, answer all groups from the catalog — zero scan,
@@ -1022,9 +1076,10 @@ final class QueryEngine(
           case (k, b) => k -> graft.sketch.GroupedStats.decode(b)
         })
     parsed match {
-      case Aggregate(Seq(g: Expression), outs, r: UnresolvedRelation, _)
-          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
+      case Aggregate(Seq(g: Expression), outs, child, _) =>
         val gName = attrName(g).getOrElse(return None)
+        val keyFilter = groupKeyFilter(child, table, gName)
+          .getOrElse(return None)
         // Left(key output name) | Right((name, fn, per-group stats))
         val classified = outs.map {
           case a: UnresolvedAttribute
@@ -1043,6 +1098,11 @@ final class QueryEngine(
                 // rendering loses precision (type-aware check) refuses
                 // rather than labeling a rounded SUM/AVG exact
                 statsBlobFor(a.nameParts.last, gName)
+                  // a key filter prunes to the named groups before any
+                  // exactness check or serve (NULL keys never match a
+                  // literal — SQL IN semantics)
+                  .map(_.filter { case (k, _) =>
+                    keyFilter.forall(f => k.exists(f.contains)) })
                   .filter(stats => !Set("sum", "avg", "mean")(fn) ||
                     sumServesExactly(table, a.nameParts.last, stats.map(_._2)))
                   .map(stats => Right((name, fn, Some(stats))))
@@ -1282,11 +1342,14 @@ final class QueryEngine(
   }
 
   /** If the query is `SELECT count(*) ... FROM table WHERE col = lit`
-    * (any number of count(*) outputs, one single-column equality
-    * filter) and the catalog holds a fresh Count-Min sketch for `col`,
-    * answer the point frequency from the sketch — zero table scan.
-    * Returns the answer plus the sketch's eps (additive error bound as
-    * a fraction of the table size). The literal is rendered exactly as
+    * or `col IN (lits)` (any number of count(*) outputs, one
+    * single-column literal predicate) and the catalog holds a fresh
+    * Count-Min sketch for `col`, answer the point frequency from the
+    * sketch — zero table scan; IN-lists serve the sum of per-literal
+    * estimates over the distinct keys (overestimate-only survives
+    * addition). Returns the answer plus the error bound: eps for an
+    * equality, |list|*eps for an IN (additive, as a fraction of the
+    * table size). The literal is rendered exactly as
     * the sketch builder keyed it (`cast(col as string)`), so only
     * string-on-string and integral-on-integral (column, literal) pairs
     * are answerable (typedLitKey) — anything else falls through to the
@@ -1297,7 +1360,7 @@ final class QueryEngine(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       table: String): Option[(DataFrame, Double)] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, In, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import org.apache.spark.sql.functions.lit
     def isCountStar(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
@@ -1318,24 +1381,37 @@ final class QueryEngine(
             } =>
         // typedLitKey: only (string column, string literal) and
         // (integral column, integral literal) render the same string
-        // the CMS builder keyed; other pairings fall through to a scan
-        val colKey = cond match {
+        // the CMS builder keyed; other pairings fall through to a scan.
+        // An all-literal IN-list is the SUM of per-literal estimates
+        // over the distinct keys: each term is overestimate-only, and
+        // addition preserves that (truth of the IN is the sum of the
+        // disjoint per-key truths), under a widened |list|*eps bound.
+        val colKeys = cond match {
           case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-            typedLitKey(table, a.nameParts.last, l).map((a.nameParts.last, _))
+            typedLitKey(table, a.nameParts.last, l)
+              .map(k => (a.nameParts.last, Seq(k)))
           case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-            typedLitKey(table, a.nameParts.last, l).map((a.nameParts.last, _))
+            typedLitKey(table, a.nameParts.last, l)
+              .map(k => (a.nameParts.last, Seq(k)))
+          case In(a: UnresolvedAttribute, lits)
+              if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+            val ks = lits.map(l =>
+              typedLitKey(table, a.nameParts.last, l.asInstanceOf[Literal]))
+            if (ks.exists(_.isEmpty)) None
+            else Some((a.nameParts.last, ks.flatten.distinct))
           case _ => None
         }
-        colKey.flatMap { case (c, v) =>
+        colKeys.flatMap { case (c, keys) =>
           catalog.getSketch(table, c, "countmin")
             .filter(sketchIsFresh(table, _))
             .flatMap { s =>
               cmsEpsRe.findFirstMatchIn(s.parameters)
                 .map(_.group(1).toDouble)
                 .map { eps =>
-                  val est = graft.sketch.Cms.deserialize(s.data).estimateString(v)
+                  val cms = graft.sketch.Cms.deserialize(s.data)
+                  val est = keys.map(cms.estimateString).sum
                   val cols = outs.map(o => lit(est).as(o.name))
-                  (spark.range(1).select(cols: _*), eps)
+                  (spark.range(1).select(cols: _*), keys.size * eps)
                 }
             }
         }

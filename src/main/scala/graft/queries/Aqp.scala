@@ -30,6 +30,8 @@ object Aqp {
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   private val groupedHistograms =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
+  private val cmsSketches =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   // q76's engine is separate: its catalog must hold ONLY the
   // deterministic stratified sample, so the strategy lookup cannot race
   // q30's seeded 0.2 sample on the shared engine.
@@ -48,7 +50,8 @@ object Aqp {
     // evict entries for stopped sessions (same policy as Dedup.memo) so
     // long-lived multi-session processes don't retain dead engines,
     // their catalogs, or the one-shot sample/histogram build markers
-    Seq(engines, stratified, histograms, detEngines, uniEngines, uniSamples)
+    Seq(engines, stratified, histograms, groupedHistograms, cmsSketches,
+        detEngines, uniEngines, uniSamples)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -479,6 +482,51 @@ object Aqp {
       est.crossJoin(exact)
         .withColumn("rel_error", expr(
           "(est_raw - cast(n_exact as double)) / cast(n_exact as double)"))
+    }),
+
+    // Filtered GROUP BY percentile end-to-end: `WHERE o_orderstatus IN
+    // ('F','P') GROUP BY o_orderstatus` + percentile is answerable
+    // even though per-group grids don't merge — the GROUP BY keeps the
+    // groups separate, so the engine serves a UNION of single-group
+    // lookups (one row per named group, each interpolated on its own
+    // grid; the q84 serve pruned to the IN-list with zero scan). The
+    // oracle re-derives the named groups' grid chains; plan_type rides
+    // as a column so a scan fallback goes red.
+    "q91_filtered_group_pct" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      groupedHistograms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+          "orders", "o_orderstatus", "o_totalprice", 64)
+        ()
+      })
+      val r = e.query(
+        "SELECT o_orderstatus, percentile(o_totalprice, 0.5) AS p50 " +
+          "FROM orders WHERE o_orderstatus IN ('F', 'P') " +
+          "GROUP BY o_orderstatus")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Count-Min IN-list point frequency end-to-end: `count(*) WHERE
+    // o_orderstatus IN ('F','P')` is answered as the SUM of the two
+    // keys' CMS estimates (overestimate-only survives addition) with
+    // zero scan, under a widened |list|*eps budget. The whole CMS is
+    // deterministic given the data — SHA-256 row hashes, w=272/d=5
+    // from eps=delta=0.01 (sketches.py:154-237 parity) — so the oracle
+    // re-derives the exact counter lookups in SQL (first 8 bytes of
+    // SHA-256 little-endian as a HUGEINT, mod w, min over the d rows,
+    // summed across the IN-list keys) and lands on the identical
+    // integer; plan_type rides as a column so a scan fallback goes red.
+    "q90_cms_inlist" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      cmsSketches.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createCms(s, e.catalog,
+          "orders", "o_orderstatus")
+        ()
+      })
+      val r = e.query(
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus IN ('F', 'P')")
+      r.df.withColumn("plan_type", lit(r.planType))
     }),
 
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
@@ -1164,6 +1212,76 @@ object Aqp {
            count(o_totalprice) AS nv, count(*) AS nr,
            'sketch' AS plan_type
          FROM orders WHERE o_orderstatus IN ('F', 'P')""",
+    // q91: q84's per-group grid chain restricted to the named groups —
+    // each group's grid comes from the FULL table's per-group min/max
+    // (the build is unfiltered), so the filter only selects which rows
+    // of the q84 answer appear.
+    "q91_filtered_group_pct" ->
+      """WITH mm AS (SELECT o_orderstatus AS g,
+              min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi,
+              count(o_totalprice) AS n
+            FROM orders GROUP BY o_orderstatus),
+          grd AS (SELECT g, lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w, n
+            FROM mm),
+          bk AS (SELECT o.o_orderstatus AS g,
+              least(63, CAST(floor((CAST(o.o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders o JOIN grd ON o.o_orderstatus = grd.g
+            WHERE o.o_totalprice IS NOT NULL),
+          c AS (SELECT g, b, count(*) AS c FROM bk GROUP BY g, b),
+          cum AS (SELECT g, b, c,
+              sum(c) OVER (PARTITION BY g ORDER BY b) - c AS cum_before FROM c),
+          tg AS (SELECT grd.g, CAST('0.5' AS DOUBLE) * CAST(grd.n - 1 AS DOUBLE) AS target
+            FROM grd),
+          pick AS (SELECT tg.g, tg.target, min(cum.b) AS b
+            FROM cum JOIN tg ON cum.g = tg.g
+            WHERE cum.cum_before + cum.c > tg.target
+            GROUP BY tg.g, tg.target),
+          est AS (SELECT pick.g,
+              grd.lo + grd.w * (CAST(pick.b AS DOUBLE)
+                + CASE WHEN cum.c <= 1 THEN CAST(0 AS DOUBLE)
+                       ELSE (pick.target - CAST(cum.cum_before AS DOUBLE)) / CAST(cum.c AS DOUBLE) END) AS v
+            FROM pick JOIN cum ON pick.g = cum.g AND pick.b = cum.b
+            JOIN grd ON pick.g = grd.g)
+          SELECT g AS o_orderstatus, v AS p50, 'sketch' AS plan_type
+          FROM est WHERE g IN ('F', 'P') ORDER BY g""",
+    // q90: the full CMS lookup re-derived — row hash i of key k is the
+    // first 8 bytes of SHA-256(k || ascii(i)) read LITTLE-endian as an
+    // unsigned 64-bit value (built positionally from the hex digits as
+    // a HUGEINT) mod w; counter[i][c] = count of rows hashing to (i,c);
+    // estimate(k) = min over the d rows; the IN answer is the sum over
+    // the distinct keys. w/d are taken from the Cms constructor so the
+    // oracle can never drift from the engine's dimensioning.
+    "q90_cms_inlist" -> {
+      val cms = new graft.sketch.Cms(0.01, 0.01)
+      val bucket = (0 until 8).map { j =>
+        val p1 = 2 * j + 1
+        val p2 = 2 * j + 2
+        val pair = s"((strpos('0123456789abcdef', substr(hx,$p1,1))-1)*16" +
+          s" + (strpos('0123456789abcdef', substr(hx,$p2,1))-1))"
+        val mult = java.math.BigInteger.valueOf(256).pow(j)
+        s"CAST($pair AS HUGEINT) * CAST('$mult' AS HUGEINT)"
+      }.mkString("(", " + ", s") % ${cms.w}")
+      s"""WITH ri AS (SELECT unnest(range(${cms.d})) AS i),
+          inp AS (
+            SELECT o_orderstatus AS sv, 1 AS isrow FROM orders
+            UNION ALL
+            SELECT k, 0 FROM (SELECT unnest(['F', 'P']) AS k) tk),
+          hashed AS (
+            SELECT isrow, sv, i, sha256(sv || CAST(i AS VARCHAR)) AS hx
+            FROM inp CROSS JOIN ri),
+          bk AS (SELECT isrow, sv, i, $bucket AS c FROM hashed),
+          cnt AS (
+            SELECT t.sv AS k, t.i, count(r.c) AS n
+            FROM (SELECT sv, i, c FROM bk WHERE isrow = 0) t
+            LEFT JOIN (SELECT i, c FROM bk WHERE isrow = 1) r
+              ON r.i = t.i AND r.c = t.c
+            GROUP BY t.sv, t.i),
+          est AS (SELECT k, min(n) AS e FROM cnt GROUP BY k)
+          SELECT CAST(sum(e) AS BIGINT) AS n, 'sketch' AS plan_type
+          FROM est"""
+    },
     "q89_merged_hll" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString

@@ -348,6 +348,46 @@ class QueryEngineSpec extends SparkSpec {
       rp.transformations)
   }
 
+  test("WHERE g IN (...) GROUP BY g serves per-group percentiles and stats (union of single-group serves)") {
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    // per-group grids don't merge, but a GROUP BY keeps them separate:
+    // the IN-list serves one row per named group, each on its own grid
+    val r = engine.query(
+      "SELECT o_orderstatus, percentile(o_totalprice, 0.5) AS p50 " +
+        "FROM orders WHERE o_orderstatus IN ('F', 'P') GROUP BY o_orderstatus")
+    assert(r.transformations.exists(_.contains("grouped")), r.transformations)
+    val keys = r.df.collect().map(_.getString(0)).toSet
+    assert(keys == Set("F", "P"), keys.toString)
+    // grouped stats under an equality filter: one exact row
+    val rs = engine.query(
+      "SELECT o_orderstatus, sum(o_totalprice) AS sm, count(*) AS nr " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus")
+    assert(rs.transformations.exists(_.contains("build statistics")),
+      rs.transformations)
+    val rows = rs.df.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "F", rows.mkString)
+    val ex = spark.sql(
+      "SELECT cast(sum(cast(o_totalprice as decimal(18,4))) as double), " +
+        "count(*) FROM orders WHERE o_orderstatus = 'F'").collect().head
+    assert(rows.head.getDouble(1) == ex.getDouble(0))
+    assert(rows.head.getLong(2) == ex.getLong(1))
+    // a filter on a NON-group column refuses (fall through to scan)
+    val rn = engine.query(
+      "SELECT o_orderstatus, percentile(o_totalprice, 0.5) AS p50 " +
+        "FROM orders WHERE o_custkey = 7 GROUP BY o_orderstatus")
+    assert(!rn.transformations.exists(_.contains("grouped")),
+      rn.transformations)
+    // literals naming no recorded group serve ZERO rows — exactly what
+    // exact GROUP BY returns for a key with no rows
+    val rz = engine.query(
+      "SELECT o_orderstatus, percentile(o_totalprice, 0.5) AS p50 " +
+        "FROM orders WHERE o_orderstatus IN ('ZZ') GROUP BY o_orderstatus")
+    assert(rz.transformations.exists(_.contains("grouped")),
+      rz.transformations)
+    assert(rz.df.count() == 0)
+  }
+
   test("type-mismatched filter literals refuse catalog serves (typedLitKey)") {
     // double group column: WHERE l_quantity = 5 renders "5" but the
     // blob keys "5.0" — serving would return the exact-empty-group
@@ -770,6 +810,9 @@ class QueryEngineSpec extends SparkSpec {
       .createOrReplaceTempView("cms_t")
     val truth = spark.sql("SELECT count(*) FROM cms_t WHERE k = 'k3'")
       .collect().head.getLong(0)
+    val truthInList = spark.sql(
+      "SELECT count(*) FROM cms_t WHERE k IN ('k3', 'k0')")
+      .collect().head.getLong(0)
     graft.sketch.SketchOps.createCms(spark, catalog, "cms_t", "k")
     catalog.upsertTableStats("cms_t", 5000L)
     // replace the backing view with an EMPTY one: a correct answer can
@@ -783,6 +826,26 @@ class QueryEngineSpec extends SparkSpec {
     // CMS law: overestimate-only, within eps*N additive
     assert(est >= truth, s"est=$est truth=$truth")
     assert(est <= truth + (0.01 * 5000).toLong + 1, s"est=$est truth=$truth")
+
+    // an all-literal IN-list serves the SUM of per-key estimates
+    // (overestimate-only survives addition), under a |list|*eps budget
+    val truthIn = truthInList
+    val rIn = engine.query(
+      "SELECT count(*) AS n FROM cms_t WHERE k IN ('k3', 'k0', 'k3')")
+    assert(rIn.planType == "sketch" && rIn.reason.contains("Count-Min"),
+      s"${rIn.planType}: ${rIn.reason}")
+    val estIn = rIn.df.collect().head.getLong(0)
+    assert(estIn >= truthIn, s"est=$estIn truth=$truthIn")
+    assert(estIn <= truthIn + 2 * ((0.01 * 5000).toLong + 1),
+      s"est=$estIn truth=$truthIn")
+    assert(rIn.estimatedError == 2 * 0.01, rIn.estimatedError.toString)
+
+    // an IN-list whose widened |list|*eps bound misses the budget
+    // falls through (3 distinct keys * 0.01 > 0.025)
+    val rInWide = engine.query(
+      "SELECT count(*) AS n FROM cms_t WHERE k IN ('k1', 'k2', 'k4')",
+      engine.Options(maxRelError = 0.025))
+    assert(!rInWide.reason.contains("Count-Min"), rInWide.reason)
 
     // a tighter error budget than eps falls through to the scan path
     val rb = engine.query("SELECT count(*) AS n FROM cms_t WHERE k = 'k3'",
