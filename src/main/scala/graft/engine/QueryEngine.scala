@@ -933,13 +933,93 @@ final class QueryEngine(
     }
   }
 
-  /** If the query is `SELECT g, PERCENTILE(attr, p)... FROM table
-    * GROUP BY g` — optionally under `WHERE g = lit` / `g IN (lits)`
+  /** Decode a blob group key into its per-column components. Single-
+    * column sketches key groups as the raw `cast(g as string)`
+    * rendering; composite sketches key them as Spark's
+    * `to_json(array(cast(g1 as string), ...))` rendering (a JSON array
+    * of strings/nulls — escaping handled by to_json at build time, by
+    * the JSON parser here). None = malformed key (wrong arity,
+    * non-string element): the caller refuses the sketch.
+    */
+  private def decodeGroupKey(k: Option[String],
+      n: Int): Option[Seq[Option[String]]] =
+    if (n == 1) Some(Seq(k))
+    else k.flatMap { s =>
+      graft.api.Json.parse(s) match {
+        case Right(graft.api.Json.A(items)) if items.sizeIs == n =>
+          val comps = items.map {
+            case graft.api.Json.S(v) => Some(Some(v))
+            case graft.api.Json.Null => Some(None)
+            case _                   => None
+          }
+          if (comps.exists(_.isEmpty)) None else Some(comps.map(_.get))
+        case _ => None
+      }
+    }
+
+  /** A fresh grouped sketch of `tpe` over `column` whose recorded
+    * group-by column SET equals the query's, its blob entries re-keyed
+    * as component tuples permuted into the QUERY's group-by order —
+    * what lets `GROUP BY a, b` serve from a sketch built with
+    * group_by "b,a". None: no matching fresh sketch, or a malformed
+    * key.
+    */
+  private def groupedBlobFor(table: String, column: String, tpe: String,
+      queryCols: Seq[String]): Option[Seq[(Seq[Option[String]], Array[Byte])]] = {
+    val q = queryCols.map(_.toLowerCase)
+    catalog.getSketch(table, column, tpe)
+      .filter(sketchIsFresh(table, _))
+      .flatMap { s =>
+        groupByParamRe.findFirstMatchIn(s.parameters)
+          .map(_.group(1).toLowerCase.split(",").map(_.trim).toSeq)
+          .filter(scols => scols.sorted == q.sorted)
+          .flatMap { scols =>
+            val perm = q.map(scols.indexOf)
+            val entries = graft.sketch.GroupedHll.unpack(s.data).map {
+              case (k, b) =>
+                decodeGroupKey(k, scols.size).map(c => (perm.map(c), b))
+            }
+            if (entries.exists(_.isEmpty)) None else Some(entries.map(_.get))
+          }
+      }
+  }
+
+  /** The query-order group-by column names of an Aggregate whose every
+    * grouping expression is a bare column, plus the key filter from an
+    * optional `WHERE g = lit` / `g IN (lits)` on the (single) group
+    * column. Composite GROUP BYs accept no filter — any Filter child
+    * refuses rather than guessing multi-column predicate semantics.
+    * None = not servable from grouped sketches.
+    */
+  private def aggregateGroupKeys(
+      gs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(Seq[String], Option[Seq[String]])] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    val names = gs.map {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    if (names.isEmpty || names.exists(_.isEmpty)) return None
+    val gNames = names.map(_.get)
+    if (gNames.sizeIs == 1)
+      groupKeyFilter(child, table, gNames.head).map(f => (gNames, f))
+    else child match {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
+        Some((gNames, None))
+      case _ => None
+    }
+  }
+
+  /** If the query is `SELECT g..., PERCENTILE(attr, p)... FROM table
+    * GROUP BY g...` — optionally under `WHERE g = lit` / `g IN (lits)`
     * (groupKeyFilter: a GROUP BY keeps per-group grids separate, so a
     * multi-literal filter is a union of single-group serves, one row
     * each) — with a fresh stored GROUPED histogram (built by
-    * SketchOps.createGroupedHistogram with group_by == g) covering
-    * every percentile output, answer all (named) groups by
+    * SketchOps.createGroupedHistogram, group-by column set equal to
+    * the query's — composite keys welcome, in any column order)
+    * covering every percentile output, answer all (named) groups by
     * interpolation from the catalog — zero scan. Per-group grids, so
     * the reported error is still one bucket width (1/buckets of each
     * group's own grid). Group keys are served as the string rendering
@@ -964,16 +1044,18 @@ final class QueryEngine(
       case _                      => None
     }
     parsed match {
-      case Aggregate(Seq(g: Expression), outs, child, _) =>
-        val gName = attrName(g).getOrElse(return None)
-        val keyFilter = groupKeyFilter(child, table, gName)
+      case Aggregate(gs, outs, child, _) =>
+        val (gNames, keyFilter) = aggregateGroupKeys(gs, child, table)
           .getOrElse(return None)
+        val lower = gNames.map(_.toLowerCase)
         val classified = outs.map {
           case a: UnresolvedAttribute
-              if a.nameParts.last.equalsIgnoreCase(gName) =>
-            Some(Left(a.nameParts.last))
-          case Alias(e, name) if attrName(e).exists(_.equalsIgnoreCase(gName)) =>
-            Some(Left(name))
+              if lower.contains(a.nameParts.last.toLowerCase) =>
+            Some(Left((a.nameParts.last,
+              lower.indexOf(a.nameParts.last.toLowerCase))))
+          case Alias(e, name)
+              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
           case Alias(f: UnresolvedFunction, name)
               if !f.isDistinct && f.filter.isEmpty =>
             val colP: Option[(String, Double)] =
@@ -986,18 +1068,15 @@ final class QueryEngine(
                 case _ => None
               }
             colP.flatMap { case (c, p) =>
-              catalog.getSketch(table, c, "histogram_grouped")
-                .filter(sketchIsFresh(table, _))
-                .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
-                  .exists(_.group(1).equalsIgnoreCase(gName)))
-                .map { s =>
+              groupedBlobFor(table, c, "histogram_grouped", gNames)
+                .map { entries =>
                   // empty payload = all-NULL group (no grid): served as
                   // a NULL percentile, matching exact GROUP BY output.
                   // A key filter prunes to the named groups (NULL keys
                   // never match a literal — SQL IN semantics).
-                  val hs = graft.sketch.GroupedHll.unpack(s.data)
+                  val hs = entries
                     .filter { case (k, _) =>
-                      keyFilter.forall(f => k.exists(f.contains)) }
+                      keyFilter.forall(f => k.head.exists(f.contains)) }
                     .map {
                       case (k, b) =>
                         k -> (if (b.isEmpty) None
@@ -1013,20 +1092,21 @@ final class QueryEngine(
         }
         if (classified.exists(_.isEmpty)) return None
         val parts = classified.flatten
-        val keyCols = parts.collect { case Left(n) => n }
+        val keyIdx = parts.collect { case Left((_, i)) => i }
         val estCols = parts.collect { case Right(v) => v }
-        if (keyCols.sizeIs != 1 || estCols.isEmpty) return None
+        if (keyIdx.toSet != gNames.indices.toSet || estCols.isEmpty)
+          return None
         val keys = estCols.head._2.map(_._1)
         if (!estCols.forall(_._2.map(_._1).toSet == keys.toSet)) return None
         val byName = estCols.map { case (n, est, _) => n -> est.toMap }.toMap
         val rows = keys.map { k =>
           org.apache.spark.sql.Row.fromSeq(parts.map {
-            case Left(_)          => k.orNull
+            case Left((_, i))     => k(i).orNull
             case Right((n, _, _)) => byName(n)(k).map(Double.box).orNull
           })
         }
         val schema = StructType(parts.map {
-          case Left(n)          => StructField(n, StringType, nullable = true)
+          case Left((n, _))     => StructField(n, StringType, nullable = true)
           case Right((n, _, _)) => StructField(n, DoubleType, nullable = true)
         })
         import scala.jdk.CollectionConverters._
@@ -1066,27 +1146,20 @@ final class QueryEngine(
       case Seq(Literal(v: Number, _)) => v.intValue == 1
       case _                          => false
     }
-    def statsBlobFor(c: String, gName: String)
-        : Option[Seq[(Option[String], graft.sketch.GroupedStats.Stat)]] =
-      catalog.getSketch(table, c, "stats_grouped")
-        .filter(sketchIsFresh(table, _))
-        .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
-          .exists(_.group(1).equalsIgnoreCase(gName)))
-        .map(s => graft.sketch.GroupedHll.unpack(s.data).map {
-          case (k, b) => k -> graft.sketch.GroupedStats.decode(b)
-        })
     parsed match {
-      case Aggregate(Seq(g: Expression), outs, child, _) =>
-        val gName = attrName(g).getOrElse(return None)
-        val keyFilter = groupKeyFilter(child, table, gName)
+      case Aggregate(gs, outs, child, _) =>
+        val (gNames, keyFilter) = aggregateGroupKeys(gs, child, table)
           .getOrElse(return None)
-        // Left(key output name) | Right((name, fn, per-group stats))
+        val lower = gNames.map(_.toLowerCase)
+        // Left((key output name, group idx)) | Right((name, fn, stats))
         val classified = outs.map {
           case a: UnresolvedAttribute
-              if a.nameParts.last.equalsIgnoreCase(gName) =>
-            Some(Left(a.nameParts.last))
-          case Alias(e, name) if attrName(e).exists(_.equalsIgnoreCase(gName)) =>
-            Some(Left(name))
+              if lower.contains(a.nameParts.last.toLowerCase) =>
+            Some(Left((a.nameParts.last,
+              lower.indexOf(a.nameParts.last.toLowerCase))))
+          case Alias(e, name)
+              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
           case Alias(f: UnresolvedFunction, name)
               if !f.isDistinct && f.filter.isEmpty =>
             (f.nameParts.last.toLowerCase, f.arguments) match {
@@ -1097,12 +1170,15 @@ final class QueryEngine(
                 // "zero error" must be true: a group sum whose double
                 // rendering loses precision (type-aware check) refuses
                 // rather than labeling a rounded SUM/AVG exact
-                statsBlobFor(a.nameParts.last, gName)
+                groupedBlobFor(table, a.nameParts.last, "stats_grouped",
+                    gNames)
+                  .map(_.map { case (k, b) =>
+                    k -> graft.sketch.GroupedStats.decode(b) })
                   // a key filter prunes to the named groups before any
                   // exactness check or serve (NULL keys never match a
                   // literal — SQL IN semantics)
                   .map(_.filter { case (k, _) =>
-                    keyFilter.forall(f => k.exists(f.contains)) })
+                    keyFilter.forall(f => k.head.exists(f.contains)) })
                   .filter(stats => !Set("sum", "avg", "mean")(fn) ||
                     sumServesExactly(table, a.nameParts.last, stats.map(_._2)))
                   .map(stats => Right((name, fn, Some(stats))))
@@ -1112,16 +1188,17 @@ final class QueryEngine(
         }
         if (classified.exists(_.isEmpty)) return None
         val parts = classified.flatten
-        val keyCols = parts.collect { case Left(n) => n }
+        val keyIdx = parts.collect { case Left((_, i)) => i }
         val aggCols = parts.collect { case Right(v) => v }
         val anchored = aggCols.collect { case (_, _, Some(s)) => s }
-        if (keyCols.sizeIs != 1 || anchored.isEmpty) return None
+        if (keyIdx.toSet != gNames.indices.toSet || anchored.isEmpty)
+          return None
         val keys = anchored.head.map(_._1)
         if (!anchored.forall(_.map(_._1).toSet == keys.toSet)) return None
         val rideRows = anchored.head.toMap.map { case (k, s) => k -> s.nrows }
         val rows = keys.map { k =>
           org.apache.spark.sql.Row.fromSeq(parts.map {
-            case Left(_) => k.orNull
+            case Left((_, i)) => k(i).orNull
             case Right((_, "count_star", _)) => rideRows(k)
             case Right((_, fn, Some(stats))) =>
               val st = stats.toMap.apply(k)
@@ -1136,7 +1213,7 @@ final class QueryEngine(
           })
         }
         val schema = StructType(parts.map {
-          case Left(n) => StructField(n, StringType, nullable = true)
+          case Left((n, _)) => StructField(n, StringType, nullable = true)
           case Right((n, fn, _)) =>
             if (fn == "count" || fn == "count_star")
               StructField(n, LongType, nullable = false)
@@ -1475,9 +1552,10 @@ final class QueryEngine(
       case _                      => None
     }
     parsed match {
-      case Aggregate(Seq(g: Expression), outs, r: UnresolvedRelation, _)
-          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
-        val gName = attrName(g).getOrElse(return None)
+      case Aggregate(gs, outs, child, _) =>
+        val (gNames, keyFilter) = aggregateGroupKeys(gs, child, table)
+          .getOrElse(return None)
+        val lower = gNames.map(_.toLowerCase)
         def countDistinctCol(e: Expression): Option[String] = e match {
           case f: UnresolvedFunction
               if f.nameParts.last.equalsIgnoreCase("count") && f.isDistinct &&
@@ -1485,33 +1563,36 @@ final class QueryEngine(
             attrName(f.arguments.head)
           case _ => None
         }
-        // classify outputs: Left(outName) = the group key, Right((outName,
-        // per-group estimates)) = an answered count-distinct
+        // classify outputs: Left((outName, group idx)) = a group key,
+        // Right((outName, per-group estimates)) = an answered
+        // count-distinct
         val classified = outs.map {
           case a: UnresolvedAttribute
-              if a.nameParts.last.equalsIgnoreCase(gName) =>
-            Some(Left(a.nameParts.last))
-          case Alias(e, name) if attrName(e).exists(_.equalsIgnoreCase(gName)) =>
-            Some(Left(name))
+              if lower.contains(a.nameParts.last.toLowerCase) =>
+            Some(Left((a.nameParts.last,
+              lower.indexOf(a.nameParts.last.toLowerCase))))
+          case Alias(e, name)
+              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
           case Alias(e, name) =>
             countDistinctCol(e).flatMap { c =>
-              catalog.getSketch(table, c, "hll_grouped")
-                .filter(sketchIsFresh(table, _))
-                .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
-                  .exists(_.group(1).equalsIgnoreCase(gName)))
-                .map { s =>
-                  val est = graft.sketch.GroupedHll.deserialize(s.data)
-                    .map { case (k, h) => k -> h.count }
-                  Right((name, est))
-                }
+              groupedBlobFor(table, c, "hll_grouped", gNames).map { entries =>
+                val est = entries
+                  .filter { case (k, _) =>
+                    keyFilter.forall(f => k.head.exists(f.contains)) }
+                  .map { case (k, b) =>
+                    k -> graft.sketch.Hll.deserialize(b).count }
+                Right((name, est))
+              }
             }
           case _ => None
         }
         if (classified.exists(_.isEmpty)) return None
         val parts = classified.flatten
-        val keyCols = parts.collect { case Left(n) => n }
+        val keyIdx = parts.collect { case Left((_, i)) => i }
         val estCols = parts.collect { case Right(v) => v }
-        if (keyCols.sizeIs != 1 || estCols.isEmpty) return None
+        if (keyIdx.toSet != gNames.indices.toSet || estCols.isEmpty)
+          return None
         // all sketches must agree on the group-key set
         val keys = estCols.head._2.map(_._1)
         if (!estCols.forall(_._2.map(_._1).toSet == keys.toSet)) return None
@@ -1520,12 +1601,12 @@ final class QueryEngine(
         // the select list wrote them)
         val rows = keys.map { k =>
           org.apache.spark.sql.Row.fromSeq(parts.map {
-            case Left(_)       => k.orNull
+            case Left((_, i))  => k(i).orNull
             case Right((n, _)) => byName(n)(k)
           })
         }
         val schema = StructType(parts.map {
-          case Left(n)       => StructField(n, StringType, nullable = true)
+          case Left((n, _))  => StructField(n, StringType, nullable = true)
           case Right((n, _)) => StructField(n, LongType, nullable = false)
         })
         import scala.jdk.CollectionConverters._

@@ -32,6 +32,8 @@ object Aqp {
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   private val cmsSketches =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
+  private val compositeHists =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   // q76's engine is separate: its catalog must hold ONLY the
   // deterministic stratified sample, so the strategy lookup cannot race
   // q30's seeded 0.2 sample on the shared engine.
@@ -51,7 +53,7 @@ object Aqp {
     // long-lived multi-session processes don't retain dead engines,
     // their catalogs, or the one-shot sample/histogram build markers
     Seq(engines, stratified, histograms, groupedHistograms, cmsSketches,
-        detEngines, uniEngines, uniSamples)
+        compositeHists, detEngines, uniEngines, uniSamples)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -505,6 +507,32 @@ object Aqp {
           "GROUP BY o_orderstatus")
       r.df.withColumn("plan_type", lit(r.planType))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Composite-key grouped stats end-to-end: a two-column
+    // `GROUP BY l_returnflag, l_linestatus` (the data-card rollup
+    // shape) answers MIN/MAX/COUNT/SUM/AVG per (flag, status) pair
+    // from ONE stored blob with zero scan — per-tuple stat records
+    // keyed by Spark's to_json(array(...)) rendering, dispatched on
+    // column-SET equality (any group order), components permuted into
+    // the query's order. The oracle computes the same aggregates
+    // directly over the composite GROUP BY (the q86 recipe, two key
+    // columns); plan_type rides as a column so a scan fallback goes
+    // red.
+    "q92_composite_stats" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      compositeHists.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+          "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64)
+        ()
+      })
+      val r = e.query(
+        "SELECT l_returnflag, l_linestatus, min(l_quantity) AS mn, " +
+          "max(l_quantity) AS mx, sum(l_quantity) AS sm, " +
+          "avg(l_quantity) AS av, count(l_quantity) AS nv, count(*) AS nr " +
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // Count-Min IN-list point frequency end-to-end: `count(*) WHERE
@@ -1212,6 +1240,20 @@ object Aqp {
            count(o_totalprice) AS nv, count(*) AS nr,
            'sketch' AS plan_type
          FROM orders WHERE o_orderstatus IN ('F', 'P')""",
+    // q92: exact per-(flag, status) statistics — the q86 recipe over a
+    // composite GROUP BY. plan_type 'sketch' gates that the engine
+    // really served from the composite blob.
+    "q92_composite_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(min(l_quantity) AS DOUBLE) AS mn,
+           CAST(max(l_quantity) AS DOUBLE) AS mx,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(l_quantity) AS DOUBLE) AS av,
+           count(l_quantity) AS nv, count(*) AS nr,
+           'sketch' AS plan_type
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     // q91: q84's per-group grid chain restricted to the named groups —
     // each group's grid comes from the FULL table's per-group min/max
     // (the build is unfiltered), so the filter only selects which rows

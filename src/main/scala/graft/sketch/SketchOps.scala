@@ -57,21 +57,48 @@ object SketchOps {
     */
   def createGroupedHll(spark: SparkSession, catalog: MetaCatalog,
       table: String, groupCol: String, valueCol: String,
-      b: Int = 12): (Int, Int) = {
+      b: Int = 12): (Int, Int) =
+    createGroupedHll(spark, catalog, table, Seq(groupCol), valueCol, b)
+
+  /** Group-key rendering shared by every grouped builder: a single
+    * column keys groups as the raw `cast(g as string)` (the original
+    * contract, byte-stable for the stream-maintenance laws); a
+    * COMPOSITE key renders as `to_json(array(cast(g1 as string), ...))`
+    * — Spark's own JSON escaping, computed distributed in the same
+    * pass, decoded engine-side by `QueryEngine.decodeGroupKey`.
+    */
+  private def groupKeyExpr(groupCols: Seq[String])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    if (groupCols.sizeIs == 1) col(groupCols.head).cast("string")
+    else expr(groupCols.map(c => s"cast($c as string)")
+      .mkString("to_json(array(", ", ", "))"))
+  }
+
+  /** Composite-key variant: one HLL per (g1, g2, ...) tuple, so
+    * `GROUP BY a, b` rollups (the data-card shape) serve with no scan
+    * too. group_by records the comma-joined column list; the engine
+    * dispatches on SET equality of the key columns.
+    */
+  def createGroupedHll(spark: SparkSession, catalog: MetaCatalog,
+      table: String, groupCols: Seq[String], valueCol: String,
+      b: Int): (Int, Int) = {
+    require(groupCols.nonEmpty, "at least one group column required")
     import org.apache.spark.sql.functions.{count, lit}
     // count(*) rides the same pass; the SUM over groups is the full
     // rowcount for the freshness guard (every row lands in exactly one
     // group, NULL keys included). limit(MaxHllGroups+1) bounds driver
     // memory while still detecting overflow.
     val rows = spark.table(table)
-      .groupBy(col(groupCol).cast("string").as("g"))
+      .groupBy(groupKeyExpr(groupCols).as("g"))
       .agg(Hll.sketchAgg(col(valueCol).cast("string"), b).as("s"),
         count(lit(1)).as("n"))
       .limit(MaxHllGroups + 1)
       .collect()
     if (rows.length > MaxHllGroups)
       throw new IllegalArgumentException(
-        s"grouped HLL over $table.$groupCol: more than $MaxHllGroups groups")
+        s"grouped HLL over $table.${groupCols.mkString(",")}: " +
+          s"more than $MaxHllGroups groups")
     val groups = rows.toSeq.map { r =>
       (Option(r.getAs[String]("g")), r.getAs[Array[Byte]]("s"))
     }
@@ -79,7 +106,8 @@ object SketchOps {
     val bytes = GroupedHll.serialize(groups)
     catalog.upsertSketch(catalog.SketchInfo(table, valueCol, "hll_grouped",
       bytes,
-      s"""{"b":$b,"group_by":"$groupCol","groups":${groups.size},"rows":$total}""",
+      s"""{"b":$b,"group_by":"${groupCols.mkString(",")}",""" +
+        s""""groups":${groups.size},"rows":$total}""",
       System.currentTimeMillis()))
     (bytes.length, groups.size)
   }
@@ -192,11 +220,21 @@ object SketchOps {
     */
   def createGroupedHistogram(spark: SparkSession, catalog: MetaCatalog,
       table: String, groupCol: String, valueCol: String,
-      buckets: Int = 64): (Int, Int) = {
+      buckets: Int = 64): (Int, Int) =
+    createGroupedHistogram(spark, catalog, table, Seq(groupCol), valueCol,
+      buckets)
+
+  /** Composite-key variant: per-(g1, g2, ...) grids and stat records
+    * (see groupKeyExpr for the key rendering). */
+  def createGroupedHistogram(spark: SparkSession, catalog: MetaCatalog,
+      table: String, groupCols: Seq[String], valueCol: String,
+      buckets: Int): (Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, count, expr, lit, max, min}
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(groupCols.nonEmpty, "at least one group column required")
+    val groupCol = groupCols.mkString(",")
     val stats = spark.table(table)
-      .groupBy(col(groupCol).cast("string").as("g"))
+      .groupBy(groupKeyExpr(groupCols).as("g"))
       .agg(min(col(valueCol)).cast("double").as("lo"),
         max(col(valueCol)).cast("double").as("hi"),
         count(lit(1)).as("n"),
@@ -247,7 +285,7 @@ object SketchOps {
     val gridDf = grid.toSeq.map { case (k, lo, w) => (k.orNull, lo, w) }
       .toDF("gg", "glo", "gw")
     val base = spark.table(table).filter(col(valueCol).isNotNull)
-      .select(col(groupCol).cast("string").as("g"),
+      .select(groupKeyExpr(groupCols).as("g"),
         col(valueCol).cast("double").as("v"))
     // null-safe join key: a NULL group is still a group
     val counts = base.join(broadcast(gridDf), base("g") <=> gridDf("gg"))

@@ -388,6 +388,52 @@ class QueryEngineSpec extends SparkSpec {
     assert(rz.df.count() == 0)
   }
 
+  test("composite-key grouped sketches answer GROUP BY a, b with no scan; key-set mismatches refuse") {
+    graft.sketch.SketchOps.createGroupedHistogram(spark, catalog, "lineitem",
+      Seq("l_returnflag", "l_linestatus"), "l_quantity", 64)
+    graft.sketch.SketchOps.createGroupedHll(spark, catalog, "lineitem",
+      Seq("l_returnflag", "l_linestatus"), "l_orderkey", 12)
+    // stats over the composite key, group columns in REVERSED order vs
+    // the build — dispatch is on column-SET equality, components are
+    // permuted into the query's order
+    val r = engine.query(
+      "SELECT l_linestatus, l_returnflag, sum(l_quantity) AS sm, " +
+        "count(*) AS nr FROM lineitem GROUP BY l_linestatus, l_returnflag")
+    assert(r.transformations.exists(_.contains("build statistics")),
+      r.transformations)
+    val got = r.df.collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2), x.getLong(3)))
+      .toSet
+    val ex = spark.sql(
+      "SELECT l_linestatus, l_returnflag, " +
+        "cast(sum(cast(l_quantity as decimal(18,4))) as double), count(*) " +
+        "FROM lineitem GROUP BY l_linestatus, l_returnflag").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2), x.getLong(3)))
+      .toSet
+    assert(got == ex, s"$got vs $ex")
+    // per-composite-group COUNT(DISTINCT) serves from the grouped HLL
+    val rd = engine.query(
+      "SELECT l_returnflag, l_linestatus, count(DISTINCT l_orderkey) AS nd " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+    assert(rd.transformations.exists(_.contains("grouped HyperLogLog")),
+      rd.transformations)
+    assert(rd.df.count() == spark.sql(
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem").count())
+    // a SUBSET of the sketch's key set refuses (per-key rollups cannot
+    // be derived from composite stats without double-counting risk)
+    val rSub = engine.query(
+      "SELECT l_returnflag, sum(l_quantity) AS sm FROM lineitem " +
+        "GROUP BY l_returnflag")
+    assert(!rSub.transformations.exists(_.contains("build statistics")),
+      rSub.transformations)
+    // a SUPERSET refuses too
+    val rSup = engine.query(
+      "SELECT l_returnflag, l_linestatus, l_shipdate, sum(l_quantity) AS sm " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus, l_shipdate")
+    assert(!rSup.transformations.exists(_.contains("build statistics")),
+      rSup.transformations)
+  }
+
   test("type-mismatched filter literals refuse catalog serves (typedLitKey)") {
     // double group column: WHERE l_quantity = 5 renders "5" but the
     // blob keys "5.0" — serving would return the exact-empty-group
