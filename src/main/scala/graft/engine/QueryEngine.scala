@@ -454,7 +454,7 @@ final class QueryEngine(
     // and the achievable fraction meets the tolerance; refuse otherwise.
     val agmsJoinRows: Option[Long] =
       if (!auto) None
-      else agmsJoinEstimate(parsed, sizes.map(_._1), fact) match {
+      else agmsJoinEstimate(parsed, sizes, fact) match {
         case some @ Some(j) if j >= MinAutoJoinRows => some
         case _                                      => return None
       }
@@ -594,58 +594,120 @@ final class QueryEngine(
     */
   private val UniverseMinRows = 1000000L
 
-  /** Estimate |R ⋈ S| from stored AGMS sketches of the parsed query's
-    * join-key pair, with NO scan. Succeeds only on the plan shape the
-    * decision is sound for: exactly one join, a single equi-key
-    * condition between two attributes, exactly two resolvable tables,
-    * a fresh AGMS sketch on EACH side's key column with matching bucket
-    * counts. Column-to-table attribution goes through the session
-    * catalog's column lists (metadata only, no scan).
+  /** The parsed query's equi-join keys per dim, attributed to the fact
+    * and dim tables via the session catalog's column lists (metadata
+    * only, no scan): one (factKeys, dimKeys, dim) entry per join, keys
+    * ALIGNED pairwise — a composite `ON a.k1 = b.k1 AND a.k2 = b.k2`
+    * condition yields multi-element key seqs. None on any shape the
+    * join-sampling decisions are not sound for: a join count that
+    * isn't tables-1 (not a star/chain on the fact), a non-equi
+    * conjunct, a key resolvable on neither/both sides, a join mixing
+    * dims, or a dim joined twice.
     */
-  /** The parsed query's single equi-join key pair, attributed to the
-    * fact and (sole) dim table via the session catalog's column lists
-    * (metadata only, no scan): Some((factKey, dimKey, dim)). None on
-    * any shape the join-sampling decisions are not sound for: more
-    * than one join, more than two tables, a non-equi or multi-key
-    * condition, or a key column resolvable on neither/both sides.
+  private def joinKeyPairs(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tables: Seq[String], fact: String)
+      : Option[Seq[(Seq[String], Seq[String], String)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = parsed.collect { case j: Join => j }
+    val dims = tables.filterNot(_ == fact)
+    if (dims.isEmpty || joins.sizeIs != dims.size) return None
+    def cols(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
+    val factCols = cols(fact)
+    val dimCols = dims.map(d => d -> cols(d)).toMap
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    val perJoin = joins.map { j =>
+      j.condition.flatMap { cond =>
+        // every conjunct must be attr = attr between the fact and ONE
+        // dim (the same dim across the join's conjuncts)
+        val pairs = conjuncts(cond).map {
+          case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
+            val (a, b) = (x.nameParts.last, y.nameParts.last)
+            dims.flatMap { d =>
+              val dc = dimCols(d)
+              if (factCols.contains(a.toLowerCase) && dc.contains(b.toLowerCase))
+                Seq((a, b, d))
+              else if (factCols.contains(b.toLowerCase) && dc.contains(a.toLowerCase))
+                Seq((b, a, d))
+              else Seq.empty
+            } match {
+              case Seq(one) => Some(one) // unambiguous attribution
+              case _        => None
+            }
+          case _ => None
+        }
+        if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
+        else {
+          val ps = pairs.flatten
+          val joinDims = ps.map(_._3).distinct
+          if (joinDims.sizeIs != 1) None
+          else Some((ps.map(_._1), ps.map(_._2), joinDims.head))
+        }
+      }
+    }
+    if (perJoin.exists(_.isEmpty)) return None
+    val resolved = perJoin.flatten
+    // each dim joined exactly once
+    if (resolved.map(_._3).distinct.sizeIs != dims.size) return None
+    Some(resolved)
+  }
+
+  /** Single-dim convenience over joinKeyPairs (the universe-sampling
+    * shape: exactly two tables, one single-column equi-key).
     */
   private def joinKeyPair(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      tables: Seq[String], fact: String): Option[(String, String, String)] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
-    import org.apache.spark.sql.catalyst.plans.logical.Join
-    val joins = parsed.collect { case j: Join => j }
-    if (joins.sizeIs != 1) return None
-    val dims = tables.filterNot(_ == fact)
-    if (dims.sizeIs != 1) return None
-    val dim = dims.head
-    joins.head.condition.flatMap {
-      case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
-        Some((x.nameParts.last, y.nameParts.last))
-      case _ => None
-    }.flatMap { case (a, b) =>
-      def cols(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
-      val (fc, dc) = (cols(fact), cols(dim))
-      if (fc.contains(a.toLowerCase) && dc.contains(b.toLowerCase))
-        Some((a, b, dim))
-      else if (fc.contains(b.toLowerCase) && dc.contains(a.toLowerCase))
-        Some((b, a, dim))
-      else None
+      tables: Seq[String], fact: String): Option[(String, String, String)] =
+    joinKeyPairs(parsed, tables, fact) match {
+      case Some(Seq((Seq(fk), Seq(dk), dim))) => Some((fk, dk, dim))
+      case _                                  => None
     }
-  }
 
+  /** The catalog name an AGMS sketch over a (possibly composite) key
+    * is stored under — single keys keep the bare column name,
+    * composites the comma-joined list (SketchOps.createAgms).
+    */
+  private def agmsKeyName(keys: Seq[String]): String = keys.mkString(",")
+
+  /** Estimate the join output from stored AGMS sketches, with NO scan.
+    * Two tables: the classic AGMS dot-product estimate of |F ⋈ D| over
+    * the (possibly composite) key pair. A star of several dims joined
+    * to the fact on independent keys: |F| · Π(|F ⋈ Dᵢ| / |F|) — each
+    * pairwise size from its own AGMS pair, composed under the
+    * independence assumption (the standard star-join cardinality
+    * model). Requires a fresh AGMS sketch per side with matching
+    * bucket counts; any missing piece returns None and the decision
+    * falls back to reference-parity exact.
+    */
   private def agmsJoinEstimate(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      tables: Seq[String], fact: String): Option[Long] =
-    for {
-      (factKey, dimKey, dim) <- joinKeyPair(parsed, tables, fact)
-      sf <- catalog.getSketch(fact, factKey, "agms")
-      if sketchIsFresh(fact, sf)
-      sd <- catalog.getSketch(dim, dimKey, "agms")
-      if sketchIsFresh(dim, sd)
-      est <- graft.sketch.Agms.dotEstimate(sf.data, sd.data)
-    } yield est
+      sizes: Seq[(String, Long)], fact: String): Option[Long] = {
+    val factSize = sizes.toMap.apply(fact)
+    joinKeyPairs(parsed, sizes.map(_._1), fact).flatMap { prs =>
+      val ests = prs.map { case (fks, dks, dim) =>
+        for {
+          sf <- catalog.getSketch(fact, agmsKeyName(fks), "agms")
+          if sketchIsFresh(fact, sf)
+          sd <- catalog.getSketch(dim, agmsKeyName(dks), "agms")
+          if sketchIsFresh(dim, sd)
+          est <- graft.sketch.Agms.dotEstimate(sf.data, sd.data)
+        } yield est
+      }
+      if (ests.exists(_.isEmpty)) None
+      else {
+        val js = ests.flatten
+        val j = js.foldLeft(factSize.toDouble) { (acc, ji) =>
+          acc * (ji.toDouble / math.max(1.0, factSize.toDouble))
+        }
+        Some(math.round(j))
+      }
+    }
+  }
 
   /** The salted-plan gate: a single-table GROUP BY whose grouping
     * column has catalog skew stats above the threshold re-plans via

@@ -53,7 +53,7 @@ object Aqp {
     // long-lived multi-session processes don't retain dead engines,
     // their catalogs, or the one-shot sample/histogram build markers
     Seq(engines, stratified, histograms, groupedHistograms, cmsSketches,
-        compositeHists, detEngines, uniEngines, uniSamples)
+        compositeHists, joinEngines, detEngines, uniEngines, uniSamples)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -81,6 +81,26 @@ object Aqp {
       // 100.0, the constants the q79 oracle hardcodes.
       e.catalog.upsertTableStats("lineitem", 6000000L)
       e.catalog.upsertTableStats("orders", 1500000L)
+      e
+    })
+  }
+
+  // q93's engine is separate too: the shared engine's catalog gets its
+  // orders rowcount FORCED by q30's stratified setup (20k at small
+  // SFs), which would read the composite AGMS sketches as stale and
+  // silently flip q93 back to exact. A dedicated catalog keeps live
+  // stats and sketch rowcounts agreeing.
+  private val joinEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private def joinEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    joinEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-join").toString))
+      graft.sketch.SketchOps.createAgms(s, e.catalog, "orders",
+        Seq("o_orderkey", "o_orderstatus"), 1024)
+      graft.sketch.SketchOps.createAgms(s, e.catalog, "lineitem",
+        Seq("l_orderkey", "l_linestatus"), 1024)
       e
     })
   }
@@ -533,6 +553,30 @@ object Aqp {
           "FROM lineitem GROUP BY l_returnflag, l_linestatus")
       r.df.withColumn("plan_type", lit(r.planType))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Composite-key automatic join AQP end-to-end: `ON o_orderkey =
+    // l_orderkey AND o_orderstatus = l_linestatus` is costed from
+    // stored AGMS sketches over the COMPOSITE key (components hashed
+    // as one tuple; the sketches are looked up under the comma-joined
+    // key name) — the decision engages with no flag, the fact side is
+    // sampled by the deterministic 'sys:' keyed-hash lottery (tier
+    // 0.02 -> threshold 200, weight exactly 50.0 — q77's constants)
+    // and the dim stays exact, so DuckDB re-derives the estimates
+    // bit-for-bit with the composite join condition applied to the
+    // same membership.
+    "q93_composite_join_aqp" -> ((s, dir) => {
+      val e = joinEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(l_quantity) AS qty_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "AND o_orderstatus = l_linestatus",
+        e.Options(maxRelError = 0.1, systematicKey = Some("l_orderkey"),
+          ciColumns = false))
+      assert(r.strategy == "sample_join" && r.reason.contains("AGMS"),
+        s"q93 must take the automatic composite-key join AQP path: " +
+          s"${r.strategy} (${r.reason})")
+      r.df
     }),
 
     // Count-Min IN-list point frequency end-to-end: `count(*) WHERE
@@ -1240,6 +1284,19 @@ object Aqp {
            count(o_totalprice) AS nv, count(*) AS nr,
            'sketch' AS plan_type
          FROM orders WHERE o_orderstatus IN ('F', 'P')""",
+    // q93: q77's membership ('sys:' lottery, threshold 200, weight
+    // 50.0) with the COMPOSITE join condition — the AGMS sketches only
+    // drive the plan decision (gated by the in-query assert); the
+    // served values are fixed-association HT arithmetic DuckDB
+    // re-derives exactly.
+    "q93_composite_join_aqp" ->
+      s"""WITH k AS (SELECT CAST(l_quantity AS BIGINT) AS x
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              AND o_orderstatus = l_linestatus
+            WHERE ${graft.queries.Dedup.h60Duck("'sys:' || CAST(l_orderkey AS VARCHAR)")} % 10000 < 200)
+          SELECT CAST(count(*) AS DOUBLE) * 50.0 AS n_est,
+            CAST(sum(x) AS DOUBLE) * 50.0 AS qty_est
+          FROM k""",
     // q92: exact per-(flag, status) statistics — the q86 recipe over a
     // composite GROUP BY. plan_type 'sketch' gates that the engine
     // really served from the composite blob.

@@ -351,12 +351,28 @@ object SketchOps {
     * AQP automatically. Returns (serialized size, rows seen).
     */
   def createAgms(spark: SparkSession, catalog: MetaCatalog, table: String,
-      key: String, buckets: Int = 1024): (Int, Long) = {
+      key: String, buckets: Int = 1024): (Int, Long) =
+    createAgms(spark, catalog, table, Seq(key), buckets)
+
+  /** Composite-key variant: the hashed value is the components joined
+    * by a  separator (`concat` returns NULL on any NULL
+    * component, so rows whose key can never equi-join are excluded
+    * from the counters, matching join semantics). Stored under the
+    * comma-joined column list; two tables sketched over value-equal
+    * composite keys hash identically, so the dot-product estimate
+    * works unchanged.
+    */
+  def createAgms(spark: SparkSession, catalog: MetaCatalog, table: String,
+      keys: Seq[String], buckets: Int): (Int, Long) = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(keys.nonEmpty, "at least one key column required")
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{count, expr, sum}
+    val key = keys.mkString(",")
+    val keyExpr = keys.map(k => s"cast($k as string)")
+      .mkString("concat('js:', ", ", '\\u0001', ", ")")
     val rows = spark.table(table)
-      .select(expr(s"graft_h60(concat('js:', cast($key as string)))").as("h"))
+      .select(expr(s"graft_h60($keyExpr)").as("h"))
       .select(expr(s"cast(h % ${buckets}L as int)").as("bucket"),
         expr(s"case when (h div ${buckets}L) % 2 = 0 then 1L else -1L end").as("sgn"))
       .groupBy(col("bucket")).agg(sum(col("sgn")).as("c"), count(lit(1)).as("n"))

@@ -716,6 +716,55 @@ class QueryEngineSpec extends SparkSpec {
       s"${r5.strategy}: ${r5.reason}")
   }
 
+  test("composite-key and star joins participate in the automatic costed decision") {
+    // composite equi-key: single-column AGMS evidence (created by the
+    // previous test) does NOT cover ON k1 = k1 AND k2 = k2 — the
+    // lookup is by the comma-joined composite key name
+    val sqlC = "SELECT count(*) AS n FROM orders JOIN lineitem " +
+      "ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus"
+    val r0 = engine.query(sqlC, engine.Options(maxRelError = 0.1))
+    assert(r0.planType == "exact", s"${r0.planType}: ${r0.reason}")
+    graft.sketch.SketchOps.createAgms(spark, catalog, "orders",
+      Seq("o_orderkey", "o_orderstatus"), 1024)
+    graft.sketch.SketchOps.createAgms(spark, catalog, "lineitem",
+      Seq("l_orderkey", "l_linestatus"), 1024)
+    val r = engine.query(sqlC, engine.Options(maxRelError = 0.1))
+    assert(r.strategy == "sample_join" && r.reason.contains("AGMS"),
+      s"${r.strategy}: ${r.reason}")
+    val est = r.df.collect().head.getAs[Any]("n")
+      .asInstanceOf[Number].doubleValue()
+    val truth = spark.sql(sqlC.replace(" AS n", ""))
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(est - truth) / truth < 0.4, s"est=$est truth=$truth")
+
+    // star: fact + two dims, each on its own key — the estimated
+    // output composes the pairwise AGMS estimates under independence
+    // (J = |F| * prod(Ji/|F|)); the fact is sampled, BOTH dims stay
+    // exact
+    graft.sketch.SketchOps.createAgms(spark, catalog, "lineitem", "l_partkey")
+    graft.sketch.SketchOps.createAgms(spark, catalog, "part", "p_partkey")
+    val sqlS = "SELECT count(*) AS n FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN part ON l_partkey = p_partkey"
+    val rs = engine.query(sqlS, engine.Options(maxRelError = 0.1))
+    assert(rs.strategy == "sample_join" && rs.reason.contains("AGMS"),
+      s"${rs.strategy}: ${rs.reason}")
+    val estS = rs.df.collect().head.getAs[Any]("n")
+      .asInstanceOf[Number].doubleValue()
+    val truthS = spark.sql(sqlS.replace(" AS n", ""))
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(estS - truthS) / truthS < 0.4, s"est=$estS truth=$truthS")
+
+    // a dim-dim join (not a star on the fact) still refuses: the
+    // chain orders->customer key resolves on neither side of the fact
+    val rc = engine.query(
+      "SELECT count(*) AS n FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey",
+      engine.Options(maxRelError = 0.1))
+    assert(rc.planType == "exact", s"${rc.planType}: ${rc.reason}")
+  }
+
   test("universe (both-side) join sampling is chosen when both tables are big") {
     val sql = "SELECT count(*) AS n " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
