@@ -738,6 +738,13 @@ final class QueryEngine(
     * stats there is no evidence of staleness and the sketch serves
     * (the reference's ignore-staleness policy, SURVEY §7.4 — kept as
     * the default, tightened where the evidence exists).
+    *
+    * ROWCOUNT EQUALITY IS THE STALENESS CONTRACT: an in-place rewrite
+    * that preserves the rowcount is NOT detected — the engine reads
+    * registered views whose backing storage it cannot fingerprint
+    * generically (temp views have no files). Operators who rewrite in
+    * place must rebuild the affected sketches (or bump table stats) as
+    * part of the rewrite.
     */
   private val sketchRowsRe = """"rows"\s*:\s*(\d+)""".r
   private def sketchIsFresh(table: String, s: catalog.SketchInfo): Boolean =
