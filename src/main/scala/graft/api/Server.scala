@@ -282,8 +282,13 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                 if (buckets < 1 || buckets > 1000000)
                   (400, err(s"buckets must be in [1, 1000000], got $buckets"))
                 else {
+                  // "k1,k2" builds a COMPOSITE-key sketch (the tuple
+                  // hashes as one value; QueryEngine.joinKeyPairs
+                  // looks composite conditions up by this name)
+                  val keyCols = c.split(",").map(_.trim)
+                    .filter(_.nonEmpty).toSeq
                   val (size, rows) = SketchOps.createAgms(spark,
-                    engine.catalog, table, c, buckets)
+                    engine.catalog, table, keyCols, buckets)
                   (200, s"""{"status": "ok", "sketch_type": "agms", "size_bytes": $size, "rows": $rows}""")
                 }
             }

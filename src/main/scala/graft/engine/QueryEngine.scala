@@ -1295,9 +1295,11 @@ final class QueryEngine(
   }
 
   /** If the query is `SELECT <aggs> FROM table WHERE g = lit` (or
-    * `g IN (lits)`) with a single predicate whose column is the
-    * group_by of fresh stored GROUPED sketches, dispatch to the
-    * group(s) the literals name — catalog-level partition pruning.
+    * `g IN (lits)`, or a CONJUNCTION `a = lit AND b = lit` over
+    * distinct columns — a point lookup of one COMPOSITE group) whose
+    * predicate column set is the group-by set of fresh stored GROUPED
+    * sketches, dispatch to the group(s) the literals name —
+    * catalog-level partition pruning.
     * Statistics (MIN/MAX/COUNT/SUM/AVG from the stats_grouped blob)
     * serve EXACTLY, and IN-lists merge the named groups' records
     * exactly (min/max monotone, counts and the unscaled decimal sum
@@ -1338,36 +1340,72 @@ final class QueryEngine(
     parsed match {
       case Project(outs, Filter(cond, r: UnresolvedRelation))
           if r.multipartIdentifier.last.equalsIgnoreCase(table) && outs.nonEmpty =>
-        val colKeys = cond match {
-          case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-            litKey(a.nameParts.last, l).map(k => (a.nameParts.last, Seq(k)))
-          case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-            litKey(a.nameParts.last, l).map(k => (a.nameParts.last, Seq(k)))
-          case In(a: UnresolvedAttribute, lits)
-              if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
-            val ks = lits.map(l => litKey(a.nameParts.last, l.asInstanceOf[Literal]))
-            if (ks.exists(_.isEmpty)) None
-            else Some((a.nameParts.last, ks.flatten.distinct))
-          case _ => None
-        }
-        val (gName, keys) = colKeys.getOrElse(return None)
-        def grouped(c: String, tpe: String)
-            : Option[Seq[(Option[String], Array[Byte])]] =
-          catalog.getSketch(table, c, tpe)
-            .filter(sketchIsFresh(table, _))
-            .filter(s => groupByParamRe.findFirstMatchIn(s.parameters)
-              .exists(_.group(1).equalsIgnoreCase(gName)))
-            .map(s => graft.sketch.GroupedHll.unpack(s.data))
+        // Served predicate shapes: ONE column under = / IN (several
+        // named groups merge), or a CONJUNCTION of equalities on
+        // DISTINCT columns — a point lookup of exactly one COMPOSITE
+        // group (`WHERE a = 'x' AND b = 'y'` against a sketch built
+        // with group_by "a,b"). Selection compares DECODED component
+        // tuples against the typed literal renderings — never a
+        // string-encoding round-trip, so to_json escaping can't drift.
+        def conjEqs(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
+              conjEqs(l) ++ conjEqs(rr)
+            case x => Seq(x)
+          }
+        val colKeys: Option[(Seq[String], Seq[Seq[Option[String]]])] =
+          cond match {
+            case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+              litKey(a.nameParts.last, l)
+                .map(k => (Seq(a.nameParts.last), Seq(Seq(Some(k)))))
+            case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+              litKey(a.nameParts.last, l)
+                .map(k => (Seq(a.nameParts.last), Seq(Seq(Some(k)))))
+            case In(a: UnresolvedAttribute, lits)
+                if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+              val ks = lits.map(l =>
+                litKey(a.nameParts.last, l.asInstanceOf[Literal]))
+              if (ks.exists(_.isEmpty)) None
+              else Some((Seq(a.nameParts.last),
+                ks.flatten.distinct.map(k => Seq(Some(k)))))
+            case andExpr: org.apache.spark.sql.catalyst.expressions.And =>
+              val eqs = conjEqs(andExpr).map {
+                case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+                  litKey(a.nameParts.last, l).map((a.nameParts.last, _))
+                case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+                  litKey(a.nameParts.last, l).map((a.nameParts.last, _))
+                case _ => None
+              }
+              if (eqs.exists(_.isEmpty)) None
+              else {
+                val es = eqs.flatten
+                val cols = es.map(_._1)
+                if (cols.map(_.toLowerCase).distinct.sizeIs != cols.size)
+                  None // a column equated twice: not a group lookup
+                else Some((cols, Seq(es.map(e => Some(e._2)))))
+              }
+            case _ => None
+          }
+        val (predCols, selKeys) = colKeys.getOrElse(return None)
+        // payloads of the selected group(s) from a fresh sketch whose
+        // group-by column set equals the predicate's (groupedBlobFor:
+        // components permuted into predicate order); None = no usable
+        // sketch, empty = literals naming no recorded group
+        def matchedPayloads(c: String, tpe: String)
+            : Option[Seq[Array[Byte]]] =
+          groupedBlobFor(table, c, tpe, predCols).map { entries =>
+            val m = entries.toMap
+            selKeys.flatMap(m.get)
+          }
         val emptyStat =
           graft.sketch.GroupedStats.Stat(None, None, 0L, 0L, BigInt(0))
         // exact merge of the named groups' stat records (missing
         // groups contribute the empty record); None = no usable sketch
         def statFor(c: String): Option[graft.sketch.GroupedStats.Stat] =
-          grouped(c, "stats_grouped").map { gs =>
-            gs.collect {
-              case (Some(k), b) if keys.contains(k) =>
-                graft.sketch.GroupedStats.decode(b)
-            }.foldLeft(emptyStat)(graft.sketch.GroupedStats.merge)
+          matchedPayloads(c, "stats_grouped").map {
+            _.map(graft.sketch.GroupedStats.decode)
+              .foldLeft(emptyStat)(graft.sketch.GroupedStats.merge)
           }
         var statsRows: Option[Long] = None // rows of the named group(s)
         val classified: Seq[Option[Part]] = outs.map {
@@ -1378,11 +1416,8 @@ final class QueryEngine(
                 f.arguments.head.isInstanceOf[UnresolvedAttribute] =>
             val c = f.arguments.head
               .asInstanceOf[UnresolvedAttribute].nameParts.last
-            grouped(c, "hll_grouped").map { hs =>
-              val matched = hs.collect {
-                case (Some(k), b) if keys.contains(k) =>
-                  graft.sketch.Hll.deserialize(b)
-              }
+            matchedPayloads(c, "hll_grouped").map { ps =>
+              val matched = ps.map(graft.sketch.Hll.deserialize)
               if (matched.isEmpty) DistinctPart(name, 0L, 0.0)
               else {
                 val merged = matched.reduce(_ merge _)
@@ -1408,27 +1443,23 @@ final class QueryEngine(
                   }
               case ("percentile" | "percentile_approx" | "approx_percentile",
                   Seq(a: UnresolvedAttribute, l: Literal))
-                  if keys.sizeIs == 1 =>
+                  if selKeys.sizeIs == 1 =>
                 for {
                   p <- litDouble(l)
-                  hs <- grouped(a.nameParts.last, "histogram_grouped")
+                  ps <- matchedPayloads(a.nameParts.last, "histogram_grouped")
                 } yield {
-                  val h = hs.collectFirst {
-                    // empty payload = all-NULL group: NULL percentile
-                    case (Some(k), b) if k == keys.head && b.nonEmpty =>
-                      graft.sketch.Histogram.deserialize(b)
-                  }
+                  // empty payload = all-NULL group: NULL percentile
+                  val h = ps.headOption.filter(_.nonEmpty)
+                    .map(graft.sketch.Histogram.deserialize)
                   PctPart(name, h.map(_.percentile(p)),
                     h.map(x => 1.0 / x.buckets).getOrElse(0.0))
                 }
               case ("median", Seq(a: UnresolvedAttribute))
-                  if keys.sizeIs == 1 =>
-                grouped(a.nameParts.last, "histogram_grouped").map { hs =>
-                  val h = hs.collectFirst {
-                    // empty payload = all-NULL group: NULL percentile
-                    case (Some(k), b) if k == keys.head && b.nonEmpty =>
-                      graft.sketch.Histogram.deserialize(b)
-                  }
+                  if selKeys.sizeIs == 1 =>
+                matchedPayloads(a.nameParts.last, "histogram_grouped").map { ps =>
+                  // empty payload = all-NULL group: NULL percentile
+                  val h = ps.headOption.filter(_.nonEmpty)
+                    .map(graft.sketch.Histogram.deserialize)
                   PctPart(name, h.map(_.percentile(0.5)),
                     h.map(x => 1.0 / x.buckets).getOrElse(0.0))
                 }
@@ -1781,7 +1812,30 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, In, Literal, NamedExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
     import graft.learn.SketchAdvisor.Candidate
-    if (!features.isSingleTable) return Nil
+    if (!features.isSingleTable) {
+      // join-AQP misses: an aggregate join that ran WITHOUT the
+      // sampled path (the finish gate skips sample_join/universe
+      // serves) becomes automatically costed once fresh AGMS pairs
+      // exist over its equi-keys — so each side's (table, key) is a
+      // sketchable candidate. The hub (fact) is found by attribution:
+      // only the table every join resolves against yields key pairs.
+      if (features.tables.sizeIs < 2 || !features.hasApproximableAgg ||
+          features.hasDistinct) return Nil
+      return try {
+        val ts = features.tables
+        ts.iterator
+          .map(f => joinKeyPairs(parsed, ts, f).map(f -> _))
+          .collectFirst { case Some(v) => v }
+          .map { case (fact, pairs) =>
+            (pairs.map { case (fks, _, _) =>
+              Candidate(fact, agmsKeyName(fks), "agms", None)
+            } ++ pairs.map { case (_, dks, dim) =>
+              Candidate(dim, agmsKeyName(dks), "agms", None)
+            }).distinct
+          }
+          .getOrElse(Nil)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
     val table = features.tableName.getOrElse(return Nil)
     def rel(r: UnresolvedRelation): Boolean =
       r.multipartIdentifier.last.equalsIgnoreCase(table)
@@ -1886,8 +1940,11 @@ final class QueryEngine(
     // sketch is a miss (the query paid a scan/sample the catalog could
     // have absorbed); only genuine catalog serves are not misses. The
     // gate is servedFromCatalog, NOT planType: the HLL++ fallback also
-    // labels itself "sketch" but scans the table.
-    if (!r.servedFromCatalog)
+    // labels itself "sketch" but scans the table. Join-AQP serves
+    // (sample_join/universe — AGMS evidence already paid off) are not
+    // misses either.
+    if (!r.servedFromCatalog && r.strategy != "sample_join" &&
+        r.strategy != "sample_universe")
       parsedCached(sql).foreach { case (p, _) =>
         sketchAdvisor.observe(sketchCandidates(p, features))
       }

@@ -37,6 +37,14 @@ object SketchAdvisor {
       s"SketchOps.createGroupedHll(spark, catalog, ${c.table}, $g, ${c.column})"
     case ("histogram_grouped", Some(g)) =>
       s"SketchOps.createGroupedHistogram(spark, catalog, ${c.table}, $g, ${c.column})"
+    case ("agms", _) =>
+      // composite keys render as the Seq the builder takes; the column
+      // field carries the comma-joined catalog name either way
+      val key =
+        if (c.column.contains(","))
+          c.column.split(",").map(k => s""""$k"""").mkString("Seq(", ", ", ")")
+        else c.column
+      s"SketchOps.createAgms(spark, catalog, ${c.table}, $key)"
     case _ => s"unknown sketch type ${c.sketchType}"
   }
 }

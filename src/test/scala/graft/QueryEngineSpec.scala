@@ -432,6 +432,38 @@ class QueryEngineSpec extends SparkSpec {
         "FROM lineitem GROUP BY l_returnflag, l_linestatus, l_shipdate")
     assert(!rSup.transformations.exists(_.contains("build statistics")),
       rSup.transformations)
+    // composite POINT LOOKUP: a conjunction of equalities over the
+    // sketch's key set (any order) dispatches to the one named group
+    val rf = engine.query(
+      "SELECT sum(l_quantity) AS sm, count(*) AS nr, " +
+        "count(DISTINCT l_orderkey) AS nd " +
+        "FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag = 'A'")
+    assert(rf.transformations.exists(_.contains("group-pruned")),
+      rf.transformations)
+    val frow = rf.df.collect().head
+    val fex = spark.sql(
+      "SELECT cast(sum(cast(l_quantity as decimal(18,4))) as double), " +
+        "count(*), count(DISTINCT l_orderkey) FROM lineitem " +
+        "WHERE l_linestatus = 'F' AND l_returnflag = 'A'").collect().head
+    assert(frow.getDouble(0) == fex.getDouble(0))
+    assert(frow.getLong(1) == fex.getLong(1))
+    assert(math.abs(frow.getLong(2) - fex.getLong(2).toDouble) /
+      fex.getLong(2) < 0.1, s"${frow.getLong(2)} vs ${fex.getLong(2)}")
+    // literals naming no recorded composite group: the exact empty
+    // aggregate
+    val rz = engine.query(
+      "SELECT count(l_quantity) AS nv, sum(l_quantity) AS sm " +
+        "FROM lineitem WHERE l_returnflag = 'Z' AND l_linestatus = 'F'")
+    assert(rz.transformations.exists(_.contains("group-pruned")),
+      rz.transformations)
+    val zrow = rz.df.collect().head
+    assert(zrow.getLong(0) == 0L && zrow.isNullAt(1), zrow.toString)
+    // a conjunction mixing IN refuses (not a single-group lookup)
+    val rm = engine.query(
+      "SELECT sum(l_quantity) AS sm FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'R') AND l_linestatus = 'F'")
+    assert(!rm.transformations.exists(_.contains("group-pruned")),
+      rm.transformations)
   }
 
   test("type-mismatched filter literals refuse catalog serves (typedLitKey)") {
@@ -561,6 +593,36 @@ class QueryEngineSpec extends SparkSpec {
     assert(after.exists(_.candidate.sketchType == "cms"), after) // not built
     assert(eng.query(pctSql).planType == "sketch")
     assert(eng.query(hllSql).planType == "sketch")
+  }
+
+  test("advisor recommends AGMS pairs for repeated exact joins; builds flip the decision") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-advise-join").toString)
+    val eng = new QueryEngine(spark, cat)
+    val sql = "SELECT count(*) AS n " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    (1 to 3).foreach { _ =>
+      val r = eng.query(sql, eng.Options(maxRelError = 0.1))
+      assert(r.planType == "exact", s"${r.planType}: ${r.reason}")
+    }
+    val advice = eng.adviseSketches()
+    def agmsFor(t: String, c: String) = advice.find(a =>
+      a.candidate.table == t && a.candidate.column == c &&
+        a.candidate.sketchType == "agms")
+    assert(agmsFor("lineitem", "l_orderkey").isDefined, advice.toString)
+    assert(agmsFor("orders", "o_orderkey").isDefined, advice.toString)
+    assert(agmsFor("lineitem", "l_orderkey").get.build.contains("createAgms"))
+    // running the recommended builds retires the advice...
+    graft.sketch.SketchOps.createAgms(spark, cat, "orders", "o_orderkey")
+    graft.sketch.SketchOps.createAgms(spark, cat, "lineitem", "l_orderkey")
+    assert(!eng.adviseSketches().exists(_.candidate.sketchType == "agms"),
+      eng.adviseSketches().toString)
+    // ...and the same query flips to the automatic costed join AQP
+    val r = eng.query(sql, eng.Options(maxRelError = 0.1))
+    assert(r.strategy == "sample_join" && r.reason.contains("AGMS"),
+      s"${r.strategy}: ${r.reason}")
+    // a SERVED join is not a miss: the advice stays retired
+    assert(!eng.adviseSketches().exists(_.candidate.sketchType == "agms"))
   }
 
   test("measureExact closes the learning loop") {
