@@ -483,8 +483,11 @@ final class QueryEngine(
     // itself under ONE 1/p HT scale, and both scans shrink to ~p.
     // Deterministic membership keeps it oracle-checkable (q79).
     if (sizes.sizeIs == 2 && sizes.forall(_._2 >= UniverseMinRows)) {
-      joinKeyPair(parsed, sizes.map(_._1), fact) match {
-        case Some((factKey, dimKey, dim))
+      // composite equi-keys hash as one tuple on both sides — the
+      // lottery stays join-compatible (joinKeyPairs yields exactly one
+      // aligned key pair for the two-table shape)
+      joinKeyPairs(parsed, sizes.map(_._1), fact) match {
+        case Some(Seq((factKey, dimKey, dim)))
             if !dim.contains(".") && parsed.collect {
               case r: UnresolvedRelation
                   if r.multipartIdentifier.last.equalsIgnoreCase(dim) => r
@@ -495,8 +498,8 @@ final class QueryEngine(
           // query — the serving shape at 100 TB. Falls back to the
           // inline both-sides filter when no matching pair exists.
           val matPair = for {
-            a <- catalog.universeSampleFor(fact, factKey)
-            b <- catalog.universeSampleFor(dim, dimKey)
+            a <- catalog.universeSampleFor(fact, agmsKeyName(factKey))
+            b <- catalog.universeSampleFor(dim, agmsKeyName(dimKey))
             if a.fraction == b.fraction
             if math.sqrt(1.0 / math.max(1.0, a.fraction * nEff)) <=
               opts.maxRelError * (1 + 1e-9)
@@ -656,17 +659,6 @@ final class QueryEngine(
     if (resolved.map(_._3).distinct.sizeIs != dims.size) return None
     Some(resolved)
   }
-
-  /** Single-dim convenience over joinKeyPairs (the universe-sampling
-    * shape: exactly two tables, one single-column equi-key).
-    */
-  private def joinKeyPair(
-      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      tables: Seq[String], fact: String): Option[(String, String, String)] =
-    joinKeyPairs(parsed, tables, fact) match {
-      case Some(Seq((Seq(fk), Seq(dk), dim))) => Some((fk, dk, dim))
-      case _                                  => None
-    }
 
   /** The catalog name an AGMS sketch over a (possibly composite) key
     * is stored under — single keys keep the bare column name,

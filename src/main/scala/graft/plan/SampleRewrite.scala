@@ -249,7 +249,18 @@ object SampleRewrite {
     * `keys`: relation name (matched on the LAST name part, like
     * rewriteRelation) -> its join-key column.
     */
-  def rewriteUniverse(plan: LogicalPlan, keys: Map[String, String],
+  /** The shared 'uv:' lottery hash input for a (possibly composite)
+    * join key: components joined by a  separator — `concat`
+    * returns NULL on any NULL component, and a NULL hash never wins
+    * the lottery, matching equi-join semantics (NULL keys never join).
+    * Two tables hashing value-equal tuples draw identical lottery
+    * numbers, which is what makes universe membership join-compatible.
+    */
+  def universeKeyExpr(keys: Seq[String]): String =
+    keys.map(k => s"cast($k as string)")
+      .mkString("concat('uv:', ", ", '\\u0001', ", ")")
+
+  def rewriteUniverse(plan: LogicalPlan, keys: Map[String, Seq[String]],
       fraction: Double, addCiColumns: Boolean,
       ciZ: Double = 1.96): LogicalPlan = {
     val threshold = math.max(1, math.round(fraction * 10000).toInt)
@@ -260,7 +271,7 @@ object SampleRewrite {
         val key = keys.find(_._1.equalsIgnoreCase(r.multipartIdentifier.last)).get._2
         Filter(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseExpression(
-            s"graft_h60(concat('uv:', cast($key as string))) % 10000 < $threshold"),
+            s"graft_h60(${universeKeyExpr(key)}) % 10000 < $threshold"),
           r)
     }
     val d = Directive("", Planner.ReadExact,

@@ -230,17 +230,27 @@ object Samplers {
     * (it is key-clustered, not row-uniform).
     */
   def createUniverse(spark: SparkSession, catalog: MetaCatalog,
-      table: String, key: String, fraction: Double): (String, Long) = {
+      table: String, key: String, fraction: Double): (String, Long) =
+    createUniverse(spark, catalog, table, Seq(key), fraction)
+
+  /** Composite-key variant: the lottery hashes the key tuple
+    * (SampleRewrite.universeKeyExpr — same rendering the inline filter
+    * uses, so materialized membership is identical); registered under
+    * the comma-joined key name the engine's lookup uses.
+    */
+  def createUniverse(spark: SparkSession, catalog: MetaCatalog,
+      table: String, keys: Seq[String], fraction: Double): (String, Long) = {
     require(fraction > 0 && fraction < 1, "fraction must be in (0,1)")
+    require(keys.nonEmpty, "at least one key column required")
     graft.functions.GraftFunctions.register(spark)
     val threshold = math.max(1, math.round(fraction * 10000).toInt)
     val p = threshold / 10000.0
-    val name = s"${table}__uni_${key}_${SampleNaming.encodeFraction(p)}"
+    val name = s"${table}__uni_${keys.mkString("_")}_${SampleNaming.encodeFraction(p)}"
     val path = s"${catalog.samplesDir}/$name"
     val df = spark.table(table)
     val base = df.count()
     df.filter(expr(
-        s"graft_h60(concat('uv:', cast($key as string))) % 10000 < $threshold"))
+        s"graft_h60(${graft.plan.SampleRewrite.universeKeyExpr(keys)}) % 10000 < $threshold"))
       .coalesce(sampleFiles(base * p))
       .write.mode("overwrite").parquet(path)
     val sampleDf = spark.read.parquet(path).cache()
@@ -248,7 +258,7 @@ object Samplers {
     val rows = sampleDf.count()
     catalog.upsertTableStats(table, base)
     catalog.addSample(catalog.SampleInfo(table, name, p,
-      Some(s"__universe__$key"), path, System.currentTimeMillis(),
+      Some(s"__universe__${keys.mkString(",")}"), path, System.currentTimeMillis(),
       baseRows = Some(base)))
     (name, rows)
   }

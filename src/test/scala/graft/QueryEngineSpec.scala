@@ -889,6 +889,55 @@ class QueryEngineSpec extends SparkSpec {
     }
   }
 
+  test("universe sampling handles composite equi-keys (tuple lottery on both sides)") {
+    val sql = "SELECT count(*) AS n FROM orders JOIN lineitem " +
+      "ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus"
+    val nO = spark.table("orders").count()
+    val nL = spark.table("lineitem").count()
+    catalog.upsertTableStats("orders", 2000000L)
+    catalog.upsertTableStats("lineitem", 8000000L)
+    try {
+      val r = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r.strategy == "sample_universe", s"${r.strategy}: ${r.reason}")
+      // BOTH scans carry the tuple lottery (one hash over the
+      // separator-joined components per side)
+      val lotteries = r.df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.sql.contains("graft_h60") => f
+      }
+      assert(lotteries.size == 2, r.df.queryExecution.optimizedPlan.toString)
+      val est = r.df.collect().head.getAs[Any]("n")
+        .asInstanceOf[Number].doubleValue()
+      val truth = spark.sql(sql.replace(" AS n", ""))
+        .collect().head.getLong(0).toDouble
+      assert(est % 100.0 == 0.0, est.toString)
+      assert(est > 0.1 * truth && est < 10 * truth, s"est=$est truth=$truth")
+
+      // a materialized composite pair serves the IDENTICAL estimate
+      Samplers.createUniverse(spark, catalog, "orders",
+        Seq("o_orderkey", "o_orderstatus"), 0.01)
+      Samplers.createUniverse(spark, catalog, "lineitem",
+        Seq("l_orderkey", "l_linestatus"), 0.01)
+      catalog.upsertTableStats("orders", 2000000L)
+      catalog.upsertTableStats("lineitem", 8000000L)
+      catalog.refreshSampleBase("orders")
+      catalog.refreshSampleBase("lineitem")
+      val rm = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(rm.strategy == "sample_universe" &&
+        rm.reason.contains("materialized universe"), rm.reason)
+      val estM = rm.df.collect().head.getAs[Any]("n")
+        .asInstanceOf[Number].doubleValue()
+      assert(estM == est, s"materialized=$estM inline=$est")
+    } finally {
+      catalog.upsertTableStats("orders", nO)
+      catalog.upsertTableStats("lineitem", nL)
+      catalog.refreshSampleBase("orders")
+      catalog.refreshSampleBase("lineitem")
+    }
+  }
+
   test("stored histogram sketch answers percentile queries with no scan") {
     val h = graft.sketch.SketchOps.createHistogram(
       spark, catalog, "orders", "o_totalprice", 64)
