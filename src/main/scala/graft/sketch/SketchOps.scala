@@ -67,7 +67,7 @@ object SketchOps {
     * — Spark's own JSON escaping, computed distributed in the same
     * pass, decoded engine-side by `QueryEngine.decodeGroupKey`.
     */
-  private def groupKeyExpr(groupCols: Seq[String])
+  private[graft] def groupKeyExpr(groupCols: Seq[String])
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.expr
     if (groupCols.sizeIs == 1) col(groupCols.head).cast("string")

@@ -493,7 +493,23 @@ object EventStreams {
     */
   def maintainGroupedStatsSketch(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
-      valueCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      valueCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGroupedStatsSketch(values, catalog, table, Seq(groupCol),
+      valueCol)
+
+  /** Composite-key variant: per-(g1, g2, ...) records keyed by the
+    * same `to_json(array(...))` rendering the batch builder uses
+    * (SketchOps.groupKeyExpr), so the stream-built blob stays
+    * BYTE-equal to `createGroupedHistogram(table, groupCols, ...)`'s
+    * stats pass and the engine's composite GROUP BY / point-lookup
+    * serves answer from the LIVE blob.
+    */
+  def maintainGroupedStatsSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      groupCols: Seq[String], valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val groupCol = groupCols.mkString(",")
     val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
     values.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -505,7 +521,7 @@ object EventStreams {
         if (!alreadyMerged) {
           import org.apache.spark.sql.functions.{count, expr, lit, max, min}
           val rows = batch
-            .groupBy(col(groupCol).cast("string").as("g"))
+            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"))
             .agg(min(col(valueCol)).cast("double").as("lo"),
               max(col(valueCol)).cast("double").as("hi"),
               count(lit(1)).as("n"),

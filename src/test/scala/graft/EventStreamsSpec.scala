@@ -381,6 +381,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(in.getLong(1) == exact("g0").getLong(4) + exact("g2").getLong(4))
   }
 
+  test("stream-maintained COMPOSITE grouped stats byte-equal the batch build; composite serves go live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-cgstats").toString)
+    val stream = MemoryStream[(String, String, Long)]
+    val q = EventStreams.maintainGroupedStatsSketch(
+      stream.toDF().toDF("ga", "gb", "amount"), catalog, "sales_live_c",
+      Seq("ga", "gb"), "amount")
+    val data = (1L to 600L).map(i => (s"a${i % 2}", s"b${i % 3}", i * 7 % 500))
+    data.grouped(200).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // byte-equality law holds for composite keys too: the stream keys
+    // records with the same to_json tuple rendering the batch build uses
+    data.toDF("ga", "gb", "amount").createOrReplaceTempView("sales_live_c")
+    val catalog2 = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-batch-cgstats").toString)
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog2, "sales_live_c", Seq("ga", "gb"), "amount", 64)
+    val streamed = catalog.getSketch("sales_live_c", "amount", "stats_grouped")
+    val batch = catalog2.getSketch("sales_live_c", "amount", "stats_grouped")
+    assert(streamed.isDefined && batch.isDefined)
+    assert(streamed.get.data.sameElements(batch.get.data))
+    // composite GROUP BY and composite point lookup serve from the LIVE
+    // stream-built blob over an EMPTY backing view
+    val exact = spark.sql(
+      "SELECT ga, gb, cast(sum(cast(amount as decimal(18,4))) as double) sm, " +
+        "count(*) nr FROM sales_live_c GROUP BY ga, gb").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    spark.range(0)
+      .select(lit("x").as("ga"), lit("y").as("gb"),
+        col("id").cast("double").as("amount"))
+      .createOrReplaceTempView("sales_live_c")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT ga, gb, sum(amount) AS sm, count(*) AS nr " +
+        "FROM sales_live_c GROUP BY ga, gb")
+    assert(r.transformations.exists(_.contains("grouped build statistics")),
+      r.transformations)
+    val served = r.df.collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(served.keySet == exact.keySet, served.keySet.toString)
+    served.foreach { case (k, row) =>
+      assert(row.getDouble(2) == exact(k).getDouble(2), s"$k sum")
+      assert(row.getLong(3) == exact(k).getLong(3), s"$k count(*)")
+    }
+    val rp = engine.query(
+      "SELECT sum(amount) AS sm, count(*) AS nr FROM sales_live_c " +
+        "WHERE ga = 'a1' AND gb = 'b2'")
+    assert(rp.transformations.exists(_.contains("group-pruned")),
+      rp.transformations)
+    val p = rp.df.collect().head
+    assert(p.getDouble(0) == exact(("a1", "b2")).getDouble(2))
+    assert(p.getLong(1) == exact(("a1", "b2")).getLong(3))
+  }
+
   test("stream-maintained CMS equals the batch build; engine point-frequency goes live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
