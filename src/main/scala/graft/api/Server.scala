@@ -185,8 +185,10 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
         if (table.isEmpty || key.isEmpty || f <= 0 || f >= 1)
           (400, err("table, key_column and 0<sample_fraction<1 required"))
         else {
-          val (name, rows) = Samplers.createUniverse(
-            spark, engine.catalog, table, key, f)
+          // "k1,k2" builds a COMPOSITE-key universe sample (the tuple
+          // lottery the engine's composite join route looks up)
+          val (name, rows) = Samplers.createUniverse(spark, engine.catalog,
+            table, key.split(",").map(_.trim).filter(_.nonEmpty).toSeq, f)
           (200, s"""{"status": "ok", "sample_table": "$name", "rows": $rows, "key_column": ${jstr(key)}}""")
         }
     }
@@ -233,8 +235,10 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                 // global-only sketch store)
                 params("group_by").flatMap(_.str) match {
                   case Some(g) =>
+                    // "a,b" builds a COMPOSITE-key grouped sketch
                     val (size, groups) = SketchOps.createGroupedHll(
-                      spark, engine.catalog, table, g, c)
+                      spark, engine.catalog, table,
+                      g.split(",").map(_.trim).filter(_.nonEmpty).toSeq, c, 12)
                     (200, s"""{"status": "ok", "sketch_type": "hll_grouped", "size_bytes": $size, "groups": $groups}""")
                   case None =>
                     val (size, _) = SketchOps.createHll(spark, engine.catalog, table, c)
@@ -261,8 +265,11 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                   // [min,max] grid) — the engine then answers grouped
                   // percentile queries with no scan
                   case Some(g) =>
+                    // "a,b" builds a COMPOSITE-key grouped sketch
                     val (size, groups) = SketchOps.createGroupedHistogram(
-                      spark, engine.catalog, table, g, c, buckets)
+                      spark, engine.catalog, table,
+                      g.split(",").map(_.trim).filter(_.nonEmpty).toSeq, c,
+                      buckets)
                     (200, s"""{"status": "ok", "sketch_type": "histogram_grouped", "size_bytes": $size, "groups": $groups, "buckets": $buckets}""")
                   case None =>
                     val h = SketchOps.createHistogram(spark, engine.catalog,

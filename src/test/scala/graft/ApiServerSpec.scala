@@ -246,6 +246,22 @@ class ApiServerSpec extends SparkSpec {
     assert(http("GET", "/sketches")._1 == 400)
   }
 
+  test("composite group_by builds over the API and serves GROUP BY a, b") {
+    // "a,b" in parameters.group_by builds one record per (a, b) tuple;
+    // a composite GROUP BY then answers from the catalog with no scan
+    val (c1, b1) = http("POST", "/sketches/create", Some(
+      """{"table": "lineitem", "column": "l_quantity", "sketch_type": "histogram",
+         "parameters": {"buckets": 32, "group_by": "l_returnflag,l_linestatus"}}"""))
+    assert(c1 == 200, b1)
+    assert(parsed(b1)("sketch_type").flatMap(_.str)
+      .contains("histogram_grouped"), b1)
+    val (qc, qb) = http("POST", "/query", Some(
+      """{"sql": "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sm, count(*) AS nr FROM lineitem GROUP BY l_returnflag, l_linestatus"}"""))
+    assert(qc == 200, qb)
+    assert(parsed(qb)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("grouped build statistics")), qb.take(400))
+  }
+
   test("GET /sketches/advise closes the miss -> build -> serve loop") {
     // lineitem.l_suppkey is count-DISTINCTed by no other test in this
     // suite, so the advisor's miss counter for it is fully under our
