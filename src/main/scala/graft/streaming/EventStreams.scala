@@ -365,10 +365,23 @@ object EventStreams {
       catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
       valueCol: String, b: Int = 12)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGroupedHllSketch(values, catalog, table, Seq(groupCol),
+      valueCol, b)
+
+  /** Composite-key variant: per-(g1, g2, ...) HLLs keyed with the batch
+    * builder's to_json tuple rendering, so the engine's composite
+    * GROUP BY count(DISTINCT) serve answers from the LIVE blob.
+    */
+  def maintainGroupedHllSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      groupCols: Seq[String], valueCol: String, b: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val groupCol = groupCols.mkString(",")
     values.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch
-          .groupBy(col(groupCol).cast("string").as("g"))
+          .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"))
           .agg(graft.sketch.Hll.sketchAgg(col(valueCol).cast("string"), b)
             .as("s"))
           .limit(graft.sketch.SketchOps.MaxHllGroups + 1)
@@ -396,6 +409,7 @@ object EventStreams {
         ()
       }
       .start()
+  }
 
   /** Streaming GROUPED-histogram maintenance — the q84 strategy made
     * LIVE: each micro-batch folds per-(group, bucket) counts into the

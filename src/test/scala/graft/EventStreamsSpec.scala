@@ -438,6 +438,31 @@ class EventStreamsSpec extends SparkSpec {
     val p = rp.df.collect().head
     assert(p.getDouble(0) == exact(("a1", "b2")).getDouble(2))
     assert(p.getLong(1) == exact(("a1", "b2")).getLong(3))
+
+    // composite grouped HLL maintains live too: the stream-built blob
+    // serves per-(ga, gb) count(DISTINCT) with no scan
+    val hstream = MemoryStream[(String, String, Long)]
+    val qh = EventStreams.maintainGroupedHllSketch(
+      hstream.toDF().toDF("ga", "gb", "amount"), catalog, "sales_live_c",
+      Seq("ga", "gb"), "amount", 12)
+    hstream.addData(data)
+    qh.processAllAvailable()
+    qh.stop()
+    catalog.upsertTableStats("sales_live_c", 400000L)
+    val rd = engine.query(
+      "SELECT ga, gb, count(DISTINCT amount) AS nd " +
+        "FROM sales_live_c GROUP BY ga, gb")
+    assert(rd.transformations.exists(_.contains("grouped HyperLogLog")),
+      rd.transformations)
+    val exactD = data.groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => k -> vs.map(_._3).distinct.size }
+    val servedD = rd.df.collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(servedD.keySet == exactD.keySet, servedD.keySet.toString)
+    servedD.foreach { case (k, v) =>
+      assert(math.abs(v - exactD(k).toDouble) / exactD(k) < 0.15,
+        s"group $k: est=$v exact=${exactD(k)}")
+    }
   }
 
   test("stream-maintained CMS equals the batch build; engine point-frequency goes live") {
