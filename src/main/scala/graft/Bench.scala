@@ -145,6 +145,10 @@ object Bench {
         "l_extendedprice")
       graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
         "lineitem_x10", "l_returnflag", "l_extendedprice")
+      // composite key (round 9): per-(flag, status) stat records on a
+      // DIFFERENT value column so the single-key cases keep their plans
+      graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
+        "lineitem_x10", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -179,6 +183,13 @@ object Bench {
           "count(l_extendedprice) AS nv, count(*) AS nr, " +
           "percentile(l_extendedprice, 0.5) AS p50 " +
           "FROM lineitem_x10 WHERE l_returnflag = 'R'"),
+        // Composite-key grouped stats (round 9): the two-column
+        // data-card rollup answered EXACTLY from one composite blob
+        // (no scan) — the exact side pays a 6M-row two-key aggregate.
+        "composite_group" -> ("SELECT l_returnflag, l_linestatus, " +
+          "min(l_quantity) AS mn, max(l_quantity) AS mx, " +
+          "sum(l_quantity) AS sm, count(*) AS nr " +
+          "FROM lineitem_x10 GROUP BY l_returnflag, l_linestatus"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —
