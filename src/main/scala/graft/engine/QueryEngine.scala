@@ -1862,12 +1862,24 @@ final class QueryEngine(
         case _ => false
       }
     parsed match {
-      case Aggregate(Seq(g: UnresolvedAttribute), outs,
-          r: UnresolvedRelation, _) if rel(r) =>
-        outs.flatMap(classify(_, Some(g.nameParts.last))).distinct
+      // composite GROUP BYs advise composite-key grouped sketches (the
+      // comma-joined column list is the build recipe's group_by)
+      case Aggregate(gs, outs, r: UnresolvedRelation, _)
+          if rel(r) && gs.nonEmpty &&
+            gs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+        val g = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
+          .mkString(",")
+        outs.flatMap(classify(_, Some(g))).distinct
       case Project(outs, r: UnresolvedRelation) if rel(r) =>
         outs.flatMap(classify(_, None)).distinct
       case Project(outs, Filter(cond, r: UnresolvedRelation)) if rel(r) =>
+        def conj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
+              conj(l) ++ conj(rr)
+            case x => Seq(x)
+          }
         val gcol = cond match {
           case EqualTo(a: UnresolvedAttribute, _: Literal) =>
             Some(a.nameParts.last)
@@ -1876,16 +1888,32 @@ final class QueryEngine(
           case In(a: UnresolvedAttribute, ls)
               if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
             Some(a.nameParts.last)
+          // a conjunction of equalities over distinct columns is the
+          // composite point-lookup shape
+          case andExpr: org.apache.spark.sql.catalyst.expressions.And =>
+            val cols = conj(andExpr).map {
+              case EqualTo(a: UnresolvedAttribute, _: Literal) =>
+                Some(a.nameParts.last)
+              case EqualTo(_: Literal, a: UnresolvedAttribute) =>
+                Some(a.nameParts.last)
+              case _ => None
+            }
+            if (cols.exists(_.isEmpty) ||
+                cols.flatten.map(_.toLowerCase).distinct.sizeIs != cols.size)
+              None
+            else Some(cols.flatten.mkString(","))
           case _ => None
         }
         gcol match {
-          // a lone filtered COUNT(*) is the CMS point-frequency shape
-          case Some(g) if countStarOnly(outs) =>
+          // a lone filtered COUNT(*) on ONE column is the CMS
+          // point-frequency shape
+          case Some(g) if countStarOnly(outs) && !g.contains(",") =>
             Seq(Candidate(table, g, "cms", None))
           // anchored aggregates under the filter = the filtered-group
-          // dispatch shape (grouped blobs keyed by the filter column)
-          case Some(g) => outs.flatMap(classify(_, Some(g))).distinct
-          case None    => Nil
+          // dispatch shape (grouped blobs keyed by the filter columns)
+          case Some(g) if !countStarOnly(outs) =>
+            outs.flatMap(classify(_, Some(g))).distinct
+          case _ => Nil
         }
       case _ => Nil
     }
@@ -1913,8 +1941,11 @@ final class QueryEngine(
         catalog.getSketch(c.table, c.column, catalogType)
           .filter(sketchIsFresh(c.table, _))
           .exists(s => c.groupBy.forall(g =>
-            groupByParamRe.findFirstMatchIn(s.parameters)
-              .exists(_.group(1).equalsIgnoreCase(g))))
+            // SET comparison: a sketch built as "a,b" covers a miss
+            // recorded from a GROUP BY b, a (dispatch is set-equality)
+            groupByParamRe.findFirstMatchIn(s.parameters).exists(m =>
+              m.group(1).toLowerCase.split(",").map(_.trim).toSet ==
+                g.toLowerCase.split(",").map(_.trim).toSet)))
       }
       .map { case (c, n) =>
         SketchAdvisor.Advice(c, n, SketchAdvisor.buildRecipe(c))

@@ -593,6 +593,22 @@ class QueryEngineSpec extends SparkSpec {
     assert(after.exists(_.candidate.sketchType == "cms"), after) // not built
     assert(eng.query(pctSql).planType == "sketch")
     assert(eng.query(hllSql).planType == "sketch")
+
+    // composite GROUP BY misses advise composite grouped sketches, and
+    // a build in ANY column order retires them (set-equality coverage)
+    val cSql = "SELECT o_orderstatus, o_orderpriority, " +
+      "percentile(o_totalprice, 0.5) AS p50 " +
+      "FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    (1 to 3).foreach(_ => eng.query(cSql))
+    def hasComposite = eng.adviseSketches().exists(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.groupBy.contains("o_orderstatus,o_orderpriority"))
+    assert(hasComposite, eng.adviseSketches().toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat, "orders",
+      Seq("o_orderpriority", "o_orderstatus"), "o_totalprice", 64)
+    assert(!hasComposite, eng.adviseSketches().toString)
+    assert(eng.query(cSql).planType == "sketch",
+      eng.query(cSql).reason)
   }
 
   test("advisor recommends AGMS pairs for repeated exact joins; builds flip the decision") {
