@@ -620,15 +620,11 @@ final class QueryEngine(
     def cols(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
     val factCols = cols(fact)
     val dimCols = dims.map(d => d -> cols(d)).toMap
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x         => Seq(x)
-    }
     val perJoin = joins.map { j =>
       j.condition.flatMap { cond =>
         // every conjunct must be attr = attr between the fact and ONE
         // dim (the same dim across the join's conjuncts)
-        val pairs = conjuncts(cond).map {
+        val pairs = conjunctsOf(cond).map {
           case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
             val (a, b) = (x.nameParts.last, y.nameParts.last)
             dims.flatMap { d =>
@@ -649,7 +645,15 @@ final class QueryEngine(
           val ps = pairs.flatten
           val joinDims = ps.map(_._3).distinct
           if (joinDims.sizeIs != 1) None
-          else Some((ps.map(_._1), ps.map(_._2), joinDims.head))
+          else {
+            // CANONICAL pair order (sorted by fact key name): the
+            // ON-clause conjunct order must never change which
+            // composite sketch/sample is looked up — both sides of a
+            // pair stay aligned, only the pair sequence is normalized.
+            // Builders and advisor recipes use the same order.
+            val sorted = ps.sortBy(_._1.toLowerCase)
+            Some((sorted.map(_._1), sorted.map(_._2), joinDims.head))
+          }
         }
       }
     }
@@ -746,24 +750,58 @@ final class QueryEngine(
       case _                          => true
     }
 
-  /** Whether serving SUM/AVG of `column` from the given per-group stat
-    * records keeps the "exact, 0.0 error" label honest. Float/double
-    * columns always qualify: the stored sum is the repo's canonical
-    * decimal-portable sum (the only deterministic cross-engine
-    * rendering of a float sum), which is what exact execution through
-    * this engine's oracle protocol returns too. For integral/decimal
-    * columns the user's exact answer is an integer/decimal, so every
-    * served record's unscaled sum must round-trip through its double
-    * rendering (GroupedStats.Stat.sumExactDouble) — a group sum beyond
-    * 2^53 refuses and falls through to the scan path.
+  /** Whether serving aggregate `fn` of `column` from the given
+    * per-group stat records keeps the "exact, 0.0 error" label honest.
+    * COUNT always qualifies (nnull is an exact long regardless of the
+    * column type). Float/double columns always qualify: their stored
+    * min/max ARE the column's values and the stored sum is the repo's
+    * canonical decimal-portable sum (the only deterministic
+    * cross-engine rendering of a float sum) — what exact execution
+    * through this engine's oracle protocol returns too. Integral
+    * columns: min/max serve only while |value| < 2^53 (2^53+1 rounds
+    * to 2^53, so a stored double at or beyond the limit may have
+    * rounded), and the unscaled sum must round-trip through its double
+    * rendering (GroupedStats.Stat.sumExactDouble). Decimal columns:
+    * min/max refuse (a .05-style fraction has no exact double) and
+    * sums additionally require scale <= 4 (a wider scale was rounded
+    * per row by the builder's cast). Anything else refuses.
     */
-  private def sumServesExactly(table: String, column: String,
+  private def statFnServesExactly(table: String, column: String, fn: String,
       stats: Seq[graft.sketch.GroupedStats.Stat]): Boolean = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val isFloatCol = scala.util.Try(spark.table(table).schema
-        .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
-      .exists(t => t == FloatType || t == DoubleType)
-    isFloatCol || stats.forall(_.sumExactDouble)
+    import org.apache.spark.sql.types._
+    val dt = scala.util.Try(spark.table(table).schema
+      .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
+    fn match {
+      case "count" => true
+      case "min" | "max" => dt match {
+        case Some(FloatType | DoubleType) => true
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          val lim = 9007199254740992.0 // 2^53
+          stats.forall(st => (st.min ++ st.max).forall(v => math.abs(v) < lim))
+        case _ => false
+      }
+      case "sum" | "avg" | "mean" => dt match {
+        case Some(FloatType | DoubleType) => true
+        case Some(d: DecimalType) =>
+          d.scale <= 4 && stats.forall(_.sumExactDouble)
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          stats.forall(_.sumExactDouble)
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
+  /** Flatten a conjunction into its conjuncts (shared by the join-key
+    * extractor, the filtered-group predicate parser, and the advisor's
+    * shape classifier).
+    */
+  private def conjunctsOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
   }
 
   /** Literal → sketch-key rendering, gated on the filter column's
@@ -871,27 +909,28 @@ final class QueryEngine(
     // sx: build-time proof the recorded doubles round-trip the column's
     // exact values (SketchOps.createHistogram) — without it the "no
     // scan, exact" label would be a lie for bigints beyond 2^53 or wide
-    // decimals, so those serve from the scan path instead
+    // decimals. sx gates MIN/MAX/SUM/AVG; COUNT serves regardless (the
+    // recorded nnull/rows are exact longs whatever the column type).
     val sxRe = """"sx"\s*:\s*true""".r
-    case class Stats(min: Double, max: Double, nnull: Long, sum4: Double,
-        rows: Long)
+    case class Stats(min: Double, max: Double, nnull: Long,
+        sum4: Option[Double], rows: Long, sx: Boolean)
     def statsFor(c: String): Option[Stats] =
       catalog.getSketch(table, c, "histogram")
         .filter(sketchIsFresh(table, _))
-        .filter(s => sxRe.findFirstMatchIn(s.parameters).isDefined)
         .flatMap { s =>
           for {
             mn <- minRe.findFirstMatchIn(s.parameters)
             mx <- maxRe.findFirstMatchIn(s.parameters)
             nn <- nnullRe.findFirstMatchIn(s.parameters)
-            sm <- sum4Re.findFirstMatchIn(s.parameters)
             rw <- sketchRowsRe.findFirstMatchIn(s.parameters)
           } yield Stats(
             java.lang.Double.parseDouble(mn.group(1)),
             java.lang.Double.parseDouble(mx.group(1)),
             nn.group(1).toLong,
-            java.lang.Double.parseDouble(sm.group(1)),
-            rw.group(1).toLong)
+            sum4Re.findFirstMatchIn(s.parameters)
+              .map(m => java.lang.Double.parseDouble(m.group(1))),
+            rw.group(1).toLong,
+            sxRe.findFirstMatchIn(s.parameters).isDefined)
         }
     def isCountStar(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
       args match {
@@ -914,16 +953,22 @@ final class QueryEngine(
                 Some(None) // resolved later from any anchored sketch
               case (fn, Seq(a: UnresolvedAttribute))
                   if Set("min", "max", "count", "sum", "avg", "mean")(fn) =>
-                statsFor(a.nameParts.last).map { st =>
-                  anchored += 1
-                  Some(name -> (fn match {
-                    case "min"          => lit(st.min)
-                    case "max"          => lit(st.max)
-                    case "count"        => lit(st.nnull)
-                    case "sum"          => lit(st.sum4)
-                    case "avg" | "mean" => lit(st.sum4 / st.nnull.toDouble)
-                  }))
-                }
+                statsFor(a.nameParts.last)
+                  // COUNT needs no exactness proof; everything else
+                  // serves only under the build-time sx flag (and a
+                  // recorded sum, which an overflowed build omits)
+                  .filter(st => fn == "count" ||
+                    (st.sx && (Set("min", "max")(fn) || st.sum4.isDefined)))
+                  .map { st =>
+                    anchored += 1
+                    Some(name -> (fn match {
+                      case "min"          => lit(st.min)
+                      case "max"          => lit(st.max)
+                      case "count"        => lit(st.nnull)
+                      case "sum"          => lit(st.sum4.get)
+                      case "avg" | "mean" => lit(st.sum4.get / st.nnull.toDouble)
+                    }))
+                  }
               case _ => None
             }
           case _ => None
@@ -1240,8 +1285,8 @@ final class QueryEngine(
                   // literal — SQL IN semantics)
                   .map(_.filter { case (k, _) =>
                     keyFilter.forall(f => k.head.exists(f.contains)) })
-                  .filter(stats => !Set("sum", "avg", "mean")(fn) ||
-                    sumServesExactly(table, a.nameParts.last, stats.map(_._2)))
+                  .filter(stats => statFnServesExactly(table,
+                    a.nameParts.last, fn, stats.map(_._2)))
                   .map(stats => Right((name, fn, Some(stats))))
               case _ => None
             }
@@ -1339,13 +1384,6 @@ final class QueryEngine(
         // with group_by "a,b"). Selection compares DECODED component
         // tuples against the typed literal renderings — never a
         // string-encoding round-trip, so to_json escaping can't drift.
-        def conjEqs(e: org.apache.spark.sql.catalyst.expressions.Expression)
-            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          e match {
-            case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
-              conjEqs(l) ++ conjEqs(rr)
-            case x => Seq(x)
-          }
         val colKeys: Option[(Seq[String], Seq[Seq[Option[String]]])] =
           cond match {
             case EqualTo(a: UnresolvedAttribute, l: Literal) =>
@@ -1362,7 +1400,7 @@ final class QueryEngine(
               else Some((Seq(a.nameParts.last),
                 ks.flatten.distinct.map(k => Seq(Some(k)))))
             case andExpr: org.apache.spark.sql.catalyst.expressions.And =>
-              val eqs = conjEqs(andExpr).map {
+              val eqs = conjunctsOf(andExpr).map {
                 case EqualTo(a: UnresolvedAttribute, l: Literal) =>
                   litKey(a.nameParts.last, l).map((a.nameParts.last, _))
                 case EqualTo(l: Literal, a: UnresolvedAttribute) =>
@@ -1423,12 +1461,13 @@ final class QueryEngine(
                 Some(CountStarPart(name)) // count(*) parses as count(1)
               case (fn, Seq(a: UnresolvedAttribute))
                   if Set("min", "max", "count", "sum", "avg", "mean")(fn) =>
-                // the merged IN-list sum must still serve exactly
-                // (type-aware: sumServesExactly) before it can carry
-                // the exact label
+                // the merged record (IN-lists add group records) must
+                // still serve exactly per function — type-aware gate
+                // (statFnServesExactly) before it carries the exact
+                // label
                 statFor(a.nameParts.last)
-                  .filter(st => !Set("sum", "avg", "mean")(fn) ||
-                    sumServesExactly(table, a.nameParts.last, Seq(st)))
+                  .filter(st =>
+                    statFnServesExactly(table, a.nameParts.last, fn, Seq(st)))
                   .map { st =>
                     if (statsRows.isEmpty) statsRows = Some(st.nrows)
                     StatPart(name, fn, st)
@@ -1873,13 +1912,6 @@ final class QueryEngine(
       case Project(outs, r: UnresolvedRelation) if rel(r) =>
         outs.flatMap(classify(_, None)).distinct
       case Project(outs, Filter(cond, r: UnresolvedRelation)) if rel(r) =>
-        def conj(e: org.apache.spark.sql.catalyst.expressions.Expression)
-            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          e match {
-            case org.apache.spark.sql.catalyst.expressions.And(l, rr) =>
-              conj(l) ++ conj(rr)
-            case x => Seq(x)
-          }
         val gcol = cond match {
           case EqualTo(a: UnresolvedAttribute, _: Literal) =>
             Some(a.nameParts.last)
@@ -1891,7 +1923,7 @@ final class QueryEngine(
           // a conjunction of equalities over distinct columns is the
           // composite point-lookup shape
           case andExpr: org.apache.spark.sql.catalyst.expressions.And =>
-            val cols = conj(andExpr).map {
+            val cols = conjunctsOf(andExpr).map {
               case EqualTo(a: UnresolvedAttribute, _: Literal) =>
                 Some(a.nameParts.last)
               case EqualTo(_: Literal, a: UnresolvedAttribute) =>

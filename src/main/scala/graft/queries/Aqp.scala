@@ -97,10 +97,13 @@ object Aqp {
     joinEngines.getOrElseUpdate((s, dir), {
       val e = new QueryEngine(s,
         new MetaCatalog(Files.createTempDirectory("graft-join").toString))
-      graft.sketch.SketchOps.createAgms(s, e.catalog, "orders",
-        Seq("o_orderkey", "o_orderstatus"), 1024)
+      // CANONICAL key order (fact keys sorted, dim aligned — what
+      // QueryEngine.joinKeyPairs normalizes every ON clause to, so the
+      // lookup is conjunct-order independent)
       graft.sketch.SketchOps.createAgms(s, e.catalog, "lineitem",
-        Seq("l_orderkey", "l_linestatus"), 1024)
+        Seq("l_linestatus", "l_orderkey"), 1024)
+      graft.sketch.SketchOps.createAgms(s, e.catalog, "orders",
+        Seq("o_orderstatus", "o_orderkey"), 1024)
       e
     })
   }

@@ -360,7 +360,10 @@ object SketchOps {
     * from the counters, matching join semantics). Stored under the
     * comma-joined column list; two tables sketched over value-equal
     * composite keys hash identically, so the dot-product estimate
-    * works unchanged.
+    * works unchanged. Build BOTH sides in the engine's CANONICAL
+    * order — fact-side keys sorted by name, dim keys aligned pairwise
+    * (what `QueryEngine.joinKeyPairs` normalizes every ON clause to,
+    * and what `adviseSketches` recipes emit) — or the lookup misses.
     */
   def createAgms(spark: SparkSession, catalog: MetaCatalog, table: String,
       keys: Seq[String], buckets: Int): (Int, Long) = {

@@ -540,7 +540,11 @@ object EventStreams {
               max(col(valueCol)).cast("double").as("hi"),
               count(lit(1)).as("n"),
               count(col(valueCol)).as("nnull"),
-              expr(s"sum(cast($valueCol as decimal(18,4)))").as("sum4"))
+              // decimal(38,4) + try_sum, mirroring the batch builder: a
+              // huge micro-batch group can neither throw (ANSI) nor
+              // wrap; values in range are identical, so the byte-
+              // equality law vs the batch build is unchanged
+              expr(s"try_sum(cast($valueCol as decimal(38,4)))").as("sum4"))
             .limit(graft.sketch.SketchOps.MaxHllGroups + 1)
             .collect()
           if (rows.length > graft.sketch.SketchOps.MaxHllGroups)
@@ -550,6 +554,13 @@ object EventStreams {
           if (rows.nonEmpty) {
             val packed = graft.sketch.GroupedHll.pack(rows.toSeq.map { r =>
               val absent = r.isNullAt(1)
+              // NULL sum with non-NULL values = try_sum overflowed even
+              // decimal(38,4): refuse loudly rather than encode a
+              // silent zero the serve would label exact
+              if (r.isNullAt(5) && r.getAs[Long]("nnull") > 0L)
+                throw new IllegalArgumentException(
+                  s"grouped stats over $table.$valueCol: batch group sum " +
+                    "overflows decimal(38,4)")
               val sum = Option(r.getDecimal(5))
                 .map(d => BigInt(d.setScale(4).unscaledValue()))
                 .getOrElse(BigInt(0))

@@ -510,6 +510,12 @@ class QueryEngineSpec extends SparkSpec {
     val rp = engine.query("SELECT percentile(big, 0.5) AS p50 FROM bigvals")
     assert(rp.transformations.exists(_.contains("histogram")),
       rp.transformations)
+    // COUNT is an exact long whatever the column type: it serves from
+    // the same sketch even under sx=false
+    val rc = engine.query("SELECT count(big) AS nv FROM bigvals")
+    assert(rc.transformations.exists(_.contains("build statistics")),
+      rc.transformations)
+    assert(rc.df.collect().head.getLong(0) == 3L)
   }
 
   test("grouped serves refuse sums whose double rendering loses precision") {
@@ -802,10 +808,10 @@ class QueryEngineSpec extends SparkSpec {
       "ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus"
     val r0 = engine.query(sqlC, engine.Options(maxRelError = 0.1))
     assert(r0.planType == "exact", s"${r0.planType}: ${r0.reason}")
-    graft.sketch.SketchOps.createAgms(spark, catalog, "orders",
-      Seq("o_orderkey", "o_orderstatus"), 1024)
     graft.sketch.SketchOps.createAgms(spark, catalog, "lineitem",
-      Seq("l_orderkey", "l_linestatus"), 1024)
+      Seq("l_linestatus", "l_orderkey"), 1024)
+    graft.sketch.SketchOps.createAgms(spark, catalog, "orders",
+      Seq("o_orderstatus", "o_orderkey"), 1024)
     val r = engine.query(sqlC, engine.Options(maxRelError = 0.1))
     assert(r.strategy == "sample_join" && r.reason.contains("AGMS"),
       s"${r.strategy}: ${r.reason}")
@@ -814,6 +820,14 @@ class QueryEngineSpec extends SparkSpec {
     val truth = spark.sql(sqlC.replace(" AS n", ""))
       .collect().head.getLong(0).toDouble
     assert(math.abs(est - truth) / truth < 0.4, s"est=$est truth=$truth")
+    // the ON-clause conjunct order is normalized away: the reversed
+    // condition finds the same sketches
+    val rRev = engine.query(
+      "SELECT count(*) AS n FROM orders JOIN lineitem " +
+        "ON o_orderstatus = l_linestatus AND o_orderkey = l_orderkey",
+      engine.Options(maxRelError = 0.1))
+    assert(rRev.strategy == "sample_join" && rRev.reason.contains("AGMS"),
+      s"${rRev.strategy}: ${rRev.reason}")
 
     // star: fact + two dims, each on its own key — the estimated
     // output composes the pairwise AGMS estimates under independence
@@ -931,10 +945,11 @@ class QueryEngineSpec extends SparkSpec {
       assert(est > 0.1 * truth && est < 10 * truth, s"est=$est truth=$truth")
 
       // a materialized composite pair serves the IDENTICAL estimate
-      Samplers.createUniverse(spark, catalog, "orders",
-        Seq("o_orderkey", "o_orderstatus"), 0.01)
+      // canonical order: fact (lineitem) keys sorted, dim aligned
       Samplers.createUniverse(spark, catalog, "lineitem",
-        Seq("l_orderkey", "l_linestatus"), 0.01)
+        Seq("l_linestatus", "l_orderkey"), 0.01)
+      Samplers.createUniverse(spark, catalog, "orders",
+        Seq("o_orderstatus", "o_orderkey"), 0.01)
       catalog.upsertTableStats("orders", 2000000L)
       catalog.upsertTableStats("lineitem", 8000000L)
       catalog.refreshSampleBase("orders")
