@@ -98,7 +98,12 @@ object Response {
     "type" -> jval(r.planType),
     "reason" -> jval(r.reason),
     "sample_table" -> r.sampleTable.map(jval).getOrElse("null"),
-    "sample_fraction" -> r.sampleFraction.map(jval).getOrElse("null")))
+    "sample_fraction" -> r.sampleFraction.map(jval).getOrElse("null"),
+    // the planner-enumerated candidate's figures (the reference plan
+    // dict's estimated_cost, planner.py:198/253); "serve" names the
+    // no-scan catalog serve family when that candidate won
+    "estimated_cost" -> r.estimatedCost.map(jval).getOrElse("null"),
+    "serve" -> r.serveKind.map(jval).getOrElse("null")))
 
   private def mlJson(r: QueryEngine#AqeResult): String = obj(Seq(
     "strategy" -> jval(r.strategy),

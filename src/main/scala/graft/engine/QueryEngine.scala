@@ -82,7 +82,16 @@ final class QueryEngine(
       // planType "sketch" but SCANS the table — the advisor must treat
       // that as a miss, so miss observation gates on this flag, never
       // on the planType label.
-      servedFromCatalog: Boolean = false)
+      servedFromCatalog: Boolean = false,
+      // The planner's estimated cost for the chosen candidate (the
+      // reference plan contract's estimated_cost, planner.py:198/253) —
+      // set wherever the cost model ran; None on paths it does not
+      // model (joins, preferExact).
+      estimatedCost: Option[Double] = None,
+      // Which no-scan serve family answered (ReadCatalogServe.kind);
+      // None off the serve paths. Surfaces in explain-mode JSON so the
+      // response names the serve the engine actually ran.
+      serveKind: Option[String] = None)
 
   /** Parse + feature extraction cached per SQL text: a serving workload
     * repeats query shapes, and the unresolved plan is immutable (every
@@ -162,12 +171,10 @@ final class QueryEngine(
     // keep their sampling semantics.
     storedStatsAnswer(parsed, table) match {
       case Some(df) =>
-        return finish(AqeResult(df, "sketch", "sketch",
+        return finish(serveResult(df, features, table, "stats", 0.0,
           "aggregate answered from stored histogram build statistics (no scan, exact)",
-          0.95, Double.PositiveInfinity, 0.0, None, None,
           Seq("MIN/MAX/COUNT/SUM/AVG answered from stored histogram build " +
-            "statistics (no scan; exact as of sketch build)"),
-          servedFromCatalog = true),
+            "statistics (no scan; exact as of sketch build)"), opts),
           sql, features, opts)
       case None =>
     }
@@ -178,13 +185,11 @@ final class QueryEngine(
     // width of the named group's own grid. Zero scan either way.
     storedFilteredGroupAnswer(parsed, table) match {
       case Some((df, err)) if err <= opts.maxRelError =>
-        return finish(AqeResult(df, "sketch", "sketch",
+        return finish(serveResult(df, features, table, "filtered_group", err,
           "filtered aggregate answered from grouped sketches (group-pruned, no scan)",
-          0.93, Double.PositiveInfinity, err, None, None,
           Seq("WHERE col = value dispatched to that group's stored sketch " +
             "record (group-pruned: no scan; stats exact, percentiles to one " +
-            "bucket width)"),
-          servedFromCatalog = true),
+            "bucket width)"), opts),
           sql, features, opts)
       case _ =>
     }
@@ -197,12 +202,10 @@ final class QueryEngine(
     // a tighter requested tolerance falls through to the scan path.
     storedHistogramAnswer(parsed, table) match {
       case Some((df, err)) if err <= opts.maxRelError =>
-        return finish(AqeResult(df, "sketch", "sketch",
+        return finish(serveResult(df, features, table, "histogram", err,
           "percentile answered from the stored histogram sketch (no scan)",
-          0.9, Double.PositiveInfinity, err, None, None,
           Seq("PERCENTILE/MEDIAN answered from the stored equi-width " +
-            "histogram (no scan; accurate to one bucket width)"),
-          servedFromCatalog = true),
+            "histogram (no scan; accurate to one bucket width)"), opts),
           sql, features, opts)
       case _ =>
     }
@@ -211,12 +214,10 @@ final class QueryEngine(
     // [min, max] grid, still with no scan.
     storedGroupedHistogramAnswer(parsed, table) match {
       case Some((df, err)) if err <= opts.maxRelError =>
-        return finish(AqeResult(df, "sketch", "sketch",
+        return finish(serveResult(df, features, table, "grouped_histogram", err,
           "per-group percentile answered from the stored grouped histogram (no scan)",
-          0.9, Double.PositiveInfinity, err, None, None,
           Seq("PERCENTILE/MEDIAN answered per group from the stored grouped " +
-            "histogram (no scan; accurate to one bucket width per group)"),
-          servedFromCatalog = true),
+            "histogram (no scan; accurate to one bucket width per group)"), opts),
           sql, features, opts)
       case _ =>
     }
@@ -226,12 +227,10 @@ final class QueryEngine(
     // the statistics strategy above (same lone-COUNT(*) refusal).
     storedGroupedStatsAnswer(parsed, table) match {
       case Some(df) =>
-        return finish(AqeResult(df, "sketch", "sketch",
+        return finish(serveResult(df, features, table, "grouped_stats", 0.0,
           "per-group aggregate answered from stored grouped build statistics (no scan, exact)",
-          0.95, Double.PositiveInfinity, 0.0, None, None,
           Seq("per-group MIN/MAX/COUNT/SUM/AVG answered from stored grouped " +
-            "build statistics (no scan; exact as of sketch build)"),
-          servedFromCatalog = true),
+            "build statistics (no scan; exact as of sketch build)"), opts),
           sql, features, opts)
       case None =>
     }
@@ -245,12 +244,10 @@ final class QueryEngine(
     // third sketch type (its get_sketch has zero callers, SURVEY §4.4).
     storedCmsAnswer(parsed, table) match {
       case Some((df, eps)) if eps <= opts.maxRelError =>
-        return finish(AqeResult(df, "sketch", "sketch",
+        return finish(serveResult(df, features, table, "cms", eps,
           "point-frequency answered from the stored Count-Min sketch (no scan)",
-          0.9, Double.PositiveInfinity, eps, None, None,
           Seq("COUNT(*) with a column=value filter answered from the stored " +
-            "Count-Min sketch (no scan; overestimate-only, eps*N additive bound)"),
-          servedFromCatalog = true),
+            "Count-Min sketch (no scan; overestimate-only, eps*N additive bound)"), opts),
           sql, features, opts)
       case _ =>
     }
@@ -272,24 +269,32 @@ final class QueryEngine(
     val result = choice.strategy match {
       case StrategyChooser.Exact =>
         exact(choice.reasoning, choice.confidence)
+          .copy(estimatedCost =
+            Some(Planner.estimateExactCost(features, tableSize)))
 
       case StrategyChooser.Sketch if features.hasDistinct =>
         // Fast path: a pre-built catalog sketch answers the whole query
         // with NO scan at all (the capability the reference declares but
         // never wires — its get_sketch has zero callers, SURVEY §4.4).
-        storedSketchAnswer(parsed, table).map { df =>
-          AqeResult(df, "sketch", "sketch", choice.reasoning,
-            choice.confidence, Double.PositiveInfinity,
-            1.04 / math.sqrt(4096.0), None, None,
-            Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"),
-            servedFromCatalog = true)
-        }.orElse(storedGroupedSketchAnswer(parsed, table).map { df =>
-          AqeResult(df, "sketch", "sketch", choice.reasoning,
-            choice.confidence, Double.PositiveInfinity,
-            1.04 / math.sqrt(4096.0), None, None,
-            Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"),
-            servedFromCatalog = true)
-        }).getOrElse {
+        // The b=12 HLL standard error is the serve's bound; a budget
+        // TIGHTER than it falls through to the HLL++ scan rewrite,
+        // whose rsd adapts to the budget — the serve must be a valid
+        // planner candidate, never an override of the error contract.
+        val hllErr = 1.04 / math.sqrt(4096.0)
+        val stored: Option[AqeResult] =
+          if (hllErr > opts.maxRelError) None
+          else storedSketchAnswer(parsed, table).map { df =>
+            serveResult(df, features, table, "hll", hllErr,
+              "COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)",
+              Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"),
+              opts)
+          }.orElse(storedGroupedSketchAnswer(parsed, table).map { df =>
+            serveResult(df, features, table, "grouped_hll", hllErr,
+              "per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)",
+              Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"),
+              opts)
+          })
+        stored.getOrElse {
             val d = SampleRewrite.Directive(table, Planner.ReadExact,
               weight = None, rewriteDistinctToHll = true,
               hllRsd = Some(math.max(0.005, math.min(opts.maxRelError, 0.1))),
@@ -298,7 +303,10 @@ final class QueryEngine(
             val (spd, err) = StrategyChooser.predict(StrategyChooser.Sketch, tableSize, None)
             AqeResult(df, "sketch", "sketch", choice.reasoning, choice.confidence,
               spd, err, None, None,
-              Seq("COUNT(DISTINCT) answered by HyperLogLog++ (approx_count_distinct)"))
+              Seq("COUNT(DISTINCT) answered by HyperLogLog++ (approx_count_distinct)"),
+              // the rewrite scans the table once: the exact candidate's cost
+              estimatedCost =
+                Some(Planner.estimateExactCost(features, tableSize)))
         }
 
       case strat @ (StrategyChooser.Sample | StrategyChooser.Sketch |
@@ -321,7 +329,9 @@ final class QueryEngine(
             val (spd, err) = StrategyChooser.predict(StrategyChooser.Stratified, tableSize, Some(s.fraction))
             AqeResult(df, "stratified", "stratified", choice.reasoning,
               choice.confidence, spd, err, Some(s.fraction), Some(s.sampleTable),
-              Seq(s"stratified sample ${s.sampleTable} with per-stratum HT weights"))
+              Seq(s"stratified sample ${s.sampleTable} with per-stratum HT weights"),
+              estimatedCost = Some(tableSize * s.fraction *
+                Planner.ScanCostPerRow + Planner.SampleSetupCost))
           case None =>
             // Sample path (also the fallback for sketch/stratified when no
             // better input exists): prefer a materialized sample table if
@@ -363,7 +373,10 @@ final class QueryEngine(
               AqeResult(df, "sample",
                 (strat: StrategyChooser.Strategy).name, choice.reasoning,
                 choice.confidence, spd, err, Some(f), tbl,
-                Seq(desc, "aggregates rewritten to Horvitz-Thompson weighted form"))
+                Seq(desc, "aggregates rewritten to Horvitz-Thompson weighted form"),
+                // the reference's sample-strategy cost (planner.py:244)
+                estimatedCost = Some(tableSize * f *
+                  Planner.ScanCostPerRow + Planner.SampleSetupCost))
             }
         }
     }
@@ -749,6 +762,48 @@ final class QueryEngine(
       case (Some(recorded), Some(ts)) => recorded == ts.rowCount
       case _                          => true
     }
+
+  /** Rowcount evidence with NO scan: the catalog's table stats, else
+    * the largest build-time rowcount any stored sketch for the table
+    * recorded in its params. Feeds the serve-path cost model; with no
+    * evidence at all it defaults to 1 row, where the planner breaks
+    * the resulting cost tie toward the serve by enumeration order.
+    */
+  private def tableRowsHint(table: String): Option[Long] =
+    catalog.statsFor(table).map(_.rowCount).orElse(
+      catalog.listSketches(Some(table))
+        .flatMap(s => sketchRowsRe.findFirstMatchIn(s.parameters)
+          .map(_.group(1).toLong))
+        .maxOption)
+
+  /** Wrap a VERIFIED no-scan catalog serve in the planner's candidate
+    * enumeration (the reference explain contract, planner.py:21-78 /
+    * app.py:106-111): confidence, speedup, and cost come from the
+    * enumerated candidates, not per-path constants, so explain-mode
+    * output names the serve the engine actually runs with the cost
+    * model's own figures. Every caller has already gated
+    * `err <= opts.maxRelError`, so the serve candidate is valid and —
+    * costed at CatalogServeCost, below any scan — wins the
+    * enumeration. Confidence derives from the serve's reported bound
+    * (0.95 at zero error, the exact path's own confidence, shrinking
+    * with the bound); the speedup is the exact candidate's cost over
+    * the serve's — finite and honest, unlike the old ∞ constant.
+    */
+  private def serveResult(df: DataFrame, features: QueryFeatures,
+      table: String, kind: String, err: Double, detail: String,
+      transforms: Seq[String], opts: Options): AqeResult = {
+    val rows = tableRowsHint(table).getOrElse(1L)
+    val plan = Planner.plan(features, catalog, rows, opts.maxRelError,
+      preferExact = false,
+      serves = Seq(Planner.ServeCandidate(kind, err, detail)))
+    AqeResult(df, "sketch", "sketch", plan.reason,
+      confidence = math.max(0.5, 0.95 - err),
+      estimatedSpeedup = math.max(1.0,
+        Planner.estimateExactCost(features, rows) / plan.estimatedCost),
+      estimatedError = err, sampleFraction = None, sampleTable = None,
+      transformations = transforms, servedFromCatalog = true,
+      estimatedCost = Some(plan.estimatedCost), serveKind = Some(kind))
+  }
 
   /** Whether serving aggregate `fn` of `column` from the given
     * per-group stat records keeps the "exact, 0.0 error" label honest.

@@ -18,6 +18,18 @@ object Planner {
   val ScanCostPerRow = 1.0
   val HashCostPerGroup = 2.0
   val SampleSetupCost = 5.0
+  /** Cost of answering from a stored catalog sketch/stat blob: a
+    * driver-side map lookup, no scan. The reference DECLARES
+    * `sketch_query_cost: 10.0` in its cost model
+    * (/root/reference/planner.py:17) but never enumerates a sketch
+    * strategy — the constant is dead. Here the capability is real, and
+    * a no-scan serve is costed at one row's scan: strictly below any
+    * exact scan (>= rowCount) or sample scan (>= SampleSetupCost) of a
+    * non-empty table, so a serve that meets the error budget always
+    * wins the enumeration — which is exactly the engine's dispatch
+    * order, keeping explain-mode output and execution in agreement.
+    */
+  val CatalogServeCost = 1.0
 
   /** The single source of truth for how the query's input is read. */
   sealed trait SamplingDecision {
@@ -45,6 +57,22 @@ object Planner {
     */
   case class ReadInlineSystematic(f: Double, key: String)
       extends SamplingDecision { def fraction = Some(f) }
+  /** Answer from a stored catalog artifact (sketch / stat blob) with no
+    * scan at all. `kind` names the serve family the engine verified is
+    * available ("stats", "grouped_stats", "histogram",
+    * "grouped_histogram", "filtered_group", "cms", "hll",
+    * "grouped_hll").
+    */
+  case class ReadCatalogServe(kind: String)
+      extends SamplingDecision { val fraction = None }
+
+  /** A no-scan catalog serve the ENGINE has already verified is
+    * available for this query (the sketch exists, is fresh, and covers
+    * every output): the planner's job is to enumerate it against
+    * exact/sample with its cost and reported error bound, so
+    * explain-mode output names the strategy that will actually run.
+    */
+  case class ServeCandidate(kind: String, error: Double, detail: String)
 
   case class Plan(
       planType: String,            // "exact" | "sample"
@@ -56,7 +84,8 @@ object Planner {
 
   def plan(features: QueryFeatures, catalog: MetaCatalog,
       rowCount: Long, maxRelError: Double,
-      preferExact: Boolean): Plan = {
+      preferExact: Boolean,
+      serves: Seq[ServeCandidate] = Nil): Plan = {
 
     val table = features.tableName
     val exactCost = estimateExactCost(features, rowCount)
@@ -64,23 +93,36 @@ object Planner {
       "exact execution")
 
     if (preferExact) return exact.copy(reason = "exact execution (user preference)")
+    // Catalog serves enumerate like any other candidate: cost
+    // CatalogServeCost, error = the serve's own reported bound. Listed
+    // FIRST so a cost tie (only possible on a 1-row table) breaks
+    // toward the no-scan serve. They are deliberately NOT gated on
+    // hasApproximableAgg: the serve families cover shapes (percentiles,
+    // COUNT(DISTINCT)) the reference's sampling model does not.
+    val validServes = serves
+      .map(s => Plan("sketch", ReadCatalogServe(s.kind), table,
+        CatalogServeCost, s.error, s"catalog serve (${s.kind}): ${s.detail}"))
+      .filter(_.estimatedError <= maxRelError)
+
     // Reference parity: only single-table COUNT/SUM/AVG queries are
     // candidates for approximation; joins and MIN/MAX-only queries run
     // exact (planner.py:107-112; README.md:111-115).
     if (table.isEmpty || !features.isSingleTable || !features.hasApproximableAgg)
-      return exact
+      return (validServes :+ exact).minBy(_.estimatedCost)
 
     // Querying a sample table directly: run exact on it, caller scales
     // knowing the fraction from the name (planner.py:45-60).
     if (SampleNaming.parse(table.get).isDefined)
-      return exact.copy(reason = "direct query on a sample table")
+      return (validServes :+
+        exact.copy(reason = "direct query on a sample table"))
+        .minBy(_.estimatedCost)
 
-    val candidates = exact +: catalog.bestUniformSample(table.get).map { s =>
+    val candidates = validServes ++ (exact +: catalog.bestUniformSample(table.get).map { s =>
       val err = math.sqrt(1.0 / (s.fraction * rowCount))
       val cost = rowCount * s.fraction * ScanCostPerRow + SampleSetupCost
       Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,
         cost, err, f"using ${s.fraction * 100}%.1f%% sample")
-    }.toSeq
+    }.toSeq)
 
     val valid = candidates.filter(_.estimatedError <= maxRelError)
     if (valid.isEmpty) exact

@@ -228,7 +228,10 @@ object SampleRewrite {
               .parseExpression(
                 s"graft_h60(concat('sys:', cast($key as string))) % 10000 < $threshold"),
               r)
-          case Planner.ReadExact => r
+          // a catalog serve never reaches a relation rewrite (the serve
+          // paths answer without a plan), but pattern-completeness
+          // demands a case: read as-is
+          case Planner.ReadExact | Planner.ReadCatalogServe(_) => r
         }
     }
 

@@ -318,6 +318,26 @@ class ApiServerSpec extends SparkSpec {
     assert(http("GET", "/query")._1 == 405)
   }
 
+  test("explain of a servable query names the serve with the planner's cost") {
+    val (bc, bb) = http("POST", "/sketches/create", Some(
+      """{"table": "lineitem", "column": "l_quantity", "sketch_type": "histogram", "parameters": {"buckets": 64}}"""))
+    assert(bc == 200, bb)
+    val (code, body) = http("POST", "/query", Some(
+      """{"sql": "SELECT sum(l_quantity) AS s FROM lineitem", "explain": true}"""))
+    assert(code == 200, body)
+    val v = parsed(body)
+    val plan = v("plan").getOrElse(fail(s"no plan: $body"))
+    assert(plan("type").flatMap(_.str).contains("sketch"), body.take(400))
+    assert(plan("serve").flatMap(_.str).contains("stats"), body.take(400))
+    assert(plan("estimated_cost").flatMap(_.num)
+      .contains(graft.plan.Planner.CatalogServeCost), body.take(400))
+    assert(plan("reason").flatMap(_.str)
+      .exists(_.contains("catalog serve (stats)")), body.take(400))
+    // the cost-model speedup is finite (no ∞-constant in the contract)
+    assert(v("ml_optimization").flatMap(_("estimated_speedup"))
+      .flatMap(_.num).exists(s => s > 1.0 && !s.isInfinite), body.take(400))
+  }
+
   test("Json parser handles strings, escapes, nesting and rejects garbage") {
     val v = parsed("""{"a": [1, 2.5, -3], "s": "q\"\\\nA", "b": true, "n": null, "o": {"k": "v"}}""")
     assert(v("s").flatMap(_.str).contains("q\"\\\nA"))

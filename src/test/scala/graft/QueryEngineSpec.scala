@@ -1281,4 +1281,45 @@ class QueryEngineSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n == spark.table("lineitem").count())
   }
+
+  test("explain contract: a servable query reports the planner's serve candidate; staleness flips it to sample/exact") {
+    graft.sketch.SketchOps.createHistogram(
+      spark, catalog, "lineitem", "l_quantity", 64)
+    val sql = "SELECT sum(l_quantity) AS s, avg(l_quantity) AS a FROM lineitem"
+    val r = engine.query(sql)
+    // the serve is named BY THE PLANNER's candidate enumeration: kind,
+    // CatalogServeCost, a finite cost-model speedup — no ∞ constants
+    assert(r.servedFromCatalog && r.serveKind.contains("stats"),
+      s"${r.serveKind}: ${r.reason}")
+    assert(r.estimatedCost.contains(graft.plan.Planner.CatalogServeCost),
+      r.estimatedCost)
+    assert(r.reason.contains("catalog serve (stats)"), r.reason)
+    assert(r.estimatedSpeedup > 1.0 && !r.estimatedSpeedup.isInfinite,
+      r.estimatedSpeedup.toString)
+    // staleness retires the serve: the SAME query now plans sample/exact
+    // with no serve kind and no serve cost
+    val n = spark.table("lineitem").count()
+    catalog.upsertTableStats("lineitem", n + 1000)
+    val r2 = engine.query(sql)
+    assert(!r2.servedFromCatalog && r2.serveKind.isEmpty,
+      s"${r2.serveKind}: ${r2.reason}")
+    assert(r2.planType == "sample" || r2.planType == "exact", r2.planType)
+    assert(!r2.estimatedCost.contains(graft.plan.Planner.CatalogServeCost))
+    catalog.upsertTableStats("lineitem", n)
+  }
+
+  test("a stored HLL whose error bound exceeds a tight budget is not a valid candidate: the adaptive HLL++ rewrite runs instead") {
+    graft.sketch.SketchOps.createHll(spark, catalog, "lineitem", "l_partkey")
+    val sql = "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem"
+    val served = engine.query(sql) // default budget 0.05 > 0.01625
+    assert(served.servedFromCatalog && served.serveKind.contains("hll"),
+      s"${served.serveKind}: ${served.reason}")
+    // 1.04/sqrt(4096) ~ 0.01625 > 0.01: the stored sketch cannot honor
+    // the budget; the scan rewrite (rsd adapts to the budget) runs
+    val tight = engine.query(sql, engine.Options(maxRelError = 0.01))
+    assert(!tight.servedFromCatalog && tight.serveKind.isEmpty,
+      s"${tight.serveKind}: ${tight.reason}")
+    assert(tight.transformations.exists(_.contains("HyperLogLog++")),
+      tight.transformations)
+  }
 }

@@ -80,4 +80,33 @@ class StrategyChooserSpec extends AnyFunSuite {
       Seq.fill(5)(rec(0.2))) // 0.2 > 1.2 * 0.05
     assert(c.strategy == SC.Sketch) // base rule wins
   }
+
+  test("planner enumerates catalog serves: valid serve wins, over-budget serve falls out, preferExact skips") {
+    import graft.plan.Planner
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-planner").toString)
+    val serve = Planner.ServeCandidate("stats", 0.0, "stats blob covers all outputs")
+    val p = Planner.plan(f(count = true), catalog, 100000L, tol,
+      preferExact = false, serves = Seq(serve))
+    assert(p.planType == "sketch" &&
+      p.decision == Planner.ReadCatalogServe("stats"), p.toString)
+    assert(p.estimatedCost == Planner.CatalogServeCost)
+    assert(p.estimatedError == 0.0)
+    assert(p.reason.contains("catalog serve (stats)"), p.reason)
+    // an over-budget serve is not a valid candidate: exact wins
+    val p2 = Planner.plan(f(count = true), catalog, 100000L, 0.01,
+      preferExact = false,
+      serves = Seq(Planner.ServeCandidate("histogram", 0.05, "1/20 grid")))
+    assert(p2.planType == "exact", p2.toString)
+    // shapes outside the reference's sampling model (percentiles — no
+    // approximable agg) still take a valid serve instead of exact
+    val p3 = Planner.plan(f(), catalog, 100000L, tol, preferExact = false,
+      serves = Seq(Planner.ServeCandidate("histogram", 0.015, "64-bucket grid")))
+    assert(p3.decision == Planner.ReadCatalogServe("histogram"), p3.toString)
+    // preferExact skips serve enumeration entirely (engine parity: the
+    // serve probes never run under user preference)
+    val p4 = Planner.plan(f(count = true), catalog, 100000L, tol,
+      preferExact = true, serves = Seq(serve))
+    assert(p4.planType == "exact")
+  }
 }
