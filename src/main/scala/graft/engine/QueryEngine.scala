@@ -693,10 +693,16 @@ final class QueryEngine(
     * bucket counts; any missing piece returns None and the decision
     * falls back to reference-parity exact.
     */
+  private val agmsEncRe = """"enc"\s*:\s*"([^"]*)"""".r
   private def agmsJoinEstimate(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       sizes: Seq[(String, Long)], fact: String): Option[Long] = {
     val factSize = sizes.toMap.apply(fact)
+    // both sides must have hashed their key tuples under the SAME
+    // rendering (composite sketches record "enc"; absent = the
+    // single-key raw-cast contract) or the dot product is meaningless
+    def enc(s: catalog.SketchInfo): Option[String] =
+      agmsEncRe.findFirstMatchIn(s.parameters).map(_.group(1))
     joinKeyPairs(parsed, sizes.map(_._1), fact).flatMap { prs =>
       val ests = prs.map { case (fks, dks, dim) =>
         for {
@@ -704,6 +710,7 @@ final class QueryEngine(
           if sketchIsFresh(fact, sf)
           sd <- catalog.getSketch(dim, agmsKeyName(dks), "agms")
           if sketchIsFresh(dim, sd)
+          if enc(sf) == enc(sd)
           est <- graft.sketch.Agms.dotEstimate(sf.data, sd.data)
         } yield est
       }

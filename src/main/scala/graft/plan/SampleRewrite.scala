@@ -252,16 +252,37 @@ object SampleRewrite {
     * `keys`: relation name (matched on the LAST name part, like
     * rewriteRelation) -> its join-key column.
     */
-  /** The shared 'uv:' lottery hash input for a (possibly composite)
-    * join key: components joined by a  separator — `concat`
-    * returns NULL on any NULL component, and a NULL hash never wins
-    * the lottery, matching equi-join semantics (NULL keys never join).
-    * Two tables hashing value-equal tuples draw identical lottery
-    * numbers, which is what makes universe membership join-compatible.
+  /** Salted hash input for a (possibly composite) key tuple — the ONE
+    * rendering every tuple-keyed artifact shares (universe lotteries
+    * here, AGMS counters in SketchOps.createAgms). A single key renders
+    * as the raw `cast(k as string)` (the original byte-stable
+    * contract); a COMPOSITE key renders as
+    * `to_json(array(cast(k as string)...))` — the collision-free
+    * encoding the grouped sketch builders already use
+    * (SketchOps.groupKeyExpr), replacing the earlier U+0001-joined
+    * concat whose distinct tuples could alias whenever a component
+    * contained the separator. Any NULL component renders the whole key
+    * NULL: a NULL hash never wins a lottery and never lands in a
+    * counter, matching equi-join semantics (NULL keys never join). Two
+    * tables rendering value-equal tuples hash identically, which is
+    * what keeps membership join-compatible.
+    */
+  def tupleKeyExpr(salt: String, keys: Seq[String]): String =
+    if (keys.sizeIs == 1)
+      s"concat('$salt', cast(${keys.head} as string))"
+    else {
+      val arr = keys.map(k => s"cast($k as string)")
+        .mkString("to_json(array(", ", ", "))")
+      val anyNull = keys.map(k => s"$k is null").mkString(" or ")
+      s"case when $anyNull then cast(null as string) " +
+        s"else concat('$salt', $arr) end"
+    }
+
+  /** The shared 'uv:' lottery hash input for a universe sample's
+    * (possibly composite) join key — see [[tupleKeyExpr]].
     */
   def universeKeyExpr(keys: Seq[String]): String =
-    keys.map(k => s"cast($k as string)")
-      .mkString("concat('uv:', ", ", '\\u0001', ", ")")
+    tupleKeyExpr("uv:", keys)
 
   def rewriteUniverse(plan: LogicalPlan, keys: Map[String, Seq[String]],
       fraction: Double, addCiColumns: Boolean,

@@ -354,16 +354,21 @@ object SketchOps {
       key: String, buckets: Int = 1024): (Int, Long) =
     createAgms(spark, catalog, table, Seq(key), buckets)
 
-  /** Composite-key variant: the hashed value is the components joined
-    * by a  separator (`concat` returns NULL on any NULL
-    * component, so rows whose key can never equi-join are excluded
-    * from the counters, matching join semantics). Stored under the
-    * comma-joined column list; two tables sketched over value-equal
-    * composite keys hash identically, so the dot-product estimate
-    * works unchanged. Build BOTH sides in the engine's CANONICAL
-    * order — fact-side keys sorted by name, dim keys aligned pairwise
-    * (what `QueryEngine.joinKeyPairs` normalizes every ON clause to,
-    * and what `adviseSketches` recipes emit) — or the lookup misses.
+  /** Composite-key variant: the hashed value is the shared tuple
+    * rendering `SampleRewrite.tupleKeyExpr` — single keys as the raw
+    * string cast, composite keys as `to_json(array(...))` (the same
+    * collision-free encoding the grouped builders use; any NULL
+    * component renders the whole key NULL, so rows whose key can never
+    * equi-join are excluded from the counters, matching join
+    * semantics). Stored under the comma-joined column list; two tables
+    * sketched over value-equal composite keys hash identically, so the
+    * dot-product estimate works unchanged. Build BOTH sides in the
+    * engine's CANONICAL order — fact-side keys sorted by name, dim
+    * keys aligned pairwise (what `QueryEngine.joinKeyPairs` normalizes
+    * every ON clause to, and what `adviseSketches` recipes emit) — or
+    * the lookup misses. Composite sketches record `"enc":"j1"` in
+    * params so the engine never dot-products blobs built under
+    * different tuple encodings.
     */
   def createAgms(spark: SparkSession, catalog: MetaCatalog, table: String,
       keys: Seq[String], buckets: Int): (Int, Long) = {
@@ -372,8 +377,7 @@ object SketchOps {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{count, expr, sum}
     val key = keys.mkString(",")
-    val keyExpr = keys.map(k => s"cast($k as string)")
-      .mkString("concat('js:', ", ", '\\u0001', ", ")")
+    val keyExpr = graft.plan.SampleRewrite.tupleKeyExpr("js:", keys)
     val rows = spark.table(table)
       .select(expr(s"graft_h60($keyExpr)").as("h"))
       .select(expr(s"cast(h % ${buckets}L as int)").as("bucket"),
@@ -387,8 +391,9 @@ object SketchOps {
       total += r.getLong(2)
     }
     val bytes = Agms.serialize(counters)
+    val enc = if (keys.sizeIs > 1) ""","enc":"j1"""" else ""
     catalog.upsertSketch(catalog.SketchInfo(table, key, "agms", bytes,
-      s"""{"buckets":$buckets,"rows":$total}""", System.currentTimeMillis()))
+      s"""{"buckets":$buckets,"rows":$total$enc}""", System.currentTimeMillis()))
     (bytes.length, total)
   }
 

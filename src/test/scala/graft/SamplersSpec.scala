@@ -104,4 +104,42 @@ class SamplersSpec extends SparkSpec {
     assert(SampleNaming.parse("orders__strat_sample_o_orderpriority_0_3")
       .exists(_._2 == 0.3))
   }
+
+  test("composite tuple rendering is collision-free for adversarial values and NULLs out on any NULL component") {
+    import org.apache.spark.sql.functions.expr
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // under the old U+0001-joined concat these two DISTINCT tuples
+    // rendered identically ("ab" + sep + "c" == "a" + sep +
+    // "bc"); to_json keeps them apart
+    Seq(("ab", "c"), ("a", "bc"), (null.asInstanceOf[String], "x"))
+      .toDF("k1", "k2").createOrReplaceTempView("adv_tuples")
+    val keyExpr = graft.plan.SampleRewrite.universeKeyExpr(Seq("k1", "k2"))
+    val rows = spark.sql(
+      s"SELECT $keyExpr AS key, graft_h60($keyExpr) AS h FROM adv_tuples")
+      .collect()
+    assert(rows(0).getString(0) != rows(1).getString(0),
+      s"adversarial tuples alias: ${rows(0).getString(0)}")
+    assert(rows(0).getLong(1) != rows(1).getLong(1))
+    // NULL component -> NULL key -> no lottery win, no AGMS counter
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+
+    // AGMS over the two adversarial single-tuple tables: aliasing would
+    // put both tuples in the SAME signed bucket and report ~100*100;
+    // the json rendering keeps them apart (estimate ~0, modulo a 1/B
+    // bucket collision which cannot reach the aliasing magnitude)
+    Seq.fill(100)(("ab", "c")).toDF("k1", "k2")
+      .createOrReplaceTempView("adv_t1")
+    Seq.fill(100)(("a", "bc")).toDF("k1", "k2")
+      .createOrReplaceTempView("adv_t2")
+    graft.sketch.SketchOps.createAgms(spark, catalog, "adv_t1",
+      Seq("k1", "k2"), 1024)
+    graft.sketch.SketchOps.createAgms(spark, catalog, "adv_t2",
+      Seq("k1", "k2"), 1024)
+    val s1 = catalog.getSketch("adv_t1", "k1,k2", "agms").get
+    val s2 = catalog.getSketch("adv_t2", "k1,k2", "agms").get
+    assert(s1.parameters.contains("\"enc\":\"j1\""), s1.parameters)
+    val est = graft.sketch.Agms.dotEstimate(s1.data, s2.data).get
+    assert(est < 10000L, s"adversarial tuples alias in AGMS: est=$est")
+  }
 }
