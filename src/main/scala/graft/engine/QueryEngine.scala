@@ -1152,33 +1152,155 @@ final class QueryEngine(
       }
   }
 
+  /** How a grouped-serve Aggregate dispatches against grouped blobs:
+    * the query-order group columns, an optional key filter ON the
+    * (single) group column (`WHERE g = lit` / `g IN`), and an optional
+    * RESIDUAL equality/IN filter on NON-group columns — the
+    * partial-key shape (`WHERE a = 'x' GROUP BY b` served from an
+    * "a,b" composite blob by pruning on the a component and collapsing
+    * the a dimension with an exact merge).
+    */
+  private case class GroupDispatch(
+      gNames: Seq[String],
+      keyFilter: Option[Seq[String]],
+      residual: Seq[(String, Seq[String])])
+
+  /** Parse `cond` as a conjunction of `col = lit` / `col IN (lits)`
+    * predicates over columns DISJOINT from the group-by set, each
+    * literal rendered type-safely (typedLitKey). None on any other
+    * predicate shape, a repeated column, or overlap with the group-by
+    * columns (those shapes belong to groupKeyFilter / the scan path).
+    */
+  private def residualEqualityFilter(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      table: String, gNames: Seq[String])
+      : Option[Seq[(String, Seq[String])]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
+    val lower = gNames.map(_.toLowerCase).toSet
+    val parts = conjunctsOf(cond).map {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        typedLitKey(table, a.nameParts.last, l)
+          .map(k => (a.nameParts.last, Seq(k)))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        typedLitKey(table, a.nameParts.last, l)
+          .map(k => (a.nameParts.last, Seq(k)))
+      case In(a: UnresolvedAttribute, lits)
+          if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+        val ks = lits.map(l =>
+          typedLitKey(table, a.nameParts.last, l.asInstanceOf[Literal]))
+        if (ks.exists(_.isEmpty)) None
+        else Some((a.nameParts.last, ks.flatten.distinct))
+      case _ => None
+    }
+    if (parts.isEmpty || parts.exists(_.isEmpty)) return None
+    val ps = parts.flatten
+    val cols = ps.map(_._1.toLowerCase)
+    if (cols.distinct.sizeIs != cols.size) None
+    else if (cols.exists(lower.contains)) None
+    else Some(ps)
+  }
+
   /** The query-order group-by column names of an Aggregate whose every
-    * grouping expression is a bare column, plus the key filter from an
-    * optional `WHERE g = lit` / `g IN (lits)` on the (single) group
-    * column. Composite GROUP BYs accept no filter — any Filter child
-    * refuses rather than guessing multi-column predicate semantics.
-    * None = not servable from grouped sketches.
+    * grouping expression is a bare column, plus the dispatchable
+    * filter: on the (single) group column itself (keyFilter), or on
+    * non-group columns covered by a composite blob (residual —
+    * partial-key dispatch). None = not servable from grouped sketches.
     */
   private def aggregateGroupKeys(
       gs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      table: String): Option[(Seq[String], Option[Seq[String]])] = {
+      table: String): Option[GroupDispatch] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
     val names = gs.map {
       case a: UnresolvedAttribute => Some(a.nameParts.last)
       case _                      => None
     }
     if (names.isEmpty || names.exists(_.isEmpty)) return None
     val gNames = names.map(_.get)
-    if (gNames.sizeIs == 1)
-      groupKeyFilter(child, table, gNames.head).map(f => (gNames, f))
-    else child match {
-      case r: UnresolvedRelation
-          if r.multipartIdentifier.last.equalsIgnoreCase(table) =>
-        Some((gNames, None))
+    def isTable(r: UnresolvedRelation): Boolean =
+      r.multipartIdentifier.last.equalsIgnoreCase(table)
+    child match {
+      case r: UnresolvedRelation if isTable(r) =>
+        Some(GroupDispatch(gNames, None, Nil))
+      case Filter(cond, r: UnresolvedRelation) if isTable(r) =>
+        val onGroupCol =
+          if (gNames.sizeIs == 1)
+            groupKeyFilter(child, table, gNames.head)
+              .map(f => GroupDispatch(gNames, f, Nil))
+          else None
+        onGroupCol.orElse(
+          residualEqualityFilter(cond, table, gNames)
+            .map(res => GroupDispatch(gNames, None, res)))
       case _ => None
     }
   }
+
+  /** [[groupedBlobFor]], partial-key variant: a fresh sketch whose
+    * group-by column SET equals queryCols ∪ the residual filter's
+    * columns; entries pruned to those whose filter components match an
+    * allowed literal rendering (NULL components never match — SQL
+    * equality), re-keyed by their projection onto queryCols (query
+    * order), payloads collapsed across the filtered-out dimension with
+    * `merge` — exact for stats records (min/max monotone, counts and
+    * the unscaled decimal sum additive), register-max union for HLLs.
+    * Per-group histogram grids do NOT merge; histogram callers must
+    * refuse residual dispatch instead of calling this.
+    */
+  private def partialGroupedBlobFor(table: String, column: String,
+      tpe: String, queryCols: Seq[String],
+      residual: Seq[(String, Seq[String])],
+      merge: (Array[Byte], Array[Byte]) => Array[Byte])
+      : Option[Seq[(Seq[Option[String]], Array[Byte])]] = {
+    val q = queryCols.map(_.toLowerCase)
+    val fcols = residual.map(_._1.toLowerCase)
+    val all = q ++ fcols
+    catalog.getSketch(table, column, tpe)
+      .filter(sketchIsFresh(table, _))
+      .flatMap { s =>
+        groupByParamRe.findFirstMatchIn(s.parameters)
+          .map(_.group(1).toLowerCase.split(",").map(_.trim).toSeq)
+          .filter(scols => scols.sorted == all.sorted)
+          .flatMap { scols =>
+            val qIdx = q.map(scols.indexOf)
+            val fIdx = fcols.map(scols.indexOf)
+            val allowed = residual.map(_._2.toSet)
+            val entries = graft.sketch.GroupedHll.unpack(s.data).map {
+              case (k, b) =>
+                decodeGroupKey(k, scols.size)
+                  .map(c => (qIdx.map(c), fIdx.map(c), b))
+            }
+            if (entries.exists(_.isEmpty)) None
+            else {
+              val kept = entries.map(_.get).filter { case (_, fk, _) =>
+                fk.zip(allowed).forall { case (comp, set) =>
+                  comp.exists(set.contains) }
+              }
+              // collapse the filtered dimension; first-seen order keeps
+              // the result deterministic for a given blob
+              val acc = scala.collection.mutable.LinkedHashMap
+                .empty[Seq[Option[String]], Array[Byte]]
+              kept.foreach { case (qk, _, b) =>
+                acc.updateWith(qk) {
+                  case Some(prev) => Some(merge(prev, b))
+                  case None       => Some(b)
+                }
+              }
+              Some(acc.toSeq)
+            }
+          }
+      }
+  }
+
+  /** Exact collapse of two per-group stat records (partial-key
+    * dispatch): min/max monotone, counts and the unscaled decimal sum
+    * additive — the same arithmetic the IN-list merge uses.
+    */
+  private def statsMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    graft.sketch.GroupedStats.encode(graft.sketch.GroupedStats.merge(
+      graft.sketch.GroupedStats.decode(a),
+      graft.sketch.GroupedStats.decode(b)))
 
   /** If the query is `SELECT g..., PERCENTILE(attr, p)... FROM table
     * GROUP BY g...` — optionally under `WHERE g = lit` / `g IN (lits)`
@@ -1213,8 +1335,11 @@ final class QueryEngine(
     }
     parsed match {
       case Aggregate(gs, outs, child, _) =>
-        val (gNames, keyFilter) = aggregateGroupKeys(gs, child, table)
-          .getOrElse(return None)
+        val d = aggregateGroupKeys(gs, child, table).getOrElse(return None)
+        // per-group grids don't merge: partial-key (residual) dispatch
+        // refuses for histograms — the scan path answers instead
+        if (d.residual.nonEmpty) return None
+        val (gNames, keyFilter) = (d.gNames, d.keyFilter)
         val lower = gNames.map(_.toLowerCase)
         val classified = outs.map {
           case a: UnresolvedAttribute
@@ -1316,8 +1441,17 @@ final class QueryEngine(
     }
     parsed match {
       case Aggregate(gs, outs, child, _) =>
-        val (gNames, keyFilter) = aggregateGroupKeys(gs, child, table)
-          .getOrElse(return None)
+        val d = aggregateGroupKeys(gs, child, table).getOrElse(return None)
+        val (gNames, keyFilter) = (d.gNames, d.keyFilter)
+        // blob lookup: exact-set match, or the partial-key collapse
+        // when a residual filter names the blob's other components
+        // (WHERE a = 'x' GROUP BY b over an "a,b" blob) — the collapse
+        // merge is exact (min/max monotone, counts/sums additive)
+        def statsBlobFor(c: String) =
+          if (d.residual.isEmpty)
+            groupedBlobFor(table, c, "stats_grouped", gNames)
+          else partialGroupedBlobFor(table, c, "stats_grouped", gNames,
+            d.residual, statsMergeBytes)
         val lower = gNames.map(_.toLowerCase)
         // Left((key output name, group idx)) | Right((name, fn, stats))
         val classified = outs.map {
@@ -1338,8 +1472,7 @@ final class QueryEngine(
                 // "zero error" must be true: a group sum whose double
                 // rendering loses precision (type-aware check) refuses
                 // rather than labeling a rounded SUM/AVG exact
-                groupedBlobFor(table, a.nameParts.last, "stats_grouped",
-                    gNames)
+                statsBlobFor(a.nameParts.last)
                   .map(_.map { case (k, b) =>
                     k -> graft.sketch.GroupedStats.decode(b) })
                   // a key filter prunes to the named groups before any
@@ -1746,8 +1879,17 @@ final class QueryEngine(
     }
     parsed match {
       case Aggregate(gs, outs, child, _) =>
-        val (gNames, keyFilter) = aggregateGroupKeys(gs, child, table)
-          .getOrElse(return None)
+        val d = aggregateGroupKeys(gs, child, table).getOrElse(return None)
+        val (gNames, keyFilter) = (d.gNames, d.keyFilter)
+        // partial-key dispatch: WHERE a = 'x' GROUP BY b over an "a,b"
+        // blob collapses the a dimension by register-max HLL union
+        // (distinct-over-union — exactly the filtered query's ask)
+        def hllBlobFor(c: String) =
+          if (d.residual.isEmpty)
+            groupedBlobFor(table, c, "hll_grouped", gNames)
+          else partialGroupedBlobFor(table, c, "hll_grouped", gNames,
+            d.residual, (x, y) => graft.sketch.Hll.deserialize(x)
+              .merge(graft.sketch.Hll.deserialize(y)).serialize)
         val lower = gNames.map(_.toLowerCase)
         def countDistinctCol(e: Expression): Option[String] = e match {
           case f: UnresolvedFunction
@@ -1769,7 +1911,7 @@ final class QueryEngine(
             Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
           case Alias(e, name) =>
             countDistinctCol(e).flatMap { c =>
-              groupedBlobFor(table, c, "hll_grouped", gNames).map { entries =>
+              hllBlobFor(c).map { entries =>
                 val est = entries
                   .filter { case (k, _) =>
                     keyFilter.forall(f => k.head.exists(f.contains)) }
@@ -1971,6 +2113,22 @@ final class QueryEngine(
         val g = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
           .mkString(",")
         outs.flatMap(classify(_, Some(g))).distinct
+      // partial-key shape: WHERE a = lit ... GROUP BY b advises the
+      // COMPOSITE "a,b" blob (the engine's residual dispatch serves
+      // stats/HLL from it by pruning + exact collapse)
+      case Aggregate(gs, outs, Filter(cond, r: UnresolvedRelation), _)
+          if rel(r) && gs.nonEmpty &&
+            gs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+        val gcols = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
+        residualEqualityFilter(cond, table, gcols) match {
+          case Some(res) =>
+            val g = (gcols ++ res.map(_._1)).mkString(",")
+            outs.flatMap(classify(_, Some(g))).distinct
+              // histograms can't serve the residual collapse (grids
+              // don't merge): advising one would never retire the miss
+              .filterNot(_.sketchType == "histogram_grouped")
+          case None => Nil
+        }
       case Project(outs, r: UnresolvedRelation) if rel(r) =>
         outs.flatMap(classify(_, None)).distinct
       case Project(outs, Filter(cond, r: UnresolvedRelation)) if rel(r) =>

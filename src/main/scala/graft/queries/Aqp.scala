@@ -558,6 +558,35 @@ object Aqp {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // PARTIAL-KEY dispatch end-to-end: `WHERE l_returnflag IN ('A','N')
+    // GROUP BY l_linestatus` is served from the COMPOSITE
+    // (l_returnflag, l_linestatus) blob — the filter prunes composite
+    // keys on the returnflag component, and the returnflag dimension
+    // is collapsed per l_linestatus by the EXACT stat merge (min/max
+    // monotone, counts and the unscaled decimal sum additive), so the
+    // answer equals direct aggregation over the filtered rows. Zero
+    // scan. The in-query assert pins the grouped_stats serve (a scan
+    // fallback would also flunk the plan_type column).
+    "q94_partial_key_stats" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      compositeHists.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+          "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64)
+        ()
+      })
+      val r = e.query(
+        "SELECT l_linestatus, min(l_quantity) AS mn, " +
+          "max(l_quantity) AS mx, sum(l_quantity) AS sm, " +
+          "avg(l_quantity) AS av, count(l_quantity) AS nv, count(*) AS nr " +
+          "FROM lineitem WHERE l_returnflag IN ('A', 'N') " +
+          "GROUP BY l_linestatus")
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_stats"),
+        s"q94 must serve from the composite blob via partial-key " +
+          s"dispatch: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // Composite-key automatic join AQP end-to-end: `ON o_orderkey =
     // l_orderkey AND o_orderstatus = l_linestatus` is costed from
     // stored AGMS sketches over the COMPOSITE key (components hashed
@@ -1314,6 +1343,23 @@ object Aqp {
            'sketch' AS plan_type
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    // q94: the partial-key collapse is EXACT (decimal addition merges
+    // per-(flag,status) sums into per-status sums; min/max monotone),
+    // so the oracle aggregates the filtered rows directly with the
+    // q86/q92 decimal-portable recipe. plan_type 'sketch' gates that
+    // the engine really served from the composite blob.
+    "q94_partial_key_stats" ->
+      """SELECT l_linestatus,
+           CAST(min(l_quantity) AS DOUBLE) AS mn,
+           CAST(max(l_quantity) AS DOUBLE) AS mx,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(l_quantity) AS DOUBLE) AS av,
+           count(l_quantity) AS nv, count(*) AS nr,
+           'sketch' AS plan_type
+         FROM lineitem WHERE l_returnflag IN ('A', 'N')
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
     // q91: q84's per-group grid chain restricted to the named groups —
     // each group's grid comes from the FULL table's per-group min/max
     // (the build is unfiltered), so the filter only selects which rows

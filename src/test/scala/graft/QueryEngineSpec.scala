@@ -1308,6 +1308,91 @@ class QueryEngineSpec extends SparkSpec {
     catalog.upsertTableStats("lineitem", n)
   }
 
+  test("partial-key dispatch: WHERE a = lit GROUP BY b serves stats and HLLs from the composite a,b blob by exact collapse") {
+    graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
+      "orders", Seq("o_orderstatus", "o_orderpriority"), "o_totalprice", 64)
+    graft.sketch.SketchOps.createGroupedHll(spark, catalog,
+      "orders", Seq("o_orderstatus", "o_orderpriority"), "o_custkey", 12)
+
+    // equality residual: prune on o_orderstatus, group by o_orderpriority
+    val sql = "SELECT o_orderpriority, min(o_totalprice) AS mn, " +
+      "max(o_totalprice) AS mx, sum(o_totalprice) AS sm, " +
+      "avg(o_totalprice) AS av, count(o_totalprice) AS nv, count(*) AS nr " +
+      "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"
+    val r = engine.query(sql)
+    assert(r.servedFromCatalog && r.serveKind.contains("grouped_stats"),
+      s"${r.serveKind}: ${r.reason}")
+    val served = r.df.collect().map(x => x.getString(0) -> x).toMap
+    val ex = spark.sql(
+      "SELECT o_orderpriority, cast(min(o_totalprice) as double), " +
+        "cast(max(o_totalprice) as double), " +
+        "cast(sum(cast(o_totalprice as decimal(18,4))) as double), " +
+        "count(o_totalprice), count(*) FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(served.keySet == ex.keySet, s"${served.keySet} vs ${ex.keySet}")
+    served.foreach { case (k, row) =>
+      val e = ex(k)
+      assert(row.getDouble(1) == e.getDouble(1), s"$k min")
+      assert(row.getDouble(2) == e.getDouble(2), s"$k max")
+      assert(row.getDouble(3) == e.getDouble(3), s"$k sum")
+      assert(row.getDouble(4) == e.getDouble(3) / e.getLong(4).toDouble, s"$k avg")
+      assert(row.getLong(5) == e.getLong(4), s"$k count(col)")
+      assert(row.getLong(6) == e.getLong(5), s"$k count(*)")
+    }
+
+    // IN-list residual merges the collapsed records exactly
+    val rIn = engine.query(
+      "SELECT o_orderpriority, sum(o_totalprice) AS sm, count(*) AS nr " +
+        "FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY o_orderpriority")
+    assert(rIn.servedFromCatalog, rIn.reason)
+    val inServed = rIn.df.collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getLong(2))).toMap
+    val inEx = spark.sql(
+      "SELECT o_orderpriority, cast(sum(cast(o_totalprice as decimal(18,4))) as double), " +
+        "count(*) FROM orders WHERE o_orderstatus IN ('F', 'O') " +
+        "GROUP BY o_orderpriority").collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getLong(2))).toMap
+    assert(inServed == inEx, s"$inServed vs $inEx")
+
+    // COUNT(DISTINCT) collapses by register-max HLL union
+    val rD = engine.query(
+      "SELECT o_orderpriority, count(DISTINCT o_custkey) AS nd FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
+    assert(rD.servedFromCatalog && rD.serveKind.contains("grouped_hll"),
+      s"${rD.serveKind}: ${rD.reason}")
+    val dServed = rD.df.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val dEx = spark.sql(
+      "SELECT o_orderpriority, count(DISTINCT o_custkey) FROM orders " +
+        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(dServed.keySet == dEx.keySet)
+    dEx.foreach { case (k, t) =>
+      assert(math.abs(dServed(k) - t.toDouble) / t < 3 * (1.04 / math.sqrt(4096)),
+        s"group $k: est=${dServed(k)} truth=$t")
+    }
+
+    // percentiles refuse the residual collapse (per-group grids don't
+    // merge): the query falls through to the scan path
+    val rP = engine.query(
+      "SELECT o_orderpriority, percentile(o_totalprice, 0.5) AS p50 " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
+    assert(!rP.servedFromCatalog, rP.reason)
+
+    // a filter column the blob does not carry refuses (set mismatch)
+    val rX = engine.query(
+      "SELECT o_orderpriority, sum(o_totalprice) AS sm, count(o_totalprice) AS nv " +
+        "FROM orders WHERE o_custkey = 7 GROUP BY o_orderpriority")
+    assert(!rX.servedFromCatalog, rX.reason)
+
+    // staleness retires the partial serve like every other serve
+    val n = spark.table("orders").count()
+    catalog.upsertTableStats("orders", n + 1000)
+    val rS = engine.query(sql)
+    assert(!rS.servedFromCatalog, rS.reason)
+    catalog.upsertTableStats("orders", n)
+  }
+
   test("a stored HLL whose error bound exceeds a tight budget is not a valid candidate: the adaptive HLL++ rewrite runs instead") {
     graft.sketch.SketchOps.createHll(spark, catalog, "lineitem", "l_partkey")
     val sql = "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem"
