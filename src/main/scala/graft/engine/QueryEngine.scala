@@ -488,22 +488,29 @@ final class QueryEngine(
       (opts.maxRelError * opts.maxRelError * math.max(1L, nEff))
     val inlineFrac = math.min(0.5, math.max(tierF, fNeeded))
     // Universe (both-side) sampling — the two-big-tables case fact-side
-    // sampling cannot help (the dim side would still scan in full):
-    // when BOTH tables exceed UniverseMinRows and the single equi-join
-    // key pair is identifiable, put the SAME keyed-hash lottery on both
-    // sides' join keys. Equal keys hash identically, so a join row
-    // survives iff its key does — the join output is a p-sample of
-    // itself under ONE 1/p HT scale, and both scans shrink to ~p.
-    // Deterministic membership keeps it oracle-checkable (q79).
-    if (sizes.sizeIs == 2 && sizes.forall(_._2 >= UniverseMinRows)) {
+    // sampling cannot help (the other big side would still scan in
+    // full): when exactly TWO tables exceed UniverseMinRows (the fact
+    // and one partner) and the equi-join pairs are identifiable, put
+    // the SAME keyed-hash lottery on both big sides' shared join keys.
+    // Equal keys hash identically, so a join row survives iff its key
+    // does — the join output is a p-sample of itself under ONE 1/p HT
+    // scale, and both big scans shrink to ~p. Any remaining SMALL dims
+    // join the fact exact at full fidelity (they broadcast cheaply;
+    // every full-join row with a winning key still survives, so the
+    // single scale stays unbiased). Deterministic membership keeps it
+    // oracle-checkable (q79 two-table, q95 two-big + dim).
+    val bigSides = sizes.filter(_._2 >= UniverseMinRows)
+    if (bigSides.sizeIs == 2 && bigSides.exists(_._1 == fact)) {
+      val partner = bigSides.collectFirst {
+        case (t, _) if t != fact => t }.get
       // composite equi-keys hash as one tuple on both sides — the
-      // lottery stays join-compatible (joinKeyPairs yields exactly one
-      // aligned key pair for the two-table shape)
-      joinKeyPairs(parsed, sizes.map(_._1), fact) match {
-        case Some(Seq((factKey, dimKey, dim)))
-            if !dim.contains(".") && parsed.collect {
+      // lottery stays join-compatible (joinKeyPairs aligns the pair)
+      joinKeyPairs(parsed, sizes.map(_._1), fact)
+        .flatMap(_.find(_._3 == partner)) match {
+        case Some((factKey, partnerKey, _))
+            if !partner.contains(".") && parsed.collect {
               case r: UnresolvedRelation
-                  if r.multipartIdentifier.last.equalsIgnoreCase(dim) => r
+                  if r.multipartIdentifier.last.equalsIgnoreCase(partner) => r
             }.sizeIs == 1 =>
           // Prefer MATERIALIZED universe samples on both sides (same
           // fraction -> join-compatible membership): the lottery hash
@@ -512,7 +519,7 @@ final class QueryEngine(
           // inline both-sides filter when no matching pair exists.
           val matPair = for {
             a <- catalog.universeSampleFor(fact, agmsKeyName(factKey))
-            b <- catalog.universeSampleFor(dim, agmsKeyName(dimKey))
+            b <- catalog.universeSampleFor(partner, agmsKeyName(partnerKey))
             if a.fraction == b.fraction
             if math.sqrt(1.0 / math.max(1.0, a.fraction * nEff)) <=
               opts.maxRelError * (1 + 1e-9)
@@ -521,17 +528,18 @@ final class QueryEngine(
             case Some((a, b)) =>
               val p = a.fraction
               val plan2 = SampleRewrite.rewriteUniverseMaterialized(parsed,
-                Map(fact -> a.sampleTable, dim -> b.sampleTable), p,
+                Map(fact -> a.sampleTable, partner -> b.sampleTable), p,
                 opts.ciColumns)
               val df = org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan2)
               val (spd, _) = StrategyChooser.predict(
                 StrategyChooser.Sample, factSize, Some(p))
               return Some(AqeResult(df, "sample", "sample_universe",
-                f"universe join sampling: both tables exceed $UniverseMinRows%d rows, " +
-                  f"answered from materialized universe samples ${a.sampleTable} ⋈ ${b.sampleTable} (p=$p%.4f, single 1/p HT scale)",
+                f"universe join sampling: both big tables exceed $UniverseMinRows%d rows, " +
+                  f"answered from materialized universe samples ${a.sampleTable} ⋈ ${b.sampleTable} (p=$p%.4f, single 1/p HT scale" +
+                  (if (sizes.sizeIs > 2) "; small dims joined exact)" else ")"),
                 0.8, spd, math.sqrt(1.0 / math.max(1.0, p * nEff)), Some(p),
                 Some(a.sampleTable),
-                Seq(s"both relations substituted by materialized universe samples (no scan of either base table)",
+                Seq(s"both big relations substituted by materialized universe samples (no scan of either base table)",
                   "aggregates rewritten to Horvitz-Thompson weighted form (single 1/p scale)")))
             case None =>
           }
@@ -540,15 +548,16 @@ final class QueryEngine(
           val estErrU = math.sqrt(1.0 / math.max(1.0, p * nEff))
           if (estErrU <= opts.maxRelError * (1 + 1e-9)) {
             val plan2 = SampleRewrite.rewriteUniverse(parsed,
-              Map(fact -> factKey, dim -> dimKey), p, opts.ciColumns)
+              Map(fact -> factKey, partner -> partnerKey), p, opts.ciColumns)
             val df = org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan2)
             val (spd, _) = StrategyChooser.predict(
               StrategyChooser.Sample, factSize, Some(p))
             return Some(AqeResult(df, "sample", "sample_universe",
-              f"universe join sampling: both tables exceed $UniverseMinRows%d rows, " +
-                f"shared join-key lottery p=$p%.4f on both sides (single 1/p HT scale)",
+              f"universe join sampling: both big tables exceed $UniverseMinRows%d rows, " +
+                f"shared join-key lottery p=$p%.4f on both sides (single 1/p HT scale" +
+                (if (sizes.sizeIs > 2) "; small dims joined exact)" else ")"),
               0.8, spd, estErrU, Some(p), None,
-              Seq(s"both relations filtered by the shared key lottery " +
+              Seq(s"both big relations filtered by the shared key lottery " +
                 s"graft_h60('uv:'||key) % 10000 < $threshold",
                 "aggregates rewritten to Horvitz-Thompson weighted form (single 1/p scale)")))
           }

@@ -971,6 +971,44 @@ object Aqp {
       r.df
     }),
 
+    // AQP: universe sampling for the TWO-BIG + DIMS star — q79's
+    // lottery generalized: lineitem and orders (both forced over
+    // UniverseMinRows) draw the shared 'uv:' key lottery, while part
+    // (a real dim) joins EXACT at full fidelity. Every full-join row
+    // with a winning orderkey survives, so the single 1/p = 100.0 HT
+    // scale stays unbiased and DuckDB re-derives the same surviving
+    // set with the part join applied unfiltered. The in-query asserts
+    // pin the plan shape: exactly two lottery filters (the big sides),
+    // none on the dim scan.
+    "q95_universe_star" -> ((s, dir) => {
+      val e = uniEngineFor(s, dir)
+      val r = e.query(
+        "SELECT p_brand, count(*) AS n_est, sum(l_quantity) AS qty_est " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN part ON l_partkey = p_partkey " +
+          "GROUP BY p_brand ORDER BY p_brand",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          ciColumns = false))
+      assert(r.strategy == "sample_universe" &&
+          r.sampleFraction.contains(0.01) &&
+          r.reason.contains("small dims joined exact"),
+        s"q95 must run two-big + dims universe sampling at p=0.01: " +
+          s"${r.strategy} f=${r.sampleFraction} (${r.reason})")
+      val lotteries = r.df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.sql.contains("graft_h60") => f
+      }
+      // inline route: the lottery sits on exactly the two big scans
+      // (never the dim); materialized route (after q80 built the pair):
+      // both big relations were substituted, no per-query lottery at
+      // all — membership is identical either way, so the oracle is too
+      assert(if (r.sampleTable.isEmpty) lotteries.size == 2
+             else lotteries.isEmpty,
+        s"q95 lottery placement (sampleTable=${r.sampleTable}):\n" +
+          r.df.queryExecution.optimizedPlan.toString)
+      r.df
+    }),
+
     // AQP: stratified sample with per-stratum HT weights answering a
     // GROUP BY (the strategy the reference declares but no-ops).
     "q30_aqp_stratified" -> ((s, dir) => {
@@ -1042,6 +1080,21 @@ object Aqp {
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100)
           SELECT o_orderpriority,
+            CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
+            CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est
+          FROM k GROUP BY 1 ORDER BY 1""",
+    // q95: q79's membership ('uv:' lottery on the shared orderkey,
+    // threshold 100, weight exactly 100.0) with the part dim joined
+    // UNFILTERED — the engine lotteries only the two big sides, so the
+    // oracle applies the same single key filter and the same 1/p
+    // scale; x*100 per row and per-group counts are exact integers in
+    // double.
+    "q95_universe_star" ->
+      s"""WITH k AS (SELECT p_brand, CAST(l_quantity AS BIGINT) AS x
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100)
+          SELECT p_brand,
             CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
             CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est
           FROM k GROUP BY 1 ORDER BY 1""",

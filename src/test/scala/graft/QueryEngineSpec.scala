@@ -969,6 +969,57 @@ class QueryEngineSpec extends SparkSpec {
     }
   }
 
+  test("universe sampling generalizes to the two-big + dims star: lottery on both big scans, dim exact") {
+    val sql = "SELECT p_brand, count(*) AS n FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+    val nO = spark.table("orders").count()
+    val nL = spark.table("lineitem").count()
+    // lineitem and orders big; part stays a real (small) dim. The
+    // forced stats also stale any materialized universe pair earlier
+    // tests built, so this exercises the INLINE star route.
+    catalog.upsertTableStats("orders", 2000000L)
+    catalog.upsertTableStats("lineitem", 8000000L)
+    try {
+      val r = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r.strategy == "sample_universe", s"${r.strategy}: ${r.reason}")
+      assert(r.reason.contains("small dims joined exact"), r.reason)
+      assert(r.sampleFraction.contains(0.01), r.sampleFraction.toString)
+      // plan shape: the lottery sits on the TWO big scans and never on
+      // the dim — part joins exact at full fidelity
+      val lotteries = r.df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.sql.contains("graft_h60") => f
+      }
+      assert(lotteries.size == 2, r.df.queryExecution.optimizedPlan.toString)
+      assert(!lotteries.exists(_.condition.sql.toLowerCase.contains("p_partkey")),
+        lotteries.map(_.condition.sql).mkString("; "))
+      // unbiased-ish totals under the single 1/p scale
+      val est = r.df.collect()
+        .map(_.getAs[Any]("n").asInstanceOf[Number].doubleValue()).sum
+      val truth = spark.sql(
+        "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN part ON l_partkey = p_partkey").collect().head.getLong(0).toDouble
+      assert(est % 100.0 == 0.0, est.toString)
+      assert(est > 0.2 * truth && est < 5 * truth, s"est=$est truth=$truth")
+
+      // THREE big tables: no single partner — refuse universe, fall
+      // back to fact-side sampling (dims exact)
+      val nP = spark.table("part").count()
+      catalog.upsertTableStats("part", 3000000L)
+      val r3 = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r3.strategy == "sample_join", s"${r3.strategy}: ${r3.reason}")
+      catalog.upsertTableStats("part", nP)
+    } finally {
+      catalog.upsertTableStats("orders", nO)
+      catalog.upsertTableStats("lineitem", nL)
+      catalog.refreshSampleBase("orders")
+      catalog.refreshSampleBase("lineitem")
+    }
+  }
+
   test("stored histogram sketch answers percentile queries with no scan") {
     val h = graft.sketch.SketchOps.createHistogram(
       spark, catalog, "orders", "o_totalprice", 64)
