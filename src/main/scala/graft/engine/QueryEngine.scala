@@ -504,9 +504,15 @@ final class QueryEngine(
       val partner = bigSides.collectFirst {
         case (t, _) if t != fact => t }.get
       // composite equi-keys hash as one tuple on both sides — the
-      // lottery stays join-compatible (joinKeyPairs aligns the pair)
-      joinKeyPairs(parsed, sizes.map(_._1), fact)
-        .flatMap(_.find(_._3 == partner)) match {
+      // lottery stays join-compatible (joinTreeEdges aligns the pair).
+      // The partner must join the fact DIRECTLY (the lottery key is
+      // their shared equi-key); small dims may hang off either big
+      // side — they join exact, so survival stays key-determined.
+      joinTreeEdges(parsed, sizes.map(_._1), fact)
+        .flatMap(_.collectFirst {
+          case (p, pks, c, cks) if p == fact && c == partner =>
+            (pks, cks, c)
+        }) match {
         case Some((factKey, partnerKey, _))
             if !partner.contains(".") && parsed.collect {
               case r: UnresolvedRelation
@@ -619,72 +625,117 @@ final class QueryEngine(
     */
   private val UniverseMinRows = 1000000L
 
-  /** The parsed query's equi-join keys per dim, attributed to the fact
-    * and dim tables via the session catalog's column lists (metadata
-    * only, no scan): one (factKeys, dimKeys, dim) entry per join, keys
-    * ALIGNED pairwise — a composite `ON a.k1 = b.k1 AND a.k2 = b.k2`
-    * condition yields multi-element key seqs. None on any shape the
-    * join-sampling decisions are not sound for: a join count that
-    * isn't tables-1 (not a star/chain on the fact), a non-equi
-    * conjunct, a key resolvable on neither/both sides, a join mixing
-    * dims, or a dim joined twice.
+  /** The parsed query's equi-join EDGES oriented into a tree rooted at
+    * `fact`, attributed via the session catalog's column lists
+    * (metadata only, no scan): one (parent, parentKeys, child,
+    * childKeys) entry per join, parent = the endpoint nearer the fact,
+    * keys ALIGNED pairwise — a composite `ON a.k1 = b.k1 AND
+    * a.k2 = b.k2` condition yields multi-element key seqs. Covers the
+    * star (every edge touches the fact) AND the snowflake chain
+    * (fact → dim → subdim). None on any shape the join-sampling
+    * decisions are not sound for: a join count that isn't tables-1, a
+    * non-equi conjunct, a key column resolvable on zero or several of
+    * the query's tables, a join mixing table pairs, a disconnected or
+    * cyclic shape, or a pair joined twice.
+    *
+    * CANONICAL pair order: aligned pairs are sorted by the key names
+    * of the edge's alphabetically-FIRST table — a rule independent of
+    * conjunct order, join direction, and which endpoint is the fact,
+    * so builders, advisor recipes, and every lookup agree on the same
+    * composite sketch/sample name. (For every fact-adjacent edge whose
+    * fact sorts first — e.g. lineitem ⋈ orders — this equals the
+    * previous fact-keys-sorted rule.)
     */
-  private def joinKeyPairs(
+  private def joinTreeEdges(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       tables: Seq[String], fact: String)
-      : Option[Seq[(Seq[String], Seq[String], String)]] = {
+      : Option[Seq[(String, Seq[String], String, Seq[String])]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val joins = parsed.collect { case j: Join => j }
-    val dims = tables.filterNot(_ == fact)
-    if (dims.isEmpty || joins.sizeIs != dims.size) return None
+    if (tables.sizeIs < 2 || joins.sizeIs != tables.size - 1) return None
     def cols(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
-    val factCols = cols(fact)
-    val dimCols = dims.map(d => d -> cols(d)).toMap
+    val colsBy = tables.map(t => t -> cols(t)).toMap
     val perJoin = joins.map { j =>
       j.condition.flatMap { cond =>
-        // every conjunct must be attr = attr between the fact and ONE
-        // dim (the same dim across the join's conjuncts)
+        // every conjunct must be attr = attr between exactly one
+        // UNAMBIGUOUS pair of the query's tables (the same pair across
+        // the join's conjuncts)
         val pairs = conjunctsOf(cond).map {
           case EqualTo(x: UnresolvedAttribute, y: UnresolvedAttribute) =>
             val (a, b) = (x.nameParts.last, y.nameParts.last)
-            dims.flatMap { d =>
-              val dc = dimCols(d)
-              if (factCols.contains(a.toLowerCase) && dc.contains(b.toLowerCase))
-                Seq((a, b, d))
-              else if (factCols.contains(b.toLowerCase) && dc.contains(a.toLowerCase))
-                Seq((b, a, d))
-              else Seq.empty
-            } match {
-              case Seq(one) => Some(one) // unambiguous attribution
-              case _        => None
+            val aT = tables.filter(t => colsBy(t).contains(a.toLowerCase))
+            val bT = tables.filter(t => colsBy(t).contains(b.toLowerCase))
+            (aT, bT) match {
+              case (Seq(ta), Seq(tb)) if ta != tb => Some((ta, a, tb, b))
+              case _                              => None
             }
           case _ => None
         }
         if (pairs.isEmpty || pairs.exists(_.isEmpty)) None
         else {
           val ps = pairs.flatten
-          val joinDims = ps.map(_._3).distinct
-          if (joinDims.sizeIs != 1) None
+          if (ps.map(p => Set(p._1, p._3)).distinct.sizeIs != 1) None
           else {
-            // CANONICAL pair order (sorted by fact key name): the
-            // ON-clause conjunct order must never change which
-            // composite sketch/sample is looked up — both sides of a
-            // pair stay aligned, only the pair sequence is normalized.
-            // Builders and advisor recipes use the same order.
-            val sorted = ps.sortBy(_._1.toLowerCase)
-            Some((sorted.map(_._1), sorted.map(_._2), joinDims.head))
+            // orient each conjunct onto the same (ta, tb) axis, then
+            // canonicalize pair order by the alphabetically-first
+            // table's key names
+            val (ta, tb) = (ps.head._1, ps.head._3)
+            val aligned = ps.map { case (x1, k1, _, k2) =>
+              if (x1 == ta) (k1, k2) else (k2, k1)
+            }
+            val (first, firstKeys, other, otherKeys) =
+              if (ta.toLowerCase <= tb.toLowerCase)
+                (ta, aligned.map(_._1), tb, aligned.map(_._2))
+              else (tb, aligned.map(_._2), ta, aligned.map(_._1))
+            val sorted = firstKeys.zip(otherKeys).sortBy(_._1.toLowerCase)
+            Some((first, sorted.map(_._1), other, sorted.map(_._2)))
           }
         }
       }
     }
     if (perJoin.exists(_.isEmpty)) return None
-    val resolved = perJoin.flatten
-    // each dim joined exactly once
-    if (resolved.map(_._3).distinct.sizeIs != dims.size) return None
-    Some(resolved)
+    val edges = perJoin.flatten
+    // BFS from the fact: the edges must form a spanning tree (every
+    // table reached exactly once); orientation = parent nearer fact
+    val adj = edges
+      .flatMap(e => Seq(e._1 -> e, e._3 -> e))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val visited = scala.collection.mutable.Set(fact)
+    var frontier = List(fact)
+    val oriented = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[String], String, Seq[String])]
+    while (frontier.nonEmpty) {
+      val t = frontier.head
+      frontier = frontier.tail
+      adj.getOrElse(t, Nil).foreach { case (a, ak, b, bk) =>
+        val (child, parentKeys, childKeys) =
+          if (a == t) (b, ak, bk) else (a, bk, ak)
+        if (!visited.contains(child)) {
+          visited += child
+          frontier ::= child
+          oriented += ((t, parentKeys, child, childKeys))
+        }
+      }
+    }
+    if (visited.size != tables.size || oriented.size != edges.size)
+      return None
+    Some(oriented.toSeq)
   }
+
+  /** The STAR restriction of [[joinTreeEdges]] — every join touches
+    * the fact: one (factKeys, dimKeys, dim) entry per dim. The shape
+    * the universe-lottery partner lookup and the q93 composite join
+    * contract are defined on.
+    */
+  private def joinKeyPairs(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tables: Seq[String], fact: String)
+      : Option[Seq[(Seq[String], Seq[String], String)]] =
+    joinTreeEdges(parsed, tables, fact)
+      .filter(_.forall(_._1 == fact))
+      .map(_.map { case (_, fks, child, cks) => (fks, cks, child) })
 
   /** The catalog name an AGMS sketch over a (possibly composite) key
     * is stored under — single keys keep the bare column name,
@@ -694,40 +745,43 @@ final class QueryEngine(
 
   /** Estimate the join output from stored AGMS sketches, with NO scan.
     * Two tables: the classic AGMS dot-product estimate of |F ⋈ D| over
-    * the (possibly composite) key pair. A star of several dims joined
-    * to the fact on independent keys: |F| · Π(|F ⋈ Dᵢ| / |F|) — each
-    * pairwise size from its own AGMS pair, composed under the
-    * independence assumption (the standard star-join cardinality
-    * model). Requires a fresh AGMS sketch per side with matching
-    * bucket counts; any missing piece returns None and the decision
-    * falls back to reference-parity exact.
+    * the (possibly composite) key pair. A TREE of joins (star,
+    * snowflake chain, or both): |F| · Π over oriented edges of
+    * (J_edge / |parent(edge)|) — each pairwise size from its own AGMS
+    * pair, composed under the independence assumption. For a star
+    * every parent is the fact (the standard star-join cardinality
+    * model); a fact → dim → subdim chain multiplies the subdim edge's
+    * fan-out relative to ITS parent dim. Requires a fresh AGMS sketch
+    * per edge endpoint with matching bucket counts and tuple encoding;
+    * any missing piece returns None and the decision falls back to
+    * reference-parity exact.
     */
   private val agmsEncRe = """"enc"\s*:\s*"([^"]*)"""".r
   private def agmsJoinEstimate(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       sizes: Seq[(String, Long)], fact: String): Option[Long] = {
-    val factSize = sizes.toMap.apply(fact)
+    val sizeMap = sizes.toMap
     // both sides must have hashed their key tuples under the SAME
     // rendering (composite sketches record "enc"; absent = the
     // single-key raw-cast contract) or the dot product is meaningless
     def enc(s: catalog.SketchInfo): Option[String] =
       agmsEncRe.findFirstMatchIn(s.parameters).map(_.group(1))
-    joinKeyPairs(parsed, sizes.map(_._1), fact).flatMap { prs =>
-      val ests = prs.map { case (fks, dks, dim) =>
+    joinTreeEdges(parsed, sizes.map(_._1), fact).flatMap { edges =>
+      val ests = edges.map { case (parent, pks, child, cks) =>
         for {
-          sf <- catalog.getSketch(fact, agmsKeyName(fks), "agms")
-          if sketchIsFresh(fact, sf)
-          sd <- catalog.getSketch(dim, agmsKeyName(dks), "agms")
-          if sketchIsFresh(dim, sd)
-          if enc(sf) == enc(sd)
-          est <- graft.sketch.Agms.dotEstimate(sf.data, sd.data)
-        } yield est
+          sp <- catalog.getSketch(parent, agmsKeyName(pks), "agms")
+          if sketchIsFresh(parent, sp)
+          sc <- catalog.getSketch(child, agmsKeyName(cks), "agms")
+          if sketchIsFresh(child, sc)
+          if enc(sp) == enc(sc)
+          est <- graft.sketch.Agms.dotEstimate(sp.data, sc.data)
+        } yield (parent, est)
       }
       if (ests.exists(_.isEmpty)) None
       else {
-        val js = ests.flatten
-        val j = js.foldLeft(factSize.toDouble) { (acc, ji) =>
-          acc * (ji.toDouble / math.max(1.0, factSize.toDouble))
+        val j = ests.flatten.foldLeft(
+          sizeMap(fact).toDouble) { case (acc, (parent, je)) =>
+          acc * (je.toDouble / math.max(1.0, sizeMap(parent).toDouble))
         }
         Some(math.round(j))
       }
@@ -2060,21 +2114,23 @@ final class QueryEngine(
       // join-AQP misses: an aggregate join that ran WITHOUT the
       // sampled path (the finish gate skips sample_join/universe
       // serves) becomes automatically costed once fresh AGMS pairs
-      // exist over its equi-keys — so each side's (table, key) is a
-      // sketchable candidate. The hub (fact) is found by attribution:
-      // only the table every join resolves against yields key pairs.
+      // exist over its equi-keys — so each EDGE endpoint's (table,
+      // key) is a sketchable candidate. Stars and snowflake chains
+      // alike: joinTreeEdges succeeds from any root, and the canonical
+      // edge key order is root-independent, so the advised names match
+      // what execution will look up.
       if (features.tables.sizeIs < 2 || !features.hasApproximableAgg ||
           features.hasDistinct) return Nil
       return try {
         val ts = features.tables
         ts.iterator
-          .map(f => joinKeyPairs(parsed, ts, f).map(f -> _))
+          .map(f => joinTreeEdges(parsed, ts, f))
           .collectFirst { case Some(v) => v }
-          .map { case (fact, pairs) =>
-            (pairs.map { case (fks, _, _) =>
-              Candidate(fact, agmsKeyName(fks), "agms", None)
-            } ++ pairs.map { case (_, dks, dim) =>
-              Candidate(dim, agmsKeyName(dks), "agms", None)
+          .map { edges =>
+            (edges.map { case (p, pks, _, _) =>
+              Candidate(p, agmsKeyName(pks), "agms", None)
+            } ++ edges.map { case (_, _, c, cks) =>
+              Candidate(c, agmsKeyName(cks), "agms", None)
             }).distinct
           }
           .getOrElse(Nil)

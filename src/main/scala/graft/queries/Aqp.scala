@@ -97,13 +97,32 @@ object Aqp {
     joinEngines.getOrElseUpdate((s, dir), {
       val e = new QueryEngine(s,
         new MetaCatalog(Files.createTempDirectory("graft-join").toString))
-      // CANONICAL key order (fact keys sorted, dim aligned — what
-      // QueryEngine.joinKeyPairs normalizes every ON clause to, so the
-      // lookup is conjunct-order independent)
+      // CANONICAL key order (the alphabetically-first table's keys
+      // sorted, the partner aligned — what QueryEngine.joinTreeEdges
+      // normalizes every ON clause to, so the lookup is
+      // conjunct-order independent)
       graft.sketch.SketchOps.createAgms(s, e.catalog, "lineitem",
         Seq("l_linestatus", "l_orderkey"), 1024)
       graft.sketch.SketchOps.createAgms(s, e.catalog, "orders",
         Seq("o_orderstatus", "o_orderkey"), 1024)
+      e
+    })
+  }
+
+  // q96's engine: AGMS evidence on BOTH edges of the snowflake chain
+  // lineitem → orders → customer, in its own catalog so live stats and
+  // sketch rowcounts agree (the q93 isolation rationale).
+  private val snowEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private def snowEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    snowEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-snow").toString))
+      graft.sketch.SketchOps.createAgms(s, e.catalog, "lineitem", "l_orderkey")
+      graft.sketch.SketchOps.createAgms(s, e.catalog, "orders", "o_orderkey")
+      graft.sketch.SketchOps.createAgms(s, e.catalog, "orders", "o_custkey")
+      graft.sketch.SketchOps.createAgms(s, e.catalog, "customer", "c_custkey")
       e
     })
   }
@@ -607,6 +626,29 @@ object Aqp {
           ciColumns = false))
       assert(r.strategy == "sample_join" && r.reason.contains("AGMS"),
         s"q93 must take the automatic composite-key join AQP path: " +
+          s"${r.strategy} (${r.reason})")
+      r.df
+    }),
+
+    // Snowflake (dim-dim chain) automatic join AQP end-to-end:
+    // lineitem → orders → customer, where the orders⋈customer edge
+    // touches no fact column. The costed decision composes the two
+    // AGMS edge estimates along the oriented tree
+    // (J = |L| · (J_LO/|L|) · (J_OC/|O|)); the fact is sampled by the
+    // deterministic 'sys:' keyed-hash lottery (sf0.01 lineitem ->
+    // 0.02 tier -> threshold 200, weight exactly 50.0 — q77's
+    // constants) and the WHOLE CHAIN stays exact, so DuckDB re-derives
+    // the estimates bit-for-bit from the same membership.
+    "q96_snowflake_join_aqp" -> ((s, dir) => {
+      val e = snowEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(l_quantity) AS qty_est " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey",
+        e.Options(maxRelError = 0.1, systematicKey = Some("l_orderkey"),
+          ciColumns = false))
+      assert(r.strategy == "sample_join" && r.reason.contains("AGMS"),
+        s"q96 must take the automatic snowflake-chain join AQP path: " +
           s"${r.strategy} (${r.reason})")
       r.df
     }),
@@ -1378,6 +1420,19 @@ object Aqp {
       s"""WITH k AS (SELECT CAST(l_quantity AS BIGINT) AS x
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               AND o_orderstatus = l_linestatus
+            WHERE ${graft.queries.Dedup.h60Duck("'sys:' || CAST(l_orderkey AS VARCHAR)")} % 10000 < 200)
+          SELECT CAST(count(*) AS DOUBLE) * 50.0 AS n_est,
+            CAST(sum(x) AS DOUBLE) * 50.0 AS qty_est
+          FROM k""",
+    // q96: q77's membership ('sys:' lottery on the fact key, threshold
+    // 200, weight 50.0) through the TWO-EDGE chain — the AGMS
+    // sketches only drive the plan decision (gated by the in-query
+    // assert); orders and customer join exact, so the same surviving
+    // lineitem rows flow through the same chain on both engines.
+    "q96_snowflake_join_aqp" ->
+      s"""WITH k AS (SELECT CAST(l_quantity AS BIGINT) AS x
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
             WHERE ${graft.queries.Dedup.h60Duck("'sys:' || CAST(l_orderkey AS VARCHAR)")} % 10000 < 200)
           SELECT CAST(count(*) AS DOUBLE) * 50.0 AS n_est,
             CAST(sum(x) AS DOUBLE) * 50.0 AS qty_est

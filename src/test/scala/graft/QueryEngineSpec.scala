@@ -847,14 +847,29 @@ class QueryEngineSpec extends SparkSpec {
       .collect().head.getLong(0).toDouble
     assert(math.abs(estS - truthS) / truthS < 0.4, s"est=$estS truth=$truthS")
 
-    // a dim-dim join (not a star on the fact) still refuses: the
-    // chain orders->customer key resolves on neither side of the fact
-    val rc = engine.query(
-      "SELECT count(*) AS n FROM lineitem " +
-        "JOIN orders ON l_orderkey = o_orderkey " +
-        "JOIN customer ON o_custkey = c_custkey",
-      engine.Options(maxRelError = 0.1))
+    // a dim-dim chain edge WITHOUT AGMS evidence refuses: the
+    // orders⋈customer edge has no sketches, so the tree estimate is
+    // incomplete and the decision stays reference-parity exact
+    val chainSql = "SELECT count(*) AS n FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey"
+    val rc = engine.query(chainSql, engine.Options(maxRelError = 0.1))
     assert(rc.planType == "exact", s"${rc.planType}: ${rc.reason}")
+
+    // snowflake: AGMS on the chain edge completes the oriented-tree
+    // composition (J = |L| · J_LO/|L| · J_OC/|O|) — the fact is
+    // sampled, the WHOLE chain stays exact
+    graft.sketch.SketchOps.createAgms(spark, catalog, "orders", "o_custkey")
+    graft.sketch.SketchOps.createAgms(spark, catalog, "customer", "c_custkey")
+    val rSnow = engine.query(chainSql, engine.Options(maxRelError = 0.1))
+    assert(rSnow.strategy == "sample_join" && rSnow.reason.contains("AGMS"),
+      s"${rSnow.strategy}: ${rSnow.reason}")
+    val estC = rSnow.df.collect().head.getAs[Any]("n")
+      .asInstanceOf[Number].doubleValue()
+    val truthC = spark.sql(chainSql.replace(" AS n", ""))
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(estC - truthC) / truthC < 0.4,
+      s"est=$estC truth=$truthC")
   }
 
   test("universe (both-side) join sampling is chosen when both tables are big") {
