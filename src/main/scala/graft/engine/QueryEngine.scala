@@ -2127,11 +2127,24 @@ final class QueryEngine(
           .map(f => joinTreeEdges(parsed, ts, f))
           .collectFirst { case Some(v) => v }
           .map { edges =>
-            (edges.map { case (p, pks, _, _) =>
+            // metadata-only size evidence: catalog stats, never a scan
+            def bigByStats(t: String): Boolean =
+              catalog.statsFor(t).exists(_.rowCount >= UniverseMinRows)
+            val agms = edges.map { case (p, pks, _, _) =>
               Candidate(p, agmsKeyName(pks), "agms", None)
             } ++ edges.map { case (_, _, c, cks) =>
               Candidate(c, agmsKeyName(cks), "agms", None)
-            }).distinct
+            }
+            // two-big edges additionally advise a MATERIALIZED
+            // universe-sample pair: the per-query inline lottery is
+            // itself a full scan of both big sides, which the pair
+            // amortizes to one build
+            val universe = edges.collect {
+              case (p, pks, c, cks) if bigByStats(p) && bigByStats(c) =>
+                Seq(Candidate(p, agmsKeyName(pks), "universe", None),
+                  Candidate(c, agmsKeyName(cks), "universe", None))
+            }.flatten
+            (agms ++ universe).distinct
           }
           .getOrElse(Nil)
       } catch { case scala.util.control.NonFatal(_) => Nil }
@@ -2247,22 +2260,28 @@ final class QueryEngine(
     sketchAdvisor.snapshot.toSeq
       .filter(_._2 >= minMisses)
       .filterNot { case (c, _) =>
-        // candidate types use the advisor's vocabulary; the catalog
-        // stores the builders' names ("hll" -> "hyperloglog",
-        // "cms" -> "countmin"; the grouped types match verbatim)
-        val catalogType = c.sketchType match {
-          case "hll" => "hyperloglog"
-          case "cms" => "countmin"
-          case other => other
+        // "universe" candidates are SAMPLES, not sketches: covered by
+        // a fresh materialized universe sample over the same key
+        if (c.sketchType == "universe")
+          catalog.universeSampleFor(c.table, c.column).isDefined
+        else {
+          // candidate types use the advisor's vocabulary; the catalog
+          // stores the builders' names ("hll" -> "hyperloglog",
+          // "cms" -> "countmin"; the grouped types match verbatim)
+          val catalogType = c.sketchType match {
+            case "hll" => "hyperloglog"
+            case "cms" => "countmin"
+            case other => other
+          }
+          catalog.getSketch(c.table, c.column, catalogType)
+            .filter(sketchIsFresh(c.table, _))
+            .exists(s => c.groupBy.forall(g =>
+              // SET comparison: a sketch built as "a,b" covers a miss
+              // recorded from a GROUP BY b, a (dispatch is set-equality)
+              groupByParamRe.findFirstMatchIn(s.parameters).exists(m =>
+                m.group(1).toLowerCase.split(",").map(_.trim).toSet ==
+                  g.toLowerCase.split(",").map(_.trim).toSet)))
         }
-        catalog.getSketch(c.table, c.column, catalogType)
-          .filter(sketchIsFresh(c.table, _))
-          .exists(s => c.groupBy.forall(g =>
-            // SET comparison: a sketch built as "a,b" covers a miss
-            // recorded from a GROUP BY b, a (dispatch is set-equality)
-            groupByParamRe.findFirstMatchIn(s.parameters).exists(m =>
-              m.group(1).toLowerCase.split(",").map(_.trim).toSet ==
-                g.toLowerCase.split(",").map(_.trim).toSet)))
       }
       .map { case (c, n) =>
         SketchAdvisor.Advice(c, n, SketchAdvisor.buildRecipe(c))
@@ -2287,6 +2306,15 @@ final class QueryEngine(
         r.strategy != "sample_universe")
       parsedCached(sql).foreach { case (p, _) =>
         sketchAdvisor.observe(sketchCandidates(p, features))
+      }
+    // an INLINE universe serve answers well but still pays the lottery
+    // hash over BOTH big scans per query — observe only the
+    // universe-pair candidates, so repeated two-big joins surface the
+    // materialized-pair build that amortizes the hash to one pass
+    else if (r.strategy == "sample_universe" && r.sampleTable.isEmpty)
+      parsedCached(sql).foreach { case (p, _) =>
+        sketchAdvisor.observe(
+          sketchCandidates(p, features).filter(_.sketchType == "universe"))
       }
     if (!opts.measureExact) return r
     val t0 = System.nanoTime()

@@ -45,6 +45,15 @@ object SketchAdvisor {
           c.column.split(",").map(k => s""""$k"""").mkString("Seq(", ", ", ")")
         else c.column
       s"SketchOps.createAgms(spark, catalog, ${c.table}, $key)"
+    case ("universe", _) =>
+      // a materialized universe sample per big join side — the pair
+      // must share ONE fraction to stay join-compatible
+      val key =
+        if (c.column.contains(","))
+          c.column.split(",").map(k => s""""$k"""").mkString("Seq(", ", ", ")")
+        else c.column
+      s"Samplers.createUniverse(spark, catalog, ${c.table}, $key, f) " +
+        "// same fraction f on BOTH join sides"
     case _ => s"unknown sketch type ${c.sketchType}"
   }
 }

@@ -1035,6 +1035,53 @@ class QueryEngineSpec extends SparkSpec {
     }
   }
 
+  test("advisor recommends a materialized universe pair for repeated inline two-big joins; building it flips the route") {
+    val sql = "SELECT sum(l_quantity) AS s " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    val nO = spark.table("orders").count()
+    val nL = spark.table("lineitem").count()
+    // two-big regime; earlier tests' universe samples go stale under
+    // the forced stats, so the engine runs the INLINE lottery route
+    catalog.upsertTableStats("orders", 2000000L)
+    catalog.upsertTableStats("lineitem", 8000000L)
+    try {
+      (1 to 3).foreach { _ =>
+        val r = engine.query(sql,
+          engine.Options(approximateJoins = true, maxRelError = 0.1))
+        assert(r.strategy == "sample_universe" && r.sampleTable.isEmpty,
+          s"${r.strategy} ${r.sampleTable}: ${r.reason}")
+      }
+      // the repeated per-query lottery hash surfaces the pair build
+      val uni = engine.adviseSketches(minMisses = 3)
+        .filter(_.candidate.sketchType == "universe")
+      assert(uni.map(_.candidate.table).toSet == Set("orders", "lineitem"),
+        uni.toString)
+      assert(uni.forall(a => a.candidate.column.nonEmpty &&
+        a.build.contains("createUniverse")), uni.toString)
+      // building the recommended pair retires the advice...
+      Samplers.createUniverse(spark, catalog, "orders", "o_orderkey", 0.01)
+      Samplers.createUniverse(spark, catalog, "lineitem", "l_orderkey", 0.01)
+      catalog.upsertTableStats("orders", 2000000L)
+      catalog.upsertTableStats("lineitem", 8000000L)
+      catalog.refreshSampleBase("orders")
+      catalog.refreshSampleBase("lineitem")
+      assert(!engine.adviseSketches(minMisses = 3)
+        .exists(_.candidate.sketchType == "universe"))
+      // ...and the same query now serves from the materialized pair
+      val rm = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(rm.strategy == "sample_universe" &&
+        rm.reason.contains("materialized universe") &&
+        rm.sampleTable.exists(_.contains("__uni_")),
+        s"${rm.strategy} ${rm.sampleTable}: ${rm.reason}")
+    } finally {
+      catalog.upsertTableStats("orders", nO)
+      catalog.upsertTableStats("lineitem", nL)
+      catalog.refreshSampleBase("orders")
+      catalog.refreshSampleBase("lineitem")
+    }
+  }
+
   test("stored histogram sketch answers percentile queries with no scan") {
     val h = graft.sketch.SketchOps.createHistogram(
       spark, catalog, "orders", "o_totalprice", 64)
