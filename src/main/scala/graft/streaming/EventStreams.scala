@@ -430,9 +430,26 @@ object EventStreams {
   def maintainGroupedHistogramSketch(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
       valueCol: String, grids: Seq[(Option[String], Double, Double)],
+      buckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainGroupedHistogramSketch(values, catalog, table, Seq(groupCol),
+      valueCol, grids, buckets)
+
+  /** Composite-key variant: per-(g1, g2, ...) fixed grids keyed by the
+    * batch builder's `to_json(array(...))` tuple rendering
+    * (SketchOps.groupKeyExpr — derive grid keys with it, never by
+    * hand), so the engine's composite GROUP BY percentile serve
+    * answers from the LIVE blob. Same fixed-grid contract and
+    * unknown-group refusal as the single-key form.
+    */
+  def maintainGroupedHistogramSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      groupCols: Seq[String], valueCol: String,
+      grids: Seq[(Option[String], Double, Double)],
       buckets: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.nonEmpty, "at least one group column required")
     require(buckets >= 1 && grids.nonEmpty && grids.forall(_._3 > 0),
       "need buckets >= 1 and non-empty per-group grids with width > 0")
+    val groupCol = groupCols.mkString(",")
     val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
     val spark = values.sparkSession
     import spark.implicits._
@@ -447,7 +464,7 @@ object EventStreams {
           .exists(batchId <= _)
         if (!alreadyMerged) {
           val in = batch.filter(col(valueCol).isNotNull)
-            .select(col(groupCol).cast("string").as("g"),
+            .select(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"),
               col(valueCol).cast("double").as("v"))
           // null-safe left join: a NULL group is still a group, and a
           // group with no grid surfaces as a null glo below

@@ -465,6 +465,89 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-maintained COMPOSITE grouped histogram byte-equal the batch build; composite percentiles go live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-cghist").toString)
+    val buckets = 64
+    val data = (1L to 900L).map(i =>
+      (s"a${i % 2}", s"b${i % 3}", (i * 37 % 613).toDouble))
+    // fixed per-composite-group grids with the BATCH builder's grid
+    // rule ((hi-lo)/buckets from the full data), keys derived with the
+    // builder's own tuple rendering — never hand-constructed
+    val grids = data.toDF("ga", "gb", "price")
+      .groupBy(graft.sketch.SketchOps.groupKeyExpr(Seq("ga", "gb")).as("g"))
+      .agg(org.apache.spark.sql.functions.min("price").as("lo"),
+        org.apache.spark.sql.functions.max("price").as("hi"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1),
+        if (r.getDouble(2) > r.getDouble(1))
+          (r.getDouble(2) - r.getDouble(1)) / buckets
+        else 1.0))
+      .toSeq
+    val stream = MemoryStream[(String, String, Double)]
+    val q = EventStreams.maintainGroupedHistogramSketch(
+      stream.toDF().toDF("ga", "gb", "price"), catalog, "prices_live_c",
+      Seq("ga", "gb"), "price", grids, buckets)
+    data.grouped(300).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // law: the stream-maintained blob is BYTE-equal to the one-pass
+    // batch build over the same rows on the same grids
+    data.toDF("ga", "gb", "price").createOrReplaceTempView("prices_live_c")
+    val catalog2 = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-batch-cghist").toString)
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog2, "prices_live_c", Seq("ga", "gb"), "price", buckets)
+    val streamed = catalog.getSketch("prices_live_c", "price",
+      "histogram_grouped")
+    val batchSk = catalog2.getSketch("prices_live_c", "price",
+      "histogram_grouped")
+    assert(streamed.isDefined && batchSk.isDefined)
+    assert(streamed.get.data.sameElements(batchSk.get.data))
+    assert(streamed.get.parameters.contains("\"group_by\":\"ga,gb\""))
+
+    // the engine serves per-(ga, gb) percentiles from the LIVE blob
+    // over an EMPTY backing view (a scan would answer zero groups)
+    spark.range(0)
+      .select(lit("x").as("ga"), lit("y").as("gb"),
+        col("id").cast("double").as("price"))
+      .createOrReplaceTempView("prices_live_c")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT ga, gb, percentile(price, 0.5) AS p50 " +
+        "FROM prices_live_c GROUP BY ga, gb")
+    assert(r.planType == "sketch", r.reason)
+    assert(r.transformations.exists(_.contains("grouped histogram")),
+      r.transformations)
+    val served = r.df.collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(served.keySet ==
+      data.map(t => (t._1, t._2)).distinct.toSet, served.keySet.toString)
+    val hs = graft.sketch.GroupedHll.unpack(streamed.get.data)
+    served.values.foreach(v => assert(!v.isNaN))
+    assert(hs.sizeIs == 6)
+
+    // an unknown COMPOSITE group still refuses (fixed-grid contract)
+    val drift = MemoryStream[(String, String, Double)]
+    val q3 = EventStreams.maintainGroupedHistogramSketch(
+      drift.toDF().toDF("ga", "gb", "price"), catalog, "prices_live_c2",
+      Seq("ga", "gb"), "price", grids, buckets)
+    drift.addData(Seq(("zz", "zz", 5.0)))
+    val failed =
+      try { q3.processAllAvailable(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException |
+                   _: IllegalArgumentException => true }
+    q3.stop()
+    assert(failed, "unknown composite group must refuse, not guess a grid")
+    assert(catalog.getSketch("prices_live_c2", "price",
+      "histogram_grouped").isEmpty)
+  }
+
   test("stream-maintained CMS equals the batch build; engine point-frequency goes live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
