@@ -45,10 +45,17 @@ object Similarity {
     * assignment and the streaming twin
     * (EventStreams.assignToCells); k rows, always broadcastable.
     */
-  def cellCentroids(s: SparkSession, dir: String): DataFrame = {
+  def cellCentroids(s: SparkSession, dir: String): DataFrame =
+    cellCentroidsOf(s, Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")))
+
+  /** [[cellCentroids]] over an arbitrary (label, embedding) frame —
+    * what lets the spec's recall law run the quantizer on a synthetic
+    * boundary-heavy corpus.
+    */
+  def cellCentroidsOf(s: SparkSession, emb: DataFrame): DataFrame = {
     registerFns(s)
-    Tables.load(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    emb
       .select(col("label"), col("embedding"),
         explode(expr("sequence(1, 64)")).as("dim"))
       .select(col("label"), col("dim"),
@@ -107,6 +114,15 @@ object Similarity {
   private val nQueries = 8
   private val topK = 3
 
+  /** How many nearest cells a QUERY probes in IVF search (q41).
+    * nprobe=1 misses neighbors that sit just across a cell boundary —
+    * the classic IVF recall cliff; probing the nprobe nearest
+    * centroids trades candidate volume (~nprobe·n/k rescorings per
+    * query) for recall. Corpus vectors stay assigned to exactly one
+    * cell either way.
+    */
+  val IvfNprobe = 2
+
   /** Exact-cosine threshold for embedding near-duplicate pairs (q40). */
   val nearDupCos = 0.40
 
@@ -121,6 +137,56 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         expr(dotSpark("embedding", "embedding")).as("nrm"))
       .localCheckpoint()
+  }
+
+  /** IVF top-k over an arbitrary corpus frame: per-label centroids as
+    * the coarse quantizer, every vector assigned to its nearest cell,
+    * queries (vec_id < nQueries) probing their `nprobe` nearest cells,
+    * exact quantized-cosine rescoring + per-query top-k. q41 runs this
+    * on the embeddings table at [[IvfNprobe]]; the spec's recall law
+    * runs it on a boundary-heavy synthetic corpus at nprobe 1 vs 4.
+    * `emb` needs (vec_id, label, embedding); `nemb` is its normed
+    * companion (vec_id, embedding, nrm).
+    */
+  private[graft] def ivfTopKOf(s: SparkSession, e: DataFrame,
+      nemb: DataFrame, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerFns(s)
+    val centArr = cellCentroidsOf(s, e)
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    // every (vector, cell) scored once; rn=1 is the corpus assignment,
+    // rn<=nprobe the QUERY probe set — one scoring pass feeds both
+    val scored = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("cell"),
+        expr("quantized_dot(embedding, cav)").as("score"))
+      .withColumn("rn", row_number().over(w1))
+      .localCheckpoint()
+    val assign = scored.filter(col("rn") === 1)
+      .select(col("vec_id").as("nid"), col("cell"))
+    val probes = scored.filter(col("vec_id") < nQueries &&
+        col("rn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    // a corpus vector lives in exactly ONE cell, so probing several
+    // cells cannot duplicate a (qid, nid) candidate
+    val cand = probes.join(assign, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    cand
+      .join(nemb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), "qid")
+      .join(nemb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn")), "nid")
+      .withColumn("cos", expr(
+        s"""cast(${dotSpark("qe", "ne")} as double) /
+            sqrt(cast(qn as double) * cast(nn as double))"""))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** (vec_id, band, chunk) LSH bucket assignments for the whole corpus:
@@ -310,51 +376,20 @@ object Similarity {
     // IVF top-k search — the inverted-file ANN scale path: per-label
     // centroids form the coarse quantizer (the q23 building block made
     // whole), EVERY vector is assigned to its nearest centroid, and a
-    // query probes ONLY its own cell (nprobe=1) — candidate volume is
-    // n/k instead of n, then exact quantized-cosine rescoring + top-k.
-    // The assignment scores each (vector, cell) pair with ONE fused
-    // quantized_dot against the float-rounded centroid array (n×k rows
-    // through the window, the centroid table is k rows and broadcast) —
-    // not an explode to n×d×k quantized component rows; at corpus scale
-    // that 64x agg-input reduction is the difference between an
-    // assignment pass bounded by the scan and one bounded by the
-    // shuffle.
+    // query probes its IvfNprobe nearest cells (multi-probe: the
+    // nprobe=1 recall cliff at cell boundaries is the known IVF
+    // failure mode) — candidate volume is nprobe·n/k instead of n,
+    // then exact quantized-cosine rescoring + top-k. The assignment
+    // scores each (vector, cell) pair with ONE fused quantized_dot
+    // against the float-rounded centroid array (n×k rows through the
+    // window, the centroid table is k rows and broadcast), feeding
+    // BOTH the corpus assignment (rn=1) and the query probe set
+    // (rn<=nprobe) from a single pass.
     "q41_ivf_topk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      val centArr = cellCentroids(s, dir)
-      val w1 = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("cell").asc)
-      val assign = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(centArr))
-        .select(col("vec_id"), col("cell"),
-          expr("quantized_dot(embedding, cav)").as("score"))
-        .withColumn("rn", row_number().over(w1))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell"))
-        .localCheckpoint()
-      val cand = assign.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("cell"))
-        .join(assign.select(col("vec_id").as("nid"), col("cell")), "cell")
-        .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"))
-      val emb = normedEmbeddings(s, dir)
-      val w2 = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid").asc)
-      cand
-        .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn")), "qid")
-        .join(emb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("nrm").as("nn")), "nid")
-        .withColumn("cos", expr(
-          s"""cast(${dotSpark("qe", "ne")} as double) /
-              sqrt(cast(qn as double) * cast(nn as double))"""))
-        .withColumn("rank", row_number().over(w2))
-        .filter(col("rank") <= topK)
-        .select(col("qid"), col("nid"), col("rank"), col("cos"))
-        .orderBy(col("qid"), col("rank"))
+      ivfTopKOf(s, e, normedEmbeddings(s, dir), IvfNprobe)
     }),
 
     // Per-label centroid statistics (the building block of IVF coarse
@@ -483,13 +518,15 @@ object Similarity {
           scores AS (SELECT xs.vec_id, centf.cell,
               CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS score
             FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2),
-          assign AS (SELECT vec_id, cell FROM (
-              SELECT vec_id, cell,
-                row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
-              FROM scores) WHERE rn = 1),
-          cand AS (SELECT q.vec_id AS qid, n.vec_id AS nid
-            FROM assign q JOIN assign n ON q.cell = n.cell
-            WHERE q.vec_id < $nQueries AND q.vec_id <> n.vec_id),
+          ranked0 AS (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+            FROM scores),
+          assign AS (SELECT vec_id, cell FROM ranked0 WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cell FROM ranked0
+            WHERE vec_id < $nQueries AND rn <= $IvfNprobe),
+          cand AS (SELECT p.qid, n.vec_id AS nid
+            FROM probes p JOIN assign n ON p.cell = n.cell
+            WHERE p.qid <> n.vec_id),
           nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
           we AS (SELECT qid, nid, eq.embedding AS qe, en.embedding AS ne,
               eq.nrm AS qn, en.nrm AS nn

@@ -80,4 +80,56 @@ class SimilaritySpec extends SparkSpec {
         s"qid=$qid ivf=$c bf=${bf.get(qid)}")
     }
   }
+
+  test("ivf multi-probe recall law: nprobe=4 recall >= nprobe=1 on a boundary-heavy corpus") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // a query assigned to cell a whose TRUE nearest neighbors live in
+    // cell b, just across the boundary: cell a is e1-aligned, cell b is
+    // mostly e2-pure (pulling its centroid away from the query) except
+    // two members near the query's direction — the classic multi-probe
+    // rescue shape
+    def vec(x: Double, y: Double): Seq[Float] =
+      (Seq(x.toFloat, y.toFloat) ++ Seq.fill(62)(0.0f))
+    val rows =
+      Seq((0L, "a", vec(0.9, 0.44))) ++                 // the query
+        (8L to 17L).map(i =>
+          (i, "a", vec(1.0, 0.0005 * (i - 8)))) ++      // cell a: e1-ish
+        (18L to 27L).map(i =>
+          (i, "b", vec(0.0005 * (i - 18), 1.0))) ++     // cell b: e2-pure
+        Seq((28L, "b", vec(0.643, 0.766)),              // boundary members:
+          (29L, "b", vec(0.64, 0.77)))                  // nearest to the
+    // query (cos ~0.914 vs ~0.899 for cell a's members) yet closer to
+    // cell b's centroid than to cell a's — single-probe misses them
+    val fixture = rows.toDF("vec_id", "label", "embedding")
+    val nemb = fixture.select(col("vec_id"), col("embedding"),
+      expr("quantized_dot(embedding, embedding)").as("nrm"))
+
+    // brute-force truth top-3 for the single query (id 0)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * 1e6).toLong }.sum
+      def n(v: Seq[Float]) = v.map(x =>
+        math.floor(x.toDouble * x.toDouble * 1e6).toLong).sum
+      dot.toDouble / math.sqrt(n(a).toDouble * n(b).toDouble)
+    }
+    val q = rows.head._3
+    val truth = rows.drop(1).map { case (id, _, v) => id -> cos(q, v) }
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopKOf(spark, fixture, nemb, nprobe)
+        .collect().filter(_.getAs[Long]("qid") == 0L)
+        .map(_.getAs[Long]("nid")).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"nprobe=4 recall $r4 < nprobe=1 recall $r1")
+    // the fixture is engineered so single-probe MISSES the boundary
+    // neighbors and multi-probe recovers them
+    assert(r1 < 1.0, s"fixture not boundary-heavy: nprobe=1 recall $r1")
+    assert(r4 == 1.0, s"multi-probe should recover all: recall $r4")
+  }
 }
