@@ -80,15 +80,31 @@ object Bench {
       run(fn)
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-drift canary: a fixed do-nothing op (count over a cached
+    // 1-row df) timed once per pass. Its work is constant by
+    // construction, so cross-round variation in the canary readings
+    // measures HOST contention, not code — the adjudicator when
+    // untouched queries drift near-uniformly between rounds.
+    val canaryDf = spark.range(1).toDF("c").cache()
+    canaryDf.count() // materialize the cache before timing
+    val canaries = scala.collection.mutable.ListBuffer[Double]()
+    def canaryTime(): Double = {
+      val t0 = System.nanoTime()
+      canaryDf.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
     // minimum of three INTERLEAVED timed passes (see scaladoc): the
     // steady-state latency, robust to multi-minute contention windows
     val passTimes = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    for (_ <- 1 to 3) queries.foreach { case (name, fn) =>
-      if (!errors.contains(name))
-        try passTimes(name) = timed(fn) :: passTimes.getOrElse(name, Nil)
-        catch { case t: Throwable =>
-          errors(name) = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
-          passTimes.remove(name) }
+    for (_ <- 1 to 3) {
+      canaries += canaryTime()
+      queries.foreach { case (name, fn) =>
+        if (!errors.contains(name))
+          try passTimes(name) = timed(fn) :: passTimes.getOrElse(name, Nil)
+          catch { case t: Throwable =>
+            errors(name) = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+            passTimes.remove(name) }
+      }
     }
     val results = passTimes.toSeq.map { case (name, ts) => name -> ts.min }
     // The round driver keeps only the LAST 2000 chars of stdout; with 57
@@ -352,7 +368,8 @@ object Bench {
       jstr(k) + ":[" + ts.reverse.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fullErrJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","pass_times":$passJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"sf":${jstr(sfDir)},"cpus":$cpus}"""
+    val canaryJson = canaries.map(_.toString).mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"sf":${jstr(sfDir)},"cpus":$cpus}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: line below still has the summary

@@ -523,13 +523,12 @@ final class QueryEngine(
           // is a full-scan cost paid once at sample creation, not per
           // query — the serving shape at 100 TB. Falls back to the
           // inline both-sides filter when no matching pair exists.
-          val matPair = for {
-            a <- catalog.universeSampleFor(fact, agmsKeyName(factKey))
-            b <- catalog.universeSampleFor(partner, agmsKeyName(partnerKey))
-            if a.fraction == b.fraction
-            if math.sqrt(1.0 / math.max(1.0, a.fraction * nEff)) <=
-              opts.maxRelError * (1 + 1e-9)
-          } yield (a, b)
+          val matPair = universePairFor(fact, factKey, partner, partnerKey)
+            .filter { case (a, b) => a.fraction == b.fraction }
+            .filter { case (a, _) =>
+              math.sqrt(1.0 / math.max(1.0, a.fraction * nEff)) <=
+                opts.maxRelError * (1 + 1e-9)
+            }
           matPair match {
             case Some((a, b)) =>
               val p = a.fraction
@@ -743,6 +742,81 @@ final class QueryEngine(
     */
   private def agmsKeyName(keys: Seq[String]): String = keys.mkString(",")
 
+  /** A fresh stored AGMS pair over the ALIGNED key pair, under ANY
+    * shared component order: builders (the HTTP route included) may
+    * store composite keys in whatever order the caller listed them, as
+    * long as BOTH sides used the SAME aligned order — the tuple hash
+    * is order-sensitive, but consistently-permuted pairs hash
+    * compatibly. The canonical order is probed first (one lookup, the
+    * common case); otherwise each stored fact-side order induces the
+    * partner order through the ON-clause alignment and the partner is
+    * looked up under it, so an HTTP-built natural-order pair can never
+    * become permanently unservable.
+    */
+  private def agmsPairFor(tableA: String, keysA: Seq[String],
+      tableB: String, keysB: Seq[String])
+      : Option[(catalog.SketchInfo, catalog.SketchInfo)] = {
+    def fresh(t: String, key: String): Option[catalog.SketchInfo] =
+      catalog.getSketch(t, key, "agms").filter(sketchIsFresh(t, _))
+    val canonical = for {
+      sa <- fresh(tableA, agmsKeyName(keysA))
+      sb <- fresh(tableB, agmsKeyName(keysB))
+    } yield (sa, sb)
+    canonical.orElse {
+      val pairs = keysA.zip(keysB)
+      catalog.listSketches(Some(tableA)).iterator
+        .filter(_.sketchType == "agms")
+        .filter(sketchIsFresh(tableA, _))
+        .flatMap { sa =>
+          val order = sa.columnName.split(",").map(_.trim).toSeq
+          if (order.map(_.toLowerCase).sorted !=
+              keysA.map(_.toLowerCase).sorted) None
+          else {
+            val alignedB = order.map(k =>
+              pairs.find(_._1.equalsIgnoreCase(k)).map(_._2))
+            if (alignedB.exists(_.isEmpty)) None
+            else fresh(tableB, alignedB.flatten.mkString(","))
+              .map(sb => (sa, sb))
+          }
+        }
+        .nextOption()
+    }
+  }
+
+  /** The universe-sample twin of [[agmsPairFor]]: a fresh materialized
+    * pair over the aligned join key under any shared component order
+    * (canonical first). Fraction equality is the caller's check.
+    */
+  private def universePairFor(fact: String, factKeys: Seq[String],
+      partner: String, partnerKeys: Seq[String])
+      : Option[(catalog.SampleInfo, catalog.SampleInfo)] = {
+    val canonical = for {
+      a <- catalog.universeSampleFor(fact, agmsKeyName(factKeys))
+      b <- catalog.universeSampleFor(partner, agmsKeyName(partnerKeys))
+    } yield (a, b)
+    canonical.orElse {
+      val pairs = factKeys.zip(partnerKeys)
+      catalog.samplesFor(fact).iterator
+        .filter(_.strataColumn.exists(_.startsWith("__universe__")))
+        .filter(catalog.sampleIsFresh)
+        .flatMap { a =>
+          val order = a.strataColumn.get.stripPrefix("__universe__")
+            .split(",").map(_.trim).toSeq
+          if (order.map(_.toLowerCase).sorted !=
+              factKeys.map(_.toLowerCase).sorted) None
+          else {
+            val alignedB = order.map(k =>
+              pairs.find(_._1.equalsIgnoreCase(k)).map(_._2))
+            if (alignedB.exists(_.isEmpty)) None
+            else catalog
+              .universeSampleFor(partner, alignedB.flatten.mkString(","))
+              .map(b => (a, b))
+          }
+        }
+        .nextOption()
+    }
+  }
+
   /** Estimate the join output from stored AGMS sketches, with NO scan.
     * Two tables: the classic AGMS dot-product estimate of |F ⋈ D| over
     * the (possibly composite) key pair. A TREE of joins (star,
@@ -769,10 +843,7 @@ final class QueryEngine(
     joinTreeEdges(parsed, sizes.map(_._1), fact).flatMap { edges =>
       val ests = edges.map { case (parent, pks, child, cks) =>
         for {
-          sp <- catalog.getSketch(parent, agmsKeyName(pks), "agms")
-          if sketchIsFresh(parent, sp)
-          sc <- catalog.getSketch(child, agmsKeyName(cks), "agms")
-          if sketchIsFresh(child, sc)
+          (sp, sc) <- agmsPairFor(parent, pks, child, cks)
           if enc(sp) == enc(sc)
           est <- graft.sketch.Agms.dotEstimate(sp.data, sc.data)
         } yield (parent, est)
@@ -955,6 +1026,28 @@ final class QueryEngine(
         Some(n.toString)
       case _ => None
     }
+  }
+
+  /** IN-list literals → sketch keys. A NULL literal can never match a
+    * row (three-valued IN: `col = NULL` is UNKNOWN, and UNKNOWN never
+    * turns a non-matching row true), so NULLs are DROPPED rather than
+    * refusing the whole serve; any NON-null literal that fails the
+    * typed rendering still refuses (it could match rows the sketch
+    * keys differently). Some(Nil) = every literal was NULL: the serve
+    * answers the empty-match aggregate, exactly like exact execution.
+    */
+  private def typedInListKeys(table: String, column: String,
+      lits: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    if (lits.isEmpty || !lits.forall(_.isInstanceOf[Literal])) return None
+    val rendered: Seq[Option[Option[String]]] =
+      lits.map(_.asInstanceOf[Literal]).map { l =>
+        if (l.value == null) Some(None)
+        else typedLitKey(table, column, l).map(k => Some(k))
+      }
+    if (rendered.exists(_.isEmpty)) None
+    else Some(rendered.flatten.flatten.distinct)
   }
 
   /** If the query is a bare global aggregate over `table` whose every
@@ -1152,11 +1245,8 @@ final class QueryEngine(
               if a.nameParts.last.equalsIgnoreCase(gName) =>
             typedLitKey(table, gName, l).map(Seq(_))
           case In(a: UnresolvedAttribute, lits)
-              if a.nameParts.last.equalsIgnoreCase(gName) &&
-                lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
-            val ks = lits.map(l =>
-              typedLitKey(table, gName, l.asInstanceOf[Literal]))
-            if (ks.exists(_.isEmpty)) None else Some(ks.flatten.distinct)
+              if a.nameParts.last.equalsIgnoreCase(gName) =>
+            typedInListKeys(table, gName, lits)
           case _ => None
         }
         keys.map(k => Some(k))
@@ -1248,12 +1338,9 @@ final class QueryEngine(
       case EqualTo(l: Literal, a: UnresolvedAttribute) =>
         typedLitKey(table, a.nameParts.last, l)
           .map(k => (a.nameParts.last, Seq(k)))
-      case In(a: UnresolvedAttribute, lits)
-          if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
-        val ks = lits.map(l =>
-          typedLitKey(table, a.nameParts.last, l.asInstanceOf[Literal]))
-        if (ks.exists(_.isEmpty)) None
-        else Some((a.nameParts.last, ks.flatten.distinct))
+      case In(a: UnresolvedAttribute, lits) =>
+        typedInListKeys(table, a.nameParts.last, lits)
+          .map(ks => (a.nameParts.last, ks))
       case _ => None
     }
     if (parts.isEmpty || parts.exists(_.isEmpty)) return None
@@ -1650,13 +1737,10 @@ final class QueryEngine(
             case EqualTo(l: Literal, a: UnresolvedAttribute) =>
               litKey(a.nameParts.last, l)
                 .map(k => (Seq(a.nameParts.last), Seq(Seq(Some(k)))))
-            case In(a: UnresolvedAttribute, lits)
-                if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
-              val ks = lits.map(l =>
-                litKey(a.nameParts.last, l.asInstanceOf[Literal]))
-              if (ks.exists(_.isEmpty)) None
-              else Some((Seq(a.nameParts.last),
-                ks.flatten.distinct.map(k => Seq(Some(k)))))
+            case In(a: UnresolvedAttribute, lits) =>
+              typedInListKeys(table, a.nameParts.last, lits)
+                .map(ks => (Seq(a.nameParts.last),
+                  ks.map(k => Seq(Some(k)))))
             case andExpr: org.apache.spark.sql.catalyst.expressions.And =>
               val eqs = conjunctsOf(andExpr).map {
                 case EqualTo(a: UnresolvedAttribute, l: Literal) =>
@@ -1859,12 +1943,9 @@ final class QueryEngine(
           case EqualTo(l: Literal, a: UnresolvedAttribute) =>
             typedLitKey(table, a.nameParts.last, l)
               .map(k => (a.nameParts.last, Seq(k)))
-          case In(a: UnresolvedAttribute, lits)
-              if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
-            val ks = lits.map(l =>
-              typedLitKey(table, a.nameParts.last, l.asInstanceOf[Literal]))
-            if (ks.exists(_.isEmpty)) None
-            else Some((a.nameParts.last, ks.flatten.distinct))
+          case In(a: UnresolvedAttribute, lits) =>
+            typedInListKeys(table, a.nameParts.last, lits)
+              .map(ks => (a.nameParts.last, ks))
           case _ => None
         }
         colKeys.flatMap { case (c, keys) =>

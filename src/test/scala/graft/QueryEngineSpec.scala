@@ -1506,6 +1506,64 @@ class QueryEngineSpec extends SparkSpec {
     catalog.upsertTableStats("orders", n)
   }
 
+  test("natural-order composite artifacts are found by permutation-tolerant pair lookup") {
+    // both sides built in the caller's NATURAL ON-clause order — not
+    // the canonical (alphabetically-first table's sorted keys) order a
+    // curious HTTP caller would have to know; the engine's pair lookup
+    // derives the partner order from the stored fact order instead of
+    // silently falling back to exact
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-natorder").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    graft.sketch.SketchOps.createAgms(spark, cat2, "lineitem",
+      Seq("l_orderkey", "l_linestatus"), 1024)
+    graft.sketch.SketchOps.createAgms(spark, cat2, "orders",
+      Seq("o_orderkey", "o_orderstatus"), 1024)
+    val sql = "SELECT count(*) AS n FROM orders JOIN lineitem " +
+      "ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus"
+    val r = eng2.query(sql, eng2.Options(maxRelError = 0.1))
+    assert(r.strategy == "sample_join" && r.reason.contains("AGMS"),
+      s"${r.strategy}: ${r.reason}")
+    // a natural-order universe pair serves the materialized route too
+    Samplers.createUniverse(spark, cat2, "orders",
+      Seq("o_orderkey", "o_orderstatus"), 0.01)
+    Samplers.createUniverse(spark, cat2, "lineitem",
+      Seq("l_orderkey", "l_linestatus"), 0.01)
+    cat2.upsertTableStats("orders", 2000000L)
+    cat2.upsertTableStats("lineitem", 8000000L)
+    cat2.refreshSampleBase("orders")
+    cat2.refreshSampleBase("lineitem")
+    val rm = eng2.query(sql,
+      eng2.Options(approximateJoins = true, maxRelError = 0.1))
+    assert(rm.strategy == "sample_universe" &&
+      rm.reason.contains("materialized universe"),
+      s"${rm.strategy}: ${rm.reason}")
+  }
+
+  test("NULL literals in IN-lists are dropped from catalog serves, not refused") {
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    val rNull = engine.query(
+      "SELECT sum(o_totalprice) AS sm, count(*) AS nr FROM orders " +
+        "WHERE o_orderstatus IN ('F', NULL)")
+    assert(rNull.servedFromCatalog, rNull.reason)
+    val rF = engine.query(
+      "SELECT sum(o_totalprice) AS sm, count(*) AS nr FROM orders " +
+        "WHERE o_orderstatus IN ('F')")
+    assert(rF.servedFromCatalog, rF.reason)
+    // NULL can never match a row (three-valued IN): same answer as the
+    // NULL-free list
+    assert(rNull.df.collect().toSeq.map(_.toSeq) ==
+      rF.df.collect().toSeq.map(_.toSeq))
+    // an all-NULL list serves the exact empty-match aggregate
+    val rAll = engine.query(
+      "SELECT count(o_totalprice) AS nv, count(*) AS nr FROM orders " +
+        "WHERE o_orderstatus IN (NULL)")
+    assert(rAll.servedFromCatalog, rAll.reason)
+    val row = rAll.df.collect().head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L)
+  }
+
   test("a stored HLL whose error bound exceeds a tight budget is not a valid candidate: the adaptive HLL++ rewrite runs instead") {
     graft.sketch.SketchOps.createHll(spark, catalog, "lineitem", "l_partkey")
     val sql = "SELECT count(DISTINCT l_partkey) AS nd FROM lineitem"
