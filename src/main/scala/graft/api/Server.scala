@@ -248,7 +248,17 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
           case "countmin" =>
             val eps = params("epsilon").flatMap(_.num).getOrElse(0.01)
             val delta = params("delta").flatMap(_.num).getOrElse(0.01)
-            val size = SketchOps.createCmsOpt(spark, engine.catalog, table, column, eps, delta)
+            // "a,b" builds a COMPOSITE-key CMS (to_json tuple keys):
+            // conjunctive equality frequencies serve as point lookups
+            val cols = column.toSeq
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+            val size =
+              if (cols.sizeIs > 1)
+                SketchOps.createCms(spark, engine.catalog, table, cols,
+                  eps, delta)
+              else
+                SketchOps.createCmsOpt(spark, engine.catalog, table,
+                  cols.headOption, eps, delta)
             (200, s"""{"status": "ok", "sketch_type": "countmin", "size_bytes": $size}""")
           // beyond the reference: the engine's histogram strategy input
           // (percentile/median answered with no scan once this exists)

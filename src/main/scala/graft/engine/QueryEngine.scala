@@ -161,6 +161,23 @@ final class QueryEngine(
         return finish(r.copy(sampleFraction = Some(f)), sql, features, opts)
       case None =>
     }
+    // ORDER BY / LIMIT / HAVING peel (round 10): the dashboard form of
+    // a grouped aggregate wraps it in Sort/Limit/Having nodes that
+    // don't change what the aggregate computes — only which of its
+    // bounded, blob-resident rows are kept and in what order. The
+    // serve paths below match the peeled INNER aggregate and the
+    // clauses replay driver-side over the served rows (HAVING → ORDER
+    // BY → LIMIT, SQL's order), so `GROUP BY g ORDER BY cnt DESC LIMIT
+    // k` — the top-k heavy-hitters shape — serves with zero scan.
+    // Group-key sort keys are only replayed when the source column is
+    // string-typed: served keys are the builders' string rendering,
+    // and a numeric key would sort lexicographically, changing which
+    // rows a LIMIT keeps. Refused peels leave `parsed` untouched.
+    val (servePlan, postOps) = graft.plan.PostAggregate.peel(parsed,
+      keySortable = c => spark.table(table).schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(c) &&
+          f.dataType == org.apache.spark.sql.types.StringType))
+    def posted(df: DataFrame): DataFrame = postOps.fold(df)(_.apply(df))
     // Statistics strategy: a bare MIN/MAX/COUNT/SUM/AVG query over
     // columns whose stored histograms recorded exact build statistics
     // answers from the catalog with NO scan and NO error — the
@@ -169,9 +186,9 @@ final class QueryEngine(
     // stats once the base table changes size. A lone COUNT(*) does NOT
     // serve (it must ride a column-anchored stat): bare table counts
     // keep their sampling semantics.
-    storedStatsAnswer(parsed, table) match {
+    storedStatsAnswer(servePlan, table) match {
       case Some(df) =>
-        return finish(serveResult(df, features, table, "stats", 0.0,
+        return finish(serveResult(posted(df), features, table, "stats", 0.0,
           "aggregate answered from stored histogram build statistics (no scan, exact)",
           Seq("MIN/MAX/COUNT/SUM/AVG answered from stored histogram build " +
             "statistics (no scan; exact as of sketch build)"), opts),
@@ -183,9 +200,9 @@ final class QueryEngine(
     // the stored grouped sketches — partition pruning at the catalog
     // level. Statistics serve exactly; percentiles within one bucket
     // width of the named group's own grid. Zero scan either way.
-    storedFilteredGroupAnswer(parsed, table) match {
+    storedFilteredGroupAnswer(servePlan, table) match {
       case Some((df, err)) if err <= opts.maxRelError =>
-        return finish(serveResult(df, features, table, "filtered_group", err,
+        return finish(serveResult(posted(df), features, table, "filtered_group", err,
           "filtered aggregate answered from grouped sketches (group-pruned, no scan)",
           Seq("WHERE col = value dispatched to that group's stored sketch " +
             "record (group-pruned: no scan; stats exact, percentiles to one " +
@@ -200,9 +217,9 @@ final class QueryEngine(
     // Honor the caller's error budget like the sample path does: the
     // histogram's bound is one bucket width (1/buckets of the grid), so
     // a tighter requested tolerance falls through to the scan path.
-    storedHistogramAnswer(parsed, table) match {
+    storedHistogramAnswer(servePlan, table) match {
       case Some((df, err)) if err <= opts.maxRelError =>
-        return finish(serveResult(df, features, table, "histogram", err,
+        return finish(serveResult(posted(df), features, table, "histogram", err,
           "percentile answered from the stored histogram sketch (no scan)",
           Seq("PERCENTILE/MEDIAN answered from the stored equi-width " +
             "histogram (no scan; accurate to one bucket width)"), opts),
@@ -212,9 +229,9 @@ final class QueryEngine(
     // Grouped variant: SELECT g, percentile(x, p) ... GROUP BY g over a
     // stored per-group histogram blob — each group answered on its own
     // [min, max] grid, still with no scan.
-    storedGroupedHistogramAnswer(parsed, table) match {
+    storedGroupedHistogramAnswer(servePlan, table) match {
       case Some((df, err)) if err <= opts.maxRelError =>
-        return finish(serveResult(df, features, table, "grouped_histogram", err,
+        return finish(serveResult(posted(df), features, table, "grouped_histogram", err,
           "per-group percentile answered from the stored grouped histogram (no scan)",
           Seq("PERCENTILE/MEDIAN answered per group from the stored grouped " +
             "histogram (no scan; accurate to one bucket width per group)"), opts),
@@ -225,9 +242,9 @@ final class QueryEngine(
     // ... GROUP BY g over the per-group stats blob the grouped
     // histogram build records — exact, zero scan, the grouped twin of
     // the statistics strategy above (same lone-COUNT(*) refusal).
-    storedGroupedStatsAnswer(parsed, table) match {
+    storedGroupedStatsAnswer(servePlan, table) match {
       case Some(df) =>
-        return finish(serveResult(df, features, table, "grouped_stats", 0.0,
+        return finish(serveResult(posted(df), features, table, "grouped_stats", 0.0,
           "per-group aggregate answered from stored grouped build statistics (no scan, exact)",
           Seq("per-group MIN/MAX/COUNT/SUM/AVG answered from stored grouped " +
             "build statistics (no scan; exact as of sketch build)"), opts),
@@ -242,9 +259,9 @@ final class QueryEngine(
     // so it is served under the same budget comparison the histogram
     // path uses. Closes the reference's write-only-sketch gap for its
     // third sketch type (its get_sketch has zero callers, SURVEY §4.4).
-    storedCmsAnswer(parsed, table) match {
+    storedCmsAnswer(servePlan, table) match {
       case Some((df, eps)) if eps <= opts.maxRelError =>
-        return finish(serveResult(df, features, table, "cms", eps,
+        return finish(serveResult(posted(df), features, table, "cms", eps,
           "point-frequency answered from the stored Count-Min sketch (no scan)",
           Seq("COUNT(*) with a column=value filter answered from the stored " +
             "Count-Min sketch (no scan; overestimate-only, eps*N additive bound)"), opts),
@@ -283,13 +300,13 @@ final class QueryEngine(
         val hllErr = 1.04 / math.sqrt(4096.0)
         val stored: Option[AqeResult] =
           if (hllErr > opts.maxRelError) None
-          else storedSketchAnswer(parsed, table).map { df =>
-            serveResult(df, features, table, "hll", hllErr,
+          else storedSketchAnswer(servePlan, table).map { df =>
+            serveResult(posted(df), features, table, "hll", hllErr,
               "COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)",
               Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"),
               opts)
-          }.orElse(storedGroupedSketchAnswer(parsed, table).map { df =>
-            serveResult(df, features, table, "grouped_hll", hllErr,
+          }.orElse(storedGroupedSketchAnswer(servePlan, table).map { df =>
+            serveResult(posted(df), features, table, "grouped_hll", hllErr,
               "per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)",
               Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"),
               opts)
@@ -1936,7 +1953,8 @@ final class QueryEngine(
         // over the distinct keys: each term is overestimate-only, and
         // addition preserves that (truth of the IN is the sum of the
         // disjoint per-key truths), under a widened |list|*eps bound.
-        val colKeys = cond match {
+        def litKeys(c: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Option[(String, Seq[String])] = c match {
           case EqualTo(a: UnresolvedAttribute, l: Literal) =>
             typedLitKey(table, a.nameParts.last, l)
               .map(k => (a.nameParts.last, Seq(k)))
@@ -1948,19 +1966,69 @@ final class QueryEngine(
               .map(ks => (a.nameParts.last, ks))
           case _ => None
         }
-        colKeys.flatMap { case (c, keys) =>
-          catalog.getSketch(table, c, "countmin")
-            .filter(sketchIsFresh(table, _))
-            .flatMap { s =>
-              cmsEpsRe.findFirstMatchIn(s.parameters)
-                .map(_.group(1).toDouble)
-                .map { eps =>
-                  val cms = graft.sketch.Cms.deserialize(s.data)
-                  val est = keys.map(cms.estimateString).sum
-                  val cols = outs.map(o => lit(est).as(o.name))
-                  (spark.range(1).select(cols: _*), keys.size * eps)
-                }
+        // a conjunction of equality/IN predicates over DISTINCT columns
+        // is a COMPOSITE point/IN frequency: served from a composite
+        // CMS keyed on the to_json tuple rendering, estimates summed
+        // over the cross-product of per-column key lists (overestimate-
+        // only survives the sum — the per-tuple truths are disjoint)
+        val parts: Option[Seq[(String, Seq[String])]] = cond match {
+          case a: org.apache.spark.sql.catalyst.expressions.And =>
+            val cs = conjunctsOf(a).map(litKeys)
+            if (cs.exists(_.isEmpty)) None
+            else {
+              val v = cs.flatten
+              if (v.map(_._1.toLowerCase).distinct.sizeIs != v.size) None
+              else Some(v)
             }
+          case other => litKeys(other).map(Seq(_))
+        }
+        parts.flatMap {
+          case Seq((c, keys)) =>
+            catalog.getSketch(table, c, "countmin")
+              .filter(sketchIsFresh(table, _))
+              .flatMap { s =>
+                cmsEpsRe.findFirstMatchIn(s.parameters)
+                  .map(_.group(1).toDouble)
+                  .map { eps =>
+                    val cms = graft.sketch.Cms.deserialize(s.data)
+                    val est = keys.map(cms.estimateString).sum
+                    val cols = outs.map(o => lit(est).as(o.name))
+                    (spark.range(1).select(cols: _*), keys.size * eps)
+                  }
+              }
+          case many =>
+            val want = many.map(_._1.toLowerCase).toSet
+            catalog.listSketches(Some(table))
+              .find { s =>
+                s.sketchType == "countmin" &&
+                  s.parameters.contains("\"enc\":\"j1\"") && {
+                    val cols = s.columnName.split(",").map(_.trim)
+                    cols.length == many.size &&
+                      cols.map(_.toLowerCase).toSet == want
+                  }
+              }
+              .filter(sketchIsFresh(table, _))
+              .flatMap { s =>
+                cmsEpsRe.findFirstMatchIn(s.parameters)
+                  .map(_.group(1).toDouble)
+                  .map { eps =>
+                    // render each literal tuple in the SKETCH's stored
+                    // column order — the order the builder hashed
+                    val order = s.columnName.split(",").map(_.trim)
+                    val byCol = many
+                      .map { case (c2, ks) => c2.toLowerCase -> ks }.toMap
+                    val tuples = order.map(o => byCol(o.toLowerCase))
+                      .foldLeft(Seq(Seq.empty[String])) { (acc, ks) =>
+                        acc.flatMap(t => ks.map(k => t :+ k))
+                      }
+                    val cms = graft.sketch.Cms.deserialize(s.data)
+                    val est = tuples.map(t => cms.estimateString(
+                      graft.sketch.SketchOps.jsonTupleKey(t))).sum
+                    val cols = outs.map(o => lit(est).as(o.name))
+                    (spark.range(1).select(cols: _*),
+                      math.max(1, tuples.size) * eps)
+                  }
+              }
         }
       case _ => None
     }
@@ -2263,7 +2331,11 @@ final class QueryEngine(
             f.arguments.forall(_.isInstanceOf[Literal])
         case _ => false
       }
-    parsed match {
+    // the ORDER BY / LIMIT / HAVING wrappers don't change which blob
+    // would serve the inner aggregate — classify the peeled shape so
+    // sorted/limited dashboards record the same misses (sortability is
+    // irrelevant to WHAT to build, so the permissive peel is fine here)
+    graft.plan.PostAggregate.peel(parsed, _ => true)._1 match {
       // composite GROUP BYs advise composite-key grouped sketches (the
       // comma-joined column list is the build recipe's group_by)
       case Aggregate(gs, outs, r: UnresolvedRelation, _)
@@ -2316,10 +2388,16 @@ final class QueryEngine(
           case _ => None
         }
         gcol match {
-          // a lone filtered COUNT(*) on ONE column is the CMS
-          // point-frequency shape
-          case Some(g) if countStarOnly(outs) && !g.contains(",") =>
-            Seq(Candidate(table, g, "cms", None))
+          // a lone filtered COUNT(*) is the CMS point-frequency shape;
+          // a conjunction over distinct columns advises the COMPOSITE
+          // tuple-key CMS, name canonicalized to sorted order so `a AND
+          // b` and `b AND a` accumulate (and retire) as one miss —
+          // serve dispatch is set-based, so the build order is free
+          case Some(g) if countStarOnly(outs) =>
+            val name =
+              if (g.contains(",")) g.split(",").map(_.trim).sorted.mkString(",")
+              else g
+            Seq(Candidate(table, name, "cms", None))
           // anchored aggregates under the filter = the filtered-group
           // dispatch shape (grouped blobs keyed by the filter columns)
           case Some(g) if !countStarOnly(outs) =>

@@ -32,7 +32,14 @@ object SketchAdvisor {
     case ("histogram", _) =>
       s"SketchOps.createHistogram(spark, catalog, ${c.table}, ${c.column})"
     case ("cms", _) =>
-      s"SketchOps.createCms(spark, catalog, ${c.table}, ${c.column})"
+      // a comma-joined column list is the COMPOSITE tuple-key CMS
+      // (conjunctive equality frequencies; round 10)
+      val key =
+        if (c.column.contains(","))
+          c.column.split(",").map(k => s""""$k"""")
+            .mkString("Seq(", ", ", ") /* + eps, delta */")
+        else c.column
+      s"SketchOps.createCms(spark, catalog, ${c.table}, $key)"
     case ("hll_grouped", Some(g)) =>
       s"SketchOps.createGroupedHll(spark, catalog, ${c.table}, $g, ${c.column})"
     case ("histogram_grouped", Some(g)) =>

@@ -32,6 +32,8 @@ object Aqp {
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   private val cmsSketches =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
+  private val compositeCms =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   private val compositeHists =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
   // q76's engine is separate: its catalog must hold ONLY the
@@ -53,7 +55,8 @@ object Aqp {
     // long-lived multi-session processes don't retain dead engines,
     // their catalogs, or the one-shot sample/histogram build markers
     Seq(engines, stratified, histograms, groupedHistograms, cmsSketches,
-        compositeHists, joinEngines, detEngines, uniEngines, uniSamples)
+        compositeCms, compositeHists, joinEngines, detEngines, uniEngines,
+        uniSamples)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -606,6 +609,31 @@ object Aqp {
         .orderBy(col("l_linestatus"))
     }),
 
+    // ORDER BY / LIMIT / HAVING replayed over a catalog serve: the
+    // top-k heavy-hitters dashboard shape (`GROUP BY g ORDER BY cnt
+    // DESC LIMIT k`) answers from the same grouped stats blob q86
+    // serves, with zero scan — the peeled clauses replay driver-side
+    // over the blob's bounded rows in SQL's own evaluation order
+    // (HAVING → ORDER BY → LIMIT). The in-query assert pins the
+    // serve; a scan fallback would also flunk the plan_type column.
+    "q97_topk_serve" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      groupedHistograms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+          "orders", "o_orderstatus", "o_totalprice", 64)
+        ()
+      })
+      val r = e.query(
+        "SELECT o_orderstatus, count(o_totalprice) AS cnt, " +
+          "avg(o_totalprice) AS av FROM orders GROUP BY o_orderstatus " +
+          "HAVING count(o_totalprice) > 0 " +
+          "ORDER BY cnt DESC, o_orderstatus LIMIT 2")
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_stats"),
+        s"q97 must serve the top-k shape from the grouped stats blob: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // Composite-key automatic join AQP end-to-end: `ON o_orderkey =
     // l_orderkey AND o_orderstatus = l_linestatus` is costed from
     // stored AGMS sketches over the COMPOSITE key (components hashed
@@ -672,6 +700,31 @@ object Aqp {
       })
       val r = e.query(
         "SELECT count(*) AS n FROM orders WHERE o_orderstatus IN ('F', 'P')")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Composite-key CMS end-to-end: a conjunctive equality/IN frequency
+    // (`o_orderstatus = 'F' AND o_orderpriority IN (...)`) serves as
+    // the SUM over the tuple cross-product from ONE CMS keyed on the
+    // to_json tuple rendering. The oracle re-derives the full
+    // arithmetic in DuckDB — the tuple key rebuilt by concatenation
+    // (these values are free of JSON metachars; byte-parity of the
+    // general renderer is SketchSpec-gated), SHA-256 LE-64 hugeint
+    // buckets, min over d rows, summed over the tuples — and
+    // hash-matches the served integer. The assert pins the serve.
+    "q98_composite_cms" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      compositeCms.getOrElseUpdate((s, dir), {
+        graft.sketch.SketchOps.createCms(s, e.catalog, "orders",
+          Seq("o_orderstatus", "o_orderpriority"), 0.01, 0.01)
+        ()
+      })
+      val r = e.query(
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F' " +
+          "AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')")
+      assert(r.servedFromCatalog && r.serveKind.contains("cms"),
+        s"q98 must serve from the composite Count-Min sketch: " +
+          s"${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
@@ -1468,6 +1521,19 @@ object Aqp {
          FROM lineitem WHERE l_returnflag IN ('A', 'N')
          GROUP BY l_linestatus
          ORDER BY l_linestatus""",
+    // q97: the serve answers the inner aggregate from the grouped
+    // stats blob (q86's recipe), then HAVING / ORDER BY / LIMIT
+    // replay over those bounded rows — so the oracle is the plain SQL
+    // with the same total order (cnt DESC, key ASC breaks ties
+    // deterministically on both engines).
+    "q97_topk_serve" ->
+      """SELECT o_orderstatus, count(o_totalprice) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(o_totalprice) AS DOUBLE) AS av,
+           'sketch' AS plan_type
+         FROM orders GROUP BY o_orderstatus
+         HAVING count(o_totalprice) > 0
+         ORDER BY cnt DESC, o_orderstatus LIMIT 2""",
     // q91: q84's per-group grid chain restricted to the named groups —
     // each group's grid comes from the FULL table's per-group min/max
     // (the build is unfiltered), so the filter only selects which rows
@@ -1524,6 +1590,45 @@ object Aqp {
             SELECT o_orderstatus AS sv, 1 AS isrow FROM orders
             UNION ALL
             SELECT k, 0 FROM (SELECT unnest(['F', 'P']) AS k) tk),
+          hashed AS (
+            SELECT isrow, sv, i, sha256(sv || CAST(i AS VARCHAR)) AS hx
+            FROM inp CROSS JOIN ri),
+          bk AS (SELECT isrow, sv, i, $bucket AS c FROM hashed),
+          cnt AS (
+            SELECT t.sv AS k, t.i, count(r.c) AS n
+            FROM (SELECT sv, i, c FROM bk WHERE isrow = 0) t
+            LEFT JOIN (SELECT i, c FROM bk WHERE isrow = 1) r
+              ON r.i = t.i AND r.c = t.c
+            GROUP BY t.sv, t.i),
+          est AS (SELECT k, min(n) AS e FROM cnt GROUP BY k)
+          SELECT CAST(sum(e) AS BIGINT) AS n, 'sketch' AS plan_type
+          FROM est"""
+    },
+    // q98: q90's CMS arithmetic over the COMPOSITE to_json tuple key —
+    // rows hash '["<status>","<priority>"]' (rebuilt by concatenation;
+    // these values contain no JSON metachars, and the general
+    // renderer's byte-parity with Spark is SketchSpec-gated), the two
+    // query tuples are the cross-product of the conjunction's literal
+    // lists, and the served answer is the SUM of per-tuple minima.
+    "q98_composite_cms" -> {
+      val cms = new graft.sketch.Cms(0.01, 0.01)
+      val bucket = (0 until 8).map { j =>
+        val p1 = 2 * j + 1
+        val p2 = 2 * j + 2
+        val pair = s"((strpos('0123456789abcdef', substr(hx,$p1,1))-1)*16" +
+          s" + (strpos('0123456789abcdef', substr(hx,$p2,1))-1))"
+        val mult = java.math.BigInteger.valueOf(256).pow(j)
+        s"CAST($pair AS HUGEINT) * CAST('$mult' AS HUGEINT)"
+      }.mkString("(", " + ", s") % ${cms.w}")
+      s"""WITH ri AS (SELECT unnest(range(${cms.d})) AS i),
+          inp AS (
+            SELECT '["' || o_orderstatus || '","' || o_orderpriority || '"]' AS sv,
+              1 AS isrow
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+            UNION ALL
+            SELECT k, 0 FROM (SELECT unnest(
+              ['["F","1-URGENT"]', '["F","3-MEDIUM"]']) AS k) tk),
           hashed AS (
             SELECT isrow, sv, i, sha256(sv || CAST(i AS VARCHAR)) AS hx
             FROM inp CROSS JOIN ri),

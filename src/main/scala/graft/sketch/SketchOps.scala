@@ -326,6 +326,72 @@ object SketchOps {
       column: String, epsilon: Double = 0.01, delta: Double = 0.01): Int =
     createCmsOpt(spark, catalog, table, Some(column), epsilon, delta)
 
+  /** Composite-key CMS: one sketch over the (c1, c2, ...) tuple, keyed
+    * with the grouped builders' collision-free `to_json(array(cast(…
+    * as string)))` rendering — so a conjunctive equality frequency
+    * (`WHERE a = 'x' AND b = 'y'`) serves as a single point lookup.
+    * Rows with any NULL component render a NULL key and are excluded
+    * from the counters: an equality conjunction can never match them
+    * (three-valued logic), so excluding them keeps the estimate
+    * overestimate-only FOR SERVABLE PREDICATES while not inflating it
+    * with unreachable mass. The serve renders its literal tuple with
+    * [[jsonTupleKey]], whose byte-parity with Spark's Jackson encoder
+    * is spec-gated on adversarial values. Stored under the comma-joined
+    * column list with `"enc":"j1"` (same convention as composite AGMS);
+    * `"rows"` records the FULL rowcount for the freshness guard.
+    */
+  def createCms(spark: SparkSession, catalog: MetaCatalog, table: String,
+      columns: Seq[String], epsilon: Double, delta: Double): Int = {
+    require(columns.nonEmpty, "at least one column required")
+    if (columns.sizeIs == 1)
+      return createCmsOpt(spark, catalog, table, Some(columns.head),
+        epsilon, delta)
+    import org.apache.spark.sql.functions.{count => fcount, expr}
+    val arr = columns.map(c => s"cast($c as string)")
+      .mkString("to_json(array(", ", ", "))")
+    val anyNull = columns.map(c => s"$c is null").mkString(" or ")
+    val key = expr(s"case when $anyNull then cast(null as string) else $arr end")
+    val row = spark.table(table)
+      .agg(Cms.sketchAgg(key, epsilon, delta).as("s"), fcount(lit(1)).as("n"))
+      .collect().head
+    val bytes = row.getAs[Array[Byte]]("s")
+    catalog.upsertSketch(catalog.SketchInfo(table, columns.mkString(","),
+      "countmin", bytes,
+      s"""{"epsilon":$epsilon,"delta":$delta,"rows":${row.getAs[Long]("n")},"enc":"j1"}""",
+      System.currentTimeMillis()))
+    bytes.length
+  }
+
+  /** Scala-side twin of the builders' `to_json(array(...))` key
+    * rendering, for serve paths that must re-render a LITERAL tuple
+    * (composite CMS point lookups). Spark's to_json writes through
+    * Jackson: `"` and `\` escape with a backslash, the five short
+    * escapes apply, remaining control chars (< 0x20) write as
+    * uppercase `\u00XX`, and everything else (incl. non-ASCII) passes
+    * through raw. Byte-parity with the Spark expression is gated by a
+    * SketchSpec law over adversarial values — if Jackson's escaping
+    * ever changed, that spec (not an oracle) goes red.
+    */
+  def jsonTupleKey(components: Seq[String]): String =
+    components.map(jsonQuote).mkString("[", ",", "]")
+
+  private def jsonQuote(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '"'          => b.append("\\\"")
+      case '\\'         => b.append("\\\\")
+      case '\b'         => b.append("\\b")
+      case '\t'         => b.append("\\t")
+      case '\n'         => b.append("\\n")
+      case '\f'         => b.append("\\f")
+      case '\r'         => b.append("\\r")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04X")
+      case c            => b.append(c)
+    }
+    b.append('"').toString
+  }
+
   def createCmsOpt(spark: SparkSession, catalog: MetaCatalog, table: String,
       column: Option[String], epsilon: Double = 0.01, delta: Double = 0.01): Int = {
     import org.apache.spark.sql.functions.{count => fcount}

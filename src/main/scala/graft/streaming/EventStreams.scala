@@ -655,6 +655,53 @@ object EventStreams {
       .start()
   }
 
+  /** Composite-key variant of [[maintainCmsSketch]]: each batch keys
+    * its rows with the batch builder's `to_json(array(...))` tuple
+    * rendering (any NULL component renders a NULL key, which the
+    * aggregator skips — an equality conjunction can never match such a
+    * row), and the blob lands under the comma-joined column list with
+    * `"enc":"j1"` — exactly where `QueryEngine.storedCmsAnswer`'s
+    * composite dispatch looks, so conjunctive point frequencies serve
+    * LIVE. Same additive merge + replay guard as the single-key form.
+    */
+  def maintainCmsSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      columns: Seq[String], epsilon: Double, delta: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(columns.nonEmpty, "at least one column required")
+    if (columns.sizeIs == 1)
+      return maintainCmsSketch(values, catalog, table, columns.head,
+        epsilon, delta)
+    val column = columns.mkString(",")
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    val arr = columns.map(c => s"cast($c as string)")
+      .mkString("to_json(array(", ", ", "))")
+    val anyNull = columns.map(c => s"$c is null").mkString(" or ")
+    val key = org.apache.spark.sql.functions.expr(
+      s"case when $anyNull then cast(null as string) else $arr end")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val alreadyMerged = catalog.getSketch(table, column, "countmin")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged) {
+          val bytes = batch
+            .select(graft.sketch.Cms.sketchAgg(key, epsilon, delta).as("s"))
+            .collect().head.getAs[Array[Byte]]("s")
+          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+            "countmin", bytes,
+            s"""{"epsilon":$epsilon,"delta":$delta,"last_batch":$batchId,"enc":"j1"}""",
+            System.currentTimeMillis())) { (prev, next) =>
+            graft.sketch.Cms.deserialize(prev)
+              .merge(graft.sketch.Cms.deserialize(next)).serialize
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */

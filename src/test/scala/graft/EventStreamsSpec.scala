@@ -602,6 +602,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(est <= truth + (0.01 * 2000).toLong + 1, s"est=$est truth=$truth")
   }
 
+  test("stream-maintained COMPOSITE CMS serves conjunctive frequencies live, byte-equal to batch") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-ccms").toString)
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainCmsSketch(
+      stream.toDF().select(expr("concat('x', value % 5)").as("x"),
+        expr("concat('y', value % 3)").as("y")),
+      catalog, "cc_live", Seq("x", "y"), 0.01, 0.01)
+    val data = (0L until 2000L)
+    data.grouped(500).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // byte-equality with a single-threaded build over the same tuples,
+    // keyed with the builders' to_json rendering
+    val expected = new graft.sketch.Cms(0.01, 0.01)
+    data.foreach(v => expected.addString(
+      graft.sketch.SketchOps.jsonTupleKey(Seq(s"x${v % 5}", s"y${v % 3}"))))
+    val sk = catalog.getSketch("cc_live", "x,y", "countmin")
+    assert(sk.isDefined)
+    assert(sk.get.data.sameElements(expected.serialize))
+    assert(sk.get.parameters.contains("\"enc\":\"j1\""))
+    // the engine serves the conjunction from the LIVE blob (empty
+    // backing view proves no scan), in either conjunct order
+    spark.range(0)
+      .select(expr("cast(null as string)").as("x"),
+        expr("cast(null as string)").as("y"))
+      .createOrReplaceTempView("cc_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT count(*) AS n FROM cc_live WHERE y = 'y1' AND x = 'x2'")
+    assert(r.servedFromCatalog && r.serveKind.contains("cms"),
+      s"${r.serveKind}: ${r.reason}")
+    val est = r.df.collect().head.getLong(0)
+    val truth = data.count(v => v % 5 == 2 && v % 3 == 1)
+    assert(est >= truth, s"est=$est truth=$truth")
+    assert(est <= truth + (0.01 * 2000).toLong + 1, s"est=$est truth=$truth")
+  }
+
   test("streaming sampled windowed agg (AQP on a stream) equals batch; estimates track exact") {
     implicit val sc = spark.sqlContext
     import spark.implicits._

@@ -1578,4 +1578,201 @@ class QueryEngineSpec extends SparkSpec {
     assert(tight.transformations.exists(_.contains("HyperLogLog++")),
       tight.transformations)
   }
+
+  test("ORDER BY aggregate DESC LIMIT k serves top-k from the grouped stats blob with zero scan") {
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    val sql = "SELECT o_orderstatus, count(o_totalprice) AS cnt, " +
+      "avg(o_totalprice) AS av FROM orders GROUP BY o_orderstatus " +
+      "ORDER BY cnt DESC, o_orderstatus LIMIT 2"
+    val r = engine.query(sql)
+    assert(r.servedFromCatalog && r.serveKind.contains("grouped_stats"),
+      s"${r.serveKind}: ${r.reason}")
+    val served = r.df.collect()
+    val truth = spark.sql(
+      "SELECT o_orderstatus, count(o_totalprice) AS cnt, " +
+        "cast(sum(cast(o_totalprice as decimal(18,4))) as double) / " +
+        "count(o_totalprice) AS av FROM orders GROUP BY o_orderstatus " +
+        "ORDER BY cnt DESC, o_orderstatus LIMIT 2").collect()
+    assert(served.length == 2)
+    served.zip(truth).foreach { case (s, t) =>
+      assert(s.getString(0) == t.getString(0), s"key order: $s vs $t")
+      assert(s.getLong(1) == t.getLong(1), s"cnt: $s vs $t")
+      assert(s.getDouble(2) == t.getDouble(2), s"avg: $s vs $t")
+    }
+    // ordinal sort key: ORDER BY 2 names the count output
+    val rOrd = engine.query(
+      "SELECT o_orderstatus, count(o_totalprice) AS cnt FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY 2 DESC, o_orderstatus LIMIT 1")
+    assert(rOrd.servedFromCatalog, rOrd.reason)
+    assert(rOrd.df.collect().head.getString(0) == truth.head.getString(0))
+    // the aggregate expression itself as the sort key (no alias ref)
+    val rFn = engine.query(
+      "SELECT o_orderstatus, count(o_totalprice) AS cnt FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY count(o_totalprice) DESC, " +
+        "o_orderstatus LIMIT 1")
+    assert(rFn.servedFromCatalog, rFn.reason)
+    assert(rFn.df.collect().head.getString(0) == truth.head.getString(0))
+  }
+
+  test("HAVING on aggregate outputs replays over the served rows; group-key HAVING refuses") {
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    // pick a threshold between the 2nd and 1st group counts so HAVING
+    // genuinely filters
+    val counts = spark.sql(
+      "SELECT count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY n DESC")
+      .collect().map(_.getLong(0))
+    val thr = (counts(0) + counts(1)) / 2
+    val r = engine.query(
+      s"SELECT o_orderstatus, count(o_totalprice) AS cnt FROM orders " +
+        s"GROUP BY o_orderstatus HAVING count(o_totalprice) >= $thr " +
+        s"ORDER BY cnt DESC")
+    assert(r.servedFromCatalog, r.reason)
+    val rows = r.df.collect()
+    assert(rows.length == counts.count(_ >= thr), rows.mkString(","))
+    assert(rows.forall(_.getLong(1) >= thr))
+    // alias reference in HAVING serves identically
+    val rAlias = engine.query(
+      s"SELECT o_orderstatus, count(o_totalprice) AS cnt FROM orders " +
+        s"GROUP BY o_orderstatus HAVING cnt >= $thr ORDER BY cnt DESC")
+    assert(rAlias.servedFromCatalog, rAlias.reason)
+    assert(rAlias.df.collect().map(_.getString(0)).toSeq ==
+      rows.map(_.getString(0)).toSeq)
+    // HAVING on the GROUP KEY refuses the peel (that's a WHERE, and the
+    // served key is a string rendering): falls through, not served
+    val rKey = engine.query(
+      "SELECT o_orderstatus, count(o_totalprice) AS cnt FROM orders " +
+        "GROUP BY o_orderstatus HAVING o_orderstatus = 'F'")
+    assert(!rKey.servedFromCatalog, rKey.reason)
+  }
+
+  test("sorting by a numeric group key refuses the peel; string keys and aggregate keys sort fine") {
+    // o_custkey is an INT column: the served group key would be the
+    // builder's string rendering, so ORDER BY o_custkey LIMIT k would
+    // keep lexicographic winners — the peel must refuse
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_custkey", "o_totalprice", 64)
+    val rNum = engine.query(
+      "SELECT o_custkey, sum(o_totalprice) AS s FROM orders " +
+        "GROUP BY o_custkey ORDER BY o_custkey LIMIT 5")
+    assert(!rNum.servedFromCatalog, rNum.reason)
+    // same blob, sort on the AGGREGATE output alone: serves (per-key
+    // double sums are distinct in this data, so no tie-break needed —
+    // and a numeric-key tie-break would rightly refuse)
+    val rAgg = engine.query(
+      "SELECT o_custkey, sum(o_totalprice) AS s FROM orders " +
+        "GROUP BY o_custkey ORDER BY s DESC LIMIT 5")
+    assert(rAgg.servedFromCatalog, rAgg.reason)
+    val truth = spark.sql(
+      "SELECT o_custkey, cast(sum(cast(o_totalprice as decimal(18,4))) " +
+        "as double) AS s FROM orders GROUP BY o_custkey " +
+        "ORDER BY s DESC LIMIT 5").collect()
+    // served keys are the string rendering of the int key
+    assert(rAgg.df.collect().map(_.getString(0)).toSet ==
+      truth.map(r2 => String.valueOf(r2.get(0))).toSet)
+    // STRING group key sorts replay exactly
+    graft.sketch.SketchOps.createGroupedHistogram(
+      spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
+    val rStr = engine.query(
+      "SELECT o_orderstatus, sum(o_totalprice) AS s FROM orders " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus DESC LIMIT 2")
+    assert(rStr.servedFromCatalog, rStr.reason)
+    assert(rStr.df.collect().map(_.getString(0)).toSeq ==
+      spark.sql("SELECT DISTINCT o_orderstatus FROM orders " +
+        "ORDER BY o_orderstatus DESC LIMIT 2").collect()
+        .map(_.getString(0)).toSeq)
+  }
+
+  test("composite-key CMS serves conjunctive equality frequencies from the tuple sketch") {
+    import org.apache.spark.sql.functions.expr
+    // one all-NULL-component row: excluded from the counters (it can
+    // never match an equality conjunction), so estimates stay
+    // overestimate-only for every servable predicate
+    def base = spark.range(0, 6000)
+      .select(
+        expr("case when id = 0 then cast(null as string) " +
+          "else concat('a', id % 5) end").as("x"),
+        expr("concat('b', id % 3)").as("y"))
+    base.createOrReplaceTempView("ccms_t")
+    val truth = spark.sql(
+      "SELECT count(*) FROM ccms_t WHERE x = 'a2' AND y = 'b1'")
+      .collect().head.getLong(0)
+    val truthIn = spark.sql(
+      "SELECT count(*) FROM ccms_t WHERE x IN ('a2', 'a3') AND y = 'b1'")
+      .collect().head.getLong(0)
+    graft.sketch.SketchOps.createCms(
+      spark, catalog, "ccms_t", Seq("x", "y"), 0.01, 0.01)
+    catalog.upsertTableStats("ccms_t", 6000L)
+    // empty backing view: a correct answer proves the no-scan path
+    spark.range(0)
+      .select(expr("cast(null as string)").as("x"),
+        expr("cast(null as string)").as("y"))
+      .createOrReplaceTempView("ccms_t")
+    val r = engine.query(
+      "SELECT count(*) AS n FROM ccms_t WHERE x = 'a2' AND y = 'b1'")
+    assert(r.servedFromCatalog && r.serveKind.contains("cms"),
+      s"${r.serveKind}: ${r.reason}")
+    val est = r.df.collect().head.getLong(0)
+    assert(est >= truth, s"est=$est truth=$truth")
+    assert(est <= truth + (0.01 * 6000).toLong + 1, s"est=$est truth=$truth")
+    // reversed conjunct order finds the same sketch (set dispatch) and
+    // renders the tuple in the sketch's stored order
+    val rRev = engine.query(
+      "SELECT count(*) AS n FROM ccms_t WHERE y = 'b1' AND x = 'a2'")
+    assert(rRev.servedFromCatalog, rRev.reason)
+    assert(rRev.df.collect().head.getLong(0) == est)
+    // per-column IN-list: the cross-product of tuples, summed
+    // (overestimate-only survives the sum), under a |tuples|*eps budget
+    val rIn = engine.query(
+      "SELECT count(*) AS n FROM ccms_t WHERE x IN ('a2', 'a3') AND y = 'b1'")
+    assert(rIn.servedFromCatalog, rIn.reason)
+    val estIn = rIn.df.collect().head.getLong(0)
+    assert(estIn >= truthIn, s"est=$estIn truth=$truthIn")
+    assert(estIn <= truthIn + 2 * ((0.01 * 6000).toLong + 1),
+      s"est=$estIn truth=$truthIn")
+    assert(rIn.estimatedError == 2 * 0.01, rIn.estimatedError.toString)
+    // a single-column predicate is NOT a composite lookup (and there is
+    // no single-column CMS here): falls through
+    val rSub = engine.query("SELECT count(*) AS n FROM ccms_t WHERE x = 'a2'")
+    assert(!rSub.servedFromCatalog, rSub.reason)
+    // same-column conjunction is not a tuple: falls through
+    val rDup = engine.query(
+      "SELECT count(*) AS n FROM ccms_t WHERE x = 'a2' AND x = 'a3'")
+    assert(!rDup.servedFromCatalog, rDup.reason)
+    // stale sketch falls through via the freshness guard
+    catalog.upsertTableStats("ccms_t", 7000L)
+    val rStale = engine.query(
+      "SELECT count(*) AS n FROM ccms_t WHERE x = 'a2' AND y = 'b1'")
+    assert(!rStale.servedFromCatalog, rStale.reason)
+    catalog.upsertTableStats("ccms_t", 6000L)
+  }
+
+  test("repeated conjunctive COUNT(*) shapes advise the composite CMS; building retires and serves") {
+    import org.apache.spark.sql.functions.expr
+    // dedicated engine: clean miss counters and catalog
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-advise-ccms").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    spark.range(0, 3000)
+      .select(expr("concat('p', id % 4)").as("p"),
+        expr("concat('q', id % 6)").as("q"))
+      .createOrReplaceTempView("adv_cc")
+    val sql = "SELECT count(*) AS n FROM adv_cc WHERE q = 'q2' AND p = 'p1'"
+    (1 to 3).foreach(_ => eng2.query(sql))
+    val advice = eng2.adviseSketches(minMisses = 3)
+    val cms = advice.find(a => a.candidate.sketchType == "cms" &&
+      a.candidate.table == "adv_cc")
+    assert(cms.isDefined, advice.mkString(","))
+    // canonical sorted order: `q AND p` and `p AND q` are one miss key
+    assert(cms.get.candidate.column == "p,q", cms.get.candidate.toString)
+    assert(cms.get.build.contains("createCms"), cms.get.build)
+    graft.sketch.SketchOps.createCms(
+      spark, cat2, "adv_cc", Seq("p", "q"), 0.01, 0.01)
+    assert(!eng2.adviseSketches(minMisses = 3).exists(a =>
+      a.candidate.sketchType == "cms" && a.candidate.table == "adv_cc"),
+      "a fresh composite CMS must retire the advice")
+    val r = eng2.query(sql)
+    assert(r.servedFromCatalog && r.serveKind.contains("cms"), r.reason)
+  }
 }

@@ -134,4 +134,36 @@ class SketchSpec extends SparkSpec {
     assert(freq >= truthFreq && freq <= truthFreq + (0.01 * spark.table("orders").count()).toLong + 1)
     assert(SketchOps.distinctFromSketch(catalog, "lineitem", "l_partkey").contains(est))
   }
+
+  test("jsonTupleKey is byte-identical to Spark's to_json(array(...)) rendering") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    // adversarial values: JSON metachars, the five short escapes, raw
+    // control chars (incl. the old U+0001 separator), non-ASCII
+    val adversarial = Seq(
+      ("plain", "x"),
+      ("with\"quote", "back\\slash"),
+      ("tab\there", "new\nline"),
+      ("cr\rhere", "ff\fhere"),
+      ("bs\bhere", "ctrl\u0001sep"),
+      ("unit\u001fsep", "café ✓"),
+      ("", " spaced "),
+      ("ab", "c") // the pair that aliased under separator-concat
+    )
+    val rendered = adversarial.toDF("a", "b")
+      .select(
+        expr("to_json(array(cast(a as string), cast(b as string)))").as("j"),
+        col("a"), col("b"))
+      .collect()
+    rendered.foreach { r =>
+      assert(r.getString(0) ==
+        SketchOps.jsonTupleKey(Seq(r.getString(1), r.getString(2))),
+        s"Spark=${r.getString(0)} scala=${SketchOps.jsonTupleKey(
+          Seq(r.getString(1), r.getString(2)))}")
+    }
+    // distinct tuples render distinct keys (the collision class the
+    // separator-concat encoding had)
+    assert(SketchOps.jsonTupleKey(Seq("ab", "c")) !=
+      SketchOps.jsonTupleKey(Seq("a", "bc")))
+  }
 }
