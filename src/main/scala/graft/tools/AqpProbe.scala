@@ -56,6 +56,23 @@ object AqpProbe {
     // no-CI variant: how much do the companion aggregates cost?
     val r5 = engine.query(sql, engine.Options(ciColumns = false))
     minMs("approx collect no-CI (AQE on)")(r5.df.collect())
+
+    // stats serve: the bench's stats_serve case isolated, with query()
+    // and collect() decomposed — adjudicates a bench reading inflated
+    // by a contention window covering all three of its passes
+    graft.sketch.SketchOps.createHistogram(spark, catalog, "lineitem_x10",
+      "l_extendedprice")
+    val statsSql = "SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, " +
+      "sum(l_extendedprice) AS sm, avg(l_extendedprice) AS av, " +
+      "count(l_extendedprice) AS nv FROM lineitem_x10"
+    val rs = engine.query(statsSql, engine.Options(ciColumns = false))
+    println(s"[probe] stats plan_type=${rs.planType} served=${rs.servedFromCatalog}")
+    minMs("stats query() only")(
+      engine.query(statsSql, engine.Options(ciColumns = false)))
+    minMs("stats collect only")(rs.df.collect())
+    minMs("stats query+collect")(
+      engine.query(statsSql, engine.Options(ciColumns = false)).df.collect())
+    minMs("stats exact collect")(spark.sql(statsSql).collect())
     spark.stop()
   }
 }
