@@ -702,6 +702,84 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming AGMS maintenance — live join-cardinality evidence: each
+    * micro-batch's keys fold into the stored AGMS counters (bucket =
+    * h60('js:'&#124;&#124;key) % B, sign from the next hash bit — the exact
+    * derivation `SketchOps.createAgms` uses, so the stream-built sketch
+    * is BYTE-equal to a batch build over the same rows; signed-counter
+    * addition is associative/commutative), and `"rows"` accumulates the
+    * batch counts — the cardinality input the engine's join estimate
+    * reads. With a fresh pair maintained this way, automatic costed
+    * join AQP keeps working as the stream appends: the plan decision
+    * stays scan-free while the evidence stays current. Additive merge ⇒
+    * the same `last_batch` replay guard as CMS/histograms (exact under
+    * the single-writer-per-(table, keys) discipline all maintainers
+    * document). Composite keys render with the shared to_json tuple
+    * encoding (`"enc":"j1"`), matching the batch builder. A stored
+    * sketch with a DIFFERENT bucket count refuses (counters of unequal
+    * width cannot add).
+    */
+  def maintainAgmsSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, keys: Seq[String],
+      buckets: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty, "at least one key column required")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val column = keys.mkString(",")
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    val rowsRe = """"rows"\s*:\s*(-?\d+)""".r
+    val bucketsRe = """"buckets"\s*:\s*(-?\d+)""".r
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = catalog.getSketch(table, column, "agms")
+        prev.foreach { s =>
+          val b0 = bucketsRe.findFirstMatchIn(s.parameters).map(_.group(1).toInt)
+          if (!b0.contains(buckets))
+            throw new IllegalArgumentException(
+              s"agms over $table.$column: stored sketch has buckets=" +
+                s"${b0.getOrElse(-1)}, maintainer configured $buckets")
+        }
+        val alreadyMerged = prev
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged) {
+          graft.functions.GraftFunctions.register(batch.sparkSession)
+          import org.apache.spark.sql.functions.{count, expr, lit, sum}
+          val keyExpr = graft.plan.SampleRewrite.tupleKeyExpr("js:", keys)
+          val rows = batch
+            .select(expr(s"graft_h60($keyExpr)").as("h"))
+            .select(expr(s"cast(h % ${buckets}L as int)").as("bucket"),
+              expr(s"case when (h div ${buckets}L) % 2 = 0 then 1L else -1L end")
+                .as("sgn"))
+            .groupBy(col("bucket"))
+            .agg(sum(col("sgn")).as("c"), count(lit(1)).as("n"))
+            .collect()
+          val counters = new Array[Long](buckets)
+          var total = 0L // incl. NULL-key rows: the true batch rowcount
+          rows.foreach { r =>
+            if (!r.isNullAt(0)) counters(r.getInt(0)) = r.getLong(1)
+            total += r.getLong(2)
+          }
+          val prevRows = prev
+            .flatMap(s => rowsRe.findFirstMatchIn(s.parameters)
+              .map(_.group(1).toLong))
+            .getOrElse(0L)
+          val enc = if (keys.sizeIs > 1) ""","enc":"j1"""" else ""
+          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+            "agms", graft.sketch.Agms.serialize(counters),
+            s"""{"buckets":$buckets,"rows":${prevRows + total},"last_batch":$batchId$enc}""",
+            System.currentTimeMillis())) { (p, n) =>
+            val a = graft.sketch.Agms.deserialize(p)
+            val b = graft.sketch.Agms.deserialize(n)
+            graft.sketch.Agms.serialize(
+              a.zip(b).map { case (x, y) => x + y })
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */

@@ -244,6 +244,20 @@ class ApiServerSpec extends SparkSpec {
       && body3.contains("histogram") && body3.contains("agms"))
     // missing table param is a 400, like the reference
     assert(http("GET", "/sketches")._1 == 400)
+    // composite-key CMS over the same route (round 10): "a,b" keys ONE
+    // sketch on the to_json tuple rendering; a conjunctive equality
+    // frequency then serves from it with no scan
+    val (codeC, bodyC) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_orderstatus,o_orderpriority",
+         "sketch_type": "countmin",
+         "parameters": {"epsilon": 0.01, "delta": 0.01}}"""))
+    assert(codeC == 200, bodyC)
+    assert(parsed(bodyC)("size_bytes").flatMap(_.num).exists(_ > 0), bodyC)
+    val (codeCQ, bodyCQ) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'"}"""))
+    assert(codeCQ == 200, bodyCQ)
+    assert(parsed(bodyCQ)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("Count-Min")), bodyCQ.take(400))
   }
 
   test("composite group_by builds over the API and serves GROUP BY a, b") {

@@ -644,6 +644,65 @@ class EventStreamsSpec extends SparkSpec {
     assert(est <= truth + (0.01 * 2000).toLong + 1, s"est=$est truth=$truth")
   }
 
+  test("stream-maintained AGMS equals the batch build; rows accumulate for the join estimate") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-agms").toString)
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainAgmsSketch(
+      stream.toDF().select(expr("value % 1000").as("k")),
+      catalog, "joins_live", Seq("k"), 256)
+    val data = (0L until 3000L)
+    data.grouped(1000).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // law: byte-equal to SketchOps.createAgms over the same rows (the
+    // signed counters add associatively), and "rows" accumulated to the
+    // true total — the cardinality the join estimate reads
+    val ref = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-agms-ref").toString)
+    spark.range(0, 3000).select(expr("id % 1000").as("k"))
+      .createOrReplaceTempView("joins_live")
+    graft.sketch.SketchOps.createAgms(spark, ref, "joins_live", Seq("k"), 256)
+    val live = catalog.getSketch("joins_live", "k", "agms").get
+    val batchS = ref.getSketch("joins_live", "k", "agms").get
+    assert(live.data.sameElements(batchS.data),
+      "stream-built AGMS counters must equal the batch build")
+    def rowsOf(p: String) =
+      """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(p).map(_.group(1))
+    assert(rowsOf(live.parameters).contains("3000"), live.parameters)
+    // replay guard: re-delivered batch ids neither re-add counters nor
+    // re-count rows
+    val replay = MemoryStream[Long]
+    val q2 = EventStreams.maintainAgmsSketch(
+      replay.toDF().select(expr("value % 1000").as("k")),
+      catalog, "joins_live", Seq("k"), 256)
+    replay.addData((0L until 1000L).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val after = catalog.getSketch("joins_live", "k", "agms").get
+    assert(after.data.sameElements(batchS.data))
+    assert(rowsOf(after.parameters).contains("3000"), after.parameters)
+    // a maintainer configured with a different bucket count must refuse
+    // (unequal counter widths cannot add)
+    val bad = MemoryStream[Long]
+    val q3 = EventStreams.maintainAgmsSketch(
+      bad.toDF().select(expr("value % 1000").as("k")),
+      catalog, "joins_live", Seq("k"), 128)
+    bad.addData(Seq(1L))
+    val failed =
+      try { q3.processAllAvailable(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException |
+                   _: IllegalArgumentException => true }
+    q3.stop()
+    assert(failed, "bucket-width mismatch must refuse, not corrupt")
+    assert(catalog.getSketch("joins_live", "k", "agms").get.data
+      .sameElements(batchS.data))
+  }
+
   test("streaming sampled windowed agg (AQP on a stream) equals batch; estimates track exact") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
