@@ -275,11 +275,16 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                   // [min,max] grid) — the engine then answers grouped
                   // percentile queries with no scan
                   case Some(g) =>
-                    // "a,b" builds a COMPOSITE-key grouped sketch
+                    // "a,b" builds a COMPOSITE-key grouped sketch;
+                    // "grid": "shared" buckets every group on one
+                    // global grid so IN-list / partial-key percentile
+                    // serves can merge groups exactly
+                    val shared = params("grid").flatMap(_.str)
+                      .contains("shared")
                     val (size, groups) = SketchOps.createGroupedHistogram(
                       spark, engine.catalog, table,
                       g.split(",").map(_.trim).filter(_.nonEmpty).toSeq, c,
-                      buckets)
+                      buckets, sharedGrid = shared)
                     (200, s"""{"status": "ok", "sketch_type": "histogram_grouped", "size_bytes": $size, "groups": $groups, "buckets": $buckets}""")
                   case None =>
                     val h = SketchOps.createHistogram(spark, engine.catalog,

@@ -1411,9 +1411,10 @@ final class QueryEngine(
     * equality), re-keyed by their projection onto queryCols (query
     * order), payloads collapsed across the filtered-out dimension with
     * `merge` — exact for stats records (min/max monotone, counts and
-    * the unscaled decimal sum additive), register-max union for HLLs.
-    * Per-group histogram grids do NOT merge; histogram callers must
-    * refuse residual dispatch instead of calling this.
+    * the unscaled decimal sum additive), register-max union for HLLs,
+    * bucket-count addition for histograms (shared-grid builds only —
+    * the histogram merge throws on differing grids and the caller
+    * falls through).
     */
   private def partialGroupedBlobFor(table: String, column: String,
       tpe: String, queryCols: Seq[String],
@@ -1469,6 +1470,20 @@ final class QueryEngine(
       graft.sketch.GroupedStats.decode(a),
       graft.sketch.GroupedStats.decode(b)))
 
+  /** Histogram collapse for partial-key dispatch: empty payloads
+    * (all-NULL groups — percentile ignores NULLs) are identities;
+    * non-empty payloads add bucket counts, which is EXACT for the
+    * union iff both sit on the same grid (`Histogram.merge` throws
+    * otherwise — shared-grid builds guarantee a match by construction;
+    * per-group grids refuse naturally, the caller catches and falls
+    * through to the scan).
+    */
+  private def histMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else graft.sketch.Histogram.deserialize(a)
+      .merge(graft.sketch.Histogram.deserialize(b)).serialize
+
   /** If the query is `SELECT g..., PERCENTILE(attr, p)... FROM table
     * GROUP BY g...` — optionally under `WHERE g = lit` / `g IN (lits)`
     * (groupKeyFilter: a GROUP BY keeps per-group grids separate, so a
@@ -1477,9 +1492,13 @@ final class QueryEngine(
     * SketchOps.createGroupedHistogram, group-by column set equal to
     * the query's — composite keys welcome, in any column order)
     * covering every percentile output, answer all (named) groups by
-    * interpolation from the catalog — zero scan. Per-group grids, so
-    * the reported error is still one bucket width (1/buckets of each
-    * group's own grid). Group keys are served as the string rendering
+    * interpolation from the catalog — zero scan. The reported error is
+    * one bucket width (1/buckets of the serving grid). A residual
+    * filter on the blob's OTHER key components (`WHERE a = lit GROUP
+    * BY b` over an "a,b" blob) collapses the filtered dimension by
+    * adding bucket counts — served only from sharedGrid builds, whose
+    * groups share one grid by construction (per-group grids refuse and
+    * the scan answers). Group keys are served as the string rendering
     * recorded at build time; groups whose value column was all NULL
     * are recorded with an empty payload and served with a NULL
     * percentile — the exact GROUP BY row set, nothing dropped.
@@ -1503,10 +1522,20 @@ final class QueryEngine(
     parsed match {
       case Aggregate(gs, outs, child, _) =>
         val d = aggregateGroupKeys(gs, child, table).getOrElse(return None)
-        // per-group grids don't merge: partial-key (residual) dispatch
-        // refuses for histograms — the scan path answers instead
-        if (d.residual.nonEmpty) return None
         val (gNames, keyFilter) = (d.gNames, d.keyFilter)
+        // partial-key (residual) dispatch: the filtered-out dimension
+        // collapses by ADDING bucket counts — exact iff the collapsed
+        // groups share a grid (sharedGrid builds; per-group grids make
+        // Histogram.merge throw and the serve falls through to the
+        // scan, the pre-round-10 behavior)
+        def histBlobFor(c: String)
+            : Option[Seq[(Seq[Option[String]], Array[Byte])]] =
+          if (d.residual.isEmpty)
+            groupedBlobFor(table, c, "histogram_grouped", gNames)
+          else
+            try partialGroupedBlobFor(table, c, "histogram_grouped",
+              gNames, d.residual, histMergeBytes)
+            catch { case _: IllegalArgumentException => None }
         val lower = gNames.map(_.toLowerCase)
         val classified = outs.map {
           case a: UnresolvedAttribute
@@ -1528,7 +1557,7 @@ final class QueryEngine(
                 case _ => None
               }
             colP.flatMap { case (c, p) =>
-              groupedBlobFor(table, c, "histogram_grouped", gNames)
+              histBlobFor(c)
                 .map { entries =>
                   // empty payload = all-NULL group (no grid): served as
                   // a NULL percentile, matching exact GROUP BY output.
@@ -1704,9 +1733,11 @@ final class QueryEngine(
     * exactly (min/max monotone, counts and the unscaled decimal sum
     * additive); COUNT(DISTINCT c) serves from the hll_grouped blob,
     * IN-lists by register-max HLL union; PERCENTILE/MEDIAN (from the
-    * histogram_grouped blob) serve within one bucket width of the
-    * named group's own grid — single-group only, since per-group grids
-    * don't merge; COUNT(*) rides from the groups' recorded rowcounts
+    * histogram_grouped blob) serve within one bucket width —
+    * single-group on any build, and IN-lists too when the named
+    * groups' histograms share a grid (sharedGrid builds: bucket
+    * counts add exactly; per-group grids refuse the multi-group
+    * serve); COUNT(*) rides from the groups' recorded rowcounts
     * (≥1 column-anchored aggregate required — a lone filtered COUNT(*)
     * keeps its Count-Min / sampling semantics). Literals naming NO
     * recorded group serve the exact empty-group aggregate (counts 0,
@@ -1796,6 +1827,21 @@ final class QueryEngine(
             _.map(graft.sketch.GroupedStats.decode)
               .foldLeft(emptyStat)(graft.sketch.GroupedStats.merge)
           }
+        // named groups' histograms: empty payloads (all-NULL groups)
+        // drop — percentile ignores NULLs; none left = NULL percentile
+        // (inner None), the exact empty/all-NULL answer. 2+ histograms
+        // merge by adding bucket counts ONLY when they share a grid
+        // (sharedGrid builds) — differing grids refuse the serve
+        // (outer None) and the scan answers, as before round 10.
+        def mergedHistogram(ps: Seq[Array[Byte]])
+            : Option[Option[graft.sketch.Histogram]] = {
+          val hs = ps.filter(_.nonEmpty).map(graft.sketch.Histogram.deserialize)
+          if (hs.isEmpty) Some(None)
+          else if (hs.forall(h => h.lo == hs.head.lo &&
+              h.width == hs.head.width && h.buckets == hs.head.buckets))
+            Some(Some(hs.reduce(_ merge _)))
+          else None
+        }
         var statsRows: Option[Long] = None // rows of the named group(s)
         val classified: Seq[Option[Part]] = outs.map {
           case Alias(f: UnresolvedFunction, name)
@@ -1832,27 +1878,19 @@ final class QueryEngine(
                     StatPart(name, fn, st)
                   }
               case ("percentile" | "percentile_approx" | "approx_percentile",
-                  Seq(a: UnresolvedAttribute, l: Literal))
-                  if selKeys.sizeIs == 1 =>
+                  Seq(a: UnresolvedAttribute, l: Literal)) =>
                 for {
                   p <- litDouble(l)
                   ps <- matchedPayloads(a.nameParts.last, "histogram_grouped")
-                } yield {
-                  // empty payload = all-NULL group: NULL percentile
-                  val h = ps.headOption.filter(_.nonEmpty)
-                    .map(graft.sketch.Histogram.deserialize)
-                  PctPart(name, h.map(_.percentile(p)),
-                    h.map(x => 1.0 / x.buckets).getOrElse(0.0))
-                }
-              case ("median", Seq(a: UnresolvedAttribute))
-                  if selKeys.sizeIs == 1 =>
-                matchedPayloads(a.nameParts.last, "histogram_grouped").map { ps =>
-                  // empty payload = all-NULL group: NULL percentile
-                  val h = ps.headOption.filter(_.nonEmpty)
-                    .map(graft.sketch.Histogram.deserialize)
-                  PctPart(name, h.map(_.percentile(0.5)),
-                    h.map(x => 1.0 / x.buckets).getOrElse(0.0))
-                }
+                  h <- mergedHistogram(ps)
+                } yield PctPart(name, h.map(_.percentile(p)),
+                  h.map(x => 1.0 / x.buckets).getOrElse(0.0))
+              case ("median", Seq(a: UnresolvedAttribute)) =>
+                for {
+                  ps <- matchedPayloads(a.nameParts.last, "histogram_grouped")
+                  h <- mergedHistogram(ps)
+                } yield PctPart(name, h.map(_.percentile(0.5)),
+                  h.map(x => 1.0 / x.buckets).getOrElse(0.0))
               case _ => None
             }
           case _ => None

@@ -79,7 +79,7 @@ object Aqp {
     // their catalogs, or the one-shot sample/histogram build markers
     Seq(engines, seededStratEngines, histograms, groupedHistograms,
         cmsSketches, compositeCms, compositeHists, joinEngines, detEngines,
-        uniEngines, uniSamples)
+        uniEngines, uniSamples, snowEngines, sgEngines)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -149,6 +149,28 @@ object Aqp {
       graft.sketch.SketchOps.createAgms(s, e.catalog, "orders", "o_orderkey")
       graft.sketch.SketchOps.createAgms(s, e.catalog, "orders", "o_custkey")
       graft.sketch.SketchOps.createAgms(s, e.catalog, "customer", "c_custkey")
+      e
+    })
+  }
+
+  // q99/q100's engine: SHARED-GRID grouped histograms (every group
+  // bucketed on one global [min,max] grid, so subsets of groups merge
+  // exactly by adding counts). Isolated because a shared-grid build
+  // over (table, valueCol) would overwrite the per-group-grid blobs
+  // q84/q91/q92 serve from on the shared engine.
+  private val sgEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private def sgEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    sgEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-sg").toString))
+      graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+        "orders", Seq("o_orderstatus"), "o_totalprice", 64,
+        sharedGrid = true)
+      graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+        "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64,
+        sharedGrid = true)
       e
     })
   }
@@ -749,6 +771,48 @@ object Aqp {
         s"q98 must serve from the composite Count-Min sketch: " +
           s"${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // SHARED-GRID histogram merge end-to-end: a global-aggregate
+    // percentile under `WHERE o_orderstatus IN ('F','P')` — the shape
+    // per-group grids refuse — serves by ADDING the named groups'
+    // bucket counts (one global [min,max] grid for every group, so
+    // count addition is exactly the filtered union's histogram) and
+    // interpolating once. The oracle re-derives the global grid, the
+    // filtered bucket counts, and the q74 interpolation chain in
+    // DuckDB; the assert pins the zero-scan serve and plan_type rides
+    // as a column so a fallback goes red.
+    "q99_merged_pct" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders " +
+          "WHERE o_orderstatus IN ('F', 'P')")
+      assert(r.servedFromCatalog && r.serveKind.contains("filtered_group"),
+        s"q99 must merge the shared-grid group histograms: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // PARTIAL-KEY percentile end-to-end: `WHERE l_returnflag IN
+    // ('A','N') GROUP BY l_linestatus` over the composite
+    // (l_returnflag, l_linestatus) SHARED-GRID blob — composite keys
+    // prune on the returnflag component and the filtered-out dimension
+    // collapses per l_linestatus by adding bucket counts (exact on the
+    // one global grid), closing the percentile gap q94's stats-only
+    // collapse left open. The oracle derives the same global grid and
+    // per-status filtered counts; the assert pins the serve.
+    "q100_partial_key_pct" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_linestatus, percentile(l_quantity, 0.5) AS p50 " +
+          "FROM lineitem WHERE l_returnflag IN ('A', 'N') " +
+          "GROUP BY l_linestatus")
+      assert(r.servedFromCatalog &&
+        r.serveKind.contains("grouped_histogram"),
+        s"q100 must serve the partial-key percentile from the " +
+          s"shared-grid composite blob: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("l_linestatus"))
     }),
 
     // Deterministic HyperLogLog, estimate oracle-gated bit-for-bit —
@@ -1659,6 +1723,69 @@ object Aqp {
           SELECT CAST(sum(e) AS BIGINT) AS n, 'sketch' AS plan_type
           FROM est"""
     },
+    // q99: the shared-grid merge — ONE global [min,max]/64 grid for
+    // every group, counts over the IN-filtered rows (identical to the
+    // engine's sum of the named groups' bucket vectors), then the q74
+    // interpolation chain once. Shares the grid/interpolation breakage
+    // coupling of q74/q84/q91.
+    "q99_merged_pct" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          flt AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+            WHERE o_orderstatus IN ('F', 'P') AND o_totalprice IS NOT NULL),
+          nn AS (SELECT count(*) AS n FROM flt),
+          bk AS (SELECT least(63, CAST(floor((flt.v - grd.lo) / grd.w) AS INT)) AS b
+            FROM flt CROSS JOIN grd),
+          c AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+          cum AS (SELECT b, c,
+              sum(c) OVER (ORDER BY b) - c AS cum_before FROM c),
+          tg AS (SELECT CAST('0.5' AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE) AS target
+            FROM nn),
+          pick AS (SELECT tg.target, min(cum.b) AS b
+            FROM cum CROSS JOIN tg
+            WHERE cum.cum_before + cum.c > tg.target
+            GROUP BY tg.target),
+          est AS (SELECT grd.lo + grd.w * (CAST(pick.b AS DOUBLE)
+              + CASE WHEN cum.c <= 1 THEN CAST(0 AS DOUBLE)
+                     ELSE (pick.target - CAST(cum.cum_before AS DOUBLE)) / CAST(cum.c AS DOUBLE) END) AS v
+            FROM pick JOIN cum ON pick.b = cum.b CROSS JOIN grd)
+          SELECT v AS p50, 'sketch' AS plan_type FROM est""",
+    // q100: the partial-key collapse — the SAME global l_quantity grid
+    // (composite shared-grid build), counts per l_linestatus over the
+    // returnflag-filtered rows (= the engine's per-status sum of the
+    // pruned composite entries' bucket vectors), chain per group.
+    "q100_partial_key_pct" ->
+      """WITH mm AS (SELECT min(CAST(l_quantity AS DOUBLE)) AS lo,
+              max(CAST(l_quantity AS DOUBLE)) AS hi FROM lineitem),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          flt AS (SELECT l_linestatus AS g, CAST(l_quantity AS DOUBLE) AS v
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'N') AND l_quantity IS NOT NULL),
+          nn AS (SELECT g, count(*) AS n FROM flt GROUP BY g),
+          bk AS (SELECT flt.g,
+              least(63, CAST(floor((flt.v - grd.lo) / grd.w) AS INT)) AS b
+            FROM flt CROSS JOIN grd),
+          c AS (SELECT g, b, count(*) AS c FROM bk GROUP BY g, b),
+          cum AS (SELECT g, b, c,
+              sum(c) OVER (PARTITION BY g ORDER BY b) - c AS cum_before FROM c),
+          tg AS (SELECT g, CAST('0.5' AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS target
+            FROM nn),
+          pick AS (SELECT tg.g, tg.target, min(cum.b) AS b
+            FROM cum JOIN tg ON cum.g = tg.g
+            WHERE cum.cum_before + cum.c > tg.target
+            GROUP BY tg.g, tg.target),
+          est AS (SELECT pick.g, grd.lo + grd.w * (CAST(pick.b AS DOUBLE)
+              + CASE WHEN cum.c <= 1 THEN CAST(0 AS DOUBLE)
+                     ELSE (pick.target - CAST(cum.cum_before AS DOUBLE)) / CAST(cum.c AS DOUBLE) END) AS v
+            FROM pick JOIN cum ON pick.g = cum.g AND pick.b = cum.b
+            CROSS JOIN grd)
+          SELECT g AS l_linestatus, v AS p50, 'sketch' AS plan_type
+          FROM est ORDER BY g""",
     "q89_merged_hll" -> {
       val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
         * 1073741824.0).toString

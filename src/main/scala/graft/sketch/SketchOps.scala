@@ -217,18 +217,32 @@ object SketchOps {
     * still count toward the freshness rowcount. Returns (serialized
     * size, group count). MaxHllGroups bounds ALL grouped sketches, not
     * just HLLs — a wider grouping column is data, not a dimension.
+    *
+    * `sharedGrid` trades per-group resolution for MERGEABILITY: every
+    * group is bucketed on ONE global [min, max] grid (the column's
+    * range across all groups), so any subset of groups' histograms
+    * merges exactly by adding bucket counts — the property the
+    * engine's IN-list and partial-key percentile serves need. The
+    * default keeps per-group grids (each group resolved to its own
+    * range; merges refuse).
     */
   def createGroupedHistogram(spark: SparkSession, catalog: MetaCatalog,
       table: String, groupCol: String, valueCol: String,
-      buckets: Int = 64): (Int, Int) =
+      buckets: Int = 64, sharedGrid: Boolean = false): (Int, Int) =
     createGroupedHistogram(spark, catalog, table, Seq(groupCol), valueCol,
-      buckets)
+      buckets, sharedGrid)
 
   /** Composite-key variant: per-(g1, g2, ...) grids and stat records
     * (see groupKeyExpr for the key rendering). */
   def createGroupedHistogram(spark: SparkSession, catalog: MetaCatalog,
       table: String, groupCols: Seq[String], valueCol: String,
-      buckets: Int): (Int, Int) = {
+      buckets: Int): (Int, Int) =
+    createGroupedHistogram(spark, catalog, table, groupCols, valueCol,
+      buckets, sharedGrid = false)
+
+  def createGroupedHistogram(spark: SparkSession, catalog: MetaCatalog,
+      table: String, groupCols: Seq[String], valueCol: String,
+      buckets: Int, sharedGrid: Boolean): (Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, count, expr, lit, max, min}
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(groupCols.nonEmpty, "at least one group column required")
@@ -272,15 +286,25 @@ object SketchOps {
       "stats_grouped", statBlob,
       s"""{"group_by":"$groupCol","groups":${stats.length},"rows":$totalRows}""",
       System.currentTimeMillis()))
-    val grid = stats.filter(!_.isNullAt(1)).map { r =>
-      val lo = r.getDouble(1)
-      val hi = r.getDouble(2)
-      (Option(r.getAs[String]("g")), lo,
-        if (hi > lo) (hi - lo) / buckets else 1.0)
+    val ranges = stats.filter(!_.isNullAt(1)).map { r =>
+      (Option(r.getAs[String]("g")), r.getDouble(1), r.getDouble(2))
     }
-    if (grid.isEmpty)
+    if (ranges.isEmpty)
       throw new IllegalArgumentException(
         s"grouped histogram over $table.$valueCol: no non-NULL values")
+    // sharedGrid: ONE global [lo, hi] grid (the column's range across
+    // all groups) so any subset of groups merges by adding counts;
+    // default: each group bucketed to its own range (finer resolution,
+    // no merging)
+    val grid =
+      if (sharedGrid) {
+        val gLo = ranges.map(_._2).min
+        val gHi = ranges.map(_._3).max
+        val w = if (gHi > gLo) (gHi - gLo) / buckets else 1.0
+        ranges.map { case (k, _, _) => (k, gLo, w) }
+      } else ranges.map { case (k, lo, hi) =>
+        (k, lo, if (hi > lo) (hi - lo) / buckets else 1.0)
+      }
     import spark.implicits._
     val gridDf = grid.toSeq.map { case (k, lo, w) => (k.orNull, lo, w) }
       .toDF("gg", "glo", "gw")
@@ -309,9 +333,10 @@ object SketchOps {
     val allNull = stats.filter(_.isNullAt(1)).toSeq
       .map(r => Option(r.getAs[String]("g")) -> Array.empty[Byte])
     val bytes = GroupedHll.pack(groups ++ allNull)
+    val gridTag = if (sharedGrid) ""","grid":"shared"""" else ""
     catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
       "histogram_grouped", bytes,
-      s"""{"buckets":$buckets,"group_by":"$groupCol","groups":${groups.size + allNull.size},"rows":$totalRows}""",
+      s"""{"buckets":$buckets,"group_by":"$groupCol","groups":${groups.size + allNull.size},"rows":$totalRows$gridTag}""",
       System.currentTimeMillis()))
     (bytes.length, groups.size + allNull.size)
   }

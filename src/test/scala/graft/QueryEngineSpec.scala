@@ -1485,12 +1485,36 @@ class QueryEngineSpec extends SparkSpec {
         s"group $k: est=${dServed(k)} truth=$t")
     }
 
-    // percentiles refuse the residual collapse (per-group grids don't
-    // merge): the query falls through to the scan path
+    // a single-equality residual keeps exactly ONE composite entry per
+    // output group — no merge happens, so percentiles serve even from
+    // per-group grids: each answer is the (F, priority) group's own
+    // histogram, within one bucket width of its own grid
     val rP = engine.query(
       "SELECT o_orderpriority, percentile(o_totalprice, 0.5) AS p50 " +
         "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
-    assert(!rP.servedFromCatalog, rP.reason)
+    assert(rP.servedFromCatalog && rP.serveKind.contains("grouped_histogram"),
+      s"${rP.serveKind}: ${rP.reason}")
+    val pServed = rP.df.collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val pEx = spark.sql(
+      "SELECT o_orderpriority, percentile(o_totalprice, 0.5), " +
+        "cast(max(o_totalprice) as double) - cast(min(o_totalprice) as double) " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    assert(pServed.keySet == pEx.keySet)
+    pEx.foreach { case (k, (ex, range)) =>
+      assert(math.abs(pServed(k) - ex) <= range / 64 + 1e-9,
+        s"group $k: est=${pServed(k)} exact=$ex width=${range / 64}")
+    }
+
+    // an IN-list residual needs a REAL merge of 2+ histograms —
+    // per-group grids differ, so the percentile collapse refuses and
+    // the query falls through to the scan path
+    val rPIn = engine.query(
+      "SELECT o_orderpriority, percentile(o_totalprice, 0.5) AS p50 " +
+        "FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY o_orderpriority")
+    assert(!rPIn.servedFromCatalog, rPIn.reason)
 
     // a filter column the blob does not carry refuses (set mismatch)
     val rX = engine.query(
@@ -1504,6 +1528,85 @@ class QueryEngineSpec extends SparkSpec {
     val rS = engine.query(sql)
     assert(!rS.servedFromCatalog, rS.reason)
     catalog.upsertTableStats("orders", n)
+  }
+
+  test("shared-grid grouped histograms merge: IN-list and partial-key percentiles serve") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-sg").toString)
+    val eng = new QueryEngine(spark, cat)
+
+    // single-key shared grid: a global-aggregate IN-list percentile
+    // merges the named groups' bucket counts (the shape per-group
+    // grids refuse — asserted in the IN-list dispatch spec above)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64, sharedGrid = true)
+    val rIn = eng.query(
+      "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders " +
+        "WHERE o_orderstatus IN ('F', 'P')")
+    assert(rIn.servedFromCatalog && rIn.serveKind.contains("filtered_group"),
+      s"${rIn.serveKind}: ${rIn.reason}")
+    val est = rIn.df.collect().head.getDouble(0)
+    // law 1: the serve equals the hand merge of the named groups'
+    // histograms (identical grids by construction)
+    val blob = cat.getSketch("orders", "o_totalprice", "histogram_grouped").get
+    val byKey = graft.sketch.GroupedHll.unpack(blob.data).toMap
+    val hand = graft.sketch.Histogram.deserialize(byKey(Some("F")))
+      .merge(graft.sketch.Histogram.deserialize(byKey(Some("P"))))
+    assert(est == hand.percentile(0.5), s"$est vs ${hand.percentile(0.5)}")
+    // law 2: within one (global) bucket width of the exact percentile
+    val Array(loHi) = spark.sql(
+      "SELECT cast(min(o_totalprice) as double) AS lo, " +
+        "cast(max(o_totalprice) as double) AS hi FROM orders").collect()
+    val w = (loHi.getDouble(1) - loHi.getDouble(0)) / 64
+    val exP = spark.sql(
+      "SELECT percentile(o_totalprice, 0.5) FROM orders " +
+        "WHERE o_orderstatus IN ('F', 'P')").collect().head.getDouble(0)
+    assert(math.abs(est - exP) <= w + 1e-9, s"est=$est exact=$exP width=$w")
+
+    // composite shared grid: partial-key residual dispatch collapses
+    // the filtered dimension by adding bucket counts — the percentile
+    // shape the per-group-grid blob refuses (asserted above)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64,
+      sharedGrid = true)
+    val rPk = eng.query(
+      "SELECT l_linestatus, percentile(l_quantity, 0.5) AS p50 " +
+        "FROM lineitem WHERE l_returnflag IN ('A', 'N') " +
+        "GROUP BY l_linestatus")
+    assert(rPk.servedFromCatalog &&
+      rPk.serveKind.contains("grouped_histogram"),
+      s"${rPk.serveKind}: ${rPk.reason}")
+    val served = rPk.df.collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val exPk = spark.sql(
+      "SELECT l_linestatus, percentile(l_quantity, 0.5) FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'N') GROUP BY l_linestatus").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(served.keySet == exPk.keySet, s"${served.keySet} vs ${exPk.keySet}")
+    val Array(qLoHi) = spark.sql(
+      "SELECT cast(min(l_quantity) as double) AS lo, " +
+        "cast(max(l_quantity) as double) AS hi FROM lineitem").collect()
+    val qw = (qLoHi.getDouble(1) - qLoHi.getDouble(0)) / 64
+    exPk.foreach { case (k, ex) =>
+      assert(math.abs(served(k) - ex) <= qw + 1e-9,
+        s"group $k: est=${served(k)} exact=$ex width=$qw")
+    }
+
+    // all-NULL groups are merge identities: the merged percentile over
+    // {values, all-NULL} equals the values-only percentile
+    import spark.implicits._
+    Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(9.0)),
+        ("b", Option.empty[Double]))
+      .toDF("g", "v").createOrReplaceTempView("sgnull")
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "sgnull", Seq("g"), "v", 64, sharedGrid = true)
+    val rN = eng.query(
+      "SELECT percentile(v, 0.5) AS p50 FROM sgnull WHERE g IN ('a', 'b')")
+    assert(rN.servedFromCatalog, rN.reason)
+    val rA = eng.query(
+      "SELECT percentile(v, 0.5) AS p50 FROM sgnull WHERE g = 'a'")
+    assert(rN.df.collect().head.getDouble(0) ==
+      rA.df.collect().head.getDouble(0))
   }
 
   test("natural-order composite artifacts are found by permutation-tolerant pair lookup") {
