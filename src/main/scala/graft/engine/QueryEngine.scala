@@ -2392,10 +2392,20 @@ final class QueryEngine(
         residualEqualityFilter(cond, table, gcols) match {
           case Some(res) =>
             val g = (gcols ++ res.map(_._1)).mkString(",")
+            // a PERCENTILE residual collapse adds bucket counts, which
+            // only a SHARED-GRID build reliably serves (per-group
+            // grids refuse multi-entry merges) — advise that variant;
+            // stats-only shapes serve from any build
+            val hasPct = outs.exists {
+              case Alias(f: UnresolvedFunction, _) =>
+                pctFns(f.nameParts.last.toLowerCase)
+              case _ => false
+            }
             outs.flatMap(classify(_, Some(g))).distinct
-              // histograms can't serve the residual collapse (grids
-              // don't merge): advising one would never retire the miss
-              .filterNot(_.sketchType == "histogram_grouped")
+              .map(c =>
+                if (hasPct && c.sketchType == "histogram_grouped")
+                  c.copy(sketchType = "histogram_grouped_shared")
+                else c)
           case None => Nil
         }
       case Project(outs, r: UnresolvedRelation) if rel(r) =>
@@ -2437,9 +2447,25 @@ final class QueryEngine(
               else g
             Seq(Candidate(table, name, "cms", None))
           // anchored aggregates under the filter = the filtered-group
-          // dispatch shape (grouped blobs keyed by the filter columns)
+          // dispatch shape (grouped blobs keyed by the filter columns).
+          // A multi-literal IN percentile serves only by MERGING the
+          // named groups' histograms, which needs a shared grid —
+          // advise that variant so the advice can actually retire.
           case Some(g) if !countStarOnly(outs) =>
+            val multiLit = cond match {
+              case In(_, ls) => ls.sizeIs > 1
+              case _         => false
+            }
+            val hasPct = outs.exists {
+              case Alias(f: UnresolvedFunction, _) =>
+                pctFns(f.nameParts.last.toLowerCase)
+              case _ => false
+            }
             outs.flatMap(classify(_, Some(g))).distinct
+              .map(c =>
+                if (multiLit && hasPct && c.sketchType == "histogram_grouped")
+                  c.copy(sketchType = "histogram_grouped_shared")
+                else c)
           case _ => Nil
         }
       case _ => Nil
@@ -2468,10 +2494,16 @@ final class QueryEngine(
           val catalogType = c.sketchType match {
             case "hll" => "hyperloglog"
             case "cms" => "countmin"
+            case "histogram_grouped_shared" => "histogram_grouped"
             case other => other
           }
           catalog.getSketch(c.table, c.column, catalogType)
             .filter(sketchIsFresh(c.table, _))
+            // a shared-grid miss is covered only by a shared-grid
+            // build — a per-group-grid blob of the same shape cannot
+            // serve the merge, so it must not retire the advice
+            .filter(s => c.sketchType != "histogram_grouped_shared" ||
+              s.parameters.contains("\"grid\":\"shared\""))
             .exists(s => c.groupBy.forall(g =>
               // SET comparison: a sketch built as "a,b" covers a miss
               // recorded from a GROUP BY b, a (dispatch is set-equality)

@@ -44,6 +44,11 @@ object SketchAdvisor {
       s"SketchOps.createGroupedHll(spark, catalog, ${c.table}, $g, ${c.column})"
     case ("histogram_grouped", Some(g)) =>
       s"SketchOps.createGroupedHistogram(spark, catalog, ${c.table}, $g, ${c.column})"
+    case ("histogram_grouped_shared", Some(g)) =>
+      // shared grid: the build whose per-group histograms merge —
+      // what IN-list / partial-key percentile serves require
+      s"SketchOps.createGroupedHistogram(spark, catalog, ${c.table}, $g, " +
+        s"${c.column}, 64, sharedGrid = true)"
     case ("agms", _) =>
       // composite keys render as the Seq the builder takes; the column
       // field carries the comma-joined catalog name either way

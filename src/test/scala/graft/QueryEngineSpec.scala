@@ -1609,6 +1609,49 @@ class QueryEngineSpec extends SparkSpec {
       rA.df.collect().head.getDouble(0))
   }
 
+  test("percentile merge misses advise SHARED-GRID builds; only the shared build retires them") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-advise-sg").toString)
+    val eng = new QueryEngine(spark, cat)
+    // IN-list global percentile (needs a histogram merge) and
+    // partial-key percentile (residual collapse) — both unservable
+    // without a shared-grid blob
+    val inSql = "SELECT percentile(o_totalprice, 0.5) AS p50 FROM orders " +
+      "WHERE o_orderstatus IN ('F', 'P')"
+    val pkSql = "SELECT l_linestatus, percentile(l_quantity, 0.5) AS p50 " +
+      "FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY l_linestatus"
+    (1 to 3).foreach { _ => eng.query(inSql); eng.query(pkSql) }
+    val advice = eng.adviseSketches()
+    def shared(g: String) = advice.find(a =>
+      a.candidate.sketchType == "histogram_grouped_shared" &&
+        a.candidate.groupBy.exists(_.toLowerCase.split(",").map(_.trim).toSet ==
+          g.toLowerCase.split(",").map(_.trim).toSet))
+    assert(shared("o_orderstatus").isDefined, advice.toString)
+    assert(shared("l_linestatus,l_returnflag").isDefined, advice.toString)
+    assert(shared("o_orderstatus").get.build.contains("sharedGrid = true"))
+
+    // a per-group-grid build of the same shape does NOT retire the
+    // advice (it cannot serve the merge)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64)
+    assert(eng.adviseSketches().exists(a =>
+      a.candidate.sketchType == "histogram_grouped_shared" &&
+        a.candidate.groupBy.contains("o_orderstatus")),
+      eng.adviseSketches().toString)
+
+    // the SHARED builds retire both and flip the queries to the serve
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64, sharedGrid = true)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64,
+      sharedGrid = true)
+    assert(!eng.adviseSketches().exists(
+      _.candidate.sketchType == "histogram_grouped_shared"),
+      eng.adviseSketches().toString)
+    assert(eng.query(inSql).servedFromCatalog)
+    assert(eng.query(pkSql).servedFromCatalog)
+  }
+
   test("natural-order composite artifacts are found by permutation-tolerant pair lookup") {
     // both sides built in the caller's NATURAL ON-clause order — not
     // the canonical (alphabetically-first table's sorted keys) order a
