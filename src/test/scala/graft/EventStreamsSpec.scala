@@ -289,6 +289,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(catalog.getSketch("prices_live2", "price", "histogram_grouped").isEmpty)
   }
 
+  test("stream-maintained SHARED-GRID grouped histograms serve merged IN-list percentiles live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-sghist").toString)
+    val buckets = 64
+    // ONE global grid for every group — the shared-grid contract: the
+    // maintainer needs no new code, it folds counts on each group's
+    // declared grid and the engine's merge law is payload-level
+    val grids = Seq((Option("g0"), 0.0, 20.0), (Option("g1"), 0.0, 20.0))
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.maintainGroupedHistogramSketch(
+      stream.toDF().toDF("grp", "price"), catalog, "prices_sg", "grp",
+      "price", grids, buckets)
+    val data = (0L until 1000L).map { i =>
+      if (i % 2 == 0) ("g0", (i * 37) % 631) else ("g1", (i * 53) % 1259)
+    }
+    data.grouped(250).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // the engine merges BOTH groups' live histograms for a global
+    // IN-list percentile — zero scan (the backing view is empty)
+    spark.range(0)
+      .select(lit("x").as("grp"), col("id").cast("double").as("price"))
+      .createOrReplaceTempView("prices_sg")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT percentile(price, 0.5) AS p50 FROM prices_sg " +
+        "WHERE grp IN ('g0', 'g1')")
+    assert(r.servedFromCatalog && r.serveKind.contains("filtered_group"),
+      s"${r.serveKind}: ${r.reason}")
+    // law: equals the hand merge of all rows on the one shared grid
+    val counts = new Array[Long](buckets)
+    data.foreach { case (_, v) =>
+      counts(math.min(buckets - 1, (v / 20.0).toInt)) += 1
+    }
+    val hand = graft.sketch.Histogram(0.0, 20.0, counts).percentile(0.5)
+    assert(r.df.collect().head.getDouble(0) == hand)
+  }
+
   test("stream-maintained grouped stats BYTE-equal the batch build; per-group exact aggregates go live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
