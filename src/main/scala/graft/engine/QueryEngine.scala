@@ -251,6 +251,21 @@ final class QueryEngine(
           sql, features, opts)
       case None =>
     }
+    // Distinct-keys strategy: SELECT DISTINCT g / SELECT g ... GROUP
+    // BY g with no aggregates — the key list IS the recorded group
+    // set of any fresh grouped blob (complete by the MaxHllGroups
+    // build refusal), so the filter-dropdown query every dashboard
+    // fires answers with zero scan and zero error.
+    storedDistinctAnswer(servePlan, table) match {
+      case Some(df) =>
+        return finish(serveResult(posted(df), features, table, "distinct_keys", 0.0,
+          "distinct keys answered from a stored grouped sketch's group list (no scan, exact)",
+          Seq("DISTINCT / keys-only GROUP BY answered from the stored " +
+            "grouped sketch's recorded group set (no scan; complete and " +
+            "exact as of sketch build)"), opts),
+          sql, features, opts)
+      case None =>
+    }
     // Count-Min strategy: a bare COUNT(*) point-frequency query
     // (`WHERE col = 'v'`) over a column with a fresh stored CMS answers
     // from the catalog with NO scan — overestimate-only semantics
@@ -1720,6 +1735,93 @@ final class QueryEngine(
         Some(spark.createDataFrame(rows.asJava, schema))
       case _ => None
     }
+  }
+
+  /** If the query is `SELECT g... FROM table GROUP BY g...` or
+    * `SELECT DISTINCT g... FROM table` with NO aggregate outputs, the
+    * distinct key tuples are exactly the recorded group set of any
+    * fresh grouped blob over the same column SET — zero scan, ZERO
+    * error: the builders refuse to build past MaxHllGroups, so a
+    * stored blob always holds the COMPLETE group list (incl. the NULL
+    * group), and the freshness guard retires it when the table
+    * changes size. Served keys are the builders' string renderings,
+    * so every queried column must be string-typed in the base table
+    * (a numeric column would change the result schema — refuse to the
+    * scan). A key filter (`WHERE g = lit` / `g IN`) prunes to the
+    * named keys; a residual filter on a composite blob's other
+    * components prunes entries then projects (the partial-key
+    * dispatch — payloads are irrelevant here, only keys survive).
+    */
+  private def storedDistinctAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, LogicalPlan, Project}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    val shape: Option[(Seq[Expression], Seq[NamedExpression], LogicalPlan)] =
+      parsed match {
+        case Aggregate(gs, outs, child, _) if gs.nonEmpty =>
+          Some((gs, outs, child))
+        // SELECT DISTINCT over plain attributes == GROUP BY them
+        case Distinct(Project(outs, child))
+            if outs.nonEmpty && outs.forall(o =>
+              attrName(o).isDefined || o.isInstanceOf[Alias]) =>
+          Some((outs.map(identity[Expression]), outs, child))
+        case _ => None
+      }
+    val (gs, outs, child) = shape.getOrElse(return None)
+    val d = aggregateGroupKeys(gs, child, table).getOrElse(return None)
+    val lower = d.gNames.map(_.toLowerCase)
+    // every output must be a bare group key (attr or alias of one)
+    val parts: Seq[(String, Int)] = outs.map {
+      case a: UnresolvedAttribute
+          if lower.contains(a.nameParts.last.toLowerCase) =>
+        (a.nameParts.last, lower.indexOf(a.nameParts.last.toLowerCase))
+      case Alias(e, name)
+          if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+        (name, lower.indexOf(attrName(e).get.toLowerCase))
+      case _ => return None
+    }
+    if (parts.map(_._2).toSet != d.gNames.indices.toSet) return None
+    // string-key gate: the blob's renderings ARE the values only for
+    // string columns
+    val fields = spark.table(table).schema.fields
+    if (!d.gNames.forall(c => fields.exists(f =>
+        f.name.equalsIgnoreCase(c) && f.dataType == StringType)))
+      return None
+    // any fresh grouped blob over the right column set carries the
+    // complete key list — search the catalog across value columns
+    val groupedTypes = Set("stats_grouped", "hll_grouped", "histogram_grouped")
+    val keys: Seq[Seq[Option[String]]] = catalog.listSketches(Some(table))
+      .iterator
+      .filter(s => groupedTypes.contains(s.sketchType))
+      .map { s =>
+        if (d.residual.isEmpty)
+          groupedBlobFor(table, s.columnName, s.sketchType, d.gNames)
+        else
+          partialGroupedBlobFor(table, s.columnName, s.sketchType, d.gNames,
+            d.residual, (_, b) => b) // keys only: any payload stands in
+      }
+      .collectFirst { case Some(entries) =>
+        entries.map(_._1)
+          .filter(k => d.keyFilter.forall(f => k.head.exists(f.contains)))
+          .distinct
+      }
+      .getOrElse(return None)
+    val rows = keys.map(k =>
+      org.apache.spark.sql.Row.fromSeq(parts.map { case (_, i) =>
+        k(i).orNull
+      }))
+    val schema = StructType(parts.map { case (n, _) =>
+      StructField(n, StringType, nullable = true)
+    })
+    import scala.jdk.CollectionConverters._
+    Some(spark.createDataFrame(rows.asJava, schema))
   }
 
   /** If the query is `SELECT <aggs> FROM table WHERE g = lit` (or

@@ -801,6 +801,24 @@ object Aqp {
     // one global grid), closing the percentile gap q94's stats-only
     // collapse left open. The oracle derives the same global grid and
     // per-status filtered counts; the assert pins the serve.
+    // DISTINCT-keys serve end-to-end: a keys-only GROUP BY (the
+    // filter-dropdown query) answers from the composite grouped blob's
+    // recorded group set — complete by the MaxHllGroups build refusal,
+    // retired by the freshness guard, zero scan, zero error; the
+    // ORDER BY replays driver-side over the served string keys
+    // (round-10 peel). The oracle is the plain DISTINCT.
+    "q101_distinct_serve" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_returnflag, l_linestatus FROM lineitem " +
+          "GROUP BY l_returnflag, l_linestatus " +
+          "ORDER BY l_returnflag, l_linestatus")
+      assert(r.servedFromCatalog && r.serveKind.contains("distinct_keys"),
+        s"q101 must serve the key list from the grouped blob: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     "q100_partial_key_pct" -> ((s, dir) => {
       val e = sgEngineFor(s, dir)
       val r = e.query(
@@ -1753,6 +1771,12 @@ object Aqp {
                      ELSE (pick.target - CAST(cum.cum_before AS DOUBLE)) / CAST(cum.c AS DOUBLE) END) AS v
             FROM pick JOIN cum ON pick.b = cum.b CROSS JOIN grd)
           SELECT v AS p50, 'sketch' AS plan_type FROM est""",
+    // q101: the served key list equals the plain DISTINCT, in the
+    // replayed ORDER BY order
+    "q101_distinct_serve" ->
+      """SELECT l_returnflag, l_linestatus, 'sketch' AS plan_type
+          FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+          ORDER BY l_returnflag, l_linestatus""",
     // q100: the partial-key collapse — the SAME global l_quantity grid
     // (composite shared-grid build), counts per l_linestatus over the
     // returnflag-filtered rows (= the engine's per-status sum of the

@@ -1609,6 +1609,70 @@ class QueryEngineSpec extends SparkSpec {
       rA.df.collect().head.getDouble(0))
   }
 
+  test("DISTINCT / keys-only GROUP BY serves the recorded group set with zero scan") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-distinct").toString)
+    val eng = new QueryEngine(spark, cat)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64)
+    val exact = spark.sql("SELECT DISTINCT o_orderstatus FROM orders")
+      .collect().map(_.getString(0)).toSet
+
+    // keys-only GROUP BY
+    val r = eng.query("SELECT o_orderstatus FROM orders GROUP BY o_orderstatus")
+    assert(r.servedFromCatalog && r.serveKind.contains("distinct_keys"),
+      s"${r.serveKind}: ${r.reason}")
+    assert(r.df.collect().map(_.getString(0)).toSet == exact)
+
+    // SELECT DISTINCT parses to a Distinct node — same serve
+    val rd = eng.query("SELECT DISTINCT o_orderstatus FROM orders")
+    assert(rd.servedFromCatalog && rd.serveKind.contains("distinct_keys"),
+      s"${rd.serveKind}: ${rd.reason}")
+    assert(rd.df.collect().map(_.getString(0)).toSet == exact)
+
+    // ORDER BY / LIMIT replay composes: top-2 keys, zero scan
+    val rt = eng.query("SELECT o_orderstatus FROM orders " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 2")
+    assert(rt.servedFromCatalog, rt.reason)
+    assert(rt.df.collect().map(_.getString(0)).toSeq ==
+      exact.toSeq.sorted.take(2))
+
+    // key filter prunes to the named keys
+    val rf = eng.query("SELECT o_orderstatus FROM orders " +
+      "WHERE o_orderstatus IN ('F', 'ZZ') GROUP BY o_orderstatus")
+    assert(rf.servedFromCatalog, rf.reason)
+    assert(rf.df.collect().map(_.getString(0)).toSeq == Seq("F"))
+
+    // composite keys + partial-key residual
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64)
+    val cEx = spark.sql(
+      "SELECT DISTINCT l_linestatus, l_returnflag FROM lineitem")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val rc = eng.query("SELECT l_linestatus, l_returnflag FROM lineitem " +
+      "GROUP BY l_linestatus, l_returnflag")
+    assert(rc.servedFromCatalog, rc.reason)
+    assert(rc.df.collect().map(x => (x.getString(0), x.getString(1))).toSet
+      == cEx)
+    val rp = eng.query("SELECT l_linestatus FROM lineitem " +
+      "WHERE l_returnflag = 'A' GROUP BY l_linestatus")
+    assert(rp.servedFromCatalog, rp.reason)
+    assert(rp.df.collect().map(_.getString(0)).toSet ==
+      spark.sql("SELECT DISTINCT l_linestatus FROM lineitem " +
+        "WHERE l_returnflag = 'A'").collect().map(_.getString(0)).toSet)
+
+    // a numeric key column refuses (served keys are string renderings)
+    val rn = eng.query("SELECT o_custkey FROM orders GROUP BY o_custkey")
+    assert(!rn.servedFromCatalog, rn.reason)
+
+    // staleness retires the serve
+    val n = spark.table("orders").count()
+    cat.upsertTableStats("orders", n + 1000)
+    val rs = eng.query("SELECT o_orderstatus FROM orders GROUP BY o_orderstatus")
+    assert(!rs.servedFromCatalog, rs.reason)
+    cat.upsertTableStats("orders", n)
+  }
+
   test("percentile merge misses advise SHARED-GRID builds; only the shared build retires them") {
     val cat = new MetaCatalog(
       Files.createTempDirectory("graft-advise-sg").toString)
