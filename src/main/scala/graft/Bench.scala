@@ -165,6 +165,12 @@ object Bench {
       // DIFFERENT value column so the single-key cases keep their plans
       graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
         "lineitem_x10", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64)
+      // SHARED-GRID build (round 10) on its own value column: feeds the
+      // merged IN-list percentile case without touching the per-group
+      // grids the percentile_group case serves from
+      graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
+        "lineitem_x10", Seq("l_returnflag"), "l_discount", 64,
+        sharedGrid = true)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -206,6 +212,17 @@ object Bench {
           "min(l_quantity) AS mn, max(l_quantity) AS mx, " +
           "sum(l_quantity) AS sm, count(*) AS nr " +
           "FROM lineitem_x10 GROUP BY l_returnflag, l_linestatus"),
+        // Merged IN-list percentile (round 10): the named groups'
+        // SHARED-GRID histograms add bucket counts and interpolate
+        // once (no scan) — the exact side pays a filtered 6M-row
+        // sort-based percentile.
+        "merged_pct" -> ("SELECT percentile(l_discount, 0.5) AS p50 " +
+          "FROM lineitem_x10 WHERE l_returnflag IN ('A', 'N')"),
+        // Distinct-keys serve (round 10): the key list is the grouped
+        // blob's recorded group set (no scan, exact) — the exact side
+        // pays a 6M-row distinct.
+        "distinct_serve" -> ("SELECT l_returnflag FROM lineitem_x10 " +
+          "GROUP BY l_returnflag ORDER BY l_returnflag"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —
