@@ -169,14 +169,22 @@ final class QueryEngine(
     // clauses replay driver-side over the served rows (HAVING → ORDER
     // BY → LIMIT, SQL's order), so `GROUP BY g ORDER BY cnt DESC LIMIT
     // k` — the top-k heavy-hitters shape — serves with zero scan.
-    // Group-key sort keys are only replayed when the source column is
-    // string-typed: served keys are the builders' string rendering,
-    // and a numeric key would sort lexicographically, changing which
-    // rows a LIMIT keeps. Refused peels leave `parsed` untouched.
+    // Group-key sort keys are replayed when the source column is
+    // string-typed OR integral: the serves emit TYPED key columns
+    // (string renderings verbatim; integral keys parsed back through
+    // the bijective cast), so the DataFrame sort is the source type's
+    // own order. Other key types refuse (the serves refuse them too).
+    // Refused peels leave `parsed` untouched.
     val (servePlan, postOps) = graft.plan.PostAggregate.peel(parsed,
-      keySortable = c => spark.table(table).schema.fields.exists(f =>
-        f.name.equalsIgnoreCase(c) &&
-          f.dataType == org.apache.spark.sql.types.StringType))
+      keySortable = c => {
+        import org.apache.spark.sql.types._
+        spark.table(table).schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(c) && (f.dataType match {
+            case StringType | ByteType | ShortType | IntegerType |
+                LongType => true
+            case _ => false
+          }))
+      })
     def posted(df: DataFrame): DataFrame = postOps.fold(df)(_.apply(df))
     // Statistics strategy: a bare MIN/MAX/COUNT/SUM/AVG query over
     // columns whose stored histograms recorded exact build statistics
@@ -1485,6 +1493,44 @@ final class QueryEngine(
       graft.sketch.GroupedStats.decode(a),
       graft.sketch.GroupedStats.decode(b)))
 
+  /** Served-key typing: the grouped blobs key groups by the builders'
+    * cast-to-string rendering. STRING group columns serve the
+    * rendering verbatim and INTEGRAL columns parse it back (the cast
+    * is bijective there), so the served schema matches exact
+    * execution — and typed keys make the ORDER BY replay sort
+    * numerically. Any other group-column type refuses the serve
+    * (None): a float/decimal rendering must not silently change the
+    * result schema.
+    */
+  private def keyFieldTypes(table: String, gNames: Seq[String])
+      : Option[Seq[org.apache.spark.sql.types.DataType]] = {
+    import org.apache.spark.sql.types._
+    val fields = spark.table(table).schema.fields
+    val ts = gNames.map(c =>
+      fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    if (ts.exists(_.isEmpty)) return None
+    val all = ts.flatten
+    val ok = all.forall {
+      case StringType | ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (ok) Some(all) else None
+  }
+
+  private def typedKeyValue(dt: org.apache.spark.sql.types.DataType,
+      k: Option[String]): Any = {
+    import org.apache.spark.sql.types._
+    k.map { s =>
+      dt match {
+        case ByteType    => java.lang.Byte.valueOf(s)
+        case ShortType   => java.lang.Short.valueOf(s)
+        case IntegerType => java.lang.Integer.valueOf(s)
+        case LongType    => java.lang.Long.valueOf(s)
+        case _           => s
+      }
+    }.orNull
+  }
+
   /** Histogram collapse for partial-key dispatch: empty payloads
     * (all-NULL groups — percentile ignores NULLs) are identities;
     * non-empty payloads add bucket counts, which is EXACT for the
@@ -1602,15 +1648,16 @@ final class QueryEngine(
           return None
         val keys = estCols.head._2.map(_._1)
         if (!estCols.forall(_._2.map(_._1).toSet == keys.toSet)) return None
+        val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
         val byName = estCols.map { case (n, est, _) => n -> est.toMap }.toMap
         val rows = keys.map { k =>
           org.apache.spark.sql.Row.fromSeq(parts.map {
-            case Left((_, i))     => k(i).orNull
+            case Left((_, i))     => typedKeyValue(kTypes(i), k(i))
             case Right((n, _, _)) => byName(n)(k).map(Double.box).orNull
           })
         }
         val schema = StructType(parts.map {
-          case Left((n, _))     => StructField(n, StringType, nullable = true)
+          case Left((n, i))     => StructField(n, kTypes(i), nullable = true)
           case Right((n, _, _)) => StructField(n, DoubleType, nullable = true)
         })
         import scala.jdk.CollectionConverters._
@@ -1707,10 +1754,11 @@ final class QueryEngine(
           return None
         val keys = anchored.head.map(_._1)
         if (!anchored.forall(_.map(_._1).toSet == keys.toSet)) return None
+        val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
         val rideRows = anchored.head.toMap.map { case (k, s) => k -> s.nrows }
         val rows = keys.map { k =>
           org.apache.spark.sql.Row.fromSeq(parts.map {
-            case Left((_, i)) => k(i).orNull
+            case Left((_, i)) => typedKeyValue(kTypes(i), k(i))
             case Right((_, "count_star", _)) => rideRows(k)
             case Right((_, fn, Some(stats))) =>
               val st = stats.toMap.apply(k)
@@ -1725,7 +1773,7 @@ final class QueryEngine(
           })
         }
         val schema = StructType(parts.map {
-          case Left((n, _)) => StructField(n, StringType, nullable = true)
+          case Left((n, i)) => StructField(n, kTypes(i), nullable = true)
           case Right((n, fn, _)) =>
             if (fn == "count" || fn == "count_star")
               StructField(n, LongType, nullable = false)
@@ -1788,12 +1836,9 @@ final class QueryEngine(
       case _ => return None
     }
     if (parts.map(_._2).toSet != d.gNames.indices.toSet) return None
-    // string-key gate: the blob's renderings ARE the values only for
-    // string columns
-    val fields = spark.table(table).schema.fields
-    if (!d.gNames.forall(c => fields.exists(f =>
-        f.name.equalsIgnoreCase(c) && f.dataType == StringType)))
-      return None
+    // key typing gate: string keys verbatim, integral keys parsed back
+    // (bijective rendering); other types refuse
+    val kTypes = keyFieldTypes(table, d.gNames).getOrElse(return None)
     // any fresh grouped blob over the right column set carries the
     // complete key list — search the catalog across value columns
     val groupedTypes = Set("stats_grouped", "hll_grouped", "histogram_grouped")
@@ -1815,10 +1860,10 @@ final class QueryEngine(
       .getOrElse(return None)
     val rows = keys.map(k =>
       org.apache.spark.sql.Row.fromSeq(parts.map { case (_, i) =>
-        k(i).orNull
+        typedKeyValue(kTypes(i), k(i))
       }))
-    val schema = StructType(parts.map { case (n, _) =>
-      StructField(n, StringType, nullable = true)
+    val schema = StructType(parts.map { case (n, i) =>
+      StructField(n, kTypes(i), nullable = true)
     })
     import scala.jdk.CollectionConverters._
     Some(spark.createDataFrame(rows.asJava, schema))
@@ -2283,17 +2328,18 @@ final class QueryEngine(
         // all sketches must agree on the group-key set
         val keys = estCols.head._2.map(_._1)
         if (!estCols.forall(_._2.map(_._1).toSet == keys.toSet)) return None
+        val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
         val byName = estCols.map { case (n, est) => n -> est.toMap }.toMap
         // rows in the parsed output order (key and counts interleave as
         // the select list wrote them)
         val rows = keys.map { k =>
           org.apache.spark.sql.Row.fromSeq(parts.map {
-            case Left((_, i))  => k(i).orNull
+            case Left((_, i))  => typedKeyValue(kTypes(i), k(i))
             case Right((n, _)) => byName(n)(k)
           })
         }
         val schema = StructType(parts.map {
-          case Left((n, _))  => StructField(n, StringType, nullable = true)
+          case Left((n, i))  => StructField(n, kTypes(i), nullable = true)
           case Right((n, _)) => StructField(n, LongType, nullable = false)
         })
         import scala.jdk.CollectionConverters._

@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions.{col, lit}
   *    keys are the builders' STRING rendering, so comparing them as the
   *    underlying type could diverge);
   *  - sort keys on a group-key output are allowed only when the caller
-  *    proves the source column is string-typed (`keySortable`) — a
-  *    numeric key would sort lexicographically and change which rows a
-  *    LIMIT keeps;
+  *    proves the source column's served representation sorts in the
+  *    source type's own order (`keySortable` — string and integral
+  *    columns, whose keys the serves emit TYPED; anything else could
+  *    sort lexicographically and change which rows a LIMIT keeps);
   *  - HAVING supports literal comparisons (=, <=>, <, <=, >, >=, both
   *    operand orders), IN over literals, IS [NOT] NULL, AND/OR/NOT.
   */

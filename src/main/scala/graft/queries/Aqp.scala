@@ -171,6 +171,11 @@ object Aqp {
       graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
         "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64,
         sharedGrid = true)
+      // INTEGRAL group key (q102): the serves parse the string-keyed
+      // blob back to the source int type, so schema and sort order
+      // match exact execution
+      graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+        "lineitem", Seq("l_linenumber"), "l_extendedprice", 64)
       e
     })
   }
@@ -815,6 +820,25 @@ object Aqp {
           "ORDER BY l_returnflag, l_linestatus")
       assert(r.servedFromCatalog && r.serveKind.contains("distinct_keys"),
         s"q101 must serve the key list from the grouped blob: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // TYPED integral group key end-to-end: `GROUP BY l_linenumber`
+    // (an INT column) serves per-key exact SUM/COUNT from the grouped
+    // stats blob with the key parsed BACK to its source type — the
+    // served schema matches exact execution (an int column, not the
+    // blob's string rendering) and the replayed ORDER BY sorts
+    // numerically. The oracle is the direct aggregate with the
+    // decimal-portable sum recipe.
+    "q102_typed_key_serve" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_linenumber, sum(l_extendedprice) AS sm, " +
+          "count(l_extendedprice) AS nv, count(*) AS nr FROM lineitem " +
+          "GROUP BY l_linenumber ORDER BY l_linenumber")
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_stats"),
+        s"q102 must serve the typed-key aggregate from the stats blob: " +
           s"${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
     }),
@@ -1777,6 +1801,14 @@ object Aqp {
       """SELECT l_returnflag, l_linestatus, 'sketch' AS plan_type
           FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
           ORDER BY l_returnflag, l_linestatus""",
+    // q102: the typed-key serve equals the direct aggregate (decimal
+    // sum recipe; the key stays the parquet INT type in both engines)
+    "q102_typed_key_serve" ->
+      """SELECT l_linenumber,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+          count(l_extendedprice) AS nv, count(*) AS nr,
+          'sketch' AS plan_type
+          FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
     // q100: the partial-key collapse — the SAME global l_quantity grid
     // (composite shared-grid build), counts per l_linestatus over the
     // returnflag-filtered rows (= the engine's per-status sum of the

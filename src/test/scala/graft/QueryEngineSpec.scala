@@ -1857,19 +1857,25 @@ class QueryEngineSpec extends SparkSpec {
     assert(!rKey.servedFromCatalog, rKey.reason)
   }
 
-  test("sorting by a numeric group key refuses the peel; string keys and aggregate keys sort fine") {
-    // o_custkey is an INT column: the served group key would be the
-    // builder's string rendering, so ORDER BY o_custkey LIMIT k would
-    // keep lexicographic winners — the peel must refuse
+  test("integral group keys serve TYPED and sort numerically; string and aggregate keys sort fine") {
+    // o_custkey is an INT column: the serves parse the builder's
+    // string rendering back (bijective for integrals), so the served
+    // schema matches exact execution and ORDER BY o_custkey LIMIT k
+    // keeps NUMERIC winners
     graft.sketch.SketchOps.createGroupedHistogram(
       spark, catalog, "orders", "o_custkey", "o_totalprice", 64)
     val rNum = engine.query(
       "SELECT o_custkey, sum(o_totalprice) AS s FROM orders " +
         "GROUP BY o_custkey ORDER BY o_custkey LIMIT 5")
-    assert(!rNum.servedFromCatalog, rNum.reason)
+    assert(rNum.servedFromCatalog, rNum.reason)
+    val numTruth = spark.sql(
+      "SELECT o_custkey, cast(sum(cast(o_totalprice as decimal(18,4))) " +
+        "as double) AS s FROM orders GROUP BY o_custkey " +
+        "ORDER BY o_custkey LIMIT 5").collect()
+    assert(rNum.df.collect().map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq
+      == numTruth.map(r2 => (r2.getLong(0), r2.getDouble(1))).toSeq)
     // same blob, sort on the AGGREGATE output alone: serves (per-key
-    // double sums are distinct in this data, so no tie-break needed —
-    // and a numeric-key tie-break would rightly refuse)
+    // double sums are distinct in this data, so no tie-break needed)
     val rAgg = engine.query(
       "SELECT o_custkey, sum(o_totalprice) AS s FROM orders " +
         "GROUP BY o_custkey ORDER BY s DESC LIMIT 5")
@@ -1878,9 +1884,9 @@ class QueryEngineSpec extends SparkSpec {
       "SELECT o_custkey, cast(sum(cast(o_totalprice as decimal(18,4))) " +
         "as double) AS s FROM orders GROUP BY o_custkey " +
         "ORDER BY s DESC LIMIT 5").collect()
-    // served keys are the string rendering of the int key
-    assert(rAgg.df.collect().map(_.getString(0)).toSet ==
-      truth.map(r2 => String.valueOf(r2.get(0))).toSet)
+    // served keys carry the source integral type
+    assert(rAgg.df.collect().map(_.getLong(0)).toSet ==
+      truth.map(_.getLong(0)).toSet)
     // STRING group key sorts replay exactly
     graft.sketch.SketchOps.createGroupedHistogram(
       spark, catalog, "orders", "o_orderstatus", "o_totalprice", 64)
