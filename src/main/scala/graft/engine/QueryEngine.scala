@@ -291,6 +291,20 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Histogram-range strategy: COUNT(*) under a range predicate
+    // (BETWEEN / one-sided bounds) answered by interpolating the
+    // stored histogram's bucket counts — the classic optimizer-
+    // statistics estimate surfaced as a serve, with the boundary
+    // buckets' mass as the honest error bound.
+    storedHistogramRangeAnswer(servePlan, table) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(serveResult(posted(df), features, table, "histogram_range", err,
+          "range-predicate count answered from the stored histogram (no scan)",
+          Seq("COUNT(*) with a range predicate interpolated from the stored " +
+            "equi-width histogram (no scan; bounded by the boundary buckets' mass)"), opts),
+          sql, features, opts)
+      case _ =>
+    }
     if (!features.hasApproximableAgg && !features.hasDistinct)
       return finish(exact("no approximable aggregate (COUNT/SUM/AVG): exact execution"), sql, features, opts)
 
@@ -1137,6 +1151,91 @@ final class QueryEngine(
           val cols = vals.map { case (n, v, _) => lit(v).as(n) }
           Some((spark.range(1).select(cols: _*), vals.map(_._3).max))
         } else None
+      case _ => None
+    }
+  }
+
+  /** If the query is `SELECT count(*) FROM table WHERE <range on x>`
+    * — one NUMERIC column under >=/>/<=/< literal bounds (BETWEEN
+    * parses to the same conjunction; one- or two-sided) — and a fresh
+    * stored histogram covers x, answer by linear interpolation over
+    * the bucket grid with NO scan (Histogram.rangeCount: interior
+    * buckets exact, boundary buckets fractional). The honest error
+    * bound is the boundary buckets' mass over the estimate — the
+    * truth can differ by at most the buckets the range edges cut
+    * through (strict vs inclusive bounds differ only by point mass at
+    * the edge, inside those same buckets), so the serve engages only
+    * when that ratio fits the caller's budget. Rows with NULL x fail
+    * the predicate and are outside the histogram alike.
+    */
+  private def storedHistogramRangeAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.functions.lit
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    parsed match {
+      case Project(Seq(Alias(f: UnresolvedFunction, name)),
+          Filter(cond, r: UnresolvedRelation))
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
+            f.nameParts.last.equalsIgnoreCase("count") && !f.isDistinct &&
+            f.filter.isEmpty && (f.arguments match {
+              case Seq(Literal(v: Number, _)) => v.intValue == 1
+              case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) => true
+              case _ => false
+            }) =>
+        // (column, isLower, value) per conjunct; every conjunct must be
+        // a literal comparison on the SAME column
+        val sides = conjunctsOf(cond).map {
+          case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+            litDouble(l).map(v => (a.nameParts.last, true, v))
+          case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+            litDouble(l).map(v => (a.nameParts.last, true, v))
+          case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+            litDouble(l).map(v => (a.nameParts.last, false, v))
+          case LessThan(a: UnresolvedAttribute, l: Literal) =>
+            litDouble(l).map(v => (a.nameParts.last, false, v))
+          case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+            litDouble(l).map(v => (a.nameParts.last, false, v))
+          case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+            litDouble(l).map(v => (a.nameParts.last, false, v))
+          case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+            litDouble(l).map(v => (a.nameParts.last, true, v))
+          case LessThan(l: Literal, a: UnresolvedAttribute) =>
+            litDouble(l).map(v => (a.nameParts.last, true, v))
+          case _ => None
+        }
+        if (sides.isEmpty || sides.exists(_.isEmpty)) return None
+        val bs = sides.flatten
+        val cols = bs.map(_._1.toLowerCase).distinct
+        if (cols.sizeIs != 1) return None
+        val c = bs.head._1
+        // at most one bound per side (a = 5 AND a >= 3 style stacking
+        // is not this shape)
+        val lowers = bs.filter(_._2).map(_._3)
+        val uppers = bs.filterNot(_._2).map(_._3)
+        if (lowers.sizeIs > 1 || uppers.sizeIs > 1) return None
+        // the filter column must be numeric — a histogram only exists
+        // for castable columns, but the gate keeps intent explicit
+        val numeric = spark.table(table).schema.fields.exists(fld =>
+          fld.name.equalsIgnoreCase(c) &&
+            fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        if (!numeric) return None
+        catalog.getSketch(table, c, "histogram")
+          .filter(sketchIsFresh(table, _))
+          .map { s =>
+            val h = graft.sketch.Histogram.deserialize(s.data)
+            val (est, boundary) = h.rangeCount(lowers.headOption,
+              uppers.headOption)
+            (spark.range(1).select(lit(est).as(name)),
+              boundary.toDouble / math.max(1.0, est))
+          }
       case _ => None
     }
   }

@@ -176,6 +176,9 @@ object Aqp {
       // match exact execution
       graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
         "lineitem", Seq("l_linenumber"), "l_extendedprice", 64)
+      // single global histogram (q103): feeds the range-count serve
+      graft.sketch.SketchOps.createHistogram(s, e.catalog,
+        "orders", "o_totalprice")
       e
     })
   }
@@ -820,6 +823,26 @@ object Aqp {
           "ORDER BY l_returnflag, l_linestatus")
       assert(r.servedFromCatalog && r.serveKind.contains("distinct_keys"),
         s"q101 must serve the key list from the grouped blob: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Histogram RANGE-COUNT serve end-to-end: `count(*) WHERE
+    // o_totalprice BETWEEN-style bounds` interpolates the stored
+    // equi-width histogram's bucket counts — interior buckets exact,
+    // boundary buckets fractional — with zero scan; the reported error
+    // bound is the boundary buckets' mass over the estimate. The
+    // estimate is a fixed association of single divisions, so the
+    // oracle re-derives the grid, the bucket counts, and the same
+    // arithmetic in DuckDB and hash-matches the double bit-for-bit.
+    "q103_range_count" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est FROM orders " +
+          "WHERE o_totalprice >= 50000 AND o_totalprice < 150000",
+        e.Options(maxRelError = 0.2))
+      assert(r.servedFromCatalog && r.serveKind.contains("histogram_range"),
+        s"q103 must interpolate the stored histogram: " +
           s"${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
     }),
@@ -1801,6 +1824,44 @@ object Aqp {
       """SELECT l_returnflag, l_linestatus, 'sketch' AS plan_type
           FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
           ORDER BY l_returnflag, l_linestatus""",
+    // q103: the range-count interpolation re-derived — the build's
+    // [min,max]/64 grid, per-bucket counts, range endpoints as grid
+    // positions (single divisions), boundary bucket indexes, then
+    // est = (interior + ca*((ia+1)-pa)) + cb*(pb-ib) with the exact
+    // association Histogram.rangeCount uses.
+    "q103_range_count" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT least(63,
+              CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders CROSS JOIN grd WHERE o_totalprice IS NOT NULL),
+          c AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          parts AS (SELECT pa, pb, ia, ib,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS mid
+            FROM ix),
+          est AS (SELECT CASE
+              WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+              WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+              ELSE (CAST(mid AS DOUBLE)
+                  + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS v
+            FROM parts)
+          SELECT v AS n_est, 'sketch' AS plan_type FROM est""",
     // q102: the typed-key serve equals the direct aggregate (decimal
     // sum recipe; the key stays the parquet INT type in both engines)
     "q102_typed_key_serve" ->

@@ -36,6 +36,39 @@ final case class Histogram(lo: Double, width: Double, counts: Array[Long]) {
     lo + width * (b.toDouble + within)
   }
 
+  /** Estimated number of values inside a range by linear interpolation
+    * over the bucket grid: interior buckets contribute their exact
+    * counts (an integer sum), each boundary bucket the fraction of its
+    * width the range covers — so the estimate differs from the truth
+    * by at most the BOUNDARY buckets' mass, which is returned as the
+    * absolute error bound (strict vs inclusive bounds differ only by
+    * point mass at the edge, which lives in those same buckets). None
+    * on a side = unbounded. Every operation is a fixed association of
+    * single divisions/multiplications so an external re-derivation
+    * (the q103 oracle) lands on the identical double.
+    */
+  def rangeCount(lower: Option[Double], upper: Option[Double])
+      : (Double, Long) = {
+    val b = counts.length
+    def pos(x: Double): Double =
+      math.min(b.toDouble, math.max(0.0, (x - lo) / width))
+    val pa = lower.map(pos).getOrElse(0.0)
+    val pb = upper.map(pos).getOrElse(b.toDouble)
+    if (pb <= pa) return (0.0, 0L)
+    val ia = math.min(b - 1, pa.toInt) // pa >= 0, so toInt == floor
+    val ib = math.min(b - 1, pb.toInt)
+    if (ia == ib) (counts(ia).toDouble * (pb - pa), counts(ia))
+    else {
+      var mid = 0L
+      var j = ia + 1
+      while (j < ib) { mid += counts(j); j += 1 }
+      val est = (mid.toDouble +
+        counts(ia).toDouble * ((ia + 1).toDouble - pa)) +
+        counts(ib).toDouble * (pb - ib.toDouble)
+      (est, counts(ia) + counts(ib))
+    }
+  }
+
   def merge(other: Histogram): Histogram = {
     require(other.lo == lo && other.width == width &&
       other.counts.length == counts.length,

@@ -1900,6 +1900,53 @@ class QueryEngineSpec extends SparkSpec {
         .map(_.getString(0)).toSeq)
   }
 
+  test("range-predicate COUNT(*) interpolates the stored histogram within the boundary-mass bound") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-range").toString)
+    val eng = new QueryEngine(spark, cat)
+    graft.sketch.SketchOps.createHistogram(spark, cat, "orders", "o_totalprice")
+    val sql = "SELECT count(*) AS n FROM orders " +
+      "WHERE o_totalprice >= 50000 AND o_totalprice < 150000"
+    val r = eng.query(sql, eng.Options(maxRelError = 0.2))
+    assert(r.servedFromCatalog && r.serveKind.contains("histogram_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val est = r.df.collect().head.getDouble(0)
+    val truth = spark.sql("SELECT count(*) FROM orders " +
+      "WHERE o_totalprice >= 50000 AND o_totalprice < 150000")
+      .collect().head.getLong(0).toDouble
+    // law: the truth sits within the reported boundary-mass bound
+    assert(math.abs(est - truth) <= r.estimatedError * math.max(1.0, est) + 1e-6,
+      s"est=$est truth=$truth err=${r.estimatedError}")
+
+    // one-sided bound serves under the same law
+    val r1 = eng.query(
+      "SELECT count(*) AS n FROM orders WHERE o_totalprice < 100000",
+      eng.Options(maxRelError = 0.2))
+    assert(r1.servedFromCatalog && r1.serveKind.contains("histogram_range"),
+      r1.reason)
+    val e1 = r1.df.collect().head.getDouble(0)
+    val t1 = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_totalprice < 100000")
+      .collect().head.getLong(0).toDouble
+    assert(math.abs(e1 - t1) <= r1.estimatedError * math.max(1.0, e1) + 1e-6,
+      s"est=$e1 truth=$t1 err=${r1.estimatedError}")
+
+    // a budget tighter than the boundary mass refuses the serve
+    val rt = eng.query(sql, eng.Options(maxRelError = 0.001))
+    assert(!rt.servedFromCatalog, rt.reason)
+    // a second aggregate output is not the shape
+    val rm = eng.query(
+      "SELECT count(*) AS n, sum(o_totalprice) AS s FROM orders " +
+        "WHERE o_totalprice >= 50000 AND o_totalprice < 150000",
+      eng.Options(maxRelError = 0.2))
+    assert(!rm.serveKind.contains("histogram_range"), rm.reason)
+    // staleness retires the serve
+    val n = spark.table("orders").count()
+    cat.upsertTableStats("orders", n + 1000)
+    assert(!eng.query(sql, eng.Options(maxRelError = 0.2)).servedFromCatalog)
+    cat.upsertTableStats("orders", n)
+  }
+
   test("composite-key CMS serves conjunctive equality frequencies from the tuple sketch") {
     import org.apache.spark.sql.functions.expr
     // one all-NULL-component row: excluded from the counters (it can
