@@ -2541,7 +2541,7 @@ final class QueryEngine(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       features: QueryFeatures): Seq[graft.learn.SketchAdvisor.Candidate] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, In, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, NamedExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
     import graft.learn.SketchAdvisor.Candidate
     if (!features.isSingleTable) {
@@ -2713,6 +2713,38 @@ final class QueryEngine(
                 if (multiLit && hasPct && c.sketchType == "histogram_grouped")
                   c.copy(sketchType = "histogram_grouped_shared")
                 else c)
+          // a lone COUNT(*) under RANGE bounds on one numeric column
+          // is the histogram range-count serve's miss — the plain
+          // histogram build covers it
+          case None if countStarOnly(outs) =>
+            val rangeCols = conjunctsOf(cond).map {
+              case GreaterThanOrEqual(a: UnresolvedAttribute, _: Literal) =>
+                Some(a.nameParts.last)
+              case GreaterThan(a: UnresolvedAttribute, _: Literal) =>
+                Some(a.nameParts.last)
+              case LessThanOrEqual(a: UnresolvedAttribute, _: Literal) =>
+                Some(a.nameParts.last)
+              case LessThan(a: UnresolvedAttribute, _: Literal) =>
+                Some(a.nameParts.last)
+              case GreaterThanOrEqual(_: Literal, a: UnresolvedAttribute) =>
+                Some(a.nameParts.last)
+              case GreaterThan(_: Literal, a: UnresolvedAttribute) =>
+                Some(a.nameParts.last)
+              case LessThanOrEqual(_: Literal, a: UnresolvedAttribute) =>
+                Some(a.nameParts.last)
+              case LessThan(_: Literal, a: UnresolvedAttribute) =>
+                Some(a.nameParts.last)
+              case _ => None
+            }
+            val isNumeric = rangeCols.headOption.flatten.exists(c =>
+              spark.table(table).schema.fields.exists(f =>
+                f.name.equalsIgnoreCase(c) &&
+                  f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+            if (rangeCols.nonEmpty && rangeCols.forall(_.isDefined) &&
+                rangeCols.flatten.map(_.toLowerCase).distinct.sizeIs == 1 &&
+                isNumeric)
+              Seq(Candidate(table, rangeCols.flatten.head, "histogram", None))
+            else Nil
           case _ => Nil
         }
       case _ => Nil

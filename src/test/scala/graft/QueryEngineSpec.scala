@@ -1947,6 +1947,28 @@ class QueryEngineSpec extends SparkSpec {
     cat.upsertTableStats("orders", n)
   }
 
+  test("range-count misses advise a histogram; the build retires and flips the query to the serve") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-advise-range").toString)
+    val eng = new QueryEngine(spark, cat)
+    val sql = "SELECT count(*) AS n FROM orders " +
+      "WHERE o_totalprice >= 50000 AND o_totalprice < 150000"
+    (1 to 3).foreach { _ =>
+      val r = eng.query(sql, eng.Options(maxRelError = 0.2))
+      assert(!r.servedFromCatalog, r.reason)
+    }
+    val advice = eng.adviseSketches()
+    assert(advice.exists(a => a.candidate.sketchType == "histogram" &&
+      a.candidate.column == "o_totalprice" && a.candidate.groupBy.isEmpty),
+      advice.toString)
+    graft.sketch.SketchOps.createHistogram(spark, cat, "orders", "o_totalprice")
+    assert(!eng.adviseSketches().exists(_.candidate.sketchType == "histogram"),
+      eng.adviseSketches().toString)
+    val r = eng.query(sql, eng.Options(maxRelError = 0.2))
+    assert(r.servedFromCatalog && r.serveKind.contains("histogram_range"),
+      s"${r.serveKind}: ${r.reason}")
+  }
+
   test("composite-key CMS serves conjunctive equality frequencies from the tuple sketch") {
     import org.apache.spark.sql.functions.expr
     // one all-NULL-component row: excluded from the counters (it can
