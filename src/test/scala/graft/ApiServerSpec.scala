@@ -276,6 +276,28 @@ class ApiServerSpec extends SparkSpec {
       .exists(_.contains("grouped build statistics")), qb.take(400))
   }
 
+  test("range-count and distinct-keys serve over HTTP (round 10)") {
+    // plain histogram -> count(*) under range bounds interpolates it
+    val (c1, b1) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_totalprice", "sketch_type": "histogram"}"""))
+    assert(c1 == 200, b1)
+    val (qc, qb) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n FROM orders WHERE o_totalprice >= 50000 AND o_totalprice < 150000", "max_rel_error": 0.2}"""))
+    assert(qc == 200, qb)
+    assert(parsed(qb)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("histogram_range")), qb.take(400))
+    // grouped blob -> keys-only GROUP BY serves the recorded group set
+    val (c2, b2) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_totalprice", "sketch_type": "histogram",
+         "parameters": {"group_by": "o_orderstatus"}}"""))
+    assert(c2 == 200, b2)
+    val (dc, db) = http("POST", "/query", Some(
+      """{"sql": "SELECT o_orderstatus FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"}"""))
+    assert(dc == 200, db)
+    assert(parsed(db)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("distinct_keys")), db.take(400))
+  }
+
   test("GET /sketches/advise closes the miss -> build -> serve loop") {
     // lineitem.l_suppkey is count-DISTINCTed by no other test in this
     // suite, so the advisor's miss counter for it is fully under our
