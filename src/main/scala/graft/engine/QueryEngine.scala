@@ -305,6 +305,17 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Grouped twin: GROUP BY g under a range predicate — each recorded
+    // group's estimate from its own histogram in the grouped blob.
+    storedGroupedRangeAnswer(servePlan, table) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(serveResult(posted(df), features, table, "grouped_histogram_range", err,
+          "per-group range-predicate count answered from the stored grouped histogram (no scan)",
+          Seq("GROUP BY under a range predicate interpolated per group from " +
+            "the stored grouped histogram (no scan; worst group's boundary mass)"), opts),
+          sql, features, opts)
+      case _ =>
+    }
     if (!features.hasApproximableAgg && !features.hasDistinct)
       return finish(exact("no approximable aggregate (COUNT/SUM/AVG): exact execution"), sql, features, opts)
 
@@ -1236,6 +1247,125 @@ final class QueryEngine(
             (spark.range(1).select(lit(est).as(name)),
               boundary.toDouble / math.max(1.0, est))
           }
+      case _ => None
+    }
+  }
+
+  /** Grouped twin of [[storedHistogramRangeAnswer]]: `SELECT g...,
+    * count(*) FROM table WHERE <range on x> GROUP BY g...` answers
+    * each RECORDED group's estimate from its own histogram in a fresh
+    * `histogram_grouped` blob whose value column is x and group set is
+    * the query's — per-group interpolation, zero scan. Contract: one
+    * row per recorded group with estimated in-range mass > 0 (a group
+    * with true matches always has mass > 0 — its rows' buckets overlap
+    * the range — so no group exact execution returns is dropped;
+    * extra near-range groups may appear, the approximate-count
+    * contract like the global case). The reported error is the WORST
+    * group's boundary-mass ratio. Keys serve typed (keyFieldTypes).
+    */
+  private def storedGroupedRangeAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    parsed match {
+      case Aggregate(gs, outs, Filter(cond, r: UnresolvedRelation), _)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
+            gs.nonEmpty && gs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+        val gNames = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
+        val lower = gNames.map(_.toLowerCase)
+        // outputs: the group keys plus exactly ONE count(*)
+        var countName: Option[String] = None
+        val parts: Seq[Either[(String, Int), String]] = outs.map {
+          case a: UnresolvedAttribute
+              if lower.contains(a.nameParts.last.toLowerCase) =>
+            Left((a.nameParts.last,
+              lower.indexOf(a.nameParts.last.toLowerCase)))
+          case Alias(e, name)
+              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+            Left((name, lower.indexOf(attrName(e).get.toLowerCase)))
+          case Alias(f: UnresolvedFunction, name)
+              if f.nameParts.last.equalsIgnoreCase("count") &&
+                !f.isDistinct && f.filter.isEmpty &&
+                countName.isEmpty && (f.arguments match {
+                  case Seq(Literal(v: Number, _)) => v.intValue == 1
+                  case Seq(_: UnresolvedStar)     => true
+                  case _                          => false
+                }) =>
+            countName = Some(name); Right(name)
+          case _ => return None
+        }
+        if (countName.isEmpty ||
+            parts.collect { case Left((_, i)) => i }.toSet !=
+              gNames.indices.toSet) return None
+        // the same one-column numeric range parse as the global serve
+        val sides = conjunctsOf(cond).map {
+          case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+            litDouble(l).map(v => (a.nameParts.last, true, v))
+          case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+            litDouble(l).map(v => (a.nameParts.last, true, v))
+          case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+            litDouble(l).map(v => (a.nameParts.last, false, v))
+          case LessThan(a: UnresolvedAttribute, l: Literal) =>
+            litDouble(l).map(v => (a.nameParts.last, false, v))
+          case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+            litDouble(l).map(v => (a.nameParts.last, false, v))
+          case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+            litDouble(l).map(v => (a.nameParts.last, false, v))
+          case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+            litDouble(l).map(v => (a.nameParts.last, true, v))
+          case LessThan(l: Literal, a: UnresolvedAttribute) =>
+            litDouble(l).map(v => (a.nameParts.last, true, v))
+          case _ => None
+        }
+        if (sides.isEmpty || sides.exists(_.isEmpty)) return None
+        val bs = sides.flatten
+        if (bs.map(_._1.toLowerCase).distinct.sizeIs != 1) return None
+        val c = bs.head._1
+        if (lower.contains(c.toLowerCase)) return None // that's a WHERE on the key
+        val lowers = bs.filter(_._2).map(_._3)
+        val uppers = bs.filterNot(_._2).map(_._3)
+        if (lowers.sizeIs > 1 || uppers.sizeIs > 1) return None
+        val numeric = spark.table(table).schema.fields.exists(fld =>
+          fld.name.equalsIgnoreCase(c) &&
+            fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        if (!numeric) return None
+        val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
+        groupedBlobFor(table, c, "histogram_grouped", gNames).map { entries =>
+          val served = entries.flatMap { case (k, b) =>
+            if (b.isEmpty) None // all-NULL group: no row passes the range
+            else {
+              val (est, bnd) = graft.sketch.Histogram.deserialize(b)
+                .rangeCount(lowers.headOption, uppers.headOption)
+              if (est > 0.0) Some((k, est, bnd / math.max(1.0, est)))
+              else None
+            }
+          }
+          val rows = served.map { case (k, est, _) =>
+            org.apache.spark.sql.Row.fromSeq(parts.map {
+              case Left((_, i)) => typedKeyValue(kTypes(i), k(i))
+              case Right(_)     => Double.box(est)
+            })
+          }
+          val schema = StructType(parts.map {
+            case Left((n, i)) => StructField(n, kTypes(i), nullable = true)
+            case Right(n)     => StructField(n, DoubleType, nullable = false)
+          })
+          import scala.jdk.CollectionConverters._
+          (spark.createDataFrame(rows.asJava, schema),
+            served.map(_._3).foldLeft(0.0)(math.max))
+        }
       case _ => None
     }
   }

@@ -847,6 +847,26 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // GROUPED range-count end-to-end: `count(*) WHERE o_totalprice in
+    // a range GROUP BY o_orderstatus` — each recorded group's estimate
+    // interpolated from its own histogram in the shared-grid grouped
+    // blob (per-group q103 arithmetic on ONE global grid, which the
+    // oracle re-derives per group). Serves one row per group with
+    // positive in-range mass; error = worst group's boundary ratio.
+    "q104_grouped_range" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderstatus, count(*) AS n_est FROM orders " +
+          "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog &&
+        r.serveKind.contains("grouped_histogram_range"),
+        s"q104 must interpolate the grouped histograms per group: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // TYPED integral group key end-to-end: `GROUP BY l_linenumber`
     // (an INT column) serves per-key exact SUM/COUNT from the grouped
     // stats blob with the key parsed BACK to its source type — the
@@ -1862,6 +1882,46 @@ object Aqp {
                 + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS v
             FROM parts)
           SELECT v AS n_est, 'sketch' AS plan_type FROM est""",
+    // q104: q103's interpolation PER GROUP over the shared-grid blob —
+    // one global grid, per-(group, bucket) counts, the same CASE
+    // association per group, groups with positive mass only.
+    "q104_grouped_range" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT o_orderstatus AS g, least(63,
+              CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders CROSS JOIN grd WHERE o_totalprice IS NOT NULL),
+          c AS (SELECT g, b, count(*) AS c FROM bk GROUP BY g, b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          gl AS (SELECT DISTINCT g FROM c),
+          parts AS (SELECT gl.g, ix.pa, ix.pb, ix.ia, ix.ib,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS mid
+            FROM gl CROSS JOIN ix),
+          est AS (SELECT g, CASE
+              WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+              WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+              ELSE (CAST(mid AS DOUBLE)
+                  + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS v
+            FROM parts)
+          SELECT g AS o_orderstatus, v AS n_est, 'sketch' AS plan_type
+          FROM est WHERE v > 0 ORDER BY g""",
     // q102: the typed-key serve equals the direct aggregate (decimal
     // sum recipe; the key stays the parquet INT type in both engines)
     "q102_typed_key_serve" ->

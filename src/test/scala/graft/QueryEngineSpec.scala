@@ -1969,6 +1969,46 @@ class QueryEngineSpec extends SparkSpec {
       s"${r.serveKind}: ${r.reason}")
   }
 
+  test("grouped range-count serves each recorded group from its own histogram") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-grange").toString)
+    val eng = new QueryEngine(spark, cat)
+    // per-group grids — no merging happens, each group interpolates
+    // independently, so the default build serves this shape
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64)
+    val r = eng.query(
+      "SELECT o_orderstatus, count(*) AS n FROM orders " +
+        "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+        "GROUP BY o_orderstatus",
+      eng.Options(maxRelError = 0.5))
+    assert(r.servedFromCatalog &&
+      r.serveKind.contains("grouped_histogram_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val served = r.df.collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val truth = spark.sql(
+      "SELECT o_orderstatus, count(*) FROM orders " +
+        "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+        "GROUP BY o_orderstatus").collect()
+      .map(x => x.getString(0) -> x.getLong(1).toDouble).toMap
+    // every group exact execution returns is served (positive mass)
+    assert(truth.keySet.subsetOf(served.keySet),
+      s"${served.keySet} vs ${truth.keySet}")
+    // each served estimate within the reported worst-group bound
+    served.foreach { case (g, est) =>
+      val t = truth.getOrElse(g, 0.0)
+      assert(math.abs(est - t) <= r.estimatedError * math.max(1.0, est) + 1e-6,
+        s"group $g: est=$est truth=$t err=${r.estimatedError}")
+    }
+    // a range on the GROUP column itself is not this shape
+    val rk = eng.query(
+      "SELECT o_orderstatus, count(*) AS n FROM orders " +
+        "WHERE o_orderstatus >= 'F' GROUP BY o_orderstatus",
+      eng.Options(maxRelError = 0.5))
+    assert(!rk.servedFromCatalog, rk.reason)
+  }
+
   test("composite-key CMS serves conjunctive equality frequencies from the tuple sketch") {
     import org.apache.spark.sql.functions.expr
     // one all-NULL-component row: excluded from the counters (it can
