@@ -1201,55 +1201,73 @@ final class QueryEngine(
               case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) => true
               case _ => false
             }) =>
-        // (column, isLower, value) per conjunct; every conjunct must be
-        // a literal comparison on the SAME column
-        val sides = conjunctsOf(cond).map {
-          case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-            litDouble(l).map(v => (a.nameParts.last, true, v))
-          case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
-            litDouble(l).map(v => (a.nameParts.last, true, v))
-          case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-            litDouble(l).map(v => (a.nameParts.last, false, v))
-          case LessThan(a: UnresolvedAttribute, l: Literal) =>
-            litDouble(l).map(v => (a.nameParts.last, false, v))
-          case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
-            litDouble(l).map(v => (a.nameParts.last, false, v))
-          case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
-            litDouble(l).map(v => (a.nameParts.last, false, v))
-          case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
-            litDouble(l).map(v => (a.nameParts.last, true, v))
-          case LessThan(l: Literal, a: UnresolvedAttribute) =>
-            litDouble(l).map(v => (a.nameParts.last, true, v))
-          case _ => None
-        }
-        if (sides.isEmpty || sides.exists(_.isEmpty)) return None
-        val bs = sides.flatten
-        val cols = bs.map(_._1.toLowerCase).distinct
-        if (cols.sizeIs != 1) return None
-        val c = bs.head._1
-        // at most one bound per side (a = 5 AND a >= 3 style stacking
-        // is not this shape)
-        val lowers = bs.filter(_._2).map(_._3)
-        val uppers = bs.filterNot(_._2).map(_._3)
-        if (lowers.sizeIs > 1 || uppers.sizeIs > 1) return None
+        val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
         // the filter column must be numeric — a histogram only exists
         // for castable columns, but the gate keeps intent explicit
-        val numeric = spark.table(table).schema.fields.exists(fld =>
-          fld.name.equalsIgnoreCase(c) &&
-            fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-        if (!numeric) return None
+        if (!numericColumn(table, c)) return None
         catalog.getSketch(table, c, "histogram")
           .filter(sketchIsFresh(table, _))
           .map { s =>
             val h = graft.sketch.Histogram.deserialize(s.data)
-            val (est, boundary) = h.rangeCount(lowers.headOption,
-              uppers.headOption)
+            val (est, boundary) = h.rangeCount(lowerB, upperB)
             (spark.range(1).select(lit(est).as(name)),
               boundary.toDouble / math.max(1.0, est))
           }
       case _ => None
     }
   }
+
+  /** Parse `cond` as a conjunction of literal comparisons (>=/>/<=/<,
+    * both operand orders) on a SINGLE column — the range-predicate
+    * shape behind the histogram range serves and their advisor misses.
+    * Some((column, lower, upper)) with at most one bound per side and
+    * at least one bound; None on any other conjunct, a second column,
+    * or stacked bounds.
+    */
+  private def rangeBounds(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, Option[Double], Option[Double])] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    val sides = conjunctsOf(cond).map {
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        litDouble(l).map(v => (a.nameParts.last, true, v))
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+        litDouble(l).map(v => (a.nameParts.last, true, v))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        litDouble(l).map(v => (a.nameParts.last, false, v))
+      case LessThan(a: UnresolvedAttribute, l: Literal) =>
+        litDouble(l).map(v => (a.nameParts.last, false, v))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        litDouble(l).map(v => (a.nameParts.last, false, v))
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+        litDouble(l).map(v => (a.nameParts.last, false, v))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        litDouble(l).map(v => (a.nameParts.last, true, v))
+      case LessThan(l: Literal, a: UnresolvedAttribute) =>
+        litDouble(l).map(v => (a.nameParts.last, true, v))
+      case _ => None
+    }
+    if (sides.isEmpty || sides.exists(_.isEmpty)) return None
+    val bs = sides.flatten
+    if (bs.map(_._1.toLowerCase).distinct.sizeIs != 1) return None
+    val lowers = bs.filter(_._2).map(_._3)
+    val uppers = bs.filterNot(_._2).map(_._3)
+    if (lowers.sizeIs > 1 || uppers.sizeIs > 1) return None
+    Some((bs.head._1, lowers.headOption, uppers.headOption))
+  }
+
+  /** Whether `c` is a numeric column of `table` — the gate both range
+    * serves apply before trusting a histogram over it. */
+  private def numericColumn(table: String, c: String): Boolean =
+    spark.table(table).schema.fields.exists(fld =>
+      fld.name.equalsIgnoreCase(c) &&
+        fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
 
   /** Grouped twin of [[storedHistogramRangeAnswer]]: `SELECT g...,
     * count(*) FROM table WHERE <range on x> GROUP BY g...` answers
@@ -1310,44 +1328,16 @@ final class QueryEngine(
             parts.collect { case Left((_, i)) => i }.toSet !=
               gNames.indices.toSet) return None
         // the same one-column numeric range parse as the global serve
-        val sides = conjunctsOf(cond).map {
-          case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-            litDouble(l).map(v => (a.nameParts.last, true, v))
-          case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
-            litDouble(l).map(v => (a.nameParts.last, true, v))
-          case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-            litDouble(l).map(v => (a.nameParts.last, false, v))
-          case LessThan(a: UnresolvedAttribute, l: Literal) =>
-            litDouble(l).map(v => (a.nameParts.last, false, v))
-          case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
-            litDouble(l).map(v => (a.nameParts.last, false, v))
-          case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
-            litDouble(l).map(v => (a.nameParts.last, false, v))
-          case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
-            litDouble(l).map(v => (a.nameParts.last, true, v))
-          case LessThan(l: Literal, a: UnresolvedAttribute) =>
-            litDouble(l).map(v => (a.nameParts.last, true, v))
-          case _ => None
-        }
-        if (sides.isEmpty || sides.exists(_.isEmpty)) return None
-        val bs = sides.flatten
-        if (bs.map(_._1.toLowerCase).distinct.sizeIs != 1) return None
-        val c = bs.head._1
+        val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
         if (lower.contains(c.toLowerCase)) return None // that's a WHERE on the key
-        val lowers = bs.filter(_._2).map(_._3)
-        val uppers = bs.filterNot(_._2).map(_._3)
-        if (lowers.sizeIs > 1 || uppers.sizeIs > 1) return None
-        val numeric = spark.table(table).schema.fields.exists(fld =>
-          fld.name.equalsIgnoreCase(c) &&
-            fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-        if (!numeric) return None
+        if (!numericColumn(table, c)) return None
         val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
         groupedBlobFor(table, c, "histogram_grouped", gNames).map { entries =>
           val served = entries.flatMap { case (k, b) =>
             if (b.isEmpty) None // all-NULL group: no row passes the range
             else {
               val (est, bnd) = graft.sketch.Histogram.deserialize(b)
-                .rangeCount(lowers.headOption, uppers.headOption)
+                .rangeCount(lowerB, upperB)
               if (est > 0.0) Some((k, est, bnd / math.max(1.0, est)))
               else None
             }
@@ -2783,7 +2773,34 @@ final class QueryEngine(
                 if (hasPct && c.sketchType == "histogram_grouped")
                   c.copy(sketchType = "histogram_grouped_shared")
                 else c)
-          case None => Nil
+          case None =>
+            // GROUP BY keys + a lone count(*) under a RANGE on one
+            // numeric non-key column: the grouped range serve's miss —
+            // advise the grouped histogram over (keys → range column)
+            val lowerG = gcols.map(_.toLowerCase).toSet
+            val countOuts = outs.count {
+              case Alias(f: UnresolvedFunction, _) =>
+                f.nameParts.last.equalsIgnoreCase("count") &&
+                  !f.isDistinct && f.filter.isEmpty
+              case _ => false
+            }
+            val keysElse = outs.forall {
+              case a: UnresolvedAttribute =>
+                lowerG.contains(a.nameParts.last.toLowerCase)
+              case Alias(a: UnresolvedAttribute, _) =>
+                lowerG.contains(a.nameParts.last.toLowerCase)
+              case Alias(_: UnresolvedFunction, _) => true // counted above
+              case _ => false
+            }
+            rangeBounds(cond) match {
+              case Some((c, _, _))
+                  if countOuts == 1 && keysElse &&
+                    !lowerG.contains(c.toLowerCase) &&
+                    numericColumn(table, c) =>
+                Seq(Candidate(table, c, "histogram_grouped",
+                  Some(gcols.mkString(","))))
+              case _ => Nil
+            }
         }
       case Project(outs, r: UnresolvedRelation) if rel(r) =>
         outs.flatMap(classify(_, None)).distinct
@@ -2847,34 +2864,11 @@ final class QueryEngine(
           // is the histogram range-count serve's miss — the plain
           // histogram build covers it
           case None if countStarOnly(outs) =>
-            val rangeCols = conjunctsOf(cond).map {
-              case GreaterThanOrEqual(a: UnresolvedAttribute, _: Literal) =>
-                Some(a.nameParts.last)
-              case GreaterThan(a: UnresolvedAttribute, _: Literal) =>
-                Some(a.nameParts.last)
-              case LessThanOrEqual(a: UnresolvedAttribute, _: Literal) =>
-                Some(a.nameParts.last)
-              case LessThan(a: UnresolvedAttribute, _: Literal) =>
-                Some(a.nameParts.last)
-              case GreaterThanOrEqual(_: Literal, a: UnresolvedAttribute) =>
-                Some(a.nameParts.last)
-              case GreaterThan(_: Literal, a: UnresolvedAttribute) =>
-                Some(a.nameParts.last)
-              case LessThanOrEqual(_: Literal, a: UnresolvedAttribute) =>
-                Some(a.nameParts.last)
-              case LessThan(_: Literal, a: UnresolvedAttribute) =>
-                Some(a.nameParts.last)
-              case _ => None
+            rangeBounds(cond) match {
+              case Some((c, _, _)) if numericColumn(table, c) =>
+                Seq(Candidate(table, c, "histogram", None))
+              case _ => Nil
             }
-            val isNumeric = rangeCols.headOption.flatten.exists(c =>
-              spark.table(table).schema.fields.exists(f =>
-                f.name.equalsIgnoreCase(c) &&
-                  f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
-            if (rangeCols.nonEmpty && rangeCols.forall(_.isDefined) &&
-                rangeCols.flatten.map(_.toLowerCase).distinct.sizeIs == 1 &&
-                isNumeric)
-              Seq(Candidate(table, rangeCols.flatten.head, "histogram", None))
-            else Nil
           case _ => Nil
         }
       case _ => Nil

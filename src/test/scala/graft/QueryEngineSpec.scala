@@ -1967,6 +1967,30 @@ class QueryEngineSpec extends SparkSpec {
     val r = eng.query(sql, eng.Options(maxRelError = 0.2))
     assert(r.servedFromCatalog && r.serveKind.contains("histogram_range"),
       s"${r.serveKind}: ${r.reason}")
+
+    // GROUPED range misses advise the grouped histogram over
+    // (key -> range column); building it flips the query too
+    val gSql = "SELECT o_orderstatus, count(*) AS n FROM orders " +
+      "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+      "GROUP BY o_orderstatus"
+    (1 to 3).foreach { _ =>
+      val rg = eng.query(gSql, eng.Options(maxRelError = 0.5))
+      assert(!rg.servedFromCatalog, rg.reason)
+    }
+    assert(eng.adviseSketches().exists(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.column == "o_totalprice" &&
+        a.candidate.groupBy.contains("o_orderstatus")),
+      eng.adviseSketches().toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64)
+    assert(!eng.adviseSketches().exists(
+      _.candidate.sketchType == "histogram_grouped"),
+      eng.adviseSketches().toString)
+    val rg = eng.query(gSql, eng.Options(maxRelError = 0.5))
+    assert(rg.servedFromCatalog &&
+      rg.serveKind.contains("grouped_histogram_range"),
+      s"${rg.serveKind}: ${rg.reason}")
   }
 
   test("grouped range-count serves each recorded group from its own histogram") {
