@@ -259,6 +259,20 @@ final class QueryEngine(
           sql, features, opts)
       case None =>
     }
+    // Distinct-count strategy: a bare COUNT(DISTINCT g...) over the
+    // group columns of a fresh grouped blob is EXACT from the recorded
+    // group list (complete by the MaxHllGroups build refusal) —
+    // preempting the HLL estimate for exactly these columns.
+    storedDistinctCountAnswer(servePlan, table) match {
+      case Some(df) =>
+        return finish(serveResult(posted(df), features, table, "distinct_count", 0.0,
+          "count(DISTINCT) answered exactly from a stored grouped sketch's group list (no scan)",
+          Seq("COUNT(DISTINCT group columns) answered from the stored " +
+            "grouped sketch's recorded group set (no scan; complete and " +
+            "exact as of sketch build)"), opts),
+          sql, features, opts)
+      case None =>
+    }
     // Distinct-keys strategy: SELECT DISTINCT g / SELECT g ... GROUP
     // BY g with no aggregates — the key list IS the recorded group
     // set of any fresh grouped blob (complete by the MaxHllGroups
@@ -2086,6 +2100,54 @@ final class QueryEngine(
     })
     import scala.jdk.CollectionConverters._
     Some(spark.createDataFrame(rows.asJava, schema))
+  }
+
+  /** If the query is a bare `SELECT count(DISTINCT g...) FROM table`
+    * over the group column(s) of ANY fresh grouped blob, the answer is
+    * EXACT with zero scan: the builders refuse to build past
+    * MaxHllGroups, so the recorded group list is complete — the
+    * distinct count is the number of keys whose components are all
+    * non-NULL (COUNT DISTINCT skips rows with any NULL argument),
+    * preempting the HLL estimate for exactly these columns. Multiple
+    * count(DISTINCT) outputs serve together when each one's column set
+    * has a covering blob.
+    */
+  private def storedDistinctCountAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.functions.lit
+    val groupedTypes = Set("stats_grouped", "hll_grouped", "histogram_grouped")
+    def exactCountFor(cols: Seq[String]): Option[Long] =
+      catalog.listSketches(Some(table)).iterator
+        .filter(s => groupedTypes.contains(s.sketchType))
+        .map(s => groupedBlobFor(table, s.columnName, s.sketchType, cols))
+        .collectFirst { case Some(entries) =>
+          entries.map(_._1).distinct.count(_.forall(_.isDefined)).toLong
+        }
+    parsed match {
+      case Project(outs, r: UnresolvedRelation)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
+            outs.nonEmpty =>
+        val answered = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if f.isDistinct && f.filter.isEmpty &&
+                f.nameParts.last.equalsIgnoreCase("count") &&
+                f.arguments.nonEmpty &&
+                f.arguments.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+            exactCountFor(f.arguments
+              .map(_.asInstanceOf[UnresolvedAttribute].nameParts.last))
+              .map(n => (name, n))
+          case _ => None
+        }
+        if (answered.nonEmpty && answered.forall(_.isDefined)) {
+          val cols = answered.flatten.map { case (n, v) => lit(v).as(n) }
+          Some(spark.range(1).select(cols: _*))
+        } else None
+      case _ => None
+    }
   }
 
   /** If the query is `SELECT <aggs> FROM table WHERE g = lit` (or

@@ -847,6 +847,22 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // EXACT COUNT(DISTINCT) from the grouped blob's key list: the
+    // composite (l_returnflag, l_linestatus) blob records every group
+    // (builders refuse past MaxHllGroups), so the distinct tuple count
+    // is the number of all-non-NULL keys — zero scan, zero error,
+    // preempting the HLL estimate for exactly these columns.
+    "q105_distinct_count" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(DISTINCT l_returnflag, l_linestatus) AS nd " +
+          "FROM lineitem")
+      assert(r.servedFromCatalog && r.serveKind.contains("distinct_count"),
+        s"q105 must count the recorded group list exactly: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // GROUPED range-count end-to-end: `count(*) WHERE o_totalprice in
     // a range GROUP BY o_orderstatus` — each recorded group's estimate
     // interpolated from its own histogram in the shared-grid grouped
@@ -1882,6 +1898,12 @@ object Aqp {
                 + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS v
             FROM parts)
           SELECT v AS n_est, 'sketch' AS plan_type FROM est""",
+    // q105: exact distinct tuple count — COUNT DISTINCT skips rows
+    // with any NULL argument, mirrored by the non-NULL filter
+    "q105_distinct_count" ->
+      """SELECT count(*) AS nd, 'sketch' AS plan_type FROM (
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL) t""",
     // q104: q103's interpolation PER GROUP over the shared-grid blob —
     // one global grid, per-(group, bucket) counts, the same CASE
     // association per group, groups with positive mass only.

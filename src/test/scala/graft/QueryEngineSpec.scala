@@ -1993,6 +1993,45 @@ class QueryEngineSpec extends SparkSpec {
       s"${rg.serveKind}: ${rg.reason}")
   }
 
+  test("COUNT(DISTINCT group columns) serves EXACTLY from the grouped blob's key list") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-dcount").toString)
+    val eng = new QueryEngine(spark, cat)
+    import spark.implicits._
+    Seq((Option("a"), 1.0), (Option("b"), 2.0), (Option("b"), 3.0),
+        (Option.empty[String], 4.0))
+      .toDF("g", "v").createOrReplaceTempView("dcnt")
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "dcnt", "g", "v", 64)
+    val r = eng.query("SELECT count(DISTINCT g) AS nd FROM dcnt")
+    assert(r.servedFromCatalog && r.serveKind.contains("distinct_count"),
+      s"${r.serveKind}: ${r.reason}")
+    // the NULL group is recorded in the blob but COUNT DISTINCT skips it
+    assert(r.df.collect().head.getLong(0) == 2L)
+    assert(r.estimatedError == 0.0)
+
+    // composite tuples: non-null tuple count, exact vs direct execution
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64)
+    val rc = eng.query(
+      "SELECT count(DISTINCT l_returnflag, l_linestatus) AS nd FROM lineitem")
+    assert(rc.servedFromCatalog && rc.serveKind.contains("distinct_count"),
+      s"${rc.serveKind}: ${rc.reason}")
+    assert(rc.df.collect().head.getLong(0) ==
+      spark.sql("SELECT count(DISTINCT l_returnflag, l_linestatus) " +
+        "FROM lineitem").collect().head.getLong(0))
+
+    // a column with NO covering blob falls through
+    val rx = eng.query("SELECT count(DISTINCT l_partkey) AS nd FROM lineitem")
+    assert(!rx.serveKind.contains("distinct_count"), rx.reason)
+    // staleness retires the exact serve
+    val n = spark.table("dcnt").count()
+    cat.upsertTableStats("dcnt", n + 1000)
+    assert(!eng.query("SELECT count(DISTINCT g) AS nd FROM dcnt")
+      .servedFromCatalog)
+    cat.upsertTableStats("dcnt", n)
+  }
+
   test("grouped range-count serves each recorded group from its own histogram") {
     val cat = new MetaCatalog(
       Files.createTempDirectory("graft-grange").toString)
