@@ -332,6 +332,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(r.df.collect().head.getDouble(0) == hand)
   }
 
+  test("stream-discovered groups raise the exact DISTINCT count live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-dcnt").toString)
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.maintainGroupedStatsSketch(
+      stream.toDF().toDF("grp", "amount"), catalog, "dcnt_live", "grp",
+      "amount")
+    stream.addData(Seq(("a", 1L), ("b", 2L)))
+    q.processAllAvailable()
+    // zero scan: the backing view is empty
+    spark.range(0)
+      .select(lit("x").as("grp"), col("id").as("amount"))
+      .createOrReplaceTempView("dcnt_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val sql = "SELECT count(DISTINCT grp) AS nd FROM dcnt_live"
+    val r1 = engine.query(sql)
+    assert(r1.servedFromCatalog && r1.serveKind.contains("distinct_count"),
+      s"${r1.serveKind}: ${r1.reason}")
+    assert(r1.df.collect().head.getLong(0) == 2L)
+    // a NEW group arriving through the stream unions into the blob and
+    // raises the exact count — the one serve whose ANSWER grows with
+    // stream-discovered keys
+    stream.addData(Seq(("c", 3L)))
+    q.processAllAvailable()
+    q.stop()
+    val r2 = engine.query(sql)
+    assert(r2.servedFromCatalog, r2.reason)
+    assert(r2.df.collect().head.getLong(0) == 3L)
+  }
+
   test("stream-maintained grouped stats BYTE-equal the batch build; per-group exact aggregates go live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
