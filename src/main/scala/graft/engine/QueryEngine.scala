@@ -1180,18 +1180,25 @@ final class QueryEngine(
     }
   }
 
-  /** If the query is `SELECT count(*) FROM table WHERE <range on x>`
-    * — one NUMERIC column under >=/>/<=/< literal bounds (BETWEEN
-    * parses to the same conjunction; one- or two-sided) — and a fresh
-    * stored histogram covers x, answer by linear interpolation over
-    * the bucket grid with NO scan (Histogram.rangeCount: interior
-    * buckets exact, boundary buckets fractional). The honest error
-    * bound is the boundary buckets' mass over the estimate — the
-    * truth can differ by at most the buckets the range edges cut
-    * through (strict vs inclusive bounds differ only by point mass at
-    * the edge, inside those same buckets), so the serve engages only
-    * when that ratio fits the caller's budget. Rows with NULL x fail
-    * the predicate and are outside the histogram alike.
+  /** If the query is `SELECT count(*)/sum(x)/avg(x)... FROM table
+    * WHERE <range on x>` — one NUMERIC column under >=/>/<=/< literal
+    * bounds (BETWEEN parses to the same conjunction; one- or
+    * two-sided) — and a fresh stored histogram covers x, answer by
+    * linear interpolation over the bucket grid with NO scan
+    * (Histogram.rangeCount / rangePositions: interior buckets exact,
+    * boundary buckets fractional). SUM/AVG additionally need the
+    * "histsum" blob the histogram build writes (per-bucket exact
+    * decimal sums): interior sums add exactly (unscaled decimal
+    * addition, one cast to double), boundary buckets contribute their
+    * covered fraction, and AVG is one division of the two estimates.
+    * The honest error bound is the boundary buckets' mass (count or
+    * |sum|) over the estimate — the truth can differ by at most the
+    * buckets the range edges cut through (strict vs inclusive bounds
+    * differ only by point mass at the edge, inside those same
+    * buckets); AVG reports the first-order combination of both. The
+    * serve engages only when the worst output's ratio fits the
+    * caller's budget. Rows with NULL x fail the predicate and are
+    * outside the histogram alike.
     */
   private def storedHistogramRangeAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -1205,28 +1212,107 @@ final class QueryEngine(
       case n: Number                             => Some(n.doubleValue())
       case _                                     => None
     }
+    sealed trait ROut { def name: String }
+    case class CntOut(name: String) extends ROut
+    case class SumOut(name: String, col: String) extends ROut
+    case class AvgOut(name: String, col: String) extends ROut
     parsed match {
-      case Project(Seq(Alias(f: UnresolvedFunction, name)),
-          Filter(cond, r: UnresolvedRelation))
+      case Project(outs, Filter(cond, r: UnresolvedRelation))
           if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
-            f.nameParts.last.equalsIgnoreCase("count") && !f.isDistinct &&
-            f.filter.isEmpty && (f.arguments match {
-              case Seq(Literal(v: Number, _)) => v.intValue == 1
-              case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) => true
-              case _ => false
-            }) =>
+            outs.nonEmpty =>
+        val classified = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", Seq(Literal(v: Number, _))) if v.intValue == 1 =>
+                Some(CntOut(name))
+              case ("count",
+                  Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar)) =>
+                Some(CntOut(name))
+              case ("sum", Seq(a: UnresolvedAttribute)) =>
+                Some(SumOut(name, a.nameParts.last))
+              case ("avg" | "mean", Seq(a: UnresolvedAttribute)) =>
+                Some(AvgOut(name, a.nameParts.last))
+              case _ => None
+            }
+          case _ => None
+        }
+        if (classified.exists(_.isEmpty)) return None
+        val parts = classified.flatten
         val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
+        // SUM/AVG serve only over the RANGE column itself (that's the
+        // column whose per-bucket sums the histsum blob records)
+        val sumCols = parts.collect {
+          case SumOut(_, cc) => cc
+          case AvgOut(_, cc) => cc
+        }
+        if (sumCols.exists(!_.equalsIgnoreCase(c))) return None
         // the filter column must be numeric — a histogram only exists
         // for castable columns, but the gate keeps intent explicit
         if (!numericColumn(table, c)) return None
-        catalog.getSketch(table, c, "histogram")
+        val h = catalog.getSketch(table, c, "histogram")
           .filter(sketchIsFresh(table, _))
-          .map { s =>
-            val h = graft.sketch.Histogram.deserialize(s.data)
-            val (est, boundary) = h.rangeCount(lowerB, upperB)
-            (spark.range(1).select(lit(est).as(name)),
-              boundary.toDouble / math.max(1.0, est))
-          }
+          .map(s => graft.sketch.Histogram.deserialize(s.data))
+          .getOrElse(return None)
+        // per-bucket exact decimal sums, needed only for SUM/AVG
+        val bsums: Option[Array[BigInt]] =
+          if (sumCols.isEmpty) None
+          else Some(catalog.getSketch(table, c, "histsum")
+            .filter(sketchIsFresh(table, _))
+            .flatMap { s =>
+              val byKey = graft.sketch.GroupedHll.unpack(s.data)
+                .collect { case (Some(k), b) => k.toInt -> BigInt(b) }.toMap
+              if (byKey.size == h.buckets)
+                Some(Array.tabulate(h.buckets)(byKey))
+              else None
+            }.getOrElse(return None))
+        val (cntEst, cntBoundary) = h.rangeCount(lowerB, upperB)
+        val cntRel = cntBoundary.toDouble / math.max(1.0, cntEst)
+        // SUM estimate on the SAME grid geometry: interior buckets add
+        // exactly (unscaled decimal addition, one cast), boundary
+        // buckets contribute their covered fraction
+        val (sumEst, sumBoundary): (Option[Double], Double) = bsums match {
+          case None => (None, 0.0)
+          case Some(bs) =>
+            def d(i: Int): Double =
+              new java.math.BigDecimal(bs(i).bigInteger, 4).doubleValue
+            h.rangePositions(lowerB, upperB) match {
+              case None => (None, 0.0) // empty range: SUM of no rows
+              case Some((pa, pb, ia, ib)) if ia == ib =>
+                (Some(d(ia) * (pb - pa)), math.abs(d(ia)))
+              case Some((pa, pb, ia, ib)) =>
+                var interior = BigInt(0)
+                var j = ia + 1
+                while (j < ib) { interior += bs(j); j += 1 }
+                val interiorD = new java.math.BigDecimal(
+                  interior.bigInteger, 4).doubleValue
+                (Some((interiorD + d(ia) * ((ia + 1).toDouble - pa)) +
+                  d(ib) * (pb - ib.toDouble)),
+                  math.abs(d(ia)) + math.abs(d(ib)))
+            }
+        }
+        val sumRel = sumEst match {
+          case Some(s0) if s0 != 0.0 => sumBoundary / math.abs(s0)
+          case Some(_) if sumBoundary > 0.0 => Double.PositiveInfinity
+          case _ => 0.0
+        }
+        val avgEst: Option[Double] =
+          if (cntEst > 0.0) sumEst.map(_ / cntEst) else None
+        val cols = parts.map {
+          case CntOut(n) => lit(cntEst).as(n)
+          case SumOut(n, _) =>
+            sumEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+          case AvgOut(n, _) =>
+            avgEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+        }
+        // the worst output's bound: counts/sums their own ratio, AVG a
+        // conservative first-order combination of both
+        val err = parts.map {
+          case _: CntOut => cntRel
+          case _: SumOut => sumRel
+          case _: AvgOut => cntRel + sumRel
+        }.foldLeft(0.0)(math.max)
+        Some((spark.range(1).select(cols: _*), err))
       case _ => None
     }
   }

@@ -847,6 +847,26 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // Range SUM/AVG from the sum-augmented histogram: the histogram
+    // build also records per-bucket exact decimal sums ("histsum"), so
+    // count(*), sum(x), and avg(x) under a range on x all serve by
+    // interpolation with zero scan — interior buckets exact (unscaled
+    // decimal addition, one cast), boundary buckets fractional, AVG
+    // one division of the two estimates. Every step is a fixed
+    // association the oracle re-derives bit-for-bit.
+    "q106_range_sum" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(o_totalprice) AS s_est, " +
+          "avg(o_totalprice) AS a_est FROM orders " +
+          "WHERE o_totalprice >= 50000 AND o_totalprice < 150000",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("histogram_range"),
+        s"q106 must interpolate count+sum+avg from the stored " +
+          s"histogram and histsum blobs: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // EXACT COUNT(DISTINCT) from the grouped blob's key list: the
     // composite (l_returnflag, l_linestatus) blob records every group
     // (builders refuse past MaxHllGroups), so the distinct tuple count
@@ -1898,6 +1918,55 @@ object Aqp {
                 + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS v
             FROM parts)
           SELECT v AS n_est, 'sketch' AS plan_type FROM est""",
+    // q106: q103's geometry with per-bucket decimal sums — interior
+    // sums add exactly in DECIMAL then cast once, boundary terms are
+    // single multiplies, avg is one double division; associations
+    // mirror the engine's exactly.
+    "q106_range_sum" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT o_totalprice AS rawv, least(63,
+              CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders CROSS JOIN grd WHERE o_totalprice IS NOT NULL),
+          c AS (SELECT b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          parts AS (SELECT pa, pb, ia, ib,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM ix),
+          est AS (SELECT
+              CASE WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+                   WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+                   ELSE (CAST(mid AS DOUBLE)
+                       + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                     + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+              CASE WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+                   WHEN ia = ib THEN sa * (pb - pa)
+                   ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                     + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT n AS n_est, s AS s_est, s / n AS a_est,
+            'sketch' AS plan_type FROM est""",
     // q105: exact distinct tuple count — COUNT DISTINCT skips rows
     // with any NULL argument, mirrored by the non-NULL filter
     "q105_distinct_count" ->

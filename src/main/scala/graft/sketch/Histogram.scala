@@ -47,27 +47,39 @@ final case class Histogram(lo: Double, width: Double, counts: Array[Long]) {
     * single divisions/multiplications so an external re-derivation
     * (the q103 oracle) lands on the identical double.
     */
-  def rangeCount(lower: Option[Double], upper: Option[Double])
-      : (Double, Long) = {
+  /** Range endpoints as clamped grid positions plus the boundary
+    * bucket indexes — the geometry shared by [[rangeCount]] and the
+    * engine's range-sum serve (one definition, so their estimates and
+    * their oracles can never drift apart). None = empty range.
+    */
+  def rangePositions(lower: Option[Double], upper: Option[Double])
+      : Option[(Double, Double, Int, Int)] = {
     val b = counts.length
     def pos(x: Double): Double =
       math.min(b.toDouble, math.max(0.0, (x - lo) / width))
     val pa = lower.map(pos).getOrElse(0.0)
     val pb = upper.map(pos).getOrElse(b.toDouble)
-    if (pb <= pa) return (0.0, 0L)
-    val ia = math.min(b - 1, pa.toInt) // pa >= 0, so toInt == floor
-    val ib = math.min(b - 1, pb.toInt)
-    if (ia == ib) (counts(ia).toDouble * (pb - pa), counts(ia))
-    else {
-      var mid = 0L
-      var j = ia + 1
-      while (j < ib) { mid += counts(j); j += 1 }
-      val est = (mid.toDouble +
-        counts(ia).toDouble * ((ia + 1).toDouble - pa)) +
-        counts(ib).toDouble * (pb - ib.toDouble)
-      (est, counts(ia) + counts(ib))
-    }
+    if (pb <= pa) None
+    else Some((pa, pb, math.min(b - 1, pa.toInt), // pa >= 0: toInt==floor
+      math.min(b - 1, pb.toInt)))
   }
+
+  def rangeCount(lower: Option[Double], upper: Option[Double])
+      : (Double, Long) =
+    rangePositions(lower, upper) match {
+      case None => (0.0, 0L)
+      case Some((pa, pb, ia, ib)) =>
+        if (ia == ib) (counts(ia).toDouble * (pb - pa), counts(ia))
+        else {
+          var mid = 0L
+          var j = ia + 1
+          while (j < ib) { mid += counts(j); j += 1 }
+          val est = (mid.toDouble +
+            counts(ia).toDouble * ((ia + 1).toDouble - pa)) +
+            counts(ib).toDouble * (pb - ib.toDouble)
+          (est, counts(ia) + counts(ib))
+        }
+    }
 
   def merge(other: Histogram): Histogram = {
     require(other.lo == lo && other.width == width &&

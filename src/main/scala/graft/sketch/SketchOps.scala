@@ -186,13 +186,30 @@ object SketchOps {
       })
     val width = if (hi > lo) (hi - lo) / buckets else 1.0
     val counts = new Array[Long](buckets)
+    // per-bucket decimal sums ride the same pass into a SECOND blob
+    // ("histsum"): the input to the engine's range-SUM/AVG serve.
+    // Stored as the UNSCALED integer of the scale-4 decimal (exact and
+    // additively mergeable, the GroupedStats convention), so interior-
+    // bucket sums add exactly and each bucket's double rendering
+    // matches the oracle's CAST(DECIMAL AS DOUBLE).
+    val bsums = Array.fill(buckets)(BigInt(0))
+    var sumOverflow = false
     spark.table(table).filter(col(column).isNotNull)
       .select(expr(
         s"least(${buckets - 1}, cast(floor((cast($column as double) - $lo) / $width) as int))")
-        .as("b"))
-      .groupBy(col("b")).count()
+        .as("b"), col(column))
+      .groupBy(col("b"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        expr(s"try_sum(cast($column as decimal(38,4)))").as("s4"))
       .collect()
-      .foreach(r => counts(math.max(0, r.getInt(0))) = r.getLong(1))
+      .foreach { r =>
+        val b = math.max(0, r.getInt(0))
+        counts(b) = r.getAs[Long]("n")
+        Option(r.getDecimal(2)) match {
+          case Some(d) => bsums(b) = BigInt(d.setScale(4).unscaledValue())
+          case None    => sumOverflow = true // try_sum overflowed
+        }
+      }
     val h = Histogram(lo, width, counts)
     // Double.toString round-trips exactly through parseDouble and is
     // locale-independent, so min/max/sum4 survive the JSON verbatim
@@ -203,6 +220,15 @@ object SketchOps {
         sum4.map(s => s""","sum4":$s""").getOrElse("") +
         s""","sx":$sx}""",
       System.currentTimeMillis()))
+    // a bucket whose sum overflowed even decimal(38,4) has no exact
+    // record — skip the blob rather than serve a silently-wrong sum
+    if (!sumOverflow)
+      catalog.upsertSketch(catalog.SketchInfo(table, column, "histsum",
+        GroupedHll.pack(bsums.zipWithIndex.toSeq.map { case (s, i) =>
+          Option(i.toString) -> s.toByteArray
+        }),
+        s"""{"buckets":$buckets,"rows":$tableRows}""",
+        System.currentTimeMillis()))
     h
   }
 

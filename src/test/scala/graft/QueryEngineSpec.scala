@@ -1934,11 +1934,36 @@ class QueryEngineSpec extends SparkSpec {
     // a budget tighter than the boundary mass refuses the serve
     val rt = eng.query(sql, eng.Options(maxRelError = 0.001))
     assert(!rt.servedFromCatalog, rt.reason)
-    // a second aggregate output is not the shape
-    val rm = eng.query(
-      "SELECT count(*) AS n, sum(o_totalprice) AS s FROM orders " +
+
+    // SUM over the range serves from the histsum blob within the bound
+    val rs = eng.query(
+      "SELECT sum(o_totalprice) AS s FROM orders " +
         "WHERE o_totalprice >= 50000 AND o_totalprice < 150000",
       eng.Options(maxRelError = 0.2))
+    assert(rs.servedFromCatalog && rs.serveKind.contains("histogram_range"),
+      s"${rs.serveKind}: ${rs.reason}")
+    val sEst = rs.df.collect().head.getDouble(0)
+    val sTruth = spark.sql(
+      "SELECT cast(sum(cast(o_totalprice as decimal(18,4))) as double) " +
+        "FROM orders WHERE o_totalprice >= 50000 AND o_totalprice < 150000")
+      .collect().head.getDouble(0)
+    assert(math.abs(sEst - sTruth) <= rs.estimatedError * math.abs(sEst) + 1e-6,
+      s"sum est=$sEst truth=$sTruth err=${rs.estimatedError}")
+    // count+sum+avg together: avg is exactly the ratio of the estimates
+    val r3 = eng.query(
+      "SELECT count(*) AS n, sum(o_totalprice) AS s, " +
+        "avg(o_totalprice) AS a FROM orders " +
+        "WHERE o_totalprice >= 50000 AND o_totalprice < 150000",
+      eng.Options(maxRelError = 0.5))
+    assert(r3.servedFromCatalog && r3.serveKind.contains("histogram_range"),
+      s"${r3.serveKind}: ${r3.reason}")
+    val row3 = r3.df.collect().head
+    assert(row3.getDouble(2) == row3.getDouble(1) / row3.getDouble(0))
+    // SUM over a column OTHER than the range column is not the shape
+    val rm = eng.query(
+      "SELECT sum(o_custkey) AS s FROM orders " +
+        "WHERE o_totalprice >= 50000 AND o_totalprice < 150000",
+      eng.Options(maxRelError = 0.5))
     assert(!rm.serveKind.contains("histogram_range"), rm.reason)
     // staleness retires the serve
     val n = spark.table("orders").count()
