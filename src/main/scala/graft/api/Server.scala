@@ -314,6 +314,23 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                   (200, s"""{"status": "ok", "sketch_type": "agms", "size_bytes": $size, "rows": $rows}""")
                 }
             }
+          // beyond the reference: bottom-k distinct-value sketch — a
+          // pair of these (same k) over two value-compatible columns
+          // serves INTERSECT/UNION/EXCEPT cardinality with no scan
+          // (QueryEngine.storedSetOpAnswer)
+          case "kmv" =>
+            column match {
+              case None => (400, err("column required for KMV"))
+              case Some(c) =>
+                val k = params("k").flatMap(_.num).map(_.toInt).getOrElse(1024)
+                if (k < 2 || k > 1000000)
+                  (400, err(s"k must be in [2, 1000000], got $k"))
+                else {
+                  val (size, kept) = SketchOps.createKmv(spark,
+                    engine.catalog, table, c, k)
+                  (200, s"""{"status": "ok", "sketch_type": "kmv", "size_bytes": $size, "hashes": $kept}""")
+                }
+            }
           case _ => (400, err("unsupported sketch type"))
         }
     }

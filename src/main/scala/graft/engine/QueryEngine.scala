@@ -136,6 +136,21 @@ final class QueryEngine(
     if (opts.preferExact)
       return finish(exact("exact execution (user preference)"), sql, features, opts)
     if (!features.isSingleTable || features.tableName.isEmpty) {
+      // Set-operation cardinality from stored KMV sketches: INTERSECT /
+      // UNION / EXCEPT distinct counts answer from two bottom-k hash
+      // sketches with zero scan — the one multi-table shape the catalog
+      // can absorb outright (everything else goes through join AQP).
+      storedSetOpAnswer(parsed) match {
+        case Some((df, err, op, hint)) if err <= opts.maxRelError =>
+          return finish(serveResult(df, features, hint, "kmv_setop", err,
+            s"$op cardinality answered from the stored KMV (bottom-k) sketch pair (no scan)",
+            Seq(s"COUNT(*) over $op answered from the two sides' stored " +
+              "KMV sketches (no scan; exact when the sketches are " +
+              "exhaustive, else the k-th-hash estimator with the " +
+              "matched-proportion bound)"), opts),
+            sql, features, opts)
+        case _ =>
+      }
       // Join AQP is attempted when the user opted in (approximateJoins,
       // q77's path — unconditional error model on the fact size), OR
       // automatically when stored AGMS sketches cover the join-key pair
@@ -2586,6 +2601,102 @@ final class QueryEngine(
     }
   }
 
+  /** Set-operation cardinality from stored KMV sketches (round 10,
+    * beyond reference — the Theta-sketch use case): `SELECT count(*)
+    * FROM (SELECT a FROM t1 INTERSECT|UNION|EXCEPT SELECT b FROM t2) x`
+    * answers from the two sides' bottom-k hash sketches with NO scan.
+    * The estimates are deterministic given the data (the portable h60
+    * hash), so the q107/q108 oracles re-derive them bit-for-bit — an
+    * approximate multi-table operator with an exact cross-engine gate.
+    * Sketches must share k and pass the freshness guard on BOTH sides;
+    * an unsaturated union means both hash lists were exhaustive and
+    * the answer is EXACT (error 0). INTERSECT/EXCEPT bounds add the
+    * matched-proportion binomial term (Kmv.proportionError) — a tiny
+    * overlap reports a wide bound and falls through to exact execution
+    * instead of serving noise. Returns (df, error, op label, the
+    * larger side's table for the cost model's rows hint).
+    */
+  private val kmvKRe = """"k"\s*:\s*(\d+)""".r
+
+  /** The set-op count shape: `SELECT count(*) AS c FROM (SELECT a FROM
+    * t1 <INTERSECT|UNION|EXCEPT> SELECT b FROM t2) x`. Returns (count
+    * alias, op label, (left table, left column), (right table, right
+    * column)) — the input to both the KMV serve and the advisor's miss
+    * classification.
+    */
+  private def setOpCountShape(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(String, String, (String, String), (String, String))] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Except, Intersect, Project, SubqueryAlias, Union}
+    def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other               => other
+    }
+    def side(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Option[(String, String)] = strip(p) match {
+      case Project(Seq(a: UnresolvedAttribute), r: UnresolvedRelation) =>
+        Some((r.multipartIdentifier.last, a.nameParts.last))
+      case _ => None
+    }
+    def isCountStar(f: UnresolvedFunction): Boolean =
+      f.nameParts.last.equalsIgnoreCase("count") && !f.isDistinct &&
+        f.filter.isEmpty && (f.arguments match {
+          case Seq(l: Literal) => l.value != null
+          case _               => false
+        })
+    parsed match {
+      case Project(Seq(Alias(f: UnresolvedFunction, name)), child)
+          if isCountStar(f) =>
+        val setOp = strip(child) match {
+          case Intersect(l, r, false)                   => Some(("intersect", l, r))
+          case Except(l, r, false)                      => Some(("except", l, r))
+          case Distinct(Union(Seq(l, r), false, false)) => Some(("union", l, r))
+          case _                                        => None
+        }
+        for {
+          (op, l, r) <- setOp
+          ls <- side(l)
+          rs <- side(r)
+        } yield (name, op, ls, rs)
+      case _ => None
+    }
+  }
+
+  private def storedSetOpAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[(DataFrame, Double, String, String)] = {
+    import org.apache.spark.sql.functions.lit
+    for {
+      (name, op, (lt, lc), (rt, rc)) <- setOpCountShape(parsed)
+      ls <- catalog.getSketch(lt, lc, "kmv").filter(sketchIsFresh(lt, _))
+      rs <- catalog.getSketch(rt, rc, "kmv").filter(sketchIsFresh(rt, _))
+      lk <- kmvKRe.findFirstMatchIn(ls.parameters).map(_.group(1).toInt)
+      rk <- kmvKRe.findFirstMatchIn(rs.parameters).map(_.group(1).toInt)
+      if lk == rk
+    } yield {
+      val se = graft.sketch.Kmv.setEstimate(
+        graft.sketch.Kmv.deserialize(ls.data),
+        graft.sketch.Kmv.deserialize(rs.data))
+      val (est, err) = op match {
+        case "intersect" =>
+          (se.intersectEst,
+            if (se.exact) 0.0 else graft.sketch.Kmv.proportionError(lk, se.matched))
+        case "except" =>
+          (se.exceptEst,
+            if (se.exact) 0.0 else graft.sketch.Kmv.proportionError(lk, se.aOnly))
+        case _ =>
+          (se.unionEst,
+            if (se.exact) 0.0 else graft.sketch.Kmv.unionError(lk))
+      }
+      val hint = Seq(lt, rt)
+        .maxBy(t => tableRowsHint(t).getOrElse(0L))
+      (spark.range(1).select(lit(est).as(name)), err, op, hint)
+    }
+  }
+
   /** If the query is a bare global aggregate over `table` whose every
     * output is COUNT(DISTINCT attr) with a stored HyperLogLog sketch in
     * the catalog, answer all of them from the catalog — zero table scan.
@@ -2813,6 +2924,15 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
     import graft.learn.SketchAdvisor.Candidate
     if (!features.isSingleTable) {
+      // set-op cardinality misses: a COUNT(*) over INTERSECT / UNION /
+      // EXCEPT that ran exact advises the KMV pair that would serve it
+      // from the catalog (storedSetOpAnswer's shape, verbatim)
+      setOpCountShape(parsed) match {
+        case Some((_, _, (lt, lc), (rt, rc))) =>
+          return Seq(Candidate(lt, lc, "kmv", None),
+            Candidate(rt, rc, "kmv", None)).distinct
+        case None =>
+      }
       // join-AQP misses: an aggregate join that ran WITHOUT the
       // sampled path (the finish gate skips sample_join/universe
       // serves) becomes automatically costed once fresh AGMS pairs

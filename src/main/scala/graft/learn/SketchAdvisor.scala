@@ -49,6 +49,10 @@ object SketchAdvisor {
       // what IN-list / partial-key percentile serves require
       s"SketchOps.createGroupedHistogram(spark, catalog, ${c.table}, $g, " +
         s"${c.column}, 64, sharedGrid = true)"
+    case ("kmv", _) =>
+      // one per set-op SIDE — both sides' sketches (same k) must exist
+      // before the INTERSECT/UNION/EXCEPT count serves
+      s"SketchOps.createKmv(spark, catalog, ${c.table}, ${c.column})"
     case ("agms", _) =>
       // composite keys render as the Seq the builder takes; the column
       // field carries the comma-joined catalog name either way

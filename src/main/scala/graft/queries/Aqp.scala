@@ -79,7 +79,7 @@ object Aqp {
     // their catalogs, or the one-shot sample/histogram build markers
     Seq(engines, seededStratEngines, histograms, groupedHistograms,
         cmsSketches, compositeCms, compositeHists, joinEngines, detEngines,
-        uniEngines, uniSamples, snowEngines, sgEngines)
+        uniEngines, uniSamples, snowEngines, sgEngines, kmvEngines)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -179,6 +179,28 @@ object Aqp {
       // single global histogram (q103): feeds the range-count serve
       graft.sketch.SketchOps.createHistogram(s, e.catalog,
         "orders", "o_totalprice")
+      e
+    })
+  }
+
+  // q107/q108's engine: a KMV (bottom-k) pair over the two sides of
+  // the set operations — orders.o_custkey and customer.c_custkey hash
+  // by VALUE (no table salt), so the sketches are comparable and the
+  // INTERSECT/EXCEPT cardinality serves with zero scan. Isolated so
+  // other queries' forced table stats can't read the pair as stale.
+  private val kmvEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private def kmvEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    kmvEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-kmv").toString))
+      graft.sketch.SketchOps.createKmv(s, e.catalog, "orders",
+        "o_custkey", 1024)
+      graft.sketch.SketchOps.createKmv(s, e.catalog, "customer",
+        "c_custkey", 1024)
+      graft.sketch.SketchOps.createKmv(s, e.catalog, "events",
+        "user_id", 1024)
       e
     })
   }
@@ -879,6 +901,48 @@ object Aqp {
           "FROM lineitem")
       assert(r.servedFromCatalog && r.serveKind.contains("distinct_count"),
         s"q105 must count the recorded group list exactly: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // KMV set-operation cardinality end-to-end (the Theta-sketch use
+    // case): |orders.o_custkey ∩ customer.c_custkey| — "how many
+    // customers placed an order" as a pure set-intersection count —
+    // answered from the two stored bottom-k hash sketches with ZERO
+    // scan. The estimator is fully deterministic given the data (q45's
+    // portable h60 chain), so the oracle re-derives the union bottom-k,
+    // the matched-tuple proportion, and the (k-1)*2^60/θ estimate
+    // bit-for-bit in DuckDB — at small SFs the union is under k and the
+    // serve is EXACT; at larger SFs the same query serves the saturated
+    // estimate under the matched-proportion error bound.
+    "q107_kmv_intersect" -> ((s, dir) => {
+      val e = kmvEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n FROM (SELECT o_custkey FROM orders " +
+          "INTERSECT SELECT c_custkey FROM customer) t",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("kmv_setop"),
+        s"q107 must serve the INTERSECT count from the KMV pair: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // EXCEPT twin: customers with no tracked events, |customer.c_custkey
+    // \ events.user_id| (the testdata's event users are a strict subset
+    // of customers, so the difference set is real) — the A-only tuples
+    // of the union bottom-k scale the same union estimate. Same
+    // zero-scan serve, same deterministic oracle chain. An EXCEPT whose
+    // truth is ~0 (e.g. customer \ orders here) deliberately REFUSES:
+    // zero A-only tuples admit no relative bound, so the engine falls
+    // back to exact instead of serving noise.
+    "q108_kmv_except" -> ((s, dir) => {
+      val e = kmvEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n FROM (SELECT c_custkey FROM customer " +
+          "EXCEPT SELECT user_id FROM events) t",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("kmv_setop"),
+        s"q108 must serve the EXCEPT count from the KMV pair: " +
           s"${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
     }),
@@ -1967,6 +2031,60 @@ object Aqp {
             FROM parts)
           SELECT n AS n_est, s AS s_est, s / n AS a_est,
             'sketch' AS plan_type FROM est""",
+    // q107: the full KMV set-op chain re-derived — per-side distinct
+    // h60 hashes, bottom-k per side, bottom-k of the union, then the
+    // engine's exact float associations: exhaustive union -> the true
+    // matched count; saturated -> (m/k) * ((k-1)*2^60/θ), every
+    // division/multiply in the engine's order.
+    "q107_kmv_intersect" -> {
+      val k = 1024
+      val hO = graft.queries.Dedup.h60Duck("CAST(o_custkey AS VARCHAR)")
+      val hC = graft.queries.Dedup.h60Duck("CAST(c_custkey AS VARCHAR)")
+      s"""WITH ha AS (SELECT DISTINCT $hO AS h FROM orders
+              WHERE o_custkey IS NOT NULL),
+          hb AS (SELECT DISTINCT $hC AS h FROM customer
+              WHERE c_custkey IS NOT NULL),
+          ba AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+          bb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+          un AS (SELECT h FROM (SELECT h FROM ba UNION SELECT h FROM bb) u
+              ORDER BY h LIMIT $k),
+          st AS (SELECT count(*) AS un_n, max(h) AS theta FROM un),
+          mm AS (SELECT count(*) AS m FROM un
+              WHERE h IN (SELECT h FROM ba) AND h IN (SELECT h FROM bb))
+          SELECT CASE WHEN st.un_n < $k THEN CAST(mm.m AS DOUBLE)
+                      ELSE (CAST(mm.m AS DOUBLE) / CAST($k AS DOUBLE)) *
+                        (CAST(${k - 1} AS DOUBLE)
+                          * CAST(1152921504606846976 AS DOUBLE)
+                          / CAST(st.theta AS DOUBLE)) END AS n,
+            'sketch' AS plan_type
+          FROM st, mm"""
+    },
+    // q108: the EXCEPT twin — A-only tuples (in customer's bottom-k,
+    // not in events') scale the same union estimate.
+    "q108_kmv_except" -> {
+      val k = 1024
+      val hE = graft.queries.Dedup.h60Duck("CAST(user_id AS VARCHAR)")
+      val hC = graft.queries.Dedup.h60Duck("CAST(c_custkey AS VARCHAR)")
+      s"""WITH ha AS (SELECT DISTINCT $hC AS h FROM customer
+              WHERE c_custkey IS NOT NULL),
+          hb AS (SELECT DISTINCT $hE AS h FROM events
+              WHERE user_id IS NOT NULL),
+          ba AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+          bb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+          un AS (SELECT h FROM (SELECT h FROM ba UNION SELECT h FROM bb) u
+              ORDER BY h LIMIT $k),
+          st AS (SELECT count(*) AS un_n, max(h) AS theta FROM un),
+          mm AS (SELECT count(*) AS m FROM un
+              WHERE h IN (SELECT h FROM ba)
+                AND h NOT IN (SELECT h FROM bb))
+          SELECT CASE WHEN st.un_n < $k THEN CAST(mm.m AS DOUBLE)
+                      ELSE (CAST(mm.m AS DOUBLE) / CAST($k AS DOUBLE)) *
+                        (CAST(${k - 1} AS DOUBLE)
+                          * CAST(1152921504606846976 AS DOUBLE)
+                          / CAST(st.theta AS DOUBLE)) END AS n,
+            'sketch' AS plan_type
+          FROM st, mm"""
+    },
     // q105: exact distinct tuple count — COUNT DISTINCT skips rows
     // with any NULL argument, mirrored by the non-NULL filter
     "q105_distinct_count" ->

@@ -514,6 +514,36 @@ object SketchOps {
     (bytes.length, total)
   }
 
+  /** Build a KMV (bottom-k) distinct-value sketch over `table.column`:
+    * the k smallest distinct `graft_h60` hashes of the column's
+    * non-NULL values — q45's estimator persisted, and the input to the
+    * engine's set-operation serves (INTERSECT / UNION / EXCEPT
+    * cardinality across two tables, `QueryEngine.storedSetOpAnswer`).
+    * Hashes are keyed by VALUE only (no table/column salt), so two
+    * sketches over value-compatible columns are comparable — the whole
+    * point. One distributed pass for the bottom-k (map-side partial
+    * distinct, then a per-partition top-k takeOrdered — at most k rows
+    * survive any partition past the scan) plus the builders' usual
+    * rowcount ride for the freshness guard. Returns (serialized size,
+    * hashes kept).
+    */
+  def createKmv(spark: SparkSession, catalog: MetaCatalog, table: String,
+      column: String, k: Int = 1024): (Int, Int) = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.expr
+    val rows = spark.table(table).count()
+    val hs = spark.table(table).filter(col(column).isNotNull)
+      .select(expr(s"graft_h60(cast($column as string))").as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+      .collect().map(_.getLong(0))
+    val sk = Kmv.Sketch(k, hs.sorted)
+    val bytes = sk.serialize
+    catalog.upsertSketch(catalog.SketchInfo(table, column, "kmv", bytes,
+      s"""{"k":$k,"rows":$rows}""", System.currentTimeMillis()))
+    (bytes.length, hs.length)
+  }
+
   /** Answer COUNT(DISTINCT column) from a STORED sketch if one exists —
     * making the reference's declared-but-dead capability real.
     */

@@ -294,6 +294,43 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming KMV (bottom-k) maintenance — the set-operation
+    * cardinality serve's input kept LIVE: each micro-batch folds its
+    * own bottom-k distinct h60 hashes into the stored sketch under the
+    * catalog's CAS merge, and `QueryEngine.storedSetOpAnswer` keeps
+    * serving INTERSECT/UNION/EXCEPT counts as the stream appends.
+    * Bottom-k union is IDEMPOTENT (a set union truncated at k — like
+    * HLL's register max, unlike the additive histogram/CMS folds), so
+    * replayed batches never change the result and no last_batch guard
+    * is needed; the stream-built sketch is BYTE-equal to a batch build
+    * over the same rows (bottom-k of a union == union of bottom-ks).
+    * Per batch: one distributed distinct + takeOrdered (≤ k rows reach
+    * the driver), one CAS-merged upsert — O(k) state regardless of
+    * stream volume.
+    */
+  def maintainKmvSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, column: String,
+      k: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        val hs = batch.filter(col(column).isNotNull)
+          .select(expr(s"graft_h60(cast($column as string))").as("h"))
+          .distinct().orderBy(col("h")).limit(k)
+          .collect().map(_.getLong(0))
+        val sk = graft.sketch.Kmv.Sketch(k, hs.sorted)
+        catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+          "kmv", sk.serialize, s"""{"k":$k}""",
+          System.currentTimeMillis())) { (prev, next) =>
+          graft.sketch.Kmv.deserialize(prev)
+            .union(graft.sketch.Kmv.deserialize(next)).serialize
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming histogram maintenance — the q74 strategy made LIVE: a
     * stream folds per-micro-batch bucket counts into the catalog's
     * equi-width histogram, and the engine's no-scan percentile answers

@@ -298,6 +298,35 @@ class ApiServerSpec extends SparkSpec {
       .exists(_.contains("distinct_keys")), db.take(400))
   }
 
+  test("KMV pair over HTTP: build both sides, INTERSECT count serves from the catalog (round 10)") {
+    val (c1, b1) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_custkey", "sketch_type": "kmv"}"""))
+    assert(c1 == 200, b1)
+    assert(parsed(b1)("sketch_type").flatMap(_.str).contains("kmv"), b1)
+    val (c2, b2) = http("POST", "/sketches/create", Some(
+      """{"table": "customer", "column": "c_custkey", "sketch_type": "kmv",
+         "parameters": {"k": 1024}}"""))
+    assert(c2 == 200, b2)
+    // at sf0.001 both sides hold fewer than k distinct keys — the
+    // sketches are exhaustive and the serve is EXACT, so the HTTP
+    // answer must equal the true overlap
+    val truth = spark.sql(
+      "SELECT count(*) FROM (SELECT o_custkey FROM orders " +
+        "INTERSECT SELECT c_custkey FROM customer) t")
+      .collect().head.getLong(0)
+    val (qc, qb) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n FROM (SELECT o_custkey FROM orders INTERSECT SELECT c_custkey FROM customer) t"}"""))
+    assert(qc == 200, qb)
+    val v = parsed(qb)
+    assert(v("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("KMV")), qb.take(400))
+    val served = v("result") match {
+      case Some(Json.A(Seq(row))) => row("n").flatMap(_.num).get
+      case other                  => fail(s"no result rows: $other")
+    }
+    assert(served == truth.toDouble, s"served=$served truth=$truth")
+  }
+
   test("GET /sketches/advise closes the miss -> build -> serve loop") {
     // lineitem.l_suppkey is count-DISTINCTed by no other test in this
     // suite, so the advisor's miss counter for it is fully under our

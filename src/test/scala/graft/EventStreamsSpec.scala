@@ -1024,4 +1024,53 @@ class EventStreamsSpec extends SparkSpec {
       .orderBy(col("ws_us"), col("event_type"))
     assert(df.collect().toSeq == viaModule.collect().toSeq)
   }
+
+  test("stream-maintained KMV is byte-equal to the batch build; set-op serves go live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-kmv").toString)
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainKmvSketch(
+      stream.toDF().select(expr("concat('s', value)").as("uid")),
+      catalog, "kmv_live", "uid", 64)
+    (0L until 500L).grouped(125).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    // replay a chunk: bottom-k union is idempotent — no change
+    stream.addData((0L until 125L).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // BYTE-equal to a batch build over the same rows (bottom-k of a
+    // union == union of bottom-ks)
+    spark.range(0, 500).select(expr("concat('s', id)").as("uid"))
+      .createOrReplaceTempView("kmv_live_batch")
+    graft.sketch.SketchOps.createKmv(spark, catalog, "kmv_live_batch",
+      "uid", 64)
+    val live = catalog.getSketch("kmv_live", "uid", "kmv").get.data
+    val batch = catalog.getSketch("kmv_live_batch", "uid", "kmv").get.data
+    assert(live.sameElements(batch))
+
+    // the engine serves a set-op count from the STREAM-built sketch:
+    // both backing views are EMPTY, so a correct answer proves no scan
+    spark.range(250, 750).select(expr("concat('s', id)").as("uid"))
+      .createOrReplaceTempView("kmv_other")
+    graft.sketch.SketchOps.createKmv(spark, catalog, "kmv_other", "uid", 64)
+    spark.range(0).select(expr("cast(null as string)").as("uid"))
+      .createOrReplaceTempView("kmv_live")
+    spark.range(0).select(expr("cast(null as string)").as("uid"))
+      .createOrReplaceTempView("kmv_other")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT count(*) AS n FROM (SELECT uid FROM kmv_live " +
+        "INTERSECT SELECT uid FROM kmv_other) t",
+      engine.Options(maxRelError = 0.5))
+    assert(r.servedFromCatalog && r.serveKind.contains("kmv_setop"),
+      s"${r.serveKind}: ${r.reason}")
+    val est = r.df.collect().head.getDouble(0)
+    // truth |A∩B| = 250 of a 750 union; k=64 — generous 3-sigma-ish gate
+    assert(est > 0 && math.abs(est - 250.0) / 250.0 < 1.0, est.toString)
+  }
 }

@@ -2188,4 +2188,109 @@ class QueryEngineSpec extends SparkSpec {
     val r = eng2.query(sql)
     assert(r.servedFromCatalog && r.serveKind.contains("cms"), r.reason)
   }
+
+  test("stored KMV pair serves INTERSECT/UNION/EXCEPT cardinality with no scan") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-kmvserve").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 3000).select(expr("concat('c', id)").as("v"))
+      .createOrReplaceTempView("kmvq_a")
+    spark.range(1000, 4000).select(expr("concat('c', id)").as("v"))
+      .createOrReplaceTempView("kmvq_b")
+    // truths before the views are emptied: |A∪B|=4000, |A∩B|=2000,
+    // |A\B|=1000
+    graft.sketch.SketchOps.createKmv(spark, cat, "kmvq_a", "v", 256)
+    graft.sketch.SketchOps.createKmv(spark, cat, "kmvq_b", "v", 256)
+    // replace both backing views with EMPTY ones: a correct answer can
+    // only have come from the catalog (proves the no-scan path)
+    spark.range(0).select(expr("cast(null as string)").as("v"))
+      .createOrReplaceTempView("kmvq_a")
+    spark.range(0).select(expr("cast(null as string)").as("v"))
+      .createOrReplaceTempView("kmvq_b")
+    val loose = eng.Options(maxRelError = 0.5)
+    def served(sql: String): Double = {
+      val r = eng.query(sql, loose)
+      assert(r.servedFromCatalog && r.serveKind.contains("kmv_setop"),
+        s"${r.serveKind}: ${r.reason}")
+      assert(r.estimatedError > 0.0 && r.estimatedError <= 0.5,
+        r.estimatedError.toString)
+      r.df.collect().head.getDouble(0)
+    }
+    val inter = served("SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvq_a INTERSECT SELECT v FROM kmvq_b) t")
+    assert(math.abs(inter - 2000.0) / 2000.0 < 0.5, inter.toString)
+    val uni = served("SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvq_a UNION SELECT v FROM kmvq_b) t")
+    assert(math.abs(uni - 4000.0) / 4000.0 < 0.2, uni.toString)
+    val exc = served("SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvq_a EXCEPT SELECT v FROM kmvq_b) t")
+    assert(math.abs(exc - 1000.0) / 1000.0 < 0.6, exc.toString)
+
+    // the default 0.05 budget is tighter than the matched-proportion
+    // bound at k=256 — the serve falls through to exact execution
+    val tight = eng.query("SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvq_a INTERSECT SELECT v FROM kmvq_b) t")
+    assert(!tight.servedFromCatalog, tight.reason)
+
+    // UNION ALL is row-bag semantics, not a distinct count — refuse
+    val bag = eng.query("SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvq_a UNION ALL SELECT v FROM kmvq_b) t", loose)
+    assert(!bag.servedFromCatalog, bag.reason)
+
+    // an EXHAUSTIVE pair (both sketches under k) answers EXACTLY
+    spark.range(0, 50).select(expr("concat('e', id)").as("v"))
+      .createOrReplaceTempView("kmvq_c")
+    spark.range(30, 60).select(expr("concat('e', id)").as("v"))
+      .createOrReplaceTempView("kmvq_d")
+    graft.sketch.SketchOps.createKmv(spark, cat, "kmvq_c", "v", 256)
+    graft.sketch.SketchOps.createKmv(spark, cat, "kmvq_d", "v", 256)
+    val rEx = eng.query("SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvq_c INTERSECT SELECT v FROM kmvq_d) t")
+    assert(rEx.servedFromCatalog && rEx.estimatedError == 0.0, rEx.reason)
+    assert(rEx.df.collect().head.getDouble(0) == 20.0)
+
+    // a k-mismatched pair refuses (the estimators are not comparable)
+    graft.sketch.SketchOps.createKmv(spark, cat, "kmvq_d", "v", 128)
+    val rMismatch = eng.query("SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvq_c INTERSECT SELECT v FROM kmvq_d) t", loose)
+    assert(!rMismatch.servedFromCatalog, rMismatch.reason)
+
+    // staleness retires the serve: the freshness guard sees the grown
+    // base table and the query falls back to exact execution
+    cat.upsertTableStats("kmvq_a", 999999L)
+    val rStale = eng.query("SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvq_a INTERSECT SELECT v FROM kmvq_b) t", loose)
+    assert(!rStale.servedFromCatalog, rStale.reason)
+  }
+
+  test("set-op count misses advise the KMV pair; builds retire it and flip the serve") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-kmvadv").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 2000).select(expr("concat('x', id)").as("v"))
+      .createOrReplaceTempView("kmvadv_a")
+    spark.range(500, 2500).select(expr("concat('x', id)").as("v"))
+      .createOrReplaceTempView("kmvadv_b")
+    val sql = "SELECT count(*) AS n FROM " +
+      "(SELECT v FROM kmvadv_a INTERSECT SELECT v FROM kmvadv_b) t"
+    (1 to 3).foreach(_ => assert(!eng.query(sql).servedFromCatalog))
+    val advice = eng.adviseSketches(minMisses = 3)
+    def kmvAdvice(t: String) = advice.find(a =>
+      a.candidate.sketchType == "kmv" && a.candidate.table == t &&
+        a.candidate.column == "v")
+    assert(kmvAdvice("kmvadv_a").isDefined && kmvAdvice("kmvadv_b").isDefined,
+      advice.toString)
+    assert(kmvAdvice("kmvadv_a").get.build.contains("createKmv"),
+      kmvAdvice("kmvadv_a").get.build)
+    // running the recommended builds retires the advice and the same
+    // query flips to the no-scan serve
+    graft.sketch.SketchOps.createKmv(spark, cat, "kmvadv_a", "v")
+    graft.sketch.SketchOps.createKmv(spark, cat, "kmvadv_b", "v")
+    assert(eng.adviseSketches(minMisses = 3)
+      .forall(_.candidate.sketchType != "kmv"))
+    val r = eng.query(sql, eng.Options(maxRelError = 0.5))
+    assert(r.servedFromCatalog && r.serveKind.contains("kmv_setop"), r.reason)
+  }
 }

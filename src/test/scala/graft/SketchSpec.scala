@@ -166,4 +166,88 @@ class SketchSpec extends SparkSpec {
     assert(SketchOps.jsonTupleKey(Seq("ab", "c")) !=
       SketchOps.jsonTupleKey(Seq("a", "bc")))
   }
+
+  test("KMV serde roundtrip; union is the bottom-k semilattice") {
+    import graft.sketch.Kmv
+    val a = Kmv.Sketch(8, Array(1L, 5L, 9L, 20L, 31L, 44L, 58L, 70L))
+    val ser = a.serialize
+    val a2 = Kmv.deserialize(ser)
+    assert(a2.k == 8 && a2.hashes.sameElements(a.hashes))
+    assert(a2.serialize.sameElements(ser))
+    val b = Kmv.Sketch(8, Array(2L, 5L, 11L, 20L, 35L, 44L, 60L, 81L))
+    val u = a.union(b)
+    // bottom-k of the hash-set union
+    assert(u.hashes.sameElements(Array(1L, 2L, 5L, 9L, 11L, 20L, 31L, 35L)))
+    // idempotent, commutative — replay-safe stream maintenance
+    assert(u.union(u).serialize.sameElements(u.serialize))
+    assert(b.union(a).serialize.sameElements(u.serialize))
+    // associative through partial batches: union of bottom-ks ==
+    // bottom-k of the union (the stream==batch byte law's algebra)
+    val c = Kmv.Sketch(8, Array(0L, 3L, 7L))
+    assert(a.union(b).union(c).serialize
+      .sameElements(a.union(b.union(c)).serialize))
+    // an exhaustive sketch (fewer than k hashes) estimates exactly
+    assert(c.exhaustive && c.estimate == 3.0)
+    // a saturated sketch uses q45's (k-1) * 2^60 / h_(k) formula
+    assert(!a.exhaustive &&
+      a.estimate == 7.0 * Kmv.Pow60 / 70.0)
+  }
+
+  test("KMV set estimates: exact when exhaustive, proportional when saturated") {
+    import graft.sketch.Kmv
+    // exhaustive pair: every set-op figure is the true distinct count
+    val ea = Kmv.Sketch(16, Array(1L, 2L, 3L, 4L, 5L))
+    val eb = Kmv.Sketch(16, Array(3L, 4L, 5L, 6L))
+    val ex = Kmv.setEstimate(ea, eb)
+    assert(ex.exact)
+    assert(ex.unionEst == 6.0 && ex.intersectEst == 3.0 && ex.exceptEst == 2.0)
+    // saturated pair over a synthetic domain: estimates land within the
+    // reported bounds of the true cardinalities
+    val k = 256
+    def h(s: String): Long = { // the repo's portable h60, driver-side
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val aVals = (0 until 4000).map(i => h(s"v$i"))      // A = v0..v3999
+    val bVals = (2000 until 6000).map(i => h(s"v$i"))   // B = v2000..v5999
+    val sa = Kmv.Sketch(k, aVals.distinct.sorted.take(k).toArray)
+    val sb = Kmv.Sketch(k, bVals.distinct.sorted.take(k).toArray)
+    val se = Kmv.setEstimate(sa, sb)
+    assert(!se.exact)
+    assert(math.abs(se.unionEst - 6000.0) / 6000.0 <
+      3 * Kmv.unionError(k))
+    assert(math.abs(se.intersectEst - 2000.0) / 2000.0 <
+      3 * Kmv.proportionError(k, se.matched))
+    assert(math.abs(se.exceptEst - 2000.0) / 2000.0 <
+      3 * Kmv.proportionError(k, se.aOnly))
+    // zero overlap has no relative bound — the engine must refuse
+    assert(Kmv.proportionError(k, 0).isPosInfinity)
+  }
+
+  test("createKmv builds the bottom-k of distinct h60 hashes (one pass, value-keyed)") {
+    import org.apache.spark.sql.functions.expr
+    import graft.sketch.Kmv
+    spark.range(0, 3000)
+      .select(expr("concat('u', id % 700)").as("u"))
+      .createOrReplaceTempView("kmv_build_t")
+    val cat = new MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-kmv").toString)
+    val (_, kept) = SketchOps.createKmv(spark, cat, "kmv_build_t", "u", 64)
+    assert(kept == 64)
+    val s = cat.getSketch("kmv_build_t", "u", "kmv").get
+    assert(s.parameters.contains("\"k\":64") &&
+      s.parameters.contains("\"rows\":3000"))
+    val sk = Kmv.deserialize(s.data)
+    // recompute the bottom-64 with the same portable hash, driver-side
+    def h(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = (0 until 700).map(i => h(s"u$i")).distinct.sorted.take(64)
+    assert(sk.hashes.toSeq == want)
+    // 700 true distinct; the estimate is within 3 CVs
+    assert(math.abs(sk.estimate - 700.0) / 700.0 < 3 * Kmv.unionError(64))
+  }
 }
