@@ -171,6 +171,15 @@ object Bench {
       graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
         "lineitem_x10", Seq("l_returnflag"), "l_discount", 64,
         sharedGrid = true)
+      // KMV pair (round 10): set-operation cardinality served from two
+      // stored bottom-k sketches (no scan) — the exact side pays a
+      // 6M-row distinct plus the set-op shuffle. k=4096 keeps the
+      // matched-proportion bound (1/sqrt(k-2) + 1/sqrt(m)) inside the
+      // default 0.05 budget.
+      graft.sketch.SketchOps.createKmv(spark, catalog, "lineitem_x10",
+        "l_orderkey", 4096)
+      graft.sketch.SketchOps.createKmv(spark, catalog, "orders",
+        "o_orderkey", 4096)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -223,6 +232,11 @@ object Bench {
         // pays a 6M-row distinct.
         "distinct_serve" -> ("SELECT l_returnflag FROM lineitem_x10 " +
           "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        // KMV set-op serve (round 10): the INTERSECT count answers
+        // from the two bottom-k sketches (no scan) — the exact side
+        // pays the 6M-row distinct + set-op shuffle.
+        "kmv_setop" -> ("SELECT count(*) AS n FROM (SELECT l_orderkey " +
+          "FROM lineitem_x10 INTERSECT SELECT o_orderkey FROM orders) t"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —
