@@ -180,6 +180,13 @@ object Bench {
         "l_orderkey", 4096)
       graft.sketch.SketchOps.createKmv(spark, catalog, "orders",
         "o_orderkey", 4096)
+      // Heavy-hitters blob (round 10): the top-k dashboard over the
+      // HIGH-cardinality l_partkey (20k distinct at sf0.1 — past
+      // MaxHllGroups, so no grouped blob can exist) serves exactly;
+      // the exact side pays the 6M-row group-count + top-k sort.
+      // Threshold 350 = 35 x the 10x widening.
+      graft.sketch.SketchOps.createTopK(spark, catalog, "lineitem_x10",
+        Seq("l_partkey"), 350L)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -232,6 +239,11 @@ object Bench {
         // pays a 6M-row distinct.
         "distinct_serve" -> ("SELECT l_returnflag FROM lineitem_x10 " +
           "GROUP BY l_returnflag ORDER BY l_returnflag"),
+        // Heavy-hitters serve (round 10): top-k by count over the
+        // high-cardinality key answers EXACTLY from the stored blob
+        // (no scan) — the exact side pays the 6M-row group + sort.
+        "topk_serve" -> ("SELECT l_partkey, count(*) AS c FROM lineitem_x10 " +
+          "GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 10"),
         // KMV set-op serve (round 10): the INTERSECT count answers
         // from the two bottom-k sketches (no scan) — the exact side
         // pays the 6M-row distinct + set-op shuffle.

@@ -331,6 +331,26 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                   (200, s"""{"status": "ok", "sketch_type": "kmv", "size_bytes": $size, "hashes": $kept}""")
                 }
             }
+          // beyond the reference: exact heavy-hitters summary — counts
+          // of every group reaching the threshold; serves top-k /
+          // iceberg GROUP BY shapes over high-cardinality keys with no
+          // scan (QueryEngine.storedTopKAnswer)
+          case "topk" =>
+            column match {
+              case None => (400, err("column (group keys) required for topk"))
+              case Some(c) =>
+                params("threshold").flatMap(_.num).map(_.toLong) match {
+                  case None => (400, err("parameters.threshold required for topk"))
+                  case Some(t) if t < 1 =>
+                    (400, err(s"threshold must be >= 1, got $t"))
+                  case Some(t) =>
+                    val keyCols = c.split(",").map(_.trim)
+                      .filter(_.nonEmpty).toSeq
+                    val (size, entries) = SketchOps.createTopK(spark,
+                      engine.catalog, table, keyCols, t)
+                    (200, s"""{"status": "ok", "sketch_type": "topk", "size_bytes": $size, "entries": $entries}""")
+                }
+            }
           case _ => (400, err("unsupported sketch type"))
         }
     }

@@ -49,6 +49,12 @@ object SketchAdvisor {
       // what IN-list / partial-key percentile serves require
       s"SketchOps.createGroupedHistogram(spark, catalog, ${c.table}, $g, " +
         s"${c.column}, 64, sharedGrid = true)"
+    case ("topk", Some(g)) =>
+      // heavy-hitters summary: exact counts of every group reaching
+      // the threshold — pick it at or below the query's HAVING bound /
+      // the expected k-th heaviest count, above the tail
+      val key = g.split(",").map(k => s""""$k"""").mkString("Seq(", ", ", ")")
+      s"SketchOps.createTopK(spark, catalog, ${c.table}, $key, threshold)"
     case ("kmv", _) =>
       // one per set-op SIDE — both sides' sketches (same k) must exist
       // before the INTERSECT/UNION/EXCEPT count serves

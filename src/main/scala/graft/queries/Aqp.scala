@@ -79,7 +79,8 @@ object Aqp {
     // their catalogs, or the one-shot sample/histogram build markers
     Seq(engines, seededStratEngines, histograms, groupedHistograms,
         cmsSketches, compositeCms, compositeHists, joinEngines, detEngines,
-        uniEngines, uniSamples, snowEngines, sgEngines, kmvEngines)
+        uniEngines, uniSamples, snowEngines, sgEngines, kmvEngines,
+        topkEngines)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -201,6 +202,25 @@ object Aqp {
         "c_custkey", 1024)
       graft.sketch.SketchOps.createKmv(s, e.catalog, "events",
         "user_id", 1024)
+      e
+    })
+  }
+
+  // q109/q110's engine: a heavy-hitters ("topk") blob over
+  // lineitem.l_partkey — a HIGH-cardinality key (20k distinct at
+  // sf0.1, past MaxHllGroups) whose top-k/iceberg dashboards the
+  // grouped blobs refuse. Threshold 35 keeps the stored list complete
+  // above it at every test SF (38/392/3961 entries at sf0.001/0.01/
+  // 0.1) while bounding the blob well under MaxHllGroups.
+  private val topkEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private def topkEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    topkEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-topk").toString))
+      graft.sketch.SketchOps.createTopK(s, e.catalog, "lineitem",
+        Seq("l_partkey"), threshold = 35L)
       e
     })
   }
@@ -944,6 +964,40 @@ object Aqp {
       assert(r.servedFromCatalog && r.serveKind.contains("kmv_setop"),
         s"q108 must serve the EXCEPT count from the KMV pair: " +
           s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Heavy-hitters top-k end-to-end: the most frequent l_partkey
+    // values — a HIGH-cardinality key whose grouped blobs refuse to
+    // build (20k distinct at sf0.1 > MaxHllGroups) — answered EXACTLY
+    // from the stored "topk" blob with zero scan: every unstored group
+    // counts below the build threshold, so the count-DESC top-10 can
+    // only contain stored groups. The key tie-break makes the kept row
+    // SET deterministic (counts tie heavily in this data); the oracle
+    // is the plain SQL.
+    "q109_topk_serve" -> ((s, dir) => {
+      val e = topkEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_partkey, count(*) AS c FROM lineitem " +
+          "GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 10")
+      assert(r.servedFromCatalog && r.serveKind.contains("topk"),
+        s"q109 must serve the top-k from the heavy-hitters blob: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Iceberg twin: `HAVING count(*) >= 45` — a bound at or above the
+    // build threshold returns EXACTLY the stored groups that reach it
+    // (the blob is complete above the threshold); a bound below it
+    // refuses to the scan, spec-gated. Exact, zero scan.
+    "q110_iceberg_serve" -> ((s, dir) => {
+      val e = topkEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_partkey, count(*) AS c FROM lineitem " +
+          "GROUP BY l_partkey HAVING count(*) >= 45 ORDER BY l_partkey")
+      assert(r.servedFromCatalog && r.serveKind.contains("topk"),
+        s"q110 must serve the iceberg filter from the heavy-hitters " +
+          s"blob: ${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
@@ -2085,6 +2139,18 @@ object Aqp {
             'sketch' AS plan_type
           FROM st, mm"""
     },
+    // q109/q110: the heavy-hitters serves are EXACT (complete above
+    // the build threshold), so the oracles are the plain SQL — the
+    // deterministic tie-break (q109) / the keys-only sort (q110) pin
+    // the kept row set.
+    "q109_topk_serve" ->
+      """SELECT l_partkey, count(*) AS c, 'sketch' AS plan_type
+         FROM lineitem GROUP BY l_partkey
+         ORDER BY c DESC, l_partkey LIMIT 10""",
+    "q110_iceberg_serve" ->
+      """SELECT l_partkey, count(*) AS c, 'sketch' AS plan_type
+         FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45
+         ORDER BY l_partkey""",
     // q105: exact distinct tuple count — COUNT DISTINCT skips rows
     // with any NULL argument, mirrored by the non-NULL filter
     "q105_distinct_count" ->

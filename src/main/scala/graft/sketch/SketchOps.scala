@@ -544,6 +544,58 @@ object SketchOps {
     (bytes.length, hs.length)
   }
 
+  /** Build a heavy-hitters ("topk") summary over `table` grouped by
+    * `groupCols`: the EXACT counts of every group whose count reaches
+    * `threshold` — the input to the engine's zero-scan iceberg/top-k
+    * serves (`QueryEngine.storedTopKAnswer`). Unlike the grouped
+    * blobs, this works on HIGH-cardinality keys (the shapes
+    * MaxHllGroups refuses): completeness above the threshold is the
+    * serving guarantee — every unstored group has count < threshold,
+    * so `ORDER BY count DESC LIMIT k` (k ≤ stored entries) and
+    * `HAVING count >= x` (x ≥ threshold) answer EXACTLY. One
+    * distributed pass (map-side partial counts, one shuffle, the
+    * ≥threshold filter bounds the driver collect); `maxEntries` caps
+    * the blob — a threshold low enough to keep more groups than that
+    * is a scan in disguise and refuses. Keys render like every grouped
+    * builder (groupKeyExpr: raw cast for one column, to_json tuples
+    * for composites; the NULL group included). NOT stream-maintained
+    * on purpose: a per-batch threshold filter loses groups that cross
+    * the threshold only cumulatively, so a live variant would break
+    * the completeness guarantee — rebuild on a schedule instead.
+    * Returns (serialized size, entries kept).
+    */
+  def createTopK(spark: SparkSession, catalog: MetaCatalog, table: String,
+      groupCols: Seq[String], threshold: Long,
+      maxEntries: Int = MaxHllGroups): (Int, Int) = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    require(groupCols.nonEmpty, "at least one group column required")
+    import org.apache.spark.sql.functions.count
+    val total = spark.table(table).count()
+    val rows = spark.table(table)
+      .groupBy(groupKeyExpr(groupCols).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .limit(maxEntries + 1)
+      .collect()
+    if (rows.length > maxEntries)
+      throw new IllegalArgumentException(
+        s"topk over $table.${groupCols.mkString(",")}: more than " +
+          s"$maxEntries groups reach count $threshold — raise the threshold")
+    val entries = rows.toSeq.map { r =>
+      val buf = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putLong(r.getAs[Long]("n"))
+      Option(r.getAs[String]("g")) -> buf.array()
+    }
+    val bytes = GroupedHll.pack(entries)
+    catalog.upsertSketch(catalog.SketchInfo(table, groupCols.mkString(","),
+      "topk", bytes,
+      s"""{"group_by":"${groupCols.mkString(",")}","threshold":$threshold,""" +
+        s""""entries":${entries.size},"rows":$total}""",
+      System.currentTimeMillis()))
+    (bytes.length, entries.size)
+  }
+
   /** Answer COUNT(DISTINCT column) from a STORED sketch if one exists —
     * making the reference's declared-but-dead capability real.
     */

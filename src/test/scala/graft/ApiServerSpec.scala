@@ -298,6 +298,33 @@ class ApiServerSpec extends SparkSpec {
       .exists(_.contains("distinct_keys")), db.take(400))
   }
 
+  test("topk blob over HTTP: build, then the top-k dashboard serves exactly (round 10)") {
+    val (c1, b1) = http("POST", "/sketches/create", Some(
+      """{"table": "lineitem", "column": "l_partkey", "sketch_type": "topk",
+         "parameters": {"threshold": 35}}"""))
+    assert(c1 == 200, b1)
+    // truth AFTER the lazy server registered the tables (the build
+    // does not change the table, so the exact answer is unchanged)
+    val truth = spark.sql(
+      "SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey " +
+        "ORDER BY c DESC, l_partkey LIMIT 5").collect().toSeq
+    assert(parsed(b1)("sketch_type").flatMap(_.str).contains("topk"), b1)
+    val (qc, qb) = http("POST", "/query", Some(
+      """{"sql": "SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 5"}"""))
+    assert(qc == 200, qb)
+    val v = parsed(qb)
+    assert(v("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("heavy-hitters")), qb.take(400))
+    val rows = v("result") match {
+      case Some(Json.A(items)) => items.map(r =>
+        (r("l_partkey").flatMap(_.num).get.toLong,
+          r("c").flatMap(_.num).get.toLong))
+      case other => fail(s"no result rows: $other")
+    }
+    assert(rows == truth.map(r => (r.getLong(0), r.getLong(1))),
+      s"served=$rows truth=$truth")
+  }
+
   test("KMV pair over HTTP: build both sides, INTERSECT count serves from the catalog (round 10)") {
     val (c1, b1) = http("POST", "/sketches/create", Some(
       """{"table": "orders", "column": "o_custkey", "sketch_type": "kmv"}"""))

@@ -2264,6 +2264,87 @@ class QueryEngineSpec extends SparkSpec {
     assert(!rStale.servedFromCatalog, rStale.reason)
   }
 
+  test("heavy-hitters blob serves top-k and iceberg GROUP BY shapes exactly with no scan") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-topk").toString)
+    val eng = new QueryEngine(spark, cat)
+    // 50 heavy keys (100 rows each) + 500 singleton tail keys
+    spark.range(0, 5500).select(expr(
+      "cast(case when id < 5000 then concat('h', lpad(cast(id % 50 as string), 2, '0')) " +
+        "else concat('t', id) end as string)").as("k"))
+      .createOrReplaceTempView("topk_t")
+    val truthTop = spark.sql(
+      "SELECT k, count(*) AS c FROM topk_t GROUP BY k " +
+        "ORDER BY c DESC, k LIMIT 5").collect().toSeq
+    graft.sketch.SketchOps.createTopK(spark, cat, "topk_t", Seq("k"), 50L)
+    // empty backing view: a correct answer can only come from the blob
+    spark.range(0).select(expr("cast(null as string)").as("k"))
+      .createOrReplaceTempView("topk_t")
+    val r = eng.query("SELECT k, count(*) AS c FROM topk_t " +
+      "GROUP BY k ORDER BY c DESC, k LIMIT 5")
+    assert(r.servedFromCatalog && r.serveKind.contains("topk"),
+      s"${r.serveKind}: ${r.reason}")
+    assert(r.estimatedError == 0.0)
+    assert(r.df.collect().toSeq == truthTop)
+
+    // iceberg: HAVING at/above the threshold returns every qualifying
+    // stored group (all 50 heavies count 100)
+    val rIce = eng.query("SELECT k, count(*) AS c FROM topk_t " +
+      "GROUP BY k HAVING count(*) >= 60 ORDER BY k")
+    assert(rIce.servedFromCatalog && rIce.serveKind.contains("topk"),
+      rIce.reason)
+    assert(rIce.df.collect().length == 50)
+
+    // refusals — each shape needs groups the blob cannot name:
+    // LIMIT past the stored list
+    val rWide = eng.query("SELECT k, count(*) AS c FROM topk_t " +
+      "GROUP BY k ORDER BY c DESC, k LIMIT 60")
+    assert(!rWide.servedFromCatalog, rWide.reason)
+    // HAVING below the threshold
+    val rLow = eng.query("SELECT k, count(*) AS c FROM topk_t " +
+      "GROUP BY k HAVING count(*) >= 20 ORDER BY k")
+    assert(!rLow.servedFromCatalog, rLow.reason)
+    // the bare full GROUP BY (no clauses bound the result to heavies)
+    val rFull = eng.query(
+      "SELECT k, count(*) AS c FROM topk_t GROUP BY k")
+    assert(!rFull.servedFromCatalog, rFull.reason)
+    // a LIMIT without the count-DESC sort keeps arbitrary rows
+    val rNoSort = eng.query("SELECT k, count(*) AS c FROM topk_t " +
+      "GROUP BY k ORDER BY k LIMIT 5")
+    assert(!rNoSort.servedFromCatalog, rNoSort.reason)
+
+    // staleness retires the serve
+    cat.upsertTableStats("topk_t", 999999L)
+    val rStale = eng.query("SELECT k, count(*) AS c FROM topk_t " +
+      "GROUP BY k ORDER BY c DESC, k LIMIT 5")
+    assert(!rStale.servedFromCatalog, rStale.reason)
+  }
+
+  test("top-k misses advise the heavy-hitters blob; a build retires and flips the serve") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-topkadv").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 3000).select(expr(
+      "cast(case when id < 2500 then concat('h', id % 25) " +
+        "else concat('t', id) end as string)").as("k"))
+      .createOrReplaceTempView("topkadv_t")
+    val sql = "SELECT k, count(*) AS c FROM topkadv_t " +
+      "GROUP BY k ORDER BY c DESC, k LIMIT 5"
+    (1 to 3).foreach(_ => assert(!eng.query(sql).servedFromCatalog))
+    val advice = eng.adviseSketches(minMisses = 3)
+    val hit = advice.find(a => a.candidate.sketchType == "topk" &&
+      a.candidate.table == "topkadv_t" && a.candidate.column == "k")
+    assert(hit.isDefined, advice.toString)
+    assert(hit.get.build.contains("createTopK"), hit.get.build)
+    graft.sketch.SketchOps.createTopK(spark, cat, "topkadv_t", Seq("k"), 50L)
+    assert(eng.adviseSketches(minMisses = 3)
+      .forall(_.candidate.sketchType != "topk"))
+    val r = eng.query(sql)
+    assert(r.servedFromCatalog && r.serveKind.contains("topk"), r.reason)
+  }
+
   test("set-op count misses advise the KMV pair; builds retire it and flip the serve") {
     import org.apache.spark.sql.functions.expr
     val cat = new MetaCatalog(

@@ -225,6 +225,35 @@ class SketchSpec extends SparkSpec {
     assert(Kmv.proportionError(k, 0).isPosInfinity)
   }
 
+  test("createTopK stores exactly the groups reaching the threshold, with exact counts") {
+    import org.apache.spark.sql.functions.expr
+    // group g<i> appears (i+1) times, i in [0, 100): threshold 60 keeps
+    // groups 59..99 (counts 60..100) — 41 entries
+    spark.range(0, 100).selectExpr("explode(sequence(0, cast(id as int))) AS rep", "id")
+      .select(expr("concat('g', id)").as("g"))
+      .createOrReplaceTempView("topk_build_t")
+    val cat = new MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-topkb").toString)
+    val (_, entries) =
+      SketchOps.createTopK(spark, cat, "topk_build_t", Seq("g"), 60L)
+    assert(entries == 41)
+    val s = cat.getSketch("topk_build_t", "g", "topk").get
+    assert(s.parameters.contains("\"threshold\":60") &&
+      s.parameters.contains("\"entries\":41") &&
+      s.parameters.contains("\"rows\":5050")) // sum 1..100
+    val decoded = graft.sketch.GroupedHll.unpack(s.data).map { case (k, b) =>
+      k.get -> java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }.toMap
+    assert(decoded == (59 until 100).map(i => s"g$i" -> (i + 1).toLong).toMap)
+    // a threshold keeping more than maxEntries groups refuses: the
+    // blob would be a scan in disguise
+    intercept[IllegalArgumentException] {
+      SketchOps.createTopK(spark, cat, "topk_build_t", Seq("g"), 1L,
+        maxEntries = 10)
+    }
+  }
+
   test("createKmv builds the bottom-k of distinct h60 hashes (one pass, value-keyed)") {
     import org.apache.spark.sql.functions.expr
     import graft.sketch.Kmv
