@@ -1212,11 +1212,11 @@ final class QueryEngine(
     }
   }
 
-  /** If the query is `SELECT count(*)/sum(x)/avg(x)... FROM table
-    * WHERE <range on x>` — one NUMERIC column under >=/>/<=/< literal
-    * bounds (BETWEEN parses to the same conjunction; one- or
-    * two-sided) — and a fresh stored histogram covers x, answer by
-    * linear interpolation over the bucket grid with NO scan
+  /** If the query is `SELECT count(*)/sum(x)/avg(x)/percentile(x,p)...
+    * FROM table WHERE <range on x>` — one NUMERIC column under
+    * >=/>/<=/< literal bounds (BETWEEN parses to the same conjunction;
+    * one- or two-sided) — and a fresh stored histogram covers x,
+    * answer by linear interpolation over the bucket grid with NO scan
     * (Histogram.rangeCount / rangePositions: interior buckets exact,
     * boundary buckets fractional). SUM/AVG additionally need the
     * "histsum" blob the histogram build writes (per-bucket exact
@@ -1248,6 +1248,7 @@ final class QueryEngine(
     case class CntOut(name: String) extends ROut
     case class SumOut(name: String, col: String) extends ROut
     case class AvgOut(name: String, col: String) extends ROut
+    case class PctOut(name: String, col: String, p: Double) extends ROut
     parsed match {
       case Project(outs, Filter(cond, r: UnresolvedRelation))
           if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
@@ -1265,6 +1266,14 @@ final class QueryEngine(
                 Some(SumOut(name, a.nameParts.last))
               case ("avg" | "mean", Seq(a: UnresolvedAttribute)) =>
                 Some(AvgOut(name, a.nameParts.last))
+              // percentile RESTRICTED to the range (round 10): the
+              // histogram's bucket masses clipped to the range bracket
+              // the rank — Histogram.rangePercentile
+              case ("percentile" | "percentile_approx" | "approx_percentile",
+                  Seq(a: UnresolvedAttribute, l: Literal)) =>
+                litDouble(l).map(p => PctOut(name, a.nameParts.last, p))
+              case ("median", Seq(a: UnresolvedAttribute)) =>
+                Some(PctOut(name, a.nameParts.last, 0.5))
               case _ => None
             }
           case _ => None
@@ -1272,11 +1281,13 @@ final class QueryEngine(
         if (classified.exists(_.isEmpty)) return None
         val parts = classified.flatten
         val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
-        // SUM/AVG serve only over the RANGE column itself (that's the
-        // column whose per-bucket sums the histsum blob records)
+        // SUM/AVG/PERCENTILE serve only over the RANGE column itself
+        // (the histogram models exactly that distribution; the histsum
+        // blob records that column's per-bucket sums)
         val sumCols = parts.collect {
           case SumOut(_, cc) => cc
           case AvgOut(_, cc) => cc
+          case PctOut(_, cc, _) => cc
         }
         if (sumCols.exists(!_.equalsIgnoreCase(c))) return None
         // the filter column must be numeric — a histogram only exists
@@ -1287,8 +1298,13 @@ final class QueryEngine(
           .map(s => graft.sketch.Histogram.deserialize(s.data))
           .getOrElse(return None)
         // per-bucket exact decimal sums, needed only for SUM/AVG
+        // (percentiles read the histogram alone)
+        val needSums = parts.exists {
+          case _: SumOut | _: AvgOut => true
+          case _                     => false
+        }
         val bsums: Option[Array[BigInt]] =
-          if (sumCols.isEmpty) None
+          if (!needSums) None
           else Some(catalog.getSketch(table, c, "histsum")
             .filter(sketchIsFresh(table, _))
             .flatMap { s =>
@@ -1336,13 +1352,19 @@ final class QueryEngine(
             sumEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
           case AvgOut(n, _) =>
             avgEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+          case PctOut(n, _, p) =>
+            h.rangePercentile(lowerB, upperB, p)
+              .map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
         }
         // the worst output's bound: counts/sums their own ratio, AVG a
-        // conservative first-order combination of both
+        // conservative first-order combination of both, percentiles
+        // one bucket width of value error plus the boundary mass's
+        // rank-shift fraction
         val err = parts.map {
           case _: CntOut => cntRel
           case _: SumOut => sumRel
           case _: AvgOut => cntRel + sumRel
+          case _: PctOut => 1.0 / h.buckets + cntRel
         }.foldLeft(0.0)(math.max)
         Some((spark.range(1).select(cols: _*), err))
       case _ => None
@@ -3357,6 +3379,35 @@ final class QueryEngine(
           case None if countStarOnly(outs) =>
             rangeBounds(cond) match {
               case Some((c, _, _)) if numericColumn(table, c) =>
+                Seq(Candidate(table, c, "histogram", None))
+              case _ => Nil
+            }
+          // count/sum/avg/percentile outputs anchored on the RANGE
+          // column itself are the range serve's other miss shapes —
+          // the same plain histogram (plus its histsum rider) covers
+          // them all
+          case None =>
+            rangeBounds(cond) match {
+              case Some((c, _, _))
+                  if numericColumn(table, c) && outs.nonEmpty &&
+                    outs.forall {
+                      case Alias(f: UnresolvedFunction, _)
+                          if !f.isDistinct && f.filter.isEmpty =>
+                        (f.nameParts.last.toLowerCase, f.arguments) match {
+                          case ("count", Seq(_: Literal)) => true
+                          case ("sum" | "avg" | "mean",
+                              Seq(a: UnresolvedAttribute)) =>
+                            a.nameParts.last.equalsIgnoreCase(c)
+                          case ("percentile" | "percentile_approx" |
+                              "approx_percentile",
+                              Seq(a: UnresolvedAttribute, _: Literal)) =>
+                            a.nameParts.last.equalsIgnoreCase(c)
+                          case ("median", Seq(a: UnresolvedAttribute)) =>
+                            a.nameParts.last.equalsIgnoreCase(c)
+                          case _ => false
+                        }
+                      case _ => false
+                    } =>
                 Seq(Candidate(table, c, "histogram", None))
               case _ => Nil
             }

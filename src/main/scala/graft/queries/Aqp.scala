@@ -967,6 +967,28 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // Range-restricted PERCENTILE end-to-end (round 10): the p50/p90
+    // of o_totalprice AMONG the rows inside [50000, 150000) — the
+    // histogram's bucket masses clipped to the range bracket the rank
+    // (boundary buckets fractional, interior exact-integer
+    // cumulatives, every float step a fixed association), so the
+    // price-band percentile dashboard serves with zero scan. The
+    // oracle re-derives the full Histogram.rangePercentile chain in
+    // DuckDB — grid, clamped positions, segment rule, clamps — and
+    // hash-matches both estimates bit-for-bit.
+    "q111_range_pct" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT percentile(o_totalprice, 0.5) AS p50, " +
+          "percentile(o_totalprice, 0.9) AS p90 FROM orders " +
+          "WHERE o_totalprice >= 50000 AND o_totalprice < 150000",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("histogram_range"),
+        s"q111 must interpolate the range percentiles from the stored " +
+          s"histogram: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // Heavy-hitters top-k end-to-end: the most frequent l_partkey
     // values — a HIGH-cardinality key whose grouped blobs refuse to
     // build (20k distinct at sf0.1 > MaxHllGroups) — answered EXACTLY
@@ -2085,6 +2107,80 @@ object Aqp {
             FROM parts)
           SELECT n AS n_est, s AS s_est, s / n AS a_est,
             'sketch' AS plan_type FROM est""",
+    // q111: Histogram.rangePercentile re-derived — q103's grid and
+    // clamped positions, then the segment rule: boundary bucket a
+    // (mass ma, fractional), interior buckets on EXACT integer
+    // cumulatives (one double addition per comparison), boundary
+    // bucket b clamped to [0,1]. The first segment (zero-mass skipped)
+    // whose cumulative mass reaches p*total brackets the value; every
+    // float association mirrors the Scala walk.
+    "q111_range_pct" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT least(63,
+              CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders CROSS JOIN grd WHERE o_totalprice IS NOT NULL),
+          c AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+          pp AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM pp),
+          parts AS (SELECT pa, pb, ia, ib,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS mid
+            FROM ix),
+          ps AS (SELECT unnest([CAST('0.5' AS DOUBLE),
+              CAST('0.9' AS DOUBLE)]) AS p),
+          base AS (SELECT ps.p, parts.*,
+              CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa) AS ma,
+              CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) AS mb
+            FROM ps CROSS JOIN parts),
+          tgt AS (SELECT *, p * total AS target FROM
+            (SELECT *, (CAST(mid AS DOUBLE) + ma) + mb AS total
+             FROM base) tt),
+          cand AS (SELECT t.p, min(c.b) AS jb
+            FROM tgt t JOIN c
+              ON c.b > t.ia AND c.b < t.ib AND c.c > 0
+            WHERE t.ma + CAST((SELECT sum(c2.c) FROM c c2
+                WHERE c2.b > t.ia AND c2.b <= c.b) AS DOUBLE) >= t.target
+            GROUP BY t.p),
+          vals AS (SELECT t.p, CASE
+              WHEN t.pb <= t.pa THEN NULL
+              WHEN t.ia = t.ib THEN CASE WHEN t.ca > 0
+                THEN grd.lo + grd.w * (t.pa + (t.pb - t.pa) * t.p)
+                ELSE NULL END
+              WHEN t.total <= 0 THEN NULL
+              WHEN t.ca > 0 AND t.ma >= t.target
+                THEN grd.lo + grd.w * (t.pa +
+                  (CAST(t.ia + 1 AS DOUBLE) - t.pa) * (t.target / t.ma))
+              WHEN cand.jb IS NOT NULL
+                THEN grd.lo + grd.w * (CAST(cand.jb AS DOUBLE) +
+                  (t.target - (t.ma + CAST(coalesce((SELECT sum(c3.c)
+                      FROM c c3 WHERE c3.b > t.ia AND c3.b < cand.jb), 0)
+                    AS DOUBLE)))
+                  / CAST((SELECT c4.c FROM c c4 WHERE c4.b = cand.jb)
+                    AS DOUBLE))
+              WHEN t.mb > 0
+                THEN grd.lo + grd.w * (CAST(t.ib AS DOUBLE) +
+                  (t.pb - CAST(t.ib AS DOUBLE)) *
+                  least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                    (t.target - (t.ma + CAST(t.mid AS DOUBLE))) / t.mb)))
+              ELSE grd.lo + grd.w * CAST(t.ib AS DOUBLE) END AS v
+            FROM tgt t LEFT JOIN cand ON cand.p = t.p CROSS JOIN grd)
+          SELECT max(CASE WHEN p = CAST('0.5' AS DOUBLE) THEN v END) AS p50,
+            max(CASE WHEN p = CAST('0.9' AS DOUBLE) THEN v END) AS p90,
+            'sketch' AS plan_type
+          FROM vals""",
     // q107: the full KMV set-op chain re-derived — per-side distinct
     // h60 hashes, bottom-k per side, bottom-k of the union, then the
     // engine's exact float associations: exhaustive union -> the true

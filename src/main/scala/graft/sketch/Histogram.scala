@@ -81,6 +81,62 @@ final case class Histogram(lo: Double, width: Double, counts: Array[Long]) {
         }
     }
 
+  /** Percentile of the values inside a range on the SAME column,
+    * interpolated over the RESTRICTED bucket masses: boundary buckets
+    * carry their covered fraction (the rangeCount geometry), interior
+    * buckets their exact counts. The walk keeps interior cumulatives
+    * as EXACT integers (one double addition per comparison, fixed
+    * association), so an external re-derivation (the q111 oracle)
+    * lands on the identical double — the same discipline as
+    * [[rangeCount]]. Segment rule: the first segment (in grid order,
+    * zero-mass segments skipped) whose cumulative mass reaches
+    * `p * totalMass` brackets the estimate; the upper boundary
+    * segment's fraction clamps to [0, 1]; if no boundary mass remains
+    * the estimate sits at the interior's end. None = the covering
+    * buckets are empty — no row can pass the predicate, so exact
+    * execution returns NULL too.
+    */
+  def rangePercentile(lower: Option[Double], upper: Option[Double],
+      p: Double): Option[Double] =
+    rangePositions(lower, upper).flatMap { case (pa, pb, ia, ib) =>
+      if (ia == ib) {
+        if (counts(ia) == 0L) None
+        else Some(lo + width * (pa + (pb - pa) * p))
+      } else {
+        val ma = counts(ia).toDouble * ((ia + 1).toDouble - pa)
+        val mb = counts(ib).toDouble * (pb - ib.toDouble)
+        var interior = 0L
+        var j = ia + 1
+        while (j < ib) { interior += counts(j); j += 1 }
+        val total = (interior.toDouble + ma) + mb // rangeCount's association
+        if (total <= 0.0) None
+        else {
+          val target = p * total
+          if (counts(ia) > 0L && ma >= target)
+            Some(lo + width *
+              (pa + ((ia + 1).toDouble - pa) * (target / ma)))
+          else {
+            var cum = 0L
+            var k = ia + 1
+            var hit: Option[Double] = None
+            while (k < ib && hit.isEmpty) {
+              val next = cum + counts(k)
+              if (counts(k) > 0L && ma + next.toDouble >= target)
+                hit = Some(lo + width * (k.toDouble +
+                  (target - (ma + cum.toDouble)) / counts(k).toDouble))
+              else { cum = next; k += 1 }
+            }
+            hit.orElse(Some(
+              if (mb > 0.0)
+                lo + width * (ib.toDouble + (pb - ib.toDouble) *
+                  math.min(1.0, math.max(0.0,
+                    (target - (ma + interior.toDouble)) / mb)))
+              else lo + width * ib.toDouble))
+          }
+        }
+      }
+    }
+
   def merge(other: Histogram): Histogram = {
     require(other.lo == lo && other.width == width &&
       other.counts.length == counts.length,

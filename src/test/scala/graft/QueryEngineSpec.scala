@@ -2264,6 +2264,70 @@ class QueryEngineSpec extends SparkSpec {
     assert(!rStale.servedFromCatalog, rStale.reason)
   }
 
+  test("range-restricted percentiles serve from the stored histogram with no scan") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-rpct").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 10000).select(expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("rpct_t")
+    graft.sketch.SketchOps.createHistogram(spark, cat, "rpct_t", "v", 64)
+    // empty backing view: a correct answer proves the no-scan path
+    spark.range(0).select(expr("cast(null as double)").as("v"))
+      .createOrReplaceTempView("rpct_t")
+    val loose = eng.Options(maxRelError = 0.5)
+    val r = eng.query(
+      "SELECT percentile(v, 0.5) AS p50, count(*) AS n FROM rpct_t " +
+        "WHERE v >= 2000 AND v < 7000", loose)
+    assert(r.servedFromCatalog && r.serveKind.contains("histogram_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val row = r.df.collect().head
+    // truth: uniform 0..9999, p50 of [2000, 7000) = 4500 (+- one
+    // bucket width 156.25 + the boundary-mass rank shift)
+    assert(math.abs(row.getDouble(0) - 4500.0) < 2 * (10000.0 / 64),
+      row.getDouble(0).toString)
+    assert(math.abs(row.getDouble(1) - 5000.0) < 2 * (10000.0 / 64))
+
+    // a range entirely past the data serves NULL (no covering mass —
+    // exact execution over zero rows returns NULL too)
+    val rEmpty = eng.query(
+      "SELECT percentile(v, 0.5) AS p FROM rpct_t WHERE v >= 999999",
+      loose)
+    assert(rEmpty.servedFromCatalog, rEmpty.reason)
+    assert(rEmpty.df.collect().head.isNullAt(0))
+
+    // a percentile over a DIFFERENT column than the range refuses —
+    // the histogram models only the range column's distribution
+    spark.range(0, 100).select(expr("cast(id as double)").as("u"),
+      expr("cast(id * 2 as double)").as("v"))
+      .createOrReplaceTempView("rpct2_t")
+    graft.sketch.SketchOps.createHistogram(spark, cat, "rpct2_t", "u", 64)
+    val rOther = eng.query(
+      "SELECT percentile(v, 0.5) AS p FROM rpct2_t " +
+        "WHERE u >= 10 AND u < 50", loose)
+    assert(!rOther.servedFromCatalog, rOther.reason)
+
+    // advisor: repeated range-percentile scans advise the histogram
+    // whose range serve would absorb them; the build retires it
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-rpcta").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    spark.range(0, 500).select(expr("cast(id as double)").as("x"))
+      .createOrReplaceTempView("rpct3_t")
+    val sql3 = "SELECT percentile(x, 0.5) AS p FROM rpct3_t " +
+      "WHERE x >= 100 AND x < 400"
+    (1 to 3).foreach(_ => eng2.query(sql3))
+    assert(eng2.adviseSketches(minMisses = 3).exists(a =>
+      a.candidate.sketchType == "histogram" && a.candidate.column == "x"),
+      eng2.adviseSketches(minMisses = 3).toString)
+    graft.sketch.SketchOps.createHistogram(spark, cat2, "rpct3_t", "x", 64)
+    assert(eng2.adviseSketches(minMisses = 3)
+      .forall(_.candidate.column != "x"))
+    val r3 = eng2.query(sql3, eng2.Options(maxRelError = 0.5))
+    assert(r3.servedFromCatalog && r3.serveKind.contains("histogram_range"),
+      r3.reason)
+  }
+
   test("heavy-hitters blob serves top-k and iceberg GROUP BY shapes exactly with no scan") {
     import org.apache.spark.sql.functions.expr
     val cat = new MetaCatalog(

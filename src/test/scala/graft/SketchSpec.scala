@@ -167,6 +167,29 @@ class SketchSpec extends SparkSpec {
       SketchOps.jsonTupleKey(Seq("a", "bc")))
   }
 
+  test("rangePercentile: segment rule over restricted masses; empty coverage is None") {
+    import graft.sketch.Histogram
+    val h = Histogram(0.0, 10.0, Array(10L, 0L, 30L, 20L, 0L, 40L))
+    // [20, 40): full buckets 2 (30 vals) and 3 (20); median = 25th of
+    // 50 -> 25/30 through bucket 2
+    assert(h.rangePercentile(Some(20.0), Some(40.0), 0.5)
+      .contains(0.0 + 10.0 * (2.0 + (25.0 / 30.0))))
+    // p90 -> 45th: 30 in bucket 2, then (45-30)/20 through bucket 3
+    assert(h.rangePercentile(Some(20.0), Some(40.0), 0.9)
+      .contains(10.0 * (3.0 + 15.0 / 20.0)))
+    // [45, 60): boundary bucket 4 is EMPTY (zero-mass segment skipped),
+    // all mass in bucket 5 -> median halfway through it
+    assert(h.rangePercentile(Some(45.0), None, 0.5).contains(55.0))
+    // a range covering only an empty bucket: no row can pass -> None
+    // (exact execution returns NULL)
+    assert(h.rangePercentile(Some(10.0), Some(20.0), 0.5).isEmpty)
+    // empty range (lower >= upper after clamping) -> None
+    assert(h.rangePercentile(Some(70.0), None, 0.5).isEmpty)
+    // estimates stay inside the requested range
+    val est = h.rangePercentile(Some(25.0), Some(35.0), 0.5).get
+    assert(est >= 25.0 && est <= 35.0, est.toString)
+  }
+
   test("KMV serde roundtrip; union is the bottom-k semilattice") {
     import graft.sketch.Kmv
     val a = Kmv.Sketch(8, Array(1L, 5L, 9L, 20L, 31L, 44L, 58L, 70L))
