@@ -339,15 +339,22 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
             column match {
               case None => (400, err("column (group keys) required for topk"))
               case Some(c) =>
-                params("threshold").flatMap(_.num).map(_.toLong) match {
+                params("threshold").flatMap(_.num) match {
                   case None => (400, err("parameters.threshold required for topk"))
                   case Some(t) if t < 1 =>
                     (400, err(s"threshold must be >= 1, got $t"))
                   case Some(t) =>
                     val keyCols = c.split(",").map(_.trim)
                       .filter(_.nonEmpty).toSeq
-                    val (size, entries) = SketchOps.createTopK(spark,
-                      engine.catalog, table, keyCols, t)
+                    // parameters.sum_col builds the SUM twin (revenue
+                    // top-k; threshold then bounds the decimal sum)
+                    val (size, entries) =
+                      params("sum_col").flatMap(_.str) match {
+                        case Some(v) => SketchOps.createTopKSum(spark,
+                          engine.catalog, table, keyCols, v, t)
+                        case None => SketchOps.createTopK(spark,
+                          engine.catalog, table, keyCols, t.toLong)
+                      }
                     (200, s"""{"status": "ok", "sketch_type": "topk", "size_bytes": $size, "entries": $entries}""")
                 }
             }

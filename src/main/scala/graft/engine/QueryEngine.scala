@@ -2340,7 +2340,19 @@ final class QueryEngine(
           })
       case _ => false
     }
-    var countOut: Option[(String, String)] = None // (alias, source sql)
+    // metric = a lone count(*) (count blobs) OR a lone sum(attr)
+    // (sum blobs — the revenue-dashboard shape)
+    def isSumOf(e: Expression): Option[String] = e match {
+      case f: UnresolvedFunction
+          if f.nameParts.last.equalsIgnoreCase("sum") && !f.isDistinct &&
+            f.filter.isEmpty =>
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute) => Some(a.nameParts.last)
+          case _                           => None
+        }
+      case _ => None
+    }
+    var metricOut: Option[(String, String, Option[String])] = None
     val outs: Seq[(String, Option[Int])] = outsRaw.map {
       case a: UnresolvedAttribute
           if lower.contains(a.nameParts.last.toLowerCase) =>
@@ -2348,37 +2360,51 @@ final class QueryEngine(
       case Alias(a: UnresolvedAttribute, name)
           if lower.contains(a.nameParts.last.toLowerCase) =>
         (name, Some(lower.indexOf(a.nameParts.last.toLowerCase)))
-      case Alias(f, name) if isCountStar(f) && countOut.isEmpty =>
-        countOut = Some((name, f.sql)); (name, None)
+      case Alias(f, name) if isCountStar(f) && metricOut.isEmpty =>
+        metricOut = Some((name, f.sql, None)); (name, None)
+      case Alias(f, name)
+          if isSumOf(f).isDefined && metricOut.isEmpty &&
+            !lower.contains(isSumOf(f).get.toLowerCase) =>
+        metricOut = Some((name, f.sql, isSumOf(f))); (name, None)
       case _ => return None
     }
-    val (countName, countSql) = countOut.getOrElse(return None)
+    val (metricName, metricSql, sumCol) = metricOut.getOrElse(return None)
     val keyIdxs = outs.flatMap(_._2)
     if (keyIdxs.toSet != gNames.indices.toSet ||
         keyIdxs.sizeIs != gNames.size) return None
-    def isCountRef(e: Expression): Boolean = e match {
+    def isMetricRef(e: Expression): Boolean = e match {
       case a: UnresolvedAttribute =>
-        a.nameParts.last.equalsIgnoreCase(countName)
-      case other => other.sql == countSql
+        a.nameParts.last.equalsIgnoreCase(metricName)
+      case other => other.sql == metricSql
     }
-    def litLong(v: Any): Option[Long] = v match {
-      case n: java.lang.Integer => Some(n.longValue)
-      case n: java.lang.Long    => Some(n.longValue)
-      case n: java.lang.Short   => Some(n.longValue)
-      case n: java.lang.Byte    => Some(n.longValue)
+    def litD(v: Any): Option[Double] = v match {
+      case n: java.lang.Integer => Some(n.doubleValue)
+      case n: java.lang.Long    => Some(n.doubleValue)
+      case n: java.lang.Short   => Some(n.doubleValue)
+      case n: java.lang.Byte    => Some(n.doubleValue)
+      case n: java.lang.Double  => Some(n.doubleValue)
+      case n: java.lang.Float   => Some(n.doubleValue)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
       case _                    => None
     }
-    val havingMin: Option[Option[Long]] = having.map {
-      case GreaterThanOrEqual(l, Literal(v, _)) if isCountRef(l) => litLong(v)
-      case GreaterThan(l, Literal(v, _)) if isCountRef(l) => litLong(v).map(_ + 1)
-      case LessThanOrEqual(Literal(v, _), r) if isCountRef(r) => litLong(v)
-      case LessThan(Literal(v, _), r) if isCountRef(r) => litLong(v).map(_ + 1)
+    // (bound, strict): the count/sum lower bound the HAVING applies —
+    // either comparison form qualifies iff bound >= the blob threshold
+    // (every unstored group totals strictly below the threshold)
+    val havingMin: Option[Option[(Double, Boolean)]] = having.map {
+      case GreaterThanOrEqual(l, Literal(v, _)) if isMetricRef(l) =>
+        litD(v).map((_, false))
+      case GreaterThan(l, Literal(v, _)) if isMetricRef(l) =>
+        litD(v).map((_, true))
+      case LessThanOrEqual(Literal(v, _), r) if isMetricRef(r) =>
+        litD(v).map((_, false))
+      case LessThan(Literal(v, _), r) if isMetricRef(r) =>
+        litD(v).map((_, true))
       case _ => None
     }
     if (havingMin.exists(_.isEmpty)) return None
     val sorts = sortOrders.map { so =>
       val name =
-        if (isCountRef(so.child)) Some(countName)
+        if (isMetricRef(so.child)) Some(metricName)
         else so.child match {
           case a: UnresolvedAttribute =>
             outs.find(o => o._2.isDefined &&
@@ -2390,8 +2416,8 @@ final class QueryEngine(
     }
     if (sorts.exists(_.isEmpty)) return None
     val ss = sorts.flatten
-    val topCountSort = ss.headOption.exists(s => s._1 == countName && s._2)
-    Some(TopKShape(gNames, outs, countName, havingMin.flatten, ss,
+    val topCountSort = ss.headOption.exists(s => s._1 == metricName && s._2)
+    Some(TopKShape(gNames, outs, metricName, sumCol, havingMin.flatten, ss,
       topCountSort, limit))
   }
 
@@ -2408,30 +2434,52 @@ final class QueryEngine(
     * blob cannot name the light groups. Sort/limit/having replay
     * driver-side over the served rows with typed keys.
     */
-  private val topkThresholdRe = """"threshold"\s*:\s*(\d+)""".r
+  private val topkThresholdRe = """"threshold"\s*:\s*([0-9.eE+-]+)""".r
+  private val topkAggRe = """"agg"\s*:\s*"([^"]*)"""".r
+  private val topkValueColRe = """"value_col"\s*:\s*"([^"]*)"""".r
   private def storedTopKAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       table: String): Option[(DataFrame, String)] = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val sh = topKShape(parsed, table).getOrElse(return None)
     val kTypes = keyFieldTypes(table, sh.gNames).getOrElse(return None)
     val q = sh.gNames.map(_.toLowerCase)
+    val wantAgg = if (sh.sumCol.isDefined) "sum" else "count"
     val blob = catalog.listSketches(Some(table)).iterator
       .filter(s => s.sketchType == "topk" && sketchIsFresh(table, s))
+      // metric match: count blobs (absent "agg" = legacy count) for
+      // count(*) shapes; sum blobs whose value_col is the summed
+      // column for sum(x) shapes
+      .filter { s =>
+        val agg = topkAggRe.findFirstMatchIn(s.parameters)
+          .map(_.group(1)).getOrElse("count")
+        agg == wantAgg && sh.sumCol.forall(c =>
+          topkValueColRe.findFirstMatchIn(s.parameters)
+            .exists(_.group(1).equalsIgnoreCase(c)))
+      }
       .flatMap { s =>
         groupByParamRe.findFirstMatchIn(s.parameters)
           .map(_.group(1).toLowerCase.split(",").map(_.trim).toSeq)
           .filter(scols => scols.sorted == q.sorted)
           .flatMap { scols =>
             topkThresholdRe.findFirstMatchIn(s.parameters)
-              .map(_.group(1).toLong)
+              .map(_.group(1).toDouble)
               .flatMap { t =>
                 val perm = q.map(scols.indexOf)
+                // metric values: count blobs hold LE longs, sum blobs
+                // the unscaled scale-4 decimal (its double rendering
+                // reproduces CAST(DECIMAL AS DOUBLE) in any engine)
                 val es = graft.sketch.GroupedHll.unpack(s.data).map {
                   case (k, b) =>
                     decodeGroupKey(k, scols.size).map { c =>
-                      (perm.map(c), java.nio.ByteBuffer.wrap(b)
-                        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+                      val v: Either[Long, Double] =
+                        if (wantAgg == "count")
+                          Left(java.nio.ByteBuffer.wrap(b)
+                            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+                        else
+                          Right(new java.math.BigDecimal(
+                            new java.math.BigInteger(b), 4).doubleValue)
+                      (perm.map(c), v)
                     }
                 }
                 if (es.exists(_.isEmpty)) None
@@ -2440,26 +2488,33 @@ final class QueryEngine(
           }
       }.nextOption().getOrElse(return None)
     val (threshold, entries) = blob
-    val served: Seq[(Seq[Option[String]], Long)] = sh.havingMin match {
-      case Some(min) =>
-        // a bound below the threshold needs groups the blob cannot name
-        if (min < threshold) return None
-        entries.filter(_._2 >= min)
-      case None =>
-        // top-k: only a count-DESC-led sort with a limit inside the
-        // stored list keeps heavy rows exclusively
-        if (!sh.topCountSort || !sh.limit.exists(_ <= entries.size))
-          return None
-        entries
-    }
+    def cmp(v: Either[Long, Double]): Double =
+      v.fold(_.toDouble, identity)
+    val served: Seq[(Seq[Option[String]], Either[Long, Double])] =
+      sh.havingMin match {
+        case Some((min, strict)) =>
+          // a bound below the threshold needs groups the blob cannot
+          // name (either comparison form: unstored totals are strictly
+          // below the threshold <= bound, so they fail the predicate)
+          if (min < threshold) return None
+          entries.filter(e =>
+            if (strict) cmp(e._2) > min else cmp(e._2) >= min)
+        case None =>
+          // top-k: only a metric-DESC-led sort with a limit inside the
+          // stored list keeps heavy rows exclusively
+          if (!sh.topCountSort || !sh.limit.exists(_ <= entries.size))
+            return None
+          entries
+      }
+    val metricType = if (sh.sumCol.isDefined) DoubleType else LongType
     val fields = sh.outs.map {
       case (n, Some(i)) => StructField(n, kTypes(i), nullable = true)
-      case (n, None)    => StructField(n, LongType, nullable = false)
+      case (n, None)    => StructField(n, metricType, nullable = false)
     }
-    val rows = served.map { case (k, n) =>
+    val rows = served.map { case (k, v) =>
       org.apache.spark.sql.Row.fromSeq(sh.outs.map {
         case (_, Some(i)) => typedKeyValue(kTypes(i), k(i))
-        case (_, None)    => n
+        case (_, None)    => v.fold(identity[Long], identity[Double])
       })
     }
     import scala.jdk.CollectionConverters._
@@ -3246,7 +3301,10 @@ final class QueryEngine(
           if sh.havingMin.isDefined ||
             (sh.limit.isDefined && sh.topCountSort) =>
         val g = sh.gNames.mkString(",")
-        return Seq(Candidate(table, g, "topk", Some(g)))
+        return sh.sumCol match {
+          case Some(v) => Seq(Candidate(table, v, "topk_sum", Some(g)))
+          case None    => Seq(Candidate(table, g, "topk", Some(g)))
+        }
       case _ =>
     }
     // the ORDER BY / LIMIT / HAVING wrappers don't change which blob
@@ -3432,15 +3490,24 @@ final class QueryEngine(
         // a fresh materialized universe sample over the same key
         if (c.sketchType == "universe")
           catalog.universeSampleFor(c.table, c.column).isDefined
-        else if (c.sketchType == "topk")
-          // topk blobs store their key list as the BUILD order's
-          // comma-joined name; coverage is column-SET equality (the
-          // serve dispatches set-based), so probe by group_by param
-          catalog.listSketches(Some(c.table)).exists(s =>
+        else if (c.sketchType == "topk" || c.sketchType == "topk_sum")
+          // topk blobs key themselves by BUILD order; coverage is
+          // group-by SET equality plus, for the sum variant, the
+          // summed value column (the serve dispatches by params)
+          catalog.listSketches(Some(c.table)).exists { s =>
+            val keySet =
+              if (c.sketchType == "topk") c.column else c.groupBy.getOrElse("")
             s.sketchType == "topk" && sketchIsFresh(c.table, s) &&
+              topkAggRe.findFirstMatchIn(s.parameters).map(_.group(1))
+                .getOrElse("count") ==
+                (if (c.sketchType == "topk") "count" else "sum") &&
+              (c.sketchType == "topk" ||
+                topkValueColRe.findFirstMatchIn(s.parameters)
+                  .exists(_.group(1).equalsIgnoreCase(c.column))) &&
               groupByParamRe.findFirstMatchIn(s.parameters).exists(m =>
                 m.group(1).toLowerCase.split(",").map(_.trim).toSet ==
-                  c.column.toLowerCase.split(",").map(_.trim).toSet))
+                  keySet.toLowerCase.split(",").map(_.trim).toSet)
+          }
         else {
           // candidate types use the advisor's vocabulary; the catalog
           // stores the builders' names ("hll" -> "hyperloglog",
@@ -3550,9 +3617,10 @@ final class QueryEngine(
   */
 private[engine] final case class TopKShape(
     gNames: Seq[String],
-    outs: Seq[(String, Option[Int])], // (output name, Some(key idx) | None = count)
-    countName: String,
-    havingMin: Option[Long],
+    outs: Seq[(String, Option[Int])], // (output name, Some(key idx) | None = metric)
+    metricName: String,
+    sumCol: Option[String],           // None = count(*); Some(x) = sum(x)
+    havingMin: Option[(Double, Boolean)], // (bound, strict >)
     sorts: Seq[(String, Boolean, Boolean)], // (output, descending, nulls first)
-    topCountSort: Boolean,
+    topCountSort: Boolean,            // first sort key = metric DESC
     limit: Option[Int])

@@ -55,6 +55,12 @@ object SketchAdvisor {
       // the expected k-th heaviest count, above the tail
       val key = g.split(",").map(k => s""""$k"""").mkString("Seq(", ", ", ")")
       s"SketchOps.createTopK(spark, catalog, ${c.table}, $key, threshold)"
+    case ("topk_sum", Some(g)) =>
+      // the SUM twin (revenue top-k): exact decimal sums of every
+      // group reaching the threshold over the summed column
+      val key = g.split(",").map(k => s""""$k"""").mkString("Seq(", ", ", ")")
+      s"SketchOps.createTopKSum(spark, catalog, ${c.table}, $key, " +
+        s"${c.column}, threshold)"
     case ("kmv", _) =>
       // one per set-op SIDE — both sides' sketches (same k) must exist
       // before the INTERSECT/UNION/EXCEPT count serves

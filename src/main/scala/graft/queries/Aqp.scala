@@ -221,6 +221,10 @@ object Aqp {
         new MetaCatalog(Files.createTempDirectory("graft-topk").toString))
       graft.sketch.SketchOps.createTopK(s, e.catalog, "lineitem",
         Seq("l_partkey"), threshold = 35L)
+      // SUM twin for q112: per-partkey revenue above 1.8M (recipe
+      // double) — 52/508/5061 entries at sf0.001/0.01/0.1
+      graft.sketch.SketchOps.createTopKSum(s, e.catalog, "lineitem",
+        Seq("l_partkey"), "l_extendedprice", threshold = 1800000.0)
       e
     })
   }
@@ -1004,6 +1008,24 @@ object Aqp {
           "GROUP BY l_partkey ORDER BY c DESC, l_partkey LIMIT 10")
       assert(r.servedFromCatalog && r.serveKind.contains("topk"),
         s"q109 must serve the top-k from the heavy-hitters blob: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Top-k by SUM (the revenue dashboard): the highest-revenue
+    // partkeys answered EXACTLY from the sum-threshold blob — the
+    // completeness argument needs no sign assumption (the filter is on
+    // each group's TOTAL, so every unstored group totals below the
+    // threshold). Sums serve as the repo's canonical decimal->double
+    // recipe (exact, engine-portable); the oracle computes the same
+    // recipe and hash-matches; the key tie-break pins the row set.
+    "q112_topk_sum" -> ((s, dir) => {
+      val e = topkEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_partkey, sum(l_extendedprice) AS rev FROM lineitem " +
+          "GROUP BY l_partkey ORDER BY rev DESC, l_partkey LIMIT 10")
+      assert(r.servedFromCatalog && r.serveKind.contains("topk"),
+        s"q112 must serve the revenue top-k from the sum blob: " +
           s"${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
     }),
@@ -2243,6 +2265,15 @@ object Aqp {
       """SELECT l_partkey, count(*) AS c, 'sketch' AS plan_type
          FROM lineitem GROUP BY l_partkey
          ORDER BY c DESC, l_partkey LIMIT 10""",
+    // q112: the sum serve emits the repo's canonical decimal->double
+    // recipe — the oracle computes the same rendering, so the top-10
+    // revenues hash-match bit-for-bit
+    "q112_topk_sum" ->
+      """SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+           'sketch' AS plan_type
+         FROM lineitem GROUP BY l_partkey
+         ORDER BY rev DESC, l_partkey LIMIT 10""",
     "q110_iceberg_serve" ->
       """SELECT l_partkey, count(*) AS c, 'sketch' AS plan_type
          FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45

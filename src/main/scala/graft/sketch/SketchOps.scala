@@ -590,7 +590,63 @@ object SketchOps {
     val bytes = GroupedHll.pack(entries)
     catalog.upsertSketch(catalog.SketchInfo(table, groupCols.mkString(","),
       "topk", bytes,
-      s"""{"group_by":"${groupCols.mkString(",")}","threshold":$threshold,""" +
+      s"""{"group_by":"${groupCols.mkString(",")}","agg":"count",""" +
+        s""""threshold":$threshold,"entries":${entries.size},"rows":$total}""",
+      System.currentTimeMillis()))
+    (bytes.length, entries.size)
+  }
+
+  /** SUM twin of [[createTopK]]: the exact decimal sums of
+    * `table.valueCol` for every group whose sum (rendered through the
+    * repo's canonical decimal(…,4) -> double recipe) reaches
+    * `threshold` — the input to `GROUP BY key ORDER BY sum(x) DESC
+    * LIMIT k` / `HAVING sum(x) >= s` serves over high-cardinality keys
+    * (the revenue dashboard). Completeness holds without any sign
+    * assumption: the filter is on each group's TOTAL, so every
+    * unstored group totals strictly below the threshold. Sums are
+    * stored as the unscaled scale-4 integers (GroupedStats'
+    * convention: exact, and their double rendering reproduces
+    * CAST(DECIMAL AS DOUBLE) in any engine); a group whose sum
+    * overflows decimal(38,4) fails the build rather than vanishing
+    * below the threshold. All-NULL groups have a NULL sum, which
+    * fails any HAVING in exact execution too — excluded. Returns
+    * (serialized size, entries kept).
+    */
+  def createTopKSum(spark: SparkSession, catalog: MetaCatalog,
+      table: String, groupCols: Seq[String], valueCol: String,
+      threshold: Double, maxEntries: Int = MaxHllGroups): (Int, Int) = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    import org.apache.spark.sql.functions.{count, expr}
+    val total = spark.table(table).count()
+    val rows = spark.table(table)
+      .groupBy(groupKeyExpr(groupCols).as("g"))
+      .agg(expr(s"try_sum(cast($valueCol as decimal(38,4)))").as("s"),
+        count(col(valueCol)).as("nn"))
+      // keep overflow rows (NULL sum with non-NULL values) so they
+      // can refuse loudly instead of silently dropping below threshold
+      .filter(expr(s"cast(s as double) >= $threshold" +
+        " or (s is null and nn > 0)"))
+      .limit(maxEntries + 1)
+      .collect()
+    if (rows.exists(r => r.isNullAt(1) && r.getAs[Long]("nn") > 0L))
+      throw new IllegalArgumentException(
+        s"topk-sum over $table.$valueCol: a group sum overflows decimal(38,4)")
+    if (rows.length > maxEntries)
+      throw new IllegalArgumentException(
+        s"topk-sum over $table.${groupCols.mkString(",")}: more than " +
+          s"$maxEntries groups reach sum $threshold — raise the threshold")
+    val entries = rows.toSeq.map { r =>
+      Option(r.getAs[String]("g")) ->
+        BigInt(r.getDecimal(1).setScale(4).unscaledValue()).toByteArray
+    }
+    val bytes = GroupedHll.pack(entries)
+    // its own catalog key (the "->" rendering) so a sum blob never
+    // overwrites a count blob over the same key set; the serve
+    // dispatches by params (agg + value_col + group-by set), not name
+    catalog.upsertSketch(catalog.SketchInfo(table,
+      s"${groupCols.mkString(",")}->$valueCol", "topk", bytes,
+      s"""{"group_by":"${groupCols.mkString(",")}","agg":"sum",""" +
+        s""""value_col":"$valueCol","threshold":$threshold,""" +
         s""""entries":${entries.size},"rows":$total}""",
       System.currentTimeMillis()))
     (bytes.length, entries.size)

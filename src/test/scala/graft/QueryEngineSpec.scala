@@ -2385,6 +2385,73 @@ class QueryEngineSpec extends SparkSpec {
     assert(!rStale.servedFromCatalog, rStale.reason)
   }
 
+  test("sum-threshold topk blob serves revenue top-k and sum-iceberg exactly") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-topksum").toString)
+    val eng = new QueryEngine(spark, cat)
+    // 20 heavy keys summing 100 * 100.5 = 10050 each; 100 singleton
+    // tail keys at 1.25
+    spark.range(0, 2100).select(
+      expr("cast(case when id < 2000 then concat('h', id % 20) " +
+        "else concat('t', id) end as string)").as("k"),
+      expr("case when id < 2000 then cast(100.5 as double) " +
+        "else cast(1.25 as double) end").as("v"))
+      .createOrReplaceTempView("topksum_t")
+    graft.sketch.SketchOps.createTopKSum(spark, cat, "topksum_t",
+      Seq("k"), "v", 5000.0)
+    spark.range(0).select(expr("cast(null as string)").as("k"),
+      expr("cast(null as double)").as("v"))
+      .createOrReplaceTempView("topksum_t")
+    val r = eng.query("SELECT k, sum(v) AS s FROM topksum_t " +
+      "GROUP BY k ORDER BY s DESC, k LIMIT 5")
+    assert(r.servedFromCatalog && r.serveKind.contains("topk"),
+      s"${r.serveKind}: ${r.reason}")
+    val rows = r.df.collect().toSeq
+    assert(rows.length == 5 && rows.forall(_.getDouble(1) == 10050.0),
+      rows.toString)
+    // ties broken by key ASC: the five lexicographically-first heavies
+    assert(rows.map(_.getString(0)) ==
+      Seq("h0", "h1", "h10", "h11", "h12"))
+
+    // sum-iceberg: HAVING at/above the threshold returns all 20
+    val rIce = eng.query("SELECT k, sum(v) AS s FROM topksum_t " +
+      "GROUP BY k HAVING sum(v) >= 6000 ORDER BY k")
+    assert(rIce.servedFromCatalog, rIce.reason)
+    assert(rIce.df.collect().length == 20)
+    // a bound below the threshold refuses to the scan
+    val rLow = eng.query("SELECT k, sum(v) AS s FROM topksum_t " +
+      "GROUP BY k HAVING sum(v) >= 1000 ORDER BY k")
+    assert(!rLow.servedFromCatalog, rLow.reason)
+    // a COUNT top-k cannot serve from the SUM blob (metric mismatch)
+    val rCnt = eng.query("SELECT k, count(*) AS c FROM topksum_t " +
+      "GROUP BY k ORDER BY c DESC, k LIMIT 5")
+    assert(!rCnt.servedFromCatalog, rCnt.reason)
+
+    // advisor: repeated revenue-top-k scans advise the SUM blob
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-topksum2").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    spark.range(0, 1000).select(
+      expr("concat('g', id % 10)").as("k"),
+      expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("topksum2_t")
+    val sql2 = "SELECT k, sum(v) AS s FROM topksum2_t " +
+      "GROUP BY k ORDER BY s DESC, k LIMIT 3"
+    (1 to 3).foreach(_ => assert(!eng2.query(sql2).servedFromCatalog))
+    val hit = eng2.adviseSketches(minMisses = 3).find(a =>
+      a.candidate.sketchType == "topk_sum" && a.candidate.column == "v" &&
+        a.candidate.groupBy.contains("k"))
+    assert(hit.isDefined, eng2.adviseSketches(minMisses = 3).toString)
+    assert(hit.get.build.contains("createTopKSum"), hit.get.build)
+    graft.sketch.SketchOps.createTopKSum(spark, cat2, "topksum2_t",
+      Seq("k"), "v", 40000.0)
+    assert(eng2.adviseSketches(minMisses = 3)
+      .forall(_.candidate.sketchType != "topk_sum"))
+    val r2 = eng2.query(sql2)
+    assert(r2.servedFromCatalog && r2.serveKind.contains("topk"), r2.reason)
+  }
+
   test("top-k misses advise the heavy-hitters blob; a build retires and flips the serve") {
     import org.apache.spark.sql.functions.expr
     val cat = new MetaCatalog(
