@@ -348,7 +348,13 @@ object EventStreams {
     * Catalog upserts merge parameters field-wise (MetaCatalog
     * .mergeParams), so a batch-built sketch's `rows` freshness field
     * survives stream maintenance and `last_batch` survives a batch
-    * rebuild — neither writer can disable the other's guard.
+    * rebuild — neither writer can disable the other's guard. The
+    * "histsum" rider (per-bucket exact decimal sums — the range
+    * SUM/AVG serve's input) maintains in the same pass: BigInt
+    * addition is exact, so the stream-built blob is BYTE-equal to a
+    * batch `createHistogram` over the same rows; an overflowing batch
+    * poisons it (SUM/AVG refuse, counts keep serving) instead of
+    * letting the sums silently miss a batch.
     */
   def maintainHistogramSketch(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, column: String,
@@ -364,13 +370,31 @@ object EventStreams {
           .exists(batchId <= _)
         if (!alreadyMerged) {
           val counts = new Array[Long](buckets)
+          val bsums = Array.fill(buckets)(BigInt(0))
+          var sumOverflow = false
+          // one pass: per-bucket counts AND exact decimal sums (the
+          // histsum rider that keeps the range-SUM/AVG serve live)
+          // clamp in DOUBLE space BEFORE the int cast: a value far
+          // outside the grid would otherwise overflow the ANSI cast
+          // instead of landing in the edge bucket as documented
           batch.filter(col(column).isNotNull)
             .select(expr(
-              s"least(${buckets - 1}, greatest(0, cast(floor((cast($column as double) - $lo) / $width) as int)))")
-              .as("b"))
-            .groupBy(col("b")).count()
+              s"cast(least(cast(${buckets - 1} as double), greatest(cast(0 as double), " +
+                s"floor((cast($column as double) - $lo) / $width))) as int)")
+              .as("b"), col(column))
+            .groupBy(col("b"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"),
+              expr(s"try_sum(cast($column as decimal(38,4)))").as("s4"))
             .collect()
-            .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+            .foreach { r =>
+              counts(r.getInt(0)) = r.getAs[Long]("n")
+              Option(r.getDecimal(2)) match {
+                case Some(d) =>
+                  bsums(r.getInt(0)) = BigInt(d.setScale(4).unscaledValue())
+                case None => sumOverflow = true
+              }
+            }
           val h = graft.sketch.Histogram(lo, width, counts)
           catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
             "histogram", h.serialize,
@@ -378,6 +402,42 @@ object EventStreams {
             System.currentTimeMillis())) { (prev, next) =>
             graft.sketch.Histogram.deserialize(prev)
               .merge(graft.sketch.Histogram.deserialize(next)).serialize
+          }
+          // histsum: per-bucket unscaled decimal sums, additive BigInt
+          // merge under its OWN replay guard (additive like the
+          // histogram, unlike HLL's idempotent max). A batch whose
+          // bucket sum overflows decimal(38,4) POISONS the blob with
+          // an empty pack — the engine's bucket-count check then
+          // refuses SUM/AVG serves (counts keep serving) instead of
+          // serving a sum that silently missed a batch; poison absorbs
+          // in the merge so later batches cannot un-poison it.
+          val sumsMerged = catalog.getSketch(table, column, "histsum")
+            .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+              .map(_.group(1).toLong))
+            .exists(batchId <= _)
+          if (!sumsMerged) {
+            val payload: Seq[(Option[String], Array[Byte])] =
+              if (sumOverflow) Seq.empty
+              else bsums.zipWithIndex.toSeq.map { case (s, i) =>
+                Option(i.toString) -> s.toByteArray
+              }
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+              "histsum", graft.sketch.GroupedHll.pack(payload),
+              s"""{"buckets":$buckets,"last_batch":$batchId}""",
+              System.currentTimeMillis())) { (prev, next) =>
+              val pa = graft.sketch.GroupedHll.unpack(prev)
+              val na = graft.sketch.GroupedHll.unpack(next)
+              if (pa.isEmpty || na.isEmpty)
+                graft.sketch.GroupedHll.pack(Seq.empty)
+              else {
+                val pm = pa.collect { case (Some(k), b) => k.toInt -> BigInt(b) }.toMap
+                val nm = na.collect { case (Some(k), b) => k.toInt -> BigInt(b) }.toMap
+                graft.sketch.GroupedHll.pack((0 until buckets).map(i =>
+                  Option(i.toString) ->
+                    (pm.getOrElse(i, BigInt(0)) + nm.getOrElse(i, BigInt(0)))
+                      .toByteArray))
+              }
+            }
           }
         }
         ()

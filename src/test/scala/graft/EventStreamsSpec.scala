@@ -134,6 +134,20 @@ class EventStreamsSpec extends SparkSpec {
       graft.sketch.Histogram.deserialize(sk.get.data).counts.toSeq)
     assert(sk.get.parameters.contains("\"last_batch\""))
 
+    // the histsum RIDER maintains in the same pass and is BYTE-equal
+    // to the batch builder's blob (BigInt addition is exact)
+    val bsums = Array.fill(buckets)(BigInt(0))
+    data.foreach { v =>
+      val b = math.min(buckets - 1, math.max(0, ((v - lo) / width).toInt))
+      bsums(b) += BigInt(v) * 10000 // scale-4 unscaled integer
+    }
+    val hs = catalog.getSketch("prices_live", "price", "histsum")
+    assert(hs.isDefined)
+    assert(hs.get.data.sameElements(graft.sketch.GroupedHll.pack(
+      bsums.zipWithIndex.toSeq.map { case (s, i) =>
+        Option(i.toString) -> s.toByteArray
+      })))
+
     // the engine answers percentile queries from the LIVE sketch with
     // no scan: the backing view is empty, a scan would return null
     spark.range(0).select(col("id").cast("double").as("price"))
@@ -143,6 +157,46 @@ class EventStreamsSpec extends SparkSpec {
       "SELECT percentile(price, 0.5) AS p50 FROM prices_live")
     assert(r.planType == "sketch", r.reason)
     assert(r.df.collect().head.getDouble(0) == expected.percentile(0.5))
+
+    // range SUM/AVG serve from the LIVE histogram + histsum pair too
+    val rSum = engine.query(
+      "SELECT count(*) AS n, sum(price) AS s FROM prices_live " +
+        "WHERE price >= 100 AND price < 600",
+      engine.Options(maxRelError = 0.5))
+    assert(rSum.servedFromCatalog &&
+      rSum.serveKind.contains("histogram_range"), rSum.reason)
+    val sumRow = rSum.df.collect().head
+    // truth: values in [100, 600) sum within the boundary-mass bound
+    val truthSum = data.filter(v => v >= 100 && v < 600).sum.toDouble
+    assert(math.abs(sumRow.getDouble(1) - truthSum) / truthSum < 0.1,
+      s"${sumRow.getDouble(1)} vs $truthSum")
+
+    // an overflowing batch POISONS histsum: SUM refuses, COUNT serves
+    val stream2 = MemoryStream[Double]
+    val q2 = EventStreams.maintainHistogramSketch(
+      stream2.toDF().toDF("price"), catalog, "prices_live2", "price",
+      lo, width, buckets)
+    stream2.addData(Seq(1.0, 2.0))
+    q2.processAllAvailable()
+    // five values near decimal(38,4)'s ceiling overflow try_sum in
+    // one bucket (they clamp into the top bucket together)
+    stream2.addData(Seq.fill(5)(9.9e33))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(graft.sketch.GroupedHll.unpack(
+      catalog.getSketch("prices_live2", "price", "histsum").get.data).isEmpty)
+    spark.range(0).select(col("id").cast("double").as("price"))
+      .createOrReplaceTempView("prices_live2")
+    val rPois = engine.query(
+      "SELECT sum(price) AS s FROM prices_live2 " +
+        "WHERE price >= 100 AND price < 600",
+      engine.Options(maxRelError = 0.5))
+    assert(!rPois.servedFromCatalog, rPois.reason)
+    val rCnt = engine.query(
+      "SELECT count(*) AS n FROM prices_live2 " +
+        "WHERE price >= 100 AND price < 600",
+      engine.Options(maxRelError = 0.5))
+    assert(rCnt.servedFromCatalog, rCnt.reason)
   }
 
   test("stream-maintained grouped HLL equals the batch build; per-group COUNT DISTINCT goes live") {
