@@ -1424,16 +1424,22 @@ final class QueryEngine(
         fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
 
   /** Grouped twin of [[storedHistogramRangeAnswer]]: `SELECT g...,
-    * count(*) FROM table WHERE <range on x> GROUP BY g...` answers
-    * each RECORDED group's estimate from its own histogram in a fresh
-    * `histogram_grouped` blob whose value column is x and group set is
-    * the query's — per-group interpolation, zero scan. Contract: one
-    * row per recorded group with estimated in-range mass > 0 (a group
-    * with true matches always has mass > 0 — its rows' buckets overlap
-    * the range — so no group exact execution returns is dropped;
-    * extra near-range groups may appear, the approximate-count
-    * contract like the global case). The reported error is the WORST
-    * group's boundary-mass ratio. Keys serve typed (keyFieldTypes).
+    * count(*) [, percentile(x, p)...] FROM table WHERE <range on x>
+    * GROUP BY g...` answers each RECORDED group's estimate from its
+    * own histogram in a fresh `histogram_grouped` blob whose value
+    * column is x and group set is the query's — per-group
+    * interpolation, zero scan. Percentile outputs (round 10 third
+    * pass) run the q111 segment rule per group over that group's
+    * clipped bucket masses — works on per-group OR shared grids (no
+    * cross-group merge happens); they must target the range column
+    * itself. Contract: one row per recorded group with estimated
+    * in-range mass > 0 (a group with true matches always has mass > 0
+    * — its rows' buckets overlap the range — so no group exact
+    * execution returns is dropped; extra near-range groups may
+    * appear, the approximate-count contract like the global case).
+    * The reported error is the WORST group's boundary-mass ratio,
+    * plus one bucket width when percentiles are served. Keys serve
+    * typed (keyFieldTypes).
     */
   private def storedGroupedRangeAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -1457,58 +1463,90 @@ final class QueryEngine(
             gs.nonEmpty && gs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
         val gNames = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
         val lower = gNames.map(_.toLowerCase)
-        // outputs: the group keys plus exactly ONE count(*)
-        var countName: Option[String] = None
-        val parts: Seq[Either[(String, Int), String]] = outs.map {
-          case a: UnresolvedAttribute
-              if lower.contains(a.nameParts.last.toLowerCase) =>
-            Left((a.nameParts.last,
-              lower.indexOf(a.nameParts.last.toLowerCase)))
-          case Alias(e, name)
-              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-            Left((name, lower.indexOf(attrName(e).get.toLowerCase)))
-          case Alias(f: UnresolvedFunction, name)
-              if f.nameParts.last.equalsIgnoreCase("count") &&
-                !f.isDistinct && f.filter.isEmpty &&
-                countName.isEmpty && (f.arguments match {
-                  case Seq(Literal(v: Number, _)) => v.intValue == 1
-                  case Seq(_: UnresolvedStar)     => true
-                  case _                          => false
-                }) =>
-            countName = Some(name); Right(name)
-          case _ => return None
-        }
-        if (countName.isEmpty ||
+        // outputs: the group keys plus any mix of count(*) and
+        // percentile(x, p)/median(x) over the RANGE column itself —
+        // Right((name, None)) = count, Right((name, Some(p))) =
+        // percentile at p (each group's own histogram clipped to the
+        // range, the q111 segment rule per group)
+        var sawAgg = false
+        var pctCol: Option[String] = None
+        val parts: Seq[Either[(String, Int), (String, Option[Double])]] =
+          outs.map {
+            case a: UnresolvedAttribute
+                if lower.contains(a.nameParts.last.toLowerCase) =>
+              Left((a.nameParts.last,
+                lower.indexOf(a.nameParts.last.toLowerCase)))
+            case Alias(e, name)
+                if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+              Left((name, lower.indexOf(attrName(e).get.toLowerCase)))
+            case Alias(f: UnresolvedFunction, name)
+                if f.nameParts.last.equalsIgnoreCase("count") &&
+                  !f.isDistinct && f.filter.isEmpty && (f.arguments match {
+                    case Seq(Literal(v: Number, _)) => v.intValue == 1
+                    case Seq(_: UnresolvedStar)     => true
+                    case _                          => false
+                  }) =>
+              sawAgg = true; Right((name, None))
+            case Alias(f: UnresolvedFunction, name)
+                if !f.isDistinct && f.filter.isEmpty &&
+                  Set("percentile", "percentile_approx", "approx_percentile",
+                    "median").contains(f.nameParts.last.toLowerCase) =>
+              val colP = (f.nameParts.last.toLowerCase, f.arguments) match {
+                case ("median", Seq(a: UnresolvedAttribute)) =>
+                  Some((a.nameParts.last, 0.5))
+                case (_, Seq(a: UnresolvedAttribute, l: Literal)) =>
+                  litDouble(l).map(p => (a.nameParts.last, p))
+                case _ => None
+              }
+              colP match {
+                case Some((cc, p)) if pctCol.forall(_.equalsIgnoreCase(cc)) =>
+                  pctCol = Some(cc); sawAgg = true; Right((name, Some(p)))
+                case _ => return None
+              }
+            case _ => return None
+          }
+        if (!sawAgg ||
             parts.collect { case Left((_, i)) => i }.toSet !=
               gNames.indices.toSet) return None
         // the same one-column numeric range parse as the global serve
         val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
         if (lower.contains(c.toLowerCase)) return None // that's a WHERE on the key
         if (!numericColumn(table, c)) return None
+        // percentiles serve only over the range column (the per-group
+        // histograms model exactly that distribution)
+        if (pctCol.exists(!_.equalsIgnoreCase(c))) return None
         val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
         groupedBlobFor(table, c, "histogram_grouped", gNames).map { entries =>
           val served = entries.flatMap { case (k, b) =>
             if (b.isEmpty) None // all-NULL group: no row passes the range
             else {
-              val (est, bnd) = graft.sketch.Histogram.deserialize(b)
-                .rangeCount(lowerB, upperB)
-              if (est > 0.0) Some((k, est, bnd / math.max(1.0, est)))
+              val h = graft.sketch.Histogram.deserialize(b)
+              val (est, bnd) = h.rangeCount(lowerB, upperB)
+              if (est > 0.0) Some((k, h, est, bnd / math.max(1.0, est)))
               else None
             }
           }
-          val rows = served.map { case (k, est, _) =>
+          val rows = served.map { case (k, h, est, _) =>
             org.apache.spark.sql.Row.fromSeq(parts.map {
-              case Left((_, i)) => typedKeyValue(kTypes(i), k(i))
-              case Right(_)     => Double.box(est)
+              case Left((_, i))          => typedKeyValue(kTypes(i), k(i))
+              case Right((_, None))      => Double.box(est)
+              case Right((_, Some(p)))   =>
+                h.rangePercentile(lowerB, upperB, p)
+                  .map(Double.box).orNull
             })
           }
           val schema = StructType(parts.map {
             case Left((n, i)) => StructField(n, kTypes(i), nullable = true)
-            case Right(n)     => StructField(n, DoubleType, nullable = false)
+            case Right((n, pp)) =>
+              StructField(n, DoubleType, nullable = pp.isDefined)
           })
           import scala.jdk.CollectionConverters._
+          val bucketTerm = parts.collectFirst {
+            case Right((_, Some(_))) => served.map { case (_, h, _, _) =>
+              1.0 / h.buckets }.foldLeft(0.0)(math.max)
+          }.getOrElse(0.0)
           (spark.createDataFrame(rows.asJava, schema),
-            served.map(_._3).foldLeft(0.0)(math.max))
+            served.map(_._4).foldLeft(0.0)(math.max) + bucketTerm)
         }
       case _ => None
     }

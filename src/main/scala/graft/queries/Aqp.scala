@@ -993,6 +993,28 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // GROUPED range percentile end-to-end: per-status p50 of
+    // o_totalprice AMONG the rows inside [50000, 150000) — each
+    // recorded group's own histogram (here on the shared grid) clipped
+    // to the range and walked with the q111 segment rule; one row per
+    // group with positive in-range mass, zero scan. The oracle
+    // re-derives the global grid, per-group clipped masses, and the
+    // per-group segment walk in DuckDB and hash-matches every group.
+    "q113_grouped_range_pct" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderstatus, count(*) AS n_est, " +
+          "percentile(o_totalprice, 0.5) AS p50 FROM orders " +
+          "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog &&
+        r.serveKind.contains("grouped_histogram_range"),
+        s"q113 must serve per-group range count+percentile from the " +
+          s"grouped histograms: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // Heavy-hitters top-k end-to-end: the most frequent l_partkey
     // values — a HIGH-cardinality key whose grouped blobs refuse to
     // build (20k distinct at sf0.1 > MaxHllGroups) — answered EXACTLY
@@ -2203,6 +2225,88 @@ object Aqp {
             max(CASE WHEN p = CAST('0.9' AS DOUBLE) THEN v END) AS p90,
             'sketch' AS plan_type
           FROM vals""",
+    // q113: q104's per-group range-count arithmetic + q111's segment
+    // rule PER GROUP over the shared-grid blob — global grid, per-
+    // (group, bucket) counts, exact integer interior cumulatives per
+    // group, rows kept where the count estimate is positive.
+    "q113_grouped_range_pct" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT o_orderstatus AS g, least(63,
+              CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders CROSS JOIN grd WHERE o_totalprice IS NOT NULL),
+          c AS (SELECT g, b, count(*) AS c FROM bk GROUP BY g, b),
+          pp AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM pp),
+          gsx AS (SELECT DISTINCT g FROM c),
+          parts AS (SELECT gsx.g, ix.pa, ix.pb, ix.ia, ix.ib,
+              coalesce((SELECT c.c FROM c
+                WHERE c.g IS NOT DISTINCT FROM gsx.g AND c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c
+                WHERE c.g IS NOT DISTINCT FROM gsx.g AND c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c
+                WHERE c.g IS NOT DISTINCT FROM gsx.g
+                  AND c.b > ix.ia AND c.b < ix.ib), 0) AS mid
+            FROM gsx, ix),
+          base AS (SELECT parts.*,
+              CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa) AS ma,
+              CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) AS mb
+            FROM parts),
+          tgt AS (SELECT *, CAST('0.5' AS DOUBLE) * total AS target FROM
+            (SELECT *, (CAST(mid AS DOUBLE) + ma) + mb AS total
+             FROM base) tt),
+          cand AS (SELECT t.g, min(c.b) AS jb
+            FROM tgt t JOIN c
+              ON c.g IS NOT DISTINCT FROM t.g
+                AND c.b > t.ia AND c.b < t.ib AND c.c > 0
+            WHERE t.ma + CAST((SELECT sum(c2.c) FROM c c2
+                WHERE c2.g IS NOT DISTINCT FROM t.g
+                  AND c2.b > t.ia AND c2.b <= c.b) AS DOUBLE) >= t.target
+            GROUP BY t.g),
+          est AS (SELECT t.g,
+              CASE WHEN t.pb <= t.pa THEN CAST(0 AS DOUBLE)
+                   WHEN t.ia = t.ib THEN CAST(t.ca AS DOUBLE) * (t.pb - t.pa)
+                   ELSE (CAST(t.mid AS DOUBLE)
+                       + CAST(t.ca AS DOUBLE) * (CAST(t.ia + 1 AS DOUBLE) - t.pa))
+                     + CAST(t.cb AS DOUBLE) * (t.pb - CAST(t.ib AS DOUBLE))
+              END AS n_est,
+              CASE WHEN t.pb <= t.pa THEN NULL
+                   WHEN t.ia = t.ib THEN CASE WHEN t.ca > 0
+                     THEN grd.lo + grd.w * (t.pa + (t.pb - t.pa) * CAST('0.5' AS DOUBLE))
+                     ELSE NULL END
+                   WHEN t.total <= 0 THEN NULL
+                   WHEN t.ca > 0 AND t.ma >= t.target
+                     THEN grd.lo + grd.w * (t.pa +
+                       (CAST(t.ia + 1 AS DOUBLE) - t.pa) * (t.target / t.ma))
+                   WHEN cand.jb IS NOT NULL
+                     THEN grd.lo + grd.w * (CAST(cand.jb AS DOUBLE) +
+                       (t.target - (t.ma + CAST(coalesce((SELECT sum(c3.c)
+                           FROM c c3 WHERE c3.g IS NOT DISTINCT FROM t.g
+                             AND c3.b > t.ia AND c3.b < cand.jb), 0)
+                         AS DOUBLE)))
+                       / CAST((SELECT c4.c FROM c c4
+                           WHERE c4.g IS NOT DISTINCT FROM t.g
+                             AND c4.b = cand.jb) AS DOUBLE))
+                   WHEN t.mb > 0
+                     THEN grd.lo + grd.w * (CAST(t.ib AS DOUBLE) +
+                       (t.pb - CAST(t.ib AS DOUBLE)) *
+                       least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                         (t.target - (t.ma + CAST(t.mid AS DOUBLE))) / t.mb)))
+                   ELSE grd.lo + grd.w * CAST(t.ib AS DOUBLE) END AS p50
+            FROM tgt t LEFT JOIN cand ON cand.g IS NOT DISTINCT FROM t.g
+            CROSS JOIN grd)
+          SELECT g AS o_orderstatus, n_est, p50, 'sketch' AS plan_type
+          FROM est WHERE n_est > 0 ORDER BY o_orderstatus""",
     // q107: the full KMV set-op chain re-derived — per-side distinct
     // h60 hashes, bottom-k per side, bottom-k of the union, then the
     // engine's exact float associations: exhaustive union -> the true

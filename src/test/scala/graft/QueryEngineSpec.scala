@@ -2307,6 +2307,41 @@ class QueryEngineSpec extends SparkSpec {
         "WHERE u >= 10 AND u < 50", loose)
     assert(!rOther.servedFromCatalog, rOther.reason)
 
+    // GROUPED: per-group percentiles under the range serve from the
+    // grouped blob — each group's own histogram clipped to the range,
+    // no cross-group merge, so any grid kind works
+    spark.range(0, 8000).select(
+      expr("concat('g', id % 2)").as("g"),
+      expr("cast(id % 4000 as double)").as("w"),
+      expr("cast(id as double)").as("w2"))
+      .createOrReplaceTempView("rpctg_t")
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat, "rpctg_t",
+      Seq("g"), "w", 64)
+    spark.range(0).select(expr("cast(null as string)").as("g"),
+      expr("cast(null as double)").as("w"),
+      expr("cast(null as double)").as("w2"))
+      .createOrReplaceTempView("rpctg_t")
+    val rg = eng.query(
+      "SELECT g, count(*) AS n, percentile(w, 0.5) AS p50 FROM rpctg_t " +
+        "WHERE w >= 1000 AND w < 3000 GROUP BY g ORDER BY g", loose)
+    assert(rg.servedFromCatalog &&
+      rg.serveKind.contains("grouped_histogram_range"),
+      s"${rg.serveKind}: ${rg.reason}")
+    val grows = rg.df.collect()
+    assert(grows.length == 2)
+    grows.foreach { row =>
+      // each group holds every in-range value twice: 2000 rows
+      assert(math.abs(row.getDouble(1) - 2000.0) < 4 * (4000.0 / 64),
+        row.toString)
+      assert(math.abs(row.getDouble(2) - 2000.0) < 2 * (4000.0 / 64),
+        row.toString) // per-group p50 of [1000, 3000)
+    }
+    // a grouped percentile over a NON-range column refuses
+    val rgOther = eng.query(
+      "SELECT g, percentile(w2, 0.5) AS p FROM rpctg_t " +
+        "WHERE w >= 1000 AND w < 3000 GROUP BY g", loose)
+    assert(!rgOther.servedFromCatalog, rgOther.reason)
+
     // advisor: repeated range-percentile scans advise the histogram
     // whose range serve would absorb them; the build retires it
     val cat2 = new MetaCatalog(
