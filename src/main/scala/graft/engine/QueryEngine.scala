@@ -3383,29 +3383,47 @@ final class QueryEngine(
                   c.copy(sketchType = "histogram_grouped_shared")
                 else c)
           case None =>
-            // GROUP BY keys + a lone count(*) under a RANGE on one
-            // numeric non-key column: the grouped range serve's miss —
-            // advise the grouped histogram over (keys → range column)
+            // GROUP BY keys + count(*)/percentile outputs under a
+            // RANGE on one numeric non-key column: the grouped range
+            // serve's miss — advise the grouped histogram over
+            // (keys → range column). Percentile outputs must target
+            // the range column itself (the serve's own gate).
             val lowerG = gcols.map(_.toLowerCase).toSet
-            val countOuts = outs.count {
-              case Alias(f: UnresolvedFunction, _) =>
-                f.nameParts.last.equalsIgnoreCase("count") &&
-                  !f.isDistinct && f.filter.isEmpty
-              case _ => false
-            }
-            val keysElse = outs.forall {
-              case a: UnresolvedAttribute =>
-                lowerG.contains(a.nameParts.last.toLowerCase)
-              case Alias(a: UnresolvedAttribute, _) =>
-                lowerG.contains(a.nameParts.last.toLowerCase)
-              case Alias(_: UnresolvedFunction, _) => true // counted above
-              case _ => false
+            def aggFor(range: String): PartialFunction[
+                org.apache.spark.sql.catalyst.expressions.Expression, Boolean] = {
+              case f: UnresolvedFunction
+                  if !f.isDistinct && f.filter.isEmpty =>
+                (f.nameParts.last.toLowerCase, f.arguments) match {
+                  case ("count", Seq(_: Literal)) => true
+                  case ("median", Seq(a: UnresolvedAttribute)) =>
+                    a.nameParts.last.equalsIgnoreCase(range)
+                  case ("percentile" | "percentile_approx" |
+                      "approx_percentile",
+                      Seq(a: UnresolvedAttribute, _: Literal)) =>
+                    a.nameParts.last.equalsIgnoreCase(range)
+                  case _ => false
+                }
             }
             rangeBounds(cond) match {
               case Some((c, _, _))
-                  if countOuts == 1 && keysElse &&
-                    !lowerG.contains(c.toLowerCase) &&
-                    numericColumn(table, c) =>
+                  if !lowerG.contains(c.toLowerCase) &&
+                    numericColumn(table, c) && {
+                      val af = aggFor(c)
+                      val aggOuts = outs.count {
+                        case Alias(f: UnresolvedFunction, _)
+                            if af.isDefinedAt(f) => af(f)
+                        case _ => false
+                      }
+                      aggOuts >= 1 && outs.forall {
+                        case a: UnresolvedAttribute =>
+                          lowerG.contains(a.nameParts.last.toLowerCase)
+                        case Alias(a: UnresolvedAttribute, _) =>
+                          lowerG.contains(a.nameParts.last.toLowerCase)
+                        case Alias(f: UnresolvedFunction, _)
+                            if af.isDefinedAt(f) => af(f)
+                        case _ => false
+                      }
+                    } =>
                 Seq(Candidate(table, c, "histogram_grouped",
                   Some(gcols.mkString(","))))
               case _ => Nil
