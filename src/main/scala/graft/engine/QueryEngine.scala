@@ -2973,6 +2973,14 @@ final class QueryEngine(
           case Seq(l: Literal) => l.value != null
           case _               => false
         })
+    def countDistinctArg(f: UnresolvedFunction): Option[String] =
+      if (f.nameParts.last.equalsIgnoreCase("count") && f.isDistinct &&
+          f.filter.isEmpty)
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute) => Some(a.nameParts.last)
+          case _                           => None
+        }
+      else None
     parsed match {
       case Project(Seq(Alias(f: UnresolvedFunction, name)), child)
           if isCountStar(f) =>
@@ -2987,6 +2995,24 @@ final class QueryEngine(
           ls <- side(l)
           rs <- side(r)
         } yield (name, op, ls, rs)
+      // `count(DISTINCT x) FROM (a UNION ALL b)` is the same union
+      // cardinality — the DISTINCT collapses the bag, so UNION ALL and
+      // UNION children serve alike; x must be the combined column
+      // (the first branch's projected name)
+      case Project(Seq(Alias(f: UnresolvedFunction, name)), child)
+          if countDistinctArg(f).isDefined =>
+        val arg = countDistinctArg(f).get
+        val pair = strip(child) match {
+          case Union(Seq(l, r), false, false)           => Some((l, r))
+          case Distinct(Union(Seq(l, r), false, false)) => Some((l, r))
+          case _                                        => None
+        }
+        for {
+          (l, r) <- pair
+          ls <- side(l)
+          rs <- side(r)
+          if ls._2.equalsIgnoreCase(arg)
+        } yield (name, "union", ls, rs)
       case _ => None
     }
   }

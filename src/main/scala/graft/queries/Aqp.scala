@@ -951,6 +951,21 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // UNION twin: |orders.o_custkey ∪ customer.c_custkey| — the union
+    // bottom-k's own estimate, completing the oracle-gated set-op trio
+    // (intersect q107, except q108).
+    "q114_kmv_union" -> ((s, dir) => {
+      val e = kmvEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n FROM (SELECT o_custkey FROM orders " +
+          "UNION SELECT c_custkey FROM customer) t",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("kmv_setop"),
+        s"q114 must serve the UNION count from the KMV pair: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // EXCEPT twin: customers with no tracked events, |customer.c_custkey
     // \ events.user_id| (the testdata's event users are a strict subset
     // of customers, so the difference set is real) — the A-only tuples
@@ -2334,6 +2349,28 @@ object Aqp {
                           / CAST(st.theta AS DOUBLE)) END AS n,
             'sketch' AS plan_type
           FROM st, mm"""
+    },
+    // q114: the UNION estimate — exhaustive union counts exactly,
+    // saturated unions use q45's (k-1)*2^60/θ on the union bottom-k.
+    "q114_kmv_union" -> {
+      val k = 1024
+      val hO = graft.queries.Dedup.h60Duck("CAST(o_custkey AS VARCHAR)")
+      val hC = graft.queries.Dedup.h60Duck("CAST(c_custkey AS VARCHAR)")
+      s"""WITH ha AS (SELECT DISTINCT $hO AS h FROM orders
+              WHERE o_custkey IS NOT NULL),
+          hb AS (SELECT DISTINCT $hC AS h FROM customer
+              WHERE c_custkey IS NOT NULL),
+          ba AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+          bb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+          un AS (SELECT h FROM (SELECT h FROM ba UNION SELECT h FROM bb) u
+              ORDER BY h LIMIT $k),
+          st AS (SELECT count(*) AS un_n, max(h) AS theta FROM un)
+          SELECT CASE WHEN st.un_n < $k THEN CAST(st.un_n AS DOUBLE)
+                      ELSE CAST(${k - 1} AS DOUBLE)
+                        * CAST(1152921504606846976 AS DOUBLE)
+                        / CAST(st.theta AS DOUBLE) END AS n,
+            'sketch' AS plan_type
+          FROM st"""
     },
     // q108: the EXCEPT twin — A-only tuples (in customer's bottom-k,
     // not in events') scale the same union estimate.

@@ -2237,6 +2237,13 @@ class QueryEngineSpec extends SparkSpec {
     val bag = eng.query("SELECT count(*) AS n FROM " +
       "(SELECT v FROM kmvq_a UNION ALL SELECT v FROM kmvq_b) t", loose)
     assert(!bag.servedFromCatalog, bag.reason)
+    // ...but count(DISTINCT v) over the same UNION ALL IS the union
+    // cardinality — the DISTINCT collapses the bag
+    val bagD = eng.query("SELECT count(DISTINCT v) AS n FROM " +
+      "(SELECT v FROM kmvq_a UNION ALL SELECT v FROM kmvq_b) t", loose)
+    assert(bagD.servedFromCatalog && bagD.serveKind.contains("kmv_setop"),
+      bagD.reason)
+    assert(bagD.df.collect().head.getDouble(0) == uni)
 
     // an EXHAUSTIVE pair (both sketches under k) answers EXACTLY
     spark.range(0, 50).select(expr("concat('e', id)").as("v"))
