@@ -1108,6 +1108,25 @@ final class QueryEngine(
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       conjunctsOf(l) ++ conjunctsOf(r)
+    // Spark 4 parses `x BETWEEN a AND b` as the unresolved function
+    // 'between (resolved later to the RuntimeReplaceable Between
+    // node), not the two comparisons it lowers to at analysis time —
+    // expand both spellings here so every conjunct consumer (range
+    // serves, key-range dispatch, the advisor's shape classifier)
+    // sees the comparison form. Non-literal bounds simply fail the
+    // downstream pattern matches, exactly as before.
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.last.equalsIgnoreCase("between") &&
+          f.arguments.sizeIs == 3 && !f.isDistinct && f.filter.isEmpty =>
+      Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+        f.arguments(0), f.arguments(1)),
+        org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          f.arguments(0), f.arguments(2)))
+    case b: org.apache.spark.sql.catalyst.expressions.Between =>
+      Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+        b.input, b.lower),
+        org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          b.input, b.upper))
     case x => Seq(x)
   }
 
@@ -1665,21 +1684,124 @@ final class QueryEngine(
     }
   }
 
+  /** A dispatchable predicate on a grouped blob's (single) group-key
+    * component. `KeyIn` holds the typed literal renderings of an
+    * equality / IN-list filter; `KeyLongRange` a comparison range over
+    * an INTEGRAL group column, evaluated on the key parsed back
+    * through the bijective cast-to-string (the typed-key contract) —
+    * so pruning recorded keys by the predicate selects EXACTLY the
+    * groups exact execution would keep. A NULL key component never
+    * matches either form (SQL comparison semantics: `g = lit`,
+    * `g IN (...)`, and `g >= lit` are all UNKNOWN on NULL).
+    */
+  private[engine] sealed trait KeyPred {
+    def matches(k: Option[String]): Boolean
+  }
+  private case class KeyIn(keys: Seq[String]) extends KeyPred {
+    override def matches(k: Option[String]): Boolean = k.exists(keys.contains)
+  }
+  private case class KeyLongRange(
+      lo: Option[(Long, Boolean)], hi: Option[(Long, Boolean)])
+      extends KeyPred {
+    override def matches(k: Option[String]): Boolean =
+      k.flatMap(s => scala.util.Try(s.toLong).toOption).exists { v =>
+        lo.forall { case (b, inc) => if (inc) v >= b else v > b } &&
+        hi.forall { case (b, inc) => if (inc) v <= b else v < b }
+      }
+  }
+
+  /** An integral comparison literal against an INTEGRAL column,
+    * widened to Long — the only (column, literal) pairing where
+    * comparing the parsed-back key against the literal is exactly the
+    * column comparison (strings would need UTF8-byte order, floats
+    * don't key blobs at all; both refuse).
+    */
+  private def integralRangeLit(table: String, column: String,
+      l: org.apache.spark.sql.catalyst.expressions.Literal): Option[Long] = {
+    import org.apache.spark.sql.types._
+    val dt = scala.util.Try(spark.table(table).schema
+      .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
+    (dt, l.value) match {
+      case (Some(ByteType | ShortType | IntegerType | LongType),
+            n @ (_: java.lang.Integer | _: java.lang.Long |
+                 _: java.lang.Short | _: java.lang.Byte)) =>
+        Some(n.asInstanceOf[Number].longValue())
+      case _ => None
+    }
+  }
+
+  /** Parse a conjunction of >=/>/<=/< comparisons between the single
+    * group column and integral literals into a [[KeyLongRange]] —
+    * `WHERE g BETWEEN a AND b` (which the parser lowers to two
+    * comparisons), one-sided bounds, and redundant same-direction
+    * bounds (folded to the tightest, exactly as exact execution ANDs
+    * them). Any conjunct that is not such a comparison — another
+    * column, a non-literal side, a type-mismatched literal — refuses.
+    */
+  private def keyRangePred(table: String, gName: String,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[KeyLongRange] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    // (bound, inclusive, isLower) per conjunct, attribute side first
+    val parts: Seq[Option[(Long, Boolean, Boolean)]] = conjuncts.map {
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal)
+          if a.nameParts.last.equalsIgnoreCase(gName) =>
+        integralRangeLit(table, gName, l).map((_, true, true))
+      case GreaterThan(a: UnresolvedAttribute, l: Literal)
+          if a.nameParts.last.equalsIgnoreCase(gName) =>
+        integralRangeLit(table, gName, l).map((_, false, true))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal)
+          if a.nameParts.last.equalsIgnoreCase(gName) =>
+        integralRangeLit(table, gName, l).map((_, true, false))
+      case LessThan(a: UnresolvedAttribute, l: Literal)
+          if a.nameParts.last.equalsIgnoreCase(gName) =>
+        integralRangeLit(table, gName, l).map((_, false, false))
+      // literal-first spellings mirror with the comparison flipped
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(gName) =>
+        integralRangeLit(table, gName, l).map((_, true, false))
+      case GreaterThan(l: Literal, a: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(gName) =>
+        integralRangeLit(table, gName, l).map((_, false, false))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(gName) =>
+        integralRangeLit(table, gName, l).map((_, true, true))
+      case LessThan(l: Literal, a: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(gName) =>
+        integralRangeLit(table, gName, l).map((_, false, true))
+      case _ => None
+    }
+    if (parts.isEmpty || parts.exists(_.isEmpty)) return None
+    val ps = parts.flatten
+    // fold to the tightest bound per direction: ANDed bounds keep the
+    // max lower / min upper; on a tie the strict bound wins
+    def tight(bs: Seq[(Long, Boolean)], lower: Boolean)
+        : Option[(Long, Boolean)] =
+      bs.sortBy { case (b, inc) =>
+        (if (lower) -b else b, if (inc) 1 else 0)
+      }.headOption
+    Some(KeyLongRange(
+      tight(ps.collect { case (b, inc, true) => (b, inc) }, lower = true),
+      tight(ps.collect { case (b, inc, false) => (b, inc) }, lower = false)))
+  }
+
   /** For a `GROUP BY g` over `table`, optionally under `WHERE g = lit`
-    * / `g IN (lits)`: Some(None) = no filter (serve every recorded
-    * group), Some(Some(keys)) = serve only the named groups (each
-    * literal rendered type-safely via typedLitKey — per-group grids
-    * don't merge, but a GROUP BY keeps the groups separate, so an
-    * IN-list is just a union of single-group serves). None = any other
-    * child shape (filters on non-group columns, non-literal
-    * predicates, type-mismatched literals): refuse, fall through to
-    * the scan path. Groups the filter names but the blob doesn't
-    * record serve as no row — exactly what exact GROUP BY returns for
-    * a key with no rows.
+    * / `g IN (lits)` / an integral comparison range on g: Some(None) =
+    * no filter (serve every recorded group), Some(Some(pred)) = serve
+    * only the matching groups (equality/IN literals rendered
+    * type-safely via typedLitKey; range bounds compared on the parsed
+    * integral key — per-group grids don't merge, but a GROUP BY keeps
+    * the groups separate, so a multi-group filter is just a union of
+    * single-group serves). None = any other child shape (filters on
+    * non-group columns, non-literal predicates, type-mismatched
+    * literals): refuse, fall through to the scan path. Groups the
+    * filter names but the blob doesn't record serve as no row —
+    * exactly what exact GROUP BY returns for a key with no rows.
     */
   private def groupKeyFilter(
       child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      table: String, gName: String): Option[Option[Seq[String]]] = {
+      table: String, gName: String): Option[Option[KeyPred]] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Filter
@@ -1688,17 +1810,18 @@ final class QueryEngine(
     child match {
       case r: UnresolvedRelation if isTable(r) => Some(None)
       case Filter(cond, r: UnresolvedRelation) if isTable(r) =>
-        val keys = cond match {
+        val keys: Option[KeyPred] = cond match {
           case EqualTo(a: UnresolvedAttribute, l: Literal)
               if a.nameParts.last.equalsIgnoreCase(gName) =>
-            typedLitKey(table, gName, l).map(Seq(_))
+            typedLitKey(table, gName, l).map(k => KeyIn(Seq(k)))
           case EqualTo(l: Literal, a: UnresolvedAttribute)
               if a.nameParts.last.equalsIgnoreCase(gName) =>
-            typedLitKey(table, gName, l).map(Seq(_))
+            typedLitKey(table, gName, l).map(k => KeyIn(Seq(k)))
           case In(a: UnresolvedAttribute, lits)
               if a.nameParts.last.equalsIgnoreCase(gName) =>
-            typedInListKeys(table, gName, lits)
-          case _ => None
+            typedInListKeys(table, gName, lits).map(KeyIn)
+          case other =>
+            keyRangePred(table, gName, conjunctsOf(other))
         }
         keys.map(k => Some(k))
       case _ => None
@@ -1766,7 +1889,7 @@ final class QueryEngine(
     */
   private case class GroupDispatch(
       gNames: Seq[String],
-      keyFilter: Option[Seq[String]],
+      keyFilter: Option[KeyPred],
       residual: Seq[(String, Seq[String])])
 
   /** Parse `cond` as a conjunction of `col = lit` / `col IN (lits)`
@@ -2037,7 +2160,7 @@ final class QueryEngine(
                   // never match a literal — SQL IN semantics).
                   val hs = entries
                     .filter { case (k, _) =>
-                      keyFilter.forall(f => k.head.exists(f.contains)) }
+                      keyFilter.forall(_.matches(k.head)) }
                     .map {
                       case (k, b) =>
                         k -> (if (b.isEmpty) None
@@ -2148,7 +2271,7 @@ final class QueryEngine(
                   // exactness check or serve (NULL keys never match a
                   // literal — SQL IN semantics)
                   .map(_.filter { case (k, _) =>
-                    keyFilter.forall(f => k.head.exists(f.contains)) })
+                    keyFilter.forall(_.matches(k.head)) })
                   .filter(stats => statFnServesExactly(table,
                     a.nameParts.last, fn, stats.map(_._2)))
                   .map(stats => Right((name, fn, Some(stats))))
@@ -2265,7 +2388,7 @@ final class QueryEngine(
       }
       .collectFirst { case Some(entries) =>
         entries.map(_._1)
-          .filter(k => d.keyFilter.forall(f => k.head.exists(f.contains)))
+          .filter(k => d.keyFilter.forall(_.matches(k.head)))
           .distinct
       }
       .getOrElse(return None)
@@ -2662,17 +2785,45 @@ final class QueryEngine(
               }
             case _ => None
           }
-        val (predCols, selKeys) = colKeys.getOrElse(return None)
+        // RANGE branch (round 10): every conjunct an integral
+        // comparison on ONE column → prune recorded groups by the
+        // parsed-key range. The group list is complete (MaxHllGroups
+        // build refusal), so the pruned set is EXACTLY the groups
+        // exact execution keeps, and the merges below stay exact/
+        // estimate per part as for IN-lists.
+        val rangeSel: Option[(String, KeyPred)] =
+          if (colKeys.isDefined) None
+          else {
+            val conj = conjunctsOf(cond)
+            val names = conj.flatMap(_.collect {
+              case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+            }).distinct
+            names match {
+              case Seq(c) => keyRangePred(table, c, conj).map(p => (c, p))
+              case _      => None
+            }
+          }
         // payloads of the selected group(s) from a fresh sketch whose
         // group-by column set equals the predicate's (groupedBlobFor:
         // components permuted into predicate order); None = no usable
-        // sketch, empty = literals naming no recorded group
+        // sketch, empty = literals/range naming no recorded group
+        val (predCols, select): (Seq[String],
+            Seq[(Seq[Option[String]], Array[Byte])] => Seq[Array[Byte]]) =
+          (colKeys, rangeSel) match {
+            case (Some((cols, selKeys)), _) =>
+              (cols, entries => {
+                val m = entries.toMap
+                selKeys.flatMap(m.get)
+              })
+            case (None, Some((c, p))) =>
+              (Seq(c), entries => entries.collect {
+                case (k, b) if p.matches(k.head) => b
+              })
+            case _ => return None
+          }
         def matchedPayloads(c: String, tpe: String)
             : Option[Seq[Array[Byte]]] =
-          groupedBlobFor(table, c, tpe, predCols).map { entries =>
-            val m = entries.toMap
-            selKeys.flatMap(m.get)
-          }
+          groupedBlobFor(table, c, tpe, predCols).map(select)
         val emptyStat =
           graft.sketch.GroupedStats.Stat(None, None, 0L, 0L, BigInt(0))
         // exact merge of the named groups' stat records (missing
@@ -3141,7 +3292,7 @@ final class QueryEngine(
               hllBlobFor(c).map { entries =>
                 val est = entries
                   .filter { case (k, _) =>
-                    keyFilter.forall(f => k.head.exists(f.contains)) }
+                    keyFilter.forall(_.matches(k.head)) }
                   .map { case (k, b) =>
                     k -> graft.sketch.Hll.deserialize(b).count }
                 Right((name, est))
@@ -3452,7 +3603,17 @@ final class QueryEngine(
                     } =>
                 Seq(Candidate(table, c, "histogram_grouped",
                   Some(gcols.mkString(","))))
-              case _ => Nil
+              case _ =>
+                // RANGE on the (single) GROUP column itself (round
+                // 10): the grouped serves prune recorded keys by the
+                // parsed integral comparison, so the miss advises the
+                // same grouped blob a filterless GROUP BY would
+                if (gcols.sizeIs == 1 &&
+                    keyRangePred(table, gcols.head,
+                      conjunctsOf(cond)).isDefined)
+                  outs.flatMap(classify(_, Some(gcols.mkString(","))))
+                    .distinct
+                else Nil
             }
         }
       case Project(outs, r: UnresolvedRelation) if rel(r) =>
@@ -3549,7 +3710,22 @@ final class QueryEngine(
                       case _ => false
                     } =>
                 Seq(Candidate(table, c, "histogram", None))
-              case _ => Nil
+              case _ =>
+                // integral RANGE on one column with aggregates
+                // anchored on OTHER columns = the filtered-group
+                // range dispatch's miss (round 10) — advise grouped
+                // blobs KEYED by the range column over each
+                // aggregate's own column
+                val conj = conjunctsOf(cond)
+                val names = conj.flatMap(_.collect {
+                  case a: UnresolvedAttribute =>
+                    a.nameParts.last.toLowerCase
+                }).distinct
+                names match {
+                  case Seq(c) if keyRangePred(table, c, conj).isDefined =>
+                    outs.flatMap(classify(_, Some(c))).distinct
+                  case _ => Nil
+                }
             }
           case _ => Nil
         }

@@ -76,18 +76,34 @@ object PostAggregate {
       case p                                      => (None, p)
     }
     if (limit.isEmpty && order.isEmpty && having.isEmpty) return noPost
+    def translate(inner0: LogicalPlan, outs: Seq[Out])
+        : (LogicalPlan, Option[Post]) = {
+      val havingCol = having.map(translateCond(_, outs))
+      val orderCols = order.map(translateSort(_, outs, keySortable))
+      if (havingCol.exists(_.isEmpty) || orderCols.exists(_.isEmpty)) noPost
+      else (inner0, Some(Post(havingCol.flatten, orderCols.flatten, limit)))
+    }
     inner match {
       case agg: Aggregate =>
         outputsOf(agg) match {
-          case Some(outs) =>
-            val havingCol = having.map(translateCond(_, outs))
-            val orderCols = order.map(translateSort(_, outs, keySortable))
-            if (havingCol.exists(_.isEmpty) || orderCols.exists(_.isEmpty))
-              noPost
-            else
-              (agg, Some(Post(havingCol.flatten, orderCols.flatten, limit)))
-          case None => noPost
+          case Some(outs) => translate(agg, outs)
+          case None       => noPost
         }
+      // SELECT DISTINCT over plain attributes is the keys-only GROUP
+      // BY (the distinct-keys serve's other spelling): every output is
+      // a group key, so sort keys gate on keySortable and HAVING
+      // always refuses (aggRef rejects key outputs)
+      case d @ Distinct(Project(projOuts, _)) =>
+        val outs = projOuts.map {
+          case a: UnresolvedAttribute =>
+            val n = a.nameParts.last
+            Some(Out(n, isKey = true, None, Some(n)))
+          case Alias(a: UnresolvedAttribute, name) =>
+            Some(Out(name, isKey = true, None, Some(a.nameParts.last)))
+          case _ => None
+        }
+        if (outs.exists(_.isEmpty)) noPost
+        else translate(d, outs.flatten)
       case _ => noPost
     }
   }

@@ -1121,6 +1121,57 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // Integral key-RANGE dispatch on a GROUP BY (round 10): `WHERE g
+    // BETWEEN a AND b GROUP BY g` prunes the recorded groups by the
+    // parsed typed key. The group list is complete (MaxHllGroups build
+    // refusal), so the pruned set is EXACTLY exact execution's row
+    // set and the per-group stats stay exact — the time/bucket-window
+    // dashboard filter served with zero scan.
+    "q115_key_range_group" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_linenumber, sum(l_extendedprice) AS sm, " +
+          "count(*) AS nr FROM lineitem " +
+          "WHERE l_linenumber BETWEEN 2 AND 4 " +
+          "GROUP BY l_linenumber ORDER BY l_linenumber")
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_stats"),
+        s"q115 must serve the key-range grouped aggregate from the " +
+          s"stats blob: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Global aggregate under a one-sided key range: the range prunes
+    // the grouped blob's recorded groups and their stat records merge
+    // exactly (min/max monotone, counts and the unscaled decimal sums
+    // additive) — q88's IN-list merge arithmetic driven by a
+    // comparison instead of literals.
+    "q116_key_range_filtered" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, " +
+          "sum(l_extendedprice) AS sm, avg(l_extendedprice) AS av, " +
+          "count(l_extendedprice) AS nv, count(*) AS nr " +
+          "FROM lineitem WHERE l_linenumber >= 5")
+      assert(r.servedFromCatalog && r.serveKind.contains("filtered_group"),
+        s"q116 must merge the range-pruned group records: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Keys-only DISTINCT under a key range: the recorded group set
+    // pruned by the typed comparison — exact, zero scan (the
+    // filter-dropdown query with a bound).
+    "q117_key_range_distinct" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT DISTINCT l_linenumber FROM lineitem " +
+          "WHERE l_linenumber <= 3 ORDER BY l_linenumber")
+      assert(r.servedFromCatalog && r.serveKind.contains("distinct_keys"),
+        s"q117 must serve the range-pruned key list: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     "q100_partial_key_pct" -> ((s, dir) => {
       val e = sgEngineFor(s, dir)
       val r = e.query(
@@ -2473,6 +2524,27 @@ object Aqp {
           count(l_extendedprice) AS nv, count(*) AS nr,
           'sketch' AS plan_type
           FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
+    // q115/q116/q117: integral key-range dispatch is EXACT (the pruned
+    // group set equals exact execution's), so the oracles are the
+    // plain filtered SQL with the decimal-portable sum recipe.
+    "q115_key_range_group" ->
+      """SELECT l_linenumber,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+          count(*) AS nr, 'sketch' AS plan_type
+          FROM lineitem WHERE l_linenumber BETWEEN 2 AND 4
+          GROUP BY l_linenumber ORDER BY l_linenumber""",
+    "q116_key_range_filtered" ->
+      """SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+           CAST(max(l_extendedprice) AS DOUBLE) AS mx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(l_extendedprice) AS DOUBLE) AS av,
+           count(l_extendedprice) AS nv, count(*) AS nr,
+           'sketch' AS plan_type
+         FROM lineitem WHERE l_linenumber >= 5""",
+    "q117_key_range_distinct" ->
+      """SELECT DISTINCT l_linenumber, 'sketch' AS plan_type
+         FROM lineitem WHERE l_linenumber <= 3 ORDER BY l_linenumber""",
     // q100: the partial-key collapse — the SAME global l_quantity grid
     // (composite shared-grid build), counts per l_linestatus over the
     // returnflag-filtered rows (= the engine's per-status sum of the

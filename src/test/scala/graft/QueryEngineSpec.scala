@@ -2547,4 +2547,129 @@ class QueryEngineSpec extends SparkSpec {
     val r = eng.query(sql, eng.Options(maxRelError = 0.5))
     assert(r.servedFromCatalog && r.serveKind.contains("kmv_setop"), r.reason)
   }
+
+  test("integral key-range dispatch prunes recorded groups across the serve family") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-keyrange").toString)
+    val eng = new QueryEngine(spark, cat)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "lineitem", Seq("l_linenumber"), "l_extendedprice", 64)
+    graft.sketch.SketchOps.createGroupedHll(spark, cat,
+      "lineitem", Seq("l_linenumber"), "l_orderkey", 12)
+
+    // grouped stats under BETWEEN: the pruned group set equals exact
+    // execution's and every per-group stat stays exact
+    val r = eng.query("SELECT l_linenumber, sum(l_extendedprice) AS sm, " +
+      "count(*) AS nr FROM lineitem WHERE l_linenumber BETWEEN 2 AND 4 " +
+      "GROUP BY l_linenumber ORDER BY l_linenumber")
+    assert(r.servedFromCatalog && r.serveKind.contains("grouped_stats"),
+      s"${r.serveKind}: ${r.reason}")
+    val ex = spark.sql(
+      "SELECT l_linenumber, cast(sum(cast(l_extendedprice as " +
+        "decimal(18,4))) as double), count(*) FROM lineitem " +
+        "WHERE l_linenumber BETWEEN 2 AND 4 GROUP BY l_linenumber " +
+        "ORDER BY l_linenumber").collect()
+    val got = r.df.collect()
+    assert(got.map(_.getInt(0)).toSeq == ex.map(_.getInt(0)).toSeq)
+    got.zip(ex).foreach { case (g, e) =>
+      assert(g.getDouble(1) == e.getDouble(1) && g.getLong(2) == e.getLong(2),
+        s"${g.toSeq} vs ${e.toSeq}")
+    }
+
+    // strict one-sided bound on the grouped percentile (per-group
+    // grids — a GROUP BY keeps groups separate, no merging needed)
+    val rp = eng.query("SELECT l_linenumber, " +
+      "percentile(l_extendedprice, 0.5) AS p50 FROM lineitem " +
+      "WHERE l_linenumber > 4 GROUP BY l_linenumber")
+    assert(rp.servedFromCatalog && rp.serveKind.contains("grouped_histogram"),
+      s"${rp.serveKind}: ${rp.reason}")
+    assert(rp.df.collect().map(_.getInt(0)).toSet == Set(5, 6, 7))
+
+    // global aggregate under a one-sided range: pruned records merge
+    // exactly (q88's IN-list arithmetic driven by a comparison)
+    val rg = eng.query("SELECT sum(l_extendedprice) AS sm, " +
+      "count(*) AS nr FROM lineitem WHERE l_linenumber >= 5")
+    assert(rg.servedFromCatalog && rg.serveKind.contains("filtered_group"),
+      s"${rg.serveKind}: ${rg.reason}")
+    val exG = spark.sql(
+      "SELECT cast(sum(cast(l_extendedprice as decimal(18,4))) as double), " +
+        "count(*) FROM lineitem WHERE l_linenumber >= 5").collect().head
+    val gotG = rg.df.collect().head
+    assert(gotG.getDouble(0) == exG.getDouble(0) &&
+      gotG.getLong(1) == exG.getLong(1), s"${gotG.toSeq} vs ${exG.toSeq}")
+
+    // COUNT(DISTINCT) under a range: register-max union of the pruned
+    // groups' HLLs — estimate within the merged sketch's error
+    val rd = eng.query("SELECT count(DISTINCT l_orderkey) AS d " +
+      "FROM lineitem WHERE l_linenumber <= 2")
+    assert(rd.servedFromCatalog && rd.serveKind.contains("filtered_group"),
+      s"${rd.serveKind}: ${rd.reason}")
+    val dTrue = spark.sql("SELECT count(DISTINCT l_orderkey) FROM lineitem " +
+      "WHERE l_linenumber <= 2").collect().head.getLong(0)
+    val dEst = rd.df.collect().head.getLong(0)
+    assert(math.abs(dEst - dTrue).toDouble / dTrue < 0.1, s"$dEst vs $dTrue")
+
+    // DISTINCT keys under a range, exact
+    val rk = eng.query("SELECT DISTINCT l_linenumber FROM lineitem " +
+      "WHERE l_linenumber < 3 ORDER BY l_linenumber")
+    assert(rk.servedFromCatalog && rk.serveKind.contains("distinct_keys"),
+      s"${rk.serveKind}: ${rk.reason}")
+    assert(rk.df.collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+
+    // an empty range serves the exact empty GROUP BY result
+    val re = eng.query("SELECT l_linenumber, sum(l_extendedprice) AS sm, " +
+      "count(*) AS nr FROM lineitem WHERE l_linenumber > 100 " +
+      "GROUP BY l_linenumber")
+    assert(re.servedFromCatalog, re.reason)
+    assert(re.df.collect().isEmpty)
+
+    // a STRING key column refuses a range (UTF8-byte order is not the
+    // rendering comparison; only = / IN dispatch on string keys)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64)
+    val rs = eng.query("SELECT o_orderstatus, sum(o_totalprice) AS sm " +
+      "FROM orders WHERE o_orderstatus >= 'F' GROUP BY o_orderstatus")
+    assert(!rs.servedFromCatalog, rs.reason)
+
+    // a range on a NON-key column does not dispatch to the key blobs
+    val rn = eng.query("SELECT l_linenumber, sum(l_extendedprice) AS sm " +
+      "FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_linenumber")
+    assert(!rn.servedFromCatalog, rn.reason)
+
+    // staleness retires the range serves like every other dispatch
+    val n = spark.table("lineitem").count()
+    cat.upsertTableStats("lineitem", n + 1000)
+    val rst = eng.query("SELECT sum(l_extendedprice) AS sm, " +
+      "count(*) AS nr FROM lineitem WHERE l_linenumber >= 5")
+    assert(!rst.servedFromCatalog, rst.reason)
+    cat.upsertTableStats("lineitem", n)
+  }
+
+  test("key-range misses advise the grouped blob; building it flips both shapes to the serve") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-keyrange-adv").toString)
+    val eng = new QueryEngine(spark, cat)
+    val sqlG = "SELECT l_linenumber, sum(l_extendedprice) AS sm " +
+      "FROM lineitem WHERE l_linenumber BETWEEN 2 AND 4 GROUP BY l_linenumber"
+    val sqlF = "SELECT sum(l_extendedprice) AS sm, " +
+      "count(l_extendedprice) AS nv FROM lineitem WHERE l_linenumber >= 5"
+    (1 to 3).foreach { _ =>
+      assert(!eng.query(sqlG).servedFromCatalog)
+      assert(!eng.query(sqlF).servedFromCatalog)
+    }
+    val advice = eng.adviseSketches(minMisses = 3)
+    val hits = advice.filter(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.table == "lineitem" &&
+        a.candidate.column.equalsIgnoreCase("l_extendedprice") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("l_linenumber")))
+    assert(hits.nonEmpty, advice.toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "lineitem", Seq("l_linenumber"), "l_extendedprice", 64)
+    assert(eng.adviseSketches(minMisses = 3).forall(a =>
+      !(a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("l_linenumber")))))
+    assert(eng.query(sqlG).servedFromCatalog)
+    assert(eng.query(sqlF).servedFromCatalog)
+  }
 }
