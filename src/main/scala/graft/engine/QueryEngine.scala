@@ -1443,20 +1443,27 @@ final class QueryEngine(
         fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
 
   /** Grouped twin of [[storedHistogramRangeAnswer]]: `SELECT g...,
-    * count(*) [, percentile(x, p)...] FROM table WHERE <range on x>
-    * GROUP BY g...` answers each RECORDED group's estimate from its
-    * own histogram in a fresh `histogram_grouped` blob whose value
-    * column is x and group set is the query's — per-group
-    * interpolation, zero scan. Percentile outputs (round 10 third
-    * pass) run the q111 segment rule per group over that group's
-    * clipped bucket masses — works on per-group OR shared grids (no
-    * cross-group merge happens); they must target the range column
-    * itself. Contract: one row per recorded group with estimated
+    * count(*) [, sum(x)/avg(x)/percentile(x, p)...] FROM table WHERE
+    * <range on x> GROUP BY g...` answers each RECORDED group's
+    * estimate from its own histogram in a fresh `histogram_grouped`
+    * blob whose value column is x and group set is the query's —
+    * per-group interpolation, zero scan. Percentile outputs (round 10
+    * third pass) run the q111 segment rule per group over that
+    * group's clipped bucket masses — works on per-group OR shared
+    * grids (no cross-group merge happens); they must target the range
+    * column itself. SUM/AVG outputs (round 10 fifth pass, the q106
+    * arithmetic per group) additionally need the "histsum_grouped"
+    * rider the grouped build writes (per-(group, bucket) exact
+    * decimal sums): interior buckets add exactly (unscaled decimal
+    * addition, one cast to double), boundary buckets contribute their
+    * covered fraction, AVG is one division of the two per-group
+    * estimates. Contract: one row per recorded group with estimated
     * in-range mass > 0 (a group with true matches always has mass > 0
     * — its rows' buckets overlap the range — so no group exact
     * execution returns is dropped; extra near-range groups may
     * appear, the approximate-count contract like the global case).
-    * The reported error is the WORST group's boundary-mass ratio,
+    * The reported error is the WORST group's boundary-mass ratio per
+    * output kind (AVG the first-order combination of count and sum),
     * plus one bucket width when percentiles are served. Keys serve
     * typed (keyFieldTypes).
     */
@@ -1482,14 +1489,24 @@ final class QueryEngine(
             gs.nonEmpty && gs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
         val gNames = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
         val lower = gNames.map(_.toLowerCase)
-        // outputs: the group keys plus any mix of count(*) and
-        // percentile(x, p)/median(x) over the RANGE column itself —
-        // Right((name, None)) = count, Right((name, Some(p))) =
-        // percentile at p (each group's own histogram clipped to the
-        // range, the q111 segment rule per group)
+        // outputs: the group keys plus any mix of count(*), sum(x),
+        // avg(x), and percentile(x, p)/median(x) over the RANGE column
+        // itself — counts/percentiles read each group's histogram,
+        // sums the "histsum_grouped" rider (per-(group, bucket) exact
+        // decimal sums, the q106 arithmetic per group)
+        sealed trait AggOut
+        case object CntA extends AggOut
+        case object SumA extends AggOut
+        case object AvgA extends AggOut
+        case class PctA(p: Double) extends AggOut
         var sawAgg = false
-        var pctCol: Option[String] = None
-        val parts: Seq[Either[(String, Int), (String, Option[Double])]] =
+        // every value-anchored aggregate (sum/avg/percentile) must
+        // target ONE column — checked against the range column below
+        var valCol: Option[String] = None
+        def anchor(cc: String): Boolean =
+          if (valCol.forall(_.equalsIgnoreCase(cc))) { valCol = Some(cc); true }
+          else false
+        val parts: Seq[Either[(String, Int), (String, AggOut)]] =
           outs.map {
             case a: UnresolvedAttribute
                 if lower.contains(a.nameParts.last.toLowerCase) =>
@@ -1505,7 +1522,20 @@ final class QueryEngine(
                     case Seq(_: UnresolvedStar)     => true
                     case _                          => false
                   }) =>
-              sawAgg = true; Right((name, None))
+              sawAgg = true; Right((name, CntA))
+            case Alias(f: UnresolvedFunction, name)
+                if !f.isDistinct && f.filter.isEmpty &&
+                  Set("sum", "avg", "mean").contains(
+                    f.nameParts.last.toLowerCase) =>
+              f.arguments match {
+                case Seq(a: UnresolvedAttribute)
+                    if anchor(a.nameParts.last) =>
+                  sawAgg = true
+                  Right((name,
+                    if (f.nameParts.last.equalsIgnoreCase("sum")) SumA
+                    else AvgA))
+                case _ => return None
+              }
             case Alias(f: UnresolvedFunction, name)
                 if !f.isDistinct && f.filter.isEmpty &&
                   Set("percentile", "percentile_approx", "approx_percentile",
@@ -1518,8 +1548,8 @@ final class QueryEngine(
                 case _ => None
               }
               colP match {
-                case Some((cc, p)) if pctCol.forall(_.equalsIgnoreCase(cc)) =>
-                  pctCol = Some(cc); sawAgg = true; Right((name, Some(p)))
+                case Some((cc, p)) if anchor(cc) =>
+                  sawAgg = true; Right((name, PctA(p)))
                 case _ => return None
               }
             case _ => return None
@@ -1531,41 +1561,103 @@ final class QueryEngine(
         val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
         if (lower.contains(c.toLowerCase)) return None // that's a WHERE on the key
         if (!numericColumn(table, c)) return None
-        // percentiles serve only over the range column (the per-group
-        // histograms model exactly that distribution)
-        if (pctCol.exists(!_.equalsIgnoreCase(c))) return None
+        // sums/averages/percentiles serve only over the range column
+        // (the per-group histograms and sum riders model exactly that
+        // distribution)
+        if (valCol.exists(!_.equalsIgnoreCase(c))) return None
         val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
+        val needSums = parts.exists {
+          case Right((_, SumA | AvgA)) => true
+          case _                       => false
+        }
         groupedBlobFor(table, c, "histogram_grouped", gNames).map { entries =>
+          // per-group bucket sums (unscaled scale-4 decimals), only
+          // when SUM/AVG outputs need them; a missing or stale rider
+          // refuses the serve rather than inventing zeros
+          val sumsByKey: Map[Seq[Option[String]], Map[Int, BigInt]] =
+            if (!needSums) Map.empty
+            else groupedBlobFor(table, c, "histsum_grouped", gNames) match {
+              case Some(se) => se.map { case (k, inner) =>
+                  k -> graft.sketch.GroupedHll.unpack(inner)
+                    .collect { case (Some(bk), bb) => bk.toInt -> BigInt(bb) }
+                    .toMap
+                }.toMap
+              case None => return None
+            }
           val served = entries.flatMap { case (k, b) =>
             if (b.isEmpty) None // all-NULL group: no row passes the range
             else {
               val h = graft.sketch.Histogram.deserialize(b)
               val (est, bnd) = h.rangeCount(lowerB, upperB)
-              if (est > 0.0) Some((k, h, est, bnd / math.max(1.0, est)))
-              else None
+              if (est <= 0.0) None
+              else {
+                val cntRel = bnd / math.max(1.0, est)
+                val (sumEst, sumBnd): (Option[Double], Double) =
+                  if (!needSums) (None, 0.0)
+                  else sumsByKey.get(k) match {
+                    case None => return None // rider lacks a recorded group
+                    case Some(bs) =>
+                      def d(i: Int): Double = new java.math.BigDecimal(
+                        bs.getOrElse(i, BigInt(0)).bigInteger, 4).doubleValue
+                      h.rangePositions(lowerB, upperB) match {
+                        case None => (None, 0.0)
+                        case Some((pa, pb, ia, ib)) if ia == ib =>
+                          (Some(d(ia) * (pb - pa)), math.abs(d(ia)))
+                        case Some((pa, pb, ia, ib)) =>
+                          var interior = BigInt(0)
+                          var j = ia + 1
+                          while (j < ib) {
+                            interior += bs.getOrElse(j, BigInt(0)); j += 1
+                          }
+                          val interiorD = new java.math.BigDecimal(
+                            interior.bigInteger, 4).doubleValue
+                          (Some((interiorD +
+                            d(ia) * ((ia + 1).toDouble - pa)) +
+                            d(ib) * (pb - ib.toDouble)),
+                            math.abs(d(ia)) + math.abs(d(ib)))
+                      }
+                  }
+                val sumRel = sumEst match {
+                  case Some(s0) if s0 != 0.0 => sumBnd / math.abs(s0)
+                  case Some(_) if sumBnd > 0.0 => Double.PositiveInfinity
+                  case _ => 0.0
+                }
+                Some((k, h, est, cntRel, sumEst, sumRel))
+              }
             }
           }
-          val rows = served.map { case (k, h, est, _) =>
+          val rows = served.map { case (k, h, est, _, sumEst, _) =>
             org.apache.spark.sql.Row.fromSeq(parts.map {
-              case Left((_, i))          => typedKeyValue(kTypes(i), k(i))
-              case Right((_, None))      => Double.box(est)
-              case Right((_, Some(p)))   =>
+              case Left((_, i))        => typedKeyValue(kTypes(i), k(i))
+              case Right((_, CntA))    => Double.box(est)
+              case Right((_, SumA))    => sumEst.map(Double.box).orNull
+              case Right((_, AvgA))    =>
+                sumEst.map(s => Double.box(s / est)).orNull
+              case Right((_, PctA(p))) =>
                 h.rangePercentile(lowerB, upperB, p)
                   .map(Double.box).orNull
             })
           }
           val schema = StructType(parts.map {
             case Left((n, i)) => StructField(n, kTypes(i), nullable = true)
-            case Right((n, pp)) =>
-              StructField(n, DoubleType, nullable = pp.isDefined)
+            case Right((n, a)) =>
+              StructField(n, DoubleType, nullable = a != CntA)
           })
           import scala.jdk.CollectionConverters._
+          val maxCnt = served.map(_._4).foldLeft(0.0)(math.max)
+          val maxSum = served.map(_._6).foldLeft(0.0)(math.max)
           val bucketTerm = parts.collectFirst {
-            case Right((_, Some(_))) => served.map { case (_, h, _, _) =>
+            case Right((_, PctA(_))) => served.map { case (_, h, _, _, _, _) =>
               1.0 / h.buckets }.foldLeft(0.0)(math.max)
           }.getOrElse(0.0)
-          (spark.createDataFrame(rows.asJava, schema),
-            served.map(_._4).foldLeft(0.0)(math.max) + bucketTerm)
+          val err = parts.map {
+            case Right((_, CntA))    => maxCnt
+            case Right((_, SumA))    => maxSum
+            case Right((_, AvgA))    => maxCnt + maxSum
+            case Right((_, PctA(_))) => bucketTerm + maxCnt
+            case Left(_)             => 0.0
+          }.foldLeft(0.0)(math.max)
+          (spark.createDataFrame(rows.asJava, schema), err)
         }
       case _ => None
     }
@@ -3572,6 +3664,9 @@ final class QueryEngine(
                   if !f.isDistinct && f.filter.isEmpty =>
                 (f.nameParts.last.toLowerCase, f.arguments) match {
                   case ("count", Seq(_: Literal)) => true
+                  case ("sum" | "avg" | "mean",
+                      Seq(a: UnresolvedAttribute)) =>
+                    a.nameParts.last.equalsIgnoreCase(range)
                   case ("median", Seq(a: UnresolvedAttribute)) =>
                     a.nameParts.last.equalsIgnoreCase(range)
                   case ("percentile" | "percentile_approx" |

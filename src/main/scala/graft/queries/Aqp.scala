@@ -1102,6 +1102,32 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // GROUPED range SUM/AVG end-to-end (round 10): per-status revenue
+    // inside a price band — count(*), sum(x), avg(x) under a range on
+    // x GROUP BY g, every estimate interpolated per group with zero
+    // scan. Counts read each group's histogram; sums the
+    // "histsum_grouped" rider (per-(group, bucket) exact decimal sums
+    // the grouped build records in the same pass): interior buckets
+    // add exactly, boundary buckets contribute their covered
+    // fraction, AVG is one division of the two per-group estimates —
+    // the q106 arithmetic per group, re-derived in DuckDB.
+    "q118_grouped_range_sum" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderstatus, count(*) AS n_est, " +
+          "sum(o_totalprice) AS s_est, avg(o_totalprice) AS a_est " +
+          "FROM orders " +
+          "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog &&
+        r.serveKind.contains("grouped_histogram_range"),
+        s"q118 must interpolate per-group count+sum+avg from the " +
+          s"grouped histogram and histsum blobs: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // TYPED integral group key end-to-end: `GROUP BY l_linenumber`
     // (an INT column) serves per-key exact SUM/COUNT from the grouped
     // stats blob with the key parsed BACK to its source type — the
@@ -2516,6 +2542,64 @@ object Aqp {
             FROM parts)
           SELECT g AS o_orderstatus, v AS n_est, 'sketch' AS plan_type
           FROM est WHERE v > 0 ORDER BY g""",
+    // q118: q104's per-group range-count chain + q106's sum arithmetic
+    // PER GROUP — per-(group, bucket) decimal sums on the same global
+    // shared grid, interior sums exact decimal addition then one cast,
+    // boundary buckets fractional, avg = s/n. Breaks together with
+    // q104/q106 if the grid rule or Histogram.rangePositions changes.
+    "q118_grouped_range_sum" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT o_orderstatus AS g, o_totalprice AS rawv, least(63,
+              CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders CROSS JOIN grd WHERE o_totalprice IS NOT NULL),
+          c AS (SELECT g, b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY g, b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          gl AS (SELECT DISTINCT g FROM c),
+          parts AS (SELECT gl.g, ix.pa, ix.pb, ix.ia, ix.ib,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM gl CROSS JOIN ix),
+          est AS (SELECT g, CASE
+              WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+              WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+              ELSE (CAST(mid AS DOUBLE)
+                  + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+            CASE
+              WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+              WHEN ia = ib THEN sa * (pb - pa)
+              ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT g AS o_orderstatus, n AS n_est, s AS s_est,
+            s / n AS a_est, 'sketch' AS plan_type
+          FROM est WHERE n > 0 ORDER BY g""",
     // q102: the typed-key serve equals the direct aggregate (decimal
     // sum recipe; the key stays the parquet INT type in both engines)
     "q102_typed_key_serve" ->

@@ -336,21 +336,46 @@ object SketchOps {
       .toDF("gg", "glo", "gw")
     val base = spark.table(table).filter(col(valueCol).isNotNull)
       .select(groupKeyExpr(groupCols).as("g"),
-        col(valueCol).cast("double").as("v"))
-    // null-safe join key: a NULL group is still a group
+        col(valueCol).cast("double").as("v"), col(valueCol).as("raw"))
+    // null-safe join key: a NULL group is still a group. Per-(group,
+    // bucket) exact decimal sums ride the same aggregate into a THIRD
+    // blob ("histsum_grouped", the global histsum's grouped twin): the
+    // input to the engine's grouped range-SUM/AVG serve. Same grid,
+    // same pass — no extra shuffle.
     val counts = base.join(broadcast(gridDf), base("g") <=> gridDf("gg"))
       .select(col("g"),
         expr(s"least(${buckets - 1}, cast(floor((v - glo) / gw) as int))")
-          .as("b"))
-      .groupBy(col("g"), col("b")).count()
+          .as("b"), col("raw"))
+      .groupBy(col("g"), col("b"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count"),
+        expr("try_sum(cast(raw as decimal(38,4)))").as("s4"))
       .collect()
     val byGroup = counts.groupBy(r => Option(r.getAs[String]("g")))
+    var sumOverflow = false
     val groups = grid.toSeq.map { case (k, lo, w) =>
       val arr = new Array[Long](buckets)
       byGroup.getOrElse(k, Array.empty).foreach { r =>
         arr(math.max(0, r.getAs[Int]("b"))) = r.getAs[Long]("count")
       }
       k -> Histogram(lo, w, arr).serialize
+    }
+    // per-group inner pack: bucket index (string) -> unscaled scale-4
+    // decimal bytes (exact, additively mergeable — the GroupedStats
+    // convention; only non-zero buckets stored)
+    val sumGroups = grid.toSeq.map { case (k, _, _) =>
+      val entries = byGroup.getOrElse(k, Array.empty).toSeq.flatMap { r =>
+        Option(r.getDecimal(3)) match {
+          case Some(d) =>
+            Seq(Option(math.max(0, r.getAs[Int]("b")).toString) ->
+              BigInt(d.setScale(4).unscaledValue()).toByteArray)
+          case None =>
+            // try_sum overflowed even decimal(38,4) for this bucket:
+            // no exact record exists — skip the whole rider below
+            if (r.getAs[Long]("count") > 0L) sumOverflow = true
+            Seq.empty
+        }
+      }
+      k -> GroupedHll.pack(entries)
     }
     // all-NULL groups have no grid but ARE groups: record them with an
     // empty payload so the engine's grouped serve returns them with a
@@ -364,6 +389,14 @@ object SketchOps {
       "histogram_grouped", bytes,
       s"""{"buckets":$buckets,"group_by":"$groupCol","groups":${groups.size + allNull.size},"rows":$totalRows$gridTag}""",
       System.currentTimeMillis()))
+    // a bucket whose sum overflowed even decimal(38,4) has no exact
+    // record — skip the rider rather than serve a silently-wrong sum
+    // (the histogram itself, approximate by contract, still serves)
+    if (!sumOverflow)
+      catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+        "histsum_grouped", GroupedHll.pack(sumGroups),
+        s"""{"buckets":$buckets,"group_by":"$groupCol","groups":${sumGroups.size},"rows":$totalRows$gridTag}""",
+        System.currentTimeMillis()))
     (bytes.length, groups.size + allNull.size)
   }
 

@@ -2097,6 +2097,57 @@ class QueryEngineSpec extends SparkSpec {
     assert(!rk.servedFromCatalog, rk.reason)
   }
 
+  test("grouped range SUM/AVG serves from the histsum rider; a mismatched rider refuses") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-grsum").toString)
+    val eng = new QueryEngine(spark, cat)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64)
+    val sql = "SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS s, " +
+      "avg(o_totalprice) AS a FROM orders " +
+      "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+      "GROUP BY o_orderstatus"
+    val r = eng.query(sql, eng.Options(maxRelError = 0.5))
+    assert(r.servedFromCatalog &&
+      r.serveKind.contains("grouped_histogram_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val served = r.df.collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+      .toMap
+    val truth = spark.sql(
+      "SELECT o_orderstatus, count(*), cast(sum(o_totalprice) as double) " +
+        "FROM orders " +
+        "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+        "GROUP BY o_orderstatus").collect()
+      .map(x => x.getString(0) -> (x.getLong(1).toDouble, x.getDouble(2)))
+      .toMap
+    assert(truth.keySet.subsetOf(served.keySet))
+    served.foreach { case (g, (n, s, a)) =>
+      val (tn, ts) = truth.getOrElse(g, (0.0, 0.0))
+      assert(math.abs(n - tn) <= r.estimatedError * math.max(1.0, n) + 1e-6)
+      assert(math.abs(s - ts) <= r.estimatedError * math.max(1.0, math.abs(s)) + 1e-6,
+        s"group $g: sum est=$s truth=$ts err=${r.estimatedError}")
+      // AVG is exactly the division of the two served estimates
+      assert(a == s / n)
+    }
+    // a rider whose group set does not match refuses the SUM serve
+    // (count-only shapes keep serving from the histogram blob alone)
+    val rows = spark.table("orders").count()
+    cat.upsertSketch(cat.SketchInfo("orders", "o_totalprice",
+      "histsum_grouped", Array.emptyByteArray,
+      s"""{"buckets":64,"group_by":"o_orderpriority","groups":0,"rows":$rows}""",
+      System.currentTimeMillis()))
+    val r2 = eng.query(sql, eng.Options(maxRelError = 0.5))
+    assert(!r2.servedFromCatalog, r2.reason)
+    val r3 = eng.query(
+      "SELECT o_orderstatus, count(*) AS n FROM orders " +
+        "WHERE o_totalprice >= 50000 AND o_totalprice < 150000 " +
+        "GROUP BY o_orderstatus",
+      eng.Options(maxRelError = 0.5))
+    assert(r3.servedFromCatalog &&
+      r3.serveKind.contains("grouped_histogram_range"), r3.reason)
+  }
+
   test("composite-key CMS serves conjunctive equality frequencies from the tuple sketch") {
     import org.apache.spark.sql.functions.expr
     // one all-NULL-component row: excluded from the counters (it can
