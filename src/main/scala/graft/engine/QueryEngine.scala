@@ -1596,6 +1596,10 @@ final class QueryEngine(
                   if (!needSums) (None, 0.0)
                   else sumsByKey.get(k) match {
                     case None => return None // rider lacks a recorded group
+                    // a group with in-range mass but an EMPTY sum map is
+                    // the streaming overflow poison — refuse rather than
+                    // serve a zero that silently missed a batch
+                    case Some(bs) if bs.isEmpty => return None
                     case Some(bs) =>
                       def d(i: Int): Double = new java.math.BigDecimal(
                         bs.getOrElse(i, BigInt(0)).bigInteger, 4).doubleValue

@@ -522,7 +522,13 @@ object EventStreams {
     * skips re-delivered batch ids (exact under single-writer-per-
     * (table, column)). Per micro-batch: one distributed count aggregate
     * (≤ groups × buckets rows collected), one CAS-merged upsert —
-    * O(groups × buckets) state regardless of stream volume.
+    * O(groups × buckets) state regardless of stream volume. The
+    * "histsum_grouped" rider (per-(group, bucket) exact decimal sums —
+    * the grouped range-SUM/AVG serve's input) maintains in the same
+    * aggregate: BigInt addition is exact, so the stream-built rider is
+    * BYTE-equal to a batch `createGroupedHistogram` over the same
+    * rows; a group whose batch sum overflows poisons that group (its
+    * SUM/AVG refuses, counts keep serving).
     */
   def maintainGroupedHistogramSketch(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
@@ -562,15 +568,23 @@ object EventStreams {
         if (!alreadyMerged) {
           val in = batch.filter(col(valueCol).isNotNull)
             .select(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"),
-              col(valueCol).cast("double").as("v"))
+              col(valueCol).cast("double").as("v"),
+              col(valueCol).as("raw"))
           // null-safe left join: a NULL group is still a group, and a
-          // group with no grid surfaces as a null glo below
+          // group with no grid surfaces as a null glo below. Per-(g, b)
+          // exact decimal sums ride the same aggregate into the
+          // "histsum_grouped" rider fold below (the grouped range
+          // SUM/AVG serve's input) — no extra pass.
           val joined = in.join(gridDf, in("g") <=> gridDf("gg"), "left")
           val counts = joined.select(col("g"), col("glo"),
               expr(s"case when glo is null then cast(null as int) else " +
                 s"least(${buckets - 1}, greatest(0, " +
-                "cast(floor((v - glo) / gw) as int))) end").as("b"))
-            .groupBy(col("g"), col("b"), col("glo")).count()
+                "cast(floor((v - glo) / gw) as int))) end").as("b"),
+              col("raw"))
+            .groupBy(col("g"), col("b"), col("glo"))
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("count"),
+              expr("try_sum(cast(raw as decimal(38,4)))").as("s4"))
             .collect()
           counts.find(_.isNullAt(2)).foreach { r =>
             throw new IllegalArgumentException(
@@ -594,6 +608,55 @@ object EventStreams {
               graft.sketch.GroupedHll.mergePacked(prev, next) { (x, y) =>
                 graft.sketch.Histogram.deserialize(x)
                   .merge(graft.sketch.Histogram.deserialize(y)).serialize
+              }
+            }
+            // histsum_grouped rider: per-group inner packs of bucket ->
+            // unscaled scale-4 decimal sums, additive BigInt merge under
+            // its OWN replay guard. A group whose batch sum overflows
+            // decimal(38,4) POISONS that group with an EMPTY inner pack
+            // — the engine refuses its SUM/AVG serve (counts keep
+            // serving) instead of serving a sum that silently missed a
+            // batch; poison absorbs in the merge.
+            val sumsMerged = catalog
+              .getSketch(table, valueCol, "histsum_grouped")
+              .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+                .map(_.group(1).toLong))
+              .exists(batchId <= _)
+            if (!sumsMerged) {
+              val packedSums = byGroup.toSeq.map { case (k, rs) =>
+                var poison = false
+                val entries = rs.toSeq.flatMap { r =>
+                  Option(r.getDecimal(4)) match {
+                    case Some(d) =>
+                      Seq(Option(r.getAs[Int]("b").toString) ->
+                        BigInt(d.setScale(4).unscaledValue()).toByteArray)
+                    case None => poison = true; Seq.empty
+                  }
+                }
+                k -> graft.sketch.GroupedHll.pack(
+                  if (poison) Seq.empty else entries)
+              }
+              catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
+                "histsum_grouped", graft.sketch.GroupedHll.pack(packedSums),
+                s"""{"buckets":$buckets,"group_by":"$groupCol","last_batch":$batchId}""",
+                System.currentTimeMillis())) { (prev, next) =>
+                graft.sketch.GroupedHll.mergePacked(prev, next) { (x, y) =>
+                  val xa = graft.sketch.GroupedHll.unpack(x)
+                  val ya = graft.sketch.GroupedHll.unpack(y)
+                  if (xa.isEmpty || ya.isEmpty)
+                    graft.sketch.GroupedHll.pack(Seq.empty) // poison absorbs
+                  else {
+                    val xm = xa.collect {
+                      case (Some(bk), bb) => bk.toInt -> BigInt(bb) }.toMap
+                    val ym = ya.collect {
+                      case (Some(bk), bb) => bk.toInt -> BigInt(bb) }.toMap
+                    graft.sketch.GroupedHll.pack(
+                      (xm.keySet ++ ym.keySet).toSeq.map(i =>
+                        Option(i.toString) ->
+                          (xm.getOrElse(i, BigInt(0)) +
+                            ym.getOrElse(i, BigInt(0))).toByteArray))
+                  }
+                }
               }
             }
           }

@@ -343,6 +343,106 @@ class EventStreamsSpec extends SparkSpec {
     assert(catalog.getSketch("prices_live2", "price", "histogram_grouped").isEmpty)
   }
 
+  test("stream-maintained histsum rider serves grouped range SUM/AVG live; overflow poisons per group") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-ghsum").toString)
+    val buckets = 64
+    val grids = Seq(
+      (Option("g0"), 0.0, 10.0),
+      (Option("g1"), 0.0, 20.0))
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.maintainGroupedHistogramSketch(
+      stream.toDF().toDF("grp", "price"), catalog, "prices_hs", "grp",
+      "price", grids, buckets)
+    val data = (0L until 1000L).map { i =>
+      if (i % 2 == 0) ("g0", (i * 37) % 631) else ("g1", (i * 53) % 1259)
+    }
+    data.grouped(250).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // law: the rider is BYTE-equal to the batch builder's pack over the
+    // same rows (exact BigInt addition across micro-batches, canonical
+    // bucket-key order, only buckets with rows stored)
+    val gridByKey = grids.map { case (k, lo, w) => (k.get, (lo, w)) }.toMap
+    val expectedSums = graft.sketch.GroupedHll.pack(
+      data.groupBy(_._1).toSeq.map { case (g, rows) =>
+        val (lo, w) = gridByKey(g)
+        val sums = scala.collection.mutable.Map.empty[Int, BigInt]
+        rows.foreach { case (_, v) =>
+          val b = math.min(buckets - 1, math.max(0, ((v - lo) / w).toInt))
+          sums(b) = sums.getOrElse(b, BigInt(0)) + BigInt(v) * 10000
+        }
+        Option(g) -> graft.sketch.GroupedHll.pack(
+          sums.toSeq.map { case (b, s) => Option(b.toString) -> s.toByteArray })
+      })
+    val rider = catalog.getSketch("prices_hs", "price", "histsum_grouped")
+    assert(rider.isDefined)
+    assert(rider.get.data.sameElements(expectedSums))
+
+    // the engine serves per-group range SUM/AVG from the LIVE blobs
+    // with no scan (empty backing view — a scan would answer nothing)
+    spark.range(0)
+      .select(lit("x").as("grp"), col("id").cast("double").as("price"))
+      .createOrReplaceTempView("prices_hs")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT grp, count(*) AS n, sum(price) AS s, avg(price) AS a " +
+        "FROM prices_hs WHERE price >= 100 AND price < 500 GROUP BY grp",
+      engine.Options(maxRelError = 0.5))
+    assert(r.servedFromCatalog &&
+      r.serveKind.contains("grouped_histogram_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val served = r.df.collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(served.keySet == Set("g0", "g1"), served)
+    // per-group truth from the streamed rows, within the reported bound
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val in = rows.map(_._2).filter(v => v >= 100 && v < 500)
+      val (n, s) = served(g)
+      assert(math.abs(n - in.size) <= r.estimatedError * math.max(1.0, n) + 1e-6)
+      assert(math.abs(s - in.sum.toDouble) <=
+        r.estimatedError * math.max(1.0, math.abs(s)) + 1e-6,
+        s"group $g: sum est=$s truth=${in.sum}")
+    }
+
+    // overflow poison: a group whose batch sum exceeds decimal(38,4)
+    // poisons ITS rider entry — SUM refuses, counts keep serving
+    val catalog2 = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-ghsum2").toString)
+    val big = MemoryStream[(String, Double)]
+    val q2 = EventStreams.maintainGroupedHistogramSketch(
+      big.toDF().toDF("grp", "price"), catalog2, "prices_po", "grp",
+      "price", Seq((Option("g0"), 0.0, 1e33)), buckets)
+    big.addData(Seq(("g0", 9e33), ("g0", 9e33), ("g0", 5.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    val poisoned = catalog2.getSketch("prices_po", "price", "histsum_grouped")
+    assert(poisoned.isDefined)
+    assert(graft.sketch.GroupedHll.unpack(poisoned.get.data).forall {
+      case (_, inner) => graft.sketch.GroupedHll.unpack(inner).isEmpty
+    }, "overflowing group must store an EMPTY inner pack")
+    spark.range(0)
+      .select(lit("x").as("grp"), col("id").cast("double").as("price"))
+      .createOrReplaceTempView("prices_po")
+    val engine2 = new graft.engine.QueryEngine(spark, catalog2)
+    val rs = engine2.query(
+      "SELECT grp, sum(price) AS s FROM prices_po " +
+        "WHERE price >= 0 AND price < 1e35 GROUP BY grp",
+      engine2.Options(maxRelError = 0.9))
+    assert(!rs.servedFromCatalog, rs.reason)
+    val rc = engine2.query(
+      "SELECT grp, count(*) AS n FROM prices_po " +
+        "WHERE price >= 0 AND price < 1e35 GROUP BY grp",
+      engine2.Options(maxRelError = 0.9))
+    assert(rc.servedFromCatalog &&
+      rc.serveKind.contains("grouped_histogram_range"), rc.reason)
+  }
+
   test("stream-maintained SHARED-GRID grouped histograms serve merged IN-list percentiles live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
