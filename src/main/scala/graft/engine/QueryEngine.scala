@@ -157,8 +157,11 @@ final class QueryEngine(
       // and their cardinality estimate says sampling meets the
       // tolerance (the costed decision; without sketches the default
       // stays reference-parity exact).
+      // hasDistinct no longer refuses outright: sampledJoin serves
+      // COUNT(DISTINCT join-key) through the universe key lottery and
+      // self-refuses every other distinct shape (round 10).
       if (features.tables.sizeIs > 1 &&
-          features.hasApproximableAgg && !features.hasDistinct &&
+          (features.hasApproximableAgg || features.hasDistinct) &&
           (opts.approximateJoins || opts.autoCostedJoins))
         sampledJoin(parsed, features, opts, auto = !opts.approximateJoins) match {
           case Some(r) => return finish(r, sql, features, opts)
@@ -556,6 +559,18 @@ final class QueryEngine(
       return None
     if (parsed.collectFirst { case w: UnresolvedWith => w }.isDefined)
       return None
+    // DISTINCT aggregates: row sampling cannot serve them (rows of one
+    // key sample independently), but the UNIVERSE key-lottery can serve
+    // COUNT(DISTINCT key) over the full lottery-key tuple — each
+    // distinct key survives with probability exactly p, so the count
+    // scales unbiased by 1/p. Collect them here; the universe branch
+    // validates the counted columns against the join keys, and every
+    // non-universe path refuses when any distinct aggregate exists.
+    val distinctFns = parsed.collect { case n => n.expressions }.flatten
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.isDistinct => f
+      })
     // resolve-before-count: an unresolvable name must not cost an
     // AnalysisException (or a scan) at plan time
     val resolvable = features.tables.filter { t =>
@@ -628,7 +643,27 @@ final class QueryEngine(
             if !partner.contains(".") && parsed.collect {
               case r: UnresolvedRelation
                   if r.multipartIdentifier.last.equalsIgnoreCase(partner) => r
-            }.sizeIs == 1 =>
+            }.sizeIs == 1 &&
+            // every distinct aggregate must be COUNT(DISTINCT <full
+            // lottery-key tuple of one side>) — a single component of a
+            // composite key (or any non-key column) does NOT scale by
+            // 1/p and refuses the whole join AQP attempt below
+            {
+              val keySets = Seq(factKey, partnerKey)
+                .map(_.map(_.toLowerCase).toSet)
+              distinctFns.forall { f =>
+                f.nameParts.last.equalsIgnoreCase("count") &&
+                  f.filter.isEmpty &&
+                  f.arguments.forall(_.isInstanceOf[
+                    org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]) && {
+                    val cols = f.arguments.map(
+                      _.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]
+                        .nameParts.last.toLowerCase).toSet
+                    keySets.contains(cols)
+                  }
+              }
+            } =>
+          val scaleDistinct = distinctFns.nonEmpty
           // Prefer MATERIALIZED universe samples on both sides (same
           // fraction -> join-compatible membership): the lottery hash
           // is a full-scan cost paid once at sample creation, not per
@@ -645,7 +680,7 @@ final class QueryEngine(
               val p = a.fraction
               val plan2 = SampleRewrite.rewriteUniverseMaterialized(parsed,
                 Map(fact -> a.sampleTable, partner -> b.sampleTable), p,
-                opts.ciColumns)
+                opts.ciColumns, scaleKeyDistinct = scaleDistinct)
               val df = org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan2)
               val (spd, _) = StrategyChooser.predict(
                 StrategyChooser.Sample, factSize, Some(p))
@@ -656,7 +691,10 @@ final class QueryEngine(
                 0.8, spd, math.sqrt(1.0 / math.max(1.0, p * nEff)), Some(p),
                 Some(a.sampleTable),
                 Seq(s"both big relations substituted by materialized universe samples (no scan of either base table)",
-                  "aggregates rewritten to Horvitz-Thompson weighted form (single 1/p scale)")))
+                  "aggregates rewritten to Horvitz-Thompson weighted form (single 1/p scale)") ++
+                  (if (scaleDistinct)
+                    Seq("COUNT(DISTINCT join-key) scaled by 1/p (key-lottery membership: each distinct key survives with probability exactly p)")
+                  else Nil)))
             case None =>
           }
           val threshold = math.max(1, math.round(inlineFrac * 10000).toInt)
@@ -664,7 +702,8 @@ final class QueryEngine(
           val estErrU = math.sqrt(1.0 / math.max(1.0, p * nEff))
           if (estErrU <= opts.maxRelError * (1 + 1e-9)) {
             val plan2 = SampleRewrite.rewriteUniverse(parsed,
-              Map(fact -> factKey, partner -> partnerKey), p, opts.ciColumns)
+              Map(fact -> factKey, partner -> partnerKey), p, opts.ciColumns,
+              scaleKeyDistinct = scaleDistinct)
             val df = org.apache.spark.sql.GraftPlanExec.ofRows(spark, plan2)
             val (spd, _) = StrategyChooser.predict(
               StrategyChooser.Sample, factSize, Some(p))
@@ -675,11 +714,17 @@ final class QueryEngine(
               0.8, spd, estErrU, Some(p), None,
               Seq(s"both big relations filtered by the shared key lottery " +
                 s"graft_h60('uv:'||key) % 10000 < $threshold",
-                "aggregates rewritten to Horvitz-Thompson weighted form (single 1/p scale)")))
+                "aggregates rewritten to Horvitz-Thompson weighted form (single 1/p scale)") ++
+                (if (scaleDistinct)
+                  Seq("COUNT(DISTINCT join-key) scaled by 1/p (key-lottery membership: each distinct key survives with probability exactly p)")
+                else Nil)))
           }
         case _ =>
       }
     }
+    // Row sampling cannot serve distinct aggregates — only the universe
+    // key lottery above can, and it either served or refused by now.
+    if (distinctFns.nonEmpty) return None
     // Prefer a materialized sample of the fact (no fact scan at all —
     // the 100 TB path) when one meets the tolerance; an explicit
     // systematicKey requests deterministic inline membership instead.

@@ -63,7 +63,16 @@ object SampleRewrite {
       rewriteDistinctToHll: Boolean,
       hllRsd: Option[Double],
       addCiColumns: Boolean,
-      ciZ: Double = 1.96)
+      ciZ: Double = 1.96,
+      // UNIVERSE-only (key-lottery) semantics: COUNT(DISTINCT key) over
+      // the lottery-filtered join scales by the same 1/p weight — each
+      // distinct key tuple survives with probability exactly p, so the
+      // scaled count is unbiased. The CALLER must have verified every
+      // distinct aggregate targets a full lottery-key tuple; under
+      // Bernoulli row sampling this rewrite would be WRONG (rows of one
+      // key sample independently), which is why it is opt-in here and
+      // never set by the uniform-sample paths.
+      scaleKeyDistinct: Boolean = false)
 
   /** Rewrite the parsed plan per the directive and hand it to Spark for
     * analysis + execution.
@@ -179,6 +188,14 @@ object SampleRewrite {
       var out = inner
       if (d.rewriteDistinctToHll) out = sketchAggs(out, d.hllRsd)
       w.foreach { wx => out = weightAggs(out, wx) }
+      if (d.scaleKeyDistinct) w.foreach { wx =>
+        out = out.transformUp {
+          case f: UnresolvedFunction
+              if f.nameParts.last.equalsIgnoreCase("count") && f.isDistinct &&
+                f.filter.isEmpty =>
+            Multiply(Cast(f, DoubleType), wx)
+        }
+      }
       if (out eq inner) ne else named(out, name)
     }
 
@@ -286,7 +303,7 @@ object SampleRewrite {
 
   def rewriteUniverse(plan: LogicalPlan, keys: Map[String, Seq[String]],
       fraction: Double, addCiColumns: Boolean,
-      ciZ: Double = 1.96): LogicalPlan = {
+      ciZ: Double = 1.96, scaleKeyDistinct: Boolean = false): LogicalPlan = {
     val threshold = math.max(1, math.round(fraction * 10000).toInt)
     val p = threshold / 10000.0
     val filtered = plan.transformUp {
@@ -300,7 +317,8 @@ object SampleRewrite {
     }
     val d = Directive("", Planner.ReadExact,
       weight = Some(ConstWeight(p)), rewriteDistinctToHll = false,
-      hllRsd = None, addCiColumns = addCiColumns, ciZ = ciZ)
+      hllRsd = None, addCiColumns = addCiColumns, ciZ = ciZ,
+      scaleKeyDistinct = scaleKeyDistinct)
     rewriteSelectLists(filtered, d)
   }
 
@@ -315,7 +333,8 @@ object SampleRewrite {
     */
   def rewriteUniverseMaterialized(plan: LogicalPlan,
       samples: Map[String, String], fraction: Double,
-      addCiColumns: Boolean, ciZ: Double = 1.96): LogicalPlan = {
+      addCiColumns: Boolean, ciZ: Double = 1.96,
+      scaleKeyDistinct: Boolean = false): LogicalPlan = {
     val substituted = plan.transformUp {
       case r: UnresolvedRelation if samples.keys.exists(
           _.equalsIgnoreCase(r.multipartIdentifier.last)) =>
@@ -324,7 +343,8 @@ object SampleRewrite {
     }
     val d = Directive("", Planner.ReadExact,
       weight = Some(ConstWeight(fraction)), rewriteDistinctToHll = false,
-      hllRsd = None, addCiColumns = addCiColumns, ciZ = ciZ)
+      hllRsd = None, addCiColumns = addCiColumns, ciZ = ciZ,
+      scaleKeyDistinct = scaleKeyDistinct)
     rewriteSelectLists(substituted, d)
   }
 

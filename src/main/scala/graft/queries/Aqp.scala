@@ -1515,6 +1515,33 @@ object Aqp {
       r.df
     }),
 
+    // AQP: COUNT(DISTINCT join-key) over a join — the one distinct
+    // shape join AQP can serve honestly (round 10): under the universe
+    // KEY lottery each distinct key tuple survives with probability
+    // exactly p, so the distinct count over the filtered join scales
+    // unbiased by 1/p. Fact-side row sampling still refuses all
+    // distinct shapes (rows of one key sample independently), and a
+    // distinct over any NON-key column refuses the whole attempt. The
+    // membership is q79's deterministic 'uv:' lottery, so the oracle
+    // re-derives the scaled distinct count bit-for-bit (weight exactly
+    // 100.0, one cast + one multiplication).
+    "q119_universe_distinct" -> ((s, dir) => {
+      val e = uniEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(l_quantity) AS qty_est, " +
+          "count(DISTINCT l_orderkey) AS nd_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          ciColumns = false))
+      assert(r.strategy == "sample_universe" &&
+          r.sampleFraction.contains(0.01),
+        s"q119 must run universe join sampling at p=0.01: " +
+          s"${r.strategy} f=${r.sampleFraction} (${r.reason})")
+      assert(r.transformations.exists(_.contains("COUNT(DISTINCT join-key)")),
+        s"q119 must scale the key-distinct count: ${r.transformations}")
+      r.df
+    }),
+
     // AQP: the MATERIALIZED universe-sample route — q79's membership
     // with the per-query lottery cost removed: both sides' universe
     // samples (Samplers.createUniverse, p=0.01) are built once, and the
@@ -1655,6 +1682,17 @@ object Aqp {
             CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
             CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est
           FROM k GROUP BY 1 ORDER BY 1""",
+    // q119: q79's membership with the key-distinct scale — the
+    // distinct count of surviving o_orderkeys (equal to l_orderkeys in
+    // the join) times the exact 100.0 weight; one cast, one multiply.
+    "q119_universe_distinct" ->
+      s"""WITH k AS (SELECT CAST(l_quantity AS BIGINT) AS x, l_orderkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100)
+          SELECT CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
+            CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est,
+            CAST(count(DISTINCT l_orderkey) AS DOUBLE) * 100.0 AS nd_est
+          FROM k""",
     // q95: q79's membership ('uv:' lottery on the shared orderkey,
     // threshold 100, weight exactly 100.0) with the part dim joined
     // UNFILTERED — the engine lotteries only the two big sides, so the

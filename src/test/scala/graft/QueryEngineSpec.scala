@@ -934,6 +934,53 @@ class QueryEngineSpec extends SparkSpec {
     }
   }
 
+  test("COUNT(DISTINCT join-key) scales by 1/p under the universe lottery; other distincts refuse") {
+    val nO = spark.table("orders").count()
+    val nL = spark.table("lineitem").count()
+    catalog.upsertTableStats("orders", 2000000L)
+    catalog.upsertTableStats("lineitem", 8000000L)
+    try {
+      val sql = "SELECT count(DISTINCT l_orderkey) AS nd " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+      val r = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r.strategy == "sample_universe", s"${r.strategy}: ${r.reason}")
+      val est = r.df.collect().head.getDouble(0)
+      // deterministic membership: EXACTLY the lottery-filtered distinct
+      // count times the 1/p weight (100.0)
+      val expected = spark.sql(
+        "SELECT cast(count(DISTINCT l_orderkey) as double) * 100.0 " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "WHERE graft_h60('uv:' || cast(o_orderkey as string)) % 10000 < 100")
+        .collect().head.getDouble(0)
+      assert(est == expected, s"est=$est expected=$expected")
+      // partner-side key spelling serves too (equal values in the join)
+      val rp = engine.query(
+        "SELECT count(DISTINCT o_orderkey) AS nd, count(*) AS n " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(rp.strategy == "sample_universe", s"${rp.strategy}: ${rp.reason}")
+      assert(rp.df.collect().head.getDouble(0) == expected)
+      // a NON-key distinct refuses the whole join AQP attempt
+      val r2 = engine.query(
+        "SELECT count(DISTINCT l_partkey) AS nd " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r2.planType == "exact", s"${r2.strategy}: ${r2.reason}")
+      // one big + one small: fact-side row sampling must refuse the
+      // key distinct too (rows of one key sample independently)
+      catalog.upsertTableStats("orders", nO)
+      val r3 = engine.query(sql,
+        engine.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r3.planType == "exact", s"${r3.strategy}: ${r3.reason}")
+    } finally {
+      catalog.upsertTableStats("orders", nO)
+      catalog.upsertTableStats("lineitem", nL)
+      catalog.refreshSampleBase("orders")
+      catalog.refreshSampleBase("lineitem")
+    }
+  }
+
   test("universe sampling handles composite equi-keys (tuple lottery on both sides)") {
     val sql = "SELECT count(*) AS n FROM orders JOIN lineitem " +
       "ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus"
