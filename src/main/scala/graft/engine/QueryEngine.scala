@@ -3585,8 +3585,8 @@ final class QueryEngine(
       // alike: joinTreeEdges succeeds from any root, and the canonical
       // edge key order is root-independent, so the advised names match
       // what execution will look up.
-      if (features.tables.sizeIs < 2 || !features.hasApproximableAgg ||
-          features.hasDistinct) return Nil
+      if (features.tables.sizeIs < 2 ||
+          !(features.hasApproximableAgg || features.hasDistinct)) return Nil
       return try {
         val ts = features.tables
         ts.iterator
@@ -3610,7 +3610,33 @@ final class QueryEngine(
                 Seq(Candidate(p, agmsKeyName(pks), "universe", None),
                   Candidate(c, agmsKeyName(cks), "universe", None))
             }.flatten
-            (agms ++ universe).distinct
+            // distinct aggregates: the universe key lottery is the ONLY
+            // strategy that can serve them (count over a full edge-key
+            // tuple), so advise exactly when that shape holds on a
+            // two-big edge — anything else has no build that would
+            // flip it, so advise nothing rather than dead recipes
+            val distinctFns = parsed.collect { case n => n.expressions }
+              .flatten.flatMap(_.collect {
+                case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+                    if f.isDistinct => f
+              })
+            val keySets = edges
+              .flatMap { case (_, pks, _, cks) => Seq(pks, cks) }
+              .map(_.map(_.toLowerCase).toSet)
+            val distinctOk = distinctFns.forall { f =>
+              f.nameParts.last.equalsIgnoreCase("count") &&
+                f.filter.isEmpty &&
+                f.arguments.forall(_.isInstanceOf[UnresolvedAttribute]) && {
+                  val cols = f.arguments.map(
+                    _.asInstanceOf[UnresolvedAttribute]
+                      .nameParts.last.toLowerCase).toSet
+                  keySets.contains(cols)
+                }
+            }
+            if (distinctFns.isEmpty) (agms ++ universe).distinct
+            else if (distinctOk && universe.nonEmpty)
+              (agms ++ universe).distinct
+            else Nil
           }
           .getOrElse(Nil)
       } catch { case scala.util.control.NonFatal(_) => Nil }

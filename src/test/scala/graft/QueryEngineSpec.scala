@@ -1129,6 +1129,53 @@ class QueryEngineSpec extends SparkSpec {
     }
   }
 
+  test("distinct-key joins advise the universe pair; non-key distinct shapes advise nothing") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-unidist").toString)
+    val eng = new QueryEngine(spark, cat)
+    cat.upsertTableStats("orders", 2000000L)
+    cat.upsertTableStats("lineitem", 8000000L)
+    // a NON-key distinct has no build that would ever flip it — the
+    // advisor must stay silent rather than emit dead recipes
+    (1 to 3).foreach { _ =>
+      val r = eng.query(
+        "SELECT count(DISTINCT l_partkey) AS nd " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey",
+        eng.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r.planType == "exact", r.reason)
+    }
+    assert(!eng.adviseSketches(minMisses = 1).exists(a =>
+      a.candidate.sketchType == "universe" ||
+        a.candidate.sketchType == "agms"),
+      eng.adviseSketches(minMisses = 1).toString)
+    // the KEY-distinct shape serves inline and surfaces the pair build
+    val sql = "SELECT count(DISTINCT l_orderkey) AS nd " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+    (1 to 3).foreach { _ =>
+      val r = eng.query(sql,
+        eng.Options(approximateJoins = true, maxRelError = 0.1))
+      assert(r.strategy == "sample_universe" && r.sampleTable.isEmpty,
+        s"${r.strategy} ${r.sampleTable}: ${r.reason}")
+    }
+    val uni = eng.adviseSketches(minMisses = 3)
+      .filter(_.candidate.sketchType == "universe")
+    assert(uni.map(_.candidate.table).toSet == Set("orders", "lineitem"),
+      uni.toString)
+    // building the pair retires the advice and the query serves from it
+    Samplers.createUniverse(spark, cat, "orders", "o_orderkey", 0.01)
+    Samplers.createUniverse(spark, cat, "lineitem", "l_orderkey", 0.01)
+    cat.upsertTableStats("orders", 2000000L)
+    cat.upsertTableStats("lineitem", 8000000L)
+    cat.refreshSampleBase("orders")
+    cat.refreshSampleBase("lineitem")
+    assert(!eng.adviseSketches(minMisses = 3)
+      .exists(_.candidate.sketchType == "universe"))
+    val rm = eng.query(sql,
+      eng.Options(approximateJoins = true, maxRelError = 0.1))
+    assert(rm.strategy == "sample_universe" &&
+      rm.reason.contains("materialized universe"), rm.reason)
+  }
+
   test("stored histogram sketch answers percentile queries with no scan") {
     val h = graft.sketch.SketchOps.createHistogram(
       spark, catalog, "orders", "o_totalprice", 64)
