@@ -234,6 +234,18 @@ object Bench {
         // sort-based percentile.
         "merged_pct" -> ("SELECT percentile(l_discount, 0.5) AS p50 " +
           "FROM lineitem_x10 WHERE l_returnflag IN ('A', 'N')"),
+        // Grouped range SUM (round 10): per-group count+sum under a
+        // range on the value column interpolate from the grouped
+        // histogram + its histsum_grouped rider (no scan; a wide
+        // one-sided range keeps the boundary-bucket mass ~0.032,
+        // inside the default budget — adding AVG would charge the
+        // first-order cnt+sum combination ~0.05+ and fall back to
+        // sampling) — the exact side pays the filtered 6M-row grouped
+        // aggregate.
+        "range_sum_group" -> ("SELECT l_returnflag, count(*) AS n, " +
+          "sum(l_extendedprice) AS s " +
+          "FROM lineitem_x10 WHERE l_extendedprice >= 2000 " +
+          "GROUP BY l_returnflag"),
         // Distinct-keys serve (round 10): the key list is the grouped
         // blob's recorded group set (no scan, exact) — the exact side
         // pays a 6M-row distinct.

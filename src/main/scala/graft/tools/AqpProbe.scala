@@ -73,6 +73,16 @@ object AqpProbe {
     minMs("stats query+collect")(
       engine.query(statsSql, engine.Options(ciColumns = false)).df.collect())
     minMs("stats exact collect")(spark.sql(statsSql).collect())
+
+    // count case isolated: adjudicates a bench raw ratio drifting
+    // under/over the 4-6x window — the exact parquet scan's wall time
+    // swings ~2x with page-cache and CPU-steal state, while the
+    // sampled side is stable, so the RAW ratio moves with the host
+    val countSql = "SELECT count(*) AS n FROM lineitem_x10 WHERE l_quantity < 30"
+    val rc = engine.query(countSql, engine.Options(ciColumns = false))
+    println(s"[probe] count plan_type=${rc.planType} sample=${rc.sampleTable}")
+    minMs("count approx collect")(rc.df.collect())
+    minMs("count exact collect")(spark.sql(countSql).collect())
     spark.stop()
   }
 }

@@ -28,6 +28,28 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--rangesum")) {
+      // probe: why does the grouped range SUM serve engage (or not)
+      // under the default budget on this data distribution?
+      graft.Tables.ensureRegistered(spark, sfDir)
+      val cat = new graft.catalog.MetaCatalog(
+        java.nio.file.Files.createTempDirectory("graft-scr").toString)
+      val eng = new graft.engine.QueryEngine(spark, cat)
+      graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+        "lineitem", Seq("l_returnflag"), "l_extendedprice", 64)
+      Seq(
+        "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS s, " +
+          "avg(l_extendedprice) AS a FROM lineitem " +
+          "WHERE l_extendedprice >= 2000 GROUP BY l_returnflag",
+        "SELECT l_returnflag, count(*) AS n, sum(l_extendedprice) AS s " +
+          "FROM lineitem WHERE l_extendedprice >= 2000 GROUP BY l_returnflag"
+      ).foreach { q =>
+        val r = eng.query(q)
+        println(s"[scratch] planType=${r.planType} serveKind=${r.serveKind} " +
+          s"err=${r.estimatedError} reason=${r.reason}")
+      }
+      spark.stop(); return
+    }
     val plan = args.contains("--plan")
     val names =
       if (args.exists(!_.startsWith("--"))) args.filter(!_.startsWith("--")).toSeq
