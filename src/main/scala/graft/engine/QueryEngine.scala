@@ -348,6 +348,19 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Filtered-range twin: a group-equality (or IN) filter AND a range
+    // on the value column — the named group(s)' histograms (+ sum
+    // riders) answer the band's count/sum/avg/percentile with no scan.
+    storedFilteredRangeAnswer(servePlan, table) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(serveResult(posted(df), features, table, "filtered_range", err,
+          "group-filtered range aggregate answered from the named groups' stored histograms (no scan)",
+          Seq("equality/IN group filter + range predicate interpolated from " +
+            "the named groups' grouped histograms and sum riders (no scan; " +
+            "merged boundary-mass bound)"), opts),
+          sql, features, opts)
+      case _ =>
+    }
     // Heavy-hitters strategy: `SELECT keys, count(*) GROUP BY keys
     // ORDER BY count DESC LIMIT k` / `HAVING count >= x` over a
     // HIGH-cardinality key answers EXACTLY from the stored "topk"
@@ -1707,6 +1720,214 @@ final class QueryEngine(
             case Left(_)             => 0.0
           }.foldLeft(0.0)(math.max)
           (spark.createDataFrame(rows.asJava, schema), err)
+        }
+      case _ => None
+    }
+  }
+
+  /** FILTERED-range serve (round 10 fifth pass): `SELECT count(*) /
+    * sum(v) / avg(v) / percentile(v, p) FROM t WHERE g = 'x' [AND h =
+    * 'y' ...] AND <range on v>` — the dashboard shape that mixes a
+    * group filter with a numeric band. The predicate splits into
+    * equality conjuncts on distinct group columns (or ONE all-literal
+    * IN list on a single column) plus the usual one-column range; the
+    * named group(s)' histograms in the `histogram_grouped` blob keyed
+    * by exactly those columns answer by the global range arithmetic —
+    * counts from clipped bucket masses, sums from the histsum_grouped
+    * rider (interior exact decimal addition, boundary fractional),
+    * percentiles by the q111 segment rule. IN-lists merge several
+    * groups first: bucket counts add and rider sums add EXACTLY, but
+    * only on a shared grid (differing per-group grids refuse, like
+    * every other cross-group merge). Literals naming no recorded
+    * group contribute zero rows — the same empty answer exact
+    * execution returns (count 0, SUM/AVG/percentile NULL). Error =
+    * the merged boundary-mass ratios per output kind, plus one bucket
+    * width for percentiles.
+    */
+  private def storedFilteredRangeAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.functions.lit
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    sealed trait ROut { def name: String }
+    case class CntOut(name: String) extends ROut
+    case class SumOut(name: String, col: String) extends ROut
+    case class AvgOut(name: String, col: String) extends ROut
+    case class PctOut(name: String, col: String, p: Double) extends ROut
+    parsed match {
+      case Project(outs, Filter(cond, r: UnresolvedRelation))
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
+            outs.nonEmpty =>
+        val classified = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", Seq(Literal(v: Number, _))) if v.intValue == 1 =>
+                Some(CntOut(name))
+              case ("count", Seq(_: UnresolvedStar)) => Some(CntOut(name))
+              case ("sum", Seq(a: UnresolvedAttribute)) =>
+                Some(SumOut(name, a.nameParts.last))
+              case ("avg" | "mean", Seq(a: UnresolvedAttribute)) =>
+                Some(AvgOut(name, a.nameParts.last))
+              case ("percentile" | "percentile_approx" | "approx_percentile",
+                  Seq(a: UnresolvedAttribute, l: Literal)) =>
+                litDouble(l).map(p => PctOut(name, a.nameParts.last, p))
+              case ("median", Seq(a: UnresolvedAttribute)) =>
+                Some(PctOut(name, a.nameParts.last, 0.5))
+              case _ => None
+            }
+          case _ => None
+        }
+        if (classified.exists(_.isEmpty)) return None
+        val parts = classified.flatten
+        // split the conjunction: comparisons (the range) vs equality /
+        // IN conjuncts (the group filter); anything else refuses
+        val conj = conjunctsOf(cond)
+        def isCmp(e: Expression): Boolean = e match {
+          case _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+               _: LessThanOrEqual => true
+          case _ => false
+        }
+        val (cmps, eqsRaw) = conj.partition(isCmp)
+        if (cmps.isEmpty || eqsRaw.isEmpty) return None
+        val (c, lowerB, upperB) = rangeBounds(
+          cmps.reduce(org.apache.spark.sql.catalyst.expressions.And))
+          .getOrElse(return None)
+        if (!numericColumn(table, c)) return None
+        // value-anchored outputs must target the range column
+        val vCols = parts.collect {
+          case SumOut(_, cc) => cc
+          case AvgOut(_, cc) => cc
+          case PctOut(_, cc, _) => cc
+        }
+        if (vCols.exists(!_.equalsIgnoreCase(c))) return None
+        // group filter: distinct-column equalities (one composite key)
+        // or ONE IN list (several single-column keys)
+        val colKeys: (Seq[String], Seq[Seq[Option[String]]]) = eqsRaw match {
+          case Seq(In(a: UnresolvedAttribute, lits)) =>
+            typedInListKeys(table, a.nameParts.last, lits)
+              .map(ks => (Seq(a.nameParts.last), ks.map(k => Seq(Some(k)))))
+              .getOrElse(return None)
+          case es =>
+            val parsedEqs = es.map {
+              case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+                typedLitKey(table, a.nameParts.last, l)
+                  .map((a.nameParts.last, _))
+              case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+                typedLitKey(table, a.nameParts.last, l)
+                  .map((a.nameParts.last, _))
+              case _ => None
+            }
+            if (parsedEqs.exists(_.isEmpty)) return None
+            val flat = parsedEqs.flatten
+            val cols = flat.map(_._1)
+            if (cols.map(_.toLowerCase).distinct.sizeIs != cols.size)
+              return None // a column equated twice
+            if (cols.exists(_.equalsIgnoreCase(c))) return None
+            (cols, Seq(flat.map(e => Some(e._2))))
+        }
+        val (gCols, selKeys) = colKeys
+        if (gCols.exists(_.equalsIgnoreCase(c))) return None
+        val needSums = parts.exists {
+          case _: SumOut | _: AvgOut => true
+          case _                     => false
+        }
+        groupedBlobFor(table, c, "histogram_grouped", gCols).flatMap { entries =>
+          val m = entries.toMap
+          val selected = selKeys.flatMap(k => m.get(k).map(k -> _))
+          val hs = selected.collect { case (_, b) if b.nonEmpty =>
+            graft.sketch.Histogram.deserialize(b) }
+          // 2+ groups merge only on a shared grid (counts add; the
+          // rider's sums add on the same buckets)
+          if (hs.sizeIs > 1 && !hs.forall(h => h.lo == hs.head.lo &&
+              h.width == hs.head.width && h.buckets == hs.head.buckets))
+            return None
+          val sums: Map[Int, BigInt] =
+            if (!needSums || hs.isEmpty) Map.empty
+            else groupedBlobFor(table, c, "histsum_grouped", gCols) match {
+              case None => return None
+              case Some(se) =>
+                val sm = se.toMap
+                var acc = Map.empty[Int, BigInt]
+                selected.foreach { case (k, b) =>
+                  if (b.nonEmpty) sm.get(k) match {
+                    case None => return None // rider lacks the group
+                    case Some(inner) =>
+                      val im = graft.sketch.GroupedHll.unpack(inner)
+                        .collect { case (Some(bk), bb) =>
+                          bk.toInt -> BigInt(bb) }.toMap
+                      if (im.isEmpty) return None // overflow poison
+                      im.foreach { case (i, v0) =>
+                        acc = acc.updated(i, acc.getOrElse(i, BigInt(0)) + v0)
+                      }
+                  }
+                }
+                acc
+            }
+          val hOpt = hs.reduceOption(_ merge _)
+          val (cntEst, cntRel) = hOpt match {
+            case None => (0.0, 0.0) // no recorded group: zero rows
+            case Some(h) =>
+              val (est, bnd) = h.rangeCount(lowerB, upperB)
+              (est, bnd / math.max(1.0, est))
+          }
+          val (sumEst, sumBnd): (Option[Double], Double) = hOpt match {
+            case Some(h) if needSums =>
+              def d(i: Int): Double = new java.math.BigDecimal(
+                sums.getOrElse(i, BigInt(0)).bigInteger, 4).doubleValue
+              h.rangePositions(lowerB, upperB) match {
+                case None => (None, 0.0)
+                case Some((pa, pb, ia, ib)) if ia == ib =>
+                  (Some(d(ia) * (pb - pa)), math.abs(d(ia)))
+                case Some((pa, pb, ia, ib)) =>
+                  var interior = BigInt(0)
+                  var j = ia + 1
+                  while (j < ib) {
+                    interior += sums.getOrElse(j, BigInt(0)); j += 1
+                  }
+                  val interiorD = new java.math.BigDecimal(
+                    interior.bigInteger, 4).doubleValue
+                  (Some((interiorD + d(ia) * ((ia + 1).toDouble - pa)) +
+                    d(ib) * (pb - ib.toDouble)),
+                    math.abs(d(ia)) + math.abs(d(ib)))
+              }
+            case _ => (None, 0.0)
+          }
+          val sumRel = sumEst match {
+            case Some(s0) if s0 != 0.0 => sumBnd / math.abs(s0)
+            case Some(_) if sumBnd > 0.0 => Double.PositiveInfinity
+            case _ => 0.0
+          }
+          val avgEst: Option[Double] =
+            if (cntEst > 0.0) sumEst.map(_ / cntEst) else None
+          val cols = parts.map {
+            case CntOut(n) => lit(cntEst).as(n)
+            case SumOut(n, _) =>
+              sumEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+            case AvgOut(n, _) =>
+              avgEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+            case PctOut(n, _, p) =>
+              hOpt.flatMap(_.rangePercentile(lowerB, upperB, p))
+                .map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+          }
+          val bucketTerm =
+            if (parts.exists(_.isInstanceOf[PctOut]))
+              hOpt.map(h => 1.0 / h.buckets).getOrElse(0.0)
+            else 0.0
+          val err = parts.map {
+            case _: CntOut => cntRel
+            case _: SumOut => sumRel
+            case _: AvgOut => cntRel + sumRel
+            case _: PctOut => bucketTerm + cntRel
+          }.foldLeft(0.0)(math.max)
+          Some((spark.range(1).select(cols: _*), err))
         }
       case _ => None
     }
@@ -3894,7 +4115,73 @@ final class QueryEngine(
                 names match {
                   case Seq(c) if keyRangePred(table, c, conj).isDefined =>
                     outs.flatMap(classify(_, Some(c))).distinct
-                  case _ => Nil
+                  case _ =>
+                    // equality/IN group filter + range on the value
+                    // column = the FILTERED-range serve's miss: advise
+                    // the grouped histogram keyed by the filter columns
+                    // over the range column (shared grid when an
+                    // IN-list would have to MERGE groups)
+                    def isCmp(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+                      e match {
+                        case _: org.apache.spark.sql.catalyst.expressions.GreaterThan |
+                             _: org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual |
+                             _: org.apache.spark.sql.catalyst.expressions.LessThan |
+                             _: org.apache.spark.sql.catalyst.expressions.LessThanOrEqual => true
+                        case _ => false
+                      }
+                    val (cmps, eqs) = conj.partition(isCmp)
+                    def vAnchored(v: String): Boolean = outs.forall {
+                      case Alias(f: UnresolvedFunction, _)
+                          if !f.isDistinct && f.filter.isEmpty =>
+                        (f.nameParts.last.toLowerCase, f.arguments) match {
+                          case ("count", Seq(_: Literal)) => true
+                          case ("sum" | "avg" | "mean",
+                              Seq(a: UnresolvedAttribute)) =>
+                            a.nameParts.last.equalsIgnoreCase(v)
+                          case ("percentile" | "percentile_approx" |
+                              "approx_percentile",
+                              Seq(a: UnresolvedAttribute, _: Literal)) =>
+                            a.nameParts.last.equalsIgnoreCase(v)
+                          case ("median", Seq(a: UnresolvedAttribute)) =>
+                            a.nameParts.last.equalsIgnoreCase(v)
+                          case _ => false
+                        }
+                      case _ => false
+                    }
+                    if (cmps.isEmpty || eqs.isEmpty) Nil
+                    else rangeBounds(cmps.reduce(
+                      org.apache.spark.sql.catalyst.expressions.And)) match {
+                      case Some((v, _, _))
+                          if numericColumn(table, v) && vAnchored(v) =>
+                        val gm: Option[(Seq[String], Boolean)] = eqs match {
+                          case Seq(In(a: UnresolvedAttribute, ls))
+                              if ls.nonEmpty &&
+                                ls.forall(_.isInstanceOf[Literal]) =>
+                            Some((Seq(a.nameParts.last), ls.sizeIs > 1))
+                          case es =>
+                            val cols = es.map {
+                              case EqualTo(a: UnresolvedAttribute, _: Literal) =>
+                                Some(a.nameParts.last)
+                              case EqualTo(_: Literal, a: UnresolvedAttribute) =>
+                                Some(a.nameParts.last)
+                              case _ => None
+                            }
+                            if (cols.exists(_.isEmpty) ||
+                                cols.flatten.map(_.toLowerCase)
+                                  .distinct.sizeIs != cols.size) None
+                            else Some((cols.flatten, false))
+                        }
+                        gm match {
+                          case Some((gcols, multiLit))
+                              if !gcols.exists(_.equalsIgnoreCase(v)) =>
+                            Seq(Candidate(table, v,
+                              if (multiLit) "histogram_grouped_shared"
+                              else "histogram_grouped",
+                              Some(gcols.mkString(","))))
+                          case _ => Nil
+                        }
+                      case _ => Nil
+                    }
                 }
             }
           case _ => Nil

@@ -1128,6 +1128,45 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // FILTERED-range serve end-to-end (round 10): one status's price
+    // band — `WHERE g = 'O' AND v in [50000, 150000)` with count(*),
+    // sum(v), avg(v), and percentile(v, 0.5) all answered from the
+    // named group's histogram + sum rider in the shared-grid grouped
+    // blob, zero scan. The oracle re-derives the global grid, the
+    // group's clipped bucket masses and decimal sums, and the q111
+    // segment walk for the in-band median.
+    "q120_filtered_range" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(o_totalprice) AS s_est, " +
+          "avg(o_totalprice) AS a_est, " +
+          "percentile(o_totalprice, 0.5) AS p50 FROM orders " +
+          "WHERE o_orderstatus = 'O' " +
+          "AND o_totalprice >= 50000 AND o_totalprice < 150000",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("filtered_range"),
+        s"q120 must serve the group-filtered band from the named " +
+          s"group's histogram and rider: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // IN-list twin: two statuses' bands MERGE before interpolating —
+    // bucket counts add and the riders' decimal sums add EXACTLY on
+    // the shared grid (per-group grids would refuse), then the same
+    // count+sum arithmetic runs once over the merged masses.
+    "q121_merged_range" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(o_totalprice) AS s_est " +
+          "FROM orders WHERE o_orderstatus IN ('O', 'F') " +
+          "AND o_totalprice >= 50000 AND o_totalprice < 150000",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("filtered_range"),
+        s"q121 must merge the named groups' histograms and riders: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // TYPED integral group key end-to-end: `GROUP BY l_linenumber`
     // (an INT column) serves per-key exact SUM/COUNT from the grouped
     // stats blob with the key parsed BACK to its source type — the
@@ -2638,6 +2677,139 @@ object Aqp {
           SELECT g AS o_orderstatus, n AS n_est, s AS s_est,
             s / n AS a_est, 'sketch' AS plan_type
           FROM est WHERE n > 0 ORDER BY g""",
+    // q120: the q106 count/sum arithmetic + the q111 segment walk over
+    // ONE group's rows bucketed on the GLOBAL shared grid (mm/grd over
+    // all orders, bk filtered to the group). Breaks together with
+    // q104/q106/q111/q113/q118 if the grid rule or the walks change.
+    "q120_filtered_range" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT o_totalprice AS rawv, least(63,
+              CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders CROSS JOIN grd
+            WHERE o_totalprice IS NOT NULL AND o_orderstatus = 'O'),
+          c AS (SELECT b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          parts AS (SELECT pa, pb, ia, ib,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM ix),
+          base AS (SELECT parts.*,
+              CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa) AS ma,
+              CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) AS mb
+            FROM parts),
+          tgt AS (SELECT *, CAST('0.5' AS DOUBLE) * total AS target FROM
+            (SELECT *, (CAST(mid AS DOUBLE) + ma) + mb AS total
+             FROM base) tt),
+          cand AS (SELECT min(c.b) AS jb FROM tgt t JOIN c
+              ON c.b > t.ia AND c.b < t.ib AND c.c > 0
+            WHERE t.ma + CAST((SELECT sum(c2.c) FROM c c2
+                WHERE c2.b > t.ia AND c2.b <= c.b) AS DOUBLE) >= t.target),
+          est AS (SELECT
+              CASE WHEN t.pb <= t.pa THEN CAST(0 AS DOUBLE)
+                   WHEN t.ia = t.ib THEN CAST(t.ca AS DOUBLE) * (t.pb - t.pa)
+                   ELSE (CAST(t.mid AS DOUBLE)
+                       + CAST(t.ca AS DOUBLE) * (CAST(t.ia + 1 AS DOUBLE) - t.pa))
+                     + CAST(t.cb AS DOUBLE) * (t.pb - CAST(t.ib AS DOUBLE))
+              END AS n,
+              CASE WHEN t.pb <= t.pa THEN CAST(NULL AS DOUBLE)
+                   WHEN t.ia = t.ib THEN t.sa * (t.pb - t.pa)
+                   ELSE (t.smid + t.sa * (CAST(t.ia + 1 AS DOUBLE) - t.pa))
+                     + t.sb * (t.pb - CAST(t.ib AS DOUBLE)) END AS s,
+              CASE WHEN t.pb <= t.pa THEN NULL
+                   WHEN t.ia = t.ib THEN CASE WHEN t.ca > 0
+                     THEN grd.lo + grd.w * (t.pa + (t.pb - t.pa) * CAST('0.5' AS DOUBLE))
+                     ELSE NULL END
+                   WHEN t.total <= 0 THEN NULL
+                   WHEN t.ca > 0 AND t.ma >= t.target
+                     THEN grd.lo + grd.w * (t.pa +
+                       (CAST(t.ia + 1 AS DOUBLE) - t.pa) * (t.target / t.ma))
+                   WHEN cand.jb IS NOT NULL
+                     THEN grd.lo + grd.w * (CAST(cand.jb AS DOUBLE) +
+                       (t.target - (t.ma + CAST(coalesce((SELECT sum(c3.c)
+                           FROM c c3 WHERE c3.b > t.ia AND c3.b < cand.jb), 0)
+                         AS DOUBLE)))
+                       / CAST((SELECT c4.c FROM c c4 WHERE c4.b = cand.jb)
+                         AS DOUBLE))
+                   WHEN t.mb > 0
+                     THEN grd.lo + grd.w * (CAST(t.ib AS DOUBLE) +
+                       (t.pb - CAST(t.ib AS DOUBLE)) *
+                       least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                         (t.target - (t.ma + CAST(t.mid AS DOUBLE))) / t.mb)))
+                   ELSE grd.lo + grd.w * CAST(t.ib AS DOUBLE) END AS p50
+            FROM tgt t LEFT JOIN cand ON TRUE CROSS JOIN grd)
+          SELECT n AS n_est, s AS s_est, s / n AS a_est, p50,
+            'sketch' AS plan_type FROM est""",
+    // q121: the same count/sum chain with bk collapsed over BOTH named
+    // groups — the engine adds the two groups' bucket counts and rider
+    // sums exactly on the shared grid, which equals bucketing the
+    // union of their rows.
+    "q121_merged_range" ->
+      """WITH mm AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+              max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT o_totalprice AS rawv, least(63,
+              CAST(floor((CAST(o_totalprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM orders CROSS JOIN grd
+            WHERE o_totalprice IS NOT NULL
+              AND o_orderstatus IN ('O', 'F')),
+          c AS (SELECT b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          parts AS (SELECT pa, pb, ia, ib,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM ix),
+          est AS (SELECT
+              CASE WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+                   WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+                   ELSE (CAST(mid AS DOUBLE)
+                       + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                     + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+              CASE WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+                   WHEN ia = ib THEN sa * (pb - pa)
+                   ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                     + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT n AS n_est, s AS s_est, 'sketch' AS plan_type FROM est""",
     // q102: the typed-key serve equals the direct aggregate (decimal
     // sum recipe; the key stays the parquet INT type in both engines)
     "q102_typed_key_serve" ->

@@ -2242,6 +2242,111 @@ class QueryEngineSpec extends SparkSpec {
       r3.serveKind.contains("grouped_histogram_range"), r3.reason)
   }
 
+  test("filtered-range serve: named groups' bands from histograms + riders; grid and rider guards") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-frange").toString)
+    val eng = new QueryEngine(spark, cat)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64)
+    val single = "SELECT count(*) AS n, sum(o_totalprice) AS s FROM orders " +
+      "WHERE o_orderstatus = 'O' " +
+      "AND o_totalprice >= 50000 AND o_totalprice < 150000"
+    val r = eng.query(single, eng.Options(maxRelError = 0.5))
+    assert(r.servedFromCatalog && r.serveKind.contains("filtered_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val row = r.df.collect().head
+    val t = spark.sql(
+      "SELECT count(*), cast(sum(o_totalprice) as double) FROM orders " +
+        "WHERE o_orderstatus = 'O' " +
+        "AND o_totalprice >= 50000 AND o_totalprice < 150000").collect().head
+    assert(math.abs(row.getDouble(0) - t.getLong(0)) <=
+      r.estimatedError * math.max(1.0, row.getDouble(0)) + 1e-6)
+    assert(math.abs(row.getDouble(1) - t.getDouble(1)) <=
+      r.estimatedError * math.max(1.0, math.abs(row.getDouble(1))) + 1e-6)
+    // IN-list merge needs ONE grid: per-group grids refuse
+    val inq = "SELECT count(*) AS n, sum(o_totalprice) AS s FROM orders " +
+      "WHERE o_orderstatus IN ('O', 'F') " +
+      "AND o_totalprice >= 50000 AND o_totalprice < 150000"
+    val r2 = eng.query(inq, eng.Options(maxRelError = 0.5))
+    assert(!r2.servedFromCatalog, r2.reason)
+    // a literal naming no recorded group is the exact empty answer
+    val r3 = eng.query(
+      "SELECT count(*) AS n, sum(o_totalprice) AS s FROM orders " +
+        "WHERE o_orderstatus = 'ZZZ' " +
+        "AND o_totalprice >= 50000 AND o_totalprice < 150000",
+      eng.Options(maxRelError = 0.5))
+    assert(r3.servedFromCatalog && r3.serveKind.contains("filtered_range"),
+      r3.reason)
+    val row3 = r3.df.collect().head
+    assert(row3.getDouble(0) == 0.0 && row3.isNullAt(1))
+    // a shared-grid rebuild makes the IN-list merge serve
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64, sharedGrid = true)
+    val r4 = eng.query(inq, eng.Options(maxRelError = 0.5))
+    assert(r4.servedFromCatalog && r4.serveKind.contains("filtered_range"),
+      s"${r4.serveKind}: ${r4.reason}")
+    val row4 = r4.df.collect().head
+    val t4 = spark.sql(
+      "SELECT count(*), cast(sum(o_totalprice) as double) FROM orders " +
+        "WHERE o_orderstatus IN ('O', 'F') " +
+        "AND o_totalprice >= 50000 AND o_totalprice < 150000").collect().head
+    assert(math.abs(row4.getDouble(0) - t4.getLong(0)) <=
+      r4.estimatedError * math.max(1.0, row4.getDouble(0)) + 1e-6)
+    assert(math.abs(row4.getDouble(1) - t4.getDouble(1)) <=
+      r4.estimatedError * math.max(1.0, math.abs(row4.getDouble(1))) + 1e-6)
+    // a mismatched rider refuses SUM; count-only keeps serving
+    val rows = spark.table("orders").count()
+    cat.upsertSketch(cat.SketchInfo("orders", "o_totalprice",
+      "histsum_grouped", Array.emptyByteArray,
+      s"""{"buckets":64,"group_by":"o_orderpriority","groups":0,"rows":$rows}""",
+      System.currentTimeMillis()))
+    val r5 = eng.query(single, eng.Options(maxRelError = 0.5))
+    assert(!r5.servedFromCatalog, r5.reason)
+    val r6 = eng.query(
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'O' " +
+        "AND o_totalprice >= 50000 AND o_totalprice < 150000",
+      eng.Options(maxRelError = 0.5))
+    assert(r6.servedFromCatalog && r6.serveKind.contains("filtered_range"),
+      r6.reason)
+  }
+
+  test("filtered-range misses advise the grouped histogram; IN-list misses the shared grid") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-frmiss").toString)
+    val eng = new QueryEngine(spark, cat)
+    val sql = "SELECT count(*) AS n, sum(o_totalprice) AS s FROM orders " +
+      "WHERE o_orderstatus = 'O' " +
+      "AND o_totalprice >= 50000 AND o_totalprice < 150000"
+    (1 to 3).foreach { _ =>
+      assert(!eng.query(sql, eng.Options(maxRelError = 0.5)).servedFromCatalog)
+    }
+    assert(eng.adviseSketches().exists(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.column.equalsIgnoreCase("o_totalprice") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("o_orderstatus"))),
+      eng.adviseSketches().toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "orders", Seq("o_orderstatus"), "o_totalprice", 64)
+    assert(!eng.adviseSketches().exists(
+      _.candidate.sketchType == "histogram_grouped"),
+      eng.adviseSketches().toString)
+    val r = eng.query(sql, eng.Options(maxRelError = 0.5))
+    assert(r.servedFromCatalog && r.serveKind.contains("filtered_range"),
+      s"${r.serveKind}: ${r.reason}")
+    // the IN-list shape needs a MERGE the per-group build cannot do —
+    // its miss advises the shared-grid variant
+    val insql = "SELECT count(*) AS n, sum(o_totalprice) AS s FROM orders " +
+      "WHERE o_orderstatus IN ('O', 'F') " +
+      "AND o_totalprice >= 50000 AND o_totalprice < 150000"
+    (1 to 3).foreach { _ =>
+      assert(!eng.query(insql, eng.Options(maxRelError = 0.5)).servedFromCatalog)
+    }
+    assert(eng.adviseSketches().exists(a =>
+      a.candidate.sketchType == "histogram_grouped_shared" &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("o_orderstatus"))),
+      eng.adviseSketches().toString)
+  }
+
   test("composite-key CMS serves conjunctive equality frequencies from the tuple sketch") {
     import org.apache.spark.sql.functions.expr
     // one all-NULL-component row: excluded from the counters (it can
