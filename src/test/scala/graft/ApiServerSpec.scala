@@ -296,6 +296,13 @@ class ApiServerSpec extends SparkSpec {
     assert(dc == 200, db)
     assert(parsed(db)("plan").flatMap(_("reason")).flatMap(_.str)
       .exists(_.contains("distinct_keys")), db.take(400))
+    // filtered-range (round 10 fifth pass): a group equality + value
+    // band serves from the named group's histogram and sum rider
+    val (fc, fb) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n, sum(o_totalprice) AS s FROM orders WHERE o_orderstatus = 'O' AND o_totalprice >= 50000 AND o_totalprice < 150000", "max_rel_error": 0.5}"""))
+    assert(fc == 200, fb)
+    assert(parsed(fb)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("filtered_range")), fb.take(400))
   }
 
   test("topk blob over HTTP: build, then the top-k dashboard serves exactly (round 10)") {
