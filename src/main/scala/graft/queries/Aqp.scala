@@ -1167,6 +1167,24 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // COMPOSITE-key filtered range: the point lookup of one (flag,
+    // status) cell restricted to a quantity band — the conjunction of
+    // two equalities selects exactly one composite group's histogram
+    // and rider from the "l_returnflag,l_linestatus" blob, then the
+    // q106 arithmetic runs on its clipped masses. Zero scan.
+    "q122_composite_filtered_range" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(l_quantity) AS s_est " +
+          "FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F' " +
+          "AND l_quantity >= 10 AND l_quantity < 40",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("filtered_range"),
+        s"q122 must serve the composite cell's band from its histogram " +
+          s"and rider: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // TYPED integral group key end-to-end: `GROUP BY l_linenumber`
     // (an INT column) serves per-key exact SUM/COUNT from the grouped
     // stats blob with the key parsed BACK to its source type — the
@@ -2782,6 +2800,55 @@ object Aqp {
                 (CAST('50000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
               least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
                 (CAST('150000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          parts AS (SELECT pa, pb, ia, ib,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM ix),
+          est AS (SELECT
+              CASE WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+                   WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+                   ELSE (CAST(mid AS DOUBLE)
+                       + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                     + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+              CASE WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+                   WHEN ia = ib THEN sa * (pb - pa)
+                   ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                     + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT n AS n_est, s AS s_est, 'sketch' AS plan_type FROM est""",
+    // q122: q121's chain over ONE composite cell's rows on the global
+    // l_quantity shared grid — the engine's composite lookup selects
+    // exactly those rows' histogram and rider.
+    "q122_composite_filtered_range" ->
+      """WITH mm AS (SELECT min(CAST(l_quantity AS DOUBLE)) AS lo,
+              max(CAST(l_quantity AS DOUBLE)) AS hi FROM lineitem),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT l_quantity AS rawv, least(63,
+              CAST(floor((CAST(l_quantity AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM lineitem CROSS JOIN grd
+            WHERE l_quantity IS NOT NULL
+              AND l_returnflag = 'A' AND l_linestatus = 'F'),
+          c AS (SELECT b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('10' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('40' AS DOUBLE) - grd.lo) / grd.w)) AS pb
             FROM grd),
           ix AS (SELECT pa, pb,
               least(63, CAST(floor(pa) AS INT)) AS ia,

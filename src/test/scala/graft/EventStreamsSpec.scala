@@ -410,6 +410,22 @@ class EventStreamsSpec extends SparkSpec {
         s"group $g: sum est=$s truth=${in.sum}")
     }
 
+    // the FILTERED-range serve reads the same live blobs: one group's
+    // band answers from its histogram + rider with no scan
+    val rf = engine.query(
+      "SELECT count(*) AS n, sum(price) AS s FROM prices_hs " +
+        "WHERE grp = 'g0' AND price >= 100 AND price < 500",
+      engine.Options(maxRelError = 0.5))
+    assert(rf.servedFromCatalog && rf.serveKind.contains("filtered_range"),
+      s"${rf.serveKind}: ${rf.reason}")
+    val g0 = data.filter(_._1 == "g0").map(_._2)
+      .filter(v => v >= 100 && v < 500)
+    val rowf = rf.df.collect().head
+    assert(math.abs(rowf.getDouble(0) - g0.size) <=
+      rf.estimatedError * math.max(1.0, rowf.getDouble(0)) + 1e-6)
+    assert(math.abs(rowf.getDouble(1) - g0.sum.toDouble) <=
+      rf.estimatedError * math.max(1.0, math.abs(rowf.getDouble(1))) + 1e-6)
+
     // overflow poison: a group whose batch sum exceeds decimal(38,4)
     // poisons ITS rider entry — SUM refuses, counts keep serving
     val catalog2 = new graft.catalog.MetaCatalog(
