@@ -1515,7 +1515,14 @@ final class QueryEngine(
     * decimal sums): interior buckets add exactly (unscaled decimal
     * addition, one cast to double), boundary buckets contribute their
     * covered fraction, AVG is one division of the two per-group
-    * estimates. Contract: one row per recorded group with estimated
+    * estimates. RESIDUAL equality conjuncts on non-group columns
+    * (round 10 fifth pass) dispatch to the COMPOSITE blob keyed by
+    * group ∪ residual columns and PRUNE on the residual components —
+    * `WHERE a = 'x' AND <range> GROUP BY b` serves from an "a,b"
+    * blob, each surviving entry exactly one output group (the
+    * residual pins a point, so no cross-group merge happens and
+    * per-group grids serve too). Contract: one row per recorded
+    * group with estimated
     * in-range mass > 0 (a group with true matches always has mass > 0
     * — its rows' buckets overlap the range — so no group exact
     * execution returns is dropped; extra near-range groups may
@@ -1615,26 +1622,68 @@ final class QueryEngine(
         if (!sawAgg ||
             parts.collect { case Left((_, i)) => i }.toSet !=
               gNames.indices.toSet) return None
-        // the same one-column numeric range parse as the global serve
-        val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
+        // the one-column numeric range parse, now tolerating RESIDUAL
+        // equality conjuncts on NON-group columns (round 10 fifth
+        // pass): `WHERE a = 'x' AND <range on v> GROUP BY b` looks up
+        // the COMPOSITE "b,a" blob and prunes on the a component —
+        // each surviving entry is exactly one output group (the
+        // residual pins a point, so no cross-group merge happens and
+        // per-group grids serve too)
+        val conj = conjunctsOf(cond)
+        val (cmps, eqsRaw) = conj.partition {
+          case _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+               _: LessThanOrEqual => true
+          case _ => false
+        }
+        if (cmps.isEmpty) return None
+        val (c, lowerB, upperB) = rangeBounds(cmps.reduce(
+          org.apache.spark.sql.catalyst.expressions.And))
+          .getOrElse(return None)
         if (lower.contains(c.toLowerCase)) return None // that's a WHERE on the key
         if (!numericColumn(table, c)) return None
         // sums/averages/percentiles serve only over the range column
         // (the per-group histograms and sum riders model exactly that
         // distribution)
         if (valCol.exists(!_.equalsIgnoreCase(c))) return None
+        val resid: Seq[(String, String)] = eqsRaw.map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              a: UnresolvedAttribute, l: Literal) =>
+            typedLitKey(table, a.nameParts.last, l)
+              .map((a.nameParts.last, _)).getOrElse(return None)
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              l: Literal, a: UnresolvedAttribute) =>
+            typedLitKey(table, a.nameParts.last, l)
+              .map((a.nameParts.last, _)).getOrElse(return None)
+          case _ => return None
+        }
+        val residCols = resid.map(_._1)
+        if (residCols.map(_.toLowerCase).distinct.sizeIs != residCols.size)
+          return None
+        if (residCols.exists(rc => rc.equalsIgnoreCase(c) ||
+            lower.contains(rc.toLowerCase))) return None
+        val lookupCols = gNames ++ residCols
         val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
         val needSums = parts.exists {
           case Right((_, SumA | AvgA)) => true
           case _                       => false
         }
-        groupedBlobFor(table, c, "histogram_grouped", gNames).map { entries =>
+        groupedBlobFor(table, c, "histogram_grouped", lookupCols)
+          .map { full =>
+          // prune on the residual components (typed literal match);
+          // the serve below sees gs-prefix keys but sum lookups need
+          // the FULL tuple
+          val entries: Seq[(Seq[Option[String]], Array[Byte])] =
+            full.collect {
+              case (k, b) if resid.zipWithIndex.forall { case ((_, v0), i) =>
+                  k(gNames.size + i).contains(v0) } =>
+                (k, b)
+            }
           // per-group bucket sums (unscaled scale-4 decimals), only
           // when SUM/AVG outputs need them; a missing or stale rider
           // refuses the serve rather than inventing zeros
           val sumsByKey: Map[Seq[Option[String]], Map[Int, BigInt]] =
             if (!needSums) Map.empty
-            else groupedBlobFor(table, c, "histsum_grouped", gNames) match {
+            else groupedBlobFor(table, c, "histsum_grouped", lookupCols) match {
               case Some(se) => se.map { case (k, inner) =>
                   k -> graft.sketch.GroupedHll.unpack(inner)
                     .collect { case (Some(bk), bb) => bk.toInt -> BigInt(bb) }

@@ -2242,6 +2242,59 @@ class QueryEngineSpec extends SparkSpec {
       r3.serveKind.contains("grouped_histogram_range"), r3.reason)
   }
 
+  test("partial-key grouped range: residual equality prunes the composite blob per group") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-pkrange").toString)
+    val eng = new QueryEngine(spark, cat)
+    // composite per-group-grid build — the residual pins a point, so
+    // no merge is needed and per-group grids serve
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64)
+    val sql = "SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS s " +
+      "FROM lineitem WHERE l_returnflag = 'A' " +
+      "AND l_quantity >= 10 AND l_quantity < 40 " +
+      "GROUP BY l_linestatus"
+    val r = eng.query(sql, eng.Options(maxRelError = 0.5))
+    assert(r.servedFromCatalog &&
+      r.serveKind.contains("grouped_histogram_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val served = r.df.collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val truth = spark.sql(
+      "SELECT l_linestatus, count(*), cast(sum(l_quantity) as double) " +
+        "FROM lineitem WHERE l_returnflag = 'A' " +
+        "AND l_quantity >= 10 AND l_quantity < 40 " +
+        "GROUP BY l_linestatus").collect()
+      .map(x => x.getString(0) -> (x.getLong(1).toDouble, x.getDouble(2)))
+      .toMap
+    assert(truth.keySet.subsetOf(served.keySet),
+      s"${served.keySet} vs ${truth.keySet}")
+    served.foreach { case (g, (n, sm)) =>
+      val (tn, ts) = truth.getOrElse(g, (0.0, 0.0))
+      assert(math.abs(n - tn) <= r.estimatedError * math.max(1.0, n) + 1e-6,
+        s"group $g: n=$n truth=$tn")
+      assert(math.abs(sm - ts) <=
+        r.estimatedError * math.max(1.0, math.abs(sm)) + 1e-6,
+        s"group $g: s=$sm truth=$ts")
+    }
+    // a residual column NOT in the blob's key set refuses
+    val rx = eng.query(
+      "SELECT l_linestatus, count(*) AS n FROM lineitem " +
+        "WHERE l_suppkey = 1 AND l_quantity >= 10 AND l_quantity < 40 " +
+        "GROUP BY l_linestatus",
+      eng.Options(maxRelError = 0.5))
+    assert(!rx.servedFromCatalog, rx.reason)
+    // an unknown residual literal serves the exact empty row set
+    val rz = eng.query(
+      "SELECT l_linestatus, count(*) AS n FROM lineitem " +
+        "WHERE l_returnflag = 'Z' AND l_quantity >= 10 AND l_quantity < 40 " +
+        "GROUP BY l_linestatus",
+      eng.Options(maxRelError = 0.5))
+    assert(rz.servedFromCatalog &&
+      rz.serveKind.contains("grouped_histogram_range"), rz.reason)
+    assert(rz.df.collect().isEmpty)
+  }
+
   test("filtered-range serve: named groups' bands from histograms + riders; grid and rider guards") {
     val cat = new MetaCatalog(
       Files.createTempDirectory("graft-frange").toString)
