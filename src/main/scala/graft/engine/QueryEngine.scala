@@ -4053,7 +4053,61 @@ final class QueryEngine(
                       conjunctsOf(cond)).isDefined)
                   outs.flatMap(classify(_, Some(gcols.mkString(","))))
                     .distinct
-                else Nil
+                else {
+                  // RESIDUAL equality + range (round 10 fifth pass):
+                  // `WHERE a = lit AND <range on v> GROUP BY b` —
+                  // the partial-key grouped range serve's miss:
+                  // advise the COMPOSITE "b,a" grouped histogram
+                  // over the range column
+                  val conj2 = conjunctsOf(cond)
+                  val (cmps2, eqs2) = conj2.partition {
+                    case _: GreaterThan | _: GreaterThanOrEqual |
+                         _: LessThan | _: LessThanOrEqual => true
+                    case _ => false
+                  }
+                  val eqCols = eqs2.map {
+                    case EqualTo(a: UnresolvedAttribute, _: Literal) =>
+                      Some(a.nameParts.last)
+                    case EqualTo(_: Literal, a: UnresolvedAttribute) =>
+                      Some(a.nameParts.last)
+                    case _ => None
+                  }
+                  if (cmps2.isEmpty || eqs2.isEmpty ||
+                      eqCols.exists(_.isEmpty)) Nil
+                  else {
+                    val ec = eqCols.flatten
+                    rangeBounds(cmps2.reduce(
+                      org.apache.spark.sql.catalyst.expressions.And)) match {
+                      case Some((c, _, _))
+                          if numericColumn(table, c) &&
+                            !lowerG.contains(c.toLowerCase) &&
+                            !ec.exists(e => e.equalsIgnoreCase(c) ||
+                              lowerG.contains(e.toLowerCase)) &&
+                            ec.map(_.toLowerCase).distinct.sizeIs ==
+                              ec.size && {
+                              val af = aggFor(c)
+                              outs.exists {
+                                case Alias(f: UnresolvedFunction, _)
+                                    if af.isDefinedAt(f) => af(f)
+                                case _ => false
+                              } && outs.forall {
+                                case a: UnresolvedAttribute =>
+                                  lowerG.contains(
+                                    a.nameParts.last.toLowerCase)
+                                case Alias(a: UnresolvedAttribute, _) =>
+                                  lowerG.contains(
+                                    a.nameParts.last.toLowerCase)
+                                case Alias(f: UnresolvedFunction, _)
+                                    if af.isDefinedAt(f) => af(f)
+                                case _ => false
+                              }
+                            } =>
+                        Seq(Candidate(table, c, "histogram_grouped",
+                          Some((gcols ++ ec).mkString(","))))
+                      case _ => Nil
+                    }
+                  }
+                }
             }
         }
       case Project(outs, r: UnresolvedRelation) if rel(r) =>

@@ -2284,6 +2284,28 @@ class QueryEngineSpec extends SparkSpec {
         "GROUP BY l_linestatus",
       eng.Options(maxRelError = 0.5))
     assert(!rx.servedFromCatalog, rx.reason)
+    // the miss advises the COMPOSITE blob; building it flips the serve
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-pkr-miss").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    (1 to 3).foreach { _ =>
+      assert(!eng2.query(sql, eng2.Options(maxRelError = 0.5))
+        .servedFromCatalog)
+    }
+    assert(eng2.adviseSketches().exists(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.column.equalsIgnoreCase("l_quantity") &&
+        a.candidate.groupBy.exists(
+          _.toLowerCase == "l_linestatus,l_returnflag")),
+      eng2.adviseSketches().toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat2,
+      "lineitem", Seq("l_linestatus", "l_returnflag"), "l_quantity", 64)
+    assert(!eng2.adviseSketches().exists(
+      _.candidate.sketchType == "histogram_grouped"),
+      eng2.adviseSketches().toString)
+    val r2 = eng2.query(sql, eng2.Options(maxRelError = 0.5))
+    assert(r2.servedFromCatalog &&
+      r2.serveKind.contains("grouped_histogram_range"), r2.reason)
     // an unknown residual literal serves the exact empty row set
     val rz = eng.query(
       "SELECT l_linestatus, count(*) AS n FROM lineitem " +
