@@ -1620,6 +1620,27 @@ object Aqp {
       r.df
     }),
 
+    // GROUPED twin of q119: per-priority distinct-order counts over
+    // the join — the key lottery is per KEY, so within every group
+    // each distinct key still survives with probability exactly p and
+    // the per-group scaled counts stay unbiased. Same deterministic
+    // membership, re-derived per group.
+    "q124_universe_distinct_group" -> ((s, dir) => {
+      val e = uniEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, count(*) AS n_est, " +
+          "count(DISTINCT l_orderkey) AS nd_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          ciColumns = false))
+      assert(r.strategy == "sample_universe" &&
+          r.sampleFraction.contains(0.01),
+        s"q124 must run universe join sampling at p=0.01: " +
+          s"${r.strategy} f=${r.sampleFraction} (${r.reason})")
+      r.df
+    }),
+
     // AQP: the MATERIALIZED universe-sample route — q79's membership
     // with the per-query lottery cost removed: both sides' universe
     // samples (Samplers.createUniverse, p=0.01) are built once, and the
@@ -1771,6 +1792,16 @@ object Aqp {
             CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est,
             CAST(count(DISTINCT l_orderkey) AS DOUBLE) * 100.0 AS nd_est
           FROM k""",
+    // q124: q119's scale PER GROUP — distinct surviving orderkeys per
+    // priority times the exact 100.0 weight.
+    "q124_universe_distinct_group" ->
+      s"""WITH k AS (SELECT o_orderpriority, l_orderkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100)
+          SELECT o_orderpriority,
+            CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
+            CAST(count(DISTINCT l_orderkey) AS DOUBLE) * 100.0 AS nd_est
+          FROM k GROUP BY 1 ORDER BY 1""",
     // q95: q79's membership ('uv:' lottery on the shared orderkey,
     // threshold 100, weight exactly 100.0) with the part dim joined
     // UNFILTERED — the engine lotteries only the two big sides, so the
