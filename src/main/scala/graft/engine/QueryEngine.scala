@@ -1645,15 +1645,24 @@ final class QueryEngine(
         // (the per-group histograms and sum riders model exactly that
         // distribution)
         if (valCol.exists(!_.equalsIgnoreCase(c))) return None
-        val resid: Seq[(String, String)] = eqsRaw.map {
+        // each residual conjunct contributes a VALUE LIST: a singleton
+        // for an equality, several for an all-literal IN — the entries
+        // matching any combination merge per output group below (the
+        // cross-group merge needs one grid, guarded at merge time)
+        val resid: Seq[(String, Seq[String])] = eqsRaw.map {
           case org.apache.spark.sql.catalyst.expressions.EqualTo(
               a: UnresolvedAttribute, l: Literal) =>
             typedLitKey(table, a.nameParts.last, l)
-              .map((a.nameParts.last, _)).getOrElse(return None)
+              .map(v => (a.nameParts.last, Seq(v))).getOrElse(return None)
           case org.apache.spark.sql.catalyst.expressions.EqualTo(
               l: Literal, a: UnresolvedAttribute) =>
             typedLitKey(table, a.nameParts.last, l)
-              .map((a.nameParts.last, _)).getOrElse(return None)
+              .map(v => (a.nameParts.last, Seq(v))).getOrElse(return None)
+          case org.apache.spark.sql.catalyst.expressions.In(
+              a: UnresolvedAttribute, lits)
+              if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+            typedInListKeys(table, a.nameParts.last, lits)
+              .map(vs => (a.nameParts.last, vs)).getOrElse(return None)
           case _ => return None
         }
         val residCols = resid.map(_._1)
@@ -1669,13 +1678,15 @@ final class QueryEngine(
         }
         groupedBlobFor(table, c, "histogram_grouped", lookupCols)
           .map { full =>
-          // prune on the residual components (typed literal match);
-          // the serve below sees gs-prefix keys but sum lookups need
-          // the FULL tuple
+          // prune on the residual components (typed literal match —
+          // any value in each conjunct's list); the serve below emits
+          // gs-prefix keys, several residual combinations MERGE per
+          // output group (same grid required), and sum lookups use the
+          // FULL tuple
           val entries: Seq[(Seq[Option[String]], Array[Byte])] =
             full.collect {
-              case (k, b) if resid.zipWithIndex.forall { case ((_, v0), i) =>
-                  k(gNames.size + i).contains(v0) } =>
+              case (k, b) if resid.zipWithIndex.forall { case ((_, vs), i) =>
+                  k(gNames.size + i).exists(vs.contains) } =>
                 (k, b)
             }
           // per-group bucket sums (unscaled scale-4 decimals), only
@@ -1691,49 +1702,64 @@ final class QueryEngine(
                 }.toMap
               case None => return None
             }
-          val served = entries.flatMap { case (k, b) =>
-            if (b.isEmpty) None // all-NULL group: no row passes the range
+          val byPrefix = entries.groupBy(_._1.take(gNames.size)).toSeq
+            .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+          val served = byPrefix.flatMap { case (pk, es) =>
+            val hs = es.collect { case (_, b) if b.nonEmpty =>
+              graft.sketch.Histogram.deserialize(b) }
+            if (hs.isEmpty) None // all-NULL cell(s): no row passes the range
+            else if (hs.sizeIs > 1 && !hs.forall(h0 => h0.lo == hs.head.lo &&
+                h0.width == hs.head.width && h0.buckets == hs.head.buckets))
+              return None // multi-cell merge needs ONE (shared) grid
             else {
-              val h = graft.sketch.Histogram.deserialize(b)
+              val h = hs.reduce(_ merge _)
               val (est, bnd) = h.rangeCount(lowerB, upperB)
               if (est <= 0.0) None
               else {
                 val cntRel = bnd / math.max(1.0, est)
                 val (sumEst, sumBnd): (Option[Double], Double) =
                   if (!needSums) (None, 0.0)
-                  else sumsByKey.get(k) match {
-                    case None => return None // rider lacks a recorded group
-                    // a group with in-range mass but an EMPTY sum map is
-                    // the streaming overflow poison — refuse rather than
-                    // serve a zero that silently missed a batch
-                    case Some(bs) if bs.isEmpty => return None
-                    case Some(bs) =>
-                      def d(i: Int): Double = new java.math.BigDecimal(
-                        bs.getOrElse(i, BigInt(0)).bigInteger, 4).doubleValue
-                      h.rangePositions(lowerB, upperB) match {
-                        case None => (None, 0.0)
-                        case Some((pa, pb, ia, ib)) if ia == ib =>
-                          (Some(d(ia) * (pb - pa)), math.abs(d(ia)))
-                        case Some((pa, pb, ia, ib)) =>
-                          var interior = BigInt(0)
-                          var j = ia + 1
-                          while (j < ib) {
-                            interior += bs.getOrElse(j, BigInt(0)); j += 1
-                          }
-                          val interiorD = new java.math.BigDecimal(
-                            interior.bigInteger, 4).doubleValue
-                          (Some((interiorD +
-                            d(ia) * ((ia + 1).toDouble - pa)) +
-                            d(ib) * (pb - ib.toDouble)),
-                            math.abs(d(ia)) + math.abs(d(ib)))
+                  else {
+                    // riders of the merged cells add EXACTLY (BigInt)
+                    var bs = Map.empty[Int, BigInt]
+                    es.foreach { case (k, b) =>
+                      if (b.nonEmpty) sumsByKey.get(k) match {
+                        case None => return None // rider lacks a cell
+                        // a cell with in-range mass but an EMPTY sum
+                        // map is the streaming overflow poison —
+                        // refuse rather than serve a silent zero
+                        case Some(m) if m.isEmpty => return None
+                        case Some(m) => m.foreach { case (i, v0) =>
+                          bs = bs.updated(i, bs.getOrElse(i, BigInt(0)) + v0)
+                        }
                       }
+                    }
+                    def d(i: Int): Double = new java.math.BigDecimal(
+                      bs.getOrElse(i, BigInt(0)).bigInteger, 4).doubleValue
+                    h.rangePositions(lowerB, upperB) match {
+                      case None => (None, 0.0)
+                      case Some((pa, pb, ia, ib)) if ia == ib =>
+                        (Some(d(ia) * (pb - pa)), math.abs(d(ia)))
+                      case Some((pa, pb, ia, ib)) =>
+                        var interior = BigInt(0)
+                        var j = ia + 1
+                        while (j < ib) {
+                          interior += bs.getOrElse(j, BigInt(0)); j += 1
+                        }
+                        val interiorD = new java.math.BigDecimal(
+                          interior.bigInteger, 4).doubleValue
+                        (Some((interiorD +
+                          d(ia) * ((ia + 1).toDouble - pa)) +
+                          d(ib) * (pb - ib.toDouble)),
+                          math.abs(d(ia)) + math.abs(d(ib)))
+                    }
                   }
                 val sumRel = sumEst match {
                   case Some(s0) if s0 != 0.0 => sumBnd / math.abs(s0)
                   case Some(_) if sumBnd > 0.0 => Double.PositiveInfinity
                   case _ => 0.0
                 }
-                Some((k, h, est, cntRel, sumEst, sumRel))
+                Some((pk, h, est, cntRel, sumEst, sumRel))
               }
             }
           }

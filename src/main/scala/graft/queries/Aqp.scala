@@ -1206,6 +1206,26 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // Residual IN-list + range GROUP BY: `WHERE a IN ('A','N') AND
+    // <range on v> GROUP BY b` — per output group the matching
+    // composite cells MERGE (bucket counts add, rider sums add
+    // exactly; shared grid required), then the band arithmetic runs
+    // once per group. The multi-select drill-down shape.
+    "q125_partial_in_range" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_linestatus, count(*) AS n_est, sum(l_quantity) AS s_est " +
+          "FROM lineitem WHERE l_returnflag IN ('A', 'N') " +
+          "AND l_quantity >= 10 AND l_quantity < 40 " +
+          "GROUP BY l_linestatus ORDER BY l_linestatus",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog &&
+        r.serveKind.contains("grouped_histogram_range"),
+        s"q125 must merge the matching composite cells per group: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // TYPED integral group key end-to-end: `GROUP BY l_linenumber`
     // (an INT column) serves per-key exact SUM/COUNT from the grouped
     // stats blob with the key parsed BACK to its source type — the
@@ -2929,6 +2949,63 @@ object Aqp {
                      + sb * (pb - CAST(ib AS DOUBLE)) END AS s
             FROM parts)
           SELECT n AS n_est, s AS s_est, 'sketch' AS plan_type FROM est""",
+    // q125: q123's chain with the flag filter widened to the IN list
+    // — merging the matching cells per l_linestatus equals bucketing
+    // the union of their rows on the shared grid.
+    "q125_partial_in_range" ->
+      """WITH mm AS (SELECT min(CAST(l_quantity AS DOUBLE)) AS lo,
+              max(CAST(l_quantity AS DOUBLE)) AS hi FROM lineitem),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT l_linestatus AS g, l_quantity AS rawv, least(63,
+              CAST(floor((CAST(l_quantity AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM lineitem CROSS JOIN grd
+            WHERE l_quantity IS NOT NULL AND l_returnflag IN ('A', 'N')),
+          c AS (SELECT g, b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY g, b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('10' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('40' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          gl AS (SELECT DISTINCT g FROM c),
+          parts AS (SELECT gl.g, ix.pa, ix.pb, ix.ia, ix.ib,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM gl CROSS JOIN ix),
+          est AS (SELECT g, CASE
+              WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+              WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+              ELSE (CAST(mid AS DOUBLE)
+                  + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+            CASE
+              WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+              WHEN ia = ib THEN sa * (pb - pa)
+              ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT g AS l_linestatus, n AS n_est, s AS s_est,
+            'sketch' AS plan_type
+          FROM est WHERE n > 0 ORDER BY g""",
     // q123: q118's per-group count/sum chain keyed l_linestatus with
     // the residual l_returnflag = 'A' filter — exactly what pruning
     // the composite blob's entries computes (the global l_quantity

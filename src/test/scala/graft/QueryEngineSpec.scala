@@ -2284,6 +2284,53 @@ class QueryEngineSpec extends SparkSpec {
         "GROUP BY l_linestatus",
       eng.Options(maxRelError = 0.5))
     assert(!rx.servedFromCatalog, rx.reason)
+    // a residual IN-list must MERGE cells per output group, which
+    // needs ONE grid. Note l_quantity's integer range is identical in
+    // every cell, so per-group grids COINCIDE and the merge is legal —
+    // the refusal needs a continuous column whose per-cell [min,max]
+    // genuinely differ (l_extendedprice):
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "lineitem", Seq("l_returnflag", "l_linestatus"), "l_extendedprice", 64)
+    val ri = eng.query(
+      "SELECT l_linestatus, count(*) AS n FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'N') " +
+        "AND l_extendedprice >= 2000 AND l_extendedprice < 50000 " +
+        "GROUP BY l_linestatus",
+      eng.Options(maxRelError = 0.5))
+    assert(!ri.servedFromCatalog, ri.reason)
+    // ...while the l_quantity IN-list (coinciding per-cell grids)
+    // and any shared-grid build serve:
+    val insql = "SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS s " +
+      "FROM lineitem WHERE l_returnflag IN ('A', 'N') " +
+      "AND l_quantity >= 10 AND l_quantity < 40 " +
+      "GROUP BY l_linestatus"
+    // ...and a SHARED-grid build serves it, within the merged bound
+    val catS = new MetaCatalog(
+      Files.createTempDirectory("graft-pkr-shared").toString)
+    val engS = new QueryEngine(spark, catS)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, catS,
+      "lineitem", Seq("l_returnflag", "l_linestatus"), "l_quantity", 64,
+      sharedGrid = true)
+    val rs = engS.query(insql, engS.Options(maxRelError = 0.5))
+    assert(rs.servedFromCatalog &&
+      rs.serveKind.contains("grouped_histogram_range"),
+      s"${rs.serveKind}: ${rs.reason}")
+    val servedIn = rs.df.collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    val truthIn = spark.sql(
+      "SELECT l_linestatus, count(*), cast(sum(l_quantity) as double) " +
+        "FROM lineitem WHERE l_returnflag IN ('A', 'N') " +
+        "AND l_quantity >= 10 AND l_quantity < 40 " +
+        "GROUP BY l_linestatus").collect()
+      .map(x => x.getString(0) -> (x.getLong(1).toDouble, x.getDouble(2)))
+      .toMap
+    assert(truthIn.keySet.subsetOf(servedIn.keySet))
+    servedIn.foreach { case (g, (n, sm)) =>
+      val (tn, ts) = truthIn.getOrElse(g, (0.0, 0.0))
+      assert(math.abs(n - tn) <= rs.estimatedError * math.max(1.0, n) + 1e-6)
+      assert(math.abs(sm - ts) <=
+        rs.estimatedError * math.max(1.0, math.abs(sm)) + 1e-6)
+    }
     // the miss advises the COMPOSITE blob; building it flips the serve
     val cat2 = new MetaCatalog(
       Files.createTempDirectory("graft-pkr-miss").toString)
