@@ -3030,11 +3030,23 @@ final class QueryEngine(
     * query). A LIMIT past the stored list, a HAVING reaching below the
     * threshold, or the bare full GROUP BY refuse to the scan — the
     * blob cannot name the light groups. Sort/limit/having replay
-    * driver-side over the served rows with typed keys.
+    * driver-side over the served rows with typed keys. Stream-
+    * maintained blobs (EventStreams.maintainTopKSketch) carry an
+    * `unknown_bound` — the accumulated per-batch maximum mass any
+    * UNSTORED group could have gained — and the serve honors the
+    * inflated completeness bound threshold + unknown_bound: stored
+    * counts stay exact (additive increments), HAVING bounds below the
+    * inflated threshold refuse, and top-k serves only when the k-th
+    * stored metric clears it.
     */
   private val topkThresholdRe = """"threshold"\s*:\s*([0-9.eE+-]+)""".r
   private val topkAggRe = """"agg"\s*:\s*"([^"]*)"""".r
   private val topkValueColRe = """"value_col"\s*:\s*"([^"]*)"""".r
+  // streaming maintenance inflates the completeness bound: any group
+  // the blob cannot name totals strictly below threshold + this
+  // accumulated per-batch unknown-group mass (EventStreams
+  // .maintainTopKSketch); absent on batch-built blobs = 0
+  private val topkUnknownRe = """"unknown_bound"\s*:\s*([0-9.eE+-]+)""".r
   private def storedTopKAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       table: String): Option[(DataFrame, String)] = {
@@ -3081,27 +3093,44 @@ final class QueryEngine(
                     }
                 }
                 if (es.exists(_.isEmpty)) None
-                else Some((t, es.map(_.get)))
+                else {
+                  val ub = topkUnknownRe.findFirstMatchIn(s.parameters)
+                    .map(_.group(1).toDouble).getOrElse(0.0)
+                  Some((t, ub, es.map(_.get)))
+                }
               }
           }
       }.nextOption().getOrElse(return None)
-    val (threshold, entries) = blob
+    val (threshold, unknownBound, entries) = blob
+    // completeness holds only above the stream-inflated bound: a group
+    // absent from the blob had < threshold before the build and gained
+    // at most unknownBound through the maintained stream
+    val effThreshold = threshold + unknownBound
     def cmp(v: Either[Long, Double]): Double =
       v.fold(_.toDouble, identity)
     val served: Seq[(Seq[Option[String]], Either[Long, Double])] =
       sh.havingMin match {
         case Some((min, strict)) =>
-          // a bound below the threshold needs groups the blob cannot
-          // name (either comparison form: unstored totals are strictly
-          // below the threshold <= bound, so they fail the predicate)
-          if (min < threshold) return None
+          // a bound below the (inflated) threshold needs groups the
+          // blob cannot name (either comparison form: unstored totals
+          // are strictly below effThreshold <= bound, so they fail the
+          // predicate)
+          if (min < effThreshold) return None
           entries.filter(e =>
             if (strict) cmp(e._2) > min else cmp(e._2) >= min)
         case None =>
           // top-k: only a metric-DESC-led sort with a limit inside the
-          // stored list keeps heavy rows exclusively
+          // stored list keeps heavy rows exclusively; under stream
+          // inflation the k-th stored metric must also clear the
+          // inflated bound, or an unstored group could belong in the
+          // top k (unstored totals are strictly below effThreshold)
           if (!sh.topCountSort || !sh.limit.exists(_ <= entries.size))
             return None
+          if (unknownBound > 0) {
+            val desc = entries.map(e => cmp(e._2))
+              .sorted(Ordering[Double].reverse)
+            if (desc(sh.limit.get - 1) < effThreshold) return None
+          }
           entries
       }
     val metricType = if (sh.sumCol.isDefined) DoubleType else LongType
@@ -3131,10 +3160,14 @@ final class QueryEngine(
       df = df.orderBy(cols: _*)
     }
     sh.limit.foreach(n => df = df.limit(n))
+    val inflated =
+      if (unknownBound > 0)
+        s" + stream unknown-mass bound $unknownBound = $effThreshold"
+      else ""
     Some((df,
       s"top-k/iceberg GROUP BY answered from the stored heavy-hitters " +
-        s"summary (threshold $threshold, ${entries.size} stored groups; " +
-        "no scan, exact)"))
+        s"summary (threshold $threshold$inflated, ${entries.size} stored " +
+        "groups; no scan, exact)"))
   }
 
   /** If the query is `SELECT <aggs> FROM table WHERE g = lit` (or

@@ -940,6 +940,192 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming HEAVY-HITTERS maintenance — the q109/q110 "topk" serve
+    * kept live with its exactness INTACT. A naive per-batch threshold
+    * filter would lose groups that cross the threshold only
+    * cumulatively, so instead the maintainer (a) increments the STORED
+    * groups' exact counts additively (one bounded join against the
+    * ≤MaxHllGroups stored key set — never an unbounded collect), and
+    * (b) accumulates a single scalar `unknown_bound`: the sum over
+    * batches of the largest count any UNSTORED group contributed in
+    * that batch. Any group the blob cannot name therefore totals
+    * strictly below threshold + unknown_bound, and the serve honors
+    * that INFLATED completeness bound (HAVING below it refuses; top-k
+    * serves only when the k-th stored metric clears it) while stored
+    * counts stay exact — correctness is never traded, only coverage
+    * narrows as unknown mass accumulates. Rebuild on a schedule to
+    * reset the bound. Counts add, so the stored `last_batch` id skips
+    * re-delivered batch ids (single-writer discipline, like the
+    * histogram and CMS folds). Requires the blob to exist (the
+    * threshold lives in the build) and refuses loudly otherwise —
+    * silently skipped batches would leave a stale blob serving as
+    * fresh.
+    */
+  def maintainTopKSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      groupCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val column = groupCols.mkString(",")
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    val rowsRe = """"rows"\s*:\s*(-?\d+)""".r
+    val unknownRe = """"unknown_bound"\s*:\s*([0-9.eE+-]+)""".r
+    val aggRe = """"agg"\s*:\s*"([^"]*)"""".r
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = catalog.getSketch(table, column, "topk").getOrElse(
+          throw new IllegalStateException(
+            s"topk over $table.$column: no stored blob to maintain — " +
+              "build with SketchOps.createTopK first"))
+        val agg = aggRe.findFirstMatchIn(prev.parameters)
+          .map(_.group(1)).getOrElse("count")
+        if (agg != "count")
+          throw new IllegalArgumentException(
+            s"topk over $table.$column: stored blob aggregates '$agg', " +
+              "maintainTopKSketch folds counts — use maintainTopKSumSketch")
+        val alreadyMerged = lastBatchRe.findFirstMatchIn(prev.parameters)
+          .map(_.group(1).toLong).exists(batchId <= _)
+        if (!alreadyMerged) {
+          val spark = batch.sparkSession
+          val storedKeys: Seq[Option[String]] =
+            graft.sketch.GroupedHll.unpack(prev.data).map(_._1)
+          val bg = batch
+            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"))
+            .agg(count(lit(1)).as("n"))
+          import spark.implicits._
+          val sk = spark.createDataset(storedKeys.map(_.orNull)).toDF("sk")
+            .withColumn("hit", lit(true))
+          // null-safe join: the NULL group is a stored key like any
+          // other; `hit` (not sk's nullness) marks membership
+          val marked = bg.join(broadcast(sk), bg("g") <=> sk("sk"), "left")
+            .persist()
+          try {
+            val hits = marked.filter(col("hit"))
+              .select(col("g"), col("n")).collect()
+            val u = marked.filter(col("hit").isNull)
+              .agg(coalesce(max(col("n")), lit(0L)).as("mx"),
+                coalesce(sum(col("n")), lit(0L)).as("tot"))
+              .collect().head
+            val (unknownMax, unknownTot) = (u.getLong(0), u.getLong(1))
+            val batchRows =
+              hits.iterator.map(_.getAs[Long]("n")).sum + unknownTot
+            val prevRows = rowsRe.findFirstMatchIn(prev.parameters)
+              .map(_.group(1).toLong).getOrElse(0L)
+            val prevUb = unknownRe.findFirstMatchIn(prev.parameters)
+              .map(_.group(1).toDouble).getOrElse(0.0)
+            val newUb = prevUb + unknownMax
+            val delta = graft.sketch.GroupedHll.pack(hits.toSeq.map { r =>
+              val buf = java.nio.ByteBuffer.allocate(8)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              buf.putLong(r.getAs[Long]("n"))
+              Option(r.getAs[String]("g")) -> buf.array()
+            })
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+              "topk", delta,
+              s"""{"unknown_bound":$newUb,"rows":${prevRows + batchRows},""" +
+                s""""last_batch":$batchId}""",
+              System.currentTimeMillis())) { (p, n) =>
+              graft.sketch.GroupedHll.mergePacked(p, n) { (x, y) =>
+                def le(b: Array[Byte]): Long = java.nio.ByteBuffer.wrap(b)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+                val buf = java.nio.ByteBuffer.allocate(8)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                buf.putLong(le(x) + le(y))
+                buf.array()
+              }
+            }
+          } finally marked.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** SUM twin of [[maintainTopKSketch]] for `createTopKSum` blobs (the
+    * revenue dashboard kept live): stored groups' decimal(…,4) sums add
+    * exactly (unscaled BigInt addition — no float drift), and the
+    * unknown bound accumulates each batch's largest POSITIVE unstored
+    * group sum (a negative batch sum can only lower an unstored total,
+    * so clamping at zero keeps the bound valid with no sign assumption
+    * on the data). A batch group sum overflowing decimal(38,4) fails
+    * the batch loudly (the grouped-stats maintainer's rule) rather
+    * than under-counting a stored group below the serve bound.
+    */
+  def maintainTopKSumSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      groupCols: Seq[String], valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val column = s"${groupCols.mkString(",")}->$valueCol"
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    val rowsRe = """"rows"\s*:\s*(-?\d+)""".r
+    val unknownRe = """"unknown_bound"\s*:\s*([0-9.eE+-]+)""".r
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = catalog.getSketch(table, column, "topk").getOrElse(
+          throw new IllegalStateException(
+            s"topk-sum over $table.$column: no stored blob to maintain — " +
+              "build with SketchOps.createTopKSum first"))
+        val alreadyMerged = lastBatchRe.findFirstMatchIn(prev.parameters)
+          .map(_.group(1).toLong).exists(batchId <= _)
+        if (!alreadyMerged) {
+          val spark = batch.sparkSession
+          val storedKeys: Seq[Option[String]] =
+            graft.sketch.GroupedHll.unpack(prev.data).map(_._1)
+          val bg = batch
+            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"))
+            .agg(expr(s"try_sum(cast($valueCol as decimal(38,4)))").as("s4"),
+              count(col(valueCol)).as("nn"), count(lit(1)).as("n"))
+          import spark.implicits._
+          val sk = spark.createDataset(storedKeys.map(_.orNull)).toDF("sk")
+            .withColumn("hit", lit(true))
+          val marked = bg.join(broadcast(sk), bg("g") <=> sk("sk"), "left")
+            .persist()
+          try {
+            // NULL sum with non-NULL values = try_sum overflowed even
+            // decimal(38,4): refuse loudly (stored OR unstored — an
+            // unstored overflow breaks the unknown bound too)
+            if (marked.filter(col("s4").isNull && col("nn") > 0L)
+                .limit(1).count() > 0)
+              throw new IllegalArgumentException(
+                s"topk-sum over $table.$valueCol: a batch group sum " +
+                  "overflows decimal(38,4)")
+            val hits = marked.filter(col("hit"))
+              .select(col("g"), col("s4"), col("n")).collect()
+            val u = marked.filter(col("hit").isNull)
+              .agg(coalesce(max(expr("cast(s4 as double)")), lit(0.0))
+                .as("mx"), coalesce(sum(col("n")), lit(0L)).as("tot"))
+              .collect().head
+            val (unknownMax, unknownTot) =
+              (math.max(0.0, u.getDouble(0)), u.getLong(1))
+            val batchRows =
+              hits.iterator.map(_.getAs[Long]("n")).sum + unknownTot
+            val prevRows = rowsRe.findFirstMatchIn(prev.parameters)
+              .map(_.group(1).toLong).getOrElse(0L)
+            val prevUb = unknownRe.findFirstMatchIn(prev.parameters)
+              .map(_.group(1).toDouble).getOrElse(0.0)
+            val newUb = prevUb + unknownMax
+            val delta = graft.sketch.GroupedHll.pack(hits.toSeq.map { r =>
+              val s = Option(r.getDecimal(1))
+                .map(d => BigInt(d.setScale(4).unscaledValue()))
+                .getOrElse(BigInt(0))
+              Option(r.getAs[String]("g")) -> s.toByteArray
+            })
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+              "topk", delta,
+              s"""{"unknown_bound":$newUb,"rows":${prevRows + batchRows},""" +
+                s""""last_batch":$batchId}""",
+              System.currentTimeMillis())) { (p, n) =>
+              graft.sketch.GroupedHll.mergePacked(p, n) { (x, y) =>
+                (BigInt(x) + BigInt(y)).toByteArray
+              }
+            }
+          } finally marked.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming query over `df` into an in-memory sink and return
     * the sink table name (test/demo harness).
     */
