@@ -1243,4 +1243,184 @@ class EventStreamsSpec extends SparkSpec {
     // truth |A∩B| = 250 of a 750 union; k=64 — generous 3-sigma-ish gate
     assert(est > 0 && math.abs(est - 250.0) / 250.0 < 1.0, est.toString)
   }
+
+  test("stream-maintained heavy-hitters: stored counts stay exact, unknown mass inflates the serve bound") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-topk").toString)
+    // build: 5 heavy keys at 100 rows each + 600 singleton tails
+    // (>1000 rows total — under that the chooser's small-table rule
+    // answers exact before any serve), threshold 50 — blob stores
+    // exactly h0..h4
+    spark.range(0, 1100).select(expr(
+      "cast(case when id < 500 then concat('h', id % 5) " +
+        "else concat('t', id) end as string)").as("k"))
+      .createOrReplaceTempView("hh_live")
+    graft.sketch.SketchOps.createTopK(spark, catalog, "hh_live", Seq("k"), 50L)
+    spark.range(0).select(expr("cast(null as string)").as("k"))
+      .createOrReplaceTempView("hh_live")
+
+    val stream = MemoryStream[String]
+    val q = EventStreams.maintainTopKSketch(
+      stream.toDF().toDF("k"), catalog, "hh_live", Seq("k"))
+    // batch 0: +10 h0 (stored — exact increment), unstored u1×30, u2×5
+    // (unknown mass: the batch MAX over unstored groups = 30)
+    stream.addData(Seq.fill(10)("h0") ++ Seq.fill(30)("u1") ++
+      Seq.fill(5)("u2"))
+    q.processAllAvailable()
+    // batch 1: +20 h1, unstored u3×25 → unknown_bound 30 + 25 = 55
+    stream.addData(Seq.fill(20)("h1") ++ Seq.fill(25)("u3"))
+    q.processAllAvailable()
+    q.stop()
+
+    val blob = catalog.getSketch("hh_live", "k", "topk").get
+    val ubRe = """"unknown_bound"\s*:\s*([0-9.eE+-]+)""".r
+    assert(ubRe.findFirstMatchIn(blob.parameters)
+      .map(_.group(1).toDouble).contains(55.0), blob.parameters)
+    def counts(b: Array[Byte]): Map[String, Long] =
+      graft.sketch.GroupedHll.unpack(b).map { case (k, v) =>
+        k.get -> java.nio.ByteBuffer.wrap(v)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      }.toMap
+    val c = counts(blob.data)
+    // stored counts exact: increments add, untouched groups unchanged,
+    // unstored groups never enter the blob
+    assert(c == Map("h0" -> 110L, "h1" -> 120L, "h2" -> 100L,
+      "h3" -> 100L, "h4" -> 100L), c.toString)
+
+    // replay guard: a restarted stream re-delivers batch id 0 — the
+    // stored last_batch skips it (no double count, no unknown inflation)
+    val replay = MemoryStream[String]
+    val q2 = EventStreams.maintainTopKSketch(
+      replay.toDF().toDF("k"), catalog, "hh_live", Seq("k"))
+    replay.addData(Seq.fill(99)("h2") ++ Seq.fill(99)("u9"))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = catalog.getSketch("hh_live", "k", "topk").get
+    assert(counts(after.data) == c, "replayed batch must be skipped")
+    assert(ubRe.findFirstMatchIn(after.parameters)
+      .map(_.group(1).toDouble).contains(55.0), after.parameters)
+
+    // serve law over the EMPTY backing view: completeness holds only
+    // above threshold 50 + unknown 55 = 105. Top-2 serves (2nd stored
+    // metric 110 >= 105); top-3 refuses (3rd metric 100 < 105).
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r2 = engine.query("SELECT k, count(*) AS c FROM hh_live " +
+      "GROUP BY k ORDER BY c DESC, k LIMIT 2")
+    assert(r2.servedFromCatalog && r2.serveKind.contains("topk"),
+      s"${r2.serveKind}: ${r2.reason}")
+    assert(r2.reason.contains("unknown-mass"), r2.reason)
+    assert(r2.df.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("h1", 120L), ("h0", 110L)))
+    // iceberg: a bound at/above the inflated threshold serves the
+    // exact qualifying stored groups
+    val rIce = engine.query("SELECT k, count(*) AS c FROM hh_live " +
+      "GROUP BY k HAVING count(*) >= 110 ORDER BY k")
+    assert(rIce.servedFromCatalog, rIce.reason)
+    assert(rIce.df.collect().map(_.getString(0)).toSeq == Seq("h0", "h1"))
+    // refusals LAST: a refused query falls through to the chooser,
+    // which live-counts the EMPTY backing view and upserts rowCount=0
+    // table stats — retiring the blob as stale for any later query
+    val r3 = engine.query("SELECT k, count(*) AS c FROM hh_live " +
+      "GROUP BY k ORDER BY c DESC, k LIMIT 3")
+    assert(!r3.servedFromCatalog, r3.reason)
+    // a bound below the inflated threshold refuses even though the
+    // batch-built blob would have served it
+    val rLow = engine.query("SELECT k, count(*) AS c FROM hh_live " +
+      "GROUP BY k HAVING count(*) >= 60 ORDER BY k")
+    assert(!rLow.servedFromCatalog, rLow.reason)
+  }
+
+  test("stream-maintained SUM heavy-hitters: decimal-exact increments, positive-only unknown mass, overflow refusal") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-topksum").toString)
+    // 3 heavy keys summing 10 × 100.0 = 1000.0 each + 1200 light tails
+    // (>1000 rows so the chooser's small-table rule doesn't answer
+    // exact before the serve), threshold 500
+    spark.range(0, 1230).select(
+      expr("cast(case when id < 30 then concat('s', id % 3) " +
+        "else concat('t', id) end as string)").as("k"),
+      expr("case when id < 30 then cast(100.0 as double) " +
+        "else cast(1.5 as double) end").as("v"))
+      .createOrReplaceTempView("rev_live")
+    graft.sketch.SketchOps.createTopKSum(spark, catalog, "rev_live",
+      Seq("k"), "v", 500.0)
+    spark.range(0).select(expr("cast(null as string)").as("k"),
+      expr("cast(null as double)").as("v"))
+      .createOrReplaceTempView("rev_live")
+
+    val stream = MemoryStream[(String, Double)]
+    val q = EventStreams.maintainTopKSumSketch(
+      stream.toDF().toDF("k", "v"), catalog, "rev_live", Seq("k"), "v")
+    // batch 0: s0 +200.5 (two rows — decimal addition, no float drift),
+    // unstored u1 totals +300 → unknown_bound 300
+    stream.addData(Seq(("s0", 100.25), ("s0", 100.25), ("u1", 150.0),
+      ("u1", 150.0)))
+    q.processAllAvailable()
+    // batch 1: an unstored NEGATIVE batch sum clamps to zero — it can
+    // only lower an unstored total, never push one over the bound
+    stream.addData(Seq(("u2", -50.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val blob = catalog.getSketch("rev_live", "k->v", "topk").get
+    val ubRe = """"unknown_bound"\s*:\s*([0-9.eE+-]+)""".r
+    assert(ubRe.findFirstMatchIn(blob.parameters)
+      .map(_.group(1).toDouble).contains(300.0), blob.parameters)
+    def sums(b: Array[Byte]): Map[String, Double] =
+      graft.sketch.GroupedHll.unpack(b).map { case (k, v) =>
+        k.get -> new java.math.BigDecimal(
+          new java.math.BigInteger(v), 4).doubleValue
+      }.toMap
+    assert(sums(blob.data) == Map("s0" -> 1200.5, "s1" -> 1000.0,
+      "s2" -> 1000.0), sums(blob.data).toString)
+
+    // serve law: effective bound 500 + 300 = 800. HAVING >= 850 serves
+    // the exact stored sums; >= 600 refuses (a group the blob cannot
+    // name could reach 600 < 800); top-1 serves (1200.5 >= 800)
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val rIce = engine.query("SELECT k, sum(v) AS s FROM rev_live " +
+      "GROUP BY k HAVING sum(v) >= 850 ORDER BY k")
+    assert(rIce.servedFromCatalog && rIce.serveKind.contains("topk"),
+      s"${rIce.serveKind}: ${rIce.reason}")
+    assert(rIce.df.collect().map(x => (x.getString(0), x.getDouble(1)))
+      .toSeq == Seq(("s0", 1200.5), ("s1", 1000.0), ("s2", 1000.0)))
+    val rTop = engine.query("SELECT k, sum(v) AS s FROM rev_live " +
+      "GROUP BY k ORDER BY s DESC, k LIMIT 1")
+    assert(rTop.servedFromCatalog, rTop.reason)
+    assert(rTop.df.collect().map(x =>
+      (x.getString(0), x.getDouble(1))).toSeq == Seq(("s0", 1200.5)))
+    // refusal LAST (it live-counts the empty view into table stats,
+    // retiring the blob as stale for later queries)
+    val rLow = engine.query("SELECT k, sum(v) AS s FROM rev_live " +
+      "GROUP BY k HAVING sum(v) >= 600 ORDER BY k")
+    assert(!rLow.servedFromCatalog, rLow.reason)
+
+    // a batch group sum overflowing decimal(38,4) fails the batch
+    // loudly and leaves the blob untouched (never under-counts a
+    // stored group below the serve bound)
+    val ovf = MemoryStream[(String, Double)]
+    val q3 = EventStreams.maintainTopKSumSketch(
+      ovf.toDF().toDF("k", "v"), catalog, "rev_live", Seq("k"), "v")
+    // a restarted stream's batch ids 0 and 1 are <= the stored
+    // last_batch and get replay-skipped — burn them so the overflow
+    // batch is actually processed (id 2 > 1)
+    ovf.addData(Seq(("s2", 0.0)))
+    q3.processAllAvailable()
+    ovf.addData(Seq(("s2", 0.0)))
+    q3.processAllAvailable()
+    ovf.addData(Seq(("s1", 9.9e33), ("s1", 9.9e33)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("overflows") ||
+      Option(ex.getCause).exists(_.getMessage.contains("overflows")),
+      ex.getMessage)
+    q3.stop()
+    assert(sums(catalog.getSketch("rev_live", "k->v", "topk").get.data) ==
+      sums(blob.data), "overflow batch must not modify the blob")
+  }
 }
