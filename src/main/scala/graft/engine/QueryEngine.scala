@@ -151,6 +151,22 @@ final class QueryEngine(
             sql, features, opts)
         case _ =>
       }
+      // Star-aggregate serve: GROUP BY dim attributes over fact ⋈ dim
+      // answered from the fact's grouped stats blob keyed on the join
+      // key — the fact (the expensive side) is never scanned; only the
+      // dim is read, restricted to the blob's bounded key set. Exact
+      // (merge arithmetic + per-function exactness proof), so it
+      // preempts join AQP.
+      storedStarAggAnswer(parsed, features.tables) match {
+        case Some((df, factT, detail)) =>
+          return finish(serveResult(df, features, factT, "star_group", 0.0,
+            detail,
+            Seq("GROUP BY dim attributes over fact ⋈ dim merged exactly " +
+              "from the fact's per-join-key stored stats (fact never " +
+              "scanned; dim read only for the blob's bounded key set)"), opts),
+            sql, features, opts)
+        case None =>
+      }
       // Join AQP is attempted when the user opted in (approximateJoins,
       // q77's path — unconditional error model on the fact size), OR
       // automatically when stored AGMS sketches cover the join-key pair
@@ -2754,6 +2770,259 @@ final class QueryEngine(
         Some(spark.createDataFrame(rows.asJava, schema))
       case _ => None
     }
+  }
+
+  /** Star-aggregate serve: `SELECT d.attr..., <aggs over fact cols>
+    * FROM fact JOIN dim ON fact.fk = dim.pk GROUP BY d.attr...`
+    * answered WITHOUT scanning the fact. The fact side's fresh
+    * grouped-stats blob keyed on the join key supplies exact per-key
+    * aggregates (COMPLETE: builders refuse past MaxHllGroups), and
+    * only the DIM is read — restricted to the blob's bounded key set
+    * by a broadcast semi-join and collected under a hard cap. Each
+    * collected dim row folds its key's stats into its GROUP BY cell
+    * with the partial-key collapse arithmetic (min/max monotone,
+    * counts and unscaled decimal sums additive) — which IS inner-join
+    * aggregation semantics: a dim row with key k contributes every
+    * fact row of group k exactly once, duplicate dim keys contribute
+    * once per row (join fan-out), and dim keys matching no fact group
+    * never appear (the blob's key list is the fact's complete group
+    * set). NULL fact keys never join and drop with the blob's NULL
+    * entry; NULL dim keys fail the equi-join the same way. Refusals
+    * keep the exact path honest: any WHERE clause (it would change
+    * the blob's recorded totals), outer/non-equi joins, composite
+    * join keys, expression group keys, mixed join-key types (both
+    * must be integral, or both string, so the cast-to-string
+    * renderings of equal values agree), non-atomic dim attr types,
+    * dim fan-out past 4x the key count, and any merged stat failing
+    * the same per-function exactness proof as the single-table serve
+    * (statFnServesExactly over the MERGED records). At 100 TB this
+    * turns the most common star-schema dashboard (revenue by dim
+    * attribute) from a fact scan + shuffle into a dim-only scan: the
+    * expensive side is a catalog lookup.
+    */
+  private def storedStarAggAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tables: Seq[String]): Option[(DataFrame, String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, SubqueryAlias}
+    import org.apache.spark.sql.types._
+    if (tables.sizeIs != 2) return None
+    val agg = parsed match {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+      case _                                              => return None
+    }
+    // the aggregate's child must be EXACTLY one inner equi-join of the
+    // two relations (aliases allowed) — a Filter/Project would change
+    // what the blob's recorded totals mean
+    val extraneous = agg.child.collect {
+      case n if !n.isInstanceOf[Join] && !n.isInstanceOf[SubqueryAlias] &&
+        !n.isInstanceOf[UnresolvedRelation] => n
+    }
+    if (extraneous.nonEmpty) return None
+    agg.child.collect { case j: Join => j } match {
+      case Seq(j) if j.joinType == Inner && j.condition.isDefined =>
+      case _ => return None
+    }
+    val (ta, ka, tb, kb) = joinTreeEdges(parsed, tables, tables.head)
+      .flatMap(_.headOption).getOrElse(return None)
+    if (ka.sizeIs != 1 || kb.sizeIs != 1) return None
+    def colSet(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
+    def keyKind(t: String, c: String): Char =
+      spark.table(t).schema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+        case Some(StringType) => 's'
+        case Some(ByteType | ShortType | IntegerType | LongType) => 'i'
+        case _ => 'x'
+      }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    def isCountStar(args: Seq[Expression]): Boolean = args match {
+      case Seq(_: UnresolvedStar)     => true
+      case Seq(Literal(v: Number, _)) => v.intValue == 1
+      case _                          => false
+    }
+    import graft.sketch.GroupedStats
+    def tryOrient(fact: String, fk: String, dim: String, pk: String)
+        : Option[(DataFrame, String, String)] = {
+      val fCols = colSet(fact)
+      val dCols = colSet(dim)
+      val kk = keyKind(fact, fk)
+      if (kk == 'x' || kk != keyKind(dim, pk)) return None
+      // group keys: every grouping expression is a bare, unambiguous
+      // dim attribute of atomic type (grouping happens driver-side)
+      val gOpt = agg.groupingExpressions.map {
+        case a: UnresolvedAttribute
+            if dCols.contains(a.nameParts.last.toLowerCase) &&
+              !fCols.contains(a.nameParts.last.toLowerCase) =>
+          Some(a.nameParts.last)
+        case _ => None
+      }
+      if (gOpt.exists(_.isEmpty)) return None
+      val gNames = gOpt.flatten
+      val lower = gNames.map(_.toLowerCase)
+      val dimFields = spark.table(dim).schema.fields
+      val attrFields = gNames.map(n =>
+        dimFields.find(_.name.equalsIgnoreCase(n)).getOrElse(return None))
+      val atomicOk = attrFields.forall(_.dataType match {
+        case StringType | BooleanType | ByteType | ShortType |
+            IntegerType | LongType | FloatType | DoubleType | DateType |
+            TimestampType => true
+        case _: DecimalType => true
+        case _              => false
+      })
+      if (!atomicOk) return None
+
+      // classify outputs: group keys through; count(*); fn(factCol)
+      val classified: Seq[Option[Either[(String, Int), (String, String, Option[String])]]] =
+        agg.aggregateExpressions.map {
+          case a: UnresolvedAttribute
+              if lower.contains(a.nameParts.last.toLowerCase) =>
+            Some(Left((a.nameParts.last,
+              lower.indexOf(a.nameParts.last.toLowerCase))))
+          case Alias(e, name)
+              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", args) if isCountStar(args) =>
+                Some(Right((name, "count_star", None)))
+              case (fn, Seq(a: UnresolvedAttribute))
+                  if Set("min", "max", "count", "sum", "avg", "mean")(fn) &&
+                    fCols.contains(a.nameParts.last.toLowerCase) &&
+                    !dCols.contains(a.nameParts.last.toLowerCase) =>
+                Some(Right((name, fn, Some(a.nameParts.last))))
+              case _ => None
+            }
+          case _ => None
+        }
+      if (classified.exists(_.isEmpty)) return None
+      val parts = classified.flatten
+      val keyIdx = parts.collect { case Left((_, i)) => i }
+      val aggParts = parts.collect { case Right(p) => p }
+      if (keyIdx.toSet != gNames.indices.toSet || aggParts.isEmpty)
+        return None
+
+      // one fresh stats_grouped blob per referenced fact column, all
+      // keyed on the join key; a count(*)-only query anchors to any
+      // fresh blob over the key (rowcounts ride every value column)
+      def decoded(entries: Seq[(Seq[Option[String]], Array[Byte])])
+          : Map[String, GroupedStats.Stat] =
+        entries.collect { case (Seq(Some(k)), b) =>
+          k -> GroupedStats.decode(b)
+        }.toMap
+      val valueCols = aggParts.collect { case (_, _, Some(c)) => c }
+        .map(_.toLowerCase).distinct
+      val blobs: Map[String, Map[String, GroupedStats.Stat]] =
+        valueCols.map { vc =>
+          groupedBlobFor(fact, vc, "stats_grouped", Seq(fk)) match {
+            case Some(entries) => vc -> decoded(entries)
+            case None          => return None
+          }
+        }.toMap
+      val anchor: Map[String, GroupedStats.Stat] =
+        blobs.headOption.map(_._2).getOrElse {
+          catalog.listSketches(Some(fact)).iterator
+            .filter(_.sketchType == "stats_grouped")
+            .map(s => groupedBlobFor(fact, s.columnName, "stats_grouped",
+              Seq(fk)))
+            .collectFirst { case Some(entries) => decoded(entries) }
+            .getOrElse(return None)
+        }
+      // complete group lists over the same (fact, fk) must agree — a
+      // disagreement means a blob is mid-rebuild; refuse
+      if (!blobs.values.forall(_.keySet == anchor.keySet)) return None
+
+      // dim scan restricted to the blob's keys (broadcast semi-join),
+      // collected under a hard cap — the fact is never read
+      val keys = anchor.keys.toSeq
+      val dimRows: Seq[org.apache.spark.sql.Row] =
+        if (keys.isEmpty) Nil
+        else {
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val keysDf = {
+            import spark.implicits._
+            keys.toDF("__k")
+          }
+          val cap = keys.size * 4 + 1
+          val scan = spark.table(dim)
+            .select(col(pk).cast("string").as("__k") +:
+              gNames.map(col): _*)
+            .join(broadcast(keysDf), "__k")
+            .select(org.apache.spark.sql.functions.col("__k") +:
+              gNames.map(col): _*)
+            .limit(cap).collect()
+          if (scan.length >= cap) return None
+          scan.toSeq
+        }
+
+      // fold each dim row's key stats into its GROUP BY cell
+      val statsOf: String => Map[String, GroupedStats.Stat] =
+        ck => if (ck == "__anchor") anchor else blobs(ck)
+      val colKeys = "__anchor" +: valueCols
+      val cells = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], scala.collection.mutable.Map[String, GroupedStats.Stat]]
+      dimRows.foreach { r =>
+        val k = r.getString(0)
+        if (anchor.contains(k)) {
+          val cell: Seq[Any] = (1 to gNames.size).map(r.get)
+          val m = cells.getOrElseUpdate(cell,
+            scala.collection.mutable.Map.empty)
+          colKeys.foreach { ck =>
+            val st = statsOf(ck)(k)
+            m(ck) = m.get(ck).fold(st)(GroupedStats.merge(_, st))
+          }
+        }
+      }
+
+      // the merged records must pass the same exactness proof as the
+      // single-table grouped serve, per served function
+      val mergedByCol: Map[String, Seq[GroupedStats.Stat]] =
+        colKeys.map(ck => ck -> cells.values.map(_(ck)).toSeq).toMap
+      val fnOk = aggParts.forall {
+        case (_, "count_star", _) => true
+        case (_, fn, Some(vc)) =>
+          statFnServesExactly(fact, vc, fn, mergedByCol(vc.toLowerCase))
+        case _ => false
+      }
+      if (!fnOk) return None
+
+      val rows = cells.toSeq.map { case (cell, m) =>
+        org.apache.spark.sql.Row.fromSeq(parts.map {
+          case Left((_, i))                => cell(i)
+          case Right((_, "count_star", _)) => m("__anchor").nrows
+          case Right((_, fn, Some(vc))) =>
+            val st = m(vc.toLowerCase)
+            fn match {
+              case "min"          => st.min.map(Double.box).orNull
+              case "max"          => st.max.map(Double.box).orNull
+              case "count"        => st.nnull
+              case "sum"          => st.sumDouble.map(Double.box).orNull
+              case "avg" | "mean" => st.avgDouble.map(Double.box).orNull
+            }
+          case Right((_, _, None)) => return None // unreachable
+        })
+      }
+      val schema = StructType(parts.map {
+        case Left((n, i)) =>
+          StructField(n, attrFields(i).dataType, nullable = true)
+        case Right((n, fn, _)) =>
+          if (fn == "count" || fn == "count_star")
+            StructField(n, LongType, nullable = false)
+          else StructField(n, DoubleType, nullable = true)
+      })
+      import scala.jdk.CollectionConverters._
+      Some((spark.createDataFrame(rows.asJava, schema), fact,
+        s"star aggregate over $fact ⋈ $dim served from the fact's " +
+          s"grouped stats blob on $fk (${keys.size} fact groups merged " +
+          "exactly; dim-only scan, fact never read)"))
+    }
+    tryOrient(ta, ka.head, tb, kb.head)
+      .orElse(tryOrient(tb, kb.head, ta, ka.head))
   }
 
   /** If the query is `SELECT g... FROM table GROUP BY g...` or

@@ -229,6 +229,23 @@ object Aqp {
     })
   }
 
+  // q126's engine: a grouped-stats blob over lineitem keyed by the
+  // l_suppkey JOIN key (10/100/1000 suppliers at the test SFs, well
+  // under MaxHllGroups) — the star-aggregate serve's input. Dedicated
+  // so no other query's forced stats retire it.
+  private val starEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private def starEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    starEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-star").toString))
+      graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+        "lineitem", "l_suppkey", "l_extendedprice", 64)
+      e
+    })
+  }
+
   private def detEngineFor(s: SparkSession, dir: String): QueryEngine = {
     Tables.ensureRegistered(s, dir)
     detEngines.getOrElseUpdate((s, dir), {
@@ -1047,6 +1064,31 @@ object Aqp {
         s"q109 must serve the top-k from the heavy-hitters blob: " +
           s"${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // Star-aggregate serve: revenue by supplier nation over
+    // lineitem ⋈ supplier answered WITHOUT scanning the fact — the
+    // fact's grouped-stats blob on the l_suppkey join key supplies
+    // exact per-supplier aggregates (complete group list), only
+    // supplier is read (restricted to the blob's keys), and each
+    // supplier row folds its key's stats into its nation exactly
+    // (min/max monotone, counts and decimal sums additive == inner
+    // join aggregation). At 100 TB the fact scan + join shuffle of
+    // the most common star-schema dashboard becomes a dim-only scan.
+    "q126_star_group" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT s_nationkey, count(*) AS cnt, " +
+          "sum(l_extendedprice) AS rev, min(l_extendedprice) AS mn, " +
+          "max(l_extendedprice) AS mx, avg(l_extendedprice) AS av " +
+          "FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "GROUP BY s_nationkey")
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"q126 must serve the star aggregate from the fact's grouped " +
+          s"blob: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("s_nationkey"))
     }),
 
     // Top-k by SUM (the revenue dashboard): the highest-revenue
@@ -2650,6 +2692,22 @@ object Aqp {
       """SELECT l_partkey, count(*) AS c, 'sketch' AS plan_type
          FROM lineitem GROUP BY l_partkey
          ORDER BY c DESC, l_partkey LIMIT 10""",
+    // q126: the star serve is EXACT (per-suppkey blob stats merged
+    // into nations with the decimal-portable sum and one double
+    // division for avg), so the oracle is the plain join + GROUP BY
+    // with the repo's canonical renderings. plan_type must read
+    // 'sketch' — a join fallback (scan) goes red.
+    "q126_star_group" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+           CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+           CAST(max(l_extendedprice) AS DOUBLE) AS mx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(l_extendedprice) AS DOUBLE) AS av,
+           'sketch' AS plan_type
+         FROM lineitem JOIN supplier
+           ON lineitem.l_suppkey = supplier.s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     // q112: the sum serve emits the repo's canonical decimal->double
     // recipe — the oracle computes the same rendering, so the top-10
     // revenues hash-match bit-for-bit

@@ -3044,4 +3044,98 @@ class QueryEngineSpec extends SparkSpec {
     assert(eng.query(sqlG).servedFromCatalog)
     assert(eng.query(sqlF).servedFromCatalog)
   }
+
+  test("star-aggregate serve: GROUP BY dim attrs over fact ⋈ dim from the fact's grouped blob, fact never scanned") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-star").toString)
+    val eng = new QueryEngine(spark, cat)
+    // fact: 20 join keys × 300 rows, plus key 99 matching NO dim row
+    // (inner join must drop its rows on both paths)
+    spark.range(0, 6100).select(
+      expr("case when id < 6000 then id % 20 else 99 end").as("k"),
+      expr("cast(id % 37 as double) / 4.0 + 1.0").as("v"))
+      .createOrReplaceTempView("star_f")
+    // dim: the 20 matched keys (one with a NULL attr, one DUPLICATED —
+    // join fan-out), plus pks 50/51 matching no fact group
+    spark.sql(
+      """SELECT id AS pk,
+           CASE WHEN id = 7 THEN CAST(NULL AS STRING)
+                ELSE concat('r', id % 3) END AS region,
+           CAST(id % 5 AS INT) AS sz
+         FROM range(0, 20)
+         UNION ALL SELECT 11L, 'r2', CAST(1 AS INT)
+         UNION ALL SELECT 50L, 'r0', CAST(0 AS INT)
+         UNION ALL SELECT 51L, 'r1', CAST(1 AS INT)""")
+      .createOrReplaceTempView("star_d")
+    val sqlStar = "SELECT region, count(*) AS cnt, count(v) AS nv, " +
+      "sum(v) AS sv, min(v) AS mn, max(v) AS mx, avg(v) AS av " +
+      "FROM star_f JOIN star_d ON star_f.k = star_d.pk GROUP BY region"
+    // truth over the REAL views, with the repo's portable sum/avg
+    // renderings (decimal sum cast to double; one double division)
+    val truth = spark.sql(
+      "SELECT region, count(*) AS cnt, count(v) AS nv, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS sv, " +
+        "min(v) AS mn, max(v) AS mx, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) / " +
+        "cast(count(v) as double) AS av " +
+        "FROM star_f JOIN star_d ON star_f.k = star_d.pk GROUP BY region")
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "star_f", "k", "v", 32)
+    // EMPTY the fact: a correct answer can only come from the blob
+    // (the dim stays real — the serve is allowed to read it)
+    spark.range(0).select(expr("id").as("k"),
+      expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("star_f")
+    val r = eng.query(sqlStar)
+    assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+      s"${r.serveKind}: ${r.reason}")
+    assert(r.estimatedError == 0.0)
+    val served = r.df.collect().map(x => Option(x.getString(0)) -> x).toMap
+    assert(served.keySet == truth.keySet,
+      s"groups: ${served.keySet} vs ${truth.keySet}")
+    served.foreach { case (g, row) =>
+      val t = truth(g)
+      assert(row.getLong(1) == t.getLong(1), s"$g cnt")
+      assert(row.getLong(2) == t.getLong(2), s"$g nv")
+      assert(row.getDouble(3) == t.getDouble(3), s"$g sum")
+      assert(row.getDouble(4) == t.getDouble(4), s"$g min")
+      assert(row.getDouble(5) == t.getDouble(5), s"$g max")
+      assert(row.getDouble(6) == t.getDouble(6), s"$g avg")
+    }
+    // the NULL attr forms its own group; the duplicate pk 11 fans out
+    // (its key's stats fold once per dim row — r2 carries it twice)
+    assert(truth.contains(None) && served.contains(None))
+
+    // count(*)-only anchors to any fresh blob over the key
+    val rc = eng.query("SELECT region, count(*) AS cnt FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk GROUP BY region")
+    assert(rc.servedFromCatalog && rc.serveKind.contains("star_group"),
+      rc.reason)
+    assert(rc.df.collect().map(x =>
+      Option(x.getString(0)) -> x.getLong(1)).toMap ==
+      truth.view.mapValues(_.getLong(1)).toMap)
+
+    // refusals LAST — each shape would need the fact itself:
+    // a WHERE clause changes what the blob's totals mean
+    val rw = eng.query("SELECT region, count(*) AS cnt FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk WHERE sz = 1 GROUP BY region")
+    assert(!rw.servedFromCatalog, rw.reason)
+    // outer joins keep unmatched rows the blob cannot name
+    val ro = eng.query("SELECT region, count(*) AS cnt FROM star_f " +
+      "LEFT JOIN star_d ON star_f.k = star_d.pk GROUP BY region")
+    assert(!ro.servedFromCatalog, ro.reason)
+    // an aggregate over a DIM column is not in the fact's blob
+    val rd = eng.query("SELECT region, sum(sz) AS s FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk GROUP BY region")
+    assert(!rd.servedFromCatalog, rd.reason)
+    // grouping by a FACT column is the single-table serve's job
+    val rg = eng.query("SELECT k, count(*) AS cnt FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk GROUP BY k")
+    assert(!rg.servedFromCatalog, rg.reason)
+    // staleness retires the serve
+    cat.upsertTableStats("star_f", 999999L)
+    assert(!eng.query(sqlStar).servedFromCatalog)
+  }
 }
