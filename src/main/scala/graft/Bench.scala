@@ -187,6 +187,13 @@ object Bench {
       // Threshold 350 = 35 x the 10x widening.
       graft.sketch.SketchOps.createTopK(spark, catalog, "lineitem_x10",
         Seq("l_partkey"), 350L)
+      // Star-aggregate blob (round 10): per-l_suppkey stats on l_tax
+      // (its OWN value column — a build on l_extendedprice would
+      // overwrite the l_returnflag-keyed blob the percentile_group /
+      // range_sum_group cases serve from). 1000 suppliers at sf0.1 —
+      // the bounded-dim regime the star serve is for.
+      graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
+        "lineitem_x10", "l_suppkey", "l_tax", 64)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -261,6 +268,14 @@ object Bench {
         // pays the 6M-row distinct + set-op shuffle.
         "kmv_setop" -> ("SELECT count(*) AS n FROM (SELECT l_orderkey " +
           "FROM lineitem_x10 INTERSECT SELECT o_orderkey FROM orders) t"),
+        // Star-aggregate serve (round 10): GROUP BY the dim attribute
+        // over fact ⋈ dim answered from the fact's per-join-key blob —
+        // the 6M-row fact is NEVER scanned, only the 1000-row supplier
+        // dim is read; the exact side pays the full fact scan + join
+        // shuffle + aggregate. Exact (merged stats), zero error.
+        "star_group" -> ("SELECT s_nationkey, count(*) AS n, " +
+          "sum(l_tax) AS s FROM lineitem_x10 JOIN supplier " +
+          "ON l_suppkey = s_suppkey GROUP BY s_nationkey"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —

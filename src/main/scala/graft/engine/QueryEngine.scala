@@ -3025,6 +3025,101 @@ final class QueryEngine(
       .orElse(tryOrient(tb, kb.head, ta, ka.head))
   }
 
+  /** The star-aggregate SHAPE as advisor candidates: the same match as
+    * [[storedStarAggAnswer]] minus the blob requirement. When a
+    * fact ⋈ dim aggregate GROUPs BY dim attributes and aggregates fact
+    * columns with servable functions, a grouped-histogram build on the
+    * FACT keyed by its join key flips the query to the (exact) star
+    * serve — strictly better advice than an AGMS pair for this shape.
+    * Orientation comes from the shape itself: group keys live on one
+    * side only, aggregated columns on the other. count(*)-only queries
+    * advise nothing here (no canonical value column to build on); the
+    * generic join-AQP advice still applies.
+    */
+  private def starAdviceCandidates(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tables: Seq[String]): Seq[graft.learn.SketchAdvisor.Candidate] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, SubqueryAlias}
+    import org.apache.spark.sql.types._
+    import graft.learn.SketchAdvisor.Candidate
+    if (tables.sizeIs != 2) return Nil
+    val agg = parsed match {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+      case _                                              => return Nil
+    }
+    val extraneous = agg.child.collect {
+      case n if !n.isInstanceOf[Join] && !n.isInstanceOf[SubqueryAlias] &&
+        !n.isInstanceOf[UnresolvedRelation] => n
+    }
+    if (extraneous.nonEmpty) return Nil
+    agg.child.collect { case j: Join => j } match {
+      case Seq(j) if j.joinType == Inner && j.condition.isDefined =>
+      case _ => return Nil
+    }
+    val (ta, ka, tb, kb) = joinTreeEdges(parsed, tables, tables.head)
+      .flatMap(_.headOption).getOrElse(return Nil)
+    if (ka.sizeIs != 1 || kb.sizeIs != 1) return Nil
+    def colSet(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
+    def keyKind(t: String, c: String): Char =
+      spark.table(t).schema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+        case Some(StringType) => 's'
+        case Some(ByteType | ShortType | IntegerType | LongType) => 'i'
+        case _ => 'x'
+      }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    val statsFns = Set("min", "max", "count", "sum", "avg", "mean")
+    def orient(fact: String, fk: String, dim: String, pk: String)
+        : Seq[Candidate] = {
+      val fCols = colSet(fact)
+      val dCols = colSet(dim)
+      val kk = keyKind(fact, fk)
+      if (kk == 'x' || kk != keyKind(dim, pk)) return Nil
+      val gOk = agg.groupingExpressions.forall {
+        case a: UnresolvedAttribute =>
+          dCols.contains(a.nameParts.last.toLowerCase) &&
+            !fCols.contains(a.nameParts.last.toLowerCase)
+        case _ => false
+      }
+      if (!gOk) return Nil
+      val lower = agg.groupingExpressions.collect {
+        case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+      }
+      val vcs = agg.aggregateExpressions.map {
+        case a: UnresolvedAttribute
+            if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
+        case Alias(e, _)
+            if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+          Some(None)
+        case Alias(f: UnresolvedFunction, _)
+            if !f.isDistinct && f.filter.isEmpty =>
+          (f.nameParts.last.toLowerCase, f.arguments) match {
+            case ("count", Seq(_: UnresolvedStar)) => Some(None)
+            case ("count", Seq(Literal(v: Number, _))) if v.intValue == 1 =>
+              Some(None)
+            case (fn, Seq(a: UnresolvedAttribute))
+                if statsFns(fn) &&
+                  fCols.contains(a.nameParts.last.toLowerCase) &&
+                  !dCols.contains(a.nameParts.last.toLowerCase) =>
+              Some(Some(a.nameParts.last))
+            case _ => None
+          }
+        case _ => None
+      }
+      if (vcs.exists(_.isEmpty)) return Nil
+      vcs.flatten.flatten.distinct.map(vc =>
+        Candidate(fact, vc, "histogram_grouped", Some(fk)))
+    }
+    val a = orient(ta, ka.head, tb, kb.head)
+    if (a.nonEmpty) a else orient(tb, kb.head, ta, ka.head)
+  }
+
   /** If the query is `SELECT g... FROM table GROUP BY g...` or
     * `SELECT DISTINCT g... FROM table` with NO aggregate outputs, the
     * distinct key tuples are exactly the recorded group set of any
@@ -4185,9 +4280,16 @@ final class QueryEngine(
       // what execution will look up.
       if (features.tables.sizeIs < 2 ||
           !(features.hasApproximableAgg || features.hasDistinct)) return Nil
+      // star-aggregate misses advise the grouped build that flips the
+      // query to the EXACT star serve (fact never scanned) — strictly
+      // better than an AGMS pair for this shape, advised alongside it
+      // (the generic advice still helps if the fact's key cardinality
+      // makes the grouped build refuse past MaxHllGroups)
+      val star = try starAdviceCandidates(parsed, features.tables)
+        catch { case scala.util.control.NonFatal(_) => Nil }
       return try {
         val ts = features.tables
-        ts.iterator
+        (star ++ ts.iterator
           .map(f => joinTreeEdges(parsed, ts, f))
           .collectFirst { case Some(v) => v }
           .map { edges =>
@@ -4236,8 +4338,8 @@ final class QueryEngine(
               (agms ++ universe).distinct
             else Nil
           }
-          .getOrElse(Nil)
-      } catch { case scala.util.control.NonFatal(_) => Nil }
+          .getOrElse(Nil)).distinct
+      } catch { case scala.util.control.NonFatal(_) => star }
     }
     val table = features.tableName.getOrElse(return Nil)
     def rel(r: UnresolvedRelation): Boolean =

@@ -3137,5 +3137,34 @@ class QueryEngineSpec extends SparkSpec {
     // staleness retires the serve
     cat.upsertTableStats("star_f", 999999L)
     assert(!eng.query(sqlStar).servedFromCatalog)
+
+    // advisor loop: repeated star-shape misses advise the grouped
+    // build on the FACT keyed by its join key (alongside the generic
+    // AGMS pair); building it retires the advice and flips the query
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-star2").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    spark.range(0, 6000).select(
+      expr("id % 20").as("k"),
+      expr("cast(id % 37 as double) / 4.0 + 1.0").as("v"))
+      .createOrReplaceTempView("star_f")
+    val sqlAdv = "SELECT region, sum(v) AS sv, count(*) AS cnt " +
+      "FROM star_f JOIN star_d ON star_f.k = star_d.pk GROUP BY region"
+    (1 to 3).foreach(_ => assert(!eng2.query(sqlAdv).servedFromCatalog))
+    val advice = eng2.adviseSketches(minMisses = 3)
+    assert(advice.exists(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.table.equalsIgnoreCase("star_f") &&
+        a.candidate.column.equalsIgnoreCase("v") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("k"))),
+      advice.toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat2,
+      "star_f", "k", "v", 32)
+    assert(eng2.adviseSketches(minMisses = 3).forall(a =>
+      !(a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.table.equalsIgnoreCase("star_f"))))
+    val rAdv = eng2.query(sqlAdv)
+    assert(rAdv.servedFromCatalog && rAdv.serveKind.contains("star_group"),
+      rAdv.reason)
   }
 }
