@@ -156,16 +156,33 @@ final class QueryEngine(
       // key — the fact (the expensive side) is never scanned; only the
       // dim is read, restricted to the blob's bounded key set. Exact
       // (merge arithmetic + per-function exactness proof), so it
-      // preempts join AQP.
-      storedStarAggAnswer(parsed, features.tables) match {
-        case Some((df, factT, detail)) =>
-          return finish(serveResult(df, features, factT, "star_group", 0.0,
+      // preempts join AQP. ORDER BY / LIMIT / HAVING peel off first
+      // (the dashboard form — `GROUP BY nation ORDER BY rev DESC LIMIT
+      // 5`) and replay driver-side over the served rows, which is
+      // exact because the serve's row set is COMPLETE (every joined
+      // group present); key sorts replay when the named column is a
+      // string/integral column of either joined table.
+      val (starPlan, starPost) = graft.plan.PostAggregate.peel(parsed,
+        keySortable = c => features.tables.exists(t =>
+          scala.util.Try(spark.table(t).schema.fields.exists { f =>
+            import org.apache.spark.sql.types._
+            f.name.equalsIgnoreCase(c) && (f.dataType match {
+              case StringType | ByteType | ShortType | IntegerType |
+                  LongType => true
+              case _ => false
+            })
+          }).getOrElse(false)))
+      storedStarAggAnswer(starPlan, features.tables) match {
+        case Some((df, factT, detail, err)) if err <= opts.maxRelError =>
+          val served = starPost.fold(df)(_.apply(df))
+          return finish(serveResult(served, features, factT, "star_group", err,
             detail,
-            Seq("GROUP BY dim attributes over fact ⋈ dim merged exactly " +
-              "from the fact's per-join-key stored stats (fact never " +
-              "scanned; dim read only for the blob's bounded key set)"), opts),
+            Seq("GROUP BY dim attributes over fact ⋈ dim merged from the " +
+              "fact's per-join-key stored records (stats exact; distinct " +
+              "counts by register-max HLL union; fact never scanned, dim " +
+              "read only for the blob's bounded key set)"), opts),
             sql, features, opts)
-        case None =>
+        case _ =>
       }
       // Join AQP is attempted when the user opted in (approximateJoins,
       // q77's path — unconditional error model on the fact size), OR
@@ -2802,7 +2819,7 @@ final class QueryEngine(
     */
   private def storedStarAggAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      tables: Seq[String]): Option[(DataFrame, String, String)] = {
+      tables: Seq[String]): Option[(DataFrame, String, String, Double)] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
     import org.apache.spark.sql.catalyst.plans.Inner
@@ -2845,9 +2862,14 @@ final class QueryEngine(
       case Seq(Literal(v: Number, _)) => v.intValue == 1
       case _                          => false
     }
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
     import graft.sketch.GroupedStats
     def tryOrient(fact: String, fk: String, dim: String, pk: String)
-        : Option[(DataFrame, String, String)] = {
+        : Option[(DataFrame, String, String, Double)] = {
       val fCols = colSet(fact)
       val dCols = colSet(dim)
       val kk = keyKind(fact, fk)
@@ -2886,16 +2908,37 @@ final class QueryEngine(
           case Alias(e, name)
               if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
             Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
-          case Alias(f: UnresolvedFunction, name)
-              if !f.isDistinct && f.filter.isEmpty =>
+          case Alias(f: UnresolvedFunction, name) if f.filter.isEmpty =>
             (f.nameParts.last.toLowerCase, f.arguments) match {
-              case ("count", args) if isCountStar(args) =>
+              case ("count", args) if !f.isDistinct && isCountStar(args) =>
                 Some(Right((name, "count_star", None)))
+              case ("count", Seq(a: UnresolvedAttribute))
+                  if f.isDistinct &&
+                    fCols.contains(a.nameParts.last.toLowerCase) &&
+                    !dCols.contains(a.nameParts.last.toLowerCase) =>
+                Some(Right((name, "count_distinct", Some(a.nameParts.last))))
               case (fn, Seq(a: UnresolvedAttribute))
-                  if Set("min", "max", "count", "sum", "avg", "mean")(fn) &&
+                  if !f.isDistinct &&
+                    Set("min", "max", "count", "sum", "avg", "mean")(fn) &&
                     fCols.contains(a.nameParts.last.toLowerCase) &&
                     !dCols.contains(a.nameParts.last.toLowerCase) =>
                 Some(Right((name, fn, Some(a.nameParts.last))))
+              // percentiles serve from the fk-keyed grouped histograms:
+              // per-cell the fks' bucket counts ADD — exact only when
+              // the grids agree (sharedGrid builds; mismatched grids
+              // throw at merge time and the serve refuses)
+              case ("percentile" | "percentile_approx" | "approx_percentile",
+                  Seq(a: UnresolvedAttribute, l: Literal))
+                  if !f.isDistinct &&
+                    fCols.contains(a.nameParts.last.toLowerCase) &&
+                    !dCols.contains(a.nameParts.last.toLowerCase) =>
+                litDouble(l).map(p =>
+                  Right((name, s"percentile:$p", Some(a.nameParts.last))))
+              case ("median", Seq(a: UnresolvedAttribute))
+                  if !f.isDistinct &&
+                    fCols.contains(a.nameParts.last.toLowerCase) &&
+                    !dCols.contains(a.nameParts.last.toLowerCase) =>
+                Some(Right((name, "percentile:0.5", Some(a.nameParts.last))))
               case _ => None
             }
           case _ => None
@@ -2907,39 +2950,75 @@ final class QueryEngine(
       if (keyIdx.toSet != gNames.indices.toSet || aggParts.isEmpty)
         return None
 
-      // one fresh stats_grouped blob per referenced fact column, all
+      // one fresh stats_grouped blob per stats-aggregated fact column
+      // and one fresh hll_grouped blob per count(DISTINCT) column, all
       // keyed on the join key; a count(*)-only query anchors to any
-      // fresh blob over the key (rowcounts ride every value column)
+      // fresh stats blob over the key (rowcounts ride every value
+      // column)
       def decoded(entries: Seq[(Seq[Option[String]], Array[Byte])])
           : Map[String, GroupedStats.Stat] =
         entries.collect { case (Seq(Some(k)), b) =>
           k -> GroupedStats.decode(b)
         }.toMap
-      val valueCols = aggParts.collect { case (_, _, Some(c)) => c }
-        .map(_.toLowerCase).distinct
+      val statsCols = aggParts.collect {
+        case (_, fn, Some(c))
+            if fn != "count_distinct" && !fn.startsWith("percentile:") =>
+          c.toLowerCase
+      }.distinct
+      val distinctCols = aggParts.collect {
+        case (_, "count_distinct", Some(c)) => c.toLowerCase
+      }.distinct
+      val pctCols = aggParts.collect {
+        case (_, fn, Some(c)) if fn.startsWith("percentile:") =>
+          c.toLowerCase
+      }.distinct
       val blobs: Map[String, Map[String, GroupedStats.Stat]] =
-        valueCols.map { vc =>
+        statsCols.map { vc =>
           groupedBlobFor(fact, vc, "stats_grouped", Seq(fk)) match {
             case Some(entries) => vc -> decoded(entries)
             case None          => return None
           }
         }.toMap
-      val anchor: Map[String, GroupedStats.Stat] =
-        blobs.headOption.map(_._2).getOrElse {
-          catalog.listSketches(Some(fact)).iterator
+      val hllBlobs: Map[String, Map[String, Array[Byte]]] =
+        distinctCols.map { vc =>
+          groupedBlobFor(fact, vc, "hll_grouped", Seq(fk)) match {
+            case Some(entries) =>
+              vc -> entries.collect { case (Seq(Some(k)), b) => k -> b }.toMap
+            case None => return None
+          }
+        }.toMap
+      val pctBlobs: Map[String, Map[String, Array[Byte]]] =
+        pctCols.map { vc =>
+          groupedBlobFor(fact, vc, "histogram_grouped", Seq(fk)) match {
+            case Some(entries) =>
+              vc -> entries.collect { case (Seq(Some(k)), b) => k -> b }.toMap
+            case None => return None
+          }
+        }.toMap
+      val hasCountStar = aggParts.exists(_._2 == "count_star")
+      val anchorOpt: Option[Map[String, GroupedStats.Stat]] =
+        blobs.headOption.map(_._2).orElse {
+          if (!hasCountStar) None
+          else catalog.listSketches(Some(fact)).iterator
             .filter(_.sketchType == "stats_grouped")
             .map(s => groupedBlobFor(fact, s.columnName, "stats_grouped",
               Seq(fk)))
             .collectFirst { case Some(entries) => decoded(entries) }
-            .getOrElse(return None)
         }
+      if (hasCountStar && anchorOpt.isEmpty) return None
       // complete group lists over the same (fact, fk) must agree — a
       // disagreement means a blob is mid-rebuild; refuse
-      if (!blobs.values.forall(_.keySet == anchor.keySet)) return None
+      val keySet: Set[String] =
+        (anchorOpt.map(_.keySet) ++ blobs.values.map(_.keySet) ++
+          hllBlobs.values.map(_.keySet) ++ pctBlobs.values.map(_.keySet))
+          .headOption.getOrElse(return None)
+      if (!(blobs.values.map(_.keySet) ++ hllBlobs.values.map(_.keySet) ++
+          pctBlobs.values.map(_.keySet) ++
+          anchorOpt.map(_.keySet)).forall(_ == keySet)) return None
 
       // dim scan restricted to the blob's keys (broadcast semi-join),
       // collected under a hard cap — the fact is never read
-      val keys = anchor.keys.toSeq
+      val keys = keySet.toSeq
       val dimRows: Seq[org.apache.spark.sql.Row] =
         if (keys.isEmpty) Nil
         else {
@@ -2960,41 +3039,71 @@ final class QueryEngine(
           scan.toSeq
         }
 
-      // fold each dim row's key stats into its GROUP BY cell
-      val statsOf: String => Map[String, GroupedStats.Stat] =
-        ck => if (ck == "__anchor") anchor else blobs(ck)
-      val colKeys = "__anchor" +: valueCols
+      // fold each dim row's key stats (and HLL registers) into its
+      // GROUP BY cell — stats merge exactly; HLLs by register-max
+      // union, which is EXACTLY distinct-over-union: a value seen
+      // under several fks of one cell counts once
+      val statsOf: String => Map[String, GroupedStats.Stat] = ck =>
+        if (ck == "__anchor") anchorOpt.get else blobs(ck)
+      val colKeys = anchorOpt.map(_ => "__anchor").toSeq ++ statsCols
       val cells = scala.collection.mutable.LinkedHashMap
-        .empty[Seq[Any], scala.collection.mutable.Map[String, GroupedStats.Stat]]
-      dimRows.foreach { r =>
+        .empty[Seq[Any], (scala.collection.mutable.Map[String, GroupedStats.Stat],
+          scala.collection.mutable.Map[String, graft.sketch.Hll],
+          scala.collection.mutable.Map[String, Array[Byte]])]
+      // per-group-grid histogram blobs make the bucket-count addition
+      // throw on the first multi-fk cell — refuse to the exact path
+      // (shared-grid builds merge; a single-fk cell merges trivially)
+      try dimRows.foreach { r =>
         val k = r.getString(0)
-        if (anchor.contains(k)) {
+        if (keySet.contains(k)) {
           val cell: Seq[Any] = (1 to gNames.size).map(r.get)
-          val m = cells.getOrElseUpdate(cell,
-            scala.collection.mutable.Map.empty)
+          val (m, h, hg) = cells.getOrElseUpdate(cell,
+            (scala.collection.mutable.Map.empty,
+              scala.collection.mutable.Map.empty,
+              scala.collection.mutable.Map.empty))
           colKeys.foreach { ck =>
             val st = statsOf(ck)(k)
             m(ck) = m.get(ck).fold(st)(GroupedStats.merge(_, st))
           }
+          distinctCols.foreach { dc =>
+            val hll = graft.sketch.Hll.deserialize(hllBlobs(dc)(k))
+            h(dc) = h.get(dc).fold(hll)(_.merge(hll))
+          }
+          pctCols.foreach { pc =>
+            val b = pctBlobs(pc)(k)
+            hg(pc) = hg.get(pc).fold(b)(histMergeBytes(_, b))
+          }
         }
-      }
+      } catch { case _: IllegalArgumentException => return None }
 
       // the merged records must pass the same exactness proof as the
       // single-table grouped serve, per served function
       val mergedByCol: Map[String, Seq[GroupedStats.Stat]] =
-        colKeys.map(ck => ck -> cells.values.map(_(ck)).toSeq).toMap
+        colKeys.map(ck => ck -> cells.values.map(_._1(ck)).toSeq).toMap
       val fnOk = aggParts.forall {
-        case (_, "count_star", _) => true
+        case (_, "count_star", _)     => true
+        case (_, "count_distinct", _) => true
+        case (_, fn, _) if fn.startsWith("percentile:") => true
         case (_, fn, Some(vc)) =>
           statFnServesExactly(fact, vc, fn, mergedByCol(vc.toLowerCase))
         case _ => false
       }
       if (!fnOk) return None
 
-      val rows = cells.toSeq.map { case (cell, m) =>
+      val rows = cells.toSeq.map { case (cell, (m, h, hg)) =>
         org.apache.spark.sql.Row.fromSeq(parts.map {
           case Left((_, i))                => cell(i)
           case Right((_, "count_star", _)) => m("__anchor").nrows
+          case Right((_, "count_distinct", Some(vc))) =>
+            h(vc.toLowerCase).count
+          case Right((_, fn, Some(vc))) if fn.startsWith("percentile:") =>
+            val p = fn.stripPrefix("percentile:").toDouble
+            val b = hg(vc.toLowerCase)
+            // empty payload = every contributing fk group was all-NULL:
+            // the exact percentile is NULL too
+            if (b.isEmpty) null
+            else Double.box(graft.sketch.Histogram.deserialize(b)
+              .percentile(p))
           case Right((_, fn, Some(vc))) =>
             val st = m(vc.toLowerCase)
             fn match {
@@ -3011,15 +3120,33 @@ final class QueryEngine(
         case Left((n, i)) =>
           StructField(n, attrFields(i).dataType, nullable = true)
         case Right((n, fn, _)) =>
-          if (fn == "count" || fn == "count_star")
+          if (fn == "count" || fn == "count_star" || fn == "count_distinct")
             StructField(n, LongType, nullable = false)
           else StructField(n, DoubleType, nullable = true)
       })
+      // distinct estimates carry the grouped HLL's standard error
+      // (register-max merges don't change m); merged percentiles one
+      // bucket width of the merged grid; everything else is exact
+      val hllErr =
+        if (distinctCols.isEmpty) 0.0
+        else {
+          val m0 = hllBlobs.values.headOption.flatMap(_.values.headOption)
+            .map(b => graft.sketch.Hll.deserialize(b).m.toDouble)
+            .getOrElse(4096.0)
+          1.04 / math.sqrt(m0)
+        }
+      val pctErr = cells.values.iterator
+        .flatMap(_._3.values)
+        .filter(_.nonEmpty)
+        .map(b => 1.0 / graft.sketch.Histogram.deserialize(b).buckets)
+        .foldLeft(0.0)(math.max)
+      val err = math.max(hllErr, pctErr)
       import scala.jdk.CollectionConverters._
       Some((spark.createDataFrame(rows.asJava, schema), fact,
         s"star aggregate over $fact ⋈ $dim served from the fact's " +
-          s"grouped stats blob on $fk (${keys.size} fact groups merged " +
-          "exactly; dim-only scan, fact never read)"))
+          s"grouped blobs on $fk (${keys.size} fact groups merged; " +
+          "stats exact, distinct counts by register-max HLL union; " +
+          "dim-only scan, fact never read)", err))
     }
     tryOrient(ta, ka.head, tb, kb.head)
       .orElse(tryOrient(tb, kb.head, ta, ka.head))
@@ -3091,30 +3218,53 @@ final class QueryEngine(
       val lower = agg.groupingExpressions.collect {
         case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
       }
+      // value col -> advised build type: stats fns need the grouped
+      // histogram (its stats_grouped rider feeds the serve); distinct
+      // counts need the grouped HLL
       val vcs = agg.aggregateExpressions.map {
         case a: UnresolvedAttribute
             if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
         case Alias(e, _)
             if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
           Some(None)
-        case Alias(f: UnresolvedFunction, _)
-            if !f.isDistinct && f.filter.isEmpty =>
+        case Alias(f: UnresolvedFunction, _) if f.filter.isEmpty =>
           (f.nameParts.last.toLowerCase, f.arguments) match {
-            case ("count", Seq(_: UnresolvedStar)) => Some(None)
-            case ("count", Seq(Literal(v: Number, _))) if v.intValue == 1 =>
+            case ("count", Seq(_: UnresolvedStar)) if !f.isDistinct =>
               Some(None)
-            case (fn, Seq(a: UnresolvedAttribute))
-                if statsFns(fn) &&
+            case ("count", Seq(Literal(v: Number, _)))
+                if !f.isDistinct && v.intValue == 1 =>
+              Some(None)
+            case ("count", Seq(a: UnresolvedAttribute))
+                if f.isDistinct &&
                   fCols.contains(a.nameParts.last.toLowerCase) &&
                   !dCols.contains(a.nameParts.last.toLowerCase) =>
-              Some(Some(a.nameParts.last))
+              Some(Some((a.nameParts.last, "hll_grouped")))
+            case (fn, Seq(a: UnresolvedAttribute))
+                if !f.isDistinct && statsFns(fn) &&
+                  fCols.contains(a.nameParts.last.toLowerCase) &&
+                  !dCols.contains(a.nameParts.last.toLowerCase) =>
+              Some(Some((a.nameParts.last, "histogram_grouped")))
+            // star percentiles merge fk histograms per dim cell, which
+            // only a SHARED-GRID build supports
+            case ("percentile" | "percentile_approx" | "approx_percentile",
+                Seq(a: UnresolvedAttribute, _: Literal))
+                if !f.isDistinct &&
+                  fCols.contains(a.nameParts.last.toLowerCase) &&
+                  !dCols.contains(a.nameParts.last.toLowerCase) =>
+              Some(Some((a.nameParts.last, "histogram_grouped_shared")))
+            case ("median", Seq(a: UnresolvedAttribute))
+                if !f.isDistinct &&
+                  fCols.contains(a.nameParts.last.toLowerCase) &&
+                  !dCols.contains(a.nameParts.last.toLowerCase) =>
+              Some(Some((a.nameParts.last, "histogram_grouped_shared")))
             case _ => None
           }
         case _ => None
       }
       if (vcs.exists(_.isEmpty)) return Nil
-      vcs.flatten.flatten.distinct.map(vc =>
-        Candidate(fact, vc, "histogram_grouped", Some(fk)))
+      vcs.flatten.flatten.distinct.map { case (vc, tpe) =>
+        Candidate(fact, vc, tpe, Some(fk))
+      }
     }
     val a = orient(ta, ka.head, tb, kb.head)
     if (a.nonEmpty) a else orient(tb, kb.head, ta, ka.head)
@@ -4278,15 +4428,19 @@ final class QueryEngine(
       // alike: joinTreeEdges succeeds from any root, and the canonical
       // edge key order is root-independent, so the advised names match
       // what execution will look up.
-      if (features.tables.sizeIs < 2 ||
-          !(features.hasApproximableAgg || features.hasDistinct)) return Nil
       // star-aggregate misses advise the grouped build that flips the
       // query to the EXACT star serve (fact never scanned) — strictly
       // better than an AGMS pair for this shape, advised alongside it
       // (the generic advice still helps if the fact's key cardinality
-      // makes the grouped build refuse past MaxHllGroups)
+      // makes the grouped build refuse past MaxHllGroups). Computed
+      // BEFORE the approximable-agg gate: a percentile-only star query
+      // has no sampler-approximable aggregate but the shared-grid
+      // build still serves it.
       val star = try starAdviceCandidates(parsed, features.tables)
         catch { case scala.util.control.NonFatal(_) => Nil }
+      if (features.tables.sizeIs < 2 ||
+          !(features.hasApproximableAgg || features.hasDistinct))
+        return star
       return try {
         val ts = features.tables
         (star ++ ts.iterator

@@ -240,8 +240,12 @@ object Aqp {
     starEngines.getOrElseUpdate((s, dir), {
       val e = new QueryEngine(s,
         new MetaCatalog(Files.createTempDirectory("graft-star").toString))
+      // SHARED grid: q127's per-nation percentile merges suppkey
+      // histograms per nation, which only one global grid supports;
+      // the stats_grouped rider q126 serves from is grid-independent
       graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
-        "lineitem", "l_suppkey", "l_extendedprice", 64)
+        "lineitem", Seq("l_suppkey"), "l_extendedprice", 64,
+        sharedGrid = true)
       e
     })
   }
@@ -1087,6 +1091,26 @@ object Aqp {
       assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
         s"q126 must serve the star aggregate from the fact's grouped " +
           s"blob: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Star PERCENTILE: the per-nation median price over lineitem ⋈
+    // supplier — each nation's histogram is the SUM of its suppliers'
+    // shared-grid bucket counts (exact integer additions on one global
+    // grid), interpolated once per nation with the q74 rule. Zero fact
+    // scan; the estimate is deterministic, so the full chain is
+    // oracle-gated bit-for-bit.
+    "q127_star_pct" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT s_nationkey, percentile(l_extendedprice, 0.5) AS p50 " +
+          "FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "GROUP BY s_nationkey")
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"q127 must serve the star percentile from the shared-grid " +
+          s"grouped histogram: ${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
         .orderBy(col("s_nationkey"))
     }),
@@ -2708,6 +2732,44 @@ object Aqp {
          FROM lineitem JOIN supplier
            ON lineitem.l_suppkey = supplier.s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey""",
+    // q127: the star percentile re-derived — ONE global grid over the
+    // whole fact column (the shared-grid build's [min,max]/64), bucket
+    // counts per NATION through the join (equal to summing the
+    // suppkey histograms: bucket addition is associative), then q74's
+    // interpolation per nation. Breaks together with
+    // q74/q84/q99/q104 if Histogram.percentile or the grid rule
+    // changes.
+    "q127_star_pct" ->
+      """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+              max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          j AS (SELECT s_nationkey AS g, CAST(l_extendedprice AS DOUBLE) AS v
+            FROM lineitem JOIN supplier
+              ON lineitem.l_suppkey = supplier.s_suppkey
+            WHERE l_extendedprice IS NOT NULL),
+          nn AS (SELECT g, count(*) AS n FROM j GROUP BY g),
+          bk AS (SELECT g, least(63, CAST(floor((j.v - grd.lo) / grd.w) AS INT)) AS b
+            FROM j CROSS JOIN grd),
+          c AS (SELECT g, b, count(*) AS c FROM bk GROUP BY g, b),
+          cum AS (SELECT g, b, c,
+              sum(c) OVER (PARTITION BY g ORDER BY b) - c AS cum_before FROM c),
+          tg AS (SELECT g, CAST('0.5' AS DOUBLE) * CAST(n - 1 AS DOUBLE) AS target
+            FROM nn),
+          pick AS (SELECT tg.g, tg.target, min(cum.b) AS b
+            FROM cum JOIN tg ON cum.g = tg.g
+            WHERE cum.cum_before + cum.c > tg.target
+            GROUP BY tg.g, tg.target),
+          est AS (SELECT pick.g AS s_nationkey,
+              grd.lo + grd.w * (CAST(pick.b AS DOUBLE)
+                + CASE WHEN cum.c <= 1 THEN CAST(0 AS DOUBLE)
+                       ELSE (pick.target - CAST(cum.cum_before AS DOUBLE))
+                            / CAST(cum.c AS DOUBLE) END) AS p50
+            FROM pick JOIN cum ON pick.g = cum.g AND pick.b = cum.b
+            CROSS JOIN grd)
+          SELECT s_nationkey, p50, 'sketch' AS plan_type FROM est
+          ORDER BY s_nationkey""",
     // q112: the sum serve emits the repo's canonical decimal->double
     // recipe — the oracle computes the same rendering, so the top-10
     // revenues hash-match bit-for-bit

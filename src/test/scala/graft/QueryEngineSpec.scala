@@ -3081,8 +3081,15 @@ class QueryEngineSpec extends SparkSpec {
         "cast(count(v) as double) AS av " +
         "FROM star_f JOIN star_d ON star_f.k = star_d.pk GROUP BY region")
       .collect().map(r => Option(r.getString(0)) -> r).toMap
+    // exact distinct truth per region for the HLL variant (b=12 —
+    // near-exact at this cardinality: v has 37 distinct values)
+    val truthNd = spark.sql(
+      "SELECT region, count(DISTINCT v) AS nd FROM star_f JOIN star_d " +
+        "ON star_f.k = star_d.pk GROUP BY region").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
       "star_f", "k", "v", 32)
+    graft.sketch.SketchOps.createGroupedHll(spark, cat, "star_f", "k", "v")
     // EMPTY the fact: a correct answer can only come from the blob
     // (the dim stays real — the serve is allowed to read it)
     spark.range(0).select(expr("id").as("k"),
@@ -3117,6 +3124,46 @@ class QueryEngineSpec extends SparkSpec {
       Option(x.getString(0)) -> x.getLong(1)).toMap ==
       truth.view.mapValues(_.getLong(1)).toMap)
 
+    // count(DISTINCT fact col) per dim attr: the fks' HLLs merge by
+    // register-max per cell (distinct-over-union — a value seen under
+    // several suppliers of one nation counts once), mixed freely with
+    // exact stats outputs; the serve reports the HLL error bound
+    val rNd = eng.query("SELECT region, count(DISTINCT v) AS nd, " +
+      "sum(v) AS sv FROM star_f JOIN star_d ON star_f.k = star_d.pk " +
+      "GROUP BY region")
+    assert(rNd.servedFromCatalog && rNd.serveKind.contains("star_group"),
+      s"${rNd.serveKind}: ${rNd.reason}")
+    assert(rNd.estimatedError > 0.0 && rNd.estimatedError <= 0.02,
+      rNd.estimatedError.toString)
+    rNd.df.collect().foreach { x =>
+      val g = Option(x.getString(0))
+      val est = x.getLong(1).toDouble
+      val nd = truthNd(g).toDouble
+      assert(math.abs(est - nd) / nd < 0.05, s"$g: est $est vs $nd")
+      assert(x.getDouble(2) == truth(g).getDouble(3), s"$g sum")
+    }
+
+    // dashboard peel: ORDER BY metric DESC + LIMIT and HAVING replay
+    // driver-side over the served rows — exact because the served row
+    // set is COMPLETE (every joined group present)
+    val rPeel = eng.query("SELECT region, sum(v) AS sv FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk GROUP BY region " +
+      "ORDER BY sv DESC, region LIMIT 2")
+    assert(rPeel.servedFromCatalog && rPeel.serveKind.contains("star_group"),
+      rPeel.reason)
+    val expTop = truth.toSeq
+      .sortBy { case (g, t) => (-t.getDouble(3), g.getOrElse("")) }
+      .take(2).map { case (g, t) => (g, t.getDouble(3)) }
+    assert(rPeel.df.collect().toSeq.map(x =>
+      (Option(x.getString(0)), x.getDouble(1))) == expTop)
+    val rHav = eng.query("SELECT region, sum(v) AS sv FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk GROUP BY region " +
+      "HAVING sum(v) >= " + expTop.head._2 + " ORDER BY region")
+    assert(rHav.servedFromCatalog && rHav.serveKind.contains("star_group"),
+      rHav.reason)
+    assert(rHav.df.collect().map(x => Option(x.getString(0))).toSet ==
+      truth.filter(_._2.getDouble(3) >= expTop.head._2).keySet)
+
     // refusals LAST — each shape would need the fact itself:
     // a WHERE clause changes what the blob's totals mean
     val rw = eng.query("SELECT region, count(*) AS cnt FROM star_f " +
@@ -3144,9 +3191,11 @@ class QueryEngineSpec extends SparkSpec {
     val cat2 = new MetaCatalog(
       Files.createTempDirectory("graft-star2").toString)
     val eng2 = new QueryEngine(spark, cat2)
+    // v's range depends on k so the per-fk histogram grids DIFFER —
+    // the percentile section below needs mismatched grids to refuse
     spark.range(0, 6000).select(
       expr("id % 20").as("k"),
-      expr("cast(id % 37 as double) / 4.0 + 1.0").as("v"))
+      expr("cast(id % 37 as double) / 4.0 + cast(id % 20 as double)").as("v"))
       .createOrReplaceTempView("star_f")
     val sqlAdv = "SELECT region, sum(v) AS sv, count(*) AS cnt " +
       "FROM star_f JOIN star_d ON star_f.k = star_d.pk GROUP BY region"
@@ -3166,5 +3215,50 @@ class QueryEngineSpec extends SparkSpec {
     val rAdv = eng2.query(sqlAdv)
     assert(rAdv.servedFromCatalog && rAdv.serveKind.contains("star_group"),
       rAdv.reason)
+    // the DISTINCT star shape advises the grouped HLL instead
+    val sqlAdvD = "SELECT region, count(DISTINCT v) AS nd FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk GROUP BY region"
+    (1 to 3).foreach(_ => assert(!eng2.query(sqlAdvD).servedFromCatalog))
+    assert(eng2.adviseSketches(minMisses = 3).exists(a =>
+      a.candidate.sketchType == "hll_grouped" &&
+        a.candidate.table.equalsIgnoreCase("star_f") &&
+        a.candidate.column.equalsIgnoreCase("v") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("k"))))
+    graft.sketch.SketchOps.createGroupedHll(spark, cat2, "star_f", "k", "v")
+    val rAdvD = eng2.query(sqlAdvD)
+    assert(rAdvD.servedFromCatalog && rAdvD.serveKind.contains("star_group"),
+      rAdvD.reason)
+
+    // star PERCENTILE: per-group grids refuse (one dim cell spans
+    // several fk histograms whose grids differ); the misses advise the
+    // SHARED-GRID build, which merges bucket counts per cell exactly
+    // and serves to one bucket width of the global grid
+    val sqlPct = "SELECT region, percentile(v, 0.5) AS p50 FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk GROUP BY region"
+    (1 to 3).foreach(_ => assert(!eng2.query(sqlPct).servedFromCatalog))
+    assert(eng2.adviseSketches(minMisses = 3).exists(a =>
+      a.candidate.sketchType == "histogram_grouped_shared" &&
+        a.candidate.column.equalsIgnoreCase("v") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("k"))),
+      eng2.adviseSketches(minMisses = 3).toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat2,
+      "star_f", Seq("k"), "v", 32, sharedGrid = true)
+    val rPct = eng2.query(sqlPct)
+    assert(rPct.servedFromCatalog && rPct.serveKind.contains("star_group"),
+      rPct.reason)
+    assert(rPct.estimatedError == 1.0 / 32, rPct.estimatedError.toString)
+    val truthP = spark.sql(
+      "SELECT region, percentile(v, 0.5) AS p50 FROM star_f JOIN star_d " +
+        "ON star_f.k = star_d.pk GROUP BY region").collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    val w = spark.sql("SELECT (max(v) - min(v)) / 32 AS w FROM star_f")
+      .collect().head.getDouble(0)
+    val pctRows = rPct.df.collect()
+    assert(pctRows.map(x => Option(x.getString(0))).toSet == truthP.keySet)
+    pctRows.foreach { x =>
+      val g = Option(x.getString(0))
+      assert(math.abs(x.getDouble(1) - truthP(g)) <= w + 1e-9,
+        s"$g: ${x.getDouble(1)} vs ${truthP(g)} (w=$w)")
+    }
   }
 }
