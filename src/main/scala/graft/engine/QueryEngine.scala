@@ -2830,15 +2830,23 @@ final class QueryEngine(
       case a: Aggregate if a.groupingExpressions.nonEmpty => a
       case _                                              => return None
     }
-    // the aggregate's child must be EXACTLY one inner equi-join of the
-    // two relations (aliases allowed) — a Filter/Project would change
-    // what the blob's recorded totals mean
-    val extraneous = agg.child.collect {
+    // the aggregate's child must be one inner equi-join of the two
+    // relations (aliases allowed), optionally under ONE WHERE clause.
+    // A fact-side predicate would change what the blob's recorded
+    // totals mean and refuses below; a DIM-side predicate is safe —
+    // the dim is scanned anyway, so it just restricts which dim rows
+    // fold, which IS the filtered inner join's aggregation semantics.
+    val (whereCond, joinChild) = agg.child match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch) =>
+        (Some(c), ch)
+      case ch => (None, ch)
+    }
+    val extraneous = joinChild.collect {
       case n if !n.isInstanceOf[Join] && !n.isInstanceOf[SubqueryAlias] &&
         !n.isInstanceOf[UnresolvedRelation] => n
     }
     if (extraneous.nonEmpty) return None
-    agg.child.collect { case j: Join => j } match {
+    joinChild.collect { case j: Join => j } match {
       case Seq(j) if j.joinType == Inner && j.condition.isDefined =>
       case _ => return None
     }
@@ -2874,6 +2882,23 @@ final class QueryEngine(
       val dCols = colSet(dim)
       val kk = keyKind(fact, fk)
       if (kk == 'x' || kk != keyKind(dim, pk)) return None
+      // a WHERE clause serves only when every referenced column is
+      // unambiguously the DIM's (it is applied to the dim scan below)
+      // and it contains no subquery — anything touching the fact would
+      // change what the blob's recorded totals mean
+      val whereOk = whereCond.forall { c =>
+        val attrs = c.collect {
+          case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+        }
+        attrs.nonEmpty &&
+          attrs.forall(n => dCols.contains(n) && !fCols.contains(n)) &&
+          c.find {
+            case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+            case _: UnresolvedStar => true
+            case _ => false
+          }.isEmpty
+      }
+      if (!whereOk) return None
       // group keys: every grouping expression is a bare, unambiguous
       // dim attribute of atomic type (grouping happens driver-side)
       val gOpt = agg.groupingExpressions.map {
@@ -3028,13 +3053,19 @@ final class QueryEngine(
             keys.toDF("__k")
           }
           val cap = keys.size * 4 + 1
-          val scan = spark.table(dim)
-            .select(col(pk).cast("string").as("__k") +:
-              gNames.map(col): _*)
-            .join(broadcast(keysDf), "__k")
-            .select(org.apache.spark.sql.functions.col("__k") +:
-              gNames.map(col): _*)
-            .limit(cap).collect()
+          // the dim-side WHERE applies here, through its SQL rendering
+          // (unresolved attrs resolve against the dim's own schema); a
+          // predicate the dim cannot analyze refuses to the exact path
+          val scan = try {
+            whereCond.fold(spark.table(dim))(c => spark.table(dim)
+                .where(c.sql))
+              .select(col(pk).cast("string").as("__k") +:
+                gNames.map(col): _*)
+              .join(broadcast(keysDf), "__k")
+              .select(org.apache.spark.sql.functions.col("__k") +:
+                gNames.map(col): _*)
+              .limit(cap).collect()
+          } catch { case scala.util.control.NonFatal(_) => return None }
           if (scan.length >= cap) return None
           scan.toSeq
         }
@@ -3177,12 +3208,18 @@ final class QueryEngine(
       case a: Aggregate if a.groupingExpressions.nonEmpty => a
       case _                                              => return Nil
     }
-    val extraneous = agg.child.collect {
+    // optional WHERE: advisable only when dim-side (the serve's rule)
+    val (whereCond, joinChild) = agg.child match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch) =>
+        (Some(c), ch)
+      case ch => (None, ch)
+    }
+    val extraneous = joinChild.collect {
       case n if !n.isInstanceOf[Join] && !n.isInstanceOf[SubqueryAlias] &&
         !n.isInstanceOf[UnresolvedRelation] => n
     }
     if (extraneous.nonEmpty) return Nil
-    agg.child.collect { case j: Join => j } match {
+    joinChild.collect { case j: Join => j } match {
       case Seq(j) if j.joinType == Inner && j.condition.isDefined =>
       case _ => return Nil
     }
@@ -3208,6 +3245,14 @@ final class QueryEngine(
       val dCols = colSet(dim)
       val kk = keyKind(fact, fk)
       if (kk == 'x' || kk != keyKind(dim, pk)) return Nil
+      val whereOk = whereCond.forall { c =>
+        val attrs = c.collect {
+          case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+        }
+        attrs.nonEmpty &&
+          attrs.forall(n => dCols.contains(n) && !fCols.contains(n))
+      }
+      if (!whereOk) return Nil
       val gOk = agg.groupingExpressions.forall {
         case a: UnresolvedAttribute =>
           dCols.contains(a.nameParts.last.toLowerCase) &&

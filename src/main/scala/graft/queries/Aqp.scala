@@ -1095,6 +1095,24 @@ object Aqp {
         .orderBy(col("s_nationkey"))
     }),
 
+    // FILTERED star dashboard: a DIM-side WHERE + ORDER BY/LIMIT over
+    // the star serve — the filter restricts which supplier rows fold
+    // (the dim is scanned anyway; the fact still never is), the peel
+    // replays driver-side over the complete served row set. Exact.
+    "q128_star_filtered" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT s_nationkey, count(*) AS cnt, " +
+          "sum(l_extendedprice) AS rev FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "WHERE s_nationkey < 13 GROUP BY s_nationkey " +
+          "ORDER BY rev DESC, s_nationkey LIMIT 5")
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"q128 must serve the filtered star dashboard from the fact's " +
+          s"grouped blob: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // Star PERCENTILE: the per-nation median price over lineitem ⋈
     // supplier — each nation's histogram is the SUM of its suppliers'
     // shared-grid bucket counts (exact integer additions on one global
@@ -2732,6 +2750,17 @@ object Aqp {
          FROM lineitem JOIN supplier
            ON lineitem.l_suppkey = supplier.s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey""",
+    // q128: dim-side filter + peel over the star serve, exact — the
+    // plain SQL with the portable sum; the key tie-break pins the
+    // kept row set under the LIMIT
+    "q128_star_filtered" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+           'sketch' AS plan_type
+         FROM lineitem JOIN supplier
+           ON lineitem.l_suppkey = supplier.s_suppkey
+         WHERE s_nationkey < 13
+         GROUP BY s_nationkey ORDER BY rev DESC, s_nationkey LIMIT 5""",
     // q127: the star percentile re-derived — ONE global grid over the
     // whole fact column (the shared-grid build's [min,max]/64), bucket
     // counts per NATION through the join (equal to summing the

@@ -3081,6 +3081,13 @@ class QueryEngineSpec extends SparkSpec {
         "cast(count(v) as double) AS av " +
         "FROM star_f JOIN star_d ON star_f.k = star_d.pk GROUP BY region")
       .collect().map(r => Option(r.getString(0)) -> r).toMap
+    // filtered-star truth (dim-side WHERE) with the portable renderings
+    val truthW = spark.sql(
+      "SELECT region, count(*) AS cnt, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS sv " +
+        "FROM star_f JOIN star_d ON star_f.k = star_d.pk " +
+        "WHERE sz >= 2 GROUP BY region").collect()
+      .map(r => Option(r.getString(0)) -> r).toMap
     // exact distinct truth per region for the HLL variant (b=12 —
     // near-exact at this cardinality: v has 37 distinct values)
     val truthNd = spark.sql(
@@ -3143,6 +3150,20 @@ class QueryEngineSpec extends SparkSpec {
       assert(x.getDouble(2) == truth(g).getDouble(3), s"$g sum")
     }
 
+    // dim-side WHERE serves: the filter restricts which dim rows fold
+    // (the dim is scanned anyway) — exact filtered-join aggregation
+    val rWd = eng.query("SELECT region, count(*) AS cnt, sum(v) AS sv " +
+      "FROM star_f JOIN star_d ON star_f.k = star_d.pk " +
+      "WHERE sz >= 2 GROUP BY region")
+    assert(rWd.servedFromCatalog && rWd.serveKind.contains("star_group"),
+      s"${rWd.serveKind}: ${rWd.reason}")
+    val servedW = rWd.df.collect().map(x => Option(x.getString(0)) -> x).toMap
+    assert(servedW.keySet == truthW.keySet)
+    servedW.foreach { case (g, row) =>
+      assert(row.getLong(1) == truthW(g).getLong(1), s"$g cnt")
+      assert(row.getDouble(2) == truthW(g).getDouble(2), s"$g sum")
+    }
+
     // dashboard peel: ORDER BY metric DESC + LIMIT and HAVING replay
     // driver-side over the served rows — exact because the served row
     // set is COMPLETE (every joined group present)
@@ -3165,9 +3186,9 @@ class QueryEngineSpec extends SparkSpec {
       truth.filter(_._2.getDouble(3) >= expTop.head._2).keySet)
 
     // refusals LAST — each shape would need the fact itself:
-    // a WHERE clause changes what the blob's totals mean
+    // a FACT-side WHERE changes what the blob's totals mean
     val rw = eng.query("SELECT region, count(*) AS cnt FROM star_f " +
-      "JOIN star_d ON star_f.k = star_d.pk WHERE sz = 1 GROUP BY region")
+      "JOIN star_d ON star_f.k = star_d.pk WHERE v > 2 GROUP BY region")
     assert(!rw.servedFromCatalog, rw.reason)
     // outer joins keep unmatched rows the blob cannot name
     val ro = eng.query("SELECT region, count(*) AS cnt FROM star_f " +
