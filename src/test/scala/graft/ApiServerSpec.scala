@@ -332,6 +332,29 @@ class ApiServerSpec extends SparkSpec {
       s"served=$rows truth=$truth")
   }
 
+  test("star-aggregate serve over HTTP: fact ⋈ dim GROUP BY dim attr answers from the catalog (round 10)") {
+    // grouped build on the fact's JOIN key — the star serve's input.
+    // Keyed on o_custkey with o_orderkey as the value column: neither
+    // the advise test's l_suppkey miss counter nor the o_orderstatus-
+    // keyed o_totalprice blobs other tests serve from are disturbed
+    // (a blob keyed l_suppkey would make count(DISTINCT l_suppkey)
+    // SERVE, starving the advisor loop of its misses).
+    val (c1, b1) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_orderkey", "sketch_type": "histogram",
+         "parameters": {"group_by": "o_custkey"}}"""))
+    assert(c1 == 200, b1)
+    val (qc, qb) = http("POST", "/query", Some(
+      """{"sql": "SELECT c_mktsegment, count(*) AS cnt FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey GROUP BY c_mktsegment"}"""))
+    assert(qc == 200, qb)
+    val v = parsed(qb)
+    assert(v("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("star_group")), qb.take(400))
+    v("result") match {
+      case Some(Json.A(rows)) => assert(rows.nonEmpty, qb.take(200))
+      case other              => fail(s"expected result rows: $other")
+    }
+  }
+
   test("KMV pair over HTTP: build both sides, INTERSECT count serves from the catalog (round 10)") {
     val (c1, b1) = http("POST", "/sketches/create", Some(
       """{"table": "orders", "column": "o_custkey", "sketch_type": "kmv"}"""))

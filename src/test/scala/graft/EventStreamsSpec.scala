@@ -1244,6 +1244,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(est > 0 && math.abs(est - 250.0) / 250.0 < 1.0, est.toString)
   }
 
+  test("stream-maintained fk-keyed stats serve the STAR aggregate live: fact never scanned") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-star").toString)
+    // maintain the grouped-stats blob keyed on the fact's JOIN key —
+    // the same maintainer the single-table serves use; the star serve
+    // reads the identical blob, so streams keep the star dashboard
+    // live with no star-specific maintenance code
+    val stream = MemoryStream[(Long, Double)]
+    val q = EventStreams.maintainGroupedStatsSketch(
+      stream.toDF().toDF("fk", "amt"), catalog, "fact_live", "fk", "amt")
+    val data = (1L to 3000L).map(i => (i % 10, (i % 23).toDouble))
+    data.grouped(1000).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    spark.range(0, 10).select(col("id").as("pk"),
+      expr("concat('b', id % 3)").as("bucket"))
+      .createOrReplaceTempView("dim_live")
+    // EMPTY fact: a correct star answer can only come from the blob
+    spark.range(0).select(col("id").as("fk"),
+      col("id").cast("double").as("amt"))
+      .createOrReplaceTempView("fact_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query("SELECT bucket, count(*) AS cnt, sum(amt) AS s " +
+      "FROM fact_live JOIN dim_live ON fact_live.fk = dim_live.pk " +
+      "GROUP BY bucket")
+    assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+      s"${r.serveKind}: ${r.reason}")
+    // truth from the generator, grouped by the dim attribute
+    val truth = data.groupBy { case (fk, _) => s"b${fk % 3}" }
+      .view.mapValues(rows =>
+        (rows.size.toLong, rows.map(_._2).sum)).toMap
+    val served = r.df.collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(served == truth, s"$served vs $truth")
+  }
+
   test("stream-maintained heavy-hitters: stored counts stay exact, unknown mass inflates the serve bound") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
