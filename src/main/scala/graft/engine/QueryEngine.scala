@@ -2825,17 +2825,17 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.plans.Inner
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, SubqueryAlias}
     import org.apache.spark.sql.types._
-    if (tables.sizeIs != 2) return None
+    if (tables.sizeIs < 2) return None
     val agg = parsed match {
       case a: Aggregate if a.groupingExpressions.nonEmpty => a
       case _                                              => return None
     }
-    // the aggregate's child must be one inner equi-join of the two
-    // relations (aliases allowed), optionally under ONE WHERE clause.
-    // A fact-side predicate would change what the blob's recorded
-    // totals mean and refuses below; a DIM-side predicate is safe —
-    // the dim is scanned anyway, so it just restricts which dim rows
-    // fold, which IS the filtered inner join's aggregation semantics.
+    // the aggregate's child must be inner equi-joins of the relations
+    // (aliases allowed), optionally under ONE WHERE clause. A
+    // fact-side predicate would change what the blob's recorded totals
+    // mean and refuses below; a DIM-side predicate is safe — the dims
+    // are scanned anyway, so it just restricts which dim rows fold,
+    // which IS the filtered inner join's aggregation semantics.
     val (whereCond, joinChild) = agg.child match {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch) =>
         (Some(c), ch)
@@ -2846,13 +2846,10 @@ final class QueryEngine(
         !n.isInstanceOf[UnresolvedRelation] => n
     }
     if (extraneous.nonEmpty) return None
-    joinChild.collect { case j: Join => j } match {
-      case Seq(j) if j.joinType == Inner && j.condition.isDefined =>
-      case _ => return None
-    }
-    val (ta, ka, tb, kb) = joinTreeEdges(parsed, tables, tables.head)
-      .flatMap(_.headOption).getOrElse(return None)
-    if (ka.sizeIs != 1 || kb.sizeIs != 1) return None
+    val joins = joinChild.collect { case j: Join => j }
+    if (joins.sizeIs != tables.size - 1 ||
+        !joins.forall(j => j.joinType == Inner && j.condition.isDefined))
+      return None
     def colSet(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
     def keyKind(t: String, c: String): Char =
       spark.table(t).schema.fields
@@ -2876,22 +2873,41 @@ final class QueryEngine(
       case _                                     => None
     }
     import graft.sketch.GroupedStats
-    def tryOrient(fact: String, fk: String, dim: String, pk: String)
-        : Option[(DataFrame, String, String, Double)] = {
+    // column ownership across ALL of the query's tables: the serve
+    // only handles shapes whose referenced columns resolve to exactly
+    // one table (the same rule joinTreeEdges applies to join keys)
+    val colSets: Map[String, Set[String]] = tables.map(t => t -> colSet(t)).toMap
+    def owner(col: String): Option[String] = {
+      val os = tables.filter(t => colSets(t).contains(col.toLowerCase))
+      if (os.sizeIs == 1) Some(os.head) else None
+    }
+    def tryOrient(fact: String): Option[(DataFrame, String, String, Double)] = {
+      // the join tree oriented from the candidate fact: exactly ONE
+      // single-key edge may leave the fact (a second would need a
+      // composite blob key); everything else is the DIM TREE — the
+      // snowflake shape, executed as real (small) dim joins below
+      val edges = joinTreeEdges(parsed, tables, fact).getOrElse(return None)
+      val factEdges = edges.filter(_._1 == fact)
+      val (fk, dimRoot, pk) = factEdges match {
+        case Seq((_, fks, dr, pks)) if fks.sizeIs == 1 =>
+          (fks.head, dr, pks.head)
+        case _ => return None
+      }
+      val dimEdges = edges.filterNot(_._1 == fact)
+      val dims = tables.filterNot(_ == fact)
       val fCols = colSet(fact)
-      val dCols = colSet(dim)
+      def dimOwned(col: String): Boolean = owner(col).exists(_ != fact)
       val kk = keyKind(fact, fk)
-      if (kk == 'x' || kk != keyKind(dim, pk)) return None
+      if (kk == 'x' || kk != keyKind(dimRoot, pk)) return None
       // a WHERE clause serves only when every referenced column is
-      // unambiguously the DIM's (it is applied to the dim scan below)
-      // and it contains no subquery — anything touching the fact would
-      // change what the blob's recorded totals mean
+      // unambiguously a DIM's (it is applied to the dim-side scan
+      // below) and it contains no subquery — anything touching the
+      // fact would change what the blob's recorded totals mean
       val whereOk = whereCond.forall { c =>
         val attrs = c.collect {
-          case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+          case a: UnresolvedAttribute => a.nameParts.last
         }
-        attrs.nonEmpty &&
-          attrs.forall(n => dCols.contains(n) && !fCols.contains(n)) &&
+        attrs.nonEmpty && attrs.forall(dimOwned) &&
           c.find {
             case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
             case _: UnresolvedStar => true
@@ -2902,18 +2918,19 @@ final class QueryEngine(
       // group keys: every grouping expression is a bare, unambiguous
       // dim attribute of atomic type (grouping happens driver-side)
       val gOpt = agg.groupingExpressions.map {
-        case a: UnresolvedAttribute
-            if dCols.contains(a.nameParts.last.toLowerCase) &&
-              !fCols.contains(a.nameParts.last.toLowerCase) =>
+        case a: UnresolvedAttribute if dimOwned(a.nameParts.last) =>
           Some(a.nameParts.last)
         case _ => None
       }
       if (gOpt.exists(_.isEmpty)) return None
       val gNames = gOpt.flatten
       val lower = gNames.map(_.toLowerCase)
-      val dimFields = spark.table(dim).schema.fields
-      val attrFields = gNames.map(n =>
-        dimFields.find(_.name.equalsIgnoreCase(n)).getOrElse(return None))
+      val attrFields = gNames.map { n =>
+        dims.iterator
+          .flatMap(t => spark.table(t).schema.fields
+            .find(_.name.equalsIgnoreCase(n)))
+          .nextOption().getOrElse(return None)
+      }
       val atomicOk = attrFields.forall(_.dataType match {
         case StringType | BooleanType | ByteType | ShortType |
             IntegerType | LongType | FloatType | DoubleType | DateType |
@@ -2939,14 +2956,12 @@ final class QueryEngine(
                 Some(Right((name, "count_star", None)))
               case ("count", Seq(a: UnresolvedAttribute))
                   if f.isDistinct &&
-                    fCols.contains(a.nameParts.last.toLowerCase) &&
-                    !dCols.contains(a.nameParts.last.toLowerCase) =>
+                    owner(a.nameParts.last).contains(fact) =>
                 Some(Right((name, "count_distinct", Some(a.nameParts.last))))
               case (fn, Seq(a: UnresolvedAttribute))
                   if !f.isDistinct &&
                     Set("min", "max", "count", "sum", "avg", "mean")(fn) &&
-                    fCols.contains(a.nameParts.last.toLowerCase) &&
-                    !dCols.contains(a.nameParts.last.toLowerCase) =>
+                    owner(a.nameParts.last).contains(fact) =>
                 Some(Right((name, fn, Some(a.nameParts.last))))
               // percentiles serve from the fk-keyed grouped histograms:
               // per-cell the fks' bucket counts ADD — exact only when
@@ -2955,14 +2970,12 @@ final class QueryEngine(
               case ("percentile" | "percentile_approx" | "approx_percentile",
                   Seq(a: UnresolvedAttribute, l: Literal))
                   if !f.isDistinct &&
-                    fCols.contains(a.nameParts.last.toLowerCase) &&
-                    !dCols.contains(a.nameParts.last.toLowerCase) =>
+                    owner(a.nameParts.last).contains(fact) =>
                 litDouble(l).map(p =>
                   Right((name, s"percentile:$p", Some(a.nameParts.last))))
               case ("median", Seq(a: UnresolvedAttribute))
                   if !f.isDistinct &&
-                    fCols.contains(a.nameParts.last.toLowerCase) &&
-                    !dCols.contains(a.nameParts.last.toLowerCase) =>
+                    owner(a.nameParts.last).contains(fact) =>
                 Some(Right((name, "percentile:0.5", Some(a.nameParts.last))))
               case _ => None
             }
@@ -3053,12 +3066,21 @@ final class QueryEngine(
             keys.toDF("__k")
           }
           val cap = keys.size * 4 + 1
-          // the dim-side WHERE applies here, through its SQL rendering
-          // (unresolved attrs resolve against the dim's own schema); a
-          // predicate the dim cannot analyze refuses to the exact path
+          // the DIM SIDE executes as real Spark joins (dims are the
+          // small side — the fact is still never read): the oriented
+          // dim-tree edges join parent-first, the dim-side WHERE
+          // applies through its SQL rendering, and a shape the dims
+          // cannot analyze refuses to the exact path
           val scan = try {
-            whereCond.fold(spark.table(dim))(c => spark.table(dim)
-                .where(c.sql))
+            var dimDf = spark.table(dimRoot)
+            dimEdges.foreach { case (p, pks2, c2, cks2) =>
+              val cond = pks2.zip(cks2)
+                .map { case (a, b) => s"$a = $b" }.mkString(" AND ")
+              dimDf = dimDf.join(spark.table(c2),
+                org.apache.spark.sql.functions.expr(cond))
+            }
+            whereCond.foreach(c => dimDf = dimDf.where(c.sql))
+            dimDf
               .select(col(pk).cast("string").as("__k") +:
                 gNames.map(col): _*)
               .join(broadcast(keysDf), "__k")
@@ -3174,13 +3196,12 @@ final class QueryEngine(
       val err = math.max(hllErr, pctErr)
       import scala.jdk.CollectionConverters._
       Some((spark.createDataFrame(rows.asJava, schema), fact,
-        s"star aggregate over $fact ⋈ $dim served from the fact's " +
-          s"grouped blobs on $fk (${keys.size} fact groups merged; " +
-          "stats exact, distinct counts by register-max HLL union; " +
-          "dim-only scan, fact never read)", err))
+        s"star aggregate over $fact ⋈ ${dims.mkString(" ⋈ ")} served " +
+          s"from the fact's grouped blobs on $fk (${keys.size} fact " +
+          "groups merged; stats exact, distinct counts by register-max " +
+          "HLL union; dim-side-only scan, fact never read)", err))
     }
-    tryOrient(ta, ka.head, tb, kb.head)
-      .orElse(tryOrient(tb, kb.head, ta, ka.head))
+    tables.view.flatMap(t => tryOrient(t)).headOption
   }
 
   /** The star-aggregate SHAPE as advisor candidates: the same match as

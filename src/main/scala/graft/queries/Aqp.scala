@@ -1113,6 +1113,26 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // SNOWFLAKE star: revenue by NATION NAME over lineitem ⋈ supplier
+    // ⋈ nation — the dim SIDE is a join tree (supplier → nation),
+    // executed as real small-table joins, while the fact is still a
+    // catalog lookup (the l_suppkey blob's exact per-supplier stats
+    // fold through supplier's nationkey into each nation's cell).
+    // Exact; at 100 TB the TPC-H-Q5-style rollup pays dim joins only.
+    "q129_snowflake_star" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT n_name, count(*) AS cnt, sum(l_extendedprice) AS rev " +
+          "FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "JOIN nation ON supplier.s_nationkey = nation.n_nationkey " +
+          "GROUP BY n_name")
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"q129 must serve the snowflake star from the fact's grouped " +
+          s"blob: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType)).orderBy(col("n_name"))
+    }),
+
     // Star PERCENTILE: the per-nation median price over lineitem ⋈
     // supplier — each nation's histogram is the SUM of its suppliers'
     // shared-grid bucket counts (exact integer additions on one global
@@ -2750,6 +2770,16 @@ object Aqp {
          FROM lineitem JOIN supplier
            ON lineitem.l_suppkey = supplier.s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey""",
+    // q129: the snowflake star is exact — plain SQL over the 3-table
+    // join with the portable sum
+    "q129_snowflake_star" ->
+      """SELECT n_name, count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+           'sketch' AS plan_type
+         FROM lineitem JOIN supplier
+           ON lineitem.l_suppkey = supplier.s_suppkey
+         JOIN nation ON supplier.s_nationkey = nation.n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     // q128: dim-side filter + peel over the star serve, exact — the
     // plain SQL with the portable sum; the key tie-break pins the
     // kept row set under the LIMIT

@@ -3164,6 +3164,27 @@ class QueryEngineSpec extends SparkSpec {
       assert(row.getDouble(2) == truthW(g).getDouble(2), s"$g sum")
     }
 
+    // SNOWFLAKE: the dim SIDE is a join tree (star_d → star_d2),
+    // executed as real joins while the fact stays a blob lookup; the
+    // NULL-region rows drop (NULL joins nothing) and regions collapse
+    // into zones with the exact merge
+    spark.sql("SELECT 'r0' AS rg, 'z0' AS zone UNION ALL " +
+      "SELECT 'r1', 'z0' UNION ALL SELECT 'r2', 'z1'")
+      .createOrReplaceTempView("star_d2")
+    val rSn = eng.query("SELECT zone, count(*) AS cnt, sum(v) AS sv " +
+      "FROM star_f JOIN star_d ON star_f.k = star_d.pk " +
+      "JOIN star_d2 ON star_d.region = star_d2.rg GROUP BY zone")
+    assert(rSn.servedFromCatalog && rSn.serveKind.contains("star_group"),
+      s"${rSn.serveKind}: ${rSn.reason}")
+    val zoneOf = Map("r0" -> "z0", "r1" -> "z0", "r2" -> "z1")
+    val expSn = truth.toSeq
+      .collect { case (Some(rg), t) => (zoneOf(rg), t) }
+      .groupBy(_._1).view.mapValues(ts =>
+        (ts.map(_._2.getLong(1)).sum, ts.map(_._2.getDouble(3)).sum))
+      .toMap
+    assert(rSn.df.collect().map(x =>
+      x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap == expSn)
+
     // dashboard peel: ORDER BY metric DESC + LIMIT and HAVING replay
     // driver-side over the served rows — exact because the served row
     // set is COMPLETE (every joined group present)
