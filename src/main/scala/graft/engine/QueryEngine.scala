@@ -3224,7 +3224,7 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, SubqueryAlias}
     import org.apache.spark.sql.types._
     import graft.learn.SketchAdvisor.Candidate
-    if (tables.sizeIs != 2) return Nil
+    if (tables.sizeIs < 2) return Nil
     val agg = parsed match {
       case a: Aggregate if a.groupingExpressions.nonEmpty => a
       case _                                              => return Nil
@@ -3240,13 +3240,10 @@ final class QueryEngine(
         !n.isInstanceOf[UnresolvedRelation] => n
     }
     if (extraneous.nonEmpty) return Nil
-    joinChild.collect { case j: Join => j } match {
-      case Seq(j) if j.joinType == Inner && j.condition.isDefined =>
-      case _ => return Nil
-    }
-    val (ta, ka, tb, kb) = joinTreeEdges(parsed, tables, tables.head)
-      .flatMap(_.headOption).getOrElse(return Nil)
-    if (ka.sizeIs != 1 || kb.sizeIs != 1) return Nil
+    val joins = joinChild.collect { case j: Join => j }
+    if (joins.sizeIs != tables.size - 1 ||
+        !joins.forall(j => j.joinType == Inner && j.condition.isDefined))
+      return Nil
     def colSet(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
     def keyKind(t: String, c: String): Char =
       spark.table(t).schema.fields
@@ -3260,25 +3257,32 @@ final class QueryEngine(
       case _                      => None
     }
     val statsFns = Set("min", "max", "count", "sum", "avg", "mean")
-    def orient(fact: String, fk: String, dim: String, pk: String)
-        : Seq[Candidate] = {
+    val colSets: Map[String, Set[String]] = tables.map(t => t -> colSet(t)).toMap
+    def owner(col: String): Option[String] = {
+      val os = tables.filter(t => colSets(t).contains(col.toLowerCase))
+      if (os.sizeIs == 1) Some(os.head) else None
+    }
+    def orient(fact: String): Seq[Candidate] = {
+      val edges = joinTreeEdges(parsed, tables, fact).getOrElse(return Nil)
+      val (fk, dimRoot) = edges.filter(_._1 == fact) match {
+        case Seq((_, fks, dr, _)) if fks.sizeIs == 1 => (fks.head, dr)
+        case _                                       => return Nil
+      }
+      val pk = edges.find(_._1 == fact).get._4.head
+      def dimOwned(col: String): Boolean = owner(col).exists(_ != fact)
       val fCols = colSet(fact)
-      val dCols = colSet(dim)
       val kk = keyKind(fact, fk)
-      if (kk == 'x' || kk != keyKind(dim, pk)) return Nil
+      if (kk == 'x' || kk != keyKind(dimRoot, pk)) return Nil
       val whereOk = whereCond.forall { c =>
         val attrs = c.collect {
-          case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+          case a: UnresolvedAttribute => a.nameParts.last
         }
-        attrs.nonEmpty &&
-          attrs.forall(n => dCols.contains(n) && !fCols.contains(n))
+        attrs.nonEmpty && attrs.forall(dimOwned)
       }
       if (!whereOk) return Nil
       val gOk = agg.groupingExpressions.forall {
-        case a: UnresolvedAttribute =>
-          dCols.contains(a.nameParts.last.toLowerCase) &&
-            !fCols.contains(a.nameParts.last.toLowerCase)
-        case _ => false
+        case a: UnresolvedAttribute => dimOwned(a.nameParts.last)
+        case _                      => false
       }
       if (!gOk) return Nil
       val lower = agg.groupingExpressions.collect {
@@ -3302,26 +3306,22 @@ final class QueryEngine(
               Some(None)
             case ("count", Seq(a: UnresolvedAttribute))
                 if f.isDistinct &&
-                  fCols.contains(a.nameParts.last.toLowerCase) &&
-                  !dCols.contains(a.nameParts.last.toLowerCase) =>
+                  owner(a.nameParts.last).contains(fact) =>
               Some(Some((a.nameParts.last, "hll_grouped")))
             case (fn, Seq(a: UnresolvedAttribute))
                 if !f.isDistinct && statsFns(fn) &&
-                  fCols.contains(a.nameParts.last.toLowerCase) &&
-                  !dCols.contains(a.nameParts.last.toLowerCase) =>
+                  owner(a.nameParts.last).contains(fact) =>
               Some(Some((a.nameParts.last, "histogram_grouped")))
             // star percentiles merge fk histograms per dim cell, which
             // only a SHARED-GRID build supports
             case ("percentile" | "percentile_approx" | "approx_percentile",
                 Seq(a: UnresolvedAttribute, _: Literal))
                 if !f.isDistinct &&
-                  fCols.contains(a.nameParts.last.toLowerCase) &&
-                  !dCols.contains(a.nameParts.last.toLowerCase) =>
+                  owner(a.nameParts.last).contains(fact) =>
               Some(Some((a.nameParts.last, "histogram_grouped_shared")))
             case ("median", Seq(a: UnresolvedAttribute))
                 if !f.isDistinct &&
-                  fCols.contains(a.nameParts.last.toLowerCase) &&
-                  !dCols.contains(a.nameParts.last.toLowerCase) =>
+                  owner(a.nameParts.last).contains(fact) =>
               Some(Some((a.nameParts.last, "histogram_grouped_shared")))
             case _ => None
           }
@@ -3332,8 +3332,7 @@ final class QueryEngine(
         Candidate(fact, vc, tpe, Some(fk))
       }
     }
-    val a = orient(ta, ka.head, tb, kb.head)
-    if (a.nonEmpty) a else orient(tb, kb.head, ta, ka.head)
+    tables.view.map(orient).find(_.nonEmpty).getOrElse(Nil)
   }
 
   /** If the query is `SELECT g... FROM table GROUP BY g...` or

@@ -3302,5 +3302,26 @@ class QueryEngineSpec extends SparkSpec {
       assert(math.abs(x.getDouble(1) - truthP(g)) <= w + 1e-9,
         s"$g: ${x.getDouble(1)} vs ${truthP(g)} (w=$w)")
     }
+
+    // SNOWFLAKE advice: the 3-table miss advises the same fact build,
+    // and building it flips the chain query to the star serve
+    val cat3 = new MetaCatalog(
+      Files.createTempDirectory("graft-star3").toString)
+    val eng3 = new QueryEngine(spark, cat3)
+    val sqlSn2 = "SELECT zone, sum(v) AS sv FROM star_f " +
+      "JOIN star_d ON star_f.k = star_d.pk " +
+      "JOIN star_d2 ON star_d.region = star_d2.rg GROUP BY zone"
+    (1 to 3).foreach(_ => assert(!eng3.query(sqlSn2).servedFromCatalog))
+    assert(eng3.adviseSketches(minMisses = 3).exists(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.table.equalsIgnoreCase("star_f") &&
+        a.candidate.column.equalsIgnoreCase("v") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("k"))),
+      eng3.adviseSketches(minMisses = 3).toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat3,
+      "star_f", "k", "v", 32)
+    val rSn2 = eng3.query(sqlSn2)
+    assert(rSn2.servedFromCatalog && rSn2.serveKind.contains("star_group"),
+      rSn2.reason)
   }
 }
