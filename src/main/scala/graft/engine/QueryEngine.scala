@@ -184,6 +184,25 @@ final class QueryEngine(
             sql, features, opts)
         case _ =>
       }
+      // Star-RANGE serve: the same star shape with a fact-side value
+      // band (`WHERE fact.v >= lo AND fact.v < hi`) — the drill-down
+      // dashboard. Counts/sums/percentiles interpolate per GROUP BY
+      // cell from the fact's fk-keyed histogram (+ sum rider) blobs;
+      // the fact is never scanned. Approximate (boundary-mass bound),
+      // so it serves only under the caller's error budget.
+      storedStarRangeAnswer(starPlan, features.tables) match {
+        case Some((df, factT, detail, err)) if err <= opts.maxRelError =>
+          val served = starPost.fold(df)(_.apply(df))
+          return finish(serveResult(served, features, factT, "star_range",
+            err, detail,
+            Seq("fact-side range band over fact ⋈ dim interpolated from " +
+              "the fact's per-join-key histogram and sum-rider blobs " +
+              "(bucket counts and decimal sums merged per dim cell; " +
+              "fact never scanned, dim read only for the blob's " +
+              "bounded key set)"), opts),
+            sql, features, opts)
+        case _ =>
+      }
       // Join AQP is attempted when the user opted in (approximateJoins,
       // q77's path — unconditional error model on the fact size), OR
       // automatically when stored AGMS sketches cover the join-key pair
@@ -3200,6 +3219,383 @@ final class QueryEngine(
           s"from the fact's grouped blobs on $fk (${keys.size} fact " +
           "groups merged; stats exact, distinct counts by register-max " +
           "HLL union; dim-side-only scan, fact never read)", err))
+    }
+    tables.view.flatMap(t => tryOrient(t)).headOption
+  }
+
+  /** STAR-RANGE serve: `SELECT dim_attr..., count(*) / sum(v) / avg(v)
+    * / percentile(v, p) FROM fact ⋈ dim [⋈ subdim...] WHERE <range on
+    * fact.v> [AND dim-side predicates] GROUP BY dim_attrs` — the
+    * drill-down form of the star dashboard (a value band on the fact
+    * measure, grouped by dim attributes) with the FACT never scanned.
+    *
+    * Mechanism: the fact's fk-keyed `histogram_grouped` blob on the
+    * range column supplies per-join-key bucket counts; the dim side
+    * executes exactly like [[storedStarAggAnswer]] (real small-table
+    * joins restricted to the blob's bounded key set, dim-side WHERE
+    * applied there); each GROUP BY cell MERGES its contributing fks'
+    * histograms (bucket counts add — one grid required, so per-group-
+    * grid builds refuse on multi-fk cells exactly like the star
+    * percentile) and the single-table range arithmetic runs once per
+    * cell: counts from clipped bucket masses
+    * ([[graft.sketch.Histogram.rangeCount]]), sums from the
+    * `histsum_grouped` rider (per-cell exact BigInt addition of the
+    * per-(fk, bucket) scale-4 decimal sums, boundary buckets
+    * fractional), AVG one division, percentiles by the range-segment
+    * walk. Error = the merged boundary-mass ratios per output kind
+    * (plus one bucket width for percentiles), max over cells — the
+    * same bound the grouped-range serve reports.
+    *
+    * The exact star path ([[storedStarAggAnswer]]) refuses any
+    * fact-side predicate because it changes what the blob's totals
+    * mean; this path is its approximate complement for the one
+    * predicate family histograms model. Cells with no estimated
+    * in-range mass emit no row (the grouped-range contract: a
+    * superset-of-exact row set is possible near bucket boundaries).
+    * At 100 TB the exact side pays the filtered fact scan + join
+    * shuffle; the serve stays dim-sized.
+    */
+  private def storedStarRangeAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tables: Seq[String]): Option[(DataFrame, String, String, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, SubqueryAlias}
+    import org.apache.spark.sql.types._
+    if (tables.sizeIs < 2) return None
+    val agg = parsed match {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+      case _                                              => return None
+    }
+    val (whereCond, joinChild) = agg.child match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch) =>
+        (Some(c), ch)
+      case ch => (None, ch)
+    }
+    // without a WHERE there is no range — that shape belongs to the
+    // exact star serve
+    if (whereCond.isEmpty) return None
+    val extraneous = joinChild.collect {
+      case n if !n.isInstanceOf[Join] && !n.isInstanceOf[SubqueryAlias] &&
+        !n.isInstanceOf[UnresolvedRelation] => n
+    }
+    if (extraneous.nonEmpty) return None
+    val joins = joinChild.collect { case j: Join => j }
+    if (joins.sizeIs != tables.size - 1 ||
+        !joins.forall(j => j.joinType == Inner && j.condition.isDefined))
+      return None
+    def colSet(t: String) = spark.table(t).columns.map(_.toLowerCase).toSet
+    def keyKind(t: String, c: String): Char =
+      spark.table(t).schema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+        case Some(StringType) => 's'
+        case Some(ByteType | ShortType | IntegerType | LongType) => 'i'
+        case _ => 'x'
+      }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    val colSets: Map[String, Set[String]] = tables.map(t => t -> colSet(t)).toMap
+    def owner(col: String): Option[String] = {
+      val os = tables.filter(t => colSets(t).contains(col.toLowerCase))
+      if (os.sizeIs == 1) Some(os.head) else None
+    }
+    def tryOrient(fact: String): Option[(DataFrame, String, String, Double)] = {
+      val edges = joinTreeEdges(parsed, tables, fact).getOrElse(return None)
+      val factEdges = edges.filter(_._1 == fact)
+      val (fk, dimRoot, pk) = factEdges match {
+        case Seq((_, fks, dr, pks)) if fks.sizeIs == 1 =>
+          (fks.head, dr, pks.head)
+        case _ => return None
+      }
+      val dimEdges = edges.filterNot(_._1 == fact)
+      val dims = tables.filterNot(_ == fact)
+      def dimOwned(col: String): Boolean = owner(col).exists(_ != fact)
+      val kk = keyKind(fact, fk)
+      if (kk == 'x' || kk != keyKind(dimRoot, pk)) return None
+      // split the WHERE: range comparisons on ONE fact-owned numeric
+      // column feed the histogram arithmetic; every remaining conjunct
+      // must reference only dim columns (it applies to the dim scan,
+      // restricting which dim rows fold — inner-join semantics) with
+      // no subqueries. Anything else refuses to the exact path.
+      val conj = conjunctsOf(whereCond.get)
+      def factCmpCol(e: Expression): Option[String] = e match {
+        case GreaterThan(a: UnresolvedAttribute, _: Literal) => Some(a.nameParts.last)
+        case GreaterThanOrEqual(a: UnresolvedAttribute, _: Literal) => Some(a.nameParts.last)
+        case LessThan(a: UnresolvedAttribute, _: Literal) => Some(a.nameParts.last)
+        case LessThanOrEqual(a: UnresolvedAttribute, _: Literal) => Some(a.nameParts.last)
+        case GreaterThan(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
+        case GreaterThanOrEqual(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
+        case LessThan(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
+        case LessThanOrEqual(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
+        case _ => None
+      }
+      val (cmps, rest) = conj.partition(e =>
+        factCmpCol(e).exists(c0 => owner(c0).contains(fact)))
+      if (cmps.isEmpty) return None
+      val (c, lowerB, upperB) = rangeBounds(cmps.reduce(
+        org.apache.spark.sql.catalyst.expressions.And))
+        .getOrElse(return None)
+      if (!numericColumn(fact, c)) return None
+      val restOk = rest.forall { r =>
+        val attrs = r.collect { case a: UnresolvedAttribute => a.nameParts.last }
+        attrs.nonEmpty && attrs.forall(dimOwned) &&
+          r.find {
+            case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+            case _: UnresolvedStar => true
+            case _ => false
+          }.isEmpty
+      }
+      if (!restOk) return None
+      // group keys: bare, unambiguous dim attributes of atomic type
+      val gOpt = agg.groupingExpressions.map {
+        case a: UnresolvedAttribute if dimOwned(a.nameParts.last) =>
+          Some(a.nameParts.last)
+        case _ => None
+      }
+      if (gOpt.exists(_.isEmpty)) return None
+      val gNames = gOpt.flatten
+      val lower = gNames.map(_.toLowerCase)
+      val attrFields = gNames.map { n =>
+        dims.iterator
+          .flatMap(t => spark.table(t).schema.fields
+            .find(_.name.equalsIgnoreCase(n)))
+          .nextOption().getOrElse(return None)
+      }
+      val atomicOk = attrFields.forall(_.dataType match {
+        case StringType | BooleanType | ByteType | ShortType |
+            IntegerType | LongType | FloatType | DoubleType | DateType |
+            TimestampType => true
+        case _: DecimalType => true
+        case _              => false
+      })
+      if (!atomicOk) return None
+
+      // outputs: group keys through; count(*); sum/avg/percentile of
+      // the RANGE column itself (the histogram models exactly that
+      // distribution — any other value column refuses)
+      sealed trait AggOut
+      case object CntA extends AggOut
+      case object SumA extends AggOut
+      case object AvgA extends AggOut
+      case class PctA(p: Double) extends AggOut
+      var sawAgg = false
+      val classified: Seq[Option[Either[(String, Int), (String, AggOut)]]] =
+        agg.aggregateExpressions.map {
+          case a: UnresolvedAttribute
+              if lower.contains(a.nameParts.last.toLowerCase) =>
+            Some(Left((a.nameParts.last,
+              lower.indexOf(a.nameParts.last.toLowerCase))))
+          case Alias(e, name)
+              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
+          case Alias(f: UnresolvedFunction, name)
+              if f.filter.isEmpty && !f.isDistinct =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", Seq(_: UnresolvedStar)) =>
+                sawAgg = true; Some(Right((name, CntA)))
+              case ("count", Seq(Literal(v: Number, _))) if v.intValue == 1 =>
+                sawAgg = true; Some(Right((name, CntA)))
+              case ("sum", Seq(a: UnresolvedAttribute))
+                  if a.nameParts.last.equalsIgnoreCase(c) =>
+                sawAgg = true; Some(Right((name, SumA)))
+              case ("avg" | "mean", Seq(a: UnresolvedAttribute))
+                  if a.nameParts.last.equalsIgnoreCase(c) =>
+                sawAgg = true; Some(Right((name, AvgA)))
+              case ("percentile" | "percentile_approx" | "approx_percentile",
+                  Seq(a: UnresolvedAttribute, l: Literal))
+                  if a.nameParts.last.equalsIgnoreCase(c) =>
+                litDouble(l).map { p => sawAgg = true; Right((name, PctA(p))) }
+              case ("median", Seq(a: UnresolvedAttribute))
+                  if a.nameParts.last.equalsIgnoreCase(c) =>
+                sawAgg = true; Some(Right((name, PctA(0.5))))
+              case _ => None
+            }
+          case _ => None
+        }
+      if (classified.exists(_.isEmpty) || !sawAgg) return None
+      val parts = classified.flatten
+      val keyIdx = parts.collect { case Left((_, i)) => i }
+      if (keyIdx.toSet != gNames.indices.toSet) return None
+      val needSums = parts.exists {
+        case Right((_, SumA | AvgA)) => true
+        case _                       => false
+      }
+
+      // the fact's fk-keyed histogram blob on the range column (+ the
+      // sum rider when SUM/AVG outputs need it — missing or poisoned
+      // riders refuse rather than invent zeros)
+      val histMap: Map[String, Array[Byte]] =
+        groupedBlobFor(fact, c, "histogram_grouped", Seq(fk)) match {
+          case Some(entries) =>
+            entries.collect { case (Seq(Some(k)), b) => k -> b }.toMap
+          case None => return None
+        }
+      val sumsByKey: Map[String, Map[Int, BigInt]] =
+        if (!needSums) Map.empty
+        else groupedBlobFor(fact, c, "histsum_grouped", Seq(fk)) match {
+          case Some(se) => se.collect { case (Seq(Some(k)), inner) =>
+              k -> graft.sketch.GroupedHll.unpack(inner)
+                .collect { case (Some(bk), bb) => bk.toInt -> BigInt(bb) }
+                .toMap
+            }.toMap
+          case None => return None
+        }
+      val keySet = histMap.keySet
+
+      // dim scan restricted to the blob's keys, exactly like the star
+      // serve: real dim-tree joins, dim-side WHERE, broadcast
+      // semi-join on the key set, hard collect cap
+      val keys = keySet.toSeq
+      val dimRows: Seq[org.apache.spark.sql.Row] =
+        if (keys.isEmpty) Nil
+        else {
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val keysDf = {
+            import spark.implicits._
+            keys.toDF("__k")
+          }
+          val cap = keys.size * 4 + 1
+          val scan = try {
+            var dimDf = spark.table(dimRoot)
+            dimEdges.foreach { case (p, pks2, c2, cks2) =>
+              val cond2 = pks2.zip(cks2)
+                .map { case (a, b) => s"$a = $b" }.mkString(" AND ")
+              dimDf = dimDf.join(spark.table(c2),
+                org.apache.spark.sql.functions.expr(cond2))
+            }
+            rest.reduceOption(
+              org.apache.spark.sql.catalyst.expressions.And)
+              .foreach(r => dimDf = dimDf.where(r.sql))
+            dimDf
+              .select(col(pk).cast("string").as("__k") +:
+                gNames.map(col): _*)
+              .join(broadcast(keysDf), "__k")
+              .select(org.apache.spark.sql.functions.col("__k") +:
+                gNames.map(col): _*)
+              .limit(cap).collect()
+          } catch { case scala.util.control.NonFatal(_) => return None }
+          if (scan.length >= cap) return None
+          scan.toSeq
+        }
+
+      // fold each dim row's fk histogram (and rider) into its cell:
+      // bucket counts add on ONE grid (Histogram.merge throws on a
+      // grid mismatch — per-group-grid builds refuse multi-fk cells),
+      // rider sums add exactly (BigInt). An all-NULL fk (empty
+      // payload) contributes nothing; a poisoned rider (empty sum map
+      // under positive mass) refuses the serve.
+      val cells = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], (Array[Byte], Map[Int, BigInt])]
+      try dimRows.foreach { r =>
+        val k = r.getString(0)
+        if (keySet.contains(k)) {
+          val cell: Seq[Any] = (1 to gNames.size).map(r.get)
+          val (hb, sb) = cells.getOrElse(cell, (Array.emptyByteArray,
+            Map.empty[Int, BigInt]))
+          val b = histMap(k)
+          val merged = histMergeBytes(hb, b)
+          val sums =
+            if (!needSums || b.isEmpty) sb
+            else sumsByKey.get(k) match {
+              case None                     => return None
+              case Some(m) if m.isEmpty     => return None
+              case Some(m) =>
+                m.foldLeft(sb) { case (acc, (i, v0)) =>
+                  acc.updated(i, acc.getOrElse(i, BigInt(0)) + v0)
+                }
+            }
+          cells(cell) = (merged, sums)
+        }
+      } catch { case _: IllegalArgumentException => return None }
+
+      // one range-arithmetic pass per cell — the single-table
+      // grouped-range serve's estimates over the merged masses
+      val served = cells.toSeq.flatMap { case (cell, (hb, bs)) =>
+        if (hb.isEmpty) None
+        else {
+          val h = graft.sketch.Histogram.deserialize(hb)
+          val (est, bnd) = h.rangeCount(lowerB, upperB)
+          if (est <= 0.0) None
+          else {
+            val cntRel = bnd / math.max(1.0, est)
+            val (sumEst, sumBnd): (Option[Double], Double) =
+              if (!needSums) (None, 0.0)
+              else {
+                def d(i: Int): Double = new java.math.BigDecimal(
+                  bs.getOrElse(i, BigInt(0)).bigInteger, 4).doubleValue
+                h.rangePositions(lowerB, upperB) match {
+                  case None => (None, 0.0)
+                  case Some((pa, pb, ia, ib)) if ia == ib =>
+                    (Some(d(ia) * (pb - pa)), math.abs(d(ia)))
+                  case Some((pa, pb, ia, ib)) =>
+                    var interior = BigInt(0)
+                    var j = ia + 1
+                    while (j < ib) {
+                      interior += bs.getOrElse(j, BigInt(0)); j += 1
+                    }
+                    val interiorD = new java.math.BigDecimal(
+                      interior.bigInteger, 4).doubleValue
+                    (Some((interiorD +
+                      d(ia) * ((ia + 1).toDouble - pa)) +
+                      d(ib) * (pb - ib.toDouble)),
+                      math.abs(d(ia)) + math.abs(d(ib)))
+                }
+              }
+            val sumRel = sumEst match {
+              case Some(s0) if s0 != 0.0   => sumBnd / math.abs(s0)
+              case Some(_) if sumBnd > 0.0 => Double.PositiveInfinity
+              case _                       => 0.0
+            }
+            Some((cell, h, est, cntRel, sumEst, sumRel))
+          }
+        }
+      }
+      val rows = served.map { case (cell, h, est, _, sumEst, _) =>
+        org.apache.spark.sql.Row.fromSeq(parts.map {
+          case Left((_, i))        => cell(i)
+          case Right((_, CntA))    => Double.box(est)
+          case Right((_, SumA))    => sumEst.map(Double.box).orNull
+          case Right((_, AvgA))    =>
+            sumEst.map(s0 => Double.box(s0 / est)).orNull
+          case Right((_, PctA(p))) =>
+            h.rangePercentile(lowerB, upperB, p).map(Double.box).orNull
+        })
+      }
+      val schema = StructType(parts.map {
+        case Left((n, i)) =>
+          StructField(n, attrFields(i).dataType, nullable = true)
+        case Right((n, a)) =>
+          StructField(n, DoubleType, nullable = a != CntA)
+      })
+      val maxCnt = served.map(_._4).foldLeft(0.0)(math.max)
+      val maxSum = served.map(_._6).foldLeft(0.0)(math.max)
+      val bucketTerm = parts.collectFirst {
+        case Right((_, PctA(_))) => served.map { case (_, h, _, _, _, _) =>
+          1.0 / h.buckets }.foldLeft(0.0)(math.max)
+      }.getOrElse(0.0)
+      val err = parts.map {
+        case Right((_, CntA))    => maxCnt
+        case Right((_, SumA))    => maxSum
+        case Right((_, AvgA))    => maxCnt + maxSum
+        case Right((_, PctA(_))) => bucketTerm + maxCnt
+        case Left(_)             => 0.0
+      }.foldLeft(0.0)(math.max)
+      import scala.jdk.CollectionConverters._
+      Some((spark.createDataFrame(rows.asJava, schema), fact,
+        s"star range aggregate over $fact ⋈ ${dims.mkString(" ⋈ ")}: " +
+          s"$c band interpolated from the fact's fk-keyed histogram" +
+          (if (needSums) " + sum rider" else "") +
+          s" blobs on $fk (${keys.size} fact groups; bucket counts and " +
+          "decimal sums merged per cell; dim-side-only scan, fact " +
+          "never read)", err))
     }
     tables.view.flatMap(t => tryOrient(t)).headOption
   }

@@ -1153,6 +1153,34 @@ object Aqp {
         .orderBy(col("s_nationkey"))
     }),
 
+    // STAR-RANGE serve (round 10): the drill-down dashboard — a value
+    // band on the FACT measure, grouped by a dim attribute, with the
+    // fact never scanned. Per nation, the suppliers' shared-grid
+    // histogram bucket counts and the histsum rider's decimal sums
+    // merge exactly (integer/BigInt additions on one global grid),
+    // then the q118 range arithmetic runs once per nation: counts
+    // from clipped bucket masses, sums interior-exact + boundary-
+    // fractional, AVG one division. Deterministic, so the whole chain
+    // is re-derived in DuckDB and hash-matched. At 100 TB the exact
+    // side pays the filtered fact scan + join shuffle; the serve is
+    // blob decode + a dim-only scan.
+    "q130_star_range" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT s_nationkey, count(*) AS n_est, " +
+          "sum(l_extendedprice) AS s_est, avg(l_extendedprice) AS a_est " +
+          "FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "WHERE l_extendedprice >= 2000 AND l_extendedprice < 30000 " +
+          "GROUP BY s_nationkey",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("star_range"),
+        s"q130 must interpolate the star band from the fact's fk-keyed " +
+          s"histogram + rider blobs: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Top-k by SUM (the revenue dashboard): the highest-revenue
     // partkeys answered EXACTLY from the sum-threshold blob — the
     // completeness argument needs no sign assumption (the filter is on
@@ -2829,6 +2857,68 @@ object Aqp {
             CROSS JOIN grd)
           SELECT s_nationkey, p50, 'sketch' AS plan_type FROM est
           ORDER BY s_nationkey""",
+    // q130: the star-range chain re-derived — q118's count+sum
+    // arithmetic per NATION through the join on the shared global
+    // grid (per-cell bucket counts and decimal sums equal the summed
+    // per-suppkey blobs: integer/decimal addition is associative).
+    // Breaks together with q104/q106/q118 if the grid rule or
+    // Histogram.rangePositions changes, and with q126/q127 if the
+    // star join orientation changes.
+    "q130_star_range" ->
+      """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+              max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT s_nationkey AS g, l_extendedprice AS rawv,
+              least(63, CAST(floor((CAST(l_extendedprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM lineitem JOIN supplier
+              ON lineitem.l_suppkey = supplier.s_suppkey
+            CROSS JOIN grd WHERE l_extendedprice IS NOT NULL),
+          c AS (SELECT g, b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY g, b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('2000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('30000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          gl AS (SELECT DISTINCT g FROM c),
+          parts AS (SELECT gl.g, ix.pa, ix.pb, ix.ia, ix.ib,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM gl CROSS JOIN ix),
+          est AS (SELECT g, CASE
+              WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+              WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+              ELSE (CAST(mid AS DOUBLE)
+                  + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+            CASE
+              WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+              WHEN ia = ib THEN sa * (pb - pa)
+              ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT g AS s_nationkey, n AS n_est, s AS s_est,
+            s / n AS a_est, 'sketch' AS plan_type
+          FROM est WHERE n > 0 ORDER BY g""",
     // q112: the sum serve emits the repo's canonical decimal->double
     // recipe — the oracle computes the same rendering, so the top-10
     // revenues hash-match bit-for-bit

@@ -3207,9 +3207,11 @@ class QueryEngineSpec extends SparkSpec {
       truth.filter(_._2.getDouble(3) >= expTop.head._2).keySet)
 
     // refusals LAST — each shape would need the fact itself:
-    // a FACT-side WHERE changes what the blob's totals mean
+    // a FACT-side EQUALITY changes what the blob's totals mean and is
+    // not a band the histograms can model (a fact-side RANGE now
+    // serves via the star-range path — its own test below)
     val rw = eng.query("SELECT region, count(*) AS cnt FROM star_f " +
-      "JOIN star_d ON star_f.k = star_d.pk WHERE v > 2 GROUP BY region")
+      "JOIN star_d ON star_f.k = star_d.pk WHERE v = 2 GROUP BY region")
     assert(!rw.servedFromCatalog, rw.reason)
     // outer joins keep unmatched rows the blob cannot name
     val ro = eng.query("SELECT region, count(*) AS cnt FROM star_f " +
@@ -3323,5 +3325,138 @@ class QueryEngineSpec extends SparkSpec {
     val rSn2 = eng3.query(sqlSn2)
     assert(rSn2.servedFromCatalog && rSn2.serveKind.contains("star_group"),
       rSn2.reason)
+  }
+
+  test("star-range serve: fact-side value band over fact ⋈ dim from the fk-keyed histogram + rider, fact never scanned") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-starrange").toString)
+    val eng = new QueryEngine(spark, cat)
+    // v ∈ {0..32} so the 32-bucket shared grid has width exactly 1.0
+    // and band edges at integers sit ON bucket boundaries — the
+    // estimates are then EXACT and comparable to truth bit-for-bit.
+    // w is a second fact column the serve must refuse to aggregate.
+    spark.range(0, 6000).select(
+      expr("id % 20").as("k"),
+      expr("cast(id % 33 as double)").as("v"),
+      expr("cast(id % 5 as double)").as("w"))
+      .createOrReplaceTempView("star_rf")
+    spark.sql(
+      """SELECT id AS pk,
+           CASE WHEN id = 7 THEN CAST(NULL AS STRING)
+                ELSE concat('r', id % 3) END AS region,
+           CAST(id % 5 AS INT) AS sz
+         FROM range(0, 20)""")
+      .createOrReplaceTempView("star_rd")
+    val sqlBand = "SELECT region, count(*) AS n_est, sum(v) AS s_est, " +
+      "avg(v) AS a_est FROM star_rf JOIN star_rd " +
+      "ON star_rf.k = star_rd.pk " +
+      "WHERE v >= 8 AND v < 16 GROUP BY region"
+    // truth with the portable renderings (band edges on bucket
+    // boundaries → the serve's interpolation degenerates to the exact
+    // clipped counts/sums)
+    val truth = spark.sql(
+      "SELECT region, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM star_rf JOIN star_rd ON star_rf.k = star_rd.pk " +
+        "WHERE v >= 8 AND v < 16 GROUP BY region").collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val truthW = spark.sql(
+      "SELECT region, count(*) AS n FROM star_rf JOIN star_rd " +
+        "ON star_rf.k = star_rd.pk " +
+        "WHERE sz >= 2 AND v >= 8 AND v < 16 GROUP BY region").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val truthP = spark.sql(
+      "SELECT region, percentile(v, 0.5) AS p50 FROM star_rf " +
+        "JOIN star_rd ON star_rf.k = star_rd.pk " +
+        "WHERE v >= 8 AND v < 16 GROUP BY region").collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "star_rf", Seq("k"), "v", 32, sharedGrid = true)
+    // EMPTY the fact: a correct answer can only come from the blobs
+    spark.range(0).select(expr("id").as("k"),
+      expr("cast(id as double)").as("v"), expr("cast(id as double)").as("w"))
+      .createOrReplaceTempView("star_rf")
+    val r = eng.query(sqlBand, eng.Options(maxRelError = 0.9))
+    assert(r.servedFromCatalog && r.serveKind.contains("star_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val served = r.df.collect()
+      .map(x => Option(x.getString(0)) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(served.keySet == truth.keySet, s"$served vs $truth")
+    served.foreach { case (g, (n, s, a)) =>
+      val (tn, ts) = truth(g)
+      assert(math.abs(n - tn.toDouble) < 1e-9, s"$g count: $n vs $tn")
+      assert(math.abs(s - ts) < 1e-6, s"$g sum: $s vs $ts")
+      assert(math.abs(a - ts / tn.toDouble) < 1e-9, s"$g avg")
+    }
+    // dim-side predicate composes: it restricts which dim rows fold
+    val rw = eng.query("SELECT region, count(*) AS n_est FROM star_rf " +
+      "JOIN star_rd ON star_rf.k = star_rd.pk " +
+      "WHERE sz >= 2 AND v >= 8 AND v < 16 GROUP BY region",
+      eng.Options(maxRelError = 0.9))
+    assert(rw.servedFromCatalog && rw.serveKind.contains("star_range"),
+      rw.reason)
+    assert(rw.df.collect().map(x =>
+      Option(x.getString(0)) -> x.getDouble(1).toLong).toMap == truthW)
+    // in-band percentile serves by the range-segment walk, within one
+    // bucket width of the exact in-band median
+    val rp = eng.query("SELECT region, percentile(v, 0.5) AS p50 " +
+      "FROM star_rf JOIN star_rd ON star_rf.k = star_rd.pk " +
+      "WHERE v >= 8 AND v < 16 GROUP BY region",
+      eng.Options(maxRelError = 0.9))
+    assert(rp.servedFromCatalog && rp.serveKind.contains("star_range"),
+      rp.reason)
+    rp.df.collect().foreach { x =>
+      val g = Option(x.getString(0))
+      assert(math.abs(x.getDouble(1) - truthP(g)) <= 1.0 + 1e-9,
+        s"$g: ${x.getDouble(1)} vs ${truthP(g)}")
+    }
+    // dashboard peel replays over the served rows
+    val rPeel = eng.query("SELECT region, count(*) AS n_est FROM star_rf " +
+      "JOIN star_rd ON star_rf.k = star_rd.pk " +
+      "WHERE v >= 8 AND v < 16 GROUP BY region " +
+      "ORDER BY n_est DESC, region LIMIT 2", eng.Options(maxRelError = 0.9))
+    assert(rPeel.servedFromCatalog && rPeel.serveKind.contains("star_range"),
+      rPeel.reason)
+    assert(rPeel.df.count() == 2)
+    // refusals: an aggregate over a DIFFERENT fact column (the
+    // histogram models only the range column's distribution)
+    val rOther = eng.query("SELECT region, sum(w) AS sw FROM star_rf " +
+      "JOIN star_rd ON star_rf.k = star_rd.pk " +
+      "WHERE v >= 8 AND v < 16 GROUP BY region",
+      eng.Options(maxRelError = 0.9))
+    assert(!rOther.servedFromCatalog, rOther.reason)
+    // a fact-side EQUALITY conjunct alongside the band
+    val rEq = eng.query("SELECT region, count(*) AS n_est FROM star_rf " +
+      "JOIN star_rd ON star_rf.k = star_rd.pk " +
+      "WHERE v >= 8 AND v < 16 AND k = 3 GROUP BY region",
+      eng.Options(maxRelError = 0.9))
+    assert(!rEq.servedFromCatalog, rEq.reason)
+    // a band touching boundary mass refuses a near-zero budget
+    val rTight = eng.query(sqlBand, eng.Options(maxRelError = 1e-9))
+    assert(!rTight.servedFromCatalog, rTight.reason)
+    // staleness retires the serve
+    cat.upsertTableStats("star_rf", 999999L)
+    assert(!eng.query(sqlBand,
+      eng.Options(maxRelError = 0.9)).servedFromCatalog)
+
+    // per-group grids refuse multi-fk cells: v's range depends on k,
+    // so one region cell would merge histograms with differing grids
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-starrange2").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    spark.range(0, 6000).select(
+      expr("id % 20").as("k"),
+      expr("cast(id % 33 as double) * (1.0 + cast(id % 20 as double))").as("v"))
+      .createOrReplaceTempView("star_rf2")
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat2,
+      "star_rf2", Seq("k"), "v", 32)
+    val rGrid = eng2.query("SELECT region, count(*) AS n_est " +
+      "FROM star_rf2 JOIN star_rd ON star_rf2.k = star_rd.pk " +
+      "WHERE v >= 8 AND v < 16 GROUP BY region",
+      eng2.Options(maxRelError = 0.9))
+    assert(!rGrid.servedFromCatalog, rGrid.reason)
   }
 }
