@@ -3669,7 +3669,32 @@ final class QueryEngine(
       val fCols = colSet(fact)
       val kk = keyKind(fact, fk)
       if (kk == 'x' || kk != keyKind(dimRoot, pk)) return Nil
-      val whereOk = whereCond.forall { c =>
+      // fact-side RANGE conjuncts on one numeric column make this the
+      // star-RANGE shape: the advisable build is the SHARED-GRID
+      // grouped histogram (its sum rider feeds the band's sums and
+      // the shared grid lets multi-fk cells merge); every remaining
+      // conjunct must be dim-side, as for the exact star
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+      def factCmpCol(e: Expression): Option[String] = e match {
+        case GreaterThan(a: UnresolvedAttribute, _: Literal) => Some(a.nameParts.last)
+        case GreaterThanOrEqual(a: UnresolvedAttribute, _: Literal) => Some(a.nameParts.last)
+        case LessThan(a: UnresolvedAttribute, _: Literal) => Some(a.nameParts.last)
+        case LessThanOrEqual(a: UnresolvedAttribute, _: Literal) => Some(a.nameParts.last)
+        case GreaterThan(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
+        case GreaterThanOrEqual(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
+        case LessThan(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
+        case LessThanOrEqual(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
+        case _ => None
+      }
+      val conj = whereCond.map(conjunctsOf).getOrElse(Nil)
+      val (cmps, rest) = conj.partition(e =>
+        factCmpCol(e).exists(c0 => owner(c0).contains(fact)))
+      val rangeCol: Option[String] =
+        if (cmps.isEmpty) None
+        else Some(rangeBounds(cmps.reduce(
+          org.apache.spark.sql.catalyst.expressions.And))
+          .map(_._1).filter(numericColumn(fact, _)).getOrElse(return Nil))
+      val whereOk = rest.forall { c =>
         val attrs = c.collect {
           case a: UnresolvedAttribute => a.nameParts.last
         }
@@ -3687,41 +3712,75 @@ final class QueryEngine(
       // value col -> advised build type: stats fns need the grouped
       // histogram (its stats_grouped rider feeds the serve); distinct
       // counts need the grouped HLL
-      val vcs = agg.aggregateExpressions.map {
-        case a: UnresolvedAttribute
-            if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
-        case Alias(e, _)
-            if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-          Some(None)
-        case Alias(f: UnresolvedFunction, _) if f.filter.isEmpty =>
-          (f.nameParts.last.toLowerCase, f.arguments) match {
-            case ("count", Seq(_: UnresolvedStar)) if !f.isDistinct =>
-              Some(None)
-            case ("count", Seq(Literal(v: Number, _)))
-                if !f.isDistinct && v.intValue == 1 =>
-              Some(None)
-            case ("count", Seq(a: UnresolvedAttribute))
-                if f.isDistinct &&
-                  owner(a.nameParts.last).contains(fact) =>
-              Some(Some((a.nameParts.last, "hll_grouped")))
-            case (fn, Seq(a: UnresolvedAttribute))
-                if !f.isDistinct && statsFns(fn) &&
-                  owner(a.nameParts.last).contains(fact) =>
-              Some(Some((a.nameParts.last, "histogram_grouped")))
-            // star percentiles merge fk histograms per dim cell, which
-            // only a SHARED-GRID build supports
-            case ("percentile" | "percentile_approx" | "approx_percentile",
-                Seq(a: UnresolvedAttribute, _: Literal))
-                if !f.isDistinct &&
-                  owner(a.nameParts.last).contains(fact) =>
-              Some(Some((a.nameParts.last, "histogram_grouped_shared")))
-            case ("median", Seq(a: UnresolvedAttribute))
-                if !f.isDistinct &&
-                  owner(a.nameParts.last).contains(fact) =>
-              Some(Some((a.nameParts.last, "histogram_grouped_shared")))
-            case _ => None
-          }
-        case _ => None
+      val vcs = rangeCol match {
+        // star-RANGE shape: only count(*) / sum / avg / percentile OF
+        // THE RANGE COLUMN are servable (the histogram models exactly
+        // that distribution), all from the shared-grid build on it —
+        // count(*)-only queries DO advise here (the band itself names
+        // the value column to build on)
+        case Some(rc) => agg.aggregateExpressions.map {
+          case a: UnresolvedAttribute
+              if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
+          case Alias(e, _)
+              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(None)
+          case Alias(f: UnresolvedFunction, _)
+              if f.filter.isEmpty && !f.isDistinct =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", Seq(_: UnresolvedStar)) =>
+                Some(Some((rc, "histogram_grouped_shared")))
+              case ("count", Seq(Literal(v: Number, _))) if v.intValue == 1 =>
+                Some(Some((rc, "histogram_grouped_shared")))
+              case ("sum" | "avg" | "mean", Seq(a: UnresolvedAttribute))
+                  if a.nameParts.last.equalsIgnoreCase(rc) =>
+                Some(Some((rc, "histogram_grouped_shared")))
+              case ("percentile" | "percentile_approx" | "approx_percentile",
+                  Seq(a: UnresolvedAttribute, _: Literal))
+                  if a.nameParts.last.equalsIgnoreCase(rc) =>
+                Some(Some((rc, "histogram_grouped_shared")))
+              case ("median", Seq(a: UnresolvedAttribute))
+                  if a.nameParts.last.equalsIgnoreCase(rc) =>
+                Some(Some((rc, "histogram_grouped_shared")))
+              case _ => None
+            }
+          case _ => None
+        }
+        case None => agg.aggregateExpressions.map {
+          case a: UnresolvedAttribute
+              if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
+          case Alias(e, _)
+              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(None)
+          case Alias(f: UnresolvedFunction, _) if f.filter.isEmpty =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", Seq(_: UnresolvedStar)) if !f.isDistinct =>
+                Some(None)
+              case ("count", Seq(Literal(v: Number, _)))
+                  if !f.isDistinct && v.intValue == 1 =>
+                Some(None)
+              case ("count", Seq(a: UnresolvedAttribute))
+                  if f.isDistinct &&
+                    owner(a.nameParts.last).contains(fact) =>
+                Some(Some((a.nameParts.last, "hll_grouped")))
+              case (fn, Seq(a: UnresolvedAttribute))
+                  if !f.isDistinct && statsFns(fn) &&
+                    owner(a.nameParts.last).contains(fact) =>
+                Some(Some((a.nameParts.last, "histogram_grouped")))
+              // star percentiles merge fk histograms per dim cell, which
+              // only a SHARED-GRID build supports
+              case ("percentile" | "percentile_approx" | "approx_percentile",
+                  Seq(a: UnresolvedAttribute, _: Literal))
+                  if !f.isDistinct &&
+                    owner(a.nameParts.last).contains(fact) =>
+                Some(Some((a.nameParts.last, "histogram_grouped_shared")))
+              case ("median", Seq(a: UnresolvedAttribute))
+                  if !f.isDistinct &&
+                    owner(a.nameParts.last).contains(fact) =>
+                Some(Some((a.nameParts.last, "histogram_grouped_shared")))
+              case _ => None
+            }
+          case _ => None
+        }
       }
       if (vcs.exists(_.isEmpty)) return Nil
       vcs.flatten.flatten.distinct.map { case (vc, tpe) =>

@@ -355,6 +355,28 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("star-range serve over HTTP: fact-side band over fact ⋈ dim answers from the catalog (round 10)") {
+    // SHARED-GRID grouped build keyed on the fact's JOIN key — multi-
+    // fk dim cells merge only on one grid. Same (orders, o_orderkey)
+    // blob slot the star test uses (keying on o_custkey disturbs no
+    // other test's blobs or miss counters); this build overwrites it
+    // compatibly.
+    val (c1, b1) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_orderkey", "sketch_type": "histogram",
+         "parameters": {"group_by": "o_custkey", "grid": "shared"}}"""))
+    assert(c1 == 200, b1)
+    val (qc, qb) = http("POST", "/query", Some(
+      """{"sql": "SELECT c_mktsegment, count(*) AS n_est FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey WHERE o_orderkey >= 100 AND o_orderkey < 3000 GROUP BY c_mktsegment", "max_rel_error": 0.9}"""))
+    assert(qc == 200, qb)
+    val v = parsed(qb)
+    assert(v("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("star_range")), qb.take(400))
+    v("result") match {
+      case Some(Json.A(rows)) => assert(rows.nonEmpty, qb.take(200))
+      case other              => fail(s"expected result rows: $other")
+    }
+  }
+
   test("KMV pair over HTTP: build both sides, INTERSECT count serves from the catalog (round 10)") {
     val (c1, b1) = http("POST", "/sketches/create", Some(
       """{"table": "orders", "column": "o_custkey", "sketch_type": "kmv"}"""))

@@ -1285,6 +1285,58 @@ class EventStreamsSpec extends SparkSpec {
     assert(served == truth, s"$served vs $truth")
   }
 
+  test("stream-maintained fk-keyed histograms serve the STAR-RANGE band live: fact never scanned") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-starrange")
+        .toString)
+    // ONE identical grid per fk (multi-fk dim cells merge only when
+    // grids agree) with band edges landing on bucket boundaries — the
+    // served band is then exact and comparable to generator truth.
+    // The maintainer folds the histsum rider in the same micro-batch,
+    // so the band's SUM serves live too.
+    val buckets = 32
+    val grids = (0L until 10L).map(k => (Option(k.toString), 0.0, 1.0))
+    val stream = MemoryStream[(Long, Double)]
+    val q = EventStreams.maintainGroupedHistogramSketch(
+      stream.toDF().toDF("fk", "amt"), catalog, "fact_rlive", "fk", "amt",
+      grids, buckets)
+    val data = (1L to 3000L).map(i => (i % 10, (i % 32).toDouble))
+    data.grouped(1000).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    spark.range(0, 10).select(col("id").as("pk"),
+      expr("concat('b', id % 3)").as("bucket"))
+      .createOrReplaceTempView("dim_rlive")
+    // EMPTY fact: a correct band answer can only come from the blobs
+    spark.range(0).select(col("id").as("fk"),
+      col("id").cast("double").as("amt"))
+      .createOrReplaceTempView("fact_rlive")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query("SELECT bucket, count(*) AS n_est, " +
+      "sum(amt) AS s_est FROM fact_rlive JOIN dim_rlive " +
+      "ON fact_rlive.fk = dim_rlive.pk " +
+      "WHERE amt >= 8 AND amt < 16 GROUP BY bucket",
+      engine.Options(maxRelError = 0.9))
+    assert(r.servedFromCatalog && r.serveKind.contains("star_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val truth = data.filter(d => d._2 >= 8 && d._2 < 16)
+      .groupBy { case (fk, _) => s"b${fk % 3}" }
+      .view.mapValues(rows => (rows.size.toDouble, rows.map(_._2).sum))
+      .toMap
+    val served = r.df.collect()
+      .map(x => x.getString(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(served.keySet == truth.keySet, s"$served vs $truth")
+    served.foreach { case (g, (n, s0)) =>
+      assert(math.abs(n - truth(g)._1) < 1e-9, s"$g count: $n")
+      assert(math.abs(s0 - truth(g)._2) < 1e-6, s"$g sum: $s0")
+    }
+  }
+
   test("stream-maintained heavy-hitters: stored counts stay exact, unknown mass inflates the serve bound") {
     implicit val sc = spark.sqlContext
     import spark.implicits._

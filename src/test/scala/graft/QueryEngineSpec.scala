@@ -3458,5 +3458,29 @@ class QueryEngineSpec extends SparkSpec {
       "WHERE v >= 8 AND v < 16 GROUP BY region",
       eng2.Options(maxRelError = 0.9))
     assert(!rGrid.servedFromCatalog, rGrid.reason)
+
+    // advisor: star-range misses advise the SHARED-GRID build on the
+    // range column (a count(*)-only band names its value column);
+    // building it flips the query to the serve. The band is wide
+    // enough that the boundary-mass bound clears the budget.
+    val sqlBand2 = "SELECT region, count(*) AS n_est " +
+      "FROM star_rf2 JOIN star_rd ON star_rf2.k = star_rd.pk " +
+      "WHERE v >= 160 AND v < 480 GROUP BY region"
+    (1 to 3).foreach(_ => assert(!eng2.query(sqlBand2,
+      eng2.Options(maxRelError = 0.9)).servedFromCatalog))
+    assert(eng2.adviseSketches(minMisses = 3).exists(a =>
+      a.candidate.sketchType == "histogram_grouped_shared" &&
+        a.candidate.table.equalsIgnoreCase("star_rf2") &&
+        a.candidate.column.equalsIgnoreCase("v") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("k"))),
+      eng2.adviseSketches(minMisses = 3).toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat2,
+      "star_rf2", Seq("k"), "v", 32, sharedGrid = true)
+    assert(eng2.adviseSketches(minMisses = 3).forall(a =>
+      !(a.candidate.sketchType == "histogram_grouped_shared" &&
+        a.candidate.table.equalsIgnoreCase("star_rf2"))))
+    val rFlip = eng2.query(sqlBand2, eng2.Options(maxRelError = 0.9))
+    assert(rFlip.servedFromCatalog && rFlip.serveKind.contains("star_range"),
+      rFlip.reason)
   }
 }
