@@ -194,6 +194,15 @@ object Bench {
       // the bounded-dim regime the star serve is for.
       graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
         "lineitem_x10", "l_suppkey", "l_tax", 64)
+      // Star-RANGE blob (round 10): a SEPARATE widened view of the
+      // same fact so the l_suppkey-keyed SHARED-GRID build on
+      // l_extendedprice clobbers neither the l_returnflag-keyed
+      // l_extendedprice blob (percentile_group / range_sum_group) nor
+      // the l_tax star blob — one blob per (table, valueCol, type).
+      wide.createOrReplaceTempView("lineitem_x10r")
+      graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
+        "lineitem_x10r", Seq("l_suppkey"), "l_extendedprice", 64,
+        sharedGrid = true)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -276,6 +285,17 @@ object Bench {
         "star_group" -> ("SELECT s_nationkey, count(*) AS n, " +
           "sum(l_tax) AS s FROM lineitem_x10 JOIN supplier " +
           "ON l_suppkey = s_suppkey GROUP BY s_nationkey"),
+        // Star-RANGE serve (round 10): the drill-down form — a value
+        // band on the fact measure GROUP BY the dim attribute,
+        // interpolated per nation from the fk-keyed shared-grid
+        // histogram + sum rider (fact never scanned; the one-sided
+        // band keeps the boundary-mass bound inside the default
+        // budget, like range_sum_group) — the exact side pays the
+        // filtered 6M-row fact scan + join shuffle + aggregate.
+        "star_range" -> ("SELECT s_nationkey, count(*) AS n, " +
+          "sum(l_extendedprice) AS s FROM lineitem_x10r JOIN supplier " +
+          "ON l_suppkey = s_suppkey WHERE l_extendedprice >= 2000 " +
+          "GROUP BY s_nationkey"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —
