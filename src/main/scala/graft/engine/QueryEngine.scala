@@ -2850,11 +2850,13 @@ final class QueryEngine(
       case _                                              => return None
     }
     // the aggregate's child must be inner equi-joins of the relations
-    // (aliases allowed), optionally under ONE WHERE clause. A
-    // fact-side predicate would change what the blob's recorded totals
-    // mean and refuses below; a DIM-side predicate is safe — the dims
-    // are scanned anyway, so it just restricts which dim rows fold,
-    // which IS the filtered inner join's aggregation semantics.
+    // (aliases allowed), optionally under ONE WHERE clause. DIM-side
+    // predicates are safe — the dims are scanned anyway, so they just
+    // restrict which dim rows fold, which IS the filtered inner join's
+    // aggregation semantics. FACT-side equality/IN conjuncts serve by
+    // pruning a COMPOSITE (fk, residCols...) blob and collapsing to
+    // per-fk records (round 10); any other fact-side predicate refuses
+    // below (a numeric band is storedStarRangeAnswer's job).
     val (whereCond, joinChild) = agg.child match {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch) =>
         (Some(c), ch)
@@ -2918,11 +2920,42 @@ final class QueryEngine(
       def dimOwned(col: String): Boolean = owner(col).exists(_ != fact)
       val kk = keyKind(fact, fk)
       if (kk == 'x' || kk != keyKind(dimRoot, pk)) return None
-      // a WHERE clause serves only when every referenced column is
-      // unambiguously a DIM's (it is applied to the dim-side scan
-      // below) and it contains no subquery — anything touching the
-      // fact would change what the blob's recorded totals mean
-      val whereOk = whereCond.forall { c =>
+      // the WHERE splits: FACT-side equality/IN conjuncts on non-key
+      // columns serve from a COMPOSITE blob keyed (fk, residCols...) —
+      // entries prune on the typed literals and collapse to per-fk
+      // records with the exact partial-key merge, so `WHERE fact.flag
+      // = 'A' GROUP BY dim.attr` stays a catalog lookup (round 10);
+      // every remaining conjunct must be unambiguously a DIM's (it is
+      // applied to the dim-side scan below) with no subquery. Any
+      // other fact-touching predicate refuses — a numeric band is
+      // storedStarRangeAnswer's job.
+      import org.apache.spark.sql.catalyst.expressions.{EqualTo, In}
+      def factEq(e: Expression): Option[(String, Seq[String])] = e match {
+        case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+          typedLitKey(fact, a.nameParts.last, l)
+            .map(v => (a.nameParts.last, Seq(v)))
+        case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+          typedLitKey(fact, a.nameParts.last, l)
+            .map(v => (a.nameParts.last, Seq(v)))
+        case In(a: UnresolvedAttribute, lits)
+            if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+          typedInListKeys(fact, a.nameParts.last, lits)
+            .map(vs => (a.nameParts.last, vs))
+        case _ => None
+      }
+      def touchesFact(e: Expression): Boolean =
+        e.collect { case a: UnresolvedAttribute => a.nameParts.last }
+          .exists(c => owner(c).contains(fact))
+      val conj = whereCond.map(conjunctsOf).getOrElse(Nil)
+      val (factConj, rest) = conj.partition(touchesFact)
+      val residOpt = factConj.map(factEq)
+      if (residOpt.exists(_.isEmpty)) return None
+      val resid: Seq[(String, Seq[String])] = residOpt.flatten
+      val residCols = resid.map(_._1)
+      if (residCols.map(_.toLowerCase).distinct.sizeIs != residCols.size)
+        return None
+      if (residCols.exists(_.equalsIgnoreCase(fk))) return None
+      val whereOk = rest.forall { c =>
         val attrs = c.collect {
           case a: UnresolvedAttribute => a.nameParts.last
         }
@@ -3007,16 +3040,33 @@ final class QueryEngine(
       if (keyIdx.toSet != gNames.indices.toSet || aggParts.isEmpty)
         return None
 
-      // one fresh stats_grouped blob per stats-aggregated fact column
-      // and one fresh hll_grouped blob per count(DISTINCT) column, all
-      // keyed on the join key; a count(*)-only query anchors to any
-      // fresh stats blob over the key (rowcounts ride every value
-      // column)
-      def decoded(entries: Seq[(Seq[Option[String]], Array[Byte])])
-          : Map[String, GroupedStats.Stat] =
-        entries.collect { case (Seq(Some(k)), b) =>
-          k -> GroupedStats.decode(b)
-        }.toMap
+      // one fresh blob per aggregated fact column, keyed (fk) — or,
+      // under a residual fact filter, the COMPOSITE (fk, residCols...)
+      // blob: entries whose residual components match the typed
+      // literals collapse to per-fk payloads (stats by the exact
+      // partial-key merge, HLLs by register-max union == distinct over
+      // the filtered union, histograms by bucket addition — one grid
+      // required, mismatches throw and the serve refuses). A fk whose
+      // every entry is pruned contributes nothing — exactly the rows
+      // the filter drops. A count(*)-only query anchors to any fresh
+      // stats blob over the same key set.
+      val lookupCols = fk +: residCols
+      def collapsed(vc: String, tpe: String,
+          merge: (Array[Byte], Array[Byte]) => Array[Byte])
+          : Option[Map[String, Array[Byte]]] =
+        groupedBlobFor(fact, vc, tpe, lookupCols).map { full =>
+          val pruned = full.collect {
+            case (k, b) if k.head.isDefined &&
+                resid.zipWithIndex.forall { case ((_, vs), i) =>
+                  k(i + 1).exists(vs.contains) } =>
+              (k.head.get, b)
+          }
+          pruned.groupBy(_._1).view.mapValues(es =>
+            es.map(_._2).reduce(merge)).toMap
+        }
+      def hllMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+        graft.sketch.Hll.deserialize(a)
+          .merge(graft.sketch.Hll.deserialize(b)).serialize
       val statsCols = aggParts.collect {
         case (_, fn, Some(c))
             if fn != "count_distinct" && !fn.startsWith("percentile:") =>
@@ -3031,25 +3081,25 @@ final class QueryEngine(
       }.distinct
       val blobs: Map[String, Map[String, GroupedStats.Stat]] =
         statsCols.map { vc =>
-          groupedBlobFor(fact, vc, "stats_grouped", Seq(fk)) match {
-            case Some(entries) => vc -> decoded(entries)
-            case None          => return None
+          collapsed(vc, "stats_grouped", statsMergeBytes) match {
+            case Some(m) =>
+              vc -> m.view.mapValues(GroupedStats.decode).toMap
+            case None => return None
           }
         }.toMap
       val hllBlobs: Map[String, Map[String, Array[Byte]]] =
         distinctCols.map { vc =>
-          groupedBlobFor(fact, vc, "hll_grouped", Seq(fk)) match {
-            case Some(entries) =>
-              vc -> entries.collect { case (Seq(Some(k)), b) => k -> b }.toMap
-            case None => return None
+          collapsed(vc, "hll_grouped", hllMergeBytes) match {
+            case Some(m) => vc -> m
+            case None    => return None
           }
         }.toMap
       val pctBlobs: Map[String, Map[String, Array[Byte]]] =
         pctCols.map { vc =>
-          groupedBlobFor(fact, vc, "histogram_grouped", Seq(fk)) match {
-            case Some(entries) =>
-              vc -> entries.collect { case (Seq(Some(k)), b) => k -> b }.toMap
-            case None => return None
+          (try collapsed(vc, "histogram_grouped", histMergeBytes)
+          catch { case _: IllegalArgumentException => return None }) match {
+            case Some(m) => vc -> m
+            case None    => return None
           }
         }.toMap
       val hasCountStar = aggParts.exists(_._2 == "count_star")
@@ -3058,9 +3108,11 @@ final class QueryEngine(
           if (!hasCountStar) None
           else catalog.listSketches(Some(fact)).iterator
             .filter(_.sketchType == "stats_grouped")
-            .map(s => groupedBlobFor(fact, s.columnName, "stats_grouped",
-              Seq(fk)))
-            .collectFirst { case Some(entries) => decoded(entries) }
+            .map(s => collapsed(s.columnName, "stats_grouped",
+              statsMergeBytes))
+            .collectFirst { case Some(m) =>
+              m.view.mapValues(GroupedStats.decode).toMap
+            }
         }
       if (hasCountStar && anchorOpt.isEmpty) return None
       // complete group lists over the same (fact, fk) must agree — a
@@ -3098,7 +3150,9 @@ final class QueryEngine(
               dimDf = dimDf.join(spark.table(c2),
                 org.apache.spark.sql.functions.expr(cond))
             }
-            whereCond.foreach(c => dimDf = dimDf.where(c.sql))
+            rest.reduceOption(
+              org.apache.spark.sql.catalyst.expressions.And)
+              .foreach(r => dimDf = dimDf.where(r.sql))
             dimDf
               .select(col(pk).cast("string").as("__k") +:
                 gNames.map(col): _*)

@@ -246,6 +246,12 @@ object Aqp {
       graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
         "lineitem", Seq("l_suppkey"), "l_extendedprice", 64,
         sharedGrid = true)
+      // COMPOSITE (fk, flag) blob on its OWN value column (one blob
+      // per (table, valueCol, type)): the fact-side equality star
+      // (q131) prunes on l_returnflag and collapses to per-supplier
+      // records before the dim fold
+      graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+        "lineitem", Seq("l_suppkey", "l_returnflag"), "l_quantity", 64)
       e
     })
   }
@@ -1177,6 +1183,30 @@ object Aqp {
       assert(r.servedFromCatalog && r.serveKind.contains("star_range"),
         s"q130 must interpolate the star band from the fact's fk-keyed " +
           s"histogram + rider blobs: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // FACT-side equality star (round 10): `WHERE l_returnflag = 'R'
+    // GROUP BY s_nationkey` served from the COMPOSITE (l_suppkey,
+    // l_returnflag) blob — entries prune on the typed literal and
+    // collapse to per-supplier records with the exact partial-key
+    // merge (counts and decimal sums additive), then fold through the
+    // dim exactly like the unfiltered star. EXACT (0.0 error), fact
+    // never scanned; at 100 TB the most common filtered dashboard
+    // (revenue by dim attribute for one category) stays a catalog
+    // lookup + dim-only scan.
+    "q131_star_filtered_fact" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT s_nationkey, count(*) AS cnt, sum(l_quantity) AS sq, " +
+          "avg(l_quantity) AS aq FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "WHERE l_returnflag = 'R' GROUP BY s_nationkey")
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"q131 must serve the fact-filtered star from the composite " +
+          s"blob: ${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q131 must be exact: ${r.estimatedError}")
       r.df.withColumn("plan_type", lit(r.planType))
         .orderBy(col("s_nationkey"))
     }),
@@ -2857,6 +2887,21 @@ object Aqp {
             CROSS JOIN grd)
           SELECT s_nationkey, p50, 'sketch' AS plan_type FROM est
           ORDER BY s_nationkey""",
+    // q131: the fact-side equality star is EXACT — plain SQL with the
+    // portable decimal sum and one-division avg; the composite
+    // collapse (prune on flag, add per-supplier counts/sums) IS the
+    // filtered inner join's aggregation. plan_type rides as a column
+    // so a scan fallback goes red.
+    "q131_star_filtered_fact" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(l_quantity) AS DOUBLE) AS aq,
+           'sketch' AS plan_type
+         FROM lineitem JOIN supplier
+           ON lineitem.l_suppkey = supplier.s_suppkey
+         WHERE l_returnflag = 'R' GROUP BY s_nationkey
+         ORDER BY s_nationkey""",
     // q130: the star-range chain re-derived — q118's count+sum
     // arithmetic per NATION through the join on the shared global
     // grid (per-cell bucket counts and decimal sums equal the summed

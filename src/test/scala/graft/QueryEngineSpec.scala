@@ -3483,4 +3483,112 @@ class QueryEngineSpec extends SparkSpec {
     assert(rFlip.servedFromCatalog && rFlip.serveKind.contains("star_range"),
       rFlip.reason)
   }
+
+  test("star serve with a fact-side equality/IN: the composite blob prunes and collapses, fact never scanned") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-stareq").toString)
+    val eng = new QueryEngine(spark, cat)
+    // 20, 3, 37 pairwise coprime: every (k, flag) cell sees the same v
+    // value set, so per-cell histogram grids are identical and the
+    // percentile section's cross-fk merges are legitimate
+    spark.range(0, 6000).select(
+      expr("id % 20").as("k"),
+      expr("concat('f', id % 3)").as("flag"),
+      expr("cast(id % 37 as double) / 4.0 + 1.0").as("v"))
+      .createOrReplaceTempView("star_ef")
+    spark.sql(
+      """SELECT id AS pk, concat('r', id % 3) AS region,
+           CAST(id % 5 AS INT) AS sz FROM range(0, 20)""")
+      .createOrReplaceTempView("star_ed")
+    def truthFor(where: String): Map[String, (Long, Double)] =
+      spark.sql(
+        "SELECT region, count(*) AS n, " +
+          "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+          "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+          s"WHERE $where GROUP BY region").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val truthEq = truthFor("flag = 'f1'")
+    val truthIn = truthFor("flag IN ('f0', 'f2')")
+    val truthBoth = truthFor("sz >= 2 AND flag = 'f1'")
+    val truthNd = spark.sql(
+      "SELECT region, count(DISTINCT v) AS nd FROM star_ef " +
+        "JOIN star_ed ON star_ef.k = star_ed.pk " +
+        "WHERE flag = 'f1' GROUP BY region").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truthP = spark.sql(
+      "SELECT region, percentile(v, 0.5) AS p50 FROM star_ef " +
+        "JOIN star_ed ON star_ef.k = star_ed.pk " +
+        "WHERE flag = 'f1' GROUP BY region").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w = spark.sql("SELECT (max(v) - min(v)) / 32 AS w FROM star_ef " +
+      "WHERE flag = 'f1'").collect().head.getDouble(0)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "star_ef", Seq("k", "flag"), "v", 32)
+    graft.sketch.SketchOps.createGroupedHll(spark, cat,
+      "star_ef", Seq("k", "flag"), "v", 12)
+    // EMPTY the fact: a correct answer can only come from the blobs
+    spark.range(0).select(expr("id").as("k"),
+      expr("cast(id as string)").as("flag"),
+      expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("star_ef")
+    def check(r: graft.engine.QueryEngine#AqeResult,
+        truth: Map[String, (Long, Double)]): Unit = {
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"${r.serveKind}: ${r.reason}")
+      assert(r.estimatedError == 0.0)
+      val served = r.df.collect()
+        .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+      assert(served == truth, s"$served vs $truth")
+    }
+    check(eng.query("SELECT region, count(*) AS n, sum(v) AS s " +
+      "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE flag = 'f1' GROUP BY region"), truthEq)
+    // IN-list: several residual values MERGE per fk before the fold
+    check(eng.query("SELECT region, count(*) AS n, sum(v) AS s " +
+      "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE flag IN ('f0', 'f2') GROUP BY region"), truthIn)
+    // dim-side and fact-side predicates compose
+    check(eng.query("SELECT region, count(*) AS n, sum(v) AS s " +
+      "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE sz >= 2 AND flag = 'f1' GROUP BY region"), truthBoth)
+    // count(DISTINCT v) under the filter: collapsed HLLs stay
+    // register-max unions — distinct over the filtered union
+    val rNd = eng.query("SELECT region, count(DISTINCT v) AS nd " +
+      "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE flag = 'f1' GROUP BY region")
+    assert(rNd.servedFromCatalog && rNd.serveKind.contains("star_group"),
+      rNd.reason)
+    rNd.df.collect().foreach { x =>
+      val t = truthNd(x.getString(0)).toDouble
+      assert(math.abs(x.getLong(1) - t) / t < 0.15,
+        s"${x.getString(0)}: ${x.getLong(1)} vs $t")
+    }
+    // percentile under the filter: identical per-cell grids merge
+    val rP = eng.query("SELECT region, percentile(v, 0.5) AS p50 " +
+      "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE flag = 'f1' GROUP BY region")
+    assert(rP.servedFromCatalog && rP.serveKind.contains("star_group"),
+      rP.reason)
+    rP.df.collect().foreach { x =>
+      assert(math.abs(x.getDouble(1) - truthP(x.getString(0))) <= w + 1e-9,
+        s"${x.getString(0)}: ${x.getDouble(1)} vs ${truthP(x.getString(0))}")
+    }
+    // an unknown literal prunes everything: the served answer is the
+    // exact EMPTY result, not a refusal
+    val rNone = eng.query("SELECT region, count(*) AS n, sum(v) AS s " +
+      "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE flag = 'zzz' GROUP BY region")
+    assert(rNone.servedFromCatalog && rNone.df.count() == 0, rNone.reason)
+    // refusals LAST: an equality on the JOIN KEY itself; a filter
+    // column no composite blob covers
+    val rFk = eng.query("SELECT region, count(*) AS n FROM star_ef " +
+      "JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE k = 3 GROUP BY region")
+    assert(!rFk.servedFromCatalog, rFk.reason)
+    val rNoBlob = eng.query("SELECT region, count(*) AS n FROM star_ef " +
+      "JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE v = 2 GROUP BY region")
+    assert(!rNoBlob.servedFromCatalog, rNoBlob.reason)
+  }
 }
