@@ -2967,29 +2967,57 @@ final class QueryEngine(
           }.isEmpty
       }
       if (!whereOk) return None
-      // group keys: every grouping expression is a bare, unambiguous
-      // dim attribute of atomic type (grouping happens driver-side)
-      val gOpt = agg.groupingExpressions.map {
-        case a: UnresolvedAttribute if dimOwned(a.nameParts.last) =>
-          Some(a.nameParts.last)
-        case _ => None
-      }
+      // group keys: bare unambiguous attributes — DIM keys of any
+      // atomic type (the dim is actually read), and, round 10, FACT
+      // keys too: a fact-owned group column rides the COMPOSITE blob
+      // key (`GROUP BY dim.attr, fact.flag` — the crossed rollup),
+      // gated to string/integral types whose cast-to-string rendering
+      // parses back bijectively. The join key itself refuses (its
+      // groups are the blob's key axis, not a served dimension).
+      val gOpt: Seq[Option[(String, Boolean)]] =
+        agg.groupingExpressions.map {
+          case a: UnresolvedAttribute if dimOwned(a.nameParts.last) =>
+            Some((a.nameParts.last, false))
+          case a: UnresolvedAttribute
+              if owner(a.nameParts.last).contains(fact) &&
+                !a.nameParts.last.equalsIgnoreCase(fk) =>
+            Some((a.nameParts.last, true))
+          case _ => None
+        }
       if (gOpt.exists(_.isEmpty)) return None
-      val gNames = gOpt.flatten
+      val gKeys: Seq[(String, Boolean)] = gOpt.flatten
+      val gNames = gKeys.map(_._1)
+      val dimGroupNames = gKeys.collect { case (n, false) => n }
+      val factGroupCols = gKeys.collect { case (n, true) => n }
+      if (factGroupCols.exists(fg =>
+          residCols.exists(_.equalsIgnoreCase(fg))) ||
+          factGroupCols.map(_.toLowerCase).distinct.sizeIs !=
+            factGroupCols.size) return None
       val lower = gNames.map(_.toLowerCase)
-      val attrFields = gNames.map { n =>
-        dims.iterator
-          .flatMap(t => spark.table(t).schema.fields
-            .find(_.name.equalsIgnoreCase(n)))
-          .nextOption().getOrElse(return None)
+      val attrFields = gKeys.map {
+        case (n, false) =>
+          dims.iterator
+            .flatMap(t => spark.table(t).schema.fields
+              .find(_.name.equalsIgnoreCase(n)))
+            .nextOption().getOrElse(return None)
+        case (n, true) =>
+          spark.table(fact).schema.fields
+            .find(_.name.equalsIgnoreCase(n)).getOrElse(return None)
       }
-      val atomicOk = attrFields.forall(_.dataType match {
-        case StringType | BooleanType | ByteType | ShortType |
-            IntegerType | LongType | FloatType | DoubleType | DateType |
-            TimestampType => true
-        case _: DecimalType => true
-        case _              => false
-      })
+      val atomicOk = gKeys.zip(attrFields).forall {
+        case ((_, true), f) => f.dataType match {
+          case StringType | ByteType | ShortType | IntegerType |
+              LongType => true
+          case _ => false
+        }
+        case ((_, false), f) => f.dataType match {
+          case StringType | BooleanType | ByteType | ShortType |
+              IntegerType | LongType | FloatType | DoubleType | DateType |
+              TimestampType => true
+          case _: DecimalType => true
+          case _              => false
+        }
+      }
       if (!atomicOk) return None
 
       // classify outputs: group keys through; count(*); fn(factCol)
@@ -3050,16 +3078,20 @@ final class QueryEngine(
       // every entry is pruned contributes nothing — exactly the rows
       // the filter drops. A count(*)-only query anchors to any fresh
       // stats blob over the same key set.
-      val lookupCols = fk +: residCols
+      // blob key layout: (fk, residCols..., factGroupCols...) — prune
+      // on the residual literals, keep fact group components as part
+      // of the collapsed key (they become served GROUP BY dimensions),
+      // collapse the residual axis per merge
+      val lookupCols = fk +: (residCols ++ factGroupCols)
       def collapsed(vc: String, tpe: String,
           merge: (Array[Byte], Array[Byte]) => Array[Byte])
-          : Option[Map[String, Array[Byte]]] =
+          : Option[Map[(String, Seq[Option[String]]), Array[Byte]]] =
         groupedBlobFor(fact, vc, tpe, lookupCols).map { full =>
           val pruned = full.collect {
             case (k, b) if k.head.isDefined &&
                 resid.zipWithIndex.forall { case ((_, vs), i) =>
                   k(i + 1).exists(vs.contains) } =>
-              (k.head.get, b)
+              ((k.head.get, k.drop(1 + resid.size)), b)
           }
           pruned.groupBy(_._1).view.mapValues(es =>
             es.map(_._2).reduce(merge)).toMap
@@ -3079,7 +3111,8 @@ final class QueryEngine(
         case (_, fn, Some(c)) if fn.startsWith("percentile:") =>
           c.toLowerCase
       }.distinct
-      val blobs: Map[String, Map[String, GroupedStats.Stat]] =
+      type CellKey = (String, Seq[Option[String]])
+      val blobs: Map[String, Map[CellKey, GroupedStats.Stat]] =
         statsCols.map { vc =>
           collapsed(vc, "stats_grouped", statsMergeBytes) match {
             case Some(m) =>
@@ -3087,14 +3120,14 @@ final class QueryEngine(
             case None => return None
           }
         }.toMap
-      val hllBlobs: Map[String, Map[String, Array[Byte]]] =
+      val hllBlobs: Map[String, Map[CellKey, Array[Byte]]] =
         distinctCols.map { vc =>
           collapsed(vc, "hll_grouped", hllMergeBytes) match {
             case Some(m) => vc -> m
             case None    => return None
           }
         }.toMap
-      val pctBlobs: Map[String, Map[String, Array[Byte]]] =
+      val pctBlobs: Map[String, Map[CellKey, Array[Byte]]] =
         pctCols.map { vc =>
           (try collapsed(vc, "histogram_grouped", histMergeBytes)
           catch { case _: IllegalArgumentException => return None }) match {
@@ -3103,7 +3136,7 @@ final class QueryEngine(
           }
         }.toMap
       val hasCountStar = aggParts.exists(_._2 == "count_star")
-      val anchorOpt: Option[Map[String, GroupedStats.Stat]] =
+      val anchorOpt: Option[Map[CellKey, GroupedStats.Stat]] =
         blobs.headOption.map(_._2).orElse {
           if (!hasCountStar) None
           else catalog.listSketches(Some(fact)).iterator
@@ -3117,17 +3150,20 @@ final class QueryEngine(
       if (hasCountStar && anchorOpt.isEmpty) return None
       // complete group lists over the same (fact, fk) must agree — a
       // disagreement means a blob is mid-rebuild; refuse
-      val keySet: Set[String] =
+      val keySet: Set[CellKey] =
         (anchorOpt.map(_.keySet) ++ blobs.values.map(_.keySet) ++
           hllBlobs.values.map(_.keySet) ++ pctBlobs.values.map(_.keySet))
           .headOption.getOrElse(return None)
       if (!(blobs.values.map(_.keySet) ++ hllBlobs.values.map(_.keySet) ++
           pctBlobs.values.map(_.keySet) ++
           anchorOpt.map(_.keySet)).forall(_ == keySet)) return None
+      // fact group components per join key (the crossed-rollup axis)
+      val factKeysByFk: Map[String, Seq[Seq[Option[String]]]] =
+        keySet.toSeq.groupMap(_._1)(_._2)
 
       // dim scan restricted to the blob's keys (broadcast semi-join),
       // collected under a hard cap — the fact is never read
-      val keys = keySet.toSeq
+      val keys = factKeysByFk.keySet.toSeq
       val dimRows: Seq[org.apache.spark.sql.Row] =
         if (keys.isEmpty) Nil
         else {
@@ -3155,10 +3191,10 @@ final class QueryEngine(
               .foreach(r => dimDf = dimDf.where(r.sql))
             dimDf
               .select(col(pk).cast("string").as("__k") +:
-                gNames.map(col): _*)
+                dimGroupNames.map(col): _*)
               .join(broadcast(keysDf), "__k")
               .select(org.apache.spark.sql.functions.col("__k") +:
-                gNames.map(col): _*)
+                dimGroupNames.map(col): _*)
               .limit(cap).collect()
           } catch { case scala.util.control.NonFatal(_) => return None }
           if (scan.length >= cap) return None
@@ -3168,8 +3204,11 @@ final class QueryEngine(
       // fold each dim row's key stats (and HLL registers) into its
       // GROUP BY cell — stats merge exactly; HLLs by register-max
       // union, which is EXACTLY distinct-over-union: a value seen
-      // under several fks of one cell counts once
-      val statsOf: String => Map[String, GroupedStats.Stat] = ck =>
+      // under several fks of one cell counts once. Fact group keys
+      // expand each dim row into one cell per recorded fact-component
+      // tuple under its fk (the crossed rollup); their served values
+      // parse back through the bijective key rendering.
+      val statsOf: String => Map[CellKey, GroupedStats.Stat] = ck =>
         if (ck == "__anchor") anchorOpt.get else blobs(ck)
       val colKeys = anchorOpt.map(_ => "__anchor").toSeq ++ statsCols
       val cells = scala.collection.mutable.LinkedHashMap
@@ -3181,22 +3220,30 @@ final class QueryEngine(
       // (shared-grid builds merge; a single-fk cell merges trivially)
       try dimRows.foreach { r =>
         val k = r.getString(0)
-        if (keySet.contains(k)) {
-          val cell: Seq[Any] = (1 to gNames.size).map(r.get)
+        factKeysByFk.get(k).toSeq.flatten.foreach { fkt =>
+          val ck0: CellKey = (k, fkt)
+          var di = 0
+          var fi = 0
+          val cell: Seq[Any] = gKeys.zipWithIndex.map {
+            case ((_, false), _) => di += 1; r.get(di)
+            case ((_, true), gi) =>
+              val v = typedKeyValue(attrFields(gi).dataType, fkt(fi))
+              fi += 1; v
+          }
           val (m, h, hg) = cells.getOrElseUpdate(cell,
             (scala.collection.mutable.Map.empty,
               scala.collection.mutable.Map.empty,
               scala.collection.mutable.Map.empty))
           colKeys.foreach { ck =>
-            val st = statsOf(ck)(k)
+            val st = statsOf(ck)(ck0)
             m(ck) = m.get(ck).fold(st)(GroupedStats.merge(_, st))
           }
           distinctCols.foreach { dc =>
-            val hll = graft.sketch.Hll.deserialize(hllBlobs(dc)(k))
+            val hll = graft.sketch.Hll.deserialize(hllBlobs(dc)(ck0))
             h(dc) = h.get(dc).fold(hll)(_.merge(hll))
           }
           pctCols.foreach { pc =>
-            val b = pctBlobs(pc)(k)
+            val b = pctBlobs(pc)(ck0)
             hg(pc) = hg.get(pc).fold(b)(histMergeBytes(_, b))
           }
         }

@@ -1211,6 +1211,28 @@ object Aqp {
         .orderBy(col("s_nationkey"))
     }),
 
+    // MIXED GROUP BY star (round 10): `GROUP BY s_nationkey,
+    // l_returnflag` — a dim attribute crossed with a FACT column. The
+    // fact component of the composite (l_suppkey, l_returnflag) key
+    // becomes a served dimension: each supplier row expands into one
+    // cell per recorded flag, counts and decimal sums add exactly.
+    // EXACT, fact never scanned — the crossed rollup every BI tool
+    // fires at a star schema.
+    "q132_star_crossed" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT s_nationkey, l_returnflag, count(*) AS cnt, " +
+          "sum(l_quantity) AS sq FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "GROUP BY s_nationkey, l_returnflag")
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"q132 must serve the crossed rollup from the composite blob: " +
+          s"${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q132 must be exact: ${r.estimatedError}")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("s_nationkey"), col("l_returnflag"))
+    }),
+
     // Top-k by SUM (the revenue dashboard): the highest-revenue
     // partkeys answered EXACTLY from the sum-threshold blob — the
     // completeness argument needs no sign assumption (the filter is on
@@ -2902,6 +2924,16 @@ object Aqp {
            ON lineitem.l_suppkey = supplier.s_suppkey
          WHERE l_returnflag = 'R' GROUP BY s_nationkey
          ORDER BY s_nationkey""",
+    // q132: the crossed rollup is exact — plain SQL with the portable
+    // decimal sum; couples to q131's composite blob build.
+    "q132_star_crossed" ->
+      """SELECT s_nationkey, l_returnflag, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+           'sketch' AS plan_type
+         FROM lineitem JOIN supplier
+           ON lineitem.l_suppkey = supplier.s_suppkey
+         GROUP BY s_nationkey, l_returnflag
+         ORDER BY s_nationkey, l_returnflag""",
     // q130: the star-range chain re-derived — q118's count+sum
     // arithmetic per NATION through the join on the shared global
     // grid (per-cell bucket counts and decimal sums equal the summed

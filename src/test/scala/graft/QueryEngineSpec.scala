@@ -3523,6 +3523,17 @@ class QueryEngineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val w = spark.sql("SELECT (max(v) - min(v)) / 32 AS w FROM star_ef " +
       "WHERE flag = 'f1'").collect().head.getDouble(0)
+    val truthMix = spark.sql(
+      "SELECT region, flag, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+        "GROUP BY region, flag").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val truthFactOnly = spark.sql(
+      "SELECT flag, count(*) AS n FROM star_ef JOIN star_ed " +
+        "ON star_ef.k = star_ed.pk GROUP BY flag").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
       "star_ef", Seq("k", "flag"), "v", 32)
     graft.sketch.SketchOps.createGroupedHll(spark, cat,
@@ -3552,6 +3563,26 @@ class QueryEngineSpec extends SparkSpec {
     check(eng.query("SELECT region, count(*) AS n, sum(v) AS s " +
       "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
       "WHERE sz >= 2 AND flag = 'f1' GROUP BY region"), truthBoth)
+    // MIXED GROUP BY (dim attr × fact column): the fact component of
+    // the composite key becomes a served dimension — exact
+    val rMix = eng.query("SELECT region, flag, count(*) AS n, " +
+      "sum(v) AS s FROM star_ef JOIN star_ed " +
+      "ON star_ef.k = star_ed.pk GROUP BY region, flag")
+    assert(rMix.servedFromCatalog && rMix.serveKind.contains("star_group"),
+      s"${rMix.serveKind}: ${rMix.reason}")
+    assert(rMix.estimatedError == 0.0)
+    val servedMix = rMix.df.collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(servedMix == truthMix, s"$servedMix vs $truthMix")
+    // fact-only GROUP BY through the join (the dim just gates/fans
+    // the fks) — count per flag, exact
+    val rFo = eng.query("SELECT flag, count(*) AS n FROM star_ef " +
+      "JOIN star_ed ON star_ef.k = star_ed.pk GROUP BY flag")
+    assert(rFo.servedFromCatalog && rFo.serveKind.contains("star_group"),
+      s"${rFo.serveKind}: ${rFo.reason}")
+    assert(rFo.df.collect().map(x =>
+      x.getString(0) -> x.getLong(1)).toMap == truthFactOnly)
     // count(DISTINCT v) under the filter: collapsed HLLs stay
     // register-max unions — distinct over the filtered union
     val rNd = eng.query("SELECT region, count(DISTINCT v) AS nd " +
@@ -3590,5 +3621,11 @@ class QueryEngineSpec extends SparkSpec {
       "JOIN star_ed ON star_ef.k = star_ed.pk " +
       "WHERE v = 2 GROUP BY region")
     assert(!rNoBlob.servedFromCatalog, rNoBlob.reason)
+    // filtering AND grouping the same fact column refuses (the
+    // single-table key-filter serves own that shape)
+    val rClash = eng.query("SELECT region, flag, count(*) AS n " +
+      "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "WHERE flag = 'f1' GROUP BY region, flag")
+    assert(!rClash.servedFromCatalog, rClash.reason)
   }
 }
