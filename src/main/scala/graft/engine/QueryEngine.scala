@@ -3438,13 +3438,41 @@ final class QueryEngine(
         case LessThanOrEqual(_: Literal, a: UnresolvedAttribute) => Some(a.nameParts.last)
         case _ => None
       }
-      val (cmps, rest) = conj.partition(e =>
+      val (cmps, rest0) = conj.partition(e =>
         factCmpCol(e).exists(c0 => owner(c0).contains(fact)))
       if (cmps.isEmpty) return None
       val (c, lowerB, upperB) = rangeBounds(cmps.reduce(
         org.apache.spark.sql.catalyst.expressions.And))
         .getOrElse(return None)
       if (!numericColumn(fact, c)) return None
+      // remaining fact-side conjuncts must be equality/IN on other
+      // columns — they prune the COMPOSITE (fk, residCols...) blob
+      // and collapse to per-fk histograms + riders (round 10), the
+      // `WHERE flag = 'A' AND price band GROUP BY nation` drill-down
+      import org.apache.spark.sql.catalyst.expressions.{EqualTo, In}
+      def factEq(e: Expression): Option[(String, Seq[String])] = e match {
+        case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+          typedLitKey(fact, a.nameParts.last, l)
+            .map(v => (a.nameParts.last, Seq(v)))
+        case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+          typedLitKey(fact, a.nameParts.last, l)
+            .map(v => (a.nameParts.last, Seq(v)))
+        case In(a: UnresolvedAttribute, lits)
+            if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+          typedInListKeys(fact, a.nameParts.last, lits)
+            .map(vs => (a.nameParts.last, vs))
+        case _ => None
+      }
+      val (factRest, rest) = rest0.partition(e =>
+        e.collect { case a: UnresolvedAttribute => a.nameParts.last }
+          .exists(c0 => owner(c0).contains(fact)))
+      val residOpt = factRest.map(factEq)
+      if (residOpt.exists(_.isEmpty)) return None
+      val resid: Seq[(String, Seq[String])] = residOpt.flatten
+      val residCols = resid.map(_._1)
+      if (residCols.map(_.toLowerCase).distinct.sizeIs != residCols.size ||
+          residCols.exists(rc => rc.equalsIgnoreCase(fk) ||
+            rc.equalsIgnoreCase(c))) return None
       val restOk = rest.forall { r =>
         val attrs = r.collect { case a: UnresolvedAttribute => a.nameParts.last }
         attrs.nonEmpty && attrs.forall(dimOwned) &&
@@ -3530,23 +3558,53 @@ final class QueryEngine(
         case _                       => false
       }
 
-      // the fact's fk-keyed histogram blob on the range column (+ the
-      // sum rider when SUM/AVG outputs need it — missing or poisoned
-      // riders refuse rather than invent zeros)
-      val histMap: Map[String, Array[Byte]] =
-        groupedBlobFor(fact, c, "histogram_grouped", Seq(fk)) match {
-          case Some(entries) =>
-            entries.collect { case (Seq(Some(k)), b) => k -> b }.toMap
-          case None => return None
+      // the fact's histogram blob on the range column, keyed (fk) —
+      // or, under a residual fact filter, the COMPOSITE (fk,
+      // residCols...) blob: matching entries collapse per fk (bucket
+      // counts add — one grid required, mismatches refuse; an entry
+      // whose rider is missing or overflow-poisoned refuses rather
+      // than inventing zeros). A fk whose every entry prunes
+      // contributes nothing — the rows the filter drops.
+      val lookupCols = fk +: residCols
+      def residMatch(k: Seq[Option[String]]): Boolean =
+        k.head.isDefined && resid.zipWithIndex.forall {
+          case ((_, vs), i) => k(i + 1).exists(vs.contains)
         }
+      val prunedHist: Seq[(Seq[Option[String]], Array[Byte])] =
+        groupedBlobFor(fact, c, "histogram_grouped", lookupCols) match {
+          case Some(entries) => entries.filter(e => residMatch(e._1))
+          case None          => return None
+        }
+      val histMap: Map[String, Array[Byte]] =
+        try prunedHist.groupBy(_._1.head.get).view
+          .mapValues(es => es.map(_._2).reduce(histMergeBytes)).toMap
+        catch { case _: IllegalArgumentException => return None }
       val sumsByKey: Map[String, Map[Int, BigInt]] =
         if (!needSums) Map.empty
-        else groupedBlobFor(fact, c, "histsum_grouped", Seq(fk)) match {
-          case Some(se) => se.collect { case (Seq(Some(k)), inner) =>
-              k -> graft.sketch.GroupedHll.unpack(inner)
-                .collect { case (Some(bk), bb) => bk.toInt -> BigInt(bb) }
-                .toMap
-            }.toMap
+        else groupedBlobFor(fact, c, "histsum_grouped", lookupCols) match {
+          case Some(se) =>
+            val byTuple = se.toMap
+            prunedHist.filter(_._2.nonEmpty).groupBy(_._1.head.get)
+              .view.mapValues { es =>
+                var bs = Map.empty[Int, BigInt]
+                es.foreach { case (k, _) =>
+                  byTuple.get(k) match {
+                    case None => return None // rider lacks the cell
+                    case Some(inner) =>
+                      val m = graft.sketch.GroupedHll.unpack(inner)
+                        .collect { case (Some(bk), bb) =>
+                          bk.toInt -> BigInt(bb)
+                        }
+                      // empty sums under positive mass = the streaming
+                      // overflow poison — refuse, never a silent zero
+                      if (m.isEmpty) return None
+                      m.foreach { case (i, v0) =>
+                        bs = bs.updated(i, bs.getOrElse(i, BigInt(0)) + v0)
+                      }
+                  }
+                }
+                bs
+              }.toMap
           case None => return None
         }
       val keySet = histMap.keySet

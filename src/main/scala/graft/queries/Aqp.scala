@@ -249,9 +249,13 @@ object Aqp {
       // COMPOSITE (fk, flag) blob on its OWN value column (one blob
       // per (table, valueCol, type)): the fact-side equality star
       // (q131) prunes on l_returnflag and collapses to per-supplier
-      // records before the dim fold
+      // records before the dim fold. SHARED grid so q133's
+      // band-under-filter collapse merges cells on one global
+      // [min,max]/64 — the stats rider q131/q132 serve from is
+      // grid-independent.
       graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
-        "lineitem", Seq("l_suppkey", "l_returnflag"), "l_quantity", 64)
+        "lineitem", Seq("l_suppkey", "l_returnflag"), "l_quantity", 64,
+        sharedGrid = true)
       e
     })
   }
@@ -1231,6 +1235,30 @@ object Aqp {
       assert(r.estimatedError == 0.0, s"q132 must be exact: ${r.estimatedError}")
       r.df.withColumn("plan_type", lit(r.planType))
         .orderBy(col("s_nationkey"), col("l_returnflag"))
+    }),
+
+    // Star-range UNDER a fact filter (round 10): `WHERE l_returnflag =
+    // 'R' AND l_quantity in [10, 40) GROUP BY s_nationkey` — the full
+    // drill-down. The composite (l_suppkey, l_returnflag) histogram +
+    // rider prune on 'R', collapse per supplier on the shared global
+    // grid, fold per nation, and the q118 range arithmetic runs once
+    // per nation. Deterministic; the whole chain re-derived in DuckDB.
+    "q133_star_range_filtered" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT s_nationkey, count(*) AS n_est, " +
+          "sum(l_quantity) AS s_est, avg(l_quantity) AS a_est " +
+          "FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "WHERE l_returnflag = 'R' " +
+          "AND l_quantity >= 10 AND l_quantity < 40 " +
+          "GROUP BY s_nationkey",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("star_range"),
+        s"q133 must interpolate the filtered star band from the " +
+          s"composite blob: ${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("s_nationkey"))
     }),
 
     // Top-k by SUM (the revenue dashboard): the highest-revenue
@@ -2934,6 +2962,69 @@ object Aqp {
            ON lineitem.l_suppkey = supplier.s_suppkey
          GROUP BY s_nationkey, l_returnflag
          ORDER BY s_nationkey, l_returnflag""",
+    // q133: the filtered star-range chain — the q130/q118 arithmetic
+    // with the flag filter inside bk (pruned composite cells add to
+    // exactly the filtered per-(nation, bucket) counts and decimal
+    // sums on the ONE shared grid over all lineitem.l_quantity).
+    // Breaks together with q104/q106/q118/q130 if the grid rule or
+    // Histogram.rangePositions changes; couples to q131's composite
+    // build staying sharedGrid = true.
+    "q133_star_range_filtered" ->
+      """WITH mm AS (SELECT min(CAST(l_quantity AS DOUBLE)) AS lo,
+              max(CAST(l_quantity AS DOUBLE)) AS hi FROM lineitem),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT s_nationkey AS g, l_quantity AS rawv,
+              least(63, CAST(floor((CAST(l_quantity AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM lineitem JOIN supplier
+              ON lineitem.l_suppkey = supplier.s_suppkey
+            CROSS JOIN grd
+            WHERE l_quantity IS NOT NULL AND l_returnflag = 'R'),
+          c AS (SELECT g, b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY g, b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('10' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('40' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          gl AS (SELECT DISTINCT g FROM c),
+          parts AS (SELECT gl.g, ix.pa, ix.pb, ix.ia, ix.ib,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM gl CROSS JOIN ix),
+          est AS (SELECT g, CASE
+              WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+              WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+              ELSE (CAST(mid AS DOUBLE)
+                  + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+            CASE
+              WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+              WHEN ia = ib THEN sa * (pb - pa)
+              ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT g AS s_nationkey, n AS n_est, s AS s_est,
+            s / n AS a_est, 'sketch' AS plan_type
+          FROM est WHERE n > 0 ORDER BY g""",
     // q130: the star-range chain re-derived — q118's count+sum
     // arithmetic per NATION through the join on the shared global
     // grid (per-cell bucket counts and decimal sums equal the summed

@@ -3534,6 +3534,12 @@ class QueryEngineSpec extends SparkSpec {
       "SELECT flag, count(*) AS n FROM star_ef JOIN star_ed " +
         "ON star_ef.k = star_ed.pk GROUP BY flag").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truthRB = spark.sql(
+      "SELECT region, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+        "WHERE flag = 'f1' AND v >= 8.59375 GROUP BY region").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
       "star_ef", Seq("k", "flag"), "v", 32)
     graft.sketch.SketchOps.createGroupedHll(spark, cat,
@@ -3604,6 +3610,25 @@ class QueryEngineSpec extends SparkSpec {
     rP.df.collect().foreach { x =>
       assert(math.abs(x.getDouble(1) - truthP(x.getString(0))) <= w + 1e-9,
         s"${x.getString(0)}: ${x.getDouble(1)} vs ${truthP(x.getString(0))}")
+    }
+    // star-range UNDER the fact filter: the composite blob prunes on
+    // the flag, collapses per fk (identical grids by the coprime
+    // construction), and the band interpolates per region. The band's
+    // lower edge 8.59375 = 1 + 27·(9/32) sits ON a bucket boundary
+    // (9/32 is dyadic), so the estimates are exact against truth.
+    val rRB = eng.query("SELECT region, count(*) AS n_est, " +
+      "sum(v) AS s_est FROM star_ef JOIN star_ed " +
+      "ON star_ef.k = star_ed.pk " +
+      "WHERE flag = 'f1' AND v >= 8.59375 GROUP BY region",
+      eng.Options(maxRelError = 0.9))
+    assert(rRB.servedFromCatalog && rRB.serveKind.contains("star_range"),
+      s"${rRB.serveKind}: ${rRB.reason}")
+    rRB.df.collect().foreach { x =>
+      val (tn, ts) = truthRB(x.getString(0))
+      assert(math.abs(x.getDouble(1) - tn.toDouble) < 1e-9,
+        s"${x.getString(0)} count: ${x.getDouble(1)} vs $tn")
+      assert(math.abs(x.getDouble(2) - ts) < 1e-6,
+        s"${x.getString(0)} sum: ${x.getDouble(2)} vs $ts")
     }
     // an unknown literal prunes everything: the served answer is the
     // exact EMPTY result, not a refusal
