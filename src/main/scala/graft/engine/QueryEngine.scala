@@ -168,7 +168,7 @@ final class QueryEngine(
             import org.apache.spark.sql.types._
             f.name.equalsIgnoreCase(c) && (f.dataType match {
               case StringType | ByteType | ShortType | IntegerType |
-                  LongType => true
+                  LongType | DateType | TimestampType => true
               case _ => false
             })
           }).getOrElse(false)))
@@ -251,7 +251,7 @@ final class QueryEngine(
         spark.table(table).schema.fields.exists(f =>
           f.name.equalsIgnoreCase(c) && (f.dataType match {
             case StringType | ByteType | ShortType | IntegerType |
-                LongType => true
+                LongType | DateType | TimestampType => true
             case _ => false
           }))
       })
@@ -2518,12 +2518,15 @@ final class QueryEngine(
 
   /** Served-key typing: the grouped blobs key groups by the builders'
     * cast-to-string rendering. STRING group columns serve the
-    * rendering verbatim and INTEGRAL columns parse it back (the cast
-    * is bijective there), so the served schema matches exact
+    * rendering verbatim; INTEGRAL columns parse it back (the cast is
+    * bijective there); DATE and TIMESTAMP columns parse their
+    * canonical renderings back too (ISO date; the session-zone
+    * timestamp string, full microsecond precision — round 10, the
+    * time-series dashboard keys), so the served schema matches exact
     * execution — and typed keys make the ORDER BY replay sort
-    * numerically. Any other group-column type refuses the serve
-    * (None): a float/decimal rendering must not silently change the
-    * result schema.
+    * natively. Any other group-column type refuses the serve (None):
+    * a float/decimal rendering must not silently change the result
+    * schema.
     */
   private def keyFieldTypes(table: String, gNames: Seq[String])
       : Option[Seq[org.apache.spark.sql.types.DataType]] = {
@@ -2534,7 +2537,8 @@ final class QueryEngine(
     if (ts.exists(_.isEmpty)) return None
     val all = ts.flatten
     val ok = all.forall {
-      case StringType | ByteType | ShortType | IntegerType | LongType => true
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+          DateType | TimestampType => true
       case _ => false
     }
     if (ok) Some(all) else None
@@ -2549,7 +2553,16 @@ final class QueryEngine(
         case ShortType   => java.lang.Short.valueOf(s)
         case IntegerType => java.lang.Integer.valueOf(s)
         case LongType    => java.lang.Long.valueOf(s)
-        case _           => s
+        case DateType    => java.sql.Date.valueOf(s)
+        case TimestampType =>
+          // the rendering is Spark's canonical session-zone timestamp
+          // string; parse it back IN that zone (never the JVM default)
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          java.sql.Timestamp.from(
+            java.time.LocalDateTime.parse(s.replaceFirst(" ", "T"))
+              .atZone(zone).toInstant)
+        case _ => s
       }
     }.orNull
   }
@@ -3007,7 +3020,7 @@ final class QueryEngine(
       val atomicOk = gKeys.zip(attrFields).forall {
         case ((_, true), f) => f.dataType match {
           case StringType | ByteType | ShortType | IntegerType |
-              LongType => true
+              LongType | DateType | TimestampType => true
           case _ => false
         }
         case ((_, false), f) => f.dataType match {

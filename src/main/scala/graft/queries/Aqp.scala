@@ -206,6 +206,24 @@ object Aqp {
     })
   }
 
+  // q134's engine: a grouped blob keyed by the TIMESTAMP column
+  // o_orderdate (~1.1k/2.4k midnight stamps at the test SFs — well
+  // under MaxHllGroups) — the per-day revenue dashboard served with
+  // typed timestamp keys. Dedicated so the o_totalprice value column
+  // doesn't clobber sgEngineFor's o_orderstatus-keyed blob.
+  private val dateEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private def dateEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    dateEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-date").toString))
+      graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+        "orders", Seq("o_orderdate"), "o_totalprice", 64)
+      e
+    })
+  }
+
   // q109/q110's engine: a heavy-hitters ("topk") blob over
   // lineitem.l_partkey — a HIGH-cardinality key (20k distinct at
   // sf0.1, past MaxHllGroups) whose top-k/iceberg dashboards the
@@ -1259,6 +1277,27 @@ object Aqp {
           s"composite blob: ${r.serveKind} (${r.reason})")
       r.df.withColumn("plan_type", lit(r.planType))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // TIME-SERIES dashboard (round 10): per-day order counts and
+    // revenue GROUP BY the TIMESTAMP column — served EXACTLY from the
+    // o_orderdate-keyed grouped-stats blob with TYPED timestamp keys
+    // (the blob's canonical string renderings parse back in the UTC
+    // session zone), ORDER BY the date + LIMIT replaying driver-side.
+    // At 100 TB the daily-rollup dashboard — the most common BI query
+    // there is — becomes a catalog lookup.
+    "q134_date_key_serve" -> ((s, dir) => {
+      val e = dateEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderdate, count(*) AS cnt, " +
+          "sum(o_totalprice) AS st, avg(o_totalprice) AS at " +
+          "FROM orders GROUP BY o_orderdate " +
+          "ORDER BY o_orderdate LIMIT 100")
+      assert(r.servedFromCatalog,
+        s"q134 must serve the per-day rollup from the date-keyed " +
+          s"blob: ${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q134 must be exact: ${r.estimatedError}")
+      r.df.withColumn("plan_type", lit(r.planType))
     }),
 
     // Top-k by SUM (the revenue dashboard): the highest-revenue
@@ -2962,6 +3001,19 @@ object Aqp {
            ON lineitem.l_suppkey = supplier.s_suppkey
          GROUP BY s_nationkey, l_returnflag
          ORDER BY s_nationkey, l_returnflag""",
+    // q134: the per-day rollup is exact — plain SQL with the portable
+    // sum/avg; the serve emits TYPED timestamp keys (parsed back from
+    // the blob's canonical UTC-session renderings), so the column
+    // hash-matches DuckDB's native timestamps. ORDER BY is total
+    // (dates unique per group).
+    "q134_date_key_serve" ->
+      """SELECT o_orderdate, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS st,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(o_totalprice) AS DOUBLE) AS at,
+           'sketch' AS plan_type
+         FROM orders GROUP BY o_orderdate
+         ORDER BY o_orderdate LIMIT 100""",
     // q133: the filtered star-range chain — the q130/q118 arithmetic
     // with the flag filter inside bk (pruned composite cells add to
     // exactly the filtered per-(nation, bucket) counts and decimal

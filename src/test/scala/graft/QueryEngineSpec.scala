@@ -3653,4 +3653,40 @@ class QueryEngineSpec extends SparkSpec {
       "WHERE flag = 'f1' GROUP BY region, flag")
     assert(!rClash.servedFromCatalog, rClash.reason)
   }
+
+  test("timestamp group keys: grouped serves parse the canonical rendering back, fractional seconds included") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-tskey").toString)
+    val eng = new QueryEngine(spark, cat)
+    // 10 distinct stamps: 5 days × {midnight, +0.5s} — the fractional
+    // rendering ("...00.5") exercises the non-integer-second parse
+    spark.range(0, 3000).select(
+      expr("timestamp_micros(1700000000000000L + (id % 5) * 86400000000L" +
+        " + (id % 2) * 500000L)").as("day"),
+      expr("cast(id % 23 as double)").as("v"))
+      .createOrReplaceTempView("ts_t")
+    val truth = spark.sql(
+      "SELECT day, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM ts_t GROUP BY day").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "ts_t", Seq("day"), "v", 32)
+    spark.range(0).select(
+      expr("timestamp_micros(id)").as("day"),
+      expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("ts_t")
+    val r = eng.query("SELECT day, count(*) AS n, sum(v) AS s " +
+      "FROM ts_t GROUP BY day ORDER BY day")
+    assert(r.servedFromCatalog, r.reason)
+    assert(r.estimatedError == 0.0)
+    val rows = r.df.collect()
+    assert(rows.map(x => x.getTimestamp(0) ->
+      ((x.getLong(1), x.getDouble(2)))).toMap == truth)
+    // the ORDER BY replay sorts natively (chronological, not lexical)
+    assert(rows.map(_.getTimestamp(0)).toSeq ==
+      truth.keySet.toSeq.sortBy(_.getTime))
+  }
 }
