@@ -2190,37 +2190,93 @@ final class QueryEngine(
     override def matches(k: Option[String]): Boolean = k.exists(keys.contains)
   }
   private case class KeyLongRange(
-      lo: Option[(Long, Boolean)], hi: Option[(Long, Boolean)])
+      lo: Option[(Long, Boolean)], hi: Option[(Long, Boolean)],
+      decode: String => Option[Long])
       extends KeyPred {
     override def matches(k: Option[String]): Boolean =
-      k.flatMap(s => scala.util.Try(s.toLong).toOption).exists { v =>
+      k.flatMap(decode).exists { v =>
         lo.forall { case (b, inc) => if (inc) v >= b else v > b } &&
         hi.forall { case (b, inc) => if (inc) v <= b else v < b }
       }
   }
 
-  /** An integral comparison literal against an INTEGRAL column,
-    * widened to Long — the only (column, literal) pairing where
-    * comparing the parsed-back key against the literal is exactly the
-    * column comparison (strings would need UTF8-byte order, floats
-    * don't key blobs at all; both refuse).
+  /** A comparison literal against a group-key column, widened to the
+    * column's Long ORDINAL — the pairings where comparing the
+    * parsed-back key against the literal is exactly the column
+    * comparison: integral-on-integral (the value itself); a TIMESTAMP
+    * literal (Catalyst stores epoch micros) or an ISO date / datetime
+    * STRING literal against a timestamp column (micros in the session
+    * zone — exactly the cast ANSI comparison applies); a DATE literal
+    * (epoch days) or ISO date string against a date column. Free-form
+    * strings, floats, and cross-type pairings refuse.
     */
-  private def integralRangeLit(table: String, column: String,
+  private def keyOrdinalLit(table: String, column: String,
       l: org.apache.spark.sql.catalyst.expressions.Literal): Option[Long] = {
     import org.apache.spark.sql.types._
     val dt = scala.util.Try(spark.table(table).schema
       .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
+    def sessionMicros(s: String): Option[Long] = scala.util.Try {
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      val ldt =
+        if (s.contains(" ") || s.contains("T"))
+          java.time.LocalDateTime.parse(s.replaceFirst(" ", "T"))
+        else java.time.LocalDate.parse(s).atStartOfDay()
+      val i = ldt.atZone(zone).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }.toOption
     (dt, l.value) match {
       case (Some(ByteType | ShortType | IntegerType | LongType),
             n @ (_: java.lang.Integer | _: java.lang.Long |
                  _: java.lang.Short | _: java.lang.Byte)) =>
         Some(n.asInstanceOf[Number].longValue())
+      case (Some(TimestampType), micros: java.lang.Long)
+          if l.dataType == TimestampType =>
+        Some(micros)
+      case (Some(TimestampType), s: org.apache.spark.unsafe.types.UTF8String)
+          if l.dataType == StringType =>
+        sessionMicros(s.toString)
+      case (Some(DateType), days: java.lang.Integer)
+          if l.dataType == DateType =>
+        Some(days.toLong)
+      case (Some(DateType), s: org.apache.spark.unsafe.types.UTF8String)
+          if l.dataType == StringType =>
+        scala.util.Try(
+          java.time.LocalDate.parse(s.toString).toEpochDay).toOption
       case _ => None
     }
   }
 
+  /** The key-string decoder matching [[keyOrdinalLit]]'s ordinal space
+    * for a group-key column: parsed-back integral value; epoch days
+    * for dates; session-zone epoch micros for timestamps. None for
+    * types key ranges don't dispatch on.
+    */
+  private def keyOrdinalDecoder(table: String, column: String)
+      : Option[String => Option[Long]] = {
+    import org.apache.spark.sql.types._
+    val dt = scala.util.Try(spark.table(table).schema
+      .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
+    dt.collect {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (s: String) => scala.util.Try(s.toLong).toOption
+      case DateType =>
+        (s: String) => scala.util.Try(
+          java.sql.Date.valueOf(s).toLocalDate.toEpochDay).toOption
+      case TimestampType =>
+        (s: String) => scala.util.Try {
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val i = java.time.LocalDateTime.parse(s.replaceFirst(" ", "T"))
+            .atZone(zone).toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }.toOption
+    }
+  }
+
   /** Parse a conjunction of >=/>/<=/< comparisons between the single
-    * group column and integral literals into a [[KeyLongRange]] —
+    * group column and integral / date / timestamp literals (widened
+    * to the column's Long ordinal) into a [[KeyLongRange]] —
     * `WHERE g BETWEEN a AND b` (which the parser lowers to two
     * comparisons), one-sided bounds, and redundant same-direction
     * bounds (folded to the tightest, exactly as exact execution ANDs
@@ -2236,29 +2292,29 @@ final class QueryEngine(
     val parts: Seq[Option[(Long, Boolean, Boolean)]] = conjuncts.map {
       case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal)
           if a.nameParts.last.equalsIgnoreCase(gName) =>
-        integralRangeLit(table, gName, l).map((_, true, true))
+        keyOrdinalLit(table, gName, l).map((_, true, true))
       case GreaterThan(a: UnresolvedAttribute, l: Literal)
           if a.nameParts.last.equalsIgnoreCase(gName) =>
-        integralRangeLit(table, gName, l).map((_, false, true))
+        keyOrdinalLit(table, gName, l).map((_, false, true))
       case LessThanOrEqual(a: UnresolvedAttribute, l: Literal)
           if a.nameParts.last.equalsIgnoreCase(gName) =>
-        integralRangeLit(table, gName, l).map((_, true, false))
+        keyOrdinalLit(table, gName, l).map((_, true, false))
       case LessThan(a: UnresolvedAttribute, l: Literal)
           if a.nameParts.last.equalsIgnoreCase(gName) =>
-        integralRangeLit(table, gName, l).map((_, false, false))
+        keyOrdinalLit(table, gName, l).map((_, false, false))
       // literal-first spellings mirror with the comparison flipped
       case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(gName) =>
-        integralRangeLit(table, gName, l).map((_, true, false))
+        keyOrdinalLit(table, gName, l).map((_, true, false))
       case GreaterThan(l: Literal, a: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(gName) =>
-        integralRangeLit(table, gName, l).map((_, false, false))
+        keyOrdinalLit(table, gName, l).map((_, false, false))
       case LessThanOrEqual(l: Literal, a: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(gName) =>
-        integralRangeLit(table, gName, l).map((_, true, true))
+        keyOrdinalLit(table, gName, l).map((_, true, true))
       case LessThan(l: Literal, a: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(gName) =>
-        integralRangeLit(table, gName, l).map((_, false, true))
+        keyOrdinalLit(table, gName, l).map((_, false, true))
       case _ => None
     }
     if (parts.isEmpty || parts.exists(_.isEmpty)) return None
@@ -2270,9 +2326,10 @@ final class QueryEngine(
       bs.sortBy { case (b, inc) =>
         (if (lower) -b else b, if (inc) 1 else 0)
       }.headOption
-    Some(KeyLongRange(
+    keyOrdinalDecoder(table, gName).map(dec => KeyLongRange(
       tight(ps.collect { case (b, inc, true) => (b, inc) }, lower = true),
-      tight(ps.collect { case (b, inc, false) => (b, inc) }, lower = false)))
+      tight(ps.collect { case (b, inc, false) => (b, inc) }, lower = false),
+      dec))
   }
 
   /** For a `GROUP BY g` over `table`, optionally under `WHERE g = lit`

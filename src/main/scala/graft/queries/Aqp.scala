@@ -1300,6 +1300,27 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // DATE-RANGE key dispatch (round 10): `WHERE o_orderdate >= ts AND
+    // < ts GROUP BY o_orderdate` — the "last N days" dashboard. The
+    // timestamp comparisons widen to session-zone epoch micros and
+    // prune the blob's recorded day keys exactly (the same
+    // chronological comparison exact execution applies), then the
+    // stats serve answers the surviving days with zero scan.
+    "q135_date_range_serve" -> ((s, dir) => {
+      val e = dateEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderdate, count(*) AS cnt, sum(o_totalprice) AS st " +
+          "FROM orders " +
+          "WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00' " +
+          "AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00' " +
+          "GROUP BY o_orderdate ORDER BY o_orderdate")
+      assert(r.servedFromCatalog,
+        s"q135 must prune the date keys and serve from the blob: " +
+          s"${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q135 must be exact: ${r.estimatedError}")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // Top-k by SUM (the revenue dashboard): the highest-revenue
     // partkeys answered EXACTLY from the sum-threshold blob — the
     // completeness argument needs no sign assumption (the filter is on
@@ -3014,6 +3035,17 @@ object Aqp {
            'sketch' AS plan_type
          FROM orders GROUP BY o_orderdate
          ORDER BY o_orderdate LIMIT 100""",
+    // q135: the date-range pruned rollup is exact — plain SQL; both
+    // engines compare the timestamps chronologically (the engine on
+    // session-zone micros, DuckDB natively).
+    "q135_date_range_serve" ->
+      """SELECT o_orderdate, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS st,
+           'sketch' AS plan_type
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+         GROUP BY o_orderdate ORDER BY o_orderdate""",
     // q133: the filtered star-range chain — the q130/q118 arithmetic
     // with the flag filter inside bk (pruned composite cells add to
     // exactly the filtered per-(nation, bucket) counts and decimal
