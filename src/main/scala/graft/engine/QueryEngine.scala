@@ -2527,12 +2527,18 @@ final class QueryEngine(
     val q = queryCols.map(_.toLowerCase)
     val fcols = residual.map(_._1.toLowerCase)
     val all = q ++ fcols
+    // the blob's key set may be a SUPERSET of the referenced columns
+    // (round 10): components neither grouped nor filtered collapse
+    // unconditionally — summing a complete partition over the unused
+    // dimension IS the exact marginal, so one wide composite blob
+    // serves every narrower rollup its components span
     catalog.getSketch(table, column, tpe)
       .filter(sketchIsFresh(table, _))
       .flatMap { s =>
         groupByParamRe.findFirstMatchIn(s.parameters)
           .map(_.group(1).toLowerCase.split(",").map(_.trim).toSeq)
-          .filter(scols => scols.sorted == all.sorted)
+          .filter(scols => all.distinct.sizeIs == all.size &&
+            all.forall(scols.contains))
           .flatMap { scols =>
             val qIdx = q.map(scols.indexOf)
             val fIdx = fcols.map(scols.indexOf)
@@ -2686,6 +2692,10 @@ final class QueryEngine(
             : Option[Seq[(Seq[Option[String]], Array[Byte])]] =
           if (d.residual.isEmpty)
             groupedBlobFor(table, c, "histogram_grouped", gNames)
+              .orElse(
+                try partialGroupedBlobFor(table, c, "histogram_grouped",
+                  gNames, Nil, histMergeBytes)
+                catch { case _: IllegalArgumentException => None })
           else
             try partialGroupedBlobFor(table, c, "histogram_grouped",
               gNames, d.residual, histMergeBytes)
@@ -2801,6 +2811,8 @@ final class QueryEngine(
         def statsBlobFor(c: String) =
           if (d.residual.isEmpty)
             groupedBlobFor(table, c, "stats_grouped", gNames)
+              .orElse(partialGroupedBlobFor(table, c, "stats_grouped",
+                gNames, Nil, statsMergeBytes))
           else partialGroupedBlobFor(table, c, "stats_grouped", gNames,
             d.residual, statsMergeBytes)
         val lower = gNames.map(_.toLowerCase)
@@ -4082,6 +4094,8 @@ final class QueryEngine(
       .map { s =>
         if (d.residual.isEmpty)
           groupedBlobFor(table, s.columnName, s.sketchType, d.gNames)
+            .orElse(partialGroupedBlobFor(table, s.columnName,
+              s.sketchType, d.gNames, Nil, (_, b) => b))
         else
           partialGroupedBlobFor(table, s.columnName, s.sketchType, d.gNames,
             d.residual, (_, b) => b) // keys only: any payload stands in
@@ -4998,6 +5012,9 @@ final class QueryEngine(
         def hllBlobFor(c: String) =
           if (d.residual.isEmpty)
             groupedBlobFor(table, c, "hll_grouped", gNames)
+              .orElse(partialGroupedBlobFor(table, c, "hll_grouped",
+                gNames, Nil, (x, y) => graft.sketch.Hll.deserialize(x)
+                  .merge(graft.sketch.Hll.deserialize(y)).serialize))
           else partialGroupedBlobFor(table, c, "hll_grouped", gNames,
             d.residual, (x, y) => graft.sketch.Hll.deserialize(x)
               .merge(graft.sketch.Hll.deserialize(y)).serialize)

@@ -1321,6 +1321,26 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // MARGINAL rollup from a WIDE composite blob (round 10): `GROUP BY
+    // l_returnflag` served from the (l_returnflag, l_linestatus) blob
+    // by collapsing the unused l_linestatus dimension — summing a
+    // complete partition over the unused key IS the exact marginal, so
+    // ONE wide blob serves every narrower rollup its components span.
+    // Zero new builds: this query reuses q113's composite blob.
+    "q136_marginal_rollup" -> ((s, dir) => {
+      val e = sgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_returnflag, count(*) AS nr, sum(l_quantity) AS sq, " +
+          "avg(l_quantity) AS aq, min(l_quantity) AS mn, " +
+          "max(l_quantity) AS mx FROM lineitem GROUP BY l_returnflag " +
+          "ORDER BY l_returnflag")
+      assert(r.servedFromCatalog,
+        s"q136 must collapse the wide composite blob to the marginal: " +
+          s"${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q136 must be exact: ${r.estimatedError}")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // Top-k by SUM (the revenue dashboard): the highest-revenue
     // partkeys answered EXACTLY from the sum-threshold blob — the
     // completeness argument needs no sign assumption (the filter is on
@@ -3035,6 +3055,18 @@ object Aqp {
            'sketch' AS plan_type
          FROM orders GROUP BY o_orderdate
          ORDER BY o_orderdate LIMIT 100""",
+    // q136: the marginal rollup is exact — plain SQL with the portable
+    // renderings; the engine's answer collapses the wide (flag,
+    // status) blob's complete partition over the unused status key.
+    "q136_marginal_rollup" ->
+      """SELECT l_returnflag, count(*) AS nr,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(l_quantity) AS DOUBLE) AS aq,
+           CAST(min(l_quantity) AS DOUBLE) AS mn,
+           CAST(max(l_quantity) AS DOUBLE) AS mx,
+           'sketch' AS plan_type
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // q135: the date-range pruned rollup is exact — plain SQL; both
     // engines compare the timestamps chronologically (the engine on
     // session-zone micros, DuckDB natively).

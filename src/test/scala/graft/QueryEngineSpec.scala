@@ -3689,4 +3689,83 @@ class QueryEngineSpec extends SparkSpec {
     assert(rows.map(_.getTimestamp(0)).toSeq ==
       truth.keySet.toSeq.sortBy(_.getTime))
   }
+
+  test("wide composite blobs serve narrower rollups: unused key components collapse exactly") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-wide").toString)
+    val eng = new QueryEngine(spark, cat)
+    // 40k rows: clears the chooser's small-table exact rule, which
+    // gates the COUNT(DISTINCT) sketch strategy (the stats/histogram
+    // serves dispatch before the chooser and do not need it)
+    spark.range(0, 40000).select(
+      expr("concat('a', id % 4)").as("a"),
+      expr("concat('b', id % 5)").as("b"),
+      expr("cast(id % 29 as double)").as("v"))
+      .createOrReplaceTempView("wide_t")
+    val truthA = spark.sql(
+      "SELECT a, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM wide_t GROUP BY a").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val truthNd = spark.sql(
+      "SELECT a, count(DISTINCT v) AS nd FROM wide_t GROUP BY a").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truthP = spark.sql(
+      "SELECT a, percentile(v, 0.5) AS p50 FROM wide_t GROUP BY a").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w = spark.sql("SELECT (max(v) - min(v)) / 32 AS w FROM wide_t")
+      .collect().head.getDouble(0)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "wide_t", Seq("a", "b"), "v", 32, sharedGrid = true)
+    graft.sketch.SketchOps.createGroupedHll(spark, cat,
+      "wide_t", Seq("a", "b"), "v", 12)
+    // distinct counts BEFORE emptying (the COUNT DISTINCT route is
+    // chooser-gated and live-counts the table — an empty view reads as
+    // a small table and runs exact): register-max union over the
+    // collapsed key is distinct-over-union; servedFromCatalog proves
+    // the zero-scan path regardless
+    val rNd = eng.query("SELECT a, count(DISTINCT v) AS nd FROM wide_t " +
+      "GROUP BY a")
+    assert(rNd.servedFromCatalog, rNd.reason)
+    rNd.df.collect().foreach { x =>
+      val t = truthNd(x.getString(0)).toDouble
+      assert(math.abs(x.getLong(1) - t) / t < 0.15,
+        s"${x.getString(0)}: ${x.getLong(1)} vs $t")
+    }
+    // EMPTY the backing view: answers must come from the collapse
+    spark.range(0).select(expr("cast(id as string)").as("a"),
+      expr("cast(id as string)").as("b"), expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("wide_t")
+    val rA = eng.query("SELECT a, count(*) AS n, sum(v) AS s " +
+      "FROM wide_t GROUP BY a")
+    assert(rA.servedFromCatalog, rA.reason)
+    assert(rA.estimatedError == 0.0)
+    assert(rA.df.collect().map(x =>
+      x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap == truthA)
+    // the OTHER marginal serves from the same blob (count(*)-only
+    // grouped shapes keep their sampling route — the value aggregate
+    // anchors the stats path, as everywhere)
+    val rB = eng.query("SELECT b, count(*) AS n, sum(v) AS s " +
+      "FROM wide_t GROUP BY b")
+    assert(rB.servedFromCatalog, rB.reason)
+    assert(rB.df.count() == 5)
+    // percentiles: shared-grid bucket counts add across the collapsed
+    // key and interpolate within one bucket width
+    val rP = eng.query("SELECT a, percentile(v, 0.5) AS p50 FROM wide_t " +
+      "GROUP BY a")
+    assert(rP.servedFromCatalog, rP.reason)
+    rP.df.collect().foreach { x =>
+      assert(math.abs(x.getDouble(1) - truthP(x.getString(0))) <= w + 1e-9,
+        s"${x.getString(0)}: ${x.getDouble(1)} vs ${truthP(x.getString(0))}")
+    }
+    // keys-only DISTINCT serves the marginal key set
+    val rD = eng.query("SELECT DISTINCT a FROM wide_t ORDER BY a")
+    assert(rD.servedFromCatalog, rD.reason)
+    assert(rD.df.collect().map(_.getString(0)).toSeq ==
+      Seq("a0", "a1", "a2", "a3"))
+    // a column outside the blob's key set refuses
+    val rV = eng.query("SELECT v, count(*) AS n FROM wide_t GROUP BY v")
+    assert(!rV.servedFromCatalog, rV.reason)
+  }
 }
