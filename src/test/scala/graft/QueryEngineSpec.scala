@@ -419,13 +419,21 @@ class QueryEngineSpec extends SparkSpec {
       rd.transformations)
     assert(rd.df.count() == spark.sql(
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem").count())
-    // a SUBSET of the sketch's key set refuses (per-key rollups cannot
-    // be derived from composite stats without double-counting risk)
+    // a SUBSET of the sketch's key set SERVES as the exact marginal
+    // (round 10 wide-blob collapse): every row lands in exactly one
+    // composite cell, so summing the complete partition over the
+    // unused component cannot double-count
     val rSub = engine.query(
       "SELECT l_returnflag, sum(l_quantity) AS sm FROM lineitem " +
         "GROUP BY l_returnflag")
-    assert(!rSub.transformations.exists(_.contains("build statistics")),
+    assert(rSub.transformations.exists(_.contains("build statistics")),
       rSub.transformations)
+    assert(rSub.df.collect().map(x =>
+      x.getString(0) -> x.getDouble(1)).toMap ==
+      spark.sql("SELECT l_returnflag, cast(sum(cast(l_quantity as " +
+        "decimal(18,4))) as double) AS sm FROM lineitem " +
+        "GROUP BY l_returnflag").collect().map(x =>
+        x.getString(0) -> x.getDouble(1)).toMap)
     // a SUPERSET refuses too
     val rSup = engine.query(
       "SELECT l_returnflag, l_linestatus, l_shipdate, sum(l_quantity) AS sm " +
@@ -659,7 +667,11 @@ class QueryEngineSpec extends SparkSpec {
   }
 
   test("measureExact records realized per-group error for sampled GROUP BY results") {
-    val sql = "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s " +
+    // l_discount: no grouped blob over it exists in the shared
+    // catalog, so the query stays on the SAMPLING path this test
+    // measures (l_quantity would now serve as the exact marginal of
+    // the (l_returnflag, l_linestatus) composite blob)
+    val sql = "SELECT l_returnflag, count(*) AS n, sum(l_discount) AS s " +
       "FROM lineitem GROUP BY l_returnflag"
     val before = engine.history.all.size
     val r = engine.query(sql, engine.Options(measureExact = true))
