@@ -3160,24 +3160,21 @@ final class QueryEngine(
       // every entry is pruned contributes nothing — exactly the rows
       // the filter drops. A count(*)-only query anchors to any fresh
       // stats blob over the same key set.
-      // blob key layout: (fk, residCols..., factGroupCols...) — prune
-      // on the residual literals, keep fact group components as part
-      // of the collapsed key (they become served GROUP BY dimensions),
-      // collapse the residual axis per merge
-      val lookupCols = fk +: (residCols ++ factGroupCols)
+      // blob key layout: (fk, factGroupCols...) are the QUERY columns
+      // (the collapsed key — fact group components become served
+      // GROUP BY dimensions), the residual literals prune, and any
+      // FURTHER blob components collapse unconditionally (the wide-
+      // blob marginal rule: a complete partition summed over an
+      // unused dimension is the exact marginal) — all via the same
+      // partial-key machinery the single-table serves use
       def collapsed(vc: String, tpe: String,
           merge: (Array[Byte], Array[Byte]) => Array[Byte])
           : Option[Map[(String, Seq[Option[String]]), Array[Byte]]] =
-        groupedBlobFor(fact, vc, tpe, lookupCols).map { full =>
-          val pruned = full.collect {
-            case (k, b) if k.head.isDefined &&
-                resid.zipWithIndex.forall { case ((_, vs), i) =>
-                  k(i + 1).exists(vs.contains) } =>
-              ((k.head.get, k.drop(1 + resid.size)), b)
-          }
-          pruned.groupBy(_._1).view.mapValues(es =>
-            es.map(_._2).reduce(merge)).toMap
-        }
+        partialGroupedBlobFor(fact, vc, tpe, fk +: factGroupCols,
+          resid, merge).map(_.collect {
+            case (k, b) if k.head.isDefined =>
+              ((k.head.get, k.drop(1)), b)
+          }.toMap)
       def hllMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
         graft.sketch.Hll.deserialize(a)
           .merge(graft.sketch.Hll.deserialize(b)).serialize

@@ -1341,6 +1341,27 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType))
     }),
 
+    // MARGINAL collapse through the STAR (round 10): the plain star
+    // rollup of l_quantity by nation, whose ONLY l_quantity blob is
+    // the composite (l_suppkey, l_returnflag) one — the flag axis
+    // collapses to per-supplier records before the dim fold. Zero new
+    // builds; one wide blob serves the filtered (q131), crossed
+    // (q132), banded (q133), and now PLAIN star shapes.
+    "q137_star_marginal" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT s_nationkey, count(*) AS cnt, sum(l_quantity) AS sq " +
+          "FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "GROUP BY s_nationkey")
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"q137 must collapse the composite blob through the star: " +
+          s"${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q137 must be exact: ${r.estimatedError}")
+      r.df.withColumn("plan_type", lit(r.planType))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Top-k by SUM (the revenue dashboard): the highest-revenue
     // partkeys answered EXACTLY from the sum-threshold blob — the
     // completeness argument needs no sign assumption (the filter is on
@@ -3055,6 +3076,15 @@ object Aqp {
            'sketch' AS plan_type
          FROM orders GROUP BY o_orderdate
          ORDER BY o_orderdate LIMIT 100""",
+    // q137: the star marginal is exact — plain SQL; count(*) anchors
+    // to the collapsed composite blob's rowcounts.
+    "q137_star_marginal" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+           'sketch' AS plan_type
+         FROM lineitem JOIN supplier
+           ON lineitem.l_suppkey = supplier.s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     // q136: the marginal rollup is exact — plain SQL with the portable
     // renderings; the engine's answer collapses the wide (flag,
     // status) blob's complete partition over the unused status key.

@@ -3520,6 +3520,12 @@ class QueryEngineSpec extends SparkSpec {
           "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
           s"WHERE $where GROUP BY region").collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val truthAll = spark.sql(
+      "SELECT region, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+        "GROUP BY region").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val truthEq = truthFor("flag = 'f1'")
     val truthIn = truthFor("flag IN ('f0', 'f2')")
     val truthBoth = truthFor("sz >= 2 AND flag = 'f1'")
@@ -3601,6 +3607,18 @@ class QueryEngineSpec extends SparkSpec {
       s"${rFo.serveKind}: ${rFo.reason}")
     assert(rFo.df.collect().map(x =>
       x.getString(0) -> x.getLong(1)).toMap == truthFactOnly)
+    // the PLAIN star (no filter, no fact key) collapses the flag axis
+    // of the same wide blob — the marginal through the join, exact
+    val rPlain = eng.query("SELECT region, count(*) AS n, sum(v) AS s " +
+      "FROM star_ef JOIN star_ed ON star_ef.k = star_ed.pk " +
+      "GROUP BY region")
+    assert(rPlain.servedFromCatalog &&
+      rPlain.serveKind.contains("star_group"),
+      s"${rPlain.serveKind}: ${rPlain.reason}")
+    assert(rPlain.estimatedError == 0.0)
+    assert(rPlain.df.collect().map(x =>
+      x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap ==
+      truthAll, rPlain.df.collect().mkString(","))
     // count(DISTINCT v) under the filter: collapsed HLLs stay
     // register-max unions — distinct over the filtered union
     val rNd = eng.query("SELECT region, count(DISTINCT v) AS nd " +
