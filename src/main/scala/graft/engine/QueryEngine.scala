@@ -1630,8 +1630,8 @@ final class QueryEngine(
               Left((a.nameParts.last,
                 lower.indexOf(a.nameParts.last.toLowerCase)))
             case Alias(e, name)
-                if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-              Left((name, lower.indexOf(attrName(e).get.toLowerCase)))
+                if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+              Left((name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase)))
             case Alias(f: UnresolvedFunction, name)
                 if f.nameParts.last.equalsIgnoreCase("count") &&
                   !f.isDistinct && f.filter.isEmpty && (f.arguments match {
@@ -2477,6 +2477,38 @@ final class QueryEngine(
     * non-group columns covered by a composite blob (residual —
     * partial-key dispatch). None = not servable from grouped sketches.
     */
+  /** Canonical name for an EXPRESSION group key (round 10): a
+    * deterministic single-argument function of one base column — the
+    * time-bucket shapes (`to_date(ts)`, `year(ts)`, ...) — or a CAST
+    * of a column, rendered by Catalyst's own `.sql`. The rendering is
+    * comma-free by construction, so the catalog's comma-joined
+    * group_by param round-trips; the builder records the caller's
+    * spelling and dispatch compares the two case-insensitively (build
+    * with the parser's spelling: lowercase function names,
+    * `CAST(c AS TYPE)`). Nondeterministic or multi-argument
+    * expressions refuse.
+    */
+  private def exprKeyName(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val deterministicFns = Set("to_date", "year", "month", "quarter",
+      "day", "dayofmonth", "dayofweek", "weekofyear", "hour", "minute",
+      "date", "lower", "upper")
+    e match {
+      case f: UnresolvedFunction
+          if !f.isDistinct && f.filter.isEmpty &&
+            deterministicFns(f.nameParts.last.toLowerCase) &&
+            f.arguments.sizeIs == 1 &&
+            f.arguments.head.isInstanceOf[UnresolvedAttribute] =>
+        scala.util.Try(e.sql).toOption.filterNot(_.contains(","))
+      case c: Cast if c.child.isInstanceOf[UnresolvedAttribute] =>
+        scala.util.Try(e.sql).toOption.filterNot(_.contains(","))
+      case _ => None
+    }
+  }
+
   private def aggregateGroupKeys(
       gs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -2485,7 +2517,10 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val names = gs.map {
       case a: UnresolvedAttribute => Some(a.nameParts.last)
-      case _                      => None
+      // EXPRESSION group keys (round 10): deterministic comma-free
+      // renderings (to_date(ts), year(ts)) match builds keyed on the
+      // same text — the time-bucket dashboard shapes
+      case e                      => exprKeyName(e)
     }
     if (names.isEmpty || names.exists(_.isEmpty)) return None
     val gNames = names.map(_.get)
@@ -2596,7 +2631,11 @@ final class QueryEngine(
     import org.apache.spark.sql.types._
     val fields = spark.table(table).schema.fields
     val ts = gNames.map(c =>
-      fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+      fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        // EXPRESSION keys resolve their output type by analysis (no
+        // scan): to_date(ts) -> DateType, year(ts) -> IntegerType, ...
+        .orElse(scala.util.Try(
+          spark.table(table).selectExpr(c).schema.head.dataType).toOption))
     if (ts.exists(_.isEmpty)) return None
     val all = ts.flatten
     val ok = all.forall {
@@ -2707,8 +2746,8 @@ final class QueryEngine(
             Some(Left((a.nameParts.last,
               lower.indexOf(a.nameParts.last.toLowerCase))))
           case Alias(e, name)
-              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
+              if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase))))
           case Alias(f: UnresolvedFunction, name)
               if !f.isDistinct && f.filter.isEmpty =>
             val colP: Option[(String, Double)] =
@@ -2823,8 +2862,8 @@ final class QueryEngine(
             Some(Left((a.nameParts.last,
               lower.indexOf(a.nameParts.last.toLowerCase))))
           case Alias(e, name)
-              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
+              if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase))))
           case Alias(f: UnresolvedFunction, name)
               if !f.isDistinct && f.filter.isEmpty =>
             (f.nameParts.last.toLowerCase, f.arguments) match {
@@ -3110,8 +3149,8 @@ final class QueryEngine(
             Some(Left((a.nameParts.last,
               lower.indexOf(a.nameParts.last.toLowerCase))))
           case Alias(e, name)
-              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
+              if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase))))
           case Alias(f: UnresolvedFunction, name) if f.filter.isEmpty =>
             (f.nameParts.last.toLowerCase, f.arguments) match {
               case ("count", args) if !f.isDistinct && isCountStar(args) =>
@@ -3602,8 +3641,8 @@ final class QueryEngine(
             Some(Left((a.nameParts.last,
               lower.indexOf(a.nameParts.last.toLowerCase))))
           case Alias(e, name)
-              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
+              if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase))))
           case Alias(f: UnresolvedFunction, name)
               if f.filter.isEmpty && !f.isDistinct =>
             (f.nameParts.last.toLowerCase, f.arguments) match {
@@ -3960,7 +3999,7 @@ final class QueryEngine(
           case a: UnresolvedAttribute
               if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
           case Alias(e, _)
-              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+              if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
             Some(None)
           case Alias(f: UnresolvedFunction, _)
               if f.filter.isEmpty && !f.isDistinct =>
@@ -3987,7 +4026,7 @@ final class QueryEngine(
           case a: UnresolvedAttribute
               if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
           case Alias(e, _)
-              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
+              if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
             Some(None)
           case Alias(f: UnresolvedFunction, _) if f.filter.isEmpty =>
             (f.nameParts.last.toLowerCase, f.arguments) match {
@@ -4074,8 +4113,8 @@ final class QueryEngine(
           if lower.contains(a.nameParts.last.toLowerCase) =>
         (a.nameParts.last, lower.indexOf(a.nameParts.last.toLowerCase))
       case Alias(e, name)
-          if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-        (name, lower.indexOf(attrName(e).get.toLowerCase))
+          if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+        (name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase))
       case _ => return None
     }
     if (parts.map(_._2).toSet != d.gNames.indices.toSet) return None
@@ -5032,8 +5071,8 @@ final class QueryEngine(
             Some(Left((a.nameParts.last,
               lower.indexOf(a.nameParts.last.toLowerCase))))
           case Alias(e, name)
-              if attrName(e).exists(n => lower.contains(n.toLowerCase)) =>
-            Some(Left((name, lower.indexOf(attrName(e).get.toLowerCase))))
+              if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase))))
           case Alias(e, name) =>
             countDistinctCol(e).flatMap { c =>
               hllBlobFor(c).map { entries =>

@@ -220,6 +220,12 @@ object Aqp {
         new MetaCatalog(Files.createTempDirectory("graft-date").toString))
       graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
         "orders", Seq("o_orderdate"), "o_totalprice", 64)
+      // EXPRESSION key (q138): the events table bucketed by
+      // to_date(ts) — 30 days at every test SF; the blob records the
+      // expression text and the engine matches the query's grouping
+      // expression rendering against it
+      graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
+        "events", Seq("to_date(ts)"), "value", 64)
       e
     })
   }
@@ -1360,6 +1366,24 @@ object Aqp {
       assert(r.estimatedError == 0.0, s"q137 must be exact: ${r.estimatedError}")
       r.df.withColumn("plan_type", lit(r.planType))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // EXPRESSION group key (round 10): the event-stream daily rollup —
+    // `GROUP BY to_date(ts)` served from a blob keyed on the SAME
+    // expression rendering, typed DATE keys parsed back from the
+    // canonical strings. The shape every event dashboard fires; at
+    // 100 TB the raw-timestamp column has billions of distinct values,
+    // so only the bucketing expression makes a servable key.
+    "q138_expr_key_serve" -> ((s, dir) => {
+      val e = dateEngineFor(s, dir)
+      val r = e.query(
+        "SELECT to_date(ts) AS day, count(*) AS n, sum(value) AS sv, " +
+          "avg(value) AS av FROM events GROUP BY to_date(ts)")
+      assert(r.servedFromCatalog,
+        s"q138 must serve the daily event rollup from the " +
+          s"expression-keyed blob: ${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q138 must be exact: ${r.estimatedError}")
+      r.df.withColumn("plan_type", lit(r.planType)).orderBy(col("day"))
     }),
 
     // Top-k by SUM (the revenue dashboard): the highest-revenue
@@ -3076,6 +3100,15 @@ object Aqp {
            'sketch' AS plan_type
          FROM orders GROUP BY o_orderdate
          ORDER BY o_orderdate LIMIT 100""",
+    // q138: the daily event rollup is exact — the engine's to_date
+    // bucketing equals DuckDB's CAST(ts AS DATE); portable sum/avg.
+    "q138_expr_key_serve" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(value) AS DOUBLE) AS av,
+           'sketch' AS plan_type
+         FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""",
     // q137: the star marginal is exact — plain SQL; count(*) anchors
     // to the collapsed composite blob's rowcounts.
     "q137_star_marginal" ->

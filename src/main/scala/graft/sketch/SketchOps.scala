@@ -70,10 +70,21 @@ object SketchOps {
   private[graft] def groupKeyExpr(groupCols: Seq[String])
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.expr
-    if (groupCols.sizeIs == 1) col(groupCols.head).cast("string")
+    if (groupCols.sizeIs == 1) keyCol(groupCols.head).cast("string")
     else expr(groupCols.map(c => s"cast($c as string)")
       .mkString("to_json(array(", ", ", "))"))
   }
+
+  /** A group-key spec is usually a column NAME, but may be a
+    * deterministic comma-free EXPRESSION (round 10 — `to_date(ts)`,
+    * `year(ts)`: the time-bucket dashboard keys). Plain identifiers go
+    * through `col` (exotic names keep working); anything else parses
+    * as an expression. The engine matches the recorded text against
+    * the query's grouping expression rendering.
+    */
+  private def keyCol(name: String): org.apache.spark.sql.Column =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) col(name)
+    else org.apache.spark.sql.functions.expr(name)
 
   /** Composite-key variant: one HLL per (g1, g2, ...) tuple, so
     * `GROUP BY a, b` rollups (the data-card shape) serve with no scan

@@ -3798,4 +3798,45 @@ class QueryEngineSpec extends SparkSpec {
     val rV = eng.query("SELECT v, count(*) AS n FROM wide_t GROUP BY v")
     assert(!rV.servedFromCatalog, rV.reason)
   }
+
+  test("expression group keys: GROUP BY to_date(ts) serves from a blob keyed on the same rendering") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-exprkey").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 7000).select(
+      expr("timestamp_micros(1700000000000000L + (id % 7) * 86400000000L" +
+        " + id * 1000L)").as("ts"),
+      expr("cast(id % 13 as double)").as("v"))
+      .createOrReplaceTempView("evt_t")
+    val truth = spark.sql(
+      "SELECT to_date(ts) AS day, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM evt_t GROUP BY to_date(ts)").collect()
+      .map(r => r.getDate(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "evt_t", Seq("to_date(ts)"), "v", 32)
+    // EMPTY the backing view
+    spark.range(0).select(expr("timestamp_micros(id)").as("ts"),
+      expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("evt_t")
+    val r = eng.query("SELECT to_date(ts) AS day, count(*) AS n, " +
+      "sum(v) AS s FROM evt_t GROUP BY to_date(ts)")
+    assert(r.servedFromCatalog, r.reason)
+    assert(r.estimatedError == 0.0)
+    assert(r.df.schema.head.dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(r.df.collect().map(x =>
+      x.getDate(0) -> ((x.getLong(1), x.getDouble(2)))).toMap == truth)
+    // a DIFFERENT expression over the same column refuses (no blob
+    // keyed on its rendering)
+    val rY = eng.query("SELECT year(ts) AS y, count(*) AS n, " +
+      "sum(v) AS s FROM evt_t GROUP BY year(ts)")
+    assert(!rY.servedFromCatalog, rY.reason)
+    // a nondeterministic / unlisted expression refuses outright
+    val rC = eng.query("SELECT concat(cast(ts as string), 'x') AS k, " +
+      "count(*) AS n, sum(v) AS s FROM evt_t " +
+      "GROUP BY concat(cast(ts as string), 'x')")
+    assert(!rC.servedFromCatalog, rC.reason)
+  }
 }
