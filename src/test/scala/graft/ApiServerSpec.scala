@@ -482,6 +482,26 @@ class ApiServerSpec extends SparkSpec {
       .flatMap(_.num).exists(s => s > 1.0 && !s.isInfinite), body.take(400))
   }
 
+  test("expression group keys over HTTP: to_date build serves the daily rollup (round 10)") {
+    // LAST in the suite on purpose: this build takes the
+    // (orders, o_orderkey, histogram_grouped) blob slot the star tests
+    // used earlier (one blob per (table, valueCol, type))
+    val (c1, b1) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_orderkey", "sketch_type": "histogram",
+         "parameters": {"group_by": "to_date(o_orderdate)"}}"""))
+    assert(c1 == 200, b1)
+    val (qc, qb) = http("POST", "/query", Some(
+      """{"sql": "SELECT to_date(o_orderdate) AS day, count(*) AS n, sum(o_orderkey) AS sk FROM orders GROUP BY to_date(o_orderdate)"}"""))
+    assert(qc == 200, qb)
+    val v = parsed(qb)
+    assert(v("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("catalog serve")), qb.take(400))
+    v("result") match {
+      case Some(Json.A(rows)) => assert(rows.nonEmpty, qb.take(200))
+      case other              => fail(s"expected result rows: $other")
+    }
+  }
+
   test("Json parser handles strings, escapes, nesting and rejects garbage") {
     val v = parsed("""{"a": [1, 2.5, -3], "s": "q\"\\\nA", "b": true, "n": null, "o": {"k": "v"}}""")
     assert(v("s").flatMap(_.str).contains("q\"\\\nA"))

@@ -1337,6 +1337,46 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-maintained EXPRESSION-keyed stats serve GROUP BY to_date(ts) live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-exprkey")
+        .toString)
+    // the maintainer keys by SketchOps.groupKeyExpr, which parses
+    // non-identifier key specs as expressions — the time-bucket keys
+    // stream with no extra code
+    val stream = MemoryStream[(Long, Double)]
+    val q = EventStreams.maintainGroupedStatsSketch(
+      stream.toDF().toDF("tsm", "amt")
+        .selectExpr("timestamp_micros(tsm) AS ts", "amt"),
+      catalog, "evt_live", "to_date(ts)", "amt")
+    val data = (0L until 3000L).map(i =>
+      (1700000000000000L + (i % 5) * 86400000000L + i * 1000L,
+        (i % 17).toDouble))
+    data.grouped(1000).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // EMPTY fact: a correct answer can only come from the blob
+    spark.range(0).select(
+      expr("timestamp_micros(id)").as("ts"),
+      expr("cast(id as double)").as("amt"))
+      .createOrReplaceTempView("evt_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query("SELECT to_date(ts) AS day, count(*) AS n, " +
+      "sum(amt) AS s FROM evt_live GROUP BY to_date(ts)")
+    assert(r.servedFromCatalog, s"${r.serveKind}: ${r.reason}")
+    val truth = data.groupBy { case (tsm, _) => tsm / 86400000000L }
+      .view.mapValues(rows => (rows.size.toLong, rows.map(_._2).sum))
+      .values.toSeq.sorted
+    val served = r.df.collect()
+      .map(x => (x.getLong(1), x.getDouble(2))).toSeq.sorted
+    assert(served == truth, s"$served vs $truth")
+  }
+
   test("stream-maintained heavy-hitters: stored counts stay exact, unknown mass inflates the serve bound") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
