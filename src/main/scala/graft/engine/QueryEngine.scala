@@ -5354,9 +5354,14 @@ final class QueryEngine(
       // comma-joined column list is the build recipe's group_by)
       case Aggregate(gs, outs, r: UnresolvedRelation, _)
           if rel(r) && gs.nonEmpty &&
-            gs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
-        val g = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
-          .mkString(",")
+            gs.forall(e => e.isInstanceOf[UnresolvedAttribute] ||
+              exprKeyName(e).isDefined) =>
+        // expression keys advise builds keyed on their canonical
+        // rendering — the builder parses the text back (round 10)
+        val g = gs.map {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case e                      => exprKeyName(e).get
+        }.mkString(",")
         outs.flatMap(classify(_, Some(g))).distinct
       // partial-key shape: WHERE a = lit ... GROUP BY b advises the
       // COMPOSITE "a,b" blob (the engine's residual dispatch serves

@@ -3807,8 +3807,27 @@ class QueryEngineSpec extends SparkSpec {
     spark.range(0, 7000).select(
       expr("timestamp_micros(1700000000000000L + (id % 7) * 86400000000L" +
         " + id * 1000L)").as("ts"),
-      expr("cast(id % 13 as double)").as("v"))
+      expr("cast(id % 13 as double)").as("v"),
+      expr("cast(id % 5 as double)").as("w"))
       .createOrReplaceTempView("evt_t")
+    // advisor loop FIRST (needs the live view): repeated misses on an
+    // expression-key shape advise a build keyed on the rendering (a
+    // SECOND value column — a year(ts) build on v would overwrite the
+    // to_date(ts) blob below, one blob per (table, valueCol, type))
+    val sqlAdv = "SELECT year(ts) AS y, count(*) AS n, sum(w) AS sw " +
+      "FROM evt_t GROUP BY year(ts)"
+    (1 to 3).foreach(_ =>
+      assert(!eng.query(sqlAdv).servedFromCatalog))
+    assert(eng.adviseSketches(minMisses = 3).exists(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.table.equalsIgnoreCase("evt_t") &&
+        a.candidate.column.equalsIgnoreCase("w") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("year(ts)"))),
+      eng.adviseSketches(minMisses = 3).toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "evt_t", Seq("year(ts)"), "w", 32)
+    val rAdv = eng.query(sqlAdv)
+    assert(rAdv.servedFromCatalog, rAdv.reason)
     val truth = spark.sql(
       "SELECT to_date(ts) AS day, count(*) AS n, " +
         "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
