@@ -203,6 +203,12 @@ object Bench {
       graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
         "lineitem_x10r", Seq("l_suppkey"), "l_extendedprice", 64,
         sharedGrid = true)
+      // Expression-keyed blob (round 10): the per-day rollup over the
+      // widened fact — to_date(l_shipdate) keys (~2.4k days), value
+      // column l_quantity (its lineitem_x10 blob is composite-keyed;
+      // on the r-view the slot is free)
+      graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
+        "lineitem_x10r", Seq("to_date(l_shipdate)"), "l_quantity", 64)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -296,6 +302,13 @@ object Bench {
           "sum(l_extendedprice) AS s FROM lineitem_x10r JOIN supplier " +
           "ON l_suppkey = s_suppkey WHERE l_extendedprice >= 2000 " +
           "GROUP BY s_nationkey"),
+        // Date serve (round 10): the per-day rollup — GROUP BY an
+        // expression key served exactly from the to_date(l_shipdate)-
+        // keyed blob (no scan, typed DATE keys) — the exact side pays
+        // the 6M-row scan + ~2.4k-group aggregate.
+        "date_serve" -> ("SELECT to_date(l_shipdate) AS d, count(*) AS n, " +
+          "sum(l_quantity) AS s, avg(l_quantity) AS a " +
+          "FROM lineitem_x10r GROUP BY to_date(l_shipdate)"),
         // Join AQP (beyond the reference, round 7): the fact side
         // answers from the materialized 1% sample (no 6M-row scan),
         // the dim joins at full fidelity, HT scaling recovers totals —
