@@ -2966,9 +2966,17 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, SubqueryAlias}
     import org.apache.spark.sql.types._
     if (tables.sizeIs < 2) return None
-    val agg = parsed match {
-      case a: Aggregate if a.groupingExpressions.nonEmpty => a
-      case _                                              => return None
+    // GROUP BY shapes parse as Aggregate; UNGROUPED aggregates parse
+    // as a bare Project over the join (the analyzer's GlobalAggregates
+    // rule runs later) — both fold here, the ungrouped form into ONE
+    // cell (round 10). Plain projections refuse at classification.
+    val (aggOuts, aggChild, grouping) = parsed match {
+      case a: Aggregate =>
+        (a.aggregateExpressions, a.child, a.groupingExpressions)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        (p.projectList, p.child,
+          Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression])
+      case _ => return None
     }
     // the aggregate's child must be inner equi-joins of the relations
     // (aliases allowed), optionally under ONE WHERE clause. DIM-side
@@ -2978,7 +2986,7 @@ final class QueryEngine(
     // pruning a COMPOSITE (fk, residCols...) blob and collapsing to
     // per-fk records (round 10); any other fact-side predicate refuses
     // below (a numeric band is storedStarRangeAnswer's job).
-    val (whereCond, joinChild) = agg.child match {
+    val (whereCond, joinChild) = aggChild match {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch) =>
         (Some(c), ch)
       case ch => (None, ch)
@@ -3096,7 +3104,7 @@ final class QueryEngine(
       // parses back bijectively. The join key itself refuses (its
       // groups are the blob's key axis, not a served dimension).
       val gOpt: Seq[Option[(String, Boolean)]] =
-        agg.groupingExpressions.map {
+        grouping.map {
           case a: UnresolvedAttribute if dimOwned(a.nameParts.last) =>
             Some((a.nameParts.last, false))
           case a: UnresolvedAttribute
@@ -3143,7 +3151,7 @@ final class QueryEngine(
 
       // classify outputs: group keys through; count(*); fn(factCol)
       val classified: Seq[Option[Either[(String, Int), (String, String, Option[String])]]] =
-        agg.aggregateExpressions.map {
+        aggOuts.map {
           case a: UnresolvedAttribute
               if lower.contains(a.nameParts.last.toLowerCase) =>
             Some(Left((a.nameParts.last,
@@ -3381,7 +3389,17 @@ final class QueryEngine(
       }
       if (!fnOk) return None
 
-      val rows = cells.toSeq.map { case (cell, (m, h, hg)) =>
+      // the UNGROUPED star of zero joined rows is exact execution's
+      // one-row answer: COUNTs are 0, everything else NULL
+      val emptyUngrouped: Seq[org.apache.spark.sql.Row] =
+        if (gKeys.isEmpty && cells.isEmpty)
+          Seq(org.apache.spark.sql.Row.fromSeq(parts.map {
+            case Right((_, "count_star" | "count" | "count_distinct", _)) =>
+              0L
+            case _ => null
+          }))
+        else Nil
+      val rows = emptyUngrouped ++ cells.toSeq.map { case (cell, (m, h, hg)) =>
         org.apache.spark.sql.Row.fromSeq(parts.map {
           case Left((_, i))                => cell(i)
           case Right((_, "count_star", _)) => m("__anchor").nrows
@@ -3483,11 +3501,19 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, SubqueryAlias}
     import org.apache.spark.sql.types._
     if (tables.sizeIs < 2) return None
-    val agg = parsed match {
-      case a: Aggregate if a.groupingExpressions.nonEmpty => a
-      case _                                              => return None
+    // GROUP BY shapes parse as Aggregate; UNGROUPED aggregates parse
+    // as a bare Project over the join (the analyzer's GlobalAggregates
+    // rule runs later) — both fold here, the ungrouped form into ONE
+    // cell (round 10). Plain projections refuse at classification.
+    val (aggOuts, aggChild, grouping) = parsed match {
+      case a: Aggregate =>
+        (a.aggregateExpressions, a.child, a.groupingExpressions)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        (p.projectList, p.child,
+          Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression])
+      case _ => return None
     }
-    val (whereCond, joinChild) = agg.child match {
+    val (whereCond, joinChild) = aggChild match {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch) =>
         (Some(c), ch)
       case ch => (None, ch)
@@ -3602,7 +3628,7 @@ final class QueryEngine(
       }
       if (!restOk) return None
       // group keys: bare, unambiguous dim attributes of atomic type
-      val gOpt = agg.groupingExpressions.map {
+      val gOpt = grouping.map {
         case a: UnresolvedAttribute if dimOwned(a.nameParts.last) =>
           Some(a.nameParts.last)
         case _ => None
@@ -3635,7 +3661,7 @@ final class QueryEngine(
       case class PctA(p: Double) extends AggOut
       var sawAgg = false
       val classified: Seq[Option[Either[(String, Int), (String, AggOut)]]] =
-        agg.aggregateExpressions.map {
+        aggOuts.map {
           case a: UnresolvedAttribute
               if lower.contains(a.nameParts.last.toLowerCase) =>
             Some(Left((a.nameParts.last,
@@ -3835,7 +3861,16 @@ final class QueryEngine(
           }
         }
       }
-      val rows = served.map { case (cell, h, est, _, sumEst, _) =>
+      // ungrouped band with no estimated in-range mass: exact
+      // execution still returns one row (count 0, sums NULL)
+      val emptyUngrouped: Seq[org.apache.spark.sql.Row] =
+        if (gNames.isEmpty && served.isEmpty)
+          Seq(org.apache.spark.sql.Row.fromSeq(parts.map {
+            case Right((_, CntA)) => Double.box(0.0)
+            case _                => null
+          }))
+        else Nil
+      val rows = emptyUngrouped ++ served.map { case (cell, h, est, _, sumEst, _) =>
         org.apache.spark.sql.Row.fromSeq(parts.map {
           case Left((_, i))        => cell(i)
           case Right((_, CntA))    => Double.box(est)
@@ -3898,12 +3933,18 @@ final class QueryEngine(
     import org.apache.spark.sql.types._
     import graft.learn.SketchAdvisor.Candidate
     if (tables.sizeIs < 2) return Nil
-    val agg = parsed match {
-      case a: Aggregate if a.groupingExpressions.nonEmpty => a
-      case _                                              => return Nil
+    // UNGROUPED aggregates parse as a bare Project (round 10): the
+    // headline-KPI star misses advise too
+    val (aggOuts, aggChild, grouping) = parsed match {
+      case a: Aggregate =>
+        (a.aggregateExpressions, a.child, a.groupingExpressions)
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        (p.projectList, p.child,
+          Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression])
+      case _ => return Nil
     }
     // optional WHERE: advisable only when dim-side (the serve's rule)
-    val (whereCond, joinChild) = agg.child match {
+    val (whereCond, joinChild) = aggChild match {
       case org.apache.spark.sql.catalyst.plans.logical.Filter(c, ch) =>
         (Some(c), ch)
       case ch => (None, ch)
@@ -3978,12 +4019,12 @@ final class QueryEngine(
         attrs.nonEmpty && attrs.forall(dimOwned)
       }
       if (!whereOk) return Nil
-      val gOk = agg.groupingExpressions.forall {
+      val gOk = grouping.forall {
         case a: UnresolvedAttribute => dimOwned(a.nameParts.last)
         case _                      => false
       }
       if (!gOk) return Nil
-      val lower = agg.groupingExpressions.collect {
+      val lower = grouping.collect {
         case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
       }
       // value col -> advised build type: stats fns need the grouped
@@ -3995,7 +4036,7 @@ final class QueryEngine(
         // that distribution), all from the shared-grid build on it —
         // count(*)-only queries DO advise here (the band itself names
         // the value column to build on)
-        case Some(rc) => agg.aggregateExpressions.map {
+        case Some(rc) => aggOuts.map {
           case a: UnresolvedAttribute
               if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
           case Alias(e, _)
@@ -4022,7 +4063,7 @@ final class QueryEngine(
             }
           case _ => None
         }
-        case None => agg.aggregateExpressions.map {
+        case None => aggOuts.map {
           case a: UnresolvedAttribute
               if lower.contains(a.nameParts.last.toLowerCase) => Some(None)
           case Alias(e, _)

@@ -1368,6 +1368,43 @@ object Aqp {
         .orderBy(col("s_nationkey"))
     }),
 
+    // UNGROUPED star (round 10): the headline KPI — total count and
+    // revenue over fact ⋈ dim under a dim filter, NO GROUP BY. All
+    // matching dim rows fold into ONE cell; zero joined rows would
+    // serve exact execution's one-row answer (counts 0, rest NULL).
+    // Exact, fact never scanned.
+    "q139_star_ungrouped" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS cnt, sum(l_extendedprice) AS rev, " +
+          "min(l_extendedprice) AS mn, max(l_extendedprice) AS mx, " +
+          "avg(l_extendedprice) AS av FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "WHERE s_nationkey < 13")
+      assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+        s"q139 must serve the ungrouped star KPI from the fact's " +
+          s"grouped blob: ${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q139 must be exact: ${r.estimatedError}")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
+    // UNGROUPED star band (round 10): the same KPI under a fact-side
+    // value band — one global cell interpolated from the merged
+    // histograms + riders.
+    "q140_star_band_ungrouped" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(l_extendedprice) AS s_est " +
+          "FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "WHERE l_extendedprice >= 2000 AND l_extendedprice < 30000",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("star_range"),
+        s"q140 must interpolate the ungrouped star band: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType))
+    }),
+
     // EXPRESSION group key (round 10): the event-stream daily rollup —
     // `GROUP BY to_date(ts)` served from a blob keyed on the SAME
     // expression rendering, typed DATE keys parsed back from the
@@ -3100,6 +3137,69 @@ object Aqp {
            'sketch' AS plan_type
          FROM orders GROUP BY o_orderdate
          ORDER BY o_orderdate LIMIT 100""",
+    // q139: the ungrouped star KPI is exact — plain SQL with the
+    // portable sum/avg under the dim filter.
+    "q139_star_ungrouped" ->
+      """SELECT count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+           min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(count(l_extendedprice) AS DOUBLE) AS av,
+           'sketch' AS plan_type
+         FROM lineitem JOIN supplier
+           ON lineitem.l_suppkey = supplier.s_suppkey
+         WHERE s_nationkey < 13""",
+    // q140: the ungrouped band — q130's count+sum chain with the
+    // per-nation grouping removed (one global cell; every lineitem row
+    // joins exactly one supplier, so the joined totals are the
+    // table's). Breaks together with q104/q106/q118/q130.
+    "q140_star_band_ungrouped" ->
+      """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+              max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT l_extendedprice AS rawv, least(63,
+              CAST(floor((CAST(l_extendedprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM lineitem JOIN supplier
+              ON lineitem.l_suppkey = supplier.s_suppkey
+            CROSS JOIN grd WHERE l_extendedprice IS NOT NULL),
+          c AS (SELECT b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('2000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('30000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          parts AS (SELECT ix.pa, ix.pb, ix.ia, ix.ib,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c WHERE c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM ix),
+          est AS (SELECT CASE
+              WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+              WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+              ELSE (CAST(mid AS DOUBLE)
+                  + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+            CASE
+              WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+              WHEN ia = ib THEN sa * (pb - pa)
+              ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT n AS n_est, s AS s_est, 'sketch' AS plan_type FROM est""",
     // q138: the daily event rollup is exact — the engine's to_date
     // bucketing equals DuckDB's CAST(ts AS DATE); portable sum/avg.
     "q138_expr_key_serve" ->

@@ -3799,6 +3799,56 @@ class QueryEngineSpec extends SparkSpec {
     assert(!rV.servedFromCatalog, rV.reason)
   }
 
+  test("ungrouped star aggregates fold to one cell; zero joined rows serve the exact empty-aggregate row") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-starun").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 6000).select(
+      expr("id % 20").as("k"),
+      expr("cast(id % 33 as double)").as("v"))
+      .createOrReplaceTempView("star_uf")
+    spark.sql("SELECT id AS pk, CAST(id % 5 AS INT) AS sz FROM range(0, 20)")
+      .createOrReplaceTempView("star_ud")
+    val truth = spark.sql(
+      "SELECT count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM star_uf JOIN star_ud ON star_uf.k = star_ud.pk " +
+        "WHERE sz >= 2").collect().head
+    val truthB = spark.sql(
+      "SELECT count(*) AS n FROM star_uf JOIN star_ud " +
+        "ON star_uf.k = star_ud.pk WHERE v >= 8 AND v < 16")
+      .collect().head.getLong(0)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "star_uf", Seq("k"), "v", 32, sharedGrid = true)
+    spark.range(0).select(expr("id").as("k"),
+      expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("star_uf")
+    val r = eng.query("SELECT count(*) AS n, sum(v) AS s FROM star_uf " +
+      "JOIN star_ud ON star_uf.k = star_ud.pk WHERE sz >= 2")
+    assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+      s"${r.serveKind}: ${r.reason}")
+    val row = r.df.collect().head
+    assert(row.getLong(0) == truth.getLong(0) &&
+      math.abs(row.getDouble(1) - truth.getDouble(1)) < 1e-6,
+      s"$row vs $truth")
+    // a dim filter matching NO rows: exact execution's one-row answer
+    val r0 = eng.query("SELECT count(*) AS n, sum(v) AS s FROM star_uf " +
+      "JOIN star_ud ON star_uf.k = star_ud.pk WHERE sz >= 99")
+    assert(r0.servedFromCatalog, r0.reason)
+    val row0 = r0.df.collect().head
+    assert(row0.getLong(0) == 0L && row0.isNullAt(1), row0.toString)
+    // the ungrouped BAND folds all suppliers into one histogram
+    // (bucket-edge bounds → exact)
+    val rB = eng.query("SELECT count(*) AS n_est FROM star_uf " +
+      "JOIN star_ud ON star_uf.k = star_ud.pk " +
+      "WHERE v >= 8 AND v < 16", eng.Options(maxRelError = 0.9))
+    assert(rB.servedFromCatalog && rB.serveKind.contains("star_range"),
+      s"${rB.serveKind}: ${rB.reason}")
+    assert(math.abs(rB.df.collect().head.getDouble(0) -
+      truthB.toDouble) < 1e-9, rB.df.collect().head.toString)
+  }
+
   test("expression group keys: GROUP BY to_date(ts) serves from a blob keyed on the same rendering") {
     import org.apache.spark.sql.functions.expr
     val cat = new MetaCatalog(
