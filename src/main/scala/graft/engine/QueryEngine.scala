@@ -3038,17 +3038,24 @@ final class QueryEngine(
       // snowflake shape, executed as real (small) dim joins below
       val edges = joinTreeEdges(parsed, tables, fact).getOrElse(return None)
       val factEdges = edges.filter(_._1 == fact)
-      val (fk, dimRoot, pk) = factEdges match {
-        case Seq((_, fks, dr, pks)) if fks.sizeIs == 1 =>
-          (fks.head, dr, pks.head)
+      // one edge may leave the fact — single- OR multi-column (round
+      // 10: a composite equi-join serves from a blob keyed on the fk
+      // TUPLE); everything else is the dim tree
+      val (fkCols, dimRoot, pkCols) = factEdges match {
+        case Seq((_, fks, dr, pks))
+            if fks.nonEmpty && fks.size == pks.size =>
+          (fks, dr, pks)
         case _ => return None
       }
       val dimEdges = edges.filterNot(_._1 == fact)
       val dims = tables.filterNot(_ == fact)
       val fCols = colSet(fact)
       def dimOwned(col: String): Boolean = owner(col).exists(_ != fact)
-      val kk = keyKind(fact, fk)
-      if (kk == 'x' || kk != keyKind(dimRoot, pk)) return None
+      val kindsOk = fkCols.zip(pkCols).forall { case (fk0, pk0) =>
+        val kk = keyKind(fact, fk0)
+        kk != 'x' && kk == keyKind(dimRoot, pk0)
+      }
+      if (!kindsOk) return None
       // the WHERE splits: FACT-side equality/IN conjuncts on non-key
       // columns serve from a COMPOSITE blob keyed (fk, residCols...) —
       // entries prune on the typed literals and collapse to per-fk
@@ -3083,7 +3090,8 @@ final class QueryEngine(
       val residCols = resid.map(_._1)
       if (residCols.map(_.toLowerCase).distinct.sizeIs != residCols.size)
         return None
-      if (residCols.exists(_.equalsIgnoreCase(fk))) return None
+      if (residCols.exists(rc =>
+          fkCols.exists(_.equalsIgnoreCase(rc)))) return None
       val whereOk = rest.forall { c =>
         val attrs = c.collect {
           case a: UnresolvedAttribute => a.nameParts.last
@@ -3109,7 +3117,7 @@ final class QueryEngine(
             Some((a.nameParts.last, false))
           case a: UnresolvedAttribute
               if owner(a.nameParts.last).contains(fact) &&
-                !a.nameParts.last.equalsIgnoreCase(fk) =>
+                !fkCols.exists(_.equalsIgnoreCase(a.nameParts.last)) =>
             Some((a.nameParts.last, true))
           case _ => None
         }
@@ -3214,13 +3222,15 @@ final class QueryEngine(
       // blob marginal rule: a complete partition summed over an
       // unused dimension is the exact marginal) — all via the same
       // partial-key machinery the single-table serves use
+      val nf = fkCols.size
       def collapsed(vc: String, tpe: String,
           merge: (Array[Byte], Array[Byte]) => Array[Byte])
-          : Option[Map[(String, Seq[Option[String]]), Array[Byte]]] =
-        partialGroupedBlobFor(fact, vc, tpe, fk +: factGroupCols,
+          : Option[Map[(Seq[String], Seq[Option[String]]), Array[Byte]]] =
+        partialGroupedBlobFor(fact, vc, tpe, fkCols ++ factGroupCols,
           resid, merge).map(_.collect {
-            case (k, b) if k.head.isDefined =>
-              ((k.head.get, k.drop(1)), b)
+            // NULL fk components never survive the equi-join
+            case (k, b) if k.take(nf).forall(_.isDefined) =>
+              ((k.take(nf).map(_.get), k.drop(nf)), b)
           }.toMap)
       def hllMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
         graft.sketch.Hll.deserialize(a)
@@ -3237,7 +3247,7 @@ final class QueryEngine(
         case (_, fn, Some(c)) if fn.startsWith("percentile:") =>
           c.toLowerCase
       }.distinct
-      type CellKey = (String, Seq[Option[String]])
+      type CellKey = (Seq[String], Seq[Option[String]])
       val blobs: Map[String, Map[CellKey, GroupedStats.Stat]] =
         statsCols.map { vc =>
           collapsed(vc, "stats_grouped", statsMergeBytes) match {
@@ -3284,19 +3294,24 @@ final class QueryEngine(
           pctBlobs.values.map(_.keySet) ++
           anchorOpt.map(_.keySet)).forall(_ == keySet)) return None
       // fact group components per join key (the crossed-rollup axis)
-      val factKeysByFk: Map[String, Seq[Seq[Option[String]]]] =
+      val factKeysByFk: Map[Seq[String], Seq[Seq[Option[String]]]] =
         keySet.toSeq.groupMap(_._1)(_._2)
 
-      // dim scan restricted to the blob's keys (broadcast semi-join),
-      // collected under a hard cap — the fact is never read
+      // dim scan restricted to the blob's keys (broadcast semi-join on
+      // the fk TUPLE components), collected under a hard cap — the
+      // fact is never read
       val keys = factKeysByFk.keySet.toSeq
       val dimRows: Seq[org.apache.spark.sql.Row] =
         if (keys.isEmpty) Nil
         else {
           import org.apache.spark.sql.functions.{broadcast, col}
           val keysDf = {
-            import spark.implicits._
-            keys.toDF("__k")
+            val schema = StructType(pkCols.indices.map(i =>
+              StructField(s"__k$i", StringType, nullable = false)))
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(
+              keys.map(t => org.apache.spark.sql.Row.fromSeq(t)).asJava,
+              schema)
           }
           val cap = keys.size * 4 + 1
           // the DIM SIDE executes as real Spark joins (dims are the
@@ -3315,11 +3330,13 @@ final class QueryEngine(
             rest.reduceOption(
               org.apache.spark.sql.catalyst.expressions.And)
               .foreach(r => dimDf = dimDf.where(r.sql))
+            val kCols = pkCols.indices.map(i => s"__k$i")
             dimDf
-              .select(col(pk).cast("string").as("__k") +:
-                dimGroupNames.map(col): _*)
-              .join(broadcast(keysDf), "__k")
-              .select(org.apache.spark.sql.functions.col("__k") +:
+              .select(pkCols.zipWithIndex.map { case (p0, i) =>
+                col(p0).cast("string").as(s"__k$i")
+              } ++ dimGroupNames.map(col): _*)
+              .join(broadcast(keysDf), kCols)
+              .select(kCols.map(org.apache.spark.sql.functions.col) ++
                 dimGroupNames.map(col): _*)
               .limit(cap).collect()
           } catch { case scala.util.control.NonFatal(_) => return None }
@@ -3345,10 +3362,10 @@ final class QueryEngine(
       // throw on the first multi-fk cell — refuse to the exact path
       // (shared-grid builds merge; a single-fk cell merges trivially)
       try dimRows.foreach { r =>
-        val k = r.getString(0)
+        val k: Seq[String] = pkCols.indices.map(r.getString)
         factKeysByFk.get(k).toSeq.flatten.foreach { fkt =>
           val ck0: CellKey = (k, fkt)
-          var di = 0
+          var di = nf - 1
           var fi = 0
           val cell: Seq[Any] = gKeys.zipWithIndex.map {
             case ((_, false), _) => di += 1; r.get(di)
@@ -3453,7 +3470,8 @@ final class QueryEngine(
       import scala.jdk.CollectionConverters._
       Some((spark.createDataFrame(rows.asJava, schema), fact,
         s"star aggregate over $fact ⋈ ${dims.mkString(" ⋈ ")} served " +
-          s"from the fact's grouped blobs on $fk (${keys.size} fact " +
+          s"from the fact's grouped blobs on ${fkCols.mkString(",")} " +
+          s"(${keys.size} fact " +
           "groups merged; stats exact, distinct counts by register-max " +
           "HLL union; dim-side-only scan, fact never read)", err))
     }

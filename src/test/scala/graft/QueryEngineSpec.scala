@@ -3849,6 +3849,51 @@ class QueryEngineSpec extends SparkSpec {
       truthB.toDouble) < 1e-9, rB.df.collect().head.toString)
   }
 
+  test("composite-fk star: a two-column equi-join serves from the fk-tuple blob, fact never scanned") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-starcfk").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 6000).select(
+      expr("id % 4").as("k1"),
+      expr("concat('s', id % 5)").as("k2"),
+      expr("cast(id % 29 as double)").as("v"))
+      .createOrReplaceTempView("star_cf")
+    spark.sql(
+      """SELECT id % 4 AS pk1, concat('s', id % 5) AS pk2,
+           concat('r', id % 3) AS region FROM range(0, 20)""")
+      .createOrReplaceTempView("star_cd")
+    val sqlC = "SELECT region, count(*) AS n, sum(v) AS s FROM star_cf " +
+      "JOIN star_cd ON star_cf.k1 = star_cd.pk1 " +
+      "AND star_cf.k2 = star_cd.pk2 GROUP BY region"
+    val truth = spark.sql(
+      "SELECT region, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s FROM star_cf " +
+        "JOIN star_cd ON star_cf.k1 = star_cd.pk1 " +
+        "AND star_cf.k2 = star_cd.pk2 GROUP BY region").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val truthU = spark.sql(
+      "SELECT count(*) AS n FROM star_cf JOIN star_cd " +
+        "ON star_cf.k1 = star_cd.pk1 AND star_cf.k2 = star_cd.pk2")
+      .collect().head.getLong(0)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "star_cf", Seq("k1", "k2"), "v", 32, sharedGrid = true)
+    spark.range(0).select(expr("id").as("k1"),
+      expr("cast(id as string)").as("k2"), expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("star_cf")
+    val r = eng.query(sqlC)
+    assert(r.servedFromCatalog && r.serveKind.contains("star_group"),
+      s"${r.serveKind}: ${r.reason}")
+    assert(r.estimatedError == 0.0)
+    assert(r.df.collect().map(x =>
+      x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap == truth)
+    // the ungrouped composite-key KPI folds the tuple blob too
+    val rU = eng.query("SELECT count(*) AS n FROM star_cf JOIN star_cd " +
+      "ON star_cf.k1 = star_cd.pk1 AND star_cf.k2 = star_cd.pk2")
+    assert(rU.servedFromCatalog, rU.reason)
+    assert(rU.df.collect().head.getLong(0) == truthU)
+  }
+
   test("expression group keys: GROUP BY to_date(ts) serves from a blob keyed on the same rendering") {
     import org.apache.spark.sql.functions.expr
     val cat = new MetaCatalog(
