@@ -2210,11 +2210,22 @@ final class QueryEngine(
     * (epoch days) or ISO date string against a date column. Free-form
     * strings, floats, and cross-type pairings refuse.
     */
+  /** Data type of a group-key spec — a schema column, or (round 10)
+    * an EXPRESSION key resolved by analysis (to_date(ts) -> DATE), so
+    * key-range dispatch covers the time-bucket keys too.
+    */
+  private def keyColumnType(table: String, column: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    scala.util.Try(spark.table(table).schema
+      .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption
+      .flatten
+      .orElse(scala.util.Try(
+        spark.table(table).selectExpr(column).schema.head.dataType).toOption)
+
   private def keyOrdinalLit(table: String, column: String,
       l: org.apache.spark.sql.catalyst.expressions.Literal): Option[Long] = {
     import org.apache.spark.sql.types._
-    val dt = scala.util.Try(spark.table(table).schema
-      .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
+    val dt = keyColumnType(table, column)
     def sessionMicros(s: String): Option[Long] = scala.util.Try {
       val zone = java.time.ZoneId.of(
         spark.sessionState.conf.sessionLocalTimeZone)
@@ -2255,8 +2266,7 @@ final class QueryEngine(
   private def keyOrdinalDecoder(table: String, column: String)
       : Option[String => Option[Long]] = {
     import org.apache.spark.sql.types._
-    val dt = scala.util.Try(spark.table(table).schema
-      .find(_.name.equalsIgnoreCase(column)).map(_.dataType)).toOption.flatten
+    val dt = keyColumnType(table, column)
     dt.collect {
       case ByteType | ShortType | IntegerType | LongType =>
         (s: String) => scala.util.Try(s.toLong).toOption
@@ -2288,32 +2298,31 @@ final class QueryEngine(
       : Option[KeyLongRange] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
-    // (bound, inclusive, isLower) per conjunct, attribute side first
+    // the key side may be a bare attribute OR an expression key
+    // (round 10 — `to_date(ts) >= DATE '...'`): both render to the
+    // canonical name the blobs are keyed on
+    def isKey(e: Expression): Boolean = (e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case other                  => exprKeyName(other)
+    }).exists(_.equalsIgnoreCase(gName))
+    // (bound, inclusive, isLower) per conjunct, key side first
     val parts: Seq[Option[(Long, Boolean, Boolean)]] = conjuncts.map {
-      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal)
-          if a.nameParts.last.equalsIgnoreCase(gName) =>
+      case GreaterThanOrEqual(e, l: Literal) if isKey(e) =>
         keyOrdinalLit(table, gName, l).map((_, true, true))
-      case GreaterThan(a: UnresolvedAttribute, l: Literal)
-          if a.nameParts.last.equalsIgnoreCase(gName) =>
+      case GreaterThan(e, l: Literal) if isKey(e) =>
         keyOrdinalLit(table, gName, l).map((_, false, true))
-      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal)
-          if a.nameParts.last.equalsIgnoreCase(gName) =>
+      case LessThanOrEqual(e, l: Literal) if isKey(e) =>
         keyOrdinalLit(table, gName, l).map((_, true, false))
-      case LessThan(a: UnresolvedAttribute, l: Literal)
-          if a.nameParts.last.equalsIgnoreCase(gName) =>
+      case LessThan(e, l: Literal) if isKey(e) =>
         keyOrdinalLit(table, gName, l).map((_, false, false))
       // literal-first spellings mirror with the comparison flipped
-      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute)
-          if a.nameParts.last.equalsIgnoreCase(gName) =>
+      case GreaterThanOrEqual(l: Literal, e) if isKey(e) =>
         keyOrdinalLit(table, gName, l).map((_, true, false))
-      case GreaterThan(l: Literal, a: UnresolvedAttribute)
-          if a.nameParts.last.equalsIgnoreCase(gName) =>
+      case GreaterThan(l: Literal, e) if isKey(e) =>
         keyOrdinalLit(table, gName, l).map((_, false, false))
-      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute)
-          if a.nameParts.last.equalsIgnoreCase(gName) =>
+      case LessThanOrEqual(l: Literal, e) if isKey(e) =>
         keyOrdinalLit(table, gName, l).map((_, true, true))
-      case LessThan(l: Literal, a: UnresolvedAttribute)
-          if a.nameParts.last.equalsIgnoreCase(gName) =>
+      case LessThan(l: Literal, e) if isKey(e) =>
         keyOrdinalLit(table, gName, l).map((_, false, true))
       case _ => None
     }

@@ -1423,6 +1423,23 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType)).orderBy(col("day"))
     }),
 
+    // EXPRESSION-key RANGE (round 10): "last N days" over the bucketed
+    // event stream — the DATE comparison widens to epoch days, prunes
+    // the to_date(ts) blob's recorded keys exactly, and the surviving
+    // days serve with zero scan.
+    "q141_expr_key_range" -> ((s, dir) => {
+      val e = dateEngineFor(s, dir)
+      val r = e.query(
+        "SELECT to_date(ts) AS day, count(*) AS n, sum(value) AS sv " +
+          "FROM events WHERE to_date(ts) >= DATE '2024-01-21' " +
+          "GROUP BY to_date(ts)")
+      assert(r.servedFromCatalog,
+        s"q141 must prune the bucketed day keys and serve: " +
+          s"${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 0.0, s"q141 must be exact: ${r.estimatedError}")
+      r.df.withColumn("plan_type", lit(r.planType)).orderBy(col("day"))
+    }),
+
     // Top-k by SUM (the revenue dashboard): the highest-revenue
     // partkeys answered EXACTLY from the sum-threshold blob — the
     // completeness argument needs no sign assumption (the filter is on
@@ -3137,6 +3154,14 @@ object Aqp {
            'sketch' AS plan_type
          FROM orders GROUP BY o_orderdate
          ORDER BY o_orderdate LIMIT 100""",
+    // q141: the last-N-days event rollup is exact — both engines
+    // bucket by calendar day and compare the days chronologically.
+    "q141_expr_key_range" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+           'sketch' AS plan_type
+         FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-21'
+         GROUP BY CAST(ts AS DATE) ORDER BY day""",
     // q139: the ungrouped star KPI is exact — plain SQL with the
     // portable sum/avg under the dim filter.
     "q139_star_ungrouped" ->
