@@ -3847,6 +3847,27 @@ class QueryEngineSpec extends SparkSpec {
       s"${rB.serveKind}: ${rB.reason}")
     assert(math.abs(rB.df.collect().head.getDouble(0) -
       truthB.toDouble) < 1e-9, rB.df.collect().head.toString)
+
+    // advisor: repeated UNGROUPED star misses classify too — the KPI
+    // shape advises the fk-keyed build, and running it flips the serve
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-starun2").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    spark.range(0, 6000).select(expr("id % 20").as("k"),
+      expr("cast(id % 33 as double)").as("v"))
+      .createOrReplaceTempView("star_uf")
+    val sqlK = "SELECT count(*) AS n, sum(v) AS s FROM star_uf " +
+      "JOIN star_ud ON star_uf.k = star_ud.pk WHERE sz >= 2"
+    (1 to 3).foreach(_ => assert(!eng2.query(sqlK).servedFromCatalog))
+    assert(eng2.adviseSketches(minMisses = 3).exists(a =>
+      a.candidate.sketchType == "histogram_grouped" &&
+        a.candidate.table.equalsIgnoreCase("star_uf") &&
+        a.candidate.column.equalsIgnoreCase("v") &&
+        a.candidate.groupBy.exists(_.equalsIgnoreCase("k"))),
+      eng2.adviseSketches(minMisses = 3).toString)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat2,
+      "star_uf", Seq("k"), "v", 32)
+    assert(eng2.query(sqlK).servedFromCatalog)
   }
 
   test("composite-fk star: a two-column equi-join serves from the fk-tuple blob, fact never scanned") {
