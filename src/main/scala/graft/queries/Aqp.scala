@@ -1389,6 +1389,26 @@ object Aqp {
         .orderBy(col("s_nationkey"))
     }),
 
+    // SNOWFLAKE star-range (round 10): the band drills through a
+    // 3-table chain — lineitem ⋈ supplier ⋈ nation GROUP BY n_name
+    // with a fact-side price band; the dim side executes as real
+    // small-table joins, the fact stays a blob lookup.
+    "q143_snowflake_star_range" -> ((s, dir) => {
+      val e = starEngineFor(s, dir)
+      val r = e.query(
+        "SELECT n_name, count(*) AS n_est, " +
+          "sum(l_extendedprice) AS s_est FROM lineitem JOIN supplier " +
+          "ON lineitem.l_suppkey = supplier.s_suppkey " +
+          "JOIN nation ON supplier.s_nationkey = nation.n_nationkey " +
+          "WHERE l_extendedprice >= 2000 AND l_extendedprice < 30000 " +
+          "GROUP BY n_name",
+        e.Options(maxRelError = 0.5))
+      assert(r.servedFromCatalog && r.serveKind.contains("star_range"),
+        s"q143 must drill the band through the snowflake chain: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df.withColumn("plan_type", lit(r.planType)).orderBy(col("n_name"))
+    }),
+
     // UNGROUPED star (round 10): the headline KPI — total count and
     // revenue over fact ⋈ dim under a dim filter, NO GROUP BY. All
     // matching dim rows fold into ONE cell; zero joined rows would
@@ -3175,6 +3195,64 @@ object Aqp {
            'sketch' AS plan_type
          FROM orders GROUP BY o_orderdate
          ORDER BY o_orderdate LIMIT 100""",
+    // q143: q130's chain grouped by NATION NAME through the snowflake
+    // joins — same breakage coupling as q130/q142.
+    "q143_snowflake_star_range" ->
+      """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+              max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+          grd AS (SELECT lo,
+              CASE WHEN hi > lo THEN (hi - lo) / 64 ELSE CAST('1' AS DOUBLE) END AS w
+            FROM mm),
+          bk AS (SELECT n_name AS g, l_extendedprice AS rawv,
+              least(63, CAST(floor((CAST(l_extendedprice AS DOUBLE) - grd.lo) / grd.w) AS INT)) AS b
+            FROM lineitem JOIN supplier
+              ON lineitem.l_suppkey = supplier.s_suppkey
+            JOIN nation ON supplier.s_nationkey = nation.n_nationkey
+            CROSS JOIN grd WHERE l_extendedprice IS NOT NULL),
+          c AS (SELECT g, b, count(*) AS c,
+              sum(CAST(rawv AS DECIMAL(18,4))) AS s4 FROM bk GROUP BY g, b),
+          p AS (SELECT
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('2000' AS DOUBLE) - grd.lo) / grd.w)) AS pa,
+              least(CAST(64 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                (CAST('30000' AS DOUBLE) - grd.lo) / grd.w)) AS pb
+            FROM grd),
+          ix AS (SELECT pa, pb,
+              least(63, CAST(floor(pa) AS INT)) AS ia,
+              least(63, CAST(floor(pb) AS INT)) AS ib FROM p),
+          gl AS (SELECT DISTINCT g FROM c),
+          parts AS (SELECT gl.g, ix.pa, ix.pb, ix.ia, ix.ib,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ia), 0) AS ca,
+              coalesce((SELECT c.c FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b = ix.ib), 0) AS cb,
+              coalesce((SELECT sum(c.c) FROM c WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS mid,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ia), 0)
+                AS DOUBLE) AS sa,
+              CAST(coalesce((SELECT c.s4 FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g AND c.b = ix.ib), 0)
+                AS DOUBLE) AS sb,
+              CAST(coalesce((SELECT sum(c.s4) FROM c
+                WHERE c.g IS NOT DISTINCT FROM gl.g
+                AND c.b > ix.ia AND c.b < ix.ib), 0) AS DOUBLE) AS smid
+            FROM gl CROSS JOIN ix),
+          est AS (SELECT g, CASE
+              WHEN pb <= pa THEN CAST(0 AS DOUBLE)
+              WHEN ia = ib THEN CAST(ca AS DOUBLE) * (pb - pa)
+              ELSE (CAST(mid AS DOUBLE)
+                  + CAST(ca AS DOUBLE) * (CAST(ia + 1 AS DOUBLE) - pa))
+                + CAST(cb AS DOUBLE) * (pb - CAST(ib AS DOUBLE)) END AS n,
+            CASE
+              WHEN pb <= pa THEN CAST(NULL AS DOUBLE)
+              WHEN ia = ib THEN sa * (pb - pa)
+              ELSE (smid + sa * (CAST(ia + 1 AS DOUBLE) - pa))
+                + sb * (pb - CAST(ib AS DOUBLE)) END AS s
+            FROM parts)
+          SELECT g AS n_name, n AS n_est, s AS s_est,
+            'sketch' AS plan_type
+          FROM est WHERE n > 0 ORDER BY g""",
     // q142: q130's chain restricted to the filtered nations — the dim
     // WHERE lands in the bucketing CTE's join; same breakage coupling
     // as q130.
