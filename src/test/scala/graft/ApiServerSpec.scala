@@ -377,6 +377,24 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("ungrouped star KPI over HTTP: total count and sum under a dim filter serve from the catalog (round 10)") {
+    // the star-range test above left a shared-grid blob on
+    // (orders, o_orderkey) keyed o_custkey — the ungrouped fold reads
+    // its stats rider; must run BEFORE the expression-key test, which
+    // overwrites that blob slot
+    val (qc, qb) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n, sum(o_orderkey) AS sk FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey WHERE c_mktsegment = 'BUILDING'"}"""))
+    assert(qc == 200, qb)
+    val v = parsed(qb)
+    assert(v("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("star_group")), qb.take(400))
+    v("result") match {
+      case Some(Json.A(Seq(row))) =>
+        assert(row("n").flatMap(_.num).exists(_ > 0), qb.take(200))
+      case other => fail(s"expected one KPI row: $other")
+    }
+  }
+
   test("KMV pair over HTTP: build both sides, INTERSECT count serves from the catalog (round 10)") {
     val (c1, b1) = http("POST", "/sketches/create", Some(
       """{"table": "orders", "column": "o_custkey", "sketch_type": "kmv"}"""))
