@@ -278,7 +278,7 @@ final class QueryEngine(
     // the stored grouped sketches — partition pruning at the catalog
     // level. Statistics serve exactly; percentiles within one bucket
     // width of the named group's own grid. Zero scan either way.
-    storedFilteredGroupAnswer(servePlan, table) match {
+    refusing(storedFilteredGroupAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "filtered_group", err,
           "filtered aggregate answered from grouped sketches (group-pruned, no scan)",
@@ -307,7 +307,7 @@ final class QueryEngine(
     // Grouped variant: SELECT g, percentile(x, p) ... GROUP BY g over a
     // stored per-group histogram blob — each group answered on its own
     // [min, max] grid, still with no scan.
-    storedGroupedHistogramAnswer(servePlan, table) match {
+    refusing(storedGroupedHistogramAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "grouped_histogram", err,
           "per-group percentile answered from the stored grouped histogram (no scan)",
@@ -320,7 +320,7 @@ final class QueryEngine(
     // ... GROUP BY g over the per-group stats blob the grouped
     // histogram build records — exact, zero scan, the grouped twin of
     // the statistics strategy above (same lone-COUNT(*) refusal).
-    storedGroupedStatsAnswer(servePlan, table) match {
+    refusing(storedGroupedStatsAnswer(servePlan, table)) match {
       case Some(df) =>
         return finish(serveResult(posted(df), features, table, "grouped_stats", 0.0,
           "per-group aggregate answered from stored grouped build statistics (no scan, exact)",
@@ -333,7 +333,7 @@ final class QueryEngine(
     // group columns of a fresh grouped blob is EXACT from the recorded
     // group list (complete by the MaxHllGroups build refusal) —
     // preempting the HLL estimate for exactly these columns.
-    storedDistinctCountAnswer(servePlan, table) match {
+    refusing(storedDistinctCountAnswer(servePlan, table)) match {
       case Some(df) =>
         return finish(serveResult(posted(df), features, table, "distinct_count", 0.0,
           "count(DISTINCT) answered exactly from a stored grouped sketch's group list (no scan)",
@@ -348,7 +348,7 @@ final class QueryEngine(
     // set of any fresh grouped blob (complete by the MaxHllGroups
     // build refusal), so the filter-dropdown query every dashboard
     // fires answers with zero scan and zero error.
-    storedDistinctAnswer(servePlan, table) match {
+    refusing(storedDistinctAnswer(servePlan, table)) match {
       case Some(df) =>
         return finish(serveResult(posted(df), features, table, "distinct_keys", 0.0,
           "distinct keys answered from a stored grouped sketch's group list (no scan, exact)",
@@ -380,7 +380,7 @@ final class QueryEngine(
     // stored histogram's bucket counts — the classic optimizer-
     // statistics estimate surfaced as a serve, with the boundary
     // buckets' mass as the honest error bound.
-    storedHistogramRangeAnswer(servePlan, table) match {
+    refusing(storedHistogramRangeAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "histogram_range", err,
           "range-predicate count answered from the stored histogram (no scan)",
@@ -391,7 +391,7 @@ final class QueryEngine(
     }
     // Grouped twin: GROUP BY g under a range predicate — each recorded
     // group's estimate from its own histogram in the grouped blob.
-    storedGroupedRangeAnswer(servePlan, table) match {
+    refusing(storedGroupedRangeAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "grouped_histogram_range", err,
           "per-group range-predicate count answered from the stored grouped histogram (no scan)",
@@ -403,7 +403,7 @@ final class QueryEngine(
     // Filtered-range twin: a group-equality (or IN) filter AND a range
     // on the value column — the named group(s)' histograms (+ sum
     // riders) answer the band's count/sum/avg/percentile with no scan.
-    storedFilteredRangeAnswer(servePlan, table) match {
+    refusing(storedFilteredRangeAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "filtered_range", err,
           "group-filtered range aggregate answered from the named groups' stored histograms (no scan)",
@@ -421,7 +421,7 @@ final class QueryEngine(
     // bounded grouped blobs refuse. Matches the RAW parsed plan (the
     // clauses themselves decide servability), so it runs after the
     // peel-based serves and never disturbs their plans.
-    storedTopKAnswer(parsed, table) match {
+    refusing(storedTopKAnswer(parsed, table)) match {
       case Some((df, detail)) =>
         return finish(serveResult(df, features, table, "topk", 0.0, detail,
           Seq("top-k / iceberg GROUP BY answered from the stored " +
@@ -462,12 +462,12 @@ final class QueryEngine(
         val hllErr = 1.04 / math.sqrt(4096.0)
         val stored: Option[AqeResult] =
           if (hllErr > opts.maxRelError) None
-          else storedSketchAnswer(servePlan, table).map { df =>
+          else refusing(storedSketchAnswer(servePlan, table)).map { df =>
             serveResult(posted(df), features, table, "hll", hllErr,
               "COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)",
               Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"),
               opts)
-          }.orElse(storedGroupedSketchAnswer(servePlan, table).map { df =>
+          }.orElse(refusing(storedGroupedSketchAnswer(servePlan, table)).map { df =>
             serveResult(posted(df), features, table, "grouped_hll", hllErr,
               "per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)",
               Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"),
@@ -2273,7 +2273,11 @@ final class QueryEngine(
       case DateType =>
         (s: String) => scala.util.Try(
           java.sql.Date.valueOf(s).toLocalDate.toEpochDay).toOption
-      case TimestampType =>
+      // timestamp ordinals share the serve gate: in a DST zone the
+      // local rendering is ambiguous, so range pruning on parsed-back
+      // micros could keep/drop the wrong instant — no decoder, the
+      // whole key-range dispatch refuses to the scan
+      case TimestampType if sessionZoneFixedOffset =>
         (s: String) => scala.util.Try {
           val zone = java.time.ZoneId.of(
             spark.sessionState.conf.sessionLocalTimeZone)
@@ -2416,12 +2420,12 @@ final class QueryEngine(
     */
   private def groupedBlobFor(table: String, column: String, tpe: String,
       queryCols: Seq[String]): Option[Seq[(Seq[Option[String]], Array[Byte])]] = {
-    val q = queryCols.map(_.toLowerCase)
+    val q = queryCols.map(canonKey)
     catalog.getSketch(table, column, tpe)
       .filter(sketchIsFresh(table, _))
       .flatMap { s =>
         groupByParamRe.findFirstMatchIn(s.parameters)
-          .map(_.group(1).toLowerCase.split(",").map(_.trim).toSeq)
+          .map(_.group(1).split(",").map(canonKey).toSeq)
           .filter(scols => scols.sorted == q.sorted)
           .flatMap { scols =>
             val perm = q.map(scols.indexOf)
@@ -2505,17 +2509,45 @@ final class QueryEngine(
     val deterministicFns = Set("to_date", "year", "month", "quarter",
       "day", "dayofmonth", "dayofweek", "weekofyear", "hour", "minute",
       "date", "lower", "upper")
+    // alias-fold to ONE canonical spelling per function so spelling
+    // variants of the same key (`date(ts)` vs `to_date(ts)`,
+    // `dayofmonth(ts)` vs `day(ts)`) render identically and dispatch
+    // to the same blob (both sides of every comparison go through
+    // canonKey, which routes parsed expressions here)
+    val fnAlias = Map("date" -> "to_date", "dayofmonth" -> "day")
     e match {
       case f: UnresolvedFunction
           if !f.isDistinct && f.filter.isEmpty &&
             deterministicFns(f.nameParts.last.toLowerCase) &&
             f.arguments.sizeIs == 1 &&
             f.arguments.head.isInstanceOf[UnresolvedAttribute] =>
-        scala.util.Try(e.sql).toOption.filterNot(_.contains(","))
+        val fn = f.nameParts.last.toLowerCase
+        scala.util.Try(
+          s"${fnAlias.getOrElse(fn, fn)}(${f.arguments.head.sql})")
+          .toOption.filterNot(_.contains(","))
       case c: Cast if c.child.isInstanceOf[UnresolvedAttribute] =>
         scala.util.Try(e.sql).toOption.filterNot(_.contains(","))
       case _ => None
     }
+  }
+
+  /** THE canonicalizer for group-key specs: a recorded catalog
+    * `group_by` component and a query's grouping-expression rendering
+    * both normalize through here before ANY comparison, so equivalent
+    * spellings (`date(ts)` vs `to_date(ts)`, CAST spacing variants,
+    * case differences) dispatch to the same blob instead of the
+    * contract living in a comment. Plain identifiers lowercase;
+    * anything else parses with Spark's own SQL parser and re-renders
+    * via [[exprKeyName]] (alias-folded); unparseable or non-key
+    * expressions fall back to the lowercased raw text — exactly the
+    * old behavior, so exotic literal column names keep matching
+    * themselves.
+    */
+  private[graft] def canonKey(spec: String): String = {
+    val t = spec.trim
+    if (t.matches("[A-Za-z_][A-Za-z0-9_]*")) t.toLowerCase
+    else scala.util.Try(spark.sessionState.sqlParser.parseExpression(t))
+      .toOption.flatMap(exprKeyName).getOrElse(t).toLowerCase
   }
 
   private def aggregateGroupKeys(
@@ -2568,8 +2600,8 @@ final class QueryEngine(
       residual: Seq[(String, Seq[String])],
       merge: (Array[Byte], Array[Byte]) => Array[Byte])
       : Option[Seq[(Seq[Option[String]], Array[Byte])]] = {
-    val q = queryCols.map(_.toLowerCase)
-    val fcols = residual.map(_._1.toLowerCase)
+    val q = queryCols.map(canonKey)
+    val fcols = residual.map(r => canonKey(r._1))
     val all = q ++ fcols
     // the blob's key set may be a SUPERSET of the referenced columns
     // (round 10): components neither grouped nor filtered collapse
@@ -2580,7 +2612,7 @@ final class QueryEngine(
       .filter(sketchIsFresh(table, _))
       .flatMap { s =>
         groupByParamRe.findFirstMatchIn(s.parameters)
-          .map(_.group(1).toLowerCase.split(",").map(_.trim).toSeq)
+          .map(_.group(1).split(",").map(canonKey).toSeq)
           .filter(scols => all.distinct.sizeIs == all.size &&
             all.forall(scols.contains))
           .flatMap { scols =>
@@ -2649,11 +2681,40 @@ final class QueryEngine(
     val all = ts.flatten
     val ok = all.forall {
       case StringType | ByteType | ShortType | IntegerType | LongType |
-          DateType | TimestampType => true
+          DateType => true
+      // timestamp keys only under a FIXED-OFFSET session zone: the
+      // zone-local rendering is not bijective through a DST fall-back
+      // hour, so a DST-zone serve could merge two distinct instants
+      // while reporting zero error — refuse to the exact scan instead
+      case TimestampType => sessionZoneFixedOffset
       case _ => false
     }
     if (ok) Some(all) else None
   }
+
+  /** Malformed catalog metadata — an unparseable blob key string, a
+    * corrupt parameter — must REFUSE a serve (fall through to the next
+    * strategy / the scan), never fail the query. Every decode branch
+    * throws IllegalArgumentException subtypes by contract
+    * (typedKeyValue rewraps the timestamp parser's DateTimeException),
+    * so one narrow catch at each dispatch makes the refusal uniform.
+    */
+  private def refusing[A](f: => Option[A]): Option[A] =
+    try f catch { case _: IllegalArgumentException => None }
+
+  /** Whether the session time zone has one fixed offset (UTC, +02:00,
+    * ...). Timestamp group keys are gated on this at build AND serve:
+    * the blobs key groups by the zone-LOCAL cast-to-string rendering,
+    * and in a DST zone that rendering is ambiguous during the
+    * fall-back hour (two instants, one string) and gapped during
+    * spring-forward — a build would silently merge distinct groups and
+    * the parse back would pick an arbitrary offset. Fixed-offset zones
+    * round-trip bijectively at full precision.
+    */
+  private def sessionZoneFixedOffset: Boolean =
+    scala.util.Try(java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+      .getRules.isFixedOffset).getOrElse(false)
 
   private def typedKeyValue(dt: org.apache.spark.sql.types.DataType,
       k: Option[String]): Any = {
@@ -2667,12 +2728,21 @@ final class QueryEngine(
         case DateType    => java.sql.Date.valueOf(s)
         case TimestampType =>
           // the rendering is Spark's canonical session-zone timestamp
-          // string; parse it back IN that zone (never the JVM default)
-          val zone = java.time.ZoneId.of(
-            spark.sessionState.conf.sessionLocalTimeZone)
-          java.sql.Timestamp.from(
-            java.time.LocalDateTime.parse(s.replaceFirst(" ", "T"))
-              .atZone(zone).toInstant)
+          // string; parse it back IN that zone (never the JVM default).
+          // A malformed key string must REFUSE the serve, not fail the
+          // query: the call sites' guards catch IllegalArgumentException
+          // (every integral/date branch throws IAE subtypes), so the
+          // DateTimeParseException this parse raises is rewrapped.
+          try
+            java.sql.Timestamp.from(
+              java.time.LocalDateTime.parse(s.replaceFirst(" ", "T"))
+                .atZone(java.time.ZoneId.of(
+                  spark.sessionState.conf.sessionLocalTimeZone)).toInstant)
+          catch {
+            case e: java.time.DateTimeException =>
+              throw new IllegalArgumentException(
+                s"unparseable timestamp group key '$s'", e)
+          }
         case _ => s
       }
     }.orNull
@@ -2909,12 +2979,19 @@ final class QueryEngine(
         if (!anchored.forall(_.map(_._1).toSet == keys.toSet)) return None
         val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
         val rideRows = anchored.head.toMap.map { case (k, s) => k -> s.nrows }
-        val rows = keys.map { k =>
-          org.apache.spark.sql.Row.fromSeq(parts.map {
-            case Left((_, i)) => typedKeyValue(kTypes(i), k(i))
-            case Right((_, "count_star", _)) => rideRows(k)
-            case Right((_, fn, Some(stats))) =>
-              val st = stats.toMap.apply(k)
+        // index each aggregate's stats ONCE (closure per output): the
+        // value lookup below runs per (group, output) — an inline
+        // .toMap there is O(n²) in the group count (the 2.4k-day
+        // per-day rollup paid ~2 s of driver time rebuilding maps)
+        val getters: Seq[Seq[Option[String]] => Any] = parts.map {
+          case Left((_, i)) =>
+            (k: Seq[Option[String]]) => typedKeyValue(kTypes(i), k(i))
+          case Right((_, "count_star", _)) =>
+            (k: Seq[Option[String]]) => rideRows(k)
+          case Right((_, fn, Some(stats))) =>
+            val byKey = stats.toMap
+            (k: Seq[Option[String]]) => {
+              val st = byKey(k)
               fn match {
                 case "min"          => st.min.map(Double.box).orNull
                 case "max"          => st.max.map(Double.box).orNull
@@ -2922,9 +2999,11 @@ final class QueryEngine(
                 case "sum"          => st.sumDouble.map(Double.box).orNull
                 case "avg" | "mean" => st.avgDouble.map(Double.box).orNull
               }
-            case Right((_, _, None)) => return None // unreachable
-          })
+            }
+          case Right((_, _, None)) => return None // unreachable
         }
+        val rows = keys.map(k =>
+          org.apache.spark.sql.Row.fromSeq(getters.map(_(k))))
         val schema = StructType(parts.map {
           case Left((n, i)) => StructField(n, kTypes(i), nullable = true)
           case Right((n, fn, _)) =>
@@ -3151,9 +3230,14 @@ final class QueryEngine(
             .find(_.name.equalsIgnoreCase(n)).getOrElse(return None)
       }
       val atomicOk = gKeys.zip(attrFields).forall {
+        // fact-side keys serve from the blob's string renderings, so a
+        // timestamp key needs the bijective fixed-offset-zone rendering
+        // (same gate as keyFieldTypes); dim-side keys are live typed
+        // values from the dim scan and never round-trip through strings
         case ((_, true), f) => f.dataType match {
           case StringType | ByteType | ShortType | IntegerType |
-              LongType | DateType | TimestampType => true
+              LongType | DateType => true
+          case TimestampType => sessionZoneFixedOffset
           case _ => false
         }
         case ((_, false), f) => f.dataType match {
@@ -4434,7 +4518,7 @@ final class QueryEngine(
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val sh = topKShape(parsed, table).getOrElse(return None)
     val kTypes = keyFieldTypes(table, sh.gNames).getOrElse(return None)
-    val q = sh.gNames.map(_.toLowerCase)
+    val q = sh.gNames.map(canonKey)
     val wantAgg = if (sh.sumCol.isDefined) "sum" else "count"
     val blob = catalog.listSketches(Some(table)).iterator
       .filter(s => s.sketchType == "topk" && sketchIsFresh(table, s))
@@ -4450,7 +4534,7 @@ final class QueryEngine(
       }
       .flatMap { s =>
         groupByParamRe.findFirstMatchIn(s.parameters)
-          .map(_.group(1).toLowerCase.split(",").map(_.trim).toSeq)
+          .map(_.group(1).split(",").map(canonKey).toSeq)
           .filter(scols => scols.sorted == q.sorted)
           .flatMap { scols =>
             topkThresholdRe.findFirstMatchIn(s.parameters)
@@ -5782,8 +5866,8 @@ final class QueryEngine(
                 topkValueColRe.findFirstMatchIn(s.parameters)
                   .exists(_.group(1).equalsIgnoreCase(c.column))) &&
               groupByParamRe.findFirstMatchIn(s.parameters).exists(m =>
-                m.group(1).toLowerCase.split(",").map(_.trim).toSet ==
-                  keySet.toLowerCase.split(",").map(_.trim).toSet)
+                m.group(1).split(",").map(canonKey).toSet ==
+                  keySet.split(",").map(canonKey).toSet)
           }
         else {
           // candidate types use the advisor's vocabulary; the catalog
@@ -5806,8 +5890,8 @@ final class QueryEngine(
               // SET comparison: a sketch built as "a,b" covers a miss
               // recorded from a GROUP BY b, a (dispatch is set-equality)
               groupByParamRe.findFirstMatchIn(s.parameters).exists(m =>
-                m.group(1).toLowerCase.split(",").map(_.trim).toSet ==
-                  g.toLowerCase.split(",").map(_.trim).toSet)))
+                m.group(1).split(",").map(canonKey).toSet ==
+                  g.split(",").map(canonKey).toSet)))
         }
       }
       .map { case (c, n) =>

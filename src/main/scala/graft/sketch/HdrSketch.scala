@@ -1,0 +1,159 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Log-linear ("HDR"-style) quantile sketch: RELATIVE-error quantiles
+  * over columns whose range the equi-width [[Histogram]] models badly
+  * (heavy tails — a revenue column spanning 6 orders of magnitude puts
+  * 99% of its mass in one equi-width bucket). Values bucket by binade:
+  * a nonzero |v| lands in (e, s) with 2^e·(1+s/m) ≤ |v| < 2^e·(1+(s+1)/m)
+  * — e the binary exponent, s one of m linear sub-buckets — so every
+  * bucket's width is 1/m of its own magnitude and the interpolated
+  * quantile is within 1/m RELATIVE error of the true order statistic.
+  * Zero and negative values keep their own buckets (sign-mirrored), so
+  * the full real line is covered.
+  *
+  * Everything is deterministic and cross-engine portable by
+  * construction, which is what lets a DuckDB oracle re-derive the
+  * serve bit-for-bit (the repo's q74 discipline, but for a log grid):
+  *
+  *  - the exponent is floor(log2(|v|)) CORRECTED by exact
+  *    power-of-two comparisons (2^e ≤ |v| < 2^(e+1)), so a last-ulp
+  *    difference in two engines' `log2` can never flip a bucket;
+  *  - m is a power of two, so |v|/2^e is an exact exponent shift,
+  *    (|v|/2^e − 1) is exact (Sterbenz: both operands in [1, 2)),
+  *    and ·m is another exact shift — the sub-bucket floor sees the
+  *    identical double in any IEEE-754 engine;
+  *  - the serve value is lower + width·within with lower = 2^e·(1+s/m)
+  *    and width = 2^e/m (both exact), within a single division —
+  *    [[Histogram.percentile]]'s fixed association on a log grid.
+  *
+  * Merging adds per-bucket counts (no grid to disagree on — the grid
+  * is the real line's binades), so sketches merge EXACTLY regardless
+  * of when or where they were built: the streaming maintainer folds
+  * micro-batches into the stored blob byte-identically to a batch
+  * rebuild. O(buckets) bytes; a double column spans at most
+  * 2·2098·m + 1 buckets, in practice a few hundred.
+  *
+  * Reference contract: the sketch-catalog pattern of
+  * /root/reference/sketches.py:10-237 (build once, serve many), with
+  * the log-linear layout in place of the reference's global-only
+  * equal-width structures.
+  */
+final case class HdrSketch(m: Int, zero: Long,
+    neg: Vector[((Int, Int), Long)], pos: Vector[((Int, Int), Long)]) {
+  require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+
+  def n: Long = zero + neg.iterator.map(_._2).sum + pos.iterator.map(_._2).sum
+
+  /** The serve's honest RELATIVE error bound: one sub-bucket width over
+    * its own bucket's lower magnitude, 1/m (zero serves exactly).
+    */
+  def relErrBound: Double = 1.0 / m
+
+  private def pow2(e: Int): Double = java.lang.Math.pow(2.0, e)
+
+  /** Interpolated percentile at [[Histogram.percentile]]'s rank
+    * convention (target = p·(n−1), `within` zero for singleton
+    * buckets), walked in ascending VALUE order: negatives from the
+    * most negative bucket up, then zero, then positives. None when the
+    * sketch is empty (exact execution returns NULL over zero rows).
+    */
+  def percentile(p: Double): Option[Double] = {
+    val total = n
+    if (total == 0) return None
+    val target = p * (total - 1).toDouble
+    // ascending value order: neg sorted by (e, s) DESC is ascending
+    // value (-2^e(1+s/m) grows as (e, s) shrinks); pos by (e, s) ASC
+    val walk: Iterator[(Long, Double, Double)] =
+      neg.sortBy { case ((e, s), _) => (-e, -s) }.iterator.map {
+        case ((e, s), c) =>
+          (c, -pow2(e) * (1.0 + (s + 1).toDouble / m), pow2(e) / m)
+      } ++
+        (if (zero > 0) Iterator((zero, 0.0, 0.0)) else Iterator.empty) ++
+        pos.iterator.map { case ((e, s), c) =>
+          (c, pow2(e) * (1.0 + s.toDouble / m), pow2(e) / m)
+        }
+    var cum = 0L
+    var last: (Long, Double, Double) = null
+    while (walk.hasNext) {
+      val b = walk.next()
+      last = b
+      if (cum + b._1 > target) {
+        val within =
+          if (b._1 <= 1L) 0.0 else (target - cum.toDouble) / b._1.toDouble
+        return Some(b._2 + b._3 * within)
+      }
+      cum += b._1
+    }
+    // target == n-1 exactly at the end: the last bucket's upper edge
+    Some(last._2 + last._3)
+  }
+
+  /** Exact merge: per-bucket count addition (the log grid is global by
+    * construction, so any two sketches of the same m merge).
+    */
+  def merge(other: HdrSketch): HdrSketch = {
+    require(other.m == m, s"sub-bucket counts differ: $m vs ${other.m}")
+    def add(a: Vector[((Int, Int), Long)], b: Vector[((Int, Int), Long)]) = {
+      val acc = scala.collection.mutable.TreeMap.empty[(Int, Int), Long]
+      (a.iterator ++ b.iterator).foreach { case (k, c) =>
+        acc.updateWith(k) { case prev => Some(prev.getOrElse(0L) + c) }
+      }
+      acc.toVector
+    }
+    HdrSketch(m, zero + other.zero, add(neg, other.neg), add(pos, other.pos))
+  }
+
+  /** Canonical layout (keys sorted ascending per section), so equal
+    * sketches serialize byte-identically — the stream==batch law's
+    * requirement. `[m i32][zero i64][nNeg i32][nPos i32]
+    * [(e i32, s i32, cnt i64)...neg][...pos]`, little-endian.
+    */
+  def serialize: Array[Byte] = {
+    val ns = neg.sortBy(_._1)
+    val ps = pos.sortBy(_._1)
+    val buf = ByteBuffer
+      .allocate(4 + 8 + 4 + 4 + 16 * (ns.size + ps.size))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(m).putLong(zero).putInt(ns.size).putInt(ps.size)
+    (ns ++ ps).foreach { case ((e, s), c) =>
+      buf.putInt(e).putInt(s).putLong(c)
+    }
+    buf.array()
+  }
+}
+
+object HdrSketch {
+
+  /** Deterministic bucket of a nonzero magnitude: candidate
+    * floor(log2(av)) corrected against exact powers of two, then the
+    * exact-arithmetic linear sub-bucket. Total per-value work is O(1).
+    */
+  def bucketOf(av: Double, m: Int): (Int, Int) = {
+    require(av > 0.0 && !av.isInfinite, s"bucketOf needs a finite positive value, got $av")
+    var e = java.lang.Math.floor(java.lang.Math.log(av) /
+      java.lang.Math.log(2.0)).toInt
+    // one-step correction: log2's last-ulp error flips floor only at
+    // binade edges, never by more than one
+    if (java.lang.Math.pow(2.0, e) > av) e -= 1
+    else if (java.lang.Math.pow(2.0, e + 1) <= av) e += 1
+    val scaled = av / java.lang.Math.pow(2.0, e) // exact shift, in [1, 2)
+    val s = math.min(m - 1,
+      java.lang.Math.floor((scaled - 1.0) * m).toInt)
+    (e, s)
+  }
+
+  def deserialize(data: Array[Byte]): HdrSketch = {
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val m = buf.getInt
+    val zero = buf.getLong
+    val nNeg = buf.getInt
+    val nPos = buf.getInt
+    def entries(k: Int) = Vector.fill(k)(
+      ((buf.getInt, buf.getInt), buf.getLong))
+    val neg = entries(nNeg)
+    val pos = entries(nPos)
+    HdrSketch(m, zero, neg, pos)
+  }
+}

@@ -67,24 +67,61 @@ object SketchOps {
     * — Spark's own JSON escaping, computed distributed in the same
     * pass, decoded engine-side by `QueryEngine.decodeGroupKey`.
     */
-  private[graft] def groupKeyExpr(groupCols: Seq[String])
-      : org.apache.spark.sql.Column = {
+  private[graft] def groupKeyExpr(groupCols: Seq[String],
+      fields: Seq[String] = Nil): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.expr
-    if (groupCols.sizeIs == 1) keyCol(groupCols.head).cast("string")
-    else expr(groupCols.map(c => s"cast($c as string)")
+    if (groupCols.sizeIs == 1) keyCol(groupCols.head, fields).cast("string")
+    else expr(groupCols.map(c => s"cast(${quoteIfField(c, fields)} as string)")
       .mkString("to_json(array(", ", ", "))"))
   }
 
   /** A group-key spec is usually a column NAME, but may be a
     * deterministic comma-free EXPRESSION (round 10 — `to_date(ts)`,
-    * `year(ts)`: the time-bucket dashboard keys). Plain identifiers go
-    * through `col` (exotic names keep working); anything else parses
-    * as an expression. The engine matches the recorded text against
-    * the query's grouping expression rendering.
+    * `year(ts)`: the time-bucket dashboard keys). A spec matching the
+    * input's SCHEMA is always treated as that column (backtick-quoted,
+    * so a column literally named "a+b" keys on the column, never on a
+    * parsed addition); otherwise plain identifiers go through `col`
+    * and anything else parses as an expression. The engine matches the
+    * recorded text against the query's grouping expression rendering.
     */
-  private def keyCol(name: String): org.apache.spark.sql.Column =
-    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) col(name)
+  private def keyCol(name: String, fields: Seq[String])
+      : org.apache.spark.sql.Column =
+    if (fields.exists(_.equalsIgnoreCase(name))) col(quoted(name))
+    else if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) col(name)
     else org.apache.spark.sql.functions.expr(name)
+
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  private def quoteIfField(name: String, fields: Seq[String]): String =
+    if (fields.exists(_.equalsIgnoreCase(name))) quoted(name) else name
+
+  /** Build-side twin of the engine's fixed-offset serve gate: grouped
+    * blobs key groups by the session-zone cast-to-string rendering,
+    * which is NOT bijective for timestamps in a DST zone (two distinct
+    * instants in the fall-back hour render identically and would merge
+    * silently at build time). Refuse the build outright rather than
+    * persist a blob whose groups are already wrong.
+    */
+  private def requireBijectiveKeys(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      what: String): Unit = {
+    val fixed = scala.util.Try(java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+      .getRules.isFixedOffset).getOrElse(false)
+    if (!fixed) {
+      val fields = df.schema.fieldNames.toSeq
+      val keyTypes = scala.util.Try(
+        df.select(groupCols.map(c => keyCol(c, fields)): _*)
+          .schema.map(_.dataType)).getOrElse(Nil)
+      if (keyTypes.contains(org.apache.spark.sql.types.TimestampType))
+        throw new IllegalArgumentException(
+          s"$what: timestamp group keys need a fixed-offset session " +
+            s"time zone (got '${spark.sessionState.conf.sessionLocalTimeZone}') " +
+            "— the zone-local key rendering is ambiguous through DST " +
+            "transitions, so the blob would merge distinct instants")
+    }
+  }
 
   /** Composite-key variant: one HLL per (g1, g2, ...) tuple, so
     * `GROUP BY a, b` rollups (the data-card shape) serve with no scan
@@ -96,12 +133,14 @@ object SketchOps {
       b: Int): (Int, Int) = {
     require(groupCols.nonEmpty, "at least one group column required")
     import org.apache.spark.sql.functions.{count, lit}
+    requireBijectiveKeys(spark, spark.table(table), groupCols,
+      s"grouped HLL over $table")
     // count(*) rides the same pass; the SUM over groups is the full
     // rowcount for the freshness guard (every row lands in exactly one
     // group, NULL keys included). limit(MaxHllGroups+1) bounds driver
     // memory while still detecting overflow.
     val rows = spark.table(table)
-      .groupBy(groupKeyExpr(groupCols).as("g"))
+      .groupBy(groupKeyExpr(groupCols, spark.table(table).schema.fieldNames.toSeq).as("g"))
       .agg(Hll.sketchAgg(col(valueCol).cast("string"), b).as("s"),
         count(lit(1)).as("n"))
       .limit(MaxHllGroups + 1)
@@ -283,9 +322,12 @@ object SketchOps {
     import org.apache.spark.sql.functions.{broadcast, count, expr, lit, max, min}
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(groupCols.nonEmpty, "at least one group column required")
+    requireBijectiveKeys(spark, spark.table(table), groupCols,
+      s"grouped histogram over $table")
+    val tableFields = spark.table(table).schema.fieldNames.toSeq
     val groupCol = groupCols.mkString(",")
     val stats = spark.table(table)
-      .groupBy(groupKeyExpr(groupCols).as("g"))
+      .groupBy(groupKeyExpr(groupCols, tableFields).as("g"))
       .agg(min(col(valueCol)).cast("double").as("lo"),
         max(col(valueCol)).cast("double").as("hi"),
         count(lit(1)).as("n"),
@@ -346,7 +388,7 @@ object SketchOps {
     val gridDf = grid.toSeq.map { case (k, lo, w) => (k.orNull, lo, w) }
       .toDF("gg", "glo", "gw")
     val base = spark.table(table).filter(col(valueCol).isNotNull)
-      .select(groupKeyExpr(groupCols).as("g"),
+      .select(groupKeyExpr(groupCols, tableFields).as("g"),
         col(valueCol).cast("double").as("v"), col(valueCol).as("raw"))
     // null-safe join key: a NULL group is still a group. Per-(group,
     // bucket) exact decimal sums ride the same aggregate into a THIRD
@@ -614,9 +656,11 @@ object SketchOps {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     require(groupCols.nonEmpty, "at least one group column required")
     import org.apache.spark.sql.functions.count
+    requireBijectiveKeys(spark, spark.table(table), groupCols,
+      s"topk over $table")
     val total = spark.table(table).count()
     val rows = spark.table(table)
-      .groupBy(groupKeyExpr(groupCols).as("g"))
+      .groupBy(groupKeyExpr(groupCols, spark.table(table).schema.fieldNames.toSeq).as("g"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
       .limit(maxEntries + 1)
@@ -661,9 +705,11 @@ object SketchOps {
       threshold: Double, maxEntries: Int = MaxHllGroups): (Int, Int) = {
     require(groupCols.nonEmpty, "at least one group column required")
     import org.apache.spark.sql.functions.{count, expr}
+    requireBijectiveKeys(spark, spark.table(table), groupCols,
+      s"topk-sum over $table")
     val total = spark.table(table).count()
     val rows = spark.table(table)
-      .groupBy(groupKeyExpr(groupCols).as("g"))
+      .groupBy(groupKeyExpr(groupCols, spark.table(table).schema.fieldNames.toSeq).as("g"))
       .agg(expr(s"try_sum(cast($valueCol as decimal(38,4)))").as("s"),
         count(col(valueCol)).as("nn"))
       // keep overflow rows (NULL sum with non-NULL values) so they

@@ -478,7 +478,7 @@ object EventStreams {
     values.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = batch
-          .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"))
+          .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols, batch.schema.fieldNames.toSeq).as("g"))
           .agg(graft.sketch.Hll.sketchAgg(col(valueCol).cast("string"), b)
             .as("s"))
           .limit(graft.sketch.SketchOps.MaxHllGroups + 1)
@@ -567,7 +567,7 @@ object EventStreams {
           .exists(batchId <= _)
         if (!alreadyMerged) {
           val in = batch.filter(col(valueCol).isNotNull)
-            .select(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"),
+            .select(graft.sketch.SketchOps.groupKeyExpr(groupCols, batch.schema.fieldNames.toSeq).as("g"),
               col(valueCol).cast("double").as("v"),
               col(valueCol).as("raw"))
           // null-safe left join: a NULL group is still a group, and a
@@ -712,7 +712,7 @@ object EventStreams {
         if (!alreadyMerged) {
           import org.apache.spark.sql.functions.{count, expr, lit, max, min}
           val rows = batch
-            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"))
+            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols, batch.schema.fieldNames.toSeq).as("g"))
             .agg(min(col(valueCol)).cast("double").as("lo"),
               max(col(valueCol)).cast("double").as("hi"),
               count(lit(1)).as("n"),
@@ -989,7 +989,7 @@ object EventStreams {
           val storedKeys: Seq[Option[String]] =
             graft.sketch.GroupedHll.unpack(prev.data).map(_._1)
           val bg = batch
-            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"))
+            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols, batch.schema.fieldNames.toSeq).as("g"))
             .agg(count(lit(1)).as("n"))
           import spark.implicits._
           val sk = spark.createDataset(storedKeys.map(_.orNull)).toDF("sk")
@@ -1072,7 +1072,7 @@ object EventStreams {
           val storedKeys: Seq[Option[String]] =
             graft.sketch.GroupedHll.unpack(prev.data).map(_._1)
           val bg = batch
-            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols).as("g"))
+            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols, batch.schema.fieldNames.toSeq).as("g"))
             .agg(expr(s"try_sum(cast($valueCol as decimal(38,4)))").as("s4"),
               count(col(valueCol)).as("nn"), count(lit(1)).as("n"))
           import spark.implicits._

@@ -3974,4 +3974,117 @@ class QueryEngineSpec extends SparkSpec {
       "GROUP BY concat(cast(ts as string), 'x')")
     assert(!rC.servedFromCatalog, rC.reason)
   }
+
+  test("expression-key spelling variants dispatch to the same blob (one canonicalizer)") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-canon").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 3000).select(
+      expr("timestamp_micros(1700000000000000L + (id % 6) * 86400000000L)")
+        .as("ts"),
+      expr("cast(id % 19 as double)").as("v"))
+      .createOrReplaceTempView("canon_t")
+    val truth = spark.sql(
+      "SELECT to_date(ts) AS day, count(*) AS n, " +
+        "cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM canon_t GROUP BY to_date(ts)").collect()
+      .map(r => r.getDate(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // build with the ALIAS spelling: `date(ts)` is the same function as
+    // `to_date(ts)` — the canonicalizer must fold both to one rendering
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "canon_t", Seq("date(ts)"), "v", 32)
+    spark.range(0).select(expr("timestamp_micros(id)").as("ts"),
+      expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("canon_t")
+    // the canonical spelling serves from the alias-spelled blob
+    val r1 = eng.query("SELECT to_date(ts) AS day, count(*) AS n, " +
+      "sum(v) AS s FROM canon_t GROUP BY to_date(ts)")
+    assert(r1.servedFromCatalog, r1.reason)
+    assert(r1.estimatedError == 0.0)
+    assert(r1.df.collect().map(x =>
+      x.getDate(0) -> ((x.getLong(1), x.getDouble(2)))).toMap == truth)
+    // ... and so does the alias spelling itself, case-insensitively
+    val r2 = eng.query("SELECT DATE(ts) AS day, count(*) AS n, " +
+      "sum(v) AS s FROM canon_t GROUP BY DATE(ts)")
+    assert(r2.servedFromCatalog, r2.reason)
+    assert(r2.df.collect().map(x =>
+      x.getDate(0) -> ((x.getLong(1), x.getDouble(2)))).toMap == truth)
+  }
+
+  test("timestamp group keys gate on a fixed-offset session zone (DST ambiguity)") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-dst").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 2000).select(
+      expr("timestamp_micros(1700000000000000L + (id % 4) * 86400000000L)")
+        .as("tk"),
+      expr("cast(id % 13 as double)").as("v"))
+      .createOrReplaceTempView("dst_t")
+    // UTC build serves (the baseline behavior)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "dst_t", Seq("tk"), "v", 32)
+    val r0 = eng.query("SELECT tk, count(*) AS n, sum(v) AS s " +
+      "FROM dst_t GROUP BY tk")
+    assert(r0.servedFromCatalog, r0.reason)
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // a DST-zone BUILD refuses outright: the zone-local rendering
+      // would merge two distinct fall-back-hour instants silently
+      val ex = intercept[IllegalArgumentException] {
+        graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+          "dst_t", Seq("tk"), "v", 32)
+      }
+      assert(ex.getMessage.contains("fixed-offset"), ex.getMessage)
+      // a DST-zone SERVE refuses to the scan (never a wrong merge with
+      // estimatedError == 0): the UTC-built blob's renderings denote
+      // different instants in this zone
+      val r1 = eng.query("SELECT tk, count(*) AS n, sum(v) AS s " +
+        "FROM dst_t GROUP BY tk")
+      assert(!r1.servedFromCatalog, r1.reason)
+      // key-RANGE dispatch on the timestamp key refuses too
+      val r2 = eng.query("SELECT tk, count(*) AS n, sum(v) AS s " +
+        "FROM dst_t WHERE tk >= TIMESTAMP '2023-11-14 00:00:00' " +
+        "GROUP BY tk")
+      assert(!r2.servedFromCatalog, r2.reason)
+    } finally
+      spark.conf.set("spark.sql.session.timeZone", prevZone)
+    // back in the fixed-offset zone the same blob serves again
+    val r3 = eng.query("SELECT tk, count(*) AS n, sum(v) AS s " +
+      "FROM dst_t GROUP BY tk")
+    assert(r3.servedFromCatalog, r3.reason)
+  }
+
+  test("a malformed timestamp blob key refuses the serve instead of failing the query") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-badkey").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 2000).select(
+      expr("timestamp_micros(1700000000000000L + (id % 3) * 86400000000L)")
+        .as("tk"),
+      expr("cast(id % 11 as double)").as("v"))
+      .createOrReplaceTempView("bad_t")
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat,
+      "bad_t", Seq("tk"), "v", 32)
+    // corrupt ONE stats-blob key into an unparseable string (a
+    // DateTimeParseException, not an IAE subtype — the serve guards
+    // must still treat it as a refusal, not a query failure)
+    val s = cat.getSketch("bad_t", "v", "stats_grouped").get
+    val groups = graft.sketch.GroupedHll.unpack(s.data)
+    val corrupted = graft.sketch.GroupedHll.pack(
+      groups.zipWithIndex.map {
+        case ((_, b), 0) => (Some("not-a-timestamp"), b)
+        case (kb, _)     => kb
+      })
+    cat.upsertSketch(cat.SketchInfo(s.tableName, s.columnName, s.sketchType,
+      corrupted, s.parameters, s.createdAt))
+    val r = eng.query("SELECT tk, count(*) AS n, sum(v) AS s " +
+      "FROM bad_t GROUP BY tk")
+    // the exact fallback answers; no exception escapes
+    assert(!r.servedFromCatalog, r.reason)
+    assert(r.df.count() == 3)
+  }
 }

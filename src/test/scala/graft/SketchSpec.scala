@@ -302,4 +302,30 @@ class SketchSpec extends SparkSpec {
     // 700 true distinct; the estimate is within 3 CVs
     assert(math.abs(sk.estimate - 700.0) / 700.0 < 3 * Kmv.unionError(64))
   }
+
+  test("a group-key spec matching a schema column keys on the COLUMN, never a parsed expression") {
+    import org.apache.spark.sql.functions.expr
+    // the table has a column literally named "a+b" AND columns a, b:
+    // the old expr() routing would silently parse the spec as the
+    // addition a + b; the schema-first match must key on the column
+    spark.range(0, 200).select(
+      expr("concat('x', id % 2)").as("a+b"),
+      expr("cast(id % 3 as long)").as("a"),
+      expr("cast(id % 5 as long)").as("b"),
+      expr("concat('v', id % 40)").as("v"))
+      .createOrReplaceTempView("exotic_t")
+    val cat = new MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-exotic").toString)
+    SketchOps.createGroupedHll(spark, cat, "exotic_t", Seq("a+b"), "v", 12)
+    val s = cat.getSketch("exotic_t", "v", "hll_grouped").get
+    val keys = graft.sketch.GroupedHll.unpack(s.data).map(_._1).toSet
+    // column values — NOT the sums {0..6} the addition would produce
+    assert(keys == Set(Some("x0"), Some("x1")), keys.toString)
+    // a spec that is NOT a schema column still parses as an expression
+    // (the round-10 time-bucket contract)
+    SketchOps.createGroupedHll(spark, cat, "exotic_t", Seq("a % 2"), "v", 12)
+    val s2 = cat.getSketch("exotic_t", "v", "hll_grouped").get
+    val keys2 = graft.sketch.GroupedHll.unpack(s2.data).map(_._1).toSet
+    assert(keys2 == Set(Some("0"), Some("1")), keys2.toString)
+  }
 }
