@@ -209,6 +209,12 @@ object Bench {
       // on the r-view the slot is free)
       graft.sketch.SketchOps.createGroupedHistogram(spark, catalog,
         "lineitem_x10r", Seq("to_date(l_shipdate)"), "l_quantity", 64)
+      // Log-linear (HDR) sketch (round 11): relative-error percentiles
+      // on l_tax — its OWN column, so neither the l_extendedprice
+      // histogram (stats_serve / percentile family) nor the l_tax star
+      // blob (different sketch type) is touched.
+      graft.sketch.SketchOps.createHdr(spark, catalog, "lineitem_x10",
+        "l_tax", 32)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -302,6 +308,12 @@ object Bench {
           "sum(l_extendedprice) AS s FROM lineitem_x10r JOIN supplier " +
           "ON l_suppkey = s_suppkey WHERE l_extendedprice >= 2000 " +
           "GROUP BY s_nationkey"),
+        // HDR percentile serve (round 11): a high quantile answered
+        // from the log-linear sketch with zero scan at 1/32 RELATIVE
+        // error — the exact side pays the 6M-row sort-based
+        // percentile, the single most expensive aggregate shape.
+        "hdr_pct" -> ("SELECT percentile(l_tax, 0.99) AS p99 " +
+          "FROM lineitem_x10"),
         // Date serve (round 10): the per-day rollup — GROUP BY an
         // expression key served exactly from the to_date(l_shipdate)-
         // keyed blob (no scan, typed DATE keys) — the exact side pays

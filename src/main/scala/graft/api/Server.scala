@@ -292,6 +292,23 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                     (200, s"""{"status": "ok", "sketch_type": "histogram", "size_bytes": ${h.serialize.length}, "buckets": ${h.buckets}}""")
                 }
             }
+          // beyond the reference: the log-linear (HDR) quantile sketch
+          // — RELATIVE-error percentiles for heavy-tailed columns where
+          // the equi-width grid's absolute bound degenerates
+          // (QueryEngine.storedHdrAnswer; error = 1/m)
+          case "hdr" =>
+            column match {
+              case None => (400, err("column required for hdr"))
+              case Some(c) =>
+                val m = params("m").flatMap(_.num).map(_.toInt).getOrElse(32)
+                if (m < 1 || m > 65536 || (m & (m - 1)) != 0)
+                  (400, err(s"m must be a power of two in [1, 65536], got $m"))
+                else {
+                  val size = SketchOps.createHdr(spark, engine.catalog,
+                    table, c, m)
+                  (200, s"""{"status": "ok", "sketch_type": "hdr", "size_bytes": $size, "m": $m}""")
+                }
+            }
           // beyond the reference: the join-cardinality primitive — a
           // stored AGMS pair over a join-key pair turns join AQP into
           // an automatic costed decision (QueryEngine.agmsJoinEstimate)

@@ -304,6 +304,19 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Log-linear ("HDR") variant: the same percentile shape from the
+    // relative-error sketch when no equi-width histogram serves — the
+    // heavy-tailed-column dashboard, err = 1/m RELATIVE.
+    refusing(storedHdrAnswer(servePlan, table)) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(serveResult(posted(df), features, table, "hdr", err,
+          "percentile answered from the stored log-linear (HDR) sketch (no scan)",
+          Seq("PERCENTILE/MEDIAN answered from the stored log-linear " +
+            "sketch (no scan; within 1/m RELATIVE error of the true " +
+            "order statistic — the heavy-tail-safe bound)"), opts),
+          sql, features, opts)
+      case _ =>
+    }
     // Grouped variant: SELECT g, percentile(x, p) ... GROUP BY g over a
     // stored per-group histogram blob — each group answered on its own
     // [min, max] grid, still with no scan.
@@ -1335,6 +1348,65 @@ final class QueryEngine(
         if (answered.nonEmpty && answered.forall(_.isDefined)) {
           val vals = answered.flatten
           val cols = vals.map { case (n, v, _) => lit(v).as(n) }
+          Some((spark.range(1).select(cols: _*), vals.map(_._3).max))
+        } else None
+      case _ => None
+    }
+  }
+
+  /** The RELATIVE-error twin of [[storedHistogramAnswer]]: the same
+    * bare-percentile shape answered from a fresh log-linear "hdr"
+    * sketch (SketchOps.createHdr) when no equi-width histogram serves
+    * — the heavy-tailed-column case, where one equi-width bucket can
+    * swallow 99% of the mass and the absolute bound degenerates. The
+    * reported error is the sketch's 1/m relative bound; an EMPTY
+    * column serves NULL exactly like exact execution over zero rows.
+    * Dispatches AFTER the equi-width path in query(), so existing
+    * histogram serves (and their oracles) are untouched.
+    */
+  private def storedHdrAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.functions.lit
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    parsed match {
+      case Project(outs, r: UnresolvedRelation)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
+            outs.nonEmpty =>
+        val answered = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            val colP: Option[(String, Double)] =
+              (f.nameParts.last.toLowerCase, f.arguments) match {
+                case ("percentile" | "percentile_approx" | "approx_percentile",
+                    Seq(a: UnresolvedAttribute, l: Literal)) =>
+                  litDouble(l).map(p => (a.nameParts.last, p))
+                case ("median", Seq(a: UnresolvedAttribute)) =>
+                  Some((a.nameParts.last, 0.5))
+                case _ => None
+              }
+            colP.flatMap { case (c, p) =>
+              catalog.getSketch(table, c, "hdr")
+                .filter(sketchIsFresh(table, _)).map { s =>
+                val h = graft.sketch.HdrSketch.deserialize(s.data)
+                (name, h.percentile(p), h.relErrBound)
+              }
+            }
+          case _ => None
+        }
+        if (answered.nonEmpty && answered.forall(_.isDefined)) {
+          val vals = answered.flatten
+          val cols = vals.map { case (n, v, _) =>
+            v.map(lit(_)).getOrElse(lit(null)
+              .cast(org.apache.spark.sql.types.DoubleType)).as(n)
+          }
           Some((spark.range(1).select(cols: _*), vals.map(_._3).max))
         } else None
       case _ => None

@@ -230,6 +230,26 @@ object Aqp {
     })
   }
 
+  // q144's engine: log-linear (HDR) sketches over lineitem's
+  // heavy-tailed revenue column and zero-heavy discount column.
+  // Dedicated so no equi-width histogram on the same columns can
+  // preempt the hdr dispatch and no other query's forced stats can
+  // retire the blobs.
+  private val hdrEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  private def hdrEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    hdrEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-hdr").toString))
+      graft.sketch.SketchOps.createHdr(s, e.catalog, "lineitem",
+        "l_extendedprice")
+      graft.sketch.SketchOps.createHdr(s, e.catalog, "lineitem",
+        "l_discount")
+      e
+    })
+  }
+
   // q109/q110's engine: a heavy-hitters ("topk") blob over
   // lineitem.l_partkey — a HIGH-cardinality key (20k distinct at
   // sf0.1, past MaxHllGroups) whose top-k/iceberg dashboards the
@@ -1409,6 +1429,45 @@ object Aqp {
       r.df.withColumn("plan_type", lit(r.planType)).orderBy(col("n_name"))
     }),
 
+    // Log-linear (HDR) sketch strategy, END-TO-END oracle-gated
+    // (round 11): RELATIVE-error percentiles served from the
+    // corrected-log2 log-linear sketch with no scan — the heavy-tail
+    // complement to q74's equi-width grid, whose absolute bound
+    // degenerates when one bucket swallows most of the mass. Covers
+    // the revenue column (3+ decades of magnitude) AND the zero-heavy
+    // discount column (the zero bucket). Every step — binade via
+    // corrected floor-log2, exact power-of-two sub-bucket, target
+    // rank, within-bucket interpolation — is deterministic IEEE
+    // arithmetic, so DuckDB re-deriving the same chain from the same
+    // parquet hash-matches the engine's answers bit-for-bit; the
+    // exact decimal-rounded companions make the 1/32 relative bound
+    // MEASURED. At 100 TB the sketch is a few KB of catalog state
+    // built in one pass — p99 latency dashboards become lookups.
+    "q144_hdr_percentile" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT percentile(l_extendedprice, 0.5) AS p50e, " +
+          "percentile(l_extendedprice, 0.95) AS p95e, " +
+          "percentile(l_discount, 0.5) AS p50d FROM lineitem")
+      assert(r.servedFromCatalog && r.serveKind.contains("hdr"),
+        s"q144 must serve from the log-linear sketch: " +
+          s"${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 1.0 / 32,
+        s"q144 must report the 1/m relative bound: ${r.estimatedError}")
+      def pct(c: String, p: String, name: String) =
+        expr(s"cast(cast(percentile($c, $p) as decimal(18,6)) as double)")
+          .as(name)
+      val exact = Tables.load(s, dir, "lineitem").agg(
+        pct("l_extendedprice", "0.5", "x50e"),
+        pct("l_extendedprice", "0.95", "x95e"),
+        pct("l_discount", "0.5", "x50d"))
+      r.df.crossJoin(exact)
+        .withColumn("err_p50e", expr("p50e - x50e"))
+        .withColumn("err_p95e", expr("p95e - x95e"))
+        .withColumn("err_p50d", expr("p50d - x50d"))
+        .withColumn("rel_bound", lit(1.0 / 32))
+    }),
+
     // UNGROUPED star (round 10): the headline KPI — total count and
     // revenue over fact ⋈ dim under a dim filter, NO GROUP BY. All
     // matching dim rows fold into ONE cell; zero joined rows would
@@ -2176,6 +2235,92 @@ object Aqp {
   )
 
   val oracle: Map[String, String] = Map(
+    // q144: DuckDB re-derives the engine's log-linear (HDR) sketch
+    // answer from the same parquet — binade via corrected floor-log2
+    // (exact power-of-two comparisons make the log2 rounding
+    // irrelevant), exact sub-bucket arithmetic, Histogram.percentile's
+    // rank convention walked in ascending value order (zero bucket
+    // first; lineitem has no negative values), the same fixed
+    // association lower + width*within. Exact quantile_cont companions
+    // rounded through DECIMAL(18,6) (the q74 recipe).
+    "q144_hdr_percentile" ->
+      """WITH ve AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT CASE WHEN v = 0 THEN 1 ELSE 0 END AS isz,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT isz, e, s, count(*) AS n FROM eb2 GROUP BY 1, 2, 3),
+          ecm AS (SELECT isz, e, s, n,
+              sum(n) OVER (ORDER BY isz DESC, e, s) - n AS cumb,
+              sum(n) OVER () AS total FROM ebk),
+          etg AS (SELECT pr, CAST(pr AS DOUBLE) * CAST(t.total - 1 AS DOUBLE) AS target
+            FROM (SELECT unnest([CAST('0.5' AS DOUBLE), CAST('0.95' AS DOUBLE)]) AS pr),
+                 (SELECT max(total) AS total FROM ecm) t),
+          epk AS (SELECT etg.pr, etg.target, ecm.isz, ecm.e, ecm.s, ecm.n, ecm.cumb
+            FROM etg, ecm WHERE ecm.cumb + ecm.n > etg.target
+            QUALIFY row_number() OVER (PARTITION BY etg.pr
+              ORDER BY ecm.isz DESC, ecm.e, ecm.s) = 1),
+          ees AS (SELECT pr, CASE WHEN isz = 1 THEN CAST(0 AS DOUBLE) ELSE
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+              + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+                * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+            END AS v FROM epk),
+          efin AS (SELECT
+              max(CASE WHEN pr = CAST('0.5' AS DOUBLE) THEN v END) AS p50e,
+              max(CASE WHEN pr = CAST('0.95' AS DOUBLE) THEN v END) AS p95e
+            FROM ees),
+          vd AS (SELECT CAST(l_discount AS DOUBLE) AS v FROM lineitem
+              WHERE l_discount IS NOT NULL),
+          da AS (SELECT v, abs(v) AS av FROM vd),
+          db0 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM da),
+          db1 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM db0),
+          db2 AS (SELECT CASE WHEN v = 0 THEN 1 ELSE 0 END AS isz,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM db1),
+          dbk AS (SELECT isz, e, s, count(*) AS n FROM db2 GROUP BY 1, 2, 3),
+          dcm AS (SELECT isz, e, s, n,
+              sum(n) OVER (ORDER BY isz DESC, e, s) - n AS cumb,
+              sum(n) OVER () AS total FROM dbk),
+          dtg AS (SELECT CAST('0.5' AS DOUBLE) * CAST(t.total - 1 AS DOUBLE) AS target
+            FROM (SELECT max(total) AS total FROM dcm) t),
+          dpk AS (SELECT dtg.target, dcm.isz, dcm.e, dcm.s, dcm.n, dcm.cumb
+            FROM dtg, dcm WHERE dcm.cumb + dcm.n > dtg.target
+            QUALIFY row_number() OVER (ORDER BY dcm.isz DESC, dcm.e, dcm.s) = 1),
+          dfin AS (SELECT CASE WHEN isz = 1 THEN CAST(0 AS DOUBLE) ELSE
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+              + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+                * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+            END AS p50d FROM dpk),
+          exq AS (SELECT
+              CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS x50e,
+              CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS x95e,
+              CAST(CAST(quantile_cont(l_discount, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS x50d
+            FROM lineitem)
+          SELECT efin.p50e, efin.p95e, dfin.p50d, exq.x50e, exq.x95e, exq.x50d,
+            efin.p50e - exq.x50e AS err_p50e,
+            efin.p95e - exq.x95e AS err_p95e,
+            dfin.p50d - exq.x50d AS err_p50d,
+            CAST('0.03125' AS DOUBLE) AS rel_bound
+          FROM efin, dfin, exq""",
     // q77: DuckDB re-derives the engine's join-AQP answer — the q28
     // constants (sf0.01 lineitem -> 0.02 tier -> threshold 200, HT
     // weight exactly 50.0) through the join. Per-row x*50 and the

@@ -282,6 +282,89 @@ object SketchOps {
     h
   }
 
+  /** Build a log-linear ("HDR") quantile sketch over a numeric column
+    * — the RELATIVE-error complement to [[createHistogram]]'s absolute
+    * grid, for heavy-tailed columns where one equi-width bucket can
+    * swallow 99% of the mass. One distributed aggregate: each row's
+    * (sign, binade, sub-bucket) is a deterministic O(1) expression
+    * (corrected floor-log2 + exact power-of-two arithmetic, see
+    * [[HdrSketch]]), then a bounded groupBy (≤ a few hundred occupied
+    * buckets for any real column) reaches the driver. NULL and NaN
+    * values have no bucket (SQL percentile ignores them); ±Infinity
+    * refuses the build — the log grid has no bucket for it and
+    * dropping it silently would shift every upper quantile. `"rows"`
+    * records the FULL table rowcount for the freshness guard. `m`
+    * (sub-buckets per binade) must be a power of two; the serve error
+    * is 1/m relative — the default 32 sits inside the engine's 0.05
+    * budget.
+    */
+  def createHdr(spark: SparkSession, catalog: MetaCatalog, table: String,
+      column: String, m: Int = 32): Int = {
+    val total = spark.table(table).count()
+    val sk = hdrAggregate(spark.table(table), column, m,
+      s"hdr over $table.$column")
+    val bytes = sk.serialize
+    catalog.upsertSketch(catalog.SketchInfo(table, column, "hdr", bytes,
+      s"""{"m":$m,"rows":$total,"nonnull":${sk.n}}""",
+      System.currentTimeMillis()))
+    bytes.length
+  }
+
+  /** THE hdr bucket pass, shared by the batch builder above and the
+    * streaming maintainer (EventStreams.maintainHdrSketch) so their
+    * bucket assignment can never drift: one distributed aggregate over
+    * (sign, binade, sub-bucket) — the deterministic corrected-log2
+    * derivation [[HdrSketch]] documents — collecting only the occupied
+    * buckets. NULL/NaN rows have no bucket; ±Infinity refuses.
+    */
+  private[graft] def hdrAggregate(df: org.apache.spark.sql.DataFrame,
+      column: String, m: Int, what: String): HdrSketch = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    import org.apache.spark.sql.functions.{count, expr}
+    val rows = df
+      .select(col(column).cast("double").as("v"))
+      .filter("v is not null and not isnan(v)")
+      .selectExpr("v", "abs(v) as av")
+      .selectExpr("v", "av",
+        // infinities park at e0 = 0 (ANSI: cast(floor(log2(inf))) would
+        // throw before the refusal below could fire) and refuse after
+        // the aggregate via the inf flag
+        "case when v = 0.0d or av = double('inf') then 0 " +
+          "else cast(floor(log2(av)) as int) end as e0")
+      .selectExpr("v", "av",
+        "case when v = 0.0d then 0 " +
+          "when power(2.0d, cast(e0 as double)) > av then e0 - 1 " +
+          "when power(2.0d, cast(e0 + 1 as double)) <= av then e0 + 1 " +
+          "else e0 end as e")
+      .selectExpr(
+        "case when v > 0.0d then 1 when v < 0.0d then -1 else 0 end as sg",
+        "e",
+        s"case when v = 0.0d or av = double('inf') then 0 " +
+          s"else least(${m - 1}, " +
+          "cast(floor((av / power(2.0d, cast(e as double)) - 1.0d) * " +
+          s"cast($m as double)) as int)) end as s",
+        "case when abs(v) = double('inf') then 1 else 0 end as inf")
+      .groupBy(col("sg"), col("e"), col("s"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(inf)").as("ninf"))
+      .collect()
+    if (rows.exists(_.getAs[Long]("ninf") > 0L))
+      throw new IllegalArgumentException(
+        s"$what: infinite values have no log bucket")
+    var zero = 0L
+    val neg = Vector.newBuilder[((Int, Int), Long)]
+    val pos = Vector.newBuilder[((Int, Int), Long)]
+    rows.foreach { r =>
+      val (sg, e, s, n) =
+        (r.getAs[Int]("sg"), r.getAs[Int]("e"), r.getAs[Int]("s"),
+          r.getAs[Long]("n"))
+      if (sg == 0) zero += n
+      else if (sg < 0) neg += (((e, s), n))
+      else pos += (((e, s), n))
+    }
+    HdrSketch(m, zero, neg.result(), pos.result())
+  }
+
   /** Build one equi-width histogram PER GROUP over `table.valueCol`
     * (per-group [min, max] grid — each group gets the resolution its
     * own range needs), packed into one catalog blob: the input to the

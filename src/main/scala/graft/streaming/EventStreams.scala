@@ -940,6 +940,62 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming HDR maintenance — the relative-error quantile sketch
+    * kept live: each micro-batch's values bucket through THE shared
+    * hdr pass (`SketchOps.hdrAggregate` — the identical corrected-log2
+    * derivation the batch builder runs, so the stream-built blob is
+    * BYTE-equal to a batch build over the same rows; the log grid is
+    * global by construction, so per-bucket counts add exactly with no
+    * grid to disagree on) and fold into the stored blob under the
+    * catalog's CAS merge. `"rows"` accumulates batch counts for the
+    * freshness guard; the additive merge gets the same `last_batch`
+    * replay guard as CMS/AGMS (exact under the single-writer-per-
+    * (table, column) discipline all maintainers document). A stored
+    * sketch with a different m refuses (sub-bucket layouts cannot
+    * add).
+    */
+  def maintainHdrSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, column: String,
+      m: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    val rowsRe = """"rows"\s*:\s*(-?\d+)""".r
+    val mRe = """"m"\s*:\s*(-?\d+)""".r
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = catalog.getSketch(table, column, "hdr")
+        prev.foreach { s =>
+          val m0 = mRe.findFirstMatchIn(s.parameters).map(_.group(1).toInt)
+          if (!m0.contains(m))
+            throw new IllegalArgumentException(
+              s"hdr over $table.$column: stored sketch has m=" +
+                s"${m0.getOrElse(-1)}, maintainer configured $m")
+        }
+        val alreadyMerged = prev
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged) {
+          val total = batch.count()
+          val sk = graft.sketch.SketchOps.hdrAggregate(batch, column, m,
+            s"hdr stream over $table.$column")
+          val prevRows = prev
+            .flatMap(s => rowsRe.findFirstMatchIn(s.parameters)
+              .map(_.group(1).toLong))
+            .getOrElse(0L)
+          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+            "hdr", sk.serialize,
+            s"""{"m":$m,"rows":${prevRows + total},"last_batch":$batchId}""",
+            System.currentTimeMillis())) { (p, n) =>
+            graft.sketch.HdrSketch.deserialize(p)
+              .merge(graft.sketch.HdrSketch.deserialize(n)).serialize
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming HEAVY-HITTERS maintenance — the q109/q110 "topk" serve
     * kept live with its exactness INTACT. A naive per-batch threshold
     * filter would lose groups that cross the threshold only

@@ -948,6 +948,72 @@ class EventStreamsSpec extends SparkSpec {
       .sameElements(batchS.data))
   }
 
+  test("stream-maintained HDR sketch is byte-equal to the batch build; replay and m-mismatch guard") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-hdr").toString)
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainHdrSketch(
+      stream.toDF().select(expr("exp(cast(value % 700 as double) / 100.0d)").as("v")),
+      catalog, "hdr_live", "v", 32)
+    val data = (0L until 3000L)
+    data.grouped(1000).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // law: byte-equal to SketchOps.createHdr over the same rows (the
+    // log grid is global, per-bucket counts add exactly)
+    val ref = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-hdr-ref").toString)
+    spark.range(0, 3000)
+      .select(expr("exp(cast(id % 700 as double) / 100.0d)").as("v"))
+      .createOrReplaceTempView("hdr_live")
+    graft.sketch.SketchOps.createHdr(spark, ref, "hdr_live", "v", 32)
+    val live = catalog.getSketch("hdr_live", "v", "hdr").get
+    val batchS = ref.getSketch("hdr_live", "v", "hdr").get
+    assert(live.data.sameElements(batchS.data),
+      "stream-built HDR buckets must equal the batch build")
+    def rowsOf(p: String) =
+      """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(p).map(_.group(1))
+    assert(rowsOf(live.parameters).contains("3000"), live.parameters)
+    // the engine serves the live blob (empty backing view = no scan)
+    spark.range(0).selectExpr("cast(id as double) as v")
+      .createOrReplaceTempView("hdr_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query("SELECT percentile(v, 0.9) AS p90 FROM hdr_live")
+    assert(r.servedFromCatalog && r.serveKind.contains("hdr"),
+      s"${r.serveKind}: ${r.reason}")
+    // replay guard: a re-delivered batch id neither re-adds counts nor
+    // re-counts rows
+    val replay = MemoryStream[Long]
+    val q2 = EventStreams.maintainHdrSketch(
+      replay.toDF().select(expr("exp(cast(value % 700 as double) / 100.0d)").as("v")),
+      catalog, "hdr_live", "v", 32)
+    replay.addData((0L until 1000L).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val after = catalog.getSketch("hdr_live", "v", "hdr").get
+    assert(after.data.sameElements(batchS.data))
+    assert(rowsOf(after.parameters).contains("3000"), after.parameters)
+    // a maintainer configured with a different m refuses (sub-bucket
+    // layouts cannot add)
+    val bad = MemoryStream[Long]
+    val q3 = EventStreams.maintainHdrSketch(
+      bad.toDF().select(expr("cast(value as double)").as("v")),
+      catalog, "hdr_live", "v", 64)
+    bad.addData(Seq(1L))
+    val failed =
+      try { q3.processAllAvailable(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException |
+                   _: IllegalArgumentException => true }
+    q3.stop()
+    assert(failed, "m mismatch must refuse, not corrupt")
+    assert(catalog.getSketch("hdr_live", "v", "hdr").get.data
+      .sameElements(batchS.data))
+  }
+
   test("streaming sampled windowed agg (AQP on a stream) equals batch; estimates track exact") {
     implicit val sc = spark.sqlContext
     import spark.implicits._

@@ -4057,6 +4057,54 @@ class QueryEngineSpec extends SparkSpec {
     assert(r3.servedFromCatalog, r3.reason)
   }
 
+  test("log-linear HDR sketch serves percentiles with a relative bound; equi-width preempts") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-hdrserve").toString)
+    val eng = new QueryEngine(spark, cat)
+    // ~3.5 decades of magnitude: the heavy-tail shape equi-width grids
+    // model badly and the log grid models at constant relative error
+    spark.range(0, 4000)
+      .selectExpr("exp(cast(id % 800 as double) / 100.0d) as v")
+      .createOrReplaceTempView("hdrq_t")
+    val exact = spark.sql("SELECT percentile(v, 0.5), percentile(v, 0.95) " +
+      "FROM hdrq_t").collect().head
+    graft.sketch.SketchOps.createHdr(spark, cat, "hdrq_t", "v")
+    // EMPTY the backing view: the answer must come from the blob
+    spark.range(0).selectExpr("cast(id as double) as v")
+      .createOrReplaceTempView("hdrq_t")
+    val r = eng.query(
+      "SELECT percentile(v, 0.5) AS p50, percentile(v, 0.95) AS p95 " +
+        "FROM hdrq_t")
+    assert(r.servedFromCatalog && r.serveKind.contains("hdr"),
+      s"${r.serveKind}: ${r.reason}")
+    assert(r.estimatedError == 1.0 / 32)
+    val row = r.df.collect().head
+    Seq(0, 1).foreach { i =>
+      val t = exact.getDouble(i)
+      assert(math.abs(row.getDouble(i) - t) / t <= 2.0 / 32,
+        s"output $i: ${row.getDouble(i)} vs $t")
+    }
+    // MEDIAN dispatches as p=0.5
+    val rM = eng.query("SELECT median(v) AS md FROM hdrq_t")
+    assert(rM.servedFromCatalog && rM.serveKind.contains("hdr"), rM.reason)
+    assert(rM.df.collect().head.getDouble(0) == row.getDouble(0))
+    // a budget tighter than 1/m refuses to the scan path
+    val rT = eng.query("SELECT percentile(v, 0.5) AS p50 FROM hdrq_t",
+      eng.Options(maxRelError = 0.01))
+    assert(!rT.servedFromCatalog, rT.reason)
+    // a fresh equi-width histogram on the column PREEMPTS (dispatch
+    // order — its absolute-bound oracle family stays pinned)
+    spark.range(0, 4000)
+      .selectExpr("exp(cast(id % 800 as double) / 100.0d) as v")
+      .createOrReplaceTempView("hdrq_t")
+    graft.sketch.SketchOps.createHdr(spark, cat, "hdrq_t", "v")
+    graft.sketch.SketchOps.createHistogram(spark, cat, "hdrq_t", "v")
+    val rH = eng.query("SELECT percentile(v, 0.5) AS p50 FROM hdrq_t")
+    assert(rH.servedFromCatalog && rH.serveKind.contains("histogram"),
+      s"${rH.serveKind}: ${rH.reason}")
+  }
+
   test("a malformed timestamp blob key refuses the serve instead of failing the query") {
     import org.apache.spark.sql.functions.expr
     val cat = new MetaCatalog(

@@ -303,6 +303,64 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(sk.estimate - 700.0) / 700.0 < 3 * Kmv.unionError(64))
   }
 
+  test("HdrSketch: deterministic log-linear buckets, exact merge, relative-error percentiles") {
+    import graft.sketch.HdrSketch
+    // binade edges: exact powers of two land in sub-bucket 0 of their
+    // OWN binade (the corrected floor-log2 can't be fooled by last-ulp
+    // log2 error), the value just below in the top sub-bucket below
+    assert(HdrSketch.bucketOf(1.0, 32) == ((0, 0)))
+    assert(HdrSketch.bucketOf(2.0, 32) == ((1, 0)))
+    assert(HdrSketch.bucketOf(1024.0, 32) == ((10, 0)))
+    assert(HdrSketch.bucketOf(0.5, 32) == ((-1, 0)))
+    assert(HdrSketch.bucketOf(math.nextDown(2.0), 32) == ((0, 31)))
+    assert(HdrSketch.bucketOf(1.0 + 1.0 / 32, 32) == ((0, 1)))
+    // distributed build over ~4 decades of magnitude (the shape that
+    // breaks equi-width grids); percentile within the relative bound
+    spark.range(0, 5000)
+      .selectExpr("exp(cast(id % 997 as double) / 100.0d) as v")
+      .createOrReplaceTempView("hdr_t")
+    val cat = new MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-hdr").toString)
+    SketchOps.createHdr(spark, cat, "hdr_t", "v", 32)
+    val s = cat.getSketch("hdr_t", "v", "hdr").get
+    val sk = HdrSketch.deserialize(s.data)
+    assert(sk.n == 5000)
+    assert(HdrSketch.deserialize(sk.serialize).serialize.sameElements(s.data))
+    val exact = spark.sql("SELECT percentile(v, 0.5), percentile(v, 0.99), " +
+      "percentile(v, 0.01) FROM hdr_t").collect().head
+    Seq(0.5, 0.99, 0.01).zipWithIndex.foreach { case (p, i) =>
+      val est = sk.percentile(p).get
+      val t = exact.getDouble(i)
+      // 2x: the exact rank interpolates between two order statistics
+      // that can straddle a bucket edge
+      assert(math.abs(est - t) / t <= 2 * sk.relErrBound,
+        s"p=$p est=$est truth=$t")
+    }
+    // merge == whole-build, byte-for-byte (the log grid is global — no
+    // grid mismatch can exist)
+    spark.range(0, 2500)
+      .selectExpr("exp(cast(id % 997 as double) / 100.0d) as v")
+      .createOrReplaceTempView("hdr_a")
+    spark.range(2500, 5000)
+      .selectExpr("exp(cast(id % 997 as double) / 100.0d) as v")
+      .createOrReplaceTempView("hdr_b")
+    val cat2 = new MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-hdr2").toString)
+    SketchOps.createHdr(spark, cat2, "hdr_a", "v", 32)
+    SketchOps.createHdr(spark, cat2, "hdr_b", "v", 32)
+    val merged = HdrSketch
+      .deserialize(cat2.getSketch("hdr_a", "v", "hdr").get.data)
+      .merge(HdrSketch.deserialize(cat2.getSketch("hdr_b", "v", "hdr").get.data))
+    assert(merged.serialize.sameElements(s.data))
+    // hand-built walk: negatives ascend from the most negative bucket,
+    // zero serves 0 exactly, positives interpolate within their bucket
+    val z = HdrSketch(32, 3, Vector(((1, 0), 2L)), Vector(((0, 0), 5L)))
+    assert(z.percentile(0.0).get == -2.0 * (1.0 + 1.0 / 32))
+    assert(z.percentile(0.3).get == 0.0)
+    assert(z.percentile(1.0).get == 1.0 + (1.0 / 32) * ((9.0 - 5.0) / 5.0))
+    assert(HdrSketch(32, 0, Vector.empty, Vector.empty).percentile(0.5).isEmpty)
+  }
+
   test("a group-key spec matching a schema column keys on the COLUMN, never a parsed expression") {
     import org.apache.spark.sql.functions.expr
     // the table has a column literally named "a+b" AND columns a, b:
