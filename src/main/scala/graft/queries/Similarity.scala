@@ -126,6 +126,11 @@ object Similarity {
   /** Exact-cosine threshold for embedding near-duplicate pairs (q40). */
   val nearDupCos = 0.40
 
+  /** SemDeDup cosine threshold (q145): within-cell pairs at or above it
+    * are semantic duplicates; one representative per component is kept.
+    */
+  val semDedupCos = 0.40
+
   /** (vec_id, embedding, nrm) with the quantized self-dot-product
     * computed ONCE per vector — rescoring joins read this instead of
     * recomputing self-norms per candidate pair (the interpreted
@@ -392,6 +397,85 @@ object Similarity {
       ivfTopKOf(s, e, normedEmbeddings(s, dir), IvfNprobe)
     }),
 
+    // SEMANTIC dedup (SemDeDup-style, round 11): the sixth dedup
+    // modality — embedding-cluster-scoped near-duplicate REMOVAL, the
+    // step that turns similarity infrastructure into a training-set
+    // curation operator. Every vector is assigned to its nearest
+    // centroid cell (the q41 coarse quantizer: one n×k scoring pass,
+    // k-row centroid table broadcast), candidate pairs form ONLY
+    // within a cell (Σ_c C(n_c, 2) ≈ n²/2k pairs — never all-pairs; at
+    // 100 TB you raise k so cells stay bounded and the pair volume
+    // stays near-linear), exact quantized-cosine rescoring keeps pairs
+    // at or above the threshold, and min-label propagation (the q44
+    // component machinery) collapses them into duplicate clusters.
+    // Output: every vector with its cluster id and a kept flag — the
+    // cluster representative (min vec_id — exactly the propagated
+    // label's fixpoint) survives, the rest are the rows a curation
+    // pipeline drops. Cross-cell near-dups are missed BY DESIGN —
+    // SemDeDup's documented recall trade for never materializing the
+    // all-pairs join.
+    "q145_semantic_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      registerFns(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val w1 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("cell").asc)
+      val assign = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cellCentroidsOf(s, e)))
+        .select(col("vec_id"), col("cell"),
+          expr("quantized_dot(embedding, cav)").as("score"))
+        .withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"))
+        .localCheckpoint()
+      val nemb = normedEmbeddings(s, dir)
+      val edges = assign.select(col("vec_id").as("vec_a"), col("cell"))
+        .join(assign.select(col("vec_id").as("vec_b"), col("cell")), "cell")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+        .join(nemb.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ae"), col("nrm").as("na")), "vec_a")
+        .join(nemb.select(col("vec_id").as("vec_b"),
+          col("embedding").as("be"), col("nrm").as("nb")), "vec_b")
+        .withColumn("cos", expr(
+          s"""cast(${dotSpark("ae", "be")} as double) /
+              sqrt(cast(na as double) * cast(nb as double))"""))
+        .filter(col("cos") >= semDedupCos)
+        .select(col("vec_a"), col("vec_b"))
+        .localCheckpoint()
+      // min-label propagation over the cell-scoped edge set (the q44
+      // iteration: one keyed shuffle per round, labels checkpointed,
+      // scalar convergence test — nothing collects to the driver)
+      val und = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionAll(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        .localCheckpoint()
+      var lbl = und.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val prop = und.join(lbl, und("src") === lbl("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        val next = lbl.unionAll(prop)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+        val changed = next.withColumnRenamed("lbl", "new_lbl")
+          .join(lbl, "id")
+          .filter(col("new_lbl") =!= col("lbl")).count()
+        lbl = next
+        converged = changed == 0
+        iter += 1
+      }
+      e.select(col("vec_id"))
+        .join(lbl.select(col("id").as("vec_id"), col("lbl")), Seq("vec_id"),
+          "left")
+        .select(col("vec_id"), expr("coalesce(lbl, vec_id)").as("cluster_id"))
+        .withColumn("kept", expr("cast(vec_id = cluster_id as int)"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-label centroid statistics (the building block of IVF coarse
     // quantization): quantized component sums -> mean -> L2 norm.
     "q23_label_centroids" -> ((s, dir) => {
@@ -541,6 +625,52 @@ object Similarity {
             FROM scored)
           SELECT qid, nid, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
+    // q145: DuckDB re-derives the whole SemDeDup chain — the q41
+    // centroid assignment (float-rounded centroids, quantized scores,
+    // deterministic rn=1 tie-break), within-cell pairs, exact
+    // quantized-cosine edges, and the q44 recursive transitive closure
+    // whose min reachable id IS min-label propagation's fixpoint.
+    "q145_semantic_dedup" ->
+      s"""WITH RECURSIVE xsrc AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          xs AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM xsrc),
+          csrc AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          cv AS (SELECT label, dim,
+              CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+            FROM csrc),
+          cent AS (SELECT label AS cell, dim,
+              CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
+            FROM cv GROUP BY label, dim),
+          centf AS (SELECT cell, dim, CAST(CAST(av AS FLOAT) AS DOUBLE) AS av FROM cent),
+          scores AS (SELECT xs.vec_id, centf.cell,
+              CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS score
+            FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2),
+          assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+            FROM scores) WHERE rn = 1),
+          nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+          cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM assign a JOIN assign b ON a.cell = b.cell
+            WHERE a.vec_id < b.vec_id),
+          we AS (SELECT vec_a, vec_b, ea.embedding AS ae, eb.embedding AS be,
+              ea.nrm AS na, eb.nrm AS nb
+            FROM cand JOIN nemb ea ON cand.vec_a = ea.vec_id
+                      JOIN nemb eb ON cand.vec_b = eb.vec_id),
+          edges AS (SELECT vec_a, vec_b FROM we
+            WHERE CAST(${dotDuck("ae", "be")} AS DOUBLE) /
+              sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= $semDedupCos),
+          und AS (SELECT vec_a AS src, vec_b AS dst FROM edges
+                  UNION ALL
+                  SELECT vec_b AS src, vec_a AS dst FROM edges),
+          reach(id, lbl) AS (
+            SELECT DISTINCT src AS id, src AS lbl FROM und
+            UNION
+            SELECT u.dst AS id, r.lbl FROM reach r JOIN und u ON u.src = r.id),
+          clusters AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+          SELECT e.vec_id, COALESCE(c.lbl, e.vec_id) AS cluster_id,
+            CAST(CASE WHEN COALESCE(c.lbl, e.vec_id) = e.vec_id
+              THEN 1 ELSE 0 END AS INT) AS kept
+          FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.id
+          ORDER BY e.vec_id""",
     "q23_label_centroids" ->
       """WITH comp AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
           vals AS (SELECT label, dim,
