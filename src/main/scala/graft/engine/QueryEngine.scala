@@ -402,6 +402,20 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Log-linear twin: the same range-count shape from the hdr sketch
+    // when no equi-width histogram serves — clipped edge buckets carry
+    // 1/m-relative mass on heavy-tailed columns instead of one huge
+    // equi-width bucket's.
+    refusing(storedHdrRangeAnswer(servePlan, table)) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(serveResult(posted(df), features, table, "hdr_range", err,
+          "range-predicate count answered from the stored log-linear (HDR) sketch (no scan)",
+          Seq("COUNT(*) with a range predicate interpolated from the stored " +
+            "log-linear sketch (no scan; bounded by the clipped edge " +
+            "buckets' mass — 1/m-relative on any magnitude)"), opts),
+          sql, features, opts)
+      case _ =>
+    }
     // Grouped twin: GROUP BY g under a range predicate — each recorded
     // group's estimate from its own histogram in the grouped blob.
     refusing(storedGroupedRangeAnswer(servePlan, table)) match {
@@ -1567,6 +1581,53 @@ final class QueryEngine(
           case _: AvgOut => cntRel + sumRel
           case _: PctOut => 1.0 / h.buckets + cntRel
         }.foldLeft(0.0)(math.max)
+        Some((spark.range(1).select(cols: _*), err))
+      case _ => None
+    }
+  }
+
+  /** The RELATIVE-error twin of [[storedHistogramRangeAnswer]] for
+    * COUNT shapes: `SELECT count(*) FROM t WHERE <range on x>` served
+    * from a fresh log-linear "hdr" sketch when no equi-width histogram
+    * does — fully covered buckets exact, the (≤2) clipped edge buckets
+    * interpolated with their mass as the bound, the zero bucket's point
+    * mass charged whenever a range bound sits AT 0 (inclusive vs
+    * strict differs by exactly that mass). Count-only: the hdr blob has
+    * no sum rider.
+    */
+  private def storedHdrRangeAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.functions.lit
+    parsed match {
+      case Project(outs, Filter(cond, r: UnresolvedRelation))
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
+            outs.nonEmpty =>
+        val names = outs.map {
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty &&
+                f.nameParts.last.equalsIgnoreCase("count") &&
+                (f.arguments match {
+                  case Seq(_: UnresolvedStar)     => true
+                  case Seq(Literal(v: Number, _)) => v.intValue == 1
+                  case _                          => false
+                }) =>
+            Some(name)
+          case _ => None
+        }
+        if (names.exists(_.isEmpty)) return None
+        val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
+        if (!numericColumn(table, c)) return None
+        val sk = catalog.getSketch(table, c, "hdr")
+          .filter(sketchIsFresh(table, _))
+          .map(s => graft.sketch.HdrSketch.deserialize(s.data))
+          .getOrElse(return None)
+        val (est, boundary) = sk.rangeCount(lowerB, upperB)
+        val err = boundary.toDouble / math.max(1.0, est)
+        val cols = names.flatten.map(n => lit(est).as(n))
         Some((spark.range(1).select(cols: _*), err))
       case _ => None
     }

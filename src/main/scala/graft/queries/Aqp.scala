@@ -1468,6 +1468,45 @@ object Aqp {
         .withColumn("rel_bound", lit(1.0 / 32))
     }),
 
+    // HDR range COUNT (round 11): the price-band count over the
+    // heavy-tailed revenue column served from the log-linear sketch —
+    // fully covered buckets exact, the two clipped edge buckets
+    // interpolated with their (1/m-relative) mass as the bound. The
+    // oracle re-derives the full clip arithmetic; the exact companion
+    // measures the realized error against the bound.
+    "q146_hdr_range_count" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est FROM lineitem " +
+          "WHERE l_extendedprice >= 5000 AND l_extendedprice < 30000")
+      assert(r.servedFromCatalog && r.serveKind.contains("hdr_range"),
+        s"q146 must interpolate the band from the log-linear sketch: " +
+          s"${r.serveKind} (${r.reason})")
+      val exact = Tables.load(s, dir, "lineitem")
+        .agg(expr("sum(case when l_extendedprice >= 5000 and " +
+          "l_extendedprice < 30000 then 1 else 0 end)").as("n_exact"))
+      r.df.crossJoin(exact)
+        .withColumn("rel_err", expr(
+          "abs(n_est - cast(n_exact as double)) / cast(n_exact as double)"))
+    }),
+
+    // HDR zero-edge rule (round 11): `WHERE x > 0` over the zero-heavy
+    // discount column — a range bound AT zero makes the zero bucket's
+    // point mass BOUNDARY mass (inclusive vs strict differ by exactly
+    // it), so the estimate is the exact positive count and the
+    // reported error honestly charges the whole zero bucket. Served
+    // under a loosened budget (the zero mass is ~9% of rows here).
+    "q147_hdr_zero_edge" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_pos FROM lineitem WHERE l_discount > 0",
+        e.Options(maxRelError = 0.2))
+      assert(r.servedFromCatalog && r.serveKind.contains("hdr_range"),
+        s"q147 must serve the zero-edge count from the log-linear " +
+          s"sketch: ${r.serveKind} (${r.reason})")
+      r.df
+    }),
+
     // UNGROUPED star (round 10): the headline KPI — total count and
     // revenue over fact ⋈ dim under a dim filter, NO GROUP BY. All
     // matching dim rows fold into ONE cell; zero joined rows would
@@ -2321,6 +2360,63 @@ object Aqp {
             dfin.p50d - exq.x50d AS err_p50d,
             CAST('0.03125' AS DOUBLE) AS rel_bound
           FROM efin, dfin, exq""",
+    // q146: DuckDB re-derives the hdr range-count clip — bucket
+    // geometry from the corrected-log2 chain, fully covered buckets as
+    // an integer interior sum, the two clipped edge buckets' fractional
+    // terms folded in ascending bucket order (the exact association
+    // HdrSketch.rangeCount uses). Exact companion + realized error.
+    "q146_hdr_range_count" ->
+      """WITH ve AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT CASE WHEN v = 0 THEN 1 ELSE 0 END AS isz,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT isz, e, s, count(*) AS n FROM eb2 GROUP BY 1, 2, 3),
+          geo AS (SELECT e, s, n,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0) AS blo,
+              pow(2.0, CAST(e AS DOUBLE)) / 32.0 AS w
+            FROM ebk WHERE isz = 0),
+          clip AS (SELECT e, s, n, blo, w, blo + w AS bhi,
+              greatest(CAST('5000' AS DOUBLE), blo) AS ovlo,
+              least(CAST('30000' AS DOUBLE), blo + w) AS ovhi
+            FROM geo),
+          kinds AS (SELECT *, CASE WHEN ovhi <= ovlo THEN 'out'
+              WHEN ovlo = blo AND ovhi = bhi THEN 'in'
+              ELSE 'part' END AS kind FROM clip),
+          agg AS (SELECT CAST(COALESCE(sum(CASE WHEN kind = 'in' THEN n END), 0) AS DOUBLE) AS interior
+            FROM kinds),
+          pord AS (SELECT CAST(n AS DOUBLE) * ((ovhi - ovlo) / w) AS term,
+              row_number() OVER (ORDER BY e, s) AS rn
+            FROM kinds WHERE kind = 'part'),
+          est AS (SELECT (agg.interior + COALESCE(p1.term, CAST(0 AS DOUBLE)))
+              + COALESCE(p2.term, CAST(0 AS DOUBLE)) AS n_est
+            FROM agg
+            LEFT JOIN (SELECT term FROM pord WHERE rn = 1) p1 ON TRUE
+            LEFT JOIN (SELECT term FROM pord WHERE rn = 2) p2 ON TRUE),
+          exq AS (SELECT CAST(sum(CASE WHEN l_extendedprice >= 5000
+              AND l_extendedprice < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+            FROM lineitem)
+          SELECT est.n_est, exq.n_exact,
+            abs(est.n_est - CAST(exq.n_exact AS DOUBLE))
+              / CAST(exq.n_exact AS DOUBLE) AS rel_err
+          FROM est, exq""",
+    // q147: the zero-edge rule — `> 0` excludes the zero bucket from
+    // the estimate and charges it to the bound, so the served value is
+    // exactly the positive rowcount (every positive row lands in one
+    // fully covered log bucket).
+    "q147_hdr_zero_edge" ->
+      """SELECT CAST(count(*) AS DOUBLE) AS n_pos FROM lineitem
+          WHERE CAST(l_discount AS DOUBLE) > 0""",
     // q77: DuckDB re-derives the engine's join-AQP answer — the q28
     // constants (sf0.01 lineitem -> 0.02 tier -> threshold 200, HT
     // weight exactly 50.0) through the join. Per-row x*50 and the

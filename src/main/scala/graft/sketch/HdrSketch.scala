@@ -71,7 +71,7 @@ final case class HdrSketch(m: Int, zero: Long,
           (c, -pow2(e) * (1.0 + (s + 1).toDouble / m), pow2(e) / m)
       } ++
         (if (zero > 0) Iterator((zero, 0.0, 0.0)) else Iterator.empty) ++
-        pos.iterator.map { case ((e, s), c) =>
+        pos.sortBy(_._1).iterator.map { case ((e, s), c) =>
           (c, pow2(e) * (1.0 + s.toDouble / m), pow2(e) / m)
         }
     var cum = 0L
@@ -88,6 +88,58 @@ final case class HdrSketch(m: Int, zero: Long,
     }
     // target == n-1 exactly at the end: the last bucket's upper edge
     Some(last._2 + last._3)
+  }
+
+  /** Estimated row count inside a value range, [[Histogram.rangeCount]]'s
+    * discipline on the log grid: buckets FULLY covered contribute their
+    * exact integer counts, the (at most two) partially covered edge
+    * buckets contribute their covered fraction and their full counts go
+    * to the returned absolute error bound. The zero bucket is pure
+    * point mass: strictly inside the range it counts exactly; a range
+    * bound AT 0 makes it boundary mass (inclusive vs strict differs by
+    * exactly that mass, which the caller's error budget sees) and the
+    * estimate excludes it. Every float step is a fixed association of
+    * exact geometry values and single divisions, so an external
+    * re-derivation (the q146 oracle) lands on the identical double.
+    * Returns (estimate, boundary-mass bound).
+    */
+  def rangeCount(lower: Option[Double], upper: Option[Double])
+      : (Double, Long) = {
+    val lo = lower.getOrElse(Double.NegativeInfinity)
+    val hi = upper.getOrElse(Double.PositiveInfinity)
+    if (hi <= lo) return (0.0, 0L)
+    var interior = 0L
+    var boundary = 0L
+    // ascending-order partial terms (an interval clips at most two
+    // nonzero buckets); the fold order below mirrors the oracle
+    var p1 = 0.0
+    var p2 = 0.0
+    var nPart = 0
+    def bucket(c: Long, blo: Double, w: Double): Unit = {
+      val bhi = blo + w
+      val ovLo = math.max(lo, blo)
+      val ovHi = math.min(hi, bhi)
+      if (ovHi > ovLo) {
+        if (ovLo == blo && ovHi == bhi) interior += c
+        else {
+          val term = c.toDouble * ((ovHi - ovLo) / w)
+          if (nPart == 0) p1 = term else p2 = term
+          nPart += 1
+          boundary += c
+        }
+      }
+    }
+    neg.sortBy { case ((e, s), _) => (-e, -s) }.foreach { case ((e, s), c) =>
+      bucket(c, -(pow2(e) * (1.0 + (s + 1).toDouble / m)), pow2(e) / m)
+    }
+    if (zero > 0) {
+      if (lo < 0.0 && hi > 0.0) interior += zero
+      else if (lo == 0.0 || hi == 0.0) boundary += zero
+    }
+    pos.sortBy(_._1).foreach { case ((e, s), c) =>
+      bucket(c, pow2(e) * (1.0 + s.toDouble / m), pow2(e) / m)
+    }
+    ((interior.toDouble + p1) + p2, boundary)
   }
 
   /** Exact merge: per-bucket count addition (the log grid is global by

@@ -361,6 +361,29 @@ class SketchSpec extends SparkSpec {
     assert(HdrSketch(32, 0, Vector.empty, Vector.empty).percentile(0.5).isEmpty)
   }
 
+  test("HdrSketch.rangeCount: covered buckets exact, clipped edges bounded, zero point mass") {
+    import graft.sketch.HdrSketch
+    // m=32: neg (0,0) = [-1.03125, -1) c=3; zero c=5;
+    // pos (0,0) = [1, 1.03125) c=4, (0,16) = [1.5, 1.53125) c=6,
+    // (1,0) = [2, 2.0625) c=10
+    val sk = HdrSketch(32, 5, Vector(((0, 0), 3L)),
+      Vector(((0, 0), 4L), ((0, 16), 6L), ((1, 0), 10L)))
+    // unbounded: everything interior, zero strictly inside
+    assert(sk.rangeCount(None, None) == ((28.0, 0L)))
+    // [1, 2): both covered pos buckets exact, nothing clipped
+    assert(sk.rangeCount(Some(1.0), Some(2.0)) == ((10.0, 0L)))
+    // a half-bucket clip: fraction of the count, full count as bound
+    assert(sk.rangeCount(Some(1.5), Some(1.515625)) == ((3.0, 6L)))
+    // bound AT zero: zero bucket is boundary mass, estimate excludes it
+    assert(sk.rangeCount(Some(0.0), None) == ((20.0, 5L)))
+    // zero strictly inside: exact
+    assert(sk.rangeCount(Some(-2.0), Some(0.5)) == ((8.0, 0L)))
+    // negative-side clip mirrors: [-1.03125, -1.015625) is half of c=3
+    assert(sk.rangeCount(Some(-2.0), Some(-1.015625)) == ((1.5, 3L)))
+    // empty range
+    assert(sk.rangeCount(Some(5.0), Some(4.0)) == ((0.0, 0L)))
+  }
+
   test("a group-key spec matching a schema column keys on the COLUMN, never a parsed expression") {
     import org.apache.spark.sql.functions.expr
     // the table has a column literally named "a+b" AND columns a, b:
