@@ -1598,36 +1598,104 @@ final class QueryEngine(
   private def storedHdrRangeAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       table: String): Option[(DataFrame, Double)] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import org.apache.spark.sql.functions.lit
+    sealed trait HOut { def name: String }
+    case class HCnt(name: String) extends HOut
+    case class HSum(name: String, col: String) extends HOut
+    case class HAvg(name: String, col: String) extends HOut
     parsed match {
       case Project(outs, Filter(cond, r: UnresolvedRelation))
           if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
             outs.nonEmpty =>
-        val names = outs.map {
+        val classified = outs.map {
           case Alias(f: UnresolvedFunction, name)
-              if !f.isDistinct && f.filter.isEmpty &&
-                f.nameParts.last.equalsIgnoreCase("count") &&
-                (f.arguments match {
-                  case Seq(_: UnresolvedStar)     => true
-                  case Seq(Literal(v: Number, _)) => v.intValue == 1
-                  case _                          => false
-                }) =>
-            Some(name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            (f.nameParts.last.toLowerCase, f.arguments) match {
+              case ("count", Seq(_: UnresolvedStar)) => Some(HCnt(name))
+              case ("count", Seq(Literal(v: Number, _))) if v.intValue == 1 =>
+                Some(HCnt(name))
+              case ("sum", Seq(a: UnresolvedAttribute)) =>
+                Some(HSum(name, a.nameParts.last))
+              case ("avg" | "mean", Seq(a: UnresolvedAttribute)) =>
+                Some(HAvg(name, a.nameParts.last))
+              case _ => None
+            }
           case _ => None
         }
-        if (names.exists(_.isEmpty)) return None
+        if (classified.exists(_.isEmpty)) return None
+        val parts = classified.flatten
         val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
+        // SUM/AVG serve only over the range column itself (the hdrsum
+        // rider records exactly that column's per-bucket sums)
+        if (parts.exists {
+          case HSum(_, cc) => !cc.equalsIgnoreCase(c)
+          case HAvg(_, cc) => !cc.equalsIgnoreCase(c)
+          case _           => false
+        }) return None
         if (!numericColumn(table, c)) return None
         val sk = catalog.getSketch(table, c, "hdr")
           .filter(sketchIsFresh(table, _))
           .map(s => graft.sketch.HdrSketch.deserialize(s.data))
           .getOrElse(return None)
-        val (est, boundary) = sk.rangeCount(lowerB, upperB)
-        val err = boundary.toDouble / math.max(1.0, est)
-        val cols = names.flatten.map(n => lit(est).as(n))
+        val (cntEst, cntBoundary) = sk.rangeCount(lowerB, upperB)
+        val cntRel = cntBoundary.toDouble / math.max(1.0, cntEst)
+        val needSums = parts.exists {
+          case _: HSum | _: HAvg => true
+          case _                 => false
+        }
+        // the hdrsum rider: per-(sign, e, s) exact scale-4 decimal
+        // sums — interior buckets add exactly (unscaled addition, one
+        // cast), clipped edge buckets contribute their covered
+        // fraction, |sum| boundary mass is the bound (the histsum
+        // discipline on the log grid)
+        val (sumEst, sumRel): (Option[Double], Double) =
+          if (!needSums) (None, 0.0)
+          else {
+            val bySums = catalog.getSketch(table, c, "hdrsum")
+              .filter(sketchIsFresh(table, _))
+              .map(s => graft.sketch.GroupedHll.unpack(s.data)
+                .collect { case (Some(k), b) => k -> BigInt(b) }.toMap)
+              .getOrElse(return None)
+            def sumOf(k: (Int, Int, Int)): BigInt =
+              bySums.getOrElse(s"${k._1}:${k._2}:${k._3}", BigInt(0))
+            sk.rangeClip(lowerB, upperB) match {
+              case None => (Some(0.0), 0.0) // empty range: SUM of no rows
+              case Some(clip) =>
+                var interior = BigInt(0)
+                clip.interior.foreach { case (k, _) => interior += sumOf(k) }
+                def d(v: BigInt): Double =
+                  new java.math.BigDecimal(v.bigInteger, 4).doubleValue
+                val terms = clip.partial.map { case ((k, _), frac) =>
+                  d(sumOf(k)) * frac
+                }
+                val est = (d(interior) + terms.headOption.getOrElse(0.0)) +
+                  terms.drop(1).headOption.getOrElse(0.0)
+                val bMass = clip.partial.map { case ((k, _), _) =>
+                  math.abs(d(sumOf(k))) }.sum
+                val rel =
+                  if (est != 0.0) bMass / math.abs(est)
+                  else if (bMass > 0.0) Double.PositiveInfinity
+                  else 0.0
+                (Some(est), rel)
+            }
+          }
+        val avgEst: Option[Double] =
+          if (cntEst > 0.0) sumEst.map(_ / cntEst) else None
+        val cols = parts.map {
+          case HCnt(n) => lit(cntEst).as(n)
+          case HSum(n, _) =>
+            sumEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+          case HAvg(n, _) =>
+            avgEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+        }
+        val err = parts.map {
+          case _: HCnt => cntRel
+          case _: HSum => sumRel
+          case _: HAvg => cntRel + sumRel
+        }.foldLeft(0.0)(math.max)
         Some((spark.range(1).select(cols: _*), err))
       case _ => None
     }

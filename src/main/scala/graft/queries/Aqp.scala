@@ -1507,6 +1507,29 @@ object Aqp {
       r.df
     }),
 
+    // HDR range SUM/AVG (round 11): the band's revenue total and mean
+    // from the "hdrsum" rider — interior buckets' exact decimal sums
+    // add, the two clipped edge buckets contribute their covered
+    // fraction, AVG is one division of the two estimates (the histsum
+    // discipline on the log grid, so the bound stays 1/m-RELATIVE on
+    // any magnitude).
+    "q148_hdr_range_sum" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      // AVG charges the first-order cnt+sum combination (~0.063 on
+      // this band at sf0.01 — the 3000 edge sits in a dense region),
+      // which honestly exceeds the default 0.05 budget; the dashboard
+      // opts into 0.1 like the star-band queries do
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(l_extendedprice) AS s_est, " +
+          "avg(l_extendedprice) AS a_est FROM lineitem " +
+          "WHERE l_extendedprice >= 3000 AND l_extendedprice < 50000",
+        e.Options(maxRelError = 0.1))
+      assert(r.servedFromCatalog && r.serveKind.contains("hdr_range"),
+        s"q148 must serve the band sum from the hdrsum rider: " +
+          s"${r.serveKind} (${r.reason})")
+      r.df
+    }),
+
     // UNGROUPED star (round 10): the headline KPI — total count and
     // revenue over fact ⋈ dim under a dim filter, NO GROUP BY. All
     // matching dim rows fold into ONE cell; zero joined rows would
@@ -2417,6 +2440,57 @@ object Aqp {
     "q147_hdr_zero_edge" ->
       """SELECT CAST(count(*) AS DOUBLE) AS n_pos FROM lineitem
           WHERE CAST(l_discount AS DOUBLE) > 0""",
+    // q148: q146's clip chain + the hdrsum rider — interior decimal
+    // sums add exactly and cast once to double, clipped edge buckets'
+    // sums scale by the same covered fraction, AVG = one division.
+    "q148_hdr_range_sum" ->
+      """WITH ve AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT v, CASE WHEN v = 0 THEN 1 ELSE 0 END AS isz,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT isz, e, s, count(*) AS n,
+              sum(CAST(v AS DECIMAL(38,4))) AS s4
+            FROM eb2 GROUP BY 1, 2, 3),
+          geo AS (SELECT e, s, n, s4,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0) AS blo,
+              pow(2.0, CAST(e AS DOUBLE)) / 32.0 AS w
+            FROM ebk WHERE isz = 0),
+          clip AS (SELECT e, s, n, s4, blo, w, blo + w AS bhi,
+              greatest(CAST('3000' AS DOUBLE), blo) AS ovlo,
+              least(CAST('50000' AS DOUBLE), blo + w) AS ovhi
+            FROM geo),
+          kinds AS (SELECT *, CASE WHEN ovhi <= ovlo THEN 'out'
+              WHEN ovlo = blo AND ovhi = bhi THEN 'in'
+              ELSE 'part' END AS kind FROM clip),
+          agg AS (SELECT
+              CAST(COALESCE(sum(CASE WHEN kind = 'in' THEN n END), 0) AS DOUBLE) AS interior,
+              CAST(COALESCE(sum(CASE WHEN kind = 'in' THEN s4 END),
+                CAST(0 AS DECIMAL(38,4))) AS DOUBLE) AS interior_s
+            FROM kinds),
+          pord AS (SELECT CAST(n AS DOUBLE) * ((ovhi - ovlo) / w) AS term_n,
+              CAST(s4 AS DOUBLE) * ((ovhi - ovlo) / w) AS term_s,
+              row_number() OVER (ORDER BY e, s) AS rn
+            FROM kinds WHERE kind = 'part'),
+          est AS (SELECT
+              (agg.interior + COALESCE(p1.term_n, CAST(0 AS DOUBLE)))
+                + COALESCE(p2.term_n, CAST(0 AS DOUBLE)) AS n_est,
+              (agg.interior_s + COALESCE(p1.term_s, CAST(0 AS DOUBLE)))
+                + COALESCE(p2.term_s, CAST(0 AS DOUBLE)) AS s_est
+            FROM agg
+            LEFT JOIN (SELECT term_n, term_s FROM pord WHERE rn = 1) p1 ON TRUE
+            LEFT JOIN (SELECT term_n, term_s FROM pord WHERE rn = 2) p2 ON TRUE)
+          SELECT n_est, s_est, s_est / n_est AS a_est FROM est""",
     // q77: DuckDB re-derives the engine's join-AQP answer — the q28
     // constants (sf0.01 lineitem -> 0.02 tier -> threshold 200, HT
     // weight exactly 50.0) through the join. Per-row x*50 and the

@@ -104,42 +104,63 @@ final case class HdrSketch(m: Int, zero: Long,
     * Returns (estimate, boundary-mass bound).
     */
   def rangeCount(lower: Option[Double], upper: Option[Double])
-      : (Double, Long) = {
+      : (Double, Long) =
+    rangeClip(lower, upper) match {
+      case None => (0.0, 0L)
+      case Some(clip) =>
+        val interior = clip.interior.iterator.map(_._2).sum +
+          (if (clip.zeroInterior) zero else 0L)
+        val boundary = clip.partial.iterator.map(_._1._2).sum +
+          (if (clip.zeroBoundary) zero else 0L)
+        val terms = clip.partial.map { case ((_, c), frac) =>
+          c.toDouble * frac
+        }
+        ((interior.toDouble + terms.headOption.getOrElse(0.0)) +
+          terms.drop(1).headOption.getOrElse(0.0), boundary)
+    }
+
+  /** The clip geometry a range induces on the log grid, shared by
+    * [[rangeCount]] and the engine's sum-rider serve so their bucket
+    * classification can never drift: fully covered nonzero buckets
+    * (ascending value order), the ≤2 partially covered edge buckets
+    * with their covered FRACTION (a single division — the only float
+    * each consumer multiplies by its own per-bucket mass), and the
+    * zero bucket's fate (interior when strictly inside; boundary when
+    * a bound sits AT 0). Bucket keys are (sign, e, s). None = empty
+    * range.
+    */
+  final case class RangeClip(
+      interior: Vector[((Int, Int, Int), Long)],
+      partial: Vector[(((Int, Int, Int), Long), Double)],
+      zeroInterior: Boolean, zeroBoundary: Boolean)
+
+  def rangeClip(lower: Option[Double], upper: Option[Double])
+      : Option[RangeClip] = {
     val lo = lower.getOrElse(Double.NegativeInfinity)
     val hi = upper.getOrElse(Double.PositiveInfinity)
-    if (hi <= lo) return (0.0, 0L)
-    var interior = 0L
-    var boundary = 0L
-    // ascending-order partial terms (an interval clips at most two
-    // nonzero buckets); the fold order below mirrors the oracle
-    var p1 = 0.0
-    var p2 = 0.0
-    var nPart = 0
-    def bucket(c: Long, blo: Double, w: Double): Unit = {
+    if (hi <= lo) return None
+    val ins = Vector.newBuilder[((Int, Int, Int), Long)]
+    val parts = Vector.newBuilder[(((Int, Int, Int), Long), Double)]
+    def bucket(sg: Int, e: Int, s: Int, c: Long, blo: Double, w: Double)
+        : Unit = {
       val bhi = blo + w
       val ovLo = math.max(lo, blo)
       val ovHi = math.min(hi, bhi)
       if (ovHi > ovLo) {
-        if (ovLo == blo && ovHi == bhi) interior += c
-        else {
-          val term = c.toDouble * ((ovHi - ovLo) / w)
-          if (nPart == 0) p1 = term else p2 = term
-          nPart += 1
-          boundary += c
-        }
+        if (ovLo == blo && ovHi == bhi) ins += (((sg, e, s), c))
+        else parts += ((((sg, e, s), c), (ovHi - ovLo) / w))
       }
     }
     neg.sortBy { case ((e, s), _) => (-e, -s) }.foreach { case ((e, s), c) =>
-      bucket(c, -(pow2(e) * (1.0 + (s + 1).toDouble / m)), pow2(e) / m)
+      bucket(-1, e, s, c, -(pow2(e) * (1.0 + (s + 1).toDouble / m)),
+        pow2(e) / m)
     }
-    if (zero > 0) {
-      if (lo < 0.0 && hi > 0.0) interior += zero
-      else if (lo == 0.0 || hi == 0.0) boundary += zero
-    }
+    val zeroIn = zero > 0 && lo < 0.0 && hi > 0.0
+    val zeroBd = zero > 0 && !zeroIn && (lo == 0.0 || hi == 0.0)
     pos.sortBy(_._1).foreach { case ((e, s), c) =>
-      bucket(c, pow2(e) * (1.0 + s.toDouble / m), pow2(e) / m)
+      bucket(1, e, s, c, pow2(e) * (1.0 + s.toDouble / m), pow2(e) / m)
     }
-    ((interior.toDouble + p1) + p2, boundary)
+    Some(RangeClip(ins.result(), parts.result(), zeroIn, zeroBd))
   }
 
   /** Exact merge: per-bucket count addition (the log grid is global by

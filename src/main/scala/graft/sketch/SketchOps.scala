@@ -301,12 +301,24 @@ object SketchOps {
   def createHdr(spark: SparkSession, catalog: MetaCatalog, table: String,
       column: String, m: Int = 32): Int = {
     val total = spark.table(table).count()
-    val sk = hdrAggregate(spark.table(table), column, m,
+    val (sk, sums, sumOverflow) = hdrAggregate(spark.table(table), column, m,
       s"hdr over $table.$column")
     val bytes = sk.serialize
     catalog.upsertSketch(catalog.SketchInfo(table, column, "hdr", bytes,
       s"""{"m":$m,"rows":$total,"nonnull":${sk.n}}""",
       System.currentTimeMillis()))
+    // per-bucket exact scale-4 decimal sums ride into a SECOND blob
+    // ("hdrsum", the log-grid twin of the equi-width "histsum"): the
+    // input to the engine's relative-error range-SUM/AVG serve. A
+    // bucket sum overflowing even decimal(38,4) skips the rider rather
+    // than serve a silently-wrong sum (counts still serve).
+    if (!sumOverflow)
+      catalog.upsertSketch(catalog.SketchInfo(table, column, "hdrsum",
+        GroupedHll.pack(sums.map { case ((sg, e, s), v) =>
+          Option(s"$sg:$e:$s") -> v.toByteArray
+        }),
+        s"""{"m":$m,"rows":$total}""",
+        System.currentTimeMillis()))
     bytes.length
   }
 
@@ -318,7 +330,8 @@ object SketchOps {
     * buckets. NULL/NaN rows have no bucket; ±Infinity refuses.
     */
   private[graft] def hdrAggregate(df: org.apache.spark.sql.DataFrame,
-      column: String, m: Int, what: String): HdrSketch = {
+      column: String, m: Int, what: String)
+      : (HdrSketch, Seq[((Int, Int, Int), BigInt)], Boolean) = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     import org.apache.spark.sql.functions.{count, expr}
     val rows = df
@@ -343,10 +356,14 @@ object SketchOps {
           s"else least(${m - 1}, " +
           "cast(floor((av / power(2.0d, cast(e as double)) - 1.0d) * " +
           s"cast($m as double)) as int)) end as s",
-        "case when abs(v) = double('inf') then 1 else 0 end as inf")
+        "case when abs(v) = double('inf') then 1 else 0 end as inf",
+        "v")
       .groupBy(col("sg"), col("e"), col("s"))
       .agg(count(lit(1)).as("n"),
-        expr("sum(inf)").as("ninf"))
+        expr("sum(inf)").as("ninf"),
+        // per-bucket decimal sums for the "hdrsum" rider — decimal(38,4)
+        // under try_sum (no ANSI throw, no wrap; NULL = overflow)
+        expr("try_sum(cast(v as decimal(38,4)))").as("s4"))
       .collect()
     if (rows.exists(_.getAs[Long]("ninf") > 0L))
       throw new IllegalArgumentException(
@@ -354,15 +371,24 @@ object SketchOps {
     var zero = 0L
     val neg = Vector.newBuilder[((Int, Int), Long)]
     val pos = Vector.newBuilder[((Int, Int), Long)]
+    val sums = Vector.newBuilder[((Int, Int, Int), BigInt)]
+    var sumOverflow = false
     rows.foreach { r =>
       val (sg, e, s, n) =
         (r.getAs[Int]("sg"), r.getAs[Int]("e"), r.getAs[Int]("s"),
           r.getAs[Long]("n"))
       if (sg == 0) zero += n
-      else if (sg < 0) neg += (((e, s), n))
-      else pos += (((e, s), n))
+      else {
+        if (sg < 0) neg += (((e, s), n)) else pos += (((e, s), n))
+        Option(r.getAs[java.math.BigDecimal]("s4")) match {
+          case Some(d) =>
+            sums += (((sg, e, s), BigInt(d.setScale(4).unscaledValue())))
+          case None => sumOverflow = true
+        }
+      }
     }
-    HdrSketch(m, zero, neg.result(), pos.result())
+    (HdrSketch(m, zero, neg.result(), pos.result()), sums.result(),
+      sumOverflow)
   }
 
   /** Build one equi-width histogram PER GROUP over `table.valueCol`

@@ -977,8 +977,13 @@ object EventStreams {
           .exists(batchId <= _)
         if (!alreadyMerged) {
           val total = batch.count()
-          val sk = graft.sketch.SketchOps.hdrAggregate(batch, column, m,
-            s"hdr stream over $table.$column")
+          val (sk, sums, sumOverflow) =
+            graft.sketch.SketchOps.hdrAggregate(batch, column, m,
+              s"hdr stream over $table.$column")
+          if (sumOverflow)
+            throw new IllegalArgumentException(
+              s"hdr stream over $table.$column: a batch bucket sum " +
+                "overflows decimal(38,4)")
           val prevRows = prev
             .flatMap(s => rowsRe.findFirstMatchIn(s.parameters)
               .map(_.group(1).toLong))
@@ -989,6 +994,30 @@ object EventStreams {
             System.currentTimeMillis())) { (p, n) =>
             graft.sketch.HdrSketch.deserialize(p)
               .merge(graft.sketch.HdrSketch.deserialize(n)).serialize
+          }
+          // the "hdrsum" rider folds decimal sums additively under the
+          // SAME replay guard, AFTER the counts: a crash between the
+          // two leaves the rider one batch behind — its stale "rows"
+          // refuses the sum serve while counts keep serving (the safe
+          // direction; a rider-first order could double-count sums on
+          // redelivery)
+          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+            "hdrsum",
+            graft.sketch.GroupedHll.pack(sums.map { case ((sg, e, s), v) =>
+              Option(s"$sg:$e:$s") -> v.toByteArray
+            }),
+            s"""{"m":$m,"rows":${prevRows + total},"last_batch":$batchId}""",
+            System.currentTimeMillis())) { (p, n) =>
+            val a = graft.sketch.GroupedHll.unpack(p)
+              .map { case (k, b) => k -> BigInt(b) }.toMap
+            val b = graft.sketch.GroupedHll.unpack(n)
+              .map { case (k, b0) => k -> BigInt(b0) }
+            val merged = (a.keySet ++ b.map(_._1)).toSeq.map { k =>
+              k -> (a.getOrElse(k, BigInt(0)) +
+                b.collectFirst { case (`k`, v) => v }.getOrElse(BigInt(0)))
+            }
+            graft.sketch.GroupedHll.pack(
+              merged.map { case (k, v) => k -> v.toByteArray })
           }
         }
         ()

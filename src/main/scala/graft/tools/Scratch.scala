@@ -50,6 +50,31 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("--hdrprobe")) {
+      graft.Tables.ensureRegistered(spark, sfDir)
+      val cat = new graft.catalog.MetaCatalog(
+        java.nio.file.Files.createTempDirectory("graft-scr").toString)
+      val eng = new graft.engine.QueryEngine(spark, cat)
+      graft.sketch.SketchOps.createHdr(spark, cat, "lineitem",
+        "l_extendedprice")
+      cat.listSketches(Some("lineitem")).foreach(s =>
+        println(s"[scratch] sketch ${s.sketchType} col=${s.columnName} " +
+          s"params=${s.parameters} bytes=${s.data.length}"))
+      Seq(
+        "SELECT count(*) AS n FROM lineitem " +
+          "WHERE l_extendedprice >= 3000 AND l_extendedprice < 50000",
+        "SELECT count(*) AS n, sum(l_extendedprice) AS s FROM lineitem " +
+          "WHERE l_extendedprice >= 3000 AND l_extendedprice < 50000",
+        "SELECT count(*) AS n, sum(l_extendedprice) AS s, " +
+          "avg(l_extendedprice) AS a FROM lineitem " +
+          "WHERE l_extendedprice >= 3000 AND l_extendedprice < 50000"
+      ).foreach { q =>
+        val r = eng.query(q, eng.Options(maxRelError = 0.5))
+        println(s"[scratch] planType=${r.planType} serveKind=${r.serveKind} " +
+          s"err=${r.estimatedError} reason=${r.reason}")
+      }
+      spark.stop(); return
+    }
     val plan = args.contains("--plan")
     val names =
       if (args.exists(!_.startsWith("--"))) args.filter(!_.startsWith("--")).toSeq

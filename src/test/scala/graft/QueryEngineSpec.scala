@@ -4105,6 +4105,38 @@ class QueryEngineSpec extends SparkSpec {
       s"${rH.serveKind}: ${rH.reason}")
   }
 
+  test("hdr range serve: band count/sum/avg from the sketch + hdrsum rider; bounds honored") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-hdrrange").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 4000)
+      .selectExpr("exp(cast(id % 800 as double) / 100.0d) as v")
+      .createOrReplaceTempView("hdrr_t")
+    graft.sketch.SketchOps.createHdr(spark, cat, "hdrr_t", "v")
+    assert(cat.getSketch("hdrr_t", "v", "hdrsum").isDefined,
+      "createHdr must write the hdrsum rider")
+    val truth = spark.sql(
+      "SELECT count(*) AS n, cast(sum(cast(v as decimal(18,4))) as double) AS s " +
+        "FROM hdrr_t WHERE v >= 10 AND v < 1000").collect().head
+    // EMPTY the view: the answer must come from the blobs
+    spark.range(0).selectExpr("cast(id as double) as v")
+      .createOrReplaceTempView("hdrr_t")
+    val r = eng.query(
+      "SELECT count(*) AS n_est, sum(v) AS s_est, avg(v) AS a_est " +
+        "FROM hdrr_t WHERE v >= 10 AND v < 1000")
+    assert(r.servedFromCatalog && r.serveKind.contains("hdr_range"),
+      s"${r.serveKind}: ${r.reason}")
+    val row = r.df.collect().head
+    val nT = truth.getLong(0).toDouble
+    val sT = truth.getDouble(1)
+    assert(math.abs(row.getDouble(0) - nT) / nT <= 2.0 / 32,
+      s"count ${row.getDouble(0)} vs $nT")
+    assert(math.abs(row.getDouble(1) - sT) / sT <= 2.0 / 32,
+      s"sum ${row.getDouble(1)} vs $sT")
+    assert(row.getDouble(2) == row.getDouble(1) / row.getDouble(0))
+  }
+
   test("a malformed timestamp blob key refuses the serve instead of failing the query") {
     import org.apache.spark.sql.functions.expr
     val cat = new MetaCatalog(
