@@ -1602,10 +1602,16 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
     import org.apache.spark.sql.functions.lit
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
     sealed trait HOut { def name: String }
     case class HCnt(name: String) extends HOut
     case class HSum(name: String, col: String) extends HOut
     case class HAvg(name: String, col: String) extends HOut
+    case class HPct(name: String, col: String, p: Double) extends HOut
     parsed match {
       case Project(outs, Filter(cond, r: UnresolvedRelation))
           if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
@@ -1621,6 +1627,15 @@ final class QueryEngine(
                 Some(HSum(name, a.nameParts.last))
               case ("avg" | "mean", Seq(a: UnresolvedAttribute)) =>
                 Some(HAvg(name, a.nameParts.last))
+              // percentile RESTRICTED to the range: the log grid's
+              // clipped bucket masses bracket the rank —
+              // HdrSketch.rangePercentile (the q111 shape with a
+              // RELATIVE-error sketch behind it)
+              case ("percentile" | "percentile_approx" | "approx_percentile",
+                  Seq(a: UnresolvedAttribute, l: Literal)) =>
+                litDouble(l).map(p => HPct(name, a.nameParts.last, p))
+              case ("median", Seq(a: UnresolvedAttribute)) =>
+                Some(HPct(name, a.nameParts.last, 0.5))
               case _ => None
             }
           case _ => None
@@ -1628,11 +1643,13 @@ final class QueryEngine(
         if (classified.exists(_.isEmpty)) return None
         val parts = classified.flatten
         val (c, lowerB, upperB) = rangeBounds(cond).getOrElse(return None)
-        // SUM/AVG serve only over the range column itself (the hdrsum
-        // rider records exactly that column's per-bucket sums)
+        // SUM/AVG/PERCENTILE serve only over the range column itself
+        // (the hdr sketch and its hdrsum rider model exactly that
+        // column's distribution)
         if (parts.exists {
           case HSum(_, cc) => !cc.equalsIgnoreCase(c)
           case HAvg(_, cc) => !cc.equalsIgnoreCase(c)
+          case HPct(_, cc, _) => !cc.equalsIgnoreCase(c)
           case _           => false
         }) return None
         if (!numericColumn(table, c)) return None
@@ -1668,13 +1685,11 @@ final class QueryEngine(
                 clip.interior.foreach { case (k, _) => interior += sumOf(k) }
                 def d(v: BigInt): Double =
                   new java.math.BigDecimal(v.bigInteger, 4).doubleValue
-                val terms = clip.partial.map { case ((k, _), frac) =>
-                  d(sumOf(k)) * frac
-                }
+                val terms = clip.partial.map(pt => d(sumOf(pt.key)) * pt.frac)
                 val est = (d(interior) + terms.headOption.getOrElse(0.0)) +
                   terms.drop(1).headOption.getOrElse(0.0)
-                val bMass = clip.partial.map { case ((k, _), _) =>
-                  math.abs(d(sumOf(k))) }.sum
+                val bMass = clip.partial.map(pt =>
+                  math.abs(d(sumOf(pt.key)))).sum
                 val rel =
                   if (est != 0.0) bMass / math.abs(est)
                   else if (bMass > 0.0) Double.PositiveInfinity
@@ -1690,11 +1705,18 @@ final class QueryEngine(
             sumEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
           case HAvg(n, _) =>
             avgEst.map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
+          case HPct(n, _, p) =>
+            sk.rangePercentile(lowerB, upperB, p)
+              .map(lit(_)).getOrElse(lit(null).cast("double")).as(n)
         }
+        // percentiles: 1/m relative value error plus the boundary
+        // mass's rank-shift fraction (the equi-width path's rule with
+        // the log grid's relative bound)
         val err = parts.map {
           case _: HCnt => cntRel
           case _: HSum => sumRel
           case _: HAvg => cntRel + sumRel
+          case _: HPct => sk.relErrBound + cntRel
         }.foldLeft(0.0)(math.max)
         Some((spark.range(1).select(cols: _*), err))
       case _ => None

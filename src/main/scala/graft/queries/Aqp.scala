@@ -1530,6 +1530,37 @@ object Aqp {
       r.df
     }),
 
+    // HDR range PERCENTILE (round 11): percentile RESTRICTED to a
+    // value band served from the log-linear sketch's clipped bucket
+    // masses — HdrSketch.rangePercentile's segment rule (the q111
+    // shape with a RELATIVE-error sketch behind it): the left-clipped
+    // edge bucket's covered span first, interior buckets on exact
+    // integer cumulatives, the right-clipped span clamped. The oracle
+    // re-derives the whole chain; exact decimal-rounded companions
+    // measure the realized error against the 1/m + rank-shift bound.
+    "q149_hdr_range_pct" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      // the reported bound is 1/32 + the clipped edge buckets'
+      // rank-shift fraction — the dashboard opts into 0.2
+      val r = e.query(
+        "SELECT percentile(l_extendedprice, 0.5) AS p50b, " +
+          "percentile(l_extendedprice, 0.95) AS p95b FROM lineitem " +
+          "WHERE l_extendedprice >= 5000 AND l_extendedprice < 30000",
+        e.Options(maxRelError = 0.2))
+      assert(r.servedFromCatalog && r.serveKind.contains("hdr_range"),
+        s"q149 must serve the band percentile from the log-linear " +
+          s"sketch: ${r.serveKind} (${r.reason})")
+      def pct(p: String, name: String) =
+        expr(s"cast(cast(percentile(l_extendedprice, $p) " +
+          s"as decimal(18,6)) as double)").as(name)
+      val exact = Tables.load(s, dir, "lineitem")
+        .where("l_extendedprice >= 5000 AND l_extendedprice < 30000")
+        .agg(pct("0.5", "x50b"), pct("0.95", "x95b"))
+      r.df.crossJoin(exact)
+        .withColumn("err_p50b", expr("(p50b - x50b) / x50b"))
+        .withColumn("err_p95b", expr("(p95b - x95b) / x95b"))
+    }),
+
     // UNGROUPED star (round 10): the headline KPI — total count and
     // revenue over fact ⋈ dim under a dim filter, NO GROUP BY. All
     // matching dim rows fold into ONE cell; zero joined rows would
@@ -2491,6 +2522,99 @@ object Aqp {
             LEFT JOIN (SELECT term_n, term_s FROM pord WHERE rn = 1) p1 ON TRUE
             LEFT JOIN (SELECT term_n, term_s FROM pord WHERE rn = 2) p2 ON TRUE)
           SELECT n_est, s_est, s_est / n_est AS a_est FROM est""",
+    // q149: q146's clip chain + HdrSketch.rangePercentile's segment
+    // rule — the left-clipped partial (ovlo > blo) serves first when
+    // its fractional mass reaches p*total, interior buckets walk on
+    // EXACT integer cumulatives (one double addition per comparison),
+    // the right-clipped partial (ovlo = blo) clamps to [0,1]. Every
+    // float association mirrors the Scala walk; exact quantile_cont
+    // companions rounded through DECIMAL(18,6) (the q74 recipe).
+    // Assumes the band spans >1 bucket (no doubly clipped partial) —
+    // true for [5000, 30000) on a 1/32-relative grid.
+    "q149_hdr_range_pct" ->
+      """WITH ve AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT CASE WHEN v = 0 THEN 1 ELSE 0 END AS isz,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT isz, e, s, count(*) AS n FROM eb2 GROUP BY 1, 2, 3),
+          geo AS (SELECT e, s, n,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0) AS blo,
+              pow(2.0, CAST(e AS DOUBLE)) / 32.0 AS w
+            FROM ebk WHERE isz = 0),
+          clip AS (SELECT e, s, n, blo, w, blo + w AS bhi,
+              greatest(CAST('5000' AS DOUBLE), blo) AS ovlo,
+              least(CAST('30000' AS DOUBLE), blo + w) AS ovhi
+            FROM geo),
+          kinds AS (SELECT *, CASE WHEN ovhi <= ovlo THEN 'out'
+              WHEN ovlo = blo AND ovhi = bhi THEN 'in'
+              ELSE 'part' END AS kind FROM clip),
+          pl AS (SELECT n AS ca, ovlo, ovhi,
+              CAST(n AS DOUBLE) * ((ovhi - ovlo) / w) AS ma
+            FROM kinds WHERE kind = 'part' AND ovlo > blo),
+          ph AS (SELECT n AS cb, ovlo, ovhi,
+              CAST(n AS DOUBLE) * ((ovhi - ovlo) / w) AS mb
+            FROM kinds WHERE kind = 'part' AND ovlo = blo),
+          ins AS (SELECT e, s, n, blo, w FROM kinds WHERE kind = 'in'),
+          base AS (SELECT
+              COALESCE((SELECT ma FROM pl), CAST(0 AS DOUBLE)) AS ma,
+              COALESCE((SELECT mb FROM ph), CAST(0 AS DOUBLE)) AS mb,
+              COALESCE((SELECT sum(n) FROM ins), 0) AS it),
+          tot AS (SELECT ma, mb, it,
+              (CAST(it AS DOUBLE) + ma) + mb AS total FROM base),
+          ps AS (SELECT unnest([CAST('0.5' AS DOUBLE),
+              CAST('0.95' AS DOUBLE)]) AS p),
+          tgt AS (SELECT ps.p, tot.ma, tot.mb, tot.it, tot.total,
+              ps.p * tot.total AS target FROM ps CROSS JOIN tot),
+          ord AS (SELECT e, s, n, blo, w,
+              sum(n) OVER (ORDER BY e, s) AS cumi,
+              sum(n) OVER (ORDER BY e, s) - n AS cumb
+            FROM ins),
+          cand AS (SELECT t.p, o.blo, o.w, o.n, o.cumb
+            FROM tgt t JOIN ord o
+              ON o.n > 0 AND t.ma + CAST(o.cumi AS DOUBLE) >= t.target
+            QUALIFY row_number() OVER (PARTITION BY t.p
+              ORDER BY o.e, o.s) = 1),
+          vals AS (SELECT t.p, CASE
+              WHEN t.total <= 0 THEN NULL
+              WHEN COALESCE((SELECT ca FROM pl), 0) > 0 AND t.ma >= t.target
+                THEN (SELECT ovlo FROM pl) +
+                  ((SELECT ovhi FROM pl) - (SELECT ovlo FROM pl))
+                    * (t.target / t.ma)
+              WHEN cand.blo IS NOT NULL
+                THEN cand.blo + cand.w *
+                  ((t.target - (t.ma + CAST(cand.cumb AS DOUBLE)))
+                    / CAST(cand.n AS DOUBLE))
+              WHEN t.mb > 0
+                THEN (SELECT ovlo FROM ph) +
+                  ((SELECT ovhi FROM ph) - (SELECT ovlo FROM ph)) *
+                  least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                    (t.target - (t.ma + CAST(t.it AS DOUBLE))) / t.mb))
+              ELSE (SELECT max(blo + w) FROM ins) END AS v
+            FROM tgt t LEFT JOIN cand ON cand.p = t.p),
+          fin AS (SELECT
+              max(CASE WHEN p = CAST('0.5' AS DOUBLE) THEN v END) AS p50b,
+              max(CASE WHEN p = CAST('0.95' AS DOUBLE) THEN v END) AS p95b
+            FROM vals),
+          exq AS (SELECT
+              CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS x50b,
+              CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS x95b
+            FROM lineitem WHERE l_extendedprice >= 5000
+              AND l_extendedprice < 30000)
+          SELECT fin.p50b, fin.p95b, exq.x50b, exq.x95b,
+            (fin.p50b - exq.x50b) / exq.x50b AS err_p50b,
+            (fin.p95b - exq.x95b) / exq.x95b AS err_p95b
+          FROM fin, exq""",
     // q77: DuckDB re-derives the engine's join-AQP answer — the q28
     // constants (sf0.01 lineitem -> 0.02 tier -> threshold 200, HT
     // weight exactly 50.0) through the join. Per-row x*50 and the

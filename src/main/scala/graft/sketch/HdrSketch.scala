@@ -110,28 +110,32 @@ final case class HdrSketch(m: Int, zero: Long,
       case Some(clip) =>
         val interior = clip.interior.iterator.map(_._2).sum +
           (if (clip.zeroInterior) zero else 0L)
-        val boundary = clip.partial.iterator.map(_._1._2).sum +
+        val boundary = clip.partial.iterator.map(_.c).sum +
           (if (clip.zeroBoundary) zero else 0L)
-        val terms = clip.partial.map { case ((_, c), frac) =>
-          c.toDouble * frac
-        }
+        val terms = clip.partial.map(pt => pt.c.toDouble * pt.frac)
         ((interior.toDouble + terms.headOption.getOrElse(0.0)) +
           terms.drop(1).headOption.getOrElse(0.0), boundary)
     }
 
+  /** A partially covered edge bucket in a [[RangeClip]]: its count,
+    * covered fraction (one division — the float each consumer
+    * multiplies by its own per-bucket mass), and the covered value
+    * span [ovLo, ovHi) the percentile walk interpolates across.
+    */
+  final case class ClipPart(key: (Int, Int, Int), c: Long, frac: Double,
+      ovLo: Double, ovHi: Double)
+
   /** The clip geometry a range induces on the log grid, shared by
-    * [[rangeCount]] and the engine's sum-rider serve so their bucket
-    * classification can never drift: fully covered nonzero buckets
-    * (ascending value order), the ≤2 partially covered edge buckets
-    * with their covered FRACTION (a single division — the only float
-    * each consumer multiplies by its own per-bucket mass), and the
-    * zero bucket's fate (interior when strictly inside; boundary when
-    * a bound sits AT 0). Bucket keys are (sign, e, s). None = empty
-    * range.
+    * [[rangeCount]], [[rangePercentile]] and the engine's sum-rider
+    * serve so their bucket classification can never drift: fully
+    * covered nonzero buckets (ascending value order), the ≤2 partially
+    * covered edge buckets, and the zero bucket's fate (interior when
+    * strictly inside; boundary when a bound sits AT 0). Bucket keys
+    * are (sign, e, s). None = empty range.
     */
   final case class RangeClip(
       interior: Vector[((Int, Int, Int), Long)],
-      partial: Vector[(((Int, Int, Int), Long), Double)],
+      partial: Vector[ClipPart],
       zeroInterior: Boolean, zeroBoundary: Boolean)
 
   def rangeClip(lower: Option[Double], upper: Option[Double])
@@ -140,7 +144,7 @@ final case class HdrSketch(m: Int, zero: Long,
     val hi = upper.getOrElse(Double.PositiveInfinity)
     if (hi <= lo) return None
     val ins = Vector.newBuilder[((Int, Int, Int), Long)]
-    val parts = Vector.newBuilder[(((Int, Int, Int), Long), Double)]
+    val parts = Vector.newBuilder[ClipPart]
     def bucket(sg: Int, e: Int, s: Int, c: Long, blo: Double, w: Double)
         : Unit = {
       val bhi = blo + w
@@ -148,7 +152,7 @@ final case class HdrSketch(m: Int, zero: Long,
       val ovHi = math.min(hi, bhi)
       if (ovHi > ovLo) {
         if (ovLo == blo && ovHi == bhi) ins += (((sg, e, s), c))
-        else parts += ((((sg, e, s), c), (ovHi - ovLo) / w))
+        else parts += ClipPart((sg, e, s), c, (ovHi - ovLo) / w, ovLo, ovHi)
       }
     }
     neg.sortBy { case ((e, s), _) => (-e, -s) }.foreach { case ((e, s), c) =>
@@ -162,6 +166,90 @@ final case class HdrSketch(m: Int, zero: Long,
     }
     Some(RangeClip(ins.result(), parts.result(), zeroIn, zeroBd))
   }
+
+  /** [blo, width) geometry of a nonzero bucket key. */
+  private def geom(k: (Int, Int, Int)): (Double, Double) = {
+    val (sg, e, s) = k
+    val w = pow2(e) / m
+    if (sg < 0) (-(pow2(e) * (1.0 + (s + 1).toDouble / m)), w)
+    else (pow2(e) * (1.0 + s.toDouble / m), w)
+  }
+
+  /** Percentile of the values inside a range — [[Histogram.rangePercentile]]'s
+    * segment rule on the log grid, over the SAME clip classification
+    * as [[rangeCount]]: the low-edge partial's covered span first
+    * (identified structurally: it is the partial whose bucket is
+    * clipped on the LEFT, ovLo > blo), then the fully covered buckets
+    * walked on EXACT integer cumulatives (the zero bucket at its
+    * value-ordered slot, serving 0.0), then the high-edge partial's
+    * span clamped to [0, 1]. Every float step is a fixed association,
+    * so an external re-derivation (the q149 oracle) lands on the
+    * identical double. None = no covered mass (exact execution over
+    * zero rows returns NULL too).
+    */
+  def rangePercentile(lower: Option[Double], upper: Option[Double],
+      p: Double): Option[Double] =
+    rangeClip(lower, upper).flatMap { clip =>
+      val negIn = clip.interior.filter(_._1._1 < 0)
+      val posIn = clip.interior.filter(_._1._1 > 0)
+      val ordered: Vector[((Int, Int, Int), Long)] =
+        negIn ++ (if (clip.zeroInterior) Vector(((0, 0, 0), zero))
+                  else Vector.empty) ++ posIn
+      // both range edges inside ONE bucket: one doubly clipped partial
+      if (ordered.isEmpty && clip.partial.sizeIs == 1 &&
+          clip.partial.head.ovLo > geom(clip.partial.head.key)._1 &&
+          clip.partial.head.ovHi <
+            geom(clip.partial.head.key)._1 + geom(clip.partial.head.key)._2) {
+        val pt = clip.partial.head
+        return if (pt.c == 0L) None
+        else Some(pt.ovLo + (pt.ovHi - pt.ovLo) * p)
+      }
+      val (loParts, hiParts) = clip.partial.partition { pt =>
+        pt.ovLo > geom(pt.key)._1 // left-clipped = the low edge
+      }
+      val ma = loParts.headOption.map(pt => pt.c.toDouble * pt.frac)
+        .getOrElse(0.0)
+      val mb = hiParts.headOption.map(pt => pt.c.toDouble * pt.frac)
+        .getOrElse(0.0)
+      var interiorTotal = 0L
+      ordered.foreach(interiorTotal += _._2)
+      val total = (interiorTotal.toDouble + ma) + mb
+      if (total <= 0.0) None
+      else {
+        val target = p * total
+        if (loParts.nonEmpty && loParts.head.c > 0L && ma >= target) {
+          val pt = loParts.head
+          Some(pt.ovLo + (pt.ovHi - pt.ovLo) * (target / ma))
+        } else {
+          var cum = 0L
+          var hit: Option[Double] = None
+          var i = 0
+          while (i < ordered.size && hit.isEmpty) {
+            val (k, c) = ordered(i)
+            val next = cum + c
+            if (c > 0L && ma + next.toDouble >= target)
+              hit = Some(
+                if (k._1 == 0) 0.0
+                else {
+                  val (blo, w) = geom(k)
+                  blo + w * ((target - (ma + cum.toDouble)) / c.toDouble)
+                })
+            else { cum = next; i += 1 }
+          }
+          hit.orElse(Some {
+            if (hiParts.nonEmpty && mb > 0.0) {
+              val pt = hiParts.head
+              pt.ovLo + (pt.ovHi - pt.ovLo) * math.min(1.0, math.max(0.0,
+                (target - (ma + interiorTotal.toDouble)) / mb))
+            } else if (ordered.nonEmpty) {
+              val (k, _) = ordered.last
+              if (k._1 == 0) 0.0
+              else { val (blo, w) = geom(k); blo + w }
+            } else loParts.head.ovHi
+          })
+        }
+      }
+    }
 
   /** Exact merge: per-bucket count addition (the log grid is global by
     * construction, so any two sketches of the same m merge).

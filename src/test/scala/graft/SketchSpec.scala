@@ -384,6 +384,42 @@ class SketchSpec extends SparkSpec {
     assert(sk.rangeCount(Some(5.0), Some(4.0)) == ((0.0, 0L)))
   }
 
+  test("HdrSketch.rangePercentile: segment rule over the clipped log grid") {
+    import graft.sketch.HdrSketch
+    // the rangeCount fixture: neg (0,0)=[-1.03125,-1) c=3; zero c=5;
+    // pos (0,0)=[1,1.03125) c=4, (0,16)=[1.5,1.53125) c=6,
+    // (1,0)=[2,2.0625) c=10
+    val sk = HdrSketch(32, 5, Vector(((0, 0), 3L)),
+      Vector(((0, 0), 4L), ((0, 16), 6L), ((1, 0), 10L)))
+    // unbounded: everything interior; total 28, target 14 lands in
+    // (0,16) after cum 12 (neg 3 + zero 5 + pos 4)
+    assert(sk.rangePercentile(None, None, 0.5)
+      .contains(1.5 + (1.0 / 32) * ((14.0 - 12.0) / 6.0)))
+    // interior-only range [1,2): total 10, target 5 after cum 4
+    assert(sk.rangePercentile(Some(1.0), Some(2.0), 0.5)
+      .contains(1.5 + (1.0 / 32) * ((5.0 - 4.0) / 6.0)))
+    // left-clipped low edge: [1.515625, 3) halves (0,16) (ma=3) and
+    // fully covers (1,0) (interior 10). target <= ma serves inside
+    // the covered span; past it the interior walk takes over
+    assert(sk.rangePercentile(Some(1.515625), Some(3.0), 0.1)
+      .contains(1.515625 + 0.015625 * ((0.1 * 13.0) / 3.0)))
+    assert(sk.rangePercentile(Some(1.515625), Some(3.0), 0.5)
+      .contains(2.0 + 0.0625 * ((0.5 * 13.0 - 3.0) / 10.0)))
+    // right-clipped high edge: [1, 2.03125) halves (1,0) (mb=5) after
+    // interior 10; target 13.5 interpolates the covered span
+    assert(sk.rangePercentile(Some(1.0), Some(2.03125), 0.9)
+      .contains(2.0 + 0.03125 * ((0.9 * 15.0 - 10.0) / 5.0)))
+    // both edges inside ONE bucket: the doubly clipped partial
+    // interpolates its own span
+    assert(sk.rangePercentile(Some(1.5078125), Some(1.5234375), 0.5)
+      .contains(1.515625))
+    // the zero bucket serves exactly 0.0
+    assert(sk.rangePercentile(Some(-0.5), Some(0.5), 0.5).contains(0.0))
+    // no covered mass -> None (exact over zero rows is NULL)
+    assert(sk.rangePercentile(Some(3.0), Some(4.0), 0.5).isEmpty)
+    assert(sk.rangePercentile(Some(5.0), Some(4.0), 0.5).isEmpty)
+  }
+
   test("a group-key spec matching a schema column keys on the COLUMN, never a parsed expression") {
     import org.apache.spark.sql.functions.expr
     // the table has a column literally named "a+b" AND columns a, b:
