@@ -329,6 +329,21 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Grouped log-linear variant: the same per-group percentile shape
+    // from "hdr_grouped" when no grouped histogram serves. The log
+    // grid is global, so marginal collapse (GROUP BY a over an "a,b"
+    // blob) and residual filters merge EXACTLY — the shapes per-group
+    // equi-width grids refuse.
+    refusing(storedGroupedHdrAnswer(servePlan, table)) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(serveResult(posted(df), features, table, "grouped_hdr", err,
+          "per-group percentile answered from the stored grouped log-linear (HDR) sketch (no scan)",
+          Seq("PERCENTILE/MEDIAN answered per group from the stored grouped " +
+            "log-linear sketch (no scan; within 1/m RELATIVE error per " +
+            "group — the heavy-tail-safe bound; groups merge exactly)"), opts),
+          sql, features, opts)
+      case _ =>
+    }
     // Grouped statistics strategy: SELECT g, MIN/MAX/COUNT/SUM/AVG(x)
     // ... GROUP BY g over the per-group stats blob the grouped
     // histogram build records — exact, zero scan, the grouped twin of
@@ -2985,6 +3000,19 @@ final class QueryEngine(
     else graft.sketch.Histogram.deserialize(a)
       .merge(graft.sketch.Histogram.deserialize(b)).serialize
 
+  /** HDR collapse for partial-key / marginal dispatch: empty payloads
+    * (all-NULL groups) are identities; non-empty payloads add
+    * per-bucket counts, which is EXACT for ANY two groups — the log
+    * grid is the real line's binades, global by construction, so
+    * grouped HDR blobs never have the differing-grid refusal the
+    * per-group equi-width histograms do.
+    */
+  private def hdrMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else graft.sketch.HdrSketch.deserialize(a)
+      .merge(graft.sketch.HdrSketch.deserialize(b)).serialize
+
   /** If the query is `SELECT g..., PERCENTILE(attr, p)... FROM table
     * GROUP BY g...` — optionally under `WHERE g = lit` / `g IN (lits)`
     * (groupKeyFilter: a GROUP BY keeps per-group grids separate, so a
@@ -3079,6 +3107,116 @@ final class QueryEngine(
                   Right((name,
                     hs.map { case (k, h) => k -> h.map(_.percentile(p)) },
                     hs.flatMap { case (_, h) => h.map(x => 1.0 / x.buckets) }
+                      .foldLeft(0.0)(math.max)))
+                }
+            }
+          case _ => None
+        }
+        if (classified.exists(_.isEmpty)) return None
+        val parts = classified.flatten
+        val keyIdx = parts.collect { case Left((_, i)) => i }
+        val estCols = parts.collect { case Right(v) => v }
+        if (keyIdx.toSet != gNames.indices.toSet || estCols.isEmpty)
+          return None
+        val keys = estCols.head._2.map(_._1)
+        if (!estCols.forall(_._2.map(_._1).toSet == keys.toSet)) return None
+        val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
+        val byName = estCols.map { case (n, est, _) => n -> est.toMap }.toMap
+        val rows = keys.map { k =>
+          org.apache.spark.sql.Row.fromSeq(parts.map {
+            case Left((_, i))     => typedKeyValue(kTypes(i), k(i))
+            case Right((n, _, _)) => byName(n)(k).map(Double.box).orNull
+          })
+        }
+        val schema = StructType(parts.map {
+          case Left((n, i))     => StructField(n, kTypes(i), nullable = true)
+          case Right((n, _, _)) => StructField(n, DoubleType, nullable = true)
+        })
+        import scala.jdk.CollectionConverters._
+        Some((spark.createDataFrame(rows.asJava, schema),
+          estCols.map(_._3).max))
+      case _ => None
+    }
+  }
+
+  /** [[storedGroupedHistogramAnswer]]'s RELATIVE-error twin: the same
+    * `SELECT g..., PERCENTILE(attr, p)... GROUP BY g...` shape served
+    * from a fresh "hdr_grouped" blob (SketchOps.createGroupedHdr) when
+    * no grouped equi-width histogram does. Error = 1/m RELATIVE per
+    * group (heavy-tail safe). Because the log grid is GLOBAL, the
+    * partial-key residual collapse AND the marginal collapse (GROUP BY
+    * a over an "a,b" blob) merge EXACTLY — the shapes per-group
+    * equi-width grids refuse at Histogram.merge. All-NULL groups
+    * (empty payloads) serve NULL percentiles; a key filter prunes to
+    * the named groups.
+    */
+  private def storedGroupedHdrAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    parsed match {
+      case Aggregate(gs, outs, child, _) =>
+        val d = aggregateGroupKeys(gs, child, table).getOrElse(return None)
+        val (gNames, keyFilter) = (d.gNames, d.keyFilter)
+        def hdrBlobFor(c: String)
+            : Option[Seq[(Seq[Option[String]], Array[Byte])]] =
+          if (d.residual.isEmpty)
+            groupedBlobFor(table, c, "hdr_grouped", gNames)
+              .orElse(partialGroupedBlobFor(table, c, "hdr_grouped",
+                gNames, Nil, hdrMergeBytes))
+          else
+            partialGroupedBlobFor(table, c, "hdr_grouped",
+              gNames, d.residual, hdrMergeBytes)
+        val lower = gNames.map(_.toLowerCase)
+        val classified = outs.map {
+          case a: UnresolvedAttribute
+              if lower.contains(a.nameParts.last.toLowerCase) =>
+            Some(Left((a.nameParts.last,
+              lower.indexOf(a.nameParts.last.toLowerCase))))
+          case Alias(e, name)
+              if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+            Some(Left((name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase))))
+          case Alias(f: UnresolvedFunction, name)
+              if !f.isDistinct && f.filter.isEmpty =>
+            val colP: Option[(String, Double)] =
+              (f.nameParts.last.toLowerCase, f.arguments) match {
+                case ("percentile" | "percentile_approx" | "approx_percentile",
+                    Seq(a: UnresolvedAttribute, l: Literal)) =>
+                  litDouble(l).map(p => (a.nameParts.last, p))
+                case ("median", Seq(a: UnresolvedAttribute)) =>
+                  Some((a.nameParts.last, 0.5))
+                case _ => None
+              }
+            colP.flatMap { case (c, p) =>
+              hdrBlobFor(c)
+                .map { entries =>
+                  // empty payload = all-NULL group: NULL percentile,
+                  // matching exact GROUP BY output. A key filter
+                  // prunes to the named groups (NULL keys never match
+                  // a literal — SQL IN semantics).
+                  val hs = entries
+                    .filter { case (k, _) =>
+                      keyFilter.forall(_.matches(k.head)) }
+                    .map {
+                      case (k, b) =>
+                        k -> (if (b.isEmpty) None
+                              else Some(graft.sketch.HdrSketch.deserialize(b)))
+                    }
+                  Right((name,
+                    hs.map { case (k, h) => k -> h.flatMap(_.percentile(p)) },
+                    hs.flatMap { case (_, h) => h.map(_.relErrBound) }
                       .foldLeft(0.0)(math.max)))
                 }
             }
@@ -4498,7 +4636,8 @@ final class QueryEngine(
     val kTypes = keyFieldTypes(table, d.gNames).getOrElse(return None)
     // any fresh grouped blob over the right column set carries the
     // complete key list — search the catalog across value columns
-    val groupedTypes = Set("stats_grouped", "hll_grouped", "histogram_grouped")
+    val groupedTypes =
+      Set("stats_grouped", "hll_grouped", "histogram_grouped", "hdr_grouped")
     val keys: Seq[Seq[Option[String]]] = catalog.listSketches(Some(table))
       .iterator
       .filter(s => groupedTypes.contains(s.sketchType))
@@ -4545,7 +4684,8 @@ final class QueryEngine(
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.functions.lit
-    val groupedTypes = Set("stats_grouped", "hll_grouped", "histogram_grouped")
+    val groupedTypes =
+      Set("stats_grouped", "hll_grouped", "histogram_grouped", "hdr_grouped")
     def exactCountFor(cols: Seq[String]): Option[Long] =
       catalog.listSketches(Some(table)).iterator
         .filter(s => groupedTypes.contains(s.sketchType))

@@ -246,6 +246,11 @@ object Aqp {
         "l_extendedprice")
       graft.sketch.SketchOps.createHdr(s, e.catalog, "lineitem",
         "l_discount")
+      // composite per-group log-linear sketches (q150/q151): the
+      // grouped percentile AND its marginal collapse serve from this
+      // one blob — the log grid is global, so groups merge exactly
+      graft.sketch.SketchOps.createGroupedHdr(s, e.catalog, "lineitem",
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
       e
     })
   }
@@ -1561,6 +1566,58 @@ object Aqp {
         .withColumn("err_p95b", expr("(p95b - x95b) / x95b"))
     }),
 
+    // GROUPED HDR percentile (round 11): per-group RELATIVE-error
+    // percentiles from one composite "hdr_grouped" blob — the
+    // heavy-tailed per-group latency dashboard as a catalog lookup.
+    // Exact decimal-rounded companions measure the realized error
+    // against the 1/32 relative bound, per group.
+    "q150_grouped_hdr_pct" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+          "percentile(l_extendedprice, 0.95) AS p95 " +
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
+        s"q150 must serve per-group percentiles from the grouped " +
+          s"log-linear sketch: ${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 1.0 / 32,
+        s"q150 must report the 1/m relative bound: ${r.estimatedError}")
+      val exact = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("xrf"), col("l_linestatus").as("xls"))
+        .agg(expr("cast(cast(percentile(l_extendedprice, 0.95) " +
+          "as decimal(18,6)) as double)").as("x95"))
+      r.df.join(exact, expr("rf = xrf AND ls = xls"))
+        .select(col("rf"), col("ls"), col("p95"), col("x95"),
+          expr("(p95 - x95) / x95").as("rel_err"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // MARGINAL collapse through the grouped HDR blob (round 11):
+    // `GROUP BY l_returnflag` over the (l_returnflag, l_linestatus)
+    // blob — the rollup shape per-group equi-width grids REFUSE at
+    // Histogram.merge. The log grid is global, so the collapsed
+    // sketches are exactly the sketches a direct per-returnflag build
+    // would produce (bucket counts add), and the oracle just groups
+    // by the single key.
+    "q151_hdr_marginal_pct" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_returnflag AS rf, " +
+          "percentile(l_extendedprice, 0.5) AS p50 " +
+          "FROM lineitem GROUP BY l_returnflag")
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
+        s"q151 must collapse the composite blob's marginal exactly: " +
+          s"${r.serveKind} (${r.reason})")
+      val exact = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("xrf"))
+        .agg(expr("cast(cast(percentile(l_extendedprice, 0.5) " +
+          "as decimal(18,6)) as double)").as("x50"))
+      r.df.join(exact, expr("rf = xrf"))
+        .select(col("rf"), col("p50"), col("x50"),
+          expr("(p50 - x50) / x50").as("rel_err"))
+        .orderBy(col("rf"))
+    }),
+
     // UNGROUPED star (round 10): the headline KPI — total count and
     // revenue over fact ⋈ dim under a dim filter, NO GROUP BY. All
     // matching dim rows fold into ONE cell; zero joined rows would
@@ -2615,6 +2672,99 @@ object Aqp {
             (fin.p50b - exq.x50b) / exq.x50b AS err_p50b,
             (fin.p95b - exq.x95b) / exq.x95b AS err_p95b
           FROM fin, exq""",
+    // q150: the q144 hdr percentile chain PER (returnflag, linestatus)
+    // group — corrected-log2 buckets carrying the group key, per-group
+    // cumulatives, HdrSketch.percentile's rank convention (target =
+    // p*(n_g - 1), within 0 for singleton buckets), the same fixed
+    // association lower + width*within. Exact per-group quantile_cont
+    // companions rounded through DECIMAL(18,6) (the q74 recipe).
+    // l_extendedprice is strictly positive, so the value-order walk is
+    // (e, s) ascending (no zero/negative buckets in this data).
+    "q150_grouped_hdr_pct" ->
+      """WITH ve AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+              CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT rf, ls, v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT rf, ls, v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT rf, ls, v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT rf, ls,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT rf, ls, e, s, count(*) AS n
+            FROM eb2 GROUP BY 1, 2, 3, 4),
+          ecm AS (SELECT rf, ls, e, s, n,
+              sum(n) OVER (PARTITION BY rf, ls ORDER BY e, s) - n AS cumb,
+              sum(n) OVER (PARTITION BY rf, ls) AS total FROM ebk),
+          epk AS (SELECT rf, ls, e, s, n, cumb,
+              CAST('0.95' AS DOUBLE) * CAST(total - 1 AS DOUBLE) AS target
+            FROM ecm
+            WHERE cumb + n > CAST('0.95' AS DOUBLE) * CAST(total - 1 AS DOUBLE)
+            QUALIFY row_number() OVER (PARTITION BY rf, ls
+              ORDER BY e, s) = 1),
+          est AS (SELECT rf, ls,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+              + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+                * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+              AS p95 FROM epk),
+          exq AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+              CAST(CAST(quantile_cont(l_extendedprice, 0.95) AS DECIMAL(18,6)) AS DOUBLE) AS x95
+            FROM lineitem GROUP BY 1, 2)
+          SELECT est.rf, est.ls, est.p95, exq.x95,
+            (est.p95 - exq.x95) / exq.x95 AS rel_err
+          FROM est JOIN exq ON est.rf = exq.rf AND est.ls = exq.ls
+          ORDER BY est.rf, est.ls""",
+    // q151: the marginal collapse — the engine merges the composite
+    // blob's per-(rf, ls) sketches across linestatus by adding bucket
+    // counts (exact: the log grid is global), which is bucket-wise
+    // identical to grouping by returnflag alone; the oracle therefore
+    // just runs the q150 chain keyed on rf.
+    "q151_hdr_marginal_pct" ->
+      """WITH ve AS (SELECT l_returnflag AS rf,
+              CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT rf, v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT rf, v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT rf, v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT rf,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT rf, e, s, count(*) AS n FROM eb2 GROUP BY 1, 2, 3),
+          ecm AS (SELECT rf, e, s, n,
+              sum(n) OVER (PARTITION BY rf ORDER BY e, s) - n AS cumb,
+              sum(n) OVER (PARTITION BY rf) AS total FROM ebk),
+          epk AS (SELECT rf, e, s, n, cumb,
+              CAST('0.5' AS DOUBLE) * CAST(total - 1 AS DOUBLE) AS target
+            FROM ecm
+            WHERE cumb + n > CAST('0.5' AS DOUBLE) * CAST(total - 1 AS DOUBLE)
+            QUALIFY row_number() OVER (PARTITION BY rf ORDER BY e, s) = 1),
+          est AS (SELECT rf,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+              + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+                * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+              AS p50 FROM epk),
+          exq AS (SELECT l_returnflag AS rf,
+              CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS x50
+            FROM lineitem GROUP BY 1)
+          SELECT est.rf, est.p50, exq.x50,
+            (est.p50 - exq.x50) / exq.x50 AS rel_err
+          FROM est JOIN exq ON est.rf = exq.rf
+          ORDER BY est.rf""",
     // q77: DuckDB re-derives the engine's join-AQP answer — the q28
     // constants (sf0.01 lineitem -> 0.02 tier -> threshold 200, HT
     // weight exactly 50.0) through the join. Per-row x*50 and the

@@ -329,27 +329,120 @@ object SketchOps {
     * derivation [[HdrSketch]] documents — collecting only the occupied
     * buckets. NULL/NaN rows have no bucket; ±Infinity refuses.
     */
-  private[graft] def hdrAggregate(df: org.apache.spark.sql.DataFrame,
-      column: String, m: Int, what: String)
-      : (HdrSketch, Seq[((Int, Int, Int), BigInt)], Boolean) = {
+  /** Build one log-linear (HDR) quantile sketch PER GROUP over
+    * `table.valueCol`, packed into one "hdr_grouped" catalog blob —
+    * the RELATIVE-error twin of [[createGroupedHistogram]]'s grouped
+    * percentile input, for heavy-tailed value columns. The log grid
+    * is GLOBAL by construction (the real line's binades), so ANY
+    * subset of groups merges EXACTLY by adding bucket counts —
+    * per-group equi-width grids refuse that merge, which is why
+    * marginal collapse (`GROUP BY a` over an "a,b" blob) and IN-list
+    * percentile merges want this blob. Two driver-bounded distributed
+    * passes: per-group rowcounts (the MaxHllGroups refusal + the
+    * freshness rowcount), then per-(group, sign, binade, sub-bucket)
+    * counts (≤ groups × a few hundred occupied buckets). All-NULL
+    * groups are recorded with an empty payload (served as NULL
+    * percentiles — the exact GROUP BY row set); ±Infinity refuses
+    * the build. Returns (serialized size, group count).
+    */
+  def createGroupedHdr(spark: SparkSession, catalog: MetaCatalog,
+      table: String, groupCols: Seq[String], valueCol: String,
+      m: Int = 32): (Int, Int) = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
-    import org.apache.spark.sql.functions.{count, expr}
-    val rows = df
-      .select(col(column).cast("double").as("v"))
+    require(groupCols.nonEmpty, "at least one group column required")
+    requireBijectiveKeys(spark, spark.table(table), groupCols,
+      s"grouped hdr over $table")
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    val tableFields = spark.table(table).schema.fieldNames.toSeq
+    val groupCol = groupCols.mkString(",")
+    val stats = spark.table(table)
+      .groupBy(groupKeyExpr(groupCols, tableFields).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .limit(MaxHllGroups + 1)
+      .collect()
+    if (stats.length > MaxHllGroups)
+      throw new IllegalArgumentException(
+        s"grouped hdr over $table.$groupCol: more than $MaxHllGroups groups")
+    val totalRows = stats.map(_.getAs[Long]("n")).sum
+    val sketches = hdrGroupedAggregate(spark.table(table), groupCols,
+      valueCol, m, s"grouped hdr over $table.$valueCol")
+    // groups with no non-NULL value never reach the bucket pass but
+    // ARE groups: empty payload, served as a NULL percentile
+    val packed = stats.toSeq.map(r => Option(r.getAs[String]("g")))
+      .map(k => k -> sketches.getOrElse(k, Array.empty[Byte]))
+    val bytes = GroupedHll.pack(packed)
+    catalog.upsertSketch(catalog.SketchInfo(table, valueCol, "hdr_grouped",
+      bytes,
+      s"""{"m":$m,"group_by":"$groupCol","groups":${packed.size},"rows":$totalRows}""",
+      System.currentTimeMillis()))
+    (bytes.length, packed.size)
+  }
+
+  /** THE grouped hdr bucket pass, shared by the batch builder above
+    * and the streaming maintainer (EventStreams.maintainGroupedHdrSketch)
+    * so their bucket assignment can never drift: one distributed
+    * aggregate over (group key, sign, binade, sub-bucket), returning
+    * each group-with-values' serialized sketch. Groups whose value
+    * column is all NULL do not appear (the callers record them with
+    * empty payloads); ±Infinity refuses.
+    */
+  private[graft] def hdrGroupedAggregate(df: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], valueCol: String, m: Int, what: String)
+      : Map[Option[String], Array[Byte]] = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    val fields = df.schema.fieldNames.toSeq
+    val rows = hdrBucketed(
+      df.select(groupKeyExpr(groupCols, fields).as("g"),
+        col(valueCol).cast("double").as("v")),
+      m, Seq("g"))
+      .groupBy(col("g"), col("sg"), col("e"), col("s"))
+      .agg(count(lit(1)).as("n"), expr("sum(inf)").as("ninf"))
+      .collect()
+    if (rows.exists(_.getAs[Long]("ninf") > 0L))
+      throw new IllegalArgumentException(
+        s"$what: infinite values have no log bucket")
+    rows.groupBy(r => Option(r.getAs[String]("g"))).map { case (k, rs) =>
+      var zero = 0L
+      val neg = Vector.newBuilder[((Int, Int), Long)]
+      val pos = Vector.newBuilder[((Int, Int), Long)]
+      rs.foreach { r =>
+        val (sg, e, s, n) =
+          (r.getAs[Int]("sg"), r.getAs[Int]("e"), r.getAs[Int]("s"),
+            r.getAs[Long]("n"))
+        if (sg == 0) zero += n
+        else if (sg < 0) neg += (((e, s), n))
+        else pos += (((e, s), n))
+      }
+      k -> HdrSketch(m, zero, neg.result(), pos.result()).serialize
+    }
+  }
+
+  /** The corrected-log2 bucket chain as a DataFrame transform: input
+    * must carry a double column `v` (plus any `keep` columns to carry
+    * through — the grouped builder's key); output has (keep..., sg, e,
+    * s, inf, v). Shared by [[hdrAggregate]] and [[createGroupedHdr]]
+    * so the bucket assignment can never drift between the global and
+    * grouped blobs.
+    */
+  private def hdrBucketed(df: org.apache.spark.sql.DataFrame, m: Int,
+      keep: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val ks = keep.map(k => s"`$k`")
+    df
       .filter("v is not null and not isnan(v)")
-      .selectExpr("v", "abs(v) as av")
-      .selectExpr("v", "av",
+      .selectExpr(ks ++ Seq("v", "abs(v) as av"): _*)
+      .selectExpr(ks ++ Seq("v", "av",
         // infinities park at e0 = 0 (ANSI: cast(floor(log2(inf))) would
         // throw before the refusal below could fire) and refuse after
         // the aggregate via the inf flag
         "case when v = 0.0d or av = double('inf') then 0 " +
-          "else cast(floor(log2(av)) as int) end as e0")
-      .selectExpr("v", "av",
+          "else cast(floor(log2(av)) as int) end as e0"): _*)
+      .selectExpr(ks ++ Seq("v", "av",
         "case when v = 0.0d then 0 " +
           "when power(2.0d, cast(e0 as double)) > av then e0 - 1 " +
           "when power(2.0d, cast(e0 + 1 as double)) <= av then e0 + 1 " +
-          "else e0 end as e")
-      .selectExpr(
+          "else e0 end as e"): _*)
+      .selectExpr(ks ++ Seq(
         "case when v > 0.0d then 1 when v < 0.0d then -1 else 0 end as sg",
         "e",
         s"case when v = 0.0d or av = double('inf') then 0 " +
@@ -357,7 +450,16 @@ object SketchOps {
           "cast(floor((av / power(2.0d, cast(e as double)) - 1.0d) * " +
           s"cast($m as double)) as int)) end as s",
         "case when abs(v) = double('inf') then 1 else 0 end as inf",
-        "v")
+        "v"): _*)
+  }
+
+  private[graft] def hdrAggregate(df: org.apache.spark.sql.DataFrame,
+      column: String, m: Int, what: String)
+      : (HdrSketch, Seq[((Int, Int, Int), BigInt)], Boolean) = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    import org.apache.spark.sql.functions.{count, expr}
+    val rows = hdrBucketed(
+      df.select(col(column).cast("double").as("v")), m, Nil)
       .groupBy(col("sg"), col("e"), col("s"))
       .agg(count(lit(1)).as("n"),
         expr("sum(inf)").as("ninf"),

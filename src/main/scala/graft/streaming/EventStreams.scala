@@ -1025,6 +1025,89 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming GROUPED-HDR maintenance — per-group relative-error
+    * quantile sketches kept LIVE. The log grid is GLOBAL (the real
+    * line's binades), so unlike the grouped histogram there is NO
+    * pre-declared grid: new groups union in freely (bounded by
+    * `SketchOps.MaxHllGroups`) and per-bucket counts add exactly,
+    * making the stream-maintained blob BYTE-equal to a batch
+    * `createGroupedHdr` over the same rows (the shared
+    * `hdrGroupedAggregate` pass + canonical per-sketch serialization).
+    * Groups whose batch values are all NULL are still recorded (empty
+    * payload — the identity of the merge), matching the batch
+    * builder's all-NULL-group contract. Additive merge ⇒ the stored
+    * `last_batch` id skips re-delivered batch ids (single-writer
+    * discipline); a stored blob with a different m refuses.
+    */
+  def maintainGroupedHdrSketch(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      groupCols: Seq[String], valueCol: String,
+      m: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    require(groupCols.nonEmpty, "at least one group column required")
+    val groupCol = groupCols.mkString(",")
+    val lastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+    val mRe = """"m"\s*:\s*(-?\d+)""".r
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = catalog.getSketch(table, valueCol, "hdr_grouped")
+        prev.foreach { s =>
+          val m0 = mRe.findFirstMatchIn(s.parameters).map(_.group(1).toInt)
+          if (!m0.contains(m))
+            throw new IllegalArgumentException(
+              s"grouped hdr over $table.$valueCol: stored blob has m=" +
+                s"${m0.getOrElse(-1)}, maintainer configured $m")
+        }
+        val alreadyMerged = prev
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged) {
+          import org.apache.spark.sql.functions.{count, lit}
+          // all groups in the batch (all-NULL ones included) — the
+          // bucket pass only sees non-NULL values
+          val gs = batch
+            .groupBy(graft.sketch.SketchOps.groupKeyExpr(groupCols,
+              batch.schema.fieldNames.toSeq).as("g"))
+            .agg(count(lit(1)).as("n"))
+            .limit(graft.sketch.SketchOps.MaxHllGroups + 1)
+            .collect()
+          if (gs.length > graft.sketch.SketchOps.MaxHllGroups)
+            throw new IllegalArgumentException(
+              s"grouped hdr over $table.$groupCol: more than " +
+                s"${graft.sketch.SketchOps.MaxHllGroups} groups in one batch")
+          if (gs.nonEmpty) {
+            val sketches = graft.sketch.SketchOps.hdrGroupedAggregate(
+              batch, groupCols, valueCol, m,
+              s"grouped hdr stream over $table.$valueCol")
+            val packed = graft.sketch.GroupedHll.pack(
+              gs.toSeq.map(r => Option(r.getAs[String]("g")))
+                .map(k => k -> sketches.getOrElse(k, Array.empty[Byte])))
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
+              "hdr_grouped", packed,
+              s"""{"m":$m,"group_by":"$groupCol","last_batch":$batchId}""",
+              System.currentTimeMillis())) { (prevB, next) =>
+              val merged = graft.sketch.GroupedHll.mergePacked(prevB, next) {
+                (x, y) =>
+                  if (x.isEmpty) y
+                  else if (y.isEmpty) x
+                  else graft.sketch.HdrSketch.deserialize(x)
+                    .merge(graft.sketch.HdrSketch.deserialize(y)).serialize
+              }
+              if (graft.sketch.GroupedHll.unpack(merged)
+                  .sizeIs > graft.sketch.SketchOps.MaxHllGroups)
+                throw new IllegalArgumentException(
+                  s"grouped hdr over $table.$groupCol: merged group count " +
+                    s"exceeds ${graft.sketch.SketchOps.MaxHllGroups}")
+              merged
+            }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming HEAVY-HITTERS maintenance — the q109/q110 "topk" serve
     * kept live with its exactness INTACT. A naive per-batch threshold
     * filter would lose groups that cross the threshold only

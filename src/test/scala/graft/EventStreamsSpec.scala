@@ -626,6 +626,78 @@ class EventStreamsSpec extends SparkSpec {
     assert(in.getLong(1) == exact("g0").getLong(4) + exact("g2").getLong(4))
   }
 
+  test("stream-maintained grouped HDR byte-equal the batch build; marginal percentile serves live") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-stream-ghdr").toString)
+    val stream = MemoryStream[(String, String, Long)]
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("a", "b",
+        // heavy-tailed value; the a2 group is all-NULL (the builder's
+        // empty-payload contract must hold through the stream too)
+        "case when a = 'a2' then cast(null as double) " +
+          "else exp(cast(raw % 600 as double) / 100.0d) end as v")
+    val q = EventStreams.maintainGroupedHdrSketch(
+      shaped(stream.toDF().toDF("a", "b", "raw")), catalog, "lat_live",
+      Seq("a", "b"), "v")
+    val data = (1L to 900L).map(i => (s"a${i % 3}", s"b${i % 2}", i))
+    data.grouped(300).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // law: BYTE-equal to a one-pass batch build over the same rows —
+    // the log grid is global, so per-bucket counts add exactly and
+    // the canonical serializations coincide
+    shaped(data.toDF("a", "b", "raw")).createOrReplaceTempView("lat_live")
+    val catalog2 = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-batch-ghdr").toString)
+    graft.sketch.SketchOps.createGroupedHdr(
+      spark, catalog2, "lat_live", Seq("a", "b"), "v")
+    val streamed = catalog.getSketch("lat_live", "v", "hdr_grouped")
+    val batch = catalog2.getSketch("lat_live", "v", "hdr_grouped")
+    assert(streamed.isDefined && batch.isDefined)
+    assert(streamed.get.data.sameElements(batch.get.data))
+
+    // replay guard: a re-delivered batch id must not double-count
+    val replay = MemoryStream[(String, String, Long)]
+    val q2 = EventStreams.maintainGroupedHdrSketch(
+      shaped(replay.toDF().toDF("a", "b", "raw")), catalog, "lat_live",
+      Seq("a", "b"), "v")
+    replay.addData(data.take(300).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(catalog.getSketch("lat_live", "v", "hdr_grouped")
+      .get.data.sameElements(batch.get.data),
+      "replayed batch id must be skipped, not re-merged")
+
+    // the engine serves the MARGINAL percentile (GROUP BY a over the
+    // live "a,b" blob — the exact-merge shape) with no scan: the
+    // backing view is EMPTY
+    val exact = spark.sql(
+      "SELECT a, percentile(v, 0.9) AS t FROM lat_live " +
+        "WHERE v IS NOT NULL GROUP BY a").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.range(0).selectExpr("'' as a", "'' as b",
+      "cast(id as double) as v").createOrReplaceTempView("lat_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT a, percentile(v, 0.9) AS p90 FROM lat_live GROUP BY a")
+    assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
+      s"${r.serveKind}: ${r.reason}")
+    val served = r.df.collect().map(x => x.getString(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(served.keySet == Set("a0", "a1", "a2"))
+    assert(served("a2").isEmpty, "all-NULL group must serve NULL")
+    Seq("a0", "a1").foreach { k =>
+      val t = exact(k)
+      assert(math.abs(served(k).get - t) / t <= 2.0 / 32,
+        s"$k: ${served(k)} vs $t")
+    }
+  }
+
   test("stream-maintained COMPOSITE grouped stats byte-equal the batch build; composite serves go live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._

@@ -4167,4 +4167,84 @@ class QueryEngineSpec extends SparkSpec {
     assert(!r.servedFromCatalog, r.reason)
     assert(r.df.count() == 3)
   }
+
+  test("grouped HDR percentiles: composite serve, EXACT marginal collapse, NULL groups") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-hdrg").toString)
+    val eng = new QueryEngine(spark, cat)
+    def mkView(): Unit = spark.range(0, 6000).selectExpr(
+      "concat('a', cast(id % 3 as string)) as a",
+      "concat('b', cast(id % 2 as string)) as b",
+      // heavy tail over ~3 decades; the a2 group is all-NULL
+      "case when id % 3 = 2 then cast(null as double) " +
+        "else exp(cast(id % 700 as double) / 100.0d) end as v")
+      .createOrReplaceTempView("hdrg_t")
+    mkView()
+    val exact = spark.sql(
+      "SELECT a, b, percentile(v, 0.5) AS t FROM hdrg_t " +
+        "WHERE v IS NOT NULL GROUP BY a, b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    graft.sketch.SketchOps.createGroupedHdr(spark, cat, "hdrg_t",
+      Seq("a", "b"), "v")
+    // EMPTY the backing view: every answer below comes from the blob
+    spark.range(0).selectExpr("'' as a", "'' as b",
+      "cast(id as double) as v").createOrReplaceTempView("hdrg_t")
+    val r = eng.query(
+      "SELECT a, b, percentile(v, 0.5) AS p50 FROM hdrg_t GROUP BY a, b")
+    assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
+      s"${r.serveKind}: ${r.reason}")
+    assert(r.estimatedError == 1.0 / 32)
+    val rows = r.df.collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(rows.keySet.sizeIs == 6)
+    // all-NULL groups serve NULL percentiles (the exact row set)
+    assert(rows(("a2", "b0")).isEmpty && rows(("a2", "b1")).isEmpty)
+    exact.foreach { case (k, t) =>
+      assert(math.abs(rows(k).get - t) / t <= 2.0 / 32,
+        s"$k: ${rows(k)} vs $t")
+    }
+    // the MARGINAL (GROUP BY a over the "a,b" blob) serves by EXACT
+    // merge — the shape per-group-grid histograms refuse
+    val rm = eng.query(
+      "SELECT a, percentile(v, 0.9) AS p90 FROM hdrg_t GROUP BY a")
+    assert(rm.servedFromCatalog && rm.serveKind.contains("grouped_hdr"),
+      s"${rm.serveKind}: ${rm.reason}")
+    val mVals = rm.df.collect().map(x => x.getString(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    // ...and is bit-identical to a DIRECT single-key build (the merged
+    // bucket counts are the same integers)
+    mkView()
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-hdrg2").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    graft.sketch.SketchOps.createGroupedHdr(spark, cat2, "hdrg_t",
+      Seq("a"), "v")
+    val r2 = eng2.query(
+      "SELECT a, percentile(v, 0.9) AS p90 FROM hdrg_t GROUP BY a")
+    assert(r2.servedFromCatalog && r2.serveKind.contains("grouped_hdr"),
+      s"${r2.serveKind}: ${r2.reason}")
+    val dVals = r2.df.collect().map(x => x.getString(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(mVals == dVals, s"marginal $mVals vs direct $dVals")
+    // residual filter on the other component prunes then serves
+    val rr = eng.query("SELECT a, percentile(v, 0.5) AS p50 " +
+      "FROM hdrg_t WHERE b = 'b1' GROUP BY a")
+    assert(rr.servedFromCatalog && rr.serveKind.contains("grouped_hdr"),
+      s"${rr.serveKind}: ${rr.reason}")
+    assert(rr.df.count() == 3)
+    // a budget tighter than 1/m refuses
+    val rT = eng.query(
+      "SELECT a, b, percentile(v, 0.5) AS p50 FROM hdrg_t GROUP BY a, b",
+      eng.Options(maxRelError = 0.01))
+    assert(!rT.servedFromCatalog, rT.reason)
+    // a grouped equi-width histogram on the same key set PREEMPTS
+    // (dispatch order — its absolute-bound oracle family stays pinned)
+    graft.sketch.SketchOps.createGroupedHistogram(spark, cat2, "hdrg_t",
+      Seq("a"), "v", 64)
+    val rH = eng2.query(
+      "SELECT a, percentile(v, 0.9) AS p90 FROM hdrg_t GROUP BY a")
+    assert(rH.servedFromCatalog && rH.serveKind.contains("grouped_histogram"),
+      s"${rH.serveKind}: ${rH.reason}")
+  }
 }
