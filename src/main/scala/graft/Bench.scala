@@ -215,6 +215,12 @@ object Bench {
       // blob (different sketch type) is touched.
       graft.sketch.SketchOps.createHdr(spark, catalog, "lineitem_x10",
         "l_tax", 32)
+      // Grouped HDR (round 11): composite (returnflag, linestatus)
+      // log-linear sketches on the same l_tax column (different
+      // sketch type — no clobber); the hdr_group case serves the
+      // MARGINAL rollup by exact log-grid merge.
+      graft.sketch.SketchOps.createGroupedHdr(spark, catalog,
+        "lineitem_x10", Seq("l_returnflag", "l_linestatus"), "l_tax", 32)
       // Filtered/compute-bearing forms: an unfiltered parquet count(*)
       // is metadata-only (exact is ~free), which no sampler can beat —
       // the WHERE forces the scan the reference's SQLite always paid.
@@ -314,6 +320,12 @@ object Bench {
         // percentile, the single most expensive aggregate shape.
         "hdr_pct" -> ("SELECT percentile(l_tax, 0.99) AS p99 " +
           "FROM lineitem_x10"),
+        // Grouped HDR marginal (round 11): GROUP BY one component of
+        // the (returnflag, linestatus) blob — served by exact
+        // log-grid merge; the exact side pays the 6M-row sort-based
+        // per-group percentile.
+        "hdr_group" -> ("SELECT l_linestatus, percentile(l_tax, 0.99) AS p99 " +
+          "FROM lineitem_x10 GROUP BY l_linestatus"),
         // Date serve (round 10): the per-day rollup — GROUP BY an
         // expression key served exactly from the to_date(l_shipdate)-
         // keyed blob (no scan, typed DATE keys) — the exact side pays

@@ -303,10 +303,21 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                 val m = params("m").flatMap(_.num).map(_.toInt).getOrElse(32)
                 if (m < 1 || m > 65536 || (m & (m - 1)) != 0)
                   (400, err(s"m must be a power of two in [1, 65536], got $m"))
-                else {
-                  val size = SketchOps.createHdr(spark, engine.catalog,
-                    table, c, m)
-                  (200, s"""{"status": "ok", "sketch_type": "hdr", "size_bytes": $size, "m": $m}""")
+                else params("group_by").flatMap(_.str) match {
+                  // optional group_by: one log-linear sketch PER GROUP
+                  // ("a,b" = composite keys) — grouped percentiles at
+                  // 1/m RELATIVE error, and because the log grid is
+                  // global, marginals and IN-lists merge EXACTLY (no
+                  // "grid" knob needed, unlike the equi-width family)
+                  case Some(g) =>
+                    val (size, groups) = SketchOps.createGroupedHdr(
+                      spark, engine.catalog, table,
+                      g.split(",").map(_.trim).filter(_.nonEmpty).toSeq, c, m)
+                    (200, s"""{"status": "ok", "sketch_type": "hdr_grouped", "size_bytes": $size, "groups": $groups, "m": $m}""")
+                  case None =>
+                    val size = SketchOps.createHdr(spark, engine.catalog,
+                      table, c, m)
+                    (200, s"""{"status": "ok", "sketch_type": "hdr", "size_bytes": $size, "m": $m}""")
                 }
             }
           // beyond the reference: the join-cardinality primitive — a

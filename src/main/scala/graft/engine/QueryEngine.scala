@@ -5146,6 +5146,23 @@ final class QueryEngine(
             Some(Some(hs.reduce(_ merge _)))
           else None
         }
+        // the HDR fallback for the same shape: the log grid is GLOBAL,
+        // so ANY set of named groups merges exactly — including from a
+        // COMPOSITE blob collapsed over its unfiltered components
+        // (partialGroupedBlobFor), the two cases the per-group-grid
+        // equi-width family refuses. None = no usable sketch; inner
+        // None = no non-empty group named (NULL percentile).
+        def matchedHdrPayloads(c: String): Option[Seq[Array[Byte]]] =
+          groupedBlobFor(table, c, "hdr_grouped", predCols)
+            .orElse(partialGroupedBlobFor(table, c, "hdr_grouped",
+              predCols, Nil, hdrMergeBytes))
+            .map(select)
+        def mergedHdr(ps: Seq[Array[Byte]])
+            : Option[graft.sketch.HdrSketch] = {
+          val hs = ps.filter(_.nonEmpty)
+            .map(graft.sketch.HdrSketch.deserialize)
+          if (hs.isEmpty) None else Some(hs.reduce(_ merge _))
+        }
         var statsRows: Option[Long] = None // rows of the named group(s)
         val classified: Seq[Option[Part]] = outs.map {
           case Alias(f: UnresolvedFunction, name)
@@ -5183,18 +5200,29 @@ final class QueryEngine(
                   }
               case ("percentile" | "percentile_approx" | "approx_percentile",
                   Seq(a: UnresolvedAttribute, l: Literal)) =>
-                for {
-                  p <- litDouble(l)
-                  ps <- matchedPayloads(a.nameParts.last, "histogram_grouped")
-                  h <- mergedHistogram(ps)
-                } yield PctPart(name, h.map(_.percentile(p)),
-                  h.map(x => 1.0 / x.buckets).getOrElse(0.0))
+                litDouble(l).flatMap { p =>
+                  (for {
+                    ps <- matchedPayloads(a.nameParts.last, "histogram_grouped")
+                    h <- mergedHistogram(ps)
+                  } yield PctPart(name, h.map(_.percentile(p)),
+                    h.map(x => 1.0 / x.buckets).getOrElse(0.0)))
+                    .orElse(matchedHdrPayloads(a.nameParts.last).map { ps =>
+                      val h = mergedHdr(ps)
+                      PctPart(name, h.flatMap(_.percentile(p)),
+                        h.map(_.relErrBound).getOrElse(0.0))
+                    })
+                }
               case ("median", Seq(a: UnresolvedAttribute)) =>
-                for {
+                (for {
                   ps <- matchedPayloads(a.nameParts.last, "histogram_grouped")
                   h <- mergedHistogram(ps)
                 } yield PctPart(name, h.map(_.percentile(0.5)),
-                  h.map(x => 1.0 / x.buckets).getOrElse(0.0))
+                  h.map(x => 1.0 / x.buckets).getOrElse(0.0)))
+                  .orElse(matchedHdrPayloads(a.nameParts.last).map { ps =>
+                    val h = mergedHdr(ps)
+                    PctPart(name, h.flatMap(_.percentile(0.5)),
+                      h.map(_.relErrBound).getOrElse(0.0))
+                  })
               case _ => None
             }
           case _ => None

@@ -1618,6 +1618,29 @@ object Aqp {
         .orderBy(col("rf"))
     }),
 
+    // IN-list MERGED percentile from the grouped HDR blob (round 11):
+    // the global aggregate `percentile(x, p) WHERE g IN (...)` — the
+    // named groups' sketches merge exactly (global log grid) even
+    // though they live in a COMPOSITE (returnflag, linestatus) blob
+    // collapsed over linestatus first. Per-group-grid equi-width
+    // histograms refuse BOTH steps; the q99 shared-grid serve needed a
+    // dedicated build — the hdr blob does it with relative error.
+    "q152_hdr_inlist_pct" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT percentile(l_extendedprice, 0.9) AS p90m FROM lineitem " +
+          "WHERE l_returnflag IN ('A', 'R')")
+      assert(r.servedFromCatalog && r.serveKind.contains("filtered_group"),
+        s"q152 must merge the named groups' hdr sketches: " +
+          s"${r.serveKind} (${r.reason})")
+      val exact = Tables.load(s, dir, "lineitem")
+        .where("l_returnflag IN ('A', 'R')")
+        .agg(expr("cast(cast(percentile(l_extendedprice, 0.9) " +
+          "as decimal(18,6)) as double)").as("x90m"))
+      r.df.crossJoin(exact)
+        .withColumn("rel_err", expr("(p90m - x90m) / x90m"))
+    }),
+
     // UNGROUPED star (round 10): the headline KPI — total count and
     // revenue over fact ⋈ dim under a dim filter, NO GROUP BY. All
     // matching dim rows fold into ONE cell; zero joined rows would
@@ -2171,6 +2194,32 @@ object Aqp {
       assert(r.strategy == "sample_join" && r.sampleFraction.exists(_ < 1),
         s"q77 must run the join-AQP strategy: ${r.strategy} (${r.reason})")
       r.df
+    }),
+
+    // PERCENTILE over a JOIN via AQP (round 11): quantiles are
+    // scale-invariant under uniform sampling — every sampled row
+    // carries the same HT weight, so the weights cancel in the rank
+    // and the sample percentile estimates the join percentile with NO
+    // reweighting (the rewrite passes the call through untouched; the
+    // shape join AQP used to leave ungated). The deterministic
+    // keyed-hash membership (q77's sys: lottery) makes the sampled
+    // row set — and hence the percentile — reproducible in DuckDB;
+    // both sides round through DECIMAL(18,6) (the q74 recipe). The
+    // riding count(*) pins the membership itself.
+    "q153_join_aqp_pct" -> ((s, dir) => {
+      val e = engineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, percentile(l_quantity, 0.5) AS p50, " +
+          "count(*) AS n_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          systematicKey = Some("l_orderkey"), ciColumns = false))
+      assert(r.strategy == "sample_join" && r.sampleFraction.exists(_ < 1),
+        s"q153 must run the join-AQP strategy: ${r.strategy} (${r.reason})")
+      r.df.select(col("o_orderpriority"),
+        expr("cast(cast(p50 as decimal(18,6)) as double)").as("p50"),
+        col("n_est"))
     }),
 
     // AQP over a JOIN with the FULL CI-companion contract, oracle-gated
@@ -2765,6 +2814,50 @@ object Aqp {
             (est.p50 - exq.x50) / exq.x50 AS rel_err
           FROM est JOIN exq ON est.rf = exq.rf
           ORDER BY est.rf""",
+    // q152: the IN-list merge — the engine collapses the composite
+    // blob over linestatus, then merges the 'A' and 'R' sketches;
+    // both steps are per-bucket count addition on the global log
+    // grid, so the merged sketch's buckets are exactly the bucket
+    // counts over rows with rf IN ('A','R'), walked with the
+    // FULL-sketch rank convention (target = p*(n-1)).
+    "q152_hdr_inlist_pct" ->
+      """WITH ve AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_returnflag IN ('A', 'R')),
+          ea AS (SELECT v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT e, s, count(*) AS n FROM eb2 GROUP BY 1, 2),
+          ecm AS (SELECT e, s, n,
+              sum(n) OVER (ORDER BY e, s) - n AS cumb,
+              sum(n) OVER () AS total FROM ebk),
+          epk AS (SELECT e, s, n, cumb,
+              CAST('0.9' AS DOUBLE) * CAST(total - 1 AS DOUBLE) AS target
+            FROM ecm
+            WHERE cumb + n > CAST('0.9' AS DOUBLE) * CAST(total - 1 AS DOUBLE)
+            QUALIFY row_number() OVER (ORDER BY e, s) = 1),
+          est AS (SELECT
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+              + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+                * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+              AS p90m FROM epk),
+          exq AS (SELECT
+              CAST(CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS x90m
+            FROM lineitem WHERE l_returnflag IN ('A', 'R'))
+          SELECT est.p90m, exq.x90m,
+            (est.p90m - exq.x90m) / exq.x90m AS rel_err
+          FROM est, exq""",
     // q77: DuckDB re-derives the engine's join-AQP answer — the q28
     // constants (sf0.01 lineitem -> 0.02 tier -> threshold 200, HT
     // weight exactly 50.0) through the join. Per-row x*50 and the
@@ -2777,6 +2870,19 @@ object Aqp {
           SELECT o_orderpriority,
             CAST(count(*) AS DOUBLE) * 50.0 AS n_est,
             CAST(sum(x) AS DOUBLE) * 50.0 AS qty_est
+          FROM k GROUP BY 1 ORDER BY 1""",
+    // q153: q77's membership + the UNWEIGHTED sample percentile per
+    // group (equal HT weights cancel in the rank, so no reweighting
+    // exists to re-derive) — quantile_cont over exactly the lottery's
+    // rows, rounded through DECIMAL(18,6) like the engine's output
+    // column (the q74 recipe); the count pins the membership.
+    "q153_join_aqp_pct" ->
+      s"""WITH k AS (SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS x
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'sys:' || CAST(l_orderkey AS VARCHAR)")} % 10000 < 200)
+          SELECT o_orderpriority,
+            CAST(CAST(quantile_cont(x, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+            CAST(count(*) AS DOUBLE) * 50.0 AS n_est
           FROM k GROUP BY 1 ORDER BY 1""",
     // q78: q77's join membership (tier 0.02 -> threshold 200, weight
     // 50.0) with q28's full CI re-derivation, PER GROUP: DuckDB

@@ -222,6 +222,22 @@ class ApiServerSpec extends SparkSpec {
     assert(codeGQ == 200, bodyGQ)
     assert(parsed(bodyGQ)("plan").flatMap(_("reason")).flatMap(_.str)
       .exists(_.contains("grouped histogram")), bodyGQ.take(400))
+    // grouped HDR over the same route (parameters.group_by on the
+    // "hdr" type; "a,b" = composite keys) — and the MARGINAL rollup
+    // over one component serves by exact log-grid merge, the shape
+    // the per-group-grid histogram family refuses
+    val (codeH, bodyH) = http("POST", "/sketches/create", Some(
+      """{"table": "orders", "column": "o_totalprice", "sketch_type": "hdr",
+         "parameters": {"group_by": "o_orderstatus,o_orderpriority"}}"""))
+    assert(codeH == 200, bodyH)
+    assert(parsed(bodyH)("sketch_type").flatMap(_.str)
+      .contains("hdr_grouped"), bodyH)
+    assert(parsed(bodyH)("groups").flatMap(_.num).exists(_ > 0), bodyH)
+    val (codeHQ, bodyHQ) = http("POST", "/query", Some(
+      """{"sql": "SELECT o_orderpriority, percentile(o_totalprice, 0.9) AS p90 FROM orders GROUP BY o_orderpriority"}"""))
+    assert(codeHQ == 200, bodyHQ)
+    assert(parsed(bodyHQ)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("grouped log-linear")), bodyHQ.take(400))
     // beyond the reference: an AGMS pair over the join keys turns join
     // AQP into an automatic costed decision — no opt-in flag on /query
     val (codeA, bodyA) = http("POST", "/sketches/create", Some(

@@ -4233,6 +4233,14 @@ class QueryEngineSpec extends SparkSpec {
     assert(rr.servedFromCatalog && rr.serveKind.contains("grouped_hdr"),
       s"${rr.serveKind}: ${rr.reason}")
     assert(rr.df.count() == 3)
+    // the IN-list GLOBAL percentile merges the named groups exactly —
+    // through the composite blob collapsed over b first (both steps
+    // per-group-grid histograms refuse)
+    val rI = eng.query("SELECT percentile(v, 0.5) AS p50 FROM hdrg_t " +
+      "WHERE a IN ('a0', 'a1')")
+    assert(rI.servedFromCatalog && rI.serveKind.contains("filtered_group"),
+      s"${rI.serveKind}: ${rI.reason}")
+    assert(!rI.df.collect().head.isNullAt(0))
     // a budget tighter than 1/m refuses
     val rT = eng.query(
       "SELECT a, b, percentile(v, 0.5) AS p50 FROM hdrg_t GROUP BY a, b",
