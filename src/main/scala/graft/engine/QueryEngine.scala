@@ -541,11 +541,27 @@ final class QueryEngine(
         }
         stratSample match {
           case Some(s) =>
+            // frequency-weighted percentiles engage only when every
+            // stratum's HT weight — the graft_weight column carries
+            // 1/fraction_h, computed here with the SAME division — is a
+            // whole number (the deterministic lottery's powers of two
+            // qualify; Neyman/odd-fraction weights would truncate in
+            // the frequency cast, so their percentiles stay unweighted
+            // sample quantiles). StratumInfo.weight itself is NOT the
+            // column (proportional allocation records popSize there).
+            val intWeights = {
+              val fs = catalog.strataFor(s.sampleTable).map(_.fraction)
+              fs.nonEmpty && fs.forall(f => f > 0.0 && {
+                val w = 1.0 / f
+                w >= 1.0 && w == math.rint(w)
+              })
+            }
             val d = SampleRewrite.Directive(table,
               Planner.ReadSampleTable(s.sampleTable, s.fraction),
               weight = Some(SampleRewrite.WeightColumn("graft_weight")),
               rewriteDistinctToHll = false, hllRsd = None,
-              addCiColumns = opts.ciColumns)
+              addCiColumns = opts.ciColumns,
+              weightedPercentiles = intWeights)
             val df = SampleRewrite.rewrite(spark, parsed, d)
             val (spd, err) = StrategyChooser.predict(StrategyChooser.Stratified, tableSize, Some(s.fraction))
             AqeResult(df, "stratified", "stratified", choice.reasoning,

@@ -72,7 +72,16 @@ object SampleRewrite {
       // Bernoulli row sampling this rewrite would be WRONG (rows of one
       // key sample independently), which is why it is opt-in here and
       // never set by the uniform-sample paths.
-      scaleKeyDistinct: Boolean = false)
+      scaleKeyDistinct: Boolean = false,
+      // INTEGER-weight samples only (the deterministic stratified
+      // lottery, whose per-stratum weights are powers of two by
+      // construction): rewrite percentile(x, p) to Spark's
+      // frequency-weighted form percentile(x, p, CAST(w AS BIGINT)) —
+      // each sampled row replays w times, exactly the weighted
+      // empirical CDF the HT estimator implies. The CALLER must have
+      // verified integrality (a fractional weight would truncate);
+      // uniform samples skip it — equal weights cancel in the rank.
+      weightedPercentiles: Boolean = false)
 
   /** Rewrite the parsed plan per the directive and hand it to Spark for
     * analysis + execution.
@@ -119,6 +128,21 @@ object SampleRewrite {
         val x = f.arguments.head
         Divide(fn("sum", Multiply(Cast(x, DoubleType), w)),
           fn("sum", weightIfNotNull(x, w)))
+    }
+
+  /** percentile/median -> Spark's frequency-weighted exact percentile
+    * (see Directive.weightedPercentiles for the contract).
+    */
+  private def weightPcts(e: Expression, w: Expression): Expression =
+    e.transformUp {
+      case f: UnresolvedFunction
+          if isAgg(f, "percentile") && f.arguments.sizeIs == 2 =>
+        fn("percentile", f.arguments.head, f.arguments(1),
+          Cast(w, org.apache.spark.sql.types.LongType))
+      case f: UnresolvedFunction
+          if isAgg(f, "median") && f.arguments.sizeIs == 1 =>
+        fn("percentile", f.arguments.head, Literal(0.5),
+          Cast(w, org.apache.spark.sql.types.LongType))
     }
 
   /** COUNT(DISTINCT x) -> approx_count_distinct(x[, rsd]). */
@@ -188,6 +212,7 @@ object SampleRewrite {
       var out = inner
       if (d.rewriteDistinctToHll) out = sketchAggs(out, d.hllRsd)
       w.foreach { wx => out = weightAggs(out, wx) }
+      if (d.weightedPercentiles) w.foreach { wx => out = weightPcts(out, wx) }
       if (d.scaleKeyDistinct) w.foreach { wx =>
         out = out.transformUp {
           case f: UnresolvedFunction

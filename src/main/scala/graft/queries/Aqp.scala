@@ -2171,6 +2171,32 @@ object Aqp {
       r.df
     }),
 
+    // Frequency-WEIGHTED percentile over the deterministic stratified
+    // sample (round 11): percentile(x, p) rewrites to Spark's
+    // percentile(x, p, w) with the per-stratum integer weight as the
+    // frequency — each sampled row replays w times, exactly the
+    // weighted empirical CDF the HT estimator implies (real-valued
+    // Neyman weights refuse the rewrite; uniform samples skip it —
+    // equal weights cancel in the rank). Deterministic lottery ⇒
+    // DuckDB re-derives the same sample, expands each row w times,
+    // and quantile_cont over the expansion IS Spark's frequency-
+    // weighted definition (target rank p·(Σw−1)).
+    "q155_stratified_pct" -> ((s, dir) => {
+      val e = detEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderstatus, o_orderpriority, " +
+          "percentile(o_custkey, 0.5) AS p50, count(*) AS n_est " +
+          "FROM orders GROUP BY o_orderstatus, o_orderpriority " +
+          "ORDER BY o_orderstatus, o_orderpriority",
+        e.Options(ciColumns = false))
+      assert(r.planType == "stratified" && r.sampleFraction.exists(_ < 1.0),
+        s"q155 must run the stratified strategy: " +
+          s"${r.planType} f=${r.sampleFraction} (${r.reason})")
+      r.df.select(col("o_orderstatus"), col("o_orderpriority"),
+        expr("cast(cast(p50 as decimal(18,6)) as double)").as("p50"),
+        col("n_est"))
+    }),
+
     // AQP over a JOIN through the FULL engine path (beyond the
     // reference, whose planner refuses multi-table queries): the
     // engine picks lineitem as the fact side (largest by rowcount),
@@ -2274,6 +2300,32 @@ object Aqp {
         s"q79 must run universe join sampling at p=0.01: " +
           s"${r.strategy} f=${r.sampleFraction} (${r.reason})")
       r.df
+    }),
+
+    // PERCENTILE through the UNIVERSE lottery (round 11): q153's
+    // weights-cancel argument holds here too — every surviving row
+    // carries the same 1/p weight, so the winners' percentile
+    // estimates the join percentile unweighted. One caveat the oracle
+    // makes visible: the lottery samples KEYS, so rows cluster by
+    // o_orderkey and the effective sample is key-clustered — fine for
+    // a value independent of the key (l_quantity), and the estimate
+    // is still the deterministic winners' exact percentile.
+    "q154_universe_pct" -> ((s, dir) => {
+      val e = uniEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, percentile(l_quantity, 0.5) AS p50, " +
+          "count(*) AS n_est " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(approximateJoins = true, maxRelError = 0.1,
+          ciColumns = false))
+      assert(r.strategy == "sample_universe" &&
+          r.sampleFraction.contains(0.01),
+        s"q154 must run universe join sampling at p=0.01: " +
+          s"${r.strategy} f=${r.sampleFraction} (${r.reason})")
+      r.df.select(col("o_orderpriority"),
+        expr("cast(cast(p50 as decimal(18,6)) as double)").as("p50"),
+        col("n_est"))
     }),
 
     // AQP: universe join sampling with the FULL CI-companion contract
@@ -2928,6 +2980,17 @@ object Aqp {
             CAST(count(*) AS DOUBLE) * 100.0 AS n_est,
             CAST(sum(x) AS DOUBLE) * 100.0 AS qty_est
           FROM k GROUP BY 1 ORDER BY 1""",
+    // q154: q79's membership + the unweighted winners' percentile per
+    // group (q153's weights-cancel rule on the universe path), both
+    // sides DECIMAL(18,6)-rounded; the riding count pins membership.
+    "q154_universe_pct" ->
+      s"""WITH k AS (SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS x
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE ${graft.queries.Dedup.h60Duck("'uv:' || CAST(o_orderkey AS VARCHAR)")} % 10000 < 100)
+          SELECT o_orderpriority,
+            CAST(CAST(quantile_cont(x, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+            CAST(count(*) AS DOUBLE) * 100.0 AS n_est
+          FROM k GROUP BY 1 ORDER BY 1""",
     // q119: q79's membership with the key-distinct scale — the
     // distinct count of surviving o_orderkeys (equal to l_orderkeys in
     // the join) times the exact 100.0 weight; one cast, one multiply.
@@ -3023,6 +3086,29 @@ object Aqp {
             CAST(sum(wh) AS DOUBLE) AS n_est,
             CAST(sum(o_custkey * wh) AS DOUBLE) AS sk_est
           FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q155: q76's deterministic sample, each surviving row EXPANDED
+    // wh times (generate_series lateral) — quantile_cont over the
+    // expansion is Spark's frequency-weighted percentile definition
+    // verbatim (rank p·(Σw−1) in the replayed multiset); count(*) of
+    // the expansion is Σwh, the same HT n_est as q76.
+    "q155_stratified_pct" ->
+      s"""WITH ns AS (SELECT CAST(o_orderstatus AS VARCHAR) AS st,
+              count(*) AS nh FROM orders GROUP BY 1),
+          w AS (SELECT st,
+              CASE WHEN nh // 512 < 1 THEN CAST(1 AS BIGINT)
+                   ELSE CAST(1 AS BIGINT)
+                     << CAST(least(13, length(bin(nh // 512)) - 1) AS INT)
+              END AS wh FROM ns),
+          k AS (SELECT o.o_orderstatus, o.o_orderpriority, o.o_custkey, w.wh
+              FROM orders o JOIN w ON CAST(o.o_orderstatus AS VARCHAR) = w.st
+              WHERE ${graft.queries.Dedup.h60Duck("'q76:' || CAST(o_orderkey AS VARCHAR)")} % 8192 < 8192 // wh),
+          x AS (SELECT o_orderstatus, o_orderpriority, o_custkey,
+              unnest(generate_series(1, CAST(wh AS BIGINT))) AS i
+            FROM k)
+          SELECT o_orderstatus, o_orderpriority,
+            CAST(CAST(quantile_cont(o_custkey, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+            CAST(count(*) AS DOUBLE) AS n_est
+          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     // q72: the oracle predicts what the ImageIO decoder must recover
     // from each generated PNG (Multimodal.pngFor's id arithmetic) —
     // a mismatch means the real codec round-trip corrupted something.

@@ -4168,6 +4168,59 @@ class QueryEngineSpec extends SparkSpec {
     assert(r.df.count() == 3)
   }
 
+  test("stratified percentiles: integer weights replay as frequency; fractional weights stay unweighted") {
+    import org.apache.spark.sql.functions.expr
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-stratpct").toString)
+    val eng = new QueryEngine(spark, cat)
+    spark.range(0, 30000).selectExpr(
+      "concat('s', cast(id % 3 as string)) as st",
+      "concat('g', cast(id % 2 as string)) as g2",
+      "cast((id * 37) % 5000 as long) as v",
+      "cast(id as string) as k")
+      .createOrReplaceTempView("strat_t")
+    graft.sample.Samplers.createStratifiedDeterministic(
+      spark, cat, "strat_t", "st", "k")
+    val r = eng.query(
+      "SELECT st, g2, percentile(v, 0.5) AS p50, count(*) AS n FROM strat_t " +
+        "GROUP BY st, g2", eng.Options(ciColumns = false))
+    assert(r.planType == "stratified", r.reason)
+    // the served value IS the frequency-weighted percentile over the
+    // sample (each row replayed graft_weight times)
+    val sampleTable = r.sampleTable.get
+    val want = spark.sql(
+      s"SELECT st, g2, percentile(v, 0.5, cast(graft_weight as bigint)) " +
+        s"AS p FROM $sampleTable GROUP BY st, g2").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    r.df.collect().foreach { x =>
+      assert(x.getDouble(2) == want((x.getString(0), x.getString(1))),
+        s"${x.getString(0)}/${x.getString(1)}")
+    }
+    // PROPORTIONAL (seeded) weights are fractional: the frequency
+    // rewrite must refuse and the percentile stays the plain sample
+    // quantile (truncating a fractional weight would bias the rank)
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-stratpct2").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    graft.sample.Samplers.createStratified(
+      spark, cat2, "strat_t", "st", 0.3)
+    val r2 = eng2.query(
+      "SELECT st, g2, percentile(v, 0.5) AS p50, count(*) AS n FROM strat_t " +
+        "GROUP BY st, g2", eng2.Options(ciColumns = false))
+    assert(r2.planType == "stratified", r2.reason)
+    val ws = cat2.strataFor(r2.sampleTable.get).map(f => 1.0 / f.fraction)
+    assert(ws.exists(x => x != math.rint(x)),
+      s"fixture must produce fractional HT weights, got $ws")
+    val want2 = spark.sql(
+      s"SELECT st, g2, percentile(v, 0.5) AS p " +
+        s"FROM ${r2.sampleTable.get} GROUP BY st, g2").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    r2.df.collect().foreach { x =>
+      assert(x.getDouble(2) == want2((x.getString(0), x.getString(1))),
+        s"${x.getString(0)}/${x.getString(1)}")
+    }
+  }
+
   test("grouped HDR percentiles: composite serve, EXACT marginal collapse, NULL groups") {
     val cat = new MetaCatalog(
       Files.createTempDirectory("graft-hdrg").toString)
