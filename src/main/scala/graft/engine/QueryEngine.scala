@@ -442,6 +442,20 @@ final class QueryEngine(
           sql, features, opts)
       case _ =>
     }
+    // Log-linear grouped twin: the same per-group range shape from
+    // "hdr_grouped" when no grouped equi-width histogram serves —
+    // counts AND range percentiles at 1/m relative error; residuals
+    // and marginals merge exactly on the global log grid.
+    refusing(storedGroupedHdrRangeAnswer(servePlan, table)) match {
+      case Some((df, err)) if err <= opts.maxRelError =>
+        return finish(serveResult(posted(df), features, table, "grouped_hdr_range", err,
+          "per-group range-predicate count answered from the stored grouped log-linear (HDR) sketch (no scan)",
+          Seq("GROUP BY under a range predicate interpolated per group from " +
+            "the stored grouped log-linear sketch (no scan; 1/m-relative " +
+            "clipped-edge bound per group; groups merge exactly)"), opts),
+          sql, features, opts)
+      case _ =>
+    }
     // Filtered-range twin: a group-equality (or IN) filter AND a range
     // on the value column — the named group(s)' histograms (+ sum
     // riders) answer the band's count/sum/avg/percentile with no scan.
@@ -2098,6 +2112,178 @@ final class QueryEngine(
             case Right((_, SumA))    => maxSum
             case Right((_, AvgA))    => maxCnt + maxSum
             case Right((_, PctA(_))) => bucketTerm + maxCnt
+            case Left(_)             => 0.0
+          }.foldLeft(0.0)(math.max)
+          (spark.createDataFrame(rows.asJava, schema), err)
+        }
+      case _ => None
+    }
+  }
+
+  /** [[storedGroupedRangeAnswer]]'s RELATIVE-error twin: `SELECT g...,
+    * count(*) [, percentile(x, p)...] FROM t WHERE <range on x> GROUP
+    * BY g...` from a fresh "hdr_grouped" blob when no grouped
+    * equi-width histogram serves — per-group clip counts
+    * (HdrSketch.rangeCount) and range percentiles
+    * (HdrSketch.rangePercentile), 1/m-RELATIVE on any magnitude.
+    * COUNT/PERCENTILE only (the hdr blob has no grouped sum rider).
+    * Residual equality/IN conjuncts prune the composite blob, and
+    * because the log grid is global, surviving cells of one output
+    * group — and full MARGINAL collapses — merge EXACTLY (the
+    * shared-grid requirement the equi-width twin imposes does not
+    * exist here). Same row contract as the equi-width twin: one row
+    * per recorded group with positive in-range mass.
+    */
+  private def storedGroupedHdrRangeAnswer(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      table: String): Option[(DataFrame, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    def litDouble(l: Literal): Option[Double] = l.value match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: Number                             => Some(n.doubleValue())
+      case _                                     => None
+    }
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _                      => None
+    }
+    parsed match {
+      case Aggregate(gs, outs, Filter(cond, r: UnresolvedRelation), _)
+          if r.multipartIdentifier.last.equalsIgnoreCase(table) &&
+            gs.nonEmpty && gs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+        val gNames = gs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last)
+        val lower = gNames.map(_.toLowerCase)
+        sealed trait AggOut
+        case object CntA extends AggOut
+        case class PctA(p: Double) extends AggOut
+        var sawAgg = false
+        var valCol: Option[String] = None
+        def anchor(cc: String): Boolean =
+          if (valCol.forall(_.equalsIgnoreCase(cc))) { valCol = Some(cc); true }
+          else false
+        val parts: Seq[Either[(String, Int), (String, AggOut)]] =
+          outs.map {
+            case a: UnresolvedAttribute
+                if lower.contains(a.nameParts.last.toLowerCase) =>
+              Left((a.nameParts.last,
+                lower.indexOf(a.nameParts.last.toLowerCase)))
+            case Alias(e, name)
+                if attrName(e).orElse(exprKeyName(e)).exists(n => lower.contains(n.toLowerCase)) =>
+              Left((name, lower.indexOf(attrName(e).orElse(exprKeyName(e)).get.toLowerCase)))
+            case Alias(f: UnresolvedFunction, name)
+                if f.nameParts.last.equalsIgnoreCase("count") &&
+                  !f.isDistinct && f.filter.isEmpty && (f.arguments match {
+                    case Seq(Literal(v: Number, _)) => v.intValue == 1
+                    case Seq(_: UnresolvedStar)     => true
+                    case _                          => false
+                  }) =>
+              sawAgg = true; Right((name, CntA))
+            case Alias(f: UnresolvedFunction, name)
+                if !f.isDistinct && f.filter.isEmpty &&
+                  Set("percentile", "percentile_approx", "approx_percentile",
+                    "median").contains(f.nameParts.last.toLowerCase) =>
+              val colP = (f.nameParts.last.toLowerCase, f.arguments) match {
+                case ("median", Seq(a: UnresolvedAttribute)) =>
+                  Some((a.nameParts.last, 0.5))
+                case (_, Seq(a: UnresolvedAttribute, l: Literal)) =>
+                  litDouble(l).map(p => (a.nameParts.last, p))
+                case _ => None
+              }
+              colP match {
+                case Some((cc, p)) if anchor(cc) =>
+                  sawAgg = true; Right((name, PctA(p)))
+                case _ => return None
+              }
+            case _ => return None
+          }
+        if (!sawAgg ||
+            parts.collect { case Left((_, i)) => i }.toSet !=
+              gNames.indices.toSet) return None
+        val conj = conjunctsOf(cond)
+        val (cmps, eqsRaw) = conj.partition {
+          case _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+               _: LessThanOrEqual => true
+          case _ => false
+        }
+        if (cmps.isEmpty) return None
+        val (c, lowerB, upperB) = rangeBounds(cmps.reduce(
+          org.apache.spark.sql.catalyst.expressions.And))
+          .getOrElse(return None)
+        if (lower.contains(c.toLowerCase)) return None
+        if (!numericColumn(table, c)) return None
+        if (valCol.exists(!_.equalsIgnoreCase(c))) return None
+        val resid: Seq[(String, Seq[String])] = eqsRaw.map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              a: UnresolvedAttribute, l: Literal) =>
+            typedLitKey(table, a.nameParts.last, l)
+              .map(v => (a.nameParts.last, Seq(v))).getOrElse(return None)
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              l: Literal, a: UnresolvedAttribute) =>
+            typedLitKey(table, a.nameParts.last, l)
+              .map(v => (a.nameParts.last, Seq(v))).getOrElse(return None)
+          case org.apache.spark.sql.catalyst.expressions.In(
+              a: UnresolvedAttribute, lits)
+              if lits.nonEmpty && lits.forall(_.isInstanceOf[Literal]) =>
+            typedInListKeys(table, a.nameParts.last, lits)
+              .map(vs => (a.nameParts.last, vs)).getOrElse(return None)
+          case _ => return None
+        }
+        val residCols = resid.map(_._1)
+        if (residCols.map(_.toLowerCase).distinct.sizeIs != residCols.size)
+          return None
+        if (residCols.exists(rc => rc.equalsIgnoreCase(c) ||
+            lower.contains(rc.toLowerCase))) return None
+        val lookupCols = gNames ++ residCols
+        val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
+        // exact key-set match first; a SUPERSET composite blob also
+        // serves — the unreferenced components collapse exactly on
+        // the global log grid (partialGroupedBlobFor's marginal rule)
+        val blob = groupedBlobFor(table, c, "hdr_grouped", lookupCols)
+          .orElse(partialGroupedBlobFor(table, c, "hdr_grouped",
+            lookupCols, Nil, hdrMergeBytes))
+        blob.map { full =>
+          val entries: Seq[(Seq[Option[String]], Array[Byte])] =
+            full.collect {
+              case (k, b) if resid.zipWithIndex.forall { case ((_, vs), i) =>
+                  k(gNames.size + i).exists(vs.contains) } =>
+                (k, b)
+            }
+          val byPrefix = entries.groupBy(_._1.take(gNames.size)).toSeq
+            .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+          var relBound = 0.0
+          val served = byPrefix.flatMap { case (pk, es) =>
+            val merged = es.map(_._2).reduce(hdrMergeBytes)
+            if (merged.isEmpty) None // all-NULL cell(s): no row passes
+            else {
+              val sk = graft.sketch.HdrSketch.deserialize(merged)
+              relBound = math.max(relBound, sk.relErrBound)
+              val (est, bnd) = sk.rangeCount(lowerB, upperB)
+              if (est <= 0.0) None
+              else Some((pk, sk, est, bnd.toDouble / math.max(1.0, est)))
+            }
+          }
+          val rows = served.map { case (k, sk, est, _) =>
+            org.apache.spark.sql.Row.fromSeq(parts.map {
+              case Left((_, i))        => typedKeyValue(kTypes(i), k(i))
+              case Right((_, CntA))    => Double.box(est)
+              case Right((_, PctA(p))) =>
+                sk.rangePercentile(lowerB, upperB, p)
+                  .map(Double.box).orNull
+            })
+          }
+          val schema = StructType(parts.map {
+            case Left((n, i)) => StructField(n, kTypes(i), nullable = true)
+            case Right((n, a)) =>
+              StructField(n, DoubleType, nullable = a != CntA)
+          })
+          import scala.jdk.CollectionConverters._
+          val maxCnt = served.map(_._4).foldLeft(0.0)(math.max)
+          val err = parts.map {
+            case Right((_, CntA))    => maxCnt
+            case Right((_, PctA(_))) => relBound + maxCnt
             case Left(_)             => 0.0
           }.foldLeft(0.0)(math.max)
           (spark.createDataFrame(rows.asJava, schema), err)

@@ -1618,6 +1618,26 @@ object Aqp {
         .orderBy(col("rf"))
     }),
 
+    // GROUPED HDR range (round 11): per-group band COUNT and
+    // range-restricted PERCENTILE from the composite hdr_grouped blob
+    // collapsed to its returnflag marginal — the grouped twin of
+    // q146/q149 with relative error, and the merge the per-group-grid
+    // equi-width family refuses. One row per recorded group with
+    // positive in-range mass (the q104 contract).
+    "q156_grouped_hdr_range" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_returnflag AS rf, count(*) AS n_est, " +
+          "percentile(l_extendedprice, 0.5) AS p50b FROM lineitem " +
+          "WHERE l_extendedprice >= 5000 AND l_extendedprice < 30000 " +
+          "GROUP BY l_returnflag",
+        e.Options(maxRelError = 0.2))
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr_range"),
+        s"q156 must serve the per-group band from the grouped " +
+          s"log-linear sketch: ${r.serveKind} (${r.reason})")
+      r.df.orderBy(col("rf"))
+    }),
+
     // IN-list MERGED percentile from the grouped HDR blob (round 11):
     // the global aggregate `percentile(x, p) WHERE g IN (...)` — the
     // named groups' sketches merge exactly (global log grid) even
@@ -2866,6 +2886,87 @@ object Aqp {
             (est.p50 - exq.x50) / exq.x50 AS rel_err
           FROM est JOIN exq ON est.rf = exq.rf
           ORDER BY est.rf""",
+    // q156: the per-group clip chain — the engine's marginal merge
+    // over linestatus is bucket-count addition on the global grid, so
+    // the oracle groups by returnflag directly; per-group count via
+    // the q146 association (interior + lo term) + hi term, percentile
+    // via the q149 segment rule PARTITIONed BY group. Assumes the
+    // band spans >1 bucket per group (no doubly clipped partial).
+    "q156_grouped_hdr_range" ->
+      """WITH ve AS (SELECT l_returnflag AS rf,
+              CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT rf, v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT rf, v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT rf, v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT rf,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT rf, e, s, count(*) AS n FROM eb2 GROUP BY 1, 2, 3),
+          geo AS (SELECT rf, e, s, n,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0) AS blo,
+              pow(2.0, CAST(e AS DOUBLE)) / 32.0 AS w
+            FROM ebk),
+          clip AS (SELECT rf, e, s, n, blo, w, blo + w AS bhi,
+              greatest(CAST('5000' AS DOUBLE), blo) AS ovlo,
+              least(CAST('30000' AS DOUBLE), blo + w) AS ovhi
+            FROM geo),
+          kinds AS (SELECT *, CASE WHEN ovhi <= ovlo THEN 'out'
+              WHEN ovlo = blo AND ovhi = bhi THEN 'in'
+              ELSE 'part' END AS kind FROM clip),
+          pl AS (SELECT rf, n AS ca, ovlo AS alo, ovhi AS ahi,
+              CAST(n AS DOUBLE) * ((ovhi - ovlo) / w) AS ma
+            FROM kinds WHERE kind = 'part' AND ovlo > blo),
+          ph AS (SELECT rf, ovlo AS plo, ovhi AS phi,
+              CAST(n AS DOUBLE) * ((ovhi - ovlo) / w) AS mb
+            FROM kinds WHERE kind = 'part' AND ovlo = blo),
+          ins AS (SELECT rf, e, s, n, blo, w FROM kinds WHERE kind = 'in'),
+          itot AS (SELECT rf, sum(n) AS it FROM ins GROUP BY 1),
+          base AS (SELECT g.rf,
+              COALESCE(pl.ma, CAST(0 AS DOUBLE)) AS ma,
+              COALESCE(ph.mb, CAST(0 AS DOUBLE)) AS mb,
+              COALESCE(itot.it, 0) AS it,
+              pl.alo, pl.ahi, pl.ca, ph.plo, ph.phi
+            FROM (SELECT DISTINCT rf FROM kinds WHERE kind <> 'out') g
+            LEFT JOIN pl ON pl.rf = g.rf
+            LEFT JOIN ph ON ph.rf = g.rf
+            LEFT JOIN itot ON itot.rf = g.rf),
+          tgt AS (SELECT *, CAST('0.5' AS DOUBLE) * total AS target FROM
+            (SELECT *, (CAST(it AS DOUBLE) + ma) + mb AS total
+             FROM base) tt),
+          ord AS (SELECT rf, e, s, n, blo, w,
+              sum(n) OVER (PARTITION BY rf ORDER BY e, s) AS cumi,
+              sum(n) OVER (PARTITION BY rf ORDER BY e, s) - n AS cumb
+            FROM ins),
+          cand AS (SELECT t.rf, o.blo, o.w, o.n, o.cumb
+            FROM tgt t JOIN ord o ON o.rf = t.rf
+              AND o.n > 0 AND t.ma + CAST(o.cumi AS DOUBLE) >= t.target
+            QUALIFY row_number() OVER (PARTITION BY t.rf
+              ORDER BY o.e, o.s) = 1),
+          vals AS (SELECT t.rf, t.total, CASE
+              WHEN t.total <= 0 THEN NULL
+              WHEN COALESCE(t.ca, 0) > 0 AND t.ma >= t.target
+                THEN t.alo + (t.ahi - t.alo) * (t.target / t.ma)
+              WHEN cand.blo IS NOT NULL
+                THEN cand.blo + cand.w *
+                  ((t.target - (t.ma + CAST(cand.cumb AS DOUBLE)))
+                    / CAST(cand.n AS DOUBLE))
+              WHEN t.mb > 0
+                THEN t.plo + (t.phi - t.plo) *
+                  least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+                    (t.target - (t.ma + CAST(t.it AS DOUBLE))) / t.mb))
+              ELSE (SELECT max(i.blo + i.w) FROM ins i WHERE i.rf = t.rf)
+              END AS v
+            FROM tgt t LEFT JOIN cand ON cand.rf = t.rf)
+          SELECT rf, total AS n_est, v AS p50b FROM vals
+          WHERE total > 0 ORDER BY rf""",
     // q152: the IN-list merge — the engine collapses the composite
     // blob over linestatus, then merges the 'A' and 'R' sketches;
     // both steps are per-bucket count addition on the global log
