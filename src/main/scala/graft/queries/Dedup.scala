@@ -303,6 +303,36 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // CONTAINMENT near-dup pairs (round 11): the ASYMMETRIC complement
+    // of q19 — containment = |A∩B| / min(|A|, |B|) flags a short
+    // document EMBEDDED in a longer one (quoted posts, boilerplate
+    // wrappers, copy-paste supersets), the pair symmetric Jaccard
+    // dilutes below threshold as the long side grows. Same df-guarded
+    // posting-list self-join as q19 (the exchange is reused — no new
+    // shuffle), one extra integer min and one division; the jaccard
+    // column rides along so downstream policy can separate "same doc"
+    // from "contains doc".
+    "q157_containment" -> ((s, dir) => {
+      val ex = shingleHashes(s, dir)
+      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val kept = ex
+        .join(dfreq.filter(col("df") <= maxShingleDf).select(col("h")), "h")
+      val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = kept.as("a")
+        .join(kept.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("containment", expr("cast(i as double) / least(na, nb)"))
+        .filter(col("containment") >= 0.8)
+        .withColumn("jaccard", expr("cast(i as double) / (na + nb - i)"))
+        .select(col("doc_a"), col("doc_b"), col("containment"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SimHash: 64-bit signature; bit b is the sign of the count-weighted
     // sum of (2*bit_b(md5(token)) - 1) over the doc's tokens. Computed as
     // ONE hash-aggregate with 64 constant-folded bit-sum columns
@@ -400,6 +430,26 @@ object Dedup {
           JOIN cnt ca ON inter.doc_a = ca.doc_id
           JOIN cnt cb ON inter.doc_b = cb.doc_id
           WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) > 0.5
+          ORDER BY doc_a, doc_b""",
+    // q157: q19's chain with the asymmetric containment ratio —
+    // i / least(na, nb) — and the jaccard rider; both single
+    // divisions of exact integers (bit-portable).
+    "q157_containment" ->
+      s"""WITH ex AS ($duckShingleHashes),
+          dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+          kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
+                   WHERE dfreq.df <= $maxShingleDf),
+          cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+            CAST(i AS DOUBLE) / least(ca.n, cb.n) AS containment,
+            CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+          FROM inter
+          JOIN cnt ca ON inter.doc_a = ca.doc_id
+          JOIN cnt cb ON inter.doc_b = cb.doc_id
+          WHERE CAST(i AS DOUBLE) / least(ca.n, cb.n) >= 0.8
           ORDER BY doc_a, doc_b""",
     "q20_simhash" ->
       """WITH tc AS (SELECT doc_id, tok, count(*) AS cnt
