@@ -251,6 +251,10 @@ object Aqp {
       // one blob — the log grid is global, so groups merge exactly
       graft.sketch.SketchOps.createGroupedHdr(s, e.catalog, "lineitem",
         Seq("l_returnflag", "l_linestatus"), "l_extendedprice")
+      // expression-keyed per-DAY sketches (q158): the time-series p99
+      // dashboard — to_date(ts) keys, ~30 days at every test SF
+      graft.sketch.SketchOps.createGroupedHdr(s, e.catalog, "events",
+        Seq("to_date(ts)"), "value")
       e
     })
   }
@@ -1618,6 +1622,27 @@ object Aqp {
         .orderBy(col("rf"))
     }),
 
+    // Per-DAY p99 dashboard (round 11): percentile(value, 0.99) GROUP
+    // BY to_date(ts) under a "last N days" date range — the
+    // time-series latency dashboard as ONE catalog lookup. The
+    // expression-keyed hdr_grouped blob serves each surviving day's
+    // relative-error percentile; the date comparison widens to epoch
+    // days and prunes the recorded keys exactly (the q141 key-range
+    // machinery composing with the grouped HDR serve).
+    "q158_daily_p99" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT to_date(ts) AS day, percentile(value, 0.99) AS p99 " +
+          "FROM events WHERE to_date(ts) >= DATE '2024-01-21' " +
+          "GROUP BY to_date(ts)")
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
+        s"q158 must serve the per-day p99 from the expression-keyed " +
+          s"log-linear blob: ${r.serveKind} (${r.reason})")
+      assert(r.estimatedError == 1.0 / 32,
+        s"q158 must report the 1/m relative bound: ${r.estimatedError}")
+      r.df.orderBy(col("day"))
+    }),
+
     // GROUPED HDR range (round 11): per-group band COUNT and
     // range-restricted PERCENTILE from the composite hdr_grouped blob
     // collapsed to its returnflag marginal — the grouped twin of
@@ -2886,6 +2911,45 @@ object Aqp {
             (est.p50 - exq.x50) / exq.x50 AS rel_err
           FROM est JOIN exq ON est.rf = exq.rf
           ORDER BY est.rf""",
+    // q158: the q150 per-group percentile chain keyed by calendar day
+    // under the date filter — the engine prunes recorded day keys by
+    // the widened epoch-day comparison, which equals filtering the
+    // rows by CAST(ts AS DATE) before bucketing.
+    "q158_daily_p99" ->
+      """WITH ve AS (SELECT CAST(ts AS DATE) AS day,
+              CAST(value AS DOUBLE) AS v FROM events
+              WHERE value IS NOT NULL
+                AND CAST(ts AS DATE) >= DATE '2024-01-21'),
+          ea AS (SELECT day, v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT day, v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT day, v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT day,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT day, e, s, count(*) AS n
+            FROM eb2 GROUP BY 1, 2, 3),
+          ecm AS (SELECT day, e, s, n,
+              sum(n) OVER (PARTITION BY day ORDER BY e, s) - n AS cumb,
+              sum(n) OVER (PARTITION BY day) AS total FROM ebk),
+          epk AS (SELECT day, e, s, n, cumb,
+              CAST('0.99' AS DOUBLE) * CAST(total - 1 AS DOUBLE) AS target
+            FROM ecm
+            WHERE cumb + n > CAST('0.99' AS DOUBLE) * CAST(total - 1 AS DOUBLE)
+            QUALIFY row_number() OVER (PARTITION BY day
+              ORDER BY e, s) = 1)
+          SELECT day,
+            pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+            + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+              * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                      ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+            AS p99 FROM epk ORDER BY day""",
     // q156: the per-group clip chain — the engine's marginal merge
     // over linestatus is bucket-count addition on the global grid, so
     // the oracle groups by returnflag directly; per-group count via
