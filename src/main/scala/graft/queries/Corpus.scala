@@ -242,6 +242,41 @@ object Corpus {
         .orderBy(col("stage"))
     }),
 
+    // Per-document CURATION VERDICT (round 11): the row-level artifact
+    // a pipeline actually writes — q58's funnel rules applied per
+    // document with the FIRST failing stage as the reason (lang →
+    // quality → repetition → duplicate; q17's min-doc_id exact-dedup
+    // representative rule). Same one-pass shape as q58: a narrow
+    // per-row pass + one md5 hash-aggregate + a representative join;
+    // at 100 TB this is the job that materializes the kept corpus.
+    "q159_curation_verdict" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          split(lower(col("text")), " ").as("t"),
+          md5(col("text")).as("ck"))
+      val rep = docs.groupBy(col("ck")).agg(min(col("doc_id")).as("rep_id"))
+      docs
+        .withColumn("score", expr(TextAnalysis.scoreSpark("t")))
+        .withColumn("n2", expr("case when size(t) >= 2 then size(t) - 1 else 0 end"))
+        .withColumn("d2", expr(
+          """case when size(t) >= 2
+              then size(array_distinct(transform(sequence(1, size(t) - 1),
+                i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
+              else 0 end"""))
+        .join(rep, "ck")
+        .withColumn("reason", expr(
+          "case when lang <> 'en' then 'lang' " +
+            "when score < 0.4 then 'quality' " +
+            "when (n2 - d2) * 10 > n2 then 'repetition' " +
+            "when doc_id <> rep_id then 'duplicate' " +
+            "else 'keep' end"))
+        .select(col("doc_id"),
+          expr("case when reason = 'keep' then 1 else 0 end").as("kept"),
+          col("reason"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sliding-window document chunking: cut each document into
     // fixed-size token chunks (size 128, stride 96 — 32-token overlap),
     // the context-window preparation step that, unlike q49's packing,
@@ -389,6 +424,33 @@ object Corpus {
             CAST(grouping(lang) * 2 + grouping(source) AS INT) AS gid
           FROM f GROUP BY CUBE(lang, source)
           ORDER BY gid ASC, lang ASC NULLS FIRST, source ASC NULLS FIRST""",
+    // q159: q58's stage rules per document — the first failing stage
+    // is the reason, in the funnel's order; the score comparison uses
+    // the shared scoreDuck rendering (bit-portable via q15/q58).
+    "q159_curation_verdict" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t,
+              md5(text) AS ck FROM documents),
+          rep AS (SELECT ck, min(doc_id) AS rep_id FROM d GROUP BY ck),
+          f AS (SELECT d.doc_id, d.lang,
+              ${TextAnalysis.scoreDuck("t")} AS score,
+              CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS n2,
+              CASE WHEN len(t) >= 2
+                THEN len(list_distinct([t[i] || ' ' || t[i+1]
+                  for i in generate_series(1, len(t) - 1)]))
+                ELSE 0 END AS d2,
+              rep.rep_id
+            FROM d JOIN rep ON d.ck = rep.ck),
+          v AS (SELECT doc_id,
+              CASE WHEN lang <> 'en' THEN 'lang'
+                   WHEN score < 0.4 THEN 'quality'
+                   WHEN (n2 - d2) * 10 > n2 THEN 'repetition'
+                   WHEN doc_id <> rep_id THEN 'duplicate'
+                   ELSE 'keep' END AS reason
+            FROM f)
+          SELECT doc_id,
+            CAST(CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS INT) AS kept,
+            reason
+          FROM v ORDER BY doc_id""",
     "q58_corpus_funnel" ->
       s"""WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t,
               md5(text) AS ck FROM documents),
