@@ -40,4 +40,15 @@ object Sources {
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** ORC sink/source (round 11) — the other columnar warehouse format
+    * Spark ships natively; splittable by stripe like parquet's row
+    * groups, with the same predicate-pushdown/column-pruning behavior,
+    * so any table in this engine can live in either format unchanged.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -36,6 +36,26 @@ class ApiSourcesSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("ORC roundtrip preserves rows and schema; pushdown reaches the scan") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    val dir = Files.createTempDirectory("graft-orc").toString + "/lineitem"
+    Sources.writeOrc(li, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.schema == li.schema)
+    assert(back.count() == li.count())
+    // filters push into the ORC scan exactly like parquet
+    val plan = back.filter("l_quantity < 5").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      plan.take(800))
+    val a = li.filter("l_quantity < 5").orderBy("l_orderkey", "l_partkey")
+      .collect().toSeq
+    val b = back.filter("l_quantity < 5").orderBy("l_orderkey", "l_partkey")
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("response JSON carries the reference contract fields") {
     Tables.registerAll(spark, sfDir)
     val engine = new QueryEngine(spark,
