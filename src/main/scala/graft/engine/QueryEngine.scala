@@ -2261,7 +2261,15 @@ final class QueryEngine(
               val sk = graft.sketch.HdrSketch.deserialize(merged)
               relBound = math.max(relBound, sk.relErrBound)
               val (est, bnd) = sk.rangeCount(lowerB, upperB)
-              if (est <= 0.0) None
+              if (est <= 0.0) {
+                // boundary-ONLY mass (e.g. the zero bucket sitting AT
+                // a range bound): the truth may include this group, so
+                // dropping the row would silently understate the result
+                // AND its error — refuse the whole serve to the scan,
+                // exactly like the global twin's bnd/max(1,0) blow-up
+                if (bnd > 0L) return None
+                None // genuinely no covered mass: exact returns no row
+              }
               else Some((pk, sk, est, bnd.toDouble / math.max(1.0, est)))
             }
           }
@@ -3210,10 +3218,7 @@ final class QueryEngine(
     * per-group equi-width histograms do.
     */
   private def hdrMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    if (a.isEmpty) b
-    else if (b.isEmpty) a
-    else graft.sketch.HdrSketch.deserialize(a)
-      .merge(graft.sketch.HdrSketch.deserialize(b)).serialize
+    graft.sketch.HdrSketch.mergeBytes(a, b)
 
   /** If the query is `SELECT g..., PERCENTILE(attr, p)... FROM table
     * GROUP BY g...` — optionally under `WHERE g = lit` / `g IN (lits)`
@@ -3372,15 +3377,21 @@ final class QueryEngine(
       case Aggregate(gs, outs, child, _) =>
         val d = aggregateGroupKeys(gs, child, table).getOrElse(return None)
         val (gNames, keyFilter) = (d.gNames, d.keyFilter)
+        // memoized per value column: a multi-percentile dashboard
+        // (p50/p95/p99 over one column) unpacks and collapses the blob
+        // ONCE, not once per output
+        val blobCache = scala.collection.mutable.Map
+          .empty[String, Option[Seq[(Seq[Option[String]], Array[Byte])]]]
         def hdrBlobFor(c: String)
             : Option[Seq[(Seq[Option[String]], Array[Byte])]] =
-          if (d.residual.isEmpty)
-            groupedBlobFor(table, c, "hdr_grouped", gNames)
-              .orElse(partialGroupedBlobFor(table, c, "hdr_grouped",
-                gNames, Nil, hdrMergeBytes))
-          else
-            partialGroupedBlobFor(table, c, "hdr_grouped",
-              gNames, d.residual, hdrMergeBytes)
+          blobCache.getOrElseUpdate(c.toLowerCase,
+            if (d.residual.isEmpty)
+              groupedBlobFor(table, c, "hdr_grouped", gNames)
+                .orElse(partialGroupedBlobFor(table, c, "hdr_grouped",
+                  gNames, Nil, hdrMergeBytes))
+            else
+              partialGroupedBlobFor(table, c, "hdr_grouped",
+                gNames, d.residual, hdrMergeBytes))
         val lower = gNames.map(_.toLowerCase)
         val classified = outs.map {
           case a: UnresolvedAttribute

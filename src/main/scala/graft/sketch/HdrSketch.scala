@@ -287,6 +287,16 @@ final case class HdrSketch(m: Int, zero: Long,
 
 object HdrSketch {
 
+  /** Byte-level merge with the empty payload as identity — THE rule
+    * shared by the engine's partial-key/marginal collapse and the
+    * streaming maintainer's fold, so the stream==batch byte-equality
+    * law can never drift from the serve-side collapse semantics.
+    */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else deserialize(a).merge(deserialize(b)).serialize
+
   /** Deterministic bucket of a nonzero magnitude: candidate
     * floor(log2(av)) corrected against exact powers of two, then the
     * exact-arithmetic linear sub-bucket. Total per-value work is O(1).

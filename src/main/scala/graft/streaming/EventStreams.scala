@@ -1087,13 +1087,8 @@ object EventStreams {
               "hdr_grouped", packed,
               s"""{"m":$m,"group_by":"$groupCol","last_batch":$batchId}""",
               System.currentTimeMillis())) { (prevB, next) =>
-              val merged = graft.sketch.GroupedHll.mergePacked(prevB, next) {
-                (x, y) =>
-                  if (x.isEmpty) y
-                  else if (y.isEmpty) x
-                  else graft.sketch.HdrSketch.deserialize(x)
-                    .merge(graft.sketch.HdrSketch.deserialize(y)).serialize
-              }
+              val merged = graft.sketch.GroupedHll.mergePacked(prevB, next)(
+                graft.sketch.HdrSketch.mergeBytes)
               if (graft.sketch.GroupedHll.unpack(merged)
                   .sizeIs > graft.sketch.SketchOps.MaxHllGroups)
                 throw new IllegalArgumentException(

@@ -4221,6 +4221,39 @@ class QueryEngineSpec extends SparkSpec {
     }
   }
 
+  test("grouped HDR range: boundary-only zero mass refuses the serve instead of dropping the group") {
+    val cat = new MetaCatalog(
+      Files.createTempDirectory("graft-hdrz").toString)
+    val eng = new QueryEngine(spark, cat)
+    // group z is ALL zeros; group p is strictly positive
+    spark.range(0, 2000).selectExpr(
+      "case when id % 2 = 0 then 'z' else 'p' end as g",
+      "case when id % 2 = 0 then 0.0d " +
+        "else 1.0d + cast(id % 100 as double) end as v")
+      .createOrReplaceTempView("hdrz_t")
+    graft.sketch.SketchOps.createGroupedHdr(spark, cat, "hdrz_t",
+      Seq("g"), "v")
+    // v >= 0: group z's only in-range mass is the zero bucket sitting
+    // AT the lower bound — boundary mass with estimate 0. Serving
+    // would silently DROP the z row exact execution returns, so the
+    // whole serve must refuse to the scan
+    val r = eng.query(
+      "SELECT g, count(*) AS n FROM hdrz_t " +
+        "WHERE v >= 0 AND v < 200 GROUP BY g",
+      eng.Options(maxRelError = 0.5))
+    assert(!r.servedFromCatalog, r.reason)
+    assert(r.df.count() == 2)
+    // a range strictly containing zero serves: the zero mass is
+    // interior and counts exactly
+    val r2 = eng.query(
+      "SELECT g, count(*) AS n FROM hdrz_t " +
+        "WHERE v >= -1 AND v < 200 GROUP BY g",
+      eng.Options(maxRelError = 0.5))
+    assert(r2.servedFromCatalog && r2.serveKind.contains("grouped_hdr_range"),
+      s"${r2.serveKind}: ${r2.reason}")
+    assert(r2.df.count() == 2)
+  }
+
   test("grouped HDR percentiles: composite serve, EXACT marginal collapse, NULL groups") {
     val cat = new MetaCatalog(
       Files.createTempDirectory("graft-hdrg").toString)
