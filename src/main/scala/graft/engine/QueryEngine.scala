@@ -2121,18 +2121,25 @@ final class QueryEngine(
   }
 
   /** [[storedGroupedRangeAnswer]]'s RELATIVE-error twin: `SELECT g...,
-    * count(*) [, percentile(x, p)...] FROM t WHERE <range on x> GROUP
-    * BY g...` from a fresh "hdr_grouped" blob when no grouped
-    * equi-width histogram serves — per-group clip counts
+    * count(*) [, sum(x)/avg(x)/percentile(x, p)...] FROM t WHERE
+    * <range on x> GROUP BY g...` from a fresh "hdr_grouped" blob when
+    * no grouped equi-width histogram serves — per-group clip counts
     * (HdrSketch.rangeCount) and range percentiles
     * (HdrSketch.rangePercentile), 1/m-RELATIVE on any magnitude.
-    * COUNT/PERCENTILE only (the hdr blob has no grouped sum rider).
-    * Residual equality/IN conjuncts prune the composite blob, and
-    * because the log grid is global, surviving cells of one output
-    * group — and full MARGINAL collapses — merge EXACTLY (the
-    * shared-grid requirement the equi-width twin imposes does not
-    * exist here). Same row contract as the equi-width twin: one row
-    * per recorded group with positive in-range mass.
+    * SUM/AVG read the "hdrsum_grouped" rider the build writes
+    * (per-(group, log-bucket) exact decimal sums): interior buckets
+    * add exactly, clipped edge buckets scale by the covered fraction,
+    * AVG is one division — the q148 arithmetic per group. Residual
+    * equality/IN conjuncts prune the composite blob, and because the
+    * log grid is global, surviving cells of one output group — and
+    * full MARGINAL collapses — merge EXACTLY (the shared-grid
+    * requirement the equi-width twin imposes does not exist here);
+    * rider cells pair with sketch cells so the empty-pack overflow
+    * POISON refuses sums while counts keep serving, and all-NULL
+    * cells (empty sketches) are never consulted. SUM/AVG require the
+    * exact key-set blob (a SUPERSET blob's marginal keeps serving
+    * counts/percentiles only). Same row contract as the equi-width
+    * twin: one row per recorded group with positive in-range mass.
     */
   private def storedGroupedHdrRangeAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -2158,6 +2165,8 @@ final class QueryEngine(
         val lower = gNames.map(_.toLowerCase)
         sealed trait AggOut
         case object CntA extends AggOut
+        case object SumA extends AggOut
+        case object AvgA extends AggOut
         case class PctA(p: Double) extends AggOut
         var sawAgg = false
         var valCol: Option[String] = None
@@ -2181,6 +2190,19 @@ final class QueryEngine(
                     case _                          => false
                   }) =>
               sawAgg = true; Right((name, CntA))
+            case Alias(f: UnresolvedFunction, name)
+                if !f.isDistinct && f.filter.isEmpty &&
+                  Set("sum", "avg", "mean").contains(
+                    f.nameParts.last.toLowerCase) =>
+              f.arguments match {
+                case Seq(a: UnresolvedAttribute)
+                    if anchor(a.nameParts.last) =>
+                  sawAgg = true
+                  Right((name,
+                    if (f.nameParts.last.equalsIgnoreCase("sum")) SumA
+                    else AvgA))
+                case _ => return None
+              }
             case Alias(f: UnresolvedFunction, name)
                 if !f.isDistinct && f.filter.isEmpty &&
                   Set("percentile", "percentile_approx", "approx_percentile",
@@ -2238,12 +2260,38 @@ final class QueryEngine(
             lower.contains(rc.toLowerCase))) return None
         val lookupCols = gNames ++ residCols
         val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
+        val needSums = parts.exists {
+          case Right((_, SumA | AvgA)) => true
+          case _                       => false
+        }
         // exact key-set match first; a SUPERSET composite blob also
         // serves — the unreferenced components collapse exactly on
-        // the global log grid (partialGroupedBlobFor's marginal rule)
-        val blob = groupedBlobFor(table, c, "hdr_grouped", lookupCols)
-          .orElse(partialGroupedBlobFor(table, c, "hdr_grouped",
-            lookupCols, Nil, hdrMergeBytes))
+        // the global log grid (partialGroupedBlobFor's marginal rule).
+        // SUM/AVG need the rider's cells PAIRED with sketch cells to
+        // tell overflow poison from all-NULL, so they require the
+        // exact-set blob.
+        val exactBlob = groupedBlobFor(table, c, "hdr_grouped", lookupCols)
+        val blob =
+          if (needSums) exactBlob
+          else exactBlob.orElse(partialGroupedBlobFor(table, c,
+            "hdr_grouped", lookupCols, Nil, hdrMergeBytes))
+        // per-cell rider packs (inner key "sg:e:s" -> unscaled scale-4
+        // decimal bytes); a missing rider with SUM/AVG outputs refuses
+        val sumsByKey: Map[Seq[Option[String]], Map[(Int, Int, Int), BigInt]] =
+          if (!needSums) Map.empty
+          else groupedBlobFor(table, c, "hdrsum_grouped", lookupCols) match {
+            case Some(se) => se.map { case (k, inner) =>
+                k -> graft.sketch.GroupedHll.unpack(inner).map {
+                  case (Some(kk), bb) => kk.split(":") match {
+                    case Array(sg, e0, s0) =>
+                      (sg.toInt, e0.toInt, s0.toInt) -> BigInt(bb)
+                    case _ => return None
+                  }
+                  case _ => return None
+                }.toMap
+              }.toMap
+            case None => return None
+          }
         blob.map { full =>
           val entries: Seq[(Seq[Option[String]], Array[Byte])] =
             full.collect {
@@ -2270,13 +2318,60 @@ final class QueryEngine(
                 if (bnd > 0L) return None
                 None // genuinely no covered mass: exact returns no row
               }
-              else Some((pk, sk, est, bnd.toDouble / math.max(1.0, est)))
+              else {
+                // riders of the in-play cells add EXACTLY (BigInt); an
+                // EMPTY rider map under a massy sketch is the overflow
+                // poison — refuse rather than serve a silent zero
+                val (sumEst, sumRel): (Option[Double], Double) =
+                  if (!needSums) (None, 0.0)
+                  else {
+                    var bs = Map.empty[(Int, Int, Int), BigInt]
+                    es.foreach { case (k, b) =>
+                      if (b.nonEmpty) sumsByKey.get(k) match {
+                        case None => return None
+                        case Some(m0) if m0.isEmpty => return None
+                        case Some(m0) => m0.foreach { case (kk, v0) =>
+                          bs = bs.updated(kk,
+                            bs.getOrElse(kk, BigInt(0)) + v0)
+                        }
+                      }
+                    }
+                    def d(v: BigInt): Double =
+                      new java.math.BigDecimal(v.bigInteger, 4).doubleValue
+                    def sumOf(kk: (Int, Int, Int)): BigInt =
+                      bs.getOrElse(kk, BigInt(0))
+                    sk.rangeClip(lowerB, upperB) match {
+                      case None => (Some(0.0), 0.0)
+                      case Some(clip) =>
+                        var interior = BigInt(0)
+                        clip.interior.foreach { case (kk, _) =>
+                          interior += sumOf(kk) }
+                        val terms = clip.partial.map(pt =>
+                          d(sumOf(pt.key)) * pt.frac)
+                        val sEst = (d(interior) +
+                          terms.headOption.getOrElse(0.0)) +
+                          terms.drop(1).headOption.getOrElse(0.0)
+                        val bMass = clip.partial.map(pt =>
+                          math.abs(d(sumOf(pt.key)))).sum
+                        val rel =
+                          if (sEst != 0.0) bMass / math.abs(sEst)
+                          else if (bMass > 0.0) Double.PositiveInfinity
+                          else 0.0
+                        (Some(sEst), rel)
+                    }
+                  }
+                Some((pk, sk, est, bnd.toDouble / math.max(1.0, est),
+                  sumEst, sumRel))
+              }
             }
           }
-          val rows = served.map { case (k, sk, est, _) =>
+          val rows = served.map { case (k, sk, est, _, sumEst, _) =>
             org.apache.spark.sql.Row.fromSeq(parts.map {
               case Left((_, i))        => typedKeyValue(kTypes(i), k(i))
               case Right((_, CntA))    => Double.box(est)
+              case Right((_, SumA))    => sumEst.map(Double.box).orNull
+              case Right((_, AvgA))    =>
+                sumEst.map(s0 => Double.box(s0 / est)).orNull
               case Right((_, PctA(p))) =>
                 sk.rangePercentile(lowerB, upperB, p)
                   .map(Double.box).orNull
@@ -2289,8 +2384,11 @@ final class QueryEngine(
           })
           import scala.jdk.CollectionConverters._
           val maxCnt = served.map(_._4).foldLeft(0.0)(math.max)
+          val maxSum = served.map(_._6).foldLeft(0.0)(math.max)
           val err = parts.map {
             case Right((_, CntA))    => maxCnt
+            case Right((_, SumA))    => maxSum
+            case Right((_, AvgA))    => maxCnt + maxSum
             case Right((_, PctA(_))) => relBound + maxCnt
             case Left(_)             => 0.0
           }.foldLeft(0.0)(math.max)

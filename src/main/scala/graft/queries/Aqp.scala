@@ -1663,6 +1663,28 @@ object Aqp {
       r.df.orderBy(col("rf"))
     }),
 
+    // GROUPED HDR range SUM/AVG (round 11): the band's per-group
+    // revenue totals and means from the "hdrsum_grouped" rider the
+    // grouped build packs in the SAME pass — interior log buckets'
+    // exact decimal sums add, the clipped edge buckets scale by the
+    // covered fraction, AVG is one division (the q148 arithmetic per
+    // group, so the bound stays 1/m-relative on any magnitude). The
+    // full composite key, where rider cells pair 1:1 with sketches.
+    "q160_grouped_hdr_sum" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+          "count(*) AS n_est, sum(l_extendedprice) AS s_est, " +
+          "avg(l_extendedprice) AS a_est FROM lineitem " +
+          "WHERE l_extendedprice >= 5000 AND l_extendedprice < 30000 " +
+          "GROUP BY l_returnflag, l_linestatus",
+        e.Options(maxRelError = 0.3))
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr_range"),
+        s"q160 must serve the per-group band sums from the hdrsum " +
+          s"rider: ${r.serveKind} (${r.reason})")
+      r.df.orderBy(col("rf"), col("ls"))
+    }),
+
     // IN-list MERGED percentile from the grouped HDR blob (round 11):
     // the global aggregate `percentile(x, p) WHERE g IN (...)` — the
     // named groups' sketches merge exactly (global log grid) even
@@ -2950,6 +2972,64 @@ object Aqp {
               * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
                       ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
             AS p99 FROM epk ORDER BY day""",
+    // q160: q148's clip-sum arithmetic PER (returnflag, linestatus)
+    // group — per-(group, bucket) exact decimal sums, interior decimal
+    // addition + one cast, edge terms scaled by the covered fraction
+    // in ascending bucket order, AVG one division of the two per-group
+    // estimates.
+    "q160_grouped_hdr_sum" ->
+      """WITH ve AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+              CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT rf, ls, v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT rf, ls, v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT rf, ls, v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT rf, ls, v,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT rf, ls, e, s, count(*) AS n,
+              sum(CAST(v AS DECIMAL(38,4))) AS s4
+            FROM eb2 GROUP BY 1, 2, 3, 4),
+          geo AS (SELECT rf, ls, e, s, n, s4,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0) AS blo,
+              pow(2.0, CAST(e AS DOUBLE)) / 32.0 AS w
+            FROM ebk),
+          clip AS (SELECT rf, ls, e, s, n, s4, blo, w, blo + w AS bhi,
+              greatest(CAST('5000' AS DOUBLE), blo) AS ovlo,
+              least(CAST('30000' AS DOUBLE), blo + w) AS ovhi
+            FROM geo),
+          kinds AS (SELECT *, CASE WHEN ovhi <= ovlo THEN 'out'
+              WHEN ovlo = blo AND ovhi = bhi THEN 'in'
+              ELSE 'part' END AS kind FROM clip),
+          agg AS (SELECT rf, ls,
+              CAST(COALESCE(sum(CASE WHEN kind = 'in' THEN n END), 0) AS DOUBLE) AS interior,
+              CAST(COALESCE(sum(CASE WHEN kind = 'in' THEN s4 END),
+                CAST(0 AS DECIMAL(38,4))) AS DOUBLE) AS interior_s
+            FROM kinds GROUP BY 1, 2),
+          pord AS (SELECT rf, ls,
+              CAST(n AS DOUBLE) * ((ovhi - ovlo) / w) AS term_n,
+              CAST(s4 AS DOUBLE) * ((ovhi - ovlo) / w) AS term_s,
+              row_number() OVER (PARTITION BY rf, ls ORDER BY e, s) AS rn
+            FROM kinds WHERE kind = 'part'),
+          est AS (SELECT agg.rf, agg.ls,
+              (agg.interior + COALESCE(p1.term_n, CAST(0 AS DOUBLE)))
+                + COALESCE(p2.term_n, CAST(0 AS DOUBLE)) AS n_est,
+              (agg.interior_s + COALESCE(p1.term_s, CAST(0 AS DOUBLE)))
+                + COALESCE(p2.term_s, CAST(0 AS DOUBLE)) AS s_est
+            FROM agg
+            LEFT JOIN (SELECT rf, ls, term_n, term_s FROM pord WHERE rn = 1) p1
+              ON p1.rf = agg.rf AND p1.ls = agg.ls
+            LEFT JOIN (SELECT rf, ls, term_n, term_s FROM pord WHERE rn = 2) p2
+              ON p2.rf = agg.rf AND p2.ls = agg.ls)
+          SELECT rf, ls, n_est, s_est, s_est / n_est AS a_est
+          FROM est WHERE n_est > 0 ORDER BY rf, ls""",
     // q156: the per-group clip chain — the engine's marginal merge
     // over linestatus is bucket-count addition on the global grid, so
     // the oracle groups by returnflag directly; per-group count via

@@ -368,12 +368,26 @@ object SketchOps {
       valueCol, m, s"grouped hdr over $table.$valueCol")
     // groups with no non-NULL value never reach the bucket pass but
     // ARE groups: empty payload, served as a NULL percentile
-    val packed = stats.toSeq.map(r => Option(r.getAs[String]("g")))
-      .map(k => k -> sketches.getOrElse(k, Array.empty[Byte]))
+    val keys = stats.toSeq.map(r => Option(r.getAs[String]("g")))
+    val packed = keys.map(k =>
+      k -> sketches.get(k).map(_._1).getOrElse(Array.empty[Byte]))
     val bytes = GroupedHll.pack(packed)
     catalog.upsertSketch(catalog.SketchInfo(table, valueCol, "hdr_grouped",
       bytes,
       s"""{"m":$m,"group_by":"$groupCol","groups":${packed.size},"rows":$totalRows}""",
+      System.currentTimeMillis()))
+    // the "hdrsum_grouped" rider (per-(group, log-bucket) exact
+    // decimal sums from the SAME pass — no extra shuffle): the grouped
+    // range-SUM/AVG serve's input; a group whose sum overflowed even
+    // decimal(38,4) carries the empty-pack POISON (its sums refuse,
+    // its counts keep serving). All-NULL groups are OMITTED — their
+    // sketches are empty so the serve never consults them, and their
+    // absence keeps "empty pack" unambiguously poison in the
+    // streaming maintainer's merge.
+    val sumPacked = sketches.toSeq.map { case (k, (_, rider)) => k -> rider }
+    catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+      "hdrsum_grouped", GroupedHll.pack(sumPacked),
+      s"""{"m":$m,"group_by":"$groupCol","groups":${sumPacked.size},"rows":$totalRows}""",
       System.currentTimeMillis()))
     (bytes.length, packed.size)
   }
@@ -382,13 +396,17 @@ object SketchOps {
     * and the streaming maintainer (EventStreams.maintainGroupedHdrSketch)
     * so their bucket assignment can never drift: one distributed
     * aggregate over (group key, sign, binade, sub-bucket), returning
-    * each group-with-values' serialized sketch. Groups whose value
-    * column is all NULL do not appear (the callers record them with
-    * empty payloads); ±Infinity refuses.
+    * each group-with-values' serialized sketch AND its "hdrsum" rider
+    * pack (per-nonzero-bucket exact scale-4 decimal sums keyed
+    * "sg:e:s" — the grouped range-SUM/AVG serve's input; an EMPTY pack
+    * marks a group whose sum overflowed even decimal(38,4) — the
+    * poison convention, the engine refuses its sums while counts keep
+    * serving). Groups whose value column is all NULL do not appear
+    * (the callers record them with empty payloads); ±Infinity refuses.
     */
   private[graft] def hdrGroupedAggregate(df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], valueCol: String, m: Int, what: String)
-      : Map[Option[String], Array[Byte]] = {
+      : Map[Option[String], (Array[Byte], Array[Byte])] = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     import org.apache.spark.sql.functions.{count, expr, lit}
     val fields = df.schema.fieldNames.toSeq
@@ -397,7 +415,8 @@ object SketchOps {
         col(valueCol).cast("double").as("v")),
       m, Seq("g"))
       .groupBy(col("g"), col("sg"), col("e"), col("s"))
-      .agg(count(lit(1)).as("n"), expr("sum(inf)").as("ninf"))
+      .agg(count(lit(1)).as("n"), expr("sum(inf)").as("ninf"),
+        expr("try_sum(cast(v as decimal(38,4)))").as("s4"))
       .collect()
     if (rows.exists(_.getAs[Long]("ninf") > 0L))
       throw new IllegalArgumentException(
@@ -406,15 +425,24 @@ object SketchOps {
       var zero = 0L
       val neg = Vector.newBuilder[((Int, Int), Long)]
       val pos = Vector.newBuilder[((Int, Int), Long)]
+      var poison = false
+      val sums = Vector.newBuilder[(Option[String], Array[Byte])]
       rs.foreach { r =>
         val (sg, e, s, n) =
           (r.getAs[Int]("sg"), r.getAs[Int]("e"), r.getAs[Int]("s"),
             r.getAs[Long]("n"))
         if (sg == 0) zero += n
-        else if (sg < 0) neg += (((e, s), n))
-        else pos += (((e, s), n))
+        else {
+          if (sg < 0) neg += (((e, s), n)) else pos += (((e, s), n))
+          Option(r.getAs[java.math.BigDecimal]("s4")) match {
+            case Some(d) => sums += (Option(s"$sg:$e:$s") ->
+              BigInt(d.setScale(4).unscaledValue()).toByteArray)
+            case None    => poison = true
+          }
+        }
       }
-      k -> HdrSketch(m, zero, neg.result(), pos.result()).serialize
+      k -> (HdrSketch(m, zero, neg.result(), pos.result()).serialize,
+        GroupedHll.pack(if (poison) Seq.empty else sums.result()))
     }
   }
 

@@ -1037,7 +1037,10 @@ object EventStreams {
     * payload — the identity of the merge), matching the batch
     * builder's all-NULL-group contract. Additive merge ⇒ the stored
     * `last_batch` id skips re-delivered batch ids (single-writer
-    * discipline); a stored blob with a different m refuses.
+    * discipline); a stored blob with a different m refuses. The
+    * "hdrsum_grouped" rider (per-(group, log-bucket) decimal sums —
+    * the grouped range-SUM/AVG serve's input) folds in the same
+    * micro-batch under its own replay guard, counts first.
     */
   def maintainGroupedHdrSketch(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String,
@@ -1077,12 +1080,13 @@ object EventStreams {
               s"grouped hdr over $table.$groupCol: more than " +
                 s"${graft.sketch.SketchOps.MaxHllGroups} groups in one batch")
           if (gs.nonEmpty) {
-            val sketches = graft.sketch.SketchOps.hdrGroupedAggregate(
+            val agg = graft.sketch.SketchOps.hdrGroupedAggregate(
               batch, groupCols, valueCol, m,
               s"grouped hdr stream over $table.$valueCol")
+            val keys = gs.toSeq.map(r => Option(r.getAs[String]("g")))
             val packed = graft.sketch.GroupedHll.pack(
-              gs.toSeq.map(r => Option(r.getAs[String]("g")))
-                .map(k => k -> sketches.getOrElse(k, Array.empty[Byte])))
+              keys.map(k =>
+                k -> agg.get(k).map(_._1).getOrElse(Array.empty[Byte])))
             catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
               "hdr_grouped", packed,
               s"""{"m":$m,"group_by":"$groupCol","last_batch":$batchId}""",
@@ -1095,6 +1099,52 @@ object EventStreams {
                   s"grouped hdr over $table.$groupCol: merged group count " +
                     s"exceeds ${graft.sketch.SketchOps.MaxHllGroups}")
               merged
+            }
+            // the "hdrsum_grouped" rider folds per-(group, log-bucket)
+            // decimal sums additively under its OWN replay guard, AFTER
+            // the counts (a crash between the two leaves the rider one
+            // batch behind — a stale rider refuses the sum serve while
+            // counts keep serving; rider-first could double-count).
+            // Per-group overflow POISON (empty inner pack) absorbs in
+            // the merge — exactly the histsum_grouped discipline on the
+            // log grid. All-NULL-batch groups contribute the empty pack
+            // as the merge identity ONLY when the stored side has no
+            // entry yet; pairing with sketch cells at serve time keeps
+            // empty-with-mass = poison unambiguous.
+            val sumsMerged = catalog
+              .getSketch(table, valueCol, "hdrsum_grouped")
+              .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+                .map(_.group(1).toLong))
+              .exists(batchId <= _)
+            if (!sumsMerged) {
+              // groups with VALUES only (all-NULL-batch groups are
+              // omitted — mergePacked's union leaves the stored side
+              // untouched, and "empty pack" stays unambiguously the
+              // overflow poison, which ABSORBS in the merge)
+              val packedSums = graft.sketch.GroupedHll.pack(
+                agg.toSeq.map { case (k, (_, rider)) => k -> rider })
+              catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
+                "hdrsum_grouped", packedSums,
+                s"""{"m":$m,"group_by":"$groupCol","last_batch":$batchId}""",
+                System.currentTimeMillis())) { (prevB, next) =>
+                graft.sketch.GroupedHll.mergePacked(prevB, next) { (x, y) =>
+                  val xa = graft.sketch.GroupedHll.unpack(x)
+                  val ya = graft.sketch.GroupedHll.unpack(y)
+                  if (xa.isEmpty || ya.isEmpty)
+                    graft.sketch.GroupedHll.pack(Seq.empty) // poison absorbs
+                  else {
+                    val xm = xa.collect {
+                      case (Some(bk), bb) => bk -> BigInt(bb) }.toMap
+                    val ym = ya.collect {
+                      case (Some(bk), bb) => bk -> BigInt(bb) }.toMap
+                    graft.sketch.GroupedHll.pack(
+                      (xm.keySet ++ ym.keySet).toSeq.map(bk =>
+                        Option(bk) ->
+                          (xm.getOrElse(bk, BigInt(0)) +
+                            ym.getOrElse(bk, BigInt(0))).toByteArray))
+                  }
+                }
+              }
             }
           }
         }

@@ -660,6 +660,13 @@ class EventStreamsSpec extends SparkSpec {
     val batch = catalog2.getSketch("lat_live", "v", "hdr_grouped")
     assert(streamed.isDefined && batch.isDefined)
     assert(streamed.get.data.sameElements(batch.get.data))
+    // the hdrsum rider folds in the same pass and is BYTE-equal too
+    // (per-bucket decimal sums add exactly across batches; the
+    // all-NULL a2 group is omitted from both sides)
+    val rStream = catalog.getSketch("lat_live", "v", "hdrsum_grouped")
+    val rBatch = catalog2.getSketch("lat_live", "v", "hdrsum_grouped")
+    assert(rStream.isDefined && rBatch.isDefined)
+    assert(rStream.get.data.sameElements(rBatch.get.data))
 
     // replay guard: a re-delivered batch id must not double-count
     val replay = MemoryStream[(String, String, Long)]
