@@ -1565,6 +1565,8 @@ final class QueryEngine(
         }
         val bsums: Option[Array[BigInt]] =
           if (!needSums) None
+          else if (!riderInSync(table, c, "histogram", "histsum"))
+            return None // rider a batch behind the counts: refuse sums
           else Some(catalog.getSketch(table, c, "histsum")
             .filter(sketchIsFresh(table, _))
             .flatMap { s =>
@@ -1715,6 +1717,8 @@ final class QueryEngine(
         // discipline on the log grid)
         val (sumEst, sumRel): (Option[Double], Double) =
           if (!needSums) (None, 0.0)
+          else if (!riderInSync(table, c, "hdr", "hdrsum"))
+            return None // rider a batch behind the counts: refuse sums
           else {
             val bySums = catalog.getSketch(table, c, "hdrsum")
               .filter(sketchIsFresh(table, _))
@@ -1723,24 +1727,7 @@ final class QueryEngine(
               .getOrElse(return None)
             def sumOf(k: (Int, Int, Int)): BigInt =
               bySums.getOrElse(s"${k._1}:${k._2}:${k._3}", BigInt(0))
-            sk.rangeClip(lowerB, upperB) match {
-              case None => (Some(0.0), 0.0) // empty range: SUM of no rows
-              case Some(clip) =>
-                var interior = BigInt(0)
-                clip.interior.foreach { case (k, _) => interior += sumOf(k) }
-                def d(v: BigInt): Double =
-                  new java.math.BigDecimal(v.bigInteger, 4).doubleValue
-                val terms = clip.partial.map(pt => d(sumOf(pt.key)) * pt.frac)
-                val est = (d(interior) + terms.headOption.getOrElse(0.0)) +
-                  terms.drop(1).headOption.getOrElse(0.0)
-                val bMass = clip.partial.map(pt =>
-                  math.abs(d(sumOf(pt.key)))).sum
-                val rel =
-                  if (est != 0.0) bMass / math.abs(est)
-                  else if (bMass > 0.0) Double.PositiveInfinity
-                  else 0.0
-                (Some(est), rel)
-            }
+            hdrClipSum(sk, lowerB, upperB, sumOf)
           }
         val avgEst: Option[Double] =
           if (cntEst > 0.0) sumEst.map(_ / cntEst) else None
@@ -2014,6 +2001,9 @@ final class QueryEngine(
           // refuses the serve rather than inventing zeros
           val sumsByKey: Map[Seq[Option[String]], Map[Int, BigInt]] =
             if (!needSums) Map.empty
+            else if (!riderInSync(table, c, "histogram_grouped",
+                "histsum_grouped"))
+              return None // rider a batch behind the counts
             else groupedBlobFor(table, c, "histsum_grouped", lookupCols) match {
               case Some(se) => se.map { case (k, inner) =>
                   k -> graft.sketch.GroupedHll.unpack(inner)
@@ -2275,24 +2265,34 @@ final class QueryEngine(
           if (needSums) exactBlob
           else exactBlob.orElse(partialGroupedBlobFor(table, c,
             "hdr_grouped", lookupCols, Nil, hdrMergeBytes))
-        // per-cell rider packs (inner key "sg:e:s" -> unscaled scale-4
-        // decimal bytes); a missing rider with SUM/AVG outputs refuses
-        val sumsByKey: Map[Seq[Option[String]], Map[(Int, Int, Int), BigInt]] =
-          if (!needSums) Map.empty
-          else groupedBlobFor(table, c, "hdrsum_grouped", lookupCols) match {
-            case Some(se) => se.map { case (k, inner) =>
-                k -> graft.sketch.GroupedHll.unpack(inner).map {
-                  case (Some(kk), bb) => kk.split(":") match {
-                    case Array(sg, e0, s0) =>
-                      (sg.toInt, e0.toInt, s0.toInt) -> BigInt(bb)
-                    case _ => return None
-                  }
-                  case _ => return None
-                }.toMap
-              }.toMap
-            case None => return None
-          }
         blob.map { full =>
+          // per-cell rider packs (inner key "sg:e:s" -> unscaled
+          // scale-4 decimal bytes; None = the "!" overflow-poison
+          // sentinel); a missing or batch-behind rider with SUM/AVG
+          // outputs refuses
+          val sumsByKey: Map[Seq[Option[String]],
+              Option[Map[(Int, Int, Int), BigInt]]] =
+            if (!needSums) Map.empty
+            else if (!riderInSync(table, c, "hdr_grouped",
+                "hdrsum_grouped"))
+              return None // rider a batch behind the counts
+            else groupedBlobFor(table, c, "hdrsum_grouped", lookupCols) match {
+              case Some(se) => se.map { case (k, inner) =>
+                  val entries = graft.sketch.GroupedHll.unpack(inner)
+                  if (entries.exists(_._1.contains(
+                      graft.sketch.SketchOps.HdrSumPoisonKey)))
+                    k -> None // per-group overflow poison
+                  else k -> Some(entries.map {
+                    case (Some(kk), bb) => kk.split(":") match {
+                      case Array(sg, e0, s0) =>
+                        (sg.toInt, e0.toInt, s0.toInt) -> BigInt(bb)
+                      case _ => return None
+                    }
+                    case _ => return None
+                  }.toMap)
+                }.toMap
+              case None => return None
+            }
           val entries: Seq[(Seq[Option[String]], Array[Byte])] =
             full.collect {
               case (k, b) if resid.zipWithIndex.forall { case ((_, vs), i) =>
@@ -2319,46 +2319,27 @@ final class QueryEngine(
                 None // genuinely no covered mass: exact returns no row
               }
               else {
-                // riders of the in-play cells add EXACTLY (BigInt); an
-                // EMPTY rider map under a massy sketch is the overflow
-                // poison — refuse rather than serve a silent zero
+                // riders of the in-play cells add EXACTLY (BigInt); a
+                // missing rider cell or the overflow-poison sentinel
+                // under a massy sketch refuses rather than serving a
+                // silent zero (an EMPTY rider map is a legitimate
+                // all-zero-valued cell — every nonzero-bucket sum is 0)
                 val (sumEst, sumRel): (Option[Double], Double) =
                   if (!needSums) (None, 0.0)
                   else {
                     var bs = Map.empty[(Int, Int, Int), BigInt]
                     es.foreach { case (k, b) =>
                       if (b.nonEmpty) sumsByKey.get(k) match {
-                        case None => return None
-                        case Some(m0) if m0.isEmpty => return None
-                        case Some(m0) => m0.foreach { case (kk, v0) =>
+                        case None       => return None // rider lacks the cell
+                        case Some(None) => return None // overflow poison
+                        case Some(Some(m0)) => m0.foreach { case (kk, v0) =>
                           bs = bs.updated(kk,
                             bs.getOrElse(kk, BigInt(0)) + v0)
                         }
                       }
                     }
-                    def d(v: BigInt): Double =
-                      new java.math.BigDecimal(v.bigInteger, 4).doubleValue
-                    def sumOf(kk: (Int, Int, Int)): BigInt =
-                      bs.getOrElse(kk, BigInt(0))
-                    sk.rangeClip(lowerB, upperB) match {
-                      case None => (Some(0.0), 0.0)
-                      case Some(clip) =>
-                        var interior = BigInt(0)
-                        clip.interior.foreach { case (kk, _) =>
-                          interior += sumOf(kk) }
-                        val terms = clip.partial.map(pt =>
-                          d(sumOf(pt.key)) * pt.frac)
-                        val sEst = (d(interior) +
-                          terms.headOption.getOrElse(0.0)) +
-                          terms.drop(1).headOption.getOrElse(0.0)
-                        val bMass = clip.partial.map(pt =>
-                          math.abs(d(sumOf(pt.key)))).sum
-                        val rel =
-                          if (sEst != 0.0) bMass / math.abs(sEst)
-                          else if (bMass > 0.0) Double.PositiveInfinity
-                          else 0.0
-                        (Some(sEst), rel)
-                    }
+                    hdrClipSum(sk, lowerB, upperB,
+                      kk => bs.getOrElse(kk, BigInt(0)))
                   }
                 Some((pk, sk, est, bnd.toDouble / math.max(1.0, est),
                   sumEst, sumRel))
@@ -2524,6 +2505,9 @@ final class QueryEngine(
             return None
           val sums: Map[Int, BigInt] =
             if (!needSums || hs.isEmpty) Map.empty
+            else if (!riderInSync(table, c, "histogram_grouped",
+                "histsum_grouped"))
+              return None // rider a batch behind the counts
             else groupedBlobFor(table, c, "histsum_grouped", gCols) match {
               case None => return None
               case Some(se) =>
@@ -3317,6 +3301,52 @@ final class QueryEngine(
     */
   private def hdrMergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     graft.sketch.HdrSketch.mergeBytes(a, b)
+
+  /** The hdrsum clip fold (the q148/q160 arithmetic), shared by the
+    * global and grouped serves so the bit-exactness-sensitive
+    * associations can never drift: interior decimal sums add exactly
+    * (unscaled BigInt addition, ONE cast to double), the <=2 clipped
+    * edge terms scale by the covered fraction in partial order, and
+    * the |sum| boundary mass bounds the estimate.
+    */
+  private def hdrClipSum(sk: graft.sketch.HdrSketch,
+      lowerB: Option[Double], upperB: Option[Double],
+      sumOf: ((Int, Int, Int)) => BigInt): (Option[Double], Double) =
+    sk.rangeClip(lowerB, upperB) match {
+      case None => (Some(0.0), 0.0) // empty range: SUM of no rows
+      case Some(clip) =>
+        var interior = BigInt(0)
+        clip.interior.foreach { case (kk, _) => interior += sumOf(kk) }
+        def d(v: BigInt): Double =
+          new java.math.BigDecimal(v.bigInteger, 4).doubleValue
+        val terms = clip.partial.map(pt => d(sumOf(pt.key)) * pt.frac)
+        val est = (d(interior) + terms.headOption.getOrElse(0.0)) +
+          terms.drop(1).headOption.getOrElse(0.0)
+        val bMass = clip.partial.map(pt => math.abs(d(sumOf(pt.key)))).sum
+        val rel =
+          if (est != 0.0) bMass / math.abs(est)
+          else if (bMass > 0.0) Double.PositiveInfinity
+          else 0.0
+        (Some(est), rel)
+    }
+
+  private val riderLastBatchRe = """"last_batch"\s*:\s*(-?\d+)""".r
+
+  /** Streaming maintainers fold sum riders AFTER their counts blob, so
+    * a crash between the two upserts leaves the rider one batch
+    * behind. Sum serves must therefore REFUSE whenever the two blobs
+    * disagree on the last folded batch — serving would silently
+    * understate sums while counts stay right. Batch builds carry no
+    * last_batch on either blob (None == None passes).
+    */
+  private def riderInSync(table: String, column: String,
+      countsType: String, riderType: String): Boolean = {
+    def lb(t: String): Option[Long] =
+      catalog.getSketch(table, column, t).flatMap(s =>
+        riderLastBatchRe.findFirstMatchIn(s.parameters)
+          .map(_.group(1).toLong))
+    lb(countsType) == lb(riderType)
+  }
 
   /** If the query is `SELECT g..., PERCENTILE(attr, p)... FROM table
     * GROUP BY g...` — optionally under `WHERE g = lit` / `g IN (lits)`
@@ -4508,6 +4538,9 @@ final class QueryEngine(
         catch { case _: IllegalArgumentException => return None }
       val sumsByKey: Map[String, Map[Int, BigInt]] =
         if (!needSums) Map.empty
+        else if (!riderInSync(fact, c, "histogram_grouped",
+            "histsum_grouped"))
+          return None // rider a batch behind the counts
         else groupedBlobFor(fact, c, "histsum_grouped", lookupCols) match {
           case Some(se) =>
             val byTuple = se.toMap

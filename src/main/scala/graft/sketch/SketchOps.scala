@@ -379,11 +379,10 @@ object SketchOps {
     // the "hdrsum_grouped" rider (per-(group, log-bucket) exact
     // decimal sums from the SAME pass — no extra shuffle): the grouped
     // range-SUM/AVG serve's input; a group whose sum overflowed even
-    // decimal(38,4) carries the empty-pack POISON (its sums refuse,
-    // its counts keep serving). All-NULL groups are OMITTED — their
-    // sketches are empty so the serve never consults them, and their
-    // absence keeps "empty pack" unambiguously poison in the
-    // streaming maintainer's merge.
+    // decimal(38,4) carries the "!" POISON sentinel (its sums refuse,
+    // its counts keep serving; an EMPTY pack is the all-zero-valued
+    // group's legitimate identity). All-NULL groups are OMITTED —
+    // their sketches are empty so the serve never consults them.
     val sumPacked = sketches.toSeq.map { case (k, (_, rider)) => k -> rider }
     catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
       "hdrsum_grouped", GroupedHll.pack(sumPacked),
@@ -392,17 +391,58 @@ object SketchOps {
     (bytes.length, packed.size)
   }
 
+  /** The hdrsum rider's per-group overflow POISON sentinel: an entry
+    * under this key (never a valid "sg:e:s" bucket) marks a group
+    * whose decimal sums are unrecoverable; it ABSORBS in merges. An
+    * EMPTY pack, by contrast, is the additive identity — a group
+    * whose batch values were all zero (the zero bucket carries no
+    * rider entry) or all NULL. Keeping the two distinct is what lets
+    * the streaming merge neither wipe good sums on an all-zero batch
+    * nor lose a poison.
+    */
+  private[graft] val HdrSumPoisonKey = "!"
+
+  /** hdrsum inner-pack merge: per-log-bucket unscaled decimal sums add
+    * exactly (BigInt); a poison sentinel on either side absorbs.
+    * Shared by the streaming maintainer and the engine's partial-key
+    * collapse so the two can never drift.
+    */
+  private[graft] def hdrSumMergeBytes(x: Array[Byte],
+      y: Array[Byte]): Array[Byte] = {
+    val xa = GroupedHll.unpack(x)
+    val ya = GroupedHll.unpack(y)
+    if (xa.exists(_._1.contains(HdrSumPoisonKey)) ||
+        ya.exists(_._1.contains(HdrSumPoisonKey)))
+      GroupedHll.pack(Seq(Option(HdrSumPoisonKey) -> Array.empty[Byte]))
+    else {
+      val xm = xa.collect { case (Some(bk), bb) => bk -> BigInt(bb) }.toMap
+      val ym = ya.collect { case (Some(bk), bb) => bk -> BigInt(bb) }.toMap
+      GroupedHll.pack(
+        (xm.keySet ++ ym.keySet).toSeq.map(bk =>
+          Option(bk) ->
+            (xm.getOrElse(bk, BigInt(0)) +
+              ym.getOrElse(bk, BigInt(0))).toByteArray))
+    }
+  }
+
+  /** Largest |v| that still fits decimal(38,4) after the scale-4 cast
+    * (38 digits total): values at or above it would THROW under ANSI
+    * — the guard parks them and flags the group/blob as overflow
+    * (poison) instead of crashing the build or the micro-batch.
+    */
+  private val DecimalCastGuard = "1e34d"
+
   /** THE grouped hdr bucket pass, shared by the batch builder above
     * and the streaming maintainer (EventStreams.maintainGroupedHdrSketch)
     * so their bucket assignment can never drift: one distributed
     * aggregate over (group key, sign, binade, sub-bucket), returning
     * each group-with-values' serialized sketch AND its "hdrsum" rider
     * pack (per-nonzero-bucket exact scale-4 decimal sums keyed
-    * "sg:e:s" — the grouped range-SUM/AVG serve's input; an EMPTY pack
-    * marks a group whose sum overflowed even decimal(38,4) — the
-    * poison convention, the engine refuses its sums while counts keep
-    * serving). Groups whose value column is all NULL do not appear
-    * (the callers record them with empty payloads); ±Infinity refuses.
+    * "sg:e:s" — the grouped range-SUM/AVG serve's input; the "!"
+    * sentinel marks a group whose sum overflowed decimal(38,4) — the
+    * poison, the engine refuses its sums while counts keep serving).
+    * Groups whose value column is all NULL do not appear (the callers
+    * record them with empty payloads); ±Infinity refuses.
     */
   private[graft] def hdrGroupedAggregate(df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], valueCol: String, m: Int, what: String)
@@ -415,8 +455,15 @@ object SketchOps {
         col(valueCol).cast("double").as("v")),
       m, Seq("g"))
       .groupBy(col("g"), col("sg"), col("e"), col("s"))
+      // the per-value cast is GUARDED: |v| >= 1e34 would throw under
+      // ANSI before try_sum's aggregate-overflow NULL could engage —
+      // park such values and flag them, so a heavy-tailed column
+      // poisons its group's sums instead of crashing the pass
       .agg(count(lit(1)).as("n"), expr("sum(inf)").as("ninf"),
-        expr("try_sum(cast(v as decimal(38,4)))").as("s4"))
+        expr(s"try_sum(case when abs(v) < $DecimalCastGuard " +
+          "then cast(v as decimal(38,4)) end)").as("s4"),
+        expr(s"sum(case when abs(v) >= $DecimalCastGuard " +
+          "then 1 else 0 end)").as("novf"))
       .collect()
     if (rows.exists(_.getAs[Long]("ninf") > 0L))
       throw new IllegalArgumentException(
@@ -434,7 +481,8 @@ object SketchOps {
         if (sg == 0) zero += n
         else {
           if (sg < 0) neg += (((e, s), n)) else pos += (((e, s), n))
-          Option(r.getAs[java.math.BigDecimal]("s4")) match {
+          if (r.getAs[Long]("novf") > 0L) poison = true
+          else Option(r.getAs[java.math.BigDecimal]("s4")) match {
             case Some(d) => sums += (Option(s"$sg:$e:$s") ->
               BigInt(d.setScale(4).unscaledValue()).toByteArray)
             case None    => poison = true
@@ -442,7 +490,9 @@ object SketchOps {
         }
       }
       k -> (HdrSketch(m, zero, neg.result(), pos.result()).serialize,
-        GroupedHll.pack(if (poison) Seq.empty else sums.result()))
+        GroupedHll.pack(
+          if (poison) Seq(Option(HdrSumPoisonKey) -> Array.empty[Byte])
+          else sums.result()))
     }
   }
 
@@ -491,9 +541,14 @@ object SketchOps {
       .groupBy(col("sg"), col("e"), col("s"))
       .agg(count(lit(1)).as("n"),
         expr("sum(inf)").as("ninf"),
-        // per-bucket decimal sums for the "hdrsum" rider — decimal(38,4)
-        // under try_sum (no ANSI throw, no wrap; NULL = overflow)
-        expr("try_sum(cast(v as decimal(38,4)))").as("s4"))
+        // per-bucket decimal sums for the "hdrsum" rider — the
+        // per-value cast is GUARDED (|v| >= 1e34 would throw under
+        // ANSI before try_sum's aggregate-overflow NULL could engage);
+        // parked values flag the blob as overflow instead of crashing
+        expr(s"try_sum(case when abs(v) < $DecimalCastGuard " +
+          "then cast(v as decimal(38,4)) end)").as("s4"),
+        expr(s"sum(case when abs(v) >= $DecimalCastGuard " +
+          "then 1 else 0 end)").as("novf"))
       .collect()
     if (rows.exists(_.getAs[Long]("ninf") > 0L))
       throw new IllegalArgumentException(
@@ -510,7 +565,8 @@ object SketchOps {
       if (sg == 0) zero += n
       else {
         if (sg < 0) neg += (((e, s), n)) else pos += (((e, s), n))
-        Option(r.getAs[java.math.BigDecimal]("s4")) match {
+        if (r.getAs[Long]("novf") > 0L) sumOverflow = true
+        else Option(r.getAs[java.math.BigDecimal]("s4")) match {
           case Some(d) =>
             sums += (((sg, e, s), BigInt(d.setScale(4).unscaledValue())))
           case None => sumOverflow = true

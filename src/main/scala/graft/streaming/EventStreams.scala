@@ -368,7 +368,16 @@ object EventStreams {
           .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
             .map(_.group(1).toLong))
           .exists(batchId <= _)
-        if (!alreadyMerged) {
+        // the rider's replay guard is evaluated INDEPENDENTLY and up
+        // front: a crash between the counts upsert and the rider
+        // upsert leaves the rider one batch behind, and the REPLAYED
+        // batch must still fold it (nesting it under the counts guard
+        // would skip the whole body and lose that batch's sums forever)
+        val sumsMerged = catalog.getSketch(table, column, "histsum")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged || !sumsMerged) {
           val counts = new Array[Long](buckets)
           val bsums = Array.fill(buckets)(BigInt(0))
           var sumOverflow = false
@@ -396,13 +405,14 @@ object EventStreams {
               }
             }
           val h = graft.sketch.Histogram(lo, width, counts)
-          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
-            "histogram", h.serialize,
-            s"""{"buckets":$buckets,"last_batch":$batchId}""",
-            System.currentTimeMillis())) { (prev, next) =>
-            graft.sketch.Histogram.deserialize(prev)
-              .merge(graft.sketch.Histogram.deserialize(next)).serialize
-          }
+          if (!alreadyMerged)
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+              "histogram", h.serialize,
+              s"""{"buckets":$buckets,"last_batch":$batchId}""",
+              System.currentTimeMillis())) { (prev, next) =>
+              graft.sketch.Histogram.deserialize(prev)
+                .merge(graft.sketch.Histogram.deserialize(next)).serialize
+            }
           // histsum: per-bucket unscaled decimal sums, additive BigInt
           // merge under its OWN replay guard (additive like the
           // histogram, unlike HLL's idempotent max). A batch whose
@@ -411,10 +421,6 @@ object EventStreams {
           // refuses SUM/AVG serves (counts keep serving) instead of
           // serving a sum that silently missed a batch; poison absorbs
           // in the merge so later batches cannot un-poison it.
-          val sumsMerged = catalog.getSketch(table, column, "histsum")
-            .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
-              .map(_.group(1).toLong))
-            .exists(batchId <= _)
           if (!sumsMerged) {
             val payload: Seq[(Option[String], Array[Byte])] =
               if (sumOverflow) Seq.empty
@@ -565,7 +571,15 @@ object EventStreams {
           .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
             .map(_.group(1).toLong))
           .exists(batchId <= _)
-        if (!alreadyMerged) {
+        // independent rider guard, evaluated UP FRONT: a crash between
+        // the counts upsert and the rider upsert must not make the
+        // replayed batch skip the rider fold (see maintainHistogramSketch)
+        val sumsMergedG = catalog
+          .getSketch(table, valueCol, "histsum_grouped")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged || !sumsMergedG) {
           val in = batch.filter(col(valueCol).isNotNull)
             .select(graft.sketch.SketchOps.groupKeyExpr(groupCols, batch.schema.fieldNames.toSeq).as("g"),
               col(valueCol).cast("double").as("v"),
@@ -601,15 +615,16 @@ object EventStreams {
               rs.foreach(r => arr(r.getAs[Int]("b")) = r.getAs[Long]("count"))
               k -> graft.sketch.Histogram(lo, w, arr).serialize
             }
-            catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
-              "histogram_grouped", graft.sketch.GroupedHll.pack(packed),
-              s"""{"buckets":$buckets,"group_by":"$groupCol","last_batch":$batchId}""",
-              System.currentTimeMillis())) { (prev, next) =>
-              graft.sketch.GroupedHll.mergePacked(prev, next) { (x, y) =>
-                graft.sketch.Histogram.deserialize(x)
-                  .merge(graft.sketch.Histogram.deserialize(y)).serialize
+            if (!alreadyMerged)
+              catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
+                "histogram_grouped", graft.sketch.GroupedHll.pack(packed),
+                s"""{"buckets":$buckets,"group_by":"$groupCol","last_batch":$batchId}""",
+                System.currentTimeMillis())) { (prev, next) =>
+                graft.sketch.GroupedHll.mergePacked(prev, next) { (x, y) =>
+                  graft.sketch.Histogram.deserialize(x)
+                    .merge(graft.sketch.Histogram.deserialize(y)).serialize
+                }
               }
-            }
             // histsum_grouped rider: per-group inner packs of bucket ->
             // unscaled scale-4 decimal sums, additive BigInt merge under
             // its OWN replay guard. A group whose batch sum overflows
@@ -617,12 +632,7 @@ object EventStreams {
             // — the engine refuses its SUM/AVG serve (counts keep
             // serving) instead of serving a sum that silently missed a
             // batch; poison absorbs in the merge.
-            val sumsMerged = catalog
-              .getSketch(table, valueCol, "histsum_grouped")
-              .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
-                .map(_.group(1).toLong))
-              .exists(batchId <= _)
-            if (!sumsMerged) {
+            if (!sumsMergedG) {
               val packedSums = byGroup.toSeq.map { case (k, rs) =>
                 var poison = false
                 val entries = rs.toSeq.flatMap { r =>
@@ -975,7 +985,17 @@ object EventStreams {
           .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
             .map(_.group(1).toLong))
           .exists(batchId <= _)
-        if (!alreadyMerged) {
+        // the rider's replay guard is INDEPENDENT and evaluated up
+        // front: a crash between the counts upsert and the rider
+        // upsert leaves the rider one batch behind, and the replayed
+        // batch must still fold it (nesting it under the counts guard
+        // would lose that batch's sums forever; the serve-side
+        // last_batch cross-check refuses sums in the interim)
+        val sumsMerged = catalog.getSketch(table, column, "hdrsum")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged || !sumsMerged) {
           val total = batch.count()
           val (sk, sums, sumOverflow) =
             graft.sketch.SketchOps.hdrAggregate(batch, column, m,
@@ -988,37 +1008,36 @@ object EventStreams {
             .flatMap(s => rowsRe.findFirstMatchIn(s.parameters)
               .map(_.group(1).toLong))
             .getOrElse(0L)
-          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
-            "hdr", sk.serialize,
-            s"""{"m":$m,"rows":${prevRows + total},"last_batch":$batchId}""",
-            System.currentTimeMillis())) { (p, n) =>
-            graft.sketch.HdrSketch.deserialize(p)
-              .merge(graft.sketch.HdrSketch.deserialize(n)).serialize
-          }
-          // the "hdrsum" rider folds decimal sums additively under the
-          // SAME replay guard, AFTER the counts: a crash between the
-          // two leaves the rider one batch behind — its stale "rows"
-          // refuses the sum serve while counts keep serving (the safe
-          // direction; a rider-first order could double-count sums on
-          // redelivery)
-          catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
-            "hdrsum",
-            graft.sketch.GroupedHll.pack(sums.map { case ((sg, e, s), v) =>
-              Option(s"$sg:$e:$s") -> v.toByteArray
-            }),
-            s"""{"m":$m,"rows":${prevRows + total},"last_batch":$batchId}""",
-            System.currentTimeMillis())) { (p, n) =>
-            val a = graft.sketch.GroupedHll.unpack(p)
-              .map { case (k, b) => k -> BigInt(b) }.toMap
-            val b = graft.sketch.GroupedHll.unpack(n)
-              .map { case (k, b0) => k -> BigInt(b0) }
-            val merged = (a.keySet ++ b.map(_._1)).toSeq.map { k =>
-              k -> (a.getOrElse(k, BigInt(0)) +
-                b.collectFirst { case (`k`, v) => v }.getOrElse(BigInt(0)))
+          if (!alreadyMerged)
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+              "hdr", sk.serialize,
+              s"""{"m":$m,"rows":${prevRows + total},"last_batch":$batchId}""",
+              System.currentTimeMillis())) { (p, n) =>
+              graft.sketch.HdrSketch.deserialize(p)
+                .merge(graft.sketch.HdrSketch.deserialize(n)).serialize
             }
-            graft.sketch.GroupedHll.pack(
-              merged.map { case (k, v) => k -> v.toByteArray })
-          }
+          // the "hdrsum" rider folds decimal sums additively AFTER the
+          // counts (a rider-first order could double-count sums on
+          // redelivery of the crash window)
+          if (!sumsMerged)
+            catalog.upsertSketchMerging(catalog.SketchInfo(table, column,
+              "hdrsum",
+              graft.sketch.GroupedHll.pack(sums.map { case ((sg, e, s), v) =>
+                Option(s"$sg:$e:$s") -> v.toByteArray
+              }),
+              s"""{"m":$m,"rows":${prevRows + total},"last_batch":$batchId}""",
+              System.currentTimeMillis())) { (p, n) =>
+              val a = graft.sketch.GroupedHll.unpack(p)
+                .map { case (k, b) => k -> BigInt(b) }.toMap
+              val b = graft.sketch.GroupedHll.unpack(n)
+                .map { case (k, b0) => k -> BigInt(b0) }
+              val merged = (a.keySet ++ b.map(_._1)).toSeq.map { k =>
+                k -> (a.getOrElse(k, BigInt(0)) +
+                  b.collectFirst { case (`k`, v) => v }.getOrElse(BigInt(0)))
+              }
+              graft.sketch.GroupedHll.pack(
+                merged.map { case (k, v) => k -> v.toByteArray })
+            }
         }
         ()
       }
@@ -1065,7 +1084,15 @@ object EventStreams {
           .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
             .map(_.group(1).toLong))
           .exists(batchId <= _)
-        if (!alreadyMerged) {
+        // independent rider guard, evaluated UP FRONT (see
+        // maintainHdrSketch): the crash window between the two upserts
+        // must not make the replayed batch skip the rider fold
+        val sumsMerged = catalog
+          .getSketch(table, valueCol, "hdrsum_grouped")
+          .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
+            .map(_.group(1).toLong))
+          .exists(batchId <= _)
+        if (!alreadyMerged || !sumsMerged) {
           import org.apache.spark.sql.functions.{count, lit}
           // all groups in the batch (all-NULL ones included) — the
           // bucket pass only sees non-NULL values
@@ -1087,63 +1114,38 @@ object EventStreams {
             val packed = graft.sketch.GroupedHll.pack(
               keys.map(k =>
                 k -> agg.get(k).map(_._1).getOrElse(Array.empty[Byte])))
-            catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
-              "hdr_grouped", packed,
-              s"""{"m":$m,"group_by":"$groupCol","last_batch":$batchId}""",
-              System.currentTimeMillis())) { (prevB, next) =>
-              val merged = graft.sketch.GroupedHll.mergePacked(prevB, next)(
-                graft.sketch.HdrSketch.mergeBytes)
-              if (graft.sketch.GroupedHll.unpack(merged)
-                  .sizeIs > graft.sketch.SketchOps.MaxHllGroups)
-                throw new IllegalArgumentException(
-                  s"grouped hdr over $table.$groupCol: merged group count " +
-                    s"exceeds ${graft.sketch.SketchOps.MaxHllGroups}")
-              merged
-            }
+            if (!alreadyMerged)
+              catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
+                "hdr_grouped", packed,
+                s"""{"m":$m,"group_by":"$groupCol","last_batch":$batchId}""",
+                System.currentTimeMillis())) { (prevB, next) =>
+                val merged = graft.sketch.GroupedHll.mergePacked(prevB, next)(
+                  graft.sketch.HdrSketch.mergeBytes)
+                if (graft.sketch.GroupedHll.unpack(merged)
+                    .sizeIs > graft.sketch.SketchOps.MaxHllGroups)
+                  throw new IllegalArgumentException(
+                    s"grouped hdr over $table.$groupCol: merged group count " +
+                      s"exceeds ${graft.sketch.SketchOps.MaxHllGroups}")
+                merged
+              }
             // the "hdrsum_grouped" rider folds per-(group, log-bucket)
-            // decimal sums additively under its OWN replay guard, AFTER
-            // the counts (a crash between the two leaves the rider one
-            // batch behind — a stale rider refuses the sum serve while
-            // counts keep serving; rider-first could double-count).
-            // Per-group overflow POISON (empty inner pack) absorbs in
-            // the merge — exactly the histsum_grouped discipline on the
-            // log grid. All-NULL-batch groups contribute the empty pack
-            // as the merge identity ONLY when the stored side has no
-            // entry yet; pairing with sketch cells at serve time keeps
-            // empty-with-mass = poison unambiguous.
-            val sumsMerged = catalog
-              .getSketch(table, valueCol, "hdrsum_grouped")
-              .flatMap(s => lastBatchRe.findFirstMatchIn(s.parameters)
-                .map(_.group(1).toLong))
-              .exists(batchId <= _)
+            // decimal sums additively AFTER the counts (rider-first
+            // could double-count sums on crash-window redelivery).
+            // Per-group overflow POISON (the "!" sentinel entry)
+            // absorbs in the merge — an EMPTY pack is the additive
+            // identity of an all-zero-valued batch group, never poison.
             if (!sumsMerged) {
               // groups with VALUES only (all-NULL-batch groups are
               // omitted — mergePacked's union leaves the stored side
-              // untouched, and "empty pack" stays unambiguously the
-              // overflow poison, which ABSORBS in the merge)
+              // untouched)
               val packedSums = graft.sketch.GroupedHll.pack(
                 agg.toSeq.map { case (k, (_, rider)) => k -> rider })
               catalog.upsertSketchMerging(catalog.SketchInfo(table, valueCol,
                 "hdrsum_grouped", packedSums,
                 s"""{"m":$m,"group_by":"$groupCol","last_batch":$batchId}""",
                 System.currentTimeMillis())) { (prevB, next) =>
-                graft.sketch.GroupedHll.mergePacked(prevB, next) { (x, y) =>
-                  val xa = graft.sketch.GroupedHll.unpack(x)
-                  val ya = graft.sketch.GroupedHll.unpack(y)
-                  if (xa.isEmpty || ya.isEmpty)
-                    graft.sketch.GroupedHll.pack(Seq.empty) // poison absorbs
-                  else {
-                    val xm = xa.collect {
-                      case (Some(bk), bb) => bk -> BigInt(bb) }.toMap
-                    val ym = ya.collect {
-                      case (Some(bk), bb) => bk -> BigInt(bb) }.toMap
-                    graft.sketch.GroupedHll.pack(
-                      (xm.keySet ++ ym.keySet).toSeq.map(bk =>
-                        Option(bk) ->
-                          (xm.getOrElse(bk, BigInt(0)) +
-                            ym.getOrElse(bk, BigInt(0))).toByteArray))
-                  }
-                }
+                graft.sketch.GroupedHll.mergePacked(prevB, next)(
+                  graft.sketch.SketchOps.hdrSumMergeBytes)
               }
             }
           }

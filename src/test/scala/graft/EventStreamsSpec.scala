@@ -705,6 +705,75 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("grouped HDR rider: crash-window replay heals, out-of-sync riders refuse sums, all-zero groups are identity") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-hdr-crash").toString)
+    val batchA = Seq(("a", 2.0), ("b", 3.0))
+    val batchB = Seq(("a", 4.0), ("a", 0.0), ("b", 5.0), ("c", 0.0))
+    val stream = MemoryStream[(String, Double)]
+    val q = EventStreams.maintainGroupedHdrSketch(
+      stream.toDF().toDF("g", "v"), catalog, "zr_live", Seq("g"), "v")
+    stream.addData(batchA)
+    q.processAllAvailable()
+    val riderAfterA = catalog.getSketch("zr_live", "v", "hdrsum_grouped").get
+    stream.addData(batchB)
+    q.processAllAvailable()
+    q.stop()
+    val riderFinal = catalog.getSketch("zr_live", "v", "hdrsum_grouped").get
+    // the stream rider is BYTE-equal to the batch build, all-zero
+    // group c included (its rider pack is the EMPTY identity, never
+    // poison)
+    (batchA ++ batchB).toDF("g", "v").createOrReplaceTempView("zr_live")
+    val cat2 = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-hdr-crash2").toString)
+    graft.sketch.SketchOps.createGroupedHdr(spark, cat2, "zr_live",
+      Seq("g"), "v")
+    assert(riderFinal.data.sameElements(
+      cat2.getSketch("zr_live", "v", "hdrsum_grouped").get.data))
+    // simulate the crash window: counts folded batch 1, the rider did
+    // not (rolled back to its after-batch-0 state)
+    catalog.upsertSketch(riderAfterA)
+    spark.range(0).selectExpr("'' as g", "cast(id as double) as v")
+      .createOrReplaceTempView("zr_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    // counts still serve; SUMs refuse (the rider is a batch behind —
+    // serving would silently understate)
+    val rc = engine.query("SELECT g, count(*) AS n FROM zr_live " +
+      "WHERE v >= -1 AND v < 100 GROUP BY g")
+    assert(rc.servedFromCatalog && rc.serveKind.contains("grouped_hdr_range"),
+      s"${rc.serveKind}: ${rc.reason}")
+    val rs = engine.query("SELECT g, count(*) AS n, sum(v) AS s " +
+      "FROM zr_live WHERE v >= -1 AND v < 100 GROUP BY g")
+    assert(!rs.servedFromCatalog, rs.reason)
+    // REPLAY heals: a restarted maintainer re-delivers both batches;
+    // batch 0 is skipped by both guards, batch 1 folds ONLY the rider
+    // (the counts guard skips it) — the independent guards are what
+    // make the replayed batch reach the rider at all
+    val replay = MemoryStream[(String, Double)]
+    val q2 = EventStreams.maintainGroupedHdrSketch(
+      replay.toDF().toDF("g", "v"), catalog, "zr_live", Seq("g"), "v")
+    replay.addData(batchA)
+    q2.processAllAvailable()
+    replay.addData(batchB)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(catalog.getSketch("zr_live", "v", "hdrsum_grouped")
+      .get.data.sameElements(riderFinal.data),
+      "replay must heal the rider to the pre-crash state")
+    // and the healed sums serve exactly: a = 2+4(+0), b = 3+5, c = 0
+    val rh = engine.query("SELECT g, count(*) AS n, sum(v) AS s " +
+      "FROM zr_live WHERE v >= -1 AND v < 100 GROUP BY g")
+    assert(rh.servedFromCatalog && rh.serveKind.contains("grouped_hdr_range"),
+      s"${rh.serveKind}: ${rh.reason}")
+    val served = rh.df.collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(served("a") == ((3.0, 6.0)), served.toString)
+    assert(served("b") == ((2.0, 8.0)), served.toString)
+    assert(served("c") == ((1.0, 0.0)), served.toString)
+  }
+
   test("stream-maintained COMPOSITE grouped stats byte-equal the batch build; composite serves go live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
