@@ -1596,6 +1596,24 @@ object Aqp {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // TOP-K groups by HDR percentile (round 11): ORDER BY the served
+    // p95 DESC LIMIT 3 — the round-10 post-aggregate peel replaying
+    // over the grouped log-linear serve (the "which segments have the
+    // worst tail latency" dashboard, still zero-scan). Key tie-breaks
+    // pin the row set.
+    "q161_hdr_topk_groups" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_returnflag, l_linestatus, " +
+          "percentile(l_extendedprice, 0.95) AS p95 FROM lineitem " +
+          "GROUP BY l_returnflag, l_linestatus " +
+          "ORDER BY p95 DESC, l_returnflag, l_linestatus LIMIT 3")
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
+        s"q161 must replay ORDER BY/LIMIT over the grouped log-linear " +
+          s"serve: ${r.serveKind} (${r.reason})")
+      r.df
+    }),
+
     // MARGINAL collapse through the grouped HDR blob (round 11):
     // `GROUP BY l_returnflag` over the (l_returnflag, l_linestatus)
     // blob — the rollup shape per-group equi-width grids REFUSE at
@@ -2889,6 +2907,45 @@ object Aqp {
             (est.p95 - exq.x95) / exq.x95 AS rel_err
           FROM est JOIN exq ON est.rf = exq.rf AND est.ls = exq.ls
           ORDER BY est.rf, est.ls""",
+    // q161: the q150 per-group chain ordered by the estimate (key
+    // tie-breaks) and cut to 3 — exactly what the peel replays over
+    // the served rows.
+    "q161_hdr_topk_groups" ->
+      """WITH ve AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+              CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT rf, ls, v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT rf, ls, v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT rf, ls, v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT rf, ls,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT rf, ls, e, s, count(*) AS n
+            FROM eb2 GROUP BY 1, 2, 3, 4),
+          ecm AS (SELECT rf, ls, e, s, n,
+              sum(n) OVER (PARTITION BY rf, ls ORDER BY e, s) - n AS cumb,
+              sum(n) OVER (PARTITION BY rf, ls) AS total FROM ebk),
+          epk AS (SELECT rf, ls, e, s, n, cumb,
+              CAST('0.95' AS DOUBLE) * CAST(total - 1 AS DOUBLE) AS target
+            FROM ecm
+            WHERE cumb + n > CAST('0.95' AS DOUBLE) * CAST(total - 1 AS DOUBLE)
+            QUALIFY row_number() OVER (PARTITION BY rf, ls
+              ORDER BY e, s) = 1),
+          est AS (SELECT rf AS l_returnflag, ls AS l_linestatus,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+              + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+                * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+              AS p95 FROM epk)
+          SELECT l_returnflag, l_linestatus, p95 FROM est
+          ORDER BY p95 DESC, l_returnflag, l_linestatus LIMIT 3""",
     // q151: the marginal collapse — the engine merges the composite
     // blob's per-(rf, ls) sketches across linestatus by adding bucket
     // counts (exact: the log grid is global), which is bucket-wise
