@@ -241,6 +241,36 @@ object Events {
             .as("purchase_through"))
     }),
 
+    // Cohort retention matrix: users grouped by first-seen day (their
+    // cohort), tracked for two weeks of day offsets — the
+    // product-analytics report behind every retention dashboard. Two
+    // aggregates keyed on user_id (first-seen, then the activity join
+    // back — same key, so the exchange is reused), then one
+    // (cohort, offset) hash-aggregate; the per-cohort size table is one
+    // row per DAY, broadcast back for the rate division. At 100 TB the
+    // user_id shuffles are the only data-sized exchanges and both hash
+    // the same key.
+    "q164_cohort_retention" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_users"))
+      e.join(first, "user_id")
+        .withColumn("day_offset", col("day") - col("cohort_day"))
+        .filter(col("day_offset") <= 13)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_users"),
+          expr("cast(n_active as double) / cast(cohort_users as double)")
+            .as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // JSON property extraction from the semi-structured props column.
     "q37_json_extract" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
@@ -254,6 +284,19 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q164_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+          f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+          sz AS (SELECT cohort_day, count(*) AS cohort_users FROM f GROUP BY cohort_day),
+          act AS (SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+              count(DISTINCT e.user_id) AS n_active
+            FROM e JOIN f ON e.user_id = f.user_id
+            WHERE e.day - f.cohort_day <= 13
+            GROUP BY 1, 2)
+          SELECT act.cohort_day, act.day_offset, act.n_active, sz.cohort_users,
+            CAST(act.n_active AS DOUBLE) / CAST(sz.cohort_users AS DOUBLE) AS retention
+          FROM act JOIN sz USING (cohort_day)
+          ORDER BY cohort_day, day_offset""",
     "q64_conversion_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS vts FROM events
               WHERE event_type = 'view' GROUP BY user_id),

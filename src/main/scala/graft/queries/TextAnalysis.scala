@@ -71,6 +71,17 @@ object TextAnalysis {
         + least(CAST(len([x for x in $t if list_contains(${markerListDuck("en")}, x)]) AS DOUBLE) / len($t) * 10,
             CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)"""
 
+  /** q162's PII span patterns — class-only regexes with bounded
+    * repetition, chosen because Java regex (Spark) and RE2 (DuckDB)
+    * agree on them exactly; `[.]` avoids escape-sequence divergence
+    * between the two engines' string literals. Redaction applies ID
+    * before PHONE (3-2-4 vs 3-3-4 digit groups cannot overlap, but the
+    * fixed order keeps the composition deterministic by construction).
+    */
+  val piiEmail: String = "[a-z0-9]+@[a-z]+[.][a-z]+"
+  val piiPhone: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val piiId: String = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokenization + distinct-type stats.
     "q13_token_stats" -> ((s, dir) => {
@@ -199,6 +210,44 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // PII detection + redaction: the compliance pass every training
+    // pipeline runs before release — scan each document for
+    // email/phone/national-id shaped spans, count them per category,
+    // and emit the redaction fingerprint ([EMAIL]/[PHONE]/[ID]
+    // placeholders). The synthetic corpus carries no real PII, so the
+    // scan input is the document text with DETERMINISTIC doc_id-derived
+    // PII spans appended (the q72/q81 generated-modality pattern: the
+    // generator arithmetic is mirrored in the oracle, the
+    // detection/redaction machinery is the real operator). Patterns are
+    // class-only regexes with bounded repetition — identical semantics
+    // in Java regex and RE2, so counts AND the redacted text hash are
+    // bit-portable. Scale: one narrow per-row projection, all three
+    // scans + replaces inside whole-stage codegen, shuffle-free until
+    // the final ORDER BY.
+    "q162_pii_redact" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("aug", expr(
+          """concat(text,
+              case when doc_id % 3 = 0
+                then concat(' contact user', cast(doc_id as string), '@example.com') else '' end,
+              case when doc_id % 5 = 0
+                then concat(' call 415-555-', lpad(cast(doc_id % 10000 as string), 4, '0')) else '' end,
+              case when doc_id % 7 = 0
+                then concat(' ssn 123-45-', lpad(cast(doc_id % 10000 as string), 4, '0')) else '' end)"""))
+        .select(col("doc_id"),
+          expr(s"size(regexp_extract_all(aug, '$piiEmail', 0))").as("n_email"),
+          expr(s"size(regexp_extract_all(aug, '$piiPhone', 0))").as("n_phone"),
+          expr(s"size(regexp_extract_all(aug, '$piiId', 0))").as("n_id"),
+          expr(
+            s"""md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                '$piiId', '[ID]'), '$piiPhone', '[PHONE]'), '$piiEmail', '[EMAIL]'))""")
+            .as("redacted_md5"))
+        .withColumn("pii_total", expr("n_email + n_phone + n_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Collocation mining: top-20 adjacent-token bigrams by lift
     // nxy·N / (nx·ny) with a min-count guard — the PMI-style phrase
     // discovery pass. The score is a ratio of exact int64 products
@@ -296,6 +345,27 @@ object TextAnalysis {
             CAST(sum(cf) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_corpus_freq
           FROM inst JOIN uni USING (tok)
           GROUP BY doc_id ORDER BY doc_id""",
+    "q162_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id,
+            text
+              || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                   THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                   THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(aug, '$piiEmail')) AS INT) AS n_email,
+            CAST(len(regexp_extract_all(aug, '$piiPhone')) AS INT) AS n_phone,
+            CAST(len(regexp_extract_all(aug, '$piiId')) AS INT) AS n_id,
+            md5(regexp_replace(regexp_replace(regexp_replace(aug,
+              '$piiId', '[ID]', 'g'), '$piiPhone', '[PHONE]', 'g'),
+              '$piiEmail', '[EMAIL]', 'g')) AS redacted_md5,
+            CAST(len(regexp_extract_all(aug, '$piiEmail'))
+              + len(regexp_extract_all(aug, '$piiPhone'))
+              + len(regexp_extract_all(aug, '$piiId')) AS INT) AS pii_total
+          FROM aug ORDER BY doc_id""",
     "q48_collocations" ->
       s"""WITH tk AS ($duckToks),
           bi AS (SELECT t[i] AS x, t[i + 1] AS y
