@@ -108,6 +108,19 @@ final class MetaCatalog(val workDir: String) {
     * out of the uniform/stratified lookups. Fresh-guarded like every
     * serving lookup; smallest fraction first (reference tie-break).
     */
+  /** Materialized outlier-indexed sample for (table, valueCol) —
+    * Samplers.createOutlierSample's `__outlier__<col>` marker keeps
+    * these out of the uniform/stratified lookups (the outlier part is
+    * value-clustered, not row-uniform, so serving it as a plain sample
+    * would bias every non-weighted read). Fresh-guarded like every
+    * serving lookup.
+    */
+  def outlierSampleFor(table: String, valueCol: String): Option[SampleInfo] =
+    samplesFor(table)
+      .filter(_.strataColumn.contains(s"__outlier__${valueCol.toLowerCase}"))
+      .filter(sampleIsFresh)
+      .sortBy(_.fraction).headOption
+
   def universeSampleFor(table: String, key: String): Option[SampleInfo] =
     samplesFor(table).filter(_.strataColumn.contains(s"__universe__$key"))
       .filter(sampleIsFresh)

@@ -546,6 +546,19 @@ final class QueryEngine(
 
       case strat @ (StrategyChooser.Sample | StrategyChooser.Sketch |
                     StrategyChooser.Stratified) =>
+        // Outlier-indexed sample first (the targeted index): when a
+        // fresh __outlier__ sample exists whose value column is the
+        // argument of a SUM/AVG in this query, serve from it — the
+        // heavy tail reads exactly at weight 1, the rest HT-scales, so
+        // the skewed-sum variance the generic sample suffers is gone.
+        // Distinct/min-max shapes never reach here with it (guarded);
+        // percentiles ride the integer-weight frequency rewrite (both
+        // weights are integral by construction: 1 and a power of two).
+        val outlierSample =
+          if (features.hasDistinct || features.hasMinMax) None
+          else sumAvgArgColumns(parsed).toSeq.sorted.iterator
+            .flatMap(c => catalog.outlierSampleFor(table, c).iterator)
+            .nextOption()
         val stratSample = choice.strategy match {
           case StrategyChooser.Stratified =>
             features.groupByColumns.headOption
@@ -553,6 +566,26 @@ final class QueryEngine(
               .flatMap(c => catalog.stratifiedSampleFor(table, c))
           case _ => None
         }
+        outlierSample match {
+          case Some(s) =>
+            val d = SampleRewrite.Directive(table,
+              Planner.ReadSampleTable(s.sampleTable, s.fraction),
+              weight = Some(SampleRewrite.WeightColumn("graft_weight")),
+              rewriteDistinctToHll = false, hllRsd = None,
+              addCiColumns = opts.ciColumns,
+              weightedPercentiles = true,
+              decimalSums = true)
+            val df = SampleRewrite.rewrite(spark, parsed, d)
+            val (spd, err) = StrategyChooser.predict(
+              StrategyChooser.Sample, tableSize, Some(s.fraction))
+            AqeResult(df, "outlier",
+              (strat: StrategyChooser.Strategy).name, choice.reasoning,
+              choice.confidence, spd, err, Some(s.fraction),
+              Some(s.sampleTable),
+              Seq(s"outlier-indexed sample ${s.sampleTable}: heavy tail exact at weight 1, rest Horvitz-Thompson weighted"),
+              estimatedCost = Some(tableSize * s.fraction *
+                Planner.ScanCostPerRow + Planner.SampleSetupCost))
+          case None =>
         stratSample match {
           case Some(s) =>
             // frequency-weighted percentiles engage only when every
@@ -630,6 +663,7 @@ final class QueryEngine(
                   Planner.ScanCostPerRow + Planner.SampleSetupCost))
             }
         }
+        }
     }
     finish(result, sql, features, opts)
   }
@@ -661,6 +695,31 @@ final class QueryEngine(
   private def normalizeKey(column: String): String =
     try spark.sessionState.sqlParser.parseExpression(column).sql
     catch { case scala.util.control.NonFatal(_) => column }
+
+  /** Column names referenced inside non-distinct SUM/AVG/percentile
+    * arguments of the parsed plan — the outlier-sample dispatch key
+    * (the aggregates whose estimate the indexed measure improves).
+    * Ungrouped aggregates still parse as Project (GlobalAggregates runs
+    * in the analyzer), so both node shapes contribute.
+    */
+  private def sumAvgArgColumns(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val lists = plan.collect {
+      case a: Aggregate => a.aggregateExpressions
+      case p: Project   => p.projectList
+    }.flatten
+    lists.flatMap(_.collect {
+      case f: UnresolvedFunction
+          if Seq("sum", "avg", "mean", "percentile", "median")
+            .contains(f.nameParts.last.toLowerCase) && !f.isDistinct =>
+        f.arguments.headOption.toSeq.flatMap(_.collect {
+          case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+        })
+    }).flatten.toSet
+  }
 
   /** Opt-in AQP over a join (beyond the reference's single-table
     * planner): pick the largest table by rowcount as the fact side,

@@ -81,7 +81,17 @@ object SampleRewrite {
       // empirical CDF the HT estimator implies. The CALLER must have
       // verified integrality (a fractional weight would truncate);
       // uniform samples skip it — equal weights cancel in the rank.
-      weightedPercentiles: Boolean = false)
+      weightedPercentiles: Boolean = false,
+      // INTEGER-weight samples only (outlier-indexed samples, whose two
+      // weights are 1 and a power of two): route SUM/AVG numerators
+      // through DECIMAL(18,4) arithmetic — sum(cast(x as decimal(18,4))
+      // * cast(w as decimal(18,0))) cast back to double. Decimal sums
+      // are exact and order-independent, so the weighted estimate of a
+      // 2-decimal-place MEASURE column (a price) is bit-portable to a
+      // DuckDB oracle, which the plain double product sum (last-ulp
+      // association drift across 10^4+ terms) is not. COUNT keeps its
+      // double weight sum (integral values, already exact).
+      decimalSums: Boolean = false)
 
   /** Rewrite the parsed plan per the directive and hand it to Spark for
     * analysis + execution.
@@ -117,18 +127,30 @@ object SampleRewrite {
     case _ => false
   }
 
-  /** Rewrite COUNT/SUM/AVG calls under `e` into HT-weighted forms. */
-  private def weightAggs(e: Expression, w: Expression): Expression =
+  /** Rewrite COUNT/SUM/AVG calls under `e` into HT-weighted forms.
+    * `decimalSums` (Directive contract) swaps the SUM/AVG numerator to
+    * exact decimal arithmetic, cast back to double at the end so the
+    * output schema is unchanged.
+    */
+  private def weightAggs(e: Expression, w: Expression,
+      decimalSums: Boolean = false): Expression = {
+    def sumProduct(x: Expression): Expression =
+      if (decimalSums)
+        Cast(fn("sum", Multiply(
+          Cast(x, org.apache.spark.sql.types.DecimalType(18, 4)),
+          Cast(w, org.apache.spark.sql.types.DecimalType(18, 0)))),
+          DoubleType)
+      else fn("sum", Multiply(Cast(x, DoubleType), w))
     e.transformUp {
       case f: UnresolvedFunction if isAgg(f, "count") =>
         fn("sum", weightIfNotNull(f.arguments.head, w))
       case f: UnresolvedFunction if isAgg(f, "sum") =>
-        fn("sum", Multiply(Cast(f.arguments.head, DoubleType), w))
+        sumProduct(f.arguments.head)
       case f: UnresolvedFunction if isAgg(f, "avg", "mean") =>
         val x = f.arguments.head
-        Divide(fn("sum", Multiply(Cast(x, DoubleType), w)),
-          fn("sum", weightIfNotNull(x, w)))
+        Divide(sumProduct(x), fn("sum", weightIfNotNull(x, w)))
     }
+  }
 
   /** percentile/median -> Spark's frequency-weighted exact percentile
     * (see Directive.weightedPercentiles for the contract).
@@ -211,7 +233,7 @@ object SampleRewrite {
       }
       var out = inner
       if (d.rewriteDistinctToHll) out = sketchAggs(out, d.hllRsd)
-      w.foreach { wx => out = weightAggs(out, wx) }
+      w.foreach { wx => out = weightAggs(out, wx, d.decimalSums) }
       if (d.weightedPercentiles) w.foreach { wx => out = weightPcts(out, wx) }
       if (d.scaleKeyDistinct) w.foreach { wx =>
         out = out.transformUp {
@@ -232,7 +254,7 @@ object SampleRewrite {
           case other           => (other: Expression, prettyName(other))
         }
         seExpr(inner, w.get).toSeq.flatMap { se =>
-          val est = weightAggs(inner, w.get)
+          val est = weightAggs(inner, w.get, d.decimalSums)
           val z = Literal(d.ciZ)
           Seq(
             named(Subtract(est, Multiply(z, se)), s"${name}_ci_low"),

@@ -72,6 +72,12 @@ object Aqp {
     scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
   private val uniSamples =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Unit]()
+  // q163's engine is separate: its catalog holds the outlier-indexed
+  // sample on orders, whose dispatch PREEMPTS the generic sample path
+  // for any SUM/AVG over o_totalprice — on the shared engine it would
+  // silently re-plan q28-family queries.
+  private val outlierEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
 
   private def engineFor(s: SparkSession, dir: String): QueryEngine = {
     // evict entries for stopped sessions (same policy as Dedup.memo) so
@@ -80,7 +86,7 @@ object Aqp {
     Seq(engines, seededStratEngines, histograms, groupedHistograms,
         cmsSketches, compositeCms, compositeHists, joinEngines, detEngines,
         uniEngines, uniSamples, snowEngines, sgEngines, kmvEngines,
-        topkEngines)
+        topkEngines, outlierEngines)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -309,6 +315,17 @@ object Aqp {
       graft.sketch.SketchOps.createGroupedHistogram(s, e.catalog,
         "lineitem", Seq("l_suppkey", "l_returnflag"), "l_quantity", 64,
         sharedGrid = true)
+      e
+    })
+  }
+
+  private def outlierEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    outlierEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-outlier").toString))
+      Samplers.createOutlierSample(s, e.catalog, "orders", "o_totalprice",
+        "o_orderkey", outlierK = 500, targetRest = 2048L)
       e
     })
   }
@@ -2256,6 +2273,28 @@ object Aqp {
       r.df
     }),
 
+    // Outlier-indexed sampling (round 11; Chaudhuri et al. ICDE'01):
+    // the engine answers SUM/AVG over a measure column from the
+    // materialized outlier sample — the top-500 rows by value read
+    // EXACTLY at weight 1, the rest through the deterministic 'ol:'
+    // keyed-hash lottery at a power-of-two HT weight. Deterministic
+    // membership on both parts + integer weights + the decimal-routed
+    // weighted sum (Directive.decimalSums) make the 2-decimal-place
+    // price estimates bit-portable, so the whole serve is oracle-gated
+    // (the reference can only sample uniformly; its skewed-sum variance
+    // is the published motivation for the outlier index).
+    "q163_outlier_sum" -> ((s, dir) => {
+      val e = outlierEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(o_totalprice) AS tp_est, " +
+          "avg(o_totalprice) AS tp_avg FROM orders",
+        e.Options(ciColumns = false))
+      assert(r.planType == "outlier",
+        s"q163 must serve from the outlier-indexed sample: " +
+          s"${r.planType} (${r.reason})")
+      r.df
+    }),
+
     // Frequency-WEIGHTED percentile over the deterministic stratified
     // sample (round 11): percentile(x, p) rewrites to Spark's
     // percentile(x, p, w) with the per-stratum integer weight as the
@@ -3388,6 +3427,33 @@ object Aqp {
             CAST(sum(wh) AS DOUBLE) AS n_est,
             CAST(sum(o_custkey * wh) AS DOUBLE) AS sk_est
           FROM k GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q163: DuckDB re-derives the outlier-indexed sample end to end —
+    // outlier membership is rank ≤ 500 under the (v DESC, key ASC)
+    // total order (the engine's scan-local cutoff predicate selects the
+    // same set), the rest weight is the q76 power-of-two chain over
+    // m = (N−500) div 2048, rest membership the 'ol:' h60 lottery, and
+    // the weighted price sum goes through DECIMAL(18,4)·DECIMAL(18,0)
+    // arithmetic exactly like the engine's decimalSums rewrite.
+    "q163_outlier_sum" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+          nn AS (SELECT count(*) AS n FROM base),
+          rk AS (SELECT k, v,
+              row_number() OVER (ORDER BY v DESC, k ASC) AS rn FROM base),
+          wv AS (SELECT CASE WHEN (n - 500) // 2048 < 1 THEN CAST(1 AS BIGINT)
+                   ELSE CAST(1 AS BIGINT)
+                     << CAST(least(13, length(bin((n - 500) // 2048)) - 1) AS INT)
+              END AS w FROM nn),
+          samp AS (
+            SELECT v, CAST(1 AS BIGINT) AS wt FROM rk WHERE rn <= 500
+            UNION ALL
+            SELECT r.v, w.w AS wt FROM rk r, wv w
+            WHERE r.rn > 500
+              AND ${graft.queries.Dedup.h60Duck("'ol:' || CAST(r.k AS VARCHAR)")} % 8192 < 8192 // w.w)
+          SELECT CAST(sum(wt) AS DOUBLE) AS n_est,
+            CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE) AS tp_est,
+            CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE)
+              / CAST(sum(wt) AS DOUBLE) AS tp_avg
+          FROM samp""",
     // q155: q76's deterministic sample, each surviving row EXPANDED
     // wh times (generate_series lateral) — quantile_cont over the
     // expansion is Spark's frequency-weighted percentile definition

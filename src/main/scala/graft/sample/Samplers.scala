@@ -215,6 +215,84 @@ object Samplers {
     (name, withAchieved)
   }
 
+  /** Outlier-indexed sample (Chaudhuri/Das/Datar/Motwani/Narasayya,
+    * "Overcoming Limitations of Sampling for Aggregation Queries",
+    * ICDE 2001): the top-`outlierK` rows by `valueCol` are materialized
+    * EXACTLY at weight 1 (the outlier index), and the remaining rows
+    * pass a deterministic keyed-hash lottery at a power-of-two HT
+    * weight. A skewed SUM's sampling variance is dominated by whether
+    * the heavy tail lands in the sample; answering the tail exactly
+    * leaves only the (value-bounded) non-outlier part to estimate.
+    *
+    * Determinism end-to-end: outlier membership is the total order
+    * (valueCol DESC, keyCol ASC) — `keyCol` must be unique — expressed
+    * as a scan-local cutoff predicate (the k-th row's (value, key) pair,
+    * fetched once at build time via a distributed top-k, never a full
+    * sort); rest membership is the 'ol:' keyed-hash lottery. Both are
+    * re-derivable bit-for-bit in DuckDB, and the integer weights keep
+    * decimal-routed weighted sums exact — so engine serves from this
+    * sample can be oracle-gated (q163).
+    *
+    * Scale shape: one TakeOrderedAndProject top-k pass (per-partition
+    * heaps, no global sort), one filtered write; rows with NULL values
+    * can never be outliers and fall to the rest lottery.
+    */
+  def createOutlierSample(spark: SparkSession, catalog: MetaCatalog,
+      table: String, valueCol: String, keyCol: String,
+      outlierK: Int = 500, targetRest: Long = 2048L): (String, Long, Long) = {
+    require(outlierK >= 1, "outlierK must be >= 1")
+    require(targetRest >= 1, "targetRest must be >= 1")
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.table(table)
+    val base = df.count()
+    // the k-th (value, key) pair under the DESC/ASC total order — the
+    // scan-local membership cutoff (k rows through TakeOrdered, 1 row
+    // to the driver)
+    val cut = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"), col(keyCol).as("k"))
+      .orderBy(col("v").desc, col("k").asc).limit(outlierK)
+      .orderBy(col("v").asc, col("k").desc).limit(1)
+      .collect()
+    val outlierPred = cut.headOption.map { r =>
+      val cv = r.getDouble(0)
+      val ck = r.get(1)
+      (col(valueCol).cast("double") > cv) ||
+        (col(valueCol).cast("double") === cv && col(keyCol) <= lit(ck))
+    }.getOrElse(lit(false))
+    val m = math.max(0L, base - outlierK) / targetRest
+    val w = if (m < 1L) 1L
+      else math.min(8192L, java.lang.Long.highestOneBit(m))
+    val threshold = 8192L / w
+    val name = s"${table}__outlier_$valueCol"
+    val path = s"${catalog.samplesDir}/$name"
+    val outPart = df.filter(outlierPred)
+      .withColumn("graft_weight", lit(1.0))
+    val restPart = df.filter(!coalesce(outlierPred, lit(false)))
+      .filter(expr(
+        s"graft_h60(concat('ol:', cast($keyCol as string))) % 8192 < $threshold"))
+      .withColumn("graft_weight", lit(w.toDouble))
+    outPart.unionByName(restPart)
+      .coalesce(sampleFiles(outlierK + (base - outlierK) / w))
+      .write.mode("overwrite").parquet(path)
+    val sampleDf = spark.read.parquet(path).cache()
+    sampleDf.createOrReplaceTempView(name)
+    // achieved sizes from the materialized sample (w == 1 makes the two
+    // parts weight-indistinguishable: count them via the predicate)
+    val nOut = sampleDf.filter(outlierPred).count()
+    val nRest = sampleDf.count() - nOut
+    val achievedFraction = math.min(0.9999,
+      (nOut + nRest).toDouble / math.max(1L, base))
+    catalog.upsertTableStats(table, base)
+    catalog.addSample(catalog.SampleInfo(table, name, achievedFraction,
+      Some(s"__outlier__${valueCol.toLowerCase}"), path,
+      System.currentTimeMillis(), baseRows = Some(base)))
+    catalog.putStrata(name, Seq(
+      catalog.StratumInfo(name, "outlier", nOut, nOut, 1.0, 1.0, 0.0),
+      catalog.StratumInfo(name, "rest", math.max(0L, base - nOut), nRest,
+        1.0 / w, w.toDouble, 0.0)))
+    (name, nOut, nRest)
+  }
+
   /** Universe sample: the rows whose JOIN KEY wins the shared keyed-hash
     * lottery `graft_h60('uv:'||key) % 10000 < round(f*10000)` —
     * materialized once so repeated universe-sampled joins

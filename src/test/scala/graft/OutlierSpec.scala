@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.MetaCatalog
+import graft.engine.QueryEngine
+import graft.sample.Samplers
+
+/** Outlier-indexed sampling (Chaudhuri et al. ICDE'01): the heavy tail
+  * of a skewed measure is materialized exactly; only the bounded rest is
+  * sampled. These tests run on a deliberately skewed fixture (20 rows
+  * carry ~99.9% of the sum) where uniform sampling is known-bad — the
+  * exact failure mode the technique exists for.
+  */
+class OutlierSpec extends SparkSpec {
+
+  lazy val catalog = new MetaCatalog(
+    Files.createTempDirectory("graft-outlier-spec").toString)
+  lazy val engine = new QueryEngine(spark, catalog)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.GraftFunctions.register(spark)
+    // 20k rows; ids 0..19 are the heavy tail (1e6 each), the rest are 1.0.
+    // v2 is a second measure with no outlier index over it.
+    spark.range(0, 20000).toDF("id")
+      .withColumn("v", expr(
+        "cast(case when id < 20 then 1000000.0 else 1.0 end as double)"))
+      .withColumn("v2", expr("cast(id % 7 as double)"))
+      .createOrReplaceTempView("skewed")
+  }
+
+  test("outlier sample: heavy tail lands in the exact part, weights are {1, 2^j}") {
+    val (name, nOut, nRest) = Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    assert(name == "skewed__outlier_v")
+    assert(nOut == 64L)
+    assert(nRest > 0L)
+    // all 20 heavy rows are in the weight-1 part
+    val heavyInOutlier = spark.table(name)
+      .filter(col("id") < 20 && col("graft_weight") === 1.0).count()
+    assert(heavyInOutlier == 20L)
+    val weights = spark.table(name).select("graft_weight").distinct()
+      .collect().map(_.getDouble(0)).sorted
+    assert(weights.head == 1.0)
+    weights.foreach { w =>
+      assert(w >= 1.0 && w == math.rint(w) &&
+        java.lang.Long.bitCount(w.toLong) == 1, s"weight $w")
+    }
+    assert(catalog.outlierSampleFor("skewed", "v").map(_.sampleTable)
+      .contains(name))
+    // registered under the marker: never visible to the uniform lookup
+    assert(catalog.bestUniformSample("skewed").isEmpty)
+  }
+
+  test("engine serves SUM/AVG from the outlier sample and beats uniform sampling on the skewed measure") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val exact = spark.sql("SELECT sum(v) FROM skewed").collect()(0).getDouble(0)
+    val r = engine.query(
+      "SELECT count(*) AS n_est, sum(v) AS v_est, avg(v) AS v_avg FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    val row = r.df.collect()(0)
+    val outErr = math.abs(row.getDouble(1) - exact) / exact
+    assert(outErr < 0.01, s"outlier-indexed SUM err $outErr")
+    // count estimate is the HT total — within a few percent here
+    assert(math.abs(row.getDouble(0) - 20000.0) / 20000.0 < 0.1)
+    // the same-budget plain systematic lottery (w=16, no outlier index):
+    // whether 0, 1, or 2+ heavy rows win, its error dwarfs the indexed one
+    val plain = spark.sql(
+      "SELECT sum(CASE WHEN graft_h60(concat('sys:', cast(id as string))) % 8192 < 512 " +
+        "THEN v * 16 ELSE 0.0 END) FROM skewed").collect()(0).getDouble(0)
+    val plainErr = math.abs(plain - exact) / exact
+    assert(outErr < plainErr,
+      s"outlier err $outErr must beat uniform err $plainErr")
+  }
+
+  test("membership and estimates are deterministic across rebuilds") {
+    val (_, o1, r1) = Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val e1 = engine.query("SELECT sum(v) AS v_est FROM skewed",
+      engine.Options(ciColumns = false)).df.collect()(0).getDouble(0)
+    val (_, o2, r2) = Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val e2 = engine.query("SELECT sum(v) AS v_est FROM skewed",
+      engine.Options(ciColumns = false)).df.collect()(0).getDouble(0)
+    assert((o1, r1) == (o2, r2))
+    assert(e1 == e2)
+  }
+
+  test("dispatch is targeted: other measures, distinct/min-max shapes, and stale samples fall through") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    // SUM of a measure with no outlier index: generic path
+    val other = engine.query("SELECT sum(v2) AS s2 FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(other.planType != "outlier", other.planType)
+    // min/max alongside the indexed measure: never the outlier sample
+    val mm = engine.query("SELECT count(*) AS n, max(v) AS mx FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(mm.planType != "outlier", mm.planType)
+    // staleness: table stats move -> the freshness guard retires the sample
+    catalog.upsertTableStats("skewed", 99999L)
+    val stale = engine.query("SELECT sum(v) AS v_est FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(stale.planType != "outlier", stale.planType)
+    // rebuild restores service
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val back = engine.query("SELECT sum(v) AS v_est FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(back.planType == "outlier", s"${back.planType} (${back.reason})")
+  }
+
+  test("percentiles ride the integer-weight frequency rewrite on the outlier sample") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val r = engine.query(
+      "SELECT count(*) AS n_est, percentile(v, 0.5) AS p50 FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    // the true median is 1.0 (heavy tail is 0.1% of rows); the weighted
+    // sample must agree exactly — every rest row carries value 1.0
+    assert(r.df.collect()(0).getDouble(1) == 1.0)
+  }
+}
