@@ -46,11 +46,22 @@ final class MetaCatalog(val workDir: String) {
   case class KeySkew(tableName: String, columnName: String, nRows: Long,
       nKeys: Long, maxKeyRows: Long, topSharePpm: Long, updatedAt: Long)
 
+  /** Measure-distribution statistics the outlier detector produces
+    * (QueryEngine.profileMeasureSkew) and the outlier-sample advisor
+    * consumes: the share of the column's total ABSOLUTE mass held by
+    * its top-k rows, in ppm. A heavy-tailed measure (top 500 rows ≥ 5%
+    * of the mass) is exactly where uniform sampling's SUM variance
+    * blows up and the outlier index pays.
+    */
+  case class MeasureSkew(tableName: String, columnName: String,
+      nRows: Long, topK: Long, topSharePpm: Long, updatedAt: Long)
+
   private val tableStats = TrieMap.empty[String, TableStats]
   private val samples = TrieMap.empty[String, SampleInfo] // key = sampleTable
   private val sketches = TrieMap.empty[(String, String, String), SketchInfo]
   private val strata = TrieMap.empty[String, Seq[StratumInfo]]
   private val keySkew = TrieMap.empty[(String, String), KeySkew]
+  private val measureSkew = TrieMap.empty[(String, String), MeasureSkew]
 
   Files.createDirectories(Paths.get(workDir))
 
@@ -199,6 +210,14 @@ final class MetaCatalog(val workDir: String) {
   }
   def keySkewFor(table: String, column: String): Option[KeySkew] =
     keySkew.get((table, column))
+
+  def upsertMeasureSkew(table: String, column: String, nRows: Long,
+      topK: Long, topSharePpm: Long): Unit =
+    measureSkew.put((table, column.toLowerCase),
+      MeasureSkew(table, column.toLowerCase, nRows, topK, topSharePpm,
+        System.currentTimeMillis()))
+  def measureSkewFor(table: String, column: String): Option[MeasureSkew] =
+    measureSkew.get((table, column.toLowerCase))
 
   // --- strata info (aqe_strata_info) ---
   def putStrata(sampleTable: String, info: Seq[StratumInfo]): Unit =

@@ -692,6 +692,37 @@ final class QueryEngine(
     catalog.keySkewFor(table, key).get
   }
 
+  /** Heavy-tail evidence threshold for the outlier-sample advisor: the
+    * top-k rows holding ≥ 5% of a measure's total absolute mass is the
+    * regime where uniform sampling's SUM variance is dominated by
+    * whether those rows land in the sample.
+    */
+  val OutlierSkewPpmThreshold: Long = 50000L
+
+  /** Measure-skew detector (round 11), the q65 loop's twin for VALUE
+    * distributions: the share of `column`'s total absolute mass held by
+    * its top-k rows, persisted into the catalog. The advisor then
+    * recommends `Samplers.createOutlierSample` for filtered SUM/AVG
+    * misses over flagged measures (detect → advise → build → serve).
+    * One TakeOrdered top-k pass + one aggregate — metadata-scale
+    * driver traffic only.
+    */
+  def profileMeasureSkew(table: String, column: String,
+      k: Int = 500): catalog.MeasureSkew = {
+    import org.apache.spark.sql.functions.{abs, col, count, lit, sum}
+    val v = spark.table(table)
+      .select(abs(col(column)).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val top = v.orderBy(col("v").desc).limit(k)
+      .agg(sum(col("v"))).collect()(0)
+    val totRow = v.agg(sum(col("v")), count(lit(1))).collect()(0)
+    val topSum = if (top.isNullAt(0)) 0.0 else top.getDouble(0)
+    val totSum = if (totRow.isNullAt(0)) 0.0 else totRow.getDouble(0)
+    val ppm = if (totSum > 0) math.round(topSum / totSum * 1e6) else 0L
+    catalog.upsertMeasureSkew(table, column, totRow.getLong(1), k, ppm)
+    catalog.measureSkewFor(table, column).get
+  }
+
   private def normalizeKey(column: String): String =
     try spark.sessionState.sqlParser.parseExpression(column).sql
     catch { case scala.util.control.NonFatal(_) => column }
@@ -6295,7 +6326,7 @@ final class QueryEngine(
     // would serve the inner aggregate — classify the peeled shape so
     // sorted/limited dashboards record the same misses (sortability is
     // irrelevant to WHAT to build, so the permissive peel is fine here)
-    graft.plan.PostAggregate.peel(parsed, _ => true)._1 match {
+    val shapeCands = graft.plan.PostAggregate.peel(parsed, _ => true)._1 match {
       // composite GROUP BYs advise composite-key grouped sketches (the
       // comma-joined column list is the build recipe's group_by)
       case Aggregate(gs, outs, r: UnresolvedRelation, _)
@@ -6628,6 +6659,22 @@ final class QueryEngine(
         }
       case _ => Nil
     }
+    // OUTLIER-sample advice (round 11): a FILTERED SUM/AVG/percentile
+    // over a measure the catalog's skew profile flags heavy-tailed is
+    // the outlier-indexed sample's miss — no blob family serves an
+    // arbitrary WHERE, but the sample does (predicates evaluate per-row
+    // on it; membership is predicate-independent, so HT stays
+    // unbiased). Unfiltered bare aggregates are deliberately excluded:
+    // the histogram build's exact stats serve is strictly better there,
+    // and is already advised above.
+    val outlierCands =
+      if (features.hasDistinct || features.hasMinMax ||
+          parsed.collectFirst { case f: Filter => f }.isEmpty) Nil
+      else sumAvgArgColumns(parsed).toSeq.sorted
+        .filter(c => catalog.measureSkewFor(table, c)
+          .exists(_.topSharePpm >= OutlierSkewPpmThreshold))
+        .map(c => Candidate(table, c, "outlier", None))
+    (shapeCands ++ outlierCands).distinct
   }
 
   /** Build recommendations from accumulated misses: sketchable shapes
@@ -6645,6 +6692,10 @@ final class QueryEngine(
         // a fresh materialized universe sample over the same key
         if (c.sketchType == "universe")
           catalog.universeSampleFor(c.table, c.column).isDefined
+        else if (c.sketchType == "outlier")
+          // samples, not sketches: covered by a fresh outlier-indexed
+          // sample over the same measure column
+          catalog.outlierSampleFor(c.table, c.column).isDefined
         else if (c.sketchType == "topk" || c.sketchType == "topk_sum")
           // topk blobs key themselves by BUILD order; coverage is
           // group-by SET equality plus, for the sum variant, the
@@ -6708,7 +6759,7 @@ final class QueryEngine(
     // (sample_join/universe — AGMS evidence already paid off) are not
     // misses either.
     if (!r.servedFromCatalog && r.strategy != "sample_join" &&
-        r.strategy != "sample_universe")
+        r.strategy != "sample_universe" && r.planType != "outlier")
       parsedCached(sql).foreach { case (p, _) =>
         sketchAdvisor.observe(sketchCandidates(p, features))
       }

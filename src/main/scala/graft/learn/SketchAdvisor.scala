@@ -73,6 +73,12 @@ object SketchAdvisor {
           c.column.split(",").map(k => s""""$k"""").mkString("Seq(", ", ", ")")
         else c.column
       s"SketchOps.createAgms(spark, catalog, ${c.table}, $key)"
+    case ("outlier", _) =>
+      // a SAMPLE build, not a sketch: the heavy tail of the flagged
+      // measure materializes exactly, the rest HT-samples; keyCol must
+      // be a unique row key (the cutoff tie-break)
+      s"Samplers.createOutlierSample(spark, catalog, ${c.table}, " +
+        s"${c.column}, uniqueKeyCol)"
     case ("universe", _) =>
       // a materialized universe sample per big join side — the pair
       // must share ONE fraction to stay join-compatible

@@ -28,7 +28,7 @@ class OutlierSpec extends SparkSpec {
     spark.range(0, 20000).toDF("id")
       .withColumn("v", expr(
         "cast(case when id < 20 then 1000000.0 else 1.0 end as double)"))
-      .withColumn("v2", expr("cast(id % 7 as double)"))
+      .withColumn("v2", expr("cast(1 + id % 3 as double)"))
       .createOrReplaceTempView("skewed")
   }
 
@@ -113,6 +113,48 @@ class OutlierSpec extends SparkSpec {
     val back = engine.query("SELECT sum(v) AS v_est FROM skewed",
       engine.Options(ciColumns = false))
     assert(back.planType == "outlier", s"${back.planType} (${back.reason})")
+  }
+
+  test("detect -> advise -> build -> serve: the measure-skew loop closes") {
+    // fresh engine so earlier tests' samples cannot pre-cover the advice
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-outlier-advise").toString)
+    val e2 = new QueryEngine(spark, cat2)
+    // detect: v is heavy-tailed (top 500 rows hold ~99.9% of the mass),
+    // v2 is not (uniform 0..6)
+    val skewV = e2.profileMeasureSkew("skewed", "v")
+    assert(skewV.topSharePpm >= e2.OutlierSkewPpmThreshold, skewV)
+    val skewV2 = e2.profileMeasureSkew("skewed", "v2")
+    assert(skewV2.topSharePpm < e2.OutlierSkewPpmThreshold, skewV2)
+    // misses: a FILTERED skewed sum runs on the generic sample path
+    val sql = "SELECT count(*) AS n, sum(v) AS sv FROM skewed WHERE id % 2 = 0"
+    (1 to 3).foreach { _ =>
+      val r = e2.query(sql, e2.Options(ciColumns = false))
+      assert(r.planType == "sample", s"${r.planType} (${r.reason})")
+    }
+    // a filtered sum over the UNFLAGGED measure never advises outlier
+    (1 to 3).foreach { _ =>
+      e2.query("SELECT sum(v2) AS s2 FROM skewed WHERE id % 2 = 0",
+        e2.Options(ciColumns = false))
+    }
+    val advice = e2.adviseSketches()
+    val outlierAdvice = advice.filter(_.candidate.sketchType == "outlier")
+    assert(outlierAdvice.map(_.candidate.column) == Seq("v"), advice)
+    assert(outlierAdvice.head.build.contains("createOutlierSample"))
+    // build the recommendation -> the same query flips to the serve
+    Samplers.createOutlierSample(
+      spark, cat2, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val served = e2.query(sql, e2.Options(ciColumns = false))
+    assert(served.planType == "outlier",
+      s"${served.planType} (${served.reason})")
+    // the filtered estimate stays accurate: all 10 even-id heavy rows
+    // read exactly
+    val exact = spark.sql(
+      "SELECT sum(v) FROM skewed WHERE id % 2 = 0").collect()(0).getDouble(0)
+    val est = served.df.collect()(0).getDouble(1)
+    assert(math.abs(est - exact) / exact < 0.01, s"est $est exact $exact")
+    // the advice retires once covered
+    assert(!e2.adviseSketches().exists(_.candidate.sketchType == "outlier"))
   }
 
   test("percentiles ride the integer-weight frequency rewrite on the outlier sample") {
