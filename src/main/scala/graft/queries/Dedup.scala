@@ -303,6 +303,52 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // PREFIX-FILTERED Jaccard join (round 11; the prefix-filter
+    // principle of PPJoin / Bayardo et al.'s all-pairs): index only
+    // each document's first n − ceil(t·n) + 1 kept shingles under a
+    // GLOBAL total order (df ASC, h ASC — rarest first), because any
+    // pair with J ≥ t must share a prefix-prefix element. Candidates
+    // come from the prefix-only self-join; exact Jaccard verification
+    // runs on candidates alone. Same output as q19 BY THEOREM — and by
+    // GATE: the oracle below is q19's SQL verbatim, so a single missed
+    // pair goes red. Scale: the posting-join volume drops from
+    // Σ_h df(h)² over ALL shingles to the prefix subset, and since the
+    // order prefers RARE shingles the quadratic hot terms are exactly
+    // the ones excluded — this is the standard way a 100 TB
+    // set-similarity join becomes tractable without LSH's recall loss.
+    "q165_prefix_jaccard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = shingleHashes(s, dir)
+      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val kept = ex.join(dfreq.filter(col("df") <= maxShingleDf), "h")
+      val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("h").asc)
+      // t = 0.5 ⇒ prefix length n − ceil(n/2) + 1 (integer form; the
+      // per-doc window sorts one document's shingles, never the corpus)
+      val prefix = kept.join(cnt, "doc_id")
+        .withColumn("r", row_number().over(w))
+        .filter(expr("r <= n - ((n + 1) div 2) + 1"))
+        .select(col("doc_id"), col("h"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cands
+        .join(kept.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(kept.select(col("doc_id").as("doc_b"), col("h")),
+          Seq("doc_b", "h"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", expr("cast(i as double) / (na + nb - i)"))
+        .filter(col("jaccard") > 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // CONTAINMENT near-dup pairs (round 11): the ASYMMETRIC complement
     // of q19 — containment = |A∩B| / min(|A|, |B|) flags a short
     // document EMBEDDED in a longer one (quoted posts, boilerplate
@@ -371,6 +417,54 @@ object Dedup {
   /** DuckDB CTE chain ending in `edges` (doc_a, doc_b, n_match) — the
     * oracle-side mirror of [[minhashEdges]], shared by q18 and q44.
     */
+  /** The df-guarded exact-Jaccard pair report (q19's oracle; shared
+    * verbatim by q165, whose prefix filter must reproduce it exactly).
+    */
+  private def duckJaccardSql: String =
+    s"""WITH ex AS ($duckShingleHashes),
+        dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+        kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
+                 WHERE dfreq.df <= $maxShingleDf),
+        cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+        FROM inter
+        JOIN cnt ca ON inter.doc_a = ca.doc_id
+        JOIN cnt cb ON inter.doc_b = cb.doc_id
+        WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) > 0.5
+        ORDER BY doc_a, doc_b"""
+
+  /** Candidate-pair volumes behind the prefix-filter law (spec
+    * support): (full posting-join distinct pairs, prefix-only distinct
+    * pairs). The second must be a subset — and on any non-degenerate
+    * corpus, strictly smaller: that shrinkage IS the operator's reason
+    * to exist.
+    */
+  def prefixFilterStats(s: SparkSession, dir: String): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingleHashes(s, dir)
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val kept = ex.join(dfreq.filter(col("df") <= maxShingleDf), "h")
+    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val full = kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("h").asc)
+    val prefix = kept.join(cnt, "doc_id")
+      .withColumn("r", row_number().over(w))
+      .filter(expr("r <= n - ((n + 1) div 2) + 1"))
+      .select(col("doc_id"), col("h"))
+    val pref = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    (full, pref)
+  }
+
   private def duckEdgeCtes: String = {
     val minCols = perms.zipWithIndex
       .map { case ((a, b), j) => s"min(($a * h + $b) % $P) AS m$j" }
@@ -416,21 +510,11 @@ object Dedup {
             SELECT u.dst AS id, r.lbl FROM reach r JOIN und u ON u.src = r.id)
           SELECT id AS doc_id, min(lbl) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id""",
-    "q19_ngram_jaccard" ->
-      s"""WITH ex AS ($duckShingleHashes),
-          dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
-          kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfreq ON ex.h = dfreq.h
-                   WHERE dfreq.df <= $maxShingleDf),
-          cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-          SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-          FROM inter
-          JOIN cnt ca ON inter.doc_a = ca.doc_id
-          JOIN cnt cb ON inter.doc_b = cb.doc_id
-          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) > 0.5
-          ORDER BY doc_a, doc_b""",
+    "q19_ngram_jaccard" -> duckJaccardSql,
+    // q165: SAME oracle as q19 on purpose — the prefix filter is a
+    // completeness theorem, and the gate enforces it empirically (one
+    // missed pair and the hash goes red).
+    "q165_prefix_jaccard" -> duckJaccardSql,
     // q157: q19's chain with the asymmetric containment ratio —
     // i / least(na, nb) — and the jaccard rider; both single
     // divisions of exact integers (bit-portable).

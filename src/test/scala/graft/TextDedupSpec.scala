@@ -74,6 +74,18 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard: identical output to the full join, strictly fewer candidates") {
+    val full = run(Dedup.queries, "q19_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pref = run(Dedup.queries, "q165_prefix_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pref == full) // completeness AND exactness, value for value
+    val (fullCands, prefCands) = Dedup.prefixFilterStats(spark, sfDir)
+    assert(prefCands <= fullCands)
+    assert(prefCands < fullCands,
+      s"prefix filter must shrink the candidate set: $prefCands vs $fullCands")
+  }
+
   test("simhash: 64-bit signatures; near-dup pairs are hamming-close") {
     val sig = run(Dedup.queries, "q20_simhash").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
