@@ -433,6 +433,43 @@ object Bench {
         errors("join_universe") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
         None
       }
+      // Outlier-indexed sampling (round 11): a FILTERED sum over the
+      // price measure served from the materialized outlier sample
+      // (top-500 rows exact + ~1/64 keyed-hash rest; the filter
+      // evaluates per-row on the sample) — the exact side scans the
+      // 6M-row fact. A separate engine: on the shared catalog the
+      // outlier dispatch would hijack every l_extendedprice SUM/AVG/
+      // percentile case above.
+      val outMeasured: Option[(String, String, Double, Double, Double)] = try {
+        val ocat = new MetaCatalog(
+          java.nio.file.Files.createTempDirectory("graft-bench-out").toString)
+        val oeng = new QueryEngine(spark, ocat)
+        graft.sample.Samplers.createOutlierSample(spark, ocat,
+          "lineitem_x10", "l_extendedprice", "l_orderkey",
+          outlierK = 500, targetRest = 60000L)
+        val osql = "SELECT count(*) AS n, sum(l_extendedprice) AS s " +
+          "FROM lineitem_x10 WHERE l_quantity < 30"
+        floorSamples += floorSample()
+        oeng.query(osql, oeng.Options(measureExact = true,
+          ciColumns = false)) // warm both paths
+        val passes = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val r = oeng.query(osql, oeng.Options(ciColumns = false))
+          val tPlan = (System.nanoTime() - t0) / 1e6
+          val t1 = System.nanoTime()
+          r.df.collect()
+          val tApprox = (System.nanoTime() - t1) / 1e6
+          val t2 = System.nanoTime()
+          spark.sql(osql).collect()
+          val tExact = (System.nanoTime() - t2) / 1e6
+          (r.planType, tPlan, tApprox, tExact)
+        }
+        Some(("outlier_sum", passes.head._1, passes.map(_._2).min,
+          passes.map(_._3).min, passes.map(_._4).min))
+      } catch { case t: Throwable =>
+        errors("outlier_sum") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+        None
+      }
       floorSamples += floorSample()
       floorSamples += floorSample()
       val fixedMs = floorSamples.min
@@ -477,7 +514,7 @@ object Bench {
         val e = te - fixedMs
         if (a > 20.0 && e > 20.0) f2(e / a) else "null"
       }
-      val allMeasured = measured ++ uniMeasured.toSeq
+      val allMeasured = measured ++ uniMeasured.toSeq ++ outMeasured.toSeq
       aqp = allMeasured.map { case (k, _, _, ta, te) =>
         s"${jstr(k)}:${if (ta > 0) f2(te / ta) else "0.0"}"
       }.mkString("{", ",", "}")
