@@ -397,6 +397,75 @@ object Similarity {
       ivfTopKOf(s, e, normedEmbeddings(s, dir), IvfNprobe)
     }),
 
+    // PRODUCT-QUANTIZED (PQ/ADC) top-k (round 11) — the compressed-
+    // domain ANN pattern behind every billion-scale index: the 64-dim
+    // space splits into 8 subspaces of 8 dims; each subspace's codebook
+    // is the per-label centroid SLICED to those dims (per-dim means are
+    // independent, so the slice IS the per-subspace mean — the same
+    // float-rounded q41 quantizer arithmetic); every vector encodes as
+    // 8 small codes (argmax sub-dot per subspace, cell-asc tie-break).
+    // A query then scores the WHOLE corpus by Asymmetric Distance
+    // Computation: its 8×k lookup table of sub-dots broadcasts, and
+    // each candidate costs 8 integer adds against 8-byte codes instead
+    // of 64 float multiplies against 256-byte vectors — the 32×
+    // memory-bandwidth reduction is what makes an exhaustive scan
+    // feasible at scale (and composes with q41's IVF partitioning).
+    // The ADC top-10 shortlist is exactly rescored and the top-3 by
+    // true cosine emitted; every stage is exact integer arithmetic, so
+    // codes, ADC scores, and the final ranks all hash-match DuckDB.
+    "q166_pq_adc_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      registerFns(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val cent = cellCentroidsOf(s, e)
+      // one row per (vector, cell, subspace): the quantized sub-dot
+      val sub = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cell"), col("embedding"), col("cav"),
+          explode(expr("sequence(0, 7)")).as("j"))
+        .select(col("vec_id"), col("cell"), col("j"),
+          expr("quantized_dot(slice(embedding, j * 8 + 1, 8), slice(cav, j * 8 + 1, 8))")
+            .as("sc"))
+      val wCode = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("sc").desc, col("cell").asc)
+      val codes = sub
+        .withColumn("rn", row_number().over(wCode))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("nid"), col("j"), col("cell").as("code"))
+      // the queries' LUT: their own sub-dots against every codebook entry
+      val lut = sub.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("j"), col("cell"),
+          col("sc"))
+      val adc = codes
+        .join(broadcast(lut),
+          col("code") === col("cell") && codes("j") === lut("j"))
+        .filter(col("qid") =!= col("nid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("sc")).as("adc"))
+      val wShort = Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("nid").asc)
+      val shortlist = adc
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= 10)
+        .select(col("qid"), col("nid"), col("adc"))
+      val nemb = normedEmbeddings(s, dir)
+      val wFinal = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      shortlist
+        .join(nemb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn")), "qid")
+        .join(nemb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nrm").as("nn")), "nid")
+        .withColumn("cos", expr(
+          s"""cast(${dotSpark("qe", "ne")} as double) /
+              sqrt(cast(qn as double) * cast(nn as double))"""))
+        .withColumn("rank", row_number().over(wFinal))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"), col("adc"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // SEMANTIC dedup (SemDeDup-style, round 11): the sixth dedup
     // modality — embedding-cluster-scoped near-duplicate REMOVAL, the
     // step that turns similarity infrastructure into a training-set
@@ -624,6 +693,54 @@ object Similarity {
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
             FROM scored)
           SELECT qid, nid, CAST(rank AS INT) AS rank, cos
+          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
+    // q166: DuckDB re-derives the PQ chain — the q41 centroid
+    // arithmetic grouped per subspace j = (dim-1)//8 (slicing the
+    // full per-label centroid IS the per-subspace mean), codes by
+    // (sc DESC, cell ASC) argmax, ADC sums of the query's own
+    // sub-dots looked up by code, the top-10 shortlist, and the exact
+    // rescored top-3 — every stage exact integers or single-rounded
+    // doubles, hash-matched.
+    "q166_pq_adc_topk" ->
+      s"""WITH xsrc AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          xs AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM xsrc),
+          csrc AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          cv AS (SELECT label, dim,
+              CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+            FROM csrc),
+          cent AS (SELECT label AS cell, dim,
+              CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
+            FROM cv GROUP BY label, dim),
+          centf AS (SELECT cell, dim, CAST(CAST(av AS FLOAT) AS DOUBLE) AS av FROM cent),
+          sub AS (SELECT xs.vec_id, centf.cell, (xs.dim - 1) // 8 AS j,
+              CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS sc
+            FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2, 3),
+          codes AS (SELECT vec_id AS nid, j, cell AS code FROM (
+              SELECT vec_id, j, cell,
+                row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cell ASC) AS rn
+              FROM sub) WHERE rn = 1),
+          adc AS (SELECT q.vec_id AS qid, c.nid,
+              CAST(sum(q.sc) AS BIGINT) AS adc
+            FROM codes c JOIN sub q ON q.j = c.j AND q.cell = c.code
+            WHERE q.vec_id < $nQueries AND q.vec_id <> c.nid
+            GROUP BY 1, 2),
+          short AS (SELECT qid, nid, adc FROM (
+              SELECT qid, nid, adc,
+                row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS srn
+              FROM adc) WHERE srn <= 10),
+          nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+          we AS (SELECT qid, nid, adc, eq.embedding AS qe, en.embedding AS ne,
+              eq.nrm AS qn, en.nrm AS nn
+            FROM short JOIN nemb eq ON short.qid = eq.vec_id
+                       JOIN nemb en ON short.nid = en.vec_id),
+          scored AS (SELECT qid, nid, adc,
+            CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
+              sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
+            FROM we),
+          ranked AS (SELECT qid, nid, adc, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+            FROM scored)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, cos, adc
           FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
     // q145: DuckDB re-derives the whole SemDeDup chain — the q41
     // centroid assignment (float-rounded centroids, quantized scores,

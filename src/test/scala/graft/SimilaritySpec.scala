@@ -81,6 +81,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq/adc top-k: dense ranks, rescored cosines non-increasing, subset of brute force") {
+    val rows = run("q166_pq_adc_topk").collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length),
+        s"qid=$qid ranks not dense")
+      val cosines = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y - 1e-12 },
+        s"qid=$qid cosines increase with rank")
+      sorted.foreach(r => assert(r.getAs[Long]("nid") != qid))
+    }
+    // compressed-domain search over a 10-row shortlist can never beat
+    // exhaustive exact search
+    val bf = run("q21_cosine_topk").collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cos")).toMap
+    byQ.foreach { case (qid, rs) =>
+      val c = rs.filter(_.getAs[Int]("rank") == 1).head.getAs[Double]("cos")
+      assert(bf.contains(qid) && c <= bf(qid) + 1e-9,
+        s"qid=$qid pq=$c bf=${bf.get(qid)}")
+    }
+  }
+
   test("ivf multi-probe recall law: nprobe=4 recall >= nprobe=1 on a boundary-heavy corpus") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
