@@ -194,6 +194,56 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     }
   }
 
+  // Beyond the reference: the OUTLIER-INDEXED sample (Chaudhuri et al.
+  // ICDE'01) over the API — the heavy tail of a skewed measure
+  // materializes exactly at weight 1, the rest through the
+  // deterministic keyed-hash lottery; subsequent filtered SUM/AVG/
+  // percentile queries over the measure answer from it (planType
+  // "outlier"). POST /profile/measure reports whether a measure's tail
+  // justifies the build.
+  handle("/samples/outlier", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val valueCol = req("value_column").flatMap(_.str).getOrElse("")
+        val keyCol = req("key_column").flatMap(_.str).getOrElse("")
+        val k = req("outlier_k").flatMap(_.num).map(_.toInt).getOrElse(500)
+        val target = req("target_rest").flatMap(_.num).map(_.toLong)
+          .getOrElse(2048L)
+        if (table.isEmpty || valueCol.isEmpty || keyCol.isEmpty)
+          (400, err("table, value_column and key_column (unique) required"))
+        else if (k < 1 || target < 1)
+          (400, err("outlier_k and target_rest must be >= 1"))
+        else {
+          val (name, nOut, nRest) = Samplers.createOutlierSample(
+            spark, engine.catalog, table, valueCol, keyCol, k, target)
+          (200, s"""{"status": "ok", "sample_table": ${jstr(name)}, "outlier_rows": $nOut, "rest_rows": $nRest, "value_column": ${jstr(valueCol)}}""")
+        }
+    }
+  }
+
+  // The measure-skew detector behind the outlier advisor: share of the
+  // column's total absolute mass held by its top-k rows, persisted so
+  // repeated filtered-sum misses over a flagged measure surface the
+  // outlier-sample build via GET /sketches/advise.
+  handle("/profile/measure", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val column = req("column").flatMap(_.str).getOrElse("")
+        val k = req("top_k").flatMap(_.num).map(_.toInt).getOrElse(500)
+        if (table.isEmpty || column.isEmpty)
+          (400, err("table and column required"))
+        else {
+          val s = engine.profileMeasureSkew(table, column, k)
+          val flagged = s.topSharePpm >= engine.OutlierSkewPpmThreshold
+          (200, s"""{"status": "ok", "table": ${jstr(s.tableName)}, "column": ${jstr(s.columnName)}, "n_rows": ${s.nRows}, "top_k": ${s.topK}, "top_share_ppm": ${s.topSharePpm}, "outlier_sample_recommended": $flagged}""")
+        }
+    }
+  }
+
   // Beyond the reference: the q65 skew-profile loop over the API —
   // profile a (table, column/expression), persist the stats in the
   // catalog, and report whether exact GROUP BYs on it will now re-plan

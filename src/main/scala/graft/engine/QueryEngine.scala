@@ -499,7 +499,8 @@ final class QueryEngine(
       if (opts.useMl)
         StrategyChooser.choose(features, tableSize, opts.maxRelError,
           history.forPattern(QueryHistory.pattern(features)))
-      else plannerOnlyChoice(features, tableSize, opts.maxRelError)
+      else plannerOnlyChoice(features, tableSize, opts.maxRelError,
+        sumAvgArgColumns(parsed))
 
     val result = choice.strategy match {
       case StrategyChooser.Exact =>
@@ -6096,8 +6097,10 @@ final class QueryEngine(
     * (use_ml_optimization=false): exact vs pre-created sample by cost.
     */
   private def plannerOnlyChoice(f: QueryFeatures, tableSize: Long,
-      maxRelError: Double): StrategyChooser.Choice = {
-    val p = Planner.plan(f, catalog, tableSize, maxRelError, preferExact = false)
+      maxRelError: Double,
+      measureCols: Set[String] = Set.empty): StrategyChooser.Choice = {
+    val p = Planner.plan(f, catalog, tableSize, maxRelError,
+      preferExact = false, measureCols = measureCols)
     p.decision match {
       case _: Planner.ReadSampleTable =>
         StrategyChooser.Choice(StrategyChooser.Sample, 0.85, p.reason)

@@ -85,7 +85,14 @@ object Planner {
   def plan(features: QueryFeatures, catalog: MetaCatalog,
       rowCount: Long, maxRelError: Double,
       preferExact: Boolean,
-      serves: Seq[ServeCandidate] = Nil): Plan = {
+      serves: Seq[ServeCandidate] = Nil,
+      // measure columns referenced by the query's SUM/AVG/percentile
+      // arguments (QueryEngine.sumAvgArgColumns): when an OUTLIER-
+      // indexed sample exists over one, it enumerates as a sample
+      // candidate — the cost model must know every input the engine
+      // can actually serve from, or explain-mode (and the
+      // use_ml_optimization=false route) misstate the plan.
+      measureCols: Set[String] = Set.empty): Plan = {
 
     val table = features.tableName
     val exactCost = estimateExactCost(features, rowCount)
@@ -117,7 +124,24 @@ object Planner {
         exact.copy(reason = "direct query on a sample table"))
         .minBy(_.estimatedCost)
 
-    val candidates = validServes ++ (exact +: catalog.bestUniformSample(table.get).map { s =>
+    // a fresh outlier-indexed sample over a referenced measure is a
+    // sample candidate too (the engine's dispatch will prefer it over
+    // the plain-sample rewrite); the uniform-sample error formula is a
+    // CONSERVATIVE bound for it — the heavy tail reads exactly, so the
+    // true variance is strictly smaller on the skewed measures the
+    // sample exists for
+    val outlierCand = measureCols.toSeq.sorted.iterator
+      .flatMap(c => catalog.outlierSampleFor(table.get, c).iterator)
+      .nextOption()
+      .map { s =>
+        val err = math.sqrt(1.0 / math.max(1.0, s.fraction * rowCount))
+        val cost = rowCount * s.fraction * ScanCostPerRow + SampleSetupCost
+        Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,
+          cost, err,
+          s"outlier-indexed sample ${s.sampleTable} (heavy tail exact at weight 1)")
+      }.toSeq
+
+    val candidates = validServes ++ outlierCand ++ (exact +: catalog.bestUniformSample(table.get).map { s =>
       val err = math.sqrt(1.0 / (s.fraction * rowCount))
       val cost = rowCount * s.fraction * ScanCostPerRow + SampleSetupCost
       Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,

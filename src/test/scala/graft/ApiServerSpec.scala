@@ -15,13 +15,13 @@ import graft.engine.QueryEngine
   */
 class ApiServerSpec extends SparkSpec {
 
-  private lazy val server: Server = {
+  private lazy val (server: Server, engine: QueryEngine) = {
     Tables.registerAll(spark, sfDir)
-    val engine = new QueryEngine(spark,
+    val e = new QueryEngine(spark,
       new MetaCatalog(Files.createTempDirectory("graft-http").toString))
-    val s = new Server(engine)
+    val s = new Server(e)
     s.start()
-    s
+    (s, e)
   }
 
   override def afterAll(): Unit = {
@@ -476,6 +476,40 @@ class ApiServerSpec extends SparkSpec {
     assert(qc == 200, qb)
     assert(parsed(qb)("ml_optimization").flatMap(_("transformations"))
       .exists(_.toString.contains("stored HyperLogLog")), qb.take(400))
+  }
+
+  test("outlier sample over HTTP: measure profile, build, filtered sum serves (round 11)") {
+    // detect: the profile route persists the top-k mass share
+    val (cp, bp) = http("POST", "/profile/measure", Some(
+      """{"table": "customer", "column": "c_acctbal", "top_k": 50}"""))
+    assert(cp == 200, bp)
+    assert(parsed(bp)("top_share_ppm").flatMap(_.num).exists(_ > 0), bp)
+    assert(bp.contains("outlier_sample_recommended"), bp)
+    // build the outlier-indexed sample on customer's balance measure
+    val (cb, bb) = http("POST", "/samples/outlier", Some(
+      """{"table": "customer", "value_column": "c_acctbal",
+         "key_column": "c_custkey", "outlier_k": 20, "target_rest": 64}"""))
+    assert(cb == 200, bb)
+    assert(parsed(bb)("outlier_rows").flatMap(_.num).exists(_ > 0), bb)
+    assert(parsed(bb)("sample_table").flatMap(_.str)
+      .contains("customer__outlier_c_acctbal"), bb)
+    // customer is tiny at test SF: force it over the chooser's small-
+    // table rule and re-stamp the sample fresh (the detEngineFor
+    // pattern), then a FILTERED balance sum serves from the sample
+    engine.catalog.upsertTableStats("customer", 20000L)
+    engine.catalog.refreshSampleBase("customer")
+    val (cq, bq) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n, sum(c_acctbal) AS s FROM customer WHERE c_nationkey < 13"}"""))
+    assert(cq == 200, bq)
+    assert(parsed(bq)("plan").flatMap(_("type")).flatMap(_.str)
+      .contains("outlier"), bq.take(1200))
+    assert(parsed(bq)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("outlier-indexed sample")), bq.take(1200))
+    // bad arguments are a 400
+    assert(http("POST", "/samples/outlier",
+      Some("""{"table": "customer"}"""))._1 == 400)
+    assert(http("POST", "/profile/measure",
+      Some("""{"table": "customer"}"""))._1 == 400)
   }
 
   test("GET /ml/stats reflects measured queries") {
