@@ -127,6 +127,114 @@ object Multimodal {
     }
   }
 
+  case class ResizedMeta(id: Long, srcW: Int, srcH: Int, rw: Int, rh: Int,
+      checksum: Long)
+
+  /** Deterministic GRADIENT PNG for id `id` — unlike [[pngFor]]'s
+    * constant fill, every pixel differs (linear ramps per channel), so
+    * a resize's SAMPLING decisions are observable: picking the wrong
+    * source pixel changes the checksum. Still a pure function of the
+    * id, so the q167 oracle predicts the resized raster without ever
+    * seeing bytes.
+    */
+  def gradPngFor(id: Long): Array[Byte] = {
+    imageIoNoCache
+    val w = (4 + id % 13).toInt
+    val h = (4 + (id * 3) % 13).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + 5L * x + 11L * y) % 256).toInt
+        val g = ((id * 7 + 3L * x + 13L * y) % 256).toInt
+        val b = ((id * 13 + 9L * x + 2L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbor resize on the decoded raster with the
+    * DETERMINISTIC sampling rule sx = x'·w div tw (integer floor) —
+    * hand-rolled instead of AWT's Graphics2D scaling precisely so the
+    * sampled source pixel is a closed-form function an oracle can
+    * mirror (interpolating scalers are implementation-defined).
+    */
+  def resizeNearest(img: java.awt.image.BufferedImage, tw: Int, th: Int)
+      : java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(tw, th,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y,
+          img.getRGB(x * img.getWidth / tw, y * img.getHeight / th))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Gradient-image corpus: one gradient PNG payload per document id,
+    * encoded on the executors like [[imageMedia]].
+    */
+  def gradientMedia(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .map(id => Media(id, "image", gradPngFor(id)))
+  }
+
+  /** The RESIZE pipeline stage, end to end on executors: decode the
+    * payload, nearest-neighbor downsample to tw×th, RE-ENCODE as PNG,
+    * decode again, and checksum every target pixel — the emitted
+    * dimensions and checksum come from the second decode, so the gate
+    * proves the resized raster (not just the first decode) survived
+    * the codec round trip. Same partition-batched shape as
+    * [[extractImageMeta]].
+    */
+  def resizeImages(media: Dataset[Media], tw: Int = 4, th: Int = 4,
+      batchSize: Int = 64): Dataset[ResizedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { m =>
+        imageIoNoCache
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.bytes))
+        require(src != null, s"payload of id=${m.id} is not a decodable image")
+        val resized = resizeNearest(src, tw, th)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(resized, "png", bos)
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        var sum = 0L
+        var y = 0
+        while (y < back.getHeight) {
+          var x = 0
+          while (x < back.getWidth) {
+            val rgb = back.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + 256L * ((rgb >> 8) & 0xff) +
+              65536L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedMeta(m.id, src.getWidth, src.getHeight,
+          back.getWidth, back.getHeight, sum)
+      })
+    }
+  }
+
   case class AudioMeta(id: Long, sampleRate: Int, channels: Int,
       nSamples: Int, firstSample: Int, midSample: Int, lastSample: Int)
 

@@ -405,6 +405,24 @@ object Aqp {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal REAL image RESIZE, end-to-end (round 11 — the last
+    // named pipeline stage after decode/feature-extract/frame-sample):
+    // a GRADIENT PNG per doc (every pixel differs, so wrong sampling
+    // changes the checksum) is decoded, nearest-neighbor downsampled to
+    // 4×4 with the closed-form rule sx = x'·w div 4, RE-ENCODED, and
+    // decoded again on the executors; the emitted dims and the
+    // all-pixel checksum come from the second decode. The oracle
+    // predicts the resized raster from the generator arithmetic — the
+    // gate proves real resampled pixels survived two codec round trips.
+    "q167_image_resize" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .resizeImages(graft.multimodal.Multimodal.gradientMedia(s, dir))
+        .toDF()
+        .select(col("id").as("doc_id"), col("srcW").as("src_w"),
+          col("srcH").as("src_h"), col("rw"), col("rh"), col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal REAL audio decode, end-to-end (q72's audio twin): a
     // 16-bit PCM WAV payload is encoded per doc_id on the executors
     // (javax.sound.sampled — the JDK's WAV codec), rides the engine as
@@ -3488,6 +3506,28 @@ object Aqp {
             CAST((doc_id * 7) % 256 AS INT) AS green,
             CAST((doc_id * 13) % 256 AS INT) AS blue
           FROM documents ORDER BY doc_id""",
+    // q167: the oracle predicts the RESIZED raster from the gradient
+    // generator (Multimodal.gradPngFor) + the nearest-neighbor rule
+    // sx = x'·w div 4 — all-integer arithmetic on nonnegative ids, so
+    // both engines agree exactly; a resize that samples the wrong
+    // source pixel (or a lossy round trip) breaks the checksum.
+    "q167_image_resize" ->
+      """WITH g AS (SELECT doc_id,
+            CAST(4 + doc_id % 13 AS BIGINT) AS w,
+            CAST(4 + (doc_id * 3) % 13 AS BIGINT) AS h FROM documents),
+          x1 AS (SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS xp FROM g),
+          px AS (SELECT doc_id, w, h, xp, unnest(generate_series(0, 3)) AS yp FROM x1),
+          v AS (SELECT doc_id, w, h,
+              (xp * w) // 4 AS sx, (yp * h) // 4 AS sy FROM px),
+          c AS (SELECT doc_id, w, h,
+              (doc_id + 5 * sx + 11 * sy) % 256 AS r,
+              (doc_id * 7 + 3 * sx + 13 * sy) % 256 AS gg,
+              (doc_id * 13 + 9 * sx + 2 * sy) % 256 AS b FROM v)
+          SELECT doc_id,
+            CAST(max(w) AS INT) AS src_w, CAST(max(h) AS INT) AS src_h,
+            CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh,
+            CAST(sum(r + 256 * gg + 65536 * b) AS BIGINT) AS checksum
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
     // q81: the oracle predicts what the WAV decoder must recover from
     // each generated payload (Multimodal.wavFor's id arithmetic) — a
     // mismatch means PCM data or container metadata corrupted in the

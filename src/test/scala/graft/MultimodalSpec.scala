@@ -75,6 +75,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("nearest-neighbor resize: identity at source size, exact sampled pixels at 4x4") {
+    // identity law: resizing to the source dimensions reproduces every
+    // pixel (sx = x·w div w = x)
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.gradPngFor(17L)))
+    val same = Multimodal.resizeNearest(src, src.getWidth, src.getHeight)
+    for (y <- 0 until src.getHeight; x <- 0 until src.getWidth)
+      assert(same.getRGB(x, y) == src.getRGB(x, y), s"($x,$y)")
+    // sampling law: the 4x4 target picks source pixel (x'·w div 4,
+    // y'·h div 4) — checked against the generator arithmetic
+    val id = 42L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.gradPngFor(id)))
+    val out = Multimodal.resizeNearest(img, 4, 4)
+    for (yp <- 0 until 4; xp <- 0 until 4) {
+      val sx = xp * img.getWidth / 4
+      val sy = yp * img.getHeight / 4
+      val r = ((id + 5L * sx + 11L * sy) % 256).toInt
+      val g = ((id * 7 + 3L * sx + 13L * sy) % 256).toInt
+      val b = ((id * 13 + 9L * sx + 2L * sy) % 256).toInt
+      assert((out.getRGB(xp, yp) & 0xffffff) == ((r << 16) | (g << 8) | b),
+        s"target ($xp,$yp) <- source ($sx,$sy)")
+    }
+    // distributed: the full pipeline re-decodes its own output
+    val metas = Multimodal.resizeImages(
+      Multimodal.gradientMedia(spark, sfDir), batchSize = 16).collect()
+    assert(metas.nonEmpty)
+    metas.foreach { m =>
+      assert(m.rw == 4 && m.rh == 4, s"id=${m.id}")
+      assert(m.srcW == 4 + (m.id % 13).toInt, s"id=${m.id}")
+      assert(m.checksum >= 0L)
+    }
+  }
+
   test("real WAV decode recovers rate, frames, and PCM samples (javax.sound)") {
     // driver-side roundtrip: real encoder -> real decoder
     for (id <- Seq(0L, 1L, 17L, 255L, 4096L)) {
