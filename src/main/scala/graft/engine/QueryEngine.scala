@@ -575,7 +575,9 @@ final class QueryEngine(
               rewriteDistinctToHll = false, hllRsd = None,
               addCiColumns = opts.ciColumns,
               weightedPercentiles = true,
-              decimalSums = true)
+              decimalSums = true,
+              pctCi = pctCiFor(s.sampleTable, intWeights = true,
+                opts, features))
             val df = SampleRewrite.rewrite(spark, parsed, d)
             val (spd, err) = StrategyChooser.predict(
               StrategyChooser.Sample, tableSize, Some(s.fraction))
@@ -609,7 +611,8 @@ final class QueryEngine(
               weight = Some(SampleRewrite.WeightColumn("graft_weight")),
               rewriteDistinctToHll = false, hllRsd = None,
               addCiColumns = opts.ciColumns,
-              weightedPercentiles = intWeights)
+              weightedPercentiles = intWeights,
+              pctCi = pctCiFor(s.sampleTable, intWeights, opts, features))
             val df = SampleRewrite.rewrite(spark, parsed, d)
             val (spd, err) = StrategyChooser.predict(StrategyChooser.Stratified, tableSize, Some(s.fraction))
             AqeResult(df, "stratified", "stratified", choice.reasoning,
@@ -692,6 +695,26 @@ final class QueryEngine(
       row.getLong(2))
     catalog.keySkewFor(table, key).get
   }
+
+  /** (z, nEff) for percentile CI companions from a sample's achieved
+    * stratum sizes — nEff = (Σ n_h·w_h)² / Σ n_h·w_h² with w_h = 1/f_h.
+    * Every product is integral for the power-of-two lotteries, so the
+    * sums are exact doubles regardless of stratum order and an oracle
+    * re-derives them from the sample itself. Ungrouped queries only: a
+    * per-group quantile's effective n is the group's, which plan time
+    * cannot know — grouped percentiles keep their point estimates.
+    */
+  private def pctCiFor(sampleTable: String, intWeights: Boolean,
+      opts: Options, features: QueryFeatures): Option[(Double, Double)] =
+    if (!intWeights || !opts.ciColumns || features.hasGroupBy) None
+    else {
+      val strata = catalog.strataFor(sampleTable)
+      val ws = strata.filter(a => a.fraction > 0 && a.sampleSize > 0)
+        .map(a => (a.sampleSize.toDouble, 1.0 / a.fraction))
+      val n1 = ws.map { case (n, w) => n * w }.sum
+      val n2 = ws.map { case (n, w) => n * (w * w) }.sum
+      if (n1 > 0 && n2 > 0) Some((1.96, n1 * n1 / n2)) else None
+    }
 
   /** Heavy-tail evidence threshold for the outlier-sample advisor: the
     * top-k rows holding ≥ 5% of a measure's total absolute mass is the

@@ -91,7 +91,18 @@ object SampleRewrite {
       // DuckDB oracle, which the plain double product sum (last-ulp
       // association drift across 10^4+ terms) is not. COUNT keeps its
       // double weight sum (integral values, already exact).
-      decimalSums: Boolean = false)
+      decimalSums: Boolean = false,
+      // Distribution-free CONFIDENCE INTERVALS for weighted sample
+      // percentiles (set only with weightedPercentiles, ungrouped
+      // queries): (z, nEff) where nEff = (Σw)²/Σw² is the effective
+      // sample size from the catalog's achieved stratum sizes (exact
+      // integer sums — deterministic, oracle-mirrorable). Each
+      // percentile(x, p) output gains {name}_ci_low/_ci_high
+      // companions: the SAME weighted percentile evaluated at the
+      // rank-shifted quantiles p ∓ z·√(p(1−p)/nEff) clamped to [0,1] —
+      // the binomial order-statistic bound, which needs no variance of
+      // x at all (quantile CIs come from ranks, not moments).
+      pctCi: Option[(Double, Double)] = None)
 
   /** Rewrite the parsed plan per the directive and hand it to Spark for
     * analysis + execution.
@@ -219,6 +230,49 @@ object SampleRewrite {
   private def named(e: Expression, name: String): NamedExpression =
     Alias(e, name)()
 
+  /** Numeric literal → Double (SQL "0.5" parses as a Decimal literal). */
+  private def litDouble(e: Expression): Option[Double] = e match {
+    case Literal(v, _) => v match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The rank-shifted-quantile CI companions for one percentile output
+    * (Directive.pctCi contract): the same frequency-weighted percentile
+    * at p ∓ z·√(p(1−p)/nEff), clamped to [0,1]. The shifted quantiles
+    * are plan-time Doubles (Spark's Percentile requires a foldable
+    * percentage), computed with a FIXED association an oracle mirrors:
+    * p − (z · sqrt((p · (1 − p)) / nEff)).
+    */
+  private def pctCiCompanions(inner: Expression, name: String,
+      w: Expression, z: Double, nEff: Double): Seq[NamedExpression] = {
+    val parsed: Option[(Expression, Double)] = inner match {
+      case f: UnresolvedFunction
+          if isAgg(f, "percentile") && f.arguments.sizeIs == 2 =>
+        litDouble(f.arguments(1)).map(p => (f.arguments.head, p))
+      case f: UnresolvedFunction
+          if isAgg(f, "median") && f.arguments.sizeIs == 1 =>
+        Some((f.arguments.head, 0.5))
+      case _ => None
+    }
+    parsed.toSeq.flatMap { case (x, p) =>
+      if (nEff <= 0) Nil
+      else {
+        val shift = z * math.sqrt((p * (1.0 - p)) / nEff)
+        val pLo = math.max(0.0, math.min(1.0, p - shift))
+        val pHi = math.max(0.0, math.min(1.0, p + shift))
+        def at(q: Double): Expression =
+          fn("percentile", x, Literal(q),
+            Cast(w, org.apache.spark.sql.types.LongType))
+        Seq(named(at(pLo), s"${name}_ci_low"),
+          named(at(pHi), s"${name}_ci_high"))
+      }
+    }
+  }
+
   /** Rewrite one SELECT list: weight the aggregates, preserve output
     * names, and append `{col}_ci_low/_ci_high/_rel_error` companions.
     */
@@ -253,7 +307,7 @@ object SampleRewrite {
           case Alias(child, n) => (child, n)
           case other           => (other: Expression, prettyName(other))
         }
-        seExpr(inner, w.get).toSeq.flatMap { se =>
+        val moments = seExpr(inner, w.get).toSeq.flatMap { se =>
           val est = weightAggs(inner, w.get, d.decimalSums)
           val z = Literal(d.ciZ)
           Seq(
@@ -262,6 +316,12 @@ object SampleRewrite {
             named(Divide(Multiply(z, se), fn("abs", est)),
               s"${name}_rel_error"))
         }
+        val pct =
+          if (d.weightedPercentiles) d.pctCi.toSeq.flatMap { case (z, nEff) =>
+            pctCiCompanions(inner, name, w.get, z, nEff)
+          }
+          else Nil
+        moments ++ pct
       }
 
     rewritten ++ companions

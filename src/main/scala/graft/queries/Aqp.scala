@@ -2313,6 +2313,33 @@ object Aqp {
       r.df
     }),
 
+    // PERCENTILE CONFIDENCE INTERVALS (round 11): the one estimate
+    // family that had no error bars gets them — distribution-free
+    // rank-based CIs. The weighted sample percentile re-evaluates at
+    // the rank-shifted quantiles p ∓ z·√(p(1−p)/nEff) (the binomial
+    // order-statistic bound; nEff = (Σw)²/Σw² from the sample's
+    // achieved stratum sizes — exact integer sums), giving
+    // {name}_ci_low/_ci_high companions in the SAME aggregation pass.
+    // Runs through the outlier-indexed sample so membership, weights,
+    // nEff, the shifted quantiles, and all three percentile values are
+    // re-derivable bit-for-bit in DuckDB; the count's moment-based CI
+    // companions ride along (the q28 contract).
+    "q168_pct_ci" -> ((s, dir) => {
+      val e = outlierEngineFor(s, dir)
+      val r = e.query(
+        "SELECT percentile(o_totalprice, 0.9) AS p90, count(*) AS n_est " +
+          "FROM orders",
+        e.Options(ciColumns = true))
+      assert(r.planType == "outlier",
+        s"q168 must serve from the outlier-indexed sample: " +
+          s"${r.planType} (${r.reason})")
+      def pct(c: String) =
+        expr(s"cast(cast($c as decimal(18,6)) as double)").as(c)
+      r.df.select(pct("p90"), col("n_est"),
+        col("n_est_ci_low"), col("n_est_ci_high"), col("n_est_rel_error"),
+        pct("p90_ci_low"), pct("p90_ci_high"))
+    }),
+
     // Frequency-WEIGHTED percentile over the deterministic stratified
     // sample (round 11): percentile(x, p) rewrites to Spark's
     // percentile(x, p, w) with the per-stratum integer weight as the
@@ -3472,6 +3499,64 @@ object Aqp {
             CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE)
               / CAST(sum(wt) AS DOUBLE) AS tp_avg
           FROM samp""",
+    // q168: q163's membership CTEs, then the FULL percentile-CI chain
+    // re-derived — nEff from the sample's own exact integer weight
+    // sums, the rank-shifted quantiles with the engine's association
+    // (p ∓ (z·sqrt((p·(1−p))/nEff)), clamped), and Spark's
+    // frequency-weighted percentile interpolation (rank p·(Σw−1),
+    // lower + (higher−lower)·frac) evaluated manually over the
+    // w-expanded sample at all three quantiles; the count's moment CI
+    // companions mirror the q28 trees.
+    "q168_pct_ci" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+          nn AS (SELECT count(*) AS n FROM base),
+          rk AS (SELECT k, v,
+              row_number() OVER (ORDER BY v DESC, k ASC) AS rn FROM base),
+          wv AS (SELECT CASE WHEN (n - 500) // 2048 < 1 THEN CAST(1 AS BIGINT)
+                   ELSE CAST(1 AS BIGINT)
+                     << CAST(least(13, length(bin((n - 500) // 2048)) - 1) AS INT)
+              END AS w FROM nn),
+          samp AS (
+            SELECT v, CAST(1 AS BIGINT) AS wt FROM rk WHERE rn <= 500
+            UNION ALL
+            SELECT r.v, w.w AS wt FROM rk r, wv w
+            WHERE r.rn > 500
+              AND ${graft.queries.Dedup.h60Duck("'ol:' || CAST(r.k AS VARCHAR)")} % 8192 < 8192 // w.w),
+          ne AS (SELECT CAST(sum(wt) AS DOUBLE) AS n1,
+              CAST(sum(wt * wt) AS DOUBLE) AS n2,
+              CAST(sum(wt * (wt - 1)) AS DOUBLE) AS varc FROM samp),
+          pr AS (SELECT 'p90' AS tag, CAST(0.9 AS DOUBLE) AS p FROM ne
+            UNION ALL
+            SELECT 'lo', greatest(0.0, least(1.0, CAST(0.9 AS DOUBLE)
+              - (1.96 * sqrt((CAST(0.9 AS DOUBLE) * (1.0 - CAST(0.9 AS DOUBLE)))
+                  / ((n1 * n1) / n2))))) FROM ne
+            UNION ALL
+            SELECT 'hi', greatest(0.0, least(1.0, CAST(0.9 AS DOUBLE)
+              + (1.96 * sqrt((CAST(0.9 AS DOUBLE) * (1.0 - CAST(0.9 AS DOUBLE)))
+                  / ((n1 * n1) / n2))))) FROM ne),
+          x AS (SELECT v, unnest(generate_series(1, CAST(wt AS BIGINT))) AS i
+            FROM samp),
+          exp AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS idx FROM x),
+          np AS (SELECT count(*) AS np FROM exp),
+          picked AS (SELECT pr.tag,
+              min(CASE WHEN e.idx = CAST(floor(pr.p * (np.np - 1)) AS BIGINT)
+                  THEN e.v END) AS lov,
+              min(CASE WHEN e.idx = least(
+                    CAST(floor(pr.p * (np.np - 1)) AS BIGINT) + 1, np.np - 1)
+                  THEN e.v END) AS hiv,
+              min(pr.p * (np.np - 1) - floor(pr.p * (np.np - 1))) AS fr
+            FROM pr, exp e, np GROUP BY pr.tag),
+          vals AS (SELECT tag,
+              CAST(CAST(lov + (hiv - lov) * fr AS DECIMAL(18,6)) AS DOUBLE) AS val
+            FROM picked)
+          SELECT
+            (SELECT val FROM vals WHERE tag = 'p90') AS p90,
+            (SELECT n1 FROM ne) AS n_est,
+            (SELECT n1 - (1.96 * sqrt(varc)) FROM ne) AS n_est_ci_low,
+            (SELECT n1 + (1.96 * sqrt(varc)) FROM ne) AS n_est_ci_high,
+            (SELECT (1.96 * sqrt(varc)) / abs(n1) FROM ne) AS n_est_rel_error,
+            (SELECT val FROM vals WHERE tag = 'lo') AS p90_ci_low,
+            (SELECT val FROM vals WHERE tag = 'hi') AS p90_ci_high""",
     // q155: q76's deterministic sample, each surviving row EXPANDED
     // wh times (generate_series lateral) — quantile_cont over the
     // expansion is Spark's frequency-weighted percentile definition

@@ -157,6 +157,32 @@ class OutlierSpec extends SparkSpec {
     assert(!e2.adviseSketches().exists(_.candidate.sketchType == "outlier"))
   }
 
+  test("percentile CI companions: rank-based bounds bracket the estimate; grouped queries emit none") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val r = engine.query(
+      "SELECT percentile(v, 0.5) AS p50, count(*) AS n_est FROM skewed",
+      engine.Options(ciColumns = true))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    val cols = r.df.columns.toSet
+    assert(cols.contains("p50_ci_low") && cols.contains("p50_ci_high"), cols)
+    val row = r.df.collect()(0)
+    val lo = row.getAs[Double]("p50_ci_low")
+    val p = row.getAs[Double]("p50")
+    val hi = row.getAs[Double]("p50_ci_high")
+    assert(lo <= p && p <= hi, s"$lo <= $p <= $hi")
+    // the count's moment companions ride along (the q28 contract)
+    assert(cols.contains("n_est_ci_low") && cols.contains("n_est_rel_error"))
+    // grouped percentiles keep their point estimates: plan time cannot
+    // know a group's effective n
+    val g = engine.query(
+      "SELECT id % 3 AS b, percentile(v, 0.5) AS p50, count(*) AS n " +
+        "FROM skewed GROUP BY id % 3",
+      engine.Options(ciColumns = true))
+    assert(g.planType == "outlier", s"${g.planType} (${g.reason})")
+    assert(!g.df.columns.contains("p50_ci_low"), g.df.columns.toSeq)
+  }
+
   test("percentiles ride the integer-weight frequency rewrite on the outlier sample") {
     Samplers.createOutlierSample(
       spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
