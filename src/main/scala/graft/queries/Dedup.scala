@@ -324,15 +324,24 @@ object Dedup {
       val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df").asc, col("h").asc)
+      val wc = Window.partitionBy(col("doc_id"))
       // t = 0.5 ⇒ prefix length n − ceil(n/2) + 1 (integer form; the
-      // per-doc window sorts one document's shingles, never the corpus)
-      val prefix = kept.join(cnt, "doc_id")
+      // per-doc window sorts one document's shingles, never the
+      // corpus). n rides as a window count over the SAME partition key
+      // — one doc-keyed exchange feeds both, no aggregate+join detour.
+      val prefix = kept
         .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
         .filter(expr("r <= n - ((n + 1) div 2) + 1"))
-        .select(col("doc_id"), col("h"))
+        .select(col("doc_id"), col("h"), col("n"))
+      // LENGTH filter rides the same join (lossless for J ≥ t: the
+      // intersection is at most the smaller set, so J ≥ 1/2 forces the
+      // sizes within 2× of each other) — set-size skew is where the
+      // candidate set otherwise explodes
       val cands = prefix.as("a")
         .join(prefix.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val inter = cands

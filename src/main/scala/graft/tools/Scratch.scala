@@ -75,6 +75,13 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("--prefixstats")) {
+      // candidate-volume probe behind q165's prefix filter
+      val (full, pref) = graft.queries.Dedup.prefixFilterStats(spark, sfDir)
+      println(s"[scratch] candidate pairs: full=$full prefix=$pref " +
+        f"(${pref.toDouble / math.max(1L, full) * 100}%.1f%%)")
+      spark.stop(); return
+    }
     val plan = args.contains("--plan")
     val names =
       if (args.exists(!_.startsWith("--"))) args.filter(!_.startsWith("--")).toSeq
