@@ -208,6 +208,42 @@ object EventStreams {
     else scored.dropDuplicates("fp")
   }
 
+  /** Streaming PII-redaction ingest (round 11): q162's compliance pass
+    * on the live document stream. The scan/redact is STATELESS and runs
+    * before anything else — no state (and no emitted column) ever holds
+    * raw text — then the q15 quality filter and watermark-bounded
+    * fingerprint dedup run on the REDACTED text. Redacting first also
+    * canonicalizes: two documents differing only in their PII spans
+    * share a redacted fingerprint and dedup to one (the desired policy
+    * — otherwise unique emails would make every boilerplate copy
+    * "unique"). Emits per-category span counts + the fingerprint; works
+    * identically on batch inputs (the spec law).
+    */
+  def redactIngest(docs: DataFrame, minScore: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.queries.TextAnalysis.{piiEmail, piiId, piiPhone}
+    val in = if (docs.isStreaming) docs.withWatermark("ts", "1 hour") else docs
+    val red = in.select(col("doc_id"), col("ts"),
+      expr(s"size(regexp_extract_all(text, '$piiEmail', 0))").as("n_email"),
+      expr(s"size(regexp_extract_all(text, '$piiPhone', 0))").as("n_phone"),
+      expr(s"size(regexp_extract_all(text, '$piiId', 0))").as("n_id"),
+      expr(
+        s"""regexp_replace(regexp_replace(regexp_replace(text,
+            '$piiId', '[ID]'), '$piiPhone', '[PHONE]'), '$piiEmail', '[EMAIL]')""")
+        .as("redacted"))
+    val scored = red.select(col("doc_id"), col("ts"),
+        col("n_email"), col("n_phone"), col("n_id"),
+        split(lower(col("redacted")), " ").as("t"))
+      .select(col("doc_id"), col("ts"),
+        col("n_email"), col("n_phone"), col("n_id"),
+        expr("size(t)").as("n_tokens"),
+        expr("md5(array_join(array_sort(array_distinct(t)), ' '))").as("fp"),
+        expr(graft.queries.TextAnalysis.scoreSpark("t")).as("score"))
+      .filter(col("score") >= minScore)
+    if (scored.isStreaming) scored.dropDuplicatesWithinWatermark("fp")
+    else scored.dropDuplicates("fp")
+  }
+
   /** Streaming AQP: the engine's sampled-aggregate strategy applied to
     * a live stream — the "Streaming Summaries" capability the reference
     * lists as future work (/root/reference/README.md:303-305), made

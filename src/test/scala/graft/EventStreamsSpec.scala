@@ -1384,6 +1384,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == kept)
   }
 
+  test("streaming PII-redaction ingest: no raw spans emitted, redaction canonicalizes dedup, stream == batch") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val good = "the data of the table and the index is a scan " * 5
+    val a = good + " contact bob1@example.com"
+    // differs from `a` ONLY in its PII span -> same redacted fingerprint
+    val b = good + " contact alice99@example.com"
+    val c = good + " call 415-555-0042 ssn 123-45-6789 extra tail"
+    val low = "zz yy"
+    val docs = Seq((1L, ts(0), a), (2L, ts(1), b), (3L, ts(2), c),
+      (4L, ts(3), low))
+    val cols = Seq("doc_id", "ts", "text")
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = EventStreams.redactIngest(stream.toDF().toDF(cols: _*))
+    val q = out.writeStream.format("memory").queryName("redact_ingest")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(docs.take(2))
+    q.processAllAvailable()
+    stream.addData(docs.drop(2)) // the cross-batch redacted-duplicate case
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("redact_ingest").collect()
+    // doc 2's redacted text equals doc 1's -> deduped even though the
+    // raw emails differ; doc 3 survives (different tail); doc 4 quality
+    val kept = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"got $kept")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Int]("n_email") == 1)
+    assert(byId(3L).getAs[Int]("n_phone") == 1 &&
+      byId(3L).getAs[Int]("n_id") == 1)
+    // the output schema carries NO text column at all — nothing ever
+    // emits a raw span
+    assert(!rows.head.schema.fieldNames.exists(
+      n => n == "text" || n == "redacted"))
+    // batch parity, value for value
+    val batch = EventStreams.redactIngest(docs.toDF(cols: _*))
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(batch == kept)
+  }
+
   test("streaming dedup drops repeated event ids across micro-batches") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
