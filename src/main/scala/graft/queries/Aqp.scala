@@ -2313,6 +2313,26 @@ object Aqp {
       r.df
     }),
 
+    // GROUPED + FILTERED outlier serve (round 11): the dashboard shape
+    // over the outlier sample — a WHERE prunes sample rows per-row
+    // (membership is predicate-independent, so HT stays unbiased) and
+    // GROUP BY partitions them; weights work per-row, so both compose
+    // with zero new machinery. Gates the grouped decimal weighted-sum
+    // path end to end.
+    "q169_outlier_group" -> ((s, dir) => {
+      val e = outlierEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, count(*) AS n_est, " +
+          "sum(o_totalprice) AS tp_est FROM orders " +
+          "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority " +
+          "ORDER BY o_orderpriority",
+        e.Options(ciColumns = false))
+      assert(r.planType == "outlier",
+        s"q169 must serve from the outlier-indexed sample: " +
+          s"${r.planType} (${r.reason})")
+      r.df
+    }),
+
     // PERCENTILE CONFIDENCE INTERVALS (round 11): the one estimate
     // family that had no error bars gets them — distribution-free
     // rank-based CIs. The weighted sample percentile re-evaluates at
@@ -3499,6 +3519,30 @@ object Aqp {
             CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE)
               / CAST(sum(wt) AS DOUBLE) AS tp_avg
           FROM samp""",
+    // q169: q163's membership with the status/priority columns carried
+    // through — the filter prunes sample rows, the group key partitions
+    // them, and the decimal weighted sums run per group.
+    "q169_outlier_group" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v,
+              o_orderstatus AS st, o_orderpriority AS pr FROM orders),
+          nn AS (SELECT count(*) AS n FROM base),
+          rk AS (SELECT k, v, st, pr,
+              row_number() OVER (ORDER BY v DESC, k ASC) AS rn FROM base),
+          wv AS (SELECT CASE WHEN (n - 500) // 2048 < 1 THEN CAST(1 AS BIGINT)
+                   ELSE CAST(1 AS BIGINT)
+                     << CAST(least(13, length(bin((n - 500) // 2048)) - 1) AS INT)
+              END AS w FROM nn),
+          samp AS (
+            SELECT v, st, pr, CAST(1 AS BIGINT) AS wt FROM rk WHERE rn <= 500
+            UNION ALL
+            SELECT r.v, r.st, r.pr, w.w AS wt FROM rk r, wv w
+            WHERE r.rn > 500
+              AND ${graft.queries.Dedup.h60Duck("'ol:' || CAST(r.k AS VARCHAR)")} % 8192 < 8192 // w.w)
+          SELECT pr AS o_orderpriority,
+            CAST(sum(wt) AS DOUBLE) AS n_est,
+            CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE) AS tp_est
+          FROM samp WHERE st = 'F'
+          GROUP BY pr ORDER BY pr""",
     // q168: q163's membership CTEs, then the FULL percentile-CI chain
     // re-derived — nEff from the sample's own exact integer weight
     // sums, the rank-shifted quantiles with the engine's association
