@@ -466,6 +466,85 @@ object Similarity {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF + PQ COMPOSED (round 11): the complete billion-scale ANN
+    // pipeline in one query — the coarse quantizer restricts each query
+    // to its IvfNprobe nearest cells' members (q41's probe machinery),
+    // ADC scores ONLY those candidates from the 8-byte PQ codes against
+    // the broadcast lookup table (q166's compressed-domain scan), the
+    // ADC top-10 shortlist rescores exactly, and the top-3 by true
+    // cosine emit. Per-query work drops from n (PQ-brute) to
+    // nprobe·n/k code lookups — the multiplicative composition of both
+    // reductions that real IVFPQ indexes run. Every stage stays exact
+    // integer arithmetic, so the composed chain hash-matches DuckDB.
+    "q170_ivfpq_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      registerFns(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val cent = cellCentroidsOf(s, e)
+      // q41's one scoring pass: corpus assignment (rn=1) + probe set
+      val w1 = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("cell").asc)
+      val scored = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cell"),
+          expr("quantized_dot(embedding, cav)").as("score"))
+        .withColumn("rn", row_number().over(w1))
+        .localCheckpoint()
+      val assign = scored.filter(col("rn") === 1)
+        .select(col("vec_id").as("nid"), col("cell").as("acell"))
+      val probes = scored.filter(col("vec_id") < nQueries &&
+          col("rn") <= IvfNprobe)
+        .select(col("vec_id").as("qid"), col("cell").as("acell"))
+      val cand = probes.join(assign, "acell")
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"))
+      // q166's PQ codes + the queries' sub-dot lookup table
+      val sub = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cell"), col("embedding"), col("cav"),
+          explode(expr("sequence(0, 7)")).as("j"))
+        .select(col("vec_id"), col("cell"), col("j"),
+          expr("quantized_dot(slice(embedding, j * 8 + 1, 8), slice(cav, j * 8 + 1, 8))")
+            .as("sc"))
+      val wCode = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("sc").desc, col("cell").asc)
+      val codes = sub
+        .withColumn("rn", row_number().over(wCode))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("nid"), col("j"), col("cell").as("code"))
+      val lut = sub.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("j"), col("cell"), col("sc"))
+      val adc = cand
+        .join(codes, "nid")
+        .join(broadcast(lut),
+          col("code") === lut("cell") && codes("j") === lut("j") &&
+            cand("qid") === lut("qid"))
+        .groupBy(cand("qid"), col("nid"))
+        .agg(sum(col("sc")).as("adc"))
+      val wShort = Window.partitionBy(col("qid"))
+        .orderBy(col("adc").desc, col("nid").asc)
+      val shortlist = adc
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= 10)
+        .select(col("qid"), col("nid"), col("adc"))
+      val nemb = normedEmbeddings(s, dir)
+      val wFinal = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nid").asc)
+      shortlist
+        .join(nemb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn")), "qid")
+        .join(nemb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+          col("nrm").as("nn")), "nid")
+        .withColumn("cos", expr(
+          s"""cast(${dotSpark("qe", "ne")} as double) /
+              sqrt(cast(qn as double) * cast(nn as double))"""))
+        .withColumn("rank", row_number().over(wFinal))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col("nid"), col("rank"), col("cos"), col("adc"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // SEMANTIC dedup (SemDeDup-style, round 11): the sixth dedup
     // modality — embedding-cluster-scoped near-duplicate REMOVAL, the
     // step that turns similarity infrastructure into a training-set
@@ -740,6 +819,65 @@ object Similarity {
           ranked AS (SELECT qid, nid, adc, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
             FROM scored)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, cos, adc
+          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
+    // q170: the q41 probe chain and the q166 PQ chain composed — the
+    // candidate set comes from the nprobe nearest cells, ADC sums run
+    // only over it, then shortlist + exact rescore. Breaks together
+    // with q41 (probe machinery) and q166 (codes/LUT) if either chain
+    // changes.
+    "q170_ivfpq_topk" ->
+      s"""WITH xsrc AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          xs AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM xsrc),
+          csrc AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+          cv AS (SELECT label, dim,
+              CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+            FROM csrc),
+          cent AS (SELECT label AS cell, dim,
+              CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
+            FROM cv GROUP BY label, dim),
+          centf AS (SELECT cell, dim, CAST(CAST(av AS FLOAT) AS DOUBLE) AS av FROM cent),
+          scores AS (SELECT xs.vec_id, centf.cell,
+              CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS score
+            FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2),
+          ranked0 AS (SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+            FROM scores),
+          assign AS (SELECT vec_id, cell FROM ranked0 WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cell FROM ranked0
+            WHERE vec_id < $nQueries AND rn <= $IvfNprobe),
+          cand AS (SELECT p.qid, n.vec_id AS nid
+            FROM probes p JOIN assign n ON p.cell = n.cell
+            WHERE p.qid <> n.vec_id),
+          sub AS (SELECT xs.vec_id, centf.cell, (xs.dim - 1) // 8 AS j,
+              CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS sc
+            FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2, 3),
+          codes AS (SELECT vec_id AS nid, j, cell AS code FROM (
+              SELECT vec_id, j, cell,
+                row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cell ASC) AS rn
+              FROM sub) WHERE rn = 1),
+          adc AS (SELECT cand.qid, cand.nid,
+              CAST(sum(q.sc) AS BIGINT) AS adc
+            FROM cand JOIN codes c ON cand.nid = c.nid
+                      JOIN sub q ON q.j = c.j AND q.cell = c.code
+                        AND q.vec_id = cand.qid
+            GROUP BY 1, 2),
+          short AS (SELECT qid, nid, adc FROM (
+              SELECT qid, nid, adc,
+                row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS srn
+              FROM adc) WHERE srn <= 10),
+          nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+          we AS (SELECT qid, nid, adc, eq.embedding AS qe, en.embedding AS ne,
+              eq.nrm AS qn, en.nrm AS nn
+            FROM short JOIN nemb eq ON short.qid = eq.vec_id
+                       JOIN nemb en ON short.nid = en.vec_id),
+          scoredf AS (SELECT qid, nid, adc,
+            CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
+              sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
+            FROM we),
+          ranked AS (SELECT qid, nid, adc, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+            FROM scoredf)
           SELECT qid, nid, CAST(rank AS INT) AS rank, cos, adc
           FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
     // q145: DuckDB re-derives the whole SemDeDup chain — the q41

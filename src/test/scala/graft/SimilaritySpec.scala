@@ -106,6 +106,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpq composition: rescored results never beat brute force; ranks dense") {
+    def top1(name: String): Map[Long, Double] =
+      run(name).collect()
+        .filter(_.getAs[Int]("rank") == 1)
+        .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cos")).toMap
+    val bf = top1("q21_cosine_topk")
+    val ivfpq = top1("q170_ivfpq_topk")
+    assert(ivfpq.nonEmpty)
+    // any exactly-rescored subset search is bounded by exhaustive exact
+    // search. NOTE deliberately NOT asserted: q170 ≤ q166 — an ADC
+    // shortlist is not monotone under cell restriction (with fewer
+    // competitors, a mediocre-ADC/high-cosine neighbor can enter the
+    // probed top-10 that PQ-brute's crowd pushed out), so IVF+PQ can
+    // legitimately beat PQ-brute on individual queries.
+    ivfpq.foreach { case (qid, c) =>
+      assert(bf.contains(qid) && c <= bf(qid) + 1e-9,
+        s"qid=$qid ivfpq=$c bf=${bf.get(qid)}")
+    }
+    val rows = run("q170_ivfpq_topk").collect().groupBy(_.getAs[Long]("qid"))
+    rows.foreach { case (qid, rs) =>
+      assert(rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Int]("rank")).toSeq
+        == (1 to rs.length), s"qid=$qid ranks not dense")
+    }
+  }
+
   test("ivf multi-probe recall law: nprobe=4 recall >= nprobe=1 on a boundary-heavy corpus") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
