@@ -444,11 +444,18 @@ object Bench {
         val ocat = new MetaCatalog(
           java.nio.file.Files.createTempDirectory("graft-bench-out").toString)
         val oeng = new QueryEngine(spark, ocat)
+        // the widened fact has no unique key (l_orderkey repeats 10x),
+        // and the builder now REQUIRES one — a dedicated view carries a
+        // synthetic row id (only the materialized sample ever reads it)
+        spark.table("lineitem_x10")
+          .withColumn("li_rid",
+            org.apache.spark.sql.functions.monotonically_increasing_id())
+          .createOrReplaceTempView("lineitem_x10o")
         graft.sample.Samplers.createOutlierSample(spark, ocat,
-          "lineitem_x10", "l_extendedprice", "l_orderkey",
+          "lineitem_x10o", "l_extendedprice", "li_rid",
           outlierK = 500, targetRest = 60000L)
         val osql = "SELECT count(*) AS n, sum(l_extendedprice) AS s " +
-          "FROM lineitem_x10 WHERE l_quantity < 30"
+          "FROM lineitem_x10o WHERE l_quantity < 30"
         floorSamples += floorSample()
         oeng.query(osql, oeng.Options(measureExact = true,
           ciColumns = false)) // warm both paths

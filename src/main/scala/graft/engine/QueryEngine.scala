@@ -569,15 +569,28 @@ final class QueryEngine(
         }
         outlierSample match {
           case Some(s) =>
+            // decimal-routed weighted sums ONLY when every SUM/AVG
+            // argument is the indexed measure itself (a known
+            // ≤4-decimal-place column): routing an arbitrary
+            // high-precision ride-along column through DECIMAL(18,4)
+            // would round it — a bias, not sampling noise
+            val measure = s.strataColumn
+              .map(_.stripPrefix("__outlier__")).getOrElse("")
+            val decimalSafe =
+              sumAvgArgColumns(parsed, includePercentiles = false)
+                .forall(_ == measure)
             val d = SampleRewrite.Directive(table,
               Planner.ReadSampleTable(s.sampleTable, s.fraction),
               weight = Some(SampleRewrite.WeightColumn("graft_weight")),
               rewriteDistinctToHll = false, hllRsd = None,
               addCiColumns = opts.ciColumns,
               weightedPercentiles = true,
-              decimalSums = true,
+              decimalSums = decimalSafe,
               pctCi = pctCiFor(s.sampleTable, intWeights = true,
-                opts, features))
+                opts, features,
+                unfiltered = parsed.collectFirst {
+                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+                }.isEmpty))
             val df = SampleRewrite.rewrite(spark, parsed, d)
             val (spd, err) = StrategyChooser.predict(
               StrategyChooser.Sample, tableSize, Some(s.fraction))
@@ -612,7 +625,10 @@ final class QueryEngine(
               rewriteDistinctToHll = false, hllRsd = None,
               addCiColumns = opts.ciColumns,
               weightedPercentiles = intWeights,
-              pctCi = pctCiFor(s.sampleTable, intWeights, opts, features))
+              pctCi = pctCiFor(s.sampleTable, intWeights, opts, features,
+                unfiltered = parsed.collectFirst {
+                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+                }.isEmpty))
             val df = SampleRewrite.rewrite(spark, parsed, d)
             val (spd, err) = StrategyChooser.predict(StrategyChooser.Stratified, tableSize, Some(s.fraction))
             AqeResult(df, "stratified", "stratified", choice.reasoning,
@@ -700,13 +716,17 @@ final class QueryEngine(
     * stratum sizes — nEff = (Σ n_h·w_h)² / Σ n_h·w_h² with w_h = 1/f_h.
     * Every product is integral for the power-of-two lotteries, so the
     * sums are exact doubles regardless of stratum order and an oracle
-    * re-derives them from the sample itself. Ungrouped queries only: a
-    * per-group quantile's effective n is the group's, which plan time
-    * cannot know — grouped percentiles keep their point estimates.
+    * re-derives them from the sample itself. Ungrouped AND unfiltered
+    * queries only: a group's — or a WHERE-surviving subset's —
+    * effective n is unknowable at plan time, and a whole-sample nEff
+    * over a filtered quantile would claim intervals far narrower than
+    * the nominal coverage. Those shapes keep their point estimates.
     */
   private def pctCiFor(sampleTable: String, intWeights: Boolean,
-      opts: Options, features: QueryFeatures): Option[(Double, Double)] =
-    if (!intWeights || !opts.ciColumns || features.hasGroupBy) None
+      opts: Options, features: QueryFeatures,
+      unfiltered: Boolean): Option[(Double, Double)] =
+    if (!intWeights || !opts.ciColumns || features.hasGroupBy ||
+        !unfiltered) None
     else {
       val strata = catalog.strataFor(sampleTable)
       val ws = strata.filter(a => a.fraction > 0 && a.sampleSize > 0)
@@ -758,18 +778,20 @@ final class QueryEngine(
     * in the analyzer), so both node shapes contribute.
     */
   private def sumAvgArgColumns(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Set[String] = {
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      includePercentiles: Boolean = true): Set[String] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val fns =
+      if (includePercentiles) Seq("sum", "avg", "mean", "percentile", "median")
+      else Seq("sum", "avg", "mean")
     val lists = plan.collect {
       case a: Aggregate => a.aggregateExpressions
       case p: Project   => p.projectList
     }.flatten
     lists.flatMap(_.collect {
       case f: UnresolvedFunction
-          if Seq("sum", "avg", "mean", "percentile", "median")
-            .contains(f.nameParts.last.toLowerCase) && !f.isDistinct =>
+          if fns.contains(f.nameParts.last.toLowerCase) && !f.isDistinct =>
         f.arguments.headOption.toSeq.flatMap(_.collect {
           case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
         })

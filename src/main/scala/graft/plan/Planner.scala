@@ -130,7 +130,12 @@ object Planner {
     // CONSERVATIVE bound for it — the heavy tail reads exactly, so the
     // true variance is strictly smaller on the skewed measures the
     // sample exists for
-    val outlierCand = measureCols.toSeq.sorted.iterator
+    // guarded exactly like the engine dispatch: distinct/min-max shapes
+    // must never see a sample plan here — plannerOnlyChoice would route
+    // them to the generic sample path, where an un-rewritable MAX over
+    // sampled rows silently underestimates
+    val outlierCand = (if (features.hasDistinct || features.hasMinMax) Nil
+      else measureCols.toSeq.sorted).iterator
       .flatMap(c => catalog.outlierSampleFor(table.get, c).iterator)
       .nextOption()
       .map { s =>

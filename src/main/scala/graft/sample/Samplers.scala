@@ -244,7 +244,23 @@ object Samplers {
     require(targetRest >= 1, "targetRest must be >= 1")
     graft.functions.GraftFunctions.register(spark)
     val df = spark.table(table)
-    val base = df.count()
+    // keyCol MUST be unique and non-null: a NULL key can never win the
+    // rest lottery (the hash predicate evaluates NULL) yet still counts
+    // in the base — a silent downward bias on every HT estimate — and a
+    // duplicate key breaks the exactly-k cutoff's total order. One
+    // build-time aggregate pays for the guarantee (build-only cost,
+    // like the histogram builds' sx exactness proof).
+    val keyStats = df.agg(
+      count(lit(1)).as("n"),
+      count(col(keyCol)).as("nk"),
+      countDistinct(col(keyCol)).as("nd")).collect()(0)
+    val base = keyStats.getLong(0)
+    require(keyStats.getLong(1) == base,
+      s"outlier sample key $table.$keyCol must be non-null " +
+        s"(${base - keyStats.getLong(1)} null keys)")
+    require(keyStats.getLong(2) == base,
+      s"outlier sample key $table.$keyCol must be unique " +
+        s"(${base - keyStats.getLong(2)} duplicate keys)")
     // the k-th (value, key) pair under the DESC/ASC total order — the
     // scan-local membership cutoff (k rows through TakeOrdered, 1 row
     // to the driver)

@@ -29,6 +29,9 @@ class OutlierSpec extends SparkSpec {
       .withColumn("v", expr(
         "cast(case when id < 20 then 1000000.0 else 1.0 end as double)"))
       .withColumn("v2", expr("cast(1 + id % 3 as double)"))
+      // high-precision ride-along measure: DECIMAL(18,4) routing would
+      // round it to oblivion — the decimal-scope law's probe
+      .withColumn("v3", expr("cast(id as double) * cast(1e-7 as double)"))
       .createOrReplaceTempView("skewed")
   }
 
@@ -113,6 +116,61 @@ class OutlierSpec extends SparkSpec {
     val back = engine.query("SELECT sum(v) AS v_est FROM skewed",
       engine.Options(ciColumns = false))
     assert(back.planType == "outlier", s"${back.planType} (${back.reason})")
+  }
+
+  test("decimal sum routing is measure-scoped; high-precision ride-alongs stay unbiased") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val r = engine.query(
+      "SELECT sum(v) AS sv, sum(v3) AS s3 FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    val exact3 = spark.sql("SELECT sum(v3) FROM skewed").collect()(0).getDouble(0)
+    val est3 = r.df.collect()(0).getDouble(1)
+    // under DECIMAL(18,4) routing every v3 value (max 2e-3) would round
+    // to a grid 5x coarser than itself; the double HT path stays within
+    // sampling noise
+    assert(math.abs(est3 - exact3) / exact3 < 0.05,
+      s"v3 est $est3 exact $exact3")
+  }
+
+  test("min/max shapes stay exact on the planner-only route despite the outlier candidate") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val r = engine.query(
+      "SELECT sum(v) AS sv, max(v) AS mv FROM skewed",
+      engine.Options(useMl = false, ciColumns = false))
+    assert(r.planType == "exact", s"${r.planType} (${r.reason})")
+    assert(r.df.collect()(0).getDouble(1) == 1000000.0)
+  }
+
+  test("filtered percentiles emit no CI companions (subset effective n is unknowable)") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val r = engine.query(
+      "SELECT percentile(v, 0.5) AS p50, count(*) AS n FROM skewed " +
+        "WHERE id % 2 = 0",
+      engine.Options(ciColumns = true))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    assert(!r.df.columns.contains("p50_ci_low"), r.df.columns.toSeq)
+  }
+
+  test("build refuses non-unique and nullable keys (the silent-bias preconditions)") {
+    spark.range(0, 1000).toDF("id")
+      .withColumn("dup", expr("id % 10"))
+      .withColumn("nk", expr("case when id % 5 = 0 then null else id end"))
+      .withColumn("v", expr("cast(id as double)"))
+      .createOrReplaceTempView("badkeys")
+    val e1 = intercept[IllegalArgumentException] {
+      Samplers.createOutlierSample(spark, catalog, "badkeys", "v", "dup",
+        outlierK = 8, targetRest = 64L)
+    }
+    assert(e1.getMessage.contains("unique"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Samplers.createOutlierSample(spark, catalog, "badkeys", "v", "nk",
+        outlierK = 8, targetRest = 64L)
+    }
+    assert(e2.getMessage.contains("non-null"), e2.getMessage)
   }
 
   test("detect -> advise -> build -> serve: the measure-skew loop closes") {
