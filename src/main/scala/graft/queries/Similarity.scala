@@ -194,6 +194,64 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** (vec_id, cell, j, sc): quantized 8-dim sub-dots of each vector
+    * against every codebook entry, per subspace j ∈ [0, 8) — PQ's
+    * shared building block (both the code assignment and the query
+    * LUTs read it). The codebook for subspace j is the per-label
+    * centroid SLICED to dims j·8+1..j·8+8: per-dim means are
+    * independent, so the slice IS the per-subspace mean, in the same
+    * float-rounded q41 quantizer arithmetic. Shared by q166 and q170 —
+    * and mirrored by ONE oracle CTE block, so the two cannot drift.
+    */
+  private def pqSubScores(e: DataFrame, cent: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("cav"),
+        explode(expr("sequence(0, 7)")).as("j"))
+      .select(col("vec_id"), col("cell"), col("j"),
+        expr("quantized_dot(slice(embedding, j * 8 + 1, 8), slice(cav, j * 8 + 1, 8))")
+          .as("sc"))
+
+  /** PQ code assignment: per (vector, subspace) the argmax sub-dot
+    * codebook entry, cell-asc tie-break → (nid, j, code).
+    */
+  private def pqCodes(sub: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("sc").desc, col("cell").asc)
+    sub.withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("nid"), col("j"), col("cell").as("code"))
+  }
+
+  /** The ADC tail shared by q166/q170: shortlist the top-10 per query
+    * by ADC score (nid-asc ties), rescore those exactly, and emit the
+    * top-k by true cosine with the ADC score riding.
+    */
+  private def adcRescoreTopK(adc: DataFrame, nemb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").desc, col("nid").asc)
+    val shortlist = adc
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= 10)
+      .select(col("qid"), col("nid"), col("adc"))
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    shortlist
+      .join(nemb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), "qid")
+      .join(nemb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn")), "nid")
+      .withColumn("cos", expr(
+        s"""cast(${dotSpark("qe", "ne")} as double) /
+            sqrt(cast(qn as double) * cast(nn as double))"""))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("nid"), col("rank"), col("cos"), col("adc"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** (vec_id, band, chunk) LSH bucket assignments for the whole corpus:
     * ONE codegen hash-aggregate builds the 32-plane signature, then a
     * 4-way band explode. Shared by q22 (query-vs-corpus ANN) and q40
@@ -414,56 +472,22 @@ object Similarity {
     // true cosine emitted; every stage is exact integer arithmetic, so
     // codes, ADC scores, and the final ranks all hash-match DuckDB.
     "q166_pq_adc_topk" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       val cent = cellCentroidsOf(s, e)
-      // one row per (vector, cell, subspace): the quantized sub-dot
-      val sub = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cell"), col("embedding"), col("cav"),
-          explode(expr("sequence(0, 7)")).as("j"))
-        .select(col("vec_id"), col("cell"), col("j"),
-          expr("quantized_dot(slice(embedding, j * 8 + 1, 8), slice(cav, j * 8 + 1, 8))")
-            .as("sc"))
-      val wCode = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("sc").desc, col("cell").asc)
-      val codes = sub
-        .withColumn("rn", row_number().over(wCode))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("nid"), col("j"), col("cell").as("code"))
+      val sub = pqSubScores(e, cent)
+      val codes = pqCodes(sub)
       // the queries' LUT: their own sub-dots against every codebook entry
       val lut = sub.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("j"), col("cell"),
-          col("sc"))
+        .select(col("vec_id").as("qid"), col("j"), col("cell"), col("sc"))
       val adc = codes
         .join(broadcast(lut),
           col("code") === col("cell") && codes("j") === lut("j"))
         .filter(col("qid") =!= col("nid"))
         .groupBy(col("qid"), col("nid"))
         .agg(sum(col("sc")).as("adc"))
-      val wShort = Window.partitionBy(col("qid"))
-        .orderBy(col("adc").desc, col("nid").asc)
-      val shortlist = adc
-        .withColumn("srn", row_number().over(wShort))
-        .filter(col("srn") <= 10)
-        .select(col("qid"), col("nid"), col("adc"))
-      val nemb = normedEmbeddings(s, dir)
-      val wFinal = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid").asc)
-      shortlist
-        .join(nemb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn")), "qid")
-        .join(nemb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("nrm").as("nn")), "nid")
-        .withColumn("cos", expr(
-          s"""cast(${dotSpark("qe", "ne")} as double) /
-              sqrt(cast(qn as double) * cast(nn as double))"""))
-        .withColumn("rank", row_number().over(wFinal))
-        .filter(col("rank") <= topK)
-        .select(col("qid"), col("nid"), col("rank"), col("cos"), col("adc"))
-        .orderBy(col("qid"), col("rank"))
+      adcRescoreTopK(adc, normedEmbeddings(s, dir))
     }),
 
     // IVF + PQ COMPOSED (round 11): the complete billion-scale ANN
@@ -499,20 +523,16 @@ object Similarity {
       val cand = probes.join(assign, "acell")
         .filter(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"))
-      // q166's PQ codes + the queries' sub-dot lookup table
-      val sub = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cell"), col("embedding"), col("cav"),
-          explode(expr("sequence(0, 7)")).as("j"))
-        .select(col("vec_id"), col("cell"), col("j"),
-          expr("quantized_dot(slice(embedding, j * 8 + 1, 8), slice(cav, j * 8 + 1, 8))")
-            .as("sc"))
-      val wCode = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("sc").desc, col("cell").asc)
-      val codes = sub
-        .withColumn("rn", row_number().over(wCode))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("nid"), col("j"), col("cell").as("code"))
+      // PQ codes ONLY for the vectors anything will read: candidate
+      // nids plus the query rows (for the LUT) — a second exhaustive
+      // corpus×centroid scan would undo the probe's candidate
+      // reduction (in a real index the codes are precomputed; here the
+      // restriction keeps the query's cost profile honest)
+      val needed = cand.select(col("nid").as("vec_id"))
+        .union(e.select(col("vec_id")).filter(col("vec_id") < nQueries))
+        .distinct()
+      val sub = pqSubScores(e.join(needed, Seq("vec_id"), "left_semi"), cent)
+      val codes = pqCodes(sub)
       val lut = sub.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("j"), col("cell"), col("sc"))
       val adc = cand
@@ -522,27 +542,7 @@ object Similarity {
             cand("qid") === lut("qid"))
         .groupBy(cand("qid"), col("nid"))
         .agg(sum(col("sc")).as("adc"))
-      val wShort = Window.partitionBy(col("qid"))
-        .orderBy(col("adc").desc, col("nid").asc)
-      val shortlist = adc
-        .withColumn("srn", row_number().over(wShort))
-        .filter(col("srn") <= 10)
-        .select(col("qid"), col("nid"), col("adc"))
-      val nemb = normedEmbeddings(s, dir)
-      val wFinal = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nid").asc)
-      shortlist
-        .join(nemb.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn")), "qid")
-        .join(nemb.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-          col("nrm").as("nn")), "nid")
-        .withColumn("cos", expr(
-          s"""cast(${dotSpark("qe", "ne")} as double) /
-              sqrt(cast(qn as double) * cast(nn as double))"""))
-        .withColumn("rank", row_number().over(wFinal))
-        .filter(col("rank") <= topK)
-        .select(col("qid"), col("nid"), col("rank"), col("cos"), col("adc"))
-        .orderBy(col("qid"), col("rank"))
+      adcRescoreTopK(adc, normedEmbeddings(s, dir))
     }),
 
     // SEMANTIC dedup (SemDeDup-style, round 11): the sixth dedup
@@ -648,6 +648,52 @@ object Similarity {
   /** DuckDB CTE chain computing the (vec_id, band, chunk) LSH buckets —
     * the oracle-side mirror of [[lshBands]], shared by q22 and q40.
     */
+  /** Shared PQ oracle text (q166/q170): the q41 centroid chain, the
+    * per-subspace sub-dots, and the code assignment — one block so the
+    * two oracles cannot drift.
+    */
+  private def duckPqBase: String =
+    s"""xsrc AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+        xs AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM xsrc),
+        csrc AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
+        cv AS (SELECT label, dim,
+            CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS vq
+          FROM csrc),
+        cent AS (SELECT label AS cell, dim,
+            CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
+          FROM cv GROUP BY label, dim),
+        centf AS (SELECT cell, dim, CAST(CAST(av AS FLOAT) AS DOUBLE) AS av FROM cent),
+        sub AS (SELECT xs.vec_id, centf.cell, (xs.dim - 1) // 8 AS j,
+            CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS sc
+          FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id AS nid, j, cell AS code FROM (
+            SELECT vec_id, j, cell,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cell ASC) AS rn
+            FROM sub) WHERE rn = 1)"""
+
+  /** Shared ADC tail (q166/q170): shortlist, exact rescore, final
+    * projection — mirrors [[adcRescoreTopK]].
+    */
+  private def duckAdcTail: String =
+    s"""short AS (SELECT qid, nid, adc FROM (
+            SELECT qid, nid, adc,
+              row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS srn
+            FROM adc) WHERE srn <= 10),
+        nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
+        we AS (SELECT qid, nid, adc, eq.embedding AS qe, en.embedding AS ne,
+            eq.nrm AS qn, en.nrm AS nn
+          FROM short JOIN nemb eq ON short.qid = eq.vec_id
+                     JOIN nemb en ON short.nid = en.vec_id),
+        scoredf AS (SELECT qid, nid, adc,
+          CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
+            sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
+          FROM we),
+        ranked AS (SELECT qid, nid, adc, cos,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+          FROM scoredf)
+        SELECT qid, nid, CAST(rank AS INT) AS rank, cos, adc
+        FROM ranked WHERE rank <= $topK ORDER BY qid, rank"""
+
   private def duckBandCtes: String = {
     val planeSums = (0 until 32).map(h =>
       s"sum(CAST(floor(x * (${signsDuck(h)})[dim] * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS p$h")
@@ -774,69 +820,26 @@ object Similarity {
           SELECT qid, nid, CAST(rank AS INT) AS rank, cos
           FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
     // q166: DuckDB re-derives the PQ chain — the q41 centroid
-    // arithmetic grouped per subspace j = (dim-1)//8 (slicing the
-    // full per-label centroid IS the per-subspace mean), codes by
+    // arithmetic grouped per subspace j = (dim-1)//8, codes by
     // (sc DESC, cell ASC) argmax, ADC sums of the query's own
-    // sub-dots looked up by code, the top-10 shortlist, and the exact
-    // rescored top-3 — every stage exact integers or single-rounded
-    // doubles, hash-matched.
+    // sub-dots looked up by code over the WHOLE corpus, the top-10
+    // shortlist, and the exact rescored top-3. The centroid/sub/code
+    // CTEs and the shortlist/rescore tail are SHARED TEXT with q170
+    // (duckPqBase / duckAdcTail), so the two oracles cannot drift.
     "q166_pq_adc_topk" ->
-      s"""WITH xsrc AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
-          xs AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM xsrc),
-          csrc AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
-          cv AS (SELECT label, dim,
-              CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS vq
-            FROM csrc),
-          cent AS (SELECT label AS cell, dim,
-              CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
-            FROM cv GROUP BY label, dim),
-          centf AS (SELECT cell, dim, CAST(CAST(av AS FLOAT) AS DOUBLE) AS av FROM cent),
-          sub AS (SELECT xs.vec_id, centf.cell, (xs.dim - 1) // 8 AS j,
-              CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS sc
-            FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2, 3),
-          codes AS (SELECT vec_id AS nid, j, cell AS code FROM (
-              SELECT vec_id, j, cell,
-                row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cell ASC) AS rn
-              FROM sub) WHERE rn = 1),
+      s"""WITH $duckPqBase,
           adc AS (SELECT q.vec_id AS qid, c.nid,
               CAST(sum(q.sc) AS BIGINT) AS adc
             FROM codes c JOIN sub q ON q.j = c.j AND q.cell = c.code
             WHERE q.vec_id < $nQueries AND q.vec_id <> c.nid
             GROUP BY 1, 2),
-          short AS (SELECT qid, nid, adc FROM (
-              SELECT qid, nid, adc,
-                row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS srn
-              FROM adc) WHERE srn <= 10),
-          nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
-          we AS (SELECT qid, nid, adc, eq.embedding AS qe, en.embedding AS ne,
-              eq.nrm AS qn, en.nrm AS nn
-            FROM short JOIN nemb eq ON short.qid = eq.vec_id
-                       JOIN nemb en ON short.nid = en.vec_id),
-          scored AS (SELECT qid, nid, adc,
-            CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
-              sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
-            FROM we),
-          ranked AS (SELECT qid, nid, adc, cos,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
-            FROM scored)
-          SELECT qid, nid, CAST(rank AS INT) AS rank, cos, adc
-          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
-    // q170: the q41 probe chain and the q166 PQ chain composed — the
+          $duckAdcTail""",
+    // q170: the q41 probe chain composed onto the shared PQ CTEs — the
     // candidate set comes from the nprobe nearest cells, ADC sums run
-    // only over it, then shortlist + exact rescore. Breaks together
-    // with q41 (probe machinery) and q166 (codes/LUT) if either chain
-    // changes.
+    // only over it. Breaks together with q41 (probe machinery) and
+    // q166 (the shared PQ text) if either chain changes.
     "q170_ivfpq_topk" ->
-      s"""WITH xsrc AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
-          xs AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM xsrc),
-          csrc AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
-          cv AS (SELECT label, dim,
-              CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000) AS BIGINT) AS vq
-            FROM csrc),
-          cent AS (SELECT label AS cell, dim,
-              CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
-            FROM cv GROUP BY label, dim),
-          centf AS (SELECT cell, dim, CAST(CAST(av AS FLOAT) AS DOUBLE) AS av FROM cent),
+      s"""WITH $duckPqBase,
           scores AS (SELECT xs.vec_id, centf.cell,
               CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS score
             FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2),
@@ -849,37 +852,13 @@ object Similarity {
           cand AS (SELECT p.qid, n.vec_id AS nid
             FROM probes p JOIN assign n ON p.cell = n.cell
             WHERE p.qid <> n.vec_id),
-          sub AS (SELECT xs.vec_id, centf.cell, (xs.dim - 1) // 8 AS j,
-              CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS sc
-            FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2, 3),
-          codes AS (SELECT vec_id AS nid, j, cell AS code FROM (
-              SELECT vec_id, j, cell,
-                row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cell ASC) AS rn
-              FROM sub) WHERE rn = 1),
           adc AS (SELECT cand.qid, cand.nid,
               CAST(sum(q.sc) AS BIGINT) AS adc
             FROM cand JOIN codes c ON cand.nid = c.nid
                       JOIN sub q ON q.j = c.j AND q.cell = c.code
                         AND q.vec_id = cand.qid
             GROUP BY 1, 2),
-          short AS (SELECT qid, nid, adc FROM (
-              SELECT qid, nid, adc,
-                row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid ASC) AS srn
-              FROM adc) WHERE srn <= 10),
-          nemb AS (SELECT vec_id, embedding, ${dotDuck("embedding", "embedding")} AS nrm FROM embeddings),
-          we AS (SELECT qid, nid, adc, eq.embedding AS qe, en.embedding AS ne,
-              eq.nrm AS qn, en.nrm AS nn
-            FROM short JOIN nemb eq ON short.qid = eq.vec_id
-                       JOIN nemb en ON short.nid = en.vec_id),
-          scoredf AS (SELECT qid, nid, adc,
-            CAST(${dotDuck("qe", "ne")} AS DOUBLE) /
-              sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
-            FROM we),
-          ranked AS (SELECT qid, nid, adc, cos,
-            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
-            FROM scoredf)
-          SELECT qid, nid, CAST(rank AS INT) AS rank, cos, adc
-          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
+          $duckAdcTail""",
     // q145: DuckDB re-derives the whole SemDeDup chain — the q41
     // centroid assignment (float-rounded centroids, quantized scores,
     // deterministic rn=1 tie-break), within-cell pairs, exact
