@@ -2674,6 +2674,33 @@ object Aqp {
     })
   )
 
+  /** Shared outlier-sample membership CTEs (q163/q168/q169): base
+    * rows, the exactly-k cutoff rank, the power-of-two rest weight, and
+    * the sampled rows with weights — ONE text so the three oracles
+    * cannot drift. `extraCols` are (sourceColumn, alias) pairs carried
+    * through to `samp` for filters/group keys.
+    */
+  private def duckOutlierSamp(
+      extraCols: Seq[(String, String)] = Nil): String = {
+    val baseExtra = extraCols.map { case (src, a) => s", $src AS $a" }.mkString
+    val names = extraCols.map { case (_, a) => s", $a" }.mkString
+    val rNames = extraCols.map { case (_, a) => s", r.$a" }.mkString
+    s"""base AS (SELECT o_orderkey AS k, o_totalprice AS v$baseExtra FROM orders),
+        nn AS (SELECT count(*) AS n FROM base),
+        rk AS (SELECT k, v$names,
+            row_number() OVER (ORDER BY v DESC, k ASC) AS rn FROM base),
+        wv AS (SELECT CASE WHEN (n - 500) // 2048 < 1 THEN CAST(1 AS BIGINT)
+                 ELSE CAST(1 AS BIGINT)
+                   << CAST(least(13, length(bin((n - 500) // 2048)) - 1) AS INT)
+            END AS w FROM nn),
+        samp AS (
+          SELECT v$names, CAST(1 AS BIGINT) AS wt FROM rk WHERE rn <= 500
+          UNION ALL
+          SELECT r.v$rNames, w.w AS wt FROM rk r, wv w
+          WHERE r.rn > 500
+            AND ${graft.queries.Dedup.h60Duck("'ol:' || CAST(r.k AS VARCHAR)")} % 8192 < 8192 // w.w)"""
+  }
+
   val oracle: Map[String, String] = Map(
     // q144: DuckDB re-derives the engine's log-linear (HDR) sketch
     // answer from the same parquet — binade via corrected floor-log2
@@ -3500,20 +3527,7 @@ object Aqp {
     // the weighted price sum goes through DECIMAL(18,4)·DECIMAL(18,0)
     // arithmetic exactly like the engine's decimalSums rewrite.
     "q163_outlier_sum" ->
-      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
-          nn AS (SELECT count(*) AS n FROM base),
-          rk AS (SELECT k, v,
-              row_number() OVER (ORDER BY v DESC, k ASC) AS rn FROM base),
-          wv AS (SELECT CASE WHEN (n - 500) // 2048 < 1 THEN CAST(1 AS BIGINT)
-                   ELSE CAST(1 AS BIGINT)
-                     << CAST(least(13, length(bin((n - 500) // 2048)) - 1) AS INT)
-              END AS w FROM nn),
-          samp AS (
-            SELECT v, CAST(1 AS BIGINT) AS wt FROM rk WHERE rn <= 500
-            UNION ALL
-            SELECT r.v, w.w AS wt FROM rk r, wv w
-            WHERE r.rn > 500
-              AND ${graft.queries.Dedup.h60Duck("'ol:' || CAST(r.k AS VARCHAR)")} % 8192 < 8192 // w.w)
+      s"""WITH ${duckOutlierSamp()}
           SELECT CAST(sum(wt) AS DOUBLE) AS n_est,
             CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE) AS tp_est,
             CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE)
@@ -3523,21 +3537,7 @@ object Aqp {
     // through — the filter prunes sample rows, the group key partitions
     // them, and the decimal weighted sums run per group.
     "q169_outlier_group" ->
-      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v,
-              o_orderstatus AS st, o_orderpriority AS pr FROM orders),
-          nn AS (SELECT count(*) AS n FROM base),
-          rk AS (SELECT k, v, st, pr,
-              row_number() OVER (ORDER BY v DESC, k ASC) AS rn FROM base),
-          wv AS (SELECT CASE WHEN (n - 500) // 2048 < 1 THEN CAST(1 AS BIGINT)
-                   ELSE CAST(1 AS BIGINT)
-                     << CAST(least(13, length(bin((n - 500) // 2048)) - 1) AS INT)
-              END AS w FROM nn),
-          samp AS (
-            SELECT v, st, pr, CAST(1 AS BIGINT) AS wt FROM rk WHERE rn <= 500
-            UNION ALL
-            SELECT r.v, r.st, r.pr, w.w AS wt FROM rk r, wv w
-            WHERE r.rn > 500
-              AND ${graft.queries.Dedup.h60Duck("'ol:' || CAST(r.k AS VARCHAR)")} % 8192 < 8192 // w.w)
+      s"""WITH ${duckOutlierSamp(Seq(("o_orderstatus", "st"), ("o_orderpriority", "pr")))}
           SELECT pr AS o_orderpriority,
             CAST(sum(wt) AS DOUBLE) AS n_est,
             CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE) AS tp_est
@@ -3552,20 +3552,7 @@ object Aqp {
     // w-expanded sample at all three quantiles; the count's moment CI
     // companions mirror the q28 trees.
     "q168_pct_ci" ->
-      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
-          nn AS (SELECT count(*) AS n FROM base),
-          rk AS (SELECT k, v,
-              row_number() OVER (ORDER BY v DESC, k ASC) AS rn FROM base),
-          wv AS (SELECT CASE WHEN (n - 500) // 2048 < 1 THEN CAST(1 AS BIGINT)
-                   ELSE CAST(1 AS BIGINT)
-                     << CAST(least(13, length(bin((n - 500) // 2048)) - 1) AS INT)
-              END AS w FROM nn),
-          samp AS (
-            SELECT v, CAST(1 AS BIGINT) AS wt FROM rk WHERE rn <= 500
-            UNION ALL
-            SELECT r.v, w.w AS wt FROM rk r, wv w
-            WHERE r.rn > 500
-              AND ${graft.queries.Dedup.h60Duck("'ol:' || CAST(r.k AS VARCHAR)")} % 8192 < 8192 // w.w),
+      s"""WITH ${duckOutlierSamp()},
           ne AS (SELECT CAST(sum(wt) AS DOUBLE) AS n1,
               CAST(sum(wt * wt) AS DOUBLE) AS n2,
               CAST(sum(wt * (wt - 1)) AS DOUBLE) AS varc FROM samp),
