@@ -446,14 +446,26 @@ object Bench {
         val oeng = new QueryEngine(spark, ocat)
         // the widened fact has no unique key (l_orderkey repeats 10x),
         // and the builder now REQUIRES one — a dedicated view carries a
-        // synthetic row id (only the materialized sample ever reads it)
-        spark.table("lineitem_x10")
+        // synthetic row id (only the materialized sample ever reads it).
+        // The rid-stamped table is MATERIALIZED (cache + count) before
+        // the builder runs: monotonically_increasing_id depends on
+        // partition layout, and createOutlierSample takes multiple
+        // actions over this view (cutoff collect, then the membership
+        // scan) — a recomputed view could renumber rows between them,
+        // diverging the materialized part from the collected cut.
+        val ridded = spark.table("lineitem_x10")
           .withColumn("li_rid",
             org.apache.spark.sql.functions.monotonically_increasing_id())
-          .createOrReplaceTempView("lineitem_x10o")
+          .cache()
+        ridded.count()
+        ridded.createOrReplaceTempView("lineitem_x10o")
         graft.sample.Samplers.createOutlierSample(spark, ocat,
           "lineitem_x10o", "l_extendedprice", "li_rid",
           outlierK = 500, targetRest = 60000L)
+        // drop the cache once the sample is materialized: the measured
+        // exact side below should scan the recomputed view (parity with
+        // prior rounds), and li_rid no longer matters after the build
+        ridded.unpersist()
         val osql = "SELECT count(*) AS n, sum(l_extendedprice) AS s " +
           "FROM lineitem_x10o WHERE l_quantity < 30"
         floorSamples += floorSample()

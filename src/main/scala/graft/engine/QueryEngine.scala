@@ -555,30 +555,42 @@ final class QueryEngine(
         // Distinct/min-max shapes never reach here with it (guarded);
         // percentiles ride the integer-weight frequency rewrite (both
         // weights are integral by construction: 1 and a power of two).
-        val outlierSample =
+        val outlierCandidate =
           if (features.hasDistinct || features.hasMinMax) None
           else sumAvgArgColumns(parsed).toSeq.sorted.iterator
             .flatMap(c => catalog.outlierSampleFor(table, c).iterator)
             .nextOption()
-        val stratSample = choice.strategy match {
-          case StrategyChooser.Stratified =>
-            features.groupByColumns.headOption
-              .map(c => c.split("\\.").last.stripSuffix("`").stripPrefix("`"))
-              .flatMap(c => catalog.stratifiedSampleFor(table, c))
-          case _ => None
+        val groupCol = features.groupByColumns.headOption
+          .map(c => c.split("\\.").last.stripSuffix("`").stripPrefix("`"))
+        // Representation guard: the outlier sample has no per-group
+        // guarantee — a rare group whose rows all lose the rest lottery
+        // vanishes from a grouped result entirely, which a stratified
+        // sample keyed on the group-by column was built to prevent. So
+        // when BOTH exist for a grouped query, the stratified sample
+        // preempts the outlier sample (regardless of the chooser's
+        // strategy label); ungrouped queries keep the outlier route.
+        val stratSample = {
+          val wanted = choice.strategy == StrategyChooser.Stratified ||
+            (features.hasGroupBy && outlierCandidate.isDefined)
+          if (wanted) groupCol.flatMap(c => catalog.stratifiedSampleFor(table, c))
+          else None
         }
+        val outlierSample =
+          if (features.hasGroupBy && stratSample.isDefined) None
+          else outlierCandidate
         outlierSample match {
           case Some(s) =>
             // decimal-routed weighted sums ONLY when every SUM/AVG
-            // argument is the indexed measure itself (a known
-            // ≤4-decimal-place column): routing an arbitrary
-            // high-precision ride-along column through DECIMAL(18,4)
-            // would round it — a bias, not sampling noise
+            // argument IS the bare indexed-measure attribute (a known
+            // ≤4-decimal-place column): an expression argument — even
+            // one referencing only the measure, like sum(v*v) — can
+            // carry more decimal places (systematic rounding bias) or
+            // exceed DECIMAL(18,4)'s range (NULL under non-ANSI casts,
+            // silently dropping rows), so it must stay on the double
+            // product path
             val measure = s.strataColumn
               .map(_.stripPrefix("__outlier__")).getOrElse("")
-            val decimalSafe =
-              sumAvgArgColumns(parsed, includePercentiles = false)
-                .forall(_ == measure)
+            val decimalSafe = sumAvgArgsAreBare(parsed, measure)
             val d = SampleRewrite.Directive(table,
               Planner.ReadSampleTable(s.sampleTable, s.fraction),
               weight = Some(SampleRewrite.WeightColumn("graft_weight")),
@@ -796,6 +808,35 @@ final class QueryEngine(
           case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
         })
     }).flatten.toSet
+  }
+
+  /** True iff every non-distinct SUM/AVG/MEAN argument in the plan is
+    * the bare attribute `measure` itself — not an expression over it.
+    * Gates the DECIMAL(18,4) routing of weighted sums: only the indexed
+    * measure column is KNOWN to fit that scale/precision; a derived
+    * argument (sum(v*v), sum(v/3)) referencing the same column can
+    * round (bias) or overflow (dropped rows) under the decimal cast.
+    * Vacuously true when the plan has no SUM/AVG (nothing gets routed).
+    */
+  private def sumAvgArgsAreBare(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      measure: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val m = measure.toLowerCase
+    val lists = plan.collect {
+      case a: Aggregate => a.aggregateExpressions
+      case p: Project   => p.projectList
+    }.flatten
+    lists.flatMap(_.collect {
+      case f: UnresolvedFunction
+          if Seq("sum", "avg", "mean").contains(f.nameParts.last.toLowerCase) &&
+            !f.isDistinct =>
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute) => a.nameParts.last.toLowerCase == m
+          case _                           => false
+        }
+    }).forall(identity)
   }
 
   /** Opt-in AQP over a join (beyond the reference's single-table

@@ -32,6 +32,8 @@ class OutlierSpec extends SparkSpec {
       // high-precision ride-along measure: DECIMAL(18,4) routing would
       // round it to oblivion — the decimal-scope law's probe
       .withColumn("v3", expr("cast(id as double) * cast(1e-7 as double)"))
+      // low-cardinality group column for the stratified-preemption law
+      .withColumn("g", expr("cast(id % 4 as int)"))
       .createOrReplaceTempView("skewed")
   }
 
@@ -239,6 +241,59 @@ class OutlierSpec extends SparkSpec {
       engine.Options(ciColumns = true))
     assert(g.planType == "outlier", s"${g.planType} (${g.reason})")
     assert(!g.df.columns.contains("p50_ci_low"), g.df.columns.toSeq)
+  }
+
+  test("expression SUM arguments never take the decimal route, even when they reference only the indexed measure") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    // every term is 1e-5: DECIMAL(18,4) routing would round ALL of them
+    // to zero (estimate 0.0, a 100% systematic bias); the double HT path
+    // stays within sampling noise. The argument references only `v`, so
+    // a referenced-column-set check would wrongly engage the decimal path.
+    val exact = spark.sql(
+      "SELECT sum(least(v, 1.0) * 1e-5) FROM skewed").collect()(0).getDouble(0)
+    val r = engine.query(
+      "SELECT sum(least(v, 1.0) * 1e-5) AS sv FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    val est = r.df.collect()(0).getDouble(0)
+    assert(math.abs(est - exact) / exact < 0.05, s"est $est exact $exact")
+    // large expression values: the decimal cast would OVERFLOW (a thrown
+    // error under ANSI mode) — the double path executes fine
+    val big = engine.query("SELECT sum(v * v * v) AS s3 FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(big.planType == "outlier", s"${big.planType} (${big.reason})")
+    val bigExact =
+      spark.sql("SELECT sum(v*v*v) FROM skewed").collect()(0).getDouble(0)
+    val bigEst = big.df.collect()(0).getDouble(0)
+    assert(math.abs(bigEst - bigExact) / bigExact < 0.01,
+      s"est $bigEst exact $bigExact")
+  }
+
+  test("grouped queries prefer a dedicated stratified sample over the outlier sample (representation guard)") {
+    val cat3 = new MetaCatalog(
+      Files.createTempDirectory("graft-outlier-strat").toString)
+    val e3 = new QueryEngine(spark, cat3)
+    Samplers.createOutlierSample(
+      spark, cat3, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    val sql = "SELECT g, count(*) AS n, sum(v) AS sv FROM skewed GROUP BY g"
+    // without a stratified sample the outlier sample serves grouped shapes
+    val before = e3.query(sql, e3.Options(ciColumns = false))
+    assert(before.planType == "outlier",
+      s"${before.planType} (${before.reason})")
+    // a fresh stratified sample keyed on the group-by column preempts it:
+    // the outlier sample's rest lottery carries no per-group guarantee
+    Samplers.createStratifiedDeterministic(
+      spark, cat3, "skewed", "g", "id", targetPerStratum = 256L)
+    val after = e3.query(sql, e3.Options(ciColumns = false))
+    assert(after.planType == "stratified",
+      s"${after.planType} (${after.reason})")
+    // every group is represented — the guarantee the preemption exists for
+    assert(after.df.select("g").distinct().count() == 4L)
+    // ungrouped sums over the measure keep the outlier route
+    val ung = e3.query("SELECT sum(v) AS sv FROM skewed",
+      e3.Options(ciColumns = false))
+    assert(ung.planType == "outlier", s"${ung.planType} (${ung.reason})")
   }
 
   test("percentiles ride the integer-weight frequency rewrite on the outlier sample") {
