@@ -17,16 +17,34 @@ import graft.Tables
   */
 object Analytics {
 
+  /** Exact multi-quantile aggregate via ONE `percentile(col, array(..))`
+    * call. Spark's Percentile keeps a per-partition counts buffer PER
+    * AGGREGATE CALL — k scalar `percentile(col, p_i)` expressions build
+    * and merge k identical buffers of the whole column; the array form
+    * builds one and interpolates every requested quantile from the same
+    * counts map, so the values are bit-identical to the scalar calls.
+    * Use with [[pctAt]] to unpack + DECIMAL(18,6)-round each output.
+    */
+  private[queries] def pctArr(valueCol: String, ps: Seq[String]): org.apache.spark.sql.Column =
+    expr(s"percentile($valueCol, array(${ps.map(_ + "D").mkString(", ")}))")
+
+  /** i-th quantile out of a [[pctArr]] result attribute, rounded through
+    * DECIMAL(18,6) for cross-engine bit-parity (the q32/q61 rule).
+    */
+  private[queries] def pctAt(arrCol: String, i: Int, name: String): org.apache.spark.sql.Column =
+    expr(s"cast(cast(element_at($arrCol, ${i + 1}) as decimal(18,6)) as double)")
+      .as(name)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact interpolated percentiles of order value, grouped by status.
     "q32_percentiles" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      def pct(p: Double, name: String) =
-        expr(s"cast(cast(percentile(o_totalprice, $p) as decimal(18,6)) as double)")
-          .as(name)
       o.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.9, "p90"))
+          pctArr("o_totalprice", Seq("0.25", "0.5", "0.75", "0.9")).as("pcts"))
+        .select(col("o_orderstatus"), col("n"),
+          pctAt("pcts", 0, "p25"), pctAt("pcts", 1, "p50"),
+          pctAt("pcts", 2, "p75"), pctAt("pcts", 3, "p90"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -184,9 +202,10 @@ object Analytics {
       val cum = hist.withColumn("cum", sum(col("nb")).over(wCum))
         .withColumn("cumb", col("cum") - col("nb"))
       val tot = o.agg(count(lit(1)).as("n_total"))
-      def exact(p: Double, name: String) =
-        expr(s"cast(cast(percentile(o_totalprice, $p) as decimal(18,6)) as double)").as(name)
-      val exacts = o.agg(exact(0.5, "x50"), exact(0.9, "x90"), exact(0.99, "x99"))
+      val exacts = o
+        .agg(pctArr("o_totalprice", Seq("0.5", "0.9", "0.99")).as("pcts"))
+        .select(pctAt("pcts", 0, "x50"), pctAt("pcts", 1, "x90"),
+          pctAt("pcts", 2, "x99"))
       val targets = tot.select(explode(expr(
         """array(named_struct('p_label', 'p50', 'num', 1L, 'den', 2L),
                  named_struct('p_label', 'p90', 'num', 9L, 'den', 10L),
@@ -222,10 +241,10 @@ object Analytics {
     // binning pass is unchanged either way.
     "q67_equidepth_hist" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      def pct(p: Double, name: String) =
-        expr(s"cast(cast(percentile(o_totalprice, $p) as decimal(18,6)) as double)")
-          .as(name)
-      val bounds = o.agg(pct(0.25, "b1"), pct(0.5, "b2"), pct(0.75, "b3"))
+      val bounds = o
+        .agg(pctArr("o_totalprice", Seq("0.25", "0.5", "0.75")).as("pcts"))
+        .select(pctAt("pcts", 0, "b1"), pctAt("pcts", 1, "b2"),
+          pctAt("pcts", 2, "b3"))
       o.crossJoin(broadcast(bounds))
         .agg(count(lit(1)).as("n_rows"),
           sum(expr("case when o_totalprice < b1 then 1 else 0 end")).as("n_q1"),

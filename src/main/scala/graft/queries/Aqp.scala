@@ -571,13 +571,13 @@ object Aqp {
       // percentiles are cross-engine bit-portable, and est - exact is
       // then a single deterministic subtraction. bucket_width is the
       // engine's published error bound for the same sketch grid.
-      def pct(p: String, name: String) =
-        expr(s"cast(cast(percentile(o_totalprice, $p) as decimal(18,6)) as double)")
-          .as(name)
       val exact = Tables.load(s, dir, "orders").agg(
-        pct("0.25", "x25"), pct("0.5", "x50"), pct("0.9", "x90"),
+        Analytics.pctArr("o_totalprice", Seq("0.25", "0.5", "0.9")).as("pcts"),
         expr("(cast(max(o_totalprice) as double) - cast(min(o_totalprice) as double)) / 64")
           .as("bucket_width"))
+        .select(Analytics.pctAt("pcts", 0, "x25"),
+          Analytics.pctAt("pcts", 1, "x50"),
+          Analytics.pctAt("pcts", 2, "x90"), col("bucket_width"))
       est.crossJoin(exact)
         .withColumn("err_p25", expr("p25 - x25"))
         .withColumn("err_p50", expr("p50 - x50"))
@@ -607,12 +607,11 @@ object Aqp {
       val exact = Tables.load(s, dir, "orders")
         .groupBy(col("o_orderstatus").as("g2"))
         .agg(
-          expr("cast(cast(percentile(o_totalprice, 0.5) as decimal(18,6)) as double)")
-            .as("x50"),
-          expr("cast(cast(percentile(o_totalprice, 0.9) as decimal(18,6)) as double)")
-            .as("x90"),
+          Analytics.pctArr("o_totalprice", Seq("0.5", "0.9")).as("pcts"),
           expr("(cast(max(o_totalprice) as double) - cast(min(o_totalprice) as double)) / 64")
             .as("bucket_width"))
+        .select(col("g2"), Analytics.pctAt("pcts", 0, "x50"),
+          Analytics.pctAt("pcts", 1, "x90"), col("bucket_width"))
       est.join(exact, col("o_orderstatus") === col("g2")).drop("g2")
         .withColumn("err_p50", expr("p50 - x50"))
         .withColumn("err_p90", expr("p90 - x90"))
@@ -1498,13 +1497,12 @@ object Aqp {
           s"${r.serveKind} (${r.reason})")
       assert(r.estimatedError == 1.0 / 32,
         s"q144 must report the 1/m relative bound: ${r.estimatedError}")
-      def pct(c: String, p: String, name: String) =
-        expr(s"cast(cast(percentile($c, $p) as decimal(18,6)) as double)")
-          .as(name)
       val exact = Tables.load(s, dir, "lineitem").agg(
-        pct("l_extendedprice", "0.5", "x50e"),
-        pct("l_extendedprice", "0.95", "x95e"),
-        pct("l_discount", "0.5", "x50d"))
+        Analytics.pctArr("l_extendedprice", Seq("0.5", "0.95")).as("pe"),
+        expr("cast(cast(percentile(l_discount, 0.5) as decimal(18,6)) as double)")
+          .as("x50d"))
+        .select(Analytics.pctAt("pe", 0, "x50e"),
+          Analytics.pctAt("pe", 1, "x95e"), col("x50d"))
       r.df.crossJoin(exact)
         .withColumn("err_p50e", expr("p50e - x50e"))
         .withColumn("err_p95e", expr("p95e - x95e"))
@@ -1594,12 +1592,11 @@ object Aqp {
       assert(r.servedFromCatalog && r.serveKind.contains("hdr_range"),
         s"q149 must serve the band percentile from the log-linear " +
           s"sketch: ${r.serveKind} (${r.reason})")
-      def pct(p: String, name: String) =
-        expr(s"cast(cast(percentile(l_extendedprice, $p) " +
-          s"as decimal(18,6)) as double)").as(name)
       val exact = Tables.load(s, dir, "lineitem")
         .where("l_extendedprice >= 5000 AND l_extendedprice < 30000")
-        .agg(pct("0.5", "x50b"), pct("0.95", "x95b"))
+        .agg(Analytics.pctArr("l_extendedprice", Seq("0.5", "0.95")).as("pb"))
+        .select(Analytics.pctAt("pb", 0, "x50b"),
+          Analytics.pctAt("pb", 1, "x95b"))
       r.df.crossJoin(exact)
         .withColumn("err_p50b", expr("(p50b - x50b) / x50b"))
         .withColumn("err_p95b", expr("(p95b - x95b) / x95b"))
