@@ -149,7 +149,7 @@ object Dedup {
     * (Corpus.q50), which joins train-side and test-side shingle sets on
     * these hashes.
     */
-  private[queries] def shingleHashes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleHashes(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "shingleHashes") {
       shingled(s, dir)
         .select(col("doc_id"), explode(col("sh")).as("s"))
@@ -317,41 +317,63 @@ object Dedup {
     // the ones excluded — this is the standard way a 100 TB
     // set-similarity join becomes tractable without LSH's recall loss.
     "q165_prefix_jaccard" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ex = shingleHashes(s, dir)
       val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val kept = ex.join(dfreq.filter(col("df") <= maxShingleDf), "h")
-      val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df").asc, col("h").asc)
-      val wc = Window.partitionBy(col("doc_id"))
-      // t = 0.5 ⇒ prefix length n − ceil(n/2) + 1 (integer form; the
-      // per-doc window sorts one document's shingles, never the
-      // corpus). n rides as a window count over the SAME partition key
-      // — one doc-keyed exchange feeds both, no aggregate+join detour.
-      val prefix = kept
-        .withColumn("r", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wc))
-        .filter(expr("r <= n - ((n + 1) div 2) + 1"))
-        .select(col("doc_id"), col("h"), col("n"))
-      // LENGTH filter rides the same join (lossless for J ≥ t: the
-      // intersection is at most the smaller set, so J ≥ 1/2 forces the
-      // sizes within 2× of each other) — set-size skew is where the
-      // candidate set otherwise explodes
+      // ONE doc-keyed aggregate materializes each document's kept
+      // shingles in GLOBAL (df ASC, h ASC — rarest first) order: the
+      // prefix index, the set size, and the verification set all read
+      // off it. (The round-11 shape paid a two-pass per-doc window for
+      // the prefix and then TWO full posting-list rejoins plus a
+      // pair-count aggregate for verification — at small scale that
+      // machinery cost more than the pruning saved; this one keeps the
+      // identical lossless pruning with one aggregate and two joins
+      // against the doc-sized set table.) sort_array over (df, h)
+      // structs is the same total order the window used; per-doc array
+      // length is document-bounded, the standard PPJoin layout.
+      val sets = kept
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dh"))
+        .select(col("doc_id"), expr("cardinality(dh)").as("n"),
+          expr("transform(dh, x -> x.h)").as("hs"))
+      // t = 0.5 ⇒ prefix length n − ceil(n/2) + 1 (integer form): any
+      // pair with J ≥ t must collide inside these rarest-first slices.
+      // The 1-based in-prefix position rides along for the positional
+      // filter below.
+      val prefix = sets.select(col("doc_id"), col("n"),
+        posexplode(expr(
+          "slice(hs, 1, cast(n - ((n + 1) div 2) + 1 as int))"))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("h"))
+      // Two more lossless prunes ride the candidate join (PPJoin's
+      // length + POSITIONAL filters). Length: J ≥ 1/2 forces set sizes
+      // within 2× (the intersection is at most the smaller set).
+      // Positional: a match at 1-based positions (pa, pb) caps the
+      // overlap at min(na−pa, nb−pb)+1, which must reach the J > 1/2
+      // overlap threshold α = (na+nb) div 3 + 1; the pair's MINIMUM
+      // common element sits in both prefixes and satisfies this bound
+      // whenever the pair truly qualifies, so requiring it of at least
+      // one matching prefix element drops no true pair. Without it the
+      // distinct'd candidate set here carries ~1000× more pairs than
+      // survive verification.
       val cands = prefix.as("a")
         .join(prefix.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2)
+            col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2 &&
+            expr("least(a.n - a.p, b.n - b.p) >= (a.n + b.n) div 3"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val inter = cands
-        .join(kept.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-        .join(kept.select(col("doc_id").as("doc_b"), col("h")),
-          Seq("doc_b", "h"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-      inter
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      // Verification joins the candidate pairs to the COMPACT per-doc
+      // set table (one row per document), never back to the exploded
+      // posting list; the intersection is a single array pass per pair.
+      // Shingles are array_distinct per doc and h is a 60-bit hash, so
+      // set semantics match q19's row-count arithmetic exactly.
+      cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+          col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("i", expr("cardinality(array_intersect(ha, hb))"))
         .withColumn("jaccard", expr("cast(i as double) / (na + nb - i)"))
         .filter(col("jaccard") > 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -75,6 +75,45 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("--prefixprobe")) {
+      // piecewise timings for the q165 prefix-join stages
+      import org.apache.spark.sql.functions._
+      val ex = t("shingleHashes")(graft.queries.Dedup.shingleHashes(spark, sfDir))
+      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val kept = ex.join(dfreq.filter(col("df") <= 64), "h")
+      t("kept count")(println("[scratch] kept=" + kept.count()))
+      val sets = kept
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("dh"))
+        .select(col("doc_id"), expr("cardinality(dh)").as("n"),
+          expr("transform(dh, x -> x.h)").as("hs"))
+      val setsM = t("sets agg + checkpoint")(sets.localCheckpoint())
+      val prefix = setsM.select(col("doc_id"), col("n"),
+        posexplode(expr(
+          "slice(hs, 1, cast(n - ((n + 1) div 2) + 1 as int))"))
+          .as(Seq("p0", "h")))
+        .select(col("doc_id"), col("n"), (col("p0") + 1).as("p"), col("h"))
+      t("prefix count")(println("[scratch] prefix=" + prefix.count()))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2 &&
+            expr("least(a.n - a.p, b.n - b.p) >= (a.n + b.n) div 3"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val candsM = t("cands join+distinct")(cands.localCheckpoint())
+      println("[scratch] cands=" + candsM.count())
+      val out = candsM
+        .join(setsM.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+          col("n").as("na")), "doc_a")
+        .join(setsM.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("i", expr("cardinality(array_intersect(ha, hb))"))
+        .withColumn("jaccard", expr("cast(i as double) / (na + nb - i)"))
+        .filter(col("jaccard") > 0.5)
+      t("verify")(println("[scratch] out=" + out.count()))
+      spark.stop(); return
+    }
     if (args.contains("--prefixstats")) {
       // candidate-volume probe behind q165's prefix filter
       val (full, pref) = graft.queries.Dedup.prefixFilterStats(spark, sfDir)
