@@ -552,14 +552,39 @@ final class QueryEngine(
         // argument of a SUM/AVG in this query, serve from it — the
         // heavy tail reads exactly at weight 1, the rest HT-scales, so
         // the skewed-sum variance the generic sample suffers is gone.
-        // Distinct/min-max shapes never reach here with it (guarded);
+        // Distinct shapes never reach here with it (guarded);
         // percentiles ride the integer-weight frequency rewrite (both
         // weights are integral by construction: 1 and a power of two).
-        val outlierCandidate =
-          if (features.hasDistinct || features.hasMinMax) None
-          else sumAvgArgColumns(parsed).toSeq.sorted.iterator
+        // MIN never serves (the LOW tail is lottery-sampled, so the
+        // sample min can miss the true min row). MAX serves EXACTLY —
+        // the weight-1 part holds the global top-K rows by the
+        // measure, so max over the sample IS the true max — but only
+        // for an unfiltered, ungrouped query whose every max()
+        // argument is the bare measure: a filter can eliminate the
+        // entire exact tail (the surviving rest rows are a lottery
+        // subsample), a group can hold no tail row, and a derived
+        // expression need not attain its maximum on the value tail.
+        val outlierCandidate = {
+          val maxLookup =
+            if (features.aggFunctions.contains("max"))
+              aggArgColumns(parsed, Seq("max"))
+            else Set.empty[String]
+          if (features.hasDistinct) None
+          else (sumAvgArgColumns(parsed) ++ maxLookup).toSeq.sorted.iterator
             .flatMap(c => catalog.outlierSampleFor(table, c).iterator)
             .nextOption()
+            .filter { s =>
+              val m = s.strataColumn
+                .map(_.stripPrefix("__outlier__")).getOrElse("")
+              !features.hasMinMax || (
+                !features.aggFunctions.contains("min") &&
+                !features.hasGroupBy &&
+                parsed.collectFirst {
+                  case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+                }.isEmpty &&
+                aggArgsAreBare(parsed, m, Seq("max")))
+            }
+        }
         val groupCol = features.groupByColumns.headOption
           .map(c => c.split("\\.").last.stripSuffix("`").stripPrefix("`"))
         // Representation guard: the outlier sample has no per-group
@@ -610,7 +635,10 @@ final class QueryEngine(
               (strat: StrategyChooser.Strategy).name, choice.reasoning,
               choice.confidence, spd, err, Some(s.fraction),
               Some(s.sampleTable),
-              Seq(s"outlier-indexed sample ${s.sampleTable}: heavy tail exact at weight 1, rest Horvitz-Thompson weighted"),
+              Seq(s"outlier-indexed sample ${s.sampleTable}: heavy tail exact at weight 1, rest Horvitz-Thompson weighted") ++
+                (if (features.hasMinMax)
+                  Seq("MAX answered exactly from the weight-1 tail (holds the global top-k rows by the measure)")
+                else Nil),
               estimatedCost = Some(tableSize * s.fraction *
                 Planner.ScanCostPerRow + Planner.SampleSetupCost))
           case None =>
@@ -791,12 +819,19 @@ final class QueryEngine(
     */
   private def sumAvgArgColumns(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      includePercentiles: Boolean = true): Set[String] = {
+      includePercentiles: Boolean = true): Set[String] =
+    aggArgColumns(plan,
+      if (includePercentiles) Seq("sum", "avg", "mean", "percentile", "median")
+      else Seq("sum", "avg", "mean"))
+
+  /** Columns referenced inside the first argument of any non-distinct
+    * call to one of `fns` in the plan's select lists.
+    */
+  private def aggArgColumns(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      fns: Seq[String]): Set[String] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
-    val fns =
-      if (includePercentiles) Seq("sum", "avg", "mean", "percentile", "median")
-      else Seq("sum", "avg", "mean")
     val lists = plan.collect {
       case a: Aggregate => a.aggregateExpressions
       case p: Project   => p.projectList
@@ -820,7 +855,16 @@ final class QueryEngine(
     */
   private def sumAvgArgsAreBare(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      measure: String): Boolean = {
+      measure: String): Boolean =
+    aggArgsAreBare(plan, measure, Seq("sum", "avg", "mean"))
+
+  /** True iff every non-distinct call to one of `fns` has exactly the
+    * bare attribute `measure` as its argument list. Vacuously true when
+    * no such call exists.
+    */
+  private def aggArgsAreBare(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      measure: String, fns: Seq[String]): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
     val m = measure.toLowerCase
@@ -830,8 +874,7 @@ final class QueryEngine(
     }.flatten
     lists.flatMap(_.collect {
       case f: UnresolvedFunction
-          if Seq("sum", "avg", "mean").contains(f.nameParts.last.toLowerCase) &&
-            !f.isDistinct =>
+          if fns.contains(f.nameParts.last.toLowerCase) && !f.isDistinct =>
         f.arguments match {
           case Seq(a: UnresolvedAttribute) => a.nameParts.last.toLowerCase == m
           case _                           => false

@@ -2357,6 +2357,29 @@ object Aqp {
         pct("p90_ci_low"), pct("p90_ci_high"))
     }),
 
+    // EXACT MAX from the outlier sample (round 12): the weight-1 part
+    // materializes the global top-500 rows BY THE MEASURE, so
+    // MAX(measure) over the sample is the true max — an exact answer
+    // riding the same zero-extra-cost serve as the HT sum. The
+    // dispatch grants this only to unfiltered, ungrouped, bare-column
+    // max (a filter can eliminate the whole exact tail, a group can
+    // hold no tail row, a derived expression need not peak on the
+    // value tail); MIN always refuses — the LOW tail is
+    // lottery-sampled.
+    "q171_outlier_max" -> ((s, dir) => {
+      val e = outlierEngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(o_totalprice) AS tp_est, " +
+          "max(o_totalprice) AS tp_max FROM orders",
+        e.Options(ciColumns = false))
+      assert(r.planType == "outlier",
+        s"q171 must serve from the outlier-indexed sample: " +
+          s"${r.planType} (${r.reason})")
+      assert(r.transformations.exists(_.contains("MAX answered exactly")),
+        s"q171 must flag the exact max: ${r.transformations}")
+      r.df
+    }),
+
     // Frequency-WEIGHTED percentile over the deterministic stratified
     // sample (round 11): percentile(x, p) rewrites to Spark's
     // percentile(x, p, w) with the per-stratum integer weight as the
@@ -3540,6 +3563,17 @@ object Aqp {
             CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE) AS tp_est
           FROM samp WHERE st = 'F'
           GROUP BY pr ORDER BY pr""",
+    // q171: q163's membership CTEs; max(v) over the sample equals the
+    // true column max because the rank-≤500 part holds every top row
+    // at weight 1 — the oracle reads it off the SAME re-derived sample
+    // the estimates use, so a membership drift breaks all columns
+    // together.
+    "q171_outlier_max" ->
+      s"""WITH ${duckOutlierSamp()}
+          SELECT CAST(sum(wt) AS DOUBLE) AS n_est,
+            CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE) AS tp_est,
+            max(v) AS tp_max
+          FROM samp""",
     // q168: q163's membership CTEs, then the FULL percentile-CI chain
     // re-derived — nEff from the sample's own exact integer weight
     // sums, the rank-shifted quantiles with the engine's association

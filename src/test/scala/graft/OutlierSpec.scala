@@ -103,8 +103,9 @@ class OutlierSpec extends SparkSpec {
     val other = engine.query("SELECT sum(v2) AS s2 FROM skewed",
       engine.Options(ciColumns = false))
     assert(other.planType != "outlier", other.planType)
-    // min/max alongside the indexed measure: never the outlier sample
-    val mm = engine.query("SELECT count(*) AS n, max(v) AS mx FROM skewed",
+    // MIN alongside the indexed measure: never the outlier sample (the
+    // low tail is lottery-sampled — the sample min can miss the true min)
+    val mm = engine.query("SELECT count(*) AS n, min(v) AS mn FROM skewed",
       engine.Options(ciColumns = false))
     assert(mm.planType != "outlier", mm.planType)
     // staleness: table stats move -> the freshness guard retires the sample
@@ -268,6 +269,45 @@ class OutlierSpec extends SparkSpec {
     val bigEst = big.df.collect()(0).getDouble(0)
     assert(math.abs(bigEst - bigExact) / bigExact < 0.01,
       s"est $bigEst exact $bigExact")
+  }
+
+  test("MAX serves exactly from the outlier sample; min/filtered/grouped/expression shapes refuse it") {
+    Samplers.createOutlierSample(
+      spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
+    // the weight-1 part holds the global top-64 rows by v, so max over
+    // the sample IS the true max — served exactly alongside the HT sum
+    val r = engine.query(
+      "SELECT count(*) AS n, sum(v) AS sv, max(v) AS mx FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    assert(r.df.collect()(0).getDouble(2) == 1000000.0)
+    assert(r.transformations.exists(_.contains("MAX answered exactly")),
+      r.transformations)
+    // count + max with no sum also routes through the measure lookup
+    val r2 = engine.query("SELECT count(*) AS n, max(v) AS mx FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(r2.planType == "outlier", s"${r2.planType} (${r2.reason})")
+    assert(r2.df.collect()(0).getDouble(1) == 1000000.0)
+    // refusals — each shape breaks the exactness argument:
+    // min: the sample's low tail is lottery-sampled
+    val rMin = engine.query("SELECT sum(v) AS sv, min(v) AS mn FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(rMin.planType != "outlier", rMin.planType)
+    // filter: it can eliminate the whole weight-1 tail
+    val rFil = engine.query(
+      "SELECT sum(v) AS sv, max(v) AS mx FROM skewed WHERE id % 2 = 0",
+      engine.Options(ciColumns = false))
+    assert(rFil.planType != "outlier", rFil.planType)
+    // group: a group can hold no tail row
+    val rGrp = engine.query(
+      "SELECT g, sum(v) AS sv, max(v) AS mx FROM skewed GROUP BY g",
+      engine.Options(ciColumns = false))
+    assert(rGrp.planType != "outlier", rGrp.planType)
+    // expression argument: need not attain its maximum on the v-tail
+    val rExp = engine.query(
+      "SELECT sum(v) AS sv, max(0.0 - v) AS mx FROM skewed",
+      engine.Options(ciColumns = false))
+    assert(rExp.planType != "outlier", rExp.planType)
   }
 
   test("grouped queries prefer a dedicated stratified sample over the outlier sample (representation guard)") {
