@@ -334,13 +334,19 @@ final class QueryEngine(
     // grid is global, so marginal collapse (GROUP BY a over an "a,b"
     // blob) and residual filters merge EXACTLY — the shapes per-group
     // equi-width grids refuse.
-    refusing(storedGroupedHdrAnswer(servePlan, table)) match {
+    refusing(storedGroupedHdrAnswer(servePlan, table,
+        pctCi = opts.ciColumns)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "grouped_hdr", err,
           "per-group percentile answered from the stored grouped log-linear (HDR) sketch (no scan)",
           Seq("PERCENTILE/MEDIAN answered per group from the stored grouped " +
             "log-linear sketch (no scan; within 1/m RELATIVE error per " +
-            "group — the heavy-tail-safe bound; groups merge exactly)"), opts),
+            "group — the heavy-tail-safe bound; groups merge exactly)") ++
+            (if (opts.ciColumns)
+              Seq("per-group rank-based CI companions from each group's " +
+                "exact recorded mass (quantiles re-evaluated at " +
+                "p ∓ 1.96·√(p(1−p)/n_g))")
+            else Nil), opts),
           sql, features, opts)
       case _ =>
     }
@@ -3705,9 +3711,17 @@ final class QueryEngine(
     * (empty payloads) serve NULL percentiles; a key filter prunes to
     * the named groups.
     */
+  /** With `pctCi` (the caller's ciColumns option), every percentile
+    * output gains {name}_ci_low/_ci_high companions: the SAME sketch
+    * percentile evaluated at the rank-shifted quantiles
+    * p ∓ 1.96·√(p(1−p)/n_g) clamped to [0,1] — q168's distribution-free
+    * binomial order-statistic bound, computable PER GROUP here because
+    * the blob records each group's exact mass n_g (the plan-time
+    * unknowable that makes the sampled paths refuse grouped CIs).
+    */
   private def storedGroupedHdrAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      table: String): Option[(DataFrame, Double)] = {
+      table: String, pctCi: Boolean): Option[(DataFrame, Double)] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
@@ -3775,8 +3789,24 @@ final class QueryEngine(
                         k -> (if (b.isEmpty) None
                               else Some(graft.sketch.HdrSketch.deserialize(b)))
                     }
+                  def vals(h: Option[graft.sketch.HdrSketch])
+                      : Seq[Option[Double]] = {
+                    val est = h.flatMap(_.percentile(p))
+                    if (!pctCi) Seq(est)
+                    else {
+                      def shifted(sign: Double): Option[Double] =
+                        h.flatMap { s =>
+                          val n = s.n.toDouble
+                          if (n <= 0) None
+                          else s.percentile(math.max(0.0, math.min(1.0,
+                            p + sign *
+                              (1.96 * math.sqrt((p * (1.0 - p)) / n)))))
+                        }
+                      Seq(est, shifted(-1.0), shifted(1.0))
+                    }
+                  }
                   Right((name,
-                    hs.map { case (k, h) => k -> h.flatMap(_.percentile(p)) },
+                    hs.map { case (k, h) => k -> vals(h) },
                     hs.flatMap { case (_, h) => h.map(_.relErrBound) }
                       .foldLeft(0.0)(math.max)))
                 }
@@ -3793,15 +3823,19 @@ final class QueryEngine(
         if (!estCols.forall(_._2.map(_._1).toSet == keys.toSet)) return None
         val kTypes = keyFieldTypes(table, gNames).getOrElse(return None)
         val byName = estCols.map { case (n, est, _) => n -> est.toMap }.toMap
+        def outNames(n: String): Seq[String] =
+          if (pctCi) Seq(n, s"${n}_ci_low", s"${n}_ci_high") else Seq(n)
         val rows = keys.map { k =>
-          org.apache.spark.sql.Row.fromSeq(parts.map {
-            case Left((_, i))     => typedKeyValue(kTypes(i), k(i))
-            case Right((n, _, _)) => byName(n)(k).map(Double.box).orNull
+          org.apache.spark.sql.Row.fromSeq(parts.flatMap {
+            case Left((_, i)) => Seq(typedKeyValue(kTypes(i), k(i)))
+            case Right((n, _, _)) =>
+              byName(n)(k).map(_.map(Double.box).orNull)
           })
         }
-        val schema = StructType(parts.map {
-          case Left((n, i))     => StructField(n, kTypes(i), nullable = true)
-          case Right((n, _, _)) => StructField(n, DoubleType, nullable = true)
+        val schema = StructType(parts.flatMap {
+          case Left((n, i)) => Seq(StructField(n, kTypes(i), nullable = true))
+          case Right((n, _, _)) =>
+            outNames(n).map(StructField(_, DoubleType, nullable = true))
         })
         import scala.jdk.CollectionConverters._
         Some((spark.createDataFrame(rows.asJava, schema),

@@ -9,19 +9,19 @@ import org.apache.spark.sql.functions._
   * the engine as opaque `binary` columns with typed metadata, processed
   * by batch-shaped per-partition functions.
   *
-  * IMAGE decode is REAL: [[decodeImage]] runs the JDK's `javax.imageio`
-  * PNG codec on the payload bytes inside `mapPartitions` (encode on one
-  * executor, full PNG compression in between, decode on another — see
-  * [[pngFor]]/[[extractImageMeta]] and the q72 oracle gate). AUDIO
-  * decode is REAL too: [[decodeAudio]] runs the JDK's WAV/PCM codec
-  * (`javax.sound.sampled` — container I/O only, headless-safe) over
-  * payloads encoded by [[wavFor]], gated by the q81 oracle. Only VIDEO
-  * decode remains STUBBED ([[decodeStub]] derives deterministic fake
-  * metadata) because the JDK ships no video codec and this environment
-  * allows no added dependencies; the binary schema, the Dataset[Media]
-  * typed surface, partition-batched processing (the JVM analogue of
-  * `mapInPandas` batch semantics), frame sampling, and feature
-  * projection are identical for all three kinds.
+  * All three modalities decode for REAL through JDK codecs:
+  * [[decodeImage]] runs `javax.imageio`'s PNG codec on payload bytes
+  * inside `mapPartitions` (encode on one executor, full PNG
+  * compression in between, decode on another — [[pngFor]]/
+  * [[extractImageMeta]], the q72 oracle gate); [[decodeAudio]] runs
+  * the JDK's WAV/PCM codec (`javax.sound.sampled` — container I/O
+  * only, headless-safe) over payloads from [[wavFor]], gated by q81;
+  * [[decodeVideo]] (round 12) runs the JDK's GIF reader over
+  * multi-frame ANIMATED GIFs from [[gifFor]] — LZW rasters plus
+  * per-frame timing metadata — gated by q173. The binary schema, the
+  * Dataset[Media] typed surface, partition-batched processing (the JVM
+  * analogue of `mapInPandas` batch semantics), frame sampling, and
+  * feature projection are identical for all three kinds.
   *
   * Scale: decode is per-row work inside mapPartitions — embarrassingly
   * parallel, no shuffle; batches bound peak memory per task the way
@@ -35,10 +35,11 @@ object Multimodal {
       height: Int, durationMs: Long, checksum: Long)
   case class Frame(id: Long, frameIdx: Int, offset: Int, length: Int)
 
-  /** STUB decode ??? -> deterministic fake: a real build swaps in an
-    * image/audio codec here (signature and surrounding plumbing stay
-    * identical). Metadata is a pure function of the payload so tests
-    * and oracles are stable.
+  /** Synthetic metadata for the GENERIC mixed-kind pipeline (q27),
+    * whose payloads are document text bytes, not media containers —
+    * a pure function of the payload so the columnar twin and the
+    * oracle agree. The real codecs live in [[decodeImage]] /
+    * [[decodeAudio]] / [[decodeVideo]] over real container payloads.
     */
   def decodeStub(kind: String, bytes: Array[Byte]): (Int, Int, Long) = {
     val n = bytes.length
@@ -312,6 +313,143 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map(m => decodeAudio(m.id, m.bytes)))
+    }
+  }
+
+  case class VideoMeta(id: Long, width: Int, height: Int, nFrames: Int,
+      durationMs: Long, firstRgb: Int, lastRgb: Int)
+
+  /** Per-frame fill color of the generated video for id `id` — pure id
+    * arithmetic shared by [[gifFor]] and the q173 oracle.
+    */
+  def videoFrameRgb(id: Long, f: Int): Int =
+    ((((id + 11L * f) % 256).toInt) << 16) |
+      ((((id * 7 + 29L * f) % 256).toInt) << 8) |
+      (((id * 13 + 47L * f) % 256).toInt)
+
+  /** Deterministic ANIMATED GIF for id `id` — REAL multi-frame video
+    * bytes through the JDK's GIF codec (the one video container
+    * `javax.imageio` ships; LZW-compressed rasters, per-frame timing
+    * metadata). Each frame is constant-filled from an EXPLICIT 2-entry
+    * palette (so the writer cannot quantize the color away) and
+    * carries a GraphicControlExtension delay; frame count, dimensions,
+    * per-frame colors, and the delay are pure functions of the id, so
+    * a decoder's output is predictable without re-reading the bytes
+    * (what the q173 oracle gates).
+    */
+  def gifFor(id: Long): Array[Byte] = {
+    imageIoNoCache
+    val w = 2 + (id % 8).toInt
+    val h = 2 + ((id * 3) % 8).toInt
+    val frames = 2 + (id % 4).toInt
+    val delayCs = 4 + (id % 7).toInt // centiseconds, the GIF time unit
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val rgb = videoFrameRgb(id, f)
+      val icm = new java.awt.image.IndexColorModel(8, 2,
+        Array(((rgb >> 16) & 0xff).toByte, 0.toByte),
+        Array(((rgb >> 8) & 0xff).toByte, 0.toByte),
+        Array((rgb & 0xff).toByte, 0.toByte))
+      // index 0 (the raster default) IS the fill color — nothing to paint
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img),
+        writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata
+        .IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta),
+        null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL video decode (JDK GIF reader): frame count, dimensions,
+    * per-frame delays summed to a duration, and the first/last frames'
+    * top-left pixels — proof that multi-frame pixel data AND the
+    * container's timing metadata (not just a header) round-tripped.
+    */
+  def decodeVideo(id: Long, bytes: Array[Byte]): VideoMeta = {
+    imageIoNoCache
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, s"payload of id=$id is not a decodable video")
+    val reader = readers.next()
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    require(n > 0, s"payload of id=$id holds no frames")
+    var durMs = 0L
+    var w = 0
+    var h = 0
+    var first = 0
+    var last = 0
+    var i = 0
+    while (i < n) {
+      val img = reader.read(i)
+      w = img.getWidth
+      h = img.getHeight
+      val rgb = img.getRGB(0, 0) & 0xffffff
+      if (i == 0) first = rgb
+      last = rgb
+      val root = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gces = root.getElementsByTagName("GraphicControlExtension")
+      require(gces.getLength == 1,
+        s"frame $i of id=$id carries ${gces.getLength} GCE blocks")
+      durMs += 10L * gces.item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        .getAttribute("delayTime").toInt
+      i += 1
+    }
+    reader.dispose()
+    iis.close()
+    VideoMeta(id, w, h, n, durMs, first, last)
+  }
+
+  /** Video corpus: one real animated-GIF payload per document id — the
+    * loader a production pipeline replaces with
+    * `spark.read.format("binaryFile")` over a video bucket. Encoding
+    * happens ON THE EXECUTORS, so payload bytes never originate on the
+    * driver.
+    */
+  def videoMedia(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .map(id => Media(id, "video", gifFor(id)))
+  }
+
+  /** Partition-batched REAL decode over a video corpus: the same batch
+    * shape as [[extractMeta]] with the codec swapped to the GIF reader.
+    */
+  def extractVideoMeta(media: Dataset[Media], batchSize: Int = 64)
+      : Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(m => decodeVideo(m.id, m.bytes)))
     }
   }
 

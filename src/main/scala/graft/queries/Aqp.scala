@@ -423,6 +423,27 @@ object Aqp {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal REAL video decode, end-to-end (round 12 — the last
+    // modality goes real): a multi-frame ANIMATED GIF is encoded per
+    // doc_id on the executors (the JDK's GIF codec: LZW-compressed
+    // rasters from an explicit palette + a GraphicControlExtension
+    // delay per frame), rides the engine as an opaque binary column,
+    // and is decoded back in partition-batched mapPartitions — frame
+    // count, dimensions, summed per-frame delays, and the first/last
+    // frames' pixels all come from the DECODER. Every value is a pure
+    // function of the id, so the oracle gates the full container round
+    // trip without DuckDB ever seeing bytes.
+    "q173_video_decode" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .extractVideoMeta(graft.multimodal.Multimodal.videoMedia(s, dir))
+        .toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("nFrames").as("n_frames"),
+          col("durationMs").as("duration_ms"),
+          col("firstRgb").as("first_rgb"), col("lastRgb").as("last_rgb"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal REAL audio decode, end-to-end (q72's audio twin): a
     // 16-bit PCM WAV payload is encoded per doc_id on the executors
     // (javax.sound.sampled — the JDK's WAV codec), rides the engine as
@@ -1612,7 +1633,8 @@ object Aqp {
       val r = e.query(
         "SELECT l_returnflag AS rf, l_linestatus AS ls, " +
           "percentile(l_extendedprice, 0.95) AS p95 " +
-          "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        e.Options(ciColumns = false)) // point estimates; q172 gates the CIs
       assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
         s"q150 must serve per-group percentiles from the grouped " +
           s"log-linear sketch: ${r.serveKind} (${r.reason})")
@@ -1639,7 +1661,8 @@ object Aqp {
         "SELECT l_returnflag, l_linestatus, " +
           "percentile(l_extendedprice, 0.95) AS p95 FROM lineitem " +
           "GROUP BY l_returnflag, l_linestatus " +
-          "ORDER BY p95 DESC, l_returnflag, l_linestatus LIMIT 3")
+          "ORDER BY p95 DESC, l_returnflag, l_linestatus LIMIT 3",
+        e.Options(ciColumns = false))
       assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
         s"q161 must replay ORDER BY/LIMIT over the grouped log-linear " +
           s"serve: ${r.serveKind} (${r.reason})")
@@ -1658,7 +1681,8 @@ object Aqp {
       val r = e.query(
         "SELECT l_returnflag AS rf, " +
           "percentile(l_extendedprice, 0.5) AS p50 " +
-          "FROM lineitem GROUP BY l_returnflag")
+          "FROM lineitem GROUP BY l_returnflag",
+        e.Options(ciColumns = false))
       assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
         s"q151 must collapse the composite blob's marginal exactly: " +
           s"${r.serveKind} (${r.reason})")
@@ -1670,6 +1694,31 @@ object Aqp {
         .select(col("rf"), col("p50"), col("x50"),
           expr("(p50 - x50) / x50").as("rel_err"))
         .orderBy(col("rf"))
+    }),
+
+    // PER-GROUP percentile CONFIDENCE INTERVALS (round 12): the
+    // sampled paths must refuse grouped CIs — a group's effective n is
+    // unknowable at plan time — but the hdr_grouped blob records each
+    // group's EXACT mass, so q168's distribution-free rank bound is
+    // computable per group AT SERVE TIME: the same sketch percentile
+    // re-evaluated at p ∓ 1.96·√(p(1−p)/n_g), clamped to [0,1]. Every
+    // piece (marginal collapse, per-group totals, shifted quantiles,
+    // the log-grid interpolation) is deterministic, so the oracle
+    // re-derives all three values per group bit-for-bit.
+    "q172_grouped_pct_ci" -> ((s, dir) => {
+      val e = hdrEngineFor(s, dir)
+      val r = e.query(
+        "SELECT l_returnflag AS rf, " +
+          "percentile(l_extendedprice, 0.95) AS p95 " +
+          "FROM lineitem GROUP BY l_returnflag",
+        e.Options(ciColumns = true))
+      assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
+        s"q172 must serve per-group CIs from the grouped log-linear " +
+          s"sketch: ${r.serveKind} (${r.reason})")
+      val cols = r.df.columns.toSet
+      assert(cols.contains("p95_ci_low") && cols.contains("p95_ci_high"),
+        s"q172 must emit per-group CI companions: ${r.df.columns.toSeq}")
+      r.df.orderBy(col("rf"))
     }),
 
     // Per-DAY p99 dashboard (round 11): percentile(value, 0.99) GROUP
@@ -1684,7 +1733,8 @@ object Aqp {
       val r = e.query(
         "SELECT to_date(ts) AS day, percentile(value, 0.99) AS p99 " +
           "FROM events WHERE to_date(ts) >= DATE '2024-01-21' " +
-          "GROUP BY to_date(ts)")
+          "GROUP BY to_date(ts)",
+        e.Options(ciColumns = false))
       assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
         s"q158 must serve the per-day p99 from the expression-keyed " +
           s"log-linear blob: ${r.serveKind} (${r.reason})")
@@ -3141,6 +3191,66 @@ object Aqp {
             (est.p50 - exq.x50) / exq.x50 AS rel_err
           FROM est JOIN exq ON est.rf = exq.rf
           ORDER BY est.rf""",
+    // q172: q151's rf-marginal chain evaluated at THREE quantiles per
+    // group — the point estimate plus the rank-shifted CI bounds. The
+    // shifted quantiles use the engine's exact association
+    // p ∓ (1.96 · sqrt((p·(1−p)) / n_g)) clamped via greatest/least,
+    // with n_g the group's total bucketed mass; each then walks the
+    // same log-grid interpolation. Breaks together with q150/q151 if
+    // the bucket chain or the CI association changes.
+    "q172_grouped_pct_ci" ->
+      """WITH ve AS (SELECT l_returnflag AS rf,
+              CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+              WHERE l_extendedprice IS NOT NULL),
+          ea AS (SELECT rf, v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT rf, v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT rf, v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT rf,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT rf, e, s, count(*) AS n FROM eb2 GROUP BY 1, 2, 3),
+          ecm AS (SELECT rf, e, s, n,
+              sum(n) OVER (PARTITION BY rf ORDER BY e, s) - n AS cumb,
+              sum(n) OVER (PARTITION BY rf) AS total FROM ebk),
+          tot AS (SELECT rf, max(total) AS total FROM ecm GROUP BY rf),
+          tg AS (SELECT rf, total, tag,
+              CASE tag WHEN 'est' THEN CAST('0.95' AS DOUBLE)
+                WHEN 'lo' THEN greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE),
+                  CAST('0.95' AS DOUBLE) - (CAST('1.96' AS DOUBLE)
+                    * sqrt((CAST('0.95' AS DOUBLE)
+                        * (CAST(1 AS DOUBLE) - CAST('0.95' AS DOUBLE)))
+                      / CAST(total AS DOUBLE)))))
+                ELSE greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE),
+                  CAST('0.95' AS DOUBLE) + (CAST('1.96' AS DOUBLE)
+                    * sqrt((CAST('0.95' AS DOUBLE)
+                        * (CAST(1 AS DOUBLE) - CAST('0.95' AS DOUBLE)))
+                      / CAST(total AS DOUBLE)))))
+              END AS p
+            FROM tot, (SELECT unnest(['est', 'lo', 'hi']) AS tag)),
+          epk AS (SELECT tg.rf, tg.tag, ecm.e, ecm.s, ecm.n, ecm.cumb,
+              tg.p * CAST(tg.total - 1 AS DOUBLE) AS target
+            FROM tg JOIN ecm ON ecm.rf = tg.rf
+            WHERE ecm.cumb + ecm.n > tg.p * CAST(tg.total - 1 AS DOUBLE)
+            QUALIFY row_number() OVER (PARTITION BY tg.rf, tg.tag
+              ORDER BY ecm.e, ecm.s) = 1),
+          est AS (SELECT rf, tag,
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+              + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+                * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+              AS v FROM epk)
+          SELECT rf,
+            max(CASE WHEN tag = 'est' THEN v END) AS p95,
+            max(CASE WHEN tag = 'lo' THEN v END) AS p95_ci_low,
+            max(CASE WHEN tag = 'hi' THEN v END) AS p95_ci_high
+          FROM est GROUP BY rf ORDER BY rf""",
     // q158: the q150 per-group percentile chain keyed by calendar day
     // under the date filter — the engine prunes recorded day keys by
     // the widened epoch-day comparison, which equals filtering the
@@ -3675,6 +3785,29 @@ object Aqp {
             CAST(4 AS INT) AS rw, CAST(4 AS INT) AS rh,
             CAST(sum(r + 256 * gg + 65536 * b) AS BIGINT) AS checksum
           FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // q173: the oracle predicts what the GIF decoder must recover from
+    // each generated animated payload (Multimodal.gifFor's id
+    // arithmetic: dims, frame count, per-frame delay, and the first and
+    // last frames' fill colors) — a mismatch means frame rasters or
+    // container timing metadata corrupted in the codec round trip.
+    // All-integer arithmetic on nonnegative ids on both sides.
+    "q173_video_decode" ->
+      """WITH p AS (SELECT doc_id,
+            2 + doc_id % 4 AS nf,
+            4 + doc_id % 7 AS dc,
+            1 + doc_id % 4 AS lf
+          FROM documents)
+          SELECT doc_id,
+            CAST(2 + doc_id % 8 AS INT) AS width,
+            CAST(2 + (doc_id * 3) % 8 AS INT) AS height,
+            CAST(nf AS INT) AS n_frames,
+            CAST(nf * dc * 10 AS BIGINT) AS duration_ms,
+            CAST((doc_id % 256) * 65536 + ((doc_id * 7) % 256) * 256
+              + (doc_id * 13) % 256 AS INT) AS first_rgb,
+            CAST(((doc_id + 11 * lf) % 256) * 65536
+              + ((doc_id * 7 + 29 * lf) % 256) * 256
+              + (doc_id * 13 + 47 * lf) % 256 AS INT) AS last_rgb
+          FROM p ORDER BY doc_id""",
     // q81: the oracle predicts what the WAV decoder must recover from
     // each generated payload (Multimodal.wavFor's id arithmetic) — a
     // mismatch means PCM data or container metadata corrupted in the

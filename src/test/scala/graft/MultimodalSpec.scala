@@ -47,6 +47,31 @@ class MultimodalSpec extends SparkSpec {
     assert(meta1 == meta.sortBy(_.id).toSeq)
   }
 
+  test("real animated-GIF decode recovers frames, dims, timing, and exact palette colors") {
+    Seq(0L, 1L, 7L, 123L, 4095L).foreach { id =>
+      val m = Multimodal.decodeVideo(id, Multimodal.gifFor(id))
+      assert(m.width == 2 + (id % 8).toInt, s"id=$id width ${m.width}")
+      assert(m.height == 2 + ((id * 3) % 8).toInt, s"id=$id height ${m.height}")
+      assert(m.nFrames == 2 + (id % 4).toInt, s"id=$id frames ${m.nFrames}")
+      // duration = frames × the generated per-frame delay (centiseconds → ms)
+      assert(m.durationMs == m.nFrames.toLong * (4 + (id % 7)) * 10L,
+        s"id=$id duration ${m.durationMs}")
+      // exact palette colors survive the indexed encode (no quantization)
+      assert(m.firstRgb == Multimodal.videoFrameRgb(id, 0),
+        s"id=$id first ${m.firstRgb.toHexString}")
+      assert(m.lastRgb == Multimodal.videoFrameRgb(id, m.nFrames - 1),
+        s"id=$id last ${m.lastRgb.toHexString}")
+    }
+    // the distributed typed pipeline decodes what the executors encoded
+    val vm = Multimodal.extractVideoMeta(
+      Multimodal.videoMedia(spark, sfDir), batchSize = 8).collect()
+    assert(vm.nonEmpty)
+    vm.foreach { m =>
+      assert(m.nFrames == 2 + (m.id % 4).toInt)
+      assert(m.firstRgb == Multimodal.videoFrameRgb(m.id, 0))
+    }
+  }
+
   test("real PNG decode recovers known dimensions and pixels (javax.imageio)") {
     // driver-side roundtrip: real encoder -> real decoder
     for (id <- Seq(0L, 1L, 17L, 255L, 4096L)) {
