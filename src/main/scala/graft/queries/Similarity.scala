@@ -131,6 +131,85 @@ object Similarity {
     */
   val semDedupCos = 0.40
 
+  /** How many Lloyd iterations PQ codebook training runs (q166/q170).
+    * Two is enough to visibly beat the sliced-centroid init on skewed
+    * fixtures (the SimilaritySpec recall law) while keeping the
+    * unrolled oracle chain readable; every iteration is the SAME
+    * deterministic quantized-mean arithmetic, so any count is
+    * DuckDB-re-derivable.
+    */
+  val PqTrainIters = 2
+
+  /** Round 11's whole codebook, now the trainer's INIT: the per-label
+    * centroid SLICED to each subspace's dims (per-dim means are
+    * independent, so the slice is the per-subspace label mean).
+    */
+  private[graft] def pqSlicedBooks(cent: DataFrame): DataFrame =
+    cent
+      .select(col("cell"), explode(expr("sequence(0, 7)")).as("j"),
+        col("cav"))
+      .select(col("cell"), col("j"),
+        expr("slice(cav, j * 8 + 1, 8)").as("bk"))
+
+  /** (vec_id, j, sv) subspace slices of every embedding — the shared
+    * input of PQ training, encoding, and the query LUT.
+    */
+  private[graft] def pqSlices(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      explode(expr("sequence(0, 7)")).as("j"))
+      .select(col("vec_id"), col("j"),
+        expr("slice(embedding, j * 8 + 1, 8)").as("sv"))
+
+  /** Per-subspace k-means-TRAINED PQ codebooks (round 12): Lloyd
+    * iterations under the MAXIMUM-INNER-PRODUCT objective the encoder
+    * actually uses — assign every subspace slice to its argmax
+    * quantized sub-dot entry (the pqCodes rule, cell-asc tie-break),
+    * then recompute each entry as the quantized mean of its assigned
+    * slices (floor(x·10⁶) integer sums → exact-in-double mean →
+    * float-rounded — cellCentroidsOf's arithmetic, so every iterate is
+    * bit-portable). Entries that attract no slices KEEP their previous
+    * value (the deterministic empty-cell rule, mirrored by the
+    * oracle's left-join coalesce). Initialization is the per-label
+    * centroid SLICE (round 11's whole codebook): training can only
+    * move entries toward the data's own subspace structure, which the
+    * SimilaritySpec recall law measures. Returns (cell, j, bk).
+    */
+  private[graft] def pqTrainedBooks(slices: DataFrame, cent: DataFrame,
+      iters: Int = PqTrainIters): DataFrame = {
+    val sl = slices.localCheckpoint()
+    var book = pqSlicedBooks(cent).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val asg = sl.join(broadcast(book), Seq("j"))
+        .select(col("vec_id"), col("j"), col("sv"), col("cell"),
+          expr("quantized_dot(sv, bk)").as("sc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("sc").desc, col("cell").asc)
+      val assigned = asg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("j"), col("cell"), col("sv"))
+      val upd = assigned
+        .select(col("cell"), col("j"), explode(expr("sequence(1, 8)")).as("d"),
+          col("sv"))
+        .select(col("cell"), col("j"), col("d"),
+          expr("cast(floor(cast(element_at(sv, d) as double) * 1000000) as bigint)")
+            .as("vq"))
+        .groupBy(col("cell"), col("j"), col("d"))
+        .agg(expr("cast(sum(vq) as double) / 1000000 / count(*)").as("av"))
+        .groupBy(col("cell"), col("j"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(d, av))), p -> cast(p.av as float))")
+          .as("nbk"))
+      book = book.join(upd, Seq("cell", "j"), "left")
+        .select(col("cell"), col("j"),
+          expr("coalesce(nbk, bk)").as("bk"))
+        .localCheckpoint()
+      it += 1
+    }
+    book
+  }
+
   /** (vec_id, embedding, nrm) with the quantized self-dot-product
     * computed ONCE per vector — rescoring joins read this instead of
     * recomputing self-norms per candidate pair (the interpreted
@@ -197,20 +276,15 @@ object Similarity {
   /** (vec_id, cell, j, sc): quantized 8-dim sub-dots of each vector
     * against every codebook entry, per subspace j ∈ [0, 8) — PQ's
     * shared building block (both the code assignment and the query
-    * LUTs read it). The codebook for subspace j is the per-label
-    * centroid SLICED to dims j·8+1..j·8+8: per-dim means are
-    * independent, so the slice IS the per-subspace mean, in the same
-    * float-rounded q41 quantizer arithmetic. Shared by q166 and q170 —
-    * and mirrored by ONE oracle CTE block, so the two cannot drift.
+    * LUTs read it). Sub-dots of every (slice, codebook entry) pair
+    * against the TRAINED per-subspace books from [[pqTrainedBooks]].
+    * Shared by q166 and q170 — and mirrored by ONE oracle CTE block,
+    * so the two cannot drift.
     */
-  private def pqSubScores(e: DataFrame, cent: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("cav"),
-        explode(expr("sequence(0, 7)")).as("j"))
+  private def pqSubScores(slices: DataFrame, book: DataFrame): DataFrame =
+    slices.join(broadcast(book), Seq("j"))
       .select(col("vec_id"), col("cell"), col("j"),
-        expr("quantized_dot(slice(embedding, j * 8 + 1, 8), slice(cav, j * 8 + 1, 8))")
-          .as("sc"))
+        expr("quantized_dot(sv, bk)").as("sc"))
 
   /** PQ code assignment: per (vector, subspace) the argmax sub-dot
     * codebook entry, cell-asc tie-break → (nid, j, code).
@@ -222,6 +296,28 @@ object Similarity {
     sub.withColumn("rn", row_number().over(wCode))
       .filter(col("rn") === 1)
       .select(col("vec_id").as("nid"), col("j"), col("cell").as("code"))
+  }
+
+  /** The q166 PQ/ADC pipeline over an arbitrary (vec_id, label,
+    * embedding) frame with a CALLER-SUPPLIED codebook — what lets the
+    * SimilaritySpec recall law compare trained books against the
+    * sliced init on a synthetic fixture.
+    */
+  private[graft] def pqAdcTopKOf(s: SparkSession, emb: DataFrame,
+      nemb: DataFrame, book: DataFrame, nQ: Long): DataFrame = {
+    registerFns(s)
+    val slices = pqSlices(emb)
+    val sub = pqSubScores(slices, book)
+    val codes = pqCodes(sub)
+    val lut = sub.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("j"), col("cell"), col("sc"))
+    val adc = codes
+      .join(broadcast(lut),
+        col("code") === col("cell") && codes("j") === lut("j"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("sc")).as("adc"))
+    adcRescoreTopK(adc, nemb)
   }
 
   /** The ADC tail shared by q166/q170: shortlist the top-10 per query
@@ -455,12 +551,14 @@ object Similarity {
       ivfTopKOf(s, e, normedEmbeddings(s, dir), IvfNprobe)
     }),
 
-    // PRODUCT-QUANTIZED (PQ/ADC) top-k (round 11) — the compressed-
-    // domain ANN pattern behind every billion-scale index: the 64-dim
-    // space splits into 8 subspaces of 8 dims; each subspace's codebook
-    // is the per-label centroid SLICED to those dims (per-dim means are
-    // independent, so the slice IS the per-subspace mean — the same
-    // float-rounded q41 quantizer arithmetic); every vector encodes as
+    // PRODUCT-QUANTIZED (PQ/ADC) top-k (round 11; TRAINED codebooks
+    // round 12) — the compressed-domain ANN pattern behind every
+    // billion-scale index: the 64-dim space splits into 8 subspaces of
+    // 8 dims; each subspace's codebook is k-means-TRAINED (Lloyd
+    // iterations under the encoder's own max-inner-product objective,
+    // initialized from the per-label centroid slices — every iterate
+    // the same float-rounded quantized-mean arithmetic, so the whole
+    // training run is DuckDB-re-derivable); every vector encodes as
     // 8 small codes (argmax sub-dot per subspace, cell-asc tie-break).
     // A query then scores the WHOLE corpus by Asymmetric Distance
     // Computation: its 8×k lookup table of sub-dots broadcasts, and
@@ -476,7 +574,9 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       val cent = cellCentroidsOf(s, e)
-      val sub = pqSubScores(e, cent)
+      val allSlices = pqSlices(e)
+      val book = pqTrainedBooks(allSlices, cent)
+      val sub = pqSubScores(allSlices, book)
       val codes = pqCodes(sub)
       // the queries' LUT: their own sub-dots against every codebook entry
       val lut = sub.filter(col("vec_id") < nQueries)
@@ -523,15 +623,19 @@ object Similarity {
       val cand = probes.join(assign, "acell")
         .filter(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"))
-      // PQ codes ONLY for the vectors anything will read: candidate
-      // nids plus the query rows (for the LUT) — a second exhaustive
-      // corpus×centroid scan would undo the probe's candidate
-      // reduction (in a real index the codes are precomputed; here the
-      // restriction keeps the query's cost profile honest)
+      // Codebooks train on the FULL corpus (an offline artifact, like
+      // the centroids), but PQ codes are computed ONLY for the vectors
+      // anything will read: candidate nids plus the query rows (for
+      // the LUT) — a second exhaustive corpus scan at encode time
+      // would undo the probe's candidate reduction (in a real index
+      // the codes are precomputed; here the restriction keeps the
+      // query's cost profile honest)
       val needed = cand.select(col("nid").as("vec_id"))
         .union(e.select(col("vec_id")).filter(col("vec_id") < nQueries))
         .distinct()
-      val sub = pqSubScores(e.join(needed, Seq("vec_id"), "left_semi"), cent)
+      val book = pqTrainedBooks(pqSlices(e), cent)
+      val sub = pqSubScores(
+        pqSlices(e.join(needed, Seq("vec_id"), "left_semi")), book)
       val codes = pqCodes(sub)
       val lut = sub.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("j"), col("cell"), col("sc"))
@@ -649,10 +753,36 @@ object Similarity {
     * the oracle-side mirror of [[lshBands]], shared by q22 and q40.
     */
   /** Shared PQ oracle text (q166/q170): the q41 centroid chain, the
-    * per-subspace sub-dots, and the code assignment — one block so the
-    * two oracles cannot drift.
+    * UNROLLED per-subspace Lloyd training (one assign/update pair per
+    * [[PqTrainIters]], generated from the same constant so iteration
+    * counts cannot drift), the per-subspace sub-dots against the
+    * trained books, and the code assignment — one block so the two
+    * oracles cannot drift. The update mirrors the engine exactly:
+    * quantized integer sums → exact-in-double mean → float-rounded;
+    * codebook entries with no assigned slices keep their previous
+    * value (LEFT JOIN + COALESCE — the engine's empty-cell rule).
     */
-  private def duckPqBase: String =
+  private def duckPqBase: String = {
+    val lloyd = (1 to PqTrainIters).map { t =>
+      val prev = s"b${t - 1}"
+      s"""s$t AS (SELECT xs.vec_id, $prev.cell, (xs.dim - 1) // 8 AS j,
+            CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS sc
+          FROM xs JOIN $prev ON xs.dim = $prev.dim GROUP BY 1, 2, 3),
+        a$t AS (SELECT vec_id, j, cell FROM (
+            SELECT vec_id, j, cell,
+              row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cell ASC) AS rn
+            FROM s$t) WHERE rn = 1),
+        u$t AS (SELECT a$t.cell, xs.dim,
+            CAST(CAST(CAST(CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / 1000000 / count(*) AS FLOAT) AS DOUBLE) AS av
+          FROM xs JOIN a$t ON xs.vec_id = a$t.vec_id
+            AND (xs.dim - 1) // 8 = a$t.j
+          GROUP BY a$t.cell, xs.dim),
+        b$t AS (SELECT $prev.cell, $prev.dim, COALESCE(u$t.av, $prev.av) AS av
+          FROM $prev LEFT JOIN u$t
+            ON $prev.cell = u$t.cell AND $prev.dim = u$t.dim)"""
+    }.mkString(",\n        ")
+    val bT = s"b$PqTrainIters"
     s"""xsrc AS (SELECT vec_id, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
         xs AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x FROM xsrc),
         csrc AS (SELECT label, unnest(generate_series(1, 64)) AS dim, embedding FROM embeddings),
@@ -663,13 +793,16 @@ object Similarity {
             CAST(CAST(sum(vq) AS BIGINT) AS DOUBLE) / 1000000 / count(*) AS av
           FROM cv GROUP BY label, dim),
         centf AS (SELECT cell, dim, CAST(CAST(av AS FLOAT) AS DOUBLE) AS av FROM cent),
-        sub AS (SELECT xs.vec_id, centf.cell, (xs.dim - 1) // 8 AS j,
+        b0 AS (SELECT cell, dim, av FROM centf),
+        $lloyd,
+        sub AS (SELECT xs.vec_id, $bT.cell, (xs.dim - 1) // 8 AS j,
             CAST(sum(CAST(floor(x * av * 1000000) AS BIGINT)) AS BIGINT) AS sc
-          FROM xs JOIN centf ON xs.dim = centf.dim GROUP BY 1, 2, 3),
+          FROM xs JOIN $bT ON xs.dim = $bT.dim GROUP BY 1, 2, 3),
         codes AS (SELECT vec_id AS nid, j, cell AS code FROM (
             SELECT vec_id, j, cell,
               row_number() OVER (PARTITION BY vec_id, j ORDER BY sc DESC, cell ASC) AS rn
             FROM sub) WHERE rn = 1)"""
+  }
 
   /** Shared ADC tail (q166/q170): shortlist, exact rescore, final
     * projection — mirrors [[adcRescoreTopK]].

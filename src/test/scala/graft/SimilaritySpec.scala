@@ -131,6 +131,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq training law: trained ADC recall beats the sliced-centroid init on a label-uninformative corpus") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    def vec(x: Double, y: Double, z: Double): Seq[Float] =
+      Seq(x.toFloat, y.toFloat, z.toFloat) ++ Seq.fill(61)(0.0f)
+    // Labels 0 and 2 hold IDENTICAL value multisets (2×e1 + 8×e3), so
+    // their sliced codebook entries are bit-identical: sliced ADC
+    // cannot separate the true e1 neighbors (high nids) from the e3
+    // decoys (low nids) — everything codes to entry 0 by tie-break and
+    // the shortlist fills with low-nid decoys. Lloyd training breaks
+    // the tie through the deterministic empty-cell rule: iteration 1
+    // pools all of A∪C into entry 0 and re-centers it (entry 2 keeps
+    // the old value), iteration 2 then splits the e1 vectors (toward
+    // the re-centered entry) from the e3 decoys (toward the kept one),
+    // converging to the true cluster means.
+    val rows =
+      Seq((0L, 1, vec(1, 0, 0))) ++                              // query
+        (1L to 16L).map(i =>
+          (i, if (i <= 8) 0 else 2, vec(0, 0, 1))) ++            // decoys
+        (17L to 26L).map(i => (i, 1, vec(0, 1, 0))) ++           // cell-1 mass
+        (30L to 33L).map(i =>
+          (i, if (i <= 31) 0 else 2, vec(1, 0.0001 * (i - 30), 0))) // true nbrs
+    val fixture = rows.toDF("vec_id", "label", "embedding")
+    val nemb = fixture.select(col("vec_id"), col("embedding"),
+      expr("quantized_dot(embedding, embedding)").as("nrm"))
+    val cent = Similarity.cellCentroidsOf(spark, fixture)
+    val truth = Set(30L, 31L, 32L) // highest exact cosines after the query
+    def recall(book: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.pqAdcTopKOf(spark, fixture, nemb, book, 1L)
+        .collect().map(_.getAs[Long]("nid")).toSet
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val sliced = recall(Similarity.pqSlicedBooks(cent))
+    val trained = recall(
+      Similarity.pqTrainedBooks(Similarity.pqSlices(fixture), cent))
+    assert(trained >= sliced, s"trained $trained < sliced $sliced")
+    assert(sliced < 1.0, s"fixture not adversarial: sliced recall $sliced")
+    assert(trained == 1.0, s"training should recover the true cluster: $trained")
+  }
+
   test("ivf multi-probe recall law: nprobe=4 recall >= nprobe=1 on a boundary-heavy corpus") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
