@@ -544,6 +544,25 @@ object Bench {
       errors("aqp_speedups") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
     }
 
+    // Scale arithmetic for the two banded/filtered operators whose 100 TB
+    // story is a CANDIDATE-VOLUME claim, measured at the bench SF rather
+    // than asserted in comments: q165's lossless prefix+length+positional
+    // pruning (posting pairs → prefix pairs → verified candidate set) and
+    // q145's within-cell-vs-all-pairs restriction. Counts, not timings —
+    // the ratios are host-independent. Full runs only (subset runs skip).
+    var scaleStats = "{}"
+    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_AQP")) {
+      val (postPairs, prefPairs, candPairs) =
+        graft.queries.Dedup.prefixFilterStats(spark, sfDir)
+      val (cells, withinPairs, allPairs) =
+        graft.queries.Similarity.semDedupCellStats(spark, sfDir)
+      scaleStats =
+        s"""{"prefix_jaccard":{"posting_pairs":$postPairs,"prefix_pairs":$prefPairs,"candidate_pairs":$candPairs},""" +
+        s""""semantic_dedup":{"cells":$cells,"within_cell_pairs":$withinPairs,"all_pairs":$allPairs}}"""
+    } catch { case t: Throwable =>
+      errors("scale_stats") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+    }
+
     // Full-precision record (all pass times, aqp decomposition, errors)
     // for the judge to read from the repo; the stdout line carries the
     // compact summary that fits the driver's tail window.
@@ -552,7 +571,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullErrJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val canaryJson = canaries.map(_.toString).mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"sf":${jstr(sfDir)},"cpus":$cpus}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"scale_stats":$scaleStats,"sf":${jstr(sfDir)},"cpus":$cpus}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: line below still has the summary

@@ -223,6 +223,28 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     }
   }
 
+  // Bottom-k (fixed-size order-statistic) sample: the mergeable,
+  // stream-maintainable sample form. Beyond-reference route, same
+  // builder the engine's "bottomk" serve reads.
+  handle("/samples/bottomk", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val keyCol = req("key_column").flatMap(_.str).getOrElse("")
+        val k = req("k").flatMap(_.num).map(_.toInt).getOrElse(2048)
+        if (table.isEmpty || keyCol.isEmpty)
+          (400, err("table and key_column (unique) required"))
+        else if (k < 1)
+          (400, err("k must be >= 1"))
+        else {
+          val (name, achieved) = Samplers.createBottomK(
+            spark, engine.catalog, table, keyCol, k)
+          (200, s"""{"status": "ok", "sample_table": ${jstr(name)}, "k": $k, "rows": $achieved, "key_column": ${jstr(keyCol)}}""")
+        }
+    }
+  }
+
   // The measure-skew detector behind the outlier advisor: share of the
   // column's total absolute mass held by its top-k rows, persisted so
   // repeated filtered-sum misses over a flagged measure surface the

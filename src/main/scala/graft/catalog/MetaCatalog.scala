@@ -137,6 +137,18 @@ final class MetaCatalog(val workDir: String) {
       .filter(sampleIsFresh)
       .sortBy(_.fraction).headOption
 
+  /** Materialized bottom-k (fixed-size order-statistic) sample for
+    * `table` — Samplers.createBottomK's `__bottomk__<key>` marker keeps
+    * these out of the uniform/stratified lookups (its weight is the
+    * post-aggregation N/k scale, not a per-row HT column). Fresh-guarded
+    * like every serving lookup; smallest fraction first.
+    */
+  def bottomKSampleFor(table: String): Option[SampleInfo] =
+    samplesFor(table)
+      .filter(_.strataColumn.exists(_.startsWith("__bottomk__")))
+      .filter(sampleIsFresh)
+      .sortBy(_.fraction).headOption
+
   // --- sketches (aqe_sketches; unique on table+column+type) ---
 
   /** Flat-JSON parameter merge: `next`'s fields win, but fields present

@@ -697,6 +697,70 @@ final class QueryEngine(
             val frac = math.min(0.5, math.max(tierF, fNeeded))
             val plan = Planner.plan(features, catalog, tableSize,
               opts.maxRelError, preferExact = false)
+            // Bottom-k (fixed-size order-statistic) sample: when no
+            // materialized uniform sample serves but a fresh bottom-k
+            // sample exists, serve from it instead of re-scanning the
+            // table for an inline lottery — the whole point of a
+            // pre-paid sample. Fixed-size error is √(1/k) regardless of
+            // N. Distinct shapes can't scale from a row sample and a
+            // fixed-size sample can miss extremes, so min/max/distinct
+            // fall through. Estimates scale ONCE post-aggregation by
+            // the constant N/k (Directive.postScale) — count w·n,
+            // sum w·Σx, avg Σx/n — with decimal inner sums when every
+            // SUM/AVG argument is a bare measure column.
+            val bottomK = {
+              if (features.hasDistinct || features.hasMinMax) None
+              else catalog.bottomKSampleFor(table)
+                // when the cost model picked a DIFFERENT materialized
+                // sample, that one wins; when it picked THIS one (or no
+                // sample table at all), dispatch here so the fixed-size
+                // post-scale arithmetic applies instead of per-row HT
+                .filter { s =>
+                  plan.decision match {
+                    case Planner.ReadSampleTable(n, _) => n == s.sampleTable
+                    case _                             => true
+                  }
+                }
+                .filter { s =>
+                  catalog.strataFor(s.sampleTable).headOption.exists(st =>
+                    st.sampleSize > 0 &&
+                      math.sqrt(1.0 / st.sampleSize) <=
+                        opts.maxRelError * (1 + 1e-9))
+                }
+            }
+            bottomK match {
+              case Some(s) =>
+                // The sample may have been (re)materialized by a
+                // streaming maintainer whose foreachBatch ran on a
+                // CLONED session (its temp view is invisible here), or
+                // re-folded since this session last registered it.
+                // (Re)register from the catalog's path so every serve
+                // reads the CURRENT fold — the sample is k rows, so a
+                // fresh file listing per query costs nothing.
+                spark.read.parquet(s.path)
+                  .createOrReplaceTempView(s.sampleTable)
+                val st = catalog.strataFor(s.sampleTable).head
+                val w = st.popSize.toDouble / st.sampleSize.toDouble
+                val d = SampleRewrite.Directive(table,
+                  Planner.ReadSampleTable(s.sampleTable, s.fraction),
+                  weight = None,
+                  rewriteDistinctToHll = false, hllRsd = None,
+                  addCiColumns = false,
+                  decimalSums = allSumAvgArgsBare(parsed),
+                  postScale = Some(w))
+                val df = SampleRewrite.rewrite(spark, parsed, d)
+                val (spd, err) = StrategyChooser.predict(
+                  StrategyChooser.Sample, tableSize, Some(s.fraction))
+                AqeResult(df, "bottomk",
+                  (strat: StrategyChooser.Strategy).name, choice.reasoning,
+                  choice.confidence, spd, err, Some(s.fraction),
+                  Some(s.sampleTable),
+                  Seq(s"bottom-k sample ${s.sampleTable}: fixed-size " +
+                    s"order-statistic sample (k=${st.sampleSize}), " +
+                    s"estimates scale once by N/k"),
+                  estimatedCost = Some(tableSize * s.fraction *
+                    Planner.ScanCostPerRow + Planner.SampleSetupCost))
+              case None =>
             val decision = plan.decision match {
               case s: Planner.ReadSampleTable => s
               case _ => opts.systematicKey
@@ -727,6 +791,7 @@ final class QueryEngine(
                 // the reference's sample-strategy cost (planner.py:244)
                 estimatedCost = Some(tableSize * f *
                   Planner.ScanCostPerRow + Planner.SampleSetupCost))
+            }
             }
         }
         }
@@ -883,6 +948,32 @@ final class QueryEngine(
           if fns.contains(f.nameParts.last.toLowerCase) && !f.isDistinct =>
         f.arguments match {
           case Seq(a: UnresolvedAttribute) => a.nameParts.last.toLowerCase == m
+          case _                           => false
+        }
+    }).forall(identity)
+  }
+
+  /** True iff every non-distinct SUM/AVG call's argument is a single
+    * bare attribute (ANY column — the bottom-k decimal gate: a bare
+    * measure column is a ≤4-decimal-place quantity under the same data
+    * contract every decimal-routed serve in this engine relies on,
+    * while an expression argument can carry arbitrary precision and
+    * must stay on the double path). Vacuously true with no such calls.
+    */
+  private def allSumAvgArgsBare(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val lists = plan.collect {
+      case a: Aggregate => a.aggregateExpressions
+      case p: Project   => p.projectList
+    }.flatten
+    lists.flatMap(_.collect {
+      case f: UnresolvedFunction
+          if Seq("sum", "avg", "mean").contains(f.nameParts.last.toLowerCase) &&
+            !f.isDistinct =>
+        f.arguments match {
+          case Seq(_: UnresolvedAttribute) => true
           case _                           => false
         }
     }).forall(identity)

@@ -146,7 +146,24 @@ object Planner {
           s"outlier-indexed sample ${s.sampleTable} (heavy tail exact at weight 1)")
       }.toSeq
 
-    val candidates = validServes ++ outlierCand ++ (exact +: catalog.bestUniformSample(table.get).map { s =>
+    // a fresh bottom-k (fixed-size order-statistic) sample is a sample
+    // candidate too: cost scales with k (not the table), error is the
+    // fixed-size √(1/k). Guarded exactly like the outlier candidate —
+    // a fixed-size row sample can miss extremes and cannot scale
+    // distincts. The engine's dispatch recognizes the chosen table and
+    // applies the post-aggregation N/k scale instead of per-row HT.
+    val bottomKCand = (if (features.hasDistinct || features.hasMinMax) None
+      else catalog.bottomKSampleFor(table.get)).map { s =>
+        val k = catalog.strataFor(s.sampleTable).headOption
+          .map(_.sampleSize).getOrElse(0L)
+        val err = math.sqrt(1.0 / math.max(1.0, k.toDouble))
+        val cost = k * ScanCostPerRow + SampleSetupCost
+        Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,
+          cost, err,
+          s"bottom-k sample ${s.sampleTable} (fixed-size order-statistic, k=$k)")
+      }.toSeq
+
+    val candidates = validServes ++ outlierCand ++ bottomKCand ++ (exact +: catalog.bestUniformSample(table.get).map { s =>
       val err = math.sqrt(1.0 / (s.fraction * rowCount))
       val cost = rowCount * s.fraction * ScanCostPerRow + SampleSetupCost
       Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,

@@ -102,7 +102,17 @@ object SampleRewrite {
       // rank-shifted quantiles p ∓ z·√(p(1−p)/nEff) clamped to [0,1] —
       // the binomial order-statistic bound, which needs no variance of
       // x at all (quantile CIs come from ranks, not moments).
-      pctCi: Option[(Double, Double)] = None)
+      pctCi: Option[(Double, Double)] = None,
+      // FIXED-SIZE (bottom-k) samples: the expansion weight N/k is one
+      // CONSTANT for the whole sample, so estimates scale ONCE after
+      // aggregation — count → w·Σ(indicator), sum → w·Σx, avg →
+      // Σx/Σ(indicator) (the constant cancels) — never a per-row
+      // NON-INTEGER product whose double-sum association would drift
+      // across engines/runs. The inner Σx routes through DECIMAL(18,4)
+      // when decimalSums is set (the outlier route's portability
+      // contract). Mutually exclusive with `weight` (caller contract);
+      // CI companions don't engage (they need a per-row weight).
+      postScale: Option[Double] = None)
 
   /** Rewrite the parsed plan per the directive and hand it to Spark for
     * analysis + execution.
@@ -160,6 +170,28 @@ object SampleRewrite {
       case f: UnresolvedFunction if isAgg(f, "avg", "mean") =>
         val x = f.arguments.head
         Divide(sumProduct(x), fn("sum", weightIfNotNull(x, w)))
+    }
+  }
+
+  /** Rewrite COUNT/SUM/AVG under `e` into the fixed-size-sample form:
+    * one constant post-aggregation scale (Directive.postScale contract).
+    */
+  private def scaleAggs(e: Expression, w: Double,
+      decimalSums: Boolean): Expression = {
+    def innerSum(x: Expression): Expression =
+      if (decimalSums)
+        Cast(fn("sum", Cast(x, org.apache.spark.sql.types.DecimalType(18, 4))),
+          DoubleType)
+      else fn("sum", Cast(x, DoubleType))
+    def cnt(arg: Expression): Expression =
+      fn("sum", weightIfNotNull(arg, Literal(1.0)))
+    e.transformUp {
+      case f: UnresolvedFunction if isAgg(f, "count") =>
+        Multiply(Literal(w), cnt(f.arguments.head))
+      case f: UnresolvedFunction if isAgg(f, "sum") =>
+        Multiply(Literal(w), innerSum(f.arguments.head))
+      case f: UnresolvedFunction if isAgg(f, "avg", "mean") =>
+        Divide(innerSum(f.arguments.head), cnt(f.arguments.head))
     }
   }
 
@@ -288,6 +320,7 @@ object SampleRewrite {
       var out = inner
       if (d.rewriteDistinctToHll) out = sketchAggs(out, d.hllRsd)
       w.foreach { wx => out = weightAggs(out, wx, d.decimalSums) }
+      d.postScale.foreach { s => out = scaleAggs(out, s, d.decimalSums) }
       if (d.weightedPercentiles) w.foreach { wx => out = weightPcts(out, wx) }
       if (d.scaleKeyDistinct) w.foreach { wx =>
         out = out.transformUp {

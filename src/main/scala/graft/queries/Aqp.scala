@@ -78,6 +78,12 @@ object Aqp {
   // silently re-plan q28-family queries.
   private val outlierEngines =
     scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  // q174's engine is separate: its catalog holds the bottom-k sample on
+  // orders, whose dispatch preempts the generic inline-sample path for
+  // every aggregate on orders — on the shared engine it would silently
+  // re-plan the q28-family oracles.
+  private val bkEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
 
   private def engineFor(s: SparkSession, dir: String): QueryEngine = {
     // evict entries for stopped sessions (same policy as Dedup.memo) so
@@ -86,7 +92,7 @@ object Aqp {
     Seq(engines, seededStratEngines, histograms, groupedHistograms,
         cmsSketches, compositeCms, compositeHists, joinEngines, detEngines,
         uniEngines, uniSamples, snowEngines, sgEngines, kmvEngines,
-        topkEngines, outlierEngines)
+        topkEngines, outlierEngines, bkEngines)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -326,6 +332,16 @@ object Aqp {
         new MetaCatalog(Files.createTempDirectory("graft-outlier").toString))
       Samplers.createOutlierSample(s, e.catalog, "orders", "o_totalprice",
         "o_orderkey", outlierK = 500, targetRest = 2048L)
+      e
+    })
+  }
+
+  private def bkEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    bkEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-bk").toString))
+      Samplers.createBottomK(s, e.catalog, "orders", "o_orderkey", k = 2048)
       e
     })
   }
@@ -2360,6 +2376,31 @@ object Aqp {
       r.df
     }),
 
+    // BOTTOM-K (fixed-size order-statistic) sample serve (round 12):
+    // the k rows with the smallest keyed h60 hash under a total order
+    // — the one sample form that is MERGEABLE and therefore
+    // stream-maintainable (EventStreams.maintainBottomKSample folds it
+    // per micro-batch; fixed-fraction lotteries can only rebuild).
+    // Estimates scale ONCE post-aggregation by the constant N/k
+    // (count w·n, sum w·Σx with decimal inner sums, avg Σx/n — never a
+    // per-row non-integer product whose double-sum association would
+    // drift), so the grouped+filtered dashboard shape below is
+    // bit-portable to DuckDB: membership rank, N/k, and all three
+    // estimates re-derived end to end.
+    "q174_bottomk_sample" -> ((s, dir) => {
+      val e = bkEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderpriority, count(*) AS n_est, " +
+          "sum(o_totalprice) AS tp_est, avg(o_totalprice) AS tp_avg " +
+          "FROM orders WHERE o_orderstatus = 'F' " +
+          "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        e.Options(ciColumns = false))
+      assert(r.planType == "bottomk",
+        s"q174 must serve from the bottom-k sample: " +
+          s"${r.planType} (${r.reason})")
+      r.df
+    }),
+
     // GROUPED + FILTERED outlier serve (round 11): the dashboard shape
     // over the outlier sample — a WHERE prunes sample rows per-row
     // (membership is predicate-independent, so HT stays unbiased) and
@@ -3656,6 +3697,36 @@ object Aqp {
     // m = (N−500) div 2048, rest membership the 'ol:' h60 lottery, and
     // the weighted price sum goes through DECIMAL(18,4)·DECIMAL(18,0)
     // arithmetic exactly like the engine's decimalSums rewrite.
+    // q174: DuckDB re-derives the bottom-k sample end to end — the
+    // 'bk:' keyed h60 hash, the (hash, key) rank, membership rn <= k,
+    // the constant expansion weight N/k (two BIGINT→DOUBLE casts, one
+    // division — the engine's st.popSize/st.sampleSize arithmetic), and
+    // the post-scaled estimates: count = w·n_f (one multiply of exact
+    // integer-valued doubles), sum = w·CAST(Σ DECIMAL(18,4) AS DOUBLE)
+    // (decimal sums exact and order-independent; one final multiply),
+    // avg = Σ_dec / n_f (one division — the constant w cancels).
+    "q174_bottomk_sample" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM orders),
+          rk AS (SELECT o_orderkey AS k, o_totalprice AS v,
+              o_orderstatus AS st, o_orderpriority AS pr,
+              row_number() OVER (ORDER BY
+                ${graft.queries.Dedup.h60Duck("'bk:' || CAST(o_orderkey AS VARCHAR)")} ASC,
+                o_orderkey ASC) AS rn
+            FROM orders),
+          samp AS (SELECT * FROM rk WHERE rn <= 2048),
+          ka AS (SELECT count(*) AS m FROM samp),
+          wv AS (SELECT CAST(nn.n AS DOUBLE) / CAST(ka.m AS DOUBLE) AS w
+            FROM nn, ka)
+        SELECT pr AS o_orderpriority,
+          wv.w * CAST(count(*) AS DOUBLE) AS n_est,
+          wv.w * CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS tp_est,
+          CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(count(v) AS DOUBLE) AS tp_avg
+        FROM samp, wv
+        WHERE st = 'F'
+        GROUP BY pr, wv.w
+        ORDER BY o_orderpriority""",
+
     "q163_outlier_sum" ->
       s"""WITH ${duckOutlierSamp()}
           SELECT CAST(sum(wt) AS DOUBLE) AS n_est,

@@ -467,13 +467,14 @@ object Dedup {
         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) > 0.5
         ORDER BY doc_a, doc_b"""
 
-  /** Candidate-pair volumes behind the prefix-filter law (spec
+  /** Candidate-pair volumes behind the prefix-filter law (spec + bench
     * support): (full posting-join distinct pairs, prefix-only distinct
-    * pairs). The second must be a subset — and on any non-degenerate
-    * corpus, strictly smaller: that shrinkage IS the operator's reason
-    * to exist.
+    * pairs, q165's actual candidate set — prefix + length + positional
+    * filters, the pairs its verification scores). Each must be a subset
+    * of the previous — and on any non-degenerate corpus, strictly
+    * smaller: that shrinkage IS the operator's reason to exist.
     */
-  def prefixFilterStats(s: SparkSession, dir: String): (Long, Long) = {
+  def prefixFilterStats(s: SparkSession, dir: String): (Long, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     val ex = shingleHashes(s, dir)
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -488,12 +489,23 @@ object Dedup {
     val prefix = kept.join(cnt, "doc_id")
       .withColumn("r", row_number().over(w))
       .filter(expr("r <= n - ((n + 1) div 2) + 1"))
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), col("h"), col("n"), col("r"))
+      .localCheckpoint()
     val pref = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-    (full, pref)
+    // q165's full candidate predicate: the length filter (sizes within
+    // 2×) and the positional filter (overlap cap from the match
+    // positions must reach α = (na+nb) div 3 + 1, i.e. min slack ≥
+    // (na+nb) div 3) ride the same prefix join.
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") <= col("a.n") * 2 && col("a.n") <= col("b.n") * 2 &&
+          expr("least(a.n - a.r, b.n - b.r) >= (a.n + b.n) div 3"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    (full, pref, cand)
   }
 
   private def duckEdgeCtes: String = {

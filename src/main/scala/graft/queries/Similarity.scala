@@ -223,6 +223,44 @@ object Similarity {
       .localCheckpoint()
   }
 
+  /** Every vector's single nearest cell under the coarse quantizer —
+    * argmax quantized sub-dot, cell-asc tie-break (the SemDeDup / q145
+    * assignment; IVF probing uses [[ivfTopKOf]]'s multi-cell variant).
+    * Returns (vec_id, cell). `e` needs (vec_id, label, embedding).
+    */
+  private[graft] def cellAssignmentsOf(s: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerFns(s)
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cellCentroidsOf(s, e)))
+      .select(col("vec_id"), col("cell"),
+        expr("quantized_dot(embedding, cav)").as("score"))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** SemDeDup's scale arithmetic, measured (bench support): cells k,
+    * within-cell pair count Σ_c C(n_c,2) — the pairs q145 actually
+    * scores — and the all-pairs C(n,2) a naive semantic dedup would
+    * score. The ratio is the operator's reason to exist (≈ 1/k on
+    * balanced cells; raise k at scale to hold it down).
+    */
+  def semDedupCellStats(s: SparkSession, dir: String): (Long, Long, Long) = {
+    val e = Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val sizes = cellAssignmentsOf(s, e)
+      .groupBy(col("cell")).agg(count(lit(1)).as("nc"))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("nc * (nc - 1) div 2")).as("within"),
+        sum(col("nc")).as("n"))
+      .collect()(0)
+    val n = sizes.getLong(2)
+    (sizes.getLong(0), sizes.getLong(1), n * (n - 1) / 2)
+  }
+
   /** IVF top-k over an arbitrary corpus frame: per-label centroids as
     * the coarse quantizer, every vector assigned to its nearest cell,
     * queries (vec_id < nQueries) probing their `nprobe` nearest cells,
@@ -667,20 +705,9 @@ object Similarity {
     // SemDeDup's documented recall trade for never materializing the
     // all-pairs join.
     "q145_semantic_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      val w1 = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("cell").asc)
-      val assign = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cellCentroidsOf(s, e)))
-        .select(col("vec_id"), col("cell"),
-          expr("quantized_dot(embedding, cav)").as("score"))
-        .withColumn("rn", row_number().over(w1))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell"))
-        .localCheckpoint()
+      val assign = cellAssignmentsOf(s, e).localCheckpoint()
       val nemb = normedEmbeddings(s, dir)
       val edges = assign.select(col("vec_id").as("vec_a"), col("cell"))
         .join(assign.select(col("vec_id").as("vec_b"), col("cell")), "cell")

@@ -309,6 +309,93 @@ object Samplers {
     (name, nOut, nRest)
   }
 
+  /** BOTTOM-K sample (round 12): the k rows with the SMALLEST keyed
+    * hash `graft_h60('bk:'||key)` under the (hash ASC, key ASC) total
+    * order — a FIXED-SIZE uniform sample (order-statistic / bottom-k
+    * sampling, Cohen & Kaplan's summarization primitive).
+    *
+    * Why a second uniform form when Bernoulli samples exist: a
+    * Bernoulli/lottery sample is fixed-FRACTION — its size grows with
+    * the table, and two partial samples cannot be combined without
+    * re-tossing. Bottom-k is fixed-SIZE and MERGEABLE: the bottom-k of
+    * a union is the bottom-k of the parts' bottom-k's, so it is the one
+    * sample a STREAM can maintain incrementally (fold each micro-batch,
+    * keep k smallest — `EventStreams.maintainBottomKSample`), and at
+    * 100 TB it is the form that keeps a sample cache-resident forever
+    * instead of scaling with ingest.
+    *
+    * Determinism: the hash is the keyed h60 lottery (no RNG), the
+    * order is total (key unique), so the sample is a pure function of
+    * the data — rebuilds, stream folds, and a DuckDB oracle all land on
+    * the same k rows. Membership materializes via a scan-local cutoff
+    * predicate from one distributed TakeOrdered pass (the outlier
+    * sample's pattern — no full-table rank/sort). The serve weight is
+    * N/k (simple-random-sample expansion, N known exactly from the
+    * catalog), applied as ONE post-aggregation multiply
+    * (`SampleRewrite.Directive.postScale`) so estimates stay
+    * bit-portable — never a per-row non-integer product whose sum
+    * order could drift.
+    *
+    * The sample stores the base table's columns plus `graft_h` (the
+    * merge key the streaming maintainer folds on). Registered with a
+    * `__bottomk__<key>` strata marker so uniform/stratified lookups
+    * never serve it directly (its weight discipline differs).
+    */
+  def createBottomK(spark: SparkSession, catalog: MetaCatalog,
+      table: String, keyCol: String, k: Int = 2048): (String, Long) = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.table(table)
+    // same unique+non-null key guard as the outlier build: a NULL key
+    // hashes NULL (never sampled, still counted in N — downward bias),
+    // a duplicate key breaks the exactly-k cutoff's total order
+    val keyStats = df.agg(
+      count(lit(1)).as("n"),
+      count(col(keyCol)).as("nk"),
+      countDistinct(col(keyCol)).as("nd")).collect()(0)
+    val base = keyStats.getLong(0)
+    require(keyStats.getLong(1) == base,
+      s"bottom-k sample key $table.$keyCol must be non-null " +
+        s"(${base - keyStats.getLong(1)} null keys)")
+    require(keyStats.getLong(2) == base,
+      s"bottom-k sample key $table.$keyCol must be unique " +
+        s"(${base - keyStats.getLong(2)} duplicate keys)")
+    val hCol = expr(
+      s"graft_h60(concat('bk:', cast($keyCol as string)))")
+    // the k-th (hash, key) pair under the ASC/ASC total order — the
+    // scan-local membership cutoff (k rows through TakeOrdered, 1 row
+    // to the driver); a table with <= k rows keeps everything
+    val cut = df
+      .select(hCol.as("gh"), col(keyCol).as("kk"))
+      .orderBy(col("gh").asc, col("kk").asc).limit(k)
+      .orderBy(col("gh").desc, col("kk").desc).limit(1)
+      .collect()
+    val member = cut.headOption.map { r =>
+      val ch = r.getLong(0)
+      val ck = r.get(1)
+      (hCol < lit(ch)) || (hCol === lit(ch) && col(keyCol) <= lit(ck))
+    }.getOrElse(lit(true))
+    val name = s"${table}__bottomk_$keyCol"
+    val path = s"${catalog.samplesDir}/$name"
+    df.filter(member)
+      .withColumn("graft_h", hCol)
+      .coalesce(sampleFiles(k.toDouble))
+      .write.mode("overwrite").parquet(path)
+    val sampleDf = spark.read.parquet(path).cache()
+    sampleDf.createOrReplaceTempView(name)
+    val achieved = sampleDf.count() // min(k, base)
+    val fraction = math.min(0.9999,
+      achieved.toDouble / math.max(1L, base))
+    catalog.upsertTableStats(table, base)
+    catalog.addSample(catalog.SampleInfo(table, name, fraction,
+      Some(s"__bottomk__${keyCol.toLowerCase}"), path,
+      System.currentTimeMillis(), baseRows = Some(base)))
+    catalog.putStrata(name, Seq(
+      catalog.StratumInfo(name, "all", base, achieved, fraction,
+        base.toDouble / math.max(1L, achieved), 0.0)))
+    (name, achieved)
+  }
+
   /** Universe sample: the rows whose JOIN KEY wins the shared keyed-hash
     * lottery `graft_h60('uv:'||key) % 10000 < round(f*10000)` —
     * materialized once so repeated universe-sampled joins

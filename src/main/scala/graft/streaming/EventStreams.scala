@@ -367,6 +367,106 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming BOTTOM-K SAMPLE maintenance (round 12) — the one
+    * catalog object streams could not keep fresh until now: every
+    * fixed-FRACTION sample (uniform/stratified/outlier lotteries) must
+    * rebuild from a full scan when the table grows, so under streaming
+    * ingest the engine's sample serves went stale while its sketch
+    * serves stayed live. A bottom-k sample is MERGEABLE (bottom-k of a
+    * union == bottom-k of the parts' bottom-k's — the KMV fold, carrying
+    * whole rows), so each micro-batch folds in O(k) driver state:
+    * one distributed TakeOrdered over the batch (≤ k rows to the
+    * driver), a k-row merge with the stored sample, one parquet
+    * rewrite, and the catalog's sample entry re-stamped with the new
+    * base count N (the serve weight N/k tracks ingest exactly).
+    *
+    * Row-set parity: the maintained sample holds EXACTLY the rows
+    * `Samplers.createBottomK` would pick over the same data (same
+    * 'bk:' hash, same (hash, key) total order) — the BottomKSpec law.
+    * The fold is idempotent on rows (dedup by key before truncating),
+    * but the base count N is ADDITIVE, so a `last_batch` replay guard
+    * rides in the catalog sketch params (the histogram maintainers'
+    * discipline): a re-delivered batch neither double-counts N nor
+    * perturbs the row fold. Key must be integral (the driver-side
+    * merge orders by it); uniqueness across the whole stream is the
+    * caller's contract, as in the batch builder.
+    */
+  def maintainBottomKSample(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, keyCol: String,
+      k: Int = 2048): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val name = s"${table}__bottomk_$keyCol"
+    val path = s"${catalog.samplesDir}/$name"
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val riderParams = catalog.getSketch(table, keyCol, "bottomk_rider")
+          .map(_.parameters).getOrElse("{}")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          val keyIdx = batch.schema.fieldIndex(keyCol)
+          require(Seq("integer", "long", "short")
+            .contains(batch.schema(keyIdx).dataType.typeName),
+            s"bottom-k stream key $keyCol must be integral")
+          val hExpr = expr(
+            s"graft_h60(concat('bk:', cast($keyCol as string)))")
+          val withH = batch.withColumn("graft_h", hExpr)
+          val batchTop = withH
+            .orderBy(col("graft_h").asc, col(keyCol).asc).limit(k)
+            .collect()
+          val batchN = batch.count()
+          val stored =
+            if (new java.io.File(path).exists)
+              s.read.parquet(path).collect()
+            else Array.empty[org.apache.spark.sql.Row]
+          val schema = withH.schema
+          val hIdx = schema.fieldIndex("graft_h")
+          def keyOf(r: org.apache.spark.sql.Row): Long =
+            r.get(keyIdx) match {
+              case l: java.lang.Long    => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case x: java.lang.Short   => x.longValue
+              case other => sys.error(s"non-integral key $other")
+            }
+          // idempotent on rows: dedup by key, THEN truncate at k under
+          // the (hash, key) total order — a replayed batch's rows merge
+          // to the identical set
+          val merged = (stored ++ batchTop)
+            .groupBy(keyOf).map(_._2.head).toArray
+            .sortBy(r => (r.getLong(hIdx), keyOf(r)))
+            .take(k)
+          val prevN = """"rows"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .getOrElse(0L)
+          val n = prevN + batchN
+          s.createDataFrame(
+            java.util.Arrays.asList(merged: _*), schema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(path)
+          val sampleDf = s.read.parquet(path)
+          sampleDf.createOrReplaceTempView(name)
+          val achieved = merged.length.toLong
+          val fraction = math.min(0.9999,
+            achieved.toDouble / math.max(1L, n))
+          catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
+            "bottomk_rider", Array.emptyByteArray,
+            s"""{"rows":$n,"k":$k,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+          catalog.upsertTableStats(table, n)
+          catalog.addSample(catalog.SampleInfo(table, name, fraction,
+            Some(s"__bottomk__${keyCol.toLowerCase}"), path,
+            System.currentTimeMillis(), baseRows = Some(n)))
+          catalog.putStrata(name, Seq(
+            catalog.StratumInfo(name, "all", n, achieved, fraction,
+              n.toDouble / math.max(1L, achieved), 0.0)))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming histogram maintenance — the q74 strategy made LIVE: a
     * stream folds per-micro-batch bucket counts into the catalog's
     * equi-width histogram, and the engine's no-scan percentile answers

@@ -116,9 +116,10 @@ object Scratch {
     }
     if (args.contains("--prefixstats")) {
       // candidate-volume probe behind q165's prefix filter
-      val (full, pref) = graft.queries.Dedup.prefixFilterStats(spark, sfDir)
-      println(s"[scratch] candidate pairs: full=$full prefix=$pref " +
-        f"(${pref.toDouble / math.max(1L, full) * 100}%.1f%%)")
+      val (full, pref, cand) = graft.queries.Dedup.prefixFilterStats(spark, sfDir)
+      println(s"[scratch] candidate pairs: full=$full prefix=$pref cand=$cand " +
+        f"(prefix ${pref.toDouble / math.max(1L, full) * 100}%.1f%%, " +
+        f"verified set ${cand.toDouble / math.max(1L, full) * 100}%.2f%%)")
       spark.stop(); return
     }
     val plan = args.contains("--plan")

@@ -512,6 +512,33 @@ class ApiServerSpec extends SparkSpec {
       Some("""{"table": "customer"}"""))._1 == 400)
   }
 
+  test("POST /samples/bottomk builds the fixed-size sample; a SUM query serves from it") {
+    val (cb, bb) = http("POST", "/samples/bottomk", Some(
+      """{"table": "supplier", "key_column": "s_suppkey", "k": 32}"""))
+    assert(cb == 200, bb)
+    // supplier holds only a handful of rows at test SF: achieved size
+    // is min(k, N) — the whole table at weight N/k = 1 (exact)
+    assert(parsed(bb)("rows").flatMap(_.num).exists(_ > 0), bb)
+    assert(parsed(bb)("sample_table").flatMap(_.str)
+      .contains("supplier__bottomk_s_suppkey"), bb)
+    // force supplier over the chooser's small-table rule and re-stamp
+    // the sample fresh (the outlier test's pattern); the tolerance must
+    // admit the tiny fixed-size error bound √(1/achieved)
+    engine.catalog.upsertTableStats("supplier", 20000L)
+    engine.catalog.refreshSampleBase("supplier")
+    val (cq, bq) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n, sum(s_acctbal) AS s FROM supplier",
+         "max_rel_error": 0.4}"""))
+    assert(cq == 200, bq)
+    assert(parsed(bq)("plan").flatMap(_("type")).flatMap(_.str)
+      .contains("bottomk"), bq.take(1200))
+    assert(parsed(bq)("plan").flatMap(_("reason")).flatMap(_.str)
+      .exists(_.contains("bottom-k sample")), bq.take(1200))
+    // bad arguments are a 400
+    assert(http("POST", "/samples/bottomk",
+      Some("""{"table": "supplier"}"""))._1 == 400)
+  }
+
   test("GET /ml/stats reflects measured queries") {
     // measureExact=true (via use_ml_optimization) appends to history
     http("POST", "/query", Some(

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.MetaCatalog
+import graft.engine.QueryEngine
+import graft.sample.Samplers
+
+/** Bottom-k (fixed-size order-statistic) sampling: the k rows with the
+  * smallest keyed h60 hash. Laws under test: the sample is a pure
+  * function of the data (deterministic, exactly the k smallest), the
+  * engine serves COUNT/SUM/AVG from it with the N/k post-scale and
+  * refuses the shapes a fixed-size row sample cannot answer
+  * (distinct, min/max), staleness falls through, a cheaper materialized
+  * uniform sample wins the cost race, and the STREAMING maintainer
+  * folds micro-batches to the identical row set the batch builder
+  * picks (merge law: bottom-k of a union == fold of bottom-k's).
+  */
+class BottomKSpec extends SparkSpec {
+
+  lazy val catalog = new MetaCatalog(
+    Files.createTempDirectory("graft-bk-spec").toString)
+  lazy val engine = new QueryEngine(spark, catalog)
+
+  private val K = 512
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.GraftFunctions.register(spark)
+    spark.range(0, 20000).toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .withColumn("g", expr("cast(id % 4 as int)"))
+      .createOrReplaceTempView("bk_base")
+  }
+
+  test("build picks exactly the k hash-smallest rows, deterministically") {
+    val (name, achieved) =
+      Samplers.createBottomK(spark, catalog, "bk_base", "id", K)
+    assert(achieved == K)
+    val got = spark.table(name).select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+    // re-derive the expected membership independently: rank by (h, id)
+    val expected = spark.table("bk_base")
+      .select(col("id"),
+        expr("graft_h60(concat('bk:', cast(id as string)))").as("h"))
+      .orderBy(col("h").asc, col("id").asc).limit(K)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // rebuild lands on the identical set (no RNG anywhere)
+    val (name2, _) = Samplers.createBottomK(spark, catalog, "bk_base", "id", K)
+    val again = spark.table(name2).select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("engine serves COUNT/SUM/AVG with the N/k post-scale; count is N up to one rounding") {
+    Samplers.createBottomK(spark, catalog, "bk_base", "id", K)
+    val r = engine.query(
+      "SELECT count(*) AS n_est, sum(v) AS s_est, avg(v) AS a_est FROM bk_base",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "bottomk", s"${r.planType}: ${r.reason}")
+    val row = r.df.collect().head
+    val n = row.getDouble(0); val sEst = row.getDouble(1); val aEst = row.getDouble(2)
+    // unfiltered count estimate is (N/k)·k — N up to float rounding
+    assert(math.abs(n - 20000.0) / 20000.0 < 1e-12, s"n=$n")
+    val exact = spark.sql("SELECT sum(v), avg(v) FROM bk_base").collect().head
+    assert(math.abs(sEst - exact.getDouble(0)) / exact.getDouble(0) < 0.15,
+      s"sum est $sEst vs ${exact.getDouble(0)}")
+    assert(math.abs(aEst - exact.getDouble(1)) / exact.getDouble(1) < 0.15,
+      s"avg est $aEst vs ${exact.getDouble(1)}")
+    // grouped + filtered dashboard shape serves too
+    val rg = engine.query(
+      "SELECT g, count(*) AS n_est, sum(v) AS s_est FROM bk_base " +
+        "WHERE v > 10 GROUP BY g", engine.Options(ciColumns = false))
+    assert(rg.planType == "bottomk", s"${rg.planType}: ${rg.reason}")
+    assert(rg.df.collect().length == 4)
+  }
+
+  test("distinct and min/max shapes refuse; stale samples fall through") {
+    Samplers.createBottomK(spark, catalog, "bk_base", "id", K)
+    val rd = engine.query("SELECT count(DISTINCT g) AS nd FROM bk_base")
+    assert(rd.planType != "bottomk", rd.reason)
+    val rm = engine.query("SELECT max(v) AS mx, count(*) AS n FROM bk_base")
+    assert(rm.planType != "bottomk", rm.reason)
+    // stale: the base table "grew" after the build
+    catalog.upsertTableStats("bk_base", 30000L)
+    val rs = engine.query("SELECT count(*) AS n FROM bk_base",
+      engine.Options(ciColumns = false))
+    assert(rs.planType != "bottomk", rs.reason)
+    catalog.upsertTableStats("bk_base", 20000L) // restore freshness
+  }
+
+  test("a cheaper materialized uniform sample wins the cost race") {
+    val cat2 = new MetaCatalog(
+      Files.createTempDirectory("graft-bk-race").toString)
+    val eng2 = new QueryEngine(spark, cat2)
+    Samplers.createBottomK(spark, cat2, "bk_base", "id", K)
+    // 2.5% of 20k = 500 expected rows < k=512 — strictly cheaper to
+    // scan, and √(1/500) ≈ 0.045 still meets the default 5% budget
+    Samplers.createUniform(spark, cat2, "bk_base", 0.025)
+    val r = eng2.query("SELECT count(*) AS n FROM bk_base",
+      eng2.Options(ciColumns = false))
+    assert(r.planType == "sample", s"${r.planType}: ${r.reason}")
+  }
+
+  test("streaming maintainer folds to the batch builder's exact row set; serve tracks N") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val scat = new MetaCatalog(
+      Files.createTempDirectory("graft-bk-stream").toString)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val rows = stream.toDF().toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+    val q = graft.streaming.EventStreams.maintainBottomKSample(
+      rows, scat, "bk_live", "id", k = K)
+    (0L until 6000L).grouped(2000).foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // batch-build the same rows under a different catalog: identical set
+    spark.range(0, 6000).toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bk_live_all")
+    val bcat = new MetaCatalog(
+      Files.createTempDirectory("graft-bk-batch").toString)
+    val (bname, _) = Samplers.createBottomK(spark, bcat, "bk_live_all", "id", K)
+    val streamed = spark.read.parquet(s"${scat.samplesDir}/bk_live__bottomk_id")
+      .select(col("id"), col("graft_h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batched = spark.table(bname)
+      .select(col("id"), col("graft_h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batched)
+    // the catalog tracked N across batches; the engine serves from the
+    // maintained sample with the live N/k scale — the backing view is
+    // EMPTY, so any scan would answer 0
+    assert(scat.statsFor("bk_live").exists(_.rowCount == 6000L))
+    spark.range(0).toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bk_live")
+    val seng = new QueryEngine(spark, scat)
+    val r = seng.query("SELECT count(*) AS n FROM bk_live",
+      seng.Options(ciColumns = false))
+    assert(r.planType == "bottomk", s"${r.planType}: ${r.reason}")
+    val n = r.df.collect().head.getDouble(0)
+    assert(math.abs(n - 6000.0) / 6000.0 < 1e-12, s"n=$n")
+  }
+}

@@ -80,10 +80,14 @@ class TextDedupSpec extends SparkSpec {
     val pref = run(Dedup.queries, "q165_prefix_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(pref == full) // completeness AND exactness, value for value
-    val (fullCands, prefCands) = Dedup.prefixFilterStats(spark, sfDir)
+    val (fullCands, prefCands, ppCands) = Dedup.prefixFilterStats(spark, sfDir)
     assert(prefCands <= fullCands)
     assert(prefCands < fullCands,
       s"prefix filter must shrink the candidate set: $prefCands vs $fullCands")
+    assert(ppCands <= prefCands,
+      s"length+positional filters must not grow the candidate set: $ppCands vs $prefCands")
+    assert(ppCands >= full.size,
+      s"candidates must cover every true pair: $ppCands vs ${full.size}")
   }
 
   test("simhash: 64-bit signatures; near-dup pairs are hamming-close") {
