@@ -233,13 +233,19 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
         val table = req("table").flatMap(_.str).getOrElse("")
         val keyCol = req("key_column").flatMap(_.str).getOrElse("")
         val k = req("k").flatMap(_.num).map(_.toInt).getOrElse(2048)
+        val groupCol = req("group_column").flatMap(_.str)
         if (table.isEmpty || keyCol.isEmpty)
           (400, err("table and key_column (unique) required"))
         else if (k < 1)
           (400, err("k must be >= 1"))
         else {
-          val (name, achieved) = Samplers.createBottomK(
-            spark, engine.catalog, table, keyCol, k)
+          // with group_column: the grouped (per-group fixed-size) form
+          val (name, achieved) = groupCol match {
+            case Some(g) => Samplers.createBottomKGrouped(
+              spark, engine.catalog, table, g, keyCol, k)
+            case None => Samplers.createBottomK(
+              spark, engine.catalog, table, keyCol, k)
+          }
           (200, s"""{"status": "ok", "sample_table": ${jstr(name)}, "k": $k, "rows": $achieved, "key_column": ${jstr(keyCol)}}""")
         }
     }

@@ -149,6 +149,20 @@ final class MetaCatalog(val workDir: String) {
       .filter(sampleIsFresh)
       .sortBy(_.fraction).headOption
 
+  /** Materialized GROUPED bottom-k sample for `table` (the streamable
+    * stratified form, `__bottomkg__<groupcol>` marker). The group
+    * column rides in the marker — `bottomKGroupColumn` decodes it.
+    */
+  def bottomKGroupedSampleFor(table: String): Option[SampleInfo] =
+    samplesFor(table)
+      .filter(_.strataColumn.exists(_.startsWith("__bottomkg__")))
+      .filter(sampleIsFresh)
+      .sortBy(_.fraction).headOption
+
+  def bottomKGroupColumn(s: SampleInfo): Option[String] =
+    s.strataColumn.filter(_.startsWith("__bottomkg__"))
+      .map(_.stripPrefix("__bottomkg__"))
+
   // --- sketches (aqe_sketches; unique on table+column+type) ---
 
   /** Flat-JSON parameter merge: `next`'s fields win, but fields present

@@ -708,8 +708,44 @@ final class QueryEngine(
             // the constant N/k (Directive.postScale) — count w·n,
             // sum w·Σx, avg Σx/n — with decimal inner sums when every
             // SUM/AVG argument is a bare measure column.
+            // GROUPED bottom-k first (the more specific index): a
+            // fixed-size per-group sample serves grouped aggregates
+            // with guaranteed group representation (rare groups can
+            // lose the plain bottom-k's global hash race) — sound only
+            // when the query's GROUP BY contains the sample's group
+            // column, so every output group has ONE weight. Estimates
+            // scale once per group by the graft_gw column (max() of a
+            // per-group constant). Error bound: √(1/k_g) over the
+            // groups that are actually subsampled; fully-contained
+            // groups are exact.
+            val bottomKG = {
+              def norm(c: String): String =
+                c.split("\\.").last.stripSuffix("`").stripPrefix("`")
+                  .toLowerCase
+              if (features.hasDistinct || features.hasMinMax ||
+                  !features.hasGroupBy) None
+              else catalog.bottomKGroupedSampleFor(table)
+                .filter { s =>
+                  catalog.bottomKGroupColumn(s).exists(g =>
+                    features.groupByColumns.map(norm).contains(g))
+                }
+                .filter { s =>
+                  plan.decision match {
+                    case Planner.ReadSampleTable(n, _) => n == s.sampleTable
+                    case _                             => true
+                  }
+                }
+                .filter { s =>
+                  val errs = catalog.strataFor(s.sampleTable)
+                    .filter(st => st.sampleSize < st.popSize)
+                    .map(st => math.sqrt(1.0 / math.max(1L, st.sampleSize)))
+                  errs.isEmpty ||
+                    errs.max <= opts.maxRelError * (1 + 1e-9)
+                }
+            }
             val bottomK = {
-              if (features.hasDistinct || features.hasMinMax) None
+              if (features.hasDistinct || features.hasMinMax ||
+                  bottomKG.isDefined) None
               else catalog.bottomKSampleFor(table)
                 // when the cost model picked a DIFFERENT materialized
                 // sample, that one wins; when it picked THIS one (or no
@@ -728,6 +764,30 @@ final class QueryEngine(
                         opts.maxRelError * (1 + 1e-9))
                 }
             }
+            bottomKG match {
+              case Some(s) =>
+                spark.read.parquet(s.path)
+                  .createOrReplaceTempView(s.sampleTable)
+                val d = SampleRewrite.Directive(table,
+                  Planner.ReadSampleTable(s.sampleTable, s.fraction),
+                  weight = None,
+                  rewriteDistinctToHll = false, hllRsd = None,
+                  addCiColumns = false,
+                  decimalSums = allSumAvgArgsBare(parsed),
+                  postScaleColumn = Some("graft_gw"))
+                val df = SampleRewrite.rewrite(spark, parsed, d)
+                val (spd, err) = StrategyChooser.predict(
+                  StrategyChooser.Stratified, tableSize, Some(s.fraction))
+                AqeResult(df, "bottomk_grouped",
+                  (strat: StrategyChooser.Strategy).name, choice.reasoning,
+                  choice.confidence, spd, err, Some(s.fraction),
+                  Some(s.sampleTable),
+                  Seq(s"grouped bottom-k sample ${s.sampleTable}: " +
+                    "fixed-size per-group sample, every group " +
+                    "represented, estimates scale per group by N_g/k_g"),
+                  estimatedCost = Some(tableSize * s.fraction *
+                    Planner.ScanCostPerRow + Planner.SampleSetupCost))
+              case None =>
             bottomK match {
               case Some(s) =>
                 // The sample may have been (re)materialized by a
@@ -762,6 +822,17 @@ final class QueryEngine(
                     Planner.ScanCostPerRow + Planner.SampleSetupCost))
               case None =>
             val decision = plan.decision match {
+              // a bottom-k decision that reached here was REFUSED by
+              // the typed dispatches above: its weights need the
+              // post-scale rewrite, never ConstWeight(1/f) — degrade
+              // to inline rather than mis-weight
+              case s: Planner.ReadSampleTable
+                  if catalog.samplesFor(table).exists(x =>
+                    x.sampleTable == s.sampleTable &&
+                      x.strataColumn.exists(_.startsWith("__bottomk"))) =>
+                opts.systematicKey
+                  .map(k => Planner.ReadInlineSystematic(frac, k))
+                  .getOrElse(Planner.ReadInlineSample(frac, seed))
               case s: Planner.ReadSampleTable => s
               case _ => opts.systematicKey
                 .map(k => Planner.ReadInlineSystematic(frac, k))
@@ -791,6 +862,7 @@ final class QueryEngine(
                 // the reference's sample-strategy cost (planner.py:244)
                 estimatedCost = Some(tableSize * f *
                   Planner.ScanCostPerRow + Planner.SampleSetupCost))
+            }
             }
             }
         }

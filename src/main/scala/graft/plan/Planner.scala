@@ -163,7 +163,31 @@ object Planner {
           s"bottom-k sample ${s.sampleTable} (fixed-size order-statistic, k=$k)")
       }.toSeq
 
-    val candidates = validServes ++ outlierCand ++ bottomKCand ++ (exact +: catalog.bestUniformSample(table.get).map { s =>
+    // a fresh GROUPED bottom-k sample is a candidate for grouped
+    // queries whose GROUP BY contains its group column (one weight per
+    // output group); error = √(1/k_g) over the actually-subsampled
+    // groups. Same distinct/min-max guard.
+    val bottomKGCand = (if (features.hasDistinct || features.hasMinMax ||
+        !features.hasGroupBy) None
+      else catalog.bottomKGroupedSampleFor(table.get)
+        .filter { s =>
+          def norm(c: String): String =
+            c.split("\\.").last.stripSuffix("`").stripPrefix("`").toLowerCase
+          catalog.bottomKGroupColumn(s).exists(g =>
+            features.groupByColumns.map(norm).contains(g))
+        }).map { s =>
+        val strata = catalog.strataFor(s.sampleTable)
+        val errs = strata.filter(st => st.sampleSize < st.popSize)
+          .map(st => math.sqrt(1.0 / math.max(1L, st.sampleSize)))
+        val err = if (errs.isEmpty) 0.0 else errs.max
+        val k = strata.map(_.sampleSize).sum
+        val cost = k * ScanCostPerRow + SampleSetupCost
+        Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,
+          cost, err,
+          s"grouped bottom-k sample ${s.sampleTable} (fixed-size per group)")
+      }.toSeq
+
+    val candidates = validServes ++ outlierCand ++ bottomKGCand ++ bottomKCand ++ (exact +: catalog.bestUniformSample(table.get).map { s =>
       val err = math.sqrt(1.0 / (s.fraction * rowCount))
       val cost = rowCount * s.fraction * ScanCostPerRow + SampleSetupCost
       Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,

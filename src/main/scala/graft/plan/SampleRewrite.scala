@@ -112,7 +112,16 @@ object SampleRewrite {
       // when decimalSums is set (the outlier route's portability
       // contract). Mutually exclusive with `weight` (caller contract);
       // CI companions don't engage (they need a per-row weight).
-      postScale: Option[Double] = None)
+      postScale: Option[Double] = None,
+      // GROUPED bottom-k samples: the expansion weight is constant PER
+      // GROUP, not per table — it rides the sample as a column (every
+      // row of a group holds the same N_g/k_g value), and estimates
+      // scale once per OUTPUT group via max(col): count max(w)·Σind,
+      // sum max(w)·Σx, avg Σx/Σind. Sound only when the query's GROUP
+      // BY determines the sample's group column (caller contract —
+      // mixing groups would aggregate incomparable weights). Mutually
+      // exclusive with `weight` and `postScale`.
+      postScaleColumn: Option[String] = None)
 
   /** Rewrite the parsed plan per the directive and hand it to Spark for
     * analysis + execution.
@@ -176,7 +185,7 @@ object SampleRewrite {
   /** Rewrite COUNT/SUM/AVG under `e` into the fixed-size-sample form:
     * one constant post-aggregation scale (Directive.postScale contract).
     */
-  private def scaleAggs(e: Expression, w: Double,
+  private def scaleAggs(e: Expression, w: Expression,
       decimalSums: Boolean): Expression = {
     def innerSum(x: Expression): Expression =
       if (decimalSums)
@@ -187,9 +196,9 @@ object SampleRewrite {
       fn("sum", weightIfNotNull(arg, Literal(1.0)))
     e.transformUp {
       case f: UnresolvedFunction if isAgg(f, "count") =>
-        Multiply(Literal(w), cnt(f.arguments.head))
+        Multiply(w, cnt(f.arguments.head))
       case f: UnresolvedFunction if isAgg(f, "sum") =>
-        Multiply(Literal(w), innerSum(f.arguments.head))
+        Multiply(w, innerSum(f.arguments.head))
       case f: UnresolvedFunction if isAgg(f, "avg", "mean") =>
         Divide(innerSum(f.arguments.head), cnt(f.arguments.head))
     }
@@ -320,7 +329,13 @@ object SampleRewrite {
       var out = inner
       if (d.rewriteDistinctToHll) out = sketchAggs(out, d.hllRsd)
       w.foreach { wx => out = weightAggs(out, wx, d.decimalSums) }
-      d.postScale.foreach { s => out = scaleAggs(out, s, d.decimalSums) }
+      d.postScale.foreach { s =>
+        out = scaleAggs(out, Literal(s), d.decimalSums)
+      }
+      d.postScaleColumn.foreach { c =>
+        out = scaleAggs(out, fn("max", UnresolvedAttribute(c)),
+          d.decimalSums)
+      }
       if (d.weightedPercentiles) w.foreach { wx => out = weightPcts(out, wx) }
       if (d.scaleKeyDistinct) w.foreach { wx =>
         out = out.transformUp {

@@ -84,6 +84,10 @@ object Aqp {
   // re-plan the q28-family oracles.
   private val bkEngines =
     scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  // q175's engine likewise: the grouped bottom-k sample preempts the
+  // stratified/sampling paths for grouped aggregates on orders.
+  private val bkgEngines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
 
   private def engineFor(s: SparkSession, dir: String): QueryEngine = {
     // evict entries for stopped sessions (same policy as Dedup.memo) so
@@ -92,7 +96,7 @@ object Aqp {
     Seq(engines, seededStratEngines, histograms, groupedHistograms,
         cmsSketches, compositeCms, compositeHists, joinEngines, detEngines,
         uniEngines, uniSamples, snowEngines, sgEngines, kmvEngines,
-        topkEngines, outlierEngines, bkEngines)
+        topkEngines, outlierEngines, bkEngines, bkgEngines)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -342,6 +346,17 @@ object Aqp {
       val e = new QueryEngine(s,
         new MetaCatalog(Files.createTempDirectory("graft-bk").toString))
       Samplers.createBottomK(s, e.catalog, "orders", "o_orderkey", k = 2048)
+      e
+    })
+  }
+
+  private def bkgEngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    bkgEngines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-bkg").toString))
+      Samplers.createBottomKGrouped(s, e.catalog, "orders",
+        "o_orderstatus", "o_orderkey", kPerGroup = 512)
       e
     })
   }
@@ -2401,6 +2416,26 @@ object Aqp {
       r.df
     }),
 
+    // GROUPED bottom-k serve (round 12): the STREAMABLE STRATIFIED
+    // sample — k hash-smallest rows PER GROUP, so every group is
+    // guaranteed representation (the plain bottom-k's weakness) and
+    // each group's estimates scale once by its own exact N_g/k_g
+    // (the graft_gw column, max() of a per-group constant). The whole
+    // chain — per-group rank, membership, weights, decimal sums — is
+    // re-derived in DuckDB.
+    "q175_bottomk_grouped" -> ((s, dir) => {
+      val e = bkgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderstatus, count(*) AS n_est, " +
+          "sum(o_totalprice) AS tp_est, avg(o_totalprice) AS tp_avg " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        e.Options(ciColumns = false))
+      assert(r.planType == "bottomk_grouped",
+        s"q175 must serve from the grouped bottom-k sample: " +
+          s"${r.planType} (${r.reason})")
+      r.df
+    }),
+
     // GROUPED + FILTERED outlier serve (round 11): the dashboard shape
     // over the outlier sample — a WHERE prunes sample rows per-row
     // (membership is predicate-independent, so HT stays unbiased) and
@@ -3726,6 +3761,32 @@ object Aqp {
         WHERE st = 'F'
         GROUP BY pr, wv.w
         ORDER BY o_orderpriority""",
+
+    // q175: the grouped bottom-k chain — per-group ('bkg:' hash, key)
+    // rank, membership rn <= k per group, each group's exact N_g and
+    // weight N_g/least(k, N_g) (two casts + one division), estimates
+    // scaled per output group by max(gw): count max(gw)·n_g, sum
+    // max(gw)·CAST(Σ DECIMAL(18,4) AS DOUBLE), avg Σ_dec/n_g.
+    "q175_bottomk_grouped" ->
+      s"""WITH gc AS (SELECT o_orderstatus AS g, count(*) AS gn
+            FROM orders GROUP BY 1),
+          rk AS (SELECT o_orderstatus AS g, o_totalprice AS v,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY
+                ${graft.queries.Dedup.h60Duck("'bkg:' || CAST(o_orderkey AS VARCHAR)")} ASC,
+                o_orderkey ASC) AS rn
+            FROM orders),
+          samp AS (SELECT rk.g, rk.v,
+              CAST(gc.gn AS DOUBLE)
+                / CAST(least(512, gc.gn) AS DOUBLE) AS gw
+            FROM rk JOIN gc ON rk.g = gc.g WHERE rk.rn <= 512)
+        SELECT g AS o_orderstatus,
+          max(gw) * CAST(count(*) AS DOUBLE) AS n_est,
+          max(gw) * CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS tp_est,
+          CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+            / CAST(count(v) AS DOUBLE) AS tp_avg
+        FROM samp
+        GROUP BY g
+        ORDER BY o_orderstatus""",
 
     "q163_outlier_sum" ->
       s"""WITH ${duckOutlierSamp()}

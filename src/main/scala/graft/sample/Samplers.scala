@@ -396,6 +396,88 @@ object Samplers {
     (name, achieved)
   }
 
+  /** GROUPED bottom-k sample (round 12): [[createBottomK]] PER GROUP —
+    * each group keeps its k hash-smallest rows under the
+    * ('bkg:' hash ASC, key ASC) total order. This is the STREAMABLE
+    * STRATIFIED sample: like a stratified sample it guarantees every
+    * group representation (the plain bottom-k's documented weakness —
+    * a rare group can lose the global hash race entirely), and like
+    * bottom-k it is MERGEABLE per group, so a stream folds it in
+    * O(groups·k) driver state (`EventStreams.maintainBottomKSample`
+    * with a group column) where a lottery-stratified sample could only
+    * rebuild. Each row carries `graft_gw` = its group's exact N_g/k_g
+    * expansion (one double division per group, computed from exact
+    * counts at build/fold time), applied ONCE post-aggregation per
+    * output group (`SampleRewrite.Directive.postScaleColumn`) — the
+    * grouped twin of the constant N/k scale. One shuffle to build
+    * (window rank per group — the same exchange any stratified build
+    * pays). Registered under `__bottomkg__<groupcol>`.
+    */
+  def createBottomKGrouped(spark: SparkSession, catalog: MetaCatalog,
+      table: String, groupCol: String, keyCol: String,
+      kPerGroup: Int = 512): (String, Long) = {
+    require(kPerGroup >= 1, "kPerGroup must be >= 1")
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.table(table)
+    val keyStats = df.agg(
+      count(lit(1)).as("n"),
+      count(col(keyCol)).as("nk"),
+      countDistinct(col(keyCol)).as("nd"),
+      count(col(groupCol)).as("ng")).collect()(0)
+    val base = keyStats.getLong(0)
+    require(keyStats.getLong(1) == base,
+      s"grouped bottom-k key $table.$keyCol must be non-null")
+    require(keyStats.getLong(2) == base,
+      s"grouped bottom-k key $table.$keyCol must be unique")
+    require(keyStats.getLong(3) == base,
+      s"grouped bottom-k group column $table.$groupCol must be non-null " +
+        "(a NULL group cannot carry a weight)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(
+        expr(s"graft_h60(concat('bkg:', cast($keyCol as string)))").asc,
+        col(keyCol).asc)
+    val gcounts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("graft_gn"))
+    val name = s"${table}__bottomkg_$groupCol"
+    val path = s"${catalog.samplesDir}/$name"
+    // the rank filter keeps exactly k_g = min(k, N_g) rows per group,
+    // so the per-group weight N_g/k_g is known from the counts alone —
+    // one double division per row, same value for every row of a group
+    df.withColumn("graft_h",
+        expr(s"graft_h60(concat('bkg:', cast($keyCol as string)))"))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= kPerGroup)
+      .drop("graft_rn")
+      .join(broadcast(gcounts), Seq(groupCol))
+      .withColumn("graft_gw", expr(
+        s"cast(graft_gn as double) / " +
+          s"cast(least(cast($kPerGroup as bigint), graft_gn) as double)"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val sampleDf = spark.read.parquet(path).cache()
+    sampleDf.createOrReplaceTempView(name)
+    val achieved = sampleDf.count()
+    val fraction = math.min(0.9999,
+      achieved.toDouble / math.max(1L, base))
+    catalog.upsertTableStats(table, base)
+    catalog.addSample(catalog.SampleInfo(table, name, fraction,
+      Some(s"__bottomkg__${groupCol.toLowerCase}"), path,
+      System.currentTimeMillis(), baseRows = Some(base)))
+    val strata = sampleDf
+      .groupBy(col(groupCol))
+      .agg(max(col("graft_gn")).as("gn"), count(lit(1)).as("gk"))
+      .collect()
+      .map { r =>
+        val gn = r.getLong(1); val gk = r.getLong(2)
+        catalog.StratumInfo(name, String.valueOf(r.get(0)), gn, gk,
+          gk.toDouble / math.max(1L, gn), gn.toDouble / math.max(1L, gk),
+          0.0)
+      }.toSeq
+    catalog.putStrata(name, strata)
+    (name, achieved)
+  }
+
   /** Universe sample: the rows whose JOIN KEY wins the shared keyed-hash
     * lottery `graft_h60('uv:'||key) % 10000 < round(f*10000)` —
     * materialized once so repeated universe-sampled joins

@@ -467,6 +467,139 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming GROUPED bottom-k sample maintenance — the streamable
+    * STRATIFIED sample kept live: each micro-batch folds k hash-smallest
+    * rows PER GROUP (O(groups·k) driver state) and re-stamps every
+    * group's exact running count N_g, so the per-row `graft_gw` = N_g/k_g
+    * serve weights track ingest exactly. The per-group counts ride in
+    * the rider sketch's data bytes ("group\tcount" lines — group values
+    * render via String.valueOf, same as the strata rows); the
+    * `last_batch` guard keeps the additive counts replay-safe while the
+    * row fold stays idempotent (dedup by key, truncate per group).
+    * Row-set parity with `Samplers.createBottomKGrouped` over the same
+    * rows is the BottomKSpec law.
+    */
+  def maintainBottomKGrouped(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
+      keyCol: String, kPerGroup: Int = 512)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(kPerGroup >= 1, s"kPerGroup must be >= 1, got $kPerGroup")
+    val name = s"${table}__bottomkg_$groupCol"
+    val path = s"${catalog.samplesDir}/$name"
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val rider = catalog.getSketch(table, groupCol, "bottomkg_rider")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(rider.map(_.parameters).getOrElse("{}"))
+          .map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          val keyIdx = batch.schema.fieldIndex(keyCol)
+          val gIdx = batch.schema.fieldIndex(groupCol)
+          require(Seq("integer", "long", "short")
+            .contains(batch.schema(keyIdx).dataType.typeName),
+            s"grouped bottom-k stream key $keyCol must be integral")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(groupCol))
+            .orderBy(
+              expr(s"graft_h60(concat('bkg:', cast($keyCol as string)))").asc,
+              col(keyCol).asc)
+          val withH = batch.withColumn("graft_h",
+            expr(s"graft_h60(concat('bkg:', cast($keyCol as string)))"))
+          val batchTop = withH
+            .withColumn("graft_rn",
+              org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("graft_rn") <= kPerGroup)
+            .drop("graft_rn")
+            .collect()
+          val batchCounts = batch.groupBy(col(groupCol))
+            .agg(count(lit(1)).as("c")).collect()
+            .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+          // running per-group counts from the rider blob (+ this batch)
+          val prevCounts: Map[String, Long] = rider
+            .map(r => new String(r.data, "UTF-8"))
+            .filter(_.nonEmpty)
+            .map(_.split("\n").iterator.filter(_.nonEmpty).map { line =>
+              val i = line.lastIndexOf('\t')
+              line.substring(0, i) -> line.substring(i + 1).toLong
+            }.toMap).getOrElse(Map.empty)
+          val counts = (prevCounts.keySet ++ batchCounts.keySet).iterator
+            .map(g => g -> (prevCounts.getOrElse(g, 0L) +
+              batchCounts.getOrElse(g, 0L))).toMap
+          // base-row shape shared by stored and batch rows: the batch
+          // columns + graft_h (stored rows drop their stale gn/gw)
+          val baseSchema = withH.schema
+          val stored: Array[org.apache.spark.sql.Row] =
+            if (new java.io.File(path).exists)
+              s.read.parquet(path)
+                .select(baseSchema.fieldNames.map(col).toIndexedSeq: _*)
+                .collect()
+            else Array.empty
+          val hIdx = baseSchema.fieldIndex("graft_h")
+          def keyOf(r: org.apache.spark.sql.Row): Long =
+            r.get(keyIdx) match {
+              case l: java.lang.Long    => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case x: java.lang.Short   => x.longValue
+              case other => sys.error(s"non-integral key $other")
+            }
+          val merged = (stored ++ batchTop)
+            .groupBy(keyOf).map(_._2.head).toArray
+            .groupBy(r => String.valueOf(r.get(gIdx)))
+            .valuesIterator
+            .flatMap(rows =>
+              rows.sortBy(r => (r.getLong(hIdx), keyOf(r))).take(kPerGroup))
+            .toArray
+          // stamp the live gn/gw per row from the running counts
+          val outSchema = org.apache.spark.sql.types.StructType(
+            baseSchema.fields ++ Seq(
+              org.apache.spark.sql.types.StructField("graft_gn",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("graft_gw",
+                org.apache.spark.sql.types.DoubleType, nullable = false)))
+          val achievedPerGroup = merged
+            .groupBy(r => String.valueOf(r.get(gIdx)))
+            .map { case (g, rows) => g -> rows.length.toLong }
+          val out = merged.map { r =>
+            val g = String.valueOf(r.get(gIdx))
+            val gn = counts(g)
+            val gk = achievedPerGroup(g)
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq ++ Seq[Any](gn, gn.toDouble / math.max(1L, gk)))
+          }
+          s.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(path)
+          s.read.parquet(path).createOrReplaceTempView(name)
+          val n = counts.valuesIterator.sum
+          val achieved = merged.length.toLong
+          val fraction = math.min(0.9999,
+            achieved.toDouble / math.max(1L, n))
+          val blob = counts.toSeq.sortBy(_._1)
+            .map { case (g, c) => s"$g\t$c" }.mkString("\n")
+            .getBytes("UTF-8")
+          catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
+            "bottomkg_rider", blob,
+            s"""{"rows":$n,"k":$kPerGroup,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+          catalog.upsertTableStats(table, n)
+          catalog.addSample(catalog.SampleInfo(table, name, fraction,
+            Some(s"__bottomkg__${groupCol.toLowerCase}"), path,
+            System.currentTimeMillis(), baseRows = Some(n)))
+          catalog.putStrata(name, counts.toSeq.sortBy(_._1).map {
+            case (g, gn) =>
+              val gk = achievedPerGroup.getOrElse(g, 0L)
+              catalog.StratumInfo(name, g, gn, gk,
+                gk.toDouble / math.max(1L, gn),
+                gn.toDouble / math.max(1L, gk), 0.0)
+          })
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming histogram maintenance — the q74 strategy made LIVE: a
     * stream folds per-micro-batch bucket counts into the catalog's
     * equi-width histogram, and the engine's no-scan percentile answers

@@ -105,6 +105,115 @@ class BottomKSpec extends SparkSpec {
     assert(r.planType == "sample", s"${r.planType}: ${r.reason}")
   }
 
+  test("grouped bottom-k: every group keeps its k hash-smallest rows; serve scales per group") {
+    val gcat = new MetaCatalog(
+      Files.createTempDirectory("graft-bkg-spec").toString)
+    val geng = new QueryEngine(spark, gcat)
+    // skewed groups: group 0 holds 19.9k rows, groups 1..3 hold ~33
+    // rows each (below k, so they are COMPLETE) — exactly the shape
+    // where plain bottom-k starves the rare groups
+    spark.range(0, 20000).toDF("id")
+      .withColumn("g", expr("cast(case when id < 19900 then 0 else 1 + id % 3 end as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bkg_base")
+    val (name, achieved) = Samplers.createBottomKGrouped(
+      spark, gcat, "bkg_base", "g", "id", kPerGroup = 128)
+    // group 0 subsamples to 128; rare groups are complete
+    val sizes = spark.table(name).groupBy(col("g")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes(0) == 128)
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    assert(achieved == sizes.values.sum)
+    // membership per group re-derived independently
+    val expected = spark.table("bkg_base")
+      .withColumn("h", expr("graft_h60(concat('bkg:', cast(id as string)))"))
+      .withColumn("rn", expr(
+        "row_number() over (partition by g order by h asc, id asc)"))
+      .filter(col("rn") <= 128).select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+    val got = spark.table(name).select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    // grouped serve: every group present, rare groups EXACT (w=1);
+    // the subsampled group's bound √(1/128) ≈ 0.088 needs a budget
+    // above the 0.05 default
+    val r = geng.query(
+      "SELECT g, count(*) AS n_est, sum(v) AS s_est FROM bkg_base " +
+        "GROUP BY g ORDER BY g",
+      geng.Options(ciColumns = false, maxRelError = 0.1))
+    assert(r.planType == "bottomk_grouped", s"${r.planType}: ${r.reason}")
+    val rows = r.df.collect().map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2)))
+    assert(rows.length == 4)
+    val exact = spark.sql(
+      "SELECT g, count(*), sum(v) FROM bkg_base GROUP BY g ORDER BY g")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getDouble(2)))
+    rows.zip(exact).foreach { case ((g, n, sv), (ge, ne, se)) =>
+      assert(g == ge)
+      if (g != 0) { // complete groups answer exactly
+        assert(math.abs(n - ne) < 1e-9, s"g=$g n=$n vs $ne")
+        assert(math.abs(sv - se) / se < 1e-12, s"g=$g s=$sv vs $se")
+      } else {
+        assert(math.abs(n - ne) / ne < 1e-12, s"g=$g n=$n vs $ne")
+        assert(math.abs(sv - se) / se < 0.3, s"g=$g s=$sv vs $se")
+      }
+    }
+    // a GROUP BY that does not contain the sample's group column
+    // refuses the grouped serve
+    spark.range(0, 20000).toDF("id") // keep view untouched; query other col
+    val r2 = geng.query(
+      "SELECT v, count(*) AS n FROM bkg_base GROUP BY v",
+      geng.Options(ciColumns = false))
+    assert(r2.planType != "bottomk_grouped", r2.reason)
+  }
+
+  test("grouped streaming maintainer folds to the batch builder's row set; weights track ingest") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val scat = new MetaCatalog(
+      Files.createTempDirectory("graft-bkg-stream").toString)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val rows = stream.toDF().toDF("id")
+      .withColumn("g", expr("cast(id % 3 as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+    val q = graft.streaming.EventStreams.maintainBottomKGrouped(
+      rows, scat, "bkg_live", "g", "id", kPerGroup = 64)
+    (0L until 3000L).grouped(1000).foreach { batch =>
+      stream.addData(batch.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.range(0, 3000).toDF("id")
+      .withColumn("g", expr("cast(id % 3 as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bkg_live_all")
+    val bcat = new MetaCatalog(
+      Files.createTempDirectory("graft-bkg-batch").toString)
+    val (bname, _) = Samplers.createBottomKGrouped(
+      spark, bcat, "bkg_live_all", "g", "id", kPerGroup = 64)
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("graft_h"), col("graft_gn"), col("graft_gw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = rowSet(
+      spark.read.parquet(s"${scat.samplesDir}/bkg_live__bottomkg_g"))
+    val batched = rowSet(spark.table(bname))
+    assert(streamed == batched) // rows AND live gn/gw values
+    // the maintained sample serves grouped estimates over an empty view
+    spark.range(0).toDF("id")
+      .withColumn("g", expr("cast(id % 3 as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bkg_live")
+    val seng = new QueryEngine(spark, scat)
+    val r = seng.query(
+      "SELECT g, count(*) AS n FROM bkg_live GROUP BY g ORDER BY g",
+      seng.Options(ciColumns = false, maxRelError = 0.15))
+    assert(r.planType == "bottomk_grouped", s"${r.planType}: ${r.reason}")
+    val ns = r.df.collect().map(x => x.getDouble(1))
+    assert(ns.length == 3)
+    ns.foreach(n => assert(math.abs(n - 1000.0) / 1000.0 < 1e-12, s"n=$n"))
+  }
+
   test("streaming maintainer folds to the batch builder's exact row set; serve tracks N") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
