@@ -533,7 +533,51 @@ object Bench {
         val e = te - fixedMs
         if (a > 20.0 && e > 20.0) f2(e / a) else "null"
       }
-      val allMeasured = measured ++ uniMeasured.toSeq ++ outMeasured.toSeq
+      // Grouped bottom-k sampling (round 12): the grouped revenue
+      // dashboard served from the per-group fixed-size sample (8192
+      // rows per l_returnflag group, per-group N_g/k_g post-scale) —
+      // the exact side scans the 6M-row fact. A separate engine: the
+      // grouped bottom-k dispatch would hijack every grouped aggregate
+      // on the shared catalog's tables.
+      val bkgMeasured: Option[(String, String, Double, Double, Double)] = try {
+        val bcat = new MetaCatalog(
+          java.nio.file.Files.createTempDirectory("graft-bench-bkg").toString)
+        val beng = new QueryEngine(spark, bcat)
+        // unique integral key via a materialized rid (the outlier
+        // case's pattern — stable across the builder's actions)
+        val ridded = spark.table("lineitem_x10")
+          .withColumn("bk_rid",
+            org.apache.spark.sql.functions.monotonically_increasing_id())
+          .cache()
+        ridded.count()
+        ridded.createOrReplaceTempView("lineitem_x10bk")
+        graft.sample.Samplers.createBottomKGrouped(spark, bcat,
+          "lineitem_x10bk", "l_returnflag", "bk_rid", kPerGroup = 8192)
+        ridded.unpersist()
+        val bsql = "SELECT l_returnflag, count(*) AS n, " +
+          "sum(l_extendedprice) AS s FROM lineitem_x10bk GROUP BY l_returnflag"
+        floorSamples += floorSample()
+        beng.query(bsql, beng.Options(measureExact = true,
+          ciColumns = false)) // warm both paths
+        val passes = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val r = beng.query(bsql, beng.Options(ciColumns = false))
+          val tPlan = (System.nanoTime() - t0) / 1e6
+          val t1 = System.nanoTime()
+          r.df.collect()
+          val tApprox = (System.nanoTime() - t1) / 1e6
+          val t2 = System.nanoTime()
+          spark.sql(bsql).collect()
+          val tExact = (System.nanoTime() - t2) / 1e6
+          (r.planType, tPlan, tApprox, tExact)
+        }
+        Some(("bottomk_group", passes.head._1, passes.map(_._2).min,
+          passes.map(_._3).min, passes.map(_._4).min))
+      } catch { case t: Throwable =>
+        errors("bottomk_group") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+        None
+      }
+      val allMeasured = measured ++ uniMeasured.toSeq ++ outMeasured.toSeq ++ bkgMeasured.toSeq
       aqp = allMeasured.map { case (k, _, _, ta, te) =>
         s"${jstr(k)}:${if (ta > 0) f2(te / ta) else "0.0"}"
       }.mkString("{", ",", "}")

@@ -766,8 +766,7 @@ final class QueryEngine(
             }
             bottomKG match {
               case Some(s) =>
-                spark.read.parquet(s.path)
-                  .createOrReplaceTempView(s.sampleTable)
+                ensureSampleView(s)
                 val d = SampleRewrite.Directive(table,
                   Planner.ReadSampleTable(s.sampleTable, s.fraction),
                   weight = None,
@@ -790,15 +789,7 @@ final class QueryEngine(
               case None =>
             bottomK match {
               case Some(s) =>
-                // The sample may have been (re)materialized by a
-                // streaming maintainer whose foreachBatch ran on a
-                // CLONED session (its temp view is invisible here), or
-                // re-folded since this session last registered it.
-                // (Re)register from the catalog's path so every serve
-                // reads the CURRENT fold — the sample is k rows, so a
-                // fresh file listing per query costs nothing.
-                spark.read.parquet(s.path)
-                  .createOrReplaceTempView(s.sampleTable)
+                ensureSampleView(s)
                 val st = catalog.strataFor(s.sampleTable).head
                 val w = st.popSize.toDouble / st.sampleSize.toDouble
                 val d = SampleRewrite.Directive(table,
@@ -1024,6 +1015,28 @@ final class QueryEngine(
         }
     }).forall(identity)
   }
+
+  /** Registered-sample-view memo: (sampleTable -> createdAt) of the
+    * last registration THIS engine performed in its session.
+    */
+  private val registeredSampleViews =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Make `s.sampleTable` resolvable in this session, reading the
+    * CURRENT materialization. A bottom-k sample may have been
+    * (re)materialized by a streaming maintainer whose foreachBatch ran
+    * on a CLONED session (its temp view is invisible here) or
+    * re-folded since this session last registered it — the catalog's
+    * `createdAt` changes on every fold, so registering once per
+    * (table, createdAt) is both fresh and cheap (no per-query file
+    * listing: a steady-state serve pays zero registration cost).
+    */
+  private def ensureSampleView(s: catalog.SampleInfo): Unit =
+    if (!registeredSampleViews.get(s.sampleTable).contains(s.createdAt) ||
+        !spark.catalog.tableExists(s.sampleTable)) {
+      spark.read.parquet(s.path).createOrReplaceTempView(s.sampleTable)
+      registeredSampleViews.put(s.sampleTable, s.createdAt)
+    }
 
   /** True iff every non-distinct SUM/AVG call's argument is a single
     * bare attribute (ANY column — the bottom-k decimal gate: a bare

@@ -36,6 +36,12 @@ object Corpus {
   /** Token budget per packed training chunk (q49). */
   val packBudget: Long = 512L
 
+  /** Shard count for the deterministic pre-training shuffle (q176). At
+    * cluster scale this is sized so one shard ≈ one comfortable write
+    * task (100 TB / S); the manifest arithmetic is S-independent.
+    */
+  val shuffleShards: Int = 16
+
   /** doc_ids per coarse prefix-scan bucket (q49). At cluster scale this
     * is sized so the bucket table (one row per bucket) stays driver- or
     * broadcast-scale while each bucket's local window fits one task.
@@ -108,6 +114,36 @@ object Corpus {
     // any train-split document, and how many train documents share one.
     // The split is q47's content-independent hash bucket; the shingle
     // machinery (60-bit hashes + stop-shingle guard) is q19's.
+    // DETERMINISTIC SHARD SHUFFLE manifest (round 12): the global
+    // pre-training shuffle — every epoch pipeline starts by scattering
+    // the curated corpus across S shards in a pseudo-random but
+    // REPRODUCIBLE order. shard = keyed-h60 % S routes each document;
+    // within-shard order is (hash, doc_id) — a hash-random permutation
+    // with NO GLOBAL SORT: at 100 TB this is one repartition(S)
+    // exchange plus a per-shard local sort (sortWithinPartitions), and
+    // what this query emits is the MANIFEST a trainer's loader seeks
+    // by — (shard, position, starting byte offset) per document, the
+    // offsets from a per-shard running sum (each shard's window is one
+    // partition; S is chosen so a shard fits a task). Every column is
+    // a pure integer function of doc_ids, so the whole manifest is
+    // re-derived bit-for-bit in DuckDB.
+    "q176_shard_shuffle" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), col("n_chars"),
+          expr("graft_h60(concat('sh:', cast(doc_id as string)))").as("hh"))
+        .withColumn("shard", expr(s"cast(hh % $shuffleShards as int)"))
+        .withColumn("pos", expr(
+          "row_number() over (partition by shard order by hh asc, doc_id asc)"))
+        .withColumn("offset", expr(
+          "coalesce(sum(n_chars) over (partition by shard " +
+            "order by hh asc, doc_id asc " +
+            "rows between unbounded preceding and 1 preceding), " +
+            "cast(0 as bigint))"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("offset"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     "q50_contamination" -> ((s, dir) => {
       val ex = Dedup.shingleHashes(s, dir) // session-memoized checkpoint
       val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -356,6 +392,26 @@ object Corpus {
             CAST(sum(nt) AS BIGINT) AS n_tokens,
             min(doc_id) AS first_doc, max(doc_id) AS last_doc
           FROM cum GROUP BY 1 ORDER BY 1""",
+    // q176: the shard-shuffle manifest — the 'sh:' keyed h60, shard =
+    // hh % S, within-shard (hh, doc_id) rank, and the per-shard
+    // running byte offset (exact integer sums; DuckDB's HUGEINT sum
+    // casts back to BIGINT; row_number casts to INT to match Spark).
+    "q176_shard_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+              ${Dedup.h60Duck("'sh:' || CAST(doc_id AS VARCHAR)")} AS hh
+            FROM documents),
+          sh AS (SELECT doc_id, n_chars, hh,
+              CAST(hh % $shuffleShards AS INT) AS shard FROM h)
+        SELECT doc_id, shard,
+          CAST(row_number() OVER
+            (PARTITION BY shard ORDER BY hh ASC, doc_id ASC) AS INT) AS pos,
+          coalesce(CAST(sum(n_chars) OVER
+            (PARTITION BY shard ORDER BY hh ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            CAST(0 AS BIGINT)) AS "offset"
+        FROM sh
+        ORDER BY shard, pos""",
+
     "q50_contamination" ->
       s"""WITH ex AS (${Dedup.duckShingleHashes}),
           dfreq AS (SELECT h, count(*) AS df FROM ex GROUP BY h),

@@ -38,6 +38,34 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("shard shuffle: shards partition the corpus, positions dense, offsets are prefix sums") {
+    val rows = Corpus.queries("q176_shard_shuffle")(spark, sfDir).collect()
+    assert(rows.length == docCount)
+    val byShard = rows.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet.subsetOf((0 until Corpus.shuffleShards).toSet))
+    byShard.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("pos"))
+      // positions are 1..n dense, offsets are the running byte sum
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Int]("pos") == i + 1)
+      }
+      var off = 0L
+      val sizes = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("n_chars")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("offset") == off)
+        off += sizes(r.getAs[Long]("doc_id"))
+      }
+    }
+    // the permutation is hash-random, not id-ordered: some shard's
+    // doc_ids must be non-monotone in position
+    assert(byShard.values.exists { rs =>
+      val ids = rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("doc_id"))
+      ids.sliding(2).exists { case Array(a, b) => a > b; case _ => false }
+    })
+  }
+
   test("contamination: reports exactly the test split, counts consistent") {
     val rows = Corpus.queries("q50_contamination")(spark, sfDir).collect()
     val split = spark.read.parquet(s"$sfDir/documents.parquet")
