@@ -316,6 +316,68 @@ object Multimodal {
     }
   }
 
+  case class ResampledAudioMeta(id: Long, sampleRate: Int, nSamples: Int,
+      firstSample: Int, midSample: Int, lastSample: Int, checksum: Long)
+
+  /** REAL audio RESAMPLE through two codec round trips (q178 — the
+    * audio twin of the q167 image resize): decode the WAV with the JDK
+    * codec, nearest-sample the PCM to half the frame count with the
+    * closed-form rule src = i·n div n2 ([[resizeNearest]]'s rule in one
+    * dimension — hand-rolled, not an implementation-defined converter),
+    * re-encode at half the rate, decode AGAIN, and report the format
+    * plus three sample values and a position-weighted checksum over
+    * EVERY sample from the SECOND decode — so a single wrong PCM frame
+    * anywhere in the chain is observable.
+    */
+  def resampleAudio(id: Long, bytes: Array[Byte]): ResampledAudioMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1, s"payload of id=$id is not 16-bit LE mono")
+    val n = ais.getFrameLength.toInt
+    val data = ais.readAllBytes()
+    def sample(i: Int): Int = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+    val n2 = math.max(1, n / 2)
+    val rate2 = fmt.getSampleRate.toInt / 2
+    val out = new Array[Byte](n2 * 2)
+    var i = 0
+    while (i < n2) {
+      val v = sample((i.toLong * n / n2).toInt)
+      out(2 * i) = (v & 0xff).toByte
+      out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt2 = new javax.sound.sampled.AudioFormat(
+      rate2.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), fmt2, n2.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val ais2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    val m = ais2.getFrameLength.toInt
+    val d2 = ais2.readAllBytes()
+    def s2(j: Int): Int = (d2(2 * j + 1) << 8) | (d2(2 * j) & 0xff)
+    var ck = 0L
+    var j = 0
+    while (j < m) { ck += s2(j).toLong * (j + 1); j += 1 }
+    ResampledAudioMeta(id, ais2.getFormat.getSampleRate.toInt, m,
+      s2(0), s2(m / 2), s2(m - 1), ck)
+  }
+
+  /** Partition-batched resample over an audio corpus (the q178 chain):
+    * same batch shape as [[extractAudioMeta]].
+    */
+  def resampleAudioMeta(media: Dataset[Media], batchSize: Int = 64)
+      : Dataset[ResampledAudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map(m => resampleAudio(m.id, m.bytes)))
+    }
+  }
+
   case class VideoMeta(id: Long, width: Int, height: Int, nFrames: Int,
       durationMs: Long, firstRgb: Int, lastRgb: Int)
 

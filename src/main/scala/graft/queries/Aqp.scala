@@ -485,6 +485,25 @@ object Aqp {
     // the bytes — the gate proves real PCM frames survived the RIFF
     // container round trip. Video decode remains the documented stub
     // (the JDK ships no video codec).
+    // REAL audio RESAMPLE (round 12): decode → nearest-sample to half
+    // rate (src = i·n div n2) → re-encode → decode again; metadata,
+    // three samples, and a position-weighted checksum over EVERY
+    // sample of the second decode, all predicted by the generator
+    // arithmetic in the oracle.
+    "q178_audio_resample" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .resampleAudioMeta(graft.multimodal.Multimodal.audioMedia(s, dir))
+        .toDF()
+        .select(col("id").as("doc_id"),
+          col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"),
+          col("firstSample").as("first_sample"),
+          col("midSample").as("mid_sample"),
+          col("lastSample").as("last_sample"),
+          col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q81_audio_decode" -> ((s, dir) => {
       graft.multimodal.Multimodal
         .extractAudioMeta(graft.multimodal.Multimodal.audioMedia(s, dir))
@@ -2436,6 +2455,26 @@ object Aqp {
       r.df
     }),
 
+    // GROUPED bottom-k PERCENTILE serve (round 12): medians per group
+    // from the per-group fixed-size sample. Within a group every row
+    // carries the SAME N_g/k_g weight, so equal weights cancel in the
+    // rank and the unweighted sample quantile IS the estimator (the
+    // q153/q154 law on the lottery samples, here per group); both
+    // sides round through DECIMAL(18,6) (the established sampled-
+    // percentile portability recipe).
+    "q177_bottomk_pct" -> ((s, dir) => {
+      val e = bkgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderstatus, count(*) AS n_est, " +
+          "cast(cast(percentile(o_totalprice, 0.5) as decimal(18,6)) as double) AS p50 " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        e.Options(ciColumns = false))
+      assert(r.planType == "bottomk_grouped",
+        s"q177 must serve from the grouped bottom-k sample: " +
+          s"${r.planType} (${r.reason})")
+      r.df
+    }),
+
     // GROUPED + FILTERED outlier serve (round 11): the dashboard shape
     // over the outlier sample — a WHERE prunes sample rows per-row
     // (membership is predicate-independent, so HT stays unbiased) and
@@ -3788,6 +3827,28 @@ object Aqp {
         GROUP BY g
         ORDER BY o_orderstatus""",
 
+    // q177: q175's sample membership + per-group unweighted median —
+    // quantile_cont over the sample rows (constant quantile), both
+    // sides rounded through DECIMAL(18,6), count scaled by max(gw).
+    "q177_bottomk_pct" ->
+      s"""WITH gc AS (SELECT o_orderstatus AS g, count(*) AS gn
+            FROM orders GROUP BY 1),
+          rk AS (SELECT o_orderstatus AS g, o_totalprice AS v,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY
+                ${graft.queries.Dedup.h60Duck("'bkg:' || CAST(o_orderkey AS VARCHAR)")} ASC,
+                o_orderkey ASC) AS rn
+            FROM orders),
+          samp AS (SELECT rk.g, rk.v,
+              CAST(gc.gn AS DOUBLE)
+                / CAST(least(512, gc.gn) AS DOUBLE) AS gw
+            FROM rk JOIN gc ON rk.g = gc.g WHERE rk.rn <= 512)
+        SELECT g AS o_orderstatus,
+          max(gw) * CAST(count(*) AS DOUBLE) AS n_est,
+          CAST(CAST(quantile_cont(v, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50
+        FROM samp
+        GROUP BY g
+        ORDER BY o_orderstatus""",
+
     "q163_outlier_sum" ->
       s"""WITH ${duckOutlierSamp()}
           SELECT CAST(sum(wt) AS DOUBLE) AS n_est,
@@ -3945,6 +4006,34 @@ object Aqp {
     // mismatch means PCM data or container metadata corrupted in the
     // codec round trip. All-integer arithmetic on both sides (doc_id
     // >= 0, so % is the same nonnegative remainder in both engines).
+    // q178: the resample chain predicted end to end — n2 = n div 2,
+    // rate2 = rate div 2, resampled sample i = generator value at
+    // src = i·n div n2, plus the position-weighted checksum over ALL
+    // n2 samples (exact BIGINT arithmetic, expanded per doc with the
+    // unnest(generate_series(...)) form DuckDB's binder accepts).
+    "q178_audio_resample" ->
+      """WITH p AS (SELECT doc_id AS id,
+              100 + doc_id % 400 AS n,
+              (8000 + 1000 * (doc_id % 5)) // 2 AS rate2,
+              (100 + doc_id % 400) // 2 AS n2
+            FROM documents),
+          ex AS (SELECT id, n, rate2, n2,
+              unnest(generate_series(0, CAST(n2 - 1 AS BIGINT))) AS i
+            FROM p),
+          sm AS (SELECT id, rate2, n2, i,
+              ((id * 31 + ((i * n) // n2) * 17) % 65536) - 32768 AS v
+            FROM ex)
+        SELECT id AS doc_id,
+          CAST(rate2 AS INT) AS sample_rate,
+          CAST(n2 AS INT) AS n_samples,
+          CAST(max(CASE WHEN i = 0 THEN v END) AS INT) AS first_sample,
+          CAST(max(CASE WHEN i = n2 // 2 THEN v END) AS INT) AS mid_sample,
+          CAST(max(CASE WHEN i = n2 - 1 THEN v END) AS INT) AS last_sample,
+          CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+        FROM sm
+        GROUP BY id, rate2, n2
+        ORDER BY doc_id""",
+
     "q81_audio_decode" ->
       """SELECT doc_id,
             CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,

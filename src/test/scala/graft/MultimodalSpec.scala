@@ -166,6 +166,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real audio resample: half rate, half frames, exact nearest samples and checksum") {
+    for (id <- Seq(0L, 1L, 17L, 255L, 4096L)) {
+      val n = 100 + (id % 400).toInt
+      val n2 = n / 2
+      def gen(i: Int): Int =
+        (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+      def src(i: Int): Int = (i.toLong * n / n2).toInt
+      val r = Multimodal.resampleAudio(id, Multimodal.wavFor(id))
+      assert(r.sampleRate == (8000 + 1000 * (id % 5).toInt) / 2)
+      assert(r.nSamples == n2)
+      assert(r.firstSample == gen(src(0)))
+      assert(r.midSample == gen(src(n2 / 2)))
+      assert(r.lastSample == gen(src(n2 - 1)))
+      val ck = (0 until n2).map(i => gen(src(i)).toLong * (i + 1)).sum
+      assert(r.checksum == ck, s"id=$id")
+    }
+  }
+
   test("frame sampling strides through video payloads only") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
       .collect()
