@@ -7038,6 +7038,12 @@ final class QueryEngine(
           // samples, not sketches: covered by a fresh outlier-indexed
           // sample over the same measure column
           catalog.outlierSampleFor(c.table, c.column).isDefined
+        else if (c.sketchType == "bottomk")
+          // covered by any fresh fixed-size sample on the table
+          catalog.bottomKSampleFor(c.table).isDefined
+        else if (c.sketchType == "bottomk_grouped")
+          catalog.bottomKGroupedSampleFor(c.table).exists(s =>
+            catalog.bottomKGroupColumn(s) == c.groupBy)
         else if (c.sketchType == "topk" || c.sketchType == "topk_sum")
           // topk blobs key themselves by BUILD order; coverage is
           // group-by SET equality plus, for the sum variant, the
@@ -7101,10 +7107,30 @@ final class QueryEngine(
     // (sample_join/universe — AGMS evidence already paid off) are not
     // misses either.
     if (!r.servedFromCatalog && r.strategy != "sample_join" &&
-        r.strategy != "sample_universe" && r.planType != "outlier")
+        r.strategy != "sample_universe" && r.planType != "outlier") {
       parsedCached(sql).foreach { case (p, _) =>
         sketchAdvisor.observe(sketchCandidates(p, features))
       }
+      // INLINE sampling re-paid the full scan + lottery: a bottom-k
+      // sample (fixed-size, mergeable, stream-maintainable) would
+      // answer the same shape from k cached rows — surface the build.
+      // Grouped queries surface the grouped form keyed on their single
+      // group column (per-group representation guaranteed).
+      if (r.planType == "sample" && r.sampleTable.isEmpty &&
+          features.isSingleTable && !features.hasDistinct &&
+          !features.hasMinMax)
+        features.tableName.foreach { t =>
+          import graft.learn.SketchAdvisor.Candidate
+          val c = features.groupByColumns match {
+            case Seq(g) => Candidate(t, "", "bottomk_grouped",
+              Some(g.split("\\.").last.stripSuffix("`").stripPrefix("`")
+                .toLowerCase))
+            case Seq() => Candidate(t, "", "bottomk", None)
+            case _     => Candidate(t, "", "bottomk", None)
+          }
+          sketchAdvisor.observe(Seq(c))
+        }
+    }
     // an INLINE universe serve answers well but still pays the lottery
     // hash over BOTH big scans per query — observe only the
     // universe-pair candidates, so repeated two-big joins surface the

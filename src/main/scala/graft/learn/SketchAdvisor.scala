@@ -49,6 +49,15 @@ object SketchAdvisor {
       // what IN-list / partial-key percentile serves require
       s"SketchOps.createGroupedHistogram(spark, catalog, ${c.table}, $g, " +
         s"${c.column}, 64, sharedGrid = true)"
+    case ("bottomk", None) =>
+      // repeated INLINE-sampled aggregates: every query re-paid the
+      // full scan + lottery; a materialized fixed-size sample answers
+      // them from k cached rows — and the streaming maintainer keeps
+      // it fresh under ingest, where fixed-fraction samples go stale
+      s"Samplers.createBottomK(spark, catalog, ${c.table}, uniqueKeyCol)" +
+        " // EventStreams.maintainBottomKSample keeps it fresh under ingest"
+    case ("bottomk_grouped", Some(g)) =>
+      s"Samplers.createBottomKGrouped(spark, catalog, ${c.table}, $g, uniqueKeyCol)"
     case ("topk", Some(g)) =>
       // heavy-hitters summary: exact counts of every group reaching
       // the threshold — pick it at or below the query's HAVING bound /

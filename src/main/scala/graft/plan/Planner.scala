@@ -152,16 +152,6 @@ object Planner {
     // a fixed-size row sample can miss extremes and cannot scale
     // distincts. The engine's dispatch recognizes the chosen table and
     // applies the post-aggregation N/k scale instead of per-row HT.
-    val bottomKCand = (if (features.hasDistinct || features.hasMinMax) None
-      else catalog.bottomKSampleFor(table.get)).map { s =>
-        val k = catalog.strataFor(s.sampleTable).headOption
-          .map(_.sampleSize).getOrElse(0L)
-        val err = math.sqrt(1.0 / math.max(1.0, k.toDouble))
-        val cost = k * ScanCostPerRow + SampleSetupCost
-        Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,
-          cost, err,
-          s"bottom-k sample ${s.sampleTable} (fixed-size order-statistic, k=$k)")
-      }.toSeq
 
     // a fresh GROUPED bottom-k sample is a candidate for grouped
     // queries whose GROUP BY contains its group column (one weight per
@@ -185,6 +175,22 @@ object Planner {
         Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,
           cost, err,
           s"grouped bottom-k sample ${s.sampleTable} (fixed-size per group)")
+      }.toSeq
+
+    // a grouped query with a MATCHING grouped bottom-k sample must not
+    // fall to the plain one on cost alone: the grouped form's whole
+    // point is per-group representation, so it preempts (the
+    // stratified-over-outlier precedence, again).
+    val bottomKCand = (if (features.hasDistinct || features.hasMinMax ||
+        bottomKGCand.nonEmpty) None
+      else catalog.bottomKSampleFor(table.get)).map { s =>
+        val k = catalog.strataFor(s.sampleTable).headOption
+          .map(_.sampleSize).getOrElse(0L)
+        val err = math.sqrt(1.0 / math.max(1.0, k.toDouble))
+        val cost = k * ScanCostPerRow + SampleSetupCost
+        Plan("sample", ReadSampleTable(s.sampleTable, s.fraction), table,
+          cost, err,
+          s"bottom-k sample ${s.sampleTable} (fixed-size order-statistic, k=$k)")
       }.toSeq
 
     val candidates = validServes ++ outlierCand ++ bottomKGCand ++ bottomKCand ++ (exact +: catalog.bestUniformSample(table.get).map { s =>

@@ -105,6 +105,38 @@ class BottomKSpec extends SparkSpec {
     assert(r.planType == "sample", s"${r.planType}: ${r.reason}")
   }
 
+  test("advisor loop: repeated inline sampling surfaces the bottom-k build; building retires it") {
+    val acat = new MetaCatalog(
+      Files.createTempDirectory("graft-bk-advise").toString)
+    val aeng = new QueryEngine(spark, acat)
+    val sql = "SELECT count(*) AS n, sum(v) AS s FROM bk_base"
+    (1 to 3).foreach(_ => aeng.query(sql, aeng.Options(ciColumns = false)))
+    val advice = aeng.adviseSketches()
+    val hit = advice.find(a => a.candidate.sketchType == "bottomk" &&
+      a.candidate.table == "bk_base")
+      .getOrElse(fail(s"no bottomk advice: $advice"))
+    assert(hit.misses >= 3)
+    assert(hit.build.contains("createBottomK"))
+    // the grouped shape advises the grouped form keyed on its group col
+    val gsql = "SELECT g, count(*) AS n FROM bk_base GROUP BY g"
+    (1 to 3).foreach(_ => aeng.query(gsql, aeng.Options(ciColumns = false)))
+    val ghit = aeng.adviseSketches().find(a =>
+      a.candidate.sketchType == "bottomk_grouped" &&
+        a.candidate.groupBy.contains("g"))
+      .getOrElse(fail("no grouped bottomk advice"))
+    assert(ghit.build.contains("createBottomKGrouped"))
+    // running the builds retires both and the queries flip to serves
+    Samplers.createBottomK(spark, acat, "bk_base", "id", K)
+    Samplers.createBottomKGrouped(spark, acat, "bk_base", "g", "id", K)
+    val after = aeng.adviseSketches()
+    assert(!after.exists(_.candidate.sketchType.startsWith("bottomk")),
+      after.toString)
+    assert(aeng.query(sql, aeng.Options(ciColumns = false))
+      .planType == "bottomk")
+    assert(aeng.query(gsql, aeng.Options(ciColumns = false))
+      .planType == "bottomk_grouped")
+  }
+
   test("grouped bottom-k: every group keeps its k hash-smallest rows; serve scales per group") {
     val gcat = new MetaCatalog(
       Files.createTempDirectory("graft-bkg-spec").toString)
