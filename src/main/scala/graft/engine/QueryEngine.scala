@@ -798,7 +798,18 @@ final class QueryEngine(
                   rewriteDistinctToHll = false, hllRsd = None,
                   addCiColumns = false,
                   decimalSums = allSumAvgArgsBare(parsed),
-                  postScale = Some(w))
+                  postScale = Some(w),
+                  // rank-based percentile CIs on the UNWEIGHTED sample
+                  // quantile: nEff = k exactly (the fixed-size sample
+                  // is the one whose effective n IS known at plan
+                  // time); filtered/grouped shapes refuse, q168's
+                  // contract
+                  pctCi = if (opts.ciColumns && !features.hasGroupBy &&
+                      parsed.collectFirst {
+                        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+                      }.isEmpty)
+                    Some((1.96, st.sampleSize.toDouble))
+                  else None)
                 val df = SampleRewrite.rewrite(spark, parsed, d)
                 val (spd, err) = StrategyChooser.predict(
                   StrategyChooser.Sample, tableSize, Some(s.fraction))

@@ -289,7 +289,7 @@ object SampleRewrite {
     * p − (z · sqrt((p · (1 − p)) / nEff)).
     */
   private def pctCiCompanions(inner: Expression, name: String,
-      w: Expression, z: Double, nEff: Double): Seq[NamedExpression] = {
+      w: Option[Expression], z: Double, nEff: Double): Seq[NamedExpression] = {
     val parsed: Option[(Expression, Double)] = inner match {
       case f: UnresolvedFunction
           if isAgg(f, "percentile") && f.arguments.sizeIs == 2 =>
@@ -305,9 +305,14 @@ object SampleRewrite {
         val shift = z * math.sqrt((p * (1.0 - p)) / nEff)
         val pLo = math.max(0.0, math.min(1.0, p - shift))
         val pHi = math.max(0.0, math.min(1.0, p + shift))
-        def at(q: Double): Expression =
-          fn("percentile", x, Literal(q),
-            Cast(w, org.apache.spark.sql.types.LongType))
+        def at(q: Double): Expression = w match {
+          // weighted form: the frequency rewrite's integer weights
+          case Some(wx) => fn("percentile", x, Literal(q),
+            Cast(wx, org.apache.spark.sql.types.LongType))
+          // unweighted form (bottom-k: equal weights cancel in the
+          // rank, so the bound applies to the plain sample quantile)
+          case None => fn("percentile", x, Literal(q))
+        }
         Seq(named(at(pLo), s"${name}_ci_low"),
           named(at(pHi), s"${name}_ci_high"))
       }
@@ -366,13 +371,31 @@ object SampleRewrite {
         }
         val pct =
           if (d.weightedPercentiles) d.pctCi.toSeq.flatMap { case (z, nEff) =>
-            pctCiCompanions(inner, name, w.get, z, nEff)
+            pctCiCompanions(inner, name, Some(w.get), z, nEff)
           }
           else Nil
         moments ++ pct
       }
 
-    rewritten ++ companions
+    // Unweighted percentile CIs — the fixed-size (bottom-k) sample
+    // path: every row weighs the same, so the binomial rank bound
+    // applies to the PLAIN sample quantile, and nEff is the sample
+    // size k — known exactly at plan time (the one sample where that
+    // is true; the caller sets pctCi only for unfiltered ungrouped
+    // shapes, q168's contract).
+    val pctUnweighted: Seq[NamedExpression] =
+      if (w.isDefined || d.pctCi.isEmpty) Nil
+      else exprs.flatMap { ne =>
+        val (inner, name) = ne match {
+          case Alias(child, n) => (child, n)
+          case other           => (other: Expression, prettyName(other))
+        }
+        d.pctCi.toSeq.flatMap { case (z, nEff) =>
+          pctCiCompanions(inner, name, None, z, nEff)
+        }
+      }
+
+    rewritten ++ companions ++ pctUnweighted
   }
 
   private def prettyName(e: Expression): String =

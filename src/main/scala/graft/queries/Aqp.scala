@@ -2435,6 +2435,28 @@ object Aqp {
       r.df
     }),
 
+    // BOTTOM-K percentile CIs (round 12): the fixed-size sample is the
+    // ONE sample whose effective n is known exactly at plan time
+    // (nEff = k), so the q168 rank-shift bound applies to the PLAIN
+    // unweighted sample quantile — percentile re-evaluated at
+    // p ∓ 1.96·√(p(1−p)/k), no weights anywhere. Unfiltered ungrouped
+    // shapes only (q168's contract); post-rounded through
+    // DECIMAL(18,6) like every sampled-percentile oracle.
+    "q179_bottomk_pct_ci" -> ((s, dir) => {
+      val e = bkEngineFor(s, dir)
+      val r = e.query(
+        "SELECT percentile(o_totalprice, 0.5) AS p50, count(*) AS n_est " +
+          "FROM orders",
+        e.Options(ciColumns = true))
+      assert(r.planType == "bottomk",
+        s"q179 must serve from the bottom-k sample: " +
+          s"${r.planType} (${r.reason})")
+      def pct(c: String) =
+        expr(s"cast(cast($c as decimal(18,6)) as double)").as(c)
+      r.df.select(pct("p50"), col("n_est"),
+        pct("p50_ci_low"), pct("p50_ci_high"))
+    }),
+
     // GROUPED bottom-k serve (round 12): the STREAMABLE STRATIFIED
     // sample — k hash-smallest rows PER GROUP, so every group is
     // guaranteed representation (the plain bottom-k's weakness) and
@@ -3800,6 +3822,48 @@ object Aqp {
         WHERE st = 'F'
         GROUP BY pr, wv.w
         ORDER BY o_orderpriority""",
+
+    // q179: q174's membership + the q168 interpolation chain with NO
+    // weights — ranks over the raw sample rows, nEff = the achieved
+    // sample size (count of samp), shifted quantiles via the same
+    // single-IEEE-op tree the engine computes in Scala.
+    "q179_bottomk_pct_ci" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM orders),
+          rk AS (SELECT o_totalprice AS v,
+              row_number() OVER (ORDER BY
+                ${graft.queries.Dedup.h60Duck("'bk:' || CAST(o_orderkey AS VARCHAR)")} ASC,
+                o_orderkey ASC) AS rn
+            FROM orders),
+          samp AS (SELECT v FROM rk WHERE rn <= 2048),
+          ka AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM samp),
+          pr AS (SELECT 'p50' AS tag, CAST(0.5 AS DOUBLE) AS p FROM ka
+            UNION ALL
+            SELECT 'lo', greatest(0.0, least(1.0, CAST(0.5 AS DOUBLE)
+              - (1.96 * sqrt((CAST(0.5 AS DOUBLE) * (1.0 - CAST(0.5 AS DOUBLE)))
+                  / m)))) FROM ka
+            UNION ALL
+            SELECT 'hi', greatest(0.0, least(1.0, CAST(0.5 AS DOUBLE)
+              + (1.96 * sqrt((CAST(0.5 AS DOUBLE) * (1.0 - CAST(0.5 AS DOUBLE)))
+                  / m)))) FROM ka),
+          exp AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS idx
+            FROM samp),
+          np AS (SELECT count(*) AS np FROM exp),
+          picked AS (SELECT pr.tag,
+              min(CASE WHEN e.idx = CAST(floor(pr.p * (np.np - 1)) AS BIGINT)
+                  THEN e.v END) AS lov,
+              min(CASE WHEN e.idx = least(
+                    CAST(floor(pr.p * (np.np - 1)) AS BIGINT) + 1, np.np - 1)
+                  THEN e.v END) AS hiv,
+              min(pr.p * (np.np - 1) - floor(pr.p * (np.np - 1))) AS fr
+            FROM pr, exp e, np GROUP BY pr.tag),
+          vals AS (SELECT tag,
+              CAST(CAST(lov + (hiv - lov) * fr AS DECIMAL(18,6)) AS DOUBLE) AS val
+            FROM picked)
+          SELECT
+            (SELECT val FROM vals WHERE tag = 'p50') AS p50,
+            (SELECT (CAST(nn.n AS DOUBLE) / ka.m) * ka.m FROM nn, ka) AS n_est,
+            (SELECT val FROM vals WHERE tag = 'lo') AS p50_ci_low,
+            (SELECT val FROM vals WHERE tag = 'hi') AS p50_ci_high""",
 
     // q175: the grouped bottom-k chain — per-group ('bkg:' hash, key)
     // rank, membership rn <= k per group, each group's exact N_g and

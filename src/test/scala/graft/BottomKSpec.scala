@@ -105,6 +105,25 @@ class BottomKSpec extends SparkSpec {
     assert(r.planType == "sample", s"${r.planType}: ${r.reason}")
   }
 
+  test("percentile CI companions on the bottom-k serve: bounds bracket; filtered shapes refuse") {
+    Samplers.createBottomK(spark, catalog, "bk_base", "id", K)
+    val r = engine.query(
+      "SELECT percentile(v, 0.5) AS p50, count(*) AS n FROM bk_base")
+    assert(r.planType == "bottomk", s"${r.planType}: ${r.reason}")
+    val row = r.df.collect().head
+    val lo = row.getAs[Double]("p50_ci_low")
+    val p = row.getAs[Double]("p50")
+    val hi = row.getAs[Double]("p50_ci_high")
+    assert(lo <= p && p <= hi, s"$lo <= $p <= $hi")
+    assert(lo < hi)
+    // a filter makes the subset's effective n unknowable at plan time
+    val rf = engine.query(
+      "SELECT percentile(v, 0.5) AS p50, count(*) AS n FROM bk_base " +
+        "WHERE v > 10")
+    assert(rf.planType == "bottomk", rf.reason)
+    assert(!rf.df.columns.contains("p50_ci_low"), rf.df.columns.mkString(","))
+  }
+
   test("advisor loop: repeated inline sampling surfaces the bottom-k build; building retires it") {
     val acat = new MetaCatalog(
       Files.createTempDirectory("graft-bk-advise").toString)
