@@ -601,8 +601,14 @@ final class QueryEngine(
         // preempts the outlier sample (regardless of the chooser's
         // strategy label); ungrouped queries keep the outlier route.
         val stratSample = {
+          // representation guard (outlier AND plain-bottom-k routes): a
+          // grouped query with a dedicated stratified sample on its
+          // group column must take it — neither the value-indexed
+          // outlier sample nor the 2048-global-hash-winners bottom-k
+          // guarantees a rare group any rows at all
           val wanted = choice.strategy == StrategyChooser.Stratified ||
-            (features.hasGroupBy && outlierCandidate.isDefined)
+            (features.hasGroupBy && (outlierCandidate.isDefined ||
+              catalog.bottomKSampleFor(table).isDefined))
           if (wanted) groupCol.flatMap(c => catalog.stratifiedSampleFor(table, c))
           else None
         }
@@ -764,6 +770,24 @@ final class QueryEngine(
                         opts.maxRelError * (1 + 1e-9))
                 }
             }
+            // decimal routing for bottom-k serves is gated on the
+            // rider's BUILD/FOLD-TIME proof: only columns whose every
+            // sample value round-trips DECIMAL(18,4) exactly may take
+            // the decimal sum path (a bare high-precision or
+            // large-magnitude column would be silently rounded or
+            // nulled — the outlier route's measure-scope hazard, but
+            // bottom-k has no single indexed measure, so the proof is
+            // per-column and recomputed on every streaming fold)
+            def bkDecimalGate(riderCol: String, riderType: String): Boolean = {
+              val safe = catalog.getSketch(table, riderCol, riderType)
+                .flatMap(r => """"decsafe"\s*:\s*"([^"]*)"""".r
+                  .findFirstMatchIn(r.parameters))
+                .map(_.group(1).split(",").filter(_.nonEmpty).toSet)
+                .getOrElse(Set.empty[String])
+              allSumAvgArgsBare(parsed) &&
+                sumAvgArgColumns(parsed, includePercentiles = false)
+                  .forall(safe.contains)
+            }
             bottomKG match {
               case Some(s) =>
                 ensureSampleView(s)
@@ -772,7 +796,9 @@ final class QueryEngine(
                   weight = None,
                   rewriteDistinctToHll = false, hllRsd = None,
                   addCiColumns = false,
-                  decimalSums = allSumAvgArgsBare(parsed),
+                  decimalSums = bkDecimalGate(
+                    catalog.bottomKGroupColumn(s).getOrElse(""),
+                    "bottomkg_rider"),
                   postScaleColumn = Some("graft_gw"))
                 val df = SampleRewrite.rewrite(spark, parsed, d)
                 val (spd, err) = StrategyChooser.predict(
@@ -797,7 +823,10 @@ final class QueryEngine(
                   weight = None,
                   rewriteDistinctToHll = false, hllRsd = None,
                   addCiColumns = false,
-                  decimalSums = allSumAvgArgsBare(parsed),
+                  decimalSums = bkDecimalGate(
+                    s.strataColumn.map(_.stripPrefix("__bottomk__"))
+                      .getOrElse(""),
+                    "bottomk_rider"),
                   postScale = Some(w),
                   // rank-based percentile CIs on the UNWEIGHTED sample
                   // quantile: nEff = k exactly (the fixed-size sample

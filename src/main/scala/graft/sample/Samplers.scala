@@ -393,7 +393,42 @@ object Samplers {
     catalog.putStrata(name, Seq(
       catalog.StratumInfo(name, "all", base, achieved, fraction,
         base.toDouble / math.max(1L, achieved), 0.0)))
+    // the rider: the running base count a streaming maintainer seeds
+    // from (a maintainer taking over a batch-built sample must CONTINUE
+    // N, not reset it) plus the build-time decimal-safety proof — the
+    // serve routes a SUM/AVG argument through DECIMAL(18,4) only for
+    // columns every SAMPLE row survives exactly (≤4 decimal places,
+    // |v| < 1e14; only sample rows are ever cast, so validating the
+    // materialized rows is exactly sufficient)
+    catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
+      "bottomk_rider", Array.emptyByteArray,
+      s"""{"rows":$base,"k":$k,"decsafe":${"\"" + decimalSafeCols(sampleDf) + "\""}}""",
+      System.currentTimeMillis()))
     (name, achieved)
+  }
+
+  /** Comma-joined list of the frame's numeric columns whose EVERY value
+    * round-trips DECIMAL(18,4) exactly (try_cast: an overflowing value
+    * nulls instead of throwing under ANSI, and null <=> value is
+    * false). The bottom-k serves' decimal-routing gate.
+    */
+  private[graft] def decimalSafeCols(df: DataFrame): String = {
+    import org.apache.spark.sql.types._
+    val numeric = df.schema.fields.filter(f => f.dataType match {
+      case _: IntegerType | _: ShortType | _: LongType | _: DoubleType |
+           _: FloatType | _: DecimalType => true
+      case _ => false
+    }).map(_.name).filterNot(_.startsWith("graft_"))
+    if (numeric.isEmpty) ""
+    else {
+      val checks = numeric.map(c =>
+        expr(s"every(cast(`$c` as double) <=> " +
+          s"cast(try_cast(`$c` as decimal(18,4)) as double))").as(c))
+      val row = df.agg(checks.head, checks.tail.toIndexedSeq: _*).collect()(0)
+      numeric.zipWithIndex
+        .filter { case (_, i) => !row.isNullAt(i) && row.getBoolean(i) }
+        .map(_._1.toLowerCase).mkString(",")
+    }
   }
 
   /** GROUPED bottom-k sample (round 12): [[createBottomK]] PER GROUP —
@@ -475,6 +510,16 @@ object Samplers {
           0.0)
       }.toSeq
     catalog.putStrata(name, strata)
+    // the rider: per-group running counts (escaped group\tcount lines —
+    // the streaming maintainer CONTINUES these instead of resetting)
+    // plus the decimal-safety proof over the materialized rows
+    val blob = strata.sortBy(_.strataValue)
+      .map(st => s"${graft.streaming.BlobEscape.esc(st.strataValue)}\t${st.popSize}")
+      .mkString("\n").getBytes("UTF-8")
+    catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
+      "bottomkg_rider", blob,
+      s"""{"rows":$base,"k":$kPerGroup,"decsafe":${"\"" + decimalSafeCols(sampleDf) + "\""}}""",
+      System.currentTimeMillis()))
     (name, achieved)
   }
 

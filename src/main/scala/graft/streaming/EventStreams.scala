@@ -437,8 +437,15 @@ object EventStreams {
             .groupBy(keyOf).map(_._2.head).toArray
             .sortBy(r => (r.getLong(hIdx), keyOf(r)))
             .take(k)
+          // CONTINUE the base count: the rider carries it across folds,
+          // and a maintainer taking over a BATCH-BUILT sample (no fold
+          // yet — the builder writes the rider too, but an old catalog
+          // may predate it) seeds from the sample's recorded baseRows
+          // instead of silently resetting N to one batch's worth
           val prevN = """"rows"\s*:\s*(\d+)""".r
             .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .orElse(catalog.samplesFor(table)
+              .find(_.sampleTable == name).flatMap(_.baseRows))
             .getOrElse(0L)
           val n = prevN + batchN
           s.createDataFrame(
@@ -450,9 +457,13 @@ object EventStreams {
           val achieved = merged.length.toLong
           val fraction = math.min(0.9999,
             achieved.toDouble / math.max(1L, n))
+          // re-prove decimal safety over the CURRENT fold's rows (the
+          // builder's check, verbatim — new rows can carry values the
+          // batch-validated set never saw)
+          val decsafe = graft.sample.Samplers.decimalSafeCols(sampleDf)
           catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
             "bottomk_rider", Array.emptyByteArray,
-            s"""{"rows":$n,"k":$k,"last_batch":$batchId}""",
+            s"""{"rows":$n,"k":$k,"last_batch":$batchId,"decsafe":"$decsafe"}""",
             System.currentTimeMillis()))
           catalog.upsertTableStats(table, n)
           catalog.addSample(catalog.SampleInfo(table, name, fraction,
@@ -513,17 +524,25 @@ object EventStreams {
             .filter(col("graft_rn") <= kPerGroup)
             .drop("graft_rn")
             .collect()
-          val batchCounts = batch.groupBy(col(groupCol))
+          val batchCountRows = batch.groupBy(col(groupCol))
             .agg(count(lit(1)).as("c")).collect()
+          // the batch builder REQUIRES non-null groups (a NULL group
+          // cannot carry a weight); the fold enforces the same contract
+          // instead of silently folding nulls as the string "null"
+          batchCountRows.foreach(r => require(!r.isNullAt(0),
+            s"grouped bottom-k stream group $groupCol must be non-null"))
+          val batchCounts = batchCountRows
             .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
-          // running per-group counts from the rider blob (+ this batch)
+          // running per-group counts: the rider blob (escaped lines —
+          // group values can contain tabs/newlines) continues across
+          // folds; a maintainer taking over a BATCH-BUILT sample with
+          // no blob yet seeds from the catalog's per-group strata
+          // instead of resetting every count to one batch's worth
           val prevCounts: Map[String, Long] = rider
-            .map(r => new String(r.data, "UTF-8"))
+            .map(r => BlobEscape.decodeCounts(r.data))
             .filter(_.nonEmpty)
-            .map(_.split("\n").iterator.filter(_.nonEmpty).map { line =>
-              val i = line.lastIndexOf('\t')
-              line.substring(0, i) -> line.substring(i + 1).toLong
-            }.toMap).getOrElse(Map.empty)
+            .getOrElse(catalog.strataFor(name)
+              .map(st => st.strataValue -> st.popSize).toMap)
           val counts = (prevCounts.keySet ++ batchCounts.keySet).iterator
             .map(g => g -> (prevCounts.getOrElse(g, 0L) +
               batchCounts.getOrElse(g, 0L))).toMap
@@ -563,8 +582,11 @@ object EventStreams {
             .map { case (g, rows) => g -> rows.length.toLong }
           val out = merged.map { r =>
             val g = String.valueOf(r.get(gIdx))
-            val gn = counts(g)
+            // defensive floor: a stored group missing from the counts
+            // map (possible only on a corrupted rider) still gets a
+            // consistent weight >= 1 instead of killing the stream
             val gk = achievedPerGroup(g)
+            val gn = math.max(counts.getOrElse(g, gk), gk)
             org.apache.spark.sql.Row.fromSeq(
               r.toSeq ++ Seq[Any](gn, gn.toDouble / math.max(1L, gk)))
           }
@@ -576,12 +598,12 @@ object EventStreams {
           val achieved = merged.length.toLong
           val fraction = math.min(0.9999,
             achieved.toDouble / math.max(1L, n))
-          val blob = counts.toSeq.sortBy(_._1)
-            .map { case (g, c) => s"$g\t$c" }.mkString("\n")
-            .getBytes("UTF-8")
+          val blob = BlobEscape.encodeCounts(counts)
+          val decsafe = graft.sample.Samplers.decimalSafeCols(
+            s.read.parquet(path))
           catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
             "bottomkg_rider", blob,
-            s"""{"rows":$n,"k":$kPerGroup,"last_batch":$batchId}""",
+            s"""{"rows":$n,"k":$kPerGroup,"last_batch":$batchId,"decsafe":"$decsafe"}""",
             System.currentTimeMillis()))
           catalog.upsertTableStats(table, n)
           catalog.addSample(catalog.SampleInfo(table, name, fraction,

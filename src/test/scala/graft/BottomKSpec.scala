@@ -32,7 +32,73 @@ class BottomKSpec extends SparkSpec {
     spark.range(0, 20000).toDF("id")
       .withColumn("v", expr("cast(1 + id % 100 as double)"))
       .withColumn("g", expr("cast(id % 4 as int)"))
+      // high-precision ride-along: DECIMAL(18,4) routing would round it
+      // to oblivion — the decimal-scope law's probe (the OutlierSpec v3)
+      .withColumn("v3", expr("cast(id as double) * cast(1e-7 as double)"))
       .createOrReplaceTempView("bk_base")
+  }
+
+  test("decimal routing is proof-scoped: high-precision columns stay unbiased") {
+    Samplers.createBottomK(spark, catalog, "bk_base", "id", K)
+    val r = engine.query("SELECT sum(v3) AS s3 FROM bk_base",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "bottomk", s"${r.planType}: ${r.reason}")
+    val est = r.df.collect().head.getDouble(0)
+    val exact = spark.sql("SELECT sum(v3) FROM bk_base")
+      .collect().head.getDouble(0)
+    // under the old blanket decimal gate every v3 value would round to
+    // 0.0000 and the estimate would be exactly 0
+    assert(math.abs(est - exact) / exact < 0.25, s"est=$est exact=$exact")
+  }
+
+  test("maintainers CONTINUE a batch-built sample's counts instead of resetting them") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // plain: batch build over 6000 rows, then stream 2000 more
+    val ccat = new MetaCatalog(
+      Files.createTempDirectory("graft-bk-cont").toString)
+    spark.range(0, 6000).toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bk_cont")
+    Samplers.createBottomK(spark, ccat, "bk_cont", "id", K)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val rows = stream.toDF().toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+    val q = graft.streaming.EventStreams.maintainBottomKSample(
+      rows, ccat, "bk_cont", "id", k = K)
+    stream.addData((6000L until 8000L).toSeq)
+    q.processAllAvailable(); q.stop()
+    assert(ccat.statsFor("bk_cont").exists(_.rowCount == 8000L),
+      ccat.statsFor("bk_cont").toString)
+    val ceng = new QueryEngine(spark, ccat)
+    val r = ceng.query("SELECT count(*) AS n FROM bk_cont",
+      ceng.Options(ciColumns = false))
+    assert(r.planType == "bottomk", s"${r.planType}: ${r.reason}")
+    val n = r.df.collect().head.getDouble(0)
+    assert(math.abs(n - 8000.0) / 8000.0 < 1e-12, s"n=$n")
+    // grouped: batch build, then a fold whose batch holds only ONE of
+    // the groups — the other groups' counts must persist from the
+    // builder-seeded rider, not crash or reset
+    val gcat = new MetaCatalog(
+      Files.createTempDirectory("graft-bkg-cont").toString)
+    spark.range(0, 3000).toDF("id")
+      .withColumn("g", expr("cast(id % 3 as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bkg_cont")
+    Samplers.createBottomKGrouped(spark, gcat, "bkg_cont", "g", "id", 64)
+    val stream2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val rows2 = stream2.toDF().toDF("id")
+      .withColumn("g", expr("cast(0 as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+    val q2 = graft.streaming.EventStreams.maintainBottomKGrouped(
+      rows2, gcat, "bkg_cont", "g", "id", kPerGroup = 64)
+    stream2.addData((3000L until 3300L).toSeq)
+    q2.processAllAvailable(); q2.stop()
+    val pops = gcat.strataFor("bkg_cont__bottomkg_g")
+      .map(st => st.strataValue -> st.popSize).toMap
+    assert(pops == Map("0" -> 1300L, "1" -> 1000L, "2" -> 1000L), pops.toString)
   }
 
   test("build picks exactly the k hash-smallest rows, deterministically") {

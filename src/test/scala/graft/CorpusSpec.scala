@@ -43,6 +43,9 @@ class CorpusSpec extends SparkSpec {
     assert(rows.length == docCount)
     val byShard = rows.groupBy(_.getAs[Int]("shard"))
     assert(byShard.keySet.subsetOf((0 until Corpus.shuffleShards).toSet))
+    val sizes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     byShard.values.foreach { rs =>
       val sorted = rs.sortBy(_.getAs[Int]("pos"))
       // positions are 1..n dense, offsets are the running byte sum
@@ -50,9 +53,6 @@ class CorpusSpec extends SparkSpec {
         assert(r.getAs[Int]("pos") == i + 1)
       }
       var off = 0L
-      val sizes = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(col("doc_id"), col("n_chars")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       sorted.foreach { r =>
         assert(r.getAs[Long]("offset") == off)
         off += sizes(r.getAs[Long]("doc_id"))
