@@ -561,34 +561,46 @@ final class QueryEngine(
         // Distinct shapes never reach here with it (guarded);
         // percentiles ride the integer-weight frequency rewrite (both
         // weights are integral by construction: 1 and a power of two).
-        // MIN never serves (the LOW tail is lottery-sampled, so the
-        // sample min can miss the true min row). MAX serves EXACTLY —
-        // the weight-1 part holds the global top-K rows by the
-        // measure, so max over the sample IS the true max — but only
-        // for an unfiltered, ungrouped query whose every max()
-        // argument is the bare measure: a filter can eliminate the
-        // entire exact tail (the surviving rest rows are a lottery
-        // subsample), a group can hold no tail row, and a derived
-        // expression need not attain its maximum on the value tail.
+        // MAX serves EXACTLY — the weight-1 part holds the global
+        // top-K rows by the measure, so max over the sample IS the
+        // true max — but only for an unfiltered, ungrouped query whose
+        // every max() argument is the bare measure: a filter can
+        // eliminate the entire exact tail (the surviving rest rows are
+        // a lottery subsample), a group can hold no tail row, and a
+        // derived expression need not attain its maximum on the value
+        // tail. MIN serves exactly under the SAME guard when the
+        // sample was built TWO-SIDED (`createOutlierSample(lowK > 0)`
+        // records an "outlier_low" weight-1 stratum holding the global
+        // bottom-k rows); a high-tail-only sample still refuses MIN —
+        // its low tail is lottery-sampled and can miss the true min.
         val outlierCandidate = {
           val maxLookup =
             if (features.aggFunctions.contains("max"))
               aggArgColumns(parsed, Seq("max"))
             else Set.empty[String]
+          val minLookup =
+            if (features.aggFunctions.contains("min"))
+              aggArgColumns(parsed, Seq("min"))
+            else Set.empty[String]
           if (features.hasDistinct) None
-          else (sumAvgArgColumns(parsed) ++ maxLookup).toSeq.sorted.iterator
+          else (sumAvgArgColumns(parsed) ++ maxLookup ++ minLookup)
+            .toSeq.sorted.iterator
             .flatMap(c => catalog.outlierSampleFor(table, c).iterator)
             .nextOption()
             .filter { s =>
               val m = s.strataColumn
                 .map(_.stripPrefix("__outlier__")).getOrElse("")
+              val hasLowTail = catalog.strataFor(s.sampleTable)
+                .exists(_.strataValue == "outlier_low")
               !features.hasMinMax || (
-                !features.aggFunctions.contains("min") &&
                 !features.hasGroupBy &&
                 parsed.collectFirst {
                   case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
                 }.isEmpty &&
-                aggArgsAreBare(parsed, m, Seq("max")))
+                (!features.aggFunctions.contains("min") ||
+                  (hasLowTail && aggArgsAreBare(parsed, m, Seq("min")))) &&
+                (!features.aggFunctions.contains("max") ||
+                  aggArgsAreBare(parsed, m, Seq("max"))))
             }
         }
         val groupCol = features.groupByColumns.headOption
@@ -648,8 +660,11 @@ final class QueryEngine(
               choice.confidence, spd, err, Some(s.fraction),
               Some(s.sampleTable),
               Seq(s"outlier-indexed sample ${s.sampleTable}: heavy tail exact at weight 1, rest Horvitz-Thompson weighted") ++
-                (if (features.hasMinMax)
+                (if (features.aggFunctions.contains("max"))
                   Seq("MAX answered exactly from the weight-1 tail (holds the global top-k rows by the measure)")
+                else Nil) ++
+                (if (features.aggFunctions.contains("min"))
+                  Seq("MIN answered exactly from the weight-1 low tail (holds the global bottom-k rows by the measure)")
                 else Nil),
               estimatedCost = Some(tableSize * s.fraction *
                 Planner.ScanCostPerRow + Planner.SampleSetupCost))
@@ -724,10 +739,10 @@ final class QueryEngine(
             // per-group constant). Error bound: √(1/k_g) over the
             // groups that are actually subsampled; fully-contained
             // groups are exact.
+            def norm(c: String): String =
+              c.split("\\.").last.stripSuffix("`").stripPrefix("`")
+                .toLowerCase
             val bottomKG = {
-              def norm(c: String): String =
-                c.split("\\.").last.stripSuffix("`").stripPrefix("`")
-                  .toLowerCase
               if (features.hasDistinct || features.hasMinMax ||
                   !features.hasGroupBy) None
               else catalog.bottomKGroupedSampleFor(table)
@@ -769,6 +784,20 @@ final class QueryEngine(
                       math.sqrt(1.0 / st.sampleSize) <=
                         opts.maxRelError * (1 + 1e-9))
                 }
+                // representation gate for GROUPED shapes: the plain
+                // bottom-k guarantees only the GLOBAL √(1/k) bound —
+                // a rare group can be thin (noise estimates) or lose
+                // the hash race entirely (vanish from the result).
+                // Require every group PRESENT in the sample to hold
+                // >= BkGroupMinRows rows on the query's group-by
+                // columns, and when an HLL for a single group column
+                // exists, the sample's group count to cover its
+                // estimate (a vanished group is undetectable from the
+                // sample alone). Memoized per materialization.
+                .filter { s =>
+                  !features.hasGroupBy ||
+                    bkGroupedServeOk(s, features.groupByColumns.map(norm))
+                }
             }
             // decimal routing for bottom-k serves is gated on the
             // rider's BUILD/FOLD-TIME proof: only columns whose every
@@ -779,7 +808,14 @@ final class QueryEngine(
             // bottom-k has no single indexed measure, so the proof is
             // per-column and recomputed on every streaming fold)
             def bkDecimalGate(riderCol: String, riderType: String): Boolean = {
-              val safe = catalog.getSketch(table, riderCol, riderType)
+              // the marker carries the column LOWERCASED but the rider
+              // is keyed under the builder's original-case column —
+              // match case-insensitively or a mixed-case column would
+              // silently lose decimal routing (and drift from any
+              // oracle authored against the decimal path)
+              val safe = catalog.listSketches(Some(table))
+                .find(sk => sk.sketchType == riderType &&
+                  sk.columnName.equalsIgnoreCase(riderCol))
                 .flatMap(r => """"decsafe"\s*:\s*"([^"]*)"""".r
                   .findFirstMatchIn(r.parameters))
                 .map(_.group(1).split(",").filter(_.nonEmpty).toSet)
@@ -791,6 +827,21 @@ final class QueryEngine(
             bottomKG match {
               case Some(s) =>
                 ensureSampleView(s)
+                // per-group percentile CIs: the build caps every
+                // subsampled group at EXACTLY kPerGroup rows, so the
+                // per-group effective n is known at plan time (the
+                // q179 argument, per group) — kCap from the rider the
+                // builder/maintainer stamps, falling back to the
+                // largest achieved stratum. Unfiltered shapes only.
+                val kCap = catalog.listSketches(Some(table))
+                  .find(sk => sk.sketchType == "bottomkg_rider" &&
+                    catalog.bottomKGroupColumn(s)
+                      .exists(sk.columnName.equalsIgnoreCase))
+                  .flatMap(r => """"k"\s*:\s*(\d+)""".r
+                    .findFirstMatchIn(r.parameters))
+                  .map(_.group(1).toDouble)
+                  .getOrElse(catalog.strataFor(s.sampleTable)
+                    .map(_.sampleSize).foldLeft(0L)(math.max).toDouble)
                 val d = SampleRewrite.Directive(table,
                   Planner.ReadSampleTable(s.sampleTable, s.fraction),
                   weight = None,
@@ -799,7 +850,13 @@ final class QueryEngine(
                   decimalSums = bkDecimalGate(
                     catalog.bottomKGroupColumn(s).getOrElse(""),
                     "bottomkg_rider"),
-                  postScaleColumn = Some("graft_gw"))
+                  postScaleColumn = Some("graft_gw"),
+                  pctCiGrouped = if (opts.ciColumns && kCap > 0 &&
+                      parsed.collectFirst {
+                        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+                      }.isEmpty)
+                    Some((1.96, kCap))
+                  else None)
                 val df = SampleRewrite.rewrite(spark, parsed, d)
                 val (spd, err) = StrategyChooser.predict(
                   StrategyChooser.Stratified, tableSize, Some(s.fraction))
@@ -1077,6 +1134,63 @@ final class QueryEngine(
       spark.read.parquet(s.path).createOrReplaceTempView(s.sampleTable)
       registeredSampleViews.put(s.sampleTable, s.createdAt)
     }
+
+  /** A grouped query served from the PLAIN bottom-k sample drops any
+    * group whose every row lost the global hash race — per-group error
+    * is NOT the advertised √(1/k). Floor: every present group keeps at
+    * least this many sample rows (the classical CLT floor; a
+    * high-cardinality grouping over a k-row sample yields 1–2 rows per
+    * group and refuses here).
+    */
+  private val BkGroupMinRows = 30L
+
+  /** (sampleTable, createdAt, groupCols) -> (min rows per present
+    * group, distinct group count) over the materialized sample — the
+    * plain-bottom-k grouped-serve representation stats. Keyed on the
+    * materialization stamp so a streaming re-fold invalidates, and a
+    * steady-state serve pays zero Spark jobs at plan time.
+    */
+  private val bkGroupStats = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Seq[String]), (Long, Long)]
+
+  private def bkGroupedServeOk(s: catalog.SampleInfo,
+      groupCols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    ensureSampleView(s)
+    val sdf = spark.table(s.sampleTable)
+    val byLower = sdf.schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    // a group-by entry that is not a bare sample column (an expression,
+    // or a column this sample never carried) cannot be representation-
+    // checked — refuse the serve rather than risk dropped groups
+    groupCols.nonEmpty && groupCols.forall(byLower.contains) && {
+      val actual = groupCols.map(byLower)
+      val (minPerGroup, nGroups) = bkGroupStats.getOrElseUpdate(
+        (s.sampleTable, s.createdAt, actual), {
+          val r = sdf.groupBy(actual.map(col): _*)
+            .agg(count(lit(1)).as("graft_c"))
+            .agg(min(col("graft_c")), count(lit(1))).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        })
+      minPerGroup >= BkGroupMinRows && (actual match {
+        case Seq(g1) =>
+          // vanished groups are invisible in the sample; when a stored
+          // HLL knows the base table's distinct count for this column,
+          // the sample must cover it within the sketch's 3-sigma band
+          catalog.listSketches(Some(s.tableName))
+            .find(sk => sk.sketchType == "hyperloglog" &&
+              sk.columnName.equalsIgnoreCase(g1))
+            .forall { sk =>
+              val est = graft.sketch.Hll.deserialize(sk.data).count
+              val b = """"b"\s*:\s*(\d+)""".r
+                .findFirstMatchIn(sk.parameters)
+                .map(_.group(1).toInt).getOrElse(12)
+              val rsd = 1.04 / math.sqrt(math.pow(2.0, b.toDouble))
+              nGroups >= math.floor(est * math.max(0.0, 1 - 3 * rsd)).toLong
+            }
+        case _ => true
+      })
+    }
+  }
 
   /** True iff every non-distinct SUM/AVG call's argument is a single
     * bare attribute (ANY column — the bottom-k decimal gate: a bare
@@ -2455,7 +2569,7 @@ final class QueryEngine(
               case None => return None
             }
           val byPrefix = entries.groupBy(_._1.take(gNames.size)).toSeq
-            .sortBy(_._1.map(_.getOrElse("")).mkString(" "))
+            .sortBy(_._1.map(_.getOrElse("")).mkString("\u0000"))
           val served = byPrefix.flatMap { case (pk, es) =>
             val hs = es.collect { case (_, b) if b.nonEmpty =>
               graft.sketch.Histogram.deserialize(b) }

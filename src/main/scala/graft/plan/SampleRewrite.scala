@@ -121,7 +121,22 @@ object SampleRewrite {
       // BY determines the sample's group column (caller contract —
       // mixing groups would aggregate incomparable weights). Mutually
       // exclusive with `weight` and `postScale`.
-      postScaleColumn: Option[String] = None)
+      postScaleColumn: Option[String] = None,
+      // PER-GROUP percentile CIs on the grouped bottom-k serve
+      // (round 13): (z, kCap) with kCap = the build's kPerGroup. The
+      // per-group effective n is known AT PLAN TIME because the
+      // builder caps every subsampled group at EXACTLY kCap rows
+      // (k_g = min(kCap, N_g)), so only two cases exist per output
+      // group, both with foldable percentages: a CAPPED group
+      // (max(graft_gn) > count(1), i.e. N_g > k_g) gets the rank-shift
+      // bound at nEff = kCap — percentile re-evaluated at
+      // p ∓ z·√(p(1−p)/kCap) — and a COMPLETE group (fully contained
+      // in the sample) gets the point estimate back as both bounds:
+      // exact, zero-width. Requires postScaleColumn (the graft_gn
+      // companion column rides the same sample); caller sets it only
+      // for unfiltered shapes (a filter makes post-filter per-group
+      // counts unknowable at plan time — q168's contract).
+      pctCiGrouped: Option[(Double, Double)] = None)
 
   /** Rewrite the parsed plan per the directive and hand it to Spark for
     * analysis + execution.
@@ -395,7 +410,49 @@ object SampleRewrite {
         }
       }
 
-    rewritten ++ companions ++ pctUnweighted
+    // Per-group percentile CIs for the grouped bottom-k serve
+    // (Directive.pctCiGrouped): every aggregate below evaluates within
+    // the output group, so max(graft_gn) is N_g and count(1) is k_g —
+    // a capped group (N_g > k_g, hence k_g == kCap by construction)
+    // takes the rank-shifted quantile at nEff = kCap, a complete group
+    // returns its exact quantile as both bounds (zero width).
+    val pctGroupedBk: Seq[NamedExpression] =
+      if (d.postScaleColumn.isEmpty || d.pctCiGrouped.isEmpty) Nil
+      else exprs.flatMap { ne =>
+        val (inner, name) = ne match {
+          case Alias(child, n) => (child, n)
+          case other           => (other: Expression, prettyName(other))
+        }
+        val parsedPct: Option[(Expression, Double)] = inner match {
+          case f: UnresolvedFunction
+              if isAgg(f, "percentile") && f.arguments.sizeIs == 2 =>
+            litDouble(f.arguments(1)).map(p => (f.arguments.head, p))
+          case f: UnresolvedFunction
+              if isAgg(f, "median") && f.arguments.sizeIs == 1 =>
+            Some((f.arguments.head, 0.5))
+          case _ => None
+        }
+        parsedPct.toSeq.flatMap { case (x, p) =>
+          d.pctCiGrouped.toSeq.flatMap { case (z, kCap) =>
+            if (kCap <= 0) Nil
+            else {
+              val shift = z * math.sqrt((p * (1.0 - p)) / kCap)
+              val pLo = math.max(0.0, math.min(1.0, p - shift))
+              val pHi = math.max(0.0, math.min(1.0, p + shift))
+              val capped = GreaterThan(
+                fn("max", UnresolvedAttribute("graft_gn")),
+                fn("count", Literal(1)))
+              def bound(q: Double): Expression = CaseWhen(
+                Seq((capped, fn("percentile", x, Literal(q)))),
+                Some(fn("percentile", x, Literal(p))))
+              Seq(named(bound(pLo), s"${name}_ci_low"),
+                named(bound(pHi), s"${name}_ci_high"))
+            }
+          }
+        }
+      }
+
+    rewritten ++ companions ++ pctUnweighted ++ pctGroupedBk
   }
 
   private def prettyName(e: Expression): String =

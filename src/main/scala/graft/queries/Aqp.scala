@@ -88,6 +88,13 @@ object Aqp {
   // stratified/sampling paths for grouped aggregates on orders.
   private val bkgEngines =
     scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
+  // q180's engine holds the TWO-SIDED outlier sample (lowK > 0) — both
+  // value tails exact at weight 1, so MIN and MAX serve together. Its
+  // rest-lottery membership differs from q163's one-sided build (the
+  // low tail is excluded from the lottery), so it cannot share the
+  // q163 catalog without breaking those oracles' membership CTEs.
+  private val outlier2Engines =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), QueryEngine]()
 
   private def engineFor(s: SparkSession, dir: String): QueryEngine = {
     // evict entries for stopped sessions (same policy as Dedup.memo) so
@@ -96,7 +103,7 @@ object Aqp {
     Seq(engines, seededStratEngines, histograms, groupedHistograms,
         cmsSketches, compositeCms, compositeHists, joinEngines, detEngines,
         uniEngines, uniSamples, snowEngines, sgEngines, kmvEngines,
-        topkEngines, outlierEngines, bkEngines, bkgEngines)
+        topkEngines, outlierEngines, outlier2Engines, bkEngines, bkgEngines)
       .foreach { m =>
         m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
       }
@@ -336,6 +343,17 @@ object Aqp {
         new MetaCatalog(Files.createTempDirectory("graft-outlier").toString))
       Samplers.createOutlierSample(s, e.catalog, "orders", "o_totalprice",
         "o_orderkey", outlierK = 500, targetRest = 2048L)
+      e
+    })
+  }
+
+  private def outlier2EngineFor(s: SparkSession, dir: String): QueryEngine = {
+    Tables.ensureRegistered(s, dir)
+    outlier2Engines.getOrElseUpdate((s, dir), {
+      val e = new QueryEngine(s,
+        new MetaCatalog(Files.createTempDirectory("graft-outlier2").toString))
+      Samplers.createOutlierSample(s, e.catalog, "orders", "o_totalprice",
+        "o_orderkey", outlierK = 500, targetRest = 2048L, lowK = 500)
       e
     })
   }
@@ -2497,6 +2515,31 @@ object Aqp {
       r.df
     }),
 
+    // PER-GROUP percentile CIs on the GROUPED bottom-k serve
+    // (round 13): the build caps every subsampled group at EXACTLY
+    // kPerGroup rows, so each group's effective n is known at plan
+    // time (q179's argument, per group) and only two foldable cases
+    // exist — a capped group (N_g > k_g) re-evaluates the percentile
+    // at p ∓ 1.96·√(p(1−p)/kPerGroup), a COMPLETE group returns its
+    // exact quantile as both bounds (zero width). At the verify SF the
+    // orders fixture exercises BOTH branches ('P' is complete, 'F'/'O'
+    // are capped). Whole chain re-derived in DuckDB.
+    "q181_bottomkg_pct_ci" -> ((s, dir) => {
+      val e = bkgEngineFor(s, dir)
+      val r = e.query(
+        "SELECT o_orderstatus, count(*) AS n_est, " +
+          "percentile(o_totalprice, 0.5) AS p50 " +
+          "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        e.Options(ciColumns = true))
+      assert(r.planType == "bottomk_grouped",
+        s"q181 must serve from the grouped bottom-k sample: " +
+          s"${r.planType} (${r.reason})")
+      def pct(c: String) =
+        expr(s"cast(cast($c as decimal(18,6)) as double)").as(c)
+      r.df.select(col("o_orderstatus"), col("n_est"), pct("p50"),
+        pct("p50_ci_low"), pct("p50_ci_high"))
+    }),
+
     // GROUPED + FILTERED outlier serve (round 11): the dashboard shape
     // over the outlier sample — a WHERE prunes sample rows per-row
     // (membership is predicate-independent, so HT stays unbiased) and
@@ -2564,6 +2607,32 @@ object Aqp {
           s"${r.planType} (${r.reason})")
       assert(r.transformations.exists(_.contains("MAX answered exactly")),
         s"q171 must flag the exact max: ${r.transformations}")
+      r.df
+    }),
+
+    // EXACT MIN from the TWO-SIDED outlier sample (round 13): built
+    // with lowK > 0, the sample holds BOTH value tails at weight 1 —
+    // the global top-500 AND bottom-500 rows by the measure — so MIN
+    // and MAX both read exactly off the same serve that HT-scales the
+    // sum (the round-12 verdict's symmetry gap: users hit
+    // MIN(measure) as often as MAX). Same guard as q171: unfiltered,
+    // ungrouped, bare-measure arguments only; a high-tail-only sample
+    // still refuses MIN (its low tail is lottery-sampled). Membership
+    // of all THREE parts — high rank, low rank, 'ol:' lottery over
+    // the remainder — plus the weighted decimal sum re-derive in
+    // DuckDB, so the whole serve is hash-gated.
+    "q180_outlier_min" -> ((s, dir) => {
+      val e = outlier2EngineFor(s, dir)
+      val r = e.query(
+        "SELECT count(*) AS n_est, sum(o_totalprice) AS tp_est, " +
+          "min(o_totalprice) AS tp_min, max(o_totalprice) AS tp_max " +
+          "FROM orders",
+        e.Options(ciColumns = false))
+      assert(r.planType == "outlier",
+        s"q180 must serve from the two-sided outlier sample: " +
+          s"${r.planType} (${r.reason})")
+      assert(r.transformations.exists(_.contains("MIN answered exactly")),
+        s"q180 must flag the exact min: ${r.transformations}")
       r.df
     }),
 
@@ -3913,6 +3982,69 @@ object Aqp {
         GROUP BY g
         ORDER BY o_orderstatus""",
 
+    // q181: q177's per-group sample + the q179 rank-shift chain PER
+    // GROUP — the shifted quantile applies only where gn > kg (capped
+    // groups, whose kg is exactly 512 by construction); complete
+    // groups interpolate at p itself for all three tags (zero-width,
+    // exact). Manual interpolation (rank p·(kg−1), lower +
+    // (higher−lower)·frac) mirrors Spark's percentile association;
+    // all three values round through DECIMAL(18,6).
+    "q181_bottomkg_pct_ci" ->
+      s"""WITH gc AS (SELECT o_orderstatus AS g, count(*) AS gn
+            FROM orders GROUP BY 1),
+          rk AS (SELECT o_orderstatus AS g, o_totalprice AS v,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY
+                ${graft.queries.Dedup.h60Duck("'bkg:' || CAST(o_orderkey AS VARCHAR)")} ASC,
+                o_orderkey ASC) AS rn
+            FROM orders),
+          samp AS (SELECT rk.g, rk.v, gc.gn,
+              CAST(gc.gn AS DOUBLE)
+                / CAST(least(512, gc.gn) AS DOUBLE) AS gw
+            FROM rk JOIN gc ON rk.g = gc.g WHERE rk.rn <= 512),
+          ks AS (SELECT g, count(*) AS kg, max(gn) AS gn FROM samp
+            GROUP BY g),
+          pr AS (SELECT g, 'p50' AS tag, CAST(0.5 AS DOUBLE) AS p FROM ks
+            UNION ALL
+            SELECT g, 'lo', CASE WHEN gn > kg THEN
+              greatest(0.0, least(1.0, CAST(0.5 AS DOUBLE)
+                - (1.96 * sqrt((CAST(0.5 AS DOUBLE)
+                    * (1.0 - CAST(0.5 AS DOUBLE))) / 512.0))))
+              ELSE CAST(0.5 AS DOUBLE) END FROM ks
+            UNION ALL
+            SELECT g, 'hi', CASE WHEN gn > kg THEN
+              greatest(0.0, least(1.0, CAST(0.5 AS DOUBLE)
+                + (1.96 * sqrt((CAST(0.5 AS DOUBLE)
+                    * (1.0 - CAST(0.5 AS DOUBLE))) / 512.0))))
+              ELSE CAST(0.5 AS DOUBLE) END FROM ks),
+          exp AS (SELECT g, v,
+              row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS idx
+            FROM samp),
+          np AS (SELECT g, count(*) AS np FROM exp GROUP BY g),
+          picked AS (SELECT pr.g, pr.tag,
+              min(CASE WHEN e.idx = CAST(floor(pr.p * (np.np - 1)) AS BIGINT)
+                  THEN e.v END) AS lov,
+              min(CASE WHEN e.idx = least(
+                    CAST(floor(pr.p * (np.np - 1)) AS BIGINT) + 1, np.np - 1)
+                  THEN e.v END) AS hiv,
+              min(pr.p * (np.np - 1) - floor(pr.p * (np.np - 1))) AS fr
+            FROM pr
+            JOIN exp e ON pr.g = e.g
+            JOIN np ON np.g = pr.g
+            GROUP BY pr.g, pr.tag),
+          vals AS (SELECT g, tag,
+              CAST(CAST(lov + (hiv - lov) * fr AS DECIMAL(18,6)) AS DOUBLE)
+                AS val
+            FROM picked),
+          cnt AS (SELECT g, max(gw) * CAST(count(*) AS DOUBLE) AS n_est
+            FROM samp GROUP BY g)
+        SELECT cnt.g AS o_orderstatus, cnt.n_est,
+          (SELECT val FROM vals WHERE vals.g = cnt.g AND tag = 'p50') AS p50,
+          (SELECT val FROM vals WHERE vals.g = cnt.g AND tag = 'lo')
+            AS p50_ci_low,
+          (SELECT val FROM vals WHERE vals.g = cnt.g AND tag = 'hi')
+            AS p50_ci_high
+        FROM cnt ORDER BY o_orderstatus""",
+
     "q163_outlier_sum" ->
       s"""WITH ${duckOutlierSamp()}
           SELECT CAST(sum(wt) AS DOUBLE) AS n_est,
@@ -3939,6 +4071,36 @@ object Aqp {
       s"""WITH ${duckOutlierSamp()}
           SELECT CAST(sum(wt) AS DOUBLE) AS n_est,
             CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE) AS tp_est,
+            max(v) AS tp_max
+          FROM samp""",
+    // q180: the TWO-SIDED membership re-derived — high rank rn <= 500
+    // under (v DESC, k ASC), low rank rnl <= 500 under (v ASC, k ASC)
+    // with high-part rows excluded (the builder's lowPred && !outlierPred),
+    // the rest lottery over the remainder at the power-of-two weight
+    // computed from (N - 1000), and min/max read off the weight-1
+    // tails of the SAME sample the decimal-weighted sum uses.
+    "q180_outlier_min" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+          nn AS (SELECT count(*) AS n FROM base),
+          rk AS (SELECT k, v,
+              row_number() OVER (ORDER BY v DESC, k ASC) AS rn,
+              row_number() OVER (ORDER BY v ASC, k ASC) AS rnl FROM base),
+          wv AS (SELECT CASE WHEN (n - 1000) // 2048 < 1 THEN CAST(1 AS BIGINT)
+                   ELSE CAST(1 AS BIGINT)
+                     << CAST(least(13, length(bin((n - 1000) // 2048)) - 1) AS INT)
+              END AS w FROM nn),
+          samp AS (
+            SELECT v, CAST(1 AS BIGINT) AS wt FROM rk WHERE rn <= 500
+            UNION ALL
+            SELECT v, CAST(1 AS BIGINT) AS wt FROM rk
+            WHERE rnl <= 500 AND rn > 500
+            UNION ALL
+            SELECT r.v, w.w AS wt FROM rk r, wv w
+            WHERE r.rn > 500 AND r.rnl > 500
+              AND ${graft.queries.Dedup.h60Duck("'ol:' || CAST(r.k AS VARCHAR)")} % 8192 < 8192 // w.w)
+          SELECT CAST(sum(wt) AS DOUBLE) AS n_est,
+            CAST(sum(CAST(v AS DECIMAL(18,4)) * CAST(wt AS DECIMAL(18,0))) AS DOUBLE) AS tp_est,
+            min(v) AS tp_min,
             max(v) AS tp_max
           FROM samp""",
     // q168: q163's membership CTEs, then the FULL percentile-CI chain

@@ -21,6 +21,22 @@ object Events {
   private val dsumVal = "cast(sum(cast(value as decimal(18,4))) as double)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // WINDOWED bottom-k sample (round 13) — the TTL form's batch twin:
+    // the bottom-k sample of the LAST 10 days of event time at 1-day
+    // bucket granularity, computed the way the streaming maintainer
+    // folds it (per-bucket bottom-k, then a global re-merge). The
+    // oracle re-derives the DIRECT bottom-k over the live rows, so the
+    // merge law (bottom-k of a union == bottom-k of the parts'
+    // bottom-k's) is hash-gated end to end; n_live is the exact count
+    // the maintained sample's N/k serve weight tracks.
+    "q183_windowed_bottomk" -> ((s, dir) => {
+      graft.streaming.EventStreams.windowedBottomK(
+        Tables.load(s, dir, "events"), "event_id", "ts",
+        windowMicros = 10L * 86400000000L,
+        bucketMicros = 86400000000L, k = 512)
+        .orderBy(col("event_id"))
+    }),
+
     // Tumbling 1-hour windows by event type (epoch-aligned, like
     // streaming `window(ts, '1 hour')`).
     "q24_event_window" -> ((s, dir) => {
@@ -284,6 +300,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // q183: the DIRECT windowed bottom-k — live buckets from the max
+    // event time ((b+1)·bucket > max − window, all-integer µs
+    // arithmetic), the 'bkw:' keyed h60 rank over live rows, rn <= k.
+    // Matching the engine's bucket-merge route gates the merge law.
+    "q183_windowed_bottomk" ->
+      s"""WITH e AS (SELECT event_id AS k, epoch_us(ts) AS us FROM events),
+          mx AS (SELECT max(us) AS m FROM e),
+          lv AS (SELECT e.k FROM e, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000),
+          nn AS (SELECT count(*) AS n FROM lv),
+          rk AS (SELECT k, row_number() OVER (ORDER BY
+              ${graft.queries.Dedup.h60Duck("'bkw:' || CAST(k AS VARCHAR)")} ASC,
+              k ASC) AS rn FROM lv)
+          SELECT rk.k AS event_id, nn.n AS n_live
+          FROM rk, nn WHERE rn <= 512 ORDER BY event_id""",
     "q164_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
           f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),

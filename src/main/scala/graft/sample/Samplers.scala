@@ -239,9 +239,11 @@ object Samplers {
     */
   def createOutlierSample(spark: SparkSession, catalog: MetaCatalog,
       table: String, valueCol: String, keyCol: String,
-      outlierK: Int = 500, targetRest: Long = 2048L): (String, Long, Long) = {
+      outlierK: Int = 500, targetRest: Long = 2048L,
+      lowK: Int = 0): (String, Long, Long) = {
     require(outlierK >= 1, "outlierK must be >= 1")
     require(targetRest >= 1, "targetRest must be >= 1")
+    require(lowK >= 0, "lowK must be >= 0")
     graft.functions.GraftFunctions.register(spark)
     val df = spark.table(table)
     // keyCol MUST be unique and non-null: a NULL key can never win the
@@ -275,37 +277,75 @@ object Samplers {
       (col(valueCol).cast("double") > cv) ||
         (col(valueCol).cast("double") === cv && col(keyCol) <= lit(ck))
     }.getOrElse(lit(false))
-    val m = math.max(0L, base - outlierK) / targetRest
+    // OPTIONAL low tail (round 13): the bottom-lowK rows by
+    // (value ASC, key ASC) also materialize at weight 1, making MIN
+    // exactly servable — symmetric with the high tail's exact MAX. A
+    // row on BOTH tails (tiny table) stays in the high part only; the
+    // rest lottery excludes both.
+    val lowCut =
+      if (lowK == 0) Array.empty[org.apache.spark.sql.Row]
+      else df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).cast("double").as("v"), col(keyCol).as("k"))
+        .orderBy(col("v").asc, col("k").asc).limit(lowK)
+        .orderBy(col("v").desc, col("k").desc).limit(1)
+        .collect()
+    val lowPred = lowCut.headOption.map { r =>
+      val cv = r.getDouble(0)
+      val ck = r.get(1)
+      (col(valueCol).cast("double") < cv) ||
+        (col(valueCol).cast("double") === cv && col(keyCol) <= lit(ck))
+    }.getOrElse(lit(false))
+    val m = math.max(0L, base - outlierK - lowK) / targetRest
     val w = if (m < 1L) 1L
       else math.min(8192L, java.lang.Long.highestOneBit(m))
     val threshold = 8192L / w
-    val name = s"${table}__outlier_$valueCol"
+    // two-sided builds get a DISTINCT name: temp views are
+    // session-global, so a one-sided and a two-sided sample on the
+    // same (table, measure) in different catalogs of one session must
+    // not overwrite each other's registered view (their rest-lottery
+    // memberships differ)
+    val name =
+      if (lowK > 0) s"${table}__outlier2_$valueCol"
+      else s"${table}__outlier_$valueCol"
     val path = s"${catalog.samplesDir}/$name"
     val outPart = df.filter(outlierPred)
       .withColumn("graft_weight", lit(1.0))
-    val restPart = df.filter(!coalesce(outlierPred, lit(false)))
+    val lowPart = df
+      .filter(coalesce(lowPred, lit(false)) &&
+        !coalesce(outlierPred, lit(false)))
+      .withColumn("graft_weight", lit(1.0))
+    val restPart = df.filter(!coalesce(outlierPred, lit(false)) &&
+        !coalesce(lowPred, lit(false)))
       .filter(expr(
         s"graft_h60(concat('ol:', cast($keyCol as string))) % 8192 < $threshold"))
       .withColumn("graft_weight", lit(w.toDouble))
-    outPart.unionByName(restPart)
-      .coalesce(sampleFiles(outlierK + (base - outlierK) / w))
+    outPart.unionByName(lowPart).unionByName(restPart)
+      .coalesce(sampleFiles(outlierK + lowK + (base - outlierK - lowK) / w))
       .write.mode("overwrite").parquet(path)
     val sampleDf = spark.read.parquet(path).cache()
     sampleDf.createOrReplaceTempView(name)
-    // achieved sizes from the materialized sample (w == 1 makes the two
-    // parts weight-indistinguishable: count them via the predicate)
+    // achieved sizes from the materialized sample (w == 1 makes the
+    // parts weight-indistinguishable: count them via the predicates)
     val nOut = sampleDf.filter(outlierPred).count()
-    val nRest = sampleDf.count() - nOut
+    val nLow =
+      if (lowK == 0) 0L
+      else sampleDf.filter(coalesce(lowPred, lit(false)) &&
+        !coalesce(outlierPred, lit(false))).count()
+    val nRest = sampleDf.count() - nOut - nLow
     val achievedFraction = math.min(0.9999,
-      (nOut + nRest).toDouble / math.max(1L, base))
+      (nOut + nLow + nRest).toDouble / math.max(1L, base))
     catalog.upsertTableStats(table, base)
     catalog.addSample(catalog.SampleInfo(table, name, achievedFraction,
       Some(s"__outlier__${valueCol.toLowerCase}"), path,
       System.currentTimeMillis(), baseRows = Some(base)))
     catalog.putStrata(name, Seq(
-      catalog.StratumInfo(name, "outlier", nOut, nOut, 1.0, 1.0, 0.0),
-      catalog.StratumInfo(name, "rest", math.max(0L, base - nOut), nRest,
-        1.0 / w, w.toDouble, 0.0)))
+      catalog.StratumInfo(name, "outlier", nOut, nOut, 1.0, 1.0, 0.0)) ++
+      (if (lowK > 0)
+        Seq(catalog.StratumInfo(name, "outlier_low", nLow, nLow, 1.0, 1.0,
+          0.0))
+      else Nil) ++ Seq(
+      catalog.StratumInfo(name, "rest", math.max(0L, base - nOut - nLow),
+        nRest, 1.0 / w, w.toDouble, 0.0)))
     (name, nOut, nRest)
   }
 

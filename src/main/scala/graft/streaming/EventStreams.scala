@@ -417,11 +417,18 @@ object EventStreams {
             .orderBy(col("graft_h").asc, col(keyCol).asc).limit(k)
             .collect()
           val batchN = batch.count()
+          val schema = withH.schema
+          // normalize the STORED rows to the batch frame's field order
+          // before the positional merge (keyIdx/hIdx are computed from
+          // the batch schema; a batch-built parquet with a different
+          // column order would otherwise be read positionally wrong —
+          // the grouped maintainer's existing discipline)
           val stored =
             if (new java.io.File(path).exists)
-              s.read.parquet(path).collect()
+              s.read.parquet(path)
+                .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+                .collect()
             else Array.empty[org.apache.spark.sql.Row]
-          val schema = withH.schema
           val hIdx = schema.fieldIndex("graft_h")
           def keyOf(r: org.apache.spark.sql.Row): Long =
             r.get(keyIdx) match {
@@ -461,10 +468,6 @@ object EventStreams {
           // builder's check, verbatim — new rows can carry values the
           // batch-validated set never saw)
           val decsafe = graft.sample.Samplers.decimalSafeCols(sampleDf)
-          catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
-            "bottomk_rider", Array.emptyByteArray,
-            s"""{"rows":$n,"k":$k,"last_batch":$batchId,"decsafe":"$decsafe"}""",
-            System.currentTimeMillis()))
           catalog.upsertTableStats(table, n)
           catalog.addSample(catalog.SampleInfo(table, name, fraction,
             Some(s"__bottomk__${keyCol.toLowerCase}"), path,
@@ -472,6 +475,15 @@ object EventStreams {
           catalog.putStrata(name, Seq(
             catalog.StratumInfo(name, "all", n, achieved, fraction,
               n.toDouble / math.max(1L, achieved), 0.0)))
+          // the replay-guard stamp lands LAST: a crash mid-fold leaves
+          // last_batch at its previous value, so the replayed batch
+          // re-runs the whole fold (rows are idempotent, N continues
+          // from the un-advanced rider) instead of leaving the catalog
+          // entry/stats/strata one fold behind the rewritten parquet
+          catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
+            "bottomk_rider", Array.emptyByteArray,
+            s"""{"rows":$n,"k":$k,"last_batch":$batchId,"decsafe":"$decsafe"}""",
+            System.currentTimeMillis()))
         }
         ()
       }
@@ -601,10 +613,6 @@ object EventStreams {
           val blob = BlobEscape.encodeCounts(counts)
           val decsafe = graft.sample.Samplers.decimalSafeCols(
             s.read.parquet(path))
-          catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
-            "bottomkg_rider", blob,
-            s"""{"rows":$n,"k":$kPerGroup,"last_batch":$batchId,"decsafe":"$decsafe"}""",
-            System.currentTimeMillis()))
           catalog.upsertTableStats(table, n)
           catalog.addSample(catalog.SampleInfo(table, name, fraction,
             Some(s"__bottomkg__${groupCol.toLowerCase}"), path,
@@ -616,6 +624,208 @@ object EventStreams {
                 gk.toDouble / math.max(1L, gn),
                 gn.toDouble / math.max(1L, gk), 0.0)
           })
+          // replay-guard stamp LAST (see the plain maintainer): a crash
+          // mid-fold re-runs the whole idempotent fold on replay rather
+          // than skipping it with half the catalog writes missing
+          catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
+            "bottomkg_rider", blob,
+            s"""{"rows":$n,"k":$kPerGroup,"last_batch":$batchId,"decsafe":"$decsafe"}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** WINDOWED bottom-k — the batch twin of [[maintainBottomKWindowed]]
+    * (round 13): the bottom-k sample of the LAST `windowMicros` of
+    * event time, at bucket granularity. Rows bucket by
+    * `floor(us / bucketMicros)`; a bucket is LIVE iff its end exceeds
+    * max(us) − windowMicros. The sample is computed the way the
+    * maintainer folds it — per-bucket bottom-k first, then a global
+    * re-merge — which equals the direct bottom-k over the live rows by
+    * the merge law (bottom-k of a union == bottom-k of the parts'
+    * bottom-k's); the q183 oracle re-derives the DIRECT form, gating
+    * the law end-to-end. Returns (key, n_live) rows: the sample's
+    * membership plus the exact live-row count every serve weight would
+    * scale by.
+    */
+  def windowedBottomK(df: DataFrame, keyCol: String, tsCol: String,
+      windowMicros: Long, bucketMicros: Long, k: Int): DataFrame = {
+    require(k >= 1 && windowMicros >= bucketMicros && bucketMicros > 0,
+      s"need k >= 1 and window >= bucket > 0")
+    val s = df.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val withUs = df
+      .withColumn("graft_us", expr(s"unix_micros($tsCol)"))
+      .withColumn("graft_bucket", expr(s"unix_micros($tsCol) div $bucketMicros"))
+      .withColumn("graft_h",
+        expr(s"graft_h60(concat('bkw:', cast($keyCol as string)))"))
+    val maxUs = withUs.agg(max(col("graft_us"))).collect()(0).getLong(0)
+    val live = withUs.filter(
+      (col("graft_bucket") + lit(1L)) * lit(bucketMicros) >
+        lit(maxUs - windowMicros))
+    // per-bucket bottom-k (the maintainer's stored state) ...
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_bucket"))
+      .orderBy(col("graft_h").asc, col(keyCol).asc)
+    val perBucket = live
+      .withColumn("graft_rn", row_number().over(wb))
+      .filter(col("graft_rn") <= k).drop("graft_rn")
+    // ... then the global re-merge (the serve-time shape): sort+limit
+    // over at most liveBuckets·k rows — TakeOrdered, never a global
+    // window/sort over data-sized input
+    val nLive = live.count()
+    perBucket
+      .orderBy(col("graft_h").asc, col(keyCol).asc).limit(k)
+      .select(col(keyCol), lit(nLive).as("n_live"))
+  }
+
+  /** Streaming WINDOWED bottom-k sample maintenance (round 13 — the
+    * round-12 verdict's TTL gap): [[maintainBottomKSample]]'s fold keeps
+    * a sample whose N only GROWS, so retention/TTL workloads would
+    * serve from a population that includes expired rows. This
+    * maintainer keeps ONE bottom-k per event-time BUCKET
+    * (O(liveBuckets·k) state — mergeability per bucket is what makes
+    * the form foldable at all), advances the watermark to the max
+    * event time seen, DROPS buckets whose end falls out of the last
+    * `windowMicros`, and re-merges the live buckets into the serving
+    * sample. The catalog entry's N is the exact count of rows in live
+    * buckets, so the N/k serve weight tracks the LIVE WINDOW — expired
+    * rows leave both the sample and N (the EventStreamsSpec law).
+    * Expiry is bucket-granular (the standard trade: a window of W
+    * serves between W and W + bucket of history); replay rides the
+    * `last_batch` guard stamped LAST (crash-safe fold, rows idempotent
+    * per bucket, counts re-derived from the un-advanced rider).
+    */
+  def maintainBottomKWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, keyCol: String,
+      tsCol: String, windowMicros: Long, bucketMicros: Long,
+      k: Int = 2048): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 1 && windowMicros >= bucketMicros && bucketMicros > 0,
+      s"need k >= 1 and window >= bucket > 0")
+    val name = s"${table}__bottomkw_$keyCol"
+    val path = s"${catalog.samplesDir}/$name"
+    val statePath = s"${catalog.samplesDir}/${name}__state"
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val rider = catalog.getSketch(table, keyCol, "bottomkw_state")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          require(Seq("integer", "long", "short")
+            .contains(batch.schema(batch.schema.fieldIndex(keyCol))
+              .dataType.typeName),
+            s"windowed bottom-k stream key $keyCol must be integral")
+          val withH = batch
+            .withColumn("graft_bucket",
+              expr(s"unix_micros($tsCol) div $bucketMicros"))
+            .withColumn("graft_h",
+              expr(s"graft_h60(concat('bkw:', cast($keyCol as string)))"))
+            .drop(tsCol)
+          // positional indices come from the POST-drop schema (dropping
+          // ts shifts any column that followed it)
+          val keyIdx = withH.schema.fieldIndex(keyCol)
+          val wb = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("graft_bucket"))
+            .orderBy(col("graft_h").asc, col(keyCol).asc)
+          val batchTop = withH
+            .withColumn("graft_rn", row_number().over(wb))
+            .filter(col("graft_rn") <= k).drop("graft_rn")
+            .collect()
+          val batchCounts = withH.groupBy(col("graft_bucket"))
+            .agg(count(lit(1)).as("c")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val batchMaxUs = batch.agg(
+            max(expr(s"unix_micros($tsCol)"))).collect()(0) match {
+            case r if r.isNullAt(0) => Long.MinValue
+            case r                  => r.getLong(0)
+          }
+          val baseSchema = withH.schema
+          val stored: Array[org.apache.spark.sql.Row] =
+            if (new java.io.File(statePath).exists)
+              s.read.parquet(statePath)
+                .select(baseSchema.fieldNames.map(col).toIndexedSeq: _*)
+                .collect()
+            else Array.empty
+          val hIdx = baseSchema.fieldIndex("graft_h")
+          val bIdx = baseSchema.fieldIndex("graft_bucket")
+          def keyOf(r: org.apache.spark.sql.Row): Long =
+            r.get(keyIdx) match {
+              case l: java.lang.Long    => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case x: java.lang.Short   => x.longValue
+              case other => sys.error(s"non-integral key $other")
+            }
+          // watermark CONTINUES across folds; counts continue per bucket
+          val prevMaxUs = """"maxus"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .getOrElse(Long.MinValue)
+          val maxUs = math.max(prevMaxUs, batchMaxUs)
+          val prevCounts: Map[Long, Long] = rider
+            .map(r => BlobEscape.decodeCounts(r.data))
+            .getOrElse(Map.empty)
+            .map { case (b, c) => b.toLong -> c }
+          val mergedCounts =
+            (prevCounts.keySet ++ batchCounts.keySet).iterator
+              .map(b => b -> (prevCounts.getOrElse(b, 0L) +
+                batchCounts.getOrElse(b, 0L))).toMap
+          def liveB(b: Long): Boolean =
+            (b + 1L) * bucketMicros > maxUs - windowMicros
+          val liveCounts = mergedCounts.filter { case (b, _) => liveB(b) }
+          // fold rows per bucket (idempotent: dedup by key, truncate k
+          // under the (hash, key) total order), then EXPIRE buckets
+          val mergedState = (stored ++ batchTop)
+            .groupBy(r => (r.getLong(bIdx), keyOf(r))).map(_._2.head)
+            .toArray
+            .groupBy(_.getLong(bIdx))
+            .filter { case (b, _) => liveB(b) }
+            .valuesIterator
+            .flatMap(rows =>
+              rows.sortBy(r => (r.getLong(hIdx), keyOf(r))).take(k))
+            .toArray
+          s.createDataFrame(
+            java.util.Arrays.asList(mergedState: _*), baseSchema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(statePath)
+          // serving sample: global re-merge of the live buckets' samples
+          val serving = mergedState
+            .sortBy(r => (r.getLong(hIdx), keyOf(r))).take(k)
+          s.createDataFrame(
+            java.util.Arrays.asList(serving: _*), baseSchema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(path)
+          val sampleDf = s.read.parquet(path)
+          sampleDf.createOrReplaceTempView(name)
+          val n = liveCounts.valuesIterator.sum
+          val achieved = serving.length.toLong
+          val fraction = math.min(0.9999,
+            achieved.toDouble / math.max(1L, n))
+          val decsafe = graft.sample.Samplers.decimalSafeCols(sampleDf)
+          catalog.upsertTableStats(table, n)
+          catalog.addSample(catalog.SampleInfo(table, name, fraction,
+            Some(s"__bottomk__${keyCol.toLowerCase}"), path,
+            System.currentTimeMillis(), baseRows = Some(n)))
+          catalog.putStrata(name, Seq(
+            catalog.StratumInfo(name, "all", n, achieved, fraction,
+              n.toDouble / math.max(1L, achieved), 0.0)))
+          // the serving rider keeps the plain-bottom-k serve contracts
+          // (decimal proof, N, k) working unchanged on the windowed
+          // sample
+          catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
+            "bottomk_rider", Array.emptyByteArray,
+            s"""{"rows":$n,"k":$k,"decsafe":"$decsafe"}""",
+            System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
+            "bottomkw_state",
+            BlobEscape.encodeCounts(
+              liveCounts.map { case (b, c) => b.toString -> c }),
+            s"""{"maxus":$maxUs,"k":$k,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
         }
         ()
       }

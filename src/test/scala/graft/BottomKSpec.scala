@@ -375,4 +375,178 @@ class BottomKSpec extends SparkSpec {
     val n = r.df.collect().head.getDouble(0)
     assert(math.abs(n - 6000.0) / 6000.0 < 1e-12, s"n=$n")
   }
+
+  test("grouped bottom-k percentile CIs: capped groups bracket, complete groups are zero-width") {
+    val ccat = new MetaCatalog(
+      Files.createTempDirectory("graft-bkg-ci").toString)
+    // group 0: 4000 rows (capped at 64 — subsampled); group 1: 40 rows
+    // (complete — fully contained in the sample)
+    spark.range(0, 4040).toDF("id")
+      .withColumn("g", expr("cast(case when id < 4000 then 0 else 1 end as int)"))
+      .withColumn("v", expr("cast(1 + id % 1000 as double)"))
+      .createOrReplaceTempView("bkg_ci")
+    Samplers.createBottomKGrouped(spark, ccat, "bkg_ci", "g", "id", 64)
+    val ceng = new QueryEngine(spark, ccat)
+    val r = ceng.query(
+      "SELECT g, count(*) AS n, percentile(v, 0.5) AS p50 FROM bkg_ci " +
+        "GROUP BY g ORDER BY g",
+      ceng.Options(ciColumns = true, maxRelError = 0.15))
+    assert(r.planType == "bottomk_grouped", s"${r.planType}: ${r.reason}")
+    val rows = r.df.collect()
+    assert(rows.length == 2)
+    val capped = rows(0)   // g = 0
+    val complete = rows(1) // g = 1
+    def at(row: org.apache.spark.sql.Row, name: String): Double =
+      row.getDouble(row.fieldIndex(name))
+    // capped group: bounds bracket the point estimate, strictly wider
+    assert(at(capped, "p50_ci_low") <= at(capped, "p50") &&
+      at(capped, "p50") <= at(capped, "p50_ci_high"), capped.toString)
+    assert(at(capped, "p50_ci_low") < at(capped, "p50_ci_high"),
+      capped.toString)
+    // complete group: exact quantile, zero-width bounds
+    val exactP50 = spark.sql(
+      "SELECT percentile(v, 0.5) FROM bkg_ci WHERE g = 1")
+      .collect()(0).getDouble(0)
+    assert(at(complete, "p50") == exactP50, complete.toString)
+    assert(at(complete, "p50_ci_low") == exactP50 &&
+      at(complete, "p50_ci_high") == exactP50, complete.toString)
+    // filtered shapes refuse the CI companions (per-group post-filter
+    // counts are unknowable at plan time)
+    val rf = ceng.query(
+      "SELECT g, count(*) AS n, percentile(v, 0.5) AS p50 FROM bkg_ci " +
+        "WHERE v > 10 GROUP BY g ORDER BY g",
+      ceng.Options(ciColumns = true, maxRelError = 0.15))
+    assert(rf.planType == "bottomk_grouped", s"${rf.planType}: ${rf.reason}")
+    assert(!rf.df.columns.contains("p50_ci_low"), rf.df.columns.mkString(","))
+  }
+
+  test("windowed maintainer expires buckets: sample and N track the live window") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val scat = new MetaCatalog(
+      Files.createTempDirectory("graft-bkw-stream").toString)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = graft.streaming.EventStreams.maintainBottomKWindowed(
+      shape(stream.toDF().toDF("id")), scat, "bkw_live", "id", "ts",
+      windowMicros = 2000L * 1000000L, bucketMicros = 100L * 1000000L,
+      k = 64)
+    // two folds, one row per second of event time: 0..1999s then
+    // 2000..3999s — after the second fold the live window is the last
+    // 2000 s at 100 s bucket granularity: buckets b with
+    // (b+1)*100s > 3999s - 2000s, i.e. b >= 19 → ids 1900..3999
+    // (2100 live rows — above the small-table exact rule)
+    stream.addData((0L until 2000L).toSeq)
+    q.processAllAvailable()
+    stream.addData((2000L until 4000L).toSeq)
+    q.processAllAvailable(); q.stop()
+    // batch twin over ALL ingested rows: identical membership AND N
+    val twin = graft.streaming.EventStreams.windowedBottomK(
+      shape(spark.range(0, 4000).toDF("id")), "id", "ts",
+      windowMicros = 2000L * 1000000L, bucketMicros = 100L * 1000000L,
+      k = 64).collect()
+    val twinIds = twin.map(_.getLong(0)).toSet
+    val nLive = twin.head.getLong(1)
+    val folded = spark.read
+      .parquet(s"${scat.samplesDir}/bkw_live__bottomkw_id")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(folded == twinIds, s"folded=${folded.size} twin=${twinIds.size}")
+    assert(scat.statsFor("bkw_live").exists(_.rowCount == nLive),
+      s"${scat.statsFor("bkw_live")} vs live $nLive")
+    // expired rows left the sample: everything in it is inside the
+    // live window (ids ARE seconds here)
+    val maxTs = 3999L
+    folded.foreach(id => assert(
+      (id / 100L + 1L) * 100L * 1000000L > (maxTs - 2000L) * 1000000L,
+      s"expired id $id still in sample"))
+    // the engine serves the LIVE window's count from the maintained
+    // sample (backing view empty — a scan would answer 0)
+    spark.range(0).toDF("id").withColumn("v", lit(1.0))
+      .createOrReplaceTempView("bkw_live")
+    val seng = new QueryEngine(spark, scat)
+    val r = seng.query("SELECT count(*) AS n FROM bkw_live",
+      seng.Options(ciColumns = false, maxRelError = 0.2))
+    assert(r.planType == "bottomk", s"${r.planType}: ${r.reason}")
+    val n = r.df.collect().head.getDouble(0)
+    assert(math.abs(n - nLive.toDouble) / nLive < 1e-12, s"n=$n vs $nLive")
+  }
+
+  test("grouped serve refuses when per-group representation is too thin") {
+    Samplers.createBottomK(spark, catalog, "bk_base", "id", K)
+    // ~512 sample rows over 20000 distinct id groups: 1 row per present
+    // group and most groups vanished — per-group estimates are noise
+    val r = engine.query(
+      "SELECT id, count(*) AS n FROM bk_base GROUP BY id",
+      engine.Options(ciColumns = false))
+    assert(r.planType != "bottomk", s"${r.planType}: ${r.reason}")
+    // the low-cardinality dashboard shape (4 groups, ~128 rows each)
+    // still serves — the gate is per-group presence, not a blanket ban
+    val ok = engine.query(
+      "SELECT g, count(*) AS n FROM bk_base GROUP BY g",
+      engine.Options(ciColumns = false))
+    assert(ok.planType == "bottomk", s"${ok.planType}: ${ok.reason}")
+  }
+
+  test("grouped serve refuses when a stored HLL shows vanished groups") {
+    val hcat = new MetaCatalog(
+      Files.createTempDirectory("graft-bk-hll").toString)
+    Samplers.createBottomK(spark, hcat, "bk_base", "id", K)
+    // forge the base-table truth: an HLL claiming ~1000 distinct g
+    // values while the sample shows 4 — whole groups are missing and
+    // only the sketch can tell
+    val h = new graft.sketch.Hll(12)
+    (0 until 1000).foreach(i => h.addString(s"g$i"))
+    hcat.upsertSketch(hcat.SketchInfo("bk_base", "g", "hyperloglog",
+      h.serialize, """{"b":12}""", System.currentTimeMillis()))
+    val heng = new QueryEngine(spark, hcat)
+    val r = heng.query(
+      "SELECT g, count(*) AS n FROM bk_base GROUP BY g",
+      heng.Options(ciColumns = false))
+    assert(r.planType != "bottomk", s"${r.planType}: ${r.reason}")
+    // ungrouped shapes are untouched by the representation gate
+    val r2 = heng.query("SELECT count(*) AS n FROM bk_base",
+      heng.Options(ciColumns = false))
+    assert(r2.planType == "bottomk", s"${r2.planType}: ${r2.reason}")
+  }
+
+  test("plain maintainer normalizes stored column order on takeover") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val ccat = new MetaCatalog(
+      Files.createTempDirectory("graft-bk-order").toString)
+    // batch build writes parquet in (id, v, graft_h) order
+    spark.range(0, 4000).toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bk_order")
+    Samplers.createBottomK(spark, ccat, "bk_order", "id", K)
+    // the stream frame presents (v, id) — a taking-over maintainer must
+    // not read the stored rows positionally against its own schema
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val rows = stream.toDF().toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .select(col("v"), col("id"))
+    val q = graft.streaming.EventStreams.maintainBottomKSample(
+      rows, ccat, "bk_order", "id", k = K)
+    stream.addData((4000L until 8000L).toSeq)
+    q.processAllAvailable(); q.stop()
+    // parity with the batch builder over the full 0..8000 row set
+    spark.range(0, 8000).toDF("id")
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bk_order_all")
+    val bcat = new MetaCatalog(
+      Files.createTempDirectory("graft-bk-order-batch").toString)
+    val (bname, _) = Samplers.createBottomK(spark, bcat, "bk_order_all", "id", K)
+    val folded = spark.read.parquet(s"${ccat.samplesDir}/bk_order__bottomk_id")
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batched = spark.table(bname)
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(folded == batched)
+    assert(ccat.statsFor("bk_order").exists(_.rowCount == 8000L))
+  }
 }

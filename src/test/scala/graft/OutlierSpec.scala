@@ -336,6 +336,44 @@ class OutlierSpec extends SparkSpec {
     assert(ung.planType == "outlier", s"${ung.planType} (${ung.reason})")
   }
 
+  test("two-sided build (lowK > 0) serves exact MIN alongside exact MAX") {
+    val cat4 = new MetaCatalog(
+      Files.createTempDirectory("graft-outlier-2s").toString)
+    val e4 = new QueryEngine(spark, cat4)
+    // index on v3 (unique values id*1e-7): the true min row (id=0) is
+    // ONE row out of 20k — a lottery-sampled low tail would miss it
+    // ~94% of the time; the two-sided build holds it at weight 1
+    Samplers.createOutlierSample(spark, cat4, "skewed", "v3", "id",
+      outlierK = 64, targetRest = 1024L, lowK = 64)
+    assert(cat4.strataFor("skewed__outlier2_v3")
+      .exists(st => st.strataValue == "outlier_low" && st.sampleSize == 64L))
+    val r = e4.query(
+      "SELECT count(*) AS n, min(v3) AS mn, max(v3) AS mx FROM skewed",
+      e4.Options(ciColumns = false))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    val row = r.df.collect()(0)
+    assert(row.getDouble(1) == 0.0, s"min=${row.getDouble(1)}")
+    assert(row.getDouble(2) == 19999 * 1e-7, s"max=${row.getDouble(2)}")
+    assert(r.transformations.exists(_.contains("MIN answered exactly")),
+      r.transformations)
+    // the q171 guards apply to MIN too: filtered and grouped refuse
+    val rf = e4.query("SELECT min(v3) AS mn FROM skewed WHERE id % 2 = 0",
+      e4.Options(ciColumns = false))
+    assert(rf.planType != "outlier", rf.planType)
+    val rg = e4.query("SELECT g, min(v3) AS mn FROM skewed GROUP BY g",
+      e4.Options(ciColumns = false))
+    assert(rg.planType != "outlier", rg.planType)
+    // and a HIGH-TAIL-ONLY sample still refuses MIN (the existing law)
+    val cat5 = new MetaCatalog(
+      Files.createTempDirectory("graft-outlier-1s").toString)
+    val e5 = new QueryEngine(spark, cat5)
+    Samplers.createOutlierSample(spark, cat5, "skewed", "v3", "id",
+      outlierK = 64, targetRest = 1024L)
+    val r1s = e5.query("SELECT count(*) AS n, min(v3) AS mn FROM skewed",
+      e5.Options(ciColumns = false))
+    assert(r1s.planType != "outlier", s"${r1s.planType} (${r1s.reason})")
+  }
+
   test("percentiles ride the integer-weight frequency rewrite on the outlier sample") {
     Samplers.createOutlierSample(
       spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
