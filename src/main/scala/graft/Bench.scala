@@ -117,6 +117,25 @@ object Bench {
       case -1 => k
       case i  => k.substring(0, i)
     }
+    // Automated drift adjudication (round 13): cross-round comparisons
+    // keep tripping on multi-minute host-contention windows (q67 in
+    // r11, q145/q157 in r12 — all cleared by manual isolated probes).
+    // For the 10 most expensive queries, record a (canary, min-of-3
+    // BACK-TO-BACK passes) pair: the isolated passes sit inside one
+    // contention regime and the adjacent canary stamps that regime, so
+    // a reader can normalize any drift from BENCH_DETAIL alone.
+    val isolated = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    if (only.isEmpty) {
+      results.sortBy(-_._2).take(10).foreach { case (name, _) =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try {
+            val c = canaryTime()
+            val t = (1 to 3).map(_ => timed(fn)).min
+            isolated(name) = (c, t)
+          } catch { case _: Throwable => () } // already recorded in errors
+        }
+      }
+    }
     val qs = results.map { case (k, v) => jstr(short(k)) + ":" + f2(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(short(k)) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -600,9 +619,18 @@ object Bench {
         graft.queries.Dedup.prefixFilterStats(spark, sfDir)
       val (cells, withinPairs, allPairs) =
         graft.queries.Similarity.semDedupCellStats(spark, sfDir)
+      // media QA's sublinear-cost claim, measured: decodes paid by the
+      // sampled QA pass vs the full-decode family (q81), same corpus
+      graft.functions.GraftFunctions.register(spark)
+      val corpusDocs = graft.Tables.load(spark, sfDir, "documents").count()
+      val qaDecodes = graft.Tables.load(spark, sfDir, "documents")
+        .filter(org.apache.spark.sql.functions.expr(
+          "graft_h60(concat('mq:', cast(doc_id as string))) % 10000 < 100"))
+        .count()
       scaleStats =
         s"""{"prefix_jaccard":{"posting_pairs":$postPairs,"prefix_pairs":$prefPairs,"candidate_pairs":$candPairs},""" +
-        s""""semantic_dedup":{"cells":$cells,"within_cell_pairs":$withinPairs,"all_pairs":$allPairs}}"""
+        s""""semantic_dedup":{"cells":$cells,"within_cell_pairs":$withinPairs,"all_pairs":$allPairs},""" +
+        s""""media_qa":{"corpus_docs":$corpusDocs,"sampled_decodes":$qaDecodes}}"""
     } catch { case t: Throwable =>
       errors("scale_stats") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
     }
@@ -615,7 +643,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullErrJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val canaryJson = canaries.map(_.toString).mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"scale_stats":$scaleStats,"sf":${jstr(sfDir)},"cpus":$cpus}"""
+    val isolatedJson = isolated.map { case (k, (c, t)) =>
+      s"""${jstr(k)}:{"canary_s":$c,"min3_s":$t}"""
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"isolated":$isolatedJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"scale_stats":$scaleStats,"sf":${jstr(sfDir)},"cpus":$cpus}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: line below still has the summary

@@ -316,6 +316,70 @@ object Multimodal {
     }
   }
 
+  /** SAMPLED media QA (round 13): per-shard decode-health stats from a
+    * deterministic keyed-hash lottery's winners — the codec family's
+    * 100 TB job shape. The full-decode operators (q72/q81/q167/q173/
+    * q178) pay one codec round trip PER PAYLOAD, linear in the corpus;
+    * a QA pass does not need that — it needs an unbiased read on
+    * decode success and format drift per shard, which a ~threshold/10⁴
+    * sample answers with the same HT arithmetic every sampled serve in
+    * this engine uses. The lottery filter runs BEFORE payload
+    * materialization/decode (at scale: before the binary-column read),
+    * so cost is proportional to the SAMPLE, not the corpus.
+    *
+    * Output per shard (`doc_id % shards`): sampled count k, HT-scaled
+    * population estimate k·(10⁴/threshold) with the q28 moment CI
+    * (w(w−1) variance — exact integer k, so every column is
+    * bit-portable), decode success rate over the DECODER's outcomes,
+    * and mean sample-count/rate of the decoded payloads (exact integer
+    * sums, one division each).
+    */
+  def mediaQaSampled(spark: SparkSession, dir: String,
+      threshold: Int = 100, shards: Int = 4): DataFrame = {
+    require(threshold >= 1 && 10000 % threshold == 0,
+      "threshold must divide 10000 (exact HT weight)")
+    require(shards >= 1, "shards must be >= 1")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val w = 10000.0 / threshold
+    val winners = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .filter(expr(
+        s"graft_h60(concat('mq:', cast(doc_id as string))) % 10000 < $threshold"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+    val qa = winners.mapPartitions { it =>
+      it.grouped(64).flatMap(_.map { id =>
+        // decode the winner's payload with the REAL codec; a failure is
+        // a data point, not an error (that is the operator's purpose)
+        val meta =
+          try Some(decodeAudio(id, wavFor(id)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        ((id % shards).toInt, meta.isDefined,
+          meta.map(_.nSamples.toLong).getOrElse(0L),
+          meta.map(_.sampleRate.toLong).getOrElse(0L))
+      })
+    }.toDF("shard", "ok", "n_samples", "rate")
+    qa.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("k"),
+        sum(expr("case when ok then 1 else 0 end")).as("okn"),
+        sum(col("n_samples")).as("ss"),
+        sum(col("rate")).as("sr"))
+      .select(
+        col("shard"),
+        col("k"),
+        expr(s"cast(k as double) * $w").as("n_est"),
+        expr(s"cast(k as double) * $w - 1.96 * sqrt(cast(k as double) * ${w * (w - 1.0)})")
+          .as("n_ci_low"),
+        expr(s"cast(k as double) * $w + 1.96 * sqrt(cast(k as double) * ${w * (w - 1.0)})")
+          .as("n_ci_high"),
+        expr("cast(okn as double) / cast(k as double)").as("ok_rate"),
+        expr("cast(ss as double) / cast(k as double)").as("avg_samples"),
+        expr("cast(sr as double) / cast(k as double)").as("avg_rate"))
+      .orderBy(col("shard"))
+  }
+
   case class ResampledAudioMeta(id: Long, sampleRate: Int, nSamples: Int,
       firstSample: Int, midSample: Int, lastSample: Int, checksum: Long)
 

@@ -522,6 +522,17 @@ object Aqp {
         .orderBy(col("doc_id"))
     }),
 
+    // SAMPLED media QA (round 13): the codec family's sublinear job
+    // shape — decode only the 'mq:' h60 lottery's ~1% winners, report
+    // per-shard decode success + format stats with HT-scaled counts
+    // and the q28 moment CIs. Deterministic membership + generator
+    // arithmetic make every output column DuckDB-re-derivable without
+    // the oracle ever touching bytes; the BENCH media_qa case measures
+    // the sublinear cost against q81's full decode.
+    "q182_media_qa_sampled" -> ((s, dir) => {
+      graft.multimodal.Multimodal.mediaQaSampled(s, dir)
+    }),
+
     "q81_audio_decode" -> ((s, dir) => {
       graft.multimodal.Multimodal
         .extractAudioMeta(graft.multimodal.Multimodal.audioMedia(s, dir))
@@ -4259,6 +4270,33 @@ object Aqp {
         FROM sm
         GROUP BY id, rate2, n2
         ORDER BY doc_id""",
+
+    // q182: membership from the 'mq:' lottery, decoded values from the
+    // WAV generator arithmetic (every payload decodes, so ok = 1 for
+    // all winners — the rate column is still computed from the
+    // decoder's outcomes on the Spark side), HT count chain = q28's
+    // (w = 100.0, w(w−1) = 9900.0), means = exact integer sums with
+    // one division each.
+    "q182_media_qa_sampled" ->
+      s"""WITH k AS (SELECT doc_id,
+              CAST(doc_id % 4 AS INT) AS shard,
+              100 + doc_id % 400 AS ns,
+              8000 + 1000 * (doc_id % 5) AS rate
+            FROM documents
+            WHERE ${graft.queries.Dedup.h60Duck("'mq:' || CAST(doc_id AS VARCHAR)")} % 10000 < 100),
+          a AS (SELECT shard, count(*) AS k, count(*) AS okn,
+              sum(ns) AS ss, sum(rate) AS sr
+            FROM k GROUP BY shard)
+          SELECT shard, k,
+            CAST(k AS DOUBLE) * 100.0 AS n_est,
+            CAST(k AS DOUBLE) * 100.0
+              - 1.96 * sqrt(CAST(k AS DOUBLE) * 9900.0) AS n_ci_low,
+            CAST(k AS DOUBLE) * 100.0
+              + 1.96 * sqrt(CAST(k AS DOUBLE) * 9900.0) AS n_ci_high,
+            CAST(okn AS DOUBLE) / CAST(k AS DOUBLE) AS ok_rate,
+            CAST(ss AS DOUBLE) / CAST(k AS DOUBLE) AS avg_samples,
+            CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS avg_rate
+          FROM a ORDER BY shard""",
 
     "q81_audio_decode" ->
       """SELECT doc_id,

@@ -50,6 +50,19 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("--semdedup")) {
+      // q145 stage timings, isolated: adjudicates whether a bench
+      // drift is the assignment, the pair join, or the propagation loop
+      graft.Tables.ensureRegistered(spark, sfDir)
+      (1 to 2).foreach { pass =>
+        println(s"[scratch] --- semdedup pass $pass ---")
+        t(s"q145 total (pass $pass)") {
+          graft.queries.Similarity.semanticDedupOf(spark, sfDir,
+            verbose = true).queryExecution.toRdd.count()
+        }
+      }
+      spark.stop(); return
+    }
     if (args.contains("--hdrprobe")) {
       graft.Tables.ensureRegistered(spark, sfDir)
       val cat = new graft.catalog.MetaCatalog(
