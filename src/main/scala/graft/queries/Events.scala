@@ -37,6 +37,56 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // WINDOWED deterministic HLL (round 13) — the TTL form for the
+    // DISTINCT sketch family: q73's portable register chain (m=1024
+    // over the 60-bit h60 hash, rho capped at 30 so the indicator sum
+    // is an exact BIGINT) computed over the LAST 10 days of event time
+    // at 1-day bucket granularity, THROUGH the per-bucket merge the
+    // streaming maintainer folds (per-(bucket, register) max rho →
+    // drop expired buckets → per-register max across live buckets).
+    // Register max is idempotent/commutative, so the merged registers
+    // equal the direct registers over live rows — the oracle
+    // re-derives the DIRECT form, gating the merge law exactly as
+    // q183 does for bottom-k. event_id is the key BECAUSE it ages out
+    // (every user stays active; distinct events in the window don't),
+    // so expiry is observable in the estimate.
+    "q184_windowed_hll" -> ((s, dir) => {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+      val mx = ev.agg(max(col("us")).as("mx"))
+      val perBucket = ev
+        .select(expr("us div 86400000000").as("bkt"),
+          expr(graft.queries.Dedup.h60Spark(
+            "concat('whll:', cast(event_id as string))")).as("h"))
+        .select(col("bkt"), expr("cast(h % 1024 as int)").as("b"),
+          expr("h div 1024").as("rest"))
+        .groupBy(col("bkt"), col("b"))
+        .agg(max(expr(
+          "case when rest = 0 then 51 else 51 - length(bin(rest)) end"))
+          .as("rho"))
+      val regs = perBucket.crossJoin(mx)
+        .filter(expr("(bkt + 1) * 86400000000 > mx - 864000000000"))
+        .groupBy(col("b")).agg(max(col("rho")).as("rho"))
+      val est = regs
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(cast(1 as bigint), 30 - least(rho, 30))"))
+            .as("sp"))
+        .select(expr("cast(1024 - nb as int)").as("v_empty"),
+          expr("cast(sp + (1024 - nb) * 1073741824 as bigint)")
+            .as("s_scaled"))
+        .withColumn("est_raw", expr(
+          s"cast('$num' as double) / cast(s_scaled as double)"))
+      val exact = ev.crossJoin(mx)
+        .filter(expr(
+          "((us div 86400000000) + 1) * 86400000000 > mx - 864000000000"))
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      est.crossJoin(exact)
+        .withColumn("rel_error", expr(
+          "(est_raw - cast(n_exact as double)) / cast(n_exact as double)"))
+    }),
+
     // Tumbling 1-hour windows by event type (epoch-aligned, like
     // streaming `window(ts, '1 hour')`).
     "q24_event_window" -> ((s, dir) => {
@@ -316,6 +366,37 @@ object Events {
               k ASC) AS rn FROM lv)
           SELECT rk.k AS event_id, nn.n AS n_live
           FROM rk, nn WHERE rn <= 512 ORDER BY event_id""",
+    // q184: the DIRECT register chain over live rows (the merged
+    // per-bucket form must equal it — register max is idempotent);
+    // q73's arithmetic with the live-window restriction.
+    "q184_windowed_hll" -> {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      s"""WITH e AS (SELECT event_id AS k, epoch_us(ts) AS us FROM events),
+          mx AS (SELECT max(us) AS m FROM e),
+          lv AS (SELECT e.k FROM e, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000),
+          h AS (SELECT ${graft.queries.Dedup.h60Duck("'whll:' || CAST(k AS VARCHAR)")} AS h
+            FROM lv),
+          b AS (SELECT CAST(h % 1024 AS INT) AS b, h // 1024 AS rest FROM h),
+          r AS (SELECT b,
+              max(CASE WHEN rest = 0 THEN 51 ELSE 51 - length(bin(rest)) END) AS rho
+            FROM b GROUP BY b),
+          s AS (SELECT count(*) AS nb,
+              sum(CAST(1 AS BIGINT) << CAST(30 - least(rho, 30) AS INT)) AS sp
+            FROM r),
+          ex AS (SELECT count(DISTINCT k) AS n_exact FROM lv)
+          SELECT CAST(1024 - nb AS INT) AS v_empty,
+            CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS s_scaled,
+            CAST('$num' AS DOUBLE)
+              / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE) AS est_raw,
+            n_exact,
+            (CAST('$num' AS DOUBLE)
+                / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE)
+              - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
+          FROM s, ex"""
+    },
     "q164_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
           f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),

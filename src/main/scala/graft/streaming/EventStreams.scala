@@ -832,6 +832,103 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming WINDOWED HLL maintenance (round 13 — the TTL form for
+    * the SKETCH family, closing the same append-only gap
+    * [[maintainBottomKWindowed]] closes for samples): HLL registers
+    * are max-merge (idempotent) but NOT subtractable, so a windowed
+    * distinct sketch keeps ONE HLL PER event-time BUCKET
+    * (O(liveBuckets · 2^b) state), drops buckets that fall out of the
+    * last `windowMicros` at the watermark (max event time seen), and
+    * re-merges the live buckets into the serving "hyperloglog" sketch
+    * — `QueryEngine.storedSketchAnswer` then answers
+    * COUNT(DISTINCT column) OVER THE LIVE WINDOW with no scan, and the
+    * catalog's table stats track the live-row count so the freshness
+    * guard stays coherent. Each per-bucket payload packs
+    * [count: i64 BE][hll bytes] (counts are additive, so a
+    * `last_batch` replay guard rides the rider, stamped LAST — the
+    * crash-safe fold discipline; register merge itself is idempotent).
+    * Expiry is bucket-granular, the q183 trade. Batch twin: q184's
+    * per-bucket register chain (the merge law, oracle-gated on the
+    * deterministic h60 register form).
+    */
+  def maintainHllWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, column: String,
+      tsCol: String, windowMicros: Long, bucketMicros: Long,
+      b: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val rider = catalog.getSketch(table, column, "hll_windowed")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          val perBucket = batch
+            .select(
+              expr(s"unix_micros($tsCol) div $bucketMicros").as("graft_bucket"),
+              col(column).cast("string").as("graft_v"))
+            .groupBy(col("graft_bucket"))
+            .agg(graft.sketch.Hll.sketchAgg(col("graft_v"), b).as("sk"),
+              count(lit(1)).as("c"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(2), r.getAs[Array[Byte]](1)))
+          val batchMaxUs = batch
+            .agg(max(expr(s"unix_micros($tsCol)"))).collect()(0) match {
+            case r if r.isNullAt(0) => Long.MinValue
+            case r                  => r.getLong(0)
+          }
+          val prevMaxUs = """"maxus"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .getOrElse(Long.MinValue)
+          val maxUs = math.max(prevMaxUs, batchMaxUs)
+          def split(payload: Array[Byte]): (Long, Array[Byte]) = {
+            val bb = java.nio.ByteBuffer.wrap(payload)
+            (bb.getLong, payload.drop(8))
+          }
+          def join(c: Long, hll: Array[Byte]): Array[Byte] = {
+            val bb = java.nio.ByteBuffer.allocate(8 + hll.length)
+            bb.putLong(c); bb.put(hll); bb.array()
+          }
+          val prev: Map[Long, (Long, Array[Byte])] = rider
+            .map(r => graft.sketch.GroupedHll.unpack(r.data))
+            .getOrElse(Nil)
+            .collect { case (Some(k), payload) => k.toLong -> split(payload) }
+            .toMap
+          val merged = perBucket.foldLeft(prev) {
+            case (acc, (bkt, c, sk)) =>
+              val (pc, psk) = acc.getOrElse(bkt,
+                (0L, new graft.sketch.Hll(b).serialize))
+              acc.updated(bkt, (pc + c,
+                graft.sketch.Hll.deserialize(psk)
+                  .merge(graft.sketch.Hll.deserialize(sk)).serialize))
+          }
+          val live = merged.filter { case (bkt, _) =>
+            (bkt + 1L) * bucketMicros > maxUs - windowMicros
+          }
+          val serving = live.values
+            .map { case (_, sk) => graft.sketch.Hll.deserialize(sk) }
+            .foldLeft(new graft.sketch.Hll(b))(_ merge _)
+          val liveN = live.valuesIterator.map(_._1).sum
+          catalog.upsertTableStats(table, liveN)
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "hyperloglog", serving.serialize,
+            s"""{"b":$b,"rows":$liveN}""", System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "hll_windowed",
+            graft.sketch.GroupedHll.pack(live.toSeq.map {
+              case (bkt, (c, sk)) => (Some(bkt.toString), join(c, sk))
+            }),
+            s"""{"maxus":$maxUs,"b":$b,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming histogram maintenance — the q74 strategy made LIVE: a
     * stream folds per-micro-batch bucket counts into the catalog's
     * equi-width histogram, and the engine's no-scan percentile answers
