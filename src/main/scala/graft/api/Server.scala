@@ -211,14 +211,18 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
         val k = req("outlier_k").flatMap(_.num).map(_.toInt).getOrElse(500)
         val target = req("target_rest").flatMap(_.num).map(_.toLong)
           .getOrElse(2048L)
+        // low_k > 0 builds the TWO-SIDED form (round 13): both value
+        // tails exact at weight 1, so MIN serves alongside MAX
+        val lowK = req("low_k").flatMap(_.num).map(_.toInt).getOrElse(0)
         if (table.isEmpty || valueCol.isEmpty || keyCol.isEmpty)
           (400, err("table, value_column and key_column (unique) required"))
-        else if (k < 1 || target < 1)
-          (400, err("outlier_k and target_rest must be >= 1"))
+        else if (k < 1 || target < 1 || lowK < 0)
+          (400, err("outlier_k and target_rest must be >= 1; low_k >= 0"))
         else {
           val (name, nOut, nRest) = Samplers.createOutlierSample(
-            spark, engine.catalog, table, valueCol, keyCol, k, target)
-          (200, s"""{"status": "ok", "sample_table": ${jstr(name)}, "outlier_rows": $nOut, "rest_rows": $nRest, "value_column": ${jstr(valueCol)}}""")
+            spark, engine.catalog, table, valueCol, keyCol, k, target,
+            lowK)
+          (200, s"""{"status": "ok", "sample_table": ${jstr(name)}, "outlier_rows": $nOut, "rest_rows": $nRest, "low_k": $lowK, "value_column": ${jstr(valueCol)}}""")
         }
     }
   }

@@ -512,6 +512,42 @@ class ApiServerSpec extends SparkSpec {
       Some("""{"table": "customer"}"""))._1 == 400)
   }
 
+  test("two-sided outlier over HTTP: low_k builds both tails, MIN and MAX serve exactly (round 13)") {
+    val (cb, bb) = http("POST", "/samples/outlier", Some(
+      """{"table": "part", "value_column": "p_retailprice",
+         "key_column": "p_partkey", "outlier_k": 20, "target_rest": 64,
+         "low_k": 20}"""))
+    assert(cb == 200, bb)
+    assert(parsed(bb)("sample_table").flatMap(_.str)
+      .contains("part__outlier2_p_retailprice"), bb)
+    assert(parsed(bb)("low_k").flatMap(_.num).contains(20.0), bb)
+    // force part over the small-table rule, re-stamp the sample fresh
+    engine.catalog.upsertTableStats("part", 20000L)
+    engine.catalog.refreshSampleBase("part")
+    val exact = spark.sql(
+      "SELECT min(p_retailprice), max(p_retailprice) FROM part")
+      .collect()(0)
+    // min/max shapes are EXCLUDED from the planner-only candidate list
+    // by design (the generic sample fallthrough cannot answer a max, so
+    // plannerOnlyChoice must never see the sample for them — the
+    // reference's non-ML path runs min/max exact too); the ML path's
+    // typed outlier dispatch serves them exactly
+    val (cq, bq) = http("POST", "/query", Some(
+      """{"sql": "SELECT count(*) AS n, min(p_retailprice) AS mn, max(p_retailprice) AS mx FROM part",
+         "use_ml_optimization": true}"""))
+    assert(cq == 200, bq)
+    assert(parsed(bq)("plan").flatMap(_("type")).flatMap(_.str)
+      .contains("outlier"), bq.take(1200))
+    val row = parsed(bq)("result") match {
+      case Some(graft.api.Json.A(items)) => items.headOption
+      case _                             => None
+    }
+    assert(row.flatMap(_("mn")).flatMap(_.num).contains(exact.getDouble(0)),
+      bq.take(1200))
+    assert(row.flatMap(_("mx")).flatMap(_.num).contains(exact.getDouble(1)),
+      bq.take(1200))
+  }
+
   test("POST /samples/bottomk builds the fixed-size sample; a SUM query serves from it") {
     val (cb, bb) = http("POST", "/samples/bottomk", Some(
       """{"table": "supplier", "key_column": "s_suppkey", "k": 32}"""))
