@@ -87,6 +87,22 @@ object Events {
           "(est_raw - cast(n_exact as double)) / cast(n_exact as double)"))
     }),
 
+    // WINDOWED CMS point frequencies (round 13) — the frequency
+    // family's TTL form, completing the windowed trio (q183 samples,
+    // q184 distinct): per-bucket Count-Min sketches over the last 10
+    // days at 1-day buckets, merged counter-wise (CMS merge IS
+    // addition, so merged == direct over live rows — the additive
+    // merge law), each key's min-over-d-rows estimate next to its
+    // exact live count. The oracle re-derives q90's SHA-256 bucket
+    // arithmetic restricted to the live window.
+    "q185_windowed_cms" -> ((s, dir) => {
+      graft.streaming.EventStreams.windowedCmsFrequency(
+        Tables.load(s, dir, "events"), "event_type", "ts",
+        windowMicros = 10L * 86400000000L,
+        bucketMicros = 86400000000L,
+        keys = Seq("click", "error", "purchase"))
+    }),
+
     // Tumbling 1-hour windows by event type (epoch-aligned, like
     // streaming `window(ts, '1 hour')`).
     "q24_event_window" -> ((s, dir) => {
@@ -396,6 +412,48 @@ object Events {
                 / CAST(CAST(sp + (1024 - nb) * 1073741824 AS BIGINT) AS DOUBLE)
               - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_error
           FROM s, ex"""
+    },
+    // q185: the DIRECT CMS chain over live rows — q90's positional
+    // SHA-256/HUGEINT bucket arithmetic with w/d from the Cms
+    // constructor, input restricted to the live window; exact counts
+    // from the same lv CTE.
+    "q185_windowed_cms" -> {
+      val cms = new graft.sketch.Cms(0.01, 0.01)
+      val bucket = (0 until 8).map { j =>
+        val p1 = 2 * j + 1
+        val p2 = 2 * j + 2
+        val pair = s"((strpos('0123456789abcdef', substr(hx,$p1,1))-1)*16" +
+          s" + (strpos('0123456789abcdef', substr(hx,$p2,1))-1))"
+        val mult = java.math.BigInteger.valueOf(256).pow(j)
+        s"CAST($pair AS HUGEINT) * CAST('$mult' AS HUGEINT)"
+      }.mkString("(", " + ", s") % ${cms.w}")
+      s"""WITH ri AS (SELECT unnest(range(${cms.d})) AS i),
+          e AS (SELECT event_type AS sv, epoch_us(ts) AS us FROM events),
+          mx AS (SELECT max(us) AS m FROM e),
+          lv AS (SELECT sv FROM e, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000),
+          inp AS (
+            SELECT sv, 1 AS isrow FROM lv
+            UNION ALL
+            SELECT k, 0 FROM (SELECT unnest(
+              ['click', 'error', 'purchase']) AS k) tk),
+          hashed AS (
+            SELECT isrow, sv, i, sha256(sv || CAST(i AS VARCHAR)) AS hx
+            FROM inp CROSS JOIN ri),
+          bk AS (SELECT isrow, sv, i, $bucket AS c FROM hashed),
+          cnt AS (
+            SELECT t.sv AS k, t.i, count(r.c) AS n
+            FROM (SELECT sv, i, c FROM bk WHERE isrow = 0) t
+            LEFT JOIN (SELECT i, c FROM bk WHERE isrow = 1) r
+              ON r.i = t.i AND r.c = t.c
+            GROUP BY t.sv, t.i),
+          est AS (SELECT k, min(n) AS e FROM cnt GROUP BY k),
+          ex AS (SELECT sv AS k, count(*) AS n_exact FROM lv
+            WHERE sv IN ('click', 'error', 'purchase') GROUP BY sv)
+          SELECT est.k, CAST(est.e AS BIGINT) AS est,
+            CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact
+          FROM est LEFT JOIN ex ON est.k = ex.k ORDER BY est.k"""
     },
     "q164_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -929,6 +929,147 @@ object EventStreams {
       .start()
   }
 
+  /** WINDOWED CMS frequency — the batch twin of [[maintainCmsWindowed]]
+    * (round 13): per-bucket Count-Min sketches over the live window
+    * (the q183/q184 bucket rule), merged counter-wise (CMS merge IS
+    * addition, so the merged sketch equals the direct CMS over live
+    * rows), then each key's min-over-d-rows estimate next to its exact
+    * live count. One distributed per-bucket aggregate + one exact
+    * count; ≤liveBuckets sketches and |keys| rows touch the driver.
+    * The q185 oracle re-derives the DIRECT chain (q90's SHA-256 bucket
+    * arithmetic restricted to the live window) — the additive merge
+    * law, hash-gated.
+    */
+  def windowedCmsFrequency(df: DataFrame, column: String, tsCol: String,
+      windowMicros: Long, bucketMicros: Long, keys: Seq[String],
+      epsilon: Double = 0.01, delta: Double = 0.01): DataFrame = {
+    require(keys.nonEmpty && windowMicros >= bucketMicros && bucketMicros > 0,
+      "need keys and window >= bucket > 0")
+    val s = df.sparkSession
+    import s.implicits._
+    val withUs = df.select(col(column).cast("string").as("graft_v"),
+      expr(s"unix_micros($tsCol)").as("graft_us"),
+      expr(s"unix_micros($tsCol) div $bucketMicros").as("graft_bucket"))
+    val maxUs = withUs.agg(max(col("graft_us"))).collect()(0).getLong(0)
+    def liveB(b: Long): Boolean =
+      (b + 1L) * bucketMicros > maxUs - windowMicros
+    val perBucket = withUs
+      .groupBy(col("graft_bucket"))
+      .agg(graft.sketch.Cms.sketchAgg(col("graft_v"), epsilon, delta)
+        .as("sk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val merged = perBucket.filter { case (b, _) => liveB(b) }
+      .map { case (_, sk) => graft.sketch.Cms.deserialize(sk) }
+      .foldLeft(new graft.sketch.Cms(epsilon, delta))(_ merge _)
+    val ests = keys.map(k => k -> merged.estimateString(k)).toMap
+    val exact = withUs
+      .filter((col("graft_bucket") + lit(1L)) * lit(bucketMicros) >
+        lit(maxUs - windowMicros))
+      .filter(col("graft_v").isin(keys: _*))
+      .groupBy(col("graft_v")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.sorted
+      .map(k => (k, ests(k), exact.getOrElse(k, 0L)))
+      .toDF("k", "est", "n_exact")
+  }
+
+  /** Streaming WINDOWED CMS maintenance (round 13): the frequency
+    * family's TTL form, completing the windowed trio with
+    * [[maintainBottomKWindowed]] (samples) and [[maintainHllWindowed]]
+    * (distinct). CMS counters are ADDITIVE — per-bucket sketches merge
+    * by counter addition and a dropped bucket subtracts exactly — so
+    * the maintainer keeps one CMS per event-time bucket
+    * ([count i64 BE][cms bytes] payloads, O(liveBuckets · w·d) state),
+    * expires buckets at the watermark, and re-merges live buckets into
+    * the serving "countmin" sketch: `QueryEngine.storedCmsAnswer` then
+    * answers point-frequency counts OVER THE LIVE WINDOW with no scan.
+    * Additive counts ⇒ the `last_batch` replay guard is REQUIRED (the
+    * single-key maintainer's discipline), stamped LAST (crash-safe
+    * fold).
+    */
+  def maintainCmsWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, column: String,
+      tsCol: String, windowMicros: Long, bucketMicros: Long,
+      epsilon: Double = 0.01, delta: Double = 0.01)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val rider = catalog.getSketch(table, column, "cms_windowed")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          val perBucket = batch
+            .select(
+              expr(s"unix_micros($tsCol) div $bucketMicros").as("graft_bucket"),
+              col(column).cast("string").as("graft_v"))
+            .groupBy(col("graft_bucket"))
+            .agg(graft.sketch.Cms.sketchAgg(col("graft_v"), epsilon, delta)
+              .as("sk"),
+              count(lit(1)).as("c"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(2), r.getAs[Array[Byte]](1)))
+          val batchMaxUs = batch
+            .agg(max(expr(s"unix_micros($tsCol)"))).collect()(0) match {
+            case r if r.isNullAt(0) => Long.MinValue
+            case r                  => r.getLong(0)
+          }
+          val prevMaxUs = """"maxus"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .getOrElse(Long.MinValue)
+          val maxUs = math.max(prevMaxUs, batchMaxUs)
+          def split(payload: Array[Byte]): (Long, Array[Byte]) = {
+            val bb = java.nio.ByteBuffer.wrap(payload)
+            (bb.getLong, payload.drop(8))
+          }
+          def join(c: Long, sk: Array[Byte]): Array[Byte] = {
+            val bb = java.nio.ByteBuffer.allocate(8 + sk.length)
+            bb.putLong(c); bb.put(sk); bb.array()
+          }
+          val prev: Map[Long, (Long, Array[Byte])] = rider
+            .map(r => graft.sketch.GroupedHll.unpack(r.data))
+            .getOrElse(Nil)
+            .collect { case (Some(k), payload) => k.toLong -> split(payload) }
+            .toMap
+          val merged = perBucket.foldLeft(prev) {
+            case (acc, (bkt, c, sk)) =>
+              acc.get(bkt) match {
+                case None => acc.updated(bkt, (c, sk))
+                case Some((pc, psk)) => acc.updated(bkt, (pc + c,
+                  graft.sketch.Cms.deserialize(psk)
+                    .merge(graft.sketch.Cms.deserialize(sk)).serialize))
+              }
+          }
+          val live = merged.filter { case (bkt, _) =>
+            (bkt + 1L) * bucketMicros > maxUs - windowMicros
+          }
+          val serving = live.values
+            .map { case (_, sk) => graft.sketch.Cms.deserialize(sk) }
+            .foldLeft(new graft.sketch.Cms(epsilon, delta))(_ merge _)
+          val liveN = live.valuesIterator.map(_._1).sum
+          catalog.upsertTableStats(table, liveN)
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "countmin", serving.serialize,
+            s"""{"epsilon":$epsilon,"delta":$delta,"rows":$liveN}""",
+            System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "cms_windowed",
+            graft.sketch.GroupedHll.pack(live.toSeq.map {
+              case (bkt, (c, sk)) => (Some(bkt.toString), join(c, sk))
+            }),
+            s"""{"maxus":$maxUs,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming histogram maintenance — the q74 strategy made LIVE: a
     * stream folds per-micro-batch bucket counts into the catalog's
     * equi-width histogram, and the engine's no-scan percentile answers

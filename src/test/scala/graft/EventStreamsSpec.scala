@@ -144,6 +144,46 @@ class EventStreamsSpec extends SparkSpec {
       graft.sketch.Hll.deserialize(expected).count)
   }
 
+  test("windowed CMS maintainer: expired buckets leave the counters, stats, and the served frequency") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-wcms").toString)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("k", expr("concat('k', cast(id % 7 as string))"))
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainCmsWindowed(
+      shape(stream.toDF().toDF("id")), catalog, "wcms_live", "k", "ts",
+      windowMicros = 2000L * 1000000L, bucketMicros = 100L * 1000000L)
+    stream.addData((0L until 2000L).toSeq)
+    q.processAllAvailable()
+    stream.addData((2000L until 4000L).toSeq)
+    q.processAllAvailable(); q.stop()
+    // live window: ids 1900..3999 (2100 rows — the q183/q184 fixture)
+    assert(catalog.statsFor("wcms_live").exists(_.rowCount == 2100L),
+      catalog.statsFor("wcms_live").toString)
+    // serving sketch == the batch CMS over exactly the live rows
+    // (counter addition is partition-independent, so bytes match)
+    val expected = spark.range(1900, 4000)
+      .select(graft.sketch.Cms.sketchAgg(
+        expr("concat('k', cast(id % 7 as string))"), 0.01, 0.01).as("s"))
+      .collect().head.getAs[Array[Byte]]("s")
+    val sk = catalog.getSketch("wcms_live", "k", "countmin")
+    assert(sk.isDefined)
+    assert(java.util.Arrays.equals(sk.get.data, expected),
+      "windowed serving CMS != batch CMS over the live rows")
+    // the engine answers the LIVE window's point frequency over an
+    // empty view (CMS estimate == exact here: 7 keys, no collisions)
+    val exactK3 = (1900L until 4000L).count(_ % 7 == 3)
+    spark.range(0).toDF("id").withColumn("k", expr("cast(id as string)"))
+      .createOrReplaceTempView("wcms_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query("SELECT count(*) AS n FROM wcms_live WHERE k = 'k3'")
+    assert(r.servedFromCatalog, r.reason)
+    assert(r.df.collect().head.getLong(0) == exactK3, r.df.collect().toSeq)
+  }
+
   test("stream-maintained histogram equals the batch build; engine percentiles go live") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
