@@ -1168,6 +1168,12 @@ final class QueryEngine(
     // checked — refuse the serve rather than risk dropped groups
     groupCols.nonEmpty && groupCols.forall(byLower.contains) && {
       val actual = groupCols.map(byLower)
+      // drop entries for superseded materializations of this sample
+      // (a streaming maintainer re-folds every micro-batch — without
+      // the prune the memo grows one dead entry per fold)
+      bkGroupStats.keysIterator
+        .filter(k => k._1 == s.sampleTable && k._2 != s.createdAt)
+        .foreach(bkGroupStats.remove)
       val (minPerGroup, nGroups) = bkGroupStats.getOrElseUpdate(
         (s.sampleTable, s.createdAt, actual), {
           val r = sdf.groupBy(actual.map(col): _*)

@@ -479,7 +479,14 @@ object EventStreams {
           // last_batch at its previous value, so the replayed batch
           // re-runs the whole fold (rows are idempotent, N continues
           // from the un-advanced rider) instead of leaving the catalog
-          // entry/stats/strata one fold behind the rewritten parquet
+          // entry/stats/strata one fold behind the rewritten parquet.
+          // Residual window: on the FIRST-EVER fold of a pure stream
+          // (no rider yet), a crash between addSample and this stamp
+          // makes the replay seed prevN from the crashed fold's
+          // baseRows and re-add the batch — N over by one batch until
+          // corrected state arrives. Every other fold (and every
+          // batch-built takeover) is covered: the rider exists and its
+          // un-advanced "rows" wins the fallback chain.
           catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
             "bottomk_rider", Array.emptyByteArray,
             s"""{"rows":$n,"k":$k,"last_batch":$batchId,"decsafe":"$decsafe"}""",
