@@ -219,10 +219,10 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
         else if (k < 1 || target < 1 || lowK < 0)
           (400, err("outlier_k and target_rest must be >= 1; low_k >= 0"))
         else {
-          val (name, nOut, nRest) = Samplers.createOutlierSample(
+          val (name, nOut, nLow, nRest) = Samplers.createOutlierSample(
             spark, engine.catalog, table, valueCol, keyCol, k, target,
             lowK)
-          (200, s"""{"status": "ok", "sample_table": ${jstr(name)}, "outlier_rows": $nOut, "rest_rows": $nRest, "low_k": $lowK, "value_column": ${jstr(valueCol)}}""")
+          (200, s"""{"status": "ok", "sample_table": ${jstr(name)}, "outlier_rows": $nOut, "low_rows": $nLow, "rest_rows": $nRest, "low_k": $lowK, "value_column": ${jstr(valueCol)}}""")
         }
     }
   }

@@ -130,7 +130,15 @@ final class MetaCatalog(val workDir: String) {
     samplesFor(table)
       .filter(_.strataColumn.contains(s"__outlier__${valueCol.toLowerCase}"))
       .filter(sampleIsFresh)
-      .sortBy(_.fraction).headOption
+      // a TWO-SIDED build (recorded "outlier_low" stratum) preempts a
+      // one-sided one on the same (table, measure): it serves every
+      // shape the one-sided sample serves PLUS exact MIN, so the pick
+      // between coexisting builds is deterministic and capability-
+      // maximal instead of listing-order luck (a MIN query refused
+      // because the one-sided entry happened to sort first)
+      .sortBy(s => (if (strataFor(s.sampleTable)
+        .exists(_.strataValue == "outlier_low")) 0 else 1, s.fraction))
+      .headOption
 
   def universeSampleFor(table: String, key: String): Option[SampleInfo] =
     samplesFor(table).filter(_.strataColumn.contains(s"__universe__$key"))

@@ -375,8 +375,16 @@ object Multimodal {
         expr(s"cast(k as double) * $w + 1.96 * sqrt(cast(k as double) * ${w * (w - 1.0)})")
           .as("n_ci_high"),
         expr("cast(okn as double) / cast(k as double)").as("ok_rate"),
-        expr("cast(ss as double) / cast(k as double)").as("avg_samples"),
-        expr("cast(sr as double) / cast(k as double)").as("avg_rate"))
+        // means over the DECODED payloads (the documented semantics):
+        // failed decodes contribute 0 to ss/sr, so the k divisor would
+        // bias them low on any shard with failures; an all-failed
+        // shard has no decoded mean at all (NULL, not 0/0)
+        expr("case when okn = 0 then cast(null as double) " +
+          "else cast(ss as double) / cast(okn as double) end")
+          .as("avg_samples"),
+        expr("case when okn = 0 then cast(null as double) " +
+          "else cast(sr as double) / cast(okn as double) end")
+          .as("avg_rate"))
       .orderBy(col("shard"))
   }
 

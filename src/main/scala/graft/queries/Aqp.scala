@@ -4275,8 +4275,10 @@ object Aqp {
     // WAV generator arithmetic (every payload decodes, so ok = 1 for
     // all winners — the rate column is still computed from the
     // decoder's outcomes on the Spark side), HT count chain = q28's
-    // (w = 100.0, w(w−1) = 9900.0), means = exact integer sums with
-    // one division each.
+    // (w = 100.0, w(w−1) = 9900.0), means = exact integer sums over
+    // the DECODED winners with one division each (okn divisor — every
+    // fixture payload decodes, so okn = k here, but the divisor pins
+    // the documented decoded-payload semantics).
     "q182_media_qa_sampled" ->
       s"""WITH k AS (SELECT doc_id,
               CAST(doc_id % 4 AS INT) AS shard,
@@ -4294,8 +4296,10 @@ object Aqp {
             CAST(k AS DOUBLE) * 100.0
               + 1.96 * sqrt(CAST(k AS DOUBLE) * 9900.0) AS n_ci_high,
             CAST(okn AS DOUBLE) / CAST(k AS DOUBLE) AS ok_rate,
-            CAST(ss AS DOUBLE) / CAST(k AS DOUBLE) AS avg_samples,
-            CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS avg_rate
+            CASE WHEN okn = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(ss AS DOUBLE) / CAST(okn AS DOUBLE) END AS avg_samples,
+            CASE WHEN okn = 0 THEN CAST(NULL AS DOUBLE)
+                 ELSE CAST(sr AS DOUBLE) / CAST(okn AS DOUBLE) END AS avg_rate
           FROM a ORDER BY shard""",
 
     "q81_audio_decode" ->

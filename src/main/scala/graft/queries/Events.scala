@@ -103,6 +103,64 @@ object Events {
         keys = Seq("click", "error", "purchase"))
     }),
 
+    // WINDOWED histogram stats (round 14) — the TTL form for the
+    // equi-width histogram family (q74/q103 percentile/range serves):
+    // per-grid-bucket counts + exact decimal sums over the last 10
+    // days at 1-day buckets, computed through the per-event-bucket
+    // partials + additive merge the streaming maintainer folds
+    // (WindowedSketches.maintainHistogramWindowed). Counts and decimal
+    // sums are associative, so the merged form equals the direct
+    // aggregate — the oracle re-derives the DIRECT form, gating the
+    // additive merge law (the q185 pattern on the histogram family).
+    "q186_windowed_histogram" -> ((s, dir) => {
+      graft.streaming.WindowedSketches.windowedHistogramStats(
+        Tables.load(s, dir, "events"), "value", "ts",
+        windowMicros = 10L * 86400000000L,
+        bucketMicros = 86400000000L,
+        lo = 0.0, width = 30.0, buckets = 20)
+    }),
+
+    // WINDOWED grouped stats (round 14) — the TTL form for the exact
+    // per-group MIN/MAX/COUNT/SUM serve (q86's family): counts/sums
+    // add across live buckets, min/max re-merge (the q184 rule) — the
+    // oracle re-derives the direct grouped aggregate over the live
+    // window.
+    "q187_windowed_grouped_stats" -> ((s, dir) => {
+      graft.streaming.WindowedSketches.windowedGroupedStats(
+        Tables.load(s, dir, "events"), "event_type", "value", "ts",
+        windowMicros = 10L * 86400000000L,
+        bucketMicros = 86400000000L)
+    }),
+
+    // WINDOWED KMV distinct (round 14) — the TTL form for the
+    // set-op/NDV sketch family (q45/q107): per-bucket bottom-k value
+    // hashes, live buckets re-merged by bottom-k union (idempotent —
+    // the q183 merge law on value hashes), the q45 estimator over the
+    // result. event_id is the key BECAUSE it ages out (q184's
+    // argument): distinct events in the window shrink as buckets
+    // expire, so expiry is observable in the estimate.
+    "q188_windowed_kmv" -> ((s, dir) => {
+      graft.streaming.WindowedSketches.windowedKmvDistinct(
+        Tables.load(s, dir, "events"), "event_id", "ts",
+        windowMicros = 10L * 86400000000L,
+        bucketMicros = 86400000000L, k = 256)
+    }),
+
+    // WINDOWED top-k heavy hitters (round 14) — the trending-now
+    // dashboard over the live window: per-user live-window counts at
+    // the serve threshold, computed through the per-bucket partials +
+    // additive merge the maintainer folds
+    // (WindowedSketches.maintainTopKWindowed — expiry subtracts
+    // exactly, so unlike the append-only maintainer the completeness
+    // bound never inflates). The oracle re-derives the direct
+    // GROUP BY ... HAVING over the live window.
+    "q189_windowed_topk" -> ((s, dir) => {
+      graft.streaming.WindowedSketches.windowedTopK(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        windowMicros = 10L * 86400000000L,
+        bucketMicros = 86400000000L, threshold = 25L)
+    }),
+
     // Tumbling 1-hour windows by event type (epoch-aligned, like
     // streaming `window(ts, '1 hour')`).
     "q24_event_window" -> ((s, dir) => {
@@ -455,6 +513,76 @@ object Events {
             CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact
           FROM est LEFT JOIN ex ON est.k = ex.k ORDER BY est.k"""
     },
+    // q186: the DIRECT per-grid-bucket counts + decimal sums over the
+    // live window (the maintainer's per-bucket fold + additive merge
+    // must equal it). The grid expression is the maintainer's verbatim
+    // (double-domain clamp, then the int cast).
+    "q186_windowed_histogram" ->
+      """WITH e AS (SELECT value AS v, epoch_us(ts) AS us FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL),
+          mx AS (SELECT max(us) AS m FROM e),
+          lv AS (SELECT v FROM e, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000)
+          SELECT CAST(least(CAST(19 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+              floor((CAST(v AS DOUBLE) - 0.0) / 30.0))) AS INT) AS b,
+            count(*) AS n,
+            CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          FROM lv GROUP BY 1 ORDER BY b""",
+    // q187: the DIRECT grouped stats over the live window (counts and
+    // decimal sums add across buckets; min/max re-merge — the
+    // maintainer's GroupedStats.merge across live buckets equals
+    // this).
+    "q187_windowed_grouped_stats" ->
+      """WITH e AS (SELECT event_type, value AS v, epoch_us(ts) AS us
+            FROM events WHERE ts IS NOT NULL),
+          mx AS (SELECT max(us) AS m FROM e),
+          lv AS (SELECT event_type, v FROM e, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000)
+          SELECT event_type, count(*) AS n, count(v) AS n_value,
+            CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+            min(v) AS min_value, max(v) AS max_value
+          FROM lv GROUP BY event_type ORDER BY event_type""",
+    // q188: q45's KMV estimator chain (h60 bottom-k, (k-1)*2^60/h_k
+    // with the exact float association) restricted to the live window
+    // — the DIRECT bottom-k the per-bucket union must equal.
+    "q188_windowed_kmv" ->
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events
+            WHERE ts IS NOT NULL),
+          mx AS (SELECT max(us) AS m FROM e),
+          lv AS (SELECT event_id FROM e, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000),
+          hs AS (SELECT DISTINCT ${graft.queries.Dedup.h60Duck("CAST(event_id AS VARCHAR)")} AS h
+            FROM lv),
+          bot AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+          kth AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM bot),
+          ex AS (SELECT count(DISTINCT event_id) AS n_exact FROM lv)
+          SELECT CAST(k_used AS BIGINT) AS k_used,
+            CAST(COALESCE(kth_hash, 0) AS BIGINT) AS kth_hash,
+            est_distinct, n_exact,
+            (est_distinct - CAST(n_exact AS DOUBLE))
+              / CAST(n_exact AS DOUBLE) AS rel_error
+          FROM (SELECT k_used, kth_hash,
+              CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+                   ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(kth_hash AS DOUBLE) END AS est_distinct,
+              n_exact
+            FROM kth, ex) t""",
+    // q189: the DIRECT per-user live-window counts at the threshold
+    // (the maintainer's per-bucket partials + additive merge must
+    // equal it); (n DESC, user_id ASC) is a total order.
+    "q189_windowed_topk" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+            WHERE ts IS NOT NULL),
+          mx AS (SELECT max(us) AS m FROM e),
+          lv AS (SELECT user_id FROM e, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000)
+          SELECT user_id, count(*) AS n FROM lv
+          GROUP BY user_id HAVING count(*) >= 25
+          ORDER BY n DESC, user_id""",
     "q164_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
           f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),

@@ -356,7 +356,11 @@ object Similarity {
       df.agg(sum(expr("cast(lbl as decimal(38,0))"))).collect()(0)
         .getDecimal(0)
     var prevSum = lblSum(lbl)
-    var converged = false
+    // a corpus where NO pair reaches semDedupCos has no edges, no
+    // labels, and a NULL label sum — already at the fixpoint (every
+    // vector is its own cluster); entering the loop would NPE on the
+    // null-vs-null compareTo
+    var converged = prevSum == null
     var iter = 0
     while (!converged && iter < 50) {
       t(s"iter$iter") {

@@ -240,7 +240,7 @@ object Samplers {
   def createOutlierSample(spark: SparkSession, catalog: MetaCatalog,
       table: String, valueCol: String, keyCol: String,
       outlierK: Int = 500, targetRest: Long = 2048L,
-      lowK: Int = 0): (String, Long, Long) = {
+      lowK: Int = 0): (String, Long, Long, Long) = {
     require(outlierK >= 1, "outlierK must be >= 1")
     require(targetRest >= 1, "targetRest must be >= 1")
     require(lowK >= 0, "lowK must be >= 0")
@@ -346,7 +346,7 @@ object Samplers {
       else Nil) ++ Seq(
       catalog.StratumInfo(name, "rest", math.max(0L, base - nOut - nLow),
         nRest, 1.0 / w, w.toDouble, 0.0)))
-    (name, nOut, nRest)
+    (name, nOut, nLow, nRest)
   }
 
   /** BOTTOM-K sample (round 12): the k rows with the SMALLEST keyed

@@ -668,7 +668,13 @@ object EventStreams {
       .withColumn("graft_bucket", expr(s"unix_micros($tsCol) div $bucketMicros"))
       .withColumn("graft_h",
         expr(s"graft_h60(concat('bkw:', cast($keyCol as string)))"))
-    val maxUs = withUs.agg(max(col("graft_us"))).collect()(0).getLong(0)
+    // empty input / all-NULL timestamps: no watermark, no live rows —
+    // the maintainers' isNullAt guard mirrored (a bare getLong NPEs)
+    val maxRow = withUs.agg(max(col("graft_us"))).collect()(0)
+    if (maxRow.isNullAt(0))
+      return withUs.filter(lit(false))
+        .select(col(keyCol), lit(0L).as("n_live"))
+    val maxUs = maxRow.getLong(0)
     val live = withUs.filter(
       (col("graft_bucket") + lit(1L)) * lit(bucketMicros) >
         lit(maxUs - windowMicros))
@@ -957,7 +963,13 @@ object EventStreams {
     val withUs = df.select(col(column).cast("string").as("graft_v"),
       expr(s"unix_micros($tsCol)").as("graft_us"),
       expr(s"unix_micros($tsCol) div $bucketMicros").as("graft_bucket"))
-    val maxUs = withUs.agg(max(col("graft_us"))).collect()(0).getLong(0)
+    // empty input / all-NULL timestamps: zero live buckets — serve the
+    // empty CMS's answer (est 0, exact 0 per key) instead of NPE-ing
+    // on the null max (the maintainers' isNullAt guard mirrored)
+    val maxRow = withUs.agg(max(col("graft_us"))).collect()(0)
+    if (maxRow.isNullAt(0))
+      return keys.sorted.map(k => (k, 0L, 0L)).toDF("k", "est", "n_exact")
+    val maxUs = maxRow.getLong(0)
     def liveB(b: Long): Boolean =
       (b + 1L) * bucketMicros > maxUs - windowMicros
     val perBucket = withUs

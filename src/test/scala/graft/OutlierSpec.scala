@@ -38,7 +38,7 @@ class OutlierSpec extends SparkSpec {
   }
 
   test("outlier sample: heavy tail lands in the exact part, weights are {1, 2^j}") {
-    val (name, nOut, nRest) = Samplers.createOutlierSample(
+    val (name, nOut, _, nRest) = Samplers.createOutlierSample(
       spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
     assert(name == "skewed__outlier_v")
     assert(nOut == 64L)
@@ -84,11 +84,11 @@ class OutlierSpec extends SparkSpec {
   }
 
   test("membership and estimates are deterministic across rebuilds") {
-    val (_, o1, r1) = Samplers.createOutlierSample(
+    val (_, o1, _, r1) = Samplers.createOutlierSample(
       spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
     val e1 = engine.query("SELECT sum(v) AS v_est FROM skewed",
       engine.Options(ciColumns = false)).df.collect()(0).getDouble(0)
-    val (_, o2, r2) = Samplers.createOutlierSample(
+    val (_, o2, _, r2) = Samplers.createOutlierSample(
       spark, catalog, "skewed", "v", "id", outlierK = 64, targetRest = 1024L)
     val e2 = engine.query("SELECT sum(v) AS v_est FROM skewed",
       engine.Options(ciColumns = false)).df.collect()(0).getDouble(0)
