@@ -124,14 +124,35 @@ object Bench {
     // BACK-TO-BACK passes) pair: the isolated passes sit inside one
     // contention regime and the adjacent canary stamps that regime, so
     // a reader can normalize any drift from BENCH_DETAIL alone.
-    val isolated = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // Round 14: probes are CANARY-GATED — a sample whose surrounding
+    // canaries exceed max(0.15 s, 3x the run's quiet floor) is a
+    // loud-host reading (the r13 q170 record: min3 88 s against canary
+    // 3.2 s — noise with a quality stamp) and is retried up to 3 more
+    // times; the canary is stamped BEFORE AND AFTER the min-of-3 so
+    // contention arriving mid-probe is caught too. If every attempt is
+    // loud, the quietest attempt is recorded rather than nothing, and
+    // `rejected_attempts` counts the discarded tries either way — a
+    // reader can tell a clean record (0) from a best-of-loud one.
+    val isolated =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
     if (only.isEmpty) {
+      val quietFloor = if (canaries.nonEmpty) canaries.min else 0.05
+      val gate = math.max(0.15, quietFloor * 3.0)
       results.sortBy(-_._2).take(10).foreach { case (name, _) =>
         SparkEntry.queries.get(name).foreach { fn =>
           try {
-            val c = canaryTime()
-            val t = (1 to 3).map(_ => timed(fn)).min
-            isolated(name) = (c, t)
+            var attempt = 0
+            var best = (Double.MaxValue, Double.MaxValue)
+            var clean = false
+            while (!clean && attempt < 4) {
+              val cBefore = canaryTime()
+              val t = (1 to 3).map(_ => timed(fn)).min
+              val c = math.max(cBefore, canaryTime())
+              if (c < best._1) best = (c, t)
+              clean = c < gate
+              attempt += 1
+            }
+            isolated(name) = (best._1, best._2, attempt - 1)
           } catch { case _: Throwable => () } // already recorded in errors
         }
       }
@@ -643,8 +664,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullErrJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val canaryJson = canaries.map(_.toString).mkString("[", ",", "]")
-    val isolatedJson = isolated.map { case (k, (c, t)) =>
-      s"""${jstr(k)}:{"canary_s":$c,"min3_s":$t}"""
+    val isolatedJson = isolated.map { case (k, (c, t, rej)) =>
+      s"""${jstr(k)}:{"canary_s":$c,"min3_s":$t,"rejected_attempts":$rej}"""
     }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"isolated":$isolatedJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"scale_stats":$scaleStats,"sf":${jstr(sfDir)},"cpus":$cpus}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),

@@ -66,7 +66,15 @@ final class QueryEngine(
       // ON (the sketches are built deliberately), but an explicit
       // switch so operators can build AGMS sketches purely for
       // cardinality estimation without changing query semantics.
-      autoCostedJoins: Boolean = true)
+      autoCostedJoins: Boolean = true,
+      // Row cap on measureExact's dual-run collections (round 14): a
+      // high-cardinality GROUP BY under the opt-in measurement used to
+      // collect EVERY group twice — a driver OOM at scale. Both result
+      // sets are now collected through a deterministic keyed-hash
+      // sample of the group keys (TakeOrdered by xxhash64(keys), so
+      // both sides pick the same groups and the history score stays
+      // reproducible), capped here. Scalar results are unaffected.
+      measureExactCap: Int = 4096)
 
   case class AqeResult(
       df: DataFrame,
@@ -147,7 +155,8 @@ final class QueryEngine(
       storedSetOpAnswer(parsed) match {
         case Some((df, err, op, hint)) if err <= opts.maxRelError =>
           return finish(serveResult(df, features, hint, "kmv_setop", err,
-            s"$op cardinality answered from the stored KMV (bottom-k) sketch pair (no scan)",
+            s"$op cardinality answered from the stored KMV (bottom-k) sketch pair (no scan)" +
+              liveWindowNote(hint, "kmv_windowed"),
             Seq(s"COUNT(*) over $op answered from the two sides' stored " +
               "KMV sketches (no scan; exact when the sketches are " +
               "exhaustive, else the k-th-hash estimator with the " +
@@ -302,7 +311,8 @@ final class QueryEngine(
     storedHistogramAnswer(servePlan, table) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "histogram", err,
-          "percentile answered from the stored histogram sketch (no scan)",
+          "percentile answered from the stored histogram sketch (no scan)" +
+            liveWindowNote(table, "hist_windowed"),
           Seq("PERCENTILE/MEDIAN answered from the stored equi-width " +
             "histogram (no scan; accurate to one bucket width)"), opts),
           sql, features, opts)
@@ -361,7 +371,8 @@ final class QueryEngine(
     refusing(storedGroupedStatsAnswer(servePlan, table)) match {
       case Some(df) =>
         return finish(serveResult(posted(df), features, table, "grouped_stats", 0.0,
-          "per-group aggregate answered from stored grouped build statistics (no scan, exact)",
+          "per-group aggregate answered from stored grouped build statistics (no scan, exact)" +
+            liveWindowNote(table, "statsg_windowed"),
           Seq("per-group MIN/MAX/COUNT/SUM/AVG answered from stored grouped " +
             "build statistics (no scan; exact as of sketch build)"), opts),
           sql, features, opts)
@@ -407,7 +418,8 @@ final class QueryEngine(
     storedCmsAnswer(servePlan, table) match {
       case Some((df, eps)) if eps <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "cms", eps,
-          "point-frequency answered from the stored Count-Min sketch (no scan)",
+          "point-frequency answered from the stored Count-Min sketch (no scan)" +
+            liveWindowNote(table, "cms_windowed"),
           Seq("COUNT(*) with a column=value filter answered from the stored " +
             "Count-Min sketch (no scan; overestimate-only, eps*N additive bound)"), opts),
           sql, features, opts)
@@ -421,7 +433,8 @@ final class QueryEngine(
     refusing(storedHistogramRangeAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "histogram_range", err,
-          "range-predicate count answered from the stored histogram (no scan)",
+          "range-predicate count answered from the stored histogram (no scan)" +
+            liveWindowNote(table, "hist_windowed"),
           Seq("COUNT(*) with a range predicate interpolated from the stored " +
             "equi-width histogram (no scan; bounded by the boundary buckets' mass)"), opts),
           sql, features, opts)
@@ -489,7 +502,8 @@ final class QueryEngine(
     // peel-based serves and never disturbs their plans.
     refusing(storedTopKAnswer(parsed, table)) match {
       case Some((df, detail)) =>
-        return finish(serveResult(df, features, table, "topk", 0.0, detail,
+        return finish(serveResult(df, features, table, "topk", 0.0,
+          detail + liveWindowNote(table, "topk_windowed"),
           Seq("top-k / iceberg GROUP BY answered from the stored " +
             "heavy-hitters summary (no scan; exact above the stored " +
             "threshold)"), opts),
@@ -531,7 +545,8 @@ final class QueryEngine(
           if (hllErr > opts.maxRelError) None
           else refusing(storedSketchAnswer(servePlan, table)).map { df =>
             serveResult(posted(df), features, table, "hll", hllErr,
-              "COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)",
+              "COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)" +
+                liveWindowNote(table, "hll_windowed"),
               Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"),
               opts)
           }.orElse(refusing(storedGroupedSketchAnswer(servePlan, table)).map { df =>
@@ -633,6 +648,11 @@ final class QueryEngine(
           else outlierCandidate
         outlierSample match {
           case Some(s) =>
+            // a stream-maintained sample re-folds its parquet under a
+            // cloned session whose temp view never reaches this one:
+            // (re-)register by materialization stamp (the bottom-k
+            // serves' discipline)
+            ensureSampleView(s)
             // decimal-routed weighted sums ONLY when every SUM/AVG
             // argument IS the bare indexed-measure attribute (a known
             // ≤4-decimal-place column): an expression argument — even
@@ -909,7 +929,8 @@ final class QueryEngine(
                   Some(s.sampleTable),
                   Seq(s"bottom-k sample ${s.sampleTable}: fixed-size " +
                     s"order-statistic sample (k=${st.sampleSize}), " +
-                    s"estimates scale once by N/k"),
+                    s"estimates scale once by N/k" +
+                    liveWindowNote(table, "bottomkw_state")),
                   estimatedCost = Some(tableSize * s.fraction *
                     Planner.ScanCostPerRow + Planner.SampleSetupCost))
               case None =>
@@ -1276,12 +1297,32 @@ final class QueryEngine(
           sketchCandidates(p, features).filter(_.sketchType == "universe"))
       }
     if (!opts.measureExact) return r
+    // Dual-run collections are CAPPED (round 14): a high-cardinality
+    // GROUP BY used to collect every group twice — a driver OOM at
+    // scale. Both sides collect through the SAME deterministic
+    // keyed-hash sample of group keys (TakeOrdered by xxhash64 over
+    // the key outputs, then the keys — a total order, so approx and
+    // exact pick the same group subset and the history score stays
+    // reproducible across runs). The aggregation still executes in
+    // full (limit only bounds the transfer), so the timed speedup is
+    // unchanged; scalar results are one row and unaffected.
+    val keyNames = groupKeyNamesOf(sql)
+    def cappedCollect(df: org.apache.spark.sql.DataFrame)
+        : Array[org.apache.spark.sql.Row] = {
+      val cols = df.schema.fieldNames.toSet
+      if (keyNames.nonEmpty && keyNames.forall(cols.contains)) {
+        import org.apache.spark.sql.functions.{col, xxhash64}
+        df.orderBy(xxhash64(keyNames.map(col): _*) +:
+            keyNames.map(col): _*)
+          .limit(opts.measureExactCap).collect()
+      } else df.limit(opts.measureExactCap).collect()
+    }
     val t0 = System.nanoTime()
-    val approxRows = r.df.collect()
+    val approxRows = cappedCollect(r.df)
     val tApprox = (System.nanoTime() - t0) / 1e6
     val t1 = System.nanoTime()
     val exactDf = spark.sql(sql)
-    val exactRows = exactDf.collect()
+    val exactRows = cappedCollect(exactDf)
     val tExact = (System.nanoTime() - t1) / 1e6
     val speedup = if (tApprox > 0) tExact / tApprox else 1.0
 

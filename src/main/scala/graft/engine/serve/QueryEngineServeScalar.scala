@@ -52,6 +52,22 @@ private[engine] trait QueryEngineServeScalar { self: QueryEngine =>
           .map(_.group(1).toLong))
         .maxOption)
 
+  /** Explain-contract tag for serves backed by a WINDOWED/TTL
+    * maintainer (round 14): when the named per-bucket state rider
+    * exists on the table, the serving blob answers over the LIVE
+    * WINDOW, not all-time — `/query?explain=true` must say so the way
+    * it names every other serve property. Appended to the serve's
+    * detail string at the dispatch site, so the planner's
+    * `catalog serve (kind): ...` reason carries it verbatim.
+    */
+  private[engine] def liveWindowNote(table: String, stateTypes: String*): String =
+    if (catalog.listSketches(Some(table))
+        .exists(s => stateTypes.contains(s.sketchType)))
+      " [live window (TTL): serving state re-merged from live " +
+        "event-time buckets at the stream watermark; expired rows " +
+        "excluded, table stats track the live-row count]"
+    else ""
+
   /** Wrap a VERIFIED no-scan catalog serve in the planner's candidate
     * enumeration (the reference explain contract, planner.py:21-78 /
     * app.py:106-111): confidence, speedup, and cost come from the

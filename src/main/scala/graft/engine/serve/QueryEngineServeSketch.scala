@@ -1320,9 +1320,13 @@ private[engine] trait QueryEngineServeSketch { self: QueryEngine =>
     "max", "stddev", "stddev_samp", "var_samp", "variance", "percentile",
     "percentile_approx", "approx_percentile", "median",
     "approx_count_distinct")
-  private[engine] def groupedError(sql: String,
-      approxNames: Array[String], approxRows: Array[org.apache.spark.sql.Row],
-      exactNames: Array[String], exactRows: Array[org.apache.spark.sql.Row]): Double = {
+  /** Grouping-key OUTPUT column names of a parsed select list (outputs
+    * whose expression contains no aggregate call) — the join keys the
+    * realized-error measurement pairs approx/exact rows on, and the
+    * keyed-hash sample columns `finish`'s capped dual-run collection
+    * orders by. Empty for scalar shapes or when no plan is available.
+    */
+  private[engine] def groupKeyNamesOf(sql: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, UnaryNode}
@@ -1338,10 +1342,16 @@ private[engine] trait QueryEngineServeSketch { self: QueryEngine =>
             if aggCallNames.contains(f.nameParts.last.toLowerCase) => f
       }.isDefined
     val outs = parsedCached(sql).map(p => selectList(p._1)).getOrElse(Nil)
-    val keyNames = outs.collect {
+    outs.collect {
       case a @ Alias(child, _) if !hasAggCall(child) => a.name
       case ne if !hasAggCall(ne)                     => ne.name
     }
+  }
+
+  private[engine] def groupedError(sql: String,
+      approxNames: Array[String], approxRows: Array[org.apache.spark.sql.Row],
+      exactNames: Array[String], exactRows: Array[org.apache.spark.sql.Row]): Double = {
+    val keyNames = groupKeyNamesOf(sql)
     val exactIdx = exactNames.zipWithIndex.toMap
     val approxIdx = approxNames.zipWithIndex.toMap
     if (keyNames.isEmpty ||
@@ -1944,7 +1954,21 @@ private[engine] trait QueryEngineServeSketch { self: QueryEngine =>
         }
       }
       .map { case (c, n) =>
-        SketchAdvisor.Advice(c, n, SketchAdvisor.buildRecipe(c))
+        // TTL-aware recipes (round 14): a table with ANY windowed
+        // state rider or last_batch-guarded sketch is stream-
+        // maintained — a one-shot batch build would go stale on the
+        // next fold, so the advice names the WINDOWED maintainer for
+        // the family when one exists
+        val streamed = catalog.listSketches(Some(c.table)).exists(s =>
+          s.sketchType.endsWith("_windowed") ||
+            s.sketchType == "bottomkw_state" ||
+            s.parameters.contains("\"last_batch\""))
+        val build =
+          if (streamed)
+            SketchAdvisor.windowedRecipe(c)
+              .getOrElse(SketchAdvisor.buildRecipe(c))
+          else SketchAdvisor.buildRecipe(c)
+        SketchAdvisor.Advice(c, n, build)
       }
       .sortBy(a => (-a.misses, a.candidate.toString))
   }

@@ -99,6 +99,46 @@ object SketchAdvisor {
         "// same fraction f on BOTH join sides"
     case _ => s"unknown sketch type ${c.sketchType}"
   }
+
+  /** TTL-aware build recipe (round 14): when the missed shape sits on
+    * a table that is STREAM-MAINTAINED (any windowed state rider or
+    * `last_batch`-guarded sketch in its catalog — evidence a batch
+    * build would go stale on the next fold), advise the WINDOWED
+    * maintainer for the family instead of the one-shot batch build, so
+    * the closed loop lands on state that tracks the live window. None
+    * for shapes with no windowed form yet (the caller falls back to
+    * [[buildRecipe]]).
+    */
+  def windowedRecipe(c: Candidate): Option[String] =
+    (c.sketchType, c.groupBy) match {
+      case ("hll", _) if !c.column.contains(",") => Some(
+        s"EventStreams.maintainHllWindowed(stream, catalog, ${c.table}, " +
+          s"${c.column}, tsCol, windowMicros, bucketMicros) " +
+          "// TTL: COUNT(DISTINCT) serves over the live window")
+      case ("cms", _) if !c.column.contains(",") => Some(
+        s"EventStreams.maintainCmsWindowed(stream, catalog, ${c.table}, " +
+          s"${c.column}, tsCol, windowMicros, bucketMicros) " +
+          "// TTL: point frequencies serve over the live window")
+      case ("histogram", _) => Some(
+        s"WindowedSketches.maintainHistogramWindowed(stream, catalog, " +
+          s"${c.table}, ${c.column}, tsCol, windowMicros, bucketMicros, " +
+          "lo, width, buckets) " +
+          "// TTL: percentiles/range counts serve over the live window")
+      case ("kmv", _) => Some(
+        s"WindowedSketches.maintainKmvWindowed(stream, catalog, ${c.table}, " +
+          s"${c.column}, tsCol, windowMicros, bucketMicros) " +
+          "// TTL: set-op cardinalities serve over the live window")
+      case ("topk", Some(g)) =>
+        val key = g.split(",").map(k => s""""$k"""").mkString("Seq(", ", ", ")")
+        Some(s"WindowedSketches.maintainTopKWindowed(stream, catalog, " +
+          s"${c.table}, $key, tsCol, windowMicros, bucketMicros, threshold) " +
+          "// TTL: the trending-now top-k serves over the live window")
+      case ("bottomk", None) => Some(
+        s"EventStreams.maintainBottomKWindowed(stream, catalog, ${c.table}, " +
+          "uniqueKeyCol, tsCol, windowMicros, bucketMicros) " +
+          "// TTL: the fixed-size sample tracks the live window")
+      case _ => None
+    }
 }
 
 /** Bounded access-ordered miss counter (the parse-cache LRU policy:

@@ -454,6 +454,19 @@ object EventStreams {
             .orElse(catalog.samplesFor(table)
               .find(_.sampleTable == name).flatMap(_.baseRows))
             .getOrElse(0L)
+          // FIRST-EVER fold on a pure stream (no rider yet): stamp a
+          // PROVISIONAL rider carrying the pre-batch count BEFORE any
+          // other catalog write, closing the round-13 crash window —
+          // a crash between addSample and the final stamp used to make
+          // the replay seed prevN from the crashed fold's baseRows and
+          // re-add the batch (N over by one batch). With the
+          // provisional rider, the replay's fallback chain reads the
+          // un-advanced "rows" and the fold stays exactly idempotent.
+          if (catalog.getSketch(table, keyCol, "bottomk_rider").isEmpty)
+            catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
+              "bottomk_rider", Array.emptyByteArray,
+              s"""{"rows":$prevN,"k":$k,"last_batch":$lastBatch}""",
+              System.currentTimeMillis()))
           val n = prevN + batchN
           s.createDataFrame(
             java.util.Arrays.asList(merged: _*), schema)
@@ -480,13 +493,10 @@ object EventStreams {
           // re-runs the whole fold (rows are idempotent, N continues
           // from the un-advanced rider) instead of leaving the catalog
           // entry/stats/strata one fold behind the rewritten parquet.
-          // Residual window: on the FIRST-EVER fold of a pure stream
-          // (no rider yet), a crash between addSample and this stamp
-          // makes the replay seed prevN from the crashed fold's
-          // baseRows and re-add the batch — N over by one batch until
-          // corrected state arrives. Every other fold (and every
-          // batch-built takeover) is covered: the rider exists and its
-          // un-advanced "rows" wins the fallback chain.
+          // The first-ever fold is covered too (round 14): the
+          // provisional rider stamped above addSample means EVERY
+          // replay reads the un-advanced "rows" from the rider — no
+          // fold, first or later, can double-count N.
           catalog.upsertSketch(catalog.SketchInfo(table, keyCol,
             "bottomk_rider", Array.emptyByteArray,
             s"""{"rows":$n,"k":$k,"last_batch":$batchId,"decsafe":"$decsafe"}""",
@@ -557,11 +567,26 @@ object EventStreams {
           // folds; a maintainer taking over a BATCH-BUILT sample with
           // no blob yet seeds from the catalog's per-group strata
           // instead of resetting every count to one batch's worth
-          val prevCounts: Map[String, Long] = rider
-            .map(r => BlobEscape.decodeCounts(r.data))
-            .filter(_.nonEmpty)
-            .getOrElse(catalog.strataFor(name)
-              .map(st => st.strataValue -> st.popSize).toMap)
+          // gate on rider PRESENCE, not blob non-emptiness: a
+          // provisional first-fold rider (below) carries a genuinely
+          // empty count map, and falling through to strata here would
+          // re-open the crash window it exists to close (replayed
+          // first fold double-counting via the crashed fold's strata)
+          val prevCounts: Map[String, Long] = rider match {
+            case Some(r) => BlobEscape.decodeCounts(r.data)
+            case None => catalog.strataFor(name)
+              .map(st => st.strataValue -> st.popSize).toMap
+          }
+          // FIRST-EVER fold: provisional rider with the pre-batch
+          // counts BEFORE any other catalog write (the plain
+          // maintainer's round-14 discipline) — a crash between
+          // putStrata and the final stamp can no longer make the
+          // replay seed from the crashed fold's strata
+          if (rider.isEmpty)
+            catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
+              "bottomkg_rider", BlobEscape.encodeCounts(prevCounts),
+              s"""{"rows":${prevCounts.valuesIterator.sum},"k":$kPerGroup,"last_batch":$lastBatch}""",
+              System.currentTimeMillis()))
           val counts = (prevCounts.keySet ++ batchCounts.keySet).iterator
             .map(g => g -> (prevCounts.getOrElse(g, 0L) +
               batchCounts.getOrElse(g, 0L))).toMap
@@ -637,6 +662,231 @@ object EventStreams {
           catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
             "bottomkg_rider", blob,
             s"""{"rows":$n,"k":$kPerGroup,"last_batch":$batchId,"decsafe":"$decsafe"}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming OUTLIER-INDEXED sample maintenance (round 14 — the
+    * round-13 verdict's staleness gap): `Samplers.createOutlierSample`
+    * is fixed-fraction-plus-exact-tails, so under ingest it went stale
+    * and the engine's exact MIN/MAX serves (q171/q180) stopped working
+    * until a rebuild. The sample IS foldable in O(sample) driver
+    * state, because each part is mergeable on its own:
+    *  - the HIGH tail is the global top-`outlierK` under the
+    *    (value DESC, key ASC) total order — top-k of a union == top-k
+    *    of the parts' top-k's (the bottom-k fold on a different
+    *    order), so each micro-batch contributes one TakeOrdered;
+    *  - the LOW tail (two-sided builds) is the same fold under
+    *    (value ASC, key ASC), high-tail rows excluded (the builder's
+    *    both-tails rule);
+    *  - the REST is the deterministic 'ol:' keyed-hash lottery — pure
+    *    membership, so a batch contributes its winners and a stored
+    *    row's membership re-evaluates under the CURRENT threshold.
+    * The exact-tail invariant survives displacement: a batch row
+    * entering the tail demotes the displaced weight-1 row THROUGH the
+    * lottery (it keeps exactly the membership a batch build would give
+    * it), and because the power-of-two weight w only grows with N, the
+    * current threshold only tightens — re-filtering the stored rest
+    * drops exactly the rows a fresh build would never have kept. The
+    * maintained sample therefore holds EXACTLY `createOutlierSample`'s
+    * rows over the same data (the fold == rebuild law), and the
+    * catalog entry re-stamps N/w/strata each fold so exact MAX (and
+    * MIN on two-sided builds) keep serving as the stream appends.
+    * State: the `__state` parquet carries (row, graft_olv, graft_olh,
+    * graft_part); additive N rides the "outlier_rider" `last_batch`
+    * guard stamped LAST (provisional rider before the first fold's
+    * catalog writes — the crash-safe discipline). Key must be integral
+    * and stream-unique (the builder's contract). A maintainer taking
+    * over a batch-built sample (no state yet) re-derives the parts
+    * from the sample parquet: under the total order, every rest row
+    * sorts after the k-th tail row, so the inference is exact.
+    */
+  def maintainOutlierSample(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, valueCol: String,
+      keyCol: String, outlierK: Int = 500, targetRest: Long = 2048L,
+      lowK: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(outlierK >= 1, "outlierK must be >= 1")
+    require(targetRest >= 1, "targetRest must be >= 1")
+    require(lowK >= 0, "lowK must be >= 0")
+    val name =
+      if (lowK > 0) s"${table}__outlier2_$valueCol"
+      else s"${table}__outlier_$valueCol"
+    val path = s"${catalog.samplesDir}/$name"
+    val statePath = s"${catalog.samplesDir}/${name}__state"
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val rider = catalog.getSketch(table, valueCol, "outlier_rider")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          require(Seq("integer", "long", "short")
+            .contains(batch.schema(batch.schema.fieldIndex(keyCol))
+              .dataType.typeName),
+            s"outlier stream key $keyCol must be integral")
+          def annotate(df: DataFrame): DataFrame = df
+            .withColumn("graft_olv",
+              col(valueCol).cast("double"))
+            .withColumn("graft_olh",
+              expr(s"graft_h60(concat('ol:', cast($keyCol as string)))"))
+          val withH = annotate(batch)
+          val baseSchema = withH.schema // batch columns + olv + olh
+          val keyIdx = baseSchema.fieldIndex(keyCol)
+          val vIdx = baseSchema.fieldIndex("graft_olv")
+          val hIdx = baseSchema.fieldIndex("graft_olh")
+          def keyOf(r: org.apache.spark.sql.Row): Long =
+            r.get(keyIdx) match {
+              case l: java.lang.Long    => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case x: java.lang.Short   => x.longValue
+              case other => sys.error(s"non-integral key $other")
+            }
+          // the two tail total orders (builder parity: DESC/ASC on the
+          // double-cast value, key tie-break)
+          val hiOrd = Ordering.by[org.apache.spark.sql.Row, (Double, Long)](
+            r => (-r.getDouble(vIdx), keyOf(r)))
+          val loOrd = Ordering.by[org.apache.spark.sql.Row, (Double, Long)](
+            r => (r.getDouble(vIdx), keyOf(r)))
+          val batchN = batch.count()
+          val prevN = """"rows"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .orElse(catalog.samplesFor(table)
+              .find(_.sampleTable == name).flatMap(_.baseRows))
+            .getOrElse(0L)
+          // provisional rider BEFORE any other catalog write (the
+          // bottom-k maintainers' round-14 discipline): a first-fold
+          // crash after addSample can no longer double-count N
+          if (rider.isEmpty)
+            catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+              "outlier_rider", Array.emptyByteArray,
+              s"""{"rows":$prevN,"k":$outlierK,"lowk":$lowK,"target":$targetRest,"last_batch":$lastBatch}""",
+              System.currentTimeMillis()))
+          val n = prevN + batchN
+          // the CURRENT power-of-two weight — monotone in N, so the
+          // lottery threshold only ever tightens
+          val m = math.max(0L, n - outlierK - lowK) / targetRest
+          val w = if (m < 1L) 1L
+            else math.min(8192L, java.lang.Long.highestOneBit(m))
+          val threshold = 8192L / w
+          // batch contributions: one TakeOrdered per tail, the lottery
+          // winners at the (already-final) current threshold
+          val batchHigh = withH.filter(col(valueCol).isNotNull)
+            .orderBy(col("graft_olv").desc, col(keyCol).asc)
+            .limit(outlierK).collect()
+          val batchLow =
+            if (lowK == 0) Array.empty[org.apache.spark.sql.Row]
+            else withH.filter(col(valueCol).isNotNull)
+              .orderBy(col("graft_olv").asc, col(keyCol).asc)
+              .limit(lowK).collect()
+          val batchWinners = withH
+            .filter(col("graft_olh") % lit(8192L) < lit(threshold))
+            .collect()
+          // stored state: (part, row); takeover re-derives parts from
+          // the batch-built sample parquet (exact under the total
+          // order — every rest row sorts after the k-th tail row)
+          val baseCols = baseSchema.fieldNames.toIndexedSeq
+          val stored: Array[(String, org.apache.spark.sql.Row)] =
+            if (new java.io.File(statePath).exists) {
+              s.read.parquet(statePath)
+                .select((baseCols :+ "graft_part").map(col): _*)
+                .collect()
+                .map(r => r.getString(baseCols.length) ->
+                  org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+            } else if (new java.io.File(path).exists) {
+              val rows = annotate(
+                s.read.parquet(path).drop("graft_weight")
+                  .select(batch.schema.fieldNames.map(col).toIndexedSeq: _*))
+                .select(baseCols.map(col): _*)
+                .collect()
+              val (valued, nulls) = rows.partition(!_.isNullAt(vIdx))
+              val hi = valued.sorted(hiOrd).take(outlierK)
+              val hiKeys = hi.map(keyOf).toSet
+              val lo = valued.filterNot(r => hiKeys.contains(keyOf(r)))
+                .sorted(loOrd).take(lowK)
+              val loKeys = lo.map(keyOf).toSet
+              val rest = valued.filterNot(r =>
+                hiKeys.contains(keyOf(r)) || loKeys.contains(keyOf(r))) ++
+                nulls
+              (hi.map("hi" -> _) ++ lo.map("lo" -> _) ++
+                rest.map("rest" -> _))
+            } else Array.empty
+          def part(p: String) = stored.collect { case (`p`, r) => r }
+          // merge the tails (dedup by key — replay-idempotent rows),
+          // then demote displaced weight-1 rows through the lottery
+          val mergedHigh = (part("hi") ++ batchHigh)
+            .groupBy(keyOf).map(_._2.head).toArray
+            .sorted(hiOrd).take(outlierK)
+          val hiKeys = mergedHigh.map(keyOf).toSet
+          val mergedLow = (part("lo") ++ batchLow)
+            .groupBy(keyOf).map(_._2.head).toArray
+            .filterNot(r => hiKeys.contains(keyOf(r)))
+            .sorted(loOrd).take(lowK)
+          val loKeys = mergedLow.map(keyOf).toSet
+          def inTail(r: org.apache.spark.sql.Row): Boolean = {
+            val k0 = keyOf(r)
+            hiKeys.contains(k0) || loKeys.contains(k0)
+          }
+          val mergedRest = (part("rest") ++ part("hi") ++ part("lo") ++
+            batchWinners)
+            .groupBy(keyOf).map(_._2.head).toArray
+            .filterNot(inTail)
+            // h60 is a non-negative 60-bit hash: plain % matches the
+            // builder's SQL-side `% 8192` exactly
+            .filter(r => r.getLong(hIdx) % 8192L < threshold)
+          // state + serving rewrites (serving = builder's layout:
+          // batch columns + graft_weight)
+          val stateSchema = org.apache.spark.sql.types.StructType(
+            baseSchema.fields :+ org.apache.spark.sql.types.StructField(
+              "graft_part", org.apache.spark.sql.types.StringType,
+              nullable = false))
+          val stateRows =
+            mergedHigh.map(r => org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ "hi")) ++
+            mergedLow.map(r => org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ "lo")) ++
+            mergedRest.map(r => org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ "rest"))
+          s.createDataFrame(
+            java.util.Arrays.asList(stateRows: _*), stateSchema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(statePath)
+          s.read.parquet(statePath)
+            .withColumn("graft_weight",
+              expr(s"case when graft_part = 'rest' then cast($w as double) " +
+                "else cast(1 as double) end"))
+            .drop("graft_olv", "graft_olh", "graft_part")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(path)
+          val sampleDf = s.read.parquet(path)
+          sampleDf.createOrReplaceTempView(name)
+          val (nOut, nLow, nRest) =
+            (mergedHigh.length.toLong, mergedLow.length.toLong,
+              mergedRest.length.toLong)
+          val fraction = math.min(0.9999,
+            (nOut + nLow + nRest).toDouble / math.max(1L, n))
+          catalog.upsertTableStats(table, n)
+          catalog.addSample(catalog.SampleInfo(table, name, fraction,
+            Some(s"__outlier__${valueCol.toLowerCase}"), path,
+            System.currentTimeMillis(), baseRows = Some(n)))
+          catalog.putStrata(name, Seq(
+            catalog.StratumInfo(name, "outlier", nOut, nOut, 1.0, 1.0,
+              0.0)) ++
+            (if (lowK > 0)
+              Seq(catalog.StratumInfo(name, "outlier_low", nLow, nLow,
+                1.0, 1.0, 0.0))
+            else Nil) ++ Seq(
+            catalog.StratumInfo(name, "rest",
+              math.max(0L, n - nOut - nLow), nRest, 1.0 / w, w.toDouble,
+              0.0)))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+            "outlier_rider", Array.emptyByteArray,
+            s"""{"rows":$n,"k":$outlierK,"lowk":$lowK,"target":$targetRest,"last_batch":$batchId}""",
             System.currentTimeMillis()))
         }
         ()

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Round-14 sample-maintenance laws: the streamed outlier-indexed
+  * sample must hold EXACTLY the rows a batch `createOutlierSample`
+  * picks over the same data (fold == rebuild), keep the exact MIN/MAX
+  * serves alive over an empty backing view, and skip replayed batch
+  * ids; the bottom-k maintainer's first-fold crash window (documented
+  * in round 13) must be CLOSED by the provisional rider — a replay
+  * from the crash state folds to the same N.
+  */
+class StreamedSamplesSpec extends SparkSpec {
+
+  private def tmpCatalog(tag: String) = new graft.catalog.MetaCatalog(
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString)
+
+  test("streamed outlier sample: fold == rebuild, exact MIN/MAX over an empty view, replay guard") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("sol")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("v", expr("cast(id as double)"))
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainOutlierSample(
+      shape(stream.toDF().toDF("id")), catalog, "sol_live", "v", "id",
+      outlierK = 64, targetRest = 512L, lowK = 32)
+    stream.addData(0L until 2000L)
+    q.processAllAvailable()
+    stream.addData(2000L until 4000L)
+    q.processAllAvailable(); q.stop()
+
+    // fold == rebuild: a batch build over the SAME 4000 rows picks the
+    // identical row set at the identical weights (membership is the
+    // (value, key) total order + the 'ol:' lottery — both pure
+    // functions of the data, and w is a pure function of N)
+    spark.range(0, 4000).select(col("id"), expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("sol_batch")
+    val cat2 = tmpCatalog("sol-batch")
+    graft.sample.Samplers.createOutlierSample(spark, cat2, "sol_batch",
+      "v", "id", outlierK = 64, targetRest = 512L, lowK = 32)
+    def rowSet(path: String) = spark.read.parquet(path)
+      .select(col("id"), col("v"), col("graft_weight"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    val streamed = rowSet(s"${catalog.samplesDir}/sol_live__outlier2_v")
+    val batch = rowSet(s"${cat2.samplesDir}/sol_batch__outlier2_v")
+    assert(streamed == batch,
+      s"fold != rebuild: only-streamed=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+    // strata parity: both tails at their full size, weight 1
+    assert(catalog.strataFor("sol_live__outlier2_v").exists(st =>
+      st.strataValue == "outlier" && st.sampleSize == 64L && st.weight == 1.0))
+    assert(catalog.strataFor("sol_live__outlier2_v").exists(st =>
+      st.strataValue == "outlier_low" && st.sampleSize == 32L && st.weight == 1.0))
+
+    // the engine serves the EXACT MIN and MAX from the maintained
+    // tails over an EMPTY backing view — the serve the round-13
+    // verdict said went stale under ingest
+    spark.range(0).select(col("id"), expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("sol_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM sol_live",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    val row = r.df.collect()(0)
+    assert(row.getDouble(1) == 0.0, s"min=${row.getDouble(1)}")
+    assert(row.getDouble(2) == 3999.0, s"max=${row.getDouble(2)}")
+
+    // replay guard: a fresh maintainer restarts at batch id 0 — both
+    // already folded, so N and the sample must not move
+    val stream2 = MemoryStream[Long]
+    val q2 = EventStreams.maintainOutlierSample(
+      shape(stream2.toDF().toDF("id")), catalog, "sol_live", "v", "id",
+      outlierK = 64, targetRest = 512L, lowK = 32)
+    stream2.addData(0L until 500L)
+    q2.processAllAvailable(); q2.stop()
+    assert(catalog.getSketch("sol_live", "v", "outlier_rider")
+      .exists(_.parameters.contains("\"rows\":4000")),
+      catalog.getSketch("sol_live", "v", "outlier_rider").map(_.parameters))
+    assert(rowSet(s"${catalog.samplesDir}/sol_live__outlier2_v") == streamed,
+      "replayed batch id changed the sample")
+  }
+
+  test("streamed outlier sample: weight doubling re-filters the stored rest through the tightened lottery") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("sol-grow")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("v", expr("cast(id as double)"))
+    val stream = MemoryStream[Long]
+    // targetRest 256: N=1000 -> m=3 -> w=2; N=3000 -> m=11 -> w=8 — the
+    // threshold tightens 4x between the folds
+    val q = EventStreams.maintainOutlierSample(
+      shape(stream.toDF().toDF("id")), catalog, "solg_live", "v", "id",
+      outlierK = 16, targetRest = 256L, lowK = 0)
+    stream.addData(0L until 1000L)
+    q.processAllAvailable()
+    val w1 = catalog.strataFor("solg_live__outlier_v")
+      .find(_.strataValue == "rest").get.weight
+    stream.addData(1000L until 3000L)
+    q.processAllAvailable(); q.stop()
+    val w2 = catalog.strataFor("solg_live__outlier_v")
+      .find(_.strataValue == "rest").get.weight
+    assert(w1 == 2.0 && w2 == 8.0, s"w1=$w1 w2=$w2")
+    // rebuild parity AFTER the tightening: stored rows that won the
+    // loose lottery but not the tight one must be gone
+    spark.range(0, 3000).select(col("id"), expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("solg_batch")
+    val cat2 = tmpCatalog("solg-batch")
+    graft.sample.Samplers.createOutlierSample(spark, cat2, "solg_batch",
+      "v", "id", outlierK = 16, targetRest = 256L)
+    def rowSet(path: String) = spark.read.parquet(path)
+      .select(col("id"), col("graft_weight"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rowSet(s"${catalog.samplesDir}/solg_live__outlier_v") ==
+      rowSet(s"${cat2.samplesDir}/solg_batch__outlier_v"))
+  }
+
+  test("bottom-k first-fold crash window is closed: a replay from the provisional-rider state folds to the same N") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("bk-crash")
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainBottomKSample(
+      stream.toDF().toDF("rowkey"), catalog, "bkc_live", "rowkey", k = 64)
+    stream.addData(0L until 1000L)
+    q.processAllAvailable(); q.stop()
+    assert(catalog.getSketch("bkc_live", "rowkey", "bottomk_rider")
+      .exists(_.parameters.contains("\"rows\":1000")))
+    val sample0 = spark.read
+      .parquet(s"${catalog.samplesDir}/bkc_live__bottomk_rowkey")
+      .select(col("rowkey")).collect().map(_.getLong(0)).toSet
+    // simulate the round-13 crash window: the fold died AFTER
+    // addSample/putStrata (baseRows=1000 recorded) but BEFORE the
+    // final rider stamp — with the round-14 provisional rider, the
+    // catalog at that point holds the rider with the UN-ADVANCED
+    // rows/last_batch, which is exactly this state:
+    catalog.upsertSketch(catalog.SketchInfo("bkc_live", "rowkey",
+      "bottomk_rider", Array.emptyByteArray,
+      """{"rows":0,"k":64,"last_batch":-1}""",
+      System.currentTimeMillis()))
+    // the checkpoint re-delivers the same batch (fresh maintainer,
+    // batch ids restart at 0): N must fold to 1000, not 2000 — the
+    // rider's un-advanced "rows" wins over the crashed fold's
+    // baseRows(=1000), which is the law the provisional exists for
+    val stream2 = MemoryStream[Long]
+    val q2 = EventStreams.maintainBottomKSample(
+      stream2.toDF().toDF("rowkey"), catalog, "bkc_live", "rowkey", k = 64)
+    stream2.addData(0L until 1000L)
+    q2.processAllAvailable(); q2.stop()
+    assert(catalog.getSketch("bkc_live", "rowkey", "bottomk_rider")
+      .exists(_.parameters.contains("\"rows\":1000")),
+      catalog.getSketch("bkc_live", "rowkey", "bottomk_rider").map(_.parameters))
+    assert(catalog.statsFor("bkc_live").exists(_.rowCount == 1000L))
+    // rows stayed idempotent through the replay
+    val sample1 = spark.read
+      .parquet(s"${catalog.samplesDir}/bkc_live__bottomk_rowkey")
+      .select(col("rowkey")).collect().map(_.getLong(0)).toSet
+    assert(sample1 == sample0)
+  }
+
+  test("grouped bottom-k first-fold crash window is closed the same way") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("bkg-crash")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("g", expr("concat('g', cast(rowkey % 3 as string))"))
+    val stream = MemoryStream[Long]
+    val q = EventStreams.maintainBottomKGrouped(
+      shape(stream.toDF().toDF("rowkey")), catalog, "bkgc_live", "g",
+      "rowkey", kPerGroup = 32)
+    stream.addData(0L until 900L)
+    q.processAllAvailable(); q.stop()
+    // crash-window state: provisional rider (empty counts, un-advanced
+    // last_batch) + the crashed fold's strata already written
+    catalog.upsertSketch(catalog.SketchInfo("bkgc_live", "g",
+      "bottomkg_rider", Array.emptyByteArray,
+      """{"rows":0,"k":32,"last_batch":-1}""",
+      System.currentTimeMillis()))
+    val stream2 = MemoryStream[Long]
+    val q2 = EventStreams.maintainBottomKGrouped(
+      shape(stream2.toDF().toDF("rowkey")), catalog, "bkgc_live", "g",
+      "rowkey", kPerGroup = 32)
+    stream2.addData(0L until 900L)
+    q2.processAllAvailable(); q2.stop()
+    // per-group counts folded once, not twice (the strata fallback
+    // must NOT fire when the provisional rider is present)
+    assert(catalog.statsFor("bkgc_live").exists(_.rowCount == 900L),
+      catalog.statsFor("bkgc_live").toString)
+    catalog.strataFor("bkgc_live__bottomkg_g").foreach { st =>
+      assert(st.popSize == 300L, s"${st.strataValue}: ${st.popSize}")
+    }
+  }
+}

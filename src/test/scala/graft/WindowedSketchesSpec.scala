@@ -80,6 +80,9 @@ class WindowedSketchesSpec extends SparkSpec {
       engine.Options(maxRelError = 0.2))
     assert(r.servedFromCatalog && r.serveKind.contains("histogram_range"),
       r.reason)
+    // explain contract: the serve names itself a LIVE-WINDOW serve
+    // (the hist_windowed state rider is the evidence)
+    assert(r.reason.contains("live window"), r.reason)
     // cut on a grid edge ⇒ only whole buckets sum: the interpolated
     // estimate IS the exact live-window count
     assert(r.df.collect().head.getDouble(0) ==
@@ -142,6 +145,7 @@ class WindowedSketchesSpec extends SparkSpec {
       "SELECT g, count(*) AS n, sum(v) AS s, min(v) AS lo, max(v) AS hi " +
         "FROM wgs_live GROUP BY g ORDER BY g")
     assert(r.servedFromCatalog, r.reason)
+    assert(r.reason.contains("live window"), r.reason) // explain contract
     val rows = r.df.collect()
     assert(rows.length == 5)
     val g3 = (liveFrom until liveTo).filter(_ % 5 == 3)
@@ -229,6 +233,7 @@ class WindowedSketchesSpec extends SparkSpec {
       s"SELECT u, count(*) AS n FROM wtopk_live GROUP BY u " +
         s"HAVING count(*) >= $threshold ORDER BY n DESC, u")
     assert(served.servedFromCatalog, served.reason)
+    assert(served.reason.contains("live window"), served.reason) // explain
     assert(served.df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       expected.map { case (g, n) => (g.get.toLong, n) }.toSeq
         .sortBy { case (u, n) => (-n, u) })
@@ -237,5 +242,64 @@ class WindowedSketchesSpec extends SparkSpec {
         s"HAVING count(*) >= ${threshold - 5} ORDER BY n DESC, u")
     assert(!refused.servedFromCatalog,
       s"HAVING below the stored threshold must refuse: ${refused.reason}")
+  }
+
+  test("TTL advisor loop: misses on a streamed table advise the windowed maintainer; the build retires the advice and serves the live window") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("ttladv")
+    // mark the table as STREAMED: a windowed HLL maintained on a SIDE
+    // column leaves the hll_windowed state rider — the advisor's
+    // evidence that one-shot batch builds would go stale here
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("k", expr("concat('k', cast(id % 7 as string))"))
+      .withColumn("other", col("id"))
+      .drop("id")
+    val s0 = MemoryStream[Long]
+    val q0 = graft.streaming.EventStreams.maintainHllWindowed(
+      shape(s0.toDF().toDF("id")), catalog, "tta_live", "other", "ts",
+      windowMicros = 2000L * 1000000L, bucketMicros = 100L * 1000000L)
+    s0.addData(0L until 2000L); q0.processAllAvailable()
+    s0.addData(2000L until 4000L); q0.processAllAvailable(); q0.stop()
+    // the backing view holds exactly the LIVE rows (what a compacted
+    // TTL table would contain)
+    spark.range(liveFrom, liveTo)
+      .select(expr("concat('k', cast(id % 7 as string))").as("k"),
+        col("id").as("other"))
+      .createOrReplaceTempView("tta_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val sql = "SELECT count(*) AS n FROM tta_live WHERE k = 'k3'"
+    (1 to 3).foreach(_ => engine.query(sql,
+      engine.Options(ciColumns = false)))
+    // miss -> advice: the point-frequency shape on a STREAMED table
+    // must advise the windowed CMS maintainer, not the batch build
+    val advice = engine.adviseSketches(3).filter(a =>
+      a.candidate.sketchType == "cms" &&
+        a.candidate.table == "tta_live" &&
+        a.candidate.column.equalsIgnoreCase("k"))
+    assert(advice.nonEmpty, engine.adviseSketches(1).mkString("; "))
+    assert(advice.head.build.contains("maintainCmsWindowed"),
+      advice.head.build)
+    // advice -> maintainer: run the advised build
+    val s1 = MemoryStream[Long]
+    val q1 = graft.streaming.EventStreams.maintainCmsWindowed(
+      shape(s1.toDF().toDF("id")), catalog, "tta_live", "k", "ts",
+      windowMicros = 2000L * 1000000L, bucketMicros = 100L * 1000000L)
+    s1.addData(0L until 2000L); q1.processAllAvailable()
+    s1.addData(2000L until 4000L); q1.processAllAvailable(); q1.stop()
+    // maintainer -> retire: the fresh live-window CMS covers the shape
+    assert(!engine.adviseSketches(3).exists(a =>
+      a.candidate.sketchType == "cms" &&
+        a.candidate.table == "tta_live" &&
+        a.candidate.column.equalsIgnoreCase("k")),
+      engine.adviseSketches(3).mkString("; "))
+    // retire -> serve: the same query now answers from the live-window
+    // sketch with no scan, and explain says so
+    val r = engine.query(sql, engine.Options(ciColumns = false))
+    assert(r.servedFromCatalog, r.reason)
+    assert(r.reason.contains("live window"), r.reason)
+    val exactK3 = (liveFrom until liveTo).count(_ % 7 == 3)
+    assert(r.df.collect().head.getLong(0) == exactK3.toLong)
   }
 }
