@@ -324,7 +324,8 @@ final class QueryEngine(
     refusing(storedHdrAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "hdr", err,
-          "percentile answered from the stored log-linear (HDR) sketch (no scan)",
+          "percentile answered from the stored log-linear (HDR) sketch (no scan)" +
+            liveWindowNote(table, "hdr_windowed"),
           Seq("PERCENTILE/MEDIAN answered from the stored log-linear " +
             "sketch (no scan; within 1/m RELATIVE error of the true " +
             "order statistic — the heavy-tail-safe bound)"), opts),
@@ -447,7 +448,8 @@ final class QueryEngine(
     refusing(storedHdrRangeAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "hdr_range", err,
-          "range-predicate count answered from the stored log-linear (HDR) sketch (no scan)",
+          "range-predicate count answered from the stored log-linear (HDR) sketch (no scan)" +
+            liveWindowNote(table, "hdr_windowed"),
           Seq("COUNT(*) with a range predicate interpolated from the stored " +
             "log-linear sketch (no scan; bounded by the clipped edge " +
             "buckets' mass — 1/m-relative on any magnitude)"), opts),

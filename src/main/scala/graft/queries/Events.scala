@@ -161,6 +161,22 @@ object Events {
         bucketMicros = 86400000000L, threshold = 25L)
     }),
 
+    // WINDOWED HDR percentile (round 14) — the TTL form for the
+    // relative-error quantile family (q144): the corrected-log2
+    // bucket chain over the last 10 days at 1-day buckets, computed
+    // through the per-event-bucket partials + binade-count merge the
+    // maintainer folds (WindowedSketches.maintainHdrWindowed — the
+    // global log grid means counts add with no grid to declare). The
+    // oracle re-derives the DIRECT q144 chain restricted to the live
+    // window, with the exact quantile companion through the
+    // DECIMAL(18,6) rounding.
+    "q190_windowed_hdr" -> ((s, dir) => {
+      graft.streaming.WindowedSketches.windowedHdrPercentile(
+        Tables.load(s, dir, "events"), "value", "ts",
+        windowMicros = 10L * 86400000000L,
+        bucketMicros = 86400000000L)
+    }),
+
     // Tumbling 1-hour windows by event type (epoch-aligned, like
     // streaming `window(ts, '1 hour')`).
     "q24_event_window" -> ((s, dir) => {
@@ -570,6 +586,54 @@ object Events {
                      / CAST(kth_hash AS DOUBLE) END AS est_distinct,
               n_exact
             FROM kth, ex) t""",
+    // q190: the q144 corrected-log2 HDR percentile chain (m=32, the
+    // /32 sub-bucket arithmetic, the zero-first walk — events.value is
+    // non-negative) restricted to the live window; exact companion
+    // through DECIMAL(18,6) (the q74/q144 recipe). Breaks together
+    // with q144/q150 if the bucket chain or the walk changes.
+    "q190_windowed_hdr" ->
+      """WITH base AS (SELECT CAST(value AS DOUBLE) AS v, epoch_us(ts) AS us
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          mx AS (SELECT max(us) AS m FROM base),
+          ve AS (SELECT v FROM base, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000),
+          ea AS (SELECT v, abs(v) AS av FROM ve),
+          eb0 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              ELSE CAST(floor(log2(av)) AS INTEGER) END AS e0 FROM ea),
+          eb1 AS (SELECT v, av, CASE WHEN v = 0 THEN 0
+              WHEN pow(2.0, CAST(e0 AS DOUBLE)) > av THEN e0 - 1
+              WHEN pow(2.0, CAST(e0 + 1 AS DOUBLE)) <= av THEN e0 + 1
+              ELSE e0 END AS e FROM eb0),
+          eb2 AS (SELECT CASE WHEN v = 0 THEN 1 ELSE 0 END AS isz,
+              CASE WHEN v = 0 THEN 0 ELSE e END AS e,
+              CASE WHEN v = 0 THEN 0 ELSE least(31,
+                CAST(floor((av / pow(2.0, CAST(e AS DOUBLE)) - 1.0) * 32.0)
+                  AS INTEGER)) END AS s
+            FROM eb1),
+          ebk AS (SELECT isz, e, s, count(*) AS n FROM eb2 GROUP BY 1, 2, 3),
+          ecm AS (SELECT isz, e, s, n,
+              sum(n) OVER (ORDER BY isz DESC, e, s) - n AS cumb,
+              sum(n) OVER () AS total FROM ebk),
+          etg AS (SELECT CAST('0.5' AS DOUBLE) * CAST(t.total - 1 AS DOUBLE) AS target
+            FROM (SELECT max(total) AS total FROM ecm) t),
+          epk AS (SELECT etg.target, ecm.isz, ecm.e, ecm.s, ecm.n, ecm.cumb
+            FROM etg, ecm WHERE ecm.cumb + ecm.n > etg.target
+            QUALIFY row_number() OVER (ORDER BY ecm.isz DESC, ecm.e, ecm.s) = 1),
+          ees AS (SELECT CASE WHEN isz = 1 THEN CAST(0 AS DOUBLE) ELSE
+              pow(2.0, CAST(e AS DOUBLE)) * (1.0 + CAST(s AS DOUBLE) / 32.0)
+              + (pow(2.0, CAST(e AS DOUBLE)) / 32.0)
+                * (CASE WHEN n <= 1 THEN CAST(0 AS DOUBLE)
+                        ELSE (target - CAST(cumb AS DOUBLE)) / CAST(n AS DOUBLE) END)
+            END AS p50 FROM epk),
+          exq AS (SELECT
+              CAST(CAST(quantile_cont(v, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS x50,
+              count(*) AS n_live
+            FROM ve)
+          SELECT ees.p50 AS p50_est, exq.n_live, exq.x50 AS p50_exact,
+            ees.p50 - exq.x50 AS err_p50,
+            CAST('0.03125' AS DOUBLE) AS rel_bound
+          FROM ees, exq""",
     // q189: the DIRECT per-user live-window counts at the threshold
     // (the maintainer's per-bucket partials + additive merge must
     // equal it); (n DESC, user_id ASC) is a total order.

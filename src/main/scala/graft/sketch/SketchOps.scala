@@ -531,6 +531,60 @@ object SketchOps {
         "v"): _*)
   }
 
+  /** Per-EVENT-TIME-BUCKET twin of [[hdrAggregate]] (round 14 — the
+    * windowed HDR maintainer's one distributed pass): the same
+    * corrected-log2 bucket chain keyed by an extra long bucket column,
+    * one (bucket, sg, e, s) count/sum aggregate, sketches + sum riders
+    * built per bucket on the driver. Infinite values and decimal
+    * overflow refuse loudly (the windowed maintainers' discipline —
+    * there is no batch-rebuild poison escape on a TTL stream).
+    */
+  private[graft] def hdrBucketedAggregate(df: org.apache.spark.sql.DataFrame,
+      column: String, bucketCol: String, m: Int, what: String)
+      : Map[Long, (HdrSketch, Seq[((Int, Int, Int), BigInt)])] = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    import org.apache.spark.sql.functions.{count, expr}
+    val rows = hdrBucketed(
+      df.select(col(bucketCol), col(column).cast("double").as("v")),
+      m, Seq(bucketCol))
+      .groupBy(col(bucketCol), col("sg"), col("e"), col("s"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(inf)").as("ninf"),
+        expr(s"try_sum(case when abs(v) < $DecimalCastGuard " +
+          "then cast(v as decimal(38,4)) end)").as("s4"),
+        expr(s"sum(case when abs(v) >= $DecimalCastGuard " +
+          "then 1 else 0 end)").as("novf"))
+      .collect()
+    if (rows.exists(_.getAs[Long]("ninf") > 0L))
+      throw new IllegalArgumentException(
+        s"$what: infinite values have no log bucket")
+    rows.groupBy(_.getLong(0)).map { case (bkt, rs) =>
+      var zero = 0L
+      val neg = Vector.newBuilder[((Int, Int), Long)]
+      val pos = Vector.newBuilder[((Int, Int), Long)]
+      val sums = Vector.newBuilder[((Int, Int, Int), BigInt)]
+      rs.foreach { r =>
+        val (sg, e, s, n) =
+          (r.getAs[Int]("sg"), r.getAs[Int]("e"), r.getAs[Int]("s"),
+            r.getAs[Long]("n"))
+        if (sg == 0) zero += n
+        else {
+          if (sg < 0) neg += (((e, s), n)) else pos += (((e, s), n))
+          if (r.getAs[Long]("novf") > 0L)
+            throw new IllegalArgumentException(
+              s"$what: a bucket sum overflows decimal(38,4)")
+          Option(r.getAs[java.math.BigDecimal]("s4")) match {
+            case Some(d) =>
+              sums += (((sg, e, s), BigInt(d.setScale(4).unscaledValue())))
+            case None => throw new IllegalArgumentException(
+              s"$what: a bucket sum overflows decimal(38,4)")
+          }
+        }
+      }
+      bkt -> (HdrSketch(m, zero, neg.result(), pos.result()), sums.result())
+    }
+  }
+
   private[graft] def hdrAggregate(df: org.apache.spark.sql.DataFrame,
       column: String, m: Int, what: String)
       : (HdrSketch, Seq[((Int, Int, Int), BigInt)], Boolean) = {

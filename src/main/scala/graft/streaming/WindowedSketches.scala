@@ -712,6 +712,270 @@ object WindowedSketches {
       .start()
   }
 
+  // ---------------------------------------------------------------
+  // HDR (relative-error percentile / range serves over the live
+  // window)
+  // ---------------------------------------------------------------
+
+  /** Streaming WINDOWED HDR maintenance: one log-linear sketch (+
+    * per-(sign, binade, sub-bucket) decimal-sum rider) per EVENT-TIME
+    * bucket, watermark expiry, live buckets re-merged into the serving
+    * "hdr" + "hdrsum" blobs — the engine's relative-error percentile
+    * and range serves (q144/q146 family) then answer OVER THE LIVE
+    * WINDOW with no scan. The log grid is GLOBAL (the real line's
+    * binades), so per-bucket counts and BigInt sums add exactly and
+    * expiry subtracts exactly (the q185 rule) with no grid to declare
+    * up front — the advantage over the equi-width windowed form. One
+    * distributed (bucket, sg, e, s) aggregate per micro-batch
+    * (`SketchOps.hdrBucketedAggregate` — the batch builder's chain
+    * keyed by event bucket); infinities and decimal overflow refuse
+    * loudly. Both serving blobs stamp the same `last_batch`
+    * (riderInSync); state: "hdr_windowed", payloads
+    * pack("c" → rows, "h" → hdr, "s" → sums pack), stamped LAST.
+    * Batch twin: [[windowedHdrPercentile]] (q190).
+    */
+  def maintainHdrWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, column: String,
+      tsCol: String, windowMicros: Long, bucketMicros: Long,
+      m: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rider = catalog.getSketch(table, column, "hdr_windowed")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        if (batchId > lastBatchOf(riderParams)) {
+          val withBkt = batch.filter(col(tsCol).isNotNull)
+            .withColumn("graft_bucket",
+              expr(s"unix_micros($tsCol) div $bucketMicros"))
+          val batchAgg = graft.sketch.SketchOps.hdrBucketedAggregate(
+            withBkt, column, "graft_bucket", m,
+            s"windowed hdr over $table.$column")
+          val batchCounts = withBkt.groupBy(col("graft_bucket"))
+            .agg(count(lit(1)).as("c")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val maxUs = math.max(prevMaxUsOf(riderParams),
+            batchMaxUs(batch, tsCol))
+          type Sums = Map[String, BigInt]
+          def decode(payload: Array[Byte])
+              : (Long, graft.sketch.HdrSketch, Sums) = {
+            val parts = graft.sketch.GroupedHll.unpack(payload)
+              .collect { case (Some(k), v) => k -> v }.toMap
+            (java.nio.ByteBuffer.wrap(parts("c")).getLong,
+              graft.sketch.HdrSketch.deserialize(parts("h")),
+              graft.sketch.GroupedHll.unpack(parts("s"))
+                .collect { case (Some(k), b) => k -> BigInt(b) }.toMap)
+          }
+          val prev: Map[Long, (Long, graft.sketch.HdrSketch, Sums)] =
+            rider.map(r => graft.sketch.GroupedHll.unpack(r.data)).getOrElse(Nil)
+              .collect { case (Some(k), payload) => k.toLong -> decode(payload) }
+              .toMap
+          val allBkts = prev.keySet ++ batchCounts.keySet ++ batchAgg.keySet
+          val merged = allBkts.iterator.map { bkt =>
+            val (pc, psk, psums) = prev.getOrElse(bkt,
+              (0L, graft.sketch.HdrSketch(m, 0L, Vector.empty, Vector.empty),
+                Map.empty: Sums))
+            val (sk, sums) = batchAgg.get(bkt) match {
+              case Some((bsk, bsums)) =>
+                val bm = bsums.map { case ((sg, e, s), v) =>
+                  s"$sg:$e:$s" -> v
+                }.toMap
+                (psk.merge(bsk),
+                  (psums.keySet ++ bm.keySet).iterator.map(k =>
+                    k -> (psums.getOrElse(k, BigInt(0)) +
+                      bm.getOrElse(k, BigInt(0)))).toMap)
+              case None => (psk, psums)
+            }
+            bkt -> (pc + batchCounts.getOrElse(bkt, 0L), sk, sums)
+          }.toMap
+          val live = merged.filter { case (bkt, _) =>
+            liveBucket(bkt, bucketMicros, maxUs, windowMicros)
+          }
+          val serving = live.values.map(_._2)
+            .foldLeft(graft.sketch.HdrSketch(m, 0L, Vector.empty,
+              Vector.empty))(_ merge _)
+          val liveSums = live.values.map(_._3)
+            .foldLeft(Map.empty[String, BigInt]) { (acc, s) =>
+              (acc.keySet ++ s.keySet).iterator.map(k =>
+                k -> (acc.getOrElse(k, BigInt(0)) +
+                  s.getOrElse(k, BigInt(0)))).toMap
+            }
+          val liveN = live.valuesIterator.map(_._1).sum
+          catalog.upsertTableStats(table, liveN)
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "hdr", serving.serialize,
+            s"""{"m":$m,"rows":$liveN,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "hdrsum",
+            graft.sketch.GroupedHll.pack(liveSums.toSeq.map {
+              case (k, v) => Option(k) -> v.toByteArray
+            }),
+            s"""{"m":$m,"rows":$liveN,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "hdr_windowed",
+            graft.sketch.GroupedHll.pack(live.toSeq.map {
+              case (bkt, (c, sk, sums)) =>
+                val cb = java.nio.ByteBuffer.allocate(8).putLong(c).array()
+                Option(bkt.toString) -> graft.sketch.GroupedHll.pack(Seq(
+                  Option("c") -> cb,
+                  Option("h") -> sk.serialize,
+                  Option("s") -> graft.sketch.GroupedHll.pack(
+                    sums.toSeq.map { case (k, v) =>
+                      Option(k) -> v.toByteArray
+                    })))
+            }),
+            s"""{"maxus":$maxUs,"m":$m,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** WINDOWED HDR percentile — the batch twin of [[maintainHdrWindowed]]
+    * (q190): the q144 log-linear percentile chain over the live
+    * window, computed through the per-bucket merge the maintainer
+    * folds (per-bucket counts on the GLOBAL log grid add exactly, so
+    * merged == direct — the additive merge law on binades). The q190
+    * oracle re-derives the DIRECT corrected-log2 chain restricted to
+    * the live window, plus the exact quantile companion through the
+    * DECIMAL(18,6) rounding (the q74/q144 recipe). One row:
+    * (p50_est, n_live, p50_exact, err_p50, rel_bound).
+    */
+  def windowedHdrPercentile(df: DataFrame, column: String, tsCol: String,
+      windowMicros: Long, bucketMicros: Long, m: Int = 32): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    val s = df.sparkSession
+    import s.implicits._
+    val withUs = df.filter(col(tsCol).isNotNull && col(column).isNotNull)
+      .select(col(column).as("graft_v"),
+        expr(s"unix_micros($tsCol)").as("graft_us"),
+        expr(s"unix_micros($tsCol) div $bucketMicros").as("graft_bucket"))
+    val maxRow = withUs.agg(max(col("graft_us"))).collect()(0)
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(Double, Long, Double, Double, Double)]
+        .toDF("p50_est", "n_live", "p50_exact", "err_p50", "rel_bound")
+    val maxUs = maxRow.getLong(0)
+    val live = withUs.filter(
+      (col("graft_bucket") + lit(1L)) * lit(bucketMicros) >
+        lit(maxUs - windowMicros))
+    // per-bucket sketches (the maintainer's stored state) ...
+    val perBucket = graft.sketch.SketchOps.hdrBucketedAggregate(
+      live, "graft_v", "graft_bucket", m, "windowed hdr percentile")
+    // ... merged into the serving sketch (binade counts add)
+    val serving = perBucket.values.map(_._1)
+      .foldLeft(graft.sketch.HdrSketch(m, 0L, Vector.empty, Vector.empty))(
+        _ merge _)
+    val est = serving.percentile(0.5).getOrElse(Double.NaN)
+    val exactRow = live.agg(
+      expr("cast(cast(percentile(graft_v, 0.5) as decimal(18,6)) as double)")
+        .as("x50"), count(lit(1)).as("n")).collect()(0)
+    val (x50, nLive) = (exactRow.getDouble(0), exactRow.getLong(1))
+    Seq((est, nLive, x50, est - x50, serving.relErrBound))
+      .toDF("p50_est", "n_live", "p50_exact", "err_p50", "rel_bound")
+  }
+
+  // ---------------------------------------------------------------
+  // AGMS (live join-cardinality evidence)
+  // ---------------------------------------------------------------
+
+  /** Streaming WINDOWED AGMS maintenance: one signed-counter sketch
+    * per EVENT-TIME bucket, watermark expiry, live buckets re-merged
+    * (counter addition — exact subtraction on expiry, the q185 rule)
+    * into the serving "agms" blob, so the engine's automatic costed
+    * join-AQP decision reads cardinality evidence for the LIVE WINDOW
+    * — the append-only [[EventStreams.maintainAgmsSketch]] would keep
+    * voting with expired rows' join mass forever. Counters and the
+    * `rows` count are additive ⇒ `last_batch` guard, stamped LAST on
+    * "agms_windowed". Byte parity: the serving blob equals
+    * `SketchOps.createAgms` over exactly the live rows (same 'js:'
+    * tuple hash, same bucket/sign derivation — the spec law).
+    */
+  def maintainAgmsWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, keys: Seq[String],
+      tsCol: String, windowMicros: Long, bucketMicros: Long,
+      buckets: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty, "at least one key column required")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    val column = keys.mkString(",")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val rider = catalog.getSketch(table, column, "agms_windowed")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        if (batchId > lastBatchOf(riderParams)) {
+          val keyExpr = graft.plan.SampleRewrite.tupleKeyExpr("js:", keys)
+          val rows = batch.filter(col(tsCol).isNotNull)
+            .select(
+              expr(s"unix_micros($tsCol) div $bucketMicros").as("graft_bucket"),
+              expr(s"graft_h60($keyExpr)").as("h"))
+            .select(col("graft_bucket"),
+              expr(s"cast(h % ${buckets}L as int)").as("bucket"),
+              expr(s"case when (h div ${buckets}L) % 2 = 0 then 1L else -1L end")
+                .as("sgn"))
+            .groupBy(col("graft_bucket"), col("bucket"))
+            .agg(sum(col("sgn")).as("c"), count(lit(1)).as("n"))
+            .collect()
+          val batchState = rows.groupBy(_.getLong(0)).map { case (bkt, rs) =>
+            val counters = new Array[Long](buckets)
+            var total = 0L // incl. NULL-key rows: the true batch rowcount
+            rs.foreach { r =>
+              if (!r.isNullAt(1)) counters(r.getInt(1)) = r.getLong(2)
+              total += r.getLong(3)
+            }
+            bkt -> (total, counters)
+          }
+          val maxUs = math.max(prevMaxUsOf(riderParams),
+            batchMaxUs(batch, tsCol))
+          val prev: Map[Long, (Long, Array[Long])] =
+            rider.map(r => graft.sketch.GroupedHll.unpack(r.data)).getOrElse(Nil)
+              .collect { case (Some(k), payload) =>
+                val (c, ab) = splitCounted(payload)
+                k.toLong -> (c, graft.sketch.Agms.deserialize(ab))
+              }.toMap
+          val merged = (prev.keySet ++ batchState.keySet).iterator.map { bkt =>
+            val (pc, pcnt) = prev.getOrElse(bkt, (0L, new Array[Long](buckets)))
+            val (bc, bcnt) = batchState.getOrElse(bkt,
+              (0L, new Array[Long](buckets)))
+            bkt -> (pc + bc, pcnt.zip(bcnt).map { case (x, y) => x + y })
+          }.toMap
+          val live = merged.filter { case (bkt, _) =>
+            liveBucket(bkt, bucketMicros, maxUs, windowMicros)
+          }
+          val liveCounters = live.values.map(_._2)
+            .foldLeft(new Array[Long](buckets))(
+              (a, c) => a.zip(c).map { case (x, y) => x + y })
+          val liveN = live.valuesIterator.map(_._1).sum
+          val enc = if (keys.sizeIs > 1) ""","enc":"j1"""" else ""
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "agms", graft.sketch.Agms.serialize(liveCounters),
+            s"""{"buckets":$buckets,"rows":$liveN,"last_batch":$batchId$enc}""",
+            System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, column,
+            "agms_windowed",
+            graft.sketch.GroupedHll.pack(live.toSeq.map {
+              case (bkt, (c, counters)) =>
+                Option(bkt.toString) ->
+                  joinCounted(c, graft.sketch.Agms.serialize(counters))
+            }),
+            s"""{"maxus":$maxUs,"buckets":$buckets,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** WINDOWED top-k — the batch twin of [[maintainTopKWindowed]]
     * (q189): per-group counts over the live window computed through
     * the per-event-bucket partials + additive merge the maintainer

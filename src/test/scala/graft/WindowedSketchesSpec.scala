@@ -244,6 +244,85 @@ class WindowedSketchesSpec extends SparkSpec {
       s"HAVING below the stored threshold must refuse: ${refused.reason}")
   }
 
+  test("windowed HDR maintainer: expiry, byte-equality over live rows, live percentile serve") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("whdr")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("v", expr("cast((id * 37) % 997 as double)"))
+      .drop("id")
+    val stream = MemoryStream[Long]
+    val q = WindowedSketches.maintainHdrWindowed(
+      shape(stream.toDF().toDF("id")), catalog, "whdr_live", "v", "ts",
+      windowMicros = 2000L * 1000000L, bucketMicros = 100L * 1000000L)
+    feed(stream, q)
+    assert(catalog.statsFor("whdr_live").exists(_.rowCount == liveRows),
+      catalog.statsFor("whdr_live").toString)
+    // serving hdr + hdrsum == the one-pass batch aggregate over
+    // EXACTLY the live rows (binade counts and BigInt sums add on the
+    // global log grid; expiry subtracted the dead buckets exactly)
+    val liveDf = spark.range(liveFrom, liveTo)
+      .select(expr("cast((id * 37) % 997 as double)").as("v"))
+    val (expSk, expSums, expOvf) = graft.sketch.SketchOps.hdrAggregate(
+      liveDf, "v", 32, "spec expected")
+    assert(!expOvf)
+    val sk = catalog.getSketch("whdr_live", "v", "hdr")
+    assert(sk.isDefined)
+    assert(sk.get.data.sameElements(expSk.serialize),
+      "windowed serving hdr != batch build over the live rows")
+    val hs = catalog.getSketch("whdr_live", "v", "hdrsum")
+    assert(hs.isDefined)
+    assert(hs.get.data.sameElements(graft.sketch.GroupedHll.pack(
+      expSums.map { case ((sg, e, s0), v) =>
+        Option(s"$sg:$e:$s0") -> v.toByteArray
+      })), "windowed serving hdrsum != batch build over the live rows")
+    // the engine serves the LIVE window's percentile over an EMPTY
+    // view, at the 1/m bound, and explain names the live-window serve
+    spark.range(0).select(expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("whdr_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT percentile(v, 0.5) AS p50 FROM whdr_live",
+      engine.Options(maxRelError = 0.05))
+    assert(r.servedFromCatalog && r.serveKind.contains("hdr"), r.reason)
+    assert(r.reason.contains("live window"), r.reason)
+    assert(r.df.collect().head.getDouble(0) ==
+      expSk.percentile(0.5).get)
+  }
+
+  test("windowed AGMS maintainer: expiry and byte-equality of the live signed counters") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("wagms")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("fk", expr("id % 50"))
+      .drop("id")
+    val stream = MemoryStream[Long]
+    val q = WindowedSketches.maintainAgmsWindowed(
+      shape(stream.toDF().toDF("id")), catalog, "wagms_live", Seq("fk"),
+      "ts", windowMicros = 2000L * 1000000L,
+      bucketMicros = 100L * 1000000L, buckets = 256)
+    feed(stream, q)
+    // serving counters == the batch build over EXACTLY the live rows
+    // (signed-counter addition; expiry subtracted dead buckets)
+    spark.range(liveFrom, liveTo).select(expr("id % 50").as("fk"))
+      .createOrReplaceTempView("wagms_batch")
+    val cat2 = tmpCatalog("wagms-batch")
+    graft.sketch.SketchOps.createAgms(spark, cat2, "wagms_batch",
+      Seq("fk"), buckets = 256)
+    val streamed = catalog.getSketch("wagms_live", "fk", "agms")
+    val batch = cat2.getSketch("wagms_batch", "fk", "agms")
+    assert(streamed.isDefined && batch.isDefined)
+    assert(streamed.get.data.sameElements(batch.get.data),
+      "windowed serving AGMS != batch build over the live rows")
+    // the rows evidence the join estimate divides by tracks the LIVE
+    // window, not all-time
+    assert(streamed.get.parameters.contains(s""""rows":$liveRows"""),
+      streamed.get.parameters)
+  }
+
   test("TTL advisor loop: misses on a streamed table advise the windowed maintainer; the build retires the advice and serves the live window") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
