@@ -353,7 +353,8 @@ final class QueryEngine(
         pctCi = opts.ciColumns)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "grouped_hdr", err,
-          "per-group percentile answered from the stored grouped log-linear (HDR) sketch (no scan)",
+          "per-group percentile answered from the stored grouped log-linear (HDR) sketch (no scan)" +
+            liveWindowNote(table, "hdrg_windowed"),
           Seq("PERCENTILE/MEDIAN answered per group from the stored grouped " +
             "log-linear sketch (no scan; within 1/m RELATIVE error per " +
             "group — the heavy-tail-safe bound; groups merge exactly)") ++
@@ -474,7 +475,8 @@ final class QueryEngine(
     refusing(storedGroupedHdrRangeAnswer(servePlan, table)) match {
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "grouped_hdr_range", err,
-          "per-group range-predicate count answered from the stored grouped log-linear (HDR) sketch (no scan)",
+          "per-group range-predicate count answered from the stored grouped log-linear (HDR) sketch (no scan)" +
+            liveWindowNote(table, "hdrg_windowed"),
           Seq("GROUP BY under a range predicate interpolated per group from " +
             "the stored grouped log-linear sketch (no scan; 1/m-relative " +
             "clipped-edge bound per group; groups merge exactly)"), opts),
@@ -553,7 +555,8 @@ final class QueryEngine(
               opts)
           }.orElse(refusing(storedGroupedSketchAnswer(servePlan, table)).map { df =>
             serveResult(posted(df), features, table, "grouped_hll", hllErr,
-              "per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)",
+              "per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)" +
+              liveWindowNote(table, "hllg_windowed"),
               Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"),
               opts)
           })

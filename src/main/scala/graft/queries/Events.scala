@@ -161,6 +161,59 @@ object Events {
         bucketMicros = 86400000000L, threshold = 25L)
     }),
 
+    // WINDOWED grouped HLL (round 14) — the TTL form for the
+    // per-group COUNT(DISTINCT) family (q83): q184's deterministic
+    // register chain PER GROUP, computed through the per-(bucket,
+    // group, register) max-merge the maintainer folds
+    // (WindowedSketches.maintainGroupedHllWindowed). Register max is
+    // idempotent per group, so merged == direct — the oracle
+    // re-derives the DIRECT per-group chain over the live window.
+    // event_id is the counted key BECAUSE it ages out (q184's
+    // argument, per group).
+    "q191_windowed_grouped_hll" -> ((s, dir) => {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+      val mx = ev.agg(max(col("us")).as("mx"))
+      val perBucket = ev
+        .select(col("event_type"), expr("us div 86400000000").as("bkt"),
+          expr(graft.queries.Dedup.h60Spark(
+            "concat('wghll:', cast(event_id as string))")).as("h"))
+        .select(col("event_type"), col("bkt"),
+          expr("cast(h % 1024 as int)").as("b"),
+          expr("h div 1024").as("rest"))
+        .groupBy(col("event_type"), col("bkt"), col("b"))
+        .agg(max(expr(
+          "case when rest = 0 then 51 else 51 - length(bin(rest)) end"))
+          .as("rho"))
+      val regs = perBucket.crossJoin(mx)
+        .filter(expr("(bkt + 1) * 86400000000 > mx - 864000000000"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(max(col("rho")).as("rho"))
+      val est = regs
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(cast(1 as bigint), 30 - least(rho, 30))"))
+            .as("sp"))
+        .select(col("event_type"),
+          expr("cast(1024 - nb as int)").as("v_empty"),
+          expr("cast(sp + (1024 - nb) * 1073741824 as bigint)")
+            .as("s_scaled"))
+        .withColumn("est_raw", expr(
+          s"cast('$num' as double) / cast(s_scaled as double)"))
+      val exact = ev.crossJoin(mx)
+        .filter(expr(
+          "((us div 86400000000) + 1) * 86400000000 > mx - 864000000000"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .withColumn("rel_error", expr(
+          "(est_raw - cast(n_exact as double)) / cast(n_exact as double)"))
+        .orderBy(col("event_type"))
+    }),
+
     // WINDOWED HDR percentile (round 14) — the TTL form for the
     // relative-error quantile family (q144): the corrected-log2
     // bucket chain over the last 10 days at 1-day buckets, computed
@@ -586,6 +639,42 @@ object Events {
                      / CAST(kth_hash AS DOUBLE) END AS est_distinct,
               n_exact
             FROM kth, ex) t""",
+    // q191: the DIRECT per-group register chain over live rows
+    // (per-(bucket, group, register) max-merge must equal it —
+    // register max is idempotent per group); q184's arithmetic with a
+    // GROUP BY event_type.
+    "q191_windowed_grouped_hll" -> {
+      val num = (0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+        * 1073741824.0).toString
+      s"""WITH e AS (SELECT event_type AS g, event_id AS k,
+              epoch_us(ts) AS us FROM events),
+          mx AS (SELECT max(us) AS m FROM e),
+          lv AS (SELECT g, k FROM e, mx
+            WHERE ((us // 86400000000) + 1) * 86400000000
+              > mx.m - 864000000000),
+          h AS (SELECT g,
+              ${graft.queries.Dedup.h60Duck("'wghll:' || CAST(k AS VARCHAR)")} AS h
+            FROM lv),
+          b AS (SELECT g, CAST(h % 1024 AS INT) AS b, h // 1024 AS rest
+            FROM h),
+          r AS (SELECT g, b,
+              max(CASE WHEN rest = 0 THEN 51 ELSE 51 - length(bin(rest)) END) AS rho
+            FROM b GROUP BY g, b),
+          s AS (SELECT g, count(*) AS nb,
+              sum(CAST(1 AS BIGINT) << CAST(30 - least(rho, 30) AS INT)) AS sp
+            FROM r GROUP BY g),
+          ex AS (SELECT g, count(DISTINCT k) AS n_exact FROM lv GROUP BY g)
+          SELECT s.g AS event_type,
+            CAST(1024 - s.nb AS INT) AS v_empty,
+            CAST(s.sp + (1024 - s.nb) * 1073741824 AS BIGINT) AS s_scaled,
+            CAST('$num' AS DOUBLE)
+              / CAST(CAST(s.sp + (1024 - s.nb) * 1073741824 AS BIGINT) AS DOUBLE) AS est_raw,
+            ex.n_exact,
+            (CAST('$num' AS DOUBLE)
+                / CAST(CAST(s.sp + (1024 - s.nb) * 1073741824 AS BIGINT) AS DOUBLE)
+              - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE) AS rel_error
+          FROM s JOIN ex ON s.g = ex.g ORDER BY event_type"""
+    },
     // q190: the q144 corrected-log2 HDR percentile chain (m=32, the
     // /32 sub-bucket arithmetic, the zero-first walk — events.value is
     // non-negative) restricted to the live window; exact companion

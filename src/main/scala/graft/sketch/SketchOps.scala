@@ -585,6 +585,65 @@ object SketchOps {
     }
   }
 
+  /** Per-(EVENT-TIME BUCKET, GROUP) twin of [[hdrGroupedAggregate]]
+    * (round 14 — the windowed GROUPED HDR maintainer's one
+    * distributed pass): the same chain keyed by an extra long bucket
+    * column; sketches + sum riders built per (bucket, group) on the
+    * driver. Per-group sum poison keeps the batch builder's sentinel
+    * convention; infinities refuse loudly.
+    */
+  private[graft] def hdrGroupedBucketedAggregate(
+      df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      valueCol: String, bucketCol: String, m: Int, what: String)
+      : Map[Long, Map[Option[String], (Array[Byte], Array[Byte])]] = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    import org.apache.spark.sql.functions.{count, expr, lit}
+    val fields = df.schema.fieldNames.toSeq
+    val rows = hdrBucketed(
+      df.select(col(bucketCol), groupKeyExpr(groupCols, fields).as("g"),
+        col(valueCol).cast("double").as("v")),
+      m, Seq(bucketCol, "g"))
+      .groupBy(col(bucketCol), col("g"), col("sg"), col("e"), col("s"))
+      .agg(count(lit(1)).as("n"), expr("sum(inf)").as("ninf"),
+        expr(s"try_sum(case when abs(v) < $DecimalCastGuard " +
+          "then cast(v as decimal(38,4)) end)").as("s4"),
+        expr(s"sum(case when abs(v) >= $DecimalCastGuard " +
+          "then 1 else 0 end)").as("novf"))
+      .collect()
+    if (rows.exists(_.getAs[Long]("ninf") > 0L))
+      throw new IllegalArgumentException(
+        s"$what: infinite values have no log bucket")
+    rows.groupBy(_.getLong(0)).map { case (bkt, brs) =>
+      bkt -> brs.groupBy(r => Option(r.getAs[String]("g"))).map {
+        case (k, rs) =>
+          var zero = 0L
+          val neg = Vector.newBuilder[((Int, Int), Long)]
+          val pos = Vector.newBuilder[((Int, Int), Long)]
+          var poison = false
+          val sums = Vector.newBuilder[(Option[String], Array[Byte])]
+          rs.foreach { r =>
+            val (sg, e, s, n) =
+              (r.getAs[Int]("sg"), r.getAs[Int]("e"), r.getAs[Int]("s"),
+                r.getAs[Long]("n"))
+            if (sg == 0) zero += n
+            else {
+              if (sg < 0) neg += (((e, s), n)) else pos += (((e, s), n))
+              if (r.getAs[Long]("novf") > 0L) poison = true
+              else Option(r.getAs[java.math.BigDecimal]("s4")) match {
+                case Some(d) => sums += (Option(s"$sg:$e:$s") ->
+                  BigInt(d.setScale(4).unscaledValue()).toByteArray)
+                case None    => poison = true
+              }
+            }
+          }
+          k -> (HdrSketch(m, zero, neg.result(), pos.result()).serialize,
+            GroupedHll.pack(
+              if (poison) Seq(Option(HdrSumPoisonKey) -> Array.empty[Byte])
+              else sums.result()))
+      }
+    }
+  }
+
   private[graft] def hdrAggregate(df: org.apache.spark.sql.DataFrame,
       column: String, m: Int, what: String)
       : (HdrSketch, Seq[((Int, Int, Int), BigInt)], Boolean) = {

@@ -882,6 +882,269 @@ object WindowedSketches {
   }
 
   // ---------------------------------------------------------------
+  // grouped HLL (per-group COUNT(DISTINCT) over the live window)
+  // ---------------------------------------------------------------
+
+  /** Streaming WINDOWED grouped-HLL maintenance: one per-group HLL set
+    * per EVENT-TIME bucket ([rows i64 BE][hll] payloads inside a
+    * per-bucket pack), watermark expiry, live buckets re-merged
+    * (register max per group — idempotent, the q184 rule) into the
+    * serving "hll_grouped" blob, so
+    * `QueryEngine.storedGroupedSketchAnswer` serves
+    * `SELECT g, count(DISTINCT x) ... GROUP BY g` OVER THE LIVE
+    * WINDOW with no scan (and the distinct-keys/distinct-count serves
+    * read the LIVE group set). The ride-along per-(bucket, group) row
+    * counts are additive (they produce the live-row table stats and
+    * the blob's freshness `rows`), so the `last_batch` guard is
+    * required even though register merge is replay-idempotent. Merged
+    * live groups bounded by MaxHllGroups. Batch twin: q191's
+    * per-group deterministic register chain.
+    */
+  def maintainGroupedHllWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      groupCols: Seq[String], valueCol: String, tsCol: String,
+      windowMicros: Long, bucketMicros: Long,
+      b: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    val groupCol = groupCols.mkString(",")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rider = catalog.getSketch(table, valueCol, "hllg_windowed")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        if (batchId > lastBatchOf(riderParams)) {
+          val rows = batch.filter(col(tsCol).isNotNull)
+            .groupBy(
+              expr(s"unix_micros($tsCol) div $bucketMicros").as("graft_bucket"),
+              graft.sketch.SketchOps.groupKeyExpr(groupCols,
+                batch.schema.fieldNames.toSeq).as("g"))
+            .agg(graft.sketch.Hll.sketchAgg(col(valueCol).cast("string"), b)
+              .as("s"), count(lit(1)).as("n"))
+            .collect()
+          val batchBuckets: Map[Long, Map[Option[String], (Long, Array[Byte])]] =
+            rows.groupBy(_.getLong(0)).map { case (bkt, rs) =>
+              bkt -> rs.map(r => Option(r.getAs[String]("g")) ->
+                (r.getAs[Long]("n"), r.getAs[Array[Byte]]("s"))).toMap
+            }
+          val maxUs = math.max(prevMaxUsOf(riderParams),
+            batchMaxUs(batch, tsCol))
+          val prev: Map[Long, Map[Option[String], (Long, Array[Byte])]] =
+            rider.map(r => graft.sketch.GroupedHll.unpack(r.data)).getOrElse(Nil)
+              .collect { case (Some(bk), payload) =>
+                bk.toLong -> graft.sketch.GroupedHll.unpack(payload)
+                  .map { case (g, pb) => g -> splitCounted(pb) }.toMap
+              }.toMap
+          def mergeGroupMaps(
+              a: Map[Option[String], (Long, Array[Byte])],
+              c: Map[Option[String], (Long, Array[Byte])])
+              : Map[Option[String], (Long, Array[Byte])] =
+            (a.keySet ++ c.keySet).iterator.map { g =>
+              g -> ((a.get(g), c.get(g)) match {
+                case (Some((n1, s1)), Some((n2, s2))) => (n1 + n2,
+                  graft.sketch.Hll.deserialize(s1)
+                    .merge(graft.sketch.Hll.deserialize(s2)).serialize)
+                case (Some(x), None) => x
+                case (None, Some(y)) => y
+                case _ => sys.error("unreachable")
+              })
+            }.toMap
+          val merged = batchBuckets.foldLeft(prev) { case (acc, (bkt, gs)) =>
+            acc.updated(bkt, mergeGroupMaps(
+              acc.getOrElse(bkt, Map.empty), gs))
+          }
+          val live = merged.filter { case (bkt, _) =>
+            liveBucket(bkt, bucketMicros, maxUs, windowMicros)
+          }
+          val liveGroups = live.values
+            .foldLeft(Map.empty[Option[String], (Long, Array[Byte])])(
+              mergeGroupMaps)
+          if (liveGroups.sizeIs > graft.sketch.SketchOps.MaxHllGroups)
+            throw new IllegalArgumentException(
+              s"windowed grouped HLL over $table.$groupCol: live group " +
+                s"count exceeds ${graft.sketch.SketchOps.MaxHllGroups}")
+          val liveN = liveGroups.valuesIterator.map(_._1).sum
+          catalog.upsertTableStats(table, liveN)
+          catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+            "hll_grouped",
+            graft.sketch.GroupedHll.serialize(liveGroups.toSeq.map {
+              case (g, (_, sk)) => g -> sk
+            }),
+            s"""{"b":$b,"group_by":"$groupCol","groups":${liveGroups.size},"rows":$liveN,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+            "hllg_windowed",
+            graft.sketch.GroupedHll.pack(live.toSeq.map { case (bkt, gs) =>
+              Option(bkt.toString) -> graft.sketch.GroupedHll.pack(
+                gs.toSeq.map { case (g, (n, sk)) =>
+                  g -> joinCounted(n, sk)
+                })
+            }),
+            s"""{"maxus":$maxUs,"b":$b,"group_by":"$groupCol","last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
+  // ---------------------------------------------------------------
+  // grouped HDR (per-group relative-error percentile / range serves
+  // over the live window)
+  // ---------------------------------------------------------------
+
+  /** Streaming WINDOWED grouped-HDR maintenance: per-(event-time
+    * bucket, group) log-linear sketches + per-(group, log-bucket)
+    * decimal-sum riders (`SketchOps.hdrGroupedBucketedAggregate` —
+    * ONE distributed pass per micro-batch), watermark expiry, live
+    * buckets re-merged into the serving "hdr_grouped" +
+    * "hdrsum_grouped" blobs, so the engine's per-group percentile /
+    * range / SUM/AVG serves (q150 family) answer OVER THE LIVE WINDOW
+    * with no scan. The log grid is GLOBAL, so per-group binade counts
+    * and BigInt sums add exactly across buckets and expiry subtracts
+    * exactly — no per-group grid to declare (the advantage over a
+    * windowed equi-width grouped histogram, which this form therefore
+    * supersedes for TTL workloads). All-NULL-value groups are still
+    * groups (empty hdr payload, the batch builder's contract);
+    * per-group sum overflow poisons that group's rider (the "!"
+    * sentinel, absorbing in the merge). Additive counts ⇒
+    * `last_batch` guard on "hdrg_windowed", stamped LAST; both
+    * serving blobs stamp the same id (riderInSync).
+    */
+  def maintainGroupedHdrWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      groupCols: Seq[String], valueCol: String, tsCol: String,
+      windowMicros: Long, bucketMicros: Long,
+      m: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    val groupCol = groupCols.mkString(",")
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rider = catalog.getSketch(table, valueCol, "hdrg_windowed")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        if (batchId > lastBatchOf(riderParams)) {
+          val withBkt = batch.filter(col(tsCol).isNotNull)
+            .withColumn("graft_bucket",
+              expr(s"unix_micros($tsCol) div $bucketMicros"))
+          // sketches+riders for groups WITH values ...
+          val batchAgg = graft.sketch.SketchOps.hdrGroupedBucketedAggregate(
+            withBkt, groupCols, valueCol, "graft_bucket", m,
+            s"windowed grouped hdr over $table.$valueCol")
+          // ... and row counts for ALL groups (all-NULL ones included)
+          val batchCounts: Map[Long, Map[Option[String], Long]] = withBkt
+            .groupBy(col("graft_bucket"),
+              graft.sketch.SketchOps.groupKeyExpr(groupCols,
+                withBkt.schema.fieldNames.toSeq).as("g"))
+            .agg(count(lit(1)).as("n"))
+            .collect()
+            .groupBy(_.getLong(0)).map { case (bkt, rs) =>
+              bkt -> rs.map(r =>
+                Option(r.getAs[String]("g")) -> r.getAs[Long]("n")).toMap
+            }
+          val maxUs = math.max(prevMaxUsOf(riderParams),
+            batchMaxUs(batch, tsCol))
+          // per-bucket state: (group -> rows, group -> hdr, group -> sums)
+          type GState = (Map[Option[String], Long],
+            Map[Option[String], Array[Byte]],
+            Map[Option[String], Array[Byte]])
+          def decode(payload: Array[Byte]): GState = {
+            val parts = graft.sketch.GroupedHll.unpack(payload)
+              .collect { case (Some(k), v) => k -> v }.toMap
+            (graft.sketch.GroupedHll.unpack(parts("c"))
+              .map { case (g, cb) =>
+                g -> java.nio.ByteBuffer.wrap(cb).getLong }.toMap,
+              graft.sketch.GroupedHll.unpack(parts("h")).toMap,
+              graft.sketch.GroupedHll.unpack(parts("s")).toMap)
+          }
+          val prev: Map[Long, GState] =
+            rider.map(r => graft.sketch.GroupedHll.unpack(r.data)).getOrElse(Nil)
+              .collect { case (Some(k), payload) => k.toLong -> decode(payload) }
+              .toMap
+          def addMaps[K](a: Map[K, Long], c: Map[K, Long]): Map[K, Long] =
+            (a.keySet ++ c.keySet).iterator.map(k =>
+              k -> (a.getOrElse(k, 0L) + c.getOrElse(k, 0L))).toMap
+          def mergeBytes[K](a: Map[K, Array[Byte]], c: Map[K, Array[Byte]],
+              f: (Array[Byte], Array[Byte]) => Array[Byte])
+              : Map[K, Array[Byte]] =
+            (a.keySet ++ c.keySet).iterator.map { k =>
+              k -> ((a.get(k), c.get(k)) match {
+                case (Some(x), Some(y)) => f(x, y)
+                case (Some(x), None)    => x
+                case (None, Some(y))    => y
+                case _ => sys.error("unreachable")
+              })
+            }.toMap
+          val merged = batchCounts.keySet.union(batchAgg.keySet)
+            .foldLeft(prev) { (acc, bkt) =>
+              val (pc, ph, ps) = acc.getOrElse(bkt,
+                (Map.empty[Option[String], Long],
+                  Map.empty[Option[String], Array[Byte]],
+                  Map.empty[Option[String], Array[Byte]]))
+              val bAgg = batchAgg.getOrElse(bkt, Map.empty)
+              acc.updated(bkt, (
+                addMaps(pc, batchCounts.getOrElse(bkt, Map.empty)),
+                mergeBytes(ph, bAgg.map { case (g, (h, _)) => g -> h },
+                  graft.sketch.HdrSketch.mergeBytes),
+                mergeBytes(ps, bAgg.map { case (g, (_, s)) => g -> s },
+                  graft.sketch.SketchOps.hdrSumMergeBytes)))
+            }
+          val live = merged.filter { case (bkt, _) =>
+            liveBucket(bkt, bucketMicros, maxUs, windowMicros)
+          }
+          val liveCounts = live.values.map(_._1)
+            .foldLeft(Map.empty[Option[String], Long])(addMaps)
+          val liveHdr = live.values.map(_._2)
+            .foldLeft(Map.empty[Option[String], Array[Byte]])(
+              mergeBytes(_, _, graft.sketch.HdrSketch.mergeBytes))
+          val liveSums = live.values.map(_._3)
+            .foldLeft(Map.empty[Option[String], Array[Byte]])(
+              mergeBytes(_, _, graft.sketch.SketchOps.hdrSumMergeBytes))
+          if (liveCounts.sizeIs > graft.sketch.SketchOps.MaxHllGroups)
+            throw new IllegalArgumentException(
+              s"windowed grouped hdr over $table.$groupCol: live group " +
+                s"count exceeds ${graft.sketch.SketchOps.MaxHllGroups}")
+          val liveN = liveCounts.valuesIterator.sum
+          catalog.upsertTableStats(table, liveN)
+          // serving blobs mirror the batch builder: hdr_grouped keys
+          // EVERY live group (empty payload for all-NULL groups);
+          // hdrsum_grouped carries only groups with values
+          catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+            "hdr_grouped",
+            graft.sketch.GroupedHll.pack(liveCounts.keySet.toSeq.map(g =>
+              g -> liveHdr.getOrElse(g, Array.empty[Byte]))),
+            s"""{"m":$m,"group_by":"$groupCol","groups":${liveCounts.size},"rows":$liveN,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+          catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+            "hdrsum_grouped",
+            graft.sketch.GroupedHll.pack(liveSums.toSeq),
+            s"""{"m":$m,"group_by":"$groupCol","groups":${liveSums.size},"rows":$liveN,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+            "hdrg_windowed",
+            graft.sketch.GroupedHll.pack(live.toSeq.map {
+              case (bkt, (cs, hs, ss)) =>
+                def longBytes(v: Long) =
+                  java.nio.ByteBuffer.allocate(8).putLong(v).array()
+                Option(bkt.toString) -> graft.sketch.GroupedHll.pack(Seq(
+                  Option("c") -> graft.sketch.GroupedHll.pack(
+                    cs.toSeq.map { case (g, n) => g -> longBytes(n) }),
+                  Option("h") -> graft.sketch.GroupedHll.pack(hs.toSeq),
+                  Option("s") -> graft.sketch.GroupedHll.pack(ss.toSeq)))
+            }),
+            s"""{"maxus":$maxUs,"m":$m,"group_by":"$groupCol","last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
+  // ---------------------------------------------------------------
   // AGMS (live join-cardinality evidence)
   // ---------------------------------------------------------------
 

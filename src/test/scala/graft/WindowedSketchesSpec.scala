@@ -291,6 +291,111 @@ class WindowedSketchesSpec extends SparkSpec {
       expSk.percentile(0.5).get)
   }
 
+  test("windowed grouped-HLL maintainer: expiry, byte-equality over live rows, live per-group distinct serve") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("wghll")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("g", expr("concat('g', cast(id % 3 as string))"))
+      .withColumn("k", col("id"))
+      .drop("id")
+    val stream = MemoryStream[Long]
+    val q = WindowedSketches.maintainGroupedHllWindowed(
+      shape(stream.toDF().toDF("id")), catalog, "wghll_live", Seq("g"),
+      "k", "ts", windowMicros = 2000L * 1000000L,
+      bucketMicros = 100L * 1000000L)
+    feed(stream, q)
+    assert(catalog.statsFor("wghll_live").exists(_.rowCount == liveRows),
+      catalog.statsFor("wghll_live").toString)
+    // serving blob == the batch createGroupedHll build over EXACTLY
+    // the live rows (register max is idempotent per group)
+    spark.range(liveFrom, liveTo)
+      .select(expr("concat('g', cast(id % 3 as string))").as("g"),
+        col("id").as("k"))
+      .createOrReplaceTempView("wghll_batch")
+    val cat2 = tmpCatalog("wghll-batch")
+    graft.sketch.SketchOps.createGroupedHll(spark, cat2, "wghll_batch",
+      Seq("g"), "k", b = 12)
+    val streamed = catalog.getSketch("wghll_live", "k", "hll_grouped")
+    val batch = cat2.getSketch("wghll_batch", "k", "hll_grouped")
+    assert(streamed.isDefined && batch.isDefined)
+    assert(streamed.get.data.sameElements(batch.get.data),
+      "windowed serving hll_grouped != batch build over the live rows")
+    // the engine serves per-group COUNT(DISTINCT) over the LIVE window
+    // from an EMPTY view (exact at this cardinality: 700 per group)
+    spark.range(0)
+      .select(expr("concat('g', cast(id % 3 as string))").as("g"),
+        col("id").as("k"))
+      .createOrReplaceTempView("wghll_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT g, count(DISTINCT k) AS nd FROM wghll_live GROUP BY g ORDER BY g")
+    assert(r.servedFromCatalog, r.reason)
+    val rows = r.df.collect()
+    assert(rows.length == 3)
+    val expected = graft.sketch.GroupedHll.deserialize(batch.get.data)
+      .collect { case (Some(g), h) => g -> h.count }.toMap
+    rows.foreach(row =>
+      assert(row.getLong(1) == expected(row.getString(0))))
+  }
+
+  test("windowed grouped-HDR maintainer: expiry, byte-equality over live rows, live per-group percentile serve") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("wghdr")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("g", expr("concat('g', cast(id % 3 as string))"))
+      .withColumn("v", expr("cast((id * 37) % 997 as double)"))
+      .drop("id")
+    val stream = MemoryStream[Long]
+    val q = WindowedSketches.maintainGroupedHdrWindowed(
+      shape(stream.toDF().toDF("id")), catalog, "wghdr_live", Seq("g"),
+      "v", "ts", windowMicros = 2000L * 1000000L,
+      bucketMicros = 100L * 1000000L)
+    feed(stream, q)
+    assert(catalog.statsFor("wghdr_live").exists(_.rowCount == liveRows),
+      catalog.statsFor("wghdr_live").toString)
+    // serving blobs == the batch createGroupedHdr build over EXACTLY
+    // the live rows (binade counts and BigInt sums add per group on
+    // the global log grid; expiry subtracted the dead buckets)
+    spark.range(liveFrom, liveTo)
+      .select(expr("concat('g', cast(id % 3 as string))").as("g"),
+        expr("cast((id * 37) % 997 as double)").as("v"))
+      .createOrReplaceTempView("wghdr_batch")
+    val cat2 = tmpCatalog("wghdr-batch")
+    graft.sketch.SketchOps.createGroupedHdr(spark, cat2, "wghdr_batch",
+      Seq("g"), "v")
+    for (t <- Seq("hdr_grouped", "hdrsum_grouped")) {
+      val streamed = catalog.getSketch("wghdr_live", "v", t)
+      val batch = cat2.getSketch("wghdr_batch", "v", t)
+      assert(streamed.isDefined && batch.isDefined, t)
+      assert(streamed.get.data.sameElements(batch.get.data),
+        s"windowed serving $t != batch build over the live rows")
+    }
+    // the engine serves per-group percentiles over the LIVE window
+    // from an EMPTY view, with the live-window explain note
+    spark.range(0)
+      .select(expr("concat('g', cast(id % 3 as string))").as("g"),
+        expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("wghdr_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT g, percentile(v, 0.5) AS p50 FROM wghdr_live GROUP BY g ORDER BY g",
+      engine.Options(maxRelError = 0.05))
+    assert(r.servedFromCatalog && r.serveKind.contains("grouped_hdr"),
+      r.reason)
+    val served = r.df.collect().map(row =>
+      row.getString(0) -> row.getDouble(1)).toMap
+    val expected = graft.sketch.GroupedHll
+      .unpack(cat2.getSketch("wghdr_batch", "v", "hdr_grouped").get.data)
+      .collect { case (Some(g), b) =>
+        g -> graft.sketch.HdrSketch.deserialize(b).percentile(0.5).get
+      }.toMap
+    assert(served == expected, s"served=$served expected=$expected")
+  }
+
   test("windowed AGMS maintainer: expiry and byte-equality of the live signed counters") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
