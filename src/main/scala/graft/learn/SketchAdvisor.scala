@@ -55,7 +55,7 @@ object SketchAdvisor {
       // them from k cached rows — and the streaming maintainer keeps
       // it fresh under ingest, where fixed-fraction samples go stale
       s"Samplers.createBottomK(spark, catalog, ${c.table}, uniqueKeyCol)" +
-        " // EventStreams.maintainBottomKSample keeps it fresh under ingest"
+        " // SampleMaintainers.maintainBottomKSample keeps it fresh under ingest"
     case ("bottomk_grouped", Some(g)) =>
       s"Samplers.createBottomKGrouped(spark, catalog, ${c.table}, $g, uniqueKeyCol)"
     case ("topk", Some(g)) =>
@@ -134,7 +134,7 @@ object SketchAdvisor {
           s"${c.table}, $key, tsCol, windowMicros, bucketMicros, threshold) " +
           "// TTL: the trending-now top-k serves over the live window")
       case ("bottomk", None) => Some(
-        s"EventStreams.maintainBottomKWindowed(stream, catalog, ${c.table}, " +
+        s"SampleMaintainers.maintainBottomKWindowed(stream, catalog, ${c.table}, " +
           "uniqueKeyCol, tsCol, windowMicros, bucketMicros) " +
           "// TTL: the fixed-size sample tracks the live window")
       case _ => None

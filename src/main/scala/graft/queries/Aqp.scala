@@ -2442,7 +2442,7 @@ object Aqp {
     // BOTTOM-K (fixed-size order-statistic) sample serve (round 12):
     // the k rows with the smallest keyed h60 hash under a total order
     // — the one sample form that is MERGEABLE and therefore
-    // stream-maintainable (EventStreams.maintainBottomKSample folds it
+    // stream-maintainable (SampleMaintainers.maintainBottomKSample folds it
     // per micro-batch; fixed-fraction lotteries can only rebuild).
     // Estimates scale ONCE post-aggregation by the constant N/k
     // (count w·n, sum w·Σx with decimal inner sums, avg Σx/n — never a

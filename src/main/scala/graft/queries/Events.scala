@@ -30,7 +30,7 @@ object Events {
     // bottom-k's) is hash-gated end to end; n_live is the exact count
     // the maintained sample's N/k serve weight tracks.
     "q183_windowed_bottomk" -> ((s, dir) => {
-      graft.streaming.EventStreams.windowedBottomK(
+      graft.streaming.SampleMaintainers.windowedBottomK(
         Tables.load(s, dir, "events"), "event_id", "ts",
         windowMicros = 10L * 86400000000L,
         bucketMicros = 86400000000L, k = 512)

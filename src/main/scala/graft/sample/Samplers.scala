@@ -360,7 +360,7 @@ object Samplers {
     * re-tossing. Bottom-k is fixed-SIZE and MERGEABLE: the bottom-k of
     * a union is the bottom-k of the parts' bottom-k's, so it is the one
     * sample a STREAM can maintain incrementally (fold each micro-batch,
-    * keep k smallest — `EventStreams.maintainBottomKSample`), and at
+    * keep k smallest — `SampleMaintainers.maintainBottomKSample`), and at
     * 100 TB it is the form that keeps a sample cache-resident forever
     * instead of scaling with ingest.
     *
@@ -478,7 +478,7 @@ object Samplers {
     * group representation (the plain bottom-k's documented weakness —
     * a rare group can lose the global hash race entirely), and like
     * bottom-k it is MERGEABLE per group, so a stream folds it in
-    * O(groups·k) driver state (`EventStreams.maintainBottomKSample`
+    * O(groups·k) driver state (`SampleMaintainers.maintainBottomKSample`
     * with a group column) where a lottery-stratified sample could only
     * rebuild. Each row carries `graft_gw` = its group's exact N_g/k_g
     * expansion (one double division per group, computed from exact

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Round 14: windowed/TTL maintenance for the remaining ADDITIVE
   * sketch families — histogram+histsum, grouped statistics, KMV, and
   * top-k heavy hitters. Completes the per-event-time-bucket pattern
-  * q183–q185 established (`EventStreams.maintainBottomKWindowed` /
+  * q183–q185 established (`SampleMaintainers.maintainBottomKWindowed` /
   * `maintainHllWindowed` / `maintainCmsWindowed`): the append-only
   * maintainers in [[EventStreams]] serve ALL-TIME data under a
   * retention/TTL workload, so every range/percentile/set-op/trending

@@ -65,7 +65,7 @@ class BottomKSpec extends SparkSpec {
       .MemoryStream[Long]
     val rows = stream.toDF().toDF("id")
       .withColumn("v", expr("cast(1 + id % 100 as double)"))
-    val q = graft.streaming.EventStreams.maintainBottomKSample(
+    val q = graft.streaming.SampleMaintainers.maintainBottomKSample(
       rows, ccat, "bk_cont", "id", k = K)
     stream.addData((6000L until 8000L).toSeq)
     q.processAllAvailable(); q.stop()
@@ -92,7 +92,7 @@ class BottomKSpec extends SparkSpec {
     val rows2 = stream2.toDF().toDF("id")
       .withColumn("g", expr("cast(0 as int)"))
       .withColumn("v", expr("cast(1 + id % 100 as double)"))
-    val q2 = graft.streaming.EventStreams.maintainBottomKGrouped(
+    val q2 = graft.streaming.SampleMaintainers.maintainBottomKGrouped(
       rows2, gcat, "bkg_cont", "g", "id", kPerGroup = 64)
     stream2.addData((3000L until 3300L).toSeq)
     q2.processAllAvailable(); q2.stop()
@@ -293,7 +293,7 @@ class BottomKSpec extends SparkSpec {
     val rows = stream.toDF().toDF("id")
       .withColumn("g", expr("cast(id % 3 as int)"))
       .withColumn("v", expr("cast(1 + id % 100 as double)"))
-    val q = graft.streaming.EventStreams.maintainBottomKGrouped(
+    val q = graft.streaming.SampleMaintainers.maintainBottomKGrouped(
       rows, scat, "bkg_live", "g", "id", kPerGroup = 64)
     (0L until 3000L).grouped(1000).foreach { batch =>
       stream.addData(batch.toSeq)
@@ -340,7 +340,7 @@ class BottomKSpec extends SparkSpec {
       .MemoryStream[Long]
     val rows = stream.toDF().toDF("id")
       .withColumn("v", expr("cast(1 + id % 100 as double)"))
-    val q = graft.streaming.EventStreams.maintainBottomKSample(
+    val q = graft.streaming.SampleMaintainers.maintainBottomKSample(
       rows, scat, "bk_live", "id", k = K)
     (0L until 6000L).grouped(2000).foreach { g =>
       stream.addData(g.toSeq)
@@ -430,7 +430,7 @@ class BottomKSpec extends SparkSpec {
       .withColumn("v", expr("cast(1 + id % 100 as double)"))
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Long]
-    val q = graft.streaming.EventStreams.maintainBottomKWindowed(
+    val q = graft.streaming.SampleMaintainers.maintainBottomKWindowed(
       shape(stream.toDF().toDF("id")), scat, "bkw_live", "id", "ts",
       windowMicros = 2000L * 1000000L, bucketMicros = 100L * 1000000L,
       k = 64)
@@ -444,7 +444,7 @@ class BottomKSpec extends SparkSpec {
     stream.addData((2000L until 4000L).toSeq)
     q.processAllAvailable(); q.stop()
     // batch twin over ALL ingested rows: identical membership AND N
-    val twin = graft.streaming.EventStreams.windowedBottomK(
+    val twin = graft.streaming.SampleMaintainers.windowedBottomK(
       shape(spark.range(0, 4000).toDF("id")), "id", "ts",
       windowMicros = 2000L * 1000000L, bucketMicros = 100L * 1000000L,
       k = 64).collect()
@@ -529,7 +529,7 @@ class BottomKSpec extends SparkSpec {
     val rows = stream.toDF().toDF("id")
       .withColumn("v", expr("cast(1 + id % 100 as double)"))
       .select(col("v"), col("id"))
-    val q = graft.streaming.EventStreams.maintainBottomKSample(
+    val q = graft.streaming.SampleMaintainers.maintainBottomKSample(
       rows, ccat, "bk_order", "id", k = K)
     stream.addData((4000L until 8000L).toSeq)
     q.processAllAvailable(); q.stop()

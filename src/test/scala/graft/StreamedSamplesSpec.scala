@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.EventStreams
+import graft.streaming.SampleMaintainers
 
 /** Round-14 sample-maintenance laws: the streamed outlier-indexed
   * sample must hold EXACTLY the rows a batch `createOutlierSample`
@@ -25,7 +25,7 @@ class StreamedSamplesSpec extends SparkSpec {
     def shape(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("v", expr("cast(id as double)"))
     val stream = MemoryStream[Long]
-    val q = EventStreams.maintainOutlierSample(
+    val q = SampleMaintainers.maintainOutlierSample(
       shape(stream.toDF().toDF("id")), catalog, "sol_live", "v", "id",
       outlierK = 64, targetRest = 512L, lowK = 32)
     stream.addData(0L until 2000L)
@@ -74,7 +74,7 @@ class StreamedSamplesSpec extends SparkSpec {
     // replay guard: a fresh maintainer restarts at batch id 0 — both
     // already folded, so N and the sample must not move
     val stream2 = MemoryStream[Long]
-    val q2 = EventStreams.maintainOutlierSample(
+    val q2 = SampleMaintainers.maintainOutlierSample(
       shape(stream2.toDF().toDF("id")), catalog, "sol_live", "v", "id",
       outlierK = 64, targetRest = 512L, lowK = 32)
     stream2.addData(0L until 500L)
@@ -95,7 +95,7 @@ class StreamedSamplesSpec extends SparkSpec {
     val stream = MemoryStream[Long]
     // targetRest 256: N=1000 -> m=3 -> w=2; N=3000 -> m=11 -> w=8 — the
     // threshold tightens 4x between the folds
-    val q = EventStreams.maintainOutlierSample(
+    val q = SampleMaintainers.maintainOutlierSample(
       shape(stream.toDF().toDF("id")), catalog, "solg_live", "v", "id",
       outlierK = 16, targetRest = 256L, lowK = 0)
     stream.addData(0L until 1000L)
@@ -126,7 +126,7 @@ class StreamedSamplesSpec extends SparkSpec {
     import spark.implicits._
     val catalog = tmpCatalog("bk-crash")
     val stream = MemoryStream[Long]
-    val q = EventStreams.maintainBottomKSample(
+    val q = SampleMaintainers.maintainBottomKSample(
       stream.toDF().toDF("rowkey"), catalog, "bkc_live", "rowkey", k = 64)
     stream.addData(0L until 1000L)
     q.processAllAvailable(); q.stop()
@@ -149,7 +149,7 @@ class StreamedSamplesSpec extends SparkSpec {
     // rider's un-advanced "rows" wins over the crashed fold's
     // baseRows(=1000), which is the law the provisional exists for
     val stream2 = MemoryStream[Long]
-    val q2 = EventStreams.maintainBottomKSample(
+    val q2 = SampleMaintainers.maintainBottomKSample(
       stream2.toDF().toDF("rowkey"), catalog, "bkc_live", "rowkey", k = 64)
     stream2.addData(0L until 1000L)
     q2.processAllAvailable(); q2.stop()
@@ -171,7 +171,7 @@ class StreamedSamplesSpec extends SparkSpec {
     def shape(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("g", expr("concat('g', cast(rowkey % 3 as string))"))
     val stream = MemoryStream[Long]
-    val q = EventStreams.maintainBottomKGrouped(
+    val q = SampleMaintainers.maintainBottomKGrouped(
       shape(stream.toDF().toDF("rowkey")), catalog, "bkgc_live", "g",
       "rowkey", kPerGroup = 32)
     stream.addData(0L until 900L)
@@ -183,7 +183,7 @@ class StreamedSamplesSpec extends SparkSpec {
       """{"rows":0,"k":32,"last_batch":-1}""",
       System.currentTimeMillis()))
     val stream2 = MemoryStream[Long]
-    val q2 = EventStreams.maintainBottomKGrouped(
+    val q2 = SampleMaintainers.maintainBottomKGrouped(
       shape(stream2.toDF().toDF("rowkey")), catalog, "bkgc_live", "g",
       "rowkey", kPerGroup = 32)
     stream2.addData(0L until 900L)
