@@ -521,6 +521,11 @@ class ApiServerSpec extends SparkSpec {
     assert(parsed(bb)("sample_table").flatMap(_.str)
       .contains("part__outlier2_p_retailprice"), bb)
     assert(parsed(bb)("low_k").flatMap(_.num).contains(20.0), bb)
+    // round 14: the achieved low-tail size is reported alongside the
+    // high tail's (the r13 ADVICE finding — the response used to drop
+    // nLow entirely)
+    assert(parsed(bb)("low_rows").flatMap(_.num).contains(20.0), bb)
+    assert(parsed(bb)("outlier_rows").flatMap(_.num).contains(20.0), bb)
     // force part over the small-table rule, re-stamp the sample fresh
     engine.catalog.upsertTableStats("part", 20000L)
     engine.catalog.refreshSampleBase("part")
