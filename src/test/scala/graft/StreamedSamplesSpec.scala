@@ -121,6 +121,45 @@ class StreamedSamplesSpec extends SparkSpec {
       rowSet(s"${cat2.samplesDir}/solg_batch__outlier_v"))
   }
 
+  test("streamed outlier sample: taking over a BATCH-built sample re-derives the parts exactly") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("sol-takeover")
+    // batch build over the first 2000 rows (no maintainer state yet)
+    spark.range(0, 2000).select(col("id"), expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("solt_live")
+    graft.sample.Samplers.createOutlierSample(spark, catalog, "solt_live",
+      "v", "id", outlierK = 32, targetRest = 256L, lowK = 16)
+    // a maintainer takes over (no __state parquet: parts are inferred
+    // from the sample parquet under the (value, key) total order) and
+    // folds 2000 more rows
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("v", expr("cast(id as double)"))
+    val stream = MemoryStream[Long]
+    val q = SampleMaintainers.maintainOutlierSample(
+      shape(stream.toDF().toDF("id")), catalog, "solt_live", "v", "id",
+      outlierK = 32, targetRest = 256L, lowK = 16)
+    stream.addData(2000L until 4000L)
+    q.processAllAvailable(); q.stop()
+    // fold == rebuild over the UNION: batch rows seeded the tails and
+    // the rest at the build-time threshold; the fold displaced the old
+    // high tail (new rows have higher values), demoted it through the
+    // lottery, and re-filtered at the new N's threshold
+    spark.range(0, 4000).select(col("id"), expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("solt_batch")
+    val cat2 = tmpCatalog("solt-batch")
+    graft.sample.Samplers.createOutlierSample(spark, cat2, "solt_batch",
+      "v", "id", outlierK = 32, targetRest = 256L, lowK = 16)
+    def rowSet(path: String) = spark.read.parquet(path)
+      .select(col("id"), col("graft_weight"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rowSet(s"${catalog.samplesDir}/solt_live__outlier2_v") ==
+      rowSet(s"${cat2.samplesDir}/solt_batch__outlier2_v"),
+      "takeover fold != full rebuild")
+    assert(catalog.getSketch("solt_live", "v", "outlier_rider")
+      .exists(_.parameters.contains("\"rows\":4000")))
+  }
+
   test("bottom-k first-fold crash window is closed: a replay from the provisional-rider state folds to the same N") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
