@@ -744,4 +744,212 @@ object SampleMaintainers {
       }
       .start()
   }
+
+  /** Streaming WINDOWED GROUPED bottom-k sample maintenance (round 14)
+    * — the TTL form of the streamable STRATIFIED sample, completing
+    * the sample family's windowed forms: [[maintainBottomKGrouped]]'s
+    * per-group counts only GROW, so under a retention workload its
+    * N_g/k_g serve weights (and the sampled rows themselves) answer
+    * over expired data. This maintainer keeps one bottom-k PER
+    * (event-time bucket, group) — O(liveBuckets * groups * k) state,
+    * mergeable per cell — advances the watermark, DROPS buckets
+    * outside the last `windowMicros`, and re-merges the live buckets
+    * per group into the serving sample: every group keeps its k
+    * hash-smallest LIVE rows under the ('bkg:' hash, key) total order
+    * (the batch builder's salt, so the serving row set equals
+    * `Samplers.createBottomKGrouped` over exactly the live rows — the
+    * spec law), and graft_gn/graft_gw re-stamp from the exact live
+    * per-group counts so grouped HT estimates track the window.
+    * Expiry is bucket-granular (the q183 trade); additive counts ride
+    * the `last_batch` guard on "bkgw_state", stamped LAST; the
+    * "bottomkg_rider" re-stamps each fold so the grouped serves'
+    * contracts (kPerGroup CIs, decimal proof, representation stats)
+    * work unchanged on the windowed sample. Key integral and
+    * stream-unique; groups non-NULL (the builder's contracts).
+    */
+  def maintainBottomKGroupedWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, groupCol: String,
+      keyCol: String, tsCol: String, windowMicros: Long,
+      bucketMicros: Long, kPerGroup: Int = 512)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(kPerGroup >= 1, s"kPerGroup must be >= 1, got $kPerGroup")
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    val name = s"${table}__bottomkg_$groupCol"
+    val path = s"${catalog.samplesDir}/$name"
+    val statePath = s"${catalog.samplesDir}/${name}__state"
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val rider = catalog.getSketch(table, groupCol, "bkgw_state")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          require(Seq("integer", "long", "short")
+            .contains(batch.schema(batch.schema.fieldIndex(keyCol))
+              .dataType.typeName),
+            s"windowed grouped bottom-k stream key $keyCol must be integral")
+          val withH = batch.filter(col(tsCol).isNotNull)
+            .withColumn("graft_bucket",
+              expr(s"unix_micros($tsCol) div $bucketMicros"))
+            .withColumn("graft_h",
+              expr(s"graft_h60(concat('bkg:', cast($keyCol as string)))"))
+            .drop(tsCol)
+          // positional indices from the POST-drop schema
+          val keyIdx = withH.schema.fieldIndex(keyCol)
+          val gIdx = withH.schema.fieldIndex(groupCol)
+          val wb = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("graft_bucket"), col(groupCol))
+            .orderBy(col("graft_h").asc, col(keyCol).asc)
+          val batchTop = withH
+            .withColumn("graft_rn", row_number().over(wb))
+            .filter(col("graft_rn") <= kPerGroup).drop("graft_rn")
+            .collect()
+          val batchCountRows = withH
+            .groupBy(col("graft_bucket"), col(groupCol))
+            .agg(count(lit(1)).as("c")).collect()
+          batchCountRows.foreach(r => require(!r.isNullAt(1),
+            s"windowed grouped bottom-k group $groupCol must be non-null"))
+          val batchCounts: Map[Long, Map[String, Long]] =
+            batchCountRows.groupBy(_.getLong(0)).map { case (bkt, rs) =>
+              bkt -> rs.map(r =>
+                String.valueOf(r.get(1)) -> r.getLong(2)).toMap
+            }
+          val batchMaxUs = batch.agg(
+            max(expr(s"unix_micros($tsCol)"))).collect()(0) match {
+            case r if r.isNullAt(0) => Long.MinValue
+            case r                  => r.getLong(0)
+          }
+          val prevMaxUs = """"maxus"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .getOrElse(Long.MinValue)
+          val maxUs = math.max(prevMaxUs, batchMaxUs)
+          // per-(bucket, group) counts continue across folds (nested
+          // packs: bucket -> escaped group\tcount lines)
+          val prevCounts: Map[Long, Map[String, Long]] = rider
+            .map(r => graft.sketch.GroupedHll.unpack(r.data))
+            .getOrElse(Nil)
+            .collect { case (Some(bk), blob) =>
+              bk.toLong -> BlobEscape.decodeCounts(blob)
+            }.toMap
+          val mergedCounts: Map[Long, Map[String, Long]] =
+            (prevCounts.keySet ++ batchCounts.keySet).iterator.map { bkt =>
+              val a = prevCounts.getOrElse(bkt, Map.empty[String, Long])
+              val c = batchCounts.getOrElse(bkt, Map.empty[String, Long])
+              bkt -> (a.keySet ++ c.keySet).iterator.map(g =>
+                g -> (a.getOrElse(g, 0L) + c.getOrElse(g, 0L))).toMap
+            }.toMap
+          def liveB(b: Long): Boolean =
+            (b + 1L) * bucketMicros > maxUs - windowMicros
+          val liveCounts = mergedCounts.filter { case (b, _) => liveB(b) }
+          val baseSchema = withH.schema
+          val stored: Array[org.apache.spark.sql.Row] =
+            if (new java.io.File(statePath).exists)
+              s.read.parquet(statePath)
+                .select(baseSchema.fieldNames.map(col).toIndexedSeq: _*)
+                .collect()
+            else Array.empty
+          val hIdx = baseSchema.fieldIndex("graft_h")
+          val bIdx = baseSchema.fieldIndex("graft_bucket")
+          def keyOf(r: org.apache.spark.sql.Row): Long =
+            r.get(keyIdx) match {
+              case l: java.lang.Long    => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case x: java.lang.Short   => x.longValue
+              case other => sys.error(s"non-integral key $other")
+            }
+          // fold rows per (bucket, group) cell (idempotent: dedup by
+          // key, truncate k under the (hash, key) order), then EXPIRE
+          val mergedState = (stored ++ batchTop)
+            .groupBy(r => (r.getLong(bIdx), keyOf(r))).map(_._2.head)
+            .toArray
+            .filter(r => liveB(r.getLong(bIdx)))
+            .groupBy(r => (r.getLong(bIdx), String.valueOf(r.get(gIdx))))
+            .valuesIterator
+            .flatMap(rows =>
+              rows.sortBy(r => (r.getLong(hIdx), keyOf(r))).take(kPerGroup))
+            .toArray
+          s.createDataFrame(
+            java.util.Arrays.asList(mergedState: _*), baseSchema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(statePath)
+          // serving sample: per-group re-merge of the live buckets,
+          // gn/gw stamped from the exact live counts (graft_bucket is
+          // an internal state column and stays out of the sample)
+          val liveTotals: Map[String, Long] = liveCounts.values
+            .foldLeft(Map.empty[String, Long]) { (acc, m) =>
+              (acc.keySet ++ m.keySet).iterator.map(g =>
+                g -> (acc.getOrElse(g, 0L) + m.getOrElse(g, 0L))).toMap
+            }
+          val servingBase = mergedState
+            .groupBy(r => String.valueOf(r.get(gIdx)))
+            .valuesIterator
+            .flatMap(rows =>
+              rows.sortBy(r => (r.getLong(hIdx), keyOf(r))).take(kPerGroup))
+            .toArray
+          val sampleFields = baseSchema.fields
+            .filterNot(_.name == "graft_bucket")
+          val sampleIdx = sampleFields.map(f =>
+            baseSchema.fieldIndex(f.name))
+          val achievedPerGroup = servingBase
+            .groupBy(r => String.valueOf(r.get(gIdx)))
+            .map { case (g, rows) => g -> rows.length.toLong }
+          val outSchema = org.apache.spark.sql.types.StructType(
+            sampleFields ++ Seq(
+              org.apache.spark.sql.types.StructField("graft_gn",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("graft_gw",
+                org.apache.spark.sql.types.DoubleType, nullable = false)))
+          val out = servingBase.map { r =>
+            val g = String.valueOf(r.get(gIdx))
+            val gk = achievedPerGroup(g)
+            val gn = math.max(liveTotals.getOrElse(g, gk), gk)
+            org.apache.spark.sql.Row.fromSeq(
+              sampleIdx.toSeq.map(r.get) ++ Seq[Any](gn,
+                gn.toDouble / math.max(1L, gk)))
+          }
+          s.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(path)
+          s.read.parquet(path).createOrReplaceTempView(name)
+          val n = liveTotals.valuesIterator.sum
+          val achieved = servingBase.length.toLong
+          val fraction = math.min(0.9999,
+            achieved.toDouble / math.max(1L, n))
+          val decsafe = graft.sample.Samplers.decimalSafeCols(
+            s.read.parquet(path))
+          catalog.upsertTableStats(table, n)
+          catalog.addSample(catalog.SampleInfo(table, name, fraction,
+            Some(s"__bottomkg__${groupCol.toLowerCase}"), path,
+            System.currentTimeMillis(), baseRows = Some(n)))
+          catalog.putStrata(name, liveTotals.toSeq.sortBy(_._1).map {
+            case (g, gn) =>
+              val gk = achievedPerGroup.getOrElse(g, 0L)
+              catalog.StratumInfo(name, g, gn, gk,
+                gk.toDouble / math.max(1L, gn),
+                gn.toDouble / math.max(1L, gk), 0.0)
+          })
+          // the serving rider keeps the grouped serve contracts
+          // (kPerGroup CIs, decimal proof, per-group counts) on the
+          // windowed sample
+          catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
+            "bottomkg_rider", BlobEscape.encodeCounts(liveTotals),
+            s"""{"rows":$n,"k":$kPerGroup,"decsafe":"$decsafe"}""",
+            System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, groupCol,
+            "bkgw_state",
+            graft.sketch.GroupedHll.pack(liveCounts.toSeq.map {
+              case (bkt, gs) =>
+                Option(bkt.toString) -> BlobEscape.encodeCounts(gs)
+            }),
+            s"""{"maxus":$maxUs,"k":$kPerGroup,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
 }

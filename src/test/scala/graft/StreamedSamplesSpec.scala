@@ -203,6 +203,61 @@ class StreamedSamplesSpec extends SparkSpec {
     assert(sample1 == sample0)
   }
 
+  test("windowed grouped bottom-k: expiry, row-set parity with the batch build over live rows, live grouped serve") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("bkgw")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("g", expr("cast(id % 3 as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+    val stream = MemoryStream[Long]
+    val q = SampleMaintainers.maintainBottomKGroupedWindowed(
+      shape(stream.toDF().toDF("id")), catalog, "bkgw_live", "g", "id",
+      "ts", windowMicros = 2000L * 1000000L,
+      bucketMicros = 100L * 1000000L, kPerGroup = 32)
+    stream.addData(0L until 2000L)
+    q.processAllAvailable()
+    stream.addData(2000L until 4000L)
+    q.processAllAvailable(); q.stop()
+    // live window = ids 1900..3999 (2100 rows, 700 per group)
+    assert(catalog.statsFor("bkgw_live").exists(_.rowCount == 2100L),
+      catalog.statsFor("bkgw_live").toString)
+    // row-set AND weight parity with the batch builder over EXACTLY
+    // the live rows (same 'bkg:' hash, same per-group total order;
+    // expired rows left the sample and the N_g/k_g weights)
+    spark.range(1900, 4000).toDF("id")
+      .withColumn("g", expr("cast(id % 3 as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bkgw_batch")
+    val cat2 = tmpCatalog("bkgw-batch")
+    val (bname, _) = graft.sample.Samplers.createBottomKGrouped(
+      spark, cat2, "bkgw_batch", "g", "id", kPerGroup = 32)
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("graft_h"), col("graft_gn"), col("graft_gw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rowSet(spark.read
+      .parquet(s"${catalog.samplesDir}/bkgw_live__bottomkg_g")) ==
+      rowSet(spark.table(bname)),
+      "windowed grouped sample != batch build over the live rows")
+    // the engine serves per-group estimates tracking the LIVE counts
+    // over an EMPTY view (count per group = gn exactly: k rows * N_g/k)
+    spark.range(0).toDF("id")
+      .withColumn("g", expr("cast(id % 3 as int)"))
+      .withColumn("v", expr("cast(1 + id % 100 as double)"))
+      .createOrReplaceTempView("bkgw_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT g, count(*) AS n FROM bkgw_live GROUP BY g ORDER BY g",
+      engine.Options(ciColumns = false, maxRelError = 0.2))
+    assert(r.planType == "bottomk_grouped", s"${r.planType}: ${r.reason}")
+    val ns = r.df.collect().map(_.getDouble(1))
+    assert(ns.length == 3)
+    ns.foreach(n => assert(math.abs(n - 700.0) / 700.0 < 1e-12,
+      s"n=$n (all-time would be ~1333)"))
+  }
+
   test("grouped bottom-k first-fold crash window is closed the same way") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
