@@ -952,4 +952,241 @@ object SampleMaintainers {
       }
       .start()
   }
+
+  /** Streaming WINDOWED OUTLIER-INDEXED sample maintenance (round 14)
+    * — the TTL form of [[maintainOutlierSample]], completing the
+    * sample family: under retention the append-only fold's exact
+    * MIN/MAX and HT sums answer over all-time data. Per EVENT-TIME
+    * bucket the state keeps three independent parts:
+    *  - HI candidates: the bucket's top-`outlierK` under
+    *    (value DESC, key ASC) — top-k of a union folds per bucket, and
+    *    the SERVING high tail is the top-k over the live buckets'
+    *    candidates, so MAX over the live window stays exact;
+    *  - LO candidates (two-sided builds): the same under
+    *    (value ASC, key ASC);
+    *  - REST winners: the 'ol:' lottery at a FIXED power-of-two weight
+    *    `restWeight`. Fixed by configuration, NOT derived from N: the
+    *    append-only form's derived weight only tightens because N only
+    *    grows, but an expiring window's N also SHRINKS, and a loosened
+    *    threshold cannot resurrect rows that were never stored — so
+    *    the windowed form makes the operator size the weight for the
+    *    steady-state window (the documented trade). Lottery membership
+    *    is materialized per row, so tail rows need no demotion rule:
+    *    the serving rest is simply (live winners) minus (serving tail
+    *    keys).
+    * Expiry is bucket-granular; additive per-bucket counts ride the
+    * `last_batch` guard on "outlierw_state", stamped LAST; the
+    * "outlier_rider" re-stamps per fold so the batch serve contracts
+    * hold on the windowed sample. Key integral and stream-unique.
+    */
+  def maintainOutlierWindowed(values: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String, valueCol: String,
+      keyCol: String, tsCol: String, windowMicros: Long,
+      bucketMicros: Long, outlierK: Int = 500, lowK: Int = 0,
+      restWeight: Long = 64L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(outlierK >= 1, "outlierK must be >= 1")
+    require(lowK >= 0, "lowK must be >= 0")
+    require(restWeight >= 1 && restWeight <= 8192 &&
+      java.lang.Long.highestOneBit(restWeight) == restWeight,
+      s"restWeight must be a power of two in [1, 8192], got $restWeight")
+    require(windowMicros >= bucketMicros && bucketMicros > 0,
+      "need window >= bucket > 0")
+    val threshold = 8192L / restWeight
+    val name =
+      if (lowK > 0) s"${table}__outlier2_$valueCol"
+      else s"${table}__outlier_$valueCol"
+    val path = s"${catalog.samplesDir}/$name"
+    val statePath = s"${catalog.samplesDir}/${name}__wstate"
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val rider = catalog.getSketch(table, valueCol, "outlierw_state")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          require(Seq("integer", "long", "short")
+            .contains(batch.schema(batch.schema.fieldIndex(keyCol))
+              .dataType.typeName),
+            s"windowed outlier stream key $keyCol must be integral")
+          val withH = batch.filter(col(tsCol).isNotNull)
+            .withColumn("graft_bucket",
+              expr(s"unix_micros($tsCol) div $bucketMicros"))
+            .withColumn("graft_olv", col(valueCol).cast("double"))
+            .withColumn("graft_olh",
+              expr(s"graft_h60(concat('ol:', cast($keyCol as string)))"))
+            .drop(tsCol)
+          val baseSchema = withH.schema
+          val keyIdx = baseSchema.fieldIndex(keyCol)
+          val vIdx = baseSchema.fieldIndex("graft_olv")
+          val hIdx = baseSchema.fieldIndex("graft_olh")
+          val bIdx = baseSchema.fieldIndex("graft_bucket")
+          def keyOf(r: org.apache.spark.sql.Row): Long =
+            r.get(keyIdx) match {
+              case l: java.lang.Long    => l.longValue
+              case i: java.lang.Integer => i.longValue
+              case x: java.lang.Short   => x.longValue
+              case other => sys.error(s"non-integral key $other")
+            }
+          val hiOrd = Ordering.by[org.apache.spark.sql.Row, (Double, Long)](
+            r => (-r.getDouble(vIdx), keyOf(r)))
+          val loOrd = Ordering.by[org.apache.spark.sql.Row, (Double, Long)](
+            r => (r.getDouble(vIdx), keyOf(r)))
+          val wbHi = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("graft_bucket"))
+            .orderBy(col("graft_olv").desc, col(keyCol).asc)
+          val batchHi = withH.filter(col(valueCol).isNotNull)
+            .withColumn("graft_rn", row_number().over(wbHi))
+            .filter(col("graft_rn") <= outlierK).drop("graft_rn")
+            .collect()
+          val wbLo = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("graft_bucket"))
+            .orderBy(col("graft_olv").asc, col(keyCol).asc)
+          val batchLo =
+            if (lowK == 0) Array.empty[org.apache.spark.sql.Row]
+            else withH.filter(col(valueCol).isNotNull)
+              .withColumn("graft_rn", row_number().over(wbLo))
+              .filter(col("graft_rn") <= lowK).drop("graft_rn")
+              .collect()
+          val batchRest = withH
+            .filter(col("graft_olh") % lit(8192L) < lit(threshold))
+            .collect()
+          val batchCounts = withH.groupBy(col("graft_bucket"))
+            .agg(count(lit(1)).as("c")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val batchMaxUs = batch.agg(
+            max(expr(s"unix_micros($tsCol)"))).collect()(0) match {
+            case r if r.isNullAt(0) => Long.MinValue
+            case r                  => r.getLong(0)
+          }
+          val prevMaxUs = """"maxus"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .getOrElse(Long.MinValue)
+          val maxUs = math.max(prevMaxUs, batchMaxUs)
+          val prevCounts: Map[Long, Long] = rider
+            .map(r => BlobEscape.decodeCounts(r.data))
+            .getOrElse(Map.empty)
+            .map { case (b, c) => b.toLong -> c }
+          val mergedCounts =
+            (prevCounts.keySet ++ batchCounts.keySet).iterator
+              .map(b => b -> (prevCounts.getOrElse(b, 0L) +
+                batchCounts.getOrElse(b, 0L))).toMap
+          def liveB(b: Long): Boolean =
+            (b + 1L) * bucketMicros > maxUs - windowMicros
+          val liveCounts = mergedCounts.filter { case (b, _) => liveB(b) }
+          val baseCols = baseSchema.fieldNames.toIndexedSeq
+          val stored: Array[(String, org.apache.spark.sql.Row)] =
+            if (new java.io.File(statePath).exists)
+              s.read.parquet(statePath)
+                .select((baseCols :+ "graft_part").map(col): _*)
+                .collect()
+                .map(r => r.getString(baseCols.length) ->
+                  org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+            else Array.empty
+          def part(p: String) = stored.collect { case (`p`, r) => r }
+          // fold each part per bucket (dedup by key — replay-safe),
+          // then EXPIRE dead buckets
+          def foldPart(prev: Array[org.apache.spark.sql.Row],
+              add: Array[org.apache.spark.sql.Row],
+              perBucketCap: Option[(Int, Ordering[org.apache.spark.sql.Row])])
+              : Array[org.apache.spark.sql.Row] = {
+            val merged = (prev ++ add)
+              .groupBy(r => (r.getLong(bIdx), keyOf(r))).map(_._2.head)
+              .toArray
+              .filter(r => liveB(r.getLong(bIdx)))
+            perBucketCap match {
+              case Some((k, ord)) => merged.groupBy(_.getLong(bIdx))
+                .valuesIterator.flatMap(_.sorted(ord).take(k)).toArray
+              case None => merged
+            }
+          }
+          val hiState = foldPart(part("hi"), batchHi,
+            Some((outlierK, hiOrd)))
+          val loState = foldPart(part("lo"), batchLo, Some((lowK, loOrd)))
+          val restState = foldPart(part("rest"), batchRest, None)
+          val stateSchema = org.apache.spark.sql.types.StructType(
+            baseSchema.fields :+ org.apache.spark.sql.types.StructField(
+              "graft_part", org.apache.spark.sql.types.StringType,
+              nullable = false))
+          val stateRows =
+            hiState.map(r => org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ "hi")) ++
+            loState.map(r => org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ "lo")) ++
+            restState.map(r => org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ "rest"))
+          s.createDataFrame(
+            java.util.Arrays.asList(stateRows: _*), stateSchema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(statePath)
+          // serving sample: global tails over the live candidates,
+          // rest = live winners minus the tail keys; the internal
+          // bucket column stays in the state only
+          val servingHi = hiState.groupBy(keyOf).map(_._2.head).toArray
+            .sorted(hiOrd).take(outlierK)
+          val hiKeys = servingHi.map(keyOf).toSet
+          val servingLo = loState.groupBy(keyOf).map(_._2.head).toArray
+            .filterNot(r => hiKeys.contains(keyOf(r)))
+            .sorted(loOrd).take(lowK)
+          val loKeys = servingLo.map(keyOf).toSet
+          val servingRest = restState.groupBy(keyOf).map(_._2.head).toArray
+            .filterNot { r =>
+              val k0 = keyOf(r)
+              hiKeys.contains(k0) || loKeys.contains(k0)
+            }
+          val sampleFields = baseSchema.fields
+            .filterNot(_.name == "graft_bucket")
+          val sampleIdx = sampleFields.map(f =>
+            baseSchema.fieldIndex(f.name))
+          val outSchema = org.apache.spark.sql.types.StructType(
+            sampleFields :+ org.apache.spark.sql.types.StructField(
+              "graft_weight", org.apache.spark.sql.types.DoubleType,
+              nullable = false))
+          def emit(rows: Array[org.apache.spark.sql.Row], w: Double) =
+            rows.map(r => org.apache.spark.sql.Row.fromSeq(
+              sampleIdx.toSeq.map(r.get) :+ (w: Any)))
+          val out = emit(servingHi, 1.0) ++ emit(servingLo, 1.0) ++
+            emit(servingRest, restWeight.toDouble)
+          s.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(path)
+          s.read.parquet(path).createOrReplaceTempView(name)
+          val n = liveCounts.valuesIterator.sum
+          val (nOut, nLow, nRest) =
+            (servingHi.length.toLong, servingLo.length.toLong,
+              servingRest.length.toLong)
+          val fraction = math.min(0.9999,
+            (nOut + nLow + nRest).toDouble / math.max(1L, n))
+          catalog.upsertTableStats(table, n)
+          catalog.addSample(catalog.SampleInfo(table, name, fraction,
+            Some(s"__outlier__${valueCol.toLowerCase}"), path,
+            System.currentTimeMillis(), baseRows = Some(n)))
+          catalog.putStrata(name, Seq(
+            catalog.StratumInfo(name, "outlier", nOut, nOut, 1.0, 1.0,
+              0.0)) ++
+            (if (lowK > 0)
+              Seq(catalog.StratumInfo(name, "outlier_low", nLow, nLow,
+                1.0, 1.0, 0.0))
+            else Nil) ++ Seq(
+            catalog.StratumInfo(name, "rest",
+              math.max(0L, n - nOut - nLow), nRest,
+              1.0 / restWeight, restWeight.toDouble, 0.0)))
+          catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+            "outlier_rider", Array.emptyByteArray,
+            s"""{"rows":$n,"k":$outlierK,"lowk":$lowK,"w":$restWeight,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, valueCol,
+            "outlierw_state",
+            BlobEscape.encodeCounts(
+              liveCounts.map { case (b, c) => b.toString -> c }),
+            s"""{"maxus":$maxUs,"k":$outlierK,"lowk":$lowK,"w":$restWeight,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
 }

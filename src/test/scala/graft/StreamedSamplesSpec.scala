@@ -203,6 +203,70 @@ class StreamedSamplesSpec extends SparkSpec {
     assert(sample1 == sample0)
   }
 
+  test("windowed outlier sample: exact MIN/MAX track the live window; rest is the fixed-weight lottery over live rows") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = tmpCatalog("solw")
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("v", expr("cast(id as double)"))
+    val stream = MemoryStream[Long]
+    val q = SampleMaintainers.maintainOutlierWindowed(
+      shape(stream.toDF().toDF("id")), catalog, "solw_live", "v", "id",
+      "ts", windowMicros = 2000L * 1000000L,
+      bucketMicros = 100L * 1000000L, outlierK = 32, lowK = 16,
+      restWeight = 4L)
+    stream.addData(0L until 2000L)
+    q.processAllAvailable()
+    stream.addData(2000L until 4000L)
+    q.processAllAvailable(); q.stop()
+    // live window = ids 1900..3999 (2100 rows)
+    assert(catalog.statsFor("solw_live").exists(_.rowCount == 2100L),
+      catalog.statsFor("solw_live").toString)
+    // parts over the LIVE rows: tails are the live extremes (ids
+    // 3968..3999 and 1900..1915 — all-time extremes 0..15 EXPIRED),
+    // rest = the fixed-threshold lottery winners among the remainder
+    graft.functions.GraftFunctions.register(spark)
+    val sample = spark.read
+      .parquet(s"${catalog.samplesDir}/solw_live__outlier2_v")
+      .select(col("id"), col("graft_weight"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hi = (3968L until 4000L).toSet
+    val lo = (1900L until 1916L).toSet
+    assert(hi.forall(sample.get(_).contains(1.0)), "high tail wrong")
+    assert(lo.forall(sample.get(_).contains(1.0)), "low tail wrong")
+    val winners = spark.range(1900, 4000).toDF("id")
+      .filter(expr("graft_h60(concat('ol:', cast(id as string))) % 8192 < 2048"))
+      .collect().map(_.getLong(0)).toSet
+    val expectedRest = winners -- hi -- lo
+    assert(sample.filter(_._2 == 4.0).keySet == expectedRest,
+      "rest != live fixed-threshold winners")
+    assert(sample.keySet == hi ++ lo ++ expectedRest)
+    // the engine serves the LIVE window's exact MIN and MAX over an
+    // empty view: the all-time min (0.0) expired with its bucket
+    spark.range(0).select(col("id"), expr("cast(id as double)").as("v"))
+      .createOrReplaceTempView("solw_live")
+    val engine = new graft.engine.QueryEngine(spark, catalog)
+    val r = engine.query(
+      "SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM solw_live",
+      engine.Options(ciColumns = false))
+    assert(r.planType == "outlier", s"${r.planType} (${r.reason})")
+    val row = r.df.collect()(0)
+    assert(row.getDouble(1) == 1900.0,
+      s"live-window min=${row.getDouble(1)} (all-time would be 0.0)")
+    assert(row.getDouble(2) == 3999.0, s"max=${row.getDouble(2)}")
+    // replay guard: a fresh maintainer restarts at batch id 0
+    val stream2 = MemoryStream[Long]
+    val q2 = SampleMaintainers.maintainOutlierWindowed(
+      shape(stream2.toDF().toDF("id")), catalog, "solw_live", "v", "id",
+      "ts", windowMicros = 2000L * 1000000L,
+      bucketMicros = 100L * 1000000L, outlierK = 32, lowK = 16,
+      restWeight = 4L)
+    stream2.addData(0L until 500L)
+    q2.processAllAvailable(); q2.stop()
+    assert(catalog.statsFor("solw_live").exists(_.rowCount == 2100L))
+  }
+
   test("windowed grouped bottom-k: expiry, row-set parity with the batch build over live rows, live grouped serve") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
