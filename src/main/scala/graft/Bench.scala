@@ -93,6 +93,19 @@ object Bench {
       canaryDf.queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
+    // Storage-memory instrumentation (round 15): persisted-RDD count
+    // and bytes after each pass. The r14 q170 regression was retired
+    // localCheckpoint blocks accumulating across the suite (passes
+    // degrading 11→41→39 s); with the Checkpoints eviction policy the
+    // per-pass footprint should now be FLAT — and if it ever creeps
+    // again, this record adjudicates block-accumulation vs host noise
+    // from the artifact alone.
+    val storageSnaps = scala.collection.mutable.ListBuffer[(Int, Long)]()
+    def storageSnap(): Unit =
+      try {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        storageSnaps += ((infos.length, infos.map(_.memSize).sum))
+      } catch { case _: Throwable => () }
     // minimum of three INTERLEAVED timed passes (see scaladoc): the
     // steady-state latency, robust to multi-minute contention windows
     val passTimes = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
@@ -104,6 +117,38 @@ object Bench {
           catch { case t: Throwable =>
             errors(name) = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
             passTimes.remove(name) }
+      }
+      storageSnap()
+    }
+    // Round 15: per-pass contention guard. The r14 run-level canary was
+    // quiet while individual in-suite passes spiked 10–23× (q73 at
+    // 32.2 s against a 2.8 s min) — interleaving bounds the damage to
+    // one pass per query, but the artifact still carried the spike and
+    // every cross-round drift read had to re-adjudicate it by hand. A
+    // pass exceeding 3× the query's own min AND 0.3 s absolute slack
+    // (sub-second queries jitter multiplicatively on scheduling noise
+    // alone) is a contention artifact, not a reading: retry it (bounded
+    // at 3 per query), keep the quieter of outlier-vs-retry, and count
+    // every rejection in BENCH_DETAIL's rejected_passes — pass_times
+    // stays outlier-free on a quiet host and a loud-host record is
+    // flagged by its nonzero rejection count, readable from the
+    // artifact alone.
+    val rejectedPasses = scala.collection.mutable.LinkedHashMap[String, Int]()
+    passTimes.keys.toSeq.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        var budget = 3
+        def loud(ts: List[Double]): Boolean =
+          ts.max > 3.0 * ts.min && ts.max - ts.min > 0.3
+        while (budget > 0 && loud(passTimes(name))) {
+          budget -= 1
+          try {
+            val t = timed(fn)
+            val ts = passTimes(name)
+            passTimes(name) =
+              math.min(t, ts.max) :: ts.diff(List(ts.max))
+            rejectedPasses(name) = rejectedPasses.getOrElse(name, 0) + 1
+          } catch { case _: Throwable => budget = 0 }
+        }
       }
     }
     val results = passTimes.toSeq.map { case (name, ts) => name -> ts.min }
@@ -667,7 +712,12 @@ object Bench {
     val isolatedJson = isolated.map { case (k, (c, t, rej)) =>
       s"""${jstr(k)}:{"canary_s":$c,"min3_s":$t,"rejected_attempts":$rej}"""
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"isolated":$isolatedJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"scale_stats":$scaleStats,"sf":${jstr(sfDir)},"cpus":$cpus}"""
+    val rejJson = rejectedPasses.map { case (k, n) => jstr(k) + ":" + n }
+      .mkString("{", ",", "}")
+    val storageJson = storageSnaps.map { case (n, bytes) =>
+      s"""{"rdds":$n,"mem_mb":${bytes / (1024 * 1024)}}"""
+    }.mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"rejected_passes":$rejJson,"storage_after_pass":$storageJson,"isolated":$isolatedJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"scale_stats":$scaleStats,"sf":${jstr(sfDir)},"cpus":$cpus}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: line below still has the summary

@@ -570,20 +570,28 @@ object Server {
       |""".stripMargin
 }
 
-/** Standalone entry point: `runMain graft.api.Serve [sfDir] [port]` boots
-  * a local session over the driver testdata and serves the REST contract.
+/** Standalone entry point: `runMain graft.api.Serve [sfDir] [port]
+  * [workDir]` boots a local session over the driver testdata and
+  * serves the REST contract. With a `workDir` (or `GRAFT_WORK_DIR`),
+  * the catalog is DURABLE: sketches, samples, and learned history
+  * built in one server process serve again after a restart over the
+  * same directory — the reference's SQLite-backed restart behavior.
   */
 object Serve {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val port = args.lift(1).map(_.toInt).getOrElse(8765)
+    val workDir = args.lift(2)
+      .orElse(sys.env.get("GRAFT_WORK_DIR"))
+      .getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-serve").toString)
     val spark = graft.Tables.session()
     graft.Tables.registerAll(spark, sfDir)
-    val catalog = new graft.catalog.MetaCatalog(
-      java.nio.file.Files.createTempDirectory("graft-serve").toString)
-    val server = new Server(new QueryEngine(spark, catalog, new QueryHistory), port)
+    val catalog = new graft.catalog.MetaCatalog(workDir)
+    val server = new Server(new QueryEngine(spark, catalog), port)
     server.start()
-    println(s"graft engine serving on http://127.0.0.1:${server.boundPort}")
+    println(s"graft engine serving on http://127.0.0.1:${server.boundPort}" +
+      s" (workDir=$workDir)")
     Thread.currentThread().join()
   }
 }

@@ -26,7 +26,7 @@ import graft.plan._
 final class QueryEngine(
     val spark: SparkSession,
     val catalog: MetaCatalog,
-    val history: QueryHistory = new QueryHistory,
+    historyOrNull: QueryHistory = null,
     val seed: Long = 42L,
     parseCacheCap: Int = 1024)
     extends QueryEngineJoinAqp
@@ -38,10 +38,22 @@ final class QueryEngine(
   // to every query this engine serves, including via POST /query
   graft.functions.GraftFunctions.register(spark)
 
-  /** Miss counter behind [[adviseSketches]]: every sketchable query
-    * shape that did NOT serve from a stored sketch is recorded here.
+  /** Durable by default (round 15): the learning history persists under
+    * the catalog's workDir, so strategy adjustments learned in one
+    * session carry into the next (the reference's history table is
+    * persistent SQLite). Pass an explicit QueryHistory to share one
+    * across engines or to keep it purely in-memory.
     */
-  val sketchAdvisor = new graft.learn.SketchAdvisor()
+  val history: QueryHistory =
+    Option(historyOrNull).getOrElse(new QueryHistory(Some(catalog.workDir)))
+
+  /** Miss counter behind [[adviseSketches]]: every sketchable query
+    * shape that did NOT serve from a stored sketch is recorded here —
+    * persisted under the catalog's workDir so pending advice survives
+    * a restart.
+    */
+  val sketchAdvisor =
+    new graft.learn.SketchAdvisor(persistDir = Some(catalog.workDir))
 
   case class Options(
       maxRelError: Double = 0.05,
@@ -153,10 +165,10 @@ final class QueryEngine(
       // sketches with zero scan — the one multi-table shape the catalog
       // can absorb outright (everything else goes through join AQP).
       storedSetOpAnswer(parsed) match {
-        case Some((df, err, op, hint)) if err <= opts.maxRelError =>
+        case Some((df, err, op, hint, lwNote)) if err <= opts.maxRelError =>
           return finish(serveResult(df, features, hint, "kmv_setop", err,
             s"$op cardinality answered from the stored KMV (bottom-k) sketch pair (no scan)" +
-              liveWindowNote(hint, "kmv_windowed"),
+              lwNote,
             Seq(s"COUNT(*) over $op answered from the two sides' stored " +
               "KMV sketches (no scan; exact when the sketches are " +
               "exhaustive, else the k-th-hash estimator with the " +
@@ -312,7 +324,7 @@ final class QueryEngine(
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "histogram", err,
           "percentile answered from the stored histogram sketch (no scan)" +
-            liveWindowNote(table, "hist_windowed"),
+            liveWindowNote(table, Seq("histogram"), "hist_windowed"),
           Seq("PERCENTILE/MEDIAN answered from the stored equi-width " +
             "histogram (no scan; accurate to one bucket width)"), opts),
           sql, features, opts)
@@ -325,7 +337,7 @@ final class QueryEngine(
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "hdr", err,
           "percentile answered from the stored log-linear (HDR) sketch (no scan)" +
-            liveWindowNote(table, "hdr_windowed"),
+            liveWindowNote(table, Seq("hdr"), "hdr_windowed"),
           Seq("PERCENTILE/MEDIAN answered from the stored log-linear " +
             "sketch (no scan; within 1/m RELATIVE error of the true " +
             "order statistic — the heavy-tail-safe bound)"), opts),
@@ -354,7 +366,7 @@ final class QueryEngine(
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "grouped_hdr", err,
           "per-group percentile answered from the stored grouped log-linear (HDR) sketch (no scan)" +
-            liveWindowNote(table, "hdrg_windowed"),
+            liveWindowNote(table, Seq("hdr_grouped"), "hdrg_windowed"),
           Seq("PERCENTILE/MEDIAN answered per group from the stored grouped " +
             "log-linear sketch (no scan; within 1/m RELATIVE error per " +
             "group — the heavy-tail-safe bound; groups merge exactly)") ++
@@ -374,7 +386,7 @@ final class QueryEngine(
       case Some(df) =>
         return finish(serveResult(posted(df), features, table, "grouped_stats", 0.0,
           "per-group aggregate answered from stored grouped build statistics (no scan, exact)" +
-            liveWindowNote(table, "statsg_windowed"),
+            liveWindowNote(table, Seq("stats_grouped"), "statsg_windowed"),
           Seq("per-group MIN/MAX/COUNT/SUM/AVG answered from stored grouped " +
             "build statistics (no scan; exact as of sketch build)"), opts),
           sql, features, opts)
@@ -421,7 +433,7 @@ final class QueryEngine(
       case Some((df, eps)) if eps <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "cms", eps,
           "point-frequency answered from the stored Count-Min sketch (no scan)" +
-            liveWindowNote(table, "cms_windowed"),
+            liveWindowNote(table, Seq("countmin"), "cms_windowed"),
           Seq("COUNT(*) with a column=value filter answered from the stored " +
             "Count-Min sketch (no scan; overestimate-only, eps*N additive bound)"), opts),
           sql, features, opts)
@@ -436,7 +448,7 @@ final class QueryEngine(
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "histogram_range", err,
           "range-predicate count answered from the stored histogram (no scan)" +
-            liveWindowNote(table, "hist_windowed"),
+            liveWindowNote(table, Seq("histogram"), "hist_windowed"),
           Seq("COUNT(*) with a range predicate interpolated from the stored " +
             "equi-width histogram (no scan; bounded by the boundary buckets' mass)"), opts),
           sql, features, opts)
@@ -450,7 +462,7 @@ final class QueryEngine(
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "hdr_range", err,
           "range-predicate count answered from the stored log-linear (HDR) sketch (no scan)" +
-            liveWindowNote(table, "hdr_windowed"),
+            liveWindowNote(table, Seq("hdr"), "hdr_windowed"),
           Seq("COUNT(*) with a range predicate interpolated from the stored " +
             "log-linear sketch (no scan; bounded by the clipped edge " +
             "buckets' mass — 1/m-relative on any magnitude)"), opts),
@@ -476,7 +488,7 @@ final class QueryEngine(
       case Some((df, err)) if err <= opts.maxRelError =>
         return finish(serveResult(posted(df), features, table, "grouped_hdr_range", err,
           "per-group range-predicate count answered from the stored grouped log-linear (HDR) sketch (no scan)" +
-            liveWindowNote(table, "hdrg_windowed"),
+            liveWindowNote(table, Seq("hdr_grouped"), "hdrg_windowed"),
           Seq("GROUP BY under a range predicate interpolated per group from " +
             "the stored grouped log-linear sketch (no scan; 1/m-relative " +
             "clipped-edge bound per group; groups merge exactly)"), opts),
@@ -507,7 +519,7 @@ final class QueryEngine(
     refusing(storedTopKAnswer(parsed, table)) match {
       case Some((df, detail)) =>
         return finish(serveResult(df, features, table, "topk", 0.0,
-          detail + liveWindowNote(table, "topk_windowed"),
+          detail + liveWindowNote(table, Seq("topk"), "topk_windowed"),
           Seq("top-k / iceberg GROUP BY answered from the stored " +
             "heavy-hitters summary (no scan; exact above the stored " +
             "threshold)"), opts),
@@ -550,13 +562,13 @@ final class QueryEngine(
           else refusing(storedSketchAnswer(servePlan, table)).map { df =>
             serveResult(posted(df), features, table, "hll", hllErr,
               "COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)" +
-                liveWindowNote(table, "hll_windowed"),
+                liveWindowNote(table, Seq("hyperloglog"), "hll_windowed"),
               Seq("COUNT(DISTINCT) answered from the stored HyperLogLog sketch (no scan)"),
               opts)
           }.orElse(refusing(storedGroupedSketchAnswer(servePlan, table)).map { df =>
             serveResult(posted(df), features, table, "grouped_hll", hllErr,
               "per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)" +
-              liveWindowNote(table, "hllg_windowed"),
+              liveWindowNote(table, Seq("hll_grouped"), "hllg_windowed"),
               Seq("per-group COUNT(DISTINCT) answered from the stored grouped HyperLogLog sketch (no scan)"),
               opts)
           })
@@ -935,7 +947,9 @@ final class QueryEngine(
                   Seq(s"bottom-k sample ${s.sampleTable}: fixed-size " +
                     s"order-statistic sample (k=${st.sampleSize}), " +
                     s"estimates scale once by N/k" +
-                    liveWindowNote(table, "bottomkw_state")),
+                    liveWindowNoteFor(table,
+                      s.strataColumn.map(_.stripPrefix("__bottomk__"))
+                        .getOrElse(""), "bottomkw_state")),
                   estimatedCost = Some(tableSize * s.fraction *
                     Planner.ScanCostPerRow + Planner.SampleSetupCost))
               case None =>

@@ -53,19 +53,56 @@ private[engine] trait QueryEngineServeScalar { self: QueryEngine =>
         .maxOption)
 
   /** Explain-contract tag for serves backed by a WINDOWED/TTL
-    * maintainer (round 14): when the named per-bucket state rider
-    * exists on the table, the serving blob answers over the LIVE
-    * WINDOW, not all-time — `/query?explain=true` must say so the way
-    * it names every other serve property. Appended to the serve's
+    * maintainer (round 14): when the per-bucket state rider exists on
+    * the COLUMN the serve answered from, the serving blob covers the
+    * LIVE WINDOW, not all-time — `/query?explain=true` must say so the
+    * way it names every other serve property. Appended to the serve's
     * detail string at the dispatch site, so the planner's
     * `catalog serve (kind): ...` reason carries it verbatim.
+    *
+    * Column discipline (round 15): a state rider on column A must not
+    * tag a serve answered from a batch-built all-time blob on column B
+    * of the same table — the dispatch sites don't surface which column
+    * each stored-answer matched, so the tag applies iff EVERY fresh
+    * serving blob of the paired `serveTypes` sits on a rider-maintained
+    * column (maintainers key rider and serving blob on the same
+    * (table, column), and their upsertTableStats retires the other
+    * columns' all-time blobs, so the fresh set is exactly the served
+    * set in every non-degenerate state). The one ambiguous state — a
+    * maintained blob and a batch blob simultaneously fresh on different
+    * columns — refuses the tag rather than risk a false claim.
     */
-  private[engine] def liveWindowNote(table: String, stateTypes: String*): String =
-    if (catalog.listSketches(Some(table))
-        .exists(s => stateTypes.contains(s.sketchType)))
-      " [live window (TTL): serving state re-merged from live " +
-        "event-time buckets at the stream watermark; expired rows " +
-        "excluded, table stats track the live-row count]"
+  private[engine] val LiveWindowTag: String =
+    " [live window (TTL): serving state re-merged from live " +
+      "event-time buckets at the stream watermark; expired rows " +
+      "excluded, table stats track the live-row count]"
+
+  private[engine] def liveWindowNote(table: String, serveTypes: Seq[String],
+      stateTypes: String*): String = {
+    val sketches = catalog.listSketches(Some(table))
+    val riderCols = sketches.iterator
+      .filter(s => stateTypes.contains(s.sketchType))
+      .map(_.columnName.toLowerCase).toSet
+    if (riderCols.isEmpty) ""
+    else {
+      val freshServing = sketches.filter(s =>
+        serveTypes.contains(s.sketchType) && sketchIsFresh(table, s))
+      if (freshServing.nonEmpty && freshServing.forall(s =>
+          riderCols.contains(s.columnName.toLowerCase)))
+        LiveWindowTag
+      else ""
+    }
+  }
+
+  /** Exact-column variant for dispatch sites that DO know the serving
+    * column (the bottom-k sample serve decodes it from the sample
+    * marker; the KMV set-op serve matched each side's column).
+    */
+  private[engine] def liveWindowNoteFor(table: String, column: String,
+      stateTypes: String*): String =
+    if (catalog.listSketches(Some(table)).exists(s =>
+        stateTypes.contains(s.sketchType) &&
+          s.columnName.equalsIgnoreCase(column))) LiveWindowTag
     else ""
 
   /** Wrap a VERIFIED no-scan catalog serve in the planner's candidate

@@ -1126,7 +1126,7 @@ private[engine] trait QueryEngineServeSketch { self: QueryEngine =>
 
   private[engine] def storedSetOpAnswer(
       parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Option[(DataFrame, Double, String, String)] = {
+      : Option[(DataFrame, Double, String, String, String)] = {
     import org.apache.spark.sql.functions.lit
     for {
       (name, op, (lt, lc), (rt, rc)) <- setOpCountShape(parsed)
@@ -1152,7 +1152,12 @@ private[engine] trait QueryEngineServeSketch { self: QueryEngine =>
       }
       val hint = Seq(lt, rt)
         .maxBy(t => tableRowsHint(t).getOrElse(0L))
-      (spark.range(1).select(lit(est).as(name)), err, op, hint)
+      // the live-window tag is column-matched per SIDE: either side's
+      // KMV being TTL-maintained makes the estimate window-scoped
+      val note = Seq(liveWindowNoteFor(lt, lc, "kmv_windowed"),
+        liveWindowNoteFor(rt, rc, "kmv_windowed"))
+        .find(_.nonEmpty).getOrElse("")
+      (spark.range(1).select(lit(est).as(name)), err, op, hint, note)
     }
   }
 

@@ -1,5 +1,7 @@
 package graft.learn
 
+import java.io.{BufferedInputStream, DataInputStream, DataOutputStream, EOFException, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
 import scala.collection.mutable.ArrayBuffer
 
 /** Query-performance history — the reference declares this learning loop
@@ -7,6 +9,15 @@ import scala.collection.mutable.ArrayBuffer
   * `ml_query_performance_history`; nothing INSERTs — SURVEY §2.B11). Here
   * the loop is closed: QueryEngine appends a record after each measured
   * query, and StrategyChooser's history adjustment actually sees data.
+  *
+  * DURABLE since round 15 (the reference's history table IS persistent
+  * SQLite — ml_optimizer.py:410-421 — while rounds 1-14 kept an
+  * in-memory buffer): with a `persistDir`, every append also lands in
+  * `<dir>/meta/query_history.bin` as one length-prefixed record, and
+  * construction replays the log — learned strategy adjustments and
+  * `GET /ml/stats` survive a restart. The log is append-only (no
+  * rewrite churn on the per-query path); a torn tail record from a
+  * crash mid-append is dropped at load, everything before it survives.
   */
 object QueryHistory {
   case class Record(
@@ -30,11 +41,59 @@ object QueryHistory {
   }
 }
 
-final class QueryHistory {
+final class QueryHistory(persistDir: Option[String] = None) {
   import QueryHistory._
   private val records = ArrayBuffer.empty[Record]
 
-  def append(r: Record): Unit = synchronized { records += r }
+  private val logPath: Option[Path] = persistDir.map { d =>
+    val meta = Paths.get(d, "meta")
+    Files.createDirectories(meta)
+    meta.resolve("query_history.bin")
+  }
+
+  // replay the persisted log (restart law); a truncated tail record —
+  // crash mid-append — ends the replay without failing the boot
+  logPath.filter(Files.exists(_)).foreach { p =>
+    val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
+    try {
+      var done = false
+      while (!done) {
+        try records += readRecord(in)
+        catch { case _: EOFException => done = true }
+      }
+    } finally in.close()
+  }
+
+  private def readRecord(in: DataInputStream): Record = {
+    val len = in.readInt()
+    val buf = new Array[Byte](len)
+    in.readFully(buf)
+    val r = new DataInputStream(new java.io.ByteArrayInputStream(buf))
+    Record(r.readUTF(), r.readLong(), r.readUTF(), r.readDouble(),
+      r.readDouble(), r.readDouble(), r.readDouble(), r.readLong(),
+      r.readDouble(), r.readLong())
+  }
+
+  private def writeRecord(rec: Record): Unit = logPath.foreach { p =>
+    val body = new java.io.ByteArrayOutputStream()
+    val w = new DataOutputStream(body)
+    w.writeUTF(rec.queryPattern); w.writeLong(rec.tableSize)
+    w.writeUTF(rec.strategy); w.writeDouble(rec.actualSpeedup)
+    w.writeDouble(rec.actualError); w.writeDouble(rec.predictedSpeedup)
+    w.writeDouble(rec.predictedError); w.writeLong(rec.executionTimeMs)
+    w.writeDouble(rec.errorTolerance); w.writeLong(rec.timestampMs)
+    val out = new DataOutputStream(new FileOutputStream(p.toFile, true))
+    try {
+      out.writeInt(body.size())
+      body.writeTo(out)
+      out.flush()
+    } finally out.close()
+  }
+
+  def append(r: Record): Unit = synchronized {
+    records += r
+    writeRecord(r)
+  }
 
   /** Records matching a query pattern, most recent first (cap like the
     * reference's LIMIT on its history SELECT).

@@ -143,8 +143,15 @@ object SketchAdvisor {
 
 /** Bounded access-ordered miss counter (the parse-cache LRU policy:
   * hot shapes survive, the coldest key falls out past `maxKeys`).
+  *
+  * DURABLE since round 15: with a `persistDir`, every observe rewrites
+  * `<dir>/meta/advisor_misses.bin` (a small snapshot — at most
+  * `maxKeys` fixed-size entries, written via temp + atomic rename) and
+  * construction reloads it, so pending build advice survives a restart
+  * alongside the query history it feeds.
   */
-final class SketchAdvisor(maxKeys: Int = 4096) {
+final class SketchAdvisor(maxKeys: Int = 4096,
+    persistDir: Option[String] = None) {
   import SketchAdvisor._
 
   private val misses =
@@ -155,10 +162,56 @@ final class SketchAdvisor(maxKeys: Int = 4096) {
         size() > maxKeys
     }
 
+  private val snapshotPath: Option[java.nio.file.Path] = persistDir.map { d =>
+    val meta = java.nio.file.Paths.get(d, "meta")
+    java.nio.file.Files.createDirectories(meta)
+    meta.resolve("advisor_misses.bin")
+  }
+
+  // reload the persisted snapshot (restart law): entries re-enter in
+  // stored order, so the access-ordered LRU resumes where it left off
+  snapshotPath.filter(java.nio.file.Files.exists(_)).foreach { p =>
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(p)))
+    try {
+      val n = in.readInt()
+      (0 until n).foreach { _ =>
+        val table = in.readUTF(); val column = in.readUTF()
+        val sketchType = in.readUTF()
+        val groupBy = if (in.readBoolean()) Some(in.readUTF()) else None
+        val count = in.readLong()
+        misses.put(Candidate(table, column, sketchType, groupBy),
+          Long.box(count))
+      }
+    } finally in.close()
+  }
+
+  private def persist(): Unit = snapshotPath.foreach { p =>
+    val tmp = p.resolveSibling(p.getFileName.toString +
+      s".tmp-${ProcessHandle.current.pid}-${Thread.currentThread.getId}")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(misses.size())
+      misses.forEach { (c, n) =>
+        out.writeUTF(c.table); out.writeUTF(c.column)
+        out.writeUTF(c.sketchType)
+        out.writeBoolean(c.groupBy.isDefined)
+        c.groupBy.foreach(out.writeUTF)
+        out.writeLong(n.longValue())
+      }
+      out.flush()
+    } finally out.close()
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def observe(cs: Seq[Candidate]): Unit = misses.synchronized {
     cs.foreach { c =>
       misses.put(c, Long.box(Option(misses.get(c)).fold(1L)(_ + 1L)))
     }
+    if (cs.nonEmpty) persist()
   }
 
   def snapshot: Map[Candidate, Long] = misses.synchronized {

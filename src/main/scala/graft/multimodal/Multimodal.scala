@@ -360,6 +360,16 @@ object Multimodal {
           meta.map(_.sampleRate.toLong).getOrElse(0L))
       })
     }.toDF("shard", "ok", "n_samples", "rate")
+    mediaQaAggregate(qa, w)
+  }
+
+  /** [[mediaQaSampled]]'s per-shard fold over the decode outcomes —
+    * factored out so the failure arithmetic is spec-pinnable on a
+    * synthetic outcome frame (the real lottery's payloads always
+    * decode). `qa` carries (shard, ok, n_samples, rate) with 0-valued
+    * measures on failed decodes; `w` is the HT expansion 10⁴/threshold.
+    */
+  private[graft] def mediaQaAggregate(qa: DataFrame, w: Double): DataFrame =
     qa.groupBy(col("shard"))
       .agg(
         count(lit(1)).as("k"),
@@ -386,7 +396,6 @@ object Multimodal {
           "else cast(sr as double) / cast(okn as double) end")
           .as("avg_rate"))
       .orderBy(col("shard"))
-  }
 
   case class ResampledAudioMeta(id: Long, sampleRate: Int, nSamples: Int,
       firstSample: Int, midSample: Int, lastSample: Int, checksum: Long)

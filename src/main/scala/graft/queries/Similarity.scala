@@ -201,12 +201,18 @@ object Similarity {
         .agg(expr(
           "transform(array_sort(collect_list(struct(d, av))), p -> cast(p.av as float))")
           .as("nbk"))
-      book = book.join(upd, Seq("cell", "j"), "left")
+      val next = book.join(upd, Seq("cell", "j"), "left")
         .select(col("cell"), col("j"),
           expr("coalesce(nbk, bk)").as("bk"))
         .localCheckpoint()
+      // the superseded iterate's blocks are retired the moment the
+      // next one materializes (eager checkpoint above) — Lloyd runs
+      // hold ONE codebook generation live, not `iters`
+      Checkpoints.free(book)
+      book = next
       it += 1
     }
+    Checkpoints.free(sl)
     book
   }
 
@@ -226,7 +232,10 @@ object Similarity {
       registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      pqTrainedBooks(pqSlices(e), cellCentroidsOf(s, e)).localCheckpoint()
+      // pqTrainedBooks already returns a materialized checkpoint — a
+      // second .localCheckpoint() here would copy the blocks and
+      // permanently strand the inner generation
+      pqTrainedBooks(pqSlices(e), cellCentroidsOf(s, e))
     })
   }
 
@@ -234,13 +243,23 @@ object Similarity {
     * computed ONCE per vector — rescoring joins read this instead of
     * recomputing self-norms per candidate pair (the interpreted
     * higher-order dot is the costly part; one per pair, not three).
+    * Memoized per (session, dir) since round 15: every ANN query (and
+    * three bench passes of each) previously materialized a FRESH
+    * checkpoint of the identical frame — both redundant work and the
+    * retired-block accumulation behind the r14 q170 pass degradation.
     */
+  private val nembMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
   private def normedEmbeddings(s: SparkSession, dir: String): DataFrame = {
-    registerFns(s)
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr(dotSpark("embedding", "embedding")).as("nrm"))
-      .localCheckpoint()
+    nembMemo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(nembMemo.remove)
+    nembMemo.getOrElseUpdate((s, dir), {
+      registerFns(s)
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(dotSpark("embedding", "embedding")).as("nrm"))
+        .localCheckpoint()
+    })
   }
 
   /** Every vector's single nearest cell under the coarse quantizer —
@@ -370,12 +389,23 @@ object Similarity {
           .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(false) // lazy: materialized by the sum below
         val nextSum = lblSum(next)
+        // the sum above materialized `next`; the superseded iterate's
+        // blocks retire immediately (one label generation live)
+        Checkpoints.free(lbl)
         lbl = next
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         iter += 1
       }
     }
+    // edges/und fed only the converged loop; the returned plan reads
+    // `e` and the FINAL label iterate, so the scratch checkpoints
+    // retire now. The final `lbl` itself rides the one-generation pool:
+    // it lives until the next semanticDedup run, by which point this
+    // run's result has been consumed (build-then-consume discipline).
+    Checkpoints.free(edges)
+    Checkpoints.free(und)
+    Checkpoints.retireSwap(s, "semdedup_labels", lbl)
     e.select(col("vec_id"))
       .join(lbl.select(col("id").as("vec_id"), col("lbl")), Seq("vec_id"),
         "left")
@@ -418,6 +448,9 @@ object Similarity {
     val cand = probes.join(assign, "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
+    // the returned plan still reads `scored`: one-generation retire —
+    // the NEXT ivf scoring pass frees this one's blocks
+    Checkpoints.retireSwap(s, "ivf_scored", scored)
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     cand
@@ -513,9 +546,18 @@ object Similarity {
     * ONE codegen hash-aggregate builds the 32-plane signature, then a
     * 4-way band explode. Shared by q22 (query-vs-corpus ANN) and q40
     * (corpus-level near-dup pairs); materialized once because both
-    * consumers read it on two join sides.
+    * consumers read it on two join sides. Memoized per (session, dir)
+    * since round 15 (deterministic output; the per-call checkpoints
+    * were part of the retired-block accumulation the r14 bench hit).
     */
+  private val lshMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
   private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    lshMemo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(lshMemo.remove)
+    lshMemo.getOrElseUpdate((s, dir), lshBandsOf(s, dir))
+  }
+  private def lshBandsOf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val vals = e
@@ -775,6 +817,8 @@ object Similarity {
           expr("quantized_dot(embedding, cav)").as("score"))
         .withColumn("rn", row_number().over(w1))
         .localCheckpoint()
+      // one-generation retire: the next q170 run frees this pass
+      Checkpoints.retireSwap(s, "ivfpq_scored", scored)
       val assign = scored.filter(col("rn") === 1)
         .select(col("vec_id").as("nid"), col("cell").as("acell"))
       val probes = scored.filter(col("vec_id") < nQueries &&

@@ -62,6 +62,9 @@ object Samplers {
     catalog.upsertTableStats(table, base)
     catalog.addSample(catalog.SampleInfo(table, name, fraction, None, path,
       System.currentTimeMillis(), baseRows = Some(base)))
+    // GC (round 15): a rebuild supersedes same-kind samples the
+    // freshness guard already refuses — reclaim their parquet now
+    catalog.vacuumStaleSamples(table)(_.strataColumn.isEmpty)
     (name, rows)
   }
 
@@ -132,6 +135,7 @@ object Samplers {
     catalog.putStrata(name, withAchieved.map(a =>
       catalog.StratumInfo(name, a.value, a.popSize, a.sampleSize,
         a.fraction, a.weight, a.variance)))
+    catalog.vacuumStaleSamples(table)(_.strataColumn.contains(strataCol))
     (name, withAchieved)
   }
 
@@ -212,6 +216,7 @@ object Samplers {
     catalog.putStrata(name, withAchieved.map(a =>
       catalog.StratumInfo(name, a.value, a.popSize, a.sampleSize,
         a.fraction, a.weight, a.variance)))
+    catalog.vacuumStaleSamples(table)(_.strataColumn.contains(strataCol))
     (name, withAchieved)
   }
 
@@ -346,6 +351,8 @@ object Samplers {
       else Nil) ++ Seq(
       catalog.StratumInfo(name, "rest", math.max(0L, base - nOut - nLow),
         nRest, 1.0 / w, w.toDouble, 0.0)))
+    catalog.vacuumStaleSamples(table)(_.strataColumn
+      .contains(s"__outlier__${valueCol.toLowerCase}"))
     (name, nOut, nLow, nRest)
   }
 
@@ -433,6 +440,8 @@ object Samplers {
     catalog.putStrata(name, Seq(
       catalog.StratumInfo(name, "all", base, achieved, fraction,
         base.toDouble / math.max(1L, achieved), 0.0)))
+    catalog.vacuumStaleSamples(table)(_.strataColumn
+      .exists(_.startsWith("__bottomk__")))
     // the rider: the running base count a streaming maintainer seeds
     // from (a maintainer taking over a batch-built sample must CONTINUE
     // N, not reset it) plus the build-time decimal-safety proof — the
@@ -560,6 +569,8 @@ object Samplers {
       "bottomkg_rider", blob,
       s"""{"rows":$base,"k":$kPerGroup,"decsafe":${"\"" + decimalSafeCols(sampleDf) + "\""}}""",
       System.currentTimeMillis()))
+    catalog.vacuumStaleSamples(table)(_.strataColumn
+      .exists(_.startsWith("__bottomkg__")))
     (name, achieved)
   }
 
@@ -608,6 +619,8 @@ object Samplers {
     catalog.addSample(catalog.SampleInfo(table, name, p,
       Some(s"__universe__${keys.mkString(",")}"), path, System.currentTimeMillis(),
       baseRows = Some(base)))
+    catalog.vacuumStaleSamples(table)(_.strataColumn
+      .contains(s"__universe__${keys.mkString(",")}"))
     (name, rows)
   }
 

@@ -448,16 +448,39 @@ object SampleMaintainers {
                 .map(r => r.getString(baseCols.length) ->
                   org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
             } else if (new java.io.File(path).exists) {
+              // Takeover from a batch build: the tail sizes are the
+              // BUILD's, not the maintainer's — re-derive parts from the
+              // recorded strata (achieved hi/lo sizes) instead of the
+              // configured outlierK/lowK. Sorting with a LARGER k would
+              // silently promote lottery (weight-w) rows into the exact
+              // tails; a SMALLER one would demote true weight-1 tail rows
+              // through the lottery — both bias every weighted estimate.
+              // Growth direction is safe (tails refill from new batches),
+              // shrink direction is refused loudly.
+              val built = catalog.strataFor(name)
+              require(built.nonEmpty,
+                s"outlier maintainer takeover of $name needs the build's " +
+                  "strata to recover its tail sizes; none recorded")
+              val builtHi = built.find(_.strataValue == "outlier")
+                .map(_.sampleSize).getOrElse(0L)
+              val builtLo = built.find(_.strataValue == "outlier_low")
+                .map(_.sampleSize).getOrElse(0L)
+              require(builtHi <= outlierK && builtLo <= lowK,
+                s"outlier maintainer takeover of $name: built tails " +
+                  s"(hi=$builtHi, lo=$builtLo) exceed configured " +
+                  s"(k=$outlierK, lowK=$lowK) — shrinking a tail would " +
+                  "demote exact weight-1 rows through the lottery; " +
+                  "rebuild the sample or raise the maintainer's k")
               val rows = annotate(
                 s.read.parquet(path).drop("graft_weight")
                   .select(batch.schema.fieldNames.map(col).toIndexedSeq: _*))
                 .select(baseCols.map(col): _*)
                 .collect()
               val (valued, nulls) = rows.partition(!_.isNullAt(vIdx))
-              val hi = valued.sorted(hiOrd).take(outlierK)
+              val hi = valued.sorted(hiOrd).take(builtHi.toInt)
               val hiKeys = hi.map(keyOf).toSet
               val lo = valued.filterNot(r => hiKeys.contains(keyOf(r)))
-                .sorted(loOrd).take(lowK)
+                .sorted(loOrd).take(builtLo.toInt)
               val loKeys = lo.map(keyOf).toSet
               val rest = valued.filterNot(r =>
                 hiKeys.contains(keyOf(r)) || loKeys.contains(keyOf(r))) ++
@@ -472,7 +495,12 @@ object SampleMaintainers {
             .groupBy(keyOf).map(_._2.head).toArray
             .sorted(hiOrd).take(outlierK)
           val hiKeys = mergedHigh.map(keyOf).toSet
-          val mergedLow = (part("lo") ++ batchLow)
+          // part("hi") joins the low-tail candidates too: a row DISPLACED
+          // from the high tail this fold must compete for the low tail
+          // before falling to the lottery, or on small populations the
+          // maintained bottom-lowK could hold fewer rows than a rebuild's
+          // (hi→lo crossover; the filterNot keeps surviving hi rows out)
+          val mergedLow = (part("lo") ++ batchLow ++ part("hi"))
             .groupBy(keyOf).map(_._2.head).toArray
             .filterNot(r => hiKeys.contains(keyOf(r)))
             .sorted(loOrd).take(lowK)
@@ -633,7 +661,10 @@ object SampleMaintainers {
             .contains(batch.schema(batch.schema.fieldIndex(keyCol))
               .dataType.typeName),
             s"windowed bottom-k stream key $keyCol must be integral")
-          val withH = batch
+          // NULL event times carry no bucket: drop them up front (the
+          // grouped/windowed maintainers' shared discipline) or the
+          // driver-side getLong on the NULL graft_bucket NPEs the query
+          val withH = batch.filter(col(tsCol).isNotNull)
             .withColumn("graft_bucket",
               expr(s"unix_micros($tsCol) div $bucketMicros"))
             .withColumn("graft_h",

@@ -686,6 +686,14 @@ object WindowedSketches {
               (acc.keySet ++ gs.keySet).iterator.map(g =>
                 g -> (acc.getOrElse(g, 0L) + gs.getOrElse(g, 0L))).toMap
             }
+          // the MERGED live set is the driver-state/serving-blob bound
+          // the doc promises: per-bucket sets can each pass while their
+          // union (≤ liveBuckets·maxEntries) does not
+          if (liveCounts.sizeIs > maxEntries)
+            throw new IllegalArgumentException(
+              s"windowed topk over $table.$groupCol: live window holds " +
+                s"${liveCounts.size} groups (> $maxEntries) — the key is " +
+                "data, not a dimension")
           val liveN = liveCounts.valuesIterator.sum
           val entries = liveCounts.filter(_._2 >= threshold)
           catalog.upsertTableStats(table, liveN)

@@ -30,8 +30,11 @@ class ApiServerSpec extends SparkSpec {
   }
 
   private def http(method: String, path: String, body: Option[String] = None)
-      : (Int, String) = {
-    val url = URI.create(s"http://127.0.0.1:${server.boundPort}$path").toURL
+      : (Int, String) = httpAt(server.boundPort, method, path, body)
+
+  private def httpAt(port: Int, method: String, path: String,
+      body: Option[String] = None): (Int, String) = {
+    val url = URI.create(s"http://127.0.0.1:$port$path").toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
     body.foreach { b =>
@@ -636,6 +639,39 @@ class ApiServerSpec extends SparkSpec {
       case Some(Json.A(rows)) => assert(rows.nonEmpty, qb.take(200))
       case other              => fail(s"expected result rows: $other")
     }
+  }
+
+  test("reboot-and-serve: a sketch built over HTTP serves after a server restart on the same workDir (round 15 restart law)") {
+    val dir = Files.createTempDirectory("graft-http-reboot").toString
+    // ---- server process 1: build, then stop ----
+    val s1 = new Server(new QueryEngine(spark, new MetaCatalog(dir)))
+    s1.start()
+    try {
+      val (c1, b1) = httpAt(s1.boundPort, "POST", "/sketches/create", Some(
+        """{"table": "orders", "column": "o_custkey", "sketch_type": "hyperloglog"}"""))
+      assert(c1 == 200, b1)
+    } finally s1.stop()
+    // ---- server process 2: a fresh engine + catalog over the same
+    // workDir — the blob must come back from disk, not driver memory
+    val s2 = new Server(new QueryEngine(spark, new MetaCatalog(dir)))
+    s2.start()
+    try {
+      val (cl, bl) = httpAt(s2.boundPort, "GET", "/sketches?table=orders")
+      assert(cl == 200, bl)
+      assert(bl.contains("o_custkey") && bl.contains("hyperloglog"), bl)
+      // use_ml_optimization engages the rule chooser, whose Sketch
+      // strategy is where the stored-HLL serve dispatches (the
+      // planner-only default runs 1.5k-row orders exact outright)
+      val (cq, bq) = httpAt(s2.boundPort, "POST", "/query", Some(
+        """{"sql": "SELECT count(DISTINCT o_custkey) AS nd FROM orders",
+           "use_ml_optimization": true}"""))
+      assert(cq == 200, bq)
+      val plan = parsed(bq)("plan")
+      assert(plan.flatMap(_("type")).flatMap(_.str).contains("sketch"),
+        bq.take(800))
+      assert(plan.flatMap(_("reason")).flatMap(_.str)
+        .exists(_.contains("stored HyperLogLog")), bq.take(800))
+    } finally s2.stop()
   }
 
   test("Json parser handles strings, escapes, nesting and rejects garbage") {

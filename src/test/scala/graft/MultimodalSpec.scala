@@ -203,4 +203,32 @@ class MultimodalSpec extends SparkSpec {
       assert(perVid(id) == (nF + 1) / 2, s"video $id")
     }
   }
+
+  test("sampled media QA: failed decodes leave the okn-divided means unbiased; an all-failed shard reports NULL means (round-14 ADVICE regression)") {
+    // synthetic decode outcomes (the real lottery's payloads always
+    // decode, so the failure arithmetic is pinned here): shard 0 has a
+    // failure among successes, shard 1 is clean, shard 2 is ALL failed
+    import spark.implicits._
+    val qa = Seq(
+      (0, true, 100L, 8000L),
+      (0, true, 300L, 16000L),
+      (0, false, 0L, 0L), // failed decode: contributes 0 to ss/sr
+      (1, true, 50L, 8000L),
+      (2, false, 0L, 0L),
+      (2, false, 0L, 0L)).toDF("shard", "ok", "n_samples", "rate")
+    val out = Multimodal.mediaQaAggregate(qa, w = 100.0).collect()
+    val byShard = out.map(r => r.getAs[Int]("shard") -> r).toMap
+    // shard 0: means divide by okn=2, NOT k=3 (the pre-fix bias)
+    assert(byShard(0).getAs[Double]("avg_samples") == 200.0)
+    assert(byShard(0).getAs[Double]("avg_rate") == 12000.0)
+    assert(byShard(0).getAs[Double]("ok_rate") == 2.0 / 3.0)
+    // shard 2: all failed -> NULL means (not 0/0, not 0)
+    assert(byShard(2).isNullAt(byShard(2).fieldIndex("avg_samples")))
+    assert(byShard(2).isNullAt(byShard(2).fieldIndex("avg_rate")))
+    assert(byShard(2).getAs[Double]("ok_rate") == 0.0)
+    // the k-divisor estimates are UNCHANGED by failures (HT arithmetic
+    // counts lottery winners, not decode successes)
+    assert(byShard(2).getAs[Double]("n_est") == 200.0)
+    assert(byShard(0).getAs[Double]("n_est") == 300.0)
+  }
 }

@@ -4341,4 +4341,47 @@ class QueryEngineSpec extends SparkSpec {
     assert(rH.servedFromCatalog && rH.serveKind.contains("grouped_histogram"),
       s"${rH.serveKind}: ${rH.reason}")
   }
+
+  test("durable catalog: sketches and samples built in session 1 serve zero-scan in session 2; an append after reload still retires them (round 15 restart law)") {
+    val dir = Files.createTempDirectory("graft-engine-restart").toString
+    // ---- session 1: build a sketch and a materialized sample ----
+    val cat1 = new MetaCatalog(dir)
+    val eng1 = new QueryEngine(spark, cat1)
+    graft.sketch.SketchOps.createHll(spark, cat1, "orders", "o_custkey")
+    val (bkName, _) = Samplers.createBottomK(spark, cat1, "supplier",
+      "s_suppkey", k = 32)
+    val hllSql = "SELECT count(DISTINCT o_custkey) AS nd FROM orders"
+    val r1 = eng1.query(hllSql)
+    assert(r1.servedFromCatalog, r1.reason)
+    val truth = r1.df.collect().head.getLong(0)
+
+    // ---- session 2: a FRESH catalog + engine over the same workDir.
+    // The sample's temp view is dropped too: serving must re-register
+    // it from the persisted parquet path, not lean on session leftovers.
+    spark.catalog.dropTempView(bkName)
+    val cat2 = new MetaCatalog(dir)
+    val eng2 = new QueryEngine(spark, cat2)
+    val r2 = eng2.query(hllSql)
+    assert(r2.servedFromCatalog && r2.planType == "sketch",
+      s"${r2.planType}: ${r2.reason}")
+    assert(r2.df.collect().head.getLong(0) == truth)
+
+    // the reloaded bottom-k sample serves a SUM (the ApiServerSpec
+    // pattern: stats forced over the small-table rule, sample
+    // re-stamped fresh, tolerance admits √(1/k))
+    cat2.upsertTableStats("supplier", 20000L)
+    cat2.refreshSampleBase("supplier")
+    val r3 = eng2.query(
+      "SELECT count(*) AS n, sum(s_acctbal) AS s FROM supplier",
+      eng2.Options(maxRelError = 0.4))
+    assert(r3.planType == "bottomk", s"${r3.planType}: ${r3.reason}")
+    assert(r3.sampleTable.contains(bkName), r3.sampleTable)
+
+    // an append AFTER the reload still retires the sketch serve — the
+    // freshness guard reads reloaded state exactly like live state
+    cat2.upsertTableStats("orders",
+      cat2.statsFor("orders").get.rowCount + 1)
+    val r4 = eng2.query(hllSql)
+    assert(!r4.servedFromCatalog, r4.reason)
+  }
 }

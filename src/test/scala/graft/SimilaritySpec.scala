@@ -223,4 +223,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 < 1.0, s"fixture not boundary-heavy: nprobe=1 recall $r1")
     assert(r4 == 1.0, s"multi-probe should recover all: recall $r4")
   }
+
+  test("semantic dedup with ZERO cosine edges is already at the fixpoint: every vector keeps, no NPE (round-14 ADVICE regression)") {
+    // a corpus of pairwise-orthogonal vectors: no pair reaches
+    // semDedupCos, so the edge set is EMPTY and the label sum is NULL
+    // on the very first probe — the pre-fix loop compared
+    // null.compareTo(null) and died; the fixed loop recognizes the
+    // empty fixpoint and keeps every vector as its own cluster
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-semdedup-empty").toString
+    val rows = (0L until 6L).map { i =>
+      // the corpus contract is 64-dim vectors (Similarity.scala:10)
+      val v = Array.fill(64)(0.0f); v(i.toInt) = 1.0f
+      (i, v.toSeq, i.toInt) // distinct labels: one vector per cell
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semanticDedupOf(spark, dir).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") == r.getAs[Long]("vec_id"))
+      assert(r.getAs[Int]("kept") == 1)
+    }
+  }
 }

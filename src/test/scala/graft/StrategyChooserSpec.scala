@@ -81,6 +81,60 @@ class StrategyChooserSpec extends AnyFunSuite {
     assert(c.strategy == SC.Sketch) // base rule wins
   }
 
+  test("durable history: records written in session 1 adjust the choice in session 2 (restart law)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hist-restart").toString
+    val h1 = new graft.learn.QueryHistory(Some(dir))
+    (1 to 10).foreach { _ =>
+      h1.append(QueryHistory.Record("p", 50000, "sample", 8.0, 0.01,
+        8.0, 0.01, 10, tol, System.currentTimeMillis()))
+    }
+    // a FRESH history over the same workDir — no shared driver memory
+    val h2 = new graft.learn.QueryHistory(Some(dir))
+    assert(h2.all.size == 10)
+    val c = SC.choose(f(count = true, distinct = true), 50000, tol,
+      h2.forPattern("p"))
+    assert(c.strategy == SC.Sample) // the learned preference survived
+    // GET /ml/stats shape survives too
+    val stats = h2.learningStats()
+    assert(stats("sample")._1 == 10L &&
+      math.abs(stats("sample")._2 - 8.0) < 1e-9)
+    // appends in session 2 extend, not clobber, the log
+    h2.append(QueryHistory.Record("p", 50000, "sample", 8.0, 0.01,
+      8.0, 0.01, 10, tol, System.currentTimeMillis()))
+    assert(new graft.learn.QueryHistory(Some(dir)).all.size == 11)
+  }
+
+  test("durable history: a torn tail record (crash mid-append) drops only itself") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hist-torn").toString
+    val h1 = new graft.learn.QueryHistory(Some(dir))
+    (1 to 3).foreach { i =>
+      h1.append(QueryHistory.Record(s"p$i", 1000, "exact", 1.0, 0.0,
+        1.0, 0.0, 5, tol, i.toLong))
+    }
+    val log = java.nio.file.Paths.get(dir, "meta", "query_history.bin")
+    val bytes = java.nio.file.Files.readAllBytes(log)
+    // simulate a crash: half of record 3's bytes never hit disk
+    java.nio.file.Files.write(log,
+      java.util.Arrays.copyOf(bytes, bytes.length - 7))
+    val h2 = new graft.learn.QueryHistory(Some(dir))
+    assert(h2.all.map(_.queryPattern) == Seq("p1", "p2"))
+  }
+
+  test("durable advisor misses: pending build advice survives a restart") {
+    import graft.learn.SketchAdvisor
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-adv-restart").toString
+    val a1 = new SketchAdvisor(persistDir = Some(dir))
+    val cand = SketchAdvisor.Candidate("orders", "o_custkey", "hll", None)
+    val grouped = SketchAdvisor.Candidate("orders", "o_totalprice",
+      "hll_grouped", Some("o_orderstatus"))
+    a1.observe(Seq(cand)); a1.observe(Seq(cand, grouped))
+    val a2 = new SketchAdvisor(persistDir = Some(dir))
+    assert(a2.snapshot == Map(cand -> 2L, grouped -> 1L))
+  }
+
   test("planner enumerates catalog serves: valid serve wins, over-budget serve falls out, preferExact skips") {
     import graft.plan.Planner
     val catalog = new graft.catalog.MetaCatalog(
