@@ -41,7 +41,14 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
 
   def boundPort: Int = server.getAddress.getPort
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    // stop registered TTL maintainers with the server — a streaming
+    // query outliving its control surface would keep folding unobserved
+    maintainers.values.foreach { case (_, q) => if (q.isActive) q.stop() }
+    maintainers.clear()
+    streams.clear()
+    server.stop(0)
+  }
 
   private def spark: SparkSession = engine.spark
 
@@ -501,6 +508,174 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     val all = t.fold(graft.Tables.all.flatMap(engine.catalog.samplesFor))(
       x => engine.catalog.samplesFor(x))
     (200, Response.renderSamples(all))
+  }
+
+  // ---------------------------------------------------------------
+  // Streams + windowed (TTL) maintainers over HTTP (round 15): batch
+  // sketches build over POST /sketches/create, but the TTL maintainers
+  // — what the advisor RECOMMENDS for streamed tables
+  // (SketchAdvisor.windowedRecipe) — were library-only, so the
+  // advise → build → serve loop could not close over HTTP for live-
+  // window shapes. A caller registers a file-source stream, attaches
+  // maintainers to it, flushes (processAllAvailable — the
+  // deterministic "fold everything ingested so far" trigger), and the
+  // live-window serves then answer over /query with the TTL explain
+  // note. File sources are the deployment-neutral stream form here
+  // (drop parquet into the directory = ingest); a Kafka-fed cluster
+  // swaps the source, not the maintainers.
+  // ---------------------------------------------------------------
+
+  private val streams =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private val maintainers = scala.collection.concurrent.TrieMap
+    .empty[String, (String, org.apache.spark.sql.streaming.StreamingQuery)]
+
+  handle("/streams/register", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        (req("name").flatMap(_.str), req("path").flatMap(_.str)) match {
+          case (Some(n), Some(p)) =>
+            val fmt = req("format").flatMap(_.str).getOrElse("parquet")
+            // schema from the files already present (a stream source
+            // needs a declared schema; the registration-time listing
+            // is the natural authority)
+            val schema = spark.read.format(fmt).load(p).schema
+            streams.put(n,
+              spark.readStream.schema(schema).format(fmt).load(p))
+            (200, s"""{"status": "ok", "name": ${jstr(n)}, "columns": [""" +
+              schema.fieldNames.map(jstr).mkString(", ") + "]}")
+          case _ => (400, err("name and path required"))
+        }
+    }
+  }
+
+  handle("/sketches/maintain", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val streamName = req("stream").flatMap(_.str).getOrElse("")
+        val table = req("table").flatMap(_.str).getOrElse("")
+        val tpe = req("sketch_type").flatMap(_.str).getOrElse("")
+        val ts = req("ts_column").flatMap(_.str).getOrElse("")
+        val win = req("window_micros").flatMap(_.num).map(_.toLong)
+        val bkt = req("bucket_micros").flatMap(_.num).map(_.toLong)
+        val params = req("parameters").getOrElse(Json.O(Map.empty))
+        (streams.get(streamName), win, bkt) match {
+          case _ if table.isEmpty || tpe.isEmpty || ts.isEmpty =>
+            (400, err("table, sketch_type and ts_column required"))
+          case (None, _, _) =>
+            (400, err(s"unknown stream '$streamName' — POST /streams/register first"))
+          case (_, None, _) | (_, _, None) =>
+            (400, err("window_micros and bucket_micros required"))
+          case (Some(df), Some(w), Some(b)) =>
+            import graft.streaming.{EventStreams, SampleMaintainers, WindowedSketches}
+            val cat = engine.catalog
+            val column = req("column").flatMap(_.str)
+            def need(k: String) = params(k).flatMap(_.num)
+            val started: Either[String, (String, org.apache.spark.sql.streaming.StreamingQuery)] =
+              (tpe, column) match {
+                case ("hyperloglog", Some(c)) => Right(c ->
+                  EventStreams.maintainHllWindowed(df, cat, table, c, ts, w, b,
+                    need("b").map(_.toInt).getOrElse(12)))
+                case ("countmin", Some(c)) => Right(c ->
+                  EventStreams.maintainCmsWindowed(df, cat, table, c, ts, w, b,
+                    need("epsilon").getOrElse(0.01), need("delta").getOrElse(0.01)))
+                case ("histogram", Some(c)) =>
+                  (need("lo"), need("width"), need("buckets")) match {
+                    case (Some(lo), Some(wd), Some(nb)) => Right(c ->
+                      WindowedSketches.maintainHistogramWindowed(df, cat,
+                        table, c, ts, w, b, lo, wd, nb.toInt))
+                    case _ => Left("histogram needs parameters.lo/width/buckets")
+                  }
+                case ("kmv", Some(c)) => Right(c ->
+                  WindowedSketches.maintainKmvWindowed(df, cat, table, c, ts, w, b,
+                    need("k").map(_.toInt).getOrElse(1024)))
+                case ("hdr", Some(c)) => Right(c ->
+                  WindowedSketches.maintainHdrWindowed(df, cat, table, c, ts, w, b,
+                    need("m").map(_.toInt).getOrElse(32)))
+                case ("topk", _) =>
+                  (req("group_by").flatMap(_.str), need("threshold")) match {
+                    case (Some(g), Some(t)) =>
+                      val cols = g.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                      Right(g -> WindowedSketches.maintainTopKWindowed(
+                        df, cat, table, cols, ts, w, b, t.toLong))
+                    case _ => Left("topk needs group_by and parameters.threshold")
+                  }
+                case ("bottomk", _) =>
+                  req("key_column").flatMap(_.str) match {
+                    case Some(k) => Right(k ->
+                      SampleMaintainers.maintainBottomKWindowed(df, cat,
+                        table, k, ts, w, b,
+                        need("k").map(_.toInt).getOrElse(2048)))
+                    case None => Left("bottomk needs key_column")
+                  }
+                case (t, None) => Left(s"sketch_type '$t' needs column")
+                case (t, _)    => Left(s"unsupported windowed sketch type '$t'")
+              }
+            started match {
+              case Left(msg) => (400, err(msg))
+              case Right((colKey, q)) =>
+                val id = s"$table/$colKey/$tpe"
+                // replacing a maintainer stops the old query first
+                maintainers.put(id, (streamName, q))
+                  .foreach { case (_, old) => if (old.isActive) old.stop() }
+                (200, s"""{"status": "ok", "maintainer": ${jstr(id)}, "stream": ${jstr(streamName)}}""")
+            }
+        }
+    }
+  }
+
+  handle("/streams/flush", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        val name = req("name").flatMap(_.str).getOrElse("")
+        val qs = maintainers.values.filter(_._1 == name).map(_._2).toSeq
+        if (qs.isEmpty) (400, err(s"no maintainers on stream '$name'"))
+        else {
+          // deterministic fold barrier: every file ingested so far is
+          // processed before the response returns, so a subsequent
+          // /query reads the folded live-window state
+          qs.foreach(_.processAllAvailable())
+          (200, s"""{"status": "ok", "flushed": ${qs.size}}""")
+        }
+    }
+  }
+
+  handle("/streams/stop", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        req("maintainer").flatMap(_.str) match {
+          case Some(id) => maintainers.remove(id) match {
+            case Some((_, q)) =>
+              if (q.isActive) q.stop()
+              (200, s"""{"status": "ok", "stopped": ${jstr(id)}}""")
+            case None => (400, err(s"unknown maintainer '$id'"))
+          }
+          case None =>
+            val name = req("name").flatMap(_.str).getOrElse("")
+            val ids = maintainers.filter(_._2._1 == name).keys.toSeq
+            ids.foreach { id =>
+              maintainers.remove(id).foreach { case (_, q) =>
+                if (q.isActive) q.stop()
+              }
+            }
+            streams.remove(name)
+            (200, s"""{"status": "ok", "stopped_maintainers": ${ids.size}}""")
+        }
+    }
+  }
+
+  handle("/streams", "GET") { _ =>
+    val items = streams.keys.toSeq.sorted.map { n =>
+      val ms = maintainers.toSeq.collect { case (id, (`n`, q)) =>
+        s"""{"id": ${jstr(id)}, "active": ${q.isActive}}"""
+      }
+      s"""{"name": ${jstr(n)}, "maintainers": [${ms.mkString(", ")}]}"""
+    }
+    (200, s"""{"streams": [${items.mkString(", ")}]}""")
   }
 
   handle("/ml/stats", "GET") { _ =>

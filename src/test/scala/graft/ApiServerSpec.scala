@@ -674,6 +674,87 @@ class ApiServerSpec extends SparkSpec {
     } finally s2.stop()
   }
 
+  test("TTL loop over HTTP: stream registration, windowed maintainers, advise names the windowed recipe, live-window serve carries the TTL note (round 15)") {
+    import org.apache.spark.sql.functions._
+    // the WindowedSketchesSpec TTL-advisor-loop law, driven end-to-end
+    // over the REST surface: file-source stream in, maintainers
+    // attached and flushed over HTTP, the advise -> build -> serve
+    // loop closing on live-window state
+    val work = Files.createTempDirectory("graft-http-ttl").toString
+    val srcDir = Files.createTempDirectory("graft-http-ttl-src").toString
+    def shape(from: Long, to: Long) = spark.range(from, to)
+      .select(expr("timestamp_micros(id * 1000000)").as("ts"),
+        expr("concat('k', cast(id % 7 as string))").as("k"),
+        col("id").as("other"))
+    // batch 1 must exist BEFORE registration (schema inference source)
+    shape(0, 2000).coalesce(1).write.mode("append").parquet(srcDir)
+    val s2 = new Server(new QueryEngine(spark, new MetaCatalog(work)))
+    s2.start()
+    try {
+      val (cr, br) = httpAt(s2.boundPort, "POST", "/streams/register",
+        Some(s"""{"name": "s0", "path": "$srcDir"}"""))
+      assert(cr == 200, br)
+      assert(br.contains("\"ts\"") && br.contains("\"k\""), br)
+      // windowed HLL maintainer on a SIDE column marks the table as
+      // STREAMED (the advisor's evidence); window 2000 s, bucket 100 s
+      val (cm, bm) = httpAt(s2.boundPort, "POST", "/sketches/maintain", Some(
+        """{"stream": "s0", "table": "http_live", "column": "other",
+           "sketch_type": "hyperloglog", "ts_column": "ts",
+           "window_micros": 2000000000, "bucket_micros": 100000000}"""))
+      assert(cm == 200, bm)
+      // ingest batch 2 as a new file, then the deterministic flush
+      shape(2000, 4000).coalesce(1).write.mode("append").parquet(srcDir)
+      assert(httpAt(s2.boundPort, "POST", "/streams/flush",
+        Some("""{"name": "s0"}"""))._1 == 200)
+      // backing view holds exactly the LIVE rows (a compacted TTL table)
+      spark.range(1900, 4000)
+        .select(expr("concat('k', cast(id % 7 as string))").as("k"),
+          col("id").as("other"))
+        .createOrReplaceTempView("http_live")
+      // repeated point-frequency misses -> the advisor must name the
+      // WINDOWED CMS recipe (streaming evidence), not the batch build
+      val missSql = """{"sql": "SELECT count(*) AS n FROM http_live WHERE k = 'k3'",
+        "use_ml_optimization": true}"""
+      (1 to 3).foreach(_ =>
+        assert(httpAt(s2.boundPort, "POST", "/query", Some(missSql))._1 == 200))
+      val (ca, ba) = httpAt(s2.boundPort, "GET", "/sketches/advise")
+      assert(ca == 200, ba)
+      assert(ba.contains("maintainCmsWindowed"), ba)
+      // run the advised build over the same surface and flush
+      val (cm2, bm2) = httpAt(s2.boundPort, "POST", "/sketches/maintain", Some(
+        """{"stream": "s0", "table": "http_live", "column": "k",
+           "sketch_type": "countmin", "ts_column": "ts",
+           "window_micros": 2000000000, "bucket_micros": 100000000}"""))
+      assert(cm2 == 200, bm2)
+      assert(httpAt(s2.boundPort, "POST", "/streams/flush",
+        Some("""{"name": "s0"}"""))._1 == 200)
+      val (cl, bl) = httpAt(s2.boundPort, "GET", "/streams")
+      assert(cl == 200 && bl.contains("http_live/k/countmin"), bl)
+      // the build retired the advice ...
+      val (_, ba2) = httpAt(s2.boundPort, "GET", "/sketches/advise")
+      assert(!ba2.contains("maintainCmsWindowed"), ba2)
+      // ... and the query now serves the LIVE WINDOW with the TTL note
+      val (cq, bq) = httpAt(s2.boundPort, "POST", "/query", Some(
+        """{"sql": "SELECT count(*) AS n FROM http_live WHERE k = 'k3'"}"""))
+      assert(cq == 200, bq)
+      val reason = parsed(bq)("plan").flatMap(_("reason")).flatMap(_.str)
+        .getOrElse("")
+      assert(reason.contains("Count-Min"), bq.take(800))
+      assert(reason.contains("live window"), bq.take(800))
+      val n = parsed(bq)("result") match {
+        case Some(Json.A(Seq(row))) => row("n").flatMap(_.num).getOrElse(-1.0)
+        case other                  => fail(s"no single result row: $other")
+      }
+      val exactK3 = (1900 until 4000).count(_ % 7 == 3)
+      assert(n == exactK3.toDouble, s"n=$n exact=$exactK3")
+      // stop tears the maintainers down
+      assert(httpAt(s2.boundPort, "POST", "/streams/stop",
+        Some("""{"name": "s0"}"""))._1 == 200)
+      val (_, bl2) = httpAt(s2.boundPort, "GET", "/streams")
+      assert(!bl2.contains("s0"), bl2)
+    } finally s2.stop()
+  }
+
   test("Json parser handles strings, escapes, nesting and rejects garbage") {
     val v = parsed("""{"a": [1, 2.5, -3], "s": "q\"\\\nA", "b": true, "n": null, "o": {"k": "v"}}""")
     assert(v("s").flatMap(_.str).contains("q\"\\\nA"))
