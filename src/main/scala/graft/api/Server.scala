@@ -678,6 +678,34 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     (200, s"""{"streams": [${items.mkString(", ")}]}""")
   }
 
+  // Catalog operations for the DURABLE workDir (round 15): vacuum
+  // reclaims the storage of entries the freshness guards already
+  // refuse to serve (stale samples' parquet, rows-mismatched blobs);
+  // reload picks up another process's writes wholesale (read
+  // visibility is load-on-boot + own writes by design — the WRITE path
+  // carries the cross-process no-lost-update guarantee).
+  handle("/catalog/vacuum", "POST") { ex =>
+    Json.parse(readBody(ex)) match {
+      case Left(m) => (400, err(s"bad json: $m"))
+      case Right(req) =>
+        req("table").flatMap(_.str) match {
+          case None => (400, err("table required"))
+          case Some(t) =>
+            val (samples, sketches) = engine.catalog.vacuum(t)
+            (200, s"""{"status": "ok", "dropped_samples": [""" +
+              samples.map(jstr).mkString(", ") +
+              s"""], "dropped_sketches": [""" +
+              sketches.map { case (tb, c, ty) => jstr(s"$tb/$c/$ty") }
+                .mkString(", ") + "]}")
+        }
+    }
+  }
+
+  handle("/catalog/reload", "POST") { _ =>
+    engine.catalog.reload()
+    (200, s"""{"status": "ok", "sketches": ${engine.catalog.listSketches().size}}""")
+  }
+
   handle("/ml/stats", "GET") { _ =>
     (200, Response.renderLearningStats(engine.history.learningStats()))
   }

@@ -755,6 +755,39 @@ class ApiServerSpec extends SparkSpec {
     } finally s2.stop()
   }
 
+  test("catalog reload and vacuum over HTTP: another process's blobs appear after reload; stale artifacts reclaim (round 15)") {
+    val dir = Files.createTempDirectory("graft-http-gc").toString
+    val s3 = new Server(new QueryEngine(spark, new MetaCatalog(dir)))
+    s3.start()
+    try {
+      val (cb, bb) = httpAt(s3.boundPort, "POST", "/sketches/create", Some(
+        """{"table": "orders", "column": "o_custkey", "sketch_type": "hyperloglog"}"""))
+      assert(cb == 200, bb)
+      // a second catalog instance (stand-in for another PROCESS over
+      // the shared workDir) writes a blob the server has never seen
+      val other = new MetaCatalog(dir)
+      other.upsertSketch(other.SketchInfo("orders", "o_orderkey", "kmv",
+        Array[Byte](1, 2), """{"k":16}""", 1L))
+      val (_, before) = httpAt(s3.boundPort, "GET", "/sketches?table=orders")
+      assert(!before.contains("o_orderkey"), before)
+      assert(httpAt(s3.boundPort, "POST", "/catalog/reload")._1 == 200)
+      val (_, after) = httpAt(s3.boundPort, "GET", "/sketches?table=orders")
+      assert(after.contains("o_orderkey"), after)
+      // the other process appends to orders (stats now disagree with
+      // the HLL's recorded build rows); after a reload, vacuum
+      // reclaims the rows-mismatched HLL but keeps the kmv (no rows
+      // evidence — never stale by that rule)
+      other.upsertTableStats("orders", 999999L)
+      assert(httpAt(s3.boundPort, "POST", "/catalog/reload")._1 == 200)
+      val (cv, bv) = httpAt(s3.boundPort, "POST", "/catalog/vacuum",
+        Some("""{"table": "orders"}"""))
+      assert(cv == 200, bv)
+      assert(bv.contains("orders/o_custkey/hyperloglog"), bv)
+      val (_, last) = httpAt(s3.boundPort, "GET", "/sketches?table=orders")
+      assert(!last.contains("hyperloglog") && last.contains("kmv"), last)
+    } finally s3.stop()
+  }
+
   test("Json parser handles strings, escapes, nesting and rejects garbage") {
     val v = parsed("""{"a": [1, 2.5, -3], "s": "q\"\\\nA", "b": true, "n": null, "o": {"k": "v"}}""")
     assert(v("s").flatMap(_.str).contains("q\"\\\nA"))

@@ -152,6 +152,32 @@ class MetaCatalogSpec extends AnyFunSuite {
     assert(s.version == 79L, s.version)
   }
 
+  test("a REAL second JVM's merging upserts interleave with ours: no lost batch (OS file locks, not just the JVM monitor)") {
+    val dir = Files.createTempDirectory("graft-cat-xproc").toString
+    val cat = new MetaCatalog(dir)
+    // MetaCatalog is pure java.nio — the child needs no Spark session,
+    // just the test classpath
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val child = new ProcessBuilder(java, "-cp",
+      System.getProperty("java.class.path"),
+      "graft.tools.CatalogStress", dir, "40")
+      .redirectErrorStream(true).start()
+    (1 to 40).foreach { _ =>
+      cat.upsertSketchMerging(cat.SketchInfo("t", "x", "ctr",
+        Array[Byte](1), """{"proc":"parent"}""", 1L)) { (a, b) =>
+        Array[Byte]((a(0) + b(0)).toByte)
+      }
+    }
+    val out = new String(child.getInputStream.readAllBytes(), "UTF-8")
+    assert(child.waitFor() == 0, s"child failed: $out")
+    cat.reload()
+    val s = cat.getSketch("t", "x", "ctr").get
+    assert(s.data(0) == 80.toByte, s"${s.data(0)} (child said: $out)")
+    assert(s.version == 79L, s.version)
+    // both writers' parameter fields survived the field-wise merge
+    assert(s.parameters.contains("\"proc\""), s.parameters)
+  }
+
   test("GC: dropSample reclaims the data and state directories; dropSketch deletes the blob file") {
     val dir = Files.createTempDirectory("graft-cat-gc").toString
     val c = new MetaCatalog(dir)
