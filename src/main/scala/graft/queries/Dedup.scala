@@ -211,6 +211,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_match"), col("est_jaccard"))
   }
 
+  /** (doc_id, band, bh) LSH band assignments over an ARBITRARY
+    * (doc_id, text) frame — q18's shingle → h60 → 12-permutation
+    * MinHash → 6×2 band chain factored off the dir-based memo path so
+    * the streaming admission maintainer bands each micro-batch with
+    * the EXACT batch arithmetic (fold == batch is an identity, not an
+    * approximation). Docs with fewer than 3 tokens have no shingles
+    * and therefore no bands (no near-dup evidence).
+    */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(col("doc_id"),
+      expr(bound("split(lower(text), ' ')", "t",
+        """case when size(t) >= 3
+           then array_distinct(transform(sequence(1, size(t) - 2),
+             i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))))
+           else cast(array() as array<string>) end""")).as("sh"))
+    val hm = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), expr(s"${h60Spark("s")} % ${P}L").as("h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
+      expr(s"min((${a}L * h + ${b}L) % ${P}L)").as(s"m$j")
+    }
+    val sig = hm.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until 6)
+      .map(b => s"struct($b as band, m${2 * b} * ${P}L + m${2 * b + 1} as bh)")
+      .mkString("array(", ", ", ")")
+    sig.select(col("doc_id"), explode(expr(bandStructs)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by order/multiplicity-insensitive content hash,
     // keep the smallest doc_id as the representative. Repartition first:
@@ -442,6 +471,45 @@ object Dedup {
         .agg(aggs.head, aggs.tail: _*)
         .select(col("doc_id"), expr(simhash).as("simhash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BAND-OWNERSHIP ADMISSION (round 15) — near-dup suppression at
+    // the INGESTION FRONT: a document is admitted iff it is the FIRST
+    // PRESENTER (minimum doc_id) of EVERY one of its 6 LSH bands;
+    // presenting any band someone already owns suppresses the arrival
+    // into that owner's cluster. Unlike q18's pairwise edges (post-hoc
+    // audit) or q44's connected components (needs the WHOLE corpus —
+    // a future doc can merge two clusters, so no stream can emit them
+    // exactly), band ownership is order-free over doc_id and
+    // per-band-decomposable, which is exactly what makes it the
+    // admission rule a 100 TB ingest can enforce INCREMENTALLY: the
+    // registry is one (band, bh) → owner table, each micro-batch is
+    // one join against it, and with monotone arrival ids the fold
+    // equals this batch operator (EventStreams.maintainBandAdmission,
+    // the EventStreamsSpec law). Transitive chains suppress into the
+    // first presenter by design (ownership is by presentation, not
+    // admission). All-integer output — oracle-gated bit-for-bit.
+    "q192_band_admission" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val bands = bandsOf(docs.select(col("doc_id"), col("text")))
+      val own = bands.groupBy(col("band"), col("bh"))
+        .agg(min(col("doc_id")).as("owner"))
+      val per = bands.join(own, Seq("band", "bh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bands"),
+          sum(expr("case when doc_id = owner then 1 else 0 end"))
+            .as("n_owned"))
+      // docs too short for any shingle carry no near-dup evidence and
+      // admit trivially (n_bands = 0)
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("coalesce(n_bands, cast(0 as bigint))").as("n_bands"),
+          expr("coalesce(n_owned, cast(0 as bigint))").as("n_owned"),
+          expr("cast(coalesce(n_bands, cast(0 as bigint)) = " +
+            "coalesce(n_owned, cast(0 as bigint)) as int)").as("admitted"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -508,18 +576,26 @@ object Dedup {
     (full, pref, cand)
   }
 
-  private def duckEdgeCtes: String = {
+  /** The MinHash signature + LSH band CTE chain up to `bh`
+    * (doc_id, band, bh) — shared by the edge oracle (q18/q44) and the
+    * band-ownership admission oracle (q192).
+    */
+  private def duckBandCtes: String = {
     val minCols = perms.zipWithIndex
       .map { case ((a, b), j) => s"min(($a * h + $b) % $P) AS m$j" }
       .mkString(", ")
     val bhList = (0 until 6)
       .map(b => s"m${2 * b} * $P + m${2 * b + 1}").mkString("[", ", ", "]")
-    val nMatch = (0 until 12)
-      .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
     s"""hm AS (SELECT doc_id, h % $P AS h FROM ($duckShingleHashes)),
         sig AS (SELECT doc_id, $minCols FROM hm GROUP BY doc_id),
         bands AS (SELECT doc_id, unnest(generate_series(0, 5)) AS band, $bhList AS bhs FROM sig),
-        bh AS (SELECT doc_id, band, bhs[band + 1] AS bh FROM bands),
+        bh AS (SELECT doc_id, band, bhs[band + 1] AS bh FROM bands)"""
+  }
+
+  private def duckEdgeCtes: String = {
+    val nMatch = (0 until 12)
+      .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$duckBandCtes,
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
         scored AS (SELECT doc_a, doc_b, $nMatch AS n_match
@@ -554,6 +630,23 @@ object Dedup {
           SELECT id AS doc_id, min(lbl) AS cluster_id
           FROM reach GROUP BY id ORDER BY doc_id""",
     "q19_ngram_jaccard" -> duckJaccardSql,
+    // band-ownership admission: owner = min presenter per (band, bh);
+    // admitted iff the doc owns all its bands; shingle-less docs admit
+    // with zero bands. Shares the q18 band chain — the two cannot drift.
+    "q192_band_admission" ->
+      s"""WITH $duckBandCtes,
+          own AS (SELECT band, bh, min(doc_id) AS owner
+                  FROM bh GROUP BY band, bh),
+          per AS (SELECT b.doc_id, count(*) AS n_bands,
+                    CAST(sum(CASE WHEN b.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT) AS n_owned
+                  FROM bh b JOIN own o ON b.band = o.band AND b.bh = o.bh
+                  GROUP BY b.doc_id)
+          SELECT d.doc_id,
+            COALESCE(per.n_bands, 0) AS n_bands,
+            COALESCE(per.n_owned, 0) AS n_owned,
+            CAST(COALESCE(per.n_bands, 0) = COALESCE(per.n_owned, 0) AS INT) AS admitted
+          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+          ORDER BY d.doc_id""",
     // q165: SAME oracle as q19 on purpose — the prefix filter is a
     // completeness theorem, and the gate enforces it empirically (one
     // missed pair and the hash goes red).

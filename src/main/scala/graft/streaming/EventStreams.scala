@@ -244,6 +244,117 @@ object EventStreams {
     else scored.dropDuplicates("fp")
   }
 
+  /** Streaming BAND-ADMISSION ingest (round 15): q192's band-ownership
+    * near-dup suppression enforced AS DOCUMENTS ARRIVE — the admission
+    * rule a 100 TB ingest can actually hold, where q44's connected
+    * components cannot (a future document can merge two clusters, so
+    * no stream can emit exact cluster representatives). A document is
+    * ADMITTED iff it is the first presenter (minimum doc_id) of every
+    * one of its 6 MinHash-LSH bands; any band someone already owns
+    * suppresses the arrival into that owner's cluster.
+    *
+    * State is fully DISTRIBUTED — one (band, bh) → owner registry
+    * parquet under the catalog's workDir, appended per micro-batch
+    * (never rewritten; duplicate rows from a crash-replay collapse in
+    * the min-owner read), one registry join per batch, nothing
+    * driver-sized. Admission output lands in per-batch directories
+    * written with OVERWRITE, so every crash window replays
+    * idempotently; the `last_batch` guard stamps LAST (the crash-safe
+    * fold discipline).
+    *
+    * Contract: doc_ids are unique, non-null, and arrive MONOTONE
+    * across batches (the ingest id discipline) — enforced loudly via
+    * the rider's running max, because an out-of-order smaller id could
+    * silently steal ownership the fold already granted, breaking the
+    * fold == [[graft.queries.Dedup]] q192-batch-operator law the
+    * EventStreamsSpec pins.
+    */
+  def maintainBandAdmission(docs: DataFrame,
+      catalog: graft.catalog.MetaCatalog, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val name = s"${table}__admitted"
+    val path = s"${catalog.samplesDir}/$name"
+    val regPath = s"${catalog.samplesDir}/${name}__registry"
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        graft.functions.GraftFunctions.register(s)
+        val rider = catalog.getSketch(table, "text", "bandreg_state")
+        val riderParams = rider.map(_.parameters).getOrElse("{}")
+        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+        if (batchId > lastBatch) {
+          val prevRows = """"rows"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(0L)
+          val prevMaxId = """"max_id"\s*:\s*(-?\d+)""".r
+            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+            .getOrElse(Long.MinValue)
+          val idStats = batch.agg(count(lit(1)).as("n"),
+            count(col("doc_id")).as("nn"), min(col("doc_id")).as("mn"),
+            max(col("doc_id")).as("mx")).collect()(0)
+          val n = idStats.getLong(0)
+          if (n > 0) {
+            require(idStats.getLong(1) == n,
+              s"band admission on $table: doc_id must be non-null")
+            require(idStats.getLong(2) > prevMaxId,
+              s"band admission on $table: doc_ids must arrive monotone " +
+                s"across batches (batch min ${idStats.getLong(2)} <= " +
+                s"prior max $prevMaxId) — an out-of-order id would " +
+                "steal ownership the fold already granted")
+          }
+          val maxId = if (n > 0) math.max(prevMaxId, idStats.getLong(3))
+            else prevMaxId
+          val bands = graft.queries.Dedup
+            .bandsOf(batch.select(col("doc_id"), col("text")))
+            .localCheckpoint()
+          val batchOwn = bands.groupBy(col("band"), col("bh"))
+            .agg(min(col("doc_id")).as("bown"))
+          val reg =
+            if (new java.io.File(regPath).exists)
+              s.read.parquet(regPath).groupBy(col("band"), col("bh"))
+                .agg(min(col("owner")).as("rown"))
+            else batchOwn.select(col("band"), col("bh"),
+              col("bown").as("rown")).limit(0)
+          val merged = batchOwn.join(reg, Seq("band", "bh"), "left")
+            .select(col("band"), col("bh"),
+              expr("least(bown, coalesce(rown, bown))").as("owner"),
+              col("rown").isNull.as("fresh"))
+            .localCheckpoint()
+          val per = bands.join(merged, Seq("band", "bh"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bands"),
+              sum(expr("case when doc_id = owner then 1 else 0 end"))
+                .as("n_owned"))
+          val admitted = batch.select(col("doc_id"))
+            .join(per, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              expr("coalesce(n_bands, cast(0 as bigint))").as("n_bands"),
+              expr("coalesce(n_owned, cast(0 as bigint))").as("n_owned"),
+              expr("cast(coalesce(n_bands, cast(0 as bigint)) = " +
+                "coalesce(n_owned, cast(0 as bigint)) as int)")
+                .as("admitted"))
+          // per-batch OVERWRITE directory: a replay after any crash
+          // window rewrites identical content instead of duplicating
+          admitted.write.mode("overwrite").parquet(s"$path/b$batchId")
+          merged.filter(col("fresh"))
+            .select(col("band"), col("bh"), col("owner"))
+            .write.mode("append").parquet(regPath)
+          val nAdm = s.read.parquet(s"$path/b$batchId")
+            .filter(col("admitted") === 1).count()
+          s.read.parquet(s"$path/b*").createOrReplaceTempView(name)
+          graft.queries.Checkpoints.free(bands)
+          graft.queries.Checkpoints.free(merged)
+          // replay-guard stamp LAST (crash-safe fold discipline)
+          catalog.upsertSketch(catalog.SketchInfo(table, "text",
+            "bandreg_state", Array.emptyByteArray,
+            s"""{"rows":${prevRows + nAdm},"max_id":$maxId,"last_batch":$batchId}""",
+            System.currentTimeMillis()))
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming AQP: the engine's sampled-aggregate strategy applied to
     * a live stream — the "Streaming Summaries" capability the reference
     * lists as future work (/root/reference/README.md:303-305), made

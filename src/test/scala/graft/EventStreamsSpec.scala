@@ -1892,4 +1892,72 @@ class EventStreamsSpec extends SparkSpec {
     assert(sums(catalog.getSketch("rev_live", "k->v", "topk").get.data) ==
       sums(blob.data), "overflow batch must not modify the blob")
   }
+
+  test("band-admission ingest: fold across monotone batches == the q192 batch operator; replay guarded; out-of-order ids refuse") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-bandadm").toString)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mid = docs(docs.length / 2)._1
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.maintainBandAdmission(
+      stream.toDF().toDF("doc_id", "text"), catalog, "docs_live")
+    stream.addData(docs.filter(_._1 <= mid).toSeq)
+    q.processAllAvailable()
+    stream.addData(docs.filter(_._1 > mid).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // fold == batch law: the two-batch admission equals q192 over the
+    // whole corpus (foreachBatch views live in a CLONED session — read
+    // the persisted output, the authority)
+    val outPath = s"${catalog.samplesDir}/docs_live__admitted/b*"
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("n_bands"), col("n_owned"), col("admitted"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val got = shape(spark.read.parquet(outPath))
+    val want = shape(
+      graft.queries.Dedup.queries("q192_band_admission")(spark, sfDir))
+    assert(got == want)
+    // the fixture really exercises suppression and the trivial-admit arm
+    assert(got.exists(_._4 == 0), "no doc was suppressed")
+    assert(got.exists(t => t._4 == 1 && t._2 == 6), "no full owner admitted")
+    val rider = catalog.getSketch("docs_live", "text", "bandreg_state").get
+    assert(rider.parameters.contains(s""""rows":${want.count(_._4 == 1)}"""),
+      rider.parameters)
+
+    // replay guard: a restarted stream re-sends both batches under ids
+    // 0/1 <= last_batch — skipped before any write, output unchanged
+    val replay = MemoryStream[(Long, String)]
+    val q2 = EventStreams.maintainBandAdmission(
+      replay.toDF().toDF("doc_id", "text"), catalog, "docs_live")
+    replay.addData(docs.filter(_._1 <= mid).toSeq)
+    q2.processAllAvailable()
+    replay.addData(docs.filter(_._1 > mid).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(shape(spark.read.parquet(outPath)) == want)
+
+    // out-of-order arrival refuses loudly: a smaller id after the fold
+    // would steal ownership the registry already granted
+    val cat2 = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-bandadm2").toString)
+    val mono = MemoryStream[(Long, String)]
+    val q3 = EventStreams.maintainBandAdmission(
+      mono.toDF().toDF("doc_id", "text"), cat2, "docs_mono")
+    mono.addData(Seq((10L, "a b c d e")))
+    q3.processAllAvailable()
+    mono.addData(Seq((5L, "p q r s t")))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("monotone") ||
+      Option(ex.getCause).exists(_.getMessage.contains("monotone")),
+      ex.getMessage)
+    q3.stop()
+  }
 }
