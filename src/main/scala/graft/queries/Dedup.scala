@@ -173,24 +173,39 @@ object Dedup {
     * edge materialization — what the first build executes and what
     * tools/Plans inspects for the slim (id, band, bh) band exchange.
     */
-  private[graft] def minhashEdgesFresh(s: SparkSession, dir: String): DataFrame = {
+  /** The memoized per-doc MinHash signature — one row per doc, read by
+    * the band explode, both q18 rejoin sides, and the q192 band
+    * assignment (at cluster scale the standard LSH pipeline persists
+    * the signature dataset).
+    */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
       expr(s"min((${a}L * h + ${b}L) % ${P}L)").as(s"m$j")
     }
-    // signatures are tiny (one row per doc) and read by the band
-    // explode + both rejoin sides: materialize once (at cluster scale
-    // the standard LSH pipeline persists the signature dataset).
-    val sig = memo(s, dir, "minhashSig") {
+    memo(s, dir, "minhashSig") {
       shingleHashes(s, dir)
         .withColumn("h", col("h") % P)
         .groupBy(col("doc_id"))
         .agg(minCols.head, minCols.tail: _*)
     }
+  }
+
+  /** (doc_id, band, bh) over the corpus from the MEMOIZED signature —
+    * q192's input (the streaming twin bands arbitrary frames via
+    * [[bandsOf]]; identical arithmetic).
+    */
+  private[graft] def bandAssignments(s: SparkSession, dir: String): DataFrame = {
     val bandStructs = (0 until 6)
       .map(b => s"struct($b as band, m${2 * b} * ${P}L + m${2 * b + 1} as bh)")
       .mkString("array(", ", ", ")")
-    val bands = sig.select(col("doc_id"), explode(expr(bandStructs)).as("bb"))
+    minhashSig(s, dir)
+      .select(col("doc_id"), explode(expr(bandStructs)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+  }
+
+  private[graft] def minhashEdgesFresh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val bands = bandAssignments(s, dir)
     val pairs = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -492,7 +507,7 @@ object Dedup {
     "q192_band_admission" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val bands = bandsOf(docs.select(col("doc_id"), col("text")))
+      val bands = bandAssignments(s, dir)
       val own = bands.groupBy(col("band"), col("bh"))
         .agg(min(col("doc_id")).as("owner"))
       val per = bands.join(own, Seq("band", "bh"))
