@@ -562,10 +562,20 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
         val bkt = req("bucket_micros").flatMap(_.num).map(_.toLong)
         val params = req("parameters").getOrElse(Json.O(Map.empty))
         (streams.get(streamName), win, bkt) match {
-          case _ if table.isEmpty || tpe.isEmpty || ts.isEmpty =>
+          case _ if table.isEmpty || tpe.isEmpty ||
+              (ts.isEmpty && tpe != "band_admission") =>
             (400, err("table, sketch_type and ts_column required"))
           case (None, _, _) =>
             (400, err(s"unknown stream '$streamName' — POST /streams/register first"))
+          // the INGEST maintainer: no event-time window — admission is
+          // permanent (first presenter of every LSH band wins)
+          case (Some(df), _, _) if tpe == "band_admission" =>
+            val q = graft.streaming.EventStreams
+              .maintainBandAdmission(df, engine.catalog, table)
+            val id = s"$table/text/band_admission"
+            maintainers.put(id, (streamName, q))
+              .foreach { case (_, old) => if (old.isActive) old.stop() }
+            (200, s"""{"status": "ok", "maintainer": ${jstr(id)}, "stream": ${jstr(streamName)}}""")
           case (_, None, _) | (_, _, None) =>
             (400, err("window_micros and bucket_micros required"))
           case (Some(df), Some(w), Some(b)) =>

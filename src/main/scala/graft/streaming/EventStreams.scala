@@ -290,19 +290,25 @@ object EventStreams {
             .findFirstMatchIn(riderParams).map(_.group(1).toLong)
             .getOrElse(Long.MinValue)
           val idStats = batch.agg(count(lit(1)).as("n"),
-            count(col("doc_id")).as("nn"), min(col("doc_id")).as("mn"),
+            count(col("doc_id")).as("nn"),
+            countDistinct(col("doc_id")).as("nd"),
+            min(col("doc_id")).as("mn"),
             max(col("doc_id")).as("mx")).collect()(0)
           val n = idStats.getLong(0)
           if (n > 0) {
             require(idStats.getLong(1) == n,
               s"band admission on $table: doc_id must be non-null")
-            require(idStats.getLong(2) > prevMaxId,
+            require(idStats.getLong(2) == n,
+              s"band admission on $table: doc_id must be unique within " +
+                s"a batch (${n - idStats.getLong(2)} duplicates) — a dup " +
+                "would emit duplicate admission rows")
+            require(idStats.getLong(3) > prevMaxId,
               s"band admission on $table: doc_ids must arrive monotone " +
-                s"across batches (batch min ${idStats.getLong(2)} <= " +
+                s"across batches (batch min ${idStats.getLong(3)} <= " +
                 s"prior max $prevMaxId) — an out-of-order id would " +
                 "steal ownership the fold already granted")
           }
-          val maxId = if (n > 0) math.max(prevMaxId, idStats.getLong(3))
+          val maxId = if (n > 0) math.max(prevMaxId, idStats.getLong(4))
             else prevMaxId
           val bands = graft.queries.Dedup
             .bandsOf(batch.select(col("doc_id"), col("text")))

@@ -755,6 +755,40 @@ class ApiServerSpec extends SparkSpec {
     } finally s2.stop()
   }
 
+  test("band-admission ingest over HTTP: register stream, maintain, flush — admission log and registry land under the workDir (round 15)") {
+    import org.apache.spark.sql.functions._
+    val work = Files.createTempDirectory("graft-http-adm").toString
+    val srcDir = Files.createTempDirectory("graft-http-adm-src").toString
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val s4 = new Server(new QueryEngine(spark, new MetaCatalog(work)))
+    s4.start()
+    try {
+      assert(httpAt(s4.boundPort, "POST", "/streams/register",
+        Some(s"""{"name": "sd", "path": "$srcDir"}"""))._1 == 200)
+      val (cm, bm) = httpAt(s4.boundPort, "POST", "/sketches/maintain", Some(
+        """{"stream": "sd", "table": "docs_http", "sketch_type": "band_admission"}"""))
+      assert(cm == 200, bm)
+      assert(bm.contains("docs_http/text/band_admission"), bm)
+      assert(httpAt(s4.boundPort, "POST", "/streams/flush",
+        Some("""{"name": "sd"}"""))._1 == 200)
+      // one batch == the q192 batch operator (the EventStreamsSpec law;
+      // here we pin the HTTP wiring: output + registry under workDir,
+      // rider rows == admitted count)
+      val out = spark.read
+        .parquet(s"$work/samples/docs_http__admitted/b*")
+      val nAdm = out.filter(col("admitted") === 1).count()
+      assert(out.count() == spark.read.parquet(srcDir).count())
+      assert(nAdm > 0 && nAdm < out.count(), s"adm=$nAdm of ${out.count()}")
+      val rider = new MetaCatalog(work)
+        .getSketch("docs_http", "text", "bandreg_state").get
+      assert(rider.parameters.contains(s""""rows":$nAdm"""), rider.parameters)
+      assert(spark.read
+        .parquet(s"$work/samples/docs_http__admitted__registry").count() > 0)
+    } finally s4.stop()
+  }
+
   test("catalog reload and vacuum over HTTP: another process's blobs appear after reload; stale artifacts reclaim (round 15)") {
     val dir = Files.createTempDirectory("graft-http-gc").toString
     val s3 = new Server(new QueryEngine(spark, new MetaCatalog(dir)))
