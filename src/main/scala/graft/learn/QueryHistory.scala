@@ -52,20 +52,24 @@ final class QueryHistory(persistDir: Option[String] = None) {
   }
 
   // replay the persisted log (restart law); a truncated tail record —
-  // crash mid-append — ends the replay without failing the boot
+  // crash mid-append — ends the replay without failing the boot, and
+  // any other malformed bytes end it too (a damaged log degrades to
+  // "less learned history", never a boot failure)
   logPath.filter(Files.exists(_)).foreach { p =>
     val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
     try {
       var done = false
       while (!done) {
         try records += readRecord(in)
-        catch { case _: EOFException => done = true }
+        catch { case scala.util.control.NonFatal(_) => done = true }
       }
     } finally in.close()
   }
 
   private def readRecord(in: DataInputStream): Record = {
     val len = in.readInt()
+    if (len < 0 || len > (1 << 20))
+      throw new EOFException(s"bad length $len")
     val buf = new Array[Byte](len)
     in.readFully(buf)
     val r = new DataInputStream(new java.io.ByteArrayInputStream(buf))
@@ -77,17 +81,21 @@ final class QueryHistory(persistDir: Option[String] = None) {
   private def writeRecord(rec: Record): Unit = logPath.foreach { p =>
     val body = new java.io.ByteArrayOutputStream()
     val w = new DataOutputStream(body)
+    w.writeInt(0) // length placeholder — patched below
     w.writeUTF(rec.queryPattern); w.writeLong(rec.tableSize)
     w.writeUTF(rec.strategy); w.writeDouble(rec.actualSpeedup)
     w.writeDouble(rec.actualError); w.writeDouble(rec.predictedSpeedup)
     w.writeDouble(rec.predictedError); w.writeLong(rec.executionTimeMs)
     w.writeDouble(rec.errorTolerance); w.writeLong(rec.timestampMs)
-    val out = new DataOutputStream(new FileOutputStream(p.toFile, true))
-    try {
-      out.writeInt(body.size())
-      body.writeTo(out)
-      out.flush()
-    } finally out.close()
+    val arr = body.toByteArray
+    val len = arr.length - 4
+    arr(0) = (len >>> 24).toByte; arr(1) = (len >>> 16).toByte
+    arr(2) = (len >>> 8).toByte; arr(3) = len.toByte
+    // ONE write syscall to the O_APPEND stream: concurrent appenders
+    // (two engines over one workDir) emit whole records, not
+    // interleaved fragments that would corrupt the log mid-file
+    val out = new FileOutputStream(p.toFile, true)
+    try { out.write(arr); out.flush() } finally out.close()
   }
 
   def append(r: Record): Unit = synchronized {

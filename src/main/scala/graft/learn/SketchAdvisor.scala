@@ -169,7 +169,10 @@ final class SketchAdvisor(maxKeys: Int = 4096,
   }
 
   // reload the persisted snapshot (restart law): entries re-enter in
-  // stored order, so the access-ordered LRU resumes where it left off
+  // stored order, so the access-ordered LRU resumes where it left off.
+  // The snapshot is written via atomic rename, so corruption should be
+  // impossible — but a damaged file degrades to "advice forgotten",
+  // never a boot failure (the same policy as the history log).
   snapshotPath.filter(java.nio.file.Files.exists(_)).foreach { p =>
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       java.nio.file.Files.newInputStream(p)))
@@ -183,6 +186,8 @@ final class SketchAdvisor(maxKeys: Int = 4096,
         misses.put(Candidate(table, column, sketchType, groupBy),
           Long.box(count))
       }
+    } catch {
+      case scala.util.control.NonFatal(_) => misses.clear()
     } finally in.close()
   }
 

@@ -122,6 +122,27 @@ class StrategyChooserSpec extends AnyFunSuite {
     assert(h2.all.map(_.queryPattern) == Seq("p1", "p2"))
   }
 
+  test("durable history: mid-file damage ends the replay at the damage, keeping the prefix (never a boot failure)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hist-damage").toString
+    val h1 = new graft.learn.QueryHistory(Some(dir))
+    (1 to 3).foreach { i =>
+      h1.append(QueryHistory.Record(s"p$i", 1000, "exact", 1.0, 0.0,
+        1.0, 0.0, 5, tol, i.toLong))
+    }
+    val log = java.nio.file.Paths.get(dir, "meta", "query_history.bin")
+    val bytes = java.nio.file.Files.readAllBytes(log)
+    // record 1's big-endian length prefix locates record 2's header;
+    // smash that header to an absurd length
+    val len1 = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+      ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    val off = 4 + len1
+    bytes(off) = 0x7f.toByte
+    java.nio.file.Files.write(log, bytes)
+    val h2 = new graft.learn.QueryHistory(Some(dir))
+    assert(h2.all.map(_.queryPattern) == Seq("p1"))
+  }
+
   test("durable advisor misses: pending build advice survives a restart") {
     import graft.learn.SketchAdvisor
     val dir = java.nio.file.Files
