@@ -127,13 +127,15 @@ object Bench {
     // every cross-round drift read had to re-adjudicate it by hand. A
     // pass exceeding 3× the query's own min AND 0.3 s absolute slack
     // (sub-second queries jitter multiplicatively on scheduling noise
-    // alone) is a contention artifact, not a reading: retry it (bounded
-    // at 3 per query), keep the quieter of outlier-vs-retry, and count
-    // every rejection in BENCH_DETAIL's rejected_passes — pass_times
-    // stays outlier-free on a quiet host and a loud-host record is
-    // flagged by its nonzero rejection count, readable from the
-    // artifact alone.
-    val rejectedPasses = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // alone) is treated as a contention artifact: retry it (bounded at
+    // 3 per query), and ONLY if the retry is quieter replace the
+    // outlier, moving the DROPPED READING into rejected_passes — the
+    // artifact keeps every measurement (a dropped cold first pass is
+    // still visible there), pass_times stays outlier-free on a quiet
+    // host, and a retry that was itself loud changes nothing and
+    // records nothing (no phantom rejections).
+    val rejectedPasses =
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     passTimes.keys.toSeq.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         var budget = 3
@@ -144,9 +146,11 @@ object Bench {
           try {
             val t = timed(fn)
             val ts = passTimes(name)
-            passTimes(name) =
-              math.min(t, ts.max) :: ts.diff(List(ts.max))
-            rejectedPasses(name) = rejectedPasses.getOrElse(name, 0) + 1
+            if (t < ts.max) {
+              rejectedPasses(name) =
+                ts.max :: rejectedPasses.getOrElse(name, Nil)
+              passTimes(name) = t :: ts.diff(List(ts.max))
+            }
           } catch { case _: Throwable => budget = 0 }
         }
       }
@@ -712,8 +716,9 @@ object Bench {
     val isolatedJson = isolated.map { case (k, (c, t, rej)) =>
       s"""${jstr(k)}:{"canary_s":$c,"min3_s":$t,"rejected_attempts":$rej}"""
     }.mkString("{", ",", "}")
-    val rejJson = rejectedPasses.map { case (k, n) => jstr(k) + ":" + n }
-      .mkString("{", ",", "}")
+    val rejJson = rejectedPasses.map { case (k, ts) =>
+      jstr(k) + ":[" + ts.reverse.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val storageJson = storageSnaps.map { case (n, bytes) =>
       s"""{"rdds":$n,"mem_mb":${bytes / (1024 * 1024)}}"""
     }.mkString("[", ",", "]")

@@ -47,6 +47,9 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
     maintainers.values.foreach { case (_, q) => if (q.isActive) q.stop() }
     maintainers.clear()
     streams.clear()
+    // orderly shutdown flushes the advisor's throttled snapshot: a
+    // clean exit loses nothing, the 1 s window only bounds crash loss
+    engine.sketchAdvisor.flush()
     server.stop(0)
   }
 
@@ -570,8 +573,10 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
           // the INGEST maintainer: no event-time window — admission is
           // permanent (first presenter of every LSH band wins)
           case (Some(df), _, _) if tpe == "band_admission" =>
-            val q = graft.streaming.EventStreams
-              .maintainBandAdmission(df, engine.catalog, table)
+            val q = graft.streaming.EventStreams.maintainBandAdmission(
+              df, engine.catalog, table,
+              checkpointLocation = Some(
+                s"${engine.catalog.samplesDir}/ckpt/${table}_text_band_admission"))
             val id = s"$table/text/band_admission"
             maintainers.put(id, (streamName, q))
               .foreach { case (_, old) => if (old.isActive) old.stop() }
@@ -583,33 +588,43 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
             val cat = engine.catalog
             val column = req("column").flatMap(_.str)
             def need(k: String) = params(k).flatMap(_.num)
+            // every HTTP-attached maintainer gets a DURABLE checkpoint
+            // under the workDir: batch ids then CONTINUE across server
+            // restarts, composing with the durable last_batch guard
+            // (a fresh temp checkpoint would restart ids at 0 and the
+            // guard would silently skip the first folds)
+            def ckpt(colKey: String): Option[String] = Some(
+              s"${cat.samplesDir}/ckpt/" +
+                s"${table}_${colKey.replaceAll("[^A-Za-z0-9_]", "_")}_$tpe")
             val started: Either[String, (String, org.apache.spark.sql.streaming.StreamingQuery)] =
               (tpe, column) match {
                 case ("hyperloglog", Some(c)) => Right(c ->
                   EventStreams.maintainHllWindowed(df, cat, table, c, ts, w, b,
-                    need("b").map(_.toInt).getOrElse(12)))
+                    need("b").map(_.toInt).getOrElse(12), ckpt(c)))
                 case ("countmin", Some(c)) => Right(c ->
                   EventStreams.maintainCmsWindowed(df, cat, table, c, ts, w, b,
-                    need("epsilon").getOrElse(0.01), need("delta").getOrElse(0.01)))
+                    need("epsilon").getOrElse(0.01),
+                    need("delta").getOrElse(0.01), ckpt(c)))
                 case ("histogram", Some(c)) =>
                   (need("lo"), need("width"), need("buckets")) match {
                     case (Some(lo), Some(wd), Some(nb)) => Right(c ->
                       WindowedSketches.maintainHistogramWindowed(df, cat,
-                        table, c, ts, w, b, lo, wd, nb.toInt))
+                        table, c, ts, w, b, lo, wd, nb.toInt, ckpt(c)))
                     case _ => Left("histogram needs parameters.lo/width/buckets")
                   }
                 case ("kmv", Some(c)) => Right(c ->
                   WindowedSketches.maintainKmvWindowed(df, cat, table, c, ts, w, b,
-                    need("k").map(_.toInt).getOrElse(1024)))
+                    need("k").map(_.toInt).getOrElse(1024), ckpt(c)))
                 case ("hdr", Some(c)) => Right(c ->
                   WindowedSketches.maintainHdrWindowed(df, cat, table, c, ts, w, b,
-                    need("m").map(_.toInt).getOrElse(32)))
+                    need("m").map(_.toInt).getOrElse(32), ckpt(c)))
                 case ("topk", _) =>
                   (req("group_by").flatMap(_.str), need("threshold")) match {
                     case (Some(g), Some(t)) =>
                       val cols = g.split(",").map(_.trim).filter(_.nonEmpty).toSeq
                       Right(g -> WindowedSketches.maintainTopKWindowed(
-                        df, cat, table, cols, ts, w, b, t.toLong))
+                        df, cat, table, cols, ts, w, b, t.toLong,
+                        checkpointLocation = ckpt(g)))
                     case _ => Left("topk needs group_by and parameters.threshold")
                   }
                 case ("bottomk", _) =>
@@ -617,7 +632,7 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
                     case Some(k) => Right(k ->
                       SampleMaintainers.maintainBottomKWindowed(df, cat,
                         table, k, ts, w, b,
-                        need("k").map(_.toInt).getOrElse(2048)))
+                        need("k").map(_.toInt).getOrElse(2048), ckpt(k)))
                     case None => Left("bottomk needs key_column")
                   }
                 case (t, None) => Left(s"sketch_type '$t' needs column")

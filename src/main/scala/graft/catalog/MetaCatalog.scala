@@ -129,16 +129,25 @@ final class MetaCatalog(val workDir: String) {
   private def metaLock = metaDir.resolve(".lock")
 
   /** Write-temp + atomic rename: readers never observe a torn file,
-    * and a crash mid-write leaves the previous snapshot intact.
+    * and a crash mid-write leaves the previous snapshot intact. A
+    * failed write deletes its temp file — retrying maintainers must
+    * not litter the directory with one orphan per attempt.
     */
   private def writeAtomic(target: Path)(body: DataOutputStream => Unit): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString +
       s".tmp-${ProcessHandle.current.pid}-${Thread.currentThread.getId}")
-    val out = new DataOutputStream(new BufferedOutputStream(
-      Files.newOutputStream(tmp)))
-    try { body(out); out.flush() } finally out.close()
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val out = new DataOutputStream(new BufferedOutputStream(
+        Files.newOutputStream(tmp)))
+      try { body(out); out.flush() } finally out.close()
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case t: Throwable =>
+        try Files.deleteIfExists(tmp)
+        catch { case _: java.io.IOException => () }
+        throw t
+    }
   }
 
   private def readFile[T](path: Path)(body: DataInputStream => T): Option[T] =
@@ -394,7 +403,14 @@ final class MetaCatalog(val workDir: String) {
     * verdict's GC gap: retired samples were correctly skipped by the
     * freshness guards but their parquet stayed on disk forever.
     */
-  def dropSample(sampleTable: String): Unit = locked(metaLock) {
+  def dropSample(sampleTable: String): Unit =
+    locked(metaLock)(dropSampleLocked(sampleTable))
+
+  // the body of dropSample for callers ALREADY inside the meta lock
+  // (vacuumStaleSamples) — `locked` takes a fresh OS FileLock per call,
+  // and a nested acquisition on the same path in one JVM throws
+  // OverlappingFileLockException rather than blocking
+  private def dropSampleLocked(sampleTable: String): Unit = {
     loadSamples(); loadStrata()
     samples.remove(sampleTable).foreach { s =>
       deleteRecursively(Paths.get(s.path))
@@ -418,31 +434,53 @@ final class MetaCatalog(val workDir: String) {
     * Retiring a maintained sample is an explicit `dropSample`.
     */
   def vacuumStaleSamples(table: String)(
-      kind: SampleInfo => Boolean = _ => true): Seq[String] = {
+      kind: SampleInfo => Boolean = _ => true): Seq[String] = locked(metaLock) {
+    // staleness is decided INSIDE the lock on freshly loaded state —
+    // an unlocked snapshot could outlast another process's
+    // refreshSampleBase/stats rebuild and delete a sample that is
+    // fresh on disk (cross-process TOCTOU)
+    loadSamples(); loadStats()
     val stale = samplesFor(table)
       .filter(s => kind(s) && !sampleIsFresh(s))
       .filterNot(s => Files.exists(Paths.get(s.path + "__state")))
       .map(_.sampleTable)
-    stale.foreach(dropSample)
+    stale.foreach(dropSampleLocked)
     stale
   }
 
+  /** Sketch types that carry LIVE MAINTAINER STATE rather than a
+    * serving blob: windowed per-bucket packs, replay-guard riders, and
+    * sample riders. Several record a running `"rows"` count that
+    * legitimately disagrees with a batch builder's table stats (the
+    * same divergence vacuumStaleSamples documents for maintained
+    * samples), so the rows-evidence staleness rule must never reclaim
+    * them — deleting a rider resets the replay guard and reseeds the
+    * running counts, the exact states it exists to protect.
+    */
+  private def isMaintainerState(sketchType: String): Boolean =
+    sketchType.endsWith("_windowed") || sketchType.endsWith("_rider") ||
+      sketchType.endsWith("_state")
+
   /** Reclaim every stale artifact of `table`: samples whose base
-    * rowcount disagrees with the table stats, and sketch blobs whose
-    * recorded build `"rows"` does (the engine's sketchIsFresh rule —
-    * riders without a "rows" field carry live maintainer state and are
-    * never stale by this evidence). Returns (samples, sketches) dropped.
+    * rowcount disagrees with the table stats, and SERVING sketch blobs
+    * whose recorded build `"rows"` does (the engine's sketchIsFresh
+    * rule). Maintainer state — windowed packs, riders, replay guards —
+    * is never touched (see [[isMaintainerState]]); retiring a live
+    * maintainer is an explicit dropSketch. Returns (samples, sketches)
+    * dropped.
     */
   def vacuum(table: String): (Seq[String], Seq[(String, String, String)]) = {
     val droppedSamples = vacuumStaleSamples(table)()
     val rowsRe = """"rows"\s*:\s*(\d+)""".r
-    val droppedSketches = listSketches(Some(table)).filter { s =>
-      (rowsRe.findFirstMatchIn(s.parameters).map(_.group(1).toLong),
-        statsFor(table)) match {
-        case (Some(recorded), Some(ts)) => recorded != ts.rowCount
-        case _                          => false
-      }
-    }.map(s => (s.tableName, s.columnName, s.sketchType))
+    val droppedSketches = listSketches(Some(table))
+      .filterNot(s => isMaintainerState(s.sketchType))
+      .filter { s =>
+        (rowsRe.findFirstMatchIn(s.parameters).map(_.group(1).toLong),
+          statsFor(table)) match {
+          case (Some(recorded), Some(ts)) => recorded != ts.rowCount
+          case _                          => false
+        }
+      }.map(s => (s.tableName, s.columnName, s.sketchType))
     droppedSketches.foreach { case (t, c, ty) => dropSketch(t, c, ty) }
     (droppedSamples, droppedSketches)
   }

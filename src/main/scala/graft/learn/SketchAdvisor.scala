@@ -212,12 +212,33 @@ final class SketchAdvisor(maxKeys: Int = 4096,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // Snapshot writes are THROTTLED off the query serve path: observe()
+  // runs per missed query, and rewriting a warm 4096-entry snapshot on
+  // each one would add two filesystem ops per query for data that only
+  // needs to survive restarts. At most one write per second; a crash
+  // inside the window forgets ≤1 s of misses, which re-accumulate from
+  // the same workload — the same graceful degradation as a damaged
+  // snapshot.
+  @volatile private var lastPersistMs = 0L
+
   def observe(cs: Seq[Candidate]): Unit = misses.synchronized {
     cs.foreach { c =>
       misses.put(c, Long.box(Option(misses.get(c)).fold(1L)(_ + 1L)))
     }
-    if (cs.nonEmpty) persist()
+    if (cs.nonEmpty) {
+      val now = System.currentTimeMillis()
+      if (now - lastPersistMs >= 1000L) {
+        persist()
+        lastPersistMs = now
+      }
+    }
   }
+
+  /** Write the current snapshot NOW, bypassing the throttle — orderly
+    * shutdown (Server.stop) and restart-law tests call this so nothing
+    * inside the 1 s window is lost on a clean exit.
+    */
+  def flush(): Unit = misses.synchronized(persist())
 
   def snapshot: Map[Candidate, Long] = misses.synchronized {
     import scala.jdk.CollectionConverters._

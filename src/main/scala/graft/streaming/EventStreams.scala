@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -268,9 +270,20 @@ object EventStreams {
     * silently steal ownership the fold already granted, breaking the
     * fold == [[graft.queries.Dedup]] q192-batch-operator law the
     * EventStreamsSpec pins.
+    *
+    * RESTART contract: pass a DURABLE `checkpointLocation` (the HTTP
+    * route always does) for any attachment that must survive a process
+    * restart — Spark then resumes the source's processed-files log and
+    * batch ids continue monotonically past the durable rider's
+    * `last_batch`. Re-attaching WITHOUT the original checkpoint resets
+    * batch ids to 0, and the guard would silently skip the first
+    * `last_batch + 1` folds; the monotone-id contract catches the
+    * re-presentation of old files loudly, but genuinely new documents
+    * folded into those early batches would be lost — don't do it.
     */
   def maintainBandAdmission(docs: DataFrame,
-      catalog: graft.catalog.MetaCatalog, table: String)
+      catalog: graft.catalog.MetaCatalog, table: String,
+      checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val name = s"${table}__admitted"
     val path = s"${catalog.samplesDir}/$name"
@@ -347,7 +360,10 @@ object EventStreams {
             .write.mode("append").parquet(regPath)
           val nAdm = s.read.parquet(s"$path/b$batchId")
             .filter(col("admitted") === 1).count()
-          s.read.parquet(s"$path/b*").createOrReplaceTempView(name)
+          // no temp-view registration here: foreachBatch runs in a
+          // CLONED session, so a view would never reach the serving
+          // session (the round-14 lesson) — consumers read the
+          // persisted output (`<path>/b*`), the durable authority
           graft.queries.Checkpoints.free(bands)
           graft.queries.Checkpoints.free(merged)
           // replay-guard stamp LAST (crash-safe fold discipline)
@@ -358,7 +374,7 @@ object EventStreams {
         }
         ()
       }
-      .start()
+      .pipe(w => StreamCkpt.start(w, checkpointLocation))
   }
 
   /** Streaming AQP: the engine's sampled-aggregate strategy applied to
@@ -506,7 +522,8 @@ object EventStreams {
   def maintainHllWindowed(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, column: String,
       tsCol: String, windowMicros: Long, bucketMicros: Long,
-      b: Int = 12): org.apache.spark.sql.streaming.StreamingQuery = {
+      b: Int = 12, checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(windowMicros >= bucketMicros && bucketMicros > 0,
       "need window >= bucket > 0")
     values.writeStream
@@ -578,7 +595,7 @@ object EventStreams {
         }
         ()
       }
-      .start()
+      .pipe(w => StreamCkpt.start(w, checkpointLocation))
   }
 
   /** WINDOWED CMS frequency — the batch twin of [[maintainCmsWindowed]]
@@ -649,7 +666,8 @@ object EventStreams {
   def maintainCmsWindowed(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, column: String,
       tsCol: String, windowMicros: Long, bucketMicros: Long,
-      epsilon: Double = 0.01, delta: Double = 0.01)
+      epsilon: Double = 0.01, delta: Double = 0.01,
+      checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(windowMicros >= bucketMicros && bucketMicros > 0,
       "need window >= bucket > 0")
@@ -725,7 +743,7 @@ object EventStreams {
         }
         ()
       }
-      .start()
+      .pipe(w => StreamCkpt.start(w, checkpointLocation))
   }
 
   /** Streaming histogram maintenance — the q74 strategy made LIVE: a

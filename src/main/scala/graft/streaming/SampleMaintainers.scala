@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -642,7 +644,8 @@ object SampleMaintainers {
   def maintainBottomKWindowed(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, keyCol: String,
       tsCol: String, windowMicros: Long, bucketMicros: Long,
-      k: Int = 2048): org.apache.spark.sql.streaming.StreamingQuery = {
+      k: Int = 2048, checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(k >= 1 && windowMicros >= bucketMicros && bucketMicros > 0,
       s"need k >= 1 and window >= bucket > 0")
     val name = s"${table}__bottomkw_$keyCol"
@@ -773,7 +776,7 @@ object SampleMaintainers {
         }
         ()
       }
-      .start()
+      .pipe(w => StreamCkpt.start(w, checkpointLocation))
   }
 
   /** Streaming WINDOWED GROUPED bottom-k sample maintenance (round 14)

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -108,7 +110,8 @@ object WindowedSketches {
   def maintainHistogramWindowed(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, column: String,
       tsCol: String, windowMicros: Long, bucketMicros: Long,
-      lo: Double, width: Double, buckets: Int)
+      lo: Double, width: Double, buckets: Int,
+      checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(buckets >= 1 && width > 0, "need buckets >= 1 and width > 0")
     require(windowMicros >= bucketMicros && bucketMicros > 0,
@@ -230,7 +233,7 @@ object WindowedSketches {
         }
         ()
       }
-      .start()
+      .pipe(w => StreamCkpt.start(w, checkpointLocation))
   }
 
   /** WINDOWED histogram stats — the batch twin of
@@ -473,7 +476,8 @@ object WindowedSketches {
   def maintainKmvWindowed(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, column: String,
       tsCol: String, windowMicros: Long, bucketMicros: Long,
-      k: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery = {
+      k: Int = 1024, checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(windowMicros >= bucketMicros && bucketMicros > 0,
       "need window >= bucket > 0")
@@ -545,7 +549,7 @@ object WindowedSketches {
         }
         ()
       }
-      .start()
+      .pipe(w => StreamCkpt.start(w, checkpointLocation))
   }
 
   /** WINDOWED KMV distinct — the batch twin of [[maintainKmvWindowed]]
@@ -630,7 +634,8 @@ object WindowedSketches {
       catalog: graft.catalog.MetaCatalog, table: String,
       groupCols: Seq[String], tsCol: String,
       windowMicros: Long, bucketMicros: Long, threshold: Long,
-      maxEntries: Int = graft.sketch.SketchOps.MaxHllGroups)
+      maxEntries: Int = graft.sketch.SketchOps.MaxHllGroups,
+      checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(groupCols.nonEmpty, "at least one group column required")
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
@@ -717,7 +722,7 @@ object WindowedSketches {
         }
         ()
       }
-      .start()
+      .pipe(w => StreamCkpt.start(w, checkpointLocation))
   }
 
   // ---------------------------------------------------------------
@@ -745,7 +750,8 @@ object WindowedSketches {
   def maintainHdrWindowed(values: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String, column: String,
       tsCol: String, windowMicros: Long, bucketMicros: Long,
-      m: Int = 32): org.apache.spark.sql.streaming.StreamingQuery = {
+      m: Int = 32, checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     require(windowMicros >= bucketMicros && bucketMicros > 0,
       "need window >= bucket > 0")
@@ -841,7 +847,7 @@ object WindowedSketches {
         }
         ()
       }
-      .start()
+      .pipe(w => StreamCkpt.start(w, checkpointLocation))
   }
 
   /** WINDOWED HDR percentile — the batch twin of [[maintainHdrWindowed]]

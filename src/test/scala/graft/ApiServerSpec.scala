@@ -789,6 +789,45 @@ class ApiServerSpec extends SparkSpec {
     } finally s4.stop()
   }
 
+  test("band-admission restart-resume: a rebooted server over the same workDir folds only NEW files, nothing skipped or doubled (round 15)") {
+    import org.apache.spark.sql.functions._
+    // the durable last_batch rider + the HTTP route's durable
+    // checkpoint must COMPOSE across restarts: without the checkpoint
+    // a fresh attachment restarts batch ids at 0 and the guard would
+    // silently skip the first folds
+    val work = Files.createTempDirectory("graft-http-adm-rst").toString
+    val srcDir = Files.createTempDirectory("graft-http-adm-rst-src").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val mid = 250L
+    docs.filter(col("doc_id") <= mid)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def boot(): Server = {
+      val s = new Server(new QueryEngine(spark, new MetaCatalog(work)))
+      s.start()
+      assert(httpAt(s.boundPort, "POST", "/streams/register",
+        Some(s"""{"name": "sr", "path": "$srcDir"}"""))._1 == 200)
+      assert(httpAt(s.boundPort, "POST", "/sketches/maintain", Some(
+        """{"stream": "sr", "table": "docs_rst", "sketch_type": "band_admission"}"""))._1 == 200)
+      assert(httpAt(s.boundPort, "POST", "/streams/flush",
+        Some("""{"name": "sr"}"""))._1 == 200)
+      s
+    }
+    boot().stop() // session 1: files A folded, rider + checkpoint durable
+    val afterA = spark.read.parquet(s"$work/samples/docs_rst__admitted/b*")
+      .count()
+    // new files land while the server is DOWN
+    docs.filter(col("doc_id") > mid)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    boot().stop() // session 2: resume must fold ONLY files B
+    val out = spark.read.parquet(s"$work/samples/docs_rst__admitted/b*")
+    assert(afterA > 0 && afterA < docs.count())
+    // every document admitted-or-suppressed exactly ONCE: nothing
+    // skipped (the pre-fix silent loss) and nothing re-folded
+    assert(out.count() == docs.count(), s"${out.count()} != ${docs.count()}")
+    assert(out.select("doc_id").distinct().count() == docs.count())
+  }
+
   test("catalog reload and vacuum over HTTP: another process's blobs appear after reload; stale artifacts reclaim (round 15)") {
     val dir = Files.createTempDirectory("graft-http-gc").toString
     val s3 = new Server(new QueryEngine(spark, new MetaCatalog(dir)))

@@ -222,15 +222,22 @@ class MetaCatalogSpec extends AnyFunSuite {
     c.upsertSketch(c.SketchInfo("t", "y", "hyperloglog", Array[Byte](1),
       """{"rows":100}""", 1L)) // fresh
     c.upsertSketch(c.SketchInfo("t", "z", "bottomkw_state", Array[Byte](1),
-      """{"maxus":5}""", 1L)) // no rows evidence — never stale
+      """{"maxus":5}""", 1L)) // maintainer state — never vacuumed
+    // a RIDER records a running "rows" that legitimately disagrees with
+    // a batch builder's stats — maintainer state is exempt BY TYPE, not
+    // by the accident of carrying no rows evidence
+    c.upsertSketch(c.SketchInfo("t", "w", "bottomk_rider", Array[Byte](1),
+      """{"rows":90,"k":64}""", 1L))
     val (ds, dk) = c.vacuum("t")
     assert(ds == Seq("t__sample_0_05"), ds)
     assert(dk == Seq(("t", "x", "hyperloglog")), dk)
     assert(Files.exists(fresh) && !Files.exists(stale))
-    assert(c.listSketches(Some("t")).map(_.columnName).sorted == Seq("y", "z"))
+    assert(c.listSketches(Some("t")).map(_.columnName).sorted ==
+      Seq("w", "y", "z"))
     // catalog listing and disk agree after a reload
     val c2 = new MetaCatalog(dir)
-    assert(c2.listSketches(Some("t")).map(_.columnName).sorted == Seq("y", "z"))
+    assert(c2.listSketches(Some("t")).map(_.columnName).sorted ==
+      Seq("w", "y", "z"))
     assert(c2.samplesFor("t").map(_.sampleTable) == Seq("t__sample_0_1"))
   }
 

@@ -152,6 +152,7 @@ class StrategyChooserSpec extends AnyFunSuite {
     val grouped = SketchAdvisor.Candidate("orders", "o_totalprice",
       "hll_grouped", Some("o_orderstatus"))
     a1.observe(Seq(cand)); a1.observe(Seq(cand, grouped))
+    a1.flush() // the snapshot is write-throttled; a clean exit flushes
     val a2 = new SketchAdvisor(persistDir = Some(dir))
     assert(a2.snapshot == Map(cand -> 2L, grouped -> 1L))
   }
