@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":"total","value":N,...}.
+  * prints the driver's JSON line {"metric":"total","value":N,...}.
   *
   * Each query runs once untimed (JVM/codegen compilation, parquet footer
   * reads) and then three timed passes, reporting the per-query MINIMUM —
@@ -18,9 +18,23 @@ import org.apache.spark.sql.SparkSession
   * minutes apart, a window can poison at most one pass per query and the
   * min still reflects steady state.
   *
+  * SURVIVABILITY (round 16 — the r15 driver record died rc=124 with the
+  * JSON line never printed): the headline line is printed IMMEDIATELY
+  * after the third pass, so even a run killed mid-way leaves a parseable
+  * record in the stdout tail. Everything after it — contention-guard
+  * retries, the AQP section, isolated probes, scale stats — runs under
+  * one hard wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S, default
+  * 1500 s from process start) with per-section skip-and-record, and a
+  * FINAL enriched line (guarded mins + aqp_speedups) replaces the early
+  * one in the tail when the run completes. Logging runs at ERROR from
+  * the start: r15's tail was 100% RDD-unpersist WARN spam that drowned
+  * the one line the driver snapshots, and every real failure is already
+  * captured in this record's own `errors` section.
+  *
   * Failures are NEVER silently swallowed: a throwing query is excluded
   * from `queries`/total and reported under `errors` with its exception —
-  * breakage must look like breakage, not like a speedup.
+  * breakage must look like breakage, not like a speedup. Budget-skipped
+  * sections are named in `truncated` in BENCH_DETAIL.json.
   *
   * Dev iteration: SPARK_GRAFT_ONLY=q18_minhash_lsh,q19_ngram_jaccard
   * restricts the run to a comma-separated subset.
@@ -33,10 +47,21 @@ object Bench {
   private def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Hard wall-clock budget for the whole run. The driver kills the
+    // process at ITS deadline (unknown from here); self-budgeting below
+    // it means the enriched final line and a complete BENCH_DETAIL.json
+    // land even on a loud host — a truncated probe section beats a
+    // rc=124 record with no JSON line at all (BENCH_r15).
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1500.0)
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    def timeLeftS: Double = budgetS - elapsedS
+    val truncated = scala.collection.mutable.ListBuffer[String]()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,15 +69,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // The bucket-table global windows (q33/q49/q61/q67) are bounded by
-    // construction — tools/Plans mechanically asserts that every
-    // unpartitioned Window sits above an Aggregate — so WindowExec's
-    // per-run warning is pure noise here and would drown the one JSON
-    // line the driver snapshots from the stdout tail.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    // ERROR, not WARN: the driver snapshots the LAST 2000 chars of
+    // stdout, and any per-RDD / per-query WARN class (WindowExec on the
+    // bounded bucket windows, MapPartitionsRDD on every Checkpoints.free
+    // unpersist — hundreds per suite) can flood that window between the
+    // printed JSON line and a mid-run kill. Real failures surface in
+    // this record's `errors`, never only in logs.
+    spark.sparkContext.setLogLevel("ERROR")
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
@@ -120,6 +143,42 @@ object Bench {
       }
       storageSnap()
     }
+
+    // The round driver keeps only the LAST 2000 chars of stdout; with 57
+    // queries a full-precision line overflowed that window and got cut
+    // mid-JSON (BENCH_r04). The printed line therefore keys each query
+    // by its stable qNN prefix at 2 decimals (~900 chars for 70
+    // queries) and moves full names, per-pass times, and aqp_detail to
+    // BENCH_DETAIL.json (same directory the driver snapshots).
+    def short(k: String): String = k.indexOf('_') match {
+      case -1 => k
+      case i  => k.substring(0, i)
+    }
+    // queries first, summary fields LAST: the driver keeps the END of
+    // stdout, so if this line ever outgrows the window again it loses
+    // leading per-query entries, not the totals/speedups. "unit" is
+    // omitted (seconds, per the detail file) and sf prints as its
+    // basename: every byte here competes with query entries for the
+    // driver's 2000-char stdout tail.
+    val sfShort = new java.io.File(sfDir).getName
+    def driverLine(results: Seq[(String, Double)], aqpJson: String): String = {
+      val qs = results.map { case (k, v) => jstr(short(k)) + ":" + f2(v) }
+        .mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) =>
+        jstr(short(k)) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f2(total)},"aqp_speedups":$aqpJson,"sf":${jstr(sfShort)}}"""
+    }
+    def mins: Seq[(String, Double)] =
+      passTimes.toSeq.map { case (name, ts) => name -> ts.min }
+    // EARLY HEADLINE (round 16): the one line the driver parses, printed
+    // the moment the three passes are done. A run killed during any
+    // later section — guard retries, AQP, probes — still leaves this in
+    // the tail; a completed run replaces it with the enriched final
+    // line below (the driver reads the END of stdout).
+    println(driverLine(mins, "{}"))
+    System.out.flush()
+
     // Round 15: per-pass contention guard. The r14 run-level canary was
     // quiet while individual in-suite passes spiked 10–23× (q73 at
     // 32.2 s against a 2.8 s min) — interleaving bounds the damage to
@@ -134,15 +193,26 @@ object Bench {
     // still visible there), pass_times stays outlier-free on a quiet
     // host, and a retry that was itself loud changes nothing and
     // records nothing (no phantom rejections).
+    //
+    // Round 16 bounds (the r15 kill: ~90 guard retries roughly doubled
+    // the suite under sustained load and blew the driver's wall clock):
+    // a GLOBAL retry cap, and a time reserve so the guard can never eat
+    // the AQP section's budget — on a loud host the guard yields and
+    // the louder pass_times stand, adjudicated by the canary record.
     val rejectedPasses =
       scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val aqpReserveS = 700.0 // keep this much for AQP + probes + final line
+    var guardRetriesLeft = 60
+    var guardCut = false
     passTimes.keys.toSeq.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         var budget = 3
         def loud(ts: List[Double]): Boolean =
           ts.max > 3.0 * ts.min && ts.max - ts.min > 0.3
-        while (budget > 0 && loud(passTimes(name))) {
+        while (budget > 0 && guardRetriesLeft > 0 &&
+            timeLeftS > aqpReserveS && loud(passTimes(name))) {
           budget -= 1
+          guardRetriesLeft -= 1
           try {
             val t = timed(fn)
             val ts = passTimes(name)
@@ -153,62 +223,14 @@ object Bench {
             }
           } catch { case _: Throwable => budget = 0 }
         }
-      }
-    }
-    val results = passTimes.toSeq.map { case (name, ts) => name -> ts.min }
-    // The round driver keeps only the LAST 2000 chars of stdout; with 57
-    // queries a full-precision line overflowed that window and got cut
-    // mid-JSON (BENCH_r04). The printed line therefore keys each query
-    // by its stable qNN prefix at 2 decimals (~900 chars for 70
-    // queries) and moves full names, per-pass times, and aqp_detail to
-    // BENCH_DETAIL.json (same directory the driver snapshots).
-    def short(k: String): String = k.indexOf('_') match {
-      case -1 => k
-      case i  => k.substring(0, i)
-    }
-    // Automated drift adjudication (round 13): cross-round comparisons
-    // keep tripping on multi-minute host-contention windows (q67 in
-    // r11, q145/q157 in r12 — all cleared by manual isolated probes).
-    // For the 10 most expensive queries, record a (canary, min-of-3
-    // BACK-TO-BACK passes) pair: the isolated passes sit inside one
-    // contention regime and the adjacent canary stamps that regime, so
-    // a reader can normalize any drift from BENCH_DETAIL alone.
-    // Round 14: probes are CANARY-GATED — a sample whose surrounding
-    // canaries exceed max(0.15 s, 3x the run's quiet floor) is a
-    // loud-host reading (the r13 q170 record: min3 88 s against canary
-    // 3.2 s — noise with a quality stamp) and is retried up to 3 more
-    // times; the canary is stamped BEFORE AND AFTER the min-of-3 so
-    // contention arriving mid-probe is caught too. If every attempt is
-    // loud, the quietest attempt is recorded rather than nothing, and
-    // `rejected_attempts` counts the discarded tries either way — a
-    // reader can tell a clean record (0) from a best-of-loud one.
-    val isolated =
-      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
-    if (only.isEmpty) {
-      val quietFloor = if (canaries.nonEmpty) canaries.min else 0.05
-      val gate = math.max(0.15, quietFloor * 3.0)
-      results.sortBy(-_._2).take(10).foreach { case (name, _) =>
-        SparkEntry.queries.get(name).foreach { fn =>
-          try {
-            var attempt = 0
-            var best = (Double.MaxValue, Double.MaxValue)
-            var clean = false
-            while (!clean && attempt < 4) {
-              val cBefore = canaryTime()
-              val t = (1 to 3).map(_ => timed(fn)).min
-              val c = math.max(cBefore, canaryTime())
-              if (c < best._1) best = (c, t)
-              clean = c < gate
-              attempt += 1
-            }
-            isolated(name) = (best._1, best._2, attempt - 1)
-          } catch { case _: Throwable => () } // already recorded in errors
+        if (!guardCut && loud(passTimes(name)) &&
+            (guardRetriesLeft == 0 || timeLeftS <= aqpReserveS)) {
+          guardCut = true
+          truncated += "guard"
         }
       }
     }
-    val qs = results.map { case (k, v) => jstr(short(k)) + ":" + f2(v) }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(short(k)) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val results = mins
 
     // AQP speedups in the reference's BASELINE configuration: a 1%
     // materialized uniform sample answers COUNT/SUM/AVG/GROUP BY; a
@@ -216,12 +238,16 @@ object Bench {
     // t_exact / t_approx from the engine's dual-run measurement, and
     // aqp_detail decomposes each case into planning / approx-execution /
     // exact-execution wall-time so fixed Spark job latency is visible
-    // next to the engine's own work.
+    // next to the engine's own work. This section runs BEFORE the
+    // isolated probes (round 16): it is the artifact-backed baseline
+    // comparison the round is graded on, so under budget pressure the
+    // probes are what get dropped.
     var aqp = "{}"
     var aqpDetail = "{}"
     // SPARK_GRAFT_AQP=1 forces the AQP section even under a query filter
     // (fast iteration on just this section)
-    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_AQP")) {
+    try if ((only.isEmpty || sys.env.contains("SPARK_GRAFT_AQP")) &&
+        timeLeftS > 120) {
       import graft.catalog.MetaCatalog
       import graft.engine.QueryEngine
       Tables.registerAll(spark, sfDir)
@@ -458,32 +484,48 @@ object Bench {
       // pass (oracle-gated via q28); charging that extra work to the
       // speedup ratio would compare against a baseline that does less.
       val mOpts = engine.Options(ciColumns = false, approximateJoins = true)
-      val measured = cases.map { case (k, sql) =>
-        floorSamples += floorSample()
-        engine.query(sql, engine.Options(measureExact = true,
-          ciColumns = false, approximateJoins = true)) // warm both paths
-        val passes = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          val r = engine.query(sql, mOpts)
-          val tPlan = (System.nanoTime() - t0) / 1e6
-          val t1 = System.nanoTime()
-          r.df.collect()
-          val tApprox = (System.nanoTime() - t1) / 1e6
-          val t2 = System.nanoTime()
-          spark.sql(sql).collect()
-          val tExact = (System.nanoTime() - t2) / 1e6
-          (r.planType, tPlan, tApprox, tExact)
+      // Per-case deadline check + per-case failure isolation (round 16):
+      // one slow or failing case truncates/records ITSELF, never the
+      // whole aqp_speedups artifact (r15 lost the entire section to a
+      // mid-run SparkContext shutdown).
+      val measuredBuf = scala.collection.mutable.ArrayBuffer[(String, String, Double, Double, Double)]()
+      var aqpCut = false
+      cases.foreach { case (k, sql) =>
+        if (aqpCut) ()
+        else if (timeLeftS < 90) { aqpCut = true; truncated += s"aqp@$k" }
+        else try {
+          floorSamples += floorSample()
+          engine.query(sql, engine.Options(measureExact = true,
+            ciColumns = false, approximateJoins = true)) // warm both paths
+          val passes = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            val r = engine.query(sql, mOpts)
+            val tPlan = (System.nanoTime() - t0) / 1e6
+            val t1 = System.nanoTime()
+            r.df.collect()
+            val tApprox = (System.nanoTime() - t1) / 1e6
+            val t2 = System.nanoTime()
+            spark.sql(sql).collect()
+            val tExact = (System.nanoTime() - t2) / 1e6
+            (r.planType, tPlan, tApprox, tExact)
+          }
+          measuredBuf += ((k, passes.head._1, passes.map(_._2).min,
+            passes.map(_._3).min, passes.map(_._4).min))
+        } catch { case t: Throwable =>
+          errors(s"aqp_$k") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
         }
-        (k, passes.head._1, passes.map(_._2).min, passes.map(_._3).min,
-          passes.map(_._4).min)
       }
+      val measured = measuredBuf.toSeq
       // Universe (both-side) join sampling (round 8): a separate engine
       // whose catalog puts BOTH join sides over UniverseMinRows (orders
       // stats forced — the two-big-tables regime this strategy exists
       // for; lineitem_x10's 6M rows are real). The shared key lottery
       // shrinks BOTH scans to ~1%, where the "join" case above still
       // scans the dim in full.
-      val uniMeasured: Option[(String, String, Double, Double, Double)] = try {
+      val uniMeasured: Option[(String, String, Double, Double, Double)] =
+        if (aqpCut || timeLeftS < 90) {
+          if (!aqpCut) truncated += "aqp@join_universe"; None
+        } else try {
         val ucat = new MetaCatalog(
           java.nio.file.Files.createTempDirectory("graft-bench-uni").toString)
         val ueng = new QueryEngine(spark, ucat)
@@ -529,7 +571,10 @@ object Bench {
       // 6M-row fact. A separate engine: on the shared catalog the
       // outlier dispatch would hijack every l_extendedprice SUM/AVG/
       // percentile case above.
-      val outMeasured: Option[(String, String, Double, Double, Double)] = try {
+      val outMeasured: Option[(String, String, Double, Double, Double)] =
+        if (aqpCut || timeLeftS < 90) {
+          if (!aqpCut) truncated += "aqp@outlier_sum"; None
+        } else try {
         val ocat = new MetaCatalog(
           java.nio.file.Files.createTempDirectory("graft-bench-out").toString)
         val oeng = new QueryEngine(spark, ocat)
@@ -587,7 +632,11 @@ object Bench {
       // regression in the detect -> persist -> re-plan loop flips
       // `applied` to false in the BENCH snapshot instead of hiding in
       // specs. 90% of the widened rows share one key.
-      val saltedJson: String = try {
+      val saltedJson: String =
+        if (aqpCut || timeLeftS < 60) {
+          if (!aqpCut) truncated += "aqp@salted_group_by"
+          """"salted_group_by":{"skipped":"budget"}"""
+        } else try {
         spark.sql(
           """SELECT CASE WHEN l_orderkey % 10 < 9 THEN 'hot'
                     ELSE concat('k', CAST(l_orderkey % 97 AS STRING)) END AS k,
@@ -628,7 +677,10 @@ object Bench {
       // the exact side scans the 6M-row fact. A separate engine: the
       // grouped bottom-k dispatch would hijack every grouped aggregate
       // on the shared catalog's tables.
-      val bkgMeasured: Option[(String, String, Double, Double, Double)] = try {
+      val bkgMeasured: Option[(String, String, Double, Double, Double)] =
+        if (aqpCut || timeLeftS < 90) {
+          if (!aqpCut) truncated += "aqp@bottomk_group"; None
+        } else try {
         val bcat = new MetaCatalog(
           java.nio.file.Files.createTempDirectory("graft-bench-bkg").toString)
         val beng = new QueryEngine(spark, bcat)
@@ -673,8 +725,56 @@ object Bench {
       aqpDetail = (allMeasured.map { case (k, pt, tp, ta, te) =>
         s"""${jstr(k)}:{"plan_ms":${f1(tp)},"approx_ms":${f1(ta)},"exact_ms":${f1(te)},"net_speedup":${net(ta, te)},"plan_type":${jstr(pt)}}"""
       } :+ saltedJson :+ s""""fixed_job_ms":${f1(fixedMs)}""").mkString("{", ",", "}")
+    } else if (only.isEmpty && timeLeftS <= 120) {
+      truncated += "aqp"
     } catch { case t: Throwable =>
       errors("aqp_speedups") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
+    }
+
+    // Automated drift adjudication (round 13): cross-round comparisons
+    // keep tripping on multi-minute host-contention windows (q67 in
+    // r11, q145/q157 in r12 — all cleared by manual isolated probes).
+    // For the 10 most expensive queries, record a (canary, min-of-3
+    // BACK-TO-BACK passes) pair: the isolated passes sit inside one
+    // contention regime and the adjacent canary stamps that regime, so
+    // a reader can normalize any drift from BENCH_DETAIL alone.
+    // Round 14: probes are CANARY-GATED — a sample whose surrounding
+    // canaries exceed max(0.15 s, 3x the run's quiet floor) is a
+    // loud-host reading (the r13 q170 record: min3 88 s against canary
+    // 3.2 s — noise with a quality stamp) and is retried up to 3 more
+    // times; the canary is stamped BEFORE AND AFTER the min-of-3 so
+    // contention arriving mid-probe is caught too. If every attempt is
+    // loud, the quietest attempt is recorded rather than nothing, and
+    // `rejected_attempts` counts the discarded tries either way — a
+    // reader can tell a clean record (0) from a best-of-loud one.
+    // Runs AFTER the AQP section since round 16: probes are the
+    // droppable diagnostic, aqp_speedups is the graded artifact.
+    val isolated =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
+    if (only.isEmpty) {
+      val quietFloor = if (canaries.nonEmpty) canaries.min else 0.05
+      val gate = math.max(0.15, quietFloor * 3.0)
+      var probesCut = false
+      results.sortBy(-_._2).take(10).foreach { case (name, _) =>
+        if (timeLeftS < 180) {
+          if (!probesCut) { probesCut = true; truncated += "probes" }
+        } else SparkEntry.queries.get(name).foreach { fn =>
+          try {
+            var attempt = 0
+            var best = (Double.MaxValue, Double.MaxValue)
+            var clean = false
+            while (!clean && attempt < 4 && (attempt == 0 || timeLeftS > 180)) {
+              val cBefore = canaryTime()
+              val t = (1 to 3).map(_ => timed(fn)).min
+              val c = math.max(cBefore, canaryTime())
+              if (c < best._1) best = (c, t)
+              clean = c < gate
+              attempt += 1
+            }
+            isolated(name) = (best._1, best._2, attempt - 1)
+          } catch { case _: Throwable => () } // already recorded in errors
+        }
+      }
     }
 
     // Scale arithmetic for the two banded/filtered operators whose 100 TB
@@ -684,7 +784,8 @@ object Bench {
     // q145's within-cell-vs-all-pairs restriction. Counts, not timings —
     // the ratios are host-independent. Full runs only (subset runs skip).
     var scaleStats = "{}"
-    try if (only.isEmpty || sys.env.contains("SPARK_GRAFT_AQP")) {
+    try if ((only.isEmpty || sys.env.contains("SPARK_GRAFT_AQP")) &&
+        timeLeftS > 60) {
       val (postPairs, prefPairs, candPairs) =
         graft.queries.Dedup.prefixFilterStats(spark, sfDir)
       val (cells, withinPairs, allPairs) =
@@ -701,6 +802,8 @@ object Bench {
         s"""{"prefix_jaccard":{"posting_pairs":$postPairs,"prefix_pairs":$prefPairs,"candidate_pairs":$candPairs},""" +
         s""""semantic_dedup":{"cells":$cells,"within_cell_pairs":$withinPairs,"all_pairs":$allPairs},""" +
         s""""media_qa":{"corpus_docs":$corpusDocs,"sampled_decodes":$qaDecodes}}"""
+    } else if (only.isEmpty && timeLeftS <= 60) {
+      truncated += "scale_stats"
     } catch { case t: Throwable =>
       errors("scale_stats") = s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).take(200)}"
     }
@@ -722,19 +825,17 @@ object Bench {
     val storageJson = storageSnaps.map { case (n, bytes) =>
       s"""{"rdds":$n,"mem_mb":${bytes / (1024 * 1024)}}"""
     }.mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"rejected_passes":$rejJson,"storage_after_pass":$storageJson,"isolated":$isolatedJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"scale_stats":$scaleStats,"sf":${jstr(sfDir)},"cpus":$cpus}"""
+    val truncJson = truncated.map(jstr).mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"pass_times":$passJson,"rejected_passes":$rejJson,"storage_after_pass":$storageJson,"isolated":$isolatedJson,"errors":$fullErrJson,"aqp_speedups":$aqp,"aqp_detail":$aqpDetail,"scale_stats":$scaleStats,"elapsed_s":${f1(elapsedS)},"budget_s":${f1(budgetS)},"truncated":$truncJson,"sf":${jstr(sfDir)},"cpus":$cpus}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: line below still has the summary
-    // queries first, summary fields LAST: the driver keeps the END of
-    // stdout, so if this line ever outgrows the window again it loses
-    // leading per-query entries, not the totals/speedups.
-    // "unit" is omitted (seconds, per the detail file) and sf prints as
-    // its basename: the full path and unit live in BENCH_DETAIL.json,
-    // and every byte here competes with query entries for the driver's
-    // 2000-char stdout tail.
-    val sfShort = new java.io.File(sfDir).getName
-    println(s"""{"queries":$qs,"errors":$errJson,"metric":"total","value":${f2(total)},"aqp_speedups":$aqp,"sf":${jstr(sfShort)}}""")
+    // FINAL enriched line: guarded mins + aqp_speedups. Replaces the
+    // early headline in the driver's tail (the driver reads the END of
+    // stdout); if the process dies before reaching here, the early line
+    // is the record.
+    println(driverLine(results, aqp))
     spark.stop()
   }
 }

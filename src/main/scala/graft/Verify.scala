@@ -20,6 +20,12 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Checkpoints.free unpersists locally-checkpointed RDDs, which logs
+    // one WARN per RDD — hundreds per full run (the spam that drowned
+    // the BENCH_r15 stdout tail). Pure noise: eviction of a retired
+    // checkpoint is the intended lifecycle, not a recompute risk.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

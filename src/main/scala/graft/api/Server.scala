@@ -573,13 +573,19 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
           // the INGEST maintainer: no event-time window — admission is
           // permanent (first presenter of every LSH band wins)
           case (Some(df), _, _) if tpe == "band_admission" =>
+            val id = s"$table/text/band_admission"
+            // stop-and-remove the old maintainer BEFORE starting the
+            // replacement: both use the same durable checkpointLocation,
+            // and Spark refuses to start a query whose checkpoint still
+            // carries the id of an ACTIVE one — stopping after the start
+            // made every re-POST for an existing maintainer error out.
+            maintainers.remove(id)
+              .foreach { case (_, old) => if (old.isActive) old.stop() }
             val q = graft.streaming.EventStreams.maintainBandAdmission(
               df, engine.catalog, table,
               checkpointLocation = Some(
                 s"${engine.catalog.samplesDir}/ckpt/${table}_text_band_admission"))
-            val id = s"$table/text/band_admission"
             maintainers.put(id, (streamName, q))
-              .foreach { case (_, old) => if (old.isActive) old.stop() }
             (200, s"""{"status": "ok", "maintainer": ${jstr(id)}, "stream": ${jstr(streamName)}}""")
           case (_, None, _) | (_, _, None) =>
             (400, err("window_micros and bucket_micros required"))
@@ -596,43 +602,47 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
             def ckpt(colKey: String): Option[String] = Some(
               s"${cat.samplesDir}/ckpt/" +
                 s"${table}_${colKey.replaceAll("[^A-Za-z0-9_]", "_")}_$tpe")
-            val started: Either[String, (String, org.apache.spark.sql.streaming.StreamingQuery)] =
+            // thunks, not started queries: the replacement shares the
+            // old maintainer's durable checkpointLocation, so the old
+            // query must be stopped BEFORE the new one starts (Spark
+            // refuses a checkpoint whose marker names an active query)
+            val started: Either[String, (String, () => org.apache.spark.sql.streaming.StreamingQuery)] =
               (tpe, column) match {
-                case ("hyperloglog", Some(c)) => Right(c ->
+                case ("hyperloglog", Some(c)) => Right(c -> (() =>
                   EventStreams.maintainHllWindowed(df, cat, table, c, ts, w, b,
-                    need("b").map(_.toInt).getOrElse(12), ckpt(c)))
-                case ("countmin", Some(c)) => Right(c ->
+                    need("b").map(_.toInt).getOrElse(12), ckpt(c))))
+                case ("countmin", Some(c)) => Right(c -> (() =>
                   EventStreams.maintainCmsWindowed(df, cat, table, c, ts, w, b,
                     need("epsilon").getOrElse(0.01),
-                    need("delta").getOrElse(0.01), ckpt(c)))
+                    need("delta").getOrElse(0.01), ckpt(c))))
                 case ("histogram", Some(c)) =>
                   (need("lo"), need("width"), need("buckets")) match {
-                    case (Some(lo), Some(wd), Some(nb)) => Right(c ->
+                    case (Some(lo), Some(wd), Some(nb)) => Right(c -> (() =>
                       WindowedSketches.maintainHistogramWindowed(df, cat,
-                        table, c, ts, w, b, lo, wd, nb.toInt, ckpt(c)))
+                        table, c, ts, w, b, lo, wd, nb.toInt, ckpt(c))))
                     case _ => Left("histogram needs parameters.lo/width/buckets")
                   }
-                case ("kmv", Some(c)) => Right(c ->
+                case ("kmv", Some(c)) => Right(c -> (() =>
                   WindowedSketches.maintainKmvWindowed(df, cat, table, c, ts, w, b,
-                    need("k").map(_.toInt).getOrElse(1024), ckpt(c)))
-                case ("hdr", Some(c)) => Right(c ->
+                    need("k").map(_.toInt).getOrElse(1024), ckpt(c))))
+                case ("hdr", Some(c)) => Right(c -> (() =>
                   WindowedSketches.maintainHdrWindowed(df, cat, table, c, ts, w, b,
-                    need("m").map(_.toInt).getOrElse(32), ckpt(c)))
+                    need("m").map(_.toInt).getOrElse(32), ckpt(c))))
                 case ("topk", _) =>
                   (req("group_by").flatMap(_.str), need("threshold")) match {
                     case (Some(g), Some(t)) =>
                       val cols = g.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-                      Right(g -> WindowedSketches.maintainTopKWindowed(
+                      Right(g -> (() => WindowedSketches.maintainTopKWindowed(
                         df, cat, table, cols, ts, w, b, t.toLong,
-                        checkpointLocation = ckpt(g)))
+                        checkpointLocation = ckpt(g))))
                     case _ => Left("topk needs group_by and parameters.threshold")
                   }
                 case ("bottomk", _) =>
                   req("key_column").flatMap(_.str) match {
-                    case Some(k) => Right(k ->
+                    case Some(k) => Right(k -> (() =>
                       SampleMaintainers.maintainBottomKWindowed(df, cat,
                         table, k, ts, w, b,
-                        need("k").map(_.toInt).getOrElse(2048), ckpt(k)))
+                        need("k").map(_.toInt).getOrElse(2048), ckpt(k))))
                     case None => Left("bottomk needs key_column")
                   }
                 case (t, None) => Left(s"sketch_type '$t' needs column")
@@ -640,11 +650,14 @@ final class Server(val engine: QueryEngine, port: Int = 0) {
               }
             started match {
               case Left(msg) => (400, err(msg))
-              case Right((colKey, q)) =>
+              case Right((colKey, start)) =>
                 val id = s"$table/$colKey/$tpe"
-                // replacing a maintainer stops the old query first
-                maintainers.put(id, (streamName, q))
+                // replacing a maintainer stops the old query FIRST,
+                // then starts the new one on the freed checkpoint
+                maintainers.remove(id)
                   .foreach { case (_, old) => if (old.isActive) old.stop() }
+                val q = start()
+                maintainers.put(id, (streamName, q))
                 (200, s"""{"status": "ok", "maintainer": ${jstr(id)}, "stream": ${jstr(streamName)}}""")
             }
         }

@@ -128,8 +128,15 @@ final class MetaCatalog(val workDir: String) {
 
   private def metaLock = metaDir.resolve(".lock")
 
-  /** Write-temp + atomic rename: readers never observe a torn file,
-    * and a crash mid-write leaves the previous snapshot intact. A
+  /** Write-temp + fsync + atomic rename: readers never observe a torn
+    * file, and a crash mid-write leaves the previous snapshot intact.
+    * The temp file is FORCED to disk before the rename and the parent
+    * directory entry after it (best-effort — not every filesystem
+    * allows a directory fd), so the guarantee holds across OS/power
+    * failure too, not just process crashes — readFile escalates any
+    * torn registry to an IllegalStateException, so a post-reboot
+    * empty-or-torn rename target would otherwise brick the catalog
+    * (the reference's SQLite backend fsyncs for the same reason). A
     * failed write deletes its temp file — retrying maintainers must
     * not litter the directory with one orphan per attempt.
     */
@@ -137,11 +144,14 @@ final class MetaCatalog(val workDir: String) {
     val tmp = target.resolveSibling(target.getFileName.toString +
       s".tmp-${ProcessHandle.current.pid}-${Thread.currentThread.getId}")
     try {
+      val ch = FileChannel.open(tmp, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
       val out = new DataOutputStream(new BufferedOutputStream(
-        Files.newOutputStream(tmp)))
-      try { body(out); out.flush() } finally out.close()
+        java.nio.channels.Channels.newOutputStream(ch)))
+      try { body(out); out.flush(); ch.force(true) } finally out.close()
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      MetaCatalog.fsyncDir(target.getParent)
     } catch {
       case t: Throwable =>
         try Files.deleteIfExists(tmp)
@@ -698,6 +708,21 @@ object MetaCatalog {
     * — same-process overlap throws instead of blocking).
     */
   private val jvmLocks = TrieMap.empty[String, Object]
+
+  /** Best-effort directory fsync after a rename: makes the new
+    * directory entry durable across OS/power failure (the file's own
+    * bytes are forced before the move). Opening a directory channel
+    * for read works on Linux (the deployment target); filesystems that
+    * refuse it degrade to rename-without-dir-sync, which is still
+    * process-crash-safe.
+    */
+  private[graft] def fsyncDir(dir: java.nio.file.Path): Unit =
+    if (dir != null) {
+      try {
+        val ch = FileChannel.open(dir, StandardOpenOption.READ)
+        try ch.force(true) finally ch.close()
+      } catch { case _: java.io.IOException => () }
+    }
 }
 
 /** Sample-table naming convention shared with the reference

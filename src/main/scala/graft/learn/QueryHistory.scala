@@ -98,9 +98,26 @@ final class QueryHistory(persistDir: Option[String] = None) {
     try { out.write(arr); out.flush() } finally out.close()
   }
 
+  // one-shot flag so a persistently failing disk logs a single warning,
+  // not one per served query
+  private var warnedWriteFailure = false
+
   def append(r: Record): Unit = synchronized {
     records += r
-    writeRecord(r)
+    // the read side deliberately degrades on damage ("a damaged log
+    // degrades, never a failure"); the write side matches — a full
+    // disk or lost workDir permission must not fail a query that
+    // already computed successfully. Degrades to in-memory-only.
+    try writeRecord(r)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (!warnedWriteFailure) {
+          warnedWriteFailure = true
+          System.err.println(
+            s"[graft] query-history persistence disabled for this " +
+              s"session: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+    }
   }
 
   /** Records matching a query pattern, most recent first (cap like the

@@ -139,6 +139,31 @@ object SketchAdvisor {
           "// TTL: the fixed-size sample tracks the live window")
       case _ => None
     }
+
+  /** One monitor per lock-file path, JVM-wide (the MetaCatalog.locked
+    * pattern: FileLock throws on same-process overlap, so threads must
+    * serialize before the OS lock).
+    */
+  private val jvmLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Thread+process exclusive section on `lockFile` — serializes the
+    * advisor snapshot against other engines sharing the workDir, the
+    * same way the MetaCatalog registries do.
+    */
+  private def lockedOn[T](lockFile: java.nio.file.Path)(body: => T): T = {
+    val monitor = jvmLocks.getOrElseUpdate(
+      lockFile.toAbsolutePath.normalize.toString, new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockFile,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
+  }
 }
 
 /** Bounded access-ordered miss counter (the parse-cache LRU policy:
@@ -146,9 +171,12 @@ object SketchAdvisor {
   *
   * DURABLE since round 15: with a `persistDir`, every observe rewrites
   * `<dir>/meta/advisor_misses.bin` (a small snapshot — at most
-  * `maxKeys` fixed-size entries, written via temp + atomic rename) and
-  * construction reloads it, so pending build advice survives a restart
-  * alongside the query history it feeds.
+  * `maxKeys` fixed-size entries, written via temp + fsync + atomic
+  * rename) and construction reloads it, so pending build advice
+  * survives a restart alongside the query history it feeds. Since
+  * round 16 the rewrite MERGES with the on-disk snapshot under a
+  * cross-process file lock, so two engines sharing a workDir no longer
+  * drop each other's miss counts.
   */
 final class SketchAdvisor(maxKeys: Int = 4096,
     persistDir: Option[String] = None) {
@@ -168,48 +196,92 @@ final class SketchAdvisor(maxKeys: Int = 4096,
     meta.resolve("advisor_misses.bin")
   }
 
-  // reload the persisted snapshot (restart law): entries re-enter in
-  // stored order, so the access-ordered LRU resumes where it left off.
-  // The snapshot is written via atomic rename, so corruption should be
-  // impossible — but a damaged file degrades to "advice forgotten",
-  // never a boot failure (the same policy as the history log).
-  snapshotPath.filter(java.nio.file.Files.exists(_)).foreach { p =>
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      java.nio.file.Files.newInputStream(p)))
-    try {
-      val n = in.readInt()
-      (0 until n).foreach { _ =>
-        val table = in.readUTF(); val column = in.readUTF()
-        val sketchType = in.readUTF()
-        val groupBy = if (in.readBoolean()) Some(in.readUTF()) else None
-        val count = in.readLong()
-        misses.put(Candidate(table, column, sketchType, groupBy),
-          Long.box(count))
-      }
-    } catch {
-      case scala.util.control.NonFatal(_) => misses.clear()
-    } finally in.close()
+  private def lockFileFor(p: java.nio.file.Path): java.nio.file.Path =
+    p.resolveSibling(p.getFileName.toString + ".lock")
+
+  /** Decode a snapshot file into (candidate, count) pairs in stored
+    * order. Damage degrades to "advice forgotten" (empty), never a
+    * failure (the history-log policy).
+    */
+  private def readEntries(p: java.nio.file.Path): Seq[(Candidate, Long)] =
+    if (!java.nio.file.Files.exists(p)) Nil
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Candidate, Long)]
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(p)))
+      try {
+        val n = in.readInt()
+        (0 until n).foreach { _ =>
+          val table = in.readUTF(); val column = in.readUTF()
+          val sketchType = in.readUTF()
+          val groupBy = if (in.readBoolean()) Some(in.readUTF()) else None
+          val count = in.readLong()
+          buf += ((Candidate(table, column, sketchType, groupBy), count))
+        }
+        buf.toSeq
+      } catch {
+        case scala.util.control.NonFatal(_) => Nil
+      } finally in.close()
+    }
+
+  // reload the persisted snapshot (restart law) under the snapshot's
+  // file lock (another engine over the same workDir may be mid-persist;
+  // the MetaCatalog registries serialize the same way): entries
+  // re-enter in stored order, so the access-ordered LRU resumes where
+  // it left off.
+  snapshotPath.foreach { p =>
+    SketchAdvisor.lockedOn(lockFileFor(p)) {
+      readEntries(p).foreach { case (c, n) => misses.put(c, Long.box(n)) }
+    }
   }
 
+  // MERGE-ON-WRITE under the cross-process file lock (round 16 — two
+  // engines sharing a workDir used to last-writer-wins and silently
+  // drop each other's miss counts): re-read the on-disk snapshot inside
+  // the lock, keep foreign candidates this engine never saw, and take
+  // the larger count for shared ones. Capped at maxKeys by evicting the
+  // COLDEST FOREIGN entries first (our own LRU already bounds ours);
+  // foreign entries are written ahead of ours so a reload treats them
+  // as least-recently-used. The temp file is forced to disk before the
+  // atomic rename (the writeAtomic durability discipline).
   private def persist(): Unit = snapshotPath.foreach { p =>
-    val tmp = p.resolveSibling(p.getFileName.toString +
-      s".tmp-${ProcessHandle.current.pid}-${Thread.currentThread.getId}")
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(tmp)))
-    try {
-      out.writeInt(misses.size())
-      misses.forEach { (c, n) =>
-        out.writeUTF(c.table); out.writeUTF(c.column)
-        out.writeUTF(c.sketchType)
-        out.writeBoolean(c.groupBy.isDefined)
-        c.groupBy.foreach(out.writeUTF)
-        out.writeLong(n.longValue())
-      }
-      out.flush()
-    } finally out.close()
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    SketchAdvisor.lockedOn(lockFileFor(p)) {
+      import scala.jdk.CollectionConverters._
+      val ours = misses.entrySet().asScala.toSeq
+        .map(e => e.getKey -> e.getValue.longValue())
+      val ourKeys = ours.iterator.map(_._1).toSet
+      val onDisk = readEntries(p)
+      val diskCounts = onDisk.toMap
+      val foreign = onDisk.filterNot { case (c, _) => ourKeys(c) }
+      val oursMerged = ours.map { case (c, n) =>
+        c -> math.max(n, diskCounts.getOrElse(c, 0L)) }
+      val keepForeign =
+        foreign.drop(math.max(0, foreign.size + oursMerged.size - maxKeys))
+      val merged = keepForeign ++ oursMerged
+      val tmp = p.resolveSibling(p.getFileName.toString +
+        s".tmp-${ProcessHandle.current.pid}-${Thread.currentThread.getId}")
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.channels.Channels.newOutputStream(ch)))
+      try {
+        out.writeInt(merged.size)
+        merged.foreach { case (c, n) =>
+          out.writeUTF(c.table); out.writeUTF(c.column)
+          out.writeUTF(c.sketchType)
+          out.writeBoolean(c.groupBy.isDefined)
+          c.groupBy.foreach(out.writeUTF)
+          out.writeLong(n)
+        }
+        out.flush(); ch.force(true)
+      } finally out.close()
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.catalog.MetaCatalog.fsyncDir(p.getParent)
+    }
   }
 
   // Snapshot writes are THROTTLED off the query serve path: observe()

@@ -525,8 +525,57 @@ object Dedup {
           expr("cast(coalesce(n_bands, cast(0 as bigint)) = " +
             "coalesce(n_owned, cast(0 as bigint)) as int)").as("admitted"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REGISTRY-BACKED ADMISSION SERVE (round 16) — the q192 artifact as
+    // a servable catalog object, like samples and sketches: the first
+    // call MATERIALIZES the admission fold (EventStreams batch
+    // materializer — identical code path to the streaming maintainer)
+    // into a session-scoped catalog, and the SERVE answers corpus-level
+    // admission statistics from the durable admitted output + band
+    // registry ONLY. The in-query assert pins the serve plan to touch
+    // no documents parquet: at ingest scale the dashboard query costs
+    // |corpus| admitted rows + |bands| registry rows, never a text
+    // rescan. The oracle recomputes the same statistics from the raw
+    // corpus, so the serve is gated end-to-end (materialize → fold →
+    // registry → aggregate) bit-for-bit.
+    "q193_admission_serve" -> ((s, dir) => {
+      val cat = admissionCatalogs.getOrElseUpdate((s, dir), {
+        val c = new graft.catalog.MetaCatalog(
+          java.nio.file.Files.createTempDirectory("graft-admserve").toString)
+        graft.streaming.EventStreams.materializeBandAdmission(c,
+          "documents",
+          Tables.load(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+            .select(col("doc_id"), col("text")))
+        c
+      })
+      val df = graft.streaming.EventStreams.admissionStats(s, cat, "documents")
+      // serve-shape pin: no scan of the base corpus anywhere in the
+      // plan — only the catalog's admitted/registry parquet (matched by
+      // the TESTDATA dir, not the table name: the artifact dirs are
+      // named documents__admitted*)
+      val docScans = df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.relation.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+              r.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.exists(_.toString.contains(dir)) => r
+      }
+      assert(docScans.isEmpty,
+        s"q193 must serve from the admission artifact, not documents: $docScans")
+      df
     })
   )
+
+  /** Session-scoped catalogs holding the materialized admission
+    * artifact for q193 (the uniEngineFor pattern): the fold runs once
+    * per (session, dir); every subsequent serve reads only the
+    * catalog's parquet.
+    */
+  private val admissionCatalogs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.catalog.MetaCatalog]
 
   /** DuckDB CTE chain ending in `edges` (doc_a, doc_b, n_match) — the
     * oracle-side mirror of [[minhashEdges]], shared by q18 and q44.
@@ -662,6 +711,28 @@ object Dedup {
             CAST(COALESCE(per.n_bands, 0) = COALESCE(per.n_owned, 0) AS INT) AS admitted
           FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
           ORDER BY d.doc_id""",
+    // q193: the corpus-level statistics of q192's admission output plus
+    // the registry's distinct-band count — the oracle recomputes from
+    // the raw corpus what the engine serves from the materialized
+    // artifact (admit_rate is one exact integer division, portable).
+    "q193_admission_serve" ->
+      s"""WITH $duckBandCtes,
+          own AS (SELECT band, bh, min(doc_id) AS owner
+                  FROM bh GROUP BY band, bh),
+          per AS (SELECT b.doc_id, count(*) AS n_bands,
+                    CAST(sum(CASE WHEN b.doc_id = o.owner THEN 1 ELSE 0 END) AS BIGINT) AS n_owned
+                  FROM bh b JOIN own o ON b.band = o.band AND b.bh = o.bh
+                  GROUP BY b.doc_id),
+          adm AS (SELECT d.doc_id,
+                    CAST(COALESCE(per.n_bands, 0) = COALESCE(per.n_owned, 0) AS INT) AS admitted
+                  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+          SELECT count(*) AS n_docs,
+            CAST(sum(admitted) AS BIGINT) AS n_admitted,
+            CAST(sum(1 - admitted) AS BIGINT) AS n_suppressed,
+            (SELECT count(*) FROM own) AS n_bands,
+            CAST(CAST(sum(admitted) AS BIGINT) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS admit_rate
+          FROM adm""",
     // q165: SAME oracle as q19 on purpose — the prefix filter is a
     // completeness theorem, and the gate enforces it empirically (one
     // missed pair and the hash goes red).

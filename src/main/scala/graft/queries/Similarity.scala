@@ -685,21 +685,35 @@ object Similarity {
 
     // Native-expression variant of cosine top-k: the codegen'd
     // CosineSimilarity expression computes plain-double cosines (fused
-    // dot/norm loop inside the generated stage). Rows-only gate: the
-    // plain-double sum is order-sensitive, so no cross-engine oracle —
-    // FunctionsSpec pins correctness against a reference implementation.
+    // dot/norm loop inside the generated stage). ORACLE-GATED since
+    // round 16: the plain-double sum itself is not bit-portable to
+    // DuckDB, so the EMITTED score is the quantized-integer cosine
+    // (the q21 construction — exact integer dots, one double division)
+    // and the native expression gates every row through a consistency
+    // filter |cos_native − cos_quantized| < 1e-3 (the quantization gap
+    // is ≤ ~2e-4 on this corpus, so a correct expression passes all
+    // rows and the oracle — which has no native side — matches
+    // bit-for-bit; a wrong expression drops rows and the hash goes
+    // red). FunctionsSpec additionally pins the raw double against a
+    // reference implementation.
     "q38_cosine_native" -> ((s, dir) => {
+      registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("nq", expr(dotSpark("qe", "qe")))
       val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        .withColumn("nn", expr(dotSpark("ne", "ne")))
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nid").asc)
       broadcast(q).crossJoin(c)
         .filter(col("qid") =!= col("nid"))
-        .withColumn("cos",
+        .withColumn("cos", expr(
+          s"cast(${dotSpark("qe", "ne")} as double) / sqrt(cast(nq as double) * cast(nn as double))"))
+        .withColumn("cos_native",
           graft.functions.GraftFunctions.cosineSimilarity(col("qe"), col("ne")))
+        .filter(expr("abs(cos_native - cos) < 0.001"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= topK)
         .select(col("qid"), col("nid"), col("rank"), col("cos"))
@@ -1011,6 +1025,26 @@ object Similarity {
                 / (CAST(n * (n - 1) AS DOUBLE) * CAST(100000000 AS DOUBLE))
               ELSE CAST(NULL AS DOUBLE) END AS mean_pairwise_cos
           FROM s2 JOIN pl ON s2.label = pl.label ORDER BY s2.label""",
+    // q38: SAME oracle as q21 on purpose — the emitted score is the
+    // quantized cosine, and the native-expression consistency filter
+    // (|cos_native − cos| < 1e-3) passes every row iff the codegen'd
+    // CosineSimilarity agrees with the portable arithmetic; a drifting
+    // native cosine loses rows against this oracle and the gate trips.
+    "q38_cosine_native" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+            ${dotDuck("embedding", "embedding")} AS nq
+            FROM embeddings WHERE vec_id < $nQueries),
+          c AS (SELECT vec_id AS nid, embedding AS ne,
+            ${dotDuck("embedding", "embedding")} AS nn
+            FROM embeddings),
+          scored AS (SELECT qid, nid,
+            CAST(${dotDuck("qe", "ne")} AS DOUBLE) / sqrt(CAST(nq AS DOUBLE) * CAST(nn AS DOUBLE)) AS cos
+            FROM q CROSS JOIN c WHERE qid <> nid),
+          ranked AS (SELECT qid, nid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+            FROM scored)
+          SELECT qid, nid, CAST(rank AS INT) AS rank, cos
+          FROM ranked WHERE rank <= $topK ORDER BY qid, rank""",
     "q21_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe,
             ${dotDuck("embedding", "embedding")} AS nq

@@ -257,12 +257,16 @@ object EventStreams {
     *
     * State is fully DISTRIBUTED — one (band, bh) → owner registry
     * parquet under the catalog's workDir, appended per micro-batch
-    * (never rewritten; duplicate rows from a crash-replay collapse in
-    * the min-owner read), one registry join per batch, nothing
-    * driver-sized. Admission output lands in per-batch directories
-    * written with OVERWRITE, so every crash window replays
-    * idempotently; the `last_batch` guard stamps LAST (the crash-safe
-    * fold discipline).
+    * (duplicate rows from a crash-replay collapse in the min-owner
+    * read), one registry join per batch, nothing driver-sized. Past
+    * [[BandRegistryCompactFiles]] part files the fold COMPACTS the
+    * registry to its min-owner form in a versioned sibling dir, with
+    * the version committed atomically on the replay-guard rider —
+    * bounding per-batch read amplification at ingest scale (see
+    * [[foldBandAdmissionBatch]] for the crash windows). Admission
+    * output lands in per-batch directories written with OVERWRITE, so
+    * every crash window replays idempotently; the `last_batch` guard
+    * stamps LAST (the crash-safe fold discipline).
     *
     * Contract: doc_ids are unique, non-null, and arrive MONOTONE
     * across batches (the ingest id discipline) — enforced loudly via
@@ -283,98 +287,233 @@ object EventStreams {
     */
   def maintainBandAdmission(docs: DataFrame,
       catalog: graft.catalog.MetaCatalog, table: String,
-      checkpointLocation: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val name = s"${table}__admitted"
-    val path = s"${catalog.samplesDir}/$name"
-    val regPath = s"${catalog.samplesDir}/${name}__registry"
+      checkpointLocation: Option[String] = None,
+      compactFileThreshold: Int = BandRegistryCompactFiles)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        graft.functions.GraftFunctions.register(s)
-        val rider = catalog.getSketch(table, "text", "bandreg_state")
-        val riderParams = rider.map(_.parameters).getOrElse("{}")
-        val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
-          .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
-        if (batchId > lastBatch) {
-          val prevRows = """"rows"\s*:\s*(\d+)""".r
-            .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(0L)
-          val prevMaxId = """"max_id"\s*:\s*(-?\d+)""".r
-            .findFirstMatchIn(riderParams).map(_.group(1).toLong)
-            .getOrElse(Long.MinValue)
-          val idStats = batch.agg(count(lit(1)).as("n"),
-            count(col("doc_id")).as("nn"),
-            countDistinct(col("doc_id")).as("nd"),
-            min(col("doc_id")).as("mn"),
-            max(col("doc_id")).as("mx")).collect()(0)
-          val n = idStats.getLong(0)
-          if (n > 0) {
-            require(idStats.getLong(1) == n,
-              s"band admission on $table: doc_id must be non-null")
-            require(idStats.getLong(2) == n,
-              s"band admission on $table: doc_id must be unique within " +
-                s"a batch (${n - idStats.getLong(2)} duplicates) — a dup " +
-                "would emit duplicate admission rows")
-            require(idStats.getLong(3) > prevMaxId,
-              s"band admission on $table: doc_ids must arrive monotone " +
-                s"across batches (batch min ${idStats.getLong(3)} <= " +
-                s"prior max $prevMaxId) — an out-of-order id would " +
-                "steal ownership the fold already granted")
-          }
-          val maxId = if (n > 0) math.max(prevMaxId, idStats.getLong(4))
-            else prevMaxId
-          val bands = graft.queries.Dedup
-            .bandsOf(batch.select(col("doc_id"), col("text")))
-            .localCheckpoint()
-          val batchOwn = bands.groupBy(col("band"), col("bh"))
-            .agg(min(col("doc_id")).as("bown"))
-          val reg =
-            if (new java.io.File(regPath).exists)
-              s.read.parquet(regPath).groupBy(col("band"), col("bh"))
-                .agg(min(col("owner")).as("rown"))
-            else batchOwn.select(col("band"), col("bh"),
-              col("bown").as("rown")).limit(0)
-          val merged = batchOwn.join(reg, Seq("band", "bh"), "left")
-            .select(col("band"), col("bh"),
-              expr("least(bown, coalesce(rown, bown))").as("owner"),
-              col("rown").isNull.as("fresh"))
-            .localCheckpoint()
-          val per = bands.join(merged, Seq("band", "bh"))
-            .groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_bands"),
-              sum(expr("case when doc_id = owner then 1 else 0 end"))
-                .as("n_owned"))
-          val admitted = batch.select(col("doc_id"))
-            .join(per, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              expr("coalesce(n_bands, cast(0 as bigint))").as("n_bands"),
-              expr("coalesce(n_owned, cast(0 as bigint))").as("n_owned"),
-              expr("cast(coalesce(n_bands, cast(0 as bigint)) = " +
-                "coalesce(n_owned, cast(0 as bigint)) as int)")
-                .as("admitted"))
-          // per-batch OVERWRITE directory: a replay after any crash
-          // window rewrites identical content instead of duplicating
-          admitted.write.mode("overwrite").parquet(s"$path/b$batchId")
-          merged.filter(col("fresh"))
-            .select(col("band"), col("bh"), col("owner"))
-            .write.mode("append").parquet(regPath)
-          val nAdm = s.read.parquet(s"$path/b$batchId")
-            .filter(col("admitted") === 1).count()
-          // no temp-view registration here: foreachBatch runs in a
-          // CLONED session, so a view would never reach the serving
-          // session (the round-14 lesson) — consumers read the
-          // persisted output (`<path>/b*`), the durable authority
-          graft.queries.Checkpoints.free(bands)
-          graft.queries.Checkpoints.free(merged)
-          // replay-guard stamp LAST (crash-safe fold discipline)
-          catalog.upsertSketch(catalog.SketchInfo(table, "text",
-            "bandreg_state", Array.emptyByteArray,
-            s"""{"rows":${prevRows + nAdm},"max_id":$maxId,"last_batch":$batchId}""",
-            System.currentTimeMillis()))
-        }
-        ()
+        foldBandAdmissionBatch(batch, batchId, catalog, table,
+          compactFileThreshold)
       }
       .pipe(w => StreamCkpt.start(w, checkpointLocation))
+
+  /** Registry compaction trigger: part files in the current registry
+    * version directory. Each micro-batch appends up to one file per
+    * shuffle partition, and the fold re-reads EVERY file for its
+    * min-owner aggregation — without compaction the per-batch read
+    * amplification grows linearly with batch count (the round-15
+    * verdict's one scale caveat). Past this many files the fold
+    * rewrites the registry to its min-owner form (see
+    * [[foldBandAdmissionBatch]]).
+    */
+  val BandRegistryCompactFiles = 64
+
+  /** Current band-registry directory for `table`: version 0 is
+    * `<samples>/<table>__admitted__registry` itself; compaction k
+    * rewrites to the `..._vk` SIBLING, named by the rider's `reg_v`.
+    * Siblings, never nested versions — a nested dir would poison a
+    * parquet read of the uncompacted path during the crash window
+    * between the compacted write and the rider stamp.
+    */
+  def bandRegistryDir(catalog: graft.catalog.MetaCatalog, table: String): String = {
+    val base = s"${catalog.samplesDir}/${table}__admitted__registry"
+    val params = catalog.getSketch(table, "text", "bandreg_state")
+      .map(_.parameters).getOrElse("{}")
+    """"reg_v"\s*:\s*(\d+)""".r.findFirstMatchIn(params)
+      .map(m => s"${base}_v${m.group(1)}").getOrElse(base)
+  }
+
+  /** One fold of the band-admission operator — the foreachBatch body,
+    * shared verbatim with the batch materializer
+    * [[materializeBandAdmission]] so the streaming and batch artifacts
+    * cannot drift. See [[maintainBandAdmission]] for the contract.
+    */
+  private[graft] def foldBandAdmissionBatch(batch: DataFrame, batchId: Long,
+      catalog: graft.catalog.MetaCatalog, table: String,
+      compactFileThreshold: Int = BandRegistryCompactFiles): Unit = {
+    val name = s"${table}__admitted"
+    val path = s"${catalog.samplesDir}/$name"
+    val regBase = s"${catalog.samplesDir}/${name}__registry"
+    val s = batch.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val rider = catalog.getSketch(table, "text", "bandreg_state")
+    val riderParams = rider.map(_.parameters).getOrElse("{}")
+    val lastBatch = """"last_batch"\s*:\s*(-?\d+)""".r
+      .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(-1L)
+    val regV = """"reg_v"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(riderParams).map(_.group(1).toInt)
+    val regDir = regV.map(v => s"${regBase}_v$v").getOrElse(regBase)
+    // stale-version cleanup: a crash between the rider stamp and this
+    // point leaves the retired version dir (and a crash before the
+    // stamp leaves an orphan next-version dir, rewritten by the next
+    // compaction). Only NON-current registry dirs are ever touched, so
+    // this is safe to run unconditionally at fold start.
+    regV.foreach { _ =>
+      val cur = new java.io.File(regDir).getAbsolutePath
+      Option(new java.io.File(catalog.samplesDir).listFiles)
+        .getOrElse(Array.empty[java.io.File]).foreach { f =>
+          val fn = f.getName
+          if ((fn == s"${name}__registry" ||
+              fn.startsWith(s"${name}__registry_v")) &&
+              f.getAbsolutePath != cur)
+            deleteRecursively(f)
+        }
+    }
+    if (batchId > lastBatch) {
+      val prevRows = """"rows"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(0L)
+      val prevSeen = """"seen"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(riderParams).map(_.group(1).toLong).getOrElse(0L)
+      val prevMaxId = """"max_id"\s*:\s*(-?\d+)""".r
+        .findFirstMatchIn(riderParams).map(_.group(1).toLong)
+        .getOrElse(Long.MinValue)
+      val idStats = batch.agg(count(lit(1)).as("n"),
+        count(col("doc_id")).as("nn"),
+        countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx")).collect()(0)
+      val n = idStats.getLong(0)
+      if (n > 0) {
+        require(idStats.getLong(1) == n,
+          s"band admission on $table: doc_id must be non-null")
+        require(idStats.getLong(2) == n,
+          s"band admission on $table: doc_id must be unique within " +
+            s"a batch (${n - idStats.getLong(2)} duplicates) — a dup " +
+            "would emit duplicate admission rows")
+        require(idStats.getLong(3) > prevMaxId,
+          s"band admission on $table: doc_ids must arrive monotone " +
+            s"across batches (batch min ${idStats.getLong(3)} <= " +
+            s"prior max $prevMaxId) — an out-of-order id would " +
+            "steal ownership the fold already granted")
+      }
+      val maxId = if (n > 0) math.max(prevMaxId, idStats.getLong(4))
+        else prevMaxId
+      val bands = graft.queries.Dedup
+        .bandsOf(batch.select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val batchOwn = bands.groupBy(col("band"), col("bh"))
+        .agg(min(col("doc_id")).as("bown"))
+      val reg =
+        if (new java.io.File(regDir).exists)
+          s.read.parquet(regDir).groupBy(col("band"), col("bh"))
+            .agg(min(col("owner")).as("rown"))
+        else batchOwn.select(col("band"), col("bh"),
+          col("bown").as("rown")).limit(0)
+      val merged = batchOwn.join(reg, Seq("band", "bh"), "left")
+        .select(col("band"), col("bh"),
+          expr("least(bown, coalesce(rown, bown))").as("owner"),
+          col("rown").isNull.as("fresh"))
+        .localCheckpoint()
+      val per = bands.join(merged, Seq("band", "bh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bands"),
+          sum(expr("case when doc_id = owner then 1 else 0 end"))
+            .as("n_owned"))
+      val admitted = batch.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("coalesce(n_bands, cast(0 as bigint))").as("n_bands"),
+          expr("coalesce(n_owned, cast(0 as bigint))").as("n_owned"),
+          expr("cast(coalesce(n_bands, cast(0 as bigint)) = " +
+            "coalesce(n_owned, cast(0 as bigint)) as int)")
+            .as("admitted"))
+      // per-batch OVERWRITE directory: a replay after any crash
+      // window rewrites identical content instead of duplicating
+      admitted.write.mode("overwrite").parquet(s"$path/b$batchId")
+      merged.filter(col("fresh"))
+        .select(col("band"), col("bh"), col("owner"))
+        .write.mode("append").parquet(regDir)
+      // COMPACTION (round 16): once the appended registry exceeds the
+      // file threshold, rewrite it to its min-owner form as the next
+      // version SIBLING. The new version becomes authoritative only
+      // via the rider stamp below — the same atomic commit the replay
+      // guard rides — so every crash window resolves: before the
+      // stamp, the old version (including this batch's append) is
+      // still current and a replayed fold rewrites the orphan; after
+      // it, the next fold's cleanup removes the retired dir.
+      // Admissions are invariant under compaction because the fold
+      // only ever consumes the registry through min(owner) per
+      // (band, bh) — the EventStreamsSpec law.
+      val regFiles = Option(new java.io.File(regDir).listFiles)
+        .map(_.count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).getOrElse(0)
+      val stampedV: Option[Int] =
+        if (regFiles > compactFileThreshold) {
+          val nv = regV.getOrElse(0) + 1
+          s.read.parquet(regDir).groupBy(col("band"), col("bh"))
+            .agg(min(col("owner")).as("owner"))
+            .write.mode("overwrite").parquet(s"${regBase}_v$nv")
+          Some(nv)
+        } else regV
+      val nAdm = s.read.parquet(s"$path/b$batchId")
+        .filter(col("admitted") === 1).count()
+      // no temp-view registration here: foreachBatch runs in a
+      // CLONED session, so a view would never reach the serving
+      // session (the round-14 lesson) — consumers read the
+      // persisted output (`<path>/b*`), the durable authority
+      graft.queries.Checkpoints.free(bands)
+      graft.queries.Checkpoints.free(merged)
+      // replay-guard stamp LAST (crash-safe fold discipline); the
+      // registry version rides the same atomic write
+      val regVJson = stampedV.map(v => s""","reg_v":$v""").getOrElse("")
+      catalog.upsertSketch(catalog.SketchInfo(table, "text",
+        "bandreg_state", Array.emptyByteArray,
+        s"""{"rows":${prevRows + nAdm},"seen":${prevSeen + n},"max_id":$maxId,"last_batch":$batchId$regVJson}""",
+        System.currentTimeMillis()))
+    }
+    ()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** BATCH materializer for the band-admission artifact — exactly one
+    * fold (batch id 0) of [[foldBandAdmissionBatch]] over the whole
+    * `docs` relation, landing the same durable layout the streaming
+    * maintainer writes: admitted rows under
+    * `<samples>/<table>__admitted/b0`, the (band,bh)→owner registry,
+    * and the replay-guard rider. After this, [[admissionStats]] serves
+    * without rescanning `docs`, and a streaming attachment with a
+    * fresh durable checkpoint resumes the fold at batch 1+ under the
+    * monotone-id contract. Idempotent: a second call is replay-skipped
+    * by the rider's `last_batch` guard.
+    */
+  def materializeBandAdmission(catalog: graft.catalog.MetaCatalog,
+      table: String, docs: DataFrame): Unit =
+    foldBandAdmissionBatch(docs, 0L, catalog, table)
+
+  /** Admission statistics served from the DURABLE artifact alone — the
+    * per-batch admitted output plus the band registry. The documents
+    * relation is NEVER scanned (no text, no shingles, no MinHash): at
+    * ingest scale this is the difference between a dashboard query and
+    * a corpus job. Emits one row: n_docs / n_admitted / n_suppressed
+    * (from the admitted rows), n_bands (distinct owned (band, bh)
+    * pairs from the registry), and admit_rate (one exact division —
+    * bit-portable, oracle-gated via q193).
+    */
+  def admissionStats(spark: SparkSession,
+      catalog: graft.catalog.MetaCatalog, table: String): DataFrame = {
+    val path = s"${catalog.samplesDir}/${table}__admitted"
+    val regDir = bandRegistryDir(catalog, table)
+    val adm = spark.read.parquet(s"$path/b*")
+    val nBands =
+      if (new java.io.File(regDir).exists)
+        spark.read.parquet(regDir)
+          .select(col("band"), col("bh")).distinct()
+          .agg(count(lit(1)).as("n_bands"))
+      else spark.range(1).select(lit(0L).as("n_bands"))
+    adm.agg(
+        count(lit(1)).as("n_docs"),
+        expr("cast(sum(admitted) as bigint)").as("n_admitted"),
+        expr("cast(sum(1 - admitted) as bigint)").as("n_suppressed"))
+      .crossJoin(nBands)
+      .select(col("n_docs"), col("n_admitted"), col("n_suppressed"),
+        col("n_bands"),
+        expr("cast(n_admitted as double) / cast(n_docs as double)")
+          .as("admit_rate"))
   }
 
   /** Streaming AQP: the engine's sampled-aggregate strategy applied to

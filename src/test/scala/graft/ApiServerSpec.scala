@@ -702,6 +702,15 @@ class ApiServerSpec extends SparkSpec {
            "sketch_type": "hyperloglog", "ts_column": "ts",
            "window_micros": 2000000000, "bucket_micros": 100000000}"""))
       assert(cm == 200, bm)
+      // re-POST for the SAME maintainer id replaces it in place — the
+      // round-16 fix: the old query is stopped BEFORE the new one
+      // starts, because both share the durable checkpoint and Spark
+      // refuses a checkpoint still owned by an active query
+      val (cmr, bmr) = httpAt(s2.boundPort, "POST", "/sketches/maintain", Some(
+        """{"stream": "s0", "table": "http_live", "column": "other",
+           "sketch_type": "hyperloglog", "ts_column": "ts",
+           "window_micros": 2000000000, "bucket_micros": 100000000}"""))
+      assert(cmr == 200, bmr)
       // ingest batch 2 as a new file, then the deterministic flush
       shape(2000, 4000).coalesce(1).write.mode("append").parquet(srcDir)
       assert(httpAt(s2.boundPort, "POST", "/streams/flush",
@@ -786,6 +795,16 @@ class ApiServerSpec extends SparkSpec {
       assert(rider.parameters.contains(s""""rows":$nAdm"""), rider.parameters)
       assert(spark.read
         .parquet(s"$work/samples/docs_http__admitted__registry").count() > 0)
+      // re-POST replaces the ingest maintainer in place (stop-old-first
+      // on the shared durable checkpoint — the round-16 fix) and a
+      // replacement flush doubles nothing (replay guard)
+      val (crp, brp) = httpAt(s4.boundPort, "POST", "/sketches/maintain", Some(
+        """{"stream": "sd", "table": "docs_http", "sketch_type": "band_admission"}"""))
+      assert(crp == 200, brp)
+      assert(httpAt(s4.boundPort, "POST", "/streams/flush",
+        Some("""{"name": "sd"}"""))._1 == 200)
+      assert(spark.read.parquet(s"$work/samples/docs_http__admitted/b*")
+        .count() == out.count())
     } finally s4.stop()
   }
 

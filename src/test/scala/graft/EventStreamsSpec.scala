@@ -1960,4 +1960,134 @@ class EventStreamsSpec extends SparkSpec {
       ex.getMessage)
     q3.stop()
   }
+
+  private def admissionShape(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), col("n_bands"), col("n_owned"), col("admitted"))
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    .toSet
+
+  test("band-admission registry compaction: admissions invariant, version stamped atomically, registry file count bounded") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-bandcmp").toString)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    // threshold 2: every few appends trip a compaction, exercising the
+    // version-stamp/cleanup cycle many times in one run
+    val q = EventStreams.maintainBandAdmission(
+      stream.toDF().toDF("doc_id", "text"), catalog, "docs_cmp",
+      compactFileThreshold = 2)
+    val batches = docs.grouped(math.max(1, docs.length / 8)).toSeq
+    batches.foreach { g =>
+      stream.addData(g.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // LAW: a compacted registry yields admissions identical to the
+    // batch operator over the whole corpus — compaction only rewrites
+    // the registry to the min-owner form the fold already consumes
+    val got = admissionShape(
+      spark.read.parquet(s"${catalog.samplesDir}/docs_cmp__admitted/b*"))
+    val want = admissionShape(
+      graft.queries.Dedup.queries("q192_band_admission")(spark, sfDir))
+    assert(got == want)
+    val rider = catalog.getSketch("docs_cmp", "text", "bandreg_state").get
+    val regV = """"reg_v"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(rider.parameters).map(_.group(1).toInt)
+    assert(regV.exists(_ >= 1),
+      s"compaction never stamped a version: ${rider.parameters}")
+    // bounded registry: the current version dir holds the compacted
+    // rewrite plus at most a threshold's worth of fresh appends — far
+    // below the uncompacted total (8+ batches x up to 4 files each)
+    val regDir = new java.io.File(
+      EventStreams.bandRegistryDir(catalog, "docs_cmp"))
+    assert(regDir.exists, regDir.toString)
+    val nFiles = regDir.listFiles.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(nFiles <= 12, s"registry not bounded: $nFiles files")
+    // one more monotone fold runs the stale-version cleanup: only the
+    // CURRENT version dir remains among the registry siblings
+    val extra = MemoryStream[(Long, String)]
+    val q2 = EventStreams.maintainBandAdmission(
+      extra.toDF().toDF("doc_id", "text"), catalog, "docs_cmp",
+      compactFileThreshold = 2)
+    extra.addData(Seq((docs.last._1 + 1, "zz yy xx ww vv")))
+    q2.processAllAvailable()
+    q2.stop()
+    val curName = new java.io.File(
+      EventStreams.bandRegistryDir(catalog, "docs_cmp")).getName
+    val regSiblings = new java.io.File(catalog.samplesDir).listFiles
+      .map(_.getName)
+      .filter(n => n == "docs_cmp__admitted__registry" ||
+        n.startsWith("docs_cmp__admitted__registry_v"))
+    assert(regSiblings.toSet == Set(curName),
+      s"stale registry versions not cleaned: ${regSiblings.mkString(",")}")
+  }
+
+  test("band-admission RESTART law: the durable checkpoint resumes the fold past a kill — fold == batch operator across the restart") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-bandrst").toString
+    val catalog = new graft.catalog.MetaCatalog(s"$work/cat")
+    val srcDir = s"$work/src"
+    val ckpt = s"$work/ckpt"
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val mid = docs(docs.length / 2)._1
+    // drop 1 lands, the maintainer folds it, then the process "dies"
+    docs.filter(_._1 <= mid).toSeq.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def attach() = EventStreams.maintainBandAdmission(
+      spark.readStream.schema(schema).parquet(srcDir), catalog, "docs_rst",
+      checkpointLocation = Some(ckpt))
+    val q1 = attach()
+    q1.processAllAvailable()
+    q1.stop() // the kill
+    // drop 2 lands while the maintainer is down; the re-attachment with
+    // the ORIGINAL checkpoint resumes the source's processed-files log,
+    // so batch ids continue past the durable rider's last_batch (the
+    // documented RESTART contract) and only the new file folds
+    docs.filter(_._1 > mid).toSeq.toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = attach()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = admissionShape(
+      spark.read.parquet(s"${catalog.samplesDir}/docs_rst__admitted/b*"))
+    val want = admissionShape(
+      graft.queries.Dedup.queries("q192_band_admission")(spark, sfDir))
+    assert(got == want)
+    // the resumed attachment really folded under a CONTINUED batch id
+    // (0 before the kill, 1 after), not a reset-to-0 replay skip
+    val rider = catalog.getSketch("docs_rst", "text", "bandreg_state").get
+    assert(rider.parameters.contains(""""last_batch":1"""), rider.parameters)
+    assert(new java.io.File(
+      s"${catalog.samplesDir}/docs_rst__admitted/b1").exists)
+  }
+
+  test("admission stats serve answers from the artifact after a batch materialization") {
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-admstat").toString)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    EventStreams.materializeBandAdmission(catalog, "docs_stat", docs)
+    // idempotent: a second materialization is replay-skipped by the
+    // rider guard (same artifact, no duplicate b0 content)
+    EventStreams.materializeBandAdmission(catalog, "docs_stat", docs)
+    val stats = EventStreams.admissionStats(spark, catalog, "docs_stat")
+      .collect()(0)
+    val want = admissionShape(
+      graft.queries.Dedup.queries("q192_band_admission")(spark, sfDir))
+    assert(stats.getAs[Long]("n_docs") == want.size)
+    assert(stats.getAs[Long]("n_admitted") == want.count(_._4 == 1))
+    assert(stats.getAs[Long]("n_suppressed") == want.count(_._4 == 0))
+    assert(stats.getAs[Long]("n_bands") > 0)
+    assert(stats.getAs[Double]("admit_rate") ==
+      want.count(_._4 == 1).toDouble / want.size)
+  }
 }
