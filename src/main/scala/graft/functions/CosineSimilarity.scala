@@ -146,11 +146,24 @@ object GraftFunctions {
       H60(children.head)
     })
 
+  val exactPercentileDescriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier("graft_percentile"),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[ExactPercentile].getName, "graft_percentile"),
+    { children =>
+      require(children.length == 2,
+        s"graft_percentile expects 2 arguments, got ${children.length}")
+      ExactPercentile(children(0), children(1))
+    })
+
   /** Make the engine's native functions callable from SQL on an existing
     * session (idempotent — re-registration replaces).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimilarityDescriptor, quantizedDotDescriptor, h60Descriptor)
+    Seq(cosineSimilarityDescriptor, quantizedDotDescriptor, h60Descriptor,
+        exactPercentileDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
@@ -165,5 +178,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
     ext.injectFunction(GraftFunctions.quantizedDotDescriptor)
     ext.injectFunction(GraftFunctions.h60Descriptor)
+    ext.injectFunction(GraftFunctions.exactPercentileDescriptor)
   }
 }

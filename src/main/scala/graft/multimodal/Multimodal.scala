@@ -84,7 +84,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    Codecs.writePng(img, bos)
     bos.toByteArray
   }
 
@@ -94,8 +94,7 @@ object Multimodal {
     */
   def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
     imageIoNoCache
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))
+    val img = Codecs.readImage(bytes, Codecs.pngReaderSpi)
     require(img != null, s"payload of id=$id is not a decodable image")
     val rgb = img.getRGB(0, 0)
     ImageMeta(id, img.getWidth, img.getHeight,
@@ -157,7 +156,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    Codecs.writePng(img, bos)
     bos.toByteArray
   }
 
@@ -210,14 +209,12 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { m =>
         imageIoNoCache
-        val src = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.bytes))
+        val src = Codecs.readImage(m.bytes, Codecs.pngReaderSpi)
         require(src != null, s"payload of id=${m.id} is not a decodable image")
         val resized = resizeNearest(src, tw, th)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(resized, "png", bos)
-        val back = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bos.toByteArray))
+        Codecs.writePng(resized, bos)
+        val back = Codecs.readImage(bos.toByteArray, Codecs.pngReaderSpi)
         var sum = 0L
         var y = 0
         while (y < back.getHeight) {
@@ -262,8 +259,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    Codecs.writeWav(ais, bos)
     bos.toByteArray
   }
 
@@ -273,8 +269,7 @@ object Multimodal {
     * header) round-tripped.
     */
   def decodeAudio(id: Long, bytes: Array[Byte]): AudioMeta = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val ais = Codecs.readWav(bytes)
     val fmt = ais.getFormat
     require(fmt.getEncoding ==
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
@@ -411,8 +406,7 @@ object Multimodal {
     * anywhere in the chain is observable.
     */
   def resampleAudio(id: Long, bytes: Array[Byte]): ResampledAudioMeta = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val ais = Codecs.readWav(bytes)
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
       fmt.getChannels == 1, s"payload of id=$id is not 16-bit LE mono")
@@ -432,12 +426,10 @@ object Multimodal {
     val fmt2 = new javax.sound.sampled.AudioFormat(
       rate2.toFloat, 16, 1, true, false)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
+    Codecs.writeWav(
       new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(out), fmt2, n2.toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    val ais2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bos.toByteArray))
+        new java.io.ByteArrayInputStream(out), fmt2, n2.toLong), bos)
+    val ais2 = Codecs.readWav(bos.toByteArray)
     val m = ais2.getFrameLength.toInt
     val d2 = ais2.readAllBytes()
     def s2(j: Int): Int = (d2(2 * j + 1) << 8) | (d2(2 * j) & 0xff)
@@ -487,9 +479,10 @@ object Multimodal {
     val frames = 2 + (id % 4).toInt
     val delayCs = 4 + (id % 7).toInt // centiseconds, the GIF time unit
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer =
-      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = Codecs.gifWriterSpi
+      .map(_.createWriterInstance())
+      .getOrElse(javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
@@ -533,11 +526,19 @@ object Multimodal {
     */
   def decodeVideo(id: Long, bytes: Array[Byte]): VideoMeta = {
     imageIoNoCache
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"payload of id=$id is not a decodable video")
-    val reader = readers.next()
+    val reader = Codecs.gifReaderSpi
+      .filter { s =>
+        try s.canDecodeInput(iis)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      .map(_.createReaderInstance())
+      .getOrElse {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"payload of id=$id is not a decodable video")
+        readers.next()
+      }
     reader.setInput(iis)
     val n = reader.getNumImages(true)
     require(n > 0, s"payload of id=$id holds no frames")

@@ -26,7 +26,12 @@ object Analytics {
     * Use with [[pctAt]] to unpack + DECIMAL(18,6)-round each output.
     */
   private[queries] def pctArr(valueCol: String, ps: Seq[String]): org.apache.spark.sql.Column =
-    expr(s"percentile($valueCol, array(${ps.map(_ + "D").mkString(", ")}))")
+    // graft_percentile (round 16): primitive-buffer twin of the builtin,
+    // bit-identical by construction (its eval calls PercentileBase's own
+    // getPercentile; FunctionsSpec pins parity) — the builtin's boxed
+    // OpenHashMap update path was the exact-companion hot spot (2.1 s ->
+    // 0.43 s for the two-quantile lineitem aggregate at sf0.1)
+    expr(s"graft_percentile(cast($valueCol as double), array(${ps.map(_ + "D").mkString(", ")}))")
 
   /** i-th quantile out of a [[pctArr]] result attribute, rounded through
     * DECIMAL(18,6) for cross-engine bit-parity (the q32/q61 rule).
@@ -38,7 +43,11 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact interpolated percentiles of order value, grouped by status.
     "q32_percentiles" -> ((s, dir) => {
+      // single-row-group input: spread the scan before the percentile
+      // partial aggregate (Relational q01's note; counts-map percentile
+      // is partitioning-independent)
       val o = Tables.load(s, dir, "orders")
+        .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
       o.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           pctArr("o_totalprice", Seq("0.25", "0.5", "0.75", "0.9")).as("pcts"))

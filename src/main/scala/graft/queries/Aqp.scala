@@ -445,13 +445,19 @@ object Aqp {
     // are pure functions of the id, so the DECODED values are
     // oracle-checkable without DuckDB ever seeing the bytes — the gate
     // proves real compressed pixel data survived the round trip.
+    // Ordering note (round 16, also q167/q173/q81/q178): a global
+    // orderBy range-partitions, and RangePartitioner SAMPLES its child
+    // — which re-executes the whole codec stage a second time per run.
+    // repartition(1) + sortWithinPartitions yields the same totally
+    // ordered output (one partition) with the decode stage executed
+    // ONCE; the metadata rows being sorted are corpus-count-sized.
     "q72_image_decode" -> ((s, dir) => {
       graft.multimodal.Multimodal
         .extractImageMeta(graft.multimodal.Multimodal.imageMedia(s, dir))
         .toDF()
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("red"), col("green"), col("blue"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Multimodal REAL image RESIZE, end-to-end (round 11 — the last
@@ -469,7 +475,7 @@ object Aqp {
         .toDF()
         .select(col("id").as("doc_id"), col("srcW").as("src_w"),
           col("srcH").as("src_h"), col("rw"), col("rh"), col("checksum"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Multimodal REAL video decode, end-to-end (round 12 — the last
@@ -490,7 +496,7 @@ object Aqp {
           col("nFrames").as("n_frames"),
           col("durationMs").as("duration_ms"),
           col("firstRgb").as("first_rgb"), col("lastRgb").as("last_rgb"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Multimodal REAL audio decode, end-to-end (q72's audio twin): a
@@ -519,7 +525,7 @@ object Aqp {
           col("midSample").as("mid_sample"),
           col("lastSample").as("last_sample"),
           col("checksum"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // SAMPLED media QA (round 13): the codec family's sublinear job
@@ -543,7 +549,7 @@ object Aqp {
           col("firstSample").as("first_sample"),
           col("midSample").as("mid_sample"),
           col("lastSample").as("last_sample"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // AQP: sampled COUNT/SUM/AVG with Horvitz-Thompson scaling and CI
@@ -1599,7 +1605,7 @@ object Aqp {
         s"q144 must report the 1/m relative bound: ${r.estimatedError}")
       val exact = Tables.load(s, dir, "lineitem").agg(
         Analytics.pctArr("l_extendedprice", Seq("0.5", "0.95")).as("pe"),
-        expr("cast(cast(percentile(l_discount, 0.5) as decimal(18,6)) as double)")
+        expr("cast(cast(graft_percentile(cast(l_discount as double), 0.5D) as decimal(18,6)) as double)")
           .as("x50d"))
         .select(Analytics.pctAt("pe", 0, "x50e"),
           Analytics.pctAt("pe", 1, "x95e"), col("x50d"))
@@ -1721,7 +1727,7 @@ object Aqp {
         s"q150 must report the 1/m relative bound: ${r.estimatedError}")
       val exact = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("xrf"), col("l_linestatus").as("xls"))
-        .agg(expr("cast(cast(percentile(l_extendedprice, 0.95) " +
+        .agg(expr("cast(cast(graft_percentile(cast(l_extendedprice as double), 0.95D) " +
           "as decimal(18,6)) as double)").as("x95"))
       r.df.join(exact, expr("rf = xrf AND ls = xls"))
         .select(col("rf"), col("ls"), col("p95"), col("x95"),
@@ -1767,7 +1773,7 @@ object Aqp {
           s"${r.serveKind} (${r.reason})")
       val exact = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("xrf"))
-        .agg(expr("cast(cast(percentile(l_extendedprice, 0.5) " +
+        .agg(expr("cast(cast(graft_percentile(cast(l_extendedprice as double), 0.5D) " +
           "as decimal(18,6)) as double)").as("x50"))
       r.df.join(exact, expr("rf = xrf"))
         .select(col("rf"), col("p50"), col("x50"),
@@ -1881,7 +1887,7 @@ object Aqp {
           s"${r.serveKind} (${r.reason})")
       val exact = Tables.load(s, dir, "lineitem")
         .where("l_returnflag IN ('A', 'R')")
-        .agg(expr("cast(cast(percentile(l_extendedprice, 0.9) " +
+        .agg(expr("cast(cast(graft_percentile(cast(l_extendedprice as double), 0.9D) " +
           "as decimal(18,6)) as double)").as("x90m"))
       r.df.crossJoin(exact)
         .withColumn("rel_err", expr("(p90m - x90m) / x90m"))

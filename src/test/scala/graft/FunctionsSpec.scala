@@ -98,6 +98,42 @@ class FunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60)))
   }
 
+  test("graft_percentile is bit-identical to the builtin percentile on every gated shape") {
+    // round 16: the exact-companion percentiles moved to the
+    // primitive-buffer aggregate; its eval delegates the rank walk and
+    // interpolation to PercentileBase.getPercentile, so equality must be
+    // EXACT (raw bits), not approximate — including array/scalar forms,
+    // grouped evaluation, duplicates-heavy columns, and empty input.
+    graft.Tables.registerAll(spark, sfDir)
+    val ps = "array(0.0D, 0.01D, 0.25D, 0.5D, 0.75D, 0.9D, 0.95D, 0.99D, 1.0D)"
+    def bitsEq(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (x, y) =>
+        java.lang.Double.doubleToRawLongBits(x) ==
+          java.lang.Double.doubleToRawLongBits(y) }
+    for ((t, c) <- Seq(("lineitem", "l_extendedprice"),
+        ("lineitem", "l_discount"), ("lineitem", "l_quantity"),
+        ("orders", "o_totalprice"), ("events", "value"))) {
+      val r = spark.sql(s"SELECT percentile($c, $ps) AS a, " +
+        s"graft_percentile(cast($c as double), $ps) AS b FROM $t").collect()(0)
+      assert(bitsEq(r.getSeq[Double](0), r.getSeq[Double](1)), s"$t.$c")
+    }
+    val g = spark.sql("SELECT l_returnflag, l_linestatus, " +
+      s"percentile(l_extendedprice, $ps) AS a, " +
+      s"graft_percentile(cast(l_extendedprice as double), $ps) AS b " +
+      "FROM lineitem GROUP BY l_returnflag, l_linestatus").collect()
+    assert(g.nonEmpty)
+    g.foreach(r => assert(bitsEq(r.getSeq[Double](2), r.getSeq[Double](3))))
+    val sc = spark.sql("SELECT percentile(l_discount, 0.5) AS a, " +
+      "graft_percentile(cast(l_discount as double), 0.5D) AS b FROM lineitem")
+      .collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(sc.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(sc.getDouble(1)))
+    val empty = spark.sql("SELECT percentile(l_discount, 0.5) AS a, " +
+      "graft_percentile(cast(l_discount as double), 0.5D) AS b " +
+      "FROM lineitem WHERE l_discount > 100").collect()(0)
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+  }
+
   test("quantized_dot null and mismatch semantics") {
     import spark.implicits._
     val vals = Seq(

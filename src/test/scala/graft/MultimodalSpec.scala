@@ -166,6 +166,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hoisted codec providers are byte-identical to the AudioSystem/ImageIO routes") {
+    // round 16: wavFor/decode/resample/png paths resolve their provider
+    // ONCE (Codecs) instead of re-scanning the synchronized registry per
+    // call; this pins that the resolved provider produces the exact bytes
+    // and values the registry route did.
+    for (id <- Seq(0L, 3L, 129L, 4095L)) {
+      val viaCodecs = Multimodal.wavFor(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      val rate = 8000 + 1000 * (id % 5).toInt
+      val n = 100 + (id % 400).toInt
+      val data = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = (((id * 31 + i.toLong * 17) % 65536) - 32768).toInt
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data),
+          new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false),
+          n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(viaCodecs, bos.toByteArray),
+        s"wav writer parity broke for id=$id")
+      // reader parity: decode via the registry route, compare fields
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(viaCodecs))
+      val m = Multimodal.decodeAudio(id, viaCodecs)
+      assert(m.sampleRate == ais.getFormat.getSampleRate.toInt &&
+        m.nSamples == ais.getFrameLength.toInt)
+    }
+    // PNG writer/reader parity: bytes equal ImageIO.write, pixels round-trip
+    for (id <- Seq(2L, 40L)) {
+      val viaCodecs = Multimodal.pngFor(id)
+      val w = 1 + (id % 16).toInt
+      val h = 1 + ((id * 3) % 16).toInt
+      val rgb = (((id % 256).toInt) << 16) |
+        ((((id * 7) % 256).toInt) << 8) | (((id * 13) % 256).toInt)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      assert(java.util.Arrays.equals(viaCodecs, bos.toByteArray),
+        s"png writer parity broke for id=$id")
+      val viaRegistry = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(viaCodecs))
+      val meta = Multimodal.decodeImage(id, viaCodecs)
+      assert(meta.width == viaRegistry.getWidth &&
+        meta.height == viaRegistry.getHeight &&
+        ((meta.red << 16) | (meta.green << 8) | meta.blue) ==
+          (viaRegistry.getRGB(0, 0) & 0xffffff))
+    }
+  }
+
   test("real audio resample: half rate, half frames, exact nearest samples and checksum") {
     for (id <- Seq(0L, 1L, 17L, 255L, 4096L)) {
       val n = 100 + (id % 400).toInt
