@@ -109,7 +109,10 @@ object Analytics {
     // keeps only k rows per partition past the sort.
     "q53_reservoir" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // spread the single-split scan BEFORE the per-row md5 hash (the
+      // Dedup.bound trap: one input split serializes all h60 evaluation)
       val li = Tables.load(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .withColumn("h", expr(graft.queries.Dedup.h60Spark(
           "concat('rsv:', cast(l_orderkey as string), '-', cast(l_linenumber as string))")))
       // (l_orderkey, l_linenumber) is NOT unique in the test data, so the

@@ -2375,6 +2375,7 @@ object Aqp {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
       val li = Tables.load(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"))
       val keyExpr = graft.queries.Dedup.h60Spark(

@@ -14,6 +14,12 @@ import graft.Tables
   * are exact and deterministic, so each carries a bit-for-bit DuckDB
   * oracle.
   *
+  * Ordering note (round 16): per-doc/per-chunk outputs sort via
+  * repartition(1) + sortWithinPartitions — a global orderBy's
+  * RangePartitioner sampling re-executed the heavy pre-sort stage a
+  * second time per run (the TextAnalysis note); outputs are
+  * doc-count-sized.
+  *
   * Scale design:
   *  - q49 packing is the distributed two-phase prefix-scan: per-bucket
   *    subtotals (one small aggregate), a driver-scale cumulative offset
@@ -141,7 +147,7 @@ object Corpus {
             "rows between unbounded preceding and 1 preceding), " +
             "cast(0 as bigint))"))
         .select(col("doc_id"), col("shard"), col("pos"), col("offset"))
-        .orderBy(col("shard"), col("pos"))
+        .repartition(1).sortWithinPartitions(col("shard"), col("pos"))
     }),
 
     "q50_contamination" -> ((s, dir) => {
@@ -169,7 +175,7 @@ object Corpus {
           coalesce(col("ntd"), lit(0L)).as("n_train_docs"),
           expr("case when ns is not null and ns > 0 then 1 else 0 end")
             .as("contaminated"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Intra-document repetition scoring (the Gopher-style "repetitive
@@ -201,7 +207,7 @@ object Corpus {
           // top token >10% of tokens, or >10% duplicate bigrams
           expr("case when top_cnt * 10 > n_tokens or (n2 - d2) * 10 > n2 then 1 else 0 end")
             .as("rep_flag"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Corpus mixing weights: per-source sampling plan for a token budget
@@ -310,7 +316,7 @@ object Corpus {
         .select(col("doc_id"),
           expr("case when reason = 'keep' then 1 else 0 end").as("kept"),
           col("reason"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Sliding-window document chunking: cut each document into
@@ -330,7 +336,7 @@ object Corpus {
           expr("cast(ch.st as int)").as("start_tok"),
           expr("cast(size(ch.c) as int)").as("n_chunk_tokens"),
           expr("md5(array_join(ch.c, ' '))").as("chunk_md5"))
-        .orderBy(col("doc_id"), col("chunk_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"), col("chunk_id"))
     }),
 
     // Corpus data card: the summary report a dataset release ships —
@@ -377,7 +383,7 @@ object Corpus {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("tok"),
           col("cnt").as("tf"), col("df"), col("score"))
-        .orderBy(col("doc_id"), col("rank"))
+        .repartition(1).sortWithinPartitions(col("doc_id"), col("rank"))
     })
   )
 

@@ -297,19 +297,34 @@ object Dedup {
       var lbl = und.select(col("src").as("id")).distinct()
         .withColumn("lbl", col("id"))
         .localCheckpoint()
-      var converged = false
+      // Convergence by the exact DECIMAL(38,0) label sum (round 16, the
+      // q145 pattern): labels only DECREASE, so the sum is strictly
+      // monotone until the fixpoint — ONE aggregate action per round
+      // both materializes the lazy checkpoint and answers convergence,
+      // replacing the previous eager-checkpoint action + join-and-count
+      // probe (two actions and a shuffle join per round). Rounds chain
+      // THREE propagation hops before each check (same fixpoint,
+      // ceil(d/3) rounds — see the q145 loop note).
+      def lblSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(expr("cast(lbl as decimal(38,0))"))).collect()(0)
+          .getDecimal(0)
+      var prevSum = lblSum(lbl)
+      var converged = prevSum == null
       var iter = 0
       while (!converged && iter < 50) {
-        val prop = und.join(lbl, und("src") === lbl("id"))
-          .select(col("dst").as("id"), col("lbl"))
-        val next = lbl.unionAll(prop)
-          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-        val changed = next.withColumnRenamed("lbl", "new_lbl")
-          .join(lbl, "id")
-          .filter(col("new_lbl") =!= col("lbl")).count()
+        var cur = lbl
+        for (_ <- 1 to 3) {
+          val prop = und.join(cur, und("src") === cur("id"))
+            .select(col("dst").as("id"), col("lbl"))
+          cur = cur.unionAll(prop)
+            .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        }
+        val next = cur.localCheckpoint(false)
+        val nextSum = lblSum(next)
+        graft.queries.Checkpoints.free(lbl)
         lbl = next
-        converged = changed == 0
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
         iter += 1
       }
       lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
@@ -421,7 +436,10 @@ object Dedup {
         .withColumn("jaccard", expr("cast(i as double) / (na + nb - i)"))
         .filter(col("jaccard") > 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        // single-partition sort (round 16): a global orderBy here makes
+        // RangePartitioner sampling re-execute the whole verification
+        // join (measured +1.0 s/pass); the pair output is tiny
+        .repartition(1).sortWithinPartitions(col("doc_a"), col("doc_b"))
     }),
 
     // CONTAINMENT near-dup pairs (round 11): the ASYMMETRIC complement

@@ -14,10 +14,16 @@ import graft.Tables
   *
   * Scale design: every query is a narrow projection (doc_id + text) with
   * per-row array expressions that stay inside whole-stage codegen — no
-  * shuffle except the final ORDER BY (which at cluster scale would be a
-  * range-partitioned sort). Nothing collects to the driver; determinism
-  * comes from md5 + integer/decimal arithmetic, so results are
-  * DuckDB-oracle-checkable bit-for-bit.
+  * shuffle except the final sort. Nothing collects to the driver;
+  * determinism comes from md5 + integer/decimal arithmetic, so results
+  * are DuckDB-oracle-checkable bit-for-bit.
+  *
+  * Ordering note (round 16): the per-doc outputs sort via
+  * repartition(1) + sortWithinPartitions instead of a global orderBy —
+  * RangePartitioner SAMPLES its child, which re-executed every heavy
+  * regex/array projection a second time per run; the sorted output is
+  * doc-count-sized. At cluster scale a range sort is the right shape
+  * again — flip back when outputs outgrow one task.
   */
 object TextAnalysis {
 
@@ -101,7 +107,7 @@ object TextAnalysis {
         // in Java regex and RE2)
         expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
           .as("n_subtok"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Language ID: per-language marker-hit ratio, deterministic arg-max
@@ -117,7 +123,7 @@ object TextAnalysis {
           .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l))
           .otherwise(acc)
       }
-      scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+      scored.withColumn("pred_lang", pred).repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Quality scoring: length, token shape, marker ratio, digit ratio ->
@@ -135,7 +141,7 @@ object TextAnalysis {
           expr("least(cast(1 as double), cast(n_tokens as double) / 100) * cast(0.6 as double) + least(stop_ratio * 10, cast(1 as double)) * cast(0.4 as double)"))
         .withColumn("bucket",
           expr("case when score >= 0.7 then 'high' when score >= 0.4 then 'mid' else 'low' end"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Document fingerprinting: md5 over the sorted distinct token set —
@@ -144,7 +150,7 @@ object TextAnalysis {
       toks(s, dir).select(
         col("doc_id"),
         expr("md5(array_join(array_sort(array_distinct(t)), ' '))").as("fp"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Corpus heavy hitters: top-20 tokens by total count with document
@@ -207,7 +213,7 @@ object TextAnalysis {
             .as("rare_ratio"),
           expr("cast(sum_cf as double) / cast(n_tokens as double)")
             .as("mean_corpus_freq"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // PII detection + redaction: the compliance pass every training
@@ -245,7 +251,7 @@ object TextAnalysis {
                 '$piiId', '[ID]'), '$piiPhone', '[PHONE]'), '$piiEmail', '[EMAIL]'))""")
             .as("redacted_md5"))
         .withColumn("pii_total", expr("n_email + n_phone + n_id"))
-        .orderBy(col("doc_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
     // Collocation mining: top-20 adjacent-token bigrams by lift
