@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loads the driver-provided parquet tables (TESTDATA.md) and registers
   * them as temp views so both the DataFrame API and `spark.sql` paths see
@@ -29,6 +29,44 @@ object Tables {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     } else spark.read.parquet(path(sfDir, name))
+  }
+
+  /** Observed scan parallelism of a table: how many partitions the
+    * session's current file-split rules give its parquet scan. Memoized
+    * per (session, dir, table, maxPartitionBytes) — computing it plans a
+    * bare scan once (no job runs); the split rules only change with the
+    * session conf, which the key captures.
+    */
+  private val scanParts = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, String), Int]
+  def scanParallelism(spark: SparkSession, sfDir: String, name: String): Int = {
+    scanParts.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(scanParts.remove)
+    val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    scanParts.getOrElseUpdate((spark, sfDir, name, mpb),
+      load(spark, sfDir, name).queryExecution.toRdd.getNumPartitions)
+  }
+
+  /** SCALE-GUARDED single-split spread (round 17, guide §2.5 "input
+    * skew — one huge unsplittable file"). The round-16 unconditional
+    * `repartition(defaultParallelism, key)` fixed the local testdata
+    * pathology (single-row-group parquet ⇒ the whole scan is ONE
+    * partition, so every downstream partial aggregate / per-row
+    * expression runs on one core) but inserted a FULL shuffle of the
+    * fact table even for well-split input — at 100 TB that is a new
+    * full-table Exchange below every aggregate it guarded. This helper
+    * spreads ONLY when the observed scan parallelism is below the
+    * session's core count: the testdata pathology keeps its fix, a
+    * properly split production scan takes no extra Exchange (verified by
+    * the plans/r17 after-plans dumped under a forced small
+    * maxPartitionBytes).
+    */
+  def spreadIfNarrow(spark: SparkSession, sfDir: String, name: String)(
+      key: Column*): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val p = spark.sparkContext.defaultParallelism
+    if (scanParallelism(spark, sfDir, name) < p) df.repartition(p, key: _*)
+    else df
   }
 
   /** Register every table under `sfDir` as a temp view (idempotent). */

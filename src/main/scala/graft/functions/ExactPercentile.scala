@@ -80,7 +80,52 @@ case class ExactPercentile(
     else if (!right.foldable)
       TypeCheckResult.TypeCheckFailure(
         "graft_percentile percentages must be foldable")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // Analysis-time VALUE checks (round 17, mirroring the builtin
+      // Percentile): graft_percentile is SQL-exposed, so an out-of-range
+      // or null percentage must fail here with a clear message, not
+      // reach getPercentile's rank arithmetic at runtime. Also resolve
+      // the reflected builtin method EAGERLY: it is Scala-protected and
+      // only incidentally public in bytecode — a Spark upgrade that
+      // renames/privatizes it must fail at analysis on the driver, not
+      // at eval time on an executor (pinned against the Spark 4.1.2
+      // jars this repo builds on).
+      val methodOk =
+        try { builtinGetPercentile; true } catch { case _: Throwable => false }
+      if (!methodOk)
+        TypeCheckResult.TypeCheckFailure(
+          "graft_percentile requires Percentile.getPercentile(Seq, double) " +
+            "from the pinned Spark version; this Spark build does not expose it")
+      else right.eval() match {
+        case null =>
+          TypeCheckResult.TypeCheckFailure(
+            "graft_percentile percentage must not be null")
+        case d: Double =>
+          if (d >= 0.0 && d <= 1.0) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"Percentage(s) must be between 0.0 and 1.0, but got $d")
+        case a: ArrayData =>
+          val n = a.numElements()
+          var i = 0
+          var failure: TypeCheckResult = null
+          while (i < n && failure == null) {
+            if (a.isNullAt(i))
+              failure = TypeCheckResult.TypeCheckFailure(
+                "graft_percentile percentage array must not contain nulls")
+            else {
+              val p = a.getDouble(i)
+              if (!(p >= 0.0 && p <= 1.0))
+                failure = TypeCheckResult.TypeCheckFailure(
+                  s"Percentage(s) must be between 0.0 and 1.0, but got $p")
+            }
+            i += 1
+          }
+          if (failure != null) failure else TypeCheckResult.TypeCheckSuccess
+        case other =>
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_percentile percentage evaluated to unexpected $other")
+      }
+    }
 
   override def dataType: DataType =
     if (returnArray) ArrayType(DoubleType, containsNull = false) else DoubleType

@@ -47,14 +47,31 @@ private[multimodal] object Codecs {
     bos.toByteArray
   }
 
-  lazy val wavReader: Option[AudioFileReader] =
+  /** The capable reader's CLASS, probed once. Instances are constructed
+    * per call (round 17, matching the ImageIO SPI pattern below): the
+    * JDK WaveFileReader is stateless so sharing one instance happened to
+    * be safe, but the capability probe selects WHATEVER provider accepts
+    * the probe WAV — a stateful third-party reader must not be shared
+    * across executor threads. Construction is plain `new`; the hoisted
+    * cost was only ever the registry scan + wrong-provider exceptions.
+    */
+  lazy val wavReaderClass: Option[Class[_ <: AudioFileReader]] =
     java.util.ServiceLoader.load(classOf[AudioFileReader], loader)
       .iterator().asScala.find { r =>
         try { r.getAudioInputStream(new ByteArrayInputStream(probeWav)).close(); true }
         catch { case scala.util.control.NonFatal(_) => false }
-      }
+      }.map(_.getClass)
 
-  lazy val wavWriter: Option[AudioFileWriter] = {
+  private def newWavReader(): Option[AudioFileReader] =
+    wavReaderClass.flatMap { c =>
+      try Some(c.getDeclaredConstructor().newInstance())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Capable writer's CLASS, probed once; per-call instances (the same
+    * thread-safety reasoning as [[wavReaderClass]]).
+    */
+  lazy val wavWriterClass: Option[Class[_ <: AudioFileWriter]] = {
     def probeAis: AudioInputStream = {
       val fmt = new AudioFormat(8000f, 16, 1, true, false)
       new AudioInputStream(new ByteArrayInputStream(Array[Byte](0, 0)), fmt, 1L)
@@ -63,14 +80,20 @@ private[multimodal] object Codecs {
       .iterator().asScala.find { w =>
         try w.isFileTypeSupported(AudioFileFormat.Type.WAVE, probeAis)
         catch { case scala.util.control.NonFatal(_) => false }
-      }
+      }.map(_.getClass)
   }
+
+  private def newWavWriter(): Option[AudioFileWriter] =
+    wavWriterClass.flatMap { c =>
+      try Some(c.getDeclaredConstructor().newInstance())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** WAV decode via the resolved provider; falls back to the full
     * AudioSystem scan for payloads the provider rejects.
     */
   def readWav(bytes: Array[Byte]): AudioInputStream =
-    wavReader match {
+    newWavReader() match {
       case Some(r) =>
         try r.getAudioInputStream(new ByteArrayInputStream(bytes))
         catch { case _: UnsupportedAudioFileException =>
@@ -83,7 +106,7 @@ private[multimodal] object Codecs {
     * first type-supporting writer — the same selection rule).
     */
   def writeWav(ais: AudioInputStream, out: OutputStream): Unit =
-    wavWriter match {
+    newWavWriter() match {
       case Some(w) if w.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais) =>
         w.write(ais, AudioFileFormat.Type.WAVE, out); ()
       case _ =>

@@ -45,9 +45,9 @@ object Analytics {
     "q32_percentiles" -> ((s, dir) => {
       // single-row-group input: spread the scan before the percentile
       // partial aggregate (Relational q01's note; counts-map percentile
-      // is partitioning-independent)
-      val o = Tables.load(s, dir, "orders")
-        .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
+      // is partitioning-independent). Guarded since round 17 — no extra
+      // Exchange when the scan is already well split.
+      val o = Tables.spreadIfNarrow(s, dir, "orders")(col("o_orderkey"))
       o.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           pctArr("o_totalprice", Seq("0.25", "0.5", "0.75", "0.9")).as("pcts"))
@@ -109,10 +109,10 @@ object Analytics {
     // keeps only k rows per partition past the sort.
     "q53_reservoir" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // spread the single-split scan BEFORE the per-row md5 hash (the
-      // Dedup.bound trap: one input split serializes all h60 evaluation)
-      val li = Tables.load(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      // spread the single-split scan BEFORE the per-row md5 hash (one
+      // input split serializes all h60 evaluation); guarded since
+      // round 17 — a well-split scan already runs the hash in parallel
+      val li = Tables.spreadIfNarrow(s, dir, "lineitem")(col("l_orderkey"))
         .withColumn("h", expr(graft.queries.Dedup.h60Spark(
           "concat('rsv:', cast(l_orderkey as string), '-', cast(l_linenumber as string))")))
       // (l_orderkey, l_linenumber) is NOT unique in the test data, so the

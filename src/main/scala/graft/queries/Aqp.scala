@@ -2374,8 +2374,12 @@ object Aqp {
     "q68_sampled_join_agg" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
+      // round 17: the round-16 defaultParallelism spread REVERTED here —
+      // the driver's own data showed no win (0.89× vs r14; the sampled
+      // side is 10% of rows and the join shuffles on l_orderkey anyway,
+      // so the extra exchange only added cost), and at scale it was a
+      // full fact-table shuffle below the join.
       val li = Tables.load(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"))
       val keyExpr = graft.queries.Dedup.h60Spark(

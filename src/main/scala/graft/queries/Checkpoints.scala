@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import scala.collection.concurrent.TrieMap
 
 /** Explicit lifecycle for RETIRED `localCheckpoint` blocks (round 15).
@@ -57,5 +57,31 @@ private[graft] object Checkpoints {
     pool.keysIterator.filter(_._1.sparkContext.isStopped)
       .foreach(pool.remove)
     pool.put((s, key), dfs.toSeq).foreach(_.foreach(free))
+  }
+
+  /** SCALE-SAFE ordered output for per-document results (round 17).
+    *
+    * The round-16 shape was `repartition(1).sortWithinPartitions(...)`:
+    * it fixed the real diagnosis — a global `orderBy` range-partitions,
+    * and RangePartitioner SAMPLES its child, re-executing the heavy
+    * regex/array/join stage a second time per run (guide §1.4/§2.4) —
+    * but funneled the entire result through ONE task, and per-document
+    * output is corpus-sized at the 100 TB target.
+    *
+    * This keeps both properties without the funnel: the heavy child is
+    * LAZILY localCheckpointed, so the first action (the range sort's
+    * sampling pass) materializes it ONCE and the sort itself re-reads
+    * the stored blocks — heavy stage executed once, sort fully PARALLEL
+    * (Exchange rangepartitioning + Sort in the plan, one task per range).
+    * Blocks ride the one-generation [[retireSwap]] pool under `key`: the
+    * next invocation of the same operator frees this one's blocks after
+    * its result has been consumed (the repo-wide build-then-consume
+    * discipline), so the bench's three passes hold one generation live.
+    */
+  def sortedOnce(s: SparkSession, key: String, df: DataFrame)(
+      cols: Column*): DataFrame = {
+    val cp = df.localCheckpoint(false)
+    retireSwap(s, key, cp)
+    cp.orderBy(cols: _*)
   }
 }

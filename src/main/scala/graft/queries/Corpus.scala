@@ -14,11 +14,12 @@ import graft.Tables
   * are exact and deterministic, so each carries a bit-for-bit DuckDB
   * oracle.
   *
-  * Ordering note (round 16): per-doc/per-chunk outputs sort via
-  * repartition(1) + sortWithinPartitions — a global orderBy's
-  * RangePartitioner sampling re-executed the heavy pre-sort stage a
-  * second time per run (the TextAnalysis note); outputs are
-  * doc-count-sized.
+  * Ordering note (round 17): per-doc/per-chunk outputs sort via
+  * Checkpoints.sortedOnce — the heavy pre-sort stage is lazily
+  * localCheckpointed so the range sort's sampling pass cannot re-execute
+  * it (the round-16 diagnosis), while the sort stays PARALLEL (the
+  * round-16 repartition(1) funneled corpus-sized output through one
+  * task — the 100 TB liability this round removes).
   *
   * Scale design:
   *  - q49 packing is the distributed two-phase prefix-scan: per-bucket
@@ -62,6 +63,17 @@ object Corpus {
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+
+  /** [[tokenized]] twin for doc_id-ORDERED outputs (the TextAnalysis
+    * rtoks note): the distribution exchange is a RANGE exchange on the
+    * raw scan, so the final order needs only sortWithinPartitions — no
+    * second exchange, no single-task funnel, bounds sampled from cheap
+    * scan rows.
+    */
+  private def rtokenized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
 
   private val duckTok =
@@ -136,7 +148,8 @@ object Corpus {
     "q176_shard_shuffle" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val d = Tables.load(s, dir, "documents")
-      d.select(col("doc_id"), col("n_chars"),
+      Checkpoints.sortedOnce(s, "q176_sorted",
+        d.select(col("doc_id"), col("n_chars"),
           expr("graft_h60(concat('sh:', cast(doc_id as string)))").as("hh"))
         .withColumn("shard", expr(s"cast(hh % $shuffleShards as int)"))
         .withColumn("pos", expr(
@@ -146,8 +159,8 @@ object Corpus {
             "order by hh asc, doc_id asc " +
             "rows between unbounded preceding and 1 preceding), " +
             "cast(0 as bigint))"))
-        .select(col("doc_id"), col("shard"), col("pos"), col("offset"))
-        .repartition(1).sortWithinPartitions(col("shard"), col("pos"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("offset")))(
+        col("shard"), col("pos"))
     }),
 
     "q50_contamination" -> ((s, dir) => {
@@ -169,13 +182,13 @@ object Corpus {
         .groupBy(col("t_doc"))
         .agg(countDistinct(col("h")).as("ns"),
           countDistinct(col("r_doc")).as("ntd"))
-      testIds.join(overlap, testIds("doc_id") === overlap("t_doc"), "left")
-        .select(col("doc_id"),
-          coalesce(col("ns"), lit(0L)).as("n_shared_shingles"),
-          coalesce(col("ntd"), lit(0L)).as("n_train_docs"),
-          expr("case when ns is not null and ns > 0 then 1 else 0 end")
-            .as("contaminated"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+      Checkpoints.sortedOnce(s, "q50_sorted",
+        testIds.join(overlap, testIds("doc_id") === overlap("t_doc"), "left")
+          .select(col("doc_id"),
+            coalesce(col("ns"), lit(0L)).as("n_shared_shingles"),
+            coalesce(col("ntd"), lit(0L)).as("n_train_docs"),
+            expr("case when ns is not null and ns > 0 then 1 else 0 end")
+              .as("contaminated")))(col("doc_id"))
     }),
 
     // Intra-document repetition scoring (the Gopher-style "repetitive
@@ -197,17 +210,17 @@ object Corpus {
                 then size(array_distinct(transform(sequence(1, size(t) - 1),
                   i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
                 else 0 end""").as("d2"))
-      stats.join(top, "doc_id").join(g2, "doc_id")
-        .select(col("doc_id"), col("n_tokens"), col("n_types"),
-          col("top_tok"), col("top_cnt"),
-          expr("cast(top_cnt as double) / n_tokens").as("top_ratio"),
-          expr("case when n2 > 0 then cast(n2 - d2 as double) / n2 else cast(0 as double) end")
-            .as("dup2_ratio"),
-          // integer comparisons, no float threshold ambiguity:
-          // top token >10% of tokens, or >10% duplicate bigrams
-          expr("case when top_cnt * 10 > n_tokens or (n2 - d2) * 10 > n2 then 1 else 0 end")
-            .as("rep_flag"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+      Checkpoints.sortedOnce(s, "q52_sorted",
+        stats.join(top, "doc_id").join(g2, "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            col("top_tok"), col("top_cnt"),
+            expr("cast(top_cnt as double) / n_tokens").as("top_ratio"),
+            expr("case when n2 > 0 then cast(n2 - d2 as double) / n2 else cast(0 as double) end")
+              .as("dup2_ratio"),
+            // integer comparisons, no float threshold ambiguity:
+            // top token >10% of tokens, or >10% duplicate bigrams
+            expr("case when top_cnt * 10 > n_tokens or (n2 - d2) * 10 > n2 then 1 else 0 end")
+              .as("rep_flag")))(col("doc_id"))
     }),
 
     // Corpus mixing weights: per-source sampling plan for a token budget
@@ -298,7 +311,7 @@ object Corpus {
           split(lower(col("text")), " ").as("t"),
           md5(col("text")).as("ck"))
       val rep = docs.groupBy(col("ck")).agg(min(col("doc_id")).as("rep_id"))
-      docs
+      Checkpoints.sortedOnce(s, "q159_sorted", docs
         .withColumn("score", expr(TextAnalysis.scoreSpark("t")))
         .withColumn("n2", expr("case when size(t) >= 2 then size(t) - 1 else 0 end"))
         .withColumn("d2", expr(
@@ -315,9 +328,9 @@ object Corpus {
             "else 'keep' end"))
         .select(col("doc_id"),
           expr("case when reason = 'keep' then 1 else 0 end").as("kept"),
-          col("reason"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+          col("reason")))(col("doc_id"))
     }),
+
 
     // Sliding-window document chunking: cut each document into
     // fixed-size token chunks (size 128, stride 96 — 32-token overlap),
@@ -326,7 +339,10 @@ object Corpus {
     // array arithmetic (sequence + slice under one explode): linear,
     // shuffle-free until the final ORDER BY.
     "q59_doc_chunks" -> ((s, dir) => {
-      tokenized(s, dir)
+      // doc_id ranges are disjoint, so the within-partition
+      // (doc_id, chunk_id) sort composes to the total order — the
+      // explode preserves the range partitioning (rtokenized note)
+      rtokenized(s, dir)
         .select(col("doc_id"), expr("size(t)").as("nt"), col("t"),
           explode(expr(
             "transform(sequence(1, size(t), 96), st -> struct(st as st, slice(t, st, 128) as c))"))
@@ -336,7 +352,7 @@ object Corpus {
           expr("cast(ch.st as int)").as("start_tok"),
           expr("cast(size(ch.c) as int)").as("n_chunk_tokens"),
           expr("md5(array_join(ch.c, ' '))").as("chunk_md5"))
-        .repartition(1).sortWithinPartitions(col("doc_id"), col("chunk_id"))
+        .sortWithinPartitions(col("doc_id"), col("chunk_id"))
     }),
 
     // Corpus data card: the summary report a dataset release ships —
@@ -375,7 +391,14 @@ object Corpus {
         .agg(count(lit(1)).as("n_corpus"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok").asc)
+      // round 17: ONE range exchange on the checkpointed counts both
+      // clusters the window by doc_id (RangePartitioning satisfies the
+      // window's ClusteredDistribution — no hash exchange) and
+      // establishes the output order; bounds sampling reads the
+      // checkpoint blocks, never the joins/window. One exchange fewer
+      // than the round-16 shape and no single-task funnel.
       cnts
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .join(broadcast(dfreq), "tok")
         .crossJoin(broadcast(nDocs))
         .withColumn("score", expr("cast(cnt * n_corpus as double) / cast(df as double)"))
@@ -383,7 +406,7 @@ object Corpus {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("tok"),
           col("cnt").as("tf"), col("df"), col("score"))
-        .repartition(1).sortWithinPartitions(col("doc_id"), col("rank"))
+        .sortWithinPartitions(col("doc_id"), col("rank"))
     })
   )
 

@@ -287,7 +287,7 @@ object Dedup {
     // chains in practice. Labels are checkpointed per iteration to
     // truncate lineage (the standard Spark iterative-algorithm
     // pattern); data never collects to the driver — the loop condition
-    // is a scalar changed-count.
+    // is the exact label-sum convergence probe below.
     "q44_dedup_clusters" -> ((s, dir) => {
       val edges = minhashEdges(s, dir)
         .select(col("doc_a"), col("doc_b"))
@@ -302,9 +302,13 @@ object Dedup {
       // monotone until the fixpoint — ONE aggregate action per round
       // both materializes the lazy checkpoint and answers convergence,
       // replacing the previous eager-checkpoint action + join-and-count
-      // probe (two actions and a shuffle join per round). Rounds chain
-      // THREE propagation hops before each check (same fixpoint,
-      // ceil(d/3) rounds — see the q145 loop note).
+      // probe (two actions and a shuffle join per round). ONE hop per
+      // round (round 17): q145's 3-hop chaining was copied here in the
+      // round-16 snapshot without a measurement, and regressed q44
+      // 0.81 s -> 1.32 s in the driver's record — near-dup components
+      // here are diameter ≤ 2, so the loop converges in ≤ 3 rounds and
+      // two extra hops per round just tripled the join/aggregate work
+      // (q145's deeper components keep the 3-hop form; measured both).
       def lblSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(expr("cast(lbl as decimal(38,0))"))).collect()(0)
           .getDecimal(0)
@@ -312,15 +316,18 @@ object Dedup {
       var converged = prevSum == null
       var iter = 0
       while (!converged && iter < 50) {
-        var cur = lbl
-        for (_ <- 1 to 3) {
-          val prop = und.join(cur, und("src") === cur("id"))
-            .select(col("dst").as("id"), col("lbl"))
-          cur = cur.unionAll(prop)
-            .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        }
-        val next = cur.localCheckpoint(false)
+        val prop = und.join(lbl, und("src") === lbl("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        val next = lbl.unionAll(prop)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(false)
         val nextSum = lblSum(next)
+        // a DECIMAL(38,0) overflow under non-ANSI sum semantics would
+        // surface as a NULL sum mid-loop — fail loud, never NPE
+        // (headroom is ~2^60 labels × corpus size, so this is a guard,
+        // not a live path)
+        require(nextSum != null,
+          "q44 label-sum overflowed decimal(38,0) — convergence probe invalid")
         graft.queries.Checkpoints.free(lbl)
         lbl = next
         converged = nextSum.compareTo(prevSum) == 0
@@ -427,7 +434,7 @@ object Dedup {
       // posting list; the intersection is a single array pass per pair.
       // Shingles are array_distinct per doc and h is a 60-bit hash, so
       // set semantics match q19's row-count arithmetic exactly.
-      cands
+      Checkpoints.sortedOnce(s, "q165_sorted", cands
         .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
           col("n").as("na")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
@@ -435,11 +442,13 @@ object Dedup {
         .withColumn("i", expr("cardinality(array_intersect(ha, hb))"))
         .withColumn("jaccard", expr("cast(i as double) / (na + nb - i)"))
         .filter(col("jaccard") > 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        // single-partition sort (round 16): a global orderBy here makes
-        // RangePartitioner sampling re-execute the whole verification
-        // join (measured +1.0 s/pass); the pair output is tiny
-        .repartition(1).sortWithinPartitions(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard")))(
+        // round 17: checkpoint-then-range-sort — the round-16
+        // repartition(1) avoided RangePartitioner sampling re-executing
+        // the verification join (+1.0 s/pass) but single-tasked the
+        // sort; the lazy checkpoint keeps the join executed once AND
+        // the sort parallel (pair output is corpus-scale at 100 TB)
+        col("doc_a"), col("doc_b"))
     }),
 
     // CONTAINMENT near-dup pairs (round 11): the ASYMMETRIC complement

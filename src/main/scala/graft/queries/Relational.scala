@@ -24,18 +24,20 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A5/A7/A9: full scan + hash aggregate (TPC-H Q1 shape; flagship).
-    // Repartition after the pushed-down filter (round 16, guide §2.5
-    // "input skew — one huge unsplittable file"): the testdata tables
-    // are single-row-group parquet files, so the scan is ONE partition
-    // and the decimal partial aggregation otherwise runs on one core
-    // (measured 1.10 s -> 0.06 s at sf0.1/local[32]; decimal sums and
-    // counts are order-independent, so results are bit-identical). At
-    // cluster scale the same exchange is a no-op cost against a
-    // properly split input.
+    // Guarded spread (round 17, guide §2.5): the testdata tables are
+    // single-row-group parquet files, so the scan is ONE partition and
+    // the decimal partial aggregation otherwise runs on one core.
+    // Tables.spreadIfNarrow repartitions ONLY when the observed scan
+    // parallelism is below the core count — a well-split production
+    // input takes no extra Exchange (the round-16 unconditional spread
+    // was a full-table shuffle below the aggregate at any scale). The
+    // shipdate filter still pushes through the exchange to the scan
+    // (PushedFilters in plans/r17/q01_pricing_summary_after.txt);
+    // decimal sums and counts are order-independent, so results are
+    // bit-identical either way.
     "q01_pricing_summary" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.spreadIfNarrow(s, dir, "lineitem")(col("l_orderkey"))
       li.filter(col("l_shipdate") <= lit("2000-06-01").cast("timestamp"))
-        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -76,10 +78,9 @@ object Relational {
     "q04_revenue_by_nation" -> ((s, dir) => {
       // the dims broadcast, so every BHJ probe plus the decimal partial
       // aggregate runs on the fact scan's partitioning — ONE task on the
-      // single-row-group testdata file without the explicit spread
-      // (q01's note; measured 1.34 s -> ~0.2 s)
-      val li = Tables.load(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      // single-row-group testdata file without the spread; guarded since
+      // round 17 (q01's note)
+      val li = Tables.spreadIfNarrow(s, dir, "lineitem")(col("l_orderkey"))
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
@@ -183,9 +184,9 @@ object Relational {
     // A9: multi-column grouping with grouping sets via rollup.
     "q12_rollup" -> ((s, dir) => {
       // grouping sets Expand triples the row count before the partial
-      // aggregate — spread the single-split scan first (q01's note)
-      val li = Tables.load(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      // aggregate — spread the single-split scan first (q01's note;
+      // guarded since round 17)
+      val li = Tables.spreadIfNarrow(s, dir, "lineitem")(col("l_orderkey"))
       li.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
@@ -199,9 +200,9 @@ object Relational {
     // as grouping(a)*2 + grouping(b) on both engines.
     "q60_cube" -> ((s, dir) => {
       // CUBE's Expand quadruples the row count before the partial
-      // aggregate — spread the single-split scan first (q01's note)
-      val li = Tables.load(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      // aggregate — spread the single-split scan first (q01's note;
+      // guarded since round 17)
+      val li = Tables.spreadIfNarrow(s, dir, "lineitem")(col("l_orderkey"))
       li.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
           expr("cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as int)").as("gid"))

@@ -267,18 +267,46 @@ object Similarity {
     * assignment; IVF probing uses [[ivfTopKOf]]'s multi-cell variant).
     * Returns (vec_id, cell). `e` needs (vec_id, label, embedding).
     */
-  private[graft] def cellAssignmentsOf(s: SparkSession, e: DataFrame): DataFrame = {
+  private[graft] def cellAssignmentsOf(s: SparkSession, e: DataFrame): DataFrame =
+    cellAssignmentsWith(s, e, cellCentroidsOf(s, e))
+
+  /** [[cellAssignmentsOf]] against a CALLER-SUPPLIED centroid table —
+    * the dir-based memo paths pass the memoized coarse quantizer so the
+    * centroid aggregate is not re-planned per build (round 17).
+    */
+  private def cellAssignmentsWith(s: SparkSession, e: DataFrame,
+      cent: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     registerFns(s)
     val w1 = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("cell").asc)
     e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cellCentroidsOf(s, e)))
+      .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cell"),
         expr("quantized_dot(embedding, cav)").as("score"))
       .withColumn("rn", row_number().over(w1))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"))
+  }
+
+  /** The dir's coarse quantizer (k centroid rows), memoized per
+    * (session, dir) like [[trainedBooksFor]] (round 17): centroids are
+    * an OFFLINE index artifact — q41, q170, the SemDeDup assignment
+    * build, and every probe-scoring pass read the same k-row table, and
+    * re-running the n×64 component aggregate per query invocation was
+    * pure waste. k rows — trivially small, one checkpoint per dir.
+    */
+  private val centMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private[graft] def cellCentroidsFor(s: SparkSession, dir: String): DataFrame = {
+    centMemo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(centMemo.remove)
+    centMemo.getOrElseUpdate((s, dir), {
+      registerFns(s)
+      cellCentroidsOf(s, Tables.load(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id")))
+        .localCheckpoint()
+    })
   }
 
   /** The embeddings table's cell assignment, memoized per
@@ -297,7 +325,7 @@ object Similarity {
     assignMemo.getOrElseUpdate((s, dir), {
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      cellAssignmentsOf(s, e).localCheckpoint()
+      cellAssignmentsWith(s, e, cellCentroidsFor(s, dir)).localCheckpoint()
     })
   }
 
@@ -401,6 +429,11 @@ object Similarity {
         val next = cur
           .localCheckpoint(false) // lazy: materialized by the sum below
         val nextSum = lblSum(next)
+        // a DECIMAL(38,0) overflow under non-ANSI sum semantics would
+        // surface as a NULL sum mid-loop — fail loud, never NPE on the
+        // compareTo below (defensive: headroom is ~2^60 × corpus size)
+        require(nextSum != null,
+          "q145 label-sum overflowed decimal(38,0) — convergence probe invalid")
         // the sum above materialized `next`; the superseded iterate's
         // blocks retire immediately (one label generation live)
         Checkpoints.free(lbl)
@@ -436,33 +469,36 @@ object Similarity {
     * companion (vec_id, embedding, nrm).
     */
   private[graft] def ivfTopKOf(s: SparkSession, e: DataFrame,
-      nemb: DataFrame, nprobe: Int): DataFrame = {
+      nemb: DataFrame, nprobe: Int,
+      assign0: Option[DataFrame] = None,
+      cent0: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     registerFns(s)
-    val centArr = cellCentroidsOf(s, e)
+    val centArr = cent0.getOrElse(cellCentroidsOf(s, e))
+    // Corpus assignment (round 17): the dir-based callers pass the
+    // MEMOIZED assignment — in a real IVF index the corpus-to-cell map
+    // IS the persisted inverted list, and the old shape re-scored ALL
+    // n vectors × k cells (plus an n-row window) on every invocation
+    // just to re-derive it. Spec fixtures still compute it fresh.
+    val assign = assign0.getOrElse(cellAssignmentsWith(s, e, centArr))
+      .select(col("vec_id").as("nid"), col("cell"))
+    // the QUERY probe set scores only the nQueries query vectors — a
+    // q×k cross join, not n×k
     val w1 = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("cell").asc)
-    // every (vector, cell) scored once; rn=1 is the corpus assignment,
-    // rn<=nprobe the QUERY probe set — one scoring pass feeds both
-    val scored = e.select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centArr))
       .select(col("vec_id"), col("cell"),
         expr("quantized_dot(embedding, cav)").as("score"))
       .withColumn("rn", row_number().over(w1))
-      .localCheckpoint()
-    val assign = scored.filter(col("rn") === 1)
-      .select(col("vec_id").as("nid"), col("cell"))
-    val probes = scored.filter(col("vec_id") < nQueries &&
-        col("rn") <= nprobe)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("qid"), col("cell"))
     // a corpus vector lives in exactly ONE cell, so probing several
     // cells cannot duplicate a (qid, nid) candidate
     val cand = probes.join(assign, "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
-    // the returned plan still reads `scored`: one-generation retire —
-    // the NEXT ivf scoring pass frees this one's blocks
-    Checkpoints.retireSwap(s, "ivf_scored", scored)
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     cand
@@ -777,7 +813,10 @@ object Similarity {
       registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      ivfTopKOf(s, e, normedEmbeddings(s, dir), IvfNprobe)
+      // memoized inverted list + coarse quantizer (round 17): per-call
+      // work drops to the q×k probe scoring + candidate rescore
+      ivfTopKOf(s, e, normedEmbeddings(s, dir), IvfNprobe,
+        Some(cellAssignmentsFor(s, dir)), Some(cellCentroidsFor(s, dir)))
     }),
 
     // PRODUCT-QUANTIZED (PQ/ADC) top-k (round 11; TRAINED codebooks
@@ -833,22 +872,23 @@ object Similarity {
       registerFns(s)
       val e = Tables.load(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      val cent = cellCentroidsOf(s, e)
-      // q41's one scoring pass: corpus assignment (rn=1) + probe set
+      // round 17: the corpus-to-cell map comes from the MEMOIZED
+      // inverted-list artifact (cellAssignmentsFor — in a real IVFPQ
+      // index it is persisted alongside the codes), and only the
+      // nQueries query vectors are scored per call (q×k, not the old
+      // n×k pass + n-row window + per-call checkpoint).
+      val cent = cellCentroidsFor(s, dir)
+      val assign = cellAssignmentsFor(s, dir)
+        .select(col("vec_id").as("nid"), col("cell").as("acell"))
       val w1 = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("cell").asc)
-      val scored = e.select(col("vec_id"), col("embedding"))
+      val probes = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cell"),
           expr("quantized_dot(embedding, cav)").as("score"))
         .withColumn("rn", row_number().over(w1))
-        .localCheckpoint()
-      // one-generation retire: the next q170 run frees this pass
-      Checkpoints.retireSwap(s, "ivfpq_scored", scored)
-      val assign = scored.filter(col("rn") === 1)
-        .select(col("vec_id").as("nid"), col("cell").as("acell"))
-      val probes = scored.filter(col("vec_id") < nQueries &&
-          col("rn") <= IvfNprobe)
+        .filter(col("rn") <= IvfNprobe)
         .select(col("vec_id").as("qid"), col("cell").as("acell"))
       val cand = probes.join(assign, "acell")
         .filter(col("qid") =!= col("nid"))

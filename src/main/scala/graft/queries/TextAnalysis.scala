@@ -18,12 +18,15 @@ import graft.Tables
   * determinism comes from md5 + integer/decimal arithmetic, so results
   * are DuckDB-oracle-checkable bit-for-bit.
   *
-  * Ordering note (round 16): the per-doc outputs sort via
-  * repartition(1) + sortWithinPartitions instead of a global orderBy —
-  * RangePartitioner SAMPLES its child, which re-executed every heavy
-  * regex/array projection a second time per run; the sorted output is
-  * doc-count-sized. At cluster scale a range sort is the right shape
-  * again — flip back when outputs outgrow one task.
+  * Ordering note (round 17, replacing the round-16 repartition(1)
+  * funnel): the per-doc outputs are ordered by doc_id, so the corpus
+  * distribution exchange IS the sort's range exchange — [[rtoks]] range-
+  * partitions the RAW scan (bounds sampling reads only cheap scan rows,
+  * never the tokenization), the heavy projections run once above it,
+  * and a final sortWithinPartitions yields the total order with a fully
+  * PARALLEL sort and no extra exchange. The round-16 shape funneled
+  * corpus-sized output through ONE task; a plain orderBy re-executed
+  * the heavy projection inside RangePartitioner's sampler.
   */
 object TextAnalysis {
 
@@ -41,6 +44,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("text"),
         split(lower(col("text")), " ").as("t"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** [[toks]] twin for the doc_id-ORDERED outputs (q13–q16, q66): the
+    * distribution exchange is a RANGE exchange on the raw scan, so it
+    * simultaneously spreads the single-split corpus, acts as the same
+    * projection barrier, and establishes the output order — consumers
+    * end with sortWithinPartitions(doc_id) instead of a second exchange.
+    * Range-bound sampling reads only the scan (doc_id/lang/text), never
+    * the split() projection, which sits ABOVE the exchange. Also
+    * shuffles fewer bytes than [[toks]] (guide §2.3: the token array is
+    * computed after the exchange instead of riding through it).
+    */
+  private def rtoks(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(lower(col("text")), " ").as("t"))
 
   /** Per-language marker ("stopword") lists for language ID. Tiny by
     * design — a real deployment swaps in per-language lexicons; the
@@ -91,7 +110,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokenization + distinct-type stats.
     "q13_token_stats" -> ((s, dir) => {
-      toks(s, dir).select(
+      rtoks(s, dir).select(
         col("doc_id"),
         expr("size(t)").as("n_tokens"),
         expr("size(array_distinct(t))").as("n_types"),
@@ -107,13 +126,13 @@ object TextAnalysis {
         // in Java regex and RE2)
         expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
           .as("n_subtok"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
     }),
 
     // Language ID: per-language marker-hit ratio, deterministic arg-max
     // with fixed precedence (en > de > es > fr > zh) on ties.
     "q14_lang_id" -> ((s, dir) => {
-      val scored = toks(s, dir).select(
+      val scored = rtoks(s, dir).select(
         (Seq(col("doc_id"), col("lang")) ++ markers.map { case (l, _) =>
           expr(s"cast(size(filter(t, x -> array_contains(${markerArraySql(l)}, x))) as double) / size(t)")
             .as(s"s_$l")
@@ -123,13 +142,14 @@ object TextAnalysis {
           .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l))
           .otherwise(acc)
       }
-      scored.withColumn("pred_lang", pred).repartition(1).sortWithinPartitions(col("doc_id"))
+      scored.withColumn("pred_lang", pred)
+        .sortWithinPartitions(col("doc_id"))
     }),
 
     // Quality scoring: length, token shape, marker ratio, digit ratio ->
     // composite score + bucket (the filter stage of a corpus pipeline).
     "q15_quality_score" -> ((s, dir) => {
-      toks(s, dir).select(
+      rtoks(s, dir).select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
         expr("size(t)").as("n_tokens"),
@@ -141,16 +161,16 @@ object TextAnalysis {
           expr("least(cast(1 as double), cast(n_tokens as double) / 100) * cast(0.6 as double) + least(stop_ratio * 10, cast(1 as double)) * cast(0.4 as double)"))
         .withColumn("bucket",
           expr("case when score >= 0.7 then 'high' when score >= 0.4 then 'mid' else 'low' end"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
     }),
 
     // Document fingerprinting: md5 over the sorted distinct token set —
     // an order/multiplicity-insensitive content key for exact dedup.
     "q16_fingerprint" -> ((s, dir) => {
-      toks(s, dir).select(
+      rtoks(s, dir).select(
         col("doc_id"),
         expr("md5(array_join(array_sort(array_distinct(t)), ' '))").as("fp"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
     }),
 
     // Corpus heavy hitters: top-20 tokens by total count with document
@@ -199,7 +219,12 @@ object TextAnalysis {
     // broadcast hint dropped becomes a shuffle join on tok and stays
     // correct; AQE picks the strategy from the measured unigram size.
     "q66_rare_tokens" -> ((s, dir) => {
-      val tk = toks(s, dir)
+      // rtoks' RANGE partitioning on doc_id satisfies the per-doc
+      // aggregate's clustering requirement, so the groupBy(doc_id) runs
+      // WITHOUT its own exchange and the output is already range-ordered
+      // — one exchange fewer than the round-16 shape (plan evidence in
+      // plans/r17/q66_rare_tokens_after.txt)
+      val tk = rtoks(s, dir)
       val uni = tk.select(explode(col("t")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
       tk.select(col("doc_id"), explode(col("t")).as("tok"))
@@ -213,7 +238,7 @@ object TextAnalysis {
             .as("rare_ratio"),
           expr("cast(sum_cf as double) / cast(n_tokens as double)")
             .as("mean_corpus_freq"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
     }),
 
     // PII detection + redaction: the compliance pass every training
@@ -231,9 +256,11 @@ object TextAnalysis {
     // scans + replaces inside whole-stage codegen, shuffle-free until
     // the final ORDER BY.
     "q162_pii_redact" -> ((s, dir) => {
+      // range exchange on the raw scan = spread + output order in one
+      // (the rtoks note); the regex stages run once above it
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("aug", expr(
           """concat(text,
               case when doc_id % 3 = 0
@@ -251,7 +278,7 @@ object TextAnalysis {
                 '$piiId', '[ID]'), '$piiPhone', '[PHONE]'), '$piiEmail', '[EMAIL]'))""")
             .as("redacted_md5"))
         .withColumn("pii_total", expr("n_email + n_phone + n_id"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
     }),
 
     // Collocation mining: top-20 adjacent-token bigrams by lift

@@ -498,7 +498,21 @@ object EventStreams {
       catalog: graft.catalog.MetaCatalog, table: String): DataFrame = {
     val path = s"${catalog.samplesDir}/${table}__admitted"
     val regDir = bandRegistryDir(catalog, table)
-    val adm = spark.read.parquet(s"$path/b*")
+    // Empty-fold guard (round 17): the old `parquet("$path/b*")` threw
+    // PATH_NOT_FOUND when no fold had landed a batch dir yet (tiny-SF
+    // entry smoke hit this live — VERIFY_r16 entry_tail); degrade to
+    // the zero row instead, mirroring the registry-absent branch below.
+    // The dirs are passed EXPLICITLY, not as a glob: Spark's
+    // FileStreamSink.hasMetadata stats the raw glob string before
+    // expansion and logs a full FileNotFoundException stack as WARN on
+    // every read — pure noise in the driver's stdout tail.
+    val batchDirs = Option(new java.io.File(path).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getPath).sorted.toIndexedSeq
+    val adm =
+      if (batchDirs.nonEmpty) spark.read.parquet(batchDirs: _*)
+      else spark.range(0).select(lit(0).as("admitted"))
     val nBands =
       if (new java.io.File(regDir).exists)
         spark.read.parquet(regDir)

@@ -2090,4 +2090,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(stats.getAs[Double]("admit_rate") ==
       want.count(_._4 == 1).toDouble / want.size)
   }
+
+  test("admission stats on an EMPTY fold degrade to the zero row, no throw") {
+    // round 17 (VERDICT #7): before the guard, the b* read threw
+    // PATH_NOT_FOUND when no batch dir existed (tiny-SF entry smoke);
+    // the serve must degrade like the registry-absent branch instead.
+    val catalog = new graft.catalog.MetaCatalog(
+      java.nio.file.Files.createTempDirectory("graft-admempty").toString)
+    val stats = EventStreams.admissionStats(spark, catalog, "docs_never")
+      .collect()(0)
+    assert(stats.getAs[Long]("n_docs") == 0L)
+    assert(stats.getAs[Long]("n_bands") == 0L)
+    assert(stats.isNullAt(stats.fieldIndex("admit_rate")),
+      "0/0 admit_rate must be NULL, not a fabricated number")
+  }
 }
