@@ -164,10 +164,8 @@ object Corpus {
     }),
 
     "q50_contamination" -> ((s, dir) => {
-      val ex = Dedup.shingleHashes(s, dir) // session-memoized checkpoint
-      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val kept = ex.join(
-        dfreq.filter(col("df") <= Dedup.maxShingleDf).select(col("h")), "h")
+      // memoized df-guarded posting list (the Dedup.keptShingles note)
+      val kept = Dedup.keptShingles(s, dir).select(col("doc_id"), col("h"))
       val split = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           expr(s"${Dedup.h60Spark("concat('split:', cast(doc_id as string))")} % 100")

@@ -160,6 +160,25 @@ object Dedup {
     s"""SELECT doc_id, ${h60Duck("s")} AS h
         FROM (SELECT doc_id, unnest(sh) AS s FROM ($duckShingled))"""
 
+  /** (doc_id, h, df): the DF-GUARDED inverted index — shingle hashes
+    * whose document frequency is within [[maxShingleDf]], with the
+    * frequency riding along (q165's prefix order needs it). Memoized
+    * per (session, dir) since round 17: FOUR operators (q19, q157,
+    * q165, q50) join this identical posting list, and each invocation
+    * previously re-ran the df aggregate over the full exploded hash
+    * set — q19's plan re-planned that aggregate THREE times per call
+    * (cnt + both self-join sides). In a production dedup service the
+    * stop-shingle-guarded inverted index is THE persisted artifact,
+    * exactly like [[shingleHashes]] and [[minhashEdges]] above it.
+    */
+  private[graft] def keptShingles(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "keptShingles") {
+      val ex = shingleHashes(s, dir)
+      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      ex.join(dfreq.filter(col("df") <= maxShingleDf), "h")
+        .select(col("doc_id"), col("h"), col("df"))
+    }
+
   /** Near-duplicate edges (doc_a < doc_b, n_match, est_jaccard) from the
     * MinHash + LSH pipeline — the q18 result before its final sort,
     * shared with the cluster-assignment operator (q44).
@@ -343,17 +362,11 @@ object Dedup {
     // guard applied before the self-join (no LSH approximation;
     // integer-count arithmetic).
     "q19_ngram_jaccard" -> ((s, dir) => {
-      // the posting list feeds the df aggregate + the kept-join;
-      // shingleHashes is session-memoized (materialized once).
-      val ex = shingleHashes(s, dir)
-      // `kept` is deliberately NOT checkpointed: its plan ends h-hash-
-      // partitioned (the df-filter join), so the self-join below reuses
-      // that exchange on both sides (ReusedExchange) instead of
-      // re-shuffling a checkpoint whose partitioning Catalyst can no
-      // longer see.
-      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val kept = ex
-        .join(dfreq.filter(col("df") <= maxShingleDf).select(col("h")), "h")
+      // round 17: the df-guarded posting list is the memoized
+      // keptShingles artifact — the per-call df aggregate (re-planned
+      // 3× in the round-16 plan: cnt + both self-join sides) is gone;
+      // every consumer scans the materialized index.
+      val kept = keptShingles(s, dir).select(col("doc_id"), col("h"))
       val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = kept.as("a")
         .join(kept.as("b"),
@@ -383,9 +396,9 @@ object Dedup {
     // the ones excluded — this is the standard way a 100 TB
     // set-similarity join becomes tractable without LSH's recall loss.
     "q165_prefix_jaccard" -> ((s, dir) => {
-      val ex = shingleHashes(s, dir)
-      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val kept = ex.join(dfreq.filter(col("df") <= maxShingleDf), "h")
+      // memoized df-guarded posting list WITH df (the prefix order's
+      // rarest-first key — the q19 note)
+      val kept = keptShingles(s, dir)
       // ONE doc-keyed aggregate materializes each document's kept
       // shingles in GLOBAL (df ASC, h ASC — rarest first) order: the
       // prefix index, the set size, and the verification set all read
@@ -461,10 +474,8 @@ object Dedup {
     // column rides along so downstream policy can separate "same doc"
     // from "contains doc".
     "q157_containment" -> ((s, dir) => {
-      val ex = shingleHashes(s, dir)
-      val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val kept = ex
-        .join(dfreq.filter(col("df") <= maxShingleDf).select(col("h")), "h")
+      // memoized df-guarded posting list (the q19 note)
+      val kept = keptShingles(s, dir).select(col("doc_id"), col("h"))
       val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = kept.as("a")
         .join(kept.as("b"),
@@ -635,9 +646,7 @@ object Dedup {
     */
   def prefixFilterStats(s: SparkSession, dir: String): (Long, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
-    val ex = shingleHashes(s, dir)
-    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val kept = ex.join(dfreq.filter(col("df") <= maxShingleDf), "h")
+    val kept = keptShingles(s, dir)
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val full = kept.as("a")
       .join(kept.as("b"),
