@@ -47,31 +47,47 @@ private[multimodal] object Codecs {
     bos.toByteArray
   }
 
-  /** The capable reader's CLASS, probed once. Instances are constructed
-    * per call (round 17, matching the ImageIO SPI pattern below): the
-    * JDK WaveFileReader is stateless so sharing one instance happened to
-    * be safe, but the capability probe selects WHATEVER provider accepts
-    * the probe WAV — a stateful third-party reader must not be shared
-    * across executor threads. Construction is plain `new`; the hoisted
-    * cost was only ever the registry scan + wrong-provider exceptions.
+  /** The capable reader, probed once, plus a PER-CALL factory (round
+    * 17, the ImageIO SPI pattern below): the capability probe selects
+    * whatever provider accepts the probe WAV, and a stateful
+    * third-party reader must not be shared across executor threads —
+    * so calls construct a fresh instance when the provider class is
+    * reflectively constructible. The JDK's own readers live in a
+    * non-opened module (reflective construction throws
+    * IllegalAccessException), so for them the factory returns the
+    * probe's shared instance — the JDK WaveFileReader is stateless,
+    * which is why round 16's sharing was safe. The factory must NEVER
+    * degrade to the AudioSystem registry scan: that is the 70× cost
+    * the hoisting removed (a naive None fallback reintroduced it
+    * mid-round-17 — q178 0.21 s → 2.61 s in the bench — caught and
+    * fixed here; the factory choice is made ONCE, not per call).
     */
-  lazy val wavReaderClass: Option[Class[_ <: AudioFileReader]] =
+  private lazy val probedWavReader: Option[AudioFileReader] =
     java.util.ServiceLoader.load(classOf[AudioFileReader], loader)
       .iterator().asScala.find { r =>
         try { r.getAudioInputStream(new ByteArrayInputStream(probeWav)).close(); true }
         catch { case scala.util.control.NonFatal(_) => false }
-      }.map(_.getClass)
+      }
 
-  private def newWavReader(): Option[AudioFileReader] =
-    wavReaderClass.flatMap { c =>
-      try Some(c.getDeclaredConstructor().newInstance())
-      catch { case scala.util.control.NonFatal(_) => None }
+  private lazy val wavReaderFactory: Option[() => AudioFileReader] =
+    probedWavReader.map { probed =>
+      val cls = probed.getClass
+      try {
+        cls.getDeclaredConstructor().newInstance() // constructibility check
+        () => cls.getDeclaredConstructor().newInstance()
+      } catch {
+        case scala.util.control.NonFatal(_) => () => probed
+      }
     }
 
-  /** Capable writer's CLASS, probed once; per-call instances (the same
-    * thread-safety reasoning as [[wavReaderClass]]).
+  private def newWavReader(): Option[AudioFileReader] =
+    wavReaderFactory.map(_.apply())
+
+  /** Capable writer, probed once; per-call factory with the same
+    * shared-instance fallback for module-protected (JDK, stateless)
+    * providers as [[wavReaderFactory]].
     */
-  lazy val wavWriterClass: Option[Class[_ <: AudioFileWriter]] = {
+  private lazy val probedWavWriter: Option[AudioFileWriter] = {
     def probeAis: AudioInputStream = {
       val fmt = new AudioFormat(8000f, 16, 1, true, false)
       new AudioInputStream(new ByteArrayInputStream(Array[Byte](0, 0)), fmt, 1L)
@@ -80,14 +96,22 @@ private[multimodal] object Codecs {
       .iterator().asScala.find { w =>
         try w.isFileTypeSupported(AudioFileFormat.Type.WAVE, probeAis)
         catch { case scala.util.control.NonFatal(_) => false }
-      }.map(_.getClass)
+      }
   }
 
-  private def newWavWriter(): Option[AudioFileWriter] =
-    wavWriterClass.flatMap { c =>
-      try Some(c.getDeclaredConstructor().newInstance())
-      catch { case scala.util.control.NonFatal(_) => None }
+  private lazy val wavWriterFactory: Option[() => AudioFileWriter] =
+    probedWavWriter.map { probed =>
+      val cls = probed.getClass
+      try {
+        cls.getDeclaredConstructor().newInstance() // constructibility check
+        () => cls.getDeclaredConstructor().newInstance()
+      } catch {
+        case scala.util.control.NonFatal(_) => () => probed
+      }
     }
+
+  private def newWavWriter(): Option[AudioFileWriter] =
+    wavWriterFactory.map(_.apply())
 
   /** WAV decode via the resolved provider; falls back to the full
     * AudioSystem scan for payloads the provider rejects.

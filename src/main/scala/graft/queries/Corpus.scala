@@ -194,7 +194,13 @@ object Corpus {
     // 2-gram fraction, with an integer-arithmetic repetition flag.
     "q52_repetition" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cnts = tokenCounts(s, dir)
+      // round 17: cnts feeds BOTH the top-token window and the stats
+      // aggregate — without the checkpoint the token-count aggregate
+      // ran twice per invocation (q54 already materialized its copy);
+      // one-generation retire keeps the bench's passes from
+      // accumulating block generations
+      val cnts = tokenCounts(s, dir).localCheckpoint()
+      Checkpoints.retireSwap(s, "q52_cnts", cnts)
       val wTop = Window.partitionBy(col("doc_id"))
         .orderBy(col("cnt").desc, col("tok").asc)
       val top = cnts.withColumn("rn", row_number().over(wTop))
@@ -384,6 +390,10 @@ object Corpus {
     "q54_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cnts = tokenCounts(s, dir).localCheckpoint()
+      // one-generation retire (round 17): the per-call eager checkpoint
+      // otherwise accumulates a block generation per bench pass — the
+      // exact leak the round-15 Checkpoints policy exists to stop
+      Checkpoints.retireSwap(s, "q54_cnts", cnts)
       val dfreq = cnts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.load(s, dir, "documents")
         .agg(count(lit(1)).as("n_corpus"))

@@ -121,8 +121,27 @@ object Plans {
     check("q54_tfidf",
       "vocabulary df broadcast" -> "BroadcastHashJoin",
       "token-count partial agg" -> "partial_count")
+    // q50 sorts via Checkpoints.sortedOnce since round 17: the emitted
+    // plan is the materialized child + a PARALLEL range sort, so the
+    // broadcast assertion inspects the INNER pipeline (the same move as
+    // the q18 fresh-edge check above).
     check("q50_contamination",
-      "test-id join broadcast" -> "BroadcastHashJoin")
+      "heavy child materialized once" -> "Scan ExistingRDD",
+      "parallel range sort above the checkpoint" -> "rangepartitioning(doc_id")
+    locally {
+      import org.apache.spark.sql.functions._
+      val kept = graft.queries.Dedup.keptShingles(spark, sfDir)
+        .select(col("doc_id"), col("h"))
+      val testIds = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          expr(s"${graft.queries.Dedup.h60Spark("concat('split:', cast(doc_id as string))")} % 100").as("b"))
+        .filter(col("b") >= 95).select(col("doc_id"))
+      val inner = kept.join(broadcast(testIds), "doc_id")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      println("==== q50_contamination (inner test-id join) ====")
+      println(s"  [${if (inner.contains("BroadcastHashJoin")) "OK" else "MISS"}] test-id join broadcast")
+    }
     // q56's probe side must be a scan-local literal-bitmap filter — the
     // only join in the plan is the exact-count companion's semi-join.
     locally {
