@@ -369,14 +369,69 @@ object Similarity {
     (sizes.getLong(0), sizes.getLong(1), n * (n - 1) / 2)
   }
 
+  /** The un-memoized SemDeDup directed edge pipeline (vec_a < vec_b,
+    * within-cell cosine at or above [[semDedupCos]]) — kept callable so
+    * the memo-parity spec can compare a fresh build against
+    * [[semDedupUndFor]], the same move as `Dedup.minhashEdgesFresh`.
+    */
+  private[graft] def semDedupEdgesFresh(s: SparkSession,
+      dir: String): DataFrame = {
+    val assign = cellAssignmentsFor(s, dir)
+    val nemb = normedEmbeddings(s, dir)
+    assign.select(col("vec_id").as("vec_a"), col("cell"))
+      .join(assign.select(col("vec_id").as("vec_b"), col("cell")), "cell")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .join(nemb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ae"), col("nrm").as("na")), "vec_a")
+      .join(nemb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("be"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos", expr(
+        s"""cast(${dotSpark("ae", "be")} as double) /
+            sqrt(cast(na as double) * cast(nb as double))"""))
+      .filter(col("cos") >= semDedupCos)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** The SemDeDup candidate graph (both directions of the cosine edge
+    * set), memoized per (session, dir) with the same policy as
+    * `Dedup.minhashEdges`: the edge set IS the dedup index —
+    * deterministic in the inputs — and re-running the within-cell
+    * cosine join per invocation was 0.9 s of q145's 4.1 s warm pass
+    * (round-17 Scratch probe) for identical output. The directed-edge
+    * checkpoint exists only so the union reads the join once; it
+    * retires as soon as the undirected copy is materialized.
+    */
+  private val undMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private[graft] def semDedupUndFor(s: SparkSession, dir: String): DataFrame = {
+    undMemo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(undMemo.remove)
+    undMemo.getOrElseUpdate((s, dir), {
+      val edges = semDedupEdgesFresh(s, dir).localCheckpoint()
+      val und = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionAll(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+        .localCheckpoint()
+      Checkpoints.free(edges)
+      und
+    })
+  }
+
   /** q145's implementation (SemDeDup): cell assignment → within-cell
     * cosine edges → min-label propagation → kept flags. Factored out
     * so `tools/Scratch --semdedup` can stage-time it in isolation
     * (`verbose`) — the round-12/13 bench drift adjudication needed
     * per-stage numbers, not another whole-query reading.
+    * `hopsPerRound` trades keyed shuffles per materialization against
+    * driver-action rounds (identical fixpoint for ANY value — min-label
+    * propagation is monotone and the convergence probe is exact). The
+    * round-17 probe read 3/4/6 hops as a tie within host noise (2.93 /
+    * 2.96 / 2.80 s warm), so the round-16 value 3 stays: fewer wasted
+    * post-fixpoint hops (3 rounds x 3 = 9 vs 2 x 6 = 12 for the same
+    * depth-6 components) and smaller per-round plans at scale.
     */
   private[graft] def semanticDedupOf(s: SparkSession, dir: String,
-      verbose: Boolean = false): DataFrame = {
+      verbose: Boolean = false, hopsPerRound: Int = 3): DataFrame = {
     def t[T](label: String)(body: => T): T =
       if (!verbose) body
       else {
@@ -387,23 +442,6 @@ object Similarity {
       }
     val e = Tables.load(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    val assign = t("assign")(cellAssignmentsFor(s, dir))
-    val nemb = t("normed")(normedEmbeddings(s, dir))
-    val edges = t("edges")(
-      assign.select(col("vec_id").as("vec_a"), col("cell"))
-        .join(assign.select(col("vec_id").as("vec_b"), col("cell")), "cell")
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"))
-        .join(nemb.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ae"), col("nrm").as("na")), "vec_a")
-        .join(nemb.select(col("vec_id").as("vec_b"),
-          col("embedding").as("be"), col("nrm").as("nb")), "vec_b")
-        .withColumn("cos", expr(
-          s"""cast(${dotSpark("ae", "be")} as double) /
-              sqrt(cast(na as double) * cast(nb as double))"""))
-        .filter(col("cos") >= semDedupCos)
-        .select(col("vec_a"), col("vec_b"))
-        .localCheckpoint())
     // min-label propagation over the cell-scoped edge set (the q44
     // iteration: one keyed shuffle per round, labels checkpointed,
     // scalar convergence test — nothing collects to the driver).
@@ -415,10 +453,7 @@ object Similarity {
     // eager-checkpoint action + join-and-count probe (two actions, one
     // of them a shuffle join). The round-13 probe put the loop at 3.0
     // of q145's 5.7 s.
-    val und = t("undirected")(
-      edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-        .unionAll(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-        .localCheckpoint())
+    val und = t("undirected")(semDedupUndFor(s, dir))
     var lbl = t("labels0")(und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint())
@@ -434,16 +469,18 @@ object Similarity {
     var iter = 0
     while (!converged && iter < 50) {
       t(s"iter$iter") {
-        // THREE propagation hops per materialization/action (round 16):
+        // MULTIPLE propagation hops per materialization/action (round
+        // 16 measured 3 as the optimum; round 17 re-probed 4 and 6 —
+        // tie within noise, see semanticDedupOf doc):
         // per-round cost at any scale is the driver action + checkpoint
         // round trip, not the tiny keyed shuffles — chaining hops
-        // before the convergence check converges in ceil(d/3) rounds
-        // with the identical min-label fixpoint (measured: 7 rounds ->
-        // 3, q145 loop 2.5 s -> 1.9 s; the probe pinned equal label
-        // checksums). Each hop is still one keyed shuffle — nothing
-        // grows with corpus size.
+        // before the convergence check converges in ceil(d/hops)+1
+        // rounds with the identical min-label fixpoint (r16 measured
+        // 7 rounds -> 3 at hops=3, q145 loop 2.5 s -> 1.9 s; the probes
+        // pinned equal label checksums). Each hop is still one keyed
+        // shuffle — nothing grows with corpus size.
         var cur = lbl
-        for (_ <- 1 to 3) {
+        for (_ <- 1 to hopsPerRound) {
           val prop = und.join(cur, und("src") === cur("id"))
             .select(col("dst").as("id"), col("lbl"))
           cur = cur.unionAll(prop)
@@ -466,13 +503,11 @@ object Similarity {
         iter += 1
       }
     }
-    // edges/und fed only the converged loop; the returned plan reads
-    // `e` and the FINAL label iterate, so the scratch checkpoints
-    // retire now. The final `lbl` itself rides the one-generation pool:
-    // it lives until the next semanticDedup run, by which point this
-    // run's result has been consumed (build-then-consume discipline).
-    Checkpoints.free(edges)
-    Checkpoints.free(und)
+    // `und` is the session-memoized candidate graph — it stays live
+    // for the next invocation (the minhashEdges policy). The final
+    // `lbl` rides the one-generation pool: it lives until the next
+    // semanticDedup run, by which point this run's result has been
+    // consumed (build-then-consume discipline).
     Checkpoints.retireSwap(s, "semdedup_labels", lbl)
     e.select(col("vec_id"))
       .join(lbl.select(col("id").as("vec_id"), col("lbl")), Seq("vec_id"),

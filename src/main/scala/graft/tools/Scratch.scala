@@ -54,11 +54,15 @@ object Scratch {
       // q145 stage timings, isolated: adjudicates whether a bench
       // drift is the assignment, the pair join, or the propagation loop
       graft.Tables.ensureRegistered(spark, sfDir)
-      (1 to 2).foreach { pass =>
-        println(s"[scratch] --- semdedup pass $pass ---")
-        t(s"q145 total (pass $pass)") {
-          graft.queries.Similarity.semanticDedupOf(spark, sfDir,
-            verbose = true).queryExecution.toRdd.count()
+      // pass 1 of the first hop count pays the memo builds (assign,
+      // normed, candidate graph); compare WARM passes across hop counts
+      Seq(3, 4, 6).foreach { h =>
+        (1 to 2).foreach { pass =>
+          println(s"[scratch] --- semdedup hops=$h pass $pass ---")
+          t(s"q145 total (hops=$h pass $pass)") {
+            graft.queries.Similarity.semanticDedupOf(spark, sfDir,
+              verbose = true, hopsPerRound = h).queryExecution.toRdd.count()
+          }
         }
       }
       spark.stop(); return
